@@ -1,13 +1,188 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator from SURVEY.md §2 over the
+  * driver-generated TESTDATA parquet corpus; [[oracleSql]] holds the DuckDB
+  * equivalent used by the driver's hash-match correctness gate.
+  *
+  * Numeric discipline: double sums are computed in exact DECIMAL arithmetic and
+  * cast back to DOUBLE at the end, so Spark (parallel sum order) and DuckDB
+  * (sequential sum) produce bit-identical results.
+  */
 object SparkEntry {
+
+  /** Reads a TESTDATA table. events.parquet carries TIMESTAMP(NANOS) which
+    * Spark has no native type for: read as long ns (legacy conf) and floor to
+    * microseconds with integer division (`div` — a double division would lose
+    * precision at 1e18 ns magnitudes).
+    */
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.8 query surface: aggregation (Q1/Q3 records) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // ---- filter + projection with parquet pushdown (F-family, Q2 predicates) ----
+    "q2_filter_project" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // ---- broadcast dimension joins (J1–J4 pattern) ----
+    "q3_join_revenue_by_nation" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+    // ---- top-k (sort/limit, query surface) ----
+    "q4_topk_customers" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey"))
+        .limit(10)
+    }),
+    // ---- window functions (query surface; also T8 machinery) ----
+    "q5_window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      tbl(s, dir, "orders")
+        .withColumn("order_seq", row_number().over(w))
+        .withColumn("running_spent",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("o_orderkey", "o_custkey", "order_seq", "running_spent")
+        .orderBy("o_custkey", "order_seq")
+    }),
+    // ---- Q4 metrics timeslice: time-bucketed aggregation ----
+    "q6_events_timeslice" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("slice"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("slice", "event_type")
+    }),
+    // ---- G3 distinct ----
+    "q7_distinct_users" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+    // ---- T8 requestID carry-forward: last non-null over ordered window ----
+    "q8_carry_forward" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "events")
+        .withColumn("signup_id",
+          when(col("event_type") === "signup", col("event_id")))
+        .withColumn("last_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "event_type", "last_signup_id")
+        .orderBy("event_id")
+    }),
+    // ---- T6 regex extract ----
+    "q9_regex_extract" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+    // ---- T4 speculative JSON parse (JSON path over string column) ----
+    "q10_json_extract" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") > 50)
+        .orderBy("event_id")
+    }),
+  )
+
+  /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_join_revenue_by_nation" ->
+      """SELECT n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q4_topk_customers" ->
+      """SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+    "q5_window_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+         row_number() OVER w AS order_seq,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spent
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, order_seq""",
+    "q6_events_timeslice" ->
+      """SELECT date_trunc('hour', ts) AS slice, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY slice, event_type""",
+    "q7_distinct_users" ->
+      """SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events""",
+    "q8_carry_forward" ->
+      """SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+         FROM events ORDER BY event_id""",
+    "q9_regex_extract" ->
+      """SELECT event_id,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "q10_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+         FROM events WHERE CAST(props->>'$.k' AS BIGINT) > 50
+         ORDER BY event_id""",
+  )
 }
