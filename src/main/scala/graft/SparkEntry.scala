@@ -126,6 +126,68 @@ object SparkEntry {
         .filter(col("k") > 50)
         .orderBy("event_id")
     }),
+    // ---- S1/T2/T3/T4/T5/F1 flagship slice: events → CWL wire format →
+    //      full decode pipeline; oracle is plain SQL over events (roundtrip) ----
+    "q11_cwl_pipeline_roundtrip" -> ((s, dir) => {
+      import graft.functions.codecs
+      val ev = tbl(s, dir, "events")
+      val envelopes = ev
+        .select(col("user_id"), struct(col("ts"), col("event_id"), col("props")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("evs"))
+        .select(to_json(struct(
+          lit("DATA_MESSAGE").as("messageType"),
+          lit("123456789012").as("owner"),
+          concat(lit("grp-"), col("user_id")).as("logGroup"),
+          concat(lit("stream-"), col("user_id")).as("logStream"),
+          array(lit("testFilter")).as("subscriptionFilters"),
+          transform(col("evs"), e => struct(
+            e("event_id").cast("string").as("id"),
+            unix_millis(e("ts")).as("timestamp"),
+            e("props").as("message"))).as("logEvents"))).as("json"))
+        .select(codecs.gzipBase64(col("json")).as("data"))
+      graft.operators.CwlPipeline(envelopes, col("data"))
+        .select(col("logGroup"), col("logStream"),
+          col("timestamp").as("ts_ms"), col("message"))
+        .orderBy("logGroup", "ts_ms", "message")
+    }),
+    // ---- T11/F4 VPC flow parse + internal-traffic drop (roundtrip oracle) ----
+    "q12_vpc_flow_parse" -> ((s, dir) => {
+      val line = concat_ws(" ",
+        lit("2"), lit("123456789010"),
+        concat(lit("eni-"), col("user_id") % 5),
+        concat(lit("10.0."), col("user_id") % 4, lit("."), col("event_id") % 250),
+        concat(lit("10.0."), col("event_id") % 4, lit("."), col("user_id") % 250),
+        (col("event_id") % 65535), lit("22"), lit("6"),
+        (col("event_id") % 100), (col("event_id") % 10000),
+        unix_seconds(col("ts")), unix_seconds(col("ts")) + 60,
+        lit("ACCEPT"), lit("OK"))
+      val parsed = graft.operators.VpcFlow.transform(
+        tbl(s, dir, "events").select(col("event_id"), line.as("message")),
+        vpcCidrPrefix = Some("10.0.1.,10.0.2."))
+      parsed.select(col("event_id"), col("interface_id"), col("srcaddr"),
+          col("dstaddr"), col("srcport"), col("packets"), col("bytes"),
+          col("start"), col("action"))
+        .orderBy("event_id")
+    }),
+    // ---- G1/T19 metadata bucketing with per-record override ----
+    "q13_meta_bucketing" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      ev.withColumn("source_category",
+          when(col("k") % 3 === 0, concat(lit("cat-"), col("k") % 5))
+            .otherwise(lit("default")))
+        .groupBy("source_category")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("source_category")
+    }),
+    // ---- T20 NDJSON serialization ----
+    "q14_ndjson" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("line"))
+        .orderBy("event_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
@@ -184,5 +246,35 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
          FROM events WHERE CAST(props->>'$.k' AS BIGINT) > 50
          ORDER BY event_id""",
+    "q11_cwl_pipeline_roundtrip" ->
+      """SELECT 'grp-'||user_id AS logGroup, 'stream-'||user_id AS logStream,
+         epoch_ms(ts) AS ts_ms, props AS message
+         FROM events ORDER BY logGroup, ts_ms, message""",
+    "q12_vpc_flow_parse" ->
+      """SELECT event_id, interface_id, srcaddr, dstaddr, srcport, packets,
+                bytes, start, action FROM (
+           SELECT event_id,
+             'eni-'||(user_id%5) AS interface_id,
+             '10.0.'||(user_id%4)||'.'||(event_id%250) AS srcaddr,
+             '10.0.'||(event_id%4)||'.'||(user_id%250) AS dstaddr,
+             CAST(event_id%65535 AS INTEGER) AS srcport,
+             event_id%100 AS packets,
+             event_id%10000 AS bytes,
+             epoch_ms(ts)//1000 AS start,
+             'ACCEPT' AS action
+           FROM events)
+         WHERE NOT ((srcaddr LIKE '10.0.1.%' OR srcaddr LIKE '10.0.2.%')
+                AND (dstaddr LIKE '10.0.1.%' OR dstaddr LIKE '10.0.2.%'))
+         ORDER BY event_id""",
+    "q13_meta_bucketing" ->
+      """SELECT CASE WHEN CAST(props->>'$.k' AS BIGINT)%3 = 0
+                     THEN 'cat-'||(CAST(props->>'$.k' AS BIGINT)%5)
+                     ELSE 'default' END AS source_category,
+         count(*) AS n, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+         FROM events GROUP BY 1 ORDER BY source_category""",
+    "q14_ndjson" ->
+      """SELECT event_id,
+         to_json(struct_pack(event_id := event_id, event_type := event_type)) AS line
+         FROM events ORDER BY event_id""",
   )
 }

@@ -1,0 +1,93 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftGlue
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Runtime implementations shared by interpreted eval and generated Java code.
+  *
+  * Static forwarders on the mirror class make these callable from Janino
+  * codegen as `graft.functions.CodecImpl.gunzip(bytes)`.
+  */
+object CodecImpl {
+  /** Decompress a (possibly multi-member) gzip stream.
+    *
+    * The reference decoder explicitly works around single-member gunzip APIs
+    * for concatenated members (reference `sumo-dlq-function-utils/lib/utils.js:45-61`);
+    * `java.util.zip.GZIPInputStream` handles member concatenation natively.
+    */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new ByteArrayOutputStream(math.max(bytes.length * 4, 1024))
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Compress to a single-member gzip stream (reference `utils.js:92-105`). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(bytes.length / 4, 64))
+    val gz = new GZIPOutputStream(out, 64 * 1024)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+}
+
+/** `gunzip(binary) -> binary` Catalyst expression with whole-stage codegen. */
+case class Gunzip(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gunzip"
+  override protected def nullSafeEval(input: Any): Any =
+    CodecImpl.gunzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecImpl.gunzip($c)")
+  override protected def withNewChildInternal(newChild: Expression): Gunzip =
+    copy(child = newChild)
+}
+
+/** `gzip(binary) -> binary` Catalyst expression with whole-stage codegen. */
+case class GzipCompress(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip"
+  override protected def nullSafeEval(input: Any): Any =
+    CodecImpl.gzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecImpl.gzip($c)")
+  override protected def withNewChildInternal(newChild: Expression): GzipCompress =
+    copy(child = newChild)
+}
+
+/** Column-level codec API (T1/T2/T3 in SURVEY.md §2.3). */
+object codecs {
+  def gunzip(c: Column): Column =
+    GraftGlue.column(Gunzip(GraftGlue.expression(c)))
+
+  def gzip(c: Column): Column =
+    GraftGlue.column(GzipCompress(GraftGlue.expression(c)))
+
+  /** Decode the CloudWatch Logs wire format: base64(gzip(json)) -> json string
+    * (reference `cloudwatchlogs-with-dlq/cloudwatchlogs_lambda.js:159-169`).
+    */
+  def gunzipBase64(c: Column): Column = gunzip(unbase64(c)).cast("string")
+
+  /** Encode to the CloudWatch Logs wire format: json string -> base64(gzip). */
+  def gzipBase64(c: Column): Column = base64(gzip(c.cast("binary")))
+
+  /** Registers `gunzip`/`gzip` for SQL use on this session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("gunzip", es => Gunzip(es.head), "built-in")
+    reg.createOrReplaceTempFunction("gzip", es => GzipCompress(es.head), "built-in")
+  }
+}

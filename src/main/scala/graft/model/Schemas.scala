@@ -1,0 +1,92 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Fixed source schemas from SURVEY.md §1.1 (dynamic payloads stay string /
+  * variant and are parsed speculatively downstream).
+  */
+object Schemas {
+
+  /** One CloudWatch log event (reference `cloudwatchlogs_lambda.js:47-86`). */
+  val logEvent: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("timestamp", LongType), // epoch millis
+    StructField("message", StringType)))
+
+  /** CloudWatch Logs subscription envelope, the payload inside
+    * base64(gzip(`event.awslogs.data`)) (reference `cloudwatchlogs_lambda.js:167-176`).
+    */
+  val cwlEnvelope: StructType = StructType(Seq(
+    StructField("messageType", StringType),
+    StructField("owner", StringType),
+    StructField("logGroup", StringType),
+    StructField("logStream", StringType),
+    StructField("subscriptionFilters", ArrayType(StringType)),
+    StructField("logEvents", ArrayType(logEvent))))
+
+  /** CloudTrail S3 object body (reference `cloudtrail_s3/cloudtrail_s3_to_sumo.js:58-62`).
+    * Record payloads are kept dynamic; the envelope is just `{Records: [...]}`.
+    */
+  def cloudTrailFile(recordType: DataType = StringType): StructType =
+    StructType(Seq(StructField("Records", ArrayType(recordType))))
+
+  /** Firehose transform record (reference `kinesisfirehose-processor.js:35-54`). */
+  val firehoseRecord: StructType = StructType(Seq(
+    StructField("recordId", StringType),
+    StructField("data", StringType))) // base64
+
+  /** SNS notification record (reference `inspector/python/inspector.py:123-129`). */
+  val snsRecord: StructType = StructType(Seq(
+    StructField("Sns", StructType(Seq(
+      StructField("Timestamp", StringType),
+      StructField("MessageId", StringType),
+      StructField("Message", StringType))))))
+
+  /** ASFF SecurityHub finding (constructed at reference
+    * `securityhub-forwarder/src/securityhub_forwarder.py:63-87`).
+    */
+  val asffFinding: StructType = StructType(Seq(
+    StructField("SchemaVersion", StringType),
+    StructField("Id", StringType),
+    StructField("ProductArn", StringType),
+    StructField("GeneratorId", StringType),
+    StructField("AwsAccountId", StringType),
+    StructField("Types", ArrayType(StringType)),
+    StructField("CreatedAt", StringType),
+    StructField("UpdatedAt", StringType),
+    StructField("FirstObservedAt", StringType),
+    StructField("Resources", ArrayType(StructType(Seq(
+      StructField("Type", StringType),
+      StructField("Id", StringType))))),
+    StructField("Severity", StructType(Seq(StructField("Normalized", IntegerType)))),
+    StructField("Compliance", StructType(Seq(StructField("Status", StringType)))),
+    StructField("Title", StringType),
+    StructField("Description", StringType),
+    StructField("SourceUrl", StringType)))
+
+  /** VPC flow log positional fields (reference `vpcutils.js:8-29`). */
+  val vpcFlowFields: Seq[(String, DataType)] = Seq(
+    "version" -> IntegerType,
+    "account_id" -> StringType,
+    "interface_id" -> StringType,
+    "srcaddr" -> StringType,
+    "dstaddr" -> StringType,
+    "srcport" -> IntegerType,
+    "dstport" -> IntegerType,
+    "protocol" -> IntegerType,
+    "packets" -> LongType,
+    "bytes" -> LongType,
+    "start" -> LongType,
+    "end" -> LongType,
+    "action" -> StringType,
+    "log_status" -> StringType)
+
+  /** ENI enrichment dimension (reference `vpcutils.js:91-100`). */
+  val eniDimension: StructType = StructType(Seq(
+    StructField("interfaceId", StringType),
+    StructField("securityGroupIds", ArrayType(StringType)),
+    StructField("ipAddress", ArrayType(StringType)),
+    StructField("subnetId", StringType),
+    StructField("vpcId", StringType),
+    StructField("region", StringType)))
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.codecs
+import graft.model.Schemas
+
+/** CloudWatch Logs subscription pipeline (SURVEY.md §3.1): the flagship chain
+  * S1 decode → F1/F2 envelope filters → explode → T5–T10 transforms → F3.
+  *
+  * Behavior mirrors reference `cloudwatchlogs-with-dlq/cloudwatchlogs_lambda.js:42-88,158-179`
+  * re-expressed declaratively; every stage is a `DataFrame => DataFrame` so
+  * Catalyst sees one fused plan (filters stay pushable, codegen spans wide).
+  */
+object CwlPipeline {
+
+  /** Mirrors the env-driven config block (reference `cloudwatchlogs_lambda.js:92-128`). */
+  case class Config(
+      logFormat: String = "Others", // "VPC-*" switches on the VPC path
+      includeLogInfo: Boolean = true,
+      /** comma-separated logStream prefixes, case-insensitive (F2). */
+      logStreamPrefix: Option[String] = None,
+      /** comma-separated CIDR-ish prefixes for the internal-traffic drop (F4). */
+      vpcCidrPrefix: Option[String] = None) {
+    def isVpc: Boolean = logFormat.startsWith("VPC")
+    /** CSV of prefixes → anchored case-insensitive alternation (reference `:107-110,130-132`). */
+    def logStreamRegex: Option[String] =
+      logStreamPrefix.map { p =>
+        "(?i)^(" + p.split(",").map(java.util.regex.Pattern.quote).mkString("|") + ")"
+      }
+  }
+
+  /** Lambda console-line prefix: ISO millis ts + request UUID + optional level
+    * (reference `cloudwatchlogs_lambda.js:14`).
+    */
+  private val consoleFormat =
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}.\\d{3}Z\\s(\\w+?-\\w+?-\\w+?-\\w+?-\\w+)\\s(?:INFO|ERROR|WARN|DEBUG)?"
+
+  /** RequestId extraction (reference `cloudwatchlogs_lambda.js:17`). */
+  private val requestIdPat = "(?:RequestId:|Z)\\s+([\\w\\d\\-]+)"
+
+  /** S1/T2: base64(gzip(json envelope)) column → envelope struct columns plus a
+    * per-envelope ordinal `_envelope_id` used by the carry-forward window.
+    */
+  def decode(df: DataFrame, dataCol: Column): DataFrame =
+    df.withColumn("_env", from_json(codecs.gunzipBase64(dataCol), Schemas.cwlEnvelope))
+      .withColumn("_envelope_id", monotonically_increasing_id())
+      .select(col("*"), col("_env.*")).drop("_env")
+
+  /** F1 control-message skip + F2 logStream prefix filter. */
+  def filterEnvelopes(cfg: Config)(df: DataFrame): DataFrame = {
+    val noControl = df.filter(col("messageType") =!= "CONTROL_MESSAGE")
+    cfg.logStreamRegex match {
+      case Some(re) => noControl.filter(col("logStream").rlike(re))
+      case None => noControl
+    }
+  }
+
+  /** Explode logEvents preserving arrival order as `_seq` (posexplode): T8's
+    * carry-forward is order-dependent (SURVEY §7.4).
+    */
+  def explodeEvents(df: DataFrame): DataFrame =
+    df.select(
+      col("owner"), col("logGroup"), col("logStream"), col("_envelope_id"),
+      posexplode(col("logEvents")).as(Seq("_seq", "_event")))
+      .select(col("*"), col("_event.*")).drop("_event")
+
+  /** T5–T10 + F3 over exploded events:
+    *  - strip one trailing newline, extract requestID (report line or console
+    *    line, console strips its prefix from the message),
+    *  - carry the last seen requestID forward across subsequent events of the
+    *    same envelope (T8) via an ordered window,
+    *  - speculative JSON parse into a `message_json` variant column (T4),
+    *  - drop `id` (+ `timestamp` for VPC format), attach log context,
+    *  - drop empty messages (F3).
+    */
+  def transformEvents(cfg: Config)(df: DataFrame): DataFrame = {
+    val stripped = df.withColumn("message", regexp_replace(col("message"), "\\n$", ""))
+      .withColumn("_console_id", regexp_extract(col("message"), consoleFormat, 1))
+      .withColumn("_report_id", regexp_extract(col("message"), requestIdPat, 1))
+      .withColumn("_req_candidate",
+        when(col("_console_id") =!= "", col("_console_id"))
+          .when(col("_report_id") =!= "", col("_report_id")))
+      .withColumn("message",
+        when(col("_console_id") =!= "",
+          ltrim(regexp_replace(col("message"), consoleFormat, "")))
+          .otherwise(col("message")))
+
+    val w = Window.partitionBy("_envelope_id").orderBy("_seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = stripped
+      .withColumn("requestID", last(col("_req_candidate"), ignoreNulls = true).over(w))
+      .drop("_console_id", "_report_id", "_req_candidate")
+
+    val parsed = carried
+      .withColumn("message", trim(col("message")))
+      .withColumn("message_json", try_parse_json(col("message")))
+
+    val projected = {
+      val dropped = parsed.drop("id")
+      val vpcDropped = if (cfg.isVpc) dropped.drop("timestamp") else dropped
+      if (cfg.includeLogInfo) vpcDropped
+      else vpcDropped.drop("logStream", "logGroup")
+    }
+    projected.filter(col("message").isNotNull && length(col("message")) > 0)
+  }
+
+  /** Full batch pipeline over a DataFrame holding the wire column. */
+  def apply(df: DataFrame, dataCol: Column, cfg: Config = Config()): DataFrame = {
+    val base = transformEvents(cfg)(explodeEvents(filterEnvelopes(cfg)(decode(df, dataCol))))
+    if (cfg.isVpc) VpcFlow.transform(base, cfg.vpcCidrPrefix) else base
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** VPC flow-log path: T11 positional parse, F4 internal-traffic drop, J1 ENI
+  * security-group enrichment + T12 direction classification.
+  *
+  * Reference behavior: `cloudwatchlogs-with-dlq/vpcutils.js:31-48` (filter),
+  * `:102-152` (enrichment). All lookups are broadcast left joins — the ENI
+  * dimension is tiny relative to the flow volume, so at 100 TB the flow side
+  * never shuffles.
+  */
+object VpcFlow {
+
+  /** T11: split the space-delimited 14-field message into typed columns.
+    * Positional access via one `split` + `element_at` so codegen keeps the
+    * whole projection in one stage.
+    */
+  def parse(df: DataFrame): DataFrame = {
+    val parts = split(col("message"), " ")
+    val typed = Schemas.vpcFlowFields.zipWithIndex.map { case ((name, dt), i) =>
+      element_at(parts, i + 1).cast(dt).as(name)
+    }
+    df.select((col("*") +: typed): _*)
+  }
+
+  /** F4: drop records where BOTH src and dst start with any configured prefix.
+    * Faithfully prefix-match (not CIDR math) per reference `vpcutils.js:41-42`;
+    * expressed with builtins so Catalyst can push it below joins.
+    */
+  def discardInternalTraffic(df: DataFrame, vpcCidrPrefix: Option[String]): DataFrame =
+    vpcCidrPrefix.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty) match {
+      case Some(prefixes) =>
+        val internal = (addr: String) => {
+          val arr = array(prefixes.map(lit): _*)
+          exists(arr, p => startswith(col(addr), p))
+        }
+        df.filter(!(internal("srcaddr") && internal("dstaddr")))
+      case None => df
+    }
+
+  /** J1 + T12: enrich with security groups / subnet / vpc from the ENI
+    * dimension (keyed by interface id), classify direction by whether src or
+    * dst equals the ENI's primary private IP and whether the peer's ENI shares
+    * the subnet. Missing ENI rows pass through unenriched (left joins).
+    *
+    * `eniDim` columns per [[Schemas.eniDimension]]; primary IP = first element
+    * of `ipAddress`.
+    */
+  def enrich(df: DataFrame, eniDim: DataFrame, awsRegion: String = "us-east-1"): DataFrame = {
+    val eni = eniDim.select(
+      col("interfaceId"), col("securityGroupIds"),
+      element_at(col("ipAddress"), 1).as("primaryIp"),
+      col("subnetId"), col("vpcId"))
+    // IP → subnet lookup for the peer side (dedup in case two ENIs share an IP)
+    val byIp = eni.select(col("primaryIp").as("peerIp"), col("subnetId").as("peerSubnet"))
+      .groupBy("peerIp").agg(first("peerSubnet").as("peerSubnet"))
+
+    val srcIp = byIp.withColumnRenamed("peerIp", "srcPeerIp")
+      .withColumnRenamed("peerSubnet", "srcPeerSubnet")
+    val dstIp = byIp.withColumnRenamed("peerIp", "dstPeerIp")
+      .withColumnRenamed("peerSubnet", "dstPeerSubnet")
+
+    val joined = df
+      .join(broadcast(eni), df("interface_id") === eni("interfaceId"), "left")
+      .join(broadcast(srcIp), col("srcaddr") === col("srcPeerIp"), "left")
+      .join(broadcast(dstIp), col("dstaddr") === col("dstPeerIp"), "left")
+
+    val enriched = col("interfaceId").isNotNull && col("primaryIp").isNotNull
+    joined
+      .withColumn("security_group_ids", when(enriched, col("securityGroupIds")))
+      .withColumn("direction",
+        when(enriched && col("dstaddr") === col("primaryIp"),
+          when(col("srcPeerSubnet") === col("subnetId"), "internal").otherwise("inbound"))
+          .when(enriched,
+            when(col("dstPeerSubnet") === col("subnetId"), "internal").otherwise("outbound")))
+      .withColumn("subnet_id", when(enriched, col("subnetId")))
+      .withColumn("vpc_id", when(enriched, col("vpcId")))
+      .withColumn("aws_region", when(enriched, lit(awsRegion)))
+      .drop("interfaceId", "securityGroupIds", "primaryIp", "subnetId", "vpcId",
+        "srcPeerIp", "srcPeerSubnet", "dstPeerIp", "dstPeerSubnet")
+  }
+
+  /** Parse + filter chain used from [[CwlPipeline]] (enrichment is opt-in via
+    * [[enrich]] because it needs the ENI dimension snapshot).
+    */
+  def transform(df: DataFrame, vpcCidrPrefix: Option[String]): DataFrame =
+    discardInternalTraffic(parse(df), vpcCidrPrefix)
+}

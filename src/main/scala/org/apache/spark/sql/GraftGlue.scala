@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` surface: the only sanctioned way in Spark 4 to
+  * wrap a custom Catalyst [[Expression]] as a user-facing [[Column]]
+  * (`ExpressionUtils` in `classic/columnNodeSupport.scala`).
+  */
+object GraftGlue {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

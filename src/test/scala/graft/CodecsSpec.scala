@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{codecs, CodecImpl}
+
+class CodecsSpec extends SparkSpec {
+
+  test("gzip/gunzip roundtrip, randomized") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(1 << 14))
+      rnd.nextBytes(bytes)
+      assert(CodecImpl.gunzip(CodecImpl.gzip(bytes)).sameElements(bytes), s"iteration $i")
+    }
+  }
+
+  test("gunzip handles concatenated multi-member streams") {
+    val a = "first member ".getBytes(UTF_8)
+    val b = "second member".getBytes(UTF_8)
+    val concat = CodecImpl.gzip(a) ++ CodecImpl.gzip(b)
+    assert(new String(CodecImpl.gunzip(concat), UTF_8) == "first member second member")
+  }
+
+  test("column roundtrip through codegen path") {
+    val in = df(Seq("hello", "", "unicode ✓ λ", "line\nbreaks\n"), "s")
+    val out = in.select(codecs.gunzip(codecs.gzip(col("s").cast("binary"))).cast("string").as("s"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("hello", "", "unicode ✓ λ", "line\nbreaks\n"))
+  }
+
+  test("gunzipBase64 decodes the CWL wire format; null stays null") {
+    val payload = """{"messageType":"DATA_MESSAGE"}"""
+    val wire = java.util.Base64.getEncoder.encodeToString(CodecImpl.gzip(payload.getBytes(UTF_8)))
+    val in = df(Seq(wire), "data")
+      .union(df(Seq("x"), "data").select(lit(null).cast("string").as("data")))
+    val out = in.select(codecs.gunzipBase64(col("data")).as("s")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq(payload, null))
+  }
+
+  test("SQL registration: gzip/gunzip usable from spark.sql") {
+    codecs.registerAll(spark)
+    val r = spark.sql("SELECT cast(gunzip(gzip(cast('abc' as binary))) as string) AS s")
+      .collect().head.getString(0)
+    assert(r == "abc")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CodecImpl
+import graft.operators.CwlPipeline
+
+/** Fixtures modeled on the reference's cwlfixtures.json / testevent.json
+  * shapes (FIXTURES.md §1).
+  */
+class CwlPipelineSpec extends SparkSpec {
+
+  private def envelope(messageType: String, logStream: String,
+      events: Seq[(String, Long, String)]): String = {
+    val evs = events.map { case (id, ts, msg) =>
+      val m = msg.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t")
+      s"""{"id":"$id","timestamp":$ts,"message":"$m"}"""
+    }.mkString("[", ",", "]")
+    s"""{"messageType":"$messageType","owner":"123456789012","logGroup":"testLogGroup","logStream":"$logStream","subscriptionFilters":["testFilter"],"logEvents":$evs}"""
+  }
+
+  private def wire(env: String): String =
+    java.util.Base64.getEncoder.encodeToString(CodecImpl.gzip(env.getBytes(UTF_8)))
+
+  private val consoleLine =
+    "2016-11-10T23:11:54.523Z\t108af3bb-a79b-11e6-8bd7-91c363cc05d9\tINFO some message"
+  private val reportLine =
+    "REPORT RequestId: 67fe7abb-c63a-4efd-9777-56805a24bedc\tDuration: 12 ms"
+
+  private val fixture = Seq(
+    envelope("DATA_MESSAGE", "testLogStream", Seq(
+      ("e1", 1440442987000L, consoleLine),
+      ("e2", 1440442988000L, "plain line inheriting requestID\n"),
+      ("e3", 1440442989000L, reportLine),
+      ("e4", 1440442990000L, """{"level":"info","k":42}"""),
+      ("e5", 1440442991000L, "   "))),
+    envelope("CONTROL_MESSAGE", "testLogStream", Seq(("c1", 1L, "control"))),
+    envelope("DATA_MESSAGE", "otherStream", Seq(("o1", 1440442987000L, "from other stream"))))
+
+  private def run(cfg: CwlPipeline.Config) =
+    CwlPipeline(df(fixture.map(wire), "data"), col("data"), cfg)
+
+  test("decode→explode→transform: filters, requestID carry-forward, JSON parse") {
+    val out = run(CwlPipeline.Config(includeLogInfo = true)).orderBy("timestamp")
+    val rows = out.select("logStream", "timestamp", "message", "requestID").collect()
+
+    // e5 (blank) and the control envelope are dropped; otherStream kept (no prefix filter)
+    assert(rows.length == 5)
+    val byTs = rows.map(r => r.getLong(1) -> r).toMap
+
+    // console line: prefix stripped, uuid captured
+    assert(byTs(1440442987000L).getString(2) == "some message"
+      || byTs(1440442987000L).getString(0) == "otherStream")
+    val consoleRow = rows.find(r => r.getLong(1) == 1440442987000L && r.getString(0) == "testLogStream").get
+    assert(consoleRow.getString(2) == "some message")
+    assert(consoleRow.getString(3) == "108af3bb-a79b-11e6-8bd7-91c363cc05d9")
+    // plain line inherits the console requestID (T8) and lost its trailing \n
+    assert(byTs(1440442988000L).getString(2) == "plain line inheriting requestID")
+    assert(byTs(1440442988000L).getString(3) == "108af3bb-a79b-11e6-8bd7-91c363cc05d9")
+    // REPORT line switches the carried requestID
+    assert(byTs(1440442989000L).getString(3) == "67fe7abb-c63a-4efd-9777-56805a24bedc")
+    assert(byTs(1440442990000L).getString(3) == "67fe7abb-c63a-4efd-9777-56805a24bedc")
+  }
+
+  test("JSON messages parse into message_json variant; text stays null") {
+    val out = run(CwlPipeline.Config())
+    val parsed = out.filter(col("message_json").isNotNull)
+      .select(expr("cast(variant_get(message_json, '$.k') as long)").as("k")).collect()
+    assert(parsed.map(_.getLong(0)).toSeq == Seq(42L))
+  }
+
+  test("logStream prefix filter (F2) is case-insensitive CSV alternation") {
+    val cfg = CwlPipeline.Config(logStreamPrefix = Some("TESTLOG,unused"))
+    val out = run(cfg)
+    assert(out.select("logStream").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("testLogStream"))
+  }
+
+  test("includeLogInfo=false drops log context columns") {
+    val out = run(CwlPipeline.Config(includeLogInfo = false))
+    assert(!out.columns.contains("logStream") && !out.columns.contains("logGroup"))
+  }
+}

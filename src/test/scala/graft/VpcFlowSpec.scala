@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.operators.VpcFlow
+
+class VpcFlowSpec extends SparkSpec {
+
+  private def flow(iface: String, src: String, dst: String): String =
+    s"2 123456789010 $iface $src $dst 20641 22 6 20 4249 1418530010 1418530070 ACCEPT OK"
+
+  private val lines = Seq(
+    flow("eni-aaa", "10.0.1.24", "10.0.2.33"), // src is eni-aaa's primary → outbound-ish
+    flow("eni-bbb", "10.0.1.24", "10.0.2.33"), // dst is eni-bbb's primary → inbound-ish
+    flow("eni-aaa", "10.0.1.99", "10.0.1.24"), // dst primary, src in same subnet → internal
+    flow("eni-zzz", "1.2.3.4", "5.6.7.8"),     // unknown ENI → unenriched
+    flow("eni-aaa", "192.168.0.1", "192.168.0.2")) // both internal per prefix filter
+
+  private def eniDim = {
+    val rows = Seq(
+      Row("eni-aaa", Seq("sg-1"), Seq("10.0.1.24"), "subnet-1", "vpc-1", null),
+      Row("eni-bbb", Seq("sg-2"), Seq("10.0.2.33"), "subnet-2", "vpc-1", null),
+      Row("eni-ccc", Seq("sg-3"), Seq("10.0.1.99"), "subnet-1", "vpc-1", null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Schemas.eniDimension)
+  }
+
+  test("T11 positional parse types all 14 fields") {
+    val parsed = VpcFlow.parse(df(lines, "message"))
+    val r = parsed.filter(col("interface_id") === "eni-zzz").collect().head
+    assert(r.getAs[Int]("version") == 2)
+    assert(r.getAs[String]("srcaddr") == "1.2.3.4")
+    assert(r.getAs[Int]("dstport") == 22)
+    assert(r.getAs[Long]("bytes") == 4249L)
+    assert(r.getAs[String]("log_status") == "OK")
+  }
+
+  test("F4 drops only records where BOTH addrs match a prefix") {
+    val parsed = VpcFlow.parse(df(lines, "message"))
+    val kept = VpcFlow.discardInternalTraffic(parsed, Some("192.168., 172.31."))
+    assert(kept.count() == 4)
+    assert(kept.filter(col("srcaddr").startsWith("192.168.")).count() == 0)
+    // one-sided match survives
+    val oneSided = VpcFlow.discardInternalTraffic(parsed, Some("10.0.2."))
+    assert(oneSided.count() == 5)
+  }
+
+  test("J1/T12 enrichment: direction + security groups, left join for misses") {
+    val parsed = VpcFlow.parse(df(lines, "message"))
+    val out = VpcFlow.enrich(parsed, eniDim, awsRegion = "us-west-2")
+
+    def row(iface: String, src: String) =
+      out.filter(col("interface_id") === iface && col("srcaddr") === src).collect().head
+
+    val outbound = row("eni-aaa", "10.0.1.24")
+    assert(outbound.getAs[String]("direction") == "outbound") // peer 10.0.2.33 in other subnet
+    assert(outbound.getAs[scala.collection.Seq[String]]("security_group_ids").toSeq == Seq("sg-1"))
+    assert(outbound.getAs[String]("subnet_id") == "subnet-1")
+    assert(outbound.getAs[String]("aws_region") == "us-west-2")
+
+    val inbound = row("eni-bbb", "10.0.1.24")
+    assert(inbound.getAs[String]("direction") == "inbound") // src subnet-1 != subnet-2
+
+    val internal = row("eni-aaa", "10.0.1.99")
+    assert(internal.getAs[String]("direction") == "internal") // src ENI shares subnet-1
+
+    val miss = row("eni-zzz", "1.2.3.4")
+    assert(miss.getAs[String]("direction") == null)
+    assert(miss.getAs[scala.collection.Seq[String]]("security_group_ids") == null)
+  }
+
+  test("enrichment joins are broadcast (no shuffle of the flow side)") {
+    val parsed = VpcFlow.parse(df(lines, "message"))
+    val plan = VpcFlow.enrich(parsed, eniDim).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}
