@@ -188,6 +188,63 @@ object SparkEntry {
           to_json(struct(col("event_id"), col("event_type"))).as("line"))
         .orderBy("event_id")
     }),
+    // ---- S9/T18 firehose delimiter roundtrip ----
+    "q15_firehose_delimiter" -> ((s, dir) => {
+      val in = tbl(s, dir, "events")
+        .select(col("event_id").cast("string").as("recordId"),
+          base64(col("props").cast("binary")).as("data"))
+      graft.operators.Firehose.addDelimiter(in)
+        .select(col("recordId").cast("long").as("event_id"),
+          unbase64(col("data")).cast("string").as("line"), col("result"))
+        .orderBy("event_id")
+    }),
+    // ---- T17 JSON → k=v line ----
+    "q16_kv_line" -> ((s, dir) => {
+      val in = tbl(s, dir, "events")
+        .select(col("event_id").cast("string").as("recordId"),
+          base64(col("props").cast("binary")).as("data"))
+      graft.operators.Firehose.convertToLine(in)
+        .select(col("recordId").cast("long").as("event_id"),
+          unbase64(col("data")).cast("string").as("line"))
+        .orderBy("event_id")
+    }),
+    // ---- T16 forwarder validation (valid/invalid split with error messages) ----
+    "q17_severity_validation" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val req = ev.select(
+        col("event_id"), lit("gen").as("GeneratorID"), lit("t").as("Types"),
+        (col("k") % 120).cast("string").as("Severity"),
+        element_at(array(lit("PASSED"), lit("WARNING"), lit("FAILED"),
+          lit("NOT_AVAILABLE"), lit("BOGUS")), (col("k") % 5 + 1).cast("int"))
+          .as("ComplianceStatus"),
+        array(struct(
+          col("ts").cast("string").as("finding_time"),
+          lit("Other").as("resource_type"),
+          lit("rid").as("resource_id"),
+          col("event_type").as("title"))).as("Rows"))
+      graft.operators.SecurityHub.validate(req)
+        .select(col("event_id"), col("error"))
+        .orderBy("event_id")
+    }),
+    // ---- T13 epoch normalize: s-vs-ms by digit count ----
+    "q18_epoch_normalize" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("finding_time",
+          when(col("event_id") % 2 === 0, unix_millis(col("ts")).cast("string"))
+            .otherwise(unix_seconds(col("ts")).cast("string")))
+      ev.select(col("event_id"),
+          graft.operators.SecurityHub.epochToUtc(col("finding_time")).as("utc"))
+        .orderBy("event_id")
+    }),
+    // ---- G2/K2 findings grouped by ProductArn into "\n\n"-joined bodies ----
+    "q19_findings_group" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("product_arn", concat(lit("arn:"), col("user_id") % 3))
+        .withColumn("payload", to_json(struct(col("event_id"), col("event_type"))))
+      graft.operators.SecurityHub.groupByProductArn(ev, col("product_arn"), col("payload"))
+        .orderBy("product_arn")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
@@ -276,5 +333,34 @@ object SparkEntry {
       """SELECT event_id,
          to_json(struct_pack(event_id := event_id, event_type := event_type)) AS line
          FROM events ORDER BY event_id""",
+    "q15_firehose_delimiter" ->
+      """SELECT event_id, props || chr(10) AS line, 'Ok' AS result
+         FROM events ORDER BY event_id""",
+    "q16_kv_line" ->
+      """SELECT event_id, 'k=' || (props->>'$.k') || chr(10) AS line
+         FROM events ORDER BY event_id""",
+    "q17_severity_validation" ->
+      """SELECT event_id,
+           CASE
+             WHEN CAST(props->>'$.k' AS BIGINT)%120 > 100
+               THEN 'Param Validation Error - Severity should be between 0 to 100'
+             WHEN CAST(props->>'$.k' AS BIGINT)%5 = 4
+               THEN 'Param Validation Error - ComplianceStatus should be PASSED/WARNING/FAILED/NOT_AVAILABLE'
+           END AS error
+         FROM events ORDER BY event_id""",
+    "q18_epoch_normalize" ->
+      """SELECT event_id,
+           CASE WHEN event_id%2 = 0
+             THEN strftime(make_timestamp(epoch_ms(ts)*1000), '%Y-%m-%dT%H:%M:%S.%fZ')
+             ELSE strftime(make_timestamp((epoch_ms(ts)//1000)*1000000), '%Y-%m-%dT%H:%M:%S.%fZ')
+           END AS utc
+         FROM events ORDER BY event_id""",
+    "q19_findings_group" ->
+      """SELECT 'arn:'||(user_id%3) AS product_arn,
+           string_agg(payload, chr(10)||chr(10) ORDER BY payload) AS body
+         FROM (SELECT user_id,
+                 to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
+               FROM events)
+         GROUP BY 1 ORDER BY product_arn""",
   )
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Thin source adapters for the remaining reference entry points: CloudTrail
+  * S3 objects (S4/F5), CloudWatch Events / EventBridge (S7), SNS (S6).
+  */
+object EventSources {
+
+  /** S4: CloudTrail S3 objects — gzipped JSON `{Records:[...]}`; Spark's json
+    * reader handles .gz natively, digest objects are excluded at the path
+    * level so they are never opened (reference
+    * `cloudtrail_s3/cloudtrail_s3_to_sumo.js:40-66`).
+    */
+  def cloudTrail(spark: SparkSession, path: String,
+      recordSchema: Option[StructType] = None): DataFrame = {
+    val reader = spark.read
+      .option("pathGlobFilter", "*.json.gz")
+      .option("recursiveFileLookup", "true")
+    val raw = recordSchema match {
+      case Some(s) => reader.schema(graft.model.Schemas.cloudTrailFile(s)).json(path)
+      case None => reader.json(path)
+    }
+    // F5: defense in depth if digest files share the glob
+    raw.withColumn("_src", input_file_name())
+      .filter(!col("_src").contains("CloudTrail-Digest"))
+      .drop("_src")
+      .select(explode(col("Records")).as("record"))
+  }
+
+  /** S7: CloudWatch Events — GuardDuty events unwrap `detail`, everything else
+    * passes whole (reference `cloudwatchevents/src/cloudwatchevents.js:122-140`).
+    * Keeps both the unwrapped payload and the original for the generic path.
+    */
+  def unwrapEventBridge(df: DataFrame): DataFrame =
+    df.withColumn("payload",
+      when(col("source") === "aws.guardduty", to_json(col("detail")))
+        .otherwise(to_json(struct(df.columns.map(col): _*))))
+
+  /** S6: SNS notification records — explode `Records[].Sns`, parse the
+    * JSON-string `Message` with the caller's schema
+    * (reference `inspector/python/inspector.py:123-129`).
+    */
+  def snsMessages(df: DataFrame, messageSchema: StructType): DataFrame =
+    df.select(explode(col("Records")).as("r"))
+      .select(
+        col("r.Sns.Timestamp").as("sns_timestamp"),
+        col("r.Sns.MessageId").as("message_id"),
+        from_json(col("r.Sns.Message"), messageSchema).as("message"))
+}

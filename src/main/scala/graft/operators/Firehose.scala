@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Kinesis Firehose transformation (S9/T17/T18/G4): batch of
+  * `{recordId, data:base64}` records → `{recordId, result, data}` where
+  * `result` is `Ok` or `ProcessingFailed` (failed records keep their original
+  * payload). Reference `kinesisfirehose-processor/kinesisfirehose-processor.js:30-57`.
+  */
+object Firehose {
+
+  /** T18: decode base64, append a delimiter, re-encode; invalid base64 →
+    * ProcessingFailed passthrough (reference `kinesisfirehose-processor.js:9-15`).
+    */
+  def addDelimiter(df: DataFrame, delimiter: String = "\n"): DataFrame = {
+    val decoded = try_to_binary(col("data"), lit("base64")).cast("string")
+    df.select(
+      col("recordId"),
+      when(decoded.isNotNull, lit("Ok")).otherwise(lit("ProcessingFailed")).as("result"),
+      when(decoded.isNotNull, base64(concat(decoded, lit(delimiter)).cast("binary")))
+        .otherwise(col("data")).as("data"))
+  }
+
+  /** T17: `{k1:v1,k2:v2}` JSON → `"k1=v1 k2=v2\n"` single line, preserving key
+    * order (reference `kinesisfirehose-processor.js:17-29`). JSON that fails to
+    * parse → ProcessingFailed passthrough.
+    */
+  def convertToLine(df: DataFrame): DataFrame = {
+    val decoded = try_to_binary(col("data"), lit("base64")).cast("string")
+    val parsed = from_json(decoded, MapType(StringType, StringType))
+    val line = concat(
+      array_join(transform(map_entries(parsed),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))), " "),
+      lit("\n"))
+    df.select(
+      col("recordId"),
+      when(parsed.isNotNull, lit("Ok")).otherwise(lit("ProcessingFailed")).as("result"),
+      when(parsed.isNotNull, base64(line.cast("binary"))).otherwise(col("data")).as("data"))
+  }
+
+  /** G4: success/failure tallies over a transformed batch
+    * (reference `kinesisfirehose-processor.js:32-55`).
+    */
+  def counts(df: DataFrame): DataFrame =
+    df.agg(
+      count(when(col("result") === "Ok", 1)).as("success"),
+      count(when(col("result") === "ProcessingFailed", 1)).as("failure"))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType, VariantType}
+
+/** Metadata derivation + bucketing (G1/T19/F8).
+  *
+  * Sumo metadata is a 4-part composite `name:category:host:fields`, defaulted
+  * from config/envelope and overridable per record by a `_sumo_metadata`
+  * object embedded in the message (reference
+  * `sumo-dlq-function-utils/lib/sumologsclient.js:16-42,111-131`).
+  */
+object Metadata {
+
+  /** Config-level defaults (reference `generateHeaders`, `sumologsclient.js:17-20`):
+    * name falls back to the envelope logStream, host to logGroup.
+    */
+  case class MetaConfig(
+      sourceNameOverride: String = "",
+      sourceCategoryOverride: String = "",
+      sourceHostOverride: String = "",
+      sourceFieldsOverride: String = "",
+      clientHeader: String = "cwl-aws-lambda")
+
+  /** T19 + G1 key derivation: adds `source_name/source_category/source_host/
+    * source_fields` and `meta_key` columns; when the message is a JSON object
+    * carrying `_sumo_metadata`, its `category`/`sourceName`/`sourceHost`/
+    * `sourceFieldsOverride` properties override the defaults and the field is
+    * removed from the serialized message (`message` is re-stringified, which
+    * matches the reference's JSON.stringify on parsed messages).
+    *
+    * Expects the [[CwlPipeline]] output shape: `message` string (+ optional
+    * `logStream`/`logGroup` columns for defaults).
+    */
+  def derive(df: DataFrame, cfg: MetaConfig = MetaConfig()): DataFrame = {
+    val hasStream = df.columns.contains("logStream")
+    val hasGroup = df.columns.contains("logGroup")
+    val defName =
+      if (cfg.sourceNameOverride.nonEmpty) lit(cfg.sourceNameOverride)
+      else if (hasStream) coalesce(col("logStream"), lit("")) else lit("")
+    val defHost =
+      if (cfg.sourceHostOverride.nonEmpty) lit(cfg.sourceHostOverride)
+      else if (hasGroup) coalesce(col("logGroup"), lit("")) else lit("")
+
+    // Parse the message as a JSON object into map<string,variant> — null for
+    // non-object messages. Variant keeps nested override values intact.
+    val asMap = from_json(col("message"), MapType(StringType, VariantType))
+    val meta = element_at(asMap, "_sumo_metadata")
+    def ov(prop: String): Column =
+      try_variant_get(meta, "$." + prop, "string")
+
+    df.withColumn("_msg_map", asMap)
+      .withColumn("source_name", coalesce(ov("sourceName"), defName))
+      .withColumn("source_category",
+        coalesce(ov("category"), lit(cfg.sourceCategoryOverride)))
+      .withColumn("source_host", coalesce(ov("sourceHost"), defHost))
+      .withColumn("source_fields",
+        coalesce(ov("sourceFieldsOverride"), lit(cfg.sourceFieldsOverride)))
+      .withColumn("message",
+        when(element_at(col("_msg_map"), "_sumo_metadata").isNotNull,
+          to_json(map_filter(col("_msg_map"), (k, _) => k =!= "_sumo_metadata")))
+          .otherwise(col("message")))
+      .drop("_msg_map")
+      .withColumn("meta_key",
+        concat_ws(":", col("source_name"), col("source_category"),
+          col("source_host"), col("source_fields")))
+  }
+
+  /** F8 + header materialization: the HTTP header map for one bucket, with
+    * empty/`none` values dropped (reference `sumologsclient.js:56-59`,
+    * `utils.js:36-44`).
+    */
+  def headersFor(name: String, category: String, host: String, fields: String,
+      client: String): Map[String, String] =
+    Map(
+      "X-Sumo-Name" -> name,
+      "X-Sumo-Category" -> category,
+      "X-Sumo-Host" -> host,
+      "X-Sumo-Fields" -> fields,
+      "X-Sumo-Client" -> client)
+      .filter { case (_, v) => v != null && v.nonEmpty && v.toLowerCase != "none" }
+
+  /** G1 bucketing as an aggregation (small-batch path): one row per meta key
+    * with NDJSON body, deterministic line order.
+    */
+  def buckets(df: DataFrame, payload: Column): DataFrame =
+    df.groupBy(col("meta_key"), col("source_name"), col("source_category"),
+        col("source_host"), col("source_fields"))
+      .agg(array_join(sort_array(collect_list(payload)), "\n").as("body"),
+        count(lit(1)).as("n_lines"))
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SecurityHub collector (S8/G2/K2) and forwarder (S10/T13–T16/K3) operators.
+  *
+  * Collector: EventBridge event → explode `detail.findings[]`, group by
+  * `ProductArn`, serialize each group as `"\n\n"`-joined NDJSON
+  * (reference `securityhub-collector/src/securityhub_collector.py:19-54`).
+  *
+  * Forwarder: API-gateway body with stringified `Rows` → validation →
+  * ASFF finding construction (reference `securityhub-forwarder/src/securityhub_forwarder.py`).
+  */
+object SecurityHub {
+
+  /** S8: explode findings from an EventBridge SecurityHub event. `detail` is
+    * dynamic; callers supply the finding schema (default keeps raw JSON).
+    */
+  def explodeFindings(df: DataFrame, findingsCol: Column): DataFrame =
+    df.withColumn("finding", explode(findingsCol))
+
+  /** G2+K2 serialization: one output row per ProductArn with findings joined
+    * by blank line, deterministic order (reference groups with defaultdict
+    * then joins `"\n\n"`, `securityhub_collector.py:39-48`).
+    */
+  def groupByProductArn(findings: DataFrame, productArn: Column, payload: Column): DataFrame =
+    findings
+      .groupBy(productArn.as("product_arn"))
+      .agg(array_join(sort_array(collect_list(payload)), "\n\n").as("body"))
+
+  /** T13: normalize an epoch that may be seconds or milliseconds, int or
+    * string (comma-grouped), into `%Y-%m-%dT%H:%M:%S.%fZ` UTC. The s-vs-ms
+    * decision is digit-count-based, faithfully (reference
+    * `securityhub_forwarder.py:39-53`): >=13 chars → millis.
+    */
+  def epochToUtc(c: Column): Column = {
+    val cleaned = regexp_replace(c.cast("string"), ",", "")
+    val asLong = cleaned.cast("long")
+    val seconds = when(length(cleaned) >= 13, (asLong / 1000).cast("double"))
+      .otherwise(asLong.cast("double"))
+    val ts = coalesce(timestamp_seconds(seconds), current_timestamp())
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+  }
+
+  /** T16: split a parsed forwarder request into (valid, error-message) —
+    * error set mirrors reference `check_required_params`
+    * (`securityhub_forwarder.py:92-116`): required top/row fields, severity
+    * range, compliance enum. Returns the input plus an `error` column
+    * (null = valid); callers route invalid rows to the reject side.
+    */
+  def validate(df: DataFrame): DataFrame = {
+    val required = Seq("GeneratorID", "Types", "Rows", "Severity")
+    val rowRequired = Seq("finding_time", "resource_type", "resource_id", "title")
+    val missingTop = required.filter(df.columns.contains) match {
+      case all if all.size == required.size =>
+        required.map(f => when(col(f).isNull, lit(f))).reduce((a, b) => coalesce(a, b))
+      case _ => lit("Rows") // structurally missing — treated as all-missing
+    }
+    val firstRow = element_at(col("Rows"), 1)
+    val missingRow = rowRequired
+      .map(f => when(firstRow.getField(f).isNull, lit(f)))
+      .reduce((a, b) => coalesce(a, b))
+    val sev = col("Severity").cast("int")
+    df.withColumn("error",
+      when(missingTop.isNotNull, concat(missingTop, lit(" Fields are missing")))
+        .when(missingRow.isNotNull, concat(missingRow, lit(" Fields are missing")))
+        .when(sev > 100 || sev < 0,
+          lit("Param Validation Error - Severity should be between 0 to 100"))
+        .when(col("ComplianceStatus").isNotNull &&
+          !col("ComplianceStatus").isin("PASSED", "WARNING", "FAILED", "NOT_AVAILABLE"),
+          lit("Param Validation Error - ComplianceStatus should be PASSED/WARNING/FAILED/NOT_AVAILABLE")))
+  }
+
+  /** T15: explode `Rows` and build one ASFF finding struct per row
+    * (reference `securityhub_forwarder.py:56-89`). `Id` embeds a UUID in the
+    * reference; pass `deterministicId = true` to derive it from the finding
+    * content instead (stable for replay/testing — the reference itself notes
+    * the UUID should become content-derived).
+    */
+  def generateFindings(valid: DataFrame, accountId: String, region: String,
+      deterministicId: Boolean = true): DataFrame = {
+    val productArn = s"arn:aws:securityhub:$region:956882708938:product/sumologic/sumologic-mda"
+    val rows = valid.withColumn("row", explode(col("Rows")))
+    val findingTime = epochToUtc(col("row.finding_time"))
+    val acct = coalesce(col("row.aws_account_id"), lit(accountId))
+    val idSuffix = if (deterministicId) sha2(to_json(col("row")), 256) else expr("uuid()")
+    rows.select(
+      lit("2018-10-08").as("SchemaVersion"),
+      lit("ACTIVE").as("RecordState"),
+      lit(productArn).as("ProductArn"),
+      coalesce(col("Description"), lit("")).as("Description"),
+      coalesce(col("SourceUrl"), lit("")).as("SourceUrl"),
+      col("GeneratorID").as("GeneratorId"),
+      acct.as("AwsAccountId"),
+      concat_ws("", lit(s"sumologic:$region:"), acct, lit(":"), col("GeneratorID"),
+        lit("/finding/"), idSuffix).as("Id"),
+      array(col("Types")).as("Types"),
+      findingTime.as("CreatedAt"),
+      findingTime.as("UpdatedAt"),
+      findingTime.as("FirstObservedAt"),
+      array(struct(
+        col("row.resource_type").as("Type"),
+        col("row.resource_id").as("Id"))).as("Resources"),
+      struct(col("Severity").cast("int").as("Normalized")).as("Severity"),
+      col("row.title").as("Title"),
+      when(col("ComplianceStatus").isNotNull,
+        struct(col("ComplianceStatus").as("Status"))).as("Compliance"))
+  }
+
+  /** S10 double-parse: API body JSON whose `Rows` field is itself a
+    * stringified JSON array (reference `securityhub_forwarder.py:106-110`).
+    */
+  def parseRequest(df: DataFrame, bodyCol: Column, rowSchema: StructType): DataFrame = {
+    val topSchema = StructType(Seq(
+      StructField("Types", StringType), StructField("Description", StringType),
+      StructField("GeneratorID", StringType), StructField("Severity", StringType),
+      StructField("SourceUrl", StringType), StructField("ComplianceStatus", StringType),
+      StructField("Rows", StringType)))
+    df.withColumn("_req", from_json(bodyCol, topSchema))
+      .select(col("*"), col("_req.*")).drop("_req")
+      .withColumn("Rows", from_json(col("Rows"), ArrayType(rowSchema)))
+  }
+}

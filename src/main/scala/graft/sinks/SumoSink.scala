@@ -1,0 +1,210 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CodecImpl
+import graft.operators.Metadata
+
+/** Per-chunk delivery outcome (G4 accounting, reference
+  * `sumologsclient.js:81-108`).
+  */
+case class PostOutcome(
+    meta_key: String,
+    n_lines: Long,
+    n_bytes: Long,
+    success: Boolean,
+    error: String,
+    dlq_path: String)
+
+/** Sumo HTTP sink shape (K1) with failure capture (K4), re-expressed for a
+  * distributed engine:
+  *
+  *  - records are serialized to NDJSON and grouped by `meta_key`,
+  *  - each bucket is chunked at `maxBytes` (the Firehose 4 MB buffer analogue,
+  *    reference `KinesisFirehoseCWLogs.template.yaml:280-282`) so a hot key
+  *    never materializes unbounded state,
+  *  - each chunk is posted with bounded linear-backoff retries (R2, reference
+  *    `k2sl_lambda.js:15-16,36-57`: 3 retries, seed interval),
+  *  - a chunk that still fails is written to the DLQ directory for replay
+  *    (K4/S5) and reported in the outcome DataFrame — one bad bucket never
+  *    fails the job (reference posts buckets independently, R6).
+  *
+  * The transport is pluggable ([[BucketPoster]]); tests and the local engine
+  * use [[LocalDirPoster]]. Scale note: the only shuffle is the repartition on
+  * `meta_key`; everything after is streaming per-partition iteration, so this
+  * holds at arbitrary volume as long as chunking bounds memory.
+  */
+object SumoSink {
+
+  /** Transport boundary. Implementations must be thread-safe; `post` throws on
+    * failure.
+    */
+  trait BucketPoster extends Serializable {
+    def post(headers: Map[String, String], body: Array[Byte]): Unit
+  }
+
+  /** Local-filesystem "endpoint": one file per posted chunk, gzip'd when the
+    * config says so (stand-in for the HTTPS POST; also useful as an NDJSON
+    * file sink in its own right, K2-style).
+    */
+  class LocalDirPoster(dir: String, failSubstring: Option[String] = None)
+      extends BucketPoster {
+    override def post(headers: Map[String, String], body: Array[Byte]): Unit = {
+      val key = headers.getOrElse("X-Sumo-Name", "") + ":" +
+        headers.getOrElse("X-Sumo-Category", "")
+      failSubstring.foreach { s =>
+        if (key.contains(s)) throw new RuntimeException(s"injected failure for $key")
+      }
+      Files.createDirectories(Paths.get(dir))
+      val f = Paths.get(dir, java.util.UUID.randomUUID().toString + ".ndjson.gz")
+      val stored =
+        if (headers.get("Content-Encoding").contains("gzip")) body
+        else CodecImpl.gzip(body)
+      Files.write(f, stored, StandardOpenOption.CREATE_NEW)
+    }
+  }
+
+  /** K1: deliver a metadata-derived DataFrame (shape per [[Metadata.derive]])
+    * as NDJSON buckets. Returns the per-chunk outcome Dataset — inspect/aggregate
+    * it for G4 counts; failed chunks are already persisted under `dlqDir`.
+    */
+  def post(
+      df: DataFrame,
+      poster: BucketPoster,
+      clientHeader: String = "cwl-aws-lambda",
+      maxBytes: Long = 4L * 1024 * 1024,
+      retries: Int = 3,
+      retrySeedMs: Long = 50,
+      dlqDir: Option[String] = None,
+      compress: Boolean = true): Dataset[PostOutcome] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val payloadCols = df.columns.filterNot(c =>
+      c == "meta_key" || c.startsWith("source_") || c.startsWith("_"))
+    val lines = df.select(
+      col("meta_key"),
+      col("source_name"), col("source_category"), col("source_host"),
+      col("source_fields"),
+      to_json(struct(payloadCols.map(col): _*)).as("_line"))
+
+    lines
+      .repartition(col("meta_key"))
+      .sortWithinPartitions("meta_key")
+      .mapPartitions { it =>
+        new ChunkedPostIterator(it, poster, clientHeader, maxBytes, retries,
+          retrySeedMs, dlqDir, compress)
+      }
+  }
+
+  /** Consecutive-key chunker: assumes input sorted by meta_key within the
+    * partition; flushes on key change or when the chunk exceeds maxBytes.
+    */
+  private class ChunkedPostIterator(
+      it: Iterator[org.apache.spark.sql.Row],
+      poster: BucketPoster,
+      clientHeader: String,
+      maxBytes: Long,
+      retries: Int,
+      retrySeedMs: Long,
+      dlqDir: Option[String],
+      compress: Boolean) extends Iterator[PostOutcome] {
+
+    private val rows = it.buffered
+    override def hasNext: Boolean = rows.hasNext
+
+    override def next(): PostOutcome = {
+      val first = rows.head
+      val key = first.getString(0)
+      val headers = Metadata.headersFor(first.getString(1), first.getString(2),
+        first.getString(3), first.getString(4), clientHeader) ++
+        (if (compress) Map("Content-Encoding" -> "gzip") else Map.empty)
+      val sb = new java.lang.StringBuilder
+      var n = 0L
+      while (rows.hasNext && rows.head.getString(0) == key &&
+          sb.length < maxBytes) {
+        if (n > 0) sb.append('\n')
+        sb.append(rows.next().getString(5))
+        n += 1
+      }
+      val body = sb.toString.getBytes(UTF_8)
+      val wire = if (compress) CodecImpl.gzip(body) else body
+      deliver(key, headers, wire, n, body.length)
+    }
+
+    private def deliver(key: String, headers: Map[String, String],
+        wire: Array[Byte], n: Long, rawBytes: Long): PostOutcome = {
+      var attempt = 0
+      var err: Throwable = null
+      while (attempt <= retries) {
+        try {
+          poster.post(headers, wire)
+          return PostOutcome(key, n, rawBytes, success = true, error = null,
+            dlq_path = null)
+        } catch {
+          case NonFatal(e) =>
+            err = e
+            attempt += 1
+            // linear backoff count*seed, reference `k2sl_lambda.js:51-57`
+            if (attempt <= retries) Thread.sleep(retrySeedMs * attempt)
+        }
+      }
+      val dlqPath = dlqDir.map { d =>
+        Files.createDirectories(Paths.get(d))
+        val enc = java.net.URLEncoder.encode(key, "UTF-8")
+        val f = Paths.get(d,
+          enc + "__" + java.util.UUID.randomUUID().toString + ".ndjson.gz")
+        val stored = if (compress) wire
+          else CodecImpl.gzip(wire)
+        Files.write(f, stored, StandardOpenOption.CREATE_NEW)
+        f.toString
+      }.orNull
+      PostOutcome(key, n, rawBytes, success = false,
+        error = String.valueOf(err.getMessage), dlq_path = dlqPath)
+    }
+  }
+
+  /** G4: aggregate outcomes to the reference's tallies. */
+  def counts(outcomes: Dataset[PostOutcome]): DataFrame =
+    outcomes.agg(
+      count(when(col("success"), 1)).as("requestSuccessCnt"),
+      count(when(!col("success"), 1)).as("requestFailCnt"),
+      sum(when(col("success"), col("n_lines")).otherwise(0L)).as("messagesSent"))
+
+  /** S5/R3 DLQ replay (batch drain): re-read captured chunks and re-post.
+    * The bucket key is recovered from the file name; delivered files are NOT
+    * deleted here — at-least-once like the reference (SQS delete-on-success),
+    * callers remove `dlq_path`s reported successful.
+    */
+  def replayDlq(spark: org.apache.spark.sql.SparkSession, dlqDir: String,
+      poster: BucketPoster, clientHeader: String = "cwl-aws-lambda"): Dataset[PostOutcome] = {
+    import spark.implicits._
+    val files = Option(new java.io.File(dlqDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".ndjson.gz")).map(_.getPath).toSeq
+    spark.createDataset(files).mapPartitions { paths =>
+      paths.map { p =>
+        val name = Paths.get(p).getFileName.toString
+        val key = java.net.URLDecoder.decode(name.split("__")(0), "UTF-8")
+        val parts = key.split(":", -1).padTo(4, "")
+        val headers = Metadata.headersFor(parts(0), parts(1), parts(2), parts(3),
+          clientHeader) + ("Content-Encoding" -> "gzip")
+        val wire = Files.readAllBytes(Paths.get(p))
+        try {
+          poster.post(headers, wire)
+          val n = new String(CodecImpl.gunzip(wire), UTF_8).count(_ == '\n') + 1
+          PostOutcome(key, n, wire.length, success = true, error = null, dlq_path = p)
+        } catch {
+          case NonFatal(e) =>
+            PostOutcome(key, 0, wire.length, success = false,
+              error = String.valueOf(e.getMessage), dlq_path = p)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.util.Base64
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Firehose, Metadata, SecurityHub}
+
+class SecondaryPipelinesSpec extends SparkSpec {
+
+  private def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+  private def unb64(s: String) = new String(Base64.getDecoder.decode(s), UTF_8)
+
+  // ---- Firehose (S9/T17/T18, FIXTURES.md §7) ----
+
+  private def firehoseBatch = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("rid-1", b64("""{"a":"1","b":"x"}""")),
+      ("rid-2", b64("""{"c":"2"}""")),
+      ("rid-3", "%%%not-base64%%%")).toDF("recordId", "data")
+  }
+
+  test("T18 addDelimiter: appends newline inside base64; bad base64 fails through") {
+    val rows = Firehose.addDelimiter(firehoseBatch).collect()
+    val byId = rows.map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId("rid-1")._1 == "Ok")
+    assert(unb64(byId("rid-1")._2) == "{\"a\":\"1\",\"b\":\"x\"}\n")
+    assert(byId("rid-3")._1 == "ProcessingFailed")
+    assert(byId("rid-3")._2 == "%%%not-base64%%%") // original payload preserved
+  }
+
+  test("T17 convertToLine: k=v single line preserving key order") {
+    val rows = Firehose.convertToLine(firehoseBatch).collect()
+    val byId = rows.map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(unb64(byId("rid-1")._2) == "a=1 b=x\n")
+    assert(byId("rid-3")._1 == "ProcessingFailed")
+  }
+
+  test("G4 counts") {
+    val c = Firehose.counts(Firehose.addDelimiter(firehoseBatch)).collect().head
+    assert((c.getLong(0), c.getLong(1)) == ((2L, 1L)))
+  }
+
+  // ---- SecurityHub forwarder (S10/T13-T16, FIXTURES.md §4) ----
+
+  private val rowSchema = StructType(Seq(
+    StructField("Timeslice", LongType), StructField("finding_time", StringType),
+    StructField("title", StringType), StructField("resource_id", StringType),
+    StructField("resource_type", StringType), StructField("aws_account_id", StringType)))
+
+  private def request(severity: Int, types: String = "SoftwareChecks",
+      findingTime: String = "1545042427000", compliance: String = "FAILED") =
+    s"""{"Types":"$types","Description":"d","GeneratorID":"gen1","Severity":$severity,
+        "SourceUrl":"https://x","ComplianceStatus":"$compliance",
+        "Rows":"[{\\"Timeslice\\":1545042427000,\\"finding_time\\":\\"$findingTime\\",\\"title\\":\\"t\\",\\"resource_id\\":\\"10.178.11.43\\",\\"resource_type\\":\\"Other\\"}]"}"""
+       .replaceAll("\n\\s*", "")
+
+  test("S10 double-parse + T16 validation + T15 finding construction") {
+    val in = df(Seq(request(30), request(200)), "body")
+    val parsed = SecurityHub.parseRequest(in, col("body"), rowSchema)
+    val validated = SecurityHub.validate(parsed)
+    val good = validated.filter(col("error").isNull)
+    val bad = validated.filter(col("error").isNotNull)
+    assert(good.count() == 1 && bad.count() == 1)
+    assert(bad.select("error").collect().head.getString(0)
+      .contains("Severity should be between 0 to 100"))
+
+    val findings = SecurityHub.generateFindings(good, "999", "us-east-1")
+    val f = findings.collect().head
+    assert(f.getAs[String]("GeneratorId") == "gen1")
+    // T13: 13-digit string → millis → 2018-12-17T10:27:07
+    assert(f.getAs[String]("CreatedAt") == "2018-12-17T10:27:07.000000Z")
+    assert(f.getAs[String]("Id").startsWith("sumologic:us-east-1:999:gen1/finding/"))
+    val sev = f.getStruct(f.fieldIndex("Severity"))
+    assert(sev.getInt(0) == 30)
+  }
+
+  test("T13 digit-count: seconds vs millis vs comma-grouped") {
+    val in = df(Seq(request(10, findingTime = "1545042427"),
+      request(10, findingTime = "1,545,042,427,000")), "body")
+    val parsed = SecurityHub.parseRequest(in, col("body"), rowSchema)
+    val times = SecurityHub.generateFindings(SecurityHub.validate(parsed)
+      .filter(col("error").isNull), "1", "us-east-1")
+      .select("CreatedAt").collect().map(_.getString(0)).toSet
+    assert(times == Set("2018-12-17T10:27:07.000000Z")) // both normalize identically
+  }
+
+  // ---- Metadata (G1/T19/F8) ----
+
+  test("T19 _sumo_metadata override + removal, G1 key, F8 header drop") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      ("""{"_sumo_metadata":{"category":"ov-cat","sourceHost":"ov-host"},"v":1}""", "ls", "lg"),
+      ("""plain text line""", "ls", "lg"))
+      .toDF("message", "logStream", "logGroup")
+    val out = Metadata.derive(in,
+      Metadata.MetaConfig(sourceCategoryOverride = "def-cat", sourceFieldsOverride = "none"))
+    val rows = out.select("message", "source_category", "source_host", "meta_key")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    val json = rows.find(_._2 == "ov-cat").get
+    assert(json._1 == """{"v":1}""") // _sumo_metadata stripped, object re-serialized
+    assert(json._3 == "ov-host")
+    assert(json._4 == "ls:ov-cat:ov-host:none")
+    val plain = rows.find(_._2 == "def-cat").get
+    assert(plain._1 == "plain text line")
+    assert(plain._3 == "lg")
+
+    val headers = Metadata.headersFor("n", "c", "h", "none", "client")
+    assert(!headers.contains("X-Sumo-Fields")) // F8: literal 'none' dropped
+    assert(headers("X-Sumo-Name") == "n")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CodecImpl
+import graft.operators.Metadata
+import graft.sinks.SumoSink
+
+class SumoSinkSpec extends SparkSpec {
+
+  private def mkTmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  private def inputDf = {
+    val s = spark
+    import s.implicits._
+    (0 until 100).map { i =>
+      val cat = if (i % 2 == 0) "even" else "odd"
+      (s"""{"_sumo_metadata":{"category":"$cat"},"i":$i}""", "ls", "grp")
+    }.toDF("message", "logStream", "logGroup")
+  }
+
+  private def readBack(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".ndjson.gz"))
+      .flatMap(f => new String(
+        CodecImpl.gunzip(Files.readAllBytes(f.toPath)), UTF_8).split("\n"))
+
+  test("K1: buckets by meta key, NDJSON bodies, all lines delivered once") {
+    val out = mkTmp()
+    val derived = Metadata.derive(inputDf)
+    val outcomes = SumoSink.post(derived, new SumoSink.LocalDirPoster(out))
+    val res = outcomes.collect()
+    assert(res.forall(_.success))
+    assert(res.map(_.meta_key).toSet.size == 2) // even/odd categories
+    assert(res.map(_.n_lines).sum == 100)
+
+    val lines = readBack(out)
+    assert(lines.size == 100)
+    // payload excludes meta/source columns but keeps the cleaned message
+    assert(lines.forall(l => l.contains("\"message\"") && !l.contains("_sumo_metadata")))
+  }
+
+  test("chunking: maxBytes splits one hot bucket into multiple posts") {
+    val out = mkTmp()
+    val derived = Metadata.derive(inputDf.withColumn("message", lit("x" * 200)))
+    val outcomes = SumoSink.post(derived, new SumoSink.LocalDirPoster(out),
+      maxBytes = 1024)
+    val res = outcomes.collect()
+    assert(res.forall(_.success))
+    assert(res.length > 2) // many chunks despite one meta key
+    assert(res.map(_.n_lines).sum == 100)
+  }
+
+  test("K4: failed bucket → DLQ file; S5 replay delivers it; good buckets unaffected") {
+    val out = mkTmp()
+    val dlq = mkTmp()
+    val derived = Metadata.derive(inputDf)
+    val flaky = new SumoSink.LocalDirPoster(out, failSubstring = Some("odd"))
+    val outcomes = SumoSink.post(derived, flaky, retries = 1, retrySeedMs = 1,
+      dlqDir = Some(dlq)).collect()
+
+    val (ok, failed) = outcomes.partition(_.success)
+    assert(ok.map(_.n_lines).sum == 50 && failed.map(_.n_lines).sum == 50)
+    assert(failed.forall(_.dlq_path != null))
+    assert(readBack(out).size == 50)
+
+    // replay with a healthy poster drains the DLQ
+    val replayed = SumoSink.replayDlq(spark, dlq, new SumoSink.LocalDirPoster(out))
+      .collect()
+    assert(replayed.forall(_.success))
+    assert(readBack(out).size == 100)
+  }
+
+  test("retry: transient poster failure recovers within retry budget") {
+    val out = mkTmp()
+    val derived = Metadata.derive(inputDf)
+    val outcomes = SumoSink.post(derived, new FlakyOncePoster(out),
+      retries = 3, retrySeedMs = 1).collect()
+    assert(outcomes.forall(_.success))
+  }
+}
+
+/** Fails the first attempt per JVM+key, succeeds after — exercises R2 retry. */
+class FlakyOncePoster(dir: String) extends SumoSink.BucketPoster {
+  override def post(headers: Map[String, String], body: Array[Byte]): Unit = {
+    val key = headers.getOrElse("X-Sumo-Category", "")
+    if (FlakyOncePoster.seen.add(key)) throw new RuntimeException("transient")
+    new SumoSink.LocalDirPoster(dir).post(headers, body)
+  }
+}
+object FlakyOncePoster {
+  val seen: java.util.concurrent.ConcurrentHashMap.KeySetView[String, java.lang.Boolean] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
