@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc profiling entry — not part of the library surface. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name: ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
+    }
+    import graft.functions.TextFunctions._
+    val d = SparkEntry.tbl(spark, dir, "documents")
+    time("warmup")(d.count())
+    val withSh = d.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
+    time("explode bare")(withSh.select(explode(col("sh"))).count())
+    time("explode + doc_id")(withSh.select(col("doc_id"), explode(col("sh"))).count())
+    time("explode + size")(withSh.select(size(col("sh")).as("sz"), explode(col("sh"))).count())
+    val mat = withSh.localCheckpoint()
+    time("explode after materialize")(mat.select(size(col("sh")).as("sz"), explode(col("sh"))).count())
+    time("shingles only")(d.select(shingles(col("text")).as("s")).select(explode(col("s"))).count())
+    val toks = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+    time("explode tokens")(toks.select(explode(col("toks"))).count())
+    val sh2 = toks.select(col("doc_id"),
+      when(size(col("toks")) >= 3,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+    time("explode shingles from materialized-ish toks")(sh2.select(explode(col("sh"))).count())
+    spark.stop()
+  }
+}

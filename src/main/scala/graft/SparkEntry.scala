@@ -245,6 +245,97 @@ object SparkEntry {
       graft.operators.SecurityHub.groupByProductArn(ev, col("product_arn"), col("payload"))
         .orderBy("product_arn")
     }),
+    // ---- text analysis: token counts, fingerprints ----
+    "q20_text_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe"),
+        size(shingles(col("text"), 3)).as("n_shingles"),
+        fingerprint(col("text")).as("fp"),
+        rollingFingerprint(col("text"), 3).as("rolling_fp"))
+        .orderBy("doc_id")
+    }),
+    // ---- language ID + quality scoring ----
+    "q21_langid_quality" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        langId(col("text")).as("lang_guess"),
+        qualityScore(col("text")).as("quality"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+    // ---- exact dedup over constructed case/whitespace variants ----
+    "q22_dedup_exact" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.select((col("doc_id") + 100000).as("doc_id"),
+        upper(concat(col("text"), lit("  "))).as("text"))
+      graft.operators.Dedup.exact(d.union(mutated), col("doc_id"), col("text"))
+        .orderBy("fingerprint")
+    }),
+    // ---- n-gram Jaccard near-dup pairs (blocked exact variant) ----
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      graft.operators.Dedup.ngramJaccardPairs(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        Seq(col("source"), col("lang")), threshold = 0.2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+    // ---- MinHash+LSH near-dup pairs, exact-verified ----
+    "q24_minhash_lsh" -> ((s, dir) => {
+      graft.operators.Dedup.minhashPairs(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        threshold = 0.5, k = 32, bands = 8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")
+    }),
+    // ---- SimHash sketches ----
+    "q25_simhash" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    // ---- brute-force cosine top-k similarity search ----
+    "q26_embedding_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      graft.operators.Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"), query, 20)
+    }),
+    // ---- embedding-cosine near-dup pairs (label-blocked) ----
+    "q27_embedding_neardup" -> ((s, dir) => {
+      graft.operators.Dedup.embeddingNearDup(
+        tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        col("label"), threshold = 0.3)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- ANN via hyperplane LSH buckets (scale path; no SQL oracle —
+    //      recall vs brute force is asserted in TrainingDataOpsSpec) ----
+    "q28_ann_lsh_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      graft.operators.Similarity.lshTopK(
+        emb, col("vec_id"), col("embedding"), query, 10, planes = 4)
+    }),
+    // ---- multimodal plumbing: synthesize → decode → features (stubbed
+    //      codec; deterministic, no SQL oracle) ----
+    "q29_multimodal_features" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthesize(
+        tbl(s, dir, "embeddings").select("vec_id"), col("vec_id"))
+      Multimodal.extractFeatures(Multimodal.decode(media, col("content")),
+        col("content"))
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.channels").as("channels"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy("media_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
@@ -362,5 +453,144 @@ object SparkEntry {
                  to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload
                FROM events)
          GROUP BY 1 ORDER BY product_arn""",
+    "q20_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id, text, toks,
+              CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(range(1, len(toks)-1),
+                       i -> array_to_string(toks[i:i+2], ' ')))
+                ELSE []::VARCHAR[] END AS shingles FROM t)
+         SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
+           len(shingles) AS n_shingles,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           list_min(list_transform(shingles,
+             s -> ('0x'||substring(md5(s),1,15))::BIGINT)) AS rolling_fp
+         FROM sh ORDER BY doc_id""",
+    "q21_langid_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         h AS (SELECT doc_id, text, toks,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','a'], x))) AS h_en,
+           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS h_es,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','von','ein','zu'], x))) AS h_de,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une'], x))) AS h_fr,
+           len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有','我','不'], x))) AS h_zh
+           FROM t),
+         q AS (SELECT *, greatest(h_en,h_es,h_de,h_fr,h_zh) AS best,
+           (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / length(text) AS punct,
+           h_en::DOUBLE / len(toks) AS stop_ratio FROM h)
+         SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es'
+                WHEN h_de = best THEN 'de' WHEN h_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+           round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
+                 (1.0 - punct) * 0.4 +
+                 least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality,
+           round(punct, 6) AS punct_ratio
+         FROM q ORDER BY doc_id""",
+    "q22_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS canonical_id, count(*) AS n_docs
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000, upper(text || '  ') FROM documents)
+         GROUP BY 1 ORDER BY fingerprint""",
+    "q23_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, source, lang,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks)-1),
+                      i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE []::VARCHAR[] END AS sh
+           FROM (SELECT doc_id, source, lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+         s2 AS (SELECT doc_id, source, lang,
+                  list_transform(sh, s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS shh
+                FROM sh WHERE len(sh) > 0)
+         SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shh, b.shh))::DOUBLE /
+               (len(a.shh) + len(b.shh) - len(list_intersect(a.shh, b.shh))) AS j
+           FROM s2 a JOIN s2 b
+             ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id)
+         WHERE j >= 0.2 ORDER BY doc_a, doc_b""",
+    "q24_minhash_lsh" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks)-1),
+                      i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE []::VARCHAR[] END AS sh
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+         s2 AS (SELECT doc_id,
+                  list_transform(sh, s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS shh
+                FROM sh WHERE len(sh) > 0),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 32), i ->
+             list_min(list_transform(shh, h ->
+               xor(
+                 ((h & ((1::BIGINT << (60 - ((7*i)%60))) - 1)) << ((7*i)%60))
+                   | (h >> (60 - ((7*i)%60))),
+                 ('0x'||substring(md5(i::VARCHAR),1,15))::BIGINT)))) AS sig
+           FROM s2),
+         banded AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0, 8),
+               b -> md5(array_to_string(sig[b*4+1:b*4+4], ',')))) AS band,
+             unnest(range(0, 8)) AS band_idx
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(x.shh, y.shh))::DOUBLE /
+               (len(x.shh) + len(y.shh) - len(list_intersect(x.shh, y.shh))) AS j
+           FROM cand JOIN s2 x ON cand.doc_a = x.doc_id
+                     JOIN s2 y ON cand.doc_b = y.doc_id)
+         WHERE j >= 0.5 ORDER BY doc_a, doc_b""",
+    "q25_simhash" ->
+      """SELECT doc_id,
+           list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN 2*len(list_filter(th, v -> (v >> j) & 1 = 1)) > len(th)
+                  THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+         FROM (SELECT doc_id,
+                 list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> ('0x'||substring(md5(t),1,8))::BIGINT) AS th
+               FROM documents)
+         ORDER BY doc_id""",
+    "q26_embedding_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, cosine FROM (
+           SELECT e.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(e.embedding)+1),
+                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+               / sqrt(
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y)
+                 * list_reduce(list_transform(range(1, len(q.qv)+1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+           FROM embeddings e, q)
+         ORDER BY cosine DESC, vec_id LIMIT 20""",
+    "q27_embedding_neardup" ->
+      """SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, len(a.embedding)+1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+             / sqrt(
+               list_reduce(list_transform(range(1, len(a.embedding)+1),
+                 i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y)
+               * list_reduce(list_transform(range(1, len(b.embedding)+1),
+                 i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)) AS c
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE c >= 0.3 ORDER BY id_a, id_b""",
   )
 }

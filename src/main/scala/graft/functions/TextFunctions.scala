@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline surface: token
+  * counting, fingerprinting, quality scoring, language ID, shingling, and the
+  * MinHash/SimHash building blocks.
+  *
+  * Everything here is built from codegen'd builtins (no UDFs), and the hash
+  * primitive is `md5`-derived so the DuckDB oracle can replicate every
+  * computation bit-for-bit — approximate dedup included.
+  */
+object TextFunctions {
+
+  /** Canonical text form: lowercase, trimmed, whitespace collapsed. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: word pieces plus standalone punctuation. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Document fingerprint (exact-dedup key): md5 of the canonical form. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Cross-engine 60-bit hash: first 15 hex digits of md5 as a bigint.
+    * Deterministic and identically computable in DuckDB
+    * (`('0x'||substring(md5(x),1,15))::BIGINT` equivalent via conv).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit variant for SimHash bit budgets. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    // sequence(1, 0) would DESCEND in Spark — guard short texts explicitly
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two pre-distinct arrays. The intersection is
+    * bound once via a higher-order let (`aggregate` over a 1-element array)
+    * so it is computed a single time per pair.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    aggregate(array(size(array_intersect(a, b)).cast("double")), lit(0.0),
+      (_, inter) => inter / (size(a) + size(b) - inter))
+
+  /** Per-seed 60-bit permutation used by MinHash: rotate-left by `(7i)%60`
+    * then xor a seed constant. Bijective on the 60-bit space, overflow-free
+    * (the low part is masked before shifting), built only from bit ops both
+    * engines compute identically — so one md5 per shingle replaces k of them.
+    */
+  private[graft] def seed60(i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private[graft] def mix60(h: Column, i: Int): Column = {
+    val r = (7 * i) % 60
+    val low = call_function("shiftleft",
+      h.bitwiseAND(lit((1L << (60 - r)) - 1)), lit(r))
+    val high = call_function("shiftright", h, lit(60 - r))
+    low.bitwiseOR(high).bitwiseXOR(lit(seed60(i)))
+  }
+
+  /** Shingle hash set: one [[hash60]] per distinct shingle — the input to
+    * MinHash signatures and to hashed-Jaccard verification.
+    */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    transform(shingles(c, n), s => hash60(s))
+
+  /** MinHash signature over a pre-hashed shingle array: k minima of the
+    * seeded [[mix60]] permutations. Statically unrolled per seed — a narrow,
+    * fully codegen'd projection (no shuffle, no per-seed md5).
+    */
+  def minhashSignature(shHashCol: Column, k: Int = 32): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shHashCol, h => mix60(h, i)))): _*)
+
+  /** LSH band digests: signature split into `bands` rows of `k/bands`, each
+    * band hashed; documents sharing any band digest become candidates.
+    */
+  def lshBands(sigCol: Column, k: Int = 32, bands: Int = 8): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(sigCol, b * r + lit(1), lit(r)), v => v.cast("string")))))
+  }
+
+  /** 32-bit SimHash over whitespace tokens: bit j set iff the majority of
+    * token hashes have bit j set.
+    */
+  def simhash32(c: Column): Column = {
+    val th = transform(tokens(c), t => hash32(t))
+    val n = size(th)
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, j) => acc + when(
+        size(filter(th, v => call_function("shiftright", v, j).bitwiseAND(1) === 1)) * 2 > n,
+        call_function("shiftleft", lit(1L), j)).otherwise(0L))
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Ratio of tokens found in the language's tiny stopword set. */
+  private[graft] val stopwordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Language ID: stopword-hit scoring over the fixed per-language sets,
+    * first-listed language wins ties, `und` when nothing hits.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scored = stopwordSets.map { case (lang, words) =>
+      (lang, hitCount(toks, words))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Stopword ratio against the English set (quality-scoring component). */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    hitCount(toks, stopwordSets.head._2).cast("double") / size(toks)
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[^\\w\\s]", ""))).cast("double") /
+      length(c)
+
+  /** Composite quality score in [0,1]: length saturation, low punctuation,
+    * natural-language stopword presence.
+    */
+  def qualityScore(c: Column): Column =
+    round(
+      least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - punctRatio(c)) * 0.4 +
+        least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.3,
+      6)
+
+  /** Rolling-hash document fingerprint over shingles (content-defined): the
+    * minimum [[hash60]] shingle hash — robust to reordering of a few tokens.
+    */
+  def rollingFingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(shingles(c, n), s => hash60(s)))
+}

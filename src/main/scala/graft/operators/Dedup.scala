@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication family for the training-data pipeline: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale shape (100 TB): every variant is
+  * narrow-projection → shuffle-on-small-key → pair join, never an unblocked
+  * cross join. Candidate generation (LSH bands / SimHash bands / block keys)
+  * bounds the pair space; exact verification runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-text fingerprint; emits one row per
+    * distinct content with the canonical (minimum) id and the duplicate count.
+    */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(fingerprint(textCol).as("fingerprint"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** n-gram Jaccard near-dup pairs within explicit blocks (cheap exact
+    * variant): pairs inside the same `blockCols` with shingle-set Jaccard ≥
+    * threshold. Blocking bounds the quadratic term; for global coverage use
+    * [[minhashPairs]].
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+      blockCols: Seq[Column], threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0, "inverted-index jaccard only emits pairs sharing a shingle")
+    val withSh = df.select(
+      idCol.as("doc_id"),
+      struct(blockCols: _*).as("block"),
+      shingleHashes(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // Inverted-index intersection: explode hashes, equi-join on (block, hash),
+    // count shared shingles per pair. Everything is a hash join / hash agg on
+    // narrow longs — no per-pair array work, nothing for Catalyst to evaluate
+    // interpreted inside a join condition.
+    // The repartition is a materialization barrier: without it CollapseProject
+    // inlines the (higher-order, non-codegen) shingle computation into the
+    // Generate, re-evaluating it per exploded row — ~100× slower.
+    val ex = withSh.repartition(col("doc_id"))
+      .select(col("doc_id"), col("block"),
+        size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.block") === col("b.block") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash+LSH near-dup pairs: shingle → k-hash signature → band digests →
+    * bucket self-join for candidates → exact Jaccard verification.
+    *
+    * The only shuffle is on band digest (plus the verify join on doc id);
+    * with b bands of r rows, collision probability is the standard
+    * 1-(1-j^r)^b curve.
+    */
+  def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+      threshold: Double, k: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
+    // Materialization barriers (see ngramJaccardPairs): `sh` must be a
+    // physical column before the k signature transforms reference it, and the
+    // band array must be physical before the explode — otherwise Catalyst
+    // inlines and re-evaluates the producing expression per consumer/row.
+    val sh = df.select(idCol.as("doc_id"), shingleHashes(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(col("doc_id"))
+    val banded = sh
+      .select(col("doc_id"),
+        lshBands(minhashSignature(col("sh"), k), k, bands).as("bands"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band")))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verification via inverted-index intersection, restricted to docs
+    // that appear in some candidate pair (semi-join keeps the verify cost
+    // proportional to candidates, not corpus).
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val ex = sh.join(candDocs, "doc_id") // join exchange doubles as the barrier
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
+    ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(candidates, Seq("doc_a", "doc_b")) // only banded pairs qualify
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over 32-bit
+    * sketches. Candidates via the pigeonhole band trick: split the sketch
+    * into `maxHamming+1` bands — any pair within distance d shares at least
+    * one exact band. Default 4 bands of 8 bits ⇒ exact for d ≤ 3.
+    */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bitsPer = 32 / nBands
+    val sh = df.select(idCol.as("doc_id"), simhash32(textCol).as("sim"))
+    val banded = sh.withColumn("band_idx",
+      explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_val",
+        call_function("shiftright", col("sim"), col("band_idx").cast("int") * bitsPer)
+          .bitwiseAND((1L << bitsPer) - 1))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.sim"), col("b.sim")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs within blocks (e.g. a cluster/label
+    * column): cosine ≥ threshold. For global coverage compose with
+    * [[Similarity.hyperplaneBucket]] as the blocking key.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: Column, vecCol: Column,
+      blockCol: Column, threshold: Double): DataFrame = {
+    // Norms are computed once per vector BEFORE the pair join — at n² pairs
+    // only the dot product remains per-pair work.
+    val v = df.select(idCol.as("vec_id"), blockCol.as("block"),
+      vecCol.as("vec"), Similarity.sqNorm(vecCol).as("nrm"))
+    v.alias("a").join(v.alias("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (Similarity.dot(col("a.vec"), col("b.vec")) /
+          sqrt(col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

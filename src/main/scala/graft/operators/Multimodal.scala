@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` content plus
+  * typed metadata, with decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * The Spark-side plumbing (schema, batched per-partition processing,
+  * deterministic outputs, partition sizing) is real and tested; the actual
+  * media decoding is STUBBED with a deterministic fake (image/audio libraries
+  * are not available in this environment) — swap [[FakeCodec]] for a real
+  * decoder (e.g. a JNI/FFI binding) without touching the pipeline shape.
+  *
+  * At 100 TB the content column dominates I/O: keep media in its own parquet
+  * column (column pruning skips it for metadata-only queries), size
+  * partitions by bytes not rows, and never collect content to the driver.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** STUB decoder: derives deterministic pseudo-metadata and features from
+    * the raw bytes. A real build replaces these with actual codec calls; the
+    * signatures are the contract.
+    */
+  object FakeCodec extends Serializable {
+    /** ??? real impl: image header parse. Deterministic fake: dims from byte
+      * length, channels from first byte.
+      */
+    def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long) = {
+      val len = if (content == null) 0 else content.length
+      val w = 16 + (len % 1024)
+      val h = 16 + ((len / 7) % 1024)
+      val c = if (len == 0) 0 else 1 + (content(0) & 0x03)
+      (w, h, c, len.toLong * 3)
+    }
+
+    /** ??? real impl: pixel decode + pooled embedding. Deterministic fake:
+      * 16-bin byte histogram, L1-normalized.
+      */
+    def features(content: Array[Byte], bins: Int = 16): Array[Float] = {
+      val counts = new Array[Float](bins)
+      if (content == null || content.isEmpty) return counts
+      content.foreach(b => counts((b & 0xFF) * bins / 256) += 1f)
+      val n = content.length.toFloat
+      counts.map(_ / n)
+    }
+
+    /** ??? real impl: codec-aware frame seek. Deterministic fake: n evenly
+      * spaced byte-slices standing in for frames.
+      */
+    def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] = {
+      if (content == null || content.isEmpty || n <= 0) return Seq.empty
+      val stride = math.max(content.length / n, 1)
+      (0 until math.min(n, content.length)).map { i =>
+        val start = i * stride
+        content.slice(start, math.min(start + frameBytes, content.length))
+      }
+    }
+  }
+
+  private val decodeMetaUdf = udf { content: Array[Byte] =>
+    val (w, h, c, d) = FakeCodec.decodeMeta(content)
+    (w, h, c, d)
+  }
+  private val featuresUdf =
+    udf((content: Array[Byte], bins: Int) => FakeCodec.features(content, bins))
+  private val framesUdf = udf((content: Array[Byte], n: Int, fb: Int) =>
+    FakeCodec.sampleFrames(content, n, fb))
+
+  /** Decode stage: attaches the typed `meta` struct from raw content. */
+  def decode(df: DataFrame, contentCol: Column): DataFrame =
+    df.withColumn("_m", decodeMetaUdf(contentCol))
+      .withColumn("meta", struct(
+        col("_m._1").as("width"), col("_m._2").as("height"),
+        col("_m._3").as("channels"), col("_m._4").as("duration_ms")))
+      .drop("_m")
+
+  /** Feature-extract stage: fixed-width float vector per media row — feeds
+    * straight into [[Similarity]] / [[Dedup.embeddingNearDup]].
+    */
+  def extractFeatures(df: DataFrame, contentCol: Column, bins: Int = 16): DataFrame =
+    df.withColumn("features", featuresUdf(contentCol, lit(bins)))
+
+  /** Frame-sample stage: n pseudo-frames per video row, exploded to one row
+    * per frame with its index.
+    */
+  def sampleFrames(df: DataFrame, contentCol: Column, n: Int,
+      frameBytes: Int = 4096): DataFrame =
+    df.select(col("*"),
+      posexplode(framesUdf(contentCol, lit(n), lit(frameBytes)))
+        .as(Seq("frame_idx", "frame")))
+
+  /** Deterministic synthetic media corpus derived from a numeric id column —
+    * the environment has no real media; tests and benches build content as
+    * seeded bytes.
+    */
+  def synthesize(df: DataFrame, idCol: Column, mediaType: String = "image"): DataFrame = {
+    val bytesUdf = udf { id: Long =>
+      val rnd = new scala.util.Random(id)
+      val len = 256 + (id % 4096).toInt
+      val arr = new Array[Byte](len)
+      rnd.nextBytes(arr)
+      arr
+    }
+    df.select(idCol.cast("long").as("media_id"),
+      lit(mediaType).as("media_type"),
+      bytesUdf(idCol.cast("long")).as("content"))
+  }
+}

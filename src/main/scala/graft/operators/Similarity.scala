@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash60
+
+/** Similarity search over an embedding column (`array<float>`): brute-force
+  * cosine top-k as the exactness baseline, and a random-hyperplane LSH
+  * bucketed variant as the scale path (candidates shrink by the bucket
+  * factor; recall tunable via `planes`).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float arrays, computed in double precision with
+    * left-to-right accumulation: `dot / sqrt(na*nb)` — matches the DuckDB
+    * oracle formulation bit-for-bit.
+    */
+  private def acc(c: Column): Column = aggregate(c, lit(0.0), (s, x) => s + x)
+
+  /** Left-to-right double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    acc(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** Squared L2 norm in double precision. */
+  def sqNorm(a: Column): Column =
+    acc(transform(a, x => x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(sqNorm(a) * sqNorm(b))
+
+  /** Brute-force top-k: score every row against one query vector, keep k.
+    * At scale this is a single narrow pass + a k-row ordered take (Spark
+    * TakeOrdered), no shuffle of the corpus.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(idCol.as("vec_id"), round(cosine(vecCol, q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane p, dim d in
+    * [-1,1): derived from the cross-engine md5 hash so buckets are
+    * reproducible anywhere.
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    (hash60(concat(lit(p), lit(":"), d)).cast("double") / lit(1L << 59)) - 1.0
+
+  /** Random-hyperplane bucket id: one sign bit per plane over the embedding.
+    * Vectors in the same bucket are cosine-close with high probability.
+    */
+  def hyperplaneBucket(vecCol: Column, planes: Int = 8): Column = {
+    val dims = sequence(lit(0), size(vecCol) - 1)
+    (0 until planes).map { p =>
+      val dot = aggregate(dims, lit(0.0),
+        (s, d) => s + element_at(vecCol, d + 1).cast("double") * planeComponent(p, d))
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** LSH ANN top-k for one query vector: only rows sharing the query's
+    * hyperplane bucket are scored. Trades recall for a `2^planes` candidate
+    * reduction; callers widen via multi-probe (fewer planes) when recall
+    * matters more than cost.
+    */
+  def lshTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = array(query.map(v => lit(v)): _*)
+    val queryBucket = spark.range(1)
+      .select(hyperplaneBucket(q, planes).as("qb")).as[Long].head()
+    df.withColumn("bucket", hyperplaneBucket(vecCol, planes))
+      .filter(col("bucket") === queryBucket)
+      .select(idCol.as("vec_id"), round(cosine(vecCol, q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** All-pairs ANN via bucketing (IVF-flavored): cosine within each
+    * hyperplane bucket only — the scalable global near-neighbor sweep.
+    */
+  def bucketedPairs(df: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double, planes: Int = 8): DataFrame =
+    Dedup.embeddingNearDup(
+      df.withColumn("_bucket", hyperplaneBucket(vecCol, planes)),
+      idCol, vecCol, col("_bucket"), threshold)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class TrainingDataOpsSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (2L, "completely different content about spark engines and query optimization"),
+      (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG NEAR THE RIVER BANK TODAY"),
+      (4L, "short text")).toDF("doc_id", "text")
+  }
+
+  test("text functions: tokens, fingerprint, shingles, quality") {
+    val r = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      size(TextFunctions.shingles(col("text"), 3)).as("nsh"))
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getString(2), x.getInt(3)))).toMap
+    assert(r(0L)._1 == 14)
+    assert(r(0L)._2 == r(3L)._2) // case-insensitive fingerprint match
+    assert(r(0L)._2 != r(1L)._2)
+    assert(r(4L)._3 == 0) // fewer than 3 tokens → no shingles
+  }
+
+  test("langId picks by stopword hits") {
+    val s = spark
+    import s.implicits._
+    val in = Seq("the cat is in the house and it is big",
+      "el perro es un animal y la casa es grande",
+      "zzz qqq xxx").toDF("text")
+    val out = in.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("exact dedup groups case/whitespace variants") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+    assert(out.count() == 4) // docs 0 and 3 merge
+    val merged = out.filter(col("n_docs") === 2).collect().head
+    assert(merged.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("ngram jaccard finds the near-dup pair, blocked") {
+    val out = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      Seq(lit(1)), threshold = 0.5).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH recovers the same high-jaccard pairs as exact") {
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      Seq(lit(1)), threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // high-similarity pairs survive banding at j>=0.5
+  }
+
+  test("simhash: identical content distance 0, near content small distance") {
+    val out = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((0L, 3L)) == 0L) // case-normalized identical
+    assert(out.contains((0L, 1L))) // one-token difference within budget
+  }
+
+  test("cosine + brute-force top-k on real embeddings") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toSeq
+    val top = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), query, 5)
+      .collect()
+    assert(top.head.getLong(0) == 0L) // self first
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH top-k results are a subset of brute-force ranking, self included") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toSeq
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), query, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb, col("vec_id"), col("embedding"), query, 10, planes = 4)
+      .collect()
+    assert(lsh.nonEmpty && lsh.head.getLong(0) == 0L)
+    lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("multimodal: synthesize → decode → features → frames plumbing") {
+    val s = spark
+    import s.implicits._
+    val base = Multimodal.synthesize((0L until 20L).toDF("id"), col("id"))
+    val decoded = Multimodal.decode(base, col("content"))
+    assert(decoded.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("width", "height", "channels", "duration_ms"))
+    val feats = Multimodal.extractFeatures(decoded, col("content"))
+    val f = feats.select("features").collect().map(_.getSeq[Float](0))
+    assert(f.forall(v => v.length == 16 && math.abs(v.sum - 1.0f) < 1e-3))
+    // determinism: same ids → same features
+    val f2 = Multimodal.extractFeatures(
+      Multimodal.synthesize((0L until 20L).toDF("id"), col("id")), col("content"))
+      .select("features").collect().map(_.getSeq[Float](0))
+    assert(f.zip(f2).forall { case (a, b) => a == b })
+    val frames = Multimodal.sampleFrames(base, col("content"), 4, 128)
+    assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) == 4L))
+  }
+}
