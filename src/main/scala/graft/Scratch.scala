@@ -12,30 +12,37 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"$name: ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
+      println(f"[scratch] $name: ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
     }
     import graft.functions.TextFunctions._
     val d = SparkEntry.tbl(spark, dir, "documents")
     time("warmup")(d.count())
-    val withSh = d.select(col("doc_id"), shingleHashes(col("text")).as("sh"))
-    time("explode bare")(withSh.select(explode(col("sh"))).count())
-    time("explode + doc_id")(withSh.select(col("doc_id"), explode(col("sh"))).count())
-    time("explode + size")(withSh.select(size(col("sh")).as("sz"), explode(col("sh"))).count())
-    val mat = withSh.localCheckpoint()
-    time("explode after materialize")(mat.select(size(col("sh")).as("sz"), explode(col("sh"))).count())
-    time("shingles only")(d.select(shingles(col("text")).as("s")).select(explode(col("s"))).count())
-    val toks = d.select(col("doc_id"), tokens(col("text")).as("toks"))
-    time("explode tokens")(toks.select(explode(col("toks"))).count())
-    val sh2 = toks.select(col("doc_id"),
-      when(size(col("toks")) >= 3,
-        array_distinct(transform(sequence(lit(1), size(col("toks")) - 2),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
-        .otherwise(array().cast("array<string>")).as("sh"))
-    time("explode shingles from materialized-ish toks")(sh2.select(explode(col("sh"))).count())
+    val sh = d.select(col("doc_id"), col("text").as("_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleHashes(col("_text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    time("sh materialize")(sh.count())
+    val banded = sh
+      .select(col("doc_id"), lshBands(minhashSignature(col("sh"), 32), 32, 8).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band")))
+    time("banded")(banded.count())
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    time("candidates")(candidates.count())
+    time("q24 full")(SparkEntry.queries("q24_minhash_lsh")(spark, dir).count())
+    time("q23 full")(SparkEntry.queries("q23_ngram_jaccard")(spark, dir).count())
+    time("q20 text_stats")(SparkEntry.queries("q20_text_stats")(spark, dir).count())
+    time("q21 langid")(SparkEntry.queries("q21_langid_quality")(spark, dir).count())
+    time("q25 simhash")(SparkEntry.queries("q25_simhash")(spark, dir).count())
+    time("q42 ivf")(SparkEntry.queries("q42_ivf_assign")(spark, dir).count())
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -79,7 +80,7 @@ object SparkEntry {
     "q5_window_running_total" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       tbl(s, dir, "orders")
-        .withColumn("order_seq", row_number().over(w))
+        .withColumn("order_seq", row_number().over(w).cast("long"))
         .withColumn("running_spent",
           sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
         .select("o_orderkey", "o_custkey", "order_seq", "running_spent")
@@ -250,9 +251,9 @@ object SparkEntry {
       import graft.functions.TextFunctions._
       tbl(s, dir, "documents").select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        bpeTokenCount(col("text")).as("n_bpe"),
-        size(shingles(col("text"), 3)).as("n_shingles"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        size(shingles(col("text"), 3)).cast("long").as("n_shingles"),
         fingerprint(col("text")).as("fp"),
         rollingFingerprint(col("text"), 3).as("rolling_fp"))
         .orderBy("doc_id")
@@ -336,6 +337,213 @@ object SparkEntry {
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
         .orderBy("media_id")
     }),
+    // ---- T7 Lambda console-format detect/strip + T6 report-line requestID ----
+    "q30_console_strip" -> ((s, dir) => {
+      import graft.operators.CwlPipeline
+      val line = when(col("event_id") % 3 === 0,
+        concat(lit("2024-01-01T00:00:00.000Z req-0000-1111-2222-"), col("user_id"),
+          lit(" INFO "), col("event_type"), lit(" happened")))
+        .when(col("event_id") % 3 === 1,
+          concat(lit("END RequestId: rid-"), col("user_id")))
+        .otherwise(col("props"))
+      tbl(s, dir, "events")
+        .select(col("event_id"), line.as("message"))
+        .select(col("event_id"),
+          CwlPipeline.consoleRequestId(col("message")).as("console_id"),
+          CwlPipeline.reportRequestId(col("message")).as("report_id"),
+          CwlPipeline.stripConsolePrefix(col("message")).as("stripped"))
+        .orderBy("event_id")
+    }),
+    // ---- J1 ENI broadcast enrichment + T12 direction classification ----
+    "q31_eni_enrichment" -> ((s, dir) => {
+      val eniDim = tbl(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select(
+          concat(lit("eni-"), col("n_nationkey")).as("interfaceId"),
+          array(concat(lit("sg-"), col("n_nationkey"))).as("securityGroupIds"),
+          array(concat(lit("10.0."), col("n_nationkey") % 4, lit("."),
+            col("n_nationkey") + 1)).as("ipAddress"),
+          concat(lit("subnet-"), col("n_nationkey") % 3).as("subnetId"),
+          lit("vpc-1").as("vpcId"))
+      val line = concat_ws(" ",
+        lit("2"), lit("123456789010"),
+        concat(lit("eni-"), col("user_id") % 5),
+        concat(lit("10.0."), col("user_id") % 4, lit("."), col("event_id") % 250),
+        concat(lit("10.0."), col("event_id") % 4, lit("."), col("user_id") % 250),
+        (col("event_id") % 65535), lit("22"), lit("6"),
+        (col("event_id") % 100), (col("event_id") % 10000),
+        unix_seconds(col("ts")), unix_seconds(col("ts")) + 60,
+        lit("ACCEPT"), lit("OK"))
+      val parsed = graft.operators.VpcFlow.parse(
+        tbl(s, dir, "events").select(col("event_id"), line.as("message")))
+      graft.operators.VpcFlow.enrich(parsed, eniDim)
+        .select(col("event_id"), col("interface_id"), col("srcaddr"), col("dstaddr"),
+          element_at(col("security_group_ids"), 1).as("sg"),
+          col("direction"), col("subnet_id"), col("vpc_id"), col("aws_region"))
+        .orderBy("event_id")
+    }),
+    // ---- S10+T15 forwarder end-to-end: double from_json → validate → ASFF ----
+    "q32_asff_forwarder" -> ((s, dir) => {
+      import graft.operators.SecurityHub
+      val rowSchema = StructType(Seq(
+        StructField("finding_time", StringType), StructField("resource_type", StringType),
+        StructField("resource_id", StringType), StructField("title", StringType),
+        StructField("aws_account_id", StringType)))
+      val body = to_json(struct(
+        lit("Software and Configuration Checks").as("Types"),
+        lit("desc").as("Description"),
+        concat(lit("gen-"), col("user_id") % 3).as("GeneratorID"),
+        (col("event_id") % 101).cast("string").as("Severity"),
+        lit("http://src").as("SourceUrl"),
+        element_at(array(lit("PASSED"), lit("WARNING"), lit("FAILED"),
+          lit("NOT_AVAILABLE")), (col("event_id") % 4 + 1).cast("int"))
+          .as("ComplianceStatus"),
+        to_json(array(struct(
+          unix_seconds(col("ts")).cast("string").as("finding_time"),
+          lit("AwsEc2Instance").as("resource_type"),
+          concat(lit("i-"), col("user_id")).as("resource_id"),
+          col("event_type").as("title")))).as("Rows")))
+      val req = SecurityHub.parseRequest(
+        tbl(s, dir, "events").select(col("event_id"), body.as("body")),
+        col("body"), rowSchema)
+      val valid = SecurityHub.validate(req).filter(col("error").isNull)
+      SecurityHub.generateFindings(valid, "999999999999", "us-east-1")
+        .select(col("Id").as("id"), col("GeneratorId").as("generator_id"),
+          col("AwsAccountId").as("aws_account_id"), col("CreatedAt").as("created_at"),
+          col("Title").as("title"), col("Severity.Normalized").as("severity"),
+          col("Compliance.Status").as("compliance"),
+          element_at(col("Resources"), 1).getField("Id").as("resource_id"))
+        .orderBy("id", "created_at", "title")
+    }),
+    // ---- F8 header none/empty drop over a map column ----
+    "q33_header_drop" -> ((s, dir) => {
+      val name = concat(lit("n"), col("user_id") % 3)
+      val category = when(col("user_id") % 4 === 0, lit("none"))
+        .when(col("user_id") % 4 === 1, lit(""))
+        .otherwise(concat(lit("cat-"), col("user_id") % 4))
+      val fields = when(col("event_id") % 2 === 0, lit("env=prod")).otherwise(lit("None"))
+      val headers = map(
+        lit("X-Sumo-Name"), name, lit("X-Sumo-Category"), category,
+        lit("X-Sumo-Host"), lit("host-1"), lit("X-Sumo-Fields"), fields)
+      val kept = map_filter(headers, (_, v) =>
+        v.isNotNull && v =!= "" && lower(v) =!= "none")
+      tbl(s, dir, "events").select(col("event_id"),
+        array_join(array_sort(transform(map_entries(kept),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+          .as("headers"))
+        .orderBy("event_id")
+    }),
+    // ---- G5 first-seen dedup by (resource, status) ----
+    "q34_first_seen" -> ((s, dir) => {
+      val w = Window.partitionBy("resource", "status").orderBy("event_id")
+      tbl(s, dir, "events")
+        .withColumn("resource", concat(lit("res-"), col("user_id") % 50))
+        .withColumn("status", col("event_type"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("resource"), col("status"), col("event_id").as("first_event"))
+        .orderBy("resource", "status")
+    }),
+    // ---- G6 error-message set union (collect_set) ----
+    "q35_collect_set" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
+    }),
+    // ---- Q2 search predicate subset: metadata selector + keyword + range ----
+    "q36_search_predicate" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" "), col("props")))
+      SearchQuery.searchJob(ev, "_sourceCategory=cat-1* AND error",
+        lit("2024-01-01").cast("timestamp"), lit("2024-01-15").cast("timestamp"),
+        col("ts"), col("message"))
+        .select("event_id", "source_category", "message")
+        .orderBy("event_id")
+    }),
+    // ---- Q4 metrics quantization into requestedDataPoints buckets ----
+    "q37_metrics_quantize" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      SearchQuery.metrics(tbl(s, dir, "events"), col("ts"),
+        fromSec = 1704067200L, toSec = 1705276800L, requestedDataPoints = 97,
+        seriesCols = Seq(col("event_type")),
+        aggs = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
+        .orderBy("bucket_start", "event_type")
+    }),
+    // ---- Q5 field extraction rules: scope OR-merge + derived columns ----
+    "q38_fer" -> ((s, dir) => {
+      import graft.operators.Fer
+      val rules = Seq(
+        Fer.Rule("knum", col("event_type") === "error",
+          m => regexp_extract(m, "\"k\": (\\d+)", 1).try_cast(LongType)),
+        Fer.Rule("knum", col("event_type") === "click",
+          m => regexp_extract(m, "\"k\": (\\d+)", 1).try_cast(LongType)),
+        Fer.Rule("vtag", col("value") > 15, _ => lit("high")))
+      Fer.apply(tbl(s, dir, "events"), rules, col("props"))
+        .select("event_id", "knum", "vtag")
+        .orderBy("event_id")
+    }),
+    // ---- S4 CloudTrail {Records:[...]} parse + explode roundtrip ----
+    "q39_cloudtrail" -> ((s, dir) => {
+      val recSchema = StructType(Seq(
+        StructField("eventID", StringType), StructField("eventName", StringType),
+        StructField("awsRegion", StringType)))
+      val files = tbl(s, dir, "events")
+        .groupBy("user_id")
+        .agg(to_json(struct(sort_array(collect_list(struct(
+          col("event_id").cast("string").as("eventID"),
+          col("event_type").as("eventName"),
+          lit("us-east-1").as("awsRegion")))).as("Records"))).as("body"))
+      files
+        .select(from_json(col("body"), graft.model.Schemas.cloudTrailFile(recSchema)).as("f"))
+        .select(explode(col("f.Records")).as("record"))
+        .select(col("record.eventID").try_cast(LongType).as("event_id"),
+          col("record.eventName").as("event_name"),
+          col("record.awsRegion").as("aws_region"))
+        .orderBy("event_id")
+    }),
+    // ---- Q8 source processing rules: exclude regex + date locator + cutoff ----
+    "q40_processing_rules" -> ((s, dir) => {
+      import graft.operators.Fer
+      val ev = tbl(s, dir, "events").withColumn("message",
+        concat(lit("ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit(" "), col("event_type"), lit(" "), col("props")))
+      val filtered = Fer.processingRules(ev, col("message"), Seq("view"))
+      val withTs = filtered.withColumn("parsed_ts",
+        Fer.parseTimestamp(col("message"), col("ts"),
+          Seq(("yyyy-MM-dd HH:mm:ss",
+            "ts=(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})"))))
+      Fer.cutoff(withTs, col("parsed_ts"), lit("2024-01-05").cast("timestamp"))
+        .select("event_id", "parsed_ts")
+        .orderBy("event_id")
+    }),
+    // ---- J3 account-alias broadcast dimension join ----
+    "q41_account_alias" -> ((s, dir) => {
+      val aliasDim = tbl(s, dir, "nation")
+        .select((lit(100000000000L) + col("n_nationkey")).as("account_id"),
+          col("n_name").as("alias"))
+      tbl(s, dir, "events")
+        .withColumn("account_id", lit(100000000000L) + col("user_id") % 25)
+        .join(broadcast(aliasDim), Seq("account_id"), "left")
+        .groupBy("alias")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("alias")
+    }),
+    // ---- IVF coarse quantization: per-cluster assignment histogram ----
+    "q42_ivf_assign" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.operators.Similarity.ivfAssign(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
@@ -418,11 +626,12 @@ object SparkEntry {
       """SELECT CASE WHEN CAST(props->>'$.k' AS BIGINT)%3 = 0
                      THEN 'cat-'||(CAST(props->>'$.k' AS BIGINT)%5)
                      ELSE 'default' END AS source_category,
-         count(*) AS n, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+         count(*) AS n,
+         CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY source_category""",
     "q14_ndjson" ->
       """SELECT event_id,
-         to_json(struct_pack(event_id := event_id, event_type := event_type)) AS line
+         CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS line
          FROM events ORDER BY event_id""",
     "q15_firehose_delimiter" ->
       """SELECT event_id, props || chr(10) AS line, 'Ok' AS result
@@ -592,5 +801,146 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE c >= 0.3 ORDER BY id_a, id_b""",
+    "q30_console_strip" ->
+      """WITH m AS (SELECT event_id,
+           CASE WHEN event_id%3 = 0
+                  THEN '2024-01-01T00:00:00.000Z req-0000-1111-2222-'||user_id
+                       ||' INFO '||event_type||' happened'
+                WHEN event_id%3 = 1 THEN 'END RequestId: rid-'||user_id
+                ELSE props END AS message
+           FROM events)
+         SELECT event_id,
+           nullif(regexp_extract(message,
+             '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}.\d{3}Z\s(\w+?-\w+?-\w+?-\w+?-\w+)\s(?:INFO|ERROR|WARN|DEBUG)?',
+             1), '') AS console_id,
+           nullif(regexp_extract(message, '(?:RequestId:|Z)\s+([\w\d\-]+)', 1), '') AS report_id,
+           CASE WHEN nullif(regexp_extract(message,
+               '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}.\d{3}Z\s(\w+?-\w+?-\w+?-\w+?-\w+)\s(?:INFO|ERROR|WARN|DEBUG)?',
+               1), '') IS NOT NULL
+             THEN ltrim(regexp_replace(message,
+               '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}.\d{3}Z\s(\w+?-\w+?-\w+?-\w+?-\w+)\s(?:INFO|ERROR|WARN|DEBUG)?',
+               ''))
+             ELSE message END AS stripped
+         FROM m ORDER BY event_id""",
+    "q31_eni_enrichment" ->
+      """WITH eni AS (
+           SELECT 'eni-'||k AS interfaceId, 'sg-'||k AS sg,
+                  '10.0.'||(k%4)||'.'||(k+1) AS primaryIp,
+                  'subnet-'||(k%3) AS subnetId, 'vpc-1' AS vpcId
+           FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5)),
+         flows AS (
+           SELECT event_id, 'eni-'||(user_id%5) AS interface_id,
+                  '10.0.'||(user_id%4)||'.'||(event_id%250) AS srcaddr,
+                  '10.0.'||(event_id%4)||'.'||(user_id%250) AS dstaddr
+           FROM events),
+         j AS (SELECT f.*, e.sg, e.primaryIp, e.subnetId, e.vpcId,
+                      se.subnetId AS srcPeerSubnet, de.subnetId AS dstPeerSubnet,
+                      (e.interfaceId IS NOT NULL AND e.primaryIp IS NOT NULL) AS enriched
+               FROM flows f
+               LEFT JOIN eni e ON f.interface_id = e.interfaceId
+               LEFT JOIN eni se ON f.srcaddr = se.primaryIp
+               LEFT JOIN eni de ON f.dstaddr = de.primaryIp)
+         SELECT event_id, interface_id, srcaddr, dstaddr,
+           CASE WHEN enriched THEN sg END AS sg,
+           CASE WHEN enriched AND dstaddr = primaryIp
+                  THEN CASE WHEN srcPeerSubnet = subnetId THEN 'internal' ELSE 'inbound' END
+                WHEN enriched
+                  THEN CASE WHEN dstPeerSubnet = subnetId THEN 'internal' ELSE 'outbound' END
+           END AS direction,
+           CASE WHEN enriched THEN subnetId END AS subnet_id,
+           CASE WHEN enriched THEN vpcId END AS vpc_id,
+           CASE WHEN enriched THEN 'us-east-1' END AS aws_region
+         FROM j ORDER BY event_id""",
+    "q32_asff_forwarder" ->
+      """WITH r AS (SELECT 'gen-'||(user_id%3) AS gen,
+                  CAST(event_id%101 AS INTEGER) AS sev,
+                  ['PASSED','WARNING','FAILED','NOT_AVAILABLE'][CAST(event_id%4 AS INTEGER)+1] AS cs,
+                  CAST(epoch_ms(ts)//1000 AS VARCHAR) AS ft,
+                  'i-'||user_id AS rid, event_type AS title
+           FROM events),
+         f AS (SELECT *,
+                 to_json(struct_pack(finding_time := ft,
+                   resource_type := 'AwsEc2Instance', resource_id := rid,
+                   title := title)) AS rowjson,
+                 strftime(make_timestamp(CAST(ft AS BIGINT)*1000000),
+                   '%Y-%m-%dT%H:%M:%S.%fZ') AS created
+               FROM r)
+         SELECT 'sumologic:us-east-1:999999999999:'||gen||'/finding/'||sha256(rowjson) AS id,
+           gen AS generator_id, '999999999999' AS aws_account_id,
+           created AS created_at, title, sev AS severity, cs AS compliance,
+           rid AS resource_id
+         FROM f ORDER BY id, created_at, title""",
+    "q33_header_drop" ->
+      """SELECT event_id, array_to_string(list_sort(list_filter([
+           'X-Sumo-Name=n'||(user_id%3),
+           CASE WHEN user_id%4 = 0 THEN NULL WHEN user_id%4 = 1 THEN NULL
+                ELSE 'X-Sumo-Category=cat-'||(user_id%4) END,
+           'X-Sumo-Host=host-1',
+           CASE WHEN event_id%2 = 0 THEN 'X-Sumo-Fields=env=prod' END
+         ], x -> x IS NOT NULL)), ',') AS headers
+         FROM events ORDER BY event_id""",
+    "q34_first_seen" ->
+      """SELECT 'res-'||(user_id%50) AS resource, event_type AS status,
+           min(event_id) AS first_event
+         FROM events GROUP BY 1, 2 ORDER BY resource, status""",
+    "q35_collect_set" ->
+      """SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q36_search_predicate" ->
+      """SELECT event_id, 'cat-'||(user_id%5) AS source_category,
+           event_type||' '||props AS message
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+           AND ('cat-'||(user_id%5)) LIKE 'cat-1%'
+           AND contains(lower(event_type||' '||props), 'error')
+         ORDER BY event_id""",
+    "q37_metrics_quantize" ->
+      """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
+                  * 12471 + 1704067200 AS bucket_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE epoch_ms(ts)//1000 >= 1704067200 AND epoch_ms(ts)//1000 < 1705276800
+         GROUP BY 1, 2 ORDER BY bucket_start, event_type""",
+    "q38_fer" ->
+      """SELECT event_id,
+           CASE WHEN event_type IN ('error','click')
+             THEN TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) END AS knum,
+           CASE WHEN value > 15 THEN 'high' END AS vtag
+         FROM events ORDER BY event_id""",
+    "q39_cloudtrail" ->
+      """SELECT event_id, event_type AS event_name, 'us-east-1' AS aws_region
+         FROM events ORDER BY event_id""",
+    "q40_processing_rules" ->
+      """WITH m AS (SELECT event_id, event_type,
+           'ts='||strftime(ts, '%Y-%m-%d %H:%M:%S')||' '||event_type||' '||props AS message,
+           date_trunc('second', ts) AS parsed_ts
+           FROM events)
+         SELECT event_id, parsed_ts FROM m
+         WHERE NOT regexp_matches(message, 'view')
+           AND parsed_ts >= TIMESTAMP '2024-01-05'
+         ORDER BY event_id""",
+    "q41_account_alias" ->
+      """SELECT n.n_name AS alias, count(*) AS n_events
+         FROM events e JOIN nation n ON 100000000000 + e.user_id%25 = 100000000000 + n.n_nationkey
+         GROUP BY 1 ORDER BY alias""",
+    "q42_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         a AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(e.embedding)+1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                   list_reduce(list_transform(range(1, len(c.cvec)+1),
+                     i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+               FROM embeddings e CROSS JOIN c),
+         best AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM a)
+         SELECT cid AS cluster_id, count(*) AS n
+         FROM best WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""",
   )
 }

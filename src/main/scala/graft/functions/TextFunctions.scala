@@ -40,16 +40,29 @@ object TextFunctions {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles of the normalized text. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
-    // sequence(1, 0) would DESCEND in Spark — guard short texts explicitly
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Bind `v` once as a lambda variable ("let"): interpreted expression
+    * evaluation has NO common-subexpression elimination, so an expression
+    * referenced k times is evaluated k times — catastrophic when the
+    * reference sits inside a per-element lambda (k = array length). A
+    * 1-element array + HOF evaluates `v` exactly once per row.
+    */
+  private[graft] def let(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
+  /** Distinct word n-gram shingles of the normalized text. `toks` is
+    * let-bound: the naive form re-runs the tokenizing split per shingle
+    * element (O(tokens²) per document — measured 100×+ slowdowns on long
+    * docs).
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    let(tokens(c)) { toks =>
+      // sequence(1, 0) would DESCEND in Spark — guard short texts explicitly
+      when(size(toks) >= n,
+        array_distinct(
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Exact Jaccard similarity of two pre-distinct arrays. The intersection is
     * bound once via a higher-order let (`aggregate` over a 1-element array)
@@ -86,36 +99,45 @@ object TextFunctions {
     transform(shingles(c, n), s => hash60(s))
 
   /** MinHash signature over a pre-hashed shingle array: k minima of the
-    * seeded [[mix60]] permutations. Statically unrolled per seed — a narrow,
-    * fully codegen'd projection (no shuffle, no per-seed md5).
+    * seeded [[mix60]] permutations. Statically unrolled per seed — a narrow
+    * projection (no shuffle, no per-seed md5). The input is let-bound so the
+    * producing expression runs once even when an upstream projection is
+    * collapsed into this one (k references otherwise mean k evaluations).
     */
   def minhashSignature(shHashCol: Column, k: Int = 32): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shHashCol, h => mix60(h, i)))): _*)
+    let(shHashCol) { sh =>
+      array((0 until k).map(i =>
+        array_min(transform(sh, h => mix60(h, i)))): _*)
+    }
 
   /** LSH band digests: signature split into `bands` rows of `k/bands`, each
     * band hashed; documents sharing any band digest become candidates.
+    * Signature let-bound (referenced once per band).
     */
   def lshBands(sigCol: Column, k: Int = 32, bands: Int = 8): Column = {
     val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws(",",
-        transform(slice(sigCol, b * r + lit(1), lit(r)), v => v.cast("string")))))
+    let(sigCol) { sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws(",",
+          transform(slice(sig, b * r + lit(1), lit(r)), v => v.cast("string")))))
+    }
   }
 
   /** 32-bit SimHash over whitespace tokens: bit j set iff the majority of
-    * token hashes have bit j set.
+    * token hashes have bit j set. Token hashes are let-bound — they are
+    * referenced twice per bit (64×), which would otherwise re-tokenize and
+    * re-md5 the document 64 times.
     */
-  def simhash32(c: Column): Column = {
-    val th = transform(tokens(c), t => hash32(t))
-    val n = size(th)
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, j) => acc + when(
-        size(filter(th, v => call_function("shiftright", v, j).bitwiseAND(1) === 1)) * 2 > n,
-        call_function("shiftleft", lit(1L), j)).otherwise(0L))
-  }
+  def simhash32(c: Column): Column =
+    let(transform(tokens(c), t => hash32(t))) { th =>
+      val n = size(th)
+      aggregate(
+        sequence(lit(0), lit(31)),
+        lit(0L),
+        (acc, j) => acc + when(
+          size(filter(th, v => call_function("shiftright", v, j).bitwiseAND(1) === 1)) * 2 > n,
+          call_function("shiftleft", lit(1L), j)).otherwise(0L))
+    }
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -134,22 +156,22 @@ object TextFunctions {
   /** Language ID: stopword-hit scoring over the fixed per-language sets,
     * first-listed language wins ties, `und` when nothing hits.
     */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
-    val scored = stopwordSets.map { case (lang, words) =>
-      (lang, hitCount(toks, words))
+  def langId(c: Column): Column =
+    let(tokens(c)) { toks =>
+      val scored = stopwordSets.map { case (lang, words) =>
+        (lang, hitCount(toks, words))
+      }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
+        when(score === best && best > 0, lit(lang)).otherwise(acc)
+      }
     }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
-      when(score === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
 
   /** Stopword ratio against the English set (quality-scoring component). */
-  def stopwordRatio(c: Column): Column = {
-    val toks = tokens(c)
-    hitCount(toks, stopwordSets.head._2).cast("double") / size(toks)
-  }
+  def stopwordRatio(c: Column): Column =
+    let(tokens(c)) { toks =>
+      hitCount(toks, stopwordSets.head._2).cast("double") / size(toks)
+    }
 
   /** Punctuation character ratio. */
   def punctRatio(c: Column): Column =

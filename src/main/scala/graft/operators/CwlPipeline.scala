@@ -41,6 +41,23 @@ object CwlPipeline {
   /** RequestId extraction (reference `cloudwatchlogs_lambda.js:17`). */
   private val requestIdPat = "(?:RequestId:|Z)\\s+([\\w\\d\\-]+)"
 
+  /** T7 standalone: requestID from a Lambda console-format line (null when the
+    * line is not console-formatted).
+    */
+  def consoleRequestId(c: Column): Column =
+    nullif(regexp_extract(c, consoleFormat, 1), lit(""))
+
+  /** T6 standalone: requestID from a report line (`RequestId: xxx`). */
+  def reportRequestId(c: Column): Column =
+    nullif(regexp_extract(c, requestIdPat, 1), lit(""))
+
+  /** T7: strip the console prefix (ts + request UUID + level) from a console
+    * line; non-console lines pass through unchanged.
+    */
+  def stripConsolePrefix(c: Column): Column =
+    when(regexp_extract(c, consoleFormat, 1) =!= "",
+      ltrim(regexp_replace(c, consoleFormat, ""))).otherwise(c)
+
   /** S1/T2: base64(gzip(json envelope)) column → envelope struct columns plus a
     * per-envelope ordinal `_envelope_id` used by the carry-forward window.
     */

@@ -30,19 +30,19 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
       blockCols: Seq[Column], threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0, "inverted-index jaccard only emits pairs sharing a shingle")
-    val withSh = df.select(
-      idCol.as("doc_id"),
-      struct(blockCols: _*).as("block"),
-      shingleHashes(textCol, n).as("sh"))
+    // Repartition the RAW text first: a single parquet file otherwise scans as
+    // one partition and the (expensive, interpreted) shingle hashing runs on
+    // one core. After the exchange the projection fans out over all cores.
+    val withSh = df.select(idCol.as("doc_id"), struct(blockCols: _*).as("block"),
+        textCol.as("_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("block"), shingleHashes(col("_text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
     // Inverted-index intersection: explode hashes, equi-join on (block, hash),
     // count shared shingles per pair. Everything is a hash join / hash agg on
     // narrow longs — no per-pair array work, nothing for Catalyst to evaluate
     // interpreted inside a join condition.
-    // The repartition is a materialization barrier: without it CollapseProject
-    // inlines the (higher-order, non-codegen) shingle computation into the
-    // Generate, re-evaluating it per exploded row — ~100× slower.
-    val ex = withSh.repartition(col("doc_id"))
+    val ex = withSh
       .select(col("doc_id"), col("block"),
         size(col("sh")).as("sz"), explode(col("sh")).as("h"))
     ex.alias("a")
@@ -67,17 +67,17 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
       threshold: Double, k: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {
-    // Materialization barriers (see ngramJaccardPairs): `sh` must be a
-    // physical column before the k signature transforms reference it, and the
-    // band array must be physical before the explode — otherwise Catalyst
-    // inlines and re-evaluates the producing expression per consumer/row.
-    val sh = df.select(idCol.as("doc_id"), shingleHashes(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    // Repartition raw text before the shingle projection (single-file scans
+    // would otherwise hash on one core — see ngramJaccardPairs). Downstream
+    // projections may collapse into one; the let-bound TextFunctions evaluate
+    // each producing expression once per row regardless.
+    val sh = df.select(idCol.as("doc_id"), textCol.as("_text"))
       .repartition(col("doc_id"))
+      .select(col("doc_id"), shingleHashes(col("_text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
     val banded = sh
       .select(col("doc_id"),
         lshBands(minhashSignature(col("sh"), k), k, bands).as("bands"))
-      .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band")))
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
@@ -86,20 +86,22 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact verification via inverted-index intersection, restricted to docs
-    // that appear in some candidate pair (semi-join keeps the verify cost
-    // proportional to candidates, not corpus).
-    val candDocs = candidates
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    val ex = sh.join(candDocs, "doc_id") // join exchange doubles as the barrier
-      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("h"))
-    ex.alias("a")
-      .join(ex.alias("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(candidates, Seq("doc_a", "doc_b")) // only banded pairs qualify
+    // Pair-driven exact verification: fetch both docs' shingle-hash sets per
+    // candidate pair and intersect the two arrays directly. Cost is
+    // O(candidates × avg-set-size) — proportional to the candidate pair list,
+    // never to shared-shingle co-occurrence counts (an inverted-index
+    // self-join on shingle hash is quadratic in hot shingles: near-dup
+    // candidate docs share most of their shingles, so that variant degrades
+    // exactly on the inputs LSH surfaces).
+    val docSets = sh.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+    candidates
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        col("sz_a"), col("sz_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Field-extraction rules, metric rules, and source-side processing rules —
+  * the ingest/derived-schema config surface of the reference control plane
+  * (SURVEY.md §2.8 Q5/Q6/Q8).
+  *
+  * Reference behavior: an FER is `{scope, parseExpression, enabled}` where
+  * scope is a search predicate and duplicate rule names merge by OR-ing
+  * scopes (`sumologic-app-utils/src/sumoresource.py:1147-1205`); a metric
+  * rule extracts named variables from a match expression
+  * (`sumoresource.py:959-988`); a source carries regex processing rules,
+  * `defaultDateFormats` `{format, locator}` timestamp parsing and a
+  * `cutoffTimestamp` dropping data older than 24h at setup
+  * (`sumoresource.py:262-296`).
+  *
+  * Engine shape: rules compile to plain projections/filters applied at read —
+  * view composition, so Catalyst still prunes/pushes through them. Nothing
+  * here shuffles; at 100 TB these are free map-side stages fused by codegen.
+  */
+object Fer {
+
+  /** Q5: one field-extraction rule. `scope` is a compiled predicate (use
+    * [[SearchQuery.compile]] for the Sumo predicate subset); `parse` yields
+    * the extracted field value from the message column.
+    */
+  final case class Rule(name: String, scope: Column, parse: Column => Column)
+
+  /** Merge duplicate names by OR-ing scopes (reference merges on name clash,
+    * `sumoresource.py:1171-1185` — the first rule's parseExpression wins).
+    */
+  def merge(rules: Seq[Rule]): Seq[Rule] =
+    rules.groupBy(_.name).values.map { group =>
+      group.reduce((a, b) => Rule(a.name, a.scope || b.scope, a.parse))
+    }.toSeq.sortBy(_.name)
+
+  /** Apply enabled rules as derived columns: each rule adds its named field,
+    * null outside its scope. This is the "view registry" form — call at read
+    * time so queries see the extracted fields as ordinary columns.
+    */
+  def apply(df: DataFrame, rules: Seq[Rule], messageCol: Column): DataFrame =
+    merge(rules).foldLeft(df) { (d, r) =>
+      d.withColumn(r.name, when(r.scope, r.parse(messageCol)))
+    }
+
+  /** Q8 source-side processing rules: exclude-regex filters (a record matching
+    * any exclude rule is dropped before ingest).
+    */
+  def processingRules(df: DataFrame, messageCol: Column,
+      excludeRegexes: Seq[String]): DataFrame =
+    excludeRegexes.foldLeft(df)((d, re) => d.filter(!messageCol.rlike(re)))
+
+  /** Q8 defaultDateFormats: derive the event timestamp by extracting the
+    * locator's group 1 from the message and parsing with `format`; rules are
+    * tried in order, first parse wins, receipt time is the fallback
+    * (reference `sumoresource.py:271-281` semantics).
+    */
+  def parseTimestamp(messageCol: Column, receiptTime: Column,
+      formats: Seq[(String, String)]): Column = {
+    val candidates = formats.map { case (format, locator) =>
+      try_to_timestamp(nullif(regexp_extract(messageCol, locator, 1), lit("")),
+        lit(format))
+    }
+    coalesce((candidates :+ receiptTime): _*)
+  }
+
+  /** Q8 cutoff: drop records older than the cutoff timestamp (the reference
+    * sets cutoff = now - 24h at source creation, `sumoresource.py:293-294`).
+    */
+  def cutoff(df: DataFrame, timeCol: Column, cutoffTs: Column): DataFrame =
+    df.filter(timeCol >= cutoffTs)
+
+  /** Q6: metric rule — extract `variablesToExtract` from series that satisfy
+    * the match expression; each variable is `(name, tagSequence)` where the
+    * tag sequence is a regex with one capture group over the metric identity.
+    */
+  def metricRule(df: DataFrame, identityCol: Column, matchExpr: Column,
+      variables: Seq[(String, String)]): DataFrame =
+    variables.foldLeft(df.filter(matchExpr)) { case (d, (name, seq)) =>
+      d.withColumn(name, nullif(regexp_extract(identityCol, seq, 1), lit("")))
+    }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Query surface the reference's control plane and e2e tests consume
+  * (SURVEY.md §2.8): the Sumo-style search predicate subset (Q2), search-job
+  * pagination (Q1/Q3), and quantized metrics queries (Q4).
+  *
+  * Reference behavior: search jobs are created with a query string, a
+  * from/to time range and a time zone, then paged by limit/offset
+  * (`sumologic-app-utils/src/sumologic.py:96-116`); the observed predicate
+  * language is `_sourceCategory=X` metadata selectors plus free-text terms
+  * (`cloudwatchevents/test/test-guardduty-benchmark.py:167-169`); metrics
+  * queries quantize the range into `requestedDataPoints` buckets
+  * (`sumologic.py:185-202`).
+  *
+  * Scale shape: predicates compile to `Column`s, so Catalyst pushes the
+  * metadata selectors and the time range into the parquet scan (partition /
+  * row-group pruning at 100 TB); pagination sorts once and windows over the
+  * sorted frame.
+  */
+object SearchQuery {
+
+  /** One parsed term of the observed predicate subset. */
+  sealed trait Term
+  /** `_sourceCategory=web*` — metadata selector, `*` is a wildcard. */
+  final case class MetaSelector(field: String, pattern: String) extends Term
+  /** bare keyword — substring match on the raw message column. */
+  final case class Keyword(word: String) extends Term
+
+  /** Selector name → engine column for the metadata fields Sumo exposes. */
+  val metaColumns: Map[String, String] = Map(
+    "_sourcecategory" -> "source_category",
+    "_sourcename" -> "source_name",
+    "_sourcehost" -> "source_host",
+    "_collector" -> "collector")
+
+  /** Parse the observed query subset: whitespace/AND-separated terms, each a
+    * `_field=value` selector (value may hold `*` wildcards) or a keyword.
+    */
+  def parse(query: String): Seq[Term] =
+    query.trim.split("\\s+").toSeq
+      .filter(t => t.nonEmpty && !t.equalsIgnoreCase("AND"))
+      .map { t =>
+        if (t.startsWith("_") && t.contains("=")) {
+          val Array(f, v) = t.split("=", 2)
+          MetaSelector(f.toLowerCase, v)
+        } else Keyword(t)
+      }
+
+  /** Wildcard pattern → anchored case-insensitive regex (only `*` is special). */
+  private def wildcardRegex(pattern: String): String =
+    "(?i)^" + pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
+
+  /** Compile parsed terms to one conjunctive `Column` predicate.
+    * `messageCol` receives the keyword terms (case-insensitive contains).
+    */
+  def compile(terms: Seq[Term], messageCol: Column): Column =
+    terms.foldLeft(lit(true)) {
+      case (acc, MetaSelector(field, pattern)) =>
+        val c = col(metaColumns.getOrElse(field, field.stripPrefix("_")))
+        acc && c.rlike(wildcardRegex(pattern))
+      case (acc, Keyword(word)) =>
+        acc && contains(lower(messageCol), lit(word.toLowerCase))
+    }
+
+  /** Q1/Q2: apply a search-job query — predicate + time range — to a log
+    * table. `byReceiptTime` picks the receipt-time column like the API flag.
+    */
+  def searchJob(df: DataFrame, query: String, fromTime: Column, toTime: Column,
+      timeCol: Column, messageCol: Column): DataFrame =
+    df.filter(timeCol >= fromTime && timeCol < toTime)
+      .filter(compile(parse(query), messageCol))
+
+  /** Q1/Q3 pagination: deterministic limit/offset page over an ordered result.
+    * One global sort; the window is rank-based so pages are stable across
+    * executions (the API contract for `search_job_messages`).
+    */
+  def page(df: DataFrame, orderBy: Seq[Column], limit: Int, offset: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > offset && col("_rn") <= offset + limit)
+      .drop("_rn")
+  }
+
+  /** Q4: metrics query quantization — the [from, to) range divided into
+    * `requestedDataPoints` equal buckets (reference passes the requested and
+    * max data points to the API, `sumologic.py:185-202`). Returns one row per
+    * (bucket start, series) with the aggregated values.
+    */
+  def metrics(df: DataFrame, timeCol: Column, fromSec: Long, toSec: Long,
+      requestedDataPoints: Int, seriesCols: Seq[Column], aggs: Seq[Column]): DataFrame = {
+    val stepSec = math.max(1L, math.ceil((toSec - fromSec).toDouble / requestedDataPoints).toLong)
+    val epoch = unix_timestamp(timeCol)
+    val bucketStart = (floor((epoch - fromSec) / stepSec) * stepSec + fromSec).cast("long")
+    df.filter(epoch >= fromSec && epoch < toSec)
+      .groupBy((bucketStart.as("bucket_start") +: seriesCols): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -37,7 +37,9 @@ object SecurityHub {
     */
   def epochToUtc(c: Column): Column = {
     val cleaned = regexp_replace(c.cast("string"), ",", "")
-    val asLong = cleaned.cast("long")
+    // try_cast: a non-numeric timestamp string must fall through to the
+    // current_timestamp() default (ANSI cast would fail the job instead).
+    val asLong = cleaned.try_cast(LongType)
     val seconds = when(length(cleaned) >= 13, (asLong / 1000).cast("double"))
       .otherwise(asLong.cast("double"))
     val ts = coalesce(timestamp_seconds(seconds), current_timestamp())

@@ -87,4 +87,52 @@ object Similarity {
     Dedup.embeddingNearDup(
       df.withColumn("_bucket", hyperplaneBucket(vecCol, planes)),
       idCol, vecCol, col("_bucket"), threshold)
+
+  /** IVF coarse quantization: assign every vector to its max-cosine centroid
+    * (ties to the lowest centroid id). The centroid set is broadcast, so the
+    * corpus side is one narrow pass (n×k scored rows) plus a map-side-combined
+    * argmax — the only shuffle is the partial-aggregated vec_id reduce.
+    * Returns `(vec_id, cluster_id, cosine)`.
+    */
+  def ivfAssign(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column): DataFrame = {
+    val c = centroids.select(centroidId.cast("long").as("_cid"), centroidVec.as("_cvec"))
+    df.select(idCol.as("vec_id"), vecCol.as("_vec"))
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("_cid"),
+        cosine(col("_vec"), col("_cvec")).as("_cos"))
+      // struct max = lexicographic (cosine desc first, then lowest cid wins)
+      .groupBy("vec_id")
+      .agg(max(struct(col("_cos"), -col("_cid"), col("_cid"))).as("_best"))
+      .select(col("vec_id"), col("_best._cid").as("cluster_id"),
+        col("_best._cos").as("cosine"))
+  }
+
+  /** IVF ANN top-k: score only vectors assigned to the query's `nprobe`
+    * nearest centroids. Probe selection is driver-side over the (small)
+    * centroid set; the corpus never shuffles beyond the assignment reduce —
+    * at 100 TB the assignment is precomputed/stored and this becomes a
+    * partition-pruned scan of the probed clusters.
+    */
+  def ivfTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids.select(centroidId.cast("long"), centroidVec).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.iterator.zip(b.iterator).foldLeft(0.0)((s, p) => s + p._1.toDouble * p._2.toDouble)
+      val na = a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      val nb = b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      d / math.sqrt(na * nb)
+    }
+    val probes = cents.map { case (cid, cv) => (cid, cos(query, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1).toSeq
+    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
+      .filter(col("cluster_id").isin(probes: _*))
+      .select(col("vec_id"))
+    df.select(idCol.as("vec_id"), vecCol.as("_vec"))
+      .join(assigned, "vec_id")
+      .select(col("vec_id"), col("_vec"))
+      .transform(d => bruteForceTopK(d, col("vec_id"), col("_vec"), query, k))
+  }
 }

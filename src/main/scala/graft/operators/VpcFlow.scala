@@ -16,13 +16,16 @@ import graft.model.Schemas
 object VpcFlow {
 
   /** T11: split the space-delimited 14-field message into typed columns.
-    * Positional access via one `split` + `element_at` so codegen keeps the
-    * whole projection in one stage.
+    * Positional access via one `split` + `try_element_at` so codegen keeps the
+    * whole projection in one stage. `try_*` variants because Spark 4 defaults
+    * to ANSI mode: a short or malformed flow line must yield nulls (routed to
+    * the DLQ path downstream), not fail the job — the reference tolerates
+    * malformed lines per-record.
     */
   def parse(df: DataFrame): DataFrame = {
     val parts = split(col("message"), " ")
     val typed = Schemas.vpcFlowFields.zipWithIndex.map { case ((name, dt), i) =>
-      element_at(parts, i + 1).cast(dt).as(name)
+      try_element_at(parts, lit(i + 1)).try_cast(dt).as(name)
     }
     df.select((col("*") +: typed): _*)
   }

@@ -125,15 +125,26 @@ object SumoSink {
       val headers = Metadata.headersFor(first.getString(1), first.getString(2),
         first.getString(3), first.getString(4), clientHeader) ++
         (if (compress) Map("Content-Encoding" -> "gzip") else Map.empty)
-      val sb = new java.lang.StringBuilder
+      // Accumulate UTF-8 *byte* length (StringBuilder.length is UTF-16 chars,
+      // which undercounts multi-byte content): stop BEFORE the next line would
+      // push the chunk past maxBytes, but always take at least one line so an
+      // oversized single record still ships.
+      val out = new java.io.ByteArrayOutputStream
       var n = 0L
-      while (rows.hasNext && rows.head.getString(0) == key &&
-          sb.length < maxBytes) {
-        if (n > 0) sb.append('\n')
-        sb.append(rows.next().getString(5))
-        n += 1
+      var full = false
+      while (rows.hasNext && rows.head.getString(0) == key && !full) {
+        val lineBytes = rows.head.getString(5).getBytes(UTF_8)
+        val extra = lineBytes.length + (if (n > 0) 1 else 0)
+        if (n > 0 && out.size + extra > maxBytes) {
+          full = true
+        } else {
+          if (n > 0) out.write('\n')
+          out.write(lineBytes)
+          rows.next()
+          n += 1
+        }
       }
-      val body = sb.toString.getBytes(UTF_8)
+      val body = out.toByteArray
       val wire = if (compress) CodecImpl.gzip(body) else body
       deliver(key, headers, wire, n, body.length)
     }

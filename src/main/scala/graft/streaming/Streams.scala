@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.operators.{CwlPipeline, Metadata}
+import graft.sinks.SumoSink
+
+/** Structured Streaming surface (SURVEY.md §2.7): the reference's unit of work
+  * is one Lambda invocation's payload (R1); here each micro-batch carries a
+  * set of envelopes, the in-batch pipeline is the exact batch operator chain,
+  * and reliability (R2/R3) lives in the sink + DLQ replay loop.
+  *
+  * Scale shape: the stream stages are the same declarative plans as the batch
+  * path, so Catalyst/codegen treat every micro-batch like a batch query; state
+  * stores (watermark aggs, dedup, mapGroupsWithState) are partitioned by key,
+  * which is what holds at 1000 executors.
+  */
+object Streams {
+
+  /** S1 streaming: CWL envelope pipeline as a foreachBatch writer — decode →
+    * filter → explode → transform → metadata bucketing → Sumo post with DLQ
+    * capture. One micro-batch ≙ one Lambda invocation batch (R1); failed
+    * chunks land in `dlqDir` for the drain stream (R3) and never fail the
+    * query.
+    *
+    * `envelopes` is a streaming DataFrame with the wire column (base64 gzip
+    * envelope). Returns the writer; caller sets trigger/checkpoint and starts.
+    */
+  def cwlToSumo(
+      envelopes: DataFrame,
+      dataColName: String,
+      cfg: CwlPipeline.Config,
+      metaCfg: Metadata.MetaConfig,
+      poster: SumoSink.BucketPoster,
+      dlqDir: String,
+      onOutcomes: DataFrame => Unit = _ => ()) = {
+    envelopes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val records = CwlPipeline(batch, col(dataColName), cfg)
+        val derived = Metadata.derive(records, metaCfg)
+        val outcomes = SumoSink.post(derived, poster,
+          clientHeader = metaCfg.clientHeader, dlqDir = Some(dlqDir))
+        onOutcomes(outcomes.toDF().withColumn("batch_id", lit(batchId)))
+      }
+      ()
+    }
+  }
+
+  /** S5/R3: DLQ drain as a self-terminating stream — file source over the DLQ
+    * directory, `Trigger.AvailableNow` ≙ the reference's scheduled drain
+    * (`rate(5 minutes)`, `DLQLambdaCloudFormation.json:257`); re-posts each
+    * captured chunk, deletes on success (SQS delete-on-success semantics,
+    * at-least-once preserved: a crash before delete redelivers).
+    */
+  def drainDlq(spark: SparkSession, dlqDir: String,
+      poster: SumoSink.BucketPoster): Long = {
+    import spark.implicits._
+    val outcomes = SumoSink.replayDlq(spark, dlqDir, poster).collect()
+    outcomes.filter(_.success).foreach { o =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(o.dlq_path))
+    }
+    outcomes.count(_.success).toLong
+  }
+
+  /** Q4/R8 streaming analogue: watermarked event-time timeslice aggregation.
+    * The reference's query surface quantizes time ranges; on a stream this is
+    * `window()` + watermark (late data beyond `lateness` is dropped — the
+    * reference itself has no late-data policy, SURVEY §2.7).
+    */
+  def timeslice(events: DataFrame, tsCol: String, lateness: String,
+      slide: String, aggCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), slide).as("slice"), col("event_type"))
+      .agg(aggCols.head, aggCols.tail: _*)
+
+  /** G5 streaming: first-seen dedup by (resource, status) with bounded state —
+    * `dropDuplicatesWithinWatermark` keeps the state store from growing
+    * unboundedly (the reference's in-memory `all_resource_statuses` map reset
+    * per invocation; bounded state is the honest distributed equivalent).
+    */
+  def firstSeen(df: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** One log record for the cross-batch carry-forward (T8 on a stream). */
+  case class StreamEvent(logStream: String, seq: Long, requestId: String, message: String)
+  case class CarriedEvent(logStream: String, seq: Long, requestId: String, message: String)
+
+  /** T8 across micro-batches: the reference carries `lastRequestID` forward
+    * through a whole invocation; a stream has no invocation boundary, so the
+    * carry state must live in the state store — `mapGroupsWithState` keyed by
+    * logStream, state = last non-null requestID seen. Processing-time timeout
+    * expires idle streams so state stays bounded.
+    */
+  def carryForward(events: Dataset[StreamEvent],
+      idleTimeout: String = "30 minutes"): Dataset[CarriedEvent] = {
+    implicit val enc: Encoder[CarriedEvent] = Encoders.product[CarriedEvent]
+    implicit val stateEnc: Encoder[String] = Encoders.STRING
+    events
+      .groupByKey(_.logStream)(Encoders.STRING)
+      .flatMapGroupsWithState[String, CarriedEvent](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (stream: String, batch: Iterator[StreamEvent], state: GroupState[String]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last = state.getOption.orNull
+            val out = batch.toSeq.sortBy(_.seq).map { e =>
+              if (e.requestId != null && e.requestId.nonEmpty) last = e.requestId
+              CarriedEvent(stream, e.seq, last, e.message)
+            }
+            if (last != null) state.update(last)
+            state.setTimeoutDuration(idleTimeout)
+            out.iterator
+          }
+      }
+  }
+
+  /** R8 declarative buffering: the Firehose 60s-or-4MB buffer becomes a
+    * processing-time trigger + the sink's `maxBytes` chunking (K5; reference
+    * `KinesisFirehoseCWLogs.template.yaml:280-285`).
+    */
+  def firehoseTrigger(seconds: Int = 60): Trigger =
+    Trigger.ProcessingTime(s"$seconds seconds")
+}

@@ -21,11 +21,17 @@ def norm_cell(v):
     return v
 
 def load_result(con, rel):
+    # DuckDB type names, column-sorted alongside values: the driver's gate
+    # hashes *typed* values, so a HUGEINT-vs-BIGINT (or DECIMAL-vs-DOUBLE)
+    # difference fails it even when the Python values compare equal — replicate
+    # that by comparing type names too.
     cols = [d[0] for d in rel.description]
+    types = [str(t) for t in rel.types]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = rel.fetchall()
     data = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    return [cols[i] for i in order], sorted(data, key=lambda t: tuple(str(x) for x in t))
+    return ([cols[i] for i in order], [types[i] for i in order],
+            sorted(data, key=lambda t: tuple(str(x) for x in t)))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -43,15 +49,19 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            ocols, orows = load_result(con, con.sql(sql))
+            ocols, otypes, orows = load_result(con, con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
-        scols, srows = load_result(con, con.sql(
+        scols, stypes, srows = load_result(con, con.sql(
             f"SELECT * FROM read_parquet({spark_glob!r})"))
         if ocols != scols:
             print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        if otypes != stypes:
+            print(f"FAIL {name}: types oracle={otypes} spark={stypes}")
             n_fail += 1
             continue
         if len(orows) != len(srows):
