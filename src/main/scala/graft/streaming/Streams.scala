@@ -44,7 +44,15 @@ object Streams {
         val derived = Metadata.derive(records, metaCfg)
         val outcomes = SumoSink.post(derived, poster,
           clientHeader = metaCfg.clientHeader, dlqDir = Some(dlqDir))
-        onOutcomes(outcomes.toDF().withColumn("batch_id", lit(batchId)))
+          .toDF().withColumn("batch_id", lit(batchId))
+        // The post happens as a side effect of evaluating the outcome rows:
+        // persist + count forces delivery exactly once per micro-batch even if
+        // the callback runs further actions (a re-execution would re-post).
+        outcomes.persist()
+        try {
+          outcomes.count()
+          onOutcomes(outcomes)
+        } finally outcomes.unpersist()
       }
       ()
     }
@@ -94,18 +102,26 @@ object Streams {
 
   /** T8 across micro-batches: the reference carries `lastRequestID` forward
     * through a whole invocation; a stream has no invocation boundary, so the
-    * carry state must live in the state store — `mapGroupsWithState` keyed by
-    * logStream, state = last non-null requestID seen. Processing-time timeout
-    * expires idle streams so state stays bounded.
+    * carry state must live in the state store — `flatMapGroupsWithState`
+    * keyed by logStream, state = last non-null requestID seen.
+    *
+    * `idleTimeout = Some(d)` expires idle streams so state stays bounded (the
+    * production setting at 100 TB — millions of log streams come and go).
+    * With a processing-time timeout the engine schedules continuous timeout-
+    * check batches, so tests that drive the stream with `processAllAvailable`
+    * should pass None.
     */
   def carryForward(events: Dataset[StreamEvent],
-      idleTimeout: String = "30 minutes"): Dataset[CarriedEvent] = {
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[CarriedEvent] = {
     implicit val enc: Encoder[CarriedEvent] = Encoders.product[CarriedEvent]
     implicit val stateEnc: Encoder[String] = Encoders.STRING
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.logStream)(Encoders.STRING)
       .flatMapGroupsWithState[String, CarriedEvent](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (stream: String, batch: Iterator[StreamEvent], state: GroupState[String]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -117,7 +133,7 @@ object Streams {
               CarriedEvent(stream, e.seq, last, e.message)
             }
             if (last != null) state.update(last)
-            state.setTimeoutDuration(idleTimeout)
+            idleTimeout.foreach(state.setTimeoutDuration)
             out.iterator
           }
       }

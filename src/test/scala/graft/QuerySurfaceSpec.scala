@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fer, SearchQuery, Similarity}
+
+class QuerySurfaceSpec extends SparkSpec {
+
+  test("Q2: predicate parse — selectors, keywords, AND noise") {
+    val terms = SearchQuery.parse("_sourceCategory=prod/web* AND error timeout")
+    assert(terms == Seq(
+      SearchQuery.MetaSelector("_sourcecategory", "prod/web*"),
+      SearchQuery.Keyword("error"),
+      SearchQuery.Keyword("timeout")))
+  }
+
+  test("Q2: compile — wildcard selector + case-insensitive keyword") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("prod/web/api", "An ERROR occurred"),
+      ("prod/web/api", "all fine"),
+      ("dev/web", "error here")).toDF("source_category", "message")
+    val hits = df.filter(SearchQuery.compile(
+      SearchQuery.parse("_sourceCategory=prod/* error"), col("message")))
+      .select("message").as[String].collect().toSeq
+    assert(hits == Seq("An ERROR occurred"))
+  }
+
+  test("Q1: pagination is stable and non-overlapping") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 25).map(i => (i.toLong, s"m$i")).toDF("id", "msg")
+    val p1 = SearchQuery.page(df, Seq(col("id")), limit = 10, offset = 0)
+      .select("id").as[Long].collect().toSeq
+    val p2 = SearchQuery.page(df, Seq(col("id")), limit = 10, offset = 10)
+      .select("id").as[Long].collect().toSeq
+    val p3 = SearchQuery.page(df, Seq(col("id")), limit = 10, offset = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(p1 == (1L to 10L) && p2 == (11L to 20L) && p3 == (21L to 25L))
+  }
+
+  test("Q5: duplicate FER names merge by OR-ing scopes, first parse wins") {
+    val rules = Seq(
+      Fer.Rule("f", col("t") === "a", _ => lit("first")),
+      Fer.Rule("f", col("t") === "b", _ => lit("second")),
+      Fer.Rule("g", col("t") === "c", _ => lit("g")))
+    val merged = Fer.merge(rules)
+    assert(merged.map(_.name) == Seq("f", "g"))
+    val s = spark
+    import s.implicits._
+    val df = Seq("a", "b", "c", "d").toDF("t")
+    val out = Fer.apply(df, rules, col("t"))
+      .select("t", "f", "g").as[(String, String, String)].collect().toMap2
+    assert(out("a") == ("first", null))
+    assert(out("b") == ("first", null)) // merged scope, first rule's parser
+    assert(out("c") == (null, "g"))
+    assert(out("d") == (null, null))
+  }
+
+  test("Q8: timestamp locator parse — first matching format wins, receipt fallback") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "ts=2024-03-01 10:00:00 ok",
+      "at 2024/03/01 11:22 legacy",
+      "no timestamp at all").toDF("message")
+      .withColumn("receipt", lit("2024-06-01 00:00:00").cast("timestamp"))
+    val parsed = df.select(Fer.parseTimestamp(col("message"), col("receipt"), Seq(
+      ("yyyy-MM-dd HH:mm:ss", "ts=(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})"),
+      ("yyyy/MM/dd HH:mm", "at (\\d{4}/\\d{2}/\\d{2} \\d{2}:\\d{2})")))
+      .cast("string").as("ts")).as[String].collect().toSeq
+    assert(parsed == Seq(
+      "2024-03-01 10:00:00", "2024-03-01 11:22:00", "2024-06-01 00:00:00"))
+  }
+
+  test("IVF: probe-limited top-k keeps high recall vs brute force, self included") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), query, k = 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      query, 50).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf.contains(0L)) // the query vector itself
+    // every IVF hit must be a genuinely similar vector (in brute-force top-50)
+    assert(ivf.forall(brute.contains))
+    // and recall@10 against brute-force top-10 should be substantial
+    assert(ivf.count(brute.take(10).contains) >= 5)
+  }
+
+  implicit class PairOps(rows: Array[(String, String, String)]) {
+    def toMap2: Map[String, (String, String)] =
+      rows.map { case (t, f, g) => (t, (f, g)) }.toMap
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.Base64
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.CodecImpl
+import graft.operators.{CwlPipeline, Metadata}
+import graft.sinks.SumoSink
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+
+  private def mkTmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def envelope(stream: String, msgs: Seq[String]): String = {
+    val events = msgs.zipWithIndex.map { case (m, i) =>
+      s"""{"id":"$i","timestamp":${1700000000000L + i},"message":"$m"}"""
+    }.mkString(",")
+    val json =
+      s"""{"messageType":"DATA_MESSAGE","owner":"123456789012","logGroup":"grp",
+         |"logStream":"$stream","subscriptionFilters":["f"],
+         |"logEvents":[$events]}""".stripMargin.replace("\n", "")
+    Base64.getEncoder.encodeToString(CodecImpl.gzip(json.getBytes(UTF_8)))
+  }
+
+  private def readBack(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".ndjson.gz"))
+      .flatMap(f => new String(
+        CodecImpl.gunzip(Files.readAllBytes(f.toPath)), UTF_8).split("\n"))
+
+  test("S1/R1 streaming: CWL envelopes per micro-batch → decode → post, outcomes per batch") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val out = mkTmp("stream-out")
+    val dlq = mkTmp("stream-dlq")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[String]
+    val writer = Streams.cwlToSumo(
+      input.toDF().withColumnRenamed("value", "data"), "data",
+      CwlPipeline.Config(), Metadata.MetaConfig(sourceCategoryOverride = "test/cat"),
+      new SumoSink.LocalDirPoster(out), dlq,
+      onOutcomes = o => {
+        val rows = o.groupBy("batch_id").agg(sum("n_lines")).collect()
+        seen.synchronized {
+          seen ++= rows.map(r => (r.getLong(0), r.getLong(1)))
+        }
+      })
+    input.addData(envelope("s1", Seq("hello a", "hello b")),
+      envelope("s2", Seq("hello c")))
+    val q = writer
+      .option("checkpointLocation", mkTmp("stream-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(readBack(out).size == 3)
+    assert(seen.map(_._2).sum == 3)
+  }
+
+  test("R3: failed chunks land in DLQ; drain re-posts and deletes on success") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val out = mkTmp("dlq-out")
+    val dlq = mkTmp("dlq-dir")
+    val input = MemoryStream[String]
+    input.addData(envelope("s1", Seq("m1", "m2")))
+    val q = Streams.cwlToSumo(
+      input.toDF().withColumnRenamed("value", "data"), "data",
+      CwlPipeline.Config(), Metadata.MetaConfig(sourceCategoryOverride = "bad/cat"),
+      new SumoSink.LocalDirPoster(out, failSubstring = Some("bad")), dlq)
+      .option("checkpointLocation", mkTmp("dlq-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(readBack(out).isEmpty)
+    val dlqFiles = Option(new java.io.File(dlq).listFiles()).getOrElse(Array.empty)
+    assert(dlqFiles.nonEmpty)
+
+    // drain with a healthy poster: delivered + DLQ file removed (delete-on-success)
+    val n = Streams.drainDlq(spark, dlq, new SumoSink.LocalDirPoster(out))
+    assert(n > 0)
+    assert(readBack(out).size == 2)
+    assert(Option(new java.io.File(dlq).listFiles()).getOrElse(Array.empty).isEmpty)
+  }
+
+  test("Q4/R8: watermarked timeslice agg finalizes windows once watermark passes") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.timeslice(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", lateness = "10 minutes", slide = "1 hour",
+      Seq(count(lit(1)).as("n"), sum("value").as("sum_value")))
+    val q = agg.writeStream.format("memory").queryName("ts_agg")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((t(10, 5), "click", 1.0), (t(10, 20), "click", 2.0), (t(10, 30), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window
+    input.addData((t(13, 0), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ts_agg")
+      .select(col("slice.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:00:00", "view", 1L, 5.0)))
+  }
+
+  test("G5 streaming: dropDuplicatesWithinWatermark keeps first occurrence across batches") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, String, String)]
+    val dedup = Streams.firstSeen(
+      input.toDF().toDF("ts", "resource", "status"),
+      "ts", lateness = "1 hour", keys = Seq("resource", "status"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData((t(0), "r1", "CREATE"), (t(1), "r1", "CREATE"), (t(2), "r2", "CREATE"))
+    q.processAllAvailable()
+    input.addData((t(5), "r1", "CREATE"), (t(6), "r1", "DELETE"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out")
+      .select("resource", "status").as[(String, String)].collect().toSeq
+    assert(rows.size == 3) // (r1,CREATE) once, (r2,CREATE), (r1,DELETE)
+    assert(rows.count(_ == ("r1", "CREATE")) == 1)
+  }
+
+  test("T8 streaming: requestID carries forward across micro-batches via state store") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Streams.StreamEvent]
+    val carried = Streams.carryForward(input.toDS(), idleTimeout = None)
+    val q = carried.writeStream.format("memory").queryName("carry_out")
+      .outputMode("append").start()
+    input.addData(
+      Streams.StreamEvent("sA", 1, "req-1", "start"),
+      Streams.StreamEvent("sA", 2, null, "mid"))
+    q.processAllAvailable()
+    // next micro-batch: no requestId — must inherit req-1 from state
+    input.addData(
+      Streams.StreamEvent("sA", 3, null, "late"),
+      Streams.StreamEvent("sB", 1, null, "other-stream"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("carry_out")
+      .select("logStream", "seq", "requestId")
+      .as[(String, Long, String)].collect().toMap2
+    assert(rows(("sA", 1L)) == "req-1")
+    assert(rows(("sA", 2L)) == "req-1")
+    assert(rows(("sA", 3L)) == "req-1")
+    assert(rows(("sB", 1L)) == null)
+  }
+
+  implicit class TripleOps(rows: Array[(String, Long, String)]) {
+    def toMap2: Map[(String, Long), String] =
+      rows.map { case (a, b, c) => ((a, b), c) }.toMap
+  }
+}
