@@ -49,4 +49,22 @@ object EventSources {
         col("r.Sns.Timestamp").as("sns_timestamp"),
         col("r.Sns.MessageId").as("message_id"),
         from_json(col("r.Sns.Message"), messageSchema).as("message"))
+
+  /** S2: Kinesis stream records `{kinesis:{data: base64(gzip(envelope))}}` —
+    * project out the wire column and run the same decode chain as S1
+    * (reference `kinesis/node.js/k2sl_lambda.js:182-199`). Works on landed
+    * record batches or a Kinesis connector stream alike.
+    */
+  def kinesisEnvelopes(df: DataFrame): DataFrame =
+    CwlPipeline.decode(df.select(col("kinesis.data").as("_data")), col("_data"))
+      .drop("_data")
+
+  /** S3 (source): raw / gzipped line logs from object storage — Spark's text
+    * source decompresses `.gz` transparently and splits lines; the object key
+    * is attached for per-source metadata (reference `s3/node.js/s3.js:17-87`
+    * streams objects line-wise with the same gunzip-if-gz behavior).
+    */
+  def s3LineLogs(spark: SparkSession, path: String): DataFrame =
+    spark.read.textFile(path).toDF("message")
+      .withColumn("source_key", input_file_name())
 }

@@ -1,0 +1,109 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-batch import outcome (K3 failure accounting, reference
+  * `securityhub-forwarder/src/securityhub_forwarder.py:132-144`).
+  */
+case class ImportOutcome(
+    n_findings: Long,
+    success_count: Long,
+    failed_count: Long,
+    errors: Seq[String])
+
+/** SecurityHub-side sinks: the S3 findings object sink (K2) and the
+  * BatchImportFindings API sink (K3).
+  */
+object FindingsSink {
+
+  /** K2: one object per ProductArn group, body = findings joined by blank
+    * line, key = `<sanitized-arn>-<requestId>` (reference
+    * `securityhub-collector/src/securityhub_collector.py:19-48`). Input shape
+    * is [[graft.operators.SecurityHub.groupByProductArn]] output
+    * (`product_arn`, `body`); one file per row, written from the executors —
+    * groups are independent so this parallelizes like the reference's
+    * per-group `put_object` calls.
+    */
+  def writeGroupedFindings(grouped: DataFrame, dir: String,
+      requestId: String): Dataset[String] = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    grouped.select(col("product_arn"), col("body")).as[(String, String)]
+      .mapPartitions { it =>
+        it.map { case (arn, body) =>
+          val key = arn.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + requestId
+          val f = Paths.get(dir, key + ".ndjson")
+          Files.write(f, body.getBytes(UTF_8),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          f.toString
+        }
+      }
+  }
+
+  /** K3 transport boundary: batched findings import. Returns
+    * (successCount, failedCount, errorMessages) like the API response the
+    * reference parses; implementations must be thread-safe.
+    */
+  trait FindingsImporter extends Serializable {
+    def importBatch(findings: Seq[String]): (Long, Long, Seq[String])
+  }
+
+  /** Import client that appends each batch to one NDJSON file per task —
+    * the local stand-in for the BatchImportFindings endpoint.
+    */
+  class LocalDirImporter(dir: String, failSubstring: Option[String] = None)
+      extends FindingsImporter {
+    override def importBatch(findings: Seq[String]): (Long, Long, Seq[String]) = {
+      val (bad, good) = findings.partition(f => failSubstring.exists(f.contains))
+      Files.createDirectories(Paths.get(dir))
+      if (good.nonEmpty) {
+        val f = Paths.get(dir, java.util.UUID.randomUUID().toString + ".ndjson")
+        Files.write(f, good.mkString("\n").getBytes(UTF_8), StandardOpenOption.CREATE_NEW)
+      }
+      (good.size.toLong, bad.size.toLong,
+        bad.map(b => s"rejected: ${b.take(40)}").distinct)
+    }
+  }
+
+  /** K3: import serialized ASFF findings in API-sized batches via
+    * `mapPartitions` + grouped iteration (G7 chunking, reference chunk
+    * pattern `sumologic-app-utils/src/sumoresource.py:1236-1241`; the
+    * forwarder posts row batches at
+    * `securityhub_forwarder.py:148-173`). Errors are deduplicated per batch
+    * like the reference's message set union (G6). One failing batch never
+    * fails the job — failures surface in the outcome Dataset.
+    */
+  def batchImport(findings: DataFrame, findingCol: String,
+      importer: FindingsImporter, batchSize: Int = 100): Dataset[ImportOutcome] = {
+    val spark = findings.sparkSession
+    import spark.implicits._
+    findings.select(to_json(struct(col(findingCol))).as("_f"))
+      .as[String]
+      .mapPartitions { it =>
+        it.grouped(batchSize).map { batch =>
+          try {
+            val (ok, failed, errors) = importer.importBatch(batch)
+            ImportOutcome(batch.size.toLong, ok, failed, errors)
+          } catch {
+            case NonFatal(e) =>
+              ImportOutcome(batch.size.toLong, 0L, batch.size.toLong,
+                Seq(String.valueOf(e.getMessage)))
+          }
+        }
+      }
+  }
+
+  /** G4 tallies over import outcomes. */
+  def counts(outcomes: Dataset[ImportOutcome]): DataFrame =
+    outcomes.agg(
+      sum("success_count").as("successCount"),
+      sum("failed_count").as("failedCount"),
+      flatten(collect_list("errors")).as("errors"))
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CodecImpl
+import graft.operators.{EventSources, SecurityHub}
+import graft.sinks.FindingsSink
+
+class SinksAndSourcesSpec extends SparkSpec {
+
+  private def mkTmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("K2: one object per ProductArn, blank-line-joined body, sanitized key") {
+    val s = spark
+    import s.implicits._
+    val findings = Seq(
+      ("arn:aws:securityhub::p/one", """{"id":1}"""),
+      ("arn:aws:securityhub::p/one", """{"id":2}"""),
+      ("arn:aws:securityhub::p/two", """{"id":3}""")).toDF("arn", "payload")
+    val grouped = SecurityHub.groupByProductArn(findings, col("arn"), col("payload"))
+    val out = mkTmp("k2")
+    val paths = FindingsSink.writeGroupedFindings(grouped, out, "req-1").collect()
+    assert(paths.length == 2)
+    assert(paths.forall(p => Paths.get(p).getFileName.toString.endsWith("-req-1.ndjson")))
+    val bodies = paths.map(p => new String(Files.readAllBytes(Paths.get(p)), UTF_8))
+    assert(bodies.exists(_ == "{\"id\":1}\n\n{\"id\":2}"))
+    assert(bodies.exists(_ == "{\"id\":3}"))
+  }
+
+  test("K3: batched import with chunking, per-batch failure isolation, G4 counts") {
+    val s = spark
+    import s.implicits._
+    val findings = (1 to 25).map(i => s"finding-$i").toDF("f")
+      .select(struct(col("f")).as("finding"))
+    val dir = mkTmp("k3")
+    val importer = new FindingsSink.LocalDirImporter(dir,
+      failSubstring = Some("finding-7\""))
+    val outcomes = FindingsSink.batchImport(
+      findings.repartition(1), "finding", importer, batchSize = 10).collect()
+    assert(outcomes.map(_.n_findings).sum == 25)
+    assert(outcomes.map(_.failed_count).sum == 1)
+    assert(outcomes.map(_.success_count).sum == 24)
+    assert(outcomes.flatMap(_.errors).exists(_.startsWith("rejected:")))
+    // chunking: 25 rows in one partition at batch size 10 → 3 batches
+    assert(outcomes.length == 3)
+  }
+
+  test("S2: kinesis record data decodes through the CWL envelope chain") {
+    val s = spark
+    import s.implicits._
+    val envelope =
+      """{"messageType":"DATA_MESSAGE","owner":"o","logGroup":"g","logStream":"ls",
+        |"subscriptionFilters":[],"logEvents":[
+        |{"id":"1","timestamp":1700000000000,"message":"hello"}]}"""
+        .stripMargin.replace("\n", "")
+    val wire = Base64.getEncoder.encodeToString(CodecImpl.gzip(envelope.getBytes(UTF_8)))
+    val records = Seq(Tuple1(wire)).toDF("data")
+      .select(struct(col("data")).as("kinesis"))
+    val decoded = EventSources.kinesisEnvelopes(records)
+    assert(decoded.select("logStream").head().getString(0) == "ls")
+    assert(decoded.select(explode(col("logEvents.message"))).head().getString(0) == "hello")
+  }
+
+  test("S3: line logs read plain and gzipped objects alike, with source key") {
+    val dir = mkTmp("s3src")
+    Files.write(Paths.get(dir, "a.log"), "l1\nl2\n".getBytes(UTF_8))
+    Files.write(Paths.get(dir, "b.log.gz"), CodecImpl.gzip("l3\nl4\n".getBytes(UTF_8)))
+    val df = EventSources.s3LineLogs(spark, dir)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("l1", "l2", "l3", "l4"))
+    assert(rows.filter(r => r._1 == "l3" || r._1 == "l4")
+      .forall(_._2.contains("b.log.gz")))
+  }
+}
