@@ -39,10 +39,40 @@ object Scratch {
     time("candidates")(candidates.count())
     time("q24 full")(SparkEntry.queries("q24_minhash_lsh")(spark, dir).count())
     time("q23 full")(SparkEntry.queries("q23_ngram_jaccard")(spark, dir).count())
-    time("q20 text_stats")(SparkEntry.queries("q20_text_stats")(spark, dir).count())
-    time("q21 langid")(SparkEntry.queries("q21_langid_quality")(spark, dir).count())
-    time("q25 simhash")(SparkEntry.queries("q25_simhash")(spark, dir).count())
     time("q42 ivf")(SparkEntry.queries("q42_ivf_assign")(spark, dir).count())
+    // q32 substages
+    val ev = SparkEntry.tbl(spark, dir, "events")
+    val body = to_json(struct(
+      lit("T").as("Types"), lit("desc").as("Description"),
+      concat(lit("gen-"), col("user_id") % 3).as("GeneratorID"),
+      (col("event_id") % 101).cast("string").as("Severity"),
+      lit("u").as("SourceUrl"), lit("PASSED").as("ComplianceStatus"),
+      to_json(array(struct(
+        unix_seconds(col("ts")).cast("string").as("finding_time"),
+        lit("AwsEc2Instance").as("resource_type"),
+        concat(lit("i-"), col("user_id")).as("resource_id"),
+        col("event_type").as("title")))).as("Rows")))
+    time("q32 body only")(ev.select(col("event_id"), body.as("body")).count())
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("finding_time", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("resource_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("resource_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("aws_account_id", org.apache.spark.sql.types.StringType)))
+    val req = graft.operators.SecurityHub.parseRequest(
+      ev.select(col("event_id"), body.as("body")), col("body"), rowSchema)
+    time("q32 parse")(req.count())
+    val valid = graft.operators.SecurityHub.validate(req).filter(col("error").isNull)
+    time("q32 validate")(valid.count())
+    val reqR = req.repartition(32)
+    val validR = graft.operators.SecurityHub.validate(reqR).filter(col("error").isNull)
+    time("q32 validate repart-barrier")(validR.count())
+    val reqP = req.persist()
+    val validP = graft.operators.SecurityHub.validate(reqP).filter(col("error").isNull)
+    time("q32 validate persisted")(validP.count())
+    reqP.unpersist()
+    time("q32 full")(SparkEntry.queries("q32_asff_forwarder")(spark, dir).count())
+    time("q19 group")(SparkEntry.queries("q19_findings_group")(spark, dir).count())
     spark.stop()
   }
 }

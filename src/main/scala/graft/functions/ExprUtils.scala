@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Plan-shaping helpers for expensive expressions.
+  *
+  * Spark evaluates expressions with no common-subexpression elimination in
+  * interpreted mode, and `CollapseProject` merges adjacent projections even
+  * across `Repartition` — so a column referenced N times downstream
+  * re-evaluates its producing expression N times per row. For cheap codegen'd
+  * expressions that is free; for `CodegenFallback` heavyweights (`from_json`,
+  * gunzip) it multiplies the dominant cost.
+  */
+object ExprUtils {
+
+  /** Per-row materialization barrier with no shuffle and no caching: a
+    * `Generate` node (explode of a 1-element array) evaluates `value` exactly
+    * once per row and exposes the result as a plan attribute — downstream
+    * references read the materialized value instead of re-running the
+    * producing expression. `CollapseProject` cannot inline through Generate.
+    */
+  def materialized(df: DataFrame, name: String, value: Column): DataFrame =
+    df.withColumn(name, explode(array(value)))
+
+  /** Expression-level let: binds `v` once as a lambda variable so the body
+    * can reference it many times at O(1) — see [[TextFunctions.let]].
+    */
+  def let(v: Column)(body: Column => Column): Column = TextFunctions.let(v)(body)
+}

@@ -60,9 +60,13 @@ object CwlPipeline {
 
   /** S1/T2: base64(gzip(json envelope)) column → envelope struct columns plus a
     * per-envelope ordinal `_envelope_id` used by the carry-forward window.
+    * The gunzip+parse runs behind a Generate barrier so the six envelope-field
+    * references downstream decompress and parse each envelope once, not six
+    * times (`from_json` is CodegenFallback — no subexpression elimination).
     */
   def decode(df: DataFrame, dataCol: Column): DataFrame =
-    df.withColumn("_env", from_json(codecs.gunzipBase64(dataCol), Schemas.cwlEnvelope))
+    graft.functions.ExprUtils.materialized(df, "_env",
+      from_json(codecs.gunzipBase64(dataCol), Schemas.cwlEnvelope))
       .withColumn("_envelope_id", monotonically_increasing_id())
       .select(col("*"), col("_env.*")).drop("_env")
 

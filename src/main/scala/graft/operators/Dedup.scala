@@ -70,7 +70,12 @@ object Dedup {
     // Repartition raw text before the shingle projection (single-file scans
     // would otherwise hash on one core — see ngramJaccardPairs). Downstream
     // projections may collapse into one; the let-bound TextFunctions evaluate
-    // each producing expression once per row regardless.
+    // each producing expression once per row regardless. The shingle table
+    // feeds three join branches; the shared repartition exchange is reused
+    // (ReusedExchange) so the raw scan+shuffle happens once. (Caching the fat
+    // shingle arrays measures slower than recomputing the post-exchange
+    // projection — at 100 TB you would write the signature table to storage
+    // instead.)
     val sh = df.select(idCol.as("doc_id"), textCol.as("_text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), shingleHashes(col("_text"), n).as("sh"))

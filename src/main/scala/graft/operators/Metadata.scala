@@ -44,13 +44,17 @@ object Metadata {
       else if (hasGroup) coalesce(col("logGroup"), lit("")) else lit("")
 
     // Parse the message as a JSON object into map<string,variant> — null for
-    // non-object messages. Variant keeps nested override values intact.
+    // non-object messages. Variant keeps nested override values intact. The
+    // parse runs behind a Generate barrier: six downstream references (four
+    // overrides, the presence test, the re-serialization) would otherwise
+    // re-parse each message per reference.
     val asMap = from_json(col("message"), MapType(StringType, VariantType))
-    val meta = element_at(asMap, "_sumo_metadata")
+    val withMap = graft.functions.ExprUtils.materialized(df, "_msg_map", asMap)
+    val meta = element_at(col("_msg_map"), "_sumo_metadata")
     def ov(prop: String): Column =
       try_variant_get(meta, "$." + prop, "string")
 
-    df.withColumn("_msg_map", asMap)
+    withMap
       .withColumn("source_name", coalesce(ov("sourceName"), defName))
       .withColumn("source_category",
         coalesce(ov("category"), lit(cfg.sourceCategoryOverride)))
