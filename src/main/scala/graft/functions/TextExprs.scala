@@ -1,0 +1,165 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernels for the text-hash expressions — static forwarders so
+  * Janino-generated code can call them (`graft.functions.TextImpl.…`).
+  *
+  * Semantics are bit-identical to the SQL compositions they replace (and to
+  * the DuckDB oracle): hash60 = first 15 hex digits of md5 as a 60-bit long;
+  * MinHash seed/rotation per [[TextFunctions.mix60]]. The kernels exist purely
+  * because interpreted higher-order evaluation pays per-element expression
+  * dispatch + hex-string round-trips — a tight loop with one reused
+  * MessageDigest is ~10× faster on the dedup hot path.
+  */
+object TextImpl {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes): big-endian first 8 bytes >>> 4 — equals
+    * `conv(substring(md5(x),1,15),16,10)`.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val top =
+      ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+        ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** Element-wise [[hash60]] over a string array (null elements → null). */
+  def hash60Array(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        out(i) = hash60(arr.getUTF8String(i).getBytes)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: k minima of the seeded 60-bit rotate-xor permutations
+    * over a pre-hashed shingle array — the loop form of
+    * `array((0 until k).map(i => array_min(transform(sh, h => mix60(h, i)))))`.
+    * Empty input → array of nulls (array_min of empty is null).
+    */
+  def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val r = (7 * i) % 60
+      val seed = TextFunctions.seed60(i)
+      val mask = (1L << (60 - r)) - 1
+      var min = Long.MaxValue
+      var any = false
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val h = arr.getLong(j)
+          val mixed = (((h & mask) << r) | (h >> (60 - r))) ^ seed
+          if (mixed < min) min = mixed
+          any = true
+        }
+        j += 1
+      }
+      out(i) = if (any) min else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** One-pass shingle hashing kernel — see [[ShingleHashes]]. */
+object ShingleImpl {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Distinct word n-gram shingles of the normalized text, hashed: the loop
+    * form of `transform(array_distinct(n-grams(split(lower(trim(s))))), hash60)`.
+    * Dedup is on the shingle STRING (not the hash) so a 60-bit collision
+    * yields the same duplicate hash the SQL/DuckDB form produces.
+    */
+  def shingleHash60(s: UTF8String, n: Int): ArrayData = {
+    // trim-then-lower in the same order as the SQL form lower(trim(c));
+    // UTF8String methods match Spark's StringTrim/Lower exactly and the same
+    // Java regex engine backs Spark's StringSplit.
+    val normalized = s.trim.toLowerCase.toString
+    val toks = ws.split(normalized, -1)
+    if (toks.length < n || normalized.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val out = new java.util.ArrayList[Any](toks.length)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        out.add(TextImpl.hash60(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `shingle_hash60(string, n) -> array<long>` with whole-stage codegen: the
+  * fused tokenize → n-gram → distinct → hash60 pipeline (the hot projection
+  * of every dedup operator — one pass, no per-element interpreted dispatch).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle size must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "shingle_hash60"
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.shingleHash60(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.shingleHash60($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `hash60_array(array<string>) -> array<long>` with whole-stage codegen. */
+case class Hash60Array(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "hash60_array"
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.hash60Array(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.hash60Array($c)")
+  override protected def withNewChildInternal(newChild: Expression): Hash60Array =
+    copy(child = newChild)
+}
+
+/** `minhash_signature(array<long>, k) -> array<long>` with codegen. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0, "k must be positive")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.minhashSignature(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.minhashSignature($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}

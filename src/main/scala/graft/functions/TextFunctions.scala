@@ -93,22 +93,22 @@ object TextFunctions {
   }
 
   /** Shingle hash set: one [[hash60]] per distinct shingle — the input to
-    * MinHash signatures and to hashed-Jaccard verification.
+    * MinHash signatures and to hashed-Jaccard verification. Runs as the
+    * codegen'd [[Hash60Array]] kernel (same bits as the SQL/DuckDB form;
+    * ~10× over per-element interpreted md5+hex+conv).
     */
   def shingleHashes(c: Column, n: Int = 3): Column =
-    transform(shingles(c, n), s => hash60(s))
+    org.apache.spark.sql.GraftGlue.column(
+      ShingleHashes(org.apache.spark.sql.GraftGlue.expression(c), n))
 
   /** MinHash signature over a pre-hashed shingle array: k minima of the
-    * seeded [[mix60]] permutations. Statically unrolled per seed — a narrow
-    * projection (no shuffle, no per-seed md5). The input is let-bound so the
-    * producing expression runs once even when an upstream projection is
-    * collapsed into this one (k references otherwise mean k evaluations).
+    * seeded [[mix60]] permutations, as the codegen'd [[MinHashSignature]]
+    * kernel (single pass per seed, no per-element expression dispatch;
+    * bit-identical to the unrolled SQL form the oracle replicates).
     */
   def minhashSignature(shHashCol: Column, k: Int = 32): Column =
-    let(shHashCol) { sh =>
-      array((0 until k).map(i =>
-        array_min(transform(sh, h => mix60(h, i)))): _*)
-    }
+    org.apache.spark.sql.GraftGlue.column(
+      MinHashSignature(org.apache.spark.sql.GraftGlue.expression(shHashCol), k))
 
   /** LSH band digests: signature split into `bands` rows of `k/bands`, each
     * band hashed; documents sharing any band digest become candidates.
@@ -192,5 +192,5 @@ object TextFunctions {
     * minimum [[hash60]] shingle hash — robust to reordering of a few tokens.
     */
   def rollingFingerprint(c: Column, n: Int = 3): Column =
-    array_min(transform(shingles(c, n), s => hash60(s)))
+    array_min(shingleHashes(c, n))
 }
