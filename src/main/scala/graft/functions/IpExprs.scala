@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IPv4/CIDR runtime kernel (static forwarders for Janino codegen). */
+object IpImpl {
+
+  /** Parse dotted-quad IPv4 to an unsigned int in a long, -1 if malformed. */
+  def parseIpv4(s: String): Long = {
+    var value = 0L
+    var octet = 0L
+    var octets = 0
+    var digits = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        octet = octet * 10 + (c - '0')
+        digits += 1
+        if (digits > 3 || octet > 255) return -1L
+      } else if (c == '.') {
+        if (digits == 0 || octets == 3) return -1L
+        value = (value << 8) | octet
+        octet = 0; digits = 0; octets += 1
+      } else return -1L
+      i += 1
+    }
+    if (digits == 0 || octets != 3) return -1L
+    (value << 8) | octet
+  }
+
+  /** True CIDR membership: `ip` inside `cidr` ("a.b.c.d/len"; bare address =
+    * /32). Malformed input → false (never a job failure).
+    */
+  def ipInCidr(ip: UTF8String, cidr: UTF8String): Boolean = {
+    val ipVal = parseIpv4(ip.toString)
+    if (ipVal < 0) return false
+    val c = cidr.toString
+    val slash = c.indexOf('/')
+    val (base, len) =
+      if (slash < 0) (c, 32)
+      else {
+        val l = try c.substring(slash + 1).toInt catch { case _: NumberFormatException => -1 }
+        (c.substring(0, slash), l)
+      }
+    if (len < 0 || len > 32) return false
+    val baseVal = parseIpv4(base)
+    if (baseVal < 0) return false
+    val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
+    (ipVal & mask) == (baseVal & mask)
+  }
+}
+
+/** `ip_in_cidr(ip, cidr) -> boolean` — the semantically-correct upgrade of
+  * the reference's string-prefix "CIDR" filter (SURVEY §2.9: the reference
+  * only prefix-matches, `vpcutils.js:41-42`; a /22 like 10.0.4.0/22 cannot be
+  * expressed as a string prefix). Codegen'd, null-safe, malformed → false.
+  */
+case class IpInCidr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "ip_in_cidr"
+  override protected def nullSafeEval(ip: Any, cidr: Any): Any =
+    IpImpl.ipInCidr(ip.asInstanceOf[UTF8String], cidr.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.IpImpl.ipInCidr($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IpInCidr =
+    copy(left = l, right = r)
+}
+
+object ip {
+  def ipInCidr(ipCol: Column, cidrCol: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(IpInCidr(
+      org.apache.spark.sql.GraftGlue.expression(ipCol),
+      org.apache.spark.sql.GraftGlue.expression(cidrCol)))
+}

@@ -30,16 +30,21 @@ object VpcFlow {
     df.select((col("*") +: typed): _*)
   }
 
-  /** F4: drop records where BOTH src and dst start with any configured prefix.
-    * Faithfully prefix-match (not CIDR math) per reference `vpcutils.js:41-42`;
-    * expressed with builtins so Catalyst can push it below joins.
+  /** F4: drop records where BOTH src and dst are internal. Default mode
+    * faithfully prefix-matches (not CIDR math) per reference
+    * `vpcutils.js:41-42`, expressed with builtins so Catalyst can push it
+    * below joins. `trueCidr = true` upgrades to real CIDR membership via the
+    * codegen'd [[graft.functions.IpInCidr]] expression (SURVEY §2.9 — a /22
+    * cannot be expressed as a string prefix), entries like `10.0.4.0/22`.
     */
-  def discardInternalTraffic(df: DataFrame, vpcCidrPrefix: Option[String]): DataFrame =
+  def discardInternalTraffic(df: DataFrame, vpcCidrPrefix: Option[String],
+      trueCidr: Boolean = false): DataFrame =
     vpcCidrPrefix.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty) match {
       case Some(prefixes) =>
         val internal = (addr: String) => {
           val arr = array(prefixes.map(lit): _*)
-          exists(arr, p => startswith(col(addr), p))
+          if (trueCidr) exists(arr, p => graft.functions.ip.ipInCidr(col(addr), p))
+          else exists(arr, p => startswith(col(addr), p))
         }
         df.filter(!(internal("srcaddr") && internal("dstaddr")))
       case None => df

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ip, TextFunctions}
+import graft.functions.TextFunctions._
+
+/** The codegen'd kernels (TextExprs/IpExprs) must be bit-identical to the
+  * SQL-composed forms they replaced — the DuckDB oracle replicates the SQL
+  * forms, so any divergence silently breaks the correctness gate.
+  */
+class KernelParitySpec extends SparkSpec {
+
+  private val tricky = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "  leading and trailing   spaces\tand\ttabs  ",
+    "MiXeD CaSe TOKENS mixed case tokens MIXED",
+    "dup dup dup dup dup", // repeated shingles → string-level dedup
+    "one two", // below shingle size
+    "", // empty
+    "汉字 分词 测试 汉字 分词 与 空格", // multi-byte UTF-8
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "x " * 500 + "tail token stream") // long doc
+
+  test("shingle kernel == SQL-composed transform(shingles, hash60)") {
+    val s = spark
+    import s.implicits._
+    val df = tricky.toDF("text")
+    // the pre-kernel SQL form, inlined
+    val sqlForm = transform(shingles(col("text"), 3),
+      sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long"))
+    val rows = df.select(
+      shingleHashes(col("text"), 3).as("kernel"), sqlForm.as("sql"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (k, q) => assert(k == q) }
+  }
+
+  test("minhash kernel == unrolled mix60/array_min form") {
+    val s = spark
+    import s.implicits._
+    val df = tricky.filter(_.trim.split("\\s+").length >= 3).toDF("text")
+    val sh = shingleHashes(col("text"), 3)
+    val unrolled = TextFunctions.let(sh) { arr =>
+      array((0 until 16).map(i =>
+        array_min(transform(arr, h => mix60(h, i)))): _*)
+    }
+    val rows = df.select(
+      minhashSignature(sh, 16).as("kernel"), unrolled.as("sql"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (k, q) => assert(k == q) }
+  }
+
+  test("ip_in_cidr: membership, bare address, malformed → false") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      ("10.0.4.17", "10.0.4.0/22", true),
+      ("10.0.7.255", "10.0.4.0/22", true),
+      ("10.0.8.0", "10.0.4.0/22", false),
+      ("10.0.1.5", "10.0.1.5", true), // bare = /32
+      ("10.0.1.6", "10.0.1.5", false),
+      ("192.168.1.1", "0.0.0.0/0", true),
+      ("256.1.1.1", "10.0.0.0/8", false), // malformed ip
+      ("10.1.1.1", "10.0.0.0/33", false), // malformed mask
+      ("not-an-ip", "10.0.0.0/8", false))
+    val df = cases.toDF("ip", "cidr", "expected")
+    val got = df.select(ip.ipInCidr(col("ip"), col("cidr")).as("got"),
+      col("expected")).as[(Boolean, Boolean)].collect()
+    got.foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("F4 true-CIDR mode drops /22-internal pairs a prefix cannot express") {
+    val s = spark
+    import s.implicits._
+    val flows = Seq(
+      ("10.0.4.1", "10.0.6.2"), // both in 10.0.4.0/22 → dropped
+      ("10.0.4.1", "10.0.9.2"), // dst outside → kept
+      ("8.8.8.8", "1.1.1.1")) // both external → kept
+      .toDF("srcaddr", "dstaddr")
+    val kept = graft.operators.VpcFlow.discardInternalTraffic(
+      flows, Some("10.0.4.0/22"), trueCidr = true)
+      .select("srcaddr").as[String].collect().toSeq
+    assert(kept == Seq("10.0.4.1", "8.8.8.8"))
+  }
+}
