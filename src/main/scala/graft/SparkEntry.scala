@@ -533,6 +533,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .orderBy("alias")
     }),
+    // ---- S6 SNS source roundtrip + J2-style broadcast enrichment ----
+    "q43_sns_inspector" -> ((s, dir) => {
+      val msgSchema = StructType(Seq(
+        StructField("template", StringType), StructField("severity", LongType)))
+      val ev = tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val body = to_json(struct(array(struct(struct(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("Timestamp"),
+        col("event_id").cast("string").as("MessageId"),
+        to_json(struct(
+          concat(lit("t-"), col("user_id") % 25).as("template"),
+          col("k").as("severity"))).as("Message")).as("Sns"))).as("Records")))
+      val snsSchema = StructType(Seq(StructField("Records",
+        org.apache.spark.sql.types.ArrayType(graft.model.Schemas.snsRecord))))
+      val parsed = ev.select(from_json(body, snsSchema).as("e"))
+        .select(col("e.Records").as("Records"))
+      val msgs = graft.operators.EventSources.snsMessages(parsed, msgSchema)
+      val dim = tbl(s, dir, "nation")
+        .select(concat(lit("t-"), col("n_nationkey")).as("template"),
+          col("n_name").as("template_name"))
+      msgs.join(broadcast(dim), col("message.template") === dim("template"), "left")
+        .select(col("message_id").cast("long").as("event_id"),
+          col("sns_timestamp"), col("message.template").as("template"),
+          col("message.severity").as("severity"), col("template_name"))
+        .orderBy("event_id")
+    }),
+    // ---- T19 metadata derive: per-record _sumo_metadata override + removal ----
+    "q44_meta_derive" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      val msg = when(col("k") % 3 === 0,
+        concat(lit("{\"_sumo_metadata\":{\"category\":\"over-"), col("k") % 5,
+          lit("\"},\"k\":"), col("k"), lit("}")))
+        .otherwise(col("props"))
+      val derived = graft.operators.Metadata.derive(
+        ev.select(col("event_id"), msg.as("message")))
+      derived.select(col("event_id"), col("source_category"), col("meta_key"),
+          col("message"))
+        .orderBy("event_id")
+    }),
     // ---- IVF coarse quantization: per-cluster assignment histogram ----
     "q42_ivf_assign" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -926,6 +966,25 @@ object SparkEntry {
       """SELECT n.n_name AS alias, count(*) AS n_events
          FROM events e JOIN nation n ON 100000000000 + e.user_id%25 = 100000000000 + n.n_nationkey
          GROUP BY 1 ORDER BY alias""",
+    "q43_sns_inspector" ->
+      """SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS sns_timestamp,
+           't-'||(user_id%25) AS template,
+           CAST(props->>'$.k' AS BIGINT) AS severity,
+           n.n_name AS template_name
+         FROM events e LEFT JOIN nation n ON e.user_id%25 = n.n_nationkey
+         ORDER BY event_id""",
+    "q44_meta_derive" ->
+      """WITH m AS (SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, props FROM events)
+         SELECT event_id,
+           CASE WHEN k%3 = 0 THEN 'over-'||(k%5) ELSE '' END AS source_category,
+           ':'||CASE WHEN k%3 = 0 THEN 'over-'||(k%5) ELSE '' END||'::' AS meta_key,
+           CASE WHEN k%3 = 0
+             THEN CAST(json_merge_patch(
+               '{"_sumo_metadata":{"category":"over-'||(k%5)||'"},"k":'||k||'}',
+               '{"_sumo_metadata":null}') AS VARCHAR)
+             ELSE props END AS message
+         FROM m ORDER BY event_id""",
     "q42_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
          a AS (SELECT e.vec_id, c.cid,

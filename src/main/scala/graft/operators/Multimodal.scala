@@ -57,6 +57,21 @@ object Multimodal {
       counts.map(_ / n)
     }
 
+    /** ??? real impl: pixel-space rescale. Deterministic fake: byte-domain
+      * nearest-neighbor resample to the target "pixel" budget (w*h*channels).
+      */
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
+      if (content == null || content.isEmpty) return Array.emptyByteArray
+      val target = math.max(w * h * channels, 1)
+      val out = new Array[Byte](target)
+      var i = 0
+      while (i < target) {
+        out(i) = content((i.toLong * content.length / target).toInt)
+        i += 1
+      }
+      out
+    }
+
     /** ??? real impl: codec-aware frame seek. Deterministic fake: n evenly
       * spaced byte-slices standing in for frames.
       */
@@ -92,6 +107,19 @@ object Multimodal {
     */
   def extractFeatures(df: DataFrame, contentCol: Column, bins: Int = 16): DataFrame =
     df.withColumn("features", featuresUdf(contentCol, lit(bins)))
+
+  private val resizeUdf = udf((content: Array[Byte], w: Int, h: Int, c: Int) =>
+    FakeCodec.resize(content, w, h, c))
+
+  /** Resize stage: re-encode content to the target dimensions and update the
+    * typed meta to match (expects [[decode]] ran first for `meta.channels`).
+    */
+  def resize(df: DataFrame, contentCol: Column, width: Int, height: Int): DataFrame =
+    df.withColumn("content",
+      resizeUdf(contentCol, lit(width), lit(height), coalesce(col("meta.channels"), lit(1))))
+      .withColumn("meta", struct(
+        lit(width).as("width"), lit(height).as("height"),
+        col("meta.channels").as("channels"), col("meta.duration_ms").as("duration_ms")))
 
   /** Frame-sample stage: n pseudo-frames per video row, exploded to one row
     * per frame with its index.

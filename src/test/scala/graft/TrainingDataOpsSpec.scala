@@ -112,5 +112,11 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(f.zip(f2).forall { case (a, b) => a == b })
     val frames = Multimodal.sampleFrames(base, col("content"), 4, 128)
     assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) == 4L))
+    // resize: content re-budgeted to w*h*channels, meta updated to match
+    val resized = Multimodal.resize(decoded, col("content"), 8, 8)
+    val r = resized.select(col("meta.width"), col("meta.height"),
+      col("meta.channels"), length(col("content"))).collect()
+    assert(r.forall(row => row.getInt(0) == 8 && row.getInt(1) == 8 &&
+      row.getInt(3) == 8 * 8 * row.getInt(2)))
   }
 }
