@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: session/codegen/scan spin-up otherwise lands entirely
+    // on whichever query happens to run first (~4s attributed to one query).
+    try {
+      SparkEntry.tbl(spark, sfDir, "events").count()
+      SparkEntry.tbl(spark, sfDir, "documents").count()
+      SparkEntry.tbl(spark, sfDir, "embeddings").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
