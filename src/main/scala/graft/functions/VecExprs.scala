@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Float-vector kernels (static forwarders for Janino codegen).
+  *
+  * Accumulation is strictly left-to-right in doubles — bit-identical to the
+  * `aggregate(zip_with(...))` SQL forms these replace and to the DuckDB
+  * `list_reduce(list_transform(...))` oracle formulation, so hash-match
+  * correctness is preserved while the per-pair cost drops from interpreted
+  * per-element expression dispatch to a primitive loop.
+  */
+object VecImpl {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def sqNorm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    s
+  }
+}
+
+/** `vec_dot(array<float>, array<float>) -> double` with codegen. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecImpl.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** `vec_sqnorm(array<float>) -> double` with codegen. */
+case class VecSqNorm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqnorm"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.sqNorm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.sqNorm($a)")
+  override protected def withNewChildInternal(newChild: Expression): VecSqNorm =
+    copy(child = newChild)
+}

@@ -76,8 +76,9 @@ object Dedup {
     // shingle arrays measures slower than recomputing the post-exchange
     // projection — at 100 TB you would write the signature table to storage
     // instead.)
-    val sh = df.select(idCol.as("doc_id"), textCol.as("_text"))
+    val raw = df.select(idCol.as("doc_id"), textCol.as("_text"))
       .repartition(col("doc_id"))
+    val sh = raw
       .select(col("doc_id"), shingleHashes(col("_text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val banded = sh
@@ -97,7 +98,11 @@ object Dedup {
     // never to shared-shingle co-occurrence counts (an inverted-index
     // self-join on shingle hash is quadratic in hot shingles: near-dup
     // candidate docs share most of their shingles, so that variant degrades
-    // exactly on the inputs LSH surfaces).
+    // exactly on the inputs LSH surfaces). The verify side reads the full
+    // shingle table rather than semi-joining to candidate docs first: in one
+    // lazy plan a candidate-doc semi-join re-executes the whole band-join
+    // subtree per branch (measured ~1.7× slower end-to-end). At 100 TB, with
+    // the candidates table persisted, restrict this to candidate docs.
     val docSets = sh.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
     candidates
       .join(docSets.select(col("doc_id").as("doc_a"),

@@ -14,17 +14,20 @@ object Similarity {
 
   /** Cosine similarity of two float arrays, computed in double precision with
     * left-to-right accumulation: `dot / sqrt(na*nb)` — matches the DuckDB
-    * oracle formulation bit-for-bit.
+    * oracle formulation bit-for-bit. Runs as codegen'd kernels
+    * ([[graft.functions.VecDot]]/[[graft.functions.VecSqNorm]]) — identical
+    * accumulation order, primitive loop instead of per-element interpreted
+    * dispatch (the n²-pair operators spend almost all their time here).
     */
-  private def acc(c: Column): Column = aggregate(c, lit(0.0), (s, x) => s + x)
-
-  /** Left-to-right double dot product of two float arrays. */
   def dot(a: Column, b: Column): Column =
-    acc(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    org.apache.spark.sql.GraftGlue.column(graft.functions.VecDot(
+      org.apache.spark.sql.GraftGlue.expression(a),
+      org.apache.spark.sql.GraftGlue.expression(b)))
 
   /** Squared L2 norm in double precision. */
   def sqNorm(a: Column): Column =
-    acc(transform(a, x => x.cast("double") * x.cast("double")))
+    org.apache.spark.sql.GraftGlue.column(graft.functions.VecSqNorm(
+      org.apache.spark.sql.GraftGlue.expression(a)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(sqNorm(a) * sqNorm(b))

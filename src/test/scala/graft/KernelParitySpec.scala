@@ -50,6 +50,27 @@ class KernelParitySpec extends SparkSpec {
     rows.foreach { case (k, q) => assert(k == q) }
   }
 
+  test("vec kernels == SQL aggregate/zip_with forms on real embeddings") {
+    val s = spark
+    import s.implicits._
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("idb"), col("embedding").as("b")))
+      .filter(col("ida") < col("idb")).limit(200)
+    val sqlDot = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val sqlNorm = aggregate(transform(col("a"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val rows = pairs.select(
+      graft.operators.Similarity.dot(col("a"), col("b")).as("kd"), sqlDot.as("sd"),
+      graft.operators.Similarity.sqNorm(col("a")).as("kn"), sqlNorm.as("sn"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (kd, sd, kn, sn) =>
+      assert(kd == sd) // bit-identical, not approximately equal
+      assert(kn == sn)
+    }
+  }
+
   test("ip_in_cidr: membership, bare address, malformed → false") {
     val s = spark
     import s.implicits._
