@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** Library entry point for SQL users: registers every graft custom expression
+  * on session build via `spark.sql.extensions=graft.GraftExtensions` (the
+  * idiomatic Spark extension mechanism — no session-state mutation needed).
+  *
+  * After registration the whole custom surface is reachable from plain SQL:
+  * `SELECT minhash_signature(shingle_hash60(text, 3), 32) FROM docs`,
+  * `SELECT vec_dot(a.embedding, b.embedding) ...`,
+  * `SELECT * FROM flows WHERE NOT (ip_in_cidr(srcaddr, '10.0.0.0/8') AND ...)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("gunzip"),
+      info("gunzip", "gunzip(binary) - decompress a (multi-member) gzip stream"),
+      (es: Seq[Expression]) => Gunzip(es.head)))
+    ext.injectFunction((FunctionIdentifier("gzip"),
+      info("gzip", "gzip(binary) - gzip-compress"),
+      (es: Seq[Expression]) => GzipCompress(es.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_hash60"),
+      info("shingle_hash60", "shingle_hash60(text, n) - distinct word n-gram 60-bit hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("hash60_array"),
+      info("hash60_array", "hash60_array(array<string>) - element-wise 60-bit md5 hash"),
+      (es: Seq[Expression]) => Hash60Array(es.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(array<long>, k) - k-permutation MinHash"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, intArg(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(array<float>, array<float>) - double dot product"),
+      (es: Seq[Expression]) => VecDot(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_sqnorm"),
+      info("vec_sqnorm", "vec_sqnorm(array<float>) - double squared L2 norm"),
+      (es: Seq[Expression]) => VecSqNorm(es.head)))
+    ext.injectFunction((FunctionIdentifier("ip_in_cidr"),
+      info("ip_in_cidr", "ip_in_cidr(ip, cidr) - IPv4 CIDR membership, malformed->false"),
+      (es: Seq[Expression]) => IpInCidr(es.head, es(1))))
+  }
+}

@@ -573,6 +573,27 @@ object SparkEntry {
           col("message"))
         .orderBy("event_id")
     }),
+    // ---- dedup cluster formation: connected components over near-dup pairs ----
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.minhashPairs(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        threshold = 0.5, k = 32, bands = 8)
+      graft.operators.Dedup.clusters(pairs).orderBy("doc_id")
+    }),
+    // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
+    "q46_curation_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = tbl(s, dir, "documents")
+        .withColumn("lang_guess", langId(col("text")))
+        .withColumn("quality", qualityScore(col("text")))
+      val eligible = d.filter(col("lang_guess") === "en" && col("quality") >= 0.5)
+      val pairs = graft.operators.Dedup.minhashPairs(
+        eligible, col("doc_id"), col("text"), threshold = 0.5)
+      val dropIds = pairs.select(col("doc_b").as("doc_id")).distinct()
+      eligible.join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_guess"), col("quality"))
+        .orderBy("doc_id")
+    }),
     // ---- IVF coarse quantization: per-cluster assignment histogram ----
     "q42_ivf_assign" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -985,6 +1006,108 @@ object SparkEntry {
                '{"_sumo_metadata":null}') AS VARCHAR)
              ELSE props END AS message
          FROM m ORDER BY event_id""",
+    "q45_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks)-1),
+                      i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE []::VARCHAR[] END AS sh
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+         s2 AS (SELECT doc_id,
+                  list_transform(sh, s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS shh
+                FROM sh WHERE len(sh) > 0),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 32), i ->
+             list_min(list_transform(shh, h ->
+               xor(
+                 ((h & ((1::BIGINT << (60 - ((7*i)%60))) - 1)) << ((7*i)%60))
+                   | (h >> (60 - ((7*i)%60))),
+                 ('0x'||substring(md5(i::VARCHAR),1,15))::BIGINT)))) AS sig
+           FROM s2),
+         banded AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0, 8),
+               b -> md5(array_to_string(sig[b*4+1:b*4+4], ',')))) AS band,
+             unnest(range(0, 8)) AS band_idx
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(x.shh, y.shh))::DOUBLE /
+               (len(x.shh) + len(y.shh) - len(list_intersect(x.shh, y.shh))) AS j
+           FROM cand JOIN s2 x ON cand.doc_a = x.doc_id
+                     JOIN s2 y ON cand.doc_b = y.doc_id)
+           WHERE j >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach AS (SELECT node, node AS anc FROM nodes
+                   UNION
+                   SELECT e.b AS node, r.anc
+                   FROM reach r JOIN edges e ON e.a = r.node)
+         SELECT node AS doc_id, min(anc) AS cluster_id
+         FROM reach GROUP BY node ORDER BY doc_id""",
+    "q46_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         h AS (SELECT doc_id, text, toks,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','a'], x))) AS h_en,
+           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS h_es,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','von','ein','zu'], x))) AS h_de,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une'], x))) AS h_fr,
+           len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有','我','不'], x))) AS h_zh
+           FROM t),
+         q AS (SELECT *, greatest(h_en,h_es,h_de,h_fr,h_zh) AS best,
+           (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / length(text) AS punct,
+           h_en::DOUBLE / len(toks) AS stop_ratio FROM h),
+         scored AS (SELECT doc_id, toks,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es'
+                WHEN h_de = best THEN 'de' WHEN h_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+           round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
+                 (1.0 - punct) * 0.4 +
+                 least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+           FROM q),
+         elig AS (SELECT doc_id, toks, lang_guess, quality FROM scored
+                  WHERE lang_guess = 'en' AND quality >= 0.5),
+         shl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+                   THEN list_distinct(list_transform(range(1, len(toks)-1),
+                          i -> array_to_string(toks[i:i+2], ' ')))
+                   ELSE []::VARCHAR[] END AS sh FROM elig),
+         s2 AS (SELECT doc_id,
+                  list_transform(sh, s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS shh
+                FROM shl WHERE len(sh) > 0),
+         sig AS (SELECT doc_id, list_transform(range(0, 32), i ->
+             list_min(list_transform(shh, h ->
+               xor(
+                 ((h & ((1::BIGINT << (60 - ((7*i)%60))) - 1)) << ((7*i)%60))
+                   | (h >> (60 - ((7*i)%60))),
+                 ('0x'||substring(md5(i::VARCHAR),1,15))::BIGINT)))) AS sig
+           FROM s2),
+         banded AS (SELECT doc_id,
+             unnest(list_transform(range(0, 8),
+               b -> md5(array_to_string(sig[b*4+1:b*4+4], ',')))) AS band,
+             unnest(range(0, 8)) AS band_idx
+           FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(x.shh, y.shh))::DOUBLE /
+               (len(x.shh) + len(y.shh) - len(list_intersect(x.shh, y.shh))) AS j
+           FROM cand JOIN s2 x ON cand.doc_a = x.doc_id
+                     JOIN s2 y ON cand.doc_b = y.doc_id)
+           WHERE j >= 0.5)
+         SELECT e.doc_id, e.lang_guess, e.quality FROM elig e
+         WHERE e.doc_id NOT IN (SELECT doc_b FROM pairs)
+         ORDER BY e.doc_id""",
     "q42_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
          a AS (SELECT e.vec_id, c.cid,

@@ -144,6 +144,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list: every document gets the
+    * minimum doc id reachable through pair edges as its `cluster_id` — the
+    * canonical-document assignment that completes any pairwise dedup
+    * ([[minhashPairs]]/[[simhashPairs]]/[[embeddingNearDup]] feed this).
+    *
+    * Min-label propagation to a fixpoint: per iteration each node takes the
+    * minimum of its own and its neighbors' labels. Iterations = graph
+    * diameter; near-dup clusters are shallow (dozens of docs), so this
+    * converges in a few rounds. Each round is one shuffle-on-node join; the
+    * label frame is persisted per round and the previous one released. (At
+    * extreme component sizes swap in small-star/large-star — same contract.)
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val sym = edges.union(edges.select(col("b"), col("a"))).distinct().persist()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var labels = nodes.withColumn("lbl", col("node")).persist()
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nlbl")).as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next
+        .join(labels.select(col("node"), col("lbl").as("old_lbl")), "node")
+        .filter(col("lbl") =!= col("old_lbl")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (e.g. a cluster/label
     * column): cosine ≥ threshold. For global coverage compose with
     * [[Similarity.hyperplaneBucket]] as the blocking key.

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions must make the whole custom-expression surface reachable
+  * from plain SQL on a session built with `spark.sql.extensions`. Own session
+  * (not the shared one) because extensions apply at build time.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate would silently return the shared (extension-less) suite
+    // session — extensions only apply at session CREATE time.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("all custom functions resolve and evaluate from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  cast(gunzip(gzip(cast('hello' AS binary))) AS string) AS roundtrip,
+        |  shingle_hash60('a b c d', 3) AS sh,
+        |  minhash_signature(shingle_hash60('a b c d', 3), 4) AS sig,
+        |  hash60_array(array('x')) AS h60,
+        |  vec_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
+        |          array(cast(3.0 AS float), cast(4.0 AS float))) AS dot,
+        |  vec_sqnorm(array(cast(3.0 AS float), cast(4.0 AS float))) AS nrm,
+        |  ip_in_cidr('10.0.4.9', '10.0.4.0/22') AS cidr
+        |""".stripMargin).head()
+    assert(row.getString(0) == "hello")
+    assert(row.getSeq[Long](1).length == 2) // "a b c", "b c d"
+    assert(row.getSeq[Long](2).length == 4)
+    assert(row.getSeq[Long](3).nonEmpty)
+    assert(row.getDouble(4) == 11.0)
+    assert(row.getDouble(5) == 25.0)
+    assert(row.getBoolean(6))
+  }
+
+  test("SQL form matches the Column API form") {
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql("SELECT shingle_hash60('one two three four', 3) AS s")
+      .head().getSeq[Long](0)
+    val viaApi = spark.range(1)
+      .select(graft.functions.TextFunctions.shingleHashes(lit("one two three four"), 3).as("s"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi)
+  }
+}
