@@ -594,6 +594,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_guess"), col("quality"))
         .orderBy("doc_id")
     }),
+    // ---- SimHash near-dup pairs via pigeonhole bands ----
+    "q47_simhash_pairs" -> ((s, dir) => {
+      graft.operators.Dedup.simhashPairs(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+    // ---- S7 EventBridge unwrap: guardduty detail vs whole-event passthrough ----
+    "q48_eventbridge_unwrap" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val raw = to_json(struct(
+        when(col("user_id") % 2 === 0, lit("aws.guardduty"))
+          .otherwise(lit("custom.app")).as("source"),
+        struct(col("event_id"), col("event_type")).as("detail")))
+      val schema = StructType(Seq(
+        StructField("source", StringType),
+        StructField("detail", StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType))))))
+      val parsed = ev.select(col("event_id"), from_json(raw, schema).as("e"))
+        .select(col("event_id"), col("e.source").as("source"), col("e.detail").as("detail"))
+      graft.operators.EventSources.unwrapEventBridge(parsed.drop("event_id"))
+        .select(col("detail.event_id").as("event_id"), col("payload"))
+        .orderBy("event_id")
+    }),
     // ---- IVF coarse quantization: per-cluster assignment histogram ----
     "q42_ivf_assign" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -1108,6 +1132,36 @@ object SparkEntry {
          SELECT e.doc_id, e.lang_guess, e.quality FROM elig e
          WHERE e.doc_id NOT IN (SELECT doc_b FROM pairs)
          ORDER BY e.doc_id""",
+    "q47_simhash_pairs" ->
+      """WITH s AS (SELECT doc_id,
+           list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN 2*len(list_filter(th, v -> (v >> j) & 1 = 1)) > len(th)
+                  THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sim
+         FROM (SELECT doc_id,
+                 list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                   t -> ('0x'||substring(md5(t),1,8))::BIGINT) AS th
+               FROM documents)),
+         banded AS (SELECT doc_id, sim, b.range AS band_idx,
+                      (sim >> (CAST(b.range AS INTEGER)*8)) & 255 AS band_val
+                    FROM s, range(0, 4) b),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sim AS sa, b.sim AS sb
+                  FROM banded a JOIN banded b
+                    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                       AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         ORDER BY doc_a, doc_b""",
+    "q48_eventbridge_unwrap" ->
+      """SELECT event_id,
+           CASE WHEN user_id%2 = 0
+             THEN CAST(to_json(struct_pack(event_id := event_id,
+                    event_type := event_type)) AS VARCHAR)
+             ELSE CAST(to_json(struct_pack(source := 'custom.app',
+                    detail := struct_pack(event_id := event_id,
+                      event_type := event_type))) AS VARCHAR)
+           END AS payload
+         FROM events ORDER BY event_id""",
     "q42_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
          a AS (SELECT e.vec_id, c.cid,

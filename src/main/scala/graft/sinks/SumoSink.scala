@@ -82,7 +82,8 @@ object SumoSink {
       retries: Int = 3,
       retrySeedMs: Long = 50,
       dlqDir: Option[String] = None,
-      compress: Boolean = true): Dataset[PostOutcome] = {
+      compress: Boolean = true,
+      saltFactor: Int = 1): Dataset[PostOutcome] = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -94,8 +95,19 @@ object SumoSink {
       col("source_fields"),
       to_json(struct(payloadCols.map(col): _*)).as("_line"))
 
-    lines
-      .repartition(col("meta_key"))
+    // saltFactor > 1 spreads a hot meta key over that many partitions (skew:
+    // one giant source category would otherwise serialize through a single
+    // task). Chunking only needs same-key rows consecutive WITHIN a
+    // partition, so salted delivery stays correct — just more chunks per key.
+    // Content-hash salt (not rand/monotonic id) so task retries repartition
+    // identically. Note AQE's partition coalescing will still merge SMALL
+    // salted partitions back together — that is the desired behavior: salting
+    // only takes effect when the hot key's volume is actually large.
+    val partitioned =
+      if (saltFactor <= 1) lines.repartition(col("meta_key"))
+      else lines.repartition(col("meta_key"),
+        pmod(hash(col("_line")), lit(saltFactor)))
+    partitioned
       .sortWithinPartitions("meta_key")
       .mapPartitions { it =>
         new ChunkedPostIterator(it, poster, clientHeader, maxBytes, retries,

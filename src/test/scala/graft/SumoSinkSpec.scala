@@ -75,6 +75,32 @@ class SumoSinkSpec extends SparkSpec {
     assert(readBack(out).size == 100)
   }
 
+  test("salting: hot key spreads over partitions, all lines still delivered once") {
+    val s = spark
+    import s.implicits._
+    val out = mkTmp()
+    // one hot meta key, distinct payloads (the realistic skew shape)
+    val hot = Metadata.derive(
+      (0 until 100).map(i => (s"""{"i":$i}""", "ls", "grp"))
+        .toDF("message", "logStream", "logGroup"),
+      Metadata.MetaConfig(sourceCategoryOverride = "hot/cat"))
+    assert(hot.select("meta_key").distinct().count() == 1)
+    // AQE re-coalesces tiny salted partitions (correct at scale — salting
+    // matters only for big hot keys); disable coalescing to observe the spread
+    // on test-sized data.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    val outcomes =
+      try SumoSink.post(hot, new SumoSink.LocalDirPoster(out), saltFactor = 8).collect()
+      finally spark.conf.set(coalesceKey, prev)
+    assert(outcomes.forall(_.success))
+    assert(outcomes.map(_.n_lines).sum == 100)
+    assert(readBack(out).size == 100)
+    // one meta key, salted → multiple chunks despite fitting maxBytes
+    assert(outcomes.length > 1)
+  }
+
   test("retry: transient poster failure recovers within retry budget") {
     val out = mkTmp()
     val derived = Metadata.derive(inputDf)
