@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Q1 search-job lifecycle over the engine's store — the driver-side
+  * bookkeeping the reference consumes from the Sumo API
+  * (`sumologic-app-utils/src/sumologic.py:96-116`): create a job from a query
+  * string + time range, poll its state, page `messages` (raw rows) or
+  * `records` (aggregated rows) by limit/offset.
+  *
+  * The job result is computed once per job (async on a daemon thread —
+  * `GATHERING RESULTS` until the action finishes, like the API's poll loop)
+  * and cached as a local frame for stable pagination; paging re-sorts
+  * deterministically so limit/offset pages never overlap.
+  */
+object SearchJobs {
+
+  sealed trait State
+  case object GatheringResults extends State
+  case object DoneGatheringResults extends State
+  final case class Failed(error: String) extends State
+
+  final class Job private[SearchJobs] (
+      val id: Long,
+      resultOf: () => DataFrame,
+      orderBy: Seq[String]) {
+    @volatile private[SearchJobs] var state: State = GatheringResults
+    @volatile private[SearchJobs] var result: DataFrame = _
+    @volatile private[SearchJobs] var count: Long = -1L
+
+    private[SearchJobs] def run(): Unit =
+      try {
+        val df = resultOf()
+        // localCheckpoint: materialize once so every page reads the same data
+        val mat = df.localCheckpoint(true)
+        count = mat.count()
+        result = mat
+        state = DoneGatheringResults
+      } catch {
+        case e: Throwable => state = Failed(String.valueOf(e.getMessage))
+      }
+
+    def status: State = state
+    def messageCount: Long = count
+
+    /** Page the finished result: deterministic order, non-overlapping pages. */
+    def messages(limit: Int, offset: Int): DataFrame = {
+      require(state == DoneGatheringResults, s"job $id not done: $state")
+      SearchQuery.page(result, orderBy.map(col), limit, offset)
+    }
+  }
+
+  private val jobs = new ConcurrentHashMap[Long, Job]()
+  private val nextId = new AtomicLong(0L)
+
+  /** Create + start a search job. `query` uses the [[SearchQuery]] predicate
+    * subset; `orderBy` defines the stable pagination order.
+    */
+  def create(df: DataFrame, query: String, fromTime: Column, toTime: Column,
+      timeCol: Column, messageCol: Column, orderBy: Seq[String]): Job = {
+    val job = new Job(nextId.incrementAndGet(),
+      () => SearchQuery.searchJob(df, query, fromTime, toTime, timeCol, messageCol),
+      orderBy)
+    jobs.put(job.id, job)
+    val t = new Thread(() => job.run(), s"search-job-${job.id}")
+    t.setDaemon(true)
+    t.start()
+    job
+  }
+
+  def get(id: Long): Option[Job] = Option(jobs.get(id))
+
+  /** Poll until done or failed (the reference polls with a fixed delay,
+    * `test-guardduty-benchmark.py:173-206`).
+    */
+  def await(job: Job, timeoutMs: Long = 60000, pollMs: Long = 50): State = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (job.status == GatheringResults && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+    }
+    job.status
+  }
+
+  def delete(id: Long): Unit = jobs.remove(id)
+}

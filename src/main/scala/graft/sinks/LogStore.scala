@@ -1,0 +1,45 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The queryable store behind the search-job surface (SURVEY §2.8/§4): logs
+  * land as parquet partitioned by ingest date and source category, so the
+  * dominant query shape — `_sourceCategory=X` + a time range
+  * (`test-guardduty-benchmark.py:167-169`) — prunes to the matching
+  * directories before any I/O happens.
+  *
+  * At 100 TB this layout is the difference between scanning everything and
+  * scanning one category-day: partition pruning happens at planning time
+  * (`PartitionFilters` in the scan node), column pruning + predicate pushdown
+  * handle the rest inside each file. Writes are append-only and idempotent
+  * per batch directory; `maxRecordsPerFile` bounds file sizes so a hot
+  * category-day splits instead of producing one giant file.
+  */
+object LogStore {
+
+  /** Append a derived log batch (shape per [[graft.operators.Metadata.derive]]
+    * plus a `ts` timestamp column) into the partitioned store.
+    */
+  def append(df: DataFrame, dir: String, tsCol: Column,
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("ingest_date", to_date(tsCol))
+      .write
+      .mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("ingest_date", "source_category")
+      .parquet(dir)
+
+  /** Open the store for querying; partition columns come back typed. */
+  def open(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** The canonical search shape: category selector + time range, both
+    * pruning/pushing at the scan.
+    */
+  def search(spark: SparkSession, dir: String, category: String,
+      fromTs: Column, toTs: Column, tsCol: String = "ts"): DataFrame =
+    open(spark, dir)
+      .filter(col("source_category") === category)
+      .filter(col(tsCol) >= fromTs && col(tsCol) < toTs)
+}

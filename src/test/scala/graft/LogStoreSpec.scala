@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SearchJobs
+import graft.sinks.LogStore
+
+class LogStoreSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    (0 until 1000).map { i =>
+      val day = 1 + (i % 5)
+      (java.sql.Timestamp.valueOf(f"2024-03-0$day%d 10:00:${i % 60}%02d"),
+        s"cat-${i % 4}", s"""{"i":$i}""", s"stream-${i % 3}")
+    }.toDF("ts", "source_category", "message", "source_name")
+  }
+
+  test("partitioned store prunes to the selected category-day at planning time") {
+    val dir = Files.createTempDirectory("logstore").toString
+    LogStore.append(corpus, dir, col("ts"))
+    val q = LogStore.search(spark, dir, "cat-1",
+      lit("2024-03-02").cast("timestamp"), lit("2024-03-03").cast("timestamp"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("source_category") == "cat-1"))
+
+    // pruning is visible in the physical plan: the category selector must be
+    // a PartitionFilter, not a post-scan filter over all partitions
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("source_category"),
+      s"expected partition pruning in plan:\n$plan")
+    // directory-level check: only cat-1 partition directories are listed
+    val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("cat-0") || scanned.contains("cat-1"))
+  }
+
+  test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {
+    val dir = Files.createTempDirectory("logstore2").toString
+    LogStore.append(corpus, dir, col("ts"))
+    val store = LogStore.open(spark, dir)
+      .withColumn("event_seq", get_json_object(col("message"), "$.i").cast("long"))
+    val job = SearchJobs.create(store, "_sourceCategory=cat-2",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-08").cast("timestamp"),
+      col("ts"), col("message"), orderBy = Seq("event_seq"))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    assert(job.messageCount == 250)
+
+    val p1 = job.messages(100, 0).select("event_seq").collect().map(_.getLong(0))
+    val p2 = job.messages(100, 100).select("event_seq").collect().map(_.getLong(0))
+    val p3 = job.messages(100, 200).select("event_seq").collect().map(_.getLong(0))
+    val all = p1 ++ p2 ++ p3
+    assert(all.length == 250)
+    assert(all.distinct.length == 250) // non-overlapping
+    assert(all.sorted.toSeq == all.toSeq) // stable global order
+    SearchJobs.delete(job.id)
+  }
+}
