@@ -130,6 +130,32 @@ object Multimodal {
       posexplode(framesUdf(contentCol, lit(n), lit(frameBytes)))
         .as(Seq("frame_idx", "frame")))
 
+  /** Batched decode over whole partitions — the `mapInPandas`-shaped path:
+    * one codec initialization per partition (real decoders pay dearly per
+    * init), rows streamed through in batches of `batchSize` without
+    * materializing the partition. Output schema = [[mediaSchema]].
+    */
+  def decodeBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("media_type"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // ??? real impl: codec/session init here, once per partition
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, tpe, content) =>
+            val (w, h, c, d) = FakeCodec.decodeMeta(content)
+            (id, tpe, content, (w, h, c, d))
+          }
+        }
+      }
+      .toDF("media_id", "media_type", "content", "_m")
+      .withColumn("meta", struct(
+        col("_m._1").as("width"), col("_m._2").as("height"),
+        col("_m._3").as("channels"), col("_m._4").as("duration_ms")))
+      .drop("_m")
+  }
+
   /** Deterministic synthetic media corpus derived from a numeric id column —
     * the environment has no real media; tests and benches build content as
     * seeded bytes.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins the optimizer cannot fix on its own.
+  *
+  * AQE's skew-join handles oversized sort-merge partitions at runtime; the
+  * two cases it does NOT cover are handled here:
+  *
+  *  - **Null-key skew**: every null join key hashes to one partition, and a
+  *    log corpus routinely has a dominant null field. Nulls can never match
+  *    an equi-join anyway, so route them around the join.
+  *  - **Hot-key × dimension joins** where the dimension is broadcast-
+  *    ineligible: salt the fact side, replicate the dimension per salt.
+  */
+object Skew {
+
+  /** Left join that routes null-keyed fact rows around the join instead of
+    * shuffling them all into one partition. Result is column-identical to
+    * `fact.join(dim, keys, "left")`.
+    */
+  def nullRoutedLeftJoin(fact: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val matched = fact.filter(col(key).isNotNull).join(dim, Seq(key), "left")
+    val unmatched = fact.filter(col(key).isNull)
+    val dimCols = dim.columns.filterNot(_ == key)
+    val padded = dimCols.foldLeft(unmatched)((d, c) =>
+      d.withColumn(c, lit(null).cast(dim.schema(c).dataType)))
+    // align column order with the join output
+    matched.unionByName(padded.select(matched.columns.map(col): _*))
+  }
+
+  /** Salted equi-join: the fact side gets a deterministic content salt, the
+    * dimension side is replicated `saltFactor` times — a hot key spreads over
+    * `saltFactor` partitions at the cost of a `saltFactor`× dimension
+    * duplication (use for mid-sized dims above the broadcast threshold).
+    * Result is row-identical to `fact.join(dim, keys, joinType)`.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0)
+    val factCols = fact.columns
+    val salted = fact.withColumn("_salt",
+      pmod(hash(factCols.map(col): _*), lit(saltFactor)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Skew}
+
+class SkewSpec extends SparkSpec {
+
+  private def fact = {
+    val s = spark
+    import s.implicits._
+    (0 until 500).map { i =>
+      val key = if (i % 5 == 0) null else s"k${i % 7}"
+      (i.toLong, key, i * 1.5)
+    }.toDF("id", "key", "v")
+  }
+
+  private def dim = {
+    val s = spark
+    import s.implicits._
+    (0 until 7).map(k => (s"k$k", s"name-$k")).toDF("key", "key_name")
+  }
+
+  test("null-routed left join is identical to the plain left join") {
+    val plain = fact.join(dim, Seq("key"), "left")
+    val routed = Skew.nullRoutedLeftJoin(fact, dim, "key")
+    assert(routed.columns.toSeq == plain.columns.toSeq)
+    assert(routed.count() == plain.count())
+    assert(plain.exceptAll(routed).isEmpty && routed.exceptAll(plain).isEmpty)
+  }
+
+  test("salted join is row-identical to the plain join, inner and left") {
+    for (jt <- Seq("inner", "left")) {
+      val plain = fact.join(dim, Seq("key"), jt)
+      val salted = Skew.saltedJoin(fact, dim, Seq("key"), saltFactor = 4, joinType = jt)
+      assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty, jt)
+    }
+  }
+
+  test("batched multimodal decode matches the per-row decode") {
+    val base = Multimodal.synthesize(spark.range(30).toDF("id"), col("id"))
+    val perRow = Multimodal.decode(base, col("content"))
+      .select("media_id", "meta.width", "meta.height", "meta.channels", "meta.duration_ms")
+    val batched = Multimodal.decodeBatched(base, batchSize = 7)
+      .select("media_id", "meta.width", "meta.height", "meta.channels", "meta.duration_ms")
+    assert(perRow.exceptAll(batched).isEmpty && batched.exceptAll(perRow).isEmpty)
+  }
+}
