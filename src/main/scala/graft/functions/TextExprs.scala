@@ -38,9 +38,21 @@ object TextImpl {
     top >>> 4
   }
 
-  /** Element-wise [[hash60]] over a string array (null elements → null). */
+  /** Element-wise [[hash60]] over a string array (null elements → null;
+    * all-non-null results return an unboxed UnsafeArrayData).
+    */
   def hash60Array(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    var hasNull = false
+    var c = 0
+    while (c < n && !hasNull) { hasNull = arr.isNullAt(c); c += 1 }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = hash60(arr.getUTF8String(i).getBytes); i += 1 }
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
@@ -55,32 +67,37 @@ object TextImpl {
   /** MinHash signature: k minima of the seeded 60-bit rotate-xor permutations
     * over a pre-hashed shingle array — the loop form of
     * `array((0 until k).map(i => array_min(transform(sh, h => mix60(h, i)))))`.
-    * Empty input → array of nulls (array_min of empty is null).
+    * Empty input → array of nulls (array_min of empty is null); non-empty
+    * input returns an unboxed UnsafeArrayData.
     */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
-    val out = new Array[Any](k)
+    val out = new Array[Long](k)
+    var sawValue = false
     var i = 0
     while (i < k) {
       val r = (7 * i) % 60
       val seed = TextFunctions.seed60(i)
       val mask = (1L << (60 - r)) - 1
       var min = Long.MaxValue
-      var any = false
       var j = 0
       while (j < n) {
         if (!arr.isNullAt(j)) {
           val h = arr.getLong(j)
           val mixed = (((h & mask) << r) | (h >> (60 - r))) ^ seed
           if (mixed < min) min = mixed
-          any = true
+          sawValue = true
         }
         j += 1
       }
-      out(i) = if (any) min else null
+      out(i) = min
       i += 1
     }
-    new GenericArrayData(out)
+    if (sawValue) {
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      new GenericArrayData(Array.fill[Any](k)(null))
+    }
   }
 }
 
@@ -99,9 +116,13 @@ object ShingleImpl {
     // Java regex engine backs Spark's StringSplit.
     val normalized = s.trim.toLowerCase.toString
     val toks = ws.split(normalized, -1)
-    if (toks.length < n || normalized.isEmpty) return new GenericArrayData(Array.empty[Any])
+    if (toks.length < n || normalized.isEmpty) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    }
     val seen = new java.util.HashSet[String](toks.length * 2)
-    val out = new java.util.ArrayList[Any](toks.length)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    out.sizeHint(toks.length)
     var i = 0
     while (i <= toks.length - n) {
       val sb = new java.lang.StringBuilder(toks(i))
@@ -109,11 +130,12 @@ object ShingleImpl {
       while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
       val sh = sb.toString
       if (seen.add(sh)) {
-        out.add(TextImpl.hash60(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        out += TextImpl.hash60(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       i += 1
     }
-    new GenericArrayData(out.toArray)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.result())
   }
 }
 
