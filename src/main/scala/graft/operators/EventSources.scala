@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -67,4 +67,23 @@ object EventSources {
   def s3LineLogs(spark: SparkSession, path: String): DataFrame =
     spark.read.textFile(path).toDF("message")
       .withColumn("source_key", input_file_name())
+
+  /** F6/J4: subscribe-eligibility filter for log groups — keep a group when
+    * its name matches the regex OR any configured `k=v` tag pair is present
+    * in its tag map (reference
+    * `loggroup-lambda-connector/src/loggroup-lambda-connector.js:43-78`:
+    * either condition subscribes the group; both empty keeps everything,
+    * faithfully to the connector's default-on behavior).
+    */
+  def logGroupFilter(df: DataFrame, nameCol: Column, tagsCol: Column,
+      nameRegex: Option[String], tags: Seq[(String, String)]): DataFrame = {
+    if (nameRegex.isEmpty && tags.isEmpty) df
+    else {
+      val byName = nameRegex.map(nameCol.rlike).getOrElse(lit(false))
+      val byTag = tags
+        .map { case (k, v) => element_at(tagsCol, k) === v }
+        .foldLeft(lit(false))(_ || _)
+      df.filter(byName || byTag)
+    }
+  }
 }

@@ -66,6 +66,23 @@ class SinksAndSourcesSpec extends SparkSpec {
     assert(decoded.select(explode(col("logEvents.message"))).head().getString(0) == "hello")
   }
 
+  test("F6/J4: log-group filter keeps name-regex OR tag matches, default-on") {
+    val s = spark
+    import s.implicits._
+    val groups = Seq(
+      ("/aws/lambda/prod-fn", Map("env" -> "prod")),
+      ("/aws/lambda/dev-fn", Map("env" -> "dev")),
+      ("/custom/other", Map("team" -> "data")),
+      ("/custom/untagged", Map.empty[String, String])).toDF("name", "tags")
+    val kept = EventSources.logGroupFilter(groups, col("name"), col("tags"),
+      nameRegex = Some("^/aws/lambda/prod"), tags = Seq("team" -> "data"))
+      .select("name").as[String].collect().toSet
+    assert(kept == Set("/aws/lambda/prod-fn", "/custom/other"))
+    // no criteria → everything subscribes (connector default)
+    assert(EventSources.logGroupFilter(groups, col("name"), col("tags"),
+      None, Seq.empty).count() == 4)
+  }
+
   test("S3: line logs read plain and gzipped objects alike, with source key") {
     val dir = mkTmp("s3src")
     Files.write(Paths.get(dir, "a.log"), "l1\nl2\n".getBytes(UTF_8))
