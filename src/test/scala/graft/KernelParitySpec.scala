@@ -50,6 +50,57 @@ class KernelParitySpec extends SparkSpec {
     rows.foreach { case (k, q) => assert(k == q) }
   }
 
+  test("shingle + minhash kernels == SQL forms on a randomized unicode corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    val alphabets = Seq("abcdefg", "äöüßéñ", "汉字分词测试", "αβγδ", "0123._-")
+    def token(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until 1 + rnd.nextInt(6)).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    def doc(): String = {
+      val n = rnd.nextInt(30)
+      val seps = Seq(" ", "  ", "\t", " \t ")
+      (0 until n).map(_ => token()).mkString(seps(rnd.nextInt(seps.length))) +
+        (if (rnd.nextBoolean()) "  " else "")
+    }
+    val docs = (0 until 300).map(_ => doc()).toDF("text")
+    val sqlSh = transform(shingles(col("text"), 3),
+      sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long"))
+    val rows = docs.select(
+      shingleHashes(col("text"), 3).as("ksh"), sqlSh.as("ssh"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (k, q) => assert(k == q) }
+  }
+
+  test("ip_in_cidr == independent InetAddress reference on random inputs") {
+    val rnd = new scala.util.Random(7)
+    def refInCidr(ip: String, base: String, len: Int): Boolean =
+      try {
+        def toLong(a: String): Long = {
+          val addr = java.net.InetAddress.getByName(a).getAddress
+          if (addr.length != 4) return -1
+          addr.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+        }
+        val mask = if (len == 0) 0L else (0xffffffffL << (32 - len)) & 0xffffffffL
+        len >= 0 && len <= 32 && (toLong(ip) & mask) == (toLong(base) & mask)
+      } catch { case _: Exception => false }
+    val cases = (0 until 500).map { _ =>
+      val ip = s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+      val base = s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.0.0"
+      val len = rnd.nextInt(33)
+      (ip, s"$base/$len", refInCidr(ip, base, len))
+    }
+    val s = spark
+    import s.implicits._
+    val got = cases.toDF("ip", "cidr", "expected")
+      .select(ip.ipInCidr(col("ip"), col("cidr")).as("got"), col("expected"),
+        col("ip"), col("cidr"))
+      .as[(Boolean, Boolean, String, String)].collect()
+    got.foreach { case (g, e, i, c) => assert(g == e, s"$i in $c") }
+  }
+
   test("vec kernels == SQL aggregate/zip_with forms on real embeddings") {
     val s = spark
     import s.implicits._
