@@ -181,8 +181,14 @@ object Dedup {
       labels = next
       it += 1
     }
+    // Materialize the result lineage-free, then release every intermediate
+    // cache (the loop's final frame would otherwise stay pinned).
+    val result = labels
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     sym.unpersist()
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    result
   }
 
   /** Embedding-cosine near-dup pairs within blocks (e.g. a cluster/label

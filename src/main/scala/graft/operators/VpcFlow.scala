@@ -63,9 +63,10 @@ object VpcFlow {
       col("interfaceId"), col("securityGroupIds"),
       element_at(col("ipAddress"), 1).as("primaryIp"),
       col("subnetId"), col("vpcId"))
-    // IP → subnet lookup for the peer side (dedup in case two ENIs share an IP)
+    // IP → subnet lookup for the peer side; min (not first) so two ENIs
+    // sharing an IP resolve deterministically across runs/retries
     val byIp = eni.select(col("primaryIp").as("peerIp"), col("subnetId").as("peerSubnet"))
-      .groupBy("peerIp").agg(first("peerSubnet").as("peerSubnet"))
+      .groupBy("peerIp").agg(min("peerSubnet").as("peerSubnet"))
 
     val srcIp = byIp.withColumnRenamed("peerIp", "srcPeerIp")
       .withColumnRenamed("peerSubnet", "srcPeerSubnet")

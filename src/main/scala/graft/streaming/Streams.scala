@@ -80,10 +80,11 @@ object Streams {
     * reference itself has no late-data policy, SURVEY §2.7).
     */
   def timeslice(events: DataFrame, tsCol: String, lateness: String,
-      slide: String, aggCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+      slide: String, aggCols: Seq[org.apache.spark.sql.Column],
+      seriesCols: Seq[String] = Seq("event_type")): DataFrame =
     events
       .withWatermark(tsCol, lateness)
-      .groupBy(window(col(tsCol), slide).as("slice"), col("event_type"))
+      .groupBy(window(col(tsCol), slide).as("slice") +: seriesCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
 
   /** G5 streaming: first-seen dedup by (resource, status) with bounded state —
