@@ -618,6 +618,18 @@ object SparkEntry {
         .select(col("detail.event_id").as("event_id"), col("payload"))
         .orderBy("event_id")
     }),
+    // ---- Q8 multiline processing: boundary-regex line merge ----
+    "q49_multiline" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val line = when(col("event_id") % 3 === 0,
+        concat(lit("2024-01-01 00:00:00 event "), col("event_type")))
+        .otherwise(concat(lit("  at frame "), col("event_id")))
+      graft.operators.Fer.multilineMerge(
+        ev.select(col("user_id"), col("event_id"), line.as("line")),
+        Seq(col("user_id")), col("event_id"), col("line"),
+        boundaryRegex = "^\\d{4}-\\d{2}-\\d{2}")
+        .orderBy("user_id", "segment")
+    }),
     // ---- IVF coarse quantization: per-cluster assignment histogram ----
     "q42_ivf_assign" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -1162,6 +1174,22 @@ object SparkEntry {
                       event_type := event_type))) AS VARCHAR)
            END AS payload
          FROM events ORDER BY event_id""",
+    "q49_multiline" ->
+      """WITH lines AS (SELECT user_id, event_id,
+             CASE WHEN event_id%3 = 0 THEN '2024-01-01 00:00:00 event '||event_type
+                  ELSE '  at frame '||event_id END AS line
+           FROM events),
+         seg AS (SELECT user_id, event_id, line,
+             CAST(sum(CASE WHEN regexp_matches(line, '^\d{4}-\d{2}-\d{2}')
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS segment
+           FROM lines)
+         SELECT user_id, segment, min(event_id) AS first_line,
+           count(*) AS n_lines,
+           string_agg(line, chr(10) ORDER BY event_id) AS message
+         FROM seg GROUP BY 1, 2 ORDER BY user_id, segment""",
     "q42_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
          a AS (SELECT e.vec_id, c.cid,

@@ -72,6 +72,33 @@ object Fer {
   def cutoff(df: DataFrame, timeCol: Column, cutoffTs: Column): DataFrame =
     df.filter(timeCol >= cutoffTs)
 
+  /** Q8 multiline processing: merge continuation lines into their boundary
+    * line (source `multilineProcessingEnabled` + boundary regex,
+    * `sumoresource.py:286-291` semantics: a line matching the boundary starts
+    * a new message; everything until the next boundary belongs to it).
+    *
+    * `partitionCols` scope the merge (one log stream); `orderCol` is the
+    * arrival order within it. Leading continuation lines before the first
+    * boundary form their own message (segment 0), like a tail-started reader.
+    * Scale shape: one window pass (running boundary count) + one grouped
+    * aggregation — both partition by the stream key, no global ordering.
+    */
+  def multilineMerge(df: DataFrame, partitionCols: Seq[Column], orderCol: Column,
+      lineCol: Column, boundaryRegex: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols: _*).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_is_boundary", lineCol.rlike(boundaryRegex).cast("long"))
+      .withColumn("_segment", sum(col("_is_boundary")).over(w))
+      .groupBy((partitionCols :+ col("_segment").as("segment")): _*)
+      .agg(
+        min(orderCol).as("first_line"),
+        count(lit(1)).cast("long").as("n_lines"),
+        array_join(transform(array_sort(collect_list(struct(orderCol.as("_o"),
+          lineCol.as("_l")))), e => e.getField("_l")), "\n").as("message"))
+  }
+
   /** Q6: metric rule — extract `variablesToExtract` from series that satisfy
     * the match expression; each variable is `(name, tagSequence)` where the
     * tag sequence is a regex with one capture group over the metric identity.
