@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc profiling entry — not part of the library surface. */
+/** Ad-hoc profiling / driver-flow smoke — not part of the library surface.
+  * Times the heavy dedup stages plus the slowest composite queries; also runs
+  * the driver's entry() smoke (rows>0 at sf0.001).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -17,6 +20,7 @@ object Scratch {
       val t0 = System.nanoTime(); val n = f
       println(f"[scratch] $name: ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
     }
+    time("entry smoke sf0.001")(SparkEntry.entry(spark).count())
     import graft.functions.TextFunctions._
     val d = SparkEntry.tbl(spark, dir, "documents")
     time("warmup")(d.count())
@@ -25,54 +29,10 @@ object Scratch {
       .select(col("doc_id"), shingleHashes(col("_text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     time("sh materialize")(sh.count())
-    val banded = sh
-      .select(col("doc_id"), lshBands(minhashSignature(col("sh"), 32), 32, 8).as("bands"))
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band")))
-    time("banded")(banded.count())
-    val candidates = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    time("candidates")(candidates.count())
-    time("q24 full")(SparkEntry.queries("q24_minhash_lsh")(spark, dir).count())
-    time("q23 full")(SparkEntry.queries("q23_ngram_jaccard")(spark, dir).count())
-    time("q42 ivf")(SparkEntry.queries("q42_ivf_assign")(spark, dir).count())
-    // q32 substages
-    val ev = SparkEntry.tbl(spark, dir, "events")
-    val body = to_json(struct(
-      lit("T").as("Types"), lit("desc").as("Description"),
-      concat(lit("gen-"), col("user_id") % 3).as("GeneratorID"),
-      (col("event_id") % 101).cast("string").as("Severity"),
-      lit("u").as("SourceUrl"), lit("PASSED").as("ComplianceStatus"),
-      to_json(array(struct(
-        unix_seconds(col("ts")).cast("string").as("finding_time"),
-        lit("AwsEc2Instance").as("resource_type"),
-        concat(lit("i-"), col("user_id")).as("resource_id"),
-        col("event_type").as("title")))).as("Rows")))
-    time("q32 body only")(ev.select(col("event_id"), body.as("body")).count())
-    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("finding_time", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("resource_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("resource_id", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("aws_account_id", org.apache.spark.sql.types.StringType)))
-    val req = graft.operators.SecurityHub.parseRequest(
-      ev.select(col("event_id"), body.as("body")), col("body"), rowSchema)
-    time("q32 parse")(req.count())
-    val valid = graft.operators.SecurityHub.validate(req).filter(col("error").isNull)
-    time("q32 validate")(valid.count())
-    val reqR = req.repartition(32)
-    val validR = graft.operators.SecurityHub.validate(reqR).filter(col("error").isNull)
-    time("q32 validate repart-barrier")(validR.count())
-    val reqP = req.persist()
-    val validP = graft.operators.SecurityHub.validate(reqP).filter(col("error").isNull)
-    time("q32 validate persisted")(validP.count())
-    reqP.unpersist()
-    time("q32 full")(SparkEntry.queries("q32_asff_forwarder")(spark, dir).count())
-    time("q19 group")(SparkEntry.queries("q19_findings_group")(spark, dir).count())
+    for (q <- Seq("q24_minhash_lsh", "q23_ngram_jaccard", "q45_dedup_clusters",
+        "q46_curation_pipeline", "q32_asff_forwarder", "q49_multiline")) {
+      time(q)(SparkEntry.queries(q)(spark, dir).count())
+    }
     spark.stop()
   }
 }
