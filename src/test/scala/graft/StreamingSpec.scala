@@ -172,4 +172,44 @@ class StreamingSpec extends SparkSpec {
     def toMap2: Map[(String, Long), String] =
       rows.map { case (a, b, c) => ((a, b), c) }.toMap
   }
+
+  test("full lifecycle: stream → pipeline → partitioned store → search job") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import graft.sinks.LogStore
+    import graft.operators.SearchJobs
+    val storeDir = mkTmp("e2e-store")
+    val input = MemoryStream[String]
+    input.addData(
+      envelope("svc-a", Seq("login ok user=1", "login failed user=2")),
+      envelope("svc-b", Seq("payment ok order=9")))
+    // the ingest half: decode + transform + metadata, landed in the store
+    val q = input.toDF().withColumnRenamed("value", "data").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val records = graft.operators.CwlPipeline(batch, col("data"))
+          val derived = graft.operators.Metadata.derive(records,
+            graft.operators.Metadata.MetaConfig(sourceCategoryOverride = "prod/app"))
+            .withColumn("ts", timestamp_millis(col("timestamp")))
+          LogStore.append(derived, storeDir, col("ts"))
+        }
+        ()
+      }
+      .option("checkpointLocation", mkTmp("e2e-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // the query half: search job over the landed store
+    val store = LogStore.open(spark, storeDir)
+    val job = SearchJobs.create(store, "_sourceCategory=prod/app login",
+      lit("2023-01-01").cast("timestamp"), lit("2024-06-01").cast("timestamp"),
+      col("ts"), col("message"), orderBy = Seq("message"))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    assert(job.messageCount == 2) // both login lines, not the payment line
+    val msgs = job.messages(10, 0).select("message").as[String].collect().toSeq
+    assert(msgs == Seq("login failed user=2", "login ok user=1"))
+    SearchJobs.delete(job.id)
+  }
 }

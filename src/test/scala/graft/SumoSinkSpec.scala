@@ -75,6 +75,23 @@ class SumoSinkSpec extends SparkSpec {
     assert(readBack(out).size == 100)
   }
 
+  test("chunking bounds are UTF-8 bytes: multibyte content never exceeds maxBytes") {
+    val s = spark
+    import s.implicits._
+    val out = mkTmp()
+    // 3-byte UTF-8 chars: a UTF-16-length budget would overshoot ~3x
+    val cjk = (0 until 60).map(i => (s"""{"m":"汉字测试内容第${i}条"}""", "ls", "grp"))
+      .toDF("message", "logStream", "logGroup")
+    val outcomes = SumoSink.post(Metadata.derive(cjk),
+      new SumoSink.LocalDirPoster(out), maxBytes = 512, compress = false).collect()
+    assert(outcomes.forall(_.success))
+    assert(outcomes.map(_.n_lines).sum == 60)
+    assert(outcomes.length > 1)
+    // every multi-line chunk body must fit the byte budget
+    outcomes.filter(_.n_lines > 1).foreach(o => assert(o.n_bytes <= 512,
+      s"chunk of ${o.n_lines} lines is ${o.n_bytes} bytes"))
+  }
+
   test("salting: hot key spreads over partitions, all lines still delivered once") {
     val s = spark
     import s.implicits._
