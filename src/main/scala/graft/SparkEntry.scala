@@ -630,6 +630,20 @@ object SparkEntry {
         boundaryRegex = "^\\d{4}-\\d{2}-\\d{2}")
         .orderBy("user_id", "segment")
     }),
+    // ---- Q6 metric rule: match expression + tag-sequence variable extraction ----
+    "q50_metric_rule" -> ((s, dir) => {
+      import graft.operators.Fer
+      val ev = tbl(s, dir, "events")
+        .withColumn("identity",
+          concat(lit("cpu."), col("event_type"), lit(".host-"), col("user_id") % 10))
+      Fer.metricRule(ev, col("identity"),
+        matchExpr = col("identity").rlike("^cpu\\.") && col("value") > 5.0,
+        variables = Seq(
+          ("metric_kind", "^cpu\\.(\\w+)\\."),
+          ("metric_host", "host-(\\d+)$")))
+        .select("event_id", "identity", "metric_kind", "metric_host")
+        .orderBy("event_id")
+    }),
     // ---- IVF coarse quantization: per-cluster assignment histogram ----
     "q42_ivf_assign" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -1190,6 +1204,16 @@ object SparkEntry {
            count(*) AS n_lines,
            string_agg(line, chr(10) ORDER BY event_id) AS message
          FROM seg GROUP BY 1, 2 ORDER BY user_id, segment""",
+    "q50_metric_rule" ->
+      """WITH m AS (SELECT event_id, value,
+             'cpu.'||event_type||'.host-'||(user_id%10) AS identity
+           FROM events)
+         SELECT event_id, identity,
+           nullif(regexp_extract(identity, '^cpu\.(\w+)\.', 1), '') AS metric_kind,
+           nullif(regexp_extract(identity, 'host-(\d+)$', 1), '') AS metric_host
+         FROM m
+         WHERE regexp_matches(identity, '^cpu\.') AND value > 5.0
+         ORDER BY event_id""",
     "q42_ivf_assign" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
          a AS (SELECT e.vec_id, c.cid,
