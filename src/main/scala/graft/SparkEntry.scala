@@ -315,8 +315,9 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),
-    // ---- ANN via hyperplane LSH buckets (scale path; no SQL oracle —
-    //      recall vs brute force is asserted in TrainingDataOpsSpec) ----
+    // ---- ANN via hyperplane LSH buckets (scale path; bucket math is
+    //      deterministic md5 arithmetic, replicated by the DuckDB oracle;
+    //      recall vs brute force additionally asserted in TrainingDataOpsSpec) ----
     "q28_ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0)
@@ -912,6 +913,31 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b
              ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE c >= 0.3 ORDER BY id_a, id_b""",
+    // hyperplane bucket replicated component-for-component: plane(p,d) =
+    // hash60('p:d')/2^59 - 1, bit p set iff the left-to-right double dot > 0.
+    "q28_ann_lsh_topk" ->
+      """WITH bucketed AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 4), p ->
+               CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1),
+                   i -> embedding[i]::DOUBLE *
+                        ((('0x'||substring(md5(p::VARCHAR||':'||(i-1)::VARCHAR),1,15))::BIGINT::DOUBLE
+                          / (1::BIGINT << 59)::DOUBLE) - 1.0)),
+                 (x,y) -> x+y) > 0 THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
+           FROM embeddings),
+         q AS (SELECT embedding AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+         SELECT vec_id, cosine FROM (
+           SELECT b.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(b.embedding)+1),
+                 i -> b.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+               / sqrt(
+                 list_reduce(list_transform(range(1, len(b.embedding)+1),
+                   i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+                 * list_reduce(list_transform(range(1, len(q.qv)+1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+           FROM bucketed b, q WHERE b.bucket = q.qbucket)
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
     "q30_console_strip" ->
       """WITH m AS (SELECT event_id,
            CASE WHEN event_id%3 = 0

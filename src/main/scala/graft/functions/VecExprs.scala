@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Float-vector kernels (static forwarders for Janino codegen).
   *
@@ -12,6 +12,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `list_reduce(list_transform(...))` oracle formulation, so hash-match
   * correctness is preserved while the per-pair cost drops from interpreted
   * per-element expression dispatch to a primitive loop.
+  *
+  * Degenerate-input divergence from the SQL forms (by design, for speed —
+  * neither case occurs on this engine's vector columns, which are
+  * fixed-dimension and element-non-null): unequal-length inputs to `dot`
+  * produce a partial sum over the common prefix where `zip_with` would pad
+  * with NULL and the aggregate would return NULL; a NULL element is read as
+  * 0.0 where SQL arithmetic would propagate NULL.
   */
 object VecImpl {
 
@@ -37,6 +44,32 @@ object VecImpl {
     }
     s
   }
+
+  /** Random-hyperplane bucket: bit p set iff `vec · planes(p) > 0`. Each
+    * per-plane dot accumulates left-to-right in doubles from 0.0 — bit-
+    * identical to the `aggregate(sequence(...))` SQL form this replaces (and
+    * to the DuckDB `list_reduce` oracle formulation). The plane matrix is
+    * precomputed driver-side ([[graft.operators.Similarity.planeMatrix]]);
+    * the interpreted predecessor re-derived each md5-based component per
+    * (plane × dim × row), ~5× the cost of the whole ANN query.
+    */
+  def hyperplaneBucket(a: ArrayData, planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      val n = math.min(a.numElements(), row.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += a.getFloat(i).toDouble * row(i)
+        i += 1
+      }
+      if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
 }
 
 /** `vec_dot(array<float>, array<float>) -> double` with codegen. */
@@ -51,6 +84,24 @@ case class VecDot(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecImpl.dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
+}
+
+/** `hyperplane_bucket(array<float>) -> bigint` with codegen; the constant
+  * plane matrix rides along as a codegen reference object.
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.hyperplaneBucket(a.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planeMatrix", planes, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.hyperplaneBucket($a, $mat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
 }
 
 /** `vec_sqnorm(array<float>) -> double` with codegen. */

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.hash60
-
 /** Similarity search over an embedding column (`array<float>`): brute-force
   * cosine top-k as the exactness baseline, and a random-hyperplane LSH
   * bucketed variant as the scale path (candidates shrink by the bucket
@@ -44,24 +42,37 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for plane p, dim d in
-    * [-1,1): derived from the cross-engine md5 hash so buckets are
-    * reproducible anywhere.
+  /** Cross-engine 60-bit hash of a string, computed locally: first 15 hex
+    * digits of md5 as a bigint — same bits as
+    * [[graft.functions.TextFunctions.hash60]] and the DuckDB
+    * `('0x'||substring(md5(x),1,15))::BIGINT` form.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    (hash60(concat(lit(p), lit(":"), d)).cast("double") / lit(1L << 59)) - 1.0
+  private def hash60Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Deterministic pseudo-random hyperplane matrix, `planes × dim`, each
+    * component in [-1,1) derived from the cross-engine md5 hash of `"p:d"` so
+    * buckets are reproducible anywhere (the DuckDB oracle re-derives the same
+    * matrix in SQL). The matrix is constant — computed once driver-side and
+    * shipped to executors as a codegen reference object; deriving it per row
+    * (the previous form) cost planes × dim md5 evaluations per vector.
+    */
+  private[graft] def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, d) =>
+      hash60Local(s"$p:$d").toDouble / (1L << 59) - 1.0)
 
   /** Random-hyperplane bucket id: one sign bit per plane over the embedding.
     * Vectors in the same bucket are cosine-close with high probability.
+    * `dim` must be ≥ the embedding dimension (extra matrix columns are
+    * ignored; missing ones would truncate the dot products).
     */
-  def hyperplaneBucket(vecCol: Column, planes: Int = 8): Column = {
-    val dims = sequence(lit(0), size(vecCol) - 1)
-    (0 until planes).map { p =>
-      val dot = aggregate(dims, lit(0.0),
-        (s, d) => s + element_at(vecCol, d + 1).cast("double") * planeComponent(p, d))
-      when(dot > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def hyperplaneBucket(vecCol: Column, planes: Int = 8, dim: Int = 64): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.HyperplaneBucket(
+      org.apache.spark.sql.GraftGlue.expression(vecCol), planeMatrix(planes, dim)))
 
   /** LSH ANN top-k for one query vector: only rows sharing the query's
     * hyperplane bucket are scored. Trades recall for a `2^planes` candidate
@@ -70,12 +81,20 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: Column, vecCol: Column,
       query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val q = array(query.map(v => lit(v)): _*)
-    val queryBucket = spark.range(1)
-      .select(hyperplaneBucket(q, planes).as("qb")).as[Long].head()
-    df.withColumn("bucket", hyperplaneBucket(vecCol, planes))
+    // Query bucket is a pure function of the query vector — fold it locally
+    // with the same left-to-right double accumulation as the kernel.
+    val mat = planeMatrix(planes, query.length)
+    var queryBucket = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < query.length) { s += query(d).toDouble * mat(p)(d); d += 1 }
+      if (s > 0) queryBucket |= 1L << p
+      p += 1
+    }
+    df.withColumn("bucket", hyperplaneBucket(vecCol, planes, query.length))
       .filter(col("bucket") === queryBucket)
       .select(idCol.as("vec_id"), round(cosine(vecCol, q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))

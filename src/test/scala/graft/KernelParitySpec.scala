@@ -122,6 +122,30 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("hyperplane bucket kernel == interpreted md5-per-component SQL form") {
+    val s = spark
+    import s.implicits._
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    // the pre-kernel SQL form: plane(p,d) derived per row via hash60
+    def planeComponent(p: Int, d: org.apache.spark.sql.Column) =
+      (hash60(concat(lit(p), lit(":"), d)).cast("double") / lit(1L << 59)) - 1.0
+    def sqlBucket(vec: org.apache.spark.sql.Column, planes: Int) = {
+      val dims = sequence(lit(0), size(vec) - 1)
+      (0 until planes).map { p =>
+        val dot = aggregate(dims, lit(0.0),
+          (acc, d) => acc + element_at(vec, d + 1).cast("double") * planeComponent(p, d))
+        when(dot > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+    }
+    for (planes <- Seq(4, 8)) {
+      val rows = emb.select(
+        graft.operators.Similarity.hyperplaneBucket(col("embedding"), planes).as("k"),
+        sqlBucket(col("embedding"), planes).as("q"))
+        .as[(Long, Long)].collect()
+      rows.foreach { case (k, q) => assert(k == q, s"planes=$planes") }
+    }
+  }
+
   test("ip_in_cidr: membership, bare address, malformed → false") {
     val s = spark
     import s.implicits._
