@@ -296,7 +296,7 @@ object SparkEntry {
     "q25_simhash" -> ((s, dir) => {
       import graft.functions.TextFunctions._
       tbl(s, dir, "documents")
-        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), simhash60(col("text")).as("simhash"))
         .orderBy("doc_id")
     }),
     // ---- brute-force cosine top-k similarity search ----
@@ -325,8 +325,9 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(
         emb, col("vec_id"), col("embedding"), query, 10, planes = 4)
     }),
-    // ---- multimodal plumbing: synthesize → decode → features (stubbed
-    //      codec; deterministic, no SQL oracle) ----
+    // ---- multimodal plumbing: synthesize → decode → features. The codec is
+    //      a stub but deterministic md5-blob arithmetic — the DuckDB oracle
+    //      re-derives content metadata and the f0 histogram bin from the id ----
     "q29_multimodal_features" -> ((s, dir) => {
       import graft.operators.Multimodal
       val media = Multimodal.synthesize(
@@ -878,12 +879,12 @@ object SparkEntry {
          WHERE j >= 0.5 ORDER BY doc_a, doc_b""",
     "q25_simhash" ->
       """SELECT doc_id,
-           list_sum(list_transform(range(0, 32), j ->
+           list_sum(list_transform(range(0, 60), j ->
              CASE WHEN 2*len(list_filter(th, v -> (v >> j) & 1 = 1)) > len(th)
                   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
          FROM (SELECT doc_id,
                  list_transform(string_split_regex(lower(trim(text)), '\s+'),
-                   t -> ('0x'||substring(md5(t),1,8))::BIGINT) AS th
+                   t -> ('0x'||substring(md5(t),1,15))::BIGINT) AS th
                FROM documents)
          ORDER BY doc_id""",
     "q26_embedding_topk" ->
@@ -938,6 +939,25 @@ object SparkEntry {
                    i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
            FROM bucketed b, q WHERE b.bucket = q.qbucket)
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // fake-codec math re-derived from the id column: content = md5-chained
+    // blob (first byte = first md5 hex pair), width from len, f0 = fraction
+    // of bytes with high nibble 0, float-divided then rounded like Spark.
+    "q29_multimodal_features" ->
+      """WITH ids AS (SELECT vec_id::BIGINT AS media_id, (256 + vec_id % 4096) AS len
+                      FROM embeddings),
+         hexed AS (
+           SELECT media_id, len,
+             substring(list_reduce(list_transform(range(0, (len + 15) // 16),
+               b -> md5(media_id::VARCHAR||':'||b::VARCHAR)), (x,y) -> x||y),
+               1, (2*len)::INT) AS h
+           FROM ids)
+         SELECT media_id,
+           (16 + (len % 1024))::INT AS width,
+           (1 + (('0x'||substring(h,1,2))::INT & 3))::INT AS channels,
+           round((len(list_filter(range(0, len),
+               p -> substring(h, (2*p+1)::INT, 1) = '0'))::FLOAT
+             / len::FLOAT)::DOUBLE, 6) AS f0
+         FROM hexed ORDER BY media_id""",
     "q30_console_strip" ->
       """WITH m AS (SELECT event_id,
            CASE WHEN event_id%3 = 0
@@ -1186,15 +1206,15 @@ object SparkEntry {
          ORDER BY e.doc_id""",
     "q47_simhash_pairs" ->
       """WITH s AS (SELECT doc_id,
-           list_sum(list_transform(range(0, 32), j ->
+           list_sum(list_transform(range(0, 60), j ->
              CASE WHEN 2*len(list_filter(th, v -> (v >> j) & 1 = 1)) > len(th)
                   THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sim
          FROM (SELECT doc_id,
                  list_transform(string_split_regex(lower(trim(text)), '\s+'),
-                   t -> ('0x'||substring(md5(t),1,8))::BIGINT) AS th
+                   t -> ('0x'||substring(md5(t),1,15))::BIGINT) AS th
                FROM documents)),
          banded AS (SELECT doc_id, sim, b.range AS band_idx,
-                      (sim >> (CAST(b.range AS INTEGER)*8)) & 255 AS band_val
+                      (sim >> (CAST(b.range AS INTEGER)*15)) & 32767 AS band_val
                     FROM s, range(0, 4) b),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                     a.sim AS sa, b.sim AS sb

@@ -64,6 +64,36 @@ object TextImpl {
     new GenericArrayData(out)
   }
 
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** 60-bit SimHash: bit j set iff the strict majority of whitespace-token
+    * [[hash60]]s have bit j set — the loop form of the
+    * `aggregate(sequence(0,59), …, size(filter(th, bit j)))` SQL composition
+    * over `split(lower(trim(c)), "\s+")` tokens (split of an empty string
+    * yields one empty token, matching Spark's StringSplit).
+    */
+  def simhash60(s: UTF8String): Long = {
+    val toks = wsPattern.split(s.trim.toLowerCase.toString, -1)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash60(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) {
+      if (2 * counts(j) > toks.length) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+
   /** MinHash signature: k minima of the seeded 60-bit rotate-xor permutations
     * over a pre-hashed shingle array — the loop form of
     * `array((0 until k).map(i => array_min(transform(sh, h => mix60(h, i)))))`.
@@ -168,6 +198,26 @@ case class Hash60Array(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.hash60Array($c)")
   override protected def withNewChildInternal(newChild: Expression): Hash60Array =
+    copy(child = newChild)
+}
+
+/** `simhash60(string) -> bigint` with whole-stage codegen: fused tokenize →
+  * hash60 → majority-bit sketch. 60 bits (vs the naive 32) keeps the
+  * pigeonhole LSH bands wide: `maxHamming+1 = 4` bands of 15 bits each give
+  * 32768 buckets per band, so band self-join candidates stay ~n²/32768 per
+  * band instead of the quadratic blowup a 256-bucket 8-bit banding hits at
+  * scale.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
 

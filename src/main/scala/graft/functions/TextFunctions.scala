@@ -36,9 +36,6 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 32-bit variant for SimHash bit budgets. */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Bind `v` once as a lambda variable ("let"): interpreted expression
     * evaluation has NO common-subexpression elimination, so an expression
@@ -123,21 +120,16 @@ object TextFunctions {
     }
   }
 
-  /** 32-bit SimHash over whitespace tokens: bit j set iff the majority of
-    * token hashes have bit j set. Token hashes are let-bound — they are
-    * referenced twice per bit (64×), which would otherwise re-tokenize and
-    * re-md5 the document 64 times.
+  /** 60-bit SimHash over whitespace tokens: bit j set iff the majority of
+    * token [[hash60]]s have bit j set, as the fused codegen'd
+    * [[SimHash60]] kernel (bit-identical to the aggregate-over-bits SQL
+    * form the oracle replicates). 60 bits keeps the pigeonhole LSH bands at
+    * 15 bits (32k buckets/band) — the 32-bit version's 8-bit bands cap at
+    * 256 buckets and go quadratic on the band self-join at scale.
     */
-  def simhash32(c: Column): Column =
-    let(transform(tokens(c), t => hash32(t))) { th =>
-      val n = size(th)
-      aggregate(
-        sequence(lit(0), lit(31)),
-        lit(0L),
-        (acc, j) => acc + when(
-          size(filter(th, v => call_function("shiftright", v, j).bitwiseAND(1) === 1)) * 2 > n,
-          call_function("shiftleft", lit(1L), j)).otherwise(0L))
-    }
+  def simhash60(c: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      SimHash60(org.apache.spark.sql.GraftGlue.expression(c)))
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -118,16 +118,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over 32-bit
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming over 60-bit
     * sketches. Candidates via the pigeonhole band trick: split the sketch
     * into `maxHamming+1` bands — any pair within distance d shares at least
-    * one exact band. Default 4 bands of 8 bits ⇒ exact for d ≤ 3.
+    * one exact band. Default 4 bands of 15 bits ⇒ exact for d ≤ 3 with
+    * 32768 buckets per band (an 8-bit banding caps at 256 buckets, making
+    * the band self-join ~n²/256 — a full-shuffle quadratic at 100 TB).
     */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
-    val bitsPer = 32 / nBands
-    val sh = df.select(idCol.as("doc_id"), simhash32(textCol).as("sim"))
+    val bitsPer = 60 / nBands
+    val sh = df.select(idCol.as("doc_id"), simhash60(textCol).as("sim"))
     val banded = sh.withColumn("band_idx",
       explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_val",

@@ -158,15 +158,24 @@ object Multimodal {
 
   /** Deterministic synthetic media corpus derived from a numeric id column —
     * the environment has no real media; tests and benches build content as
-    * seeded bytes.
+    * seeded bytes. Content is the first `256 + id % 4096` bytes of
+    * `md5(id:0) || md5(id:1) || …` — cross-engine reproducible, so the DuckDB
+    * oracle re-derives the identical blob from the same id column.
     */
   def synthesize(df: DataFrame, idCol: Column, mediaType: String = "image"): DataFrame = {
     val bytesUdf = udf { id: Long =>
-      val rnd = new scala.util.Random(id)
       val len = 256 + (id % 4096).toInt
-      val arr = new Array[Byte](len)
-      rnd.nextBytes(arr)
-      arr
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Byte](len)
+      var off = 0
+      var block = 0
+      while (off < len) {
+        val digest = md.digest(s"$id:$block".getBytes("UTF-8"))
+        System.arraycopy(digest, 0, out, off, math.min(16, len - off))
+        off += 16
+        block += 1
+      }
+      out
     }
     df.select(idCol.cast("long").as("media_id"),
       lit(mediaType).as("media_type"),

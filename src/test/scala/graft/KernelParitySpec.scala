@@ -122,6 +122,37 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  // the pre-kernel SQL composition of the 60-bit SimHash, inlined
+  private def sqlSimhash60(c: org.apache.spark.sql.Column) =
+    TextFunctions.let(transform(tokens(c), t => hash60(t))) { th =>
+      val n = size(th)
+      aggregate(
+        sequence(lit(0), lit(59)),
+        lit(0L),
+        (acc, j) => acc + when(
+          size(filter(th, v => call_function("shiftright", v, j).bitwiseAND(1) === 1)) * 2 > n,
+          call_function("shiftleft", lit(1L), j)).otherwise(0L))
+    }
+
+  test("simhash60 kernel == aggregate-over-bits SQL form (tricky + fuzzed)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(99)
+    val alphabets = Seq("abcdefg", "äöüßéñ", "汉字分词测试", "0123._-")
+    def doc(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.length))
+        (0 until 1 + rnd.nextInt(5)).map(_ => a(rnd.nextInt(a.length))).mkString
+      }.mkString(" ") + (if (rnd.nextBoolean()) " " else "")
+    }
+    val docs = (tricky ++ (0 until 200).map(_ => doc())).toDF("text")
+    val rows = docs.select(
+      simhash60(col("text")).as("kernel"), sqlSimhash60(col("text")).as("sql"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (k, q) => assert(k == q) }
+  }
+
   test("hyperplane bucket kernel == interpreted md5-per-component SQL form") {
     val s = spark
     import s.implicits._
