@@ -3,19 +3,23 @@ package graft.operators
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Q1 search-job lifecycle over the engine's store — the driver-side
   * bookkeeping the reference consumes from the Sumo API
   * (`sumologic-app-utils/src/sumologic.py:96-116`): create a job from a query
-  * string + time range, poll its state, page `messages` (raw rows) or
-  * `records` (aggregated rows) by limit/offset.
+  * string + time range (+ `timeZone` / `byReceiptTime`), poll its state, page
+  * `messages` (raw rows) or `records` (aggregated rows) by limit/offset.
   *
-  * The job result is computed once per job (async on a daemon thread —
-  * `GATHERING RESULTS` until the action finishes, like the API's poll loop)
-  * and cached as a local frame for stable pagination; paging re-sorts
-  * deterministically so limit/offset pages never overlap.
+  * Scale shape: the job result is materialized ONCE into a rank-bucketed
+  * parquet store — global range sort (parallel), per-partition counts folded
+  * into cumulative offsets (driver-side, one row per partition), a
+  * partition-local `row_number` for the global rank, then a write partitioned
+  * by `_page = (rank-1)/bucket`. Every page is a partition-pruned read of the
+  * one or two matching `_page` directories — no single-partition exchange,
+  * no full result cached in memory, pages by construction stable and
+  * non-overlapping.
   */
 object SearchJobs {
 
@@ -24,21 +28,105 @@ object SearchJobs {
   case object DoneGatheringResults extends State
   final case class Failed(error: String) extends State
 
+  /** Aggregated `records` flavor of a job: the transform applied to the
+    * filtered messages (the `| count by X` half of a Sumo query), plus the
+    * stable pagination order for the aggregated schema.
+    */
+  final case class RecordsSpec(transform: DataFrame => DataFrame, orderBy: Seq[String])
+
+  /** Rows per rank bucket — one page directory holds this many ranks, so a
+    * limit ≤ bucket touches at most two directories.
+    */
+  private val PageBucket = 10000L
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    } catch { case _: Exception => () }
+
+  /** Sort by `orderBy`, rank without a single-partition exchange, and write
+    * the rank-bucketed store. Returns the total row count. The sorted frame
+    * is first landed to parquet so the count pass and the rank pass read the
+    * SAME materialized partitioning (a re-executed range sort may sample
+    * different boundaries).
+    */
+  private def materializePaged(df: DataFrame, orderBy: Seq[String],
+      path: String): Long = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = orderBy.map(col)
+    df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
+      .write.mode("overwrite").parquet(s"$path/sorted")
+    val sorted = spark.read.parquet(s"$path/sorted")
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.map { case (pid, n) => val b = acc; acc += n; (pid, b) }
+    if (acc > 0) {
+      val baseDf = bases.toSeq.toDF("_pid", "_base")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_pid").orderBy(keys: _*)
+      sorted.withColumn("_rn", row_number().over(w))
+        .join(broadcast(baseDf), "_pid")
+        .withColumn("_rank", (col("_base") + col("_rn")).cast("long"))
+        .withColumn("_page", floor((col("_rank") - 1) / PageBucket))
+        .drop("_pid", "_rn", "_base")
+        .write.mode("overwrite").partitionBy("_page").parquet(s"$path/pages")
+    }
+    deleteDir(spark, s"$path/sorted")
+    acc
+  }
+
+  /** Partition-pruned page read: ranks (offset, offset+limit] live in page
+    * directories offset/bucket … (offset+limit-1)/bucket — the `_page`
+    * predicate prunes at planning time, `_rank` trims inside them.
+    */
+  private def readPage(spark: SparkSession, path: String, limit: Int,
+      offset: Int): DataFrame = {
+    val lo = offset / PageBucket
+    val hi = (offset.toLong + limit - 1) / PageBucket
+    spark.read.parquet(s"$path/pages")
+      .filter(col("_page") >= lo && col("_page") <= hi)
+      .filter(col("_rank") > offset && col("_rank") <= offset.toLong + limit)
+      .orderBy("_rank")
+      .drop("_rank", "_page")
+  }
+
   final class Job private[SearchJobs] (
       val id: Long,
       resultOf: () => DataFrame,
-      orderBy: Seq[String]) {
+      orderBy: Seq[String],
+      recordsSpec: Option[RecordsSpec],
+      jobDir: String) {
     @volatile private[SearchJobs] var state: State = GatheringResults
-    @volatile private[SearchJobs] var result: DataFrame = _
-    @volatile private[SearchJobs] var count: Long = -1L
+    @volatile private var spark: SparkSession = _
+    @volatile private var emptyMessages: DataFrame = _
+    @volatile private var emptyRecords: DataFrame = _
+    @volatile private var count: Long = -1L
+    @volatile private var recCount: Long = -1L
 
     private[SearchJobs] def run(): Unit =
       try {
         val df = resultOf()
-        // localCheckpoint: materialize once so every page reads the same data
-        val mat = df.localCheckpoint(true)
-        count = mat.count()
-        result = mat
+        spark = df.sparkSession
+        emptyMessages = df.limit(0)
+        count = materializePaged(df, orderBy, s"$jobDir/messages")
+        recordsSpec.foreach { spec =>
+          if (count == 0) {
+            emptyRecords = spec.transform(emptyMessages).limit(0)
+            recCount = 0L
+          } else {
+            // aggregate over the landed store, not the original plan — the
+            // expensive search half runs exactly once per job
+            val agg = spec.transform(spark.read.parquet(s"$jobDir/messages/pages")
+              .drop("_rank", "_page"))
+            emptyRecords = agg.limit(0)
+            recCount = materializePaged(agg, spec.orderBy, s"$jobDir/records")
+          }
+        }
         state = DoneGatheringResults
       } catch {
         case e: Throwable => state = Failed(String.valueOf(e.getMessage))
@@ -46,30 +134,64 @@ object SearchJobs {
 
     def status: State = state
     def messageCount: Long = count
+    def recordCount: Long = recCount
 
     /** Page the finished result: deterministic order, non-overlapping pages. */
     def messages(limit: Int, offset: Int): DataFrame = {
       require(state == DoneGatheringResults, s"job $id not done: $state")
-      SearchQuery.page(result, orderBy.map(col), limit, offset)
+      if (count == 0) emptyMessages
+      else readPage(spark, s"$jobDir/messages", limit, offset)
     }
+
+    /** Page the aggregated `records` flavor (requires a [[RecordsSpec]]). */
+    def records(limit: Int, offset: Int): DataFrame = {
+      require(state == DoneGatheringResults, s"job $id not done: $state")
+      require(recordsSpec.isDefined, s"job $id has no records aggregation")
+      if (recCount == 0) emptyRecords
+      else readPage(spark, s"$jobDir/records", limit, offset)
+    }
+
+    private[SearchJobs] def cleanup(): Unit =
+      if (spark != null) deleteDir(spark, jobDir)
   }
 
   private val jobs = new ConcurrentHashMap[Long, Job]()
   private val nextId = new AtomicLong(0L)
 
+  private def defaultRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-search-jobs"
+
   /** Create + start a search job. `query` uses the [[SearchQuery]] predicate
-    * subset; `orderBy` defines the stable pagination order.
+    * subset; `orderBy` defines the stable pagination order; `records` adds
+    * the aggregated job flavor.
     */
   def create(df: DataFrame, query: String, fromTime: Column, toTime: Column,
-      timeCol: Column, messageCol: Column, orderBy: Seq[String]): Job = {
-    val job = new Job(nextId.incrementAndGet(),
+      timeCol: Column, messageCol: Column, orderBy: Seq[String],
+      records: Option[RecordsSpec] = None, jobRoot: String = defaultRoot): Job = {
+    val id = nextId.incrementAndGet()
+    val job = new Job(id,
       () => SearchQuery.searchJob(df, query, fromTime, toTime, timeCol, messageCol),
-      orderBy)
+      orderBy, records, s"$jobRoot/job-$id")
     jobs.put(job.id, job)
     val t = new Thread(() => job.run(), s"search-job-${job.id}")
     t.setDaemon(true)
     t.start()
     job
+  }
+
+  /** API-fidelity variant mirroring `search_job(query, fromTime, toTime,
+    * timeZone, byReceiptTime)` (`sumologic.py:96-99`): the from/to strings
+    * are wall-clock times interpreted in `timeZone`, and `byReceiptTime`
+    * filters on the receipt-time column instead of the parsed message time.
+    */
+  def create(df: DataFrame, query: String, fromTime: String, toTime: String,
+      timeZone: String, byReceiptTime: Boolean, timeCol: Column,
+      receiptTimeCol: Column, messageCol: Column, orderBy: Seq[String],
+      records: Option[RecordsSpec]): Job = {
+    val from = to_utc_timestamp(to_timestamp(lit(fromTime)), timeZone)
+    val to = to_utc_timestamp(to_timestamp(lit(toTime)), timeZone)
+    val effective = if (byReceiptTime) receiptTimeCol else timeCol
+    create(df, query, from, to, effective, messageCol, orderBy, records)
   }
 
   def get(id: Long): Option[Job] = Option(jobs.get(id))
@@ -85,5 +207,9 @@ object SearchJobs {
     job.status
   }
 
-  def delete(id: Long): Unit = jobs.remove(id)
+  /** Drop the job and its backing store. */
+  def delete(id: Long): Unit = {
+    val job = jobs.remove(id)
+    if (job != null) job.cleanup()
+  }
 }

@@ -73,16 +73,47 @@ object SearchQuery {
     df.filter(timeCol >= fromTime && timeCol < toTime)
       .filter(compile(parse(query), messageCol))
 
-  /** Q1/Q3 pagination: deterministic limit/offset page over an ordered result.
-    * One global sort; the window is rank-based so pages are stable across
-    * executions (the API contract for `search_job_messages`).
+  /** Global contiguous rank (1-based, consistent with `orderBy`) WITHOUT a
+    * single-partition window: the naive `row_number().over(Window.orderBy(…))`
+    * funnels every row through one task — a scale-killer. Instead: global
+    * range sort (parallel), per-partition counts folded into cumulative base
+    * offsets driver-side (one row per partition — bounded), then a
+    * partition-local `row_number` plus the broadcast base. The sorted frame
+    * is persisted so the count pass and the rank pass see the same (sampled)
+    * range boundaries; callers paging repeatedly over a fat result should
+    * materialize through [[SearchJobs]], which writes a rank-bucketed store
+    * instead of caching.
     */
-  def page(df: DataFrame, orderBy: Seq[Column], limit: Int, offset: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(orderBy: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") > offset && col("_rn") <= offset + limit)
-      .drop("_rn")
+  def withGlobalRank(df: DataFrame, orderBy: Seq[Column],
+      rankCol: String = "_rank"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.orderBy(orderBy: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.groupBy("_gr_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.map { case (pid, n) => val b = acc; acc += n; (pid, b) }
+    val baseDf = bases.toSeq.toDF("_gr_pid", "_gr_base")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_gr_pid").orderBy(orderBy: _*)
+    sorted.withColumn("_gr_rn", row_number().over(w))
+      .join(broadcast(baseDf), "_gr_pid")
+      .withColumn(rankCol, (col("_gr_base") + col("_gr_rn")).cast("long"))
+      .drop("_gr_pid", "_gr_rn", "_gr_base")
   }
+
+  /** Q1/Q3 pagination: deterministic limit/offset page over an ordered result,
+    * rank-based so pages are stable and non-overlapping across executions
+    * (the API contract for `search_job_messages`). Built on
+    * [[withGlobalRank]] — no single-partition exchange anywhere in the plan.
+    */
+  def page(df: DataFrame, orderBy: Seq[Column], limit: Int, offset: Int): DataFrame =
+    withGlobalRank(df, orderBy, "_rn")
+      .filter(col("_rn") > offset && col("_rn") <= offset + limit)
+      .orderBy("_rn")
+      .drop("_rn")
 
   /** Q4: metrics query quantization — the [from, to) range divided into
     * `requestedDataPoints` equal buckets (reference passes the requested and

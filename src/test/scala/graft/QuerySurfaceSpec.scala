@@ -40,6 +40,62 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(p1 == (1L to 10L) && p2 == (11L to 20L) && p3 == (21L to 25L))
   }
 
+  test("Q1: paged plan contains no single-partition global exchange") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, s"m$i")).toDF("id", "msg")
+      .repartition(8)
+    val paged = SearchQuery.page(df, Seq(col("id")), limit = 10, offset = 500)
+    val plan = paged.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(paged.select("id").as[Long].collect().toSeq == (501L to 510L))
+  }
+
+  test("Q1: timeZone/byReceiptTime honored; records flavor pages aggregates") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SearchJobs
+    val df = Seq(
+      // (msg time UTC, receipt time UTC, category, message)
+      ("2024-03-01 04:30:00", "2024-03-01 10:00:00", "cat-a", "error one"),
+      ("2024-03-01 05:30:00", "2024-03-01 10:30:00", "cat-a", "error two"),
+      ("2024-03-01 06:30:00", "2024-03-02 09:00:00", "cat-a", "error three"),
+      ("2024-03-01 04:45:00", "2024-03-01 10:05:00", "cat-b", "error four"))
+      .toDF("ts_s", "receipt_s", "source_category", "message")
+      .select(col("ts_s").cast("timestamp").as("ts"),
+        col("receipt_s").cast("timestamp").as("receipt_ts"),
+        col("source_category"), col("message"))
+    // New York wall-clock [Mar 1 00:00, Mar 2 00:00) = [05:00Z Mar 1, 05:00Z Mar 2):
+    // by message time → "error two"/"error three" (04:30Z is Feb 29 23:30 NY);
+    // by receipt time → "error one"/"error two" (the Mar-2 09:00Z receipt is out).
+    val byMsg = SearchJobs.create(df, "_sourceCategory=cat-a error",
+      "2024-03-01 00:00:00", "2024-03-02 00:00:00", "America/New_York",
+      byReceiptTime = false, col("ts"), col("receipt_ts"), col("message"),
+      orderBy = Seq("message"), records = None)
+    assert(SearchJobs.await(byMsg) == SearchJobs.DoneGatheringResults)
+    assert(byMsg.messageCount == 2)
+    assert(byMsg.messages(10, 0).select("message").as[String].collect().toSeq ==
+      Seq("error three", "error two"))
+    SearchJobs.delete(byMsg.id)
+
+    val byReceipt = SearchJobs.create(df, "_sourceCategory=cat-a error",
+      "2024-03-01 00:00:00", "2024-03-02 00:00:00", "America/New_York",
+      byReceiptTime = true, col("ts"), col("receipt_ts"), col("message"),
+      orderBy = Seq("message"),
+      records = Some(SearchJobs.RecordsSpec(
+        d => d.groupBy("source_category").agg(count(lit(1)).as("cnt")),
+        orderBy = Seq("source_category"))))
+    assert(SearchJobs.await(byReceipt) == SearchJobs.DoneGatheringResults)
+    assert(byReceipt.messageCount == 2)
+    assert(byReceipt.messages(10, 0).select("message").as[String].collect().toSeq ==
+      Seq("error one", "error two"))
+    assert(byReceipt.recordCount == 1)
+    val rec = byReceipt.records(10, 0)
+      .select("source_category", "cnt").as[(String, Long)].collect().toSeq
+    assert(rec == Seq(("cat-a", 2L)))
+    SearchJobs.delete(byReceipt.id)
+  }
+
   test("Q5: duplicate FER names merge by OR-ing scopes, first parse wins") {
     val rules = Seq(
       Fer.Rule("f", col("t") === "a", _ => lit("first")),
