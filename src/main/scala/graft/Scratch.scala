@@ -29,9 +29,17 @@ object Scratch {
       .select(col("doc_id"), shingleHashes(col("_text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     time("sh materialize")(sh.count())
-    for (q <- Seq("q24_minhash_lsh", "q23_ngram_jaccard", "q45_dedup_clusters",
-        "q46_curation_pipeline", "q32_asff_forwarder", "q49_multiline")) {
-      time(q)(SparkEntry.queries(q)(spark, dir).count())
+    // extra args = query names, timed warm against a noop sink (full declared
+    // plan, codegen already compiled) — the per-query drill-down the bench's
+    // cold single-shot numbers can't give
+    val picks = if (args.nonEmpty) args.toSeq
+      else Seq("q24_minhash_lsh", "q23_ngram_jaccard", "q45_dedup_clusters",
+        "q46_curation_pipeline", "q32_asff_forwarder", "q49_multiline")
+    for (q <- picks) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.write.format("noop").mode("overwrite").save() // warm
+      time(q) { df.write.format("noop").mode("overwrite").save(); -1L }
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) df.explain("formatted")
     }
     spark.stop()
   }

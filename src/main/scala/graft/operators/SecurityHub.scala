@@ -114,29 +114,26 @@ object SecurityHub {
   /** S10 double-parse: API body JSON whose `Rows` field is itself a
     * stringified JSON array (reference `securityhub_forwarder.py:106-110`).
     *
-    * Both parses run behind a per-row materialization barrier
-    * ([[graft.functions.ExprUtils.materialized]]): `from_json` is
-    * CodegenFallback, so without the barrier every downstream field reference
-    * (validation + finding construction touch ~10) would re-parse the body —
-    * measured 5× slower on the forwarder path.
+    * The top level is all-string fields, so it goes through `json_tuple` —
+    * ONE streamed parse per body feeding every field via a `Generate` (which
+    * is also a natural materialization barrier; `from_json` here cost ~2× —
+    * per-row parser setup plus CodegenFallback row construction). The inner
+    * `Rows` parse keeps `from_json` (typed array) behind a
+    * [[graft.functions.ExprUtils.materialized]] barrier: validation + finding
+    * construction reference it repeatedly, and without the barrier each
+    * reference would re-parse.
     */
   def parseRequest(df: DataFrame, bodyCol: Column, rowSchema: StructType): DataFrame = {
-    val topSchema = StructType(Seq(
-      StructField("Types", StringType), StructField("Description", StringType),
-      StructField("GeneratorID", StringType), StructField("Severity", StringType),
-      StructField("SourceUrl", StringType), StructField("ComplianceStatus", StringType),
-      StructField("Rows", StringType)))
-    val parsed = graft.functions.ExprUtils.let(from_json(bodyCol, topSchema)) { req =>
-      struct(
-        req.getField("Types").as("Types"),
-        req.getField("Description").as("Description"),
-        req.getField("GeneratorID").as("GeneratorID"),
-        req.getField("Severity").as("Severity"),
-        req.getField("SourceUrl").as("SourceUrl"),
-        req.getField("ComplianceStatus").as("ComplianceStatus"),
-        from_json(req.getField("Rows"), ArrayType(rowSchema)).as("Rows"))
+    val topFields = Seq("Types", "Description", "GeneratorID", "Severity",
+      "SourceUrl", "ComplianceStatus", "Rows")
+    val tupled = df.select(col("*"), json_tuple(bodyCol, topFields: _*))
+    val renamed = topFields.zipWithIndex.foldLeft(tupled) {
+      case (d, (f, i)) => d.withColumnRenamed(s"c$i", f)
     }
-    graft.functions.ExprUtils.materialized(df, "_req", parsed)
-      .select(col("*"), col("_req.*")).drop("_req")
+    graft.functions.ExprUtils.materialized(
+      renamed.withColumnRenamed("Rows", "_rows_json"),
+      "_rows", from_json(col("_rows_json"), ArrayType(rowSchema)))
+      .drop("_rows_json")
+      .withColumnRenamed("_rows", "Rows")
   }
 }
