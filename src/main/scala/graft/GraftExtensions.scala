@@ -20,36 +20,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
-    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  /** Analysis-time signature check: a wrong-arity SQL call must fail with the
+    * function name and expected signature, not an IndexOutOfBoundsException
+    * from the builder body.
+    */
+  private def checkArity(name: String, usage: String, expected: Int,
+      es: Seq[Expression]): Unit =
+    if (es.length != expected) {
+      throw new IllegalArgumentException(
+        s"Function `$name` expects $expected argument(s) but got ${es.length}; usage: $usage")
+    }
+
+  /** Literal-int parameter (shingle width, signature size): non-literal,
+    * null, or non-integral arguments are analysis errors naming the function.
+    */
+  private def intArg(name: String, what: String, e: Expression): Int = {
+    def bad(got: String) = new IllegalArgumentException(
+      s"Function `$name`: $what must be an integer literal, got $got")
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
+        throw bad("NULL")
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => throw bad(String.valueOf(v))
+      case other => throw bad(other.sql)
+    }
   }
 
+  private def fn(ext: SparkSessionExtensions, name: String, usage: String,
+      arity: Int)(build: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+      (es: Seq[Expression]) => { checkArity(name, usage, arity, es); build(es) }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("gunzip"),
-      info("gunzip", "gunzip(binary) - decompress a (multi-member) gzip stream"),
-      (es: Seq[Expression]) => Gunzip(es.head)))
-    ext.injectFunction((FunctionIdentifier("gzip"),
-      info("gzip", "gzip(binary) - gzip-compress"),
-      (es: Seq[Expression]) => GzipCompress(es.head)))
-    ext.injectFunction((FunctionIdentifier("shingle_hash60"),
-      info("shingle_hash60", "shingle_hash60(text, n) - distinct word n-gram 60-bit hashes"),
-      (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1), "n"))))
-    ext.injectFunction((FunctionIdentifier("hash60_array"),
-      info("hash60_array", "hash60_array(array<string>) - element-wise 60-bit md5 hash"),
-      (es: Seq[Expression]) => Hash60Array(es.head)))
-    ext.injectFunction((FunctionIdentifier("minhash_signature"),
-      info("minhash_signature", "minhash_signature(array<long>, k) - k-permutation MinHash"),
-      (es: Seq[Expression]) => MinHashSignature(es.head, intArg(es(1), "k"))))
-    ext.injectFunction((FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(array<float>, array<float>) - double dot product"),
-      (es: Seq[Expression]) => VecDot(es.head, es(1))))
-    ext.injectFunction((FunctionIdentifier("vec_sqnorm"),
-      info("vec_sqnorm", "vec_sqnorm(array<float>) - double squared L2 norm"),
-      (es: Seq[Expression]) => VecSqNorm(es.head)))
-    ext.injectFunction((FunctionIdentifier("ip_in_cidr"),
-      info("ip_in_cidr", "ip_in_cidr(ip, cidr) - IPv4 CIDR membership, malformed->false"),
-      (es: Seq[Expression]) => IpInCidr(es.head, es(1))))
+    fn(ext, "gunzip", "gunzip(binary) - decompress a (multi-member) gzip stream", 1)(
+      es => Gunzip(es.head))
+    fn(ext, "gzip", "gzip(binary) - gzip-compress", 1)(
+      es => GzipCompress(es.head))
+    fn(ext, "shingle_hash60", "shingle_hash60(text, n) - distinct word n-gram 60-bit hashes", 2)(
+      es => ShingleHashes(es.head, intArg("shingle_hash60", "n", es(1))))
+    fn(ext, "hash60_array", "hash60_array(array<string>) - element-wise 60-bit md5 hash", 1)(
+      es => Hash60Array(es.head))
+    fn(ext, "minhash_signature", "minhash_signature(array<long>, k) - k-permutation MinHash", 2)(
+      es => MinHashSignature(es.head, intArg("minhash_signature", "k", es(1))))
+    fn(ext, "simhash60", "simhash60(text) - 60-bit majority SimHash over whitespace tokens", 1)(
+      es => SimHash60(es.head))
+    fn(ext, "vec_dot", "vec_dot(array<float>, array<float>) - double dot product", 2)(
+      es => VecDot(es.head, es(1)))
+    fn(ext, "vec_sqnorm", "vec_sqnorm(array<float>) - double squared L2 norm", 1)(
+      es => VecSqNorm(es.head))
+    fn(ext, "ip_in_cidr", "ip_in_cidr(ip, cidr) - IPv4 CIDR membership, malformed->false", 2)(
+      es => IpInCidr(es.head, es(1)))
   }
 }

@@ -664,6 +664,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("cluster_id")
     }),
+    // ---- Q7 fields schema registry: ingest-side field enforcement (drop
+    //      unregistered k=v entries) + registry-backed custom selector ----
+    "q51_fields_registry" -> ((s, dir) => {
+      import graft.operators.{FieldsSchema, Metadata, SearchQuery}
+      val reg = FieldsSchema.newRegistry()
+      reg.createAll(Seq("env", "service", "team"))
+      val ev = tbl(s, dir, "events")
+      val blob = concat(lit("env=e"), col("event_id") % 3,
+        lit(",rogue=r"), col("user_id") % 2,
+        lit(",service=svc-"), col("user_id") % 4)
+      val msg = to_json(struct(
+        struct(blob.as("sourceFieldsOverride")).as("_sumo_metadata"),
+        col("event_id").as("i")))
+      val derived = Metadata.derive(
+        ev.select(col("event_id"), msg.as("message")),
+        Metadata.MetaConfig(sourceCategoryOverride = "cat-reg"), Some(reg))
+      derived
+        .filter(SearchQuery.compile(
+          SearchQuery.parse("_service=svc-1"), col("message"), reg))
+        .select(col("event_id"), col("source_category"), col("source_fields"),
+          col("meta_key"))
+        .orderBy("event_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
@@ -1283,5 +1306,21 @@ object SparkEntry {
                   FROM a)
          SELECT cid AS cluster_id, count(*) AS n
          FROM best WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""",
+    // registry names baked as the same literal list the Spark plan uses;
+    // filter = drop unregistered k=v entries, selector = exact svc-1 match
+    "q51_fields_registry" ->
+      """WITH b AS (SELECT event_id,
+             'env=e'||(event_id%3)||',rogue=r'||(user_id%2)||',service=svc-'||(user_id%4) AS blob
+           FROM events),
+         f AS (SELECT event_id,
+             array_to_string(list_filter(string_split(blob, ','),
+               p -> list_contains(['env','service','team'], string_split(p,'=')[1])), ',') AS source_fields
+           FROM b)
+         SELECT event_id, 'cat-reg' AS source_category, source_fields,
+           ':cat-reg::'||source_fields AS meta_key
+         FROM f
+         WHERE len(list_filter(string_split(source_fields, ','),
+             p -> string_split(p,'=')[1] = 'service' AND string_split(p,'=')[2] = 'svc-1')) > 0
+         ORDER BY event_id""",
   )
 }

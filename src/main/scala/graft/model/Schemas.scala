@@ -30,6 +30,13 @@ object Schemas {
   def cloudTrailFile(recordType: DataType = StringType): StructType =
     StructType(Seq(StructField("Records", ArrayType(recordType))))
 
+  /** Kinesis stream record wire shape `{kinesis:{data: base64(gzip(envelope))}}`
+    * (reference `kinesis/node.js/k2sl_lambda.js:182-199`).
+    */
+  val kinesisRecord: StructType = StructType(Seq(
+    StructField("kinesis", StructType(Seq(
+      StructField("data", StringType))))))
+
   /** Firehose transform record (reference `kinesisfirehose-processor.js:35-54`). */
   val firehoseRecord: StructType = StructType(Seq(
     StructField("recordId", StringType),

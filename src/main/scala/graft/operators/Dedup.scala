@@ -183,6 +183,16 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (changed > 0) {
+      // a component deeper than maxIter would silently keep non-minimal
+      // labels — surface it rather than diverging from the recursive oracle
+      labels.unpersist()
+      sym.unpersist()
+      throw new IllegalStateException(
+        s"clusters() did not converge after $maxIter rounds ($changed labels " +
+          "still changing) — component diameter exceeds maxIter; raise maxIter " +
+          "or switch to star-contraction for this graph")
+    }
     // Materialize the result lineage-free, then release every intermediate
     // cache (the loop's final frame would otherwise stay pinned).
     val result = labels

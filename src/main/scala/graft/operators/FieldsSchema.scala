@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Q7: the fields schema registry — the global catalog of allowed meta
+  * fields the reference maintains through the `/fields` API
+  * (`sumologic-app-utils/src/sumoresource.py:1351-1425`, client
+  * `sumologic.py:298-311`): create is idempotent on `field:already_exists`
+  * (resolves and returns the existing id), lookup by name raises when
+  * missing, delete accepts the `"Duplicate"` sentinel by re-resolving the id
+  * from the name, and bulk updates apply in bounded chunks
+  * (`batch_size_chunking`, `sumoresource.py:1236-1241`).
+  *
+  * Engine enforcement is plan-time, not per-row: the registry lives on the
+  * driver (it is control-plane state, like [[SearchJobs]]); queries bake the
+  * registered names in as literals, so the executor-side work is a plain
+  * codegen'd string filter and the DuckDB oracle can replicate it from the
+  * same literal list.
+  */
+object FieldsSchema {
+
+  final class FieldNotFoundException(name: String)
+    extends IllegalArgumentException(s"Field Name with name $name not found")
+
+  final class Registry {
+    private val byName = scala.collection.mutable.LinkedHashMap[String, Long]()
+    private val nextId = new AtomicLong(0L)
+
+    /** Create a field; duplicate names return the existing id (the
+      * `field:already_exists` path of the reference).
+      */
+    def create(name: String): Long = synchronized {
+      byName.getOrElseUpdate(name, nextId.incrementAndGet())
+    }
+
+    /** `get_field_id`: lookup by name, raising when absent. */
+    def fieldId(name: String): Long = synchronized {
+      byName.getOrElse(name, throw new FieldNotFoundException(name))
+    }
+
+    def contains(name: String): Boolean = synchronized(byName.contains(name))
+
+    /** All registered fields in insertion order, `(id, name)`. */
+    def all: Seq[(Long, String)] = synchronized {
+      byName.toSeq.map { case (n, id) => (id, n) }
+    }
+
+    def names: Seq[String] = synchronized(byName.keys.toSeq)
+
+    /** Delete by id; returns whether anything was removed. */
+    def delete(id: Long): Boolean = synchronized {
+      byName.find(_._2 == id) match {
+        case Some((n, _)) => byName.remove(n); true
+        case None => false
+      }
+    }
+
+    /** Delete by the reference's stored physical id, honoring the
+      * `"Duplicate"` sentinel: re-resolve the id from the name first
+      * (`sumoresource.py:1404-1409`).
+      */
+    def delete(storedId: String, name: String): Boolean = synchronized {
+      val id = if (storedId == "Duplicate") fieldId(name) else storedId.toLong
+      delete(id)
+    }
+
+    /** Bulk create in bounded chunks (`batch_size_chunking`): returns the
+      * applied chunks, each a list of `(name, id)`.
+      */
+    def createAll(fieldNames: Seq[String], chunkSize: Int = 20): Seq[Seq[(String, Long)]] =
+      fieldNames.grouped(chunkSize).map(_.map(n => (n, create(n)))).toSeq
+  }
+
+  def newRegistry(): Registry = new Registry
+
+  /** Keep only registered `k=v` entries of a comma-joined fields blob (the
+    * `X-Sumo-Fields` shape) — the ingest-side enforcement: a field not in the
+    * schema is dropped. Plan-time literal names ⇒ a codegen'd array filter,
+    * replicated in DuckDB as `list_filter(string_split(...))` over the same
+    * literal list.
+    */
+  def filterFields(blob: Column, registered: Seq[String]): Column = {
+    val kept = filter(split(blob, ","),
+      p => element_at(split(p, "="), 1).isin(registered: _*))
+    array_join(kept, ",")
+  }
+
+  def filterFields(blob: Column, registry: Registry): Column =
+    filterFields(blob, registry.names)
+}

@@ -32,8 +32,13 @@ object Metadata {
     *
     * Expects the [[CwlPipeline]] output shape: `message` string (+ optional
     * `logStream`/`logGroup` columns for defaults).
+    *
+    * With a [[FieldsSchema.Registry]], `source_fields` is enforced against
+    * the schema: unregistered `k=v` entries are dropped at derive time (the
+    * ingest-side behavior of the fields catalog, Q7).
     */
-  def derive(df: DataFrame, cfg: MetaConfig = MetaConfig()): DataFrame = {
+  def derive(df: DataFrame, cfg: MetaConfig = MetaConfig(),
+      registry: Option[FieldsSchema.Registry] = None): DataFrame = {
     val hasStream = df.columns.contains("logStream")
     val hasGroup = df.columns.contains("logGroup")
     val defName =
@@ -59,8 +64,10 @@ object Metadata {
       .withColumn("source_category",
         coalesce(ov("category"), lit(cfg.sourceCategoryOverride)))
       .withColumn("source_host", coalesce(ov("sourceHost"), defHost))
-      .withColumn("source_fields",
-        coalesce(ov("sourceFieldsOverride"), lit(cfg.sourceFieldsOverride)))
+      .withColumn("source_fields", {
+        val sf = coalesce(ov("sourceFieldsOverride"), lit(cfg.sourceFieldsOverride))
+        registry.map(r => FieldsSchema.filterFields(sf, r)).getOrElse(sf)
+      })
       .withColumn("message",
         when(element_at(col("_msg_map"), "_sumo_metadata").isNotNull,
           to_json(map_filter(col("_msg_map"), (k, _) => k =!= "_sumo_metadata")))

@@ -65,6 +65,26 @@ object SearchQuery {
         acc && contains(lower(messageCol), lit(word.toLowerCase))
     }
 
+  /** Registry-enforcing compile (Q7): built-in selectors resolve as before;
+    * any other `_field=` selector must name a field in the schema registry —
+    * unknown fields are rejected at compile time like the API — and matches
+    * against the record's `source_fields` `k=v` blob.
+    */
+  def compile(terms: Seq[Term], messageCol: Column,
+      registry: FieldsSchema.Registry): Column =
+    terms.foldLeft(lit(true)) {
+      case (acc, MetaSelector(field, pattern)) if metaColumns.contains(field) =>
+        acc && col(metaColumns(field)).rlike(wildcardRegex(pattern))
+      case (acc, MetaSelector(field, pattern)) =>
+        val name = field.stripPrefix("_")
+        if (!registry.contains(name)) throw new FieldsSchema.FieldNotFoundException(name)
+        acc && exists(split(col("source_fields"), ","), p =>
+          element_at(split(p, "="), 1) === name &&
+            element_at(split(p, "="), 2).rlike(wildcardRegex(pattern)))
+      case (acc, Keyword(word)) =>
+        acc && contains(lower(messageCol), lit(word.toLowerCase))
+    }
+
   /** Q1/Q2: apply a search-job query — predicate + time range — to a log
     * table. `byReceiptTime` picks the receipt-time column like the API flag.
     */

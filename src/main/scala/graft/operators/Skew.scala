@@ -34,11 +34,22 @@ object Skew {
     * dimension side is replicated `saltFactor` times — a hot key spreads over
     * `saltFactor` partitions at the cost of a `saltFactor`× dimension
     * duplication (use for mid-sized dims above the broadcast threshold).
-    * Result is row-identical to `fact.join(dim, keys, joinType)`.
+    *
+    * Result is row-identical to `fact.join(dim, keys, joinType)` for the
+    * fact-preserving join types ONLY — with a right/full/outer join each
+    * unmatched dim row would surface once per salt replica, so those types
+    * are rejected.
     */
+  private val factPreservingJoins =
+    Set("inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+      "left_semi", "anti", "leftanti", "left_anti")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(factPreservingJoins(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports fact-preserving join types (inner/left/left_semi/left_anti); " +
+        s"'$joinType' would emit each unmatched dim row once per salt replica")
     val factCols = fact.columns
     val salted = fact.withColumn("_salt",
       pmod(hash(factCols.map(col): _*), lit(saltFactor)))

@@ -58,6 +58,34 @@ object Streams {
     }
   }
 
+  /** S2 streaming source: Kinesis record batches as a file stream — JSON
+    * lines of the `{kinesis:{data: base64(gzip(envelope))}}` wire shape
+    * (reference `kinesis/node.js/k2sl_lambda.js:182-199`). A landed shard
+    * dump directory stands in for a live shard connector; swapping in a real
+    * connector only changes this reader, not the pipeline.
+    */
+  def kinesisFileSource(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(graft.model.Schemas.kinesisRecord).json(path)
+
+  /** S2 streaming: the Kinesis wire stream through the S1 decode → filter →
+    * explode → transform chain, metadata derived, landed in the queryable
+    * [[graft.sinks.LogStore]] per micro-batch. Events carry epoch-millis
+    * `timestamp`; it becomes the store's `ts` partition clock.
+    */
+  def kinesisToStore(records: DataFrame, cfg: CwlPipeline.Config,
+      metaCfg: Metadata.MetaConfig, storeDir: String) =
+    records.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val events = CwlPipeline(
+          batch.select(col("kinesis.data").as("_data")), col("_data"), cfg)
+          .drop("_data")
+        val derived = Metadata.derive(events, metaCfg)
+          .withColumn("ts", timestamp_millis(col("timestamp")))
+        graft.sinks.LogStore.append(derived, storeDir, col("ts"))
+      }
+      ()
+    }
+
   /** S5/R3: DLQ drain as a self-terminating stream — file source over the DLQ
     * directory, `Trigger.AvailableNow` ≙ the reference's scheduled drain
     * (`rate(5 minutes)`, `DLQLambdaCloudFormation.json:257`); re-posts each

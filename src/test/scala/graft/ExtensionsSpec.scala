@@ -44,6 +44,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getBoolean(6))
   }
 
+  test("builders validate arity and literal params with named errors") {
+    val wrongArity = intercept[Exception](spark.sql("SELECT shingle_hash60('x')").head())
+    assert(wrongArity.getMessage.contains("shingle_hash60"))
+    assert(wrongArity.getMessage.contains("2 argument"))
+    val badN = intercept[Exception](spark.sql("SELECT shingle_hash60('x', 'y')").head())
+    assert(badN.getMessage.contains("shingle_hash60"))
+    assert(badN.getMessage.contains("integer literal"))
+    val nullK = intercept[Exception](
+      spark.sql("SELECT minhash_signature(array(1L), NULL)").head())
+    assert(nullK.getMessage.contains("minhash_signature"))
+    // simhash60 resolves from SQL too
+    assert(spark.sql("SELECT simhash60('a b c') AS s").head().getLong(0) ==
+      spark.sql("SELECT simhash60('a  b   c') AS s").head().getLong(0))
+  }
+
   test("SQL form matches the Column API form") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql("SELECT shingle_hash60('one two three four', 3) AS s")

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FieldsSchema, Metadata, SearchQuery}
+
+/** Q7 fields schema registry: catalog semantics mirror the reference
+  * (`sumoresource.py:1351-1425`) — idempotent create, lookup-raises, the
+  * `"Duplicate"` delete sentinel, chunked bulk updates — and enforcement at
+  * derive (drop unregistered fields) and compile (reject unknown selectors).
+  */
+class FieldsSchemaSpec extends SparkSpec {
+
+  test("create is idempotent on duplicates; lookup raises when missing") {
+    val reg = FieldsSchema.newRegistry()
+    val id1 = reg.create("env")
+    val id2 = reg.create("env") // field:already_exists → existing id
+    assert(id1 == id2)
+    assert(reg.fieldId("env") == id1)
+    intercept[FieldsSchema.FieldNotFoundException](reg.fieldId("nope"))
+  }
+
+  test("delete by id and by the Duplicate sentinel") {
+    val reg = FieldsSchema.newRegistry()
+    val idA = reg.create("a")
+    reg.create("b")
+    assert(reg.delete(idA))
+    assert(!reg.contains("a"))
+    assert(!reg.delete(idA)) // already gone
+    // Duplicate sentinel re-resolves the id from the name before deleting
+    assert(reg.delete("Duplicate", "b"))
+    assert(reg.all.isEmpty)
+  }
+
+  test("createAll applies in chunks of 20") {
+    val reg = FieldsSchema.newRegistry()
+    val chunks = reg.createAll((1 to 45).map(i => s"f$i"))
+    assert(chunks.map(_.size) == Seq(20, 20, 5))
+    assert(reg.names.size == 45)
+    assert(reg.fieldId("f45") == chunks.last.last._2)
+  }
+
+  test("derive with a registry drops unregistered fields from source_fields") {
+    val s = spark
+    import s.implicits._
+    val reg = FieldsSchema.newRegistry()
+    reg.createAll(Seq("env", "team"))
+    val df = Seq(
+      """{"_sumo_metadata":{"sourceFieldsOverride":"env=prod,rogue=x,team=core"},"k":1}""",
+      """{"k":2}""").toDF("message")
+    val out = Metadata.derive(df, Metadata.MetaConfig(
+      sourceFieldsOverride = "rogue=y,env=dev"), Some(reg))
+      .select("source_fields").as[String].collect().toSeq
+    assert(out == Seq("env=prod,team=core", "env=dev"))
+  }
+
+  test("compile rejects unknown custom selectors, matches registered ones") {
+    val s = spark
+    import s.implicits._
+    val reg = FieldsSchema.newRegistry()
+    reg.create("env")
+    val df = Seq(
+      ("env=prod,team=core", "m1"),
+      ("env=dev", "m2"),
+      ("team=core", "m3")).toDF("source_fields", "message")
+    val hits = df.filter(SearchQuery.compile(
+      SearchQuery.parse("_env=pro*"), col("message"), reg))
+      .select("message").as[String].collect().toSeq
+    assert(hits == Seq("m1"))
+    intercept[FieldsSchema.FieldNotFoundException] {
+      SearchQuery.compile(SearchQuery.parse("_team=core"), col("message"), reg)
+    }
+    // built-in selectors still resolve to their meta columns
+    val builtIn = df.withColumn("source_category", lit("prod/app"))
+      .filter(SearchQuery.compile(
+        SearchQuery.parse("_sourceCategory=prod/*"), col("message"), reg))
+    assert(builtIn.count() == 3)
+  }
+}

@@ -37,6 +37,14 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("salted join rejects dim-preserving join types") {
+    for (jt <- Seq("right", "full", "outer", "full_outer")) {
+      val e = intercept[IllegalArgumentException](
+        Skew.saltedJoin(fact, dim, Seq("key"), saltFactor = 4, joinType = jt))
+      assert(e.getMessage.contains("fact-preserving"), jt)
+    }
+  }
+
   test("batched multimodal decode matches the per-row decode") {
     val base = Multimodal.synthesize(spark.range(30).toDF("id"), col("id"))
     val perRow = Multimodal.decode(base, col("content"))

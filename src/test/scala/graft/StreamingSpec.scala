@@ -212,4 +212,44 @@ class StreamingSpec extends SparkSpec {
     assert(msgs == Seq("login failed user=2", "login ok user=1"))
     SearchJobs.delete(job.id)
   }
+
+  test("S2 e2e: kinesis shard-dump stream → decode chain → store → search") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SearchJobs
+    val shardDir = mkTmp("k2sl-shards")
+    val storeDir = mkTmp("k2sl-store")
+    // one shard dump file of JSON-line kinesis records (the wire shape a
+    // landed shard batch has); the second lands mid-stream
+    def record(stream: String, msgs: Seq[String]): String =
+      s"""{"kinesis":{"data":"${envelope(stream, msgs)}"}}"""
+    Files.writeString(
+      java.nio.file.Paths.get(shardDir, "shard-0.json"),
+      record("fn-a", Seq("order created id=1", "order failed id=2")))
+    val q = Streams.kinesisToStore(
+      Streams.kinesisFileSource(spark, shardDir),
+      CwlPipeline.Config(),
+      Metadata.MetaConfig(sourceCategoryOverride = "prod/kinesis"),
+      storeDir)
+      .option("checkpointLocation", mkTmp("k2sl-ckpt"))
+      .start()
+    q.processAllAvailable()
+    Files.writeString(
+      java.nio.file.Paths.get(shardDir, "shard-1.json"),
+      record("fn-b", Seq("order created id=3")))
+    q.processAllAvailable()
+    q.stop()
+
+    val store = graft.sinks.LogStore.open(spark, storeDir)
+    val job = SearchJobs.create(store, "_sourceCategory=prod/kinesis created",
+      lit("2023-01-01").cast("timestamp"), lit("2024-06-01").cast("timestamp"),
+      col("ts"), col("message"), orderBy = Seq("message"))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    assert(job.messageCount == 2) // the two "created" lines across both shards
+    val msgs = job.messages(10, 0).select("message").as[String].collect().toSeq
+    assert(msgs == Seq("order created id=1", "order created id=3"))
+    // logStream context survives the kinesis path like the S1 path
+    assert(store.filter(col("logStream") === "fn-b").count() == 1)
+    SearchJobs.delete(job.id)
+  }
 }
