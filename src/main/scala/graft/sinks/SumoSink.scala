@@ -201,12 +201,15 @@ object SumoSink {
       sum(when(col("success"), col("n_lines")).otherwise(0L)).as("messagesSent"))
 
   /** S5/R3 DLQ replay (batch drain): re-read captured chunks and re-post.
-    * The bucket key is recovered from the file name; delivered files are NOT
-    * deleted here — at-least-once like the reference (SQS delete-on-success),
+    * The bucket key is recovered from the file name. With `deleteOnSuccess`
+    * each delivered file is removed IN THE EXECUTOR TASK right after its
+    * post — SQS delete-on-success semantics with no driver round-trip (a
+    * crash between post and delete redelivers: at-least-once). Without it,
     * callers remove `dlq_path`s reported successful.
     */
   def replayDlq(spark: org.apache.spark.sql.SparkSession, dlqDir: String,
-      poster: BucketPoster, clientHeader: String = "cwl-aws-lambda"): Dataset[PostOutcome] = {
+      poster: BucketPoster, clientHeader: String = "cwl-aws-lambda",
+      deleteOnSuccess: Boolean = false): Dataset[PostOutcome] = {
     import spark.implicits._
     val files = Option(new java.io.File(dlqDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".ndjson.gz")).map(_.getPath).toSeq
@@ -220,6 +223,7 @@ object SumoSink {
         val wire = Files.readAllBytes(Paths.get(p))
         try {
           poster.post(headers, wire)
+          if (deleteOnSuccess) Files.deleteIfExists(Paths.get(p))
           val n = new String(CodecImpl.gunzip(wire), UTF_8).count(_ == '\n') + 1
           PostOutcome(key, n, wire.length, success = true, error = null, dlq_path = p)
         } catch {

@@ -86,21 +86,18 @@ object Streams {
       ()
     }
 
-  /** S5/R3: DLQ drain as a self-terminating stream — file source over the DLQ
-    * directory, `Trigger.AvailableNow` ≙ the reference's scheduled drain
+  /** S5/R3: DLQ drain — scheduled like the reference's drain
     * (`rate(5 minutes)`, `DLQLambdaCloudFormation.json:257`); re-posts each
-    * captured chunk, deletes on success (SQS delete-on-success semantics,
-    * at-least-once preserved: a crash before delete redelivers).
+    * captured chunk and deletes on success IN THE EXECUTOR TASK (SQS
+    * delete-on-success semantics, at-least-once preserved: a crash before
+    * delete redelivers). Only the success count crosses to the driver — at
+    * object-store scale there is no per-file driver round-trip to fan back
+    * out.
     */
   def drainDlq(spark: SparkSession, dlqDir: String,
-      poster: SumoSink.BucketPoster): Long = {
-    import spark.implicits._
-    val outcomes = SumoSink.replayDlq(spark, dlqDir, poster).collect()
-    outcomes.filter(_.success).foreach { o =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(o.dlq_path))
-    }
-    outcomes.count(_.success).toLong
-  }
+      poster: SumoSink.BucketPoster): Long =
+    SumoSink.replayDlq(spark, dlqDir, poster, deleteOnSuccess = true)
+      .filter(_.success).count()
 
   /** Q4/R8 streaming analogue: watermarked event-time timeslice aggregation.
     * The reference's query surface quantizes time ranges; on a stream this is
