@@ -18,12 +18,16 @@ object Bench {
       SparkEntry.tbl(spark, sfDir, "embeddings").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink forces the full declared plan: under count() Catalyst prunes
       // unused projection columns and EliminateSorts drops global sorts, so
       // projection-only queries would time a bare scan instead of their work.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      // One untimed warm run first (JMH-style): the timed number is the
+      // steady-state execution, not Janino codegen compilation + first-touch
+      // planning (~0.5-1.5 s of per-query JVM warm-up, not engine work).
+      def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try { run() } catch { case _: Throwable => () }
+      val t0 = System.nanoTime()
+      try { run() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -29,6 +29,18 @@ object SparkEntry {
     else df
   }
 
+  /** Project-after-sort scan: the global output order is established on the
+    * scan key BEFORE any heavy projection. A trailing `orderBy` would make
+    * the range-boundary sampling pass re-execute the whole map-side chain
+    * (every global sort runs its child twice: sample + shuffle); sorting the
+    * bare scan first costs one cheap extra scan instead, and the downstream
+    * 1:1 projections/filters preserve both partition ranges and the
+    * partition-local order.
+    */
+  private[graft] def tblSorted(s: SparkSession, dir: String, name: String,
+      key: String): DataFrame =
+    tbl(s, dir, name).repartitionByRange(col(key)).sortWithinPartitions(key)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -114,10 +126,9 @@ object SparkEntry {
     }),
     // ---- T6 regex extract ----
     "q9_regex_extract" -> ((s, dir) => {
-      tbl(s, dir, "events")
+      tblSorted(s, dir, "events", "event_id")
         .select(col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
-        .orderBy("event_id")
     }),
     // ---- T4 speculative JSON parse (JSON path over string column) ----
     "q10_json_extract" -> ((s, dir) => {
@@ -190,10 +201,9 @@ object SparkEntry {
     }),
     // ---- T20 NDJSON serialization ----
     "q14_ndjson" -> ((s, dir) => {
-      tbl(s, dir, "events")
+      tblSorted(s, dir, "events", "event_id")
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"))).as("line"))
-        .orderBy("event_id")
     }),
     // ---- S9/T18 firehose delimiter roundtrip ----
     "q15_firehose_delimiter" -> ((s, dir) => {
@@ -207,13 +217,12 @@ object SparkEntry {
     }),
     // ---- T17 JSON → k=v line ----
     "q16_kv_line" -> ((s, dir) => {
-      val in = tbl(s, dir, "events")
+      val in = tblSorted(s, dir, "events", "event_id")
         .select(col("event_id").cast("string").as("recordId"),
           base64(col("props").cast("binary")).as("data"))
       graft.operators.Firehose.convertToLine(in)
         .select(col("recordId").cast("long").as("event_id"),
           unbase64(col("data")).cast("string").as("line"))
-        .orderBy("event_id")
     }),
     // ---- T16 forwarder validation (valid/invalid split with error messages) ----
     "q17_severity_validation" -> ((s, dir) => {
@@ -236,13 +245,12 @@ object SparkEntry {
     }),
     // ---- T13 epoch normalize: s-vs-ms by digit count ----
     "q18_epoch_normalize" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
+      val ev = tblSorted(s, dir, "events", "event_id")
         .withColumn("finding_time",
           when(col("event_id") % 2 === 0, unix_millis(col("ts")).cast("string"))
             .otherwise(unix_seconds(col("ts")).cast("string")))
       ev.select(col("event_id"),
           graft.operators.SecurityHub.epochToUtc(col("finding_time")).as("utc"))
-        .orderBy("event_id")
     }),
     // ---- G2/K2 findings grouped by ProductArn into "\n\n"-joined bodies ----
     "q19_findings_group" -> ((s, dir) => {
@@ -255,14 +263,13 @@ object SparkEntry {
     // ---- text analysis: token counts, fingerprints ----
     "q20_text_stats" -> ((s, dir) => {
       import graft.functions.TextFunctions._
-      tbl(s, dir, "documents").select(
+      tblSorted(s, dir, "documents", "doc_id").select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
         bpeTokenCount(col("text")).cast("long").as("n_bpe"),
         size(shingles(col("text"), 3)).cast("long").as("n_shingles"),
         fingerprint(col("text")).as("fp"),
         rollingFingerprint(col("text"), 3).as("rolling_fp"))
-        .orderBy("doc_id")
     }),
     // ---- language ID + quality scoring ----
     "q21_langid_quality" -> ((s, dir) => {
@@ -301,9 +308,8 @@ object SparkEntry {
     // ---- SimHash sketches ----
     "q25_simhash" -> ((s, dir) => {
       import graft.functions.TextFunctions._
-      tbl(s, dir, "documents")
+      tblSorted(s, dir, "documents", "doc_id")
         .select(col("doc_id"), simhash60(col("text")).as("simhash"))
-        .orderBy("doc_id")
     }),
     // ---- brute-force cosine top-k similarity search ----
     "q26_embedding_topk" -> ((s, dir) => {
@@ -354,13 +360,12 @@ object SparkEntry {
         .when(col("event_id") % 3 === 1,
           concat(lit("END RequestId: rid-"), col("user_id")))
         .otherwise(col("props"))
-      tbl(s, dir, "events")
+      tblSorted(s, dir, "events", "event_id")
         .select(col("event_id"), line.as("message"))
         .select(col("event_id"),
           CwlPipeline.consoleRequestId(col("message")).as("console_id"),
           CwlPipeline.reportRequestId(col("message")).as("report_id"),
           CwlPipeline.stripConsolePrefix(col("message")).as("stripped"))
-        .orderBy("event_id")
     }),
     // ---- J1 ENI broadcast enrichment + T12 direction classification ----
     "q31_eni_enrichment" -> ((s, dir) => {
@@ -434,11 +439,10 @@ object SparkEntry {
         lit("X-Sumo-Host"), lit("host-1"), lit("X-Sumo-Fields"), fields)
       val kept = map_filter(headers, (_, v) =>
         v.isNotNull && v =!= "" && lower(v) =!= "none")
-      tbl(s, dir, "events").select(col("event_id"),
+      tblSorted(s, dir, "events", "event_id").select(col("event_id"),
         array_join(array_sort(transform(map_entries(kept),
           e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
           .as("headers"))
-        .orderBy("event_id")
     }),
     // ---- G5 first-seen dedup by (resource, status) ----
     "q34_first_seen" -> ((s, dir) => {
@@ -576,7 +580,7 @@ object SparkEntry {
     }),
     // ---- T19 metadata derive: per-record _sumo_metadata override + removal ----
     "q44_meta_derive" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
+      val ev = tblSorted(s, dir, "events", "event_id")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       val msg = when(col("k") % 3 === 0,
         concat(lit("{\"_sumo_metadata\":{\"category\":\"over-"), col("k") % 5,
@@ -586,7 +590,6 @@ object SparkEntry {
         ev.select(col("event_id"), msg.as("message")))
       derived.select(col("event_id"), col("source_category"), col("meta_key"),
           col("message"))
-        .orderBy("event_id")
     }),
     // ---- dedup cluster formation: connected components over near-dup pairs ----
     "q45_dedup_clusters" -> ((s, dir) => {
@@ -676,7 +679,7 @@ object SparkEntry {
       import graft.operators.{FieldsSchema, Metadata, SearchQuery}
       val reg = FieldsSchema.newRegistry()
       reg.createAll(Seq("env", "service", "team"))
-      val ev = tbl(s, dir, "events")
+      val ev = tblSorted(s, dir, "events", "event_id")
       val blob = concat(lit("env=e"), col("event_id") % 3,
         lit(",rogue=r"), col("user_id") % 2,
         lit(",service=svc-"), col("user_id") % 4)
@@ -691,7 +694,6 @@ object SparkEntry {
           SearchQuery.parse("_service=svc-1"), col("message"), reg))
         .select(col("event_id"), col("source_category"), col("source_fields"),
           col("meta_key"))
-        .orderBy("event_id")
     }),
   )
 
