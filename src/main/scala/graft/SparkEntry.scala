@@ -695,6 +695,53 @@ object SparkEntry {
         .select(col("event_id"), col("source_category"), col("source_fields"),
           col("meta_key"))
     }),
+    // ---- global ANN near-dup sweep: hyperplane buckets as the blocking key
+    //      (the scale path q27's label-blocking stands in for) ----
+    "q52_ann_bucketed_pairs" -> ((s, dir) => {
+      graft.operators.Similarity.bucketedPairs(
+        tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        threshold = 0.2, planes = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- skew utilities: salted hot-key join, row-identical to the plain join ----
+    "q53_salted_join" -> ((s, dir) => {
+      val fact = tbl(s, dir, "events")
+        .select(col("event_id"), (col("user_id") % 5).as("key"))
+      val dim = tbl(s, dir, "nation")
+        .filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").cast("long").as("key"), col("n_name"))
+      graft.operators.Skew.saltedJoin(fact, dim, Seq("key"),
+        saltFactor = 8, joinType = "left")
+        .select(col("event_id"), col("key"), col("n_name"))
+        .orderBy("event_id")
+    }),
+    // ---- skew utilities: null keys routed around the join ----
+    "q54_null_routed_join" -> ((s, dir) => {
+      val fact = tbl(s, dir, "events")
+        .select(col("event_id"),
+          when(col("user_id") % 7 === 0, lit(null))
+            .otherwise(col("user_id") % 5).as("key"))
+      val dim = tbl(s, dir, "nation")
+        .filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").cast("long").as("key"), col("n_name"))
+      graft.operators.Skew.nullRoutedLeftJoin(fact, dim, "key")
+        .select(col("event_id"), col("key"), col("n_name"))
+        .orderBy("event_id")
+    }),
+    // ---- multimodal resize: byte-domain nearest-neighbor resample (stub
+    //      codec, deterministic — meta update + resampled bytes oracle'd) ----
+    "q55_multimodal_resize" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthesize(
+        tbl(s, dir, "embeddings").select("vec_id"), col("vec_id"))
+      Multimodal.resize(Multimodal.decode(media, col("content")),
+        col("content"), width = 8, height = 8)
+        .select(col("media_id"), col("meta.width").as("width"),
+          length(col("content")).cast("long").as("resized_len"),
+          lower(hex(substring(col("content"), 1, 4))).as("head_hex"))
+        .orderBy("media_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
@@ -1330,5 +1377,66 @@ object SparkEntry {
          WHERE len(list_filter(string_split(source_fields, ','),
              p -> string_split(p,'=')[1] = 'service' AND string_split(p,'=')[2] = 'svc-1')) > 0
          ORDER BY event_id""",
+    // same 4-plane bucket derivation as q28, as the pair-blocking key
+    "q52_ann_bucketed_pairs" ->
+      """WITH bucketed AS (
+           SELECT vec_id, embedding,
+             list_sum(list_transform(range(0, 4), p ->
+               CASE WHEN list_reduce(list_transform(range(1, len(embedding)+1),
+                   i -> embedding[i]::DOUBLE *
+                        ((('0x'||substring(md5(p::VARCHAR||':'||(i-1)::VARCHAR),1,15))::BIGINT::DOUBLE
+                          / (1::BIGINT << 59)::DOUBLE) - 1.0)),
+                 (x,y) -> x+y) > 0 THEN (1::BIGINT << p) ELSE 0 END))::BIGINT AS bucket
+           FROM embeddings)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, len(a.embedding)+1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)
+             / sqrt(
+               list_reduce(list_transform(range(1, len(a.embedding)+1),
+                 i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), (x,y) -> x+y)
+               * list_reduce(list_transform(range(1, len(b.embedding)+1),
+                 i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x,y) -> x+y)) AS c
+           FROM bucketed a JOIN bucketed b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         WHERE c >= 0.2 ORDER BY id_a, id_b""",
+    "q53_salted_join" ->
+      """SELECT e.event_id, (e.user_id % 5)::BIGINT AS key, n.n_name
+         FROM events e
+         LEFT JOIN (SELECT n_nationkey::BIGINT AS key, n_name FROM nation
+                    WHERE n_nationkey < 5) n
+           ON n.key = e.user_id % 5
+         ORDER BY e.event_id""",
+    "q54_null_routed_join" ->
+      """WITH f AS (SELECT event_id,
+           CASE WHEN user_id % 7 = 0 THEN NULL ELSE (user_id % 5)::BIGINT END AS key
+         FROM events)
+         SELECT f.event_id, f.key, n.n_name
+         FROM f
+         LEFT JOIN (SELECT n_nationkey::BIGINT AS key, n_name FROM nation
+                    WHERE n_nationkey < 5) n
+           ON n.key = f.key
+         ORDER BY f.event_id""",
+    // resize: target = 8*8*channels bytes, resampled byte j (0-based) =
+    // content[(j*len) // target]; derived from the md5-chain hex like q29
+    "q55_multimodal_resize" ->
+      """WITH ids AS (SELECT vec_id::BIGINT AS media_id, (256 + vec_id % 4096) AS len
+                      FROM embeddings),
+         hexed AS (
+           SELECT media_id, len,
+             substring(list_reduce(list_transform(range(0, (len + 15) // 16),
+               b -> md5(media_id::VARCHAR||':'||b::VARCHAR)), (x,y) -> x||y),
+               1, (2*len)::INT) AS h
+           FROM ids),
+         sized AS (
+           SELECT media_id, len, h,
+             (64 * (1 + (('0x'||substring(h,1,2))::INT & 3)))::BIGINT AS target
+           FROM hexed)
+         SELECT media_id, 8::INT AS width, target AS resized_len,
+           substring(h, (2*((0*len)//target)+1)::INT, 2)
+           || substring(h, (2*((1*len)//target)+1)::INT, 2)
+           || substring(h, (2*((2*len)//target)+1)::INT, 2)
+           || substring(h, (2*((3*len)//target)+1)::INT, 2) AS head_hex
+         FROM sized ORDER BY media_id""",
   )
 }
