@@ -72,10 +72,12 @@ object Dedup {
     // projections may collapse into one; the let-bound TextFunctions evaluate
     // each producing expression once per row regardless. The shingle table
     // feeds three join branches; the shared repartition exchange is reused
-    // (ReusedExchange) so the raw scan+shuffle happens once. (Caching the fat
-    // shingle arrays measures slower than recomputing the post-exchange
-    // projection — at 100 TB you would write the signature table to storage
-    // instead.)
+    // (ReusedExchange) so the raw scan+shuffle happens once. (Both caching
+    // and localCheckpointing the fat shingle arrays measured no faster than
+    // recomputing the post-exchange projection — per-stage fixed overhead
+    // dominates at test scale — and a default materialization would be a
+    // memory hazard at 100 TB, where you write the signature table to
+    // storage instead.)
     val raw = df.select(idCol.as("doc_id"), textCol.as("_text"))
       .repartition(col("doc_id"))
     val sh = raw
