@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one Spark JVM; ExtensionsSpec swaps the default session to
+// build an extension-registered one — a concurrent suite could win the
+// getOrCreate race and hand it the extension-less shared session.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

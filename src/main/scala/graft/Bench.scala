@@ -27,8 +27,12 @@ object Bench {
       def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       try { run() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try { run() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a crashing query records -1, not its time-to-failure — a regression
+      // that throws must not read as a fast success in the round compare
+      val elapsed =
+        try { run(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -41,7 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case org.apache.spark.sql.catalyst.expressions.Literal(null, _) =>
         throw bad("NULL")
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+        if (v < Int.MinValue || v > Int.MaxValue) throw bad(v.toString) else v.toInt
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => throw bad(String.valueOf(v))

@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
     // Optional extra args: run only the named queries (dev iteration; the
-    // driver always passes exactly two args and dumps everything).
+    // driver always passes exactly two args and dumps everything). Unknown
+    // names fail loudly — a typo would otherwise dump nothing and let
+    // check.py report a vacuous "0 pass, 0 fail" success.
     val only = rest.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -52,13 +52,22 @@ object VecImpl {
     * precomputed driver-side ([[graft.operators.Similarity.planeMatrix]]);
     * the interpreted predecessor re-derived each md5-based component per
     * (plane × dim × row), ~5× the cost of the whole ANN query.
+    *
+    * A vector wider than the matrix fails loudly: silently truncating the
+    * dot products would degrade bucket quality (and diverge from the oracle,
+    * which always uses the full vector) with no visible symptom.
     */
   def hyperplaneBucket(a: ArrayData, planes: Array[Array[Double]]): Long = {
     var bucket = 0L
     var p = 0
     while (p < planes.length) {
       val row = planes(p)
-      val n = math.min(a.numElements(), row.length)
+      val n = a.numElements()
+      if (n > row.length) {
+        throw new IllegalArgumentException(
+          s"hyperplane_bucket: embedding has $n dims but the plane matrix was " +
+            s"built for ${row.length} — pass dim >= the embedding dimension")
+      }
       var s = 0.0
       var i = 0
       while (i < n) {

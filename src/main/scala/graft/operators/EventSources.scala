@@ -61,12 +61,16 @@ object EventSources {
     })
     val message =
       if (flat) {
-        base.select(col("sns_timestamp"), col("message_id"),
+        // parity with from_json: a null Message yields a null struct (not a
+        // struct of nulls), and type mismatches null the field (try_cast)
+        // instead of failing the job under ANSI
+        base.select(col("sns_timestamp"), col("message_id"), col("_m"),
           json_tuple(col("_m"), messageSchema.fieldNames.toSeq: _*))
           .select(col("sns_timestamp"), col("message_id"),
-            struct(messageSchema.fields.zipWithIndex.map { case (f, i) =>
-              col(s"c$i").cast(f.dataType).as(f.name)
-            }.toSeq: _*).as("message"))
+            when(col("_m").isNotNull,
+              struct(messageSchema.fields.zipWithIndex.map { case (f, i) =>
+                col(s"c$i").try_cast(f.dataType).as(f.name)
+              }.toSeq: _*)).as("message"))
       } else {
         base.select(col("sns_timestamp"), col("message_id"),
           from_json(col("_m"), messageSchema).as("message"))

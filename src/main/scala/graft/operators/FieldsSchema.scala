@@ -25,23 +25,29 @@ object FieldsSchema {
   final class FieldNotFoundException(name: String)
     extends IllegalArgumentException(s"Field Name with name $name not found")
 
+  /** Field names are case-insensitive like the search selectors that consume
+    * them (`SearchQuery.parse` lowercases `_Field=` to `_field=`): the
+    * registry canonicalizes to lowercase on every operation so a field
+    * registered as `Env` is reachable as `_env=`/`_ENV=` alike.
+    */
   final class Registry {
     private val byName = scala.collection.mutable.LinkedHashMap[String, Long]()
     private val nextId = new AtomicLong(0L)
+    private def canon(name: String): String = name.toLowerCase
 
     /** Create a field; duplicate names return the existing id (the
       * `field:already_exists` path of the reference).
       */
     def create(name: String): Long = synchronized {
-      byName.getOrElseUpdate(name, nextId.incrementAndGet())
+      byName.getOrElseUpdate(canon(name), nextId.incrementAndGet())
     }
 
     /** `get_field_id`: lookup by name, raising when absent. */
     def fieldId(name: String): Long = synchronized {
-      byName.getOrElse(name, throw new FieldNotFoundException(name))
+      byName.getOrElse(canon(name), throw new FieldNotFoundException(name))
     }
 
-    def contains(name: String): Boolean = synchronized(byName.contains(name))
+    def contains(name: String): Boolean = synchronized(byName.contains(canon(name)))
 
     /** All registered fields in insertion order, `(id, name)`. */
     def all: Seq[(Long, String)] = synchronized {
@@ -63,7 +69,7 @@ object FieldsSchema {
       * (`sumoresource.py:1404-1409`).
       */
     def delete(storedId: String, name: String): Boolean = synchronized {
-      val id = if (storedId == "Duplicate") fieldId(name) else storedId.toLong
+      val id = if (storedId == "Duplicate") fieldId(canon(name)) else storedId.toLong
       delete(id)
     }
 
@@ -78,15 +84,23 @@ object FieldsSchema {
 
   /** Keep only registered `k=v` entries of a comma-joined fields blob (the
     * `X-Sumo-Fields` shape) — the ingest-side enforcement: a field not in the
-    * schema is dropped. Plan-time literal names ⇒ a codegen'd array filter,
-    * replicated in DuckDB as `list_filter(string_split(...))` over the same
-    * literal list.
+    * schema is dropped. The registered names are plan-time static, so they
+    * compile into ONE codegen'd regex pass (`regexp_extract_all` with the
+    * name alternation anchored at entry starts) — a `filter(split(...))`
+    * HOF would run interpreted per element on the ingest hot path. The
+    * DuckDB oracle replicates the same semantics as
+    * `list_filter(string_split(...))` over the same literal list.
     */
-  def filterFields(blob: Column, registered: Seq[String]): Column = {
-    val kept = filter(split(blob, ","),
-      p => element_at(split(p, "="), 1).isin(registered: _*))
-    array_join(kept, ",")
-  }
+  def filterFields(blob: Column, registered: Seq[String]): Column =
+    if (registered.isEmpty) lit("")
+    else {
+      val alternation = registered
+        .map(java.util.regex.Pattern.quote).mkString("|")
+      array_join(
+        regexp_extract_all(blob,
+          lit(s"(?:^|,)((?:$alternation)=[^,]*)"), lit(1)),
+        ",")
+    }
 
   def filterFields(blob: Column, registry: Registry): Column =
     filterFields(blob, registry.names)

@@ -68,7 +68,8 @@ object SearchQuery {
   /** Registry-enforcing compile (Q7): built-in selectors resolve as before;
     * any other `_field=` selector must name a field in the schema registry —
     * unknown fields are rejected at compile time like the API — and matches
-    * against the record's `source_fields` `k=v` blob.
+    * against the record's `source_fields` `k=v` blob as ONE codegen'd regex
+    * (an `exists(split(...))` HOF would run interpreted per element).
     */
   def compile(terms: Seq[Term], messageCol: Column,
       registry: FieldsSchema.Registry): Column =
@@ -78,9 +79,13 @@ object SearchQuery {
       case (acc, MetaSelector(field, pattern)) =>
         val name = field.stripPrefix("_")
         if (!registry.contains(name)) throw new FieldsSchema.FieldNotFoundException(name)
-        acc && exists(split(col("source_fields"), ","), p =>
-          element_at(split(p, "="), 1) === name &&
-            element_at(split(p, "="), 2).rlike(wildcardRegex(pattern)))
+        // entry-anchored match: key literal, value wildcard-expanded but
+        // never crossing an entry boundary; value match case-insensitive
+        // like the built-in selectors
+        val valueRe = pattern.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString("[^,]*")
+        acc && col("source_fields").rlike(
+          "(?:^|,)" + java.util.regex.Pattern.quote(name) + "=(?i:" + valueRe + ")(?:,|$)")
       case (acc, Keyword(word)) =>
         acc && contains(lower(messageCol), lit(word.toLowerCase))
     }
@@ -99,10 +104,12 @@ object SearchQuery {
     * range sort (parallel), per-partition counts folded into cumulative base
     * offsets driver-side (one row per partition — bounded), then a
     * partition-local `row_number` plus the broadcast base. The sorted frame
-    * is persisted so the count pass and the rank pass see the same (sampled)
-    * range boundaries; callers paging repeatedly over a fat result should
-    * materialize through [[SearchJobs]], which writes a rank-bucketed store
-    * instead of caching.
+    * is localCheckpointed (eager): the count pass and the rank pass must see
+    * the same (sampled) range boundaries, and checkpoint blocks release via
+    * GC when the page is dropped — a `persist` would stay pinned in the
+    * CacheManager for the session. Callers paging repeatedly over a fat
+    * result should materialize through [[SearchJobs]], which writes a
+    * rank-bucketed store instead of holding executor memory.
     */
   def withGlobalRank(df: DataFrame, orderBy: Seq[Column],
       rankCol: String = "_rank"): DataFrame = {
@@ -110,7 +117,7 @@ object SearchQuery {
     import spark.implicits._
     val sorted = df.orderBy(orderBy: _*)
       .withColumn("_gr_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val counts = sorted.groupBy("_gr_pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

@@ -105,9 +105,9 @@ object Similarity {
     * hyperplane bucket only — the scalable global near-neighbor sweep.
     */
   def bucketedPairs(df: DataFrame, idCol: Column, vecCol: Column,
-      threshold: Double, planes: Int = 8): DataFrame =
+      threshold: Double, planes: Int = 8, dim: Int = 64): DataFrame =
     Dedup.embeddingNearDup(
-      df.withColumn("_bucket", hyperplaneBucket(vecCol, planes)),
+      df.withColumn("_bucket", hyperplaneBucket(vecCol, planes, dim)),
       idCol, vecCol, col("_bucket"), threshold)
 
   /** IVF coarse quantization: assign every vector to its max-cosine centroid

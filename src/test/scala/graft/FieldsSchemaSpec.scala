@@ -20,6 +20,20 @@ class FieldsSchemaSpec extends SparkSpec {
     intercept[FieldsSchema.FieldNotFoundException](reg.fieldId("nope"))
   }
 
+  test("registry is case-insensitive like the parsed selectors") {
+    val reg = FieldsSchema.newRegistry()
+    val id = reg.create("Env") // registered mixed-case...
+    assert(reg.contains("env") && reg.fieldId("ENV") == id) // ...reachable any-case
+    assert(reg.create("ENV") == id)
+    val s = spark
+    import s.implicits._
+    // parse lowercases `_Env=` → the selector still resolves
+    val df = Seq(("env=prod", "m1")).toDF("source_fields", "message")
+    val hits = df.filter(SearchQuery.compile(
+      SearchQuery.parse("_Env=prod"), col("message"), reg)).count()
+    assert(hits == 1)
+  }
+
   test("delete by id and by the Duplicate sentinel") {
     val reg = FieldsSchema.newRegistry()
     val idA = reg.create("a")

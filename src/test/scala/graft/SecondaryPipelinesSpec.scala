@@ -114,4 +114,30 @@ class SecondaryPipelinesSpec extends SparkSpec {
     assert(!headers.contains("X-Sumo-Fields")) // F8: literal 'none' dropped
     assert(headers("X-Sumo-Name") == "n")
   }
+
+  test("S6 snsMessages: flat json_tuple path keeps from_json parity on degenerate input") {
+    val s = spark
+    import s.implicits._
+    val msgSchema = StructType(Seq(
+      StructField("template", StringType), StructField("severity", LongType)))
+    def records(msgs: Seq[String]) = msgs.toDF("m")
+      .select(array(struct(struct(
+        lit("2024-01-01T00:00:00Z").as("Timestamp"),
+        lit("id-1").as("MessageId"),
+        col("m").as("Message")).as("Sns"))).as("Records"))
+    val rows = graft.operators.EventSources.snsMessages(
+      records(Seq(
+        """{"template":"t-1","severity":5}""",
+        """{"severity":"not-a-number"}""", // type mismatch → null field, job survives
+        "not json at all", // malformed → struct of nulls (from_json PERMISSIVE)
+        null)), msgSchema) // null message → null struct (from_json parity)
+      .select(col("message").isNull.as("null_struct"),
+        col("message.template"), col("message.severity"))
+      .collect()
+    assert(rows(0).getBoolean(0) == false && rows(0).getString(1) == "t-1" &&
+      rows(0).getLong(2) == 5L)
+    assert(rows(1).getBoolean(0) == false && rows(1).isNullAt(2))
+    assert(rows(2).getBoolean(0) == false && rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    assert(rows(3).getBoolean(0) == true)
+  }
 }

@@ -20,6 +20,11 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the library entry point, active like a user session would have it;
+      // also required for ExtensionsSpec when another suite created the
+      // JVM's SparkContext first (spark.sql.extensions is a STATIC conf —
+      // a later builder cannot set it on a reused context)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
