@@ -729,6 +729,31 @@ object SparkEntry {
         .select(col("event_id"), col("key"), col("n_name"))
         .orderBy("event_id")
     }),
+    // ---- multimodal frame sampling: n evenly spaced byte-slice "frames"
+    //      per media row, exploded with frame index ----
+    "q56_multimodal_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthesize(
+        tbl(s, dir, "embeddings").select("vec_id"), col("vec_id"), "video")
+      Multimodal.sampleFrames(media, col("content"), n = 4, frameBytes = 32)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          lower(hex(substring(col("frame"), 1, 2))).as("frame_head"))
+        .orderBy("media_id", "frame_idx")
+    }),
+    // ---- multimodal batched decode: the mapPartitions (mapInPandas-shaped)
+    //      path — one codec init per partition, rows streamed in batches;
+    //      must agree with the per-row q29 decode on the same ids ----
+    "q57_multimodal_batch_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthesize(
+        tbl(s, dir, "embeddings").select("vec_id"), col("vec_id"))
+      Multimodal.decodeBatched(media, batchSize = 64)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
     // ---- multimodal resize: byte-domain nearest-neighbor resample (stub
     //      codec, deterministic — meta update + resampled bytes oracle'd) ----
     "q55_multimodal_resize" -> ((s, dir) => {
@@ -1417,6 +1442,33 @@ object SparkEntry {
                     WHERE n_nationkey < 5) n
            ON n.key = f.key
          ORDER BY f.event_id""",
+    // frames: stride = len//4; frame i = content[i*stride, i*stride+32)
+    "q56_multimodal_frames" ->
+      """WITH ids AS (SELECT vec_id::BIGINT AS media_id, (256 + vec_id % 4096) AS len
+                      FROM embeddings),
+         hexed AS (
+           SELECT media_id, len,
+             substring(list_reduce(list_transform(range(0, (len + 15) // 16),
+               b -> md5(media_id::VARCHAR||':'||b::VARCHAR)), (x,y) -> x||y),
+               1, (2*len)::INT) AS h
+           FROM ids),
+         f AS (SELECT media_id, len, h, r.range AS frame_idx,
+                 (len // 4) AS stride
+               FROM hexed, range(0, 4) r)
+         SELECT media_id, frame_idx::BIGINT AS frame_idx,
+           least(32, len - frame_idx*stride)::BIGINT AS frame_len,
+           substring(h, (2*(frame_idx*stride)+1)::INT, 4) AS frame_head
+         FROM f ORDER BY media_id, frame_idx""",
+    // batch decode must agree with the per-row q29 meta arithmetic
+    "q57_multimodal_batch_decode" ->
+      """WITH ids AS (SELECT vec_id::BIGINT AS media_id, (256 + vec_id % 4096) AS len
+                      FROM embeddings)
+         SELECT media_id,
+           (16 + (len % 1024))::INT AS width,
+           (16 + ((len // 7) % 1024))::INT AS height,
+           (1 + (('0x'||substring(md5(media_id::VARCHAR||':0'),1,2))::INT & 3))::INT AS channels,
+           (len * 3)::BIGINT AS duration_ms
+         FROM ids ORDER BY media_id""",
     // resize: target = 8*8*channels bytes, resampled byte j (0-based) =
     // content[(j*len) // target]; derived from the md5-chain hex like q29
     "q55_multimodal_resize" ->
