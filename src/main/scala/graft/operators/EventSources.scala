@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Thin source adapters for the remaining reference entry points: CloudTrail
   * S3 objects (S4/F5), CloudWatch Events / EventBridge (S7), SNS (S6).
@@ -43,11 +43,15 @@ object EventSources {
     * JSON-string `Message` with the caller's schema
     * (reference `inspector/python/inspector.py:123-129`).
     *
-    * Flat all-primitive schemas go through `json_tuple` — ONE streamed parse
-    * per message feeding every field (a `Generate`, shared parser factory) —
-    * instead of `from_json`, whose per-row parser setup dominates on short
-    * messages (measured ~2× on the inspector path). Nested schemas keep the
-    * general `from_json`.
+    * Flat string/numeric schemas go through `json_tuple` — ONE streamed
+    * parse per message feeding every field (a `Generate`, shared parser
+    * factory) — instead of `from_json`, whose per-row parser setup dominates
+    * on short messages (measured ~2× on the inspector path). The fast path
+    * is intentionally more lenient than `from_json` for quoted numbers
+    * (`{"n":"5"}` parses as 5 where from_json nulls the type mismatch) —
+    * try_*-style wire tolerance. Timestamp/date/boolean/nested fields keep
+    * the general `from_json`, whose JSON-aware coercions string casts cannot
+    * reproduce.
     */
   def snsMessages(df: DataFrame, messageSchema: StructType): DataFrame = {
     val base = df.select(explode(col("Records")).as("r"))
@@ -56,8 +60,9 @@ object EventSources {
         col("r.Sns.MessageId").as("message_id"),
         col("r.Sns.Message").as("_m"))
     val flat = messageSchema.fields.forall(_.dataType match {
-      case _: StructType | _: ArrayType | _: MapType => false
-      case _ => true
+      case StringType => true
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
     })
     val message =
       if (flat) {

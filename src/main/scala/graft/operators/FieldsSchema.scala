@@ -96,9 +96,11 @@ object FieldsSchema {
     else {
       val alternation = registered
         .map(java.util.regex.Pattern.quote).mkString("|")
+      // key match case-insensitive, consistent with the registry's
+      // case-insensitive names (the blob keeps its original casing)
       array_join(
         regexp_extract_all(blob,
-          lit(s"(?:^|,)((?:$alternation)=[^,]*)"), lit(1)),
+          lit(s"(?:^|,)((?i:$alternation)=[^,]*)"), lit(1)),
         ",")
     }
 

@@ -56,28 +56,19 @@ object SearchJobs {
   private def materializePaged(df: DataFrame, orderBy: Seq[String],
       path: String): Long = {
     val spark = df.sparkSession
-    import spark.implicits._
     val keys = orderBy.map(col)
     df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
       .write.mode("overwrite").parquet(s"$path/sorted")
     val sorted = spark.read.parquet(s"$path/sorted")
-    val counts = sorted.groupBy("_pid").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val bases = counts.map { case (pid, n) => val b = acc; acc += n; (pid, b) }
-    if (acc > 0) {
-      val baseDf = bases.toSeq.toDF("_pid", "_base")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("_pid").orderBy(keys: _*)
-      sorted.withColumn("_rn", row_number().over(w))
-        .join(broadcast(baseDf), "_pid")
-        .withColumn("_rank", (col("_base") + col("_rn")).cast("long"))
+    val (ranked, total) = SearchQuery.rankPinned(sorted, keys, "_rank")
+    if (total > 0) {
+      ranked
         .withColumn("_page", floor((col("_rank") - 1) / PageBucket))
-        .drop("_pid", "_rn", "_base")
+        .drop("_pid")
         .write.mode("overwrite").partitionBy("_page").parquet(s"$path/pages")
     }
     deleteDir(spark, s"$path/sorted")
-    acc
+    total
   }
 
   /** Partition-pruned page read: ranks (offset, offset+limit] live in page
@@ -179,6 +170,23 @@ object SearchJobs {
     job
   }
 
+  /** Wall-clock string (`yyyy-MM-dd[ HH:mm:ss]`) in `timeZone` → instant
+    * literal. Resolved DRIVER-side with java.time: a
+    * `to_utc_timestamp(to_timestamp(...))` composition is only correct when
+    * the session timezone is UTC — under any other session zone the range
+    * silently shifts by the session offset.
+    */
+  private def wallClock(s: String, timeZone: String): Column = {
+    val zone = java.time.ZoneId.of(timeZone)
+    val local =
+      try java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDate.parse(s).atStartOfDay()
+      }
+    lit(java.sql.Timestamp.from(local.atZone(zone).toInstant))
+  }
+
   /** API-fidelity variant mirroring `search_job(query, fromTime, toTime,
     * timeZone, byReceiptTime)` (`sumologic.py:96-99`): the from/to strings
     * are wall-clock times interpreted in `timeZone`, and `byReceiptTime`
@@ -188,8 +196,8 @@ object SearchJobs {
       timeZone: String, byReceiptTime: Boolean, timeCol: Column,
       receiptTimeCol: Column, messageCol: Column, orderBy: Seq[String],
       records: Option[RecordsSpec]): Job = {
-    val from = to_utc_timestamp(to_timestamp(lit(fromTime)), timeZone)
-    val to = to_utc_timestamp(to_timestamp(lit(toTime)), timeZone)
+    val from = wallClock(fromTime, timeZone)
+    val to = wallClock(toTime, timeZone)
     val effective = if (byReceiptTime) receiptTimeCol else timeCol
     create(df, query, from, to, effective, messageCol, orderBy, records)
   }

@@ -84,8 +84,10 @@ object SearchQuery {
         // like the built-in selectors
         val valueRe = pattern.split("\\*", -1)
           .map(java.util.regex.Pattern.quote).mkString("[^,]*")
+        // key AND value case-insensitive, like the registry and the
+        // built-in meta selectors
         acc && col("source_fields").rlike(
-          "(?:^|,)" + java.util.regex.Pattern.quote(name) + "=(?i:" + valueRe + ")(?:,|$)")
+          "(?:^|,)(?i:" + java.util.regex.Pattern.quote(name) + ")=(?i:" + valueRe + ")(?:,|$)")
       case (acc, Keyword(word)) =>
         acc && contains(lower(messageCol), lit(word.toLowerCase))
     }
@@ -113,22 +115,34 @@ object SearchQuery {
     */
   def withGlobalRank(df: DataFrame, orderBy: Seq[Column],
       rankCol: String = "_rank"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val sorted = df.orderBy(orderBy: _*)
-      .withColumn("_gr_pid", spark_partition_id())
+      .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
-    val counts = sorted.groupBy("_gr_pid").count().collect()
+    rankPinned(sorted, orderBy, rankCol)._1.drop("_pid")
+  }
+
+  /** The shared rank core over an already-PINNED sorted frame carrying a
+    * `_pid` partition-id column (pinned = checkpointed/landed, so the count
+    * pass and the rank pass cannot see resampled range boundaries). Returns
+    * the ranked frame (still carrying `_pid`) and the total row count.
+    * [[SearchJobs]] pins via parquet, [[withGlobalRank]] via localCheckpoint.
+    */
+  private[operators] def rankPinned(sorted: DataFrame, orderBy: Seq[Column],
+      rankCol: String): (DataFrame, Long) = {
+    val spark = sorted.sparkSession
+    import spark.implicits._
+    val counts = sorted.groupBy("_pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val bases = counts.map { case (pid, n) => val b = acc; acc += n; (pid, b) }
-    val baseDf = bases.toSeq.toDF("_gr_pid", "_gr_base")
+    val baseDf = bases.toSeq.toDF("_pid", "_base")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_gr_pid").orderBy(orderBy: _*)
-    sorted.withColumn("_gr_rn", row_number().over(w))
-      .join(broadcast(baseDf), "_gr_pid")
-      .withColumn(rankCol, (col("_gr_base") + col("_gr_rn")).cast("long"))
-      .drop("_gr_pid", "_gr_rn", "_gr_base")
+      .partitionBy("_pid").orderBy(orderBy: _*)
+    val ranked = sorted.withColumn("_rn", row_number().over(w))
+      .join(broadcast(baseDf), "_pid")
+      .withColumn(rankCol, (col("_base") + col("_rn")).cast("long"))
+      .drop("_rn", "_base")
+    (ranked, acc)
   }
 
   /** Q1/Q3 pagination: deterministic limit/offset page over an ordered result,

@@ -82,18 +82,13 @@ object Similarity {
   def lshTopK(df: DataFrame, idCol: Column, vecCol: Column,
       query: Seq[Float], k: Int, planes: Int = 8): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    // Query bucket is a pure function of the query vector — fold it locally
-    // with the same left-to-right double accumulation as the kernel.
-    val mat = planeMatrix(planes, query.length)
-    var queryBucket = 0L
-    var p = 0
-    while (p < planes) {
-      var s = 0.0
-      var d = 0
-      while (d < query.length) { s += query(d).toDouble * mat(p)(d); d += 1 }
-      if (s > 0) queryBucket |= 1L << p
-      p += 1
-    }
+    // Query bucket is a pure function of the query vector — computed locally
+    // through the SAME kernel the executors run, so the two can never
+    // diverge into different buckets.
+    val queryBucket = graft.functions.VecImpl.hyperplaneBucket(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        query.map(v => v: Any).toArray),
+      planeMatrix(planes, query.length))
     df.withColumn("bucket", hyperplaneBucket(vecCol, planes, query.length))
       .filter(col("bucket") === queryBucket)
       .select(idCol.as("vec_id"), round(cosine(vecCol, q), 6).as("cosine"))

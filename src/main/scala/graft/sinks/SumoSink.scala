@@ -220,16 +220,28 @@ object SumoSink {
         val parts = key.split(":", -1).padTo(4, "")
         val headers = Metadata.headersFor(parts(0), parts(1), parts(2), parts(3),
           clientHeader) + ("Content-Encoding" -> "gzip")
-        val wire = Files.readAllBytes(Paths.get(p))
-        try {
-          poster.post(headers, wire)
-          if (deleteOnSuccess) Files.deleteIfExists(Paths.get(p))
-          val n = new String(CodecImpl.gunzip(wire), UTF_8).count(_ == '\n') + 1
-          PostOutcome(key, n, wire.length, success = true, error = null, dlq_path = p)
-        } catch {
-          case NonFatal(e) =>
-            PostOutcome(key, 0, wire.length, success = false,
-              error = String.valueOf(e.getMessage), dlq_path = p)
+        // a retried/speculative task attempt may land on a file its failed
+        // predecessor already posted and deleted — that chunk IS delivered,
+        // so the retry must not fail the drain (at-least-once, idempotent
+        // under task re-execution)
+        val wireOpt =
+          try Some(Files.readAllBytes(Paths.get(p)))
+          catch { case _: java.nio.file.NoSuchFileException => None }
+        wireOpt match {
+          case None =>
+            PostOutcome(key, 0, 0, success = true,
+              error = "already delivered by a previous attempt", dlq_path = p)
+          case Some(wire) =>
+            try {
+              poster.post(headers, wire)
+              if (deleteOnSuccess) Files.deleteIfExists(Paths.get(p))
+              val n = new String(CodecImpl.gunzip(wire), UTF_8).count(_ == '\n') + 1
+              PostOutcome(key, n, wire.length, success = true, error = null, dlq_path = p)
+            } catch {
+              case NonFatal(e) =>
+                PostOutcome(key, 0, wire.length, success = false,
+                  error = String.valueOf(e.getMessage), dlq_path = p)
+            }
         }
       }
     }
