@@ -267,7 +267,10 @@ object SparkEntry {
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
         bpeTokenCount(col("text")).cast("long").as("n_bpe"),
-        size(shingles(col("text"), 3)).cast("long").as("n_shingles"),
+        // kernel form: same count (the kernel dedups on the shingle string),
+        // but keeps the whole projection inside whole-stage codegen — the
+        // composed `shingles` HOF would drop the Project to interpreted eval
+        size(shingleHashes(col("text"), 3)).cast("long").as("n_shingles"),
         fingerprint(col("text")).as("fp"),
         rollingFingerprint(col("text"), 3).as("rolling_fp"))
     }),

@@ -1,0 +1,73 @@
+package graft
+
+/** Pins the scale-critical physical-plan properties: dimension joins must
+  * broadcast (never shuffle the fact side), scan-level predicates must push
+  * into the parquet reader, projections must stay inside whole-stage codegen,
+  * and column pruning must shrink the read schema. A regression in any of
+  * these survives the row-level oracle (answers stay right, plans go wrong at
+  * 100 TB) — so the plans themselves are asserted.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+    // collect() drives THIS QueryExecution (a write would plan a separate
+    // one), so AQE settles on the final plan before inspecting it
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dimension joins broadcast — the fact side never shuffles for a join") {
+    for (q <- Seq("q3_join_revenue_by_nation", "q31_eni_enrichment",
+        "q41_account_alias", "q43_sns_inspector")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q should not sort-merge:\n$p")
+    }
+  }
+
+  test("scan-level predicates push into the parquet reader") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [") &&
+      p.replaceAll("\\s", "").contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown:\n$p")
+  }
+
+  test("column pruning reaches the scan — a 2-column projection reads 2 columns") {
+    val df = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.replaceAll("\\s", "").contains("l_extendedprice"),
+      s"pruned scan must not read unprojected columns:\n$scan")
+  }
+
+  test("text-stat projections run inside whole-stage codegen") {
+    // the final-plan tree marks WholeStageCodegen stages with a `*(n)` prefix;
+    // an interpreted Project (e.g. a HOF lambda in the projection) loses it
+    val p = plan("q20_text_stats")
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("the salted join spreads a hot key across salt partitions") {
+    val s = spark
+    import s.implicits._
+    val sc = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // one hot key: every fact row joins the same dim row
+      val fact = (1 to 2000).map(i => (i.toLong, 1L)).toDF("id", "key")
+      val dim = Seq((1L, "hot")).toDF("key", "name")
+      def spread(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(org.apache.spark.sql.functions.spark_partition_id())
+          .count().count()
+      // a plain shuffle join funnels the single hot key into ONE partition;
+      // salting must spread it over more (exact count = partition-hash luck)
+      val plain = spread(fact.hint("shuffle_hash").join(dim, Seq("key")))
+      val salted = spread(graft.operators.Skew.saltedJoin(fact, dim, Seq("key"),
+        saltFactor = 8))
+      assert(plain == 1, s"unsalted hot key should land in one partition, got $plain")
+      assert(salted > plain, s"salting should spread the hot key, got $salted")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", sc)
+  }
+}
