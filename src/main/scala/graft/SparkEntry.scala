@@ -732,6 +732,17 @@ object SparkEntry {
         .select(col("event_id"), col("key"), col("n_name"))
         .orderBy("event_id")
     }),
+    // ---- IVF ANN top-k: probe the nprobe nearest centroids, brute-force
+    //      only their assigned vectors ----
+    "q58_ivf_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.operators.Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), query, k = 10, nprobe = 4)
+    }),
     // ---- multimodal frame sampling: n evenly spaced byte-slice "frames"
     //      per media row, exploded with frame index ----
     "q56_multimodal_frames" -> ((s, dir) => {
@@ -1445,6 +1456,48 @@ object SparkEntry {
                     WHERE n_nationkey < 5) n
            ON n.key = f.key
          ORDER BY f.event_id""",
+    // probes = 4 nearest centroids to the query (ties to lowest cid),
+    // assignment per q42's argmax, brute-force only the probed clusters
+    "q58_ivf_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         pc AS (SELECT c.cid,
+                  list_reduce(list_transform(range(1, len(c.cvec)+1),
+                    i -> q.qv[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(q.qv)+1),
+                      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS pcos
+                FROM c, q),
+         probes AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY pcos DESC, cid) AS rn
+                      FROM pc) WHERE rn <= 4),
+         a AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(e.embedding)+1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                   list_reduce(list_transform(range(1, len(c.cvec)+1),
+                     i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+               FROM embeddings e CROSS JOIN c),
+         best AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM a),
+         assigned AS (SELECT vec_id FROM best
+                      WHERE rn = 1 AND cid IN (SELECT cid FROM probes))
+         SELECT e.vec_id,
+           round(
+             list_reduce(list_transform(range(1, len(e.embedding)+1),
+               i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+             / sqrt(
+               list_reduce(list_transform(range(1, len(e.embedding)+1),
+                 i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y)
+               * list_reduce(list_transform(range(1, len(q.qv)+1),
+                 i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+         FROM embeddings e JOIN assigned USING (vec_id), q
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
     // frames: stride = len//4; frame i = content[i*stride, i*stride+32)
     "q56_multimodal_frames" ->
       """WITH ids AS (SELECT vec_id::BIGINT AS media_id, (256 + vec_id % 4096) AS len
