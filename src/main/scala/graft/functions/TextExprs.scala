@@ -94,6 +94,50 @@ object TextImpl {
     sim
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** LSH band digests: the signature split into `bands` rows of `k/bands`
+    * values, each band's values joined by "," in decimal and md5'd to a hex
+    * string — the loop form of
+    * `transform(sequence(0,bands-1), b -> md5(concat_ws(",", slice(sig, b*r+1, r))))`,
+    * byte-identical digests (same decimal rendering, same separator; null
+    * signature values are skipped like `concat_ws`, a short signature
+    * truncates like `slice`).
+    */
+  def lshBands(sig: ArrayData, k: Int, bands: Int): ArrayData = {
+    val r = k / bands
+    val n = sig.numElements()
+    val out = new Array[Any](bands)
+    val d = md5Local.get()
+    val sb = new java.lang.StringBuilder(r * 20)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var j = 0
+      var first = true
+      while (j < r && b * r + j < n) {
+        if (!sig.isNullAt(b * r + j)) {
+          if (!first) sb.append(',')
+          sb.append(sig.getLong(b * r + j))
+          first = false
+        }
+        j += 1
+      }
+      d.reset()
+      val digest = d.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Byte](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = hexDigits((digest(i) >> 4) & 0xf).toByte
+        hex(2 * i + 1) = hexDigits(digest(i) & 0xf).toByte
+        i += 1
+      }
+      out(b) = UTF8String.fromBytes(hex)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: k minima of the seeded 60-bit rotate-xor permutations
     * over a pre-hashed shingle array — the loop form of
     * `array((0 until k).map(i => array_min(transform(sh, h => mix60(h, i)))))`.
@@ -218,6 +262,25 @@ case class SimHash60(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.simhash60($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `lsh_bands(array<long>, k, bands) -> array<string>` with codegen: per-band
+  * md5 digests of the signature — the candidate-join key of the MinHash LSH
+  * path (the composed `transform(slice(...))` form runs interpreted).
+  */
+case class LshBands(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && bands > 0 && k % bands == 0,
+    "signature size must divide evenly into bands")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "lsh_bands"
+  override protected def nullSafeEval(input: Any): Any =
+    TextImpl.lshBands(input.asInstanceOf[ArrayData], k, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextImpl.lshBands($c, $k, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
     copy(child = newChild)
 }
 

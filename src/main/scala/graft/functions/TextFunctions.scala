@@ -108,17 +108,13 @@ object TextFunctions {
       MinHashSignature(org.apache.spark.sql.GraftGlue.expression(shHashCol), k))
 
   /** LSH band digests: signature split into `bands` rows of `k/bands`, each
-    * band hashed; documents sharing any band digest become candidates.
-    * Signature let-bound (referenced once per band).
+    * band hashed; documents sharing any band digest become candidates. Runs
+    * as the codegen'd [[LshBands]] kernel — byte-identical digests to the
+    * `transform(slice(...))` SQL form the oracle replicates.
     */
-  def lshBands(sigCol: Column, k: Int = 32, bands: Int = 8): Column = {
-    val r = k / bands
-    let(sigCol) { sig =>
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(concat_ws(",",
-          transform(slice(sig, b * r + lit(1), lit(r)), v => v.cast("string")))))
-    }
-  }
+  def lshBands(sigCol: Column, k: Int = 32, bands: Int = 8): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      LshBands(org.apache.spark.sql.GraftGlue.expression(sigCol), k, bands))
 
   /** 60-bit SimHash over whitespace tokens: bit j set iff the majority of
     * token [[hash60]]s have bit j set, as the fused codegen'd

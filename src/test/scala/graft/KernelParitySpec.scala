@@ -134,6 +134,27 @@ class KernelParitySpec extends SparkSpec {
           call_function("shiftleft", lit(1L), j)).otherwise(0L))
     }
 
+  test("lsh_bands kernel == transform/slice/md5 SQL form") {
+    val s = spark
+    import s.implicits._
+    val df = tricky.filter(_.trim.split("\\s+").length >= 3).toDF("text")
+    val sig = minhashSignature(shingleHashes(col("text"), 3), 32)
+    // the pre-kernel SQL form, inlined
+    def sqlBands(sigCol: org.apache.spark.sql.Column, k: Int, bands: Int) = {
+      val r = k / bands
+      TextFunctions.let(sigCol) { sg =>
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws(",",
+            transform(slice(sg, b * r + lit(1), lit(r)), v => v.cast("string")))))
+      }
+    }
+    val rows = df.select(
+      lshBands(sig, 32, 8).as("kernel"), sqlBands(sig, 32, 8).as("sql"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, q) => assert(k == q) }
+  }
+
   test("simhash60 kernel == aggregate-over-bits SQL form (tricky + fuzzed)") {
     val s = spark
     import s.implicits._
