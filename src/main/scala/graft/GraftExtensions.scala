@@ -68,6 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MinHashSignature(es.head, intArg("minhash_signature", "k", es(1))))
     fn(ext, "simhash60", "simhash60(text) - 60-bit majority SimHash over whitespace tokens", 1)(
       es => SimHash60(es.head))
+    fn(ext, "lsh_bands", "lsh_bands(array<long>, k, bands) - per-band md5 digests", 3)(
+      es => LshBands(es.head, intArg("lsh_bands", "k", es(1)),
+        intArg("lsh_bands", "bands", es(2))))
     fn(ext, "vec_dot", "vec_dot(array<float>, array<float>) - double dot product", 2)(
       es => VecDot(es.head, es(1)))
     fn(ext, "vec_sqnorm", "vec_sqnorm(array<float>) - double squared L2 norm", 1)(

@@ -54,9 +54,12 @@ class ExtensionsSpec extends AnyFunSuite {
     val nullK = intercept[Exception](
       spark.sql("SELECT minhash_signature(array(1L), NULL)").head())
     assert(nullK.getMessage.contains("minhash_signature"))
-    // simhash60 resolves from SQL too
+    // simhash60 / lsh_bands resolve from SQL too
     assert(spark.sql("SELECT simhash60('a b c') AS s").head().getLong(0) ==
       spark.sql("SELECT simhash60('a  b   c') AS s").head().getLong(0))
+    assert(spark.sql(
+      "SELECT lsh_bands(minhash_signature(shingle_hash60('a b c d e', 3), 32), 32, 8) AS b")
+      .head().getSeq[String](0).length == 8)
   }
 
   test("SQL form matches the Column API form") {
