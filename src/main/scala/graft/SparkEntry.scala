@@ -683,9 +683,11 @@ object SparkEntry {
       val reg = FieldsSchema.newRegistry()
       reg.createAll(Seq("env", "service", "team"))
       val ev = tblSorted(s, dir, "events", "event_id")
-      val blob = concat(lit("env=e"), col("event_id") % 3,
+      // mixed-case keys: the registry/selector matching is case-insensitive
+      // and the oracle must pin that, not just the lowercase happy path
+      val blob = concat(lit("Env=e"), col("event_id") % 3,
         lit(",rogue=r"), col("user_id") % 2,
-        lit(",service=svc-"), col("user_id") % 4)
+        lit(",SERVICE=svc-"), col("user_id") % 4)
       val msg = to_json(struct(
         struct(blob.as("sourceFieldsOverride")).as("_sumo_metadata"),
         col("event_id").as("i")))
@@ -1402,19 +1404,22 @@ object SparkEntry {
          FROM best WHERE rn = 1 GROUP BY cid ORDER BY cluster_id""",
     // registry names baked as the same literal list the Spark plan uses;
     // filter = drop unregistered k=v entries, selector = exact svc-1 match
+    // keys compare lowercased: the engine's registry matching is
+    // case-insensitive while kept entries preserve their original casing
     "q51_fields_registry" ->
       """WITH b AS (SELECT event_id,
-             'env=e'||(event_id%3)||',rogue=r'||(user_id%2)||',service=svc-'||(user_id%4) AS blob
+             'Env=e'||(event_id%3)||',rogue=r'||(user_id%2)||',SERVICE=svc-'||(user_id%4) AS blob
            FROM events),
          f AS (SELECT event_id,
              array_to_string(list_filter(string_split(blob, ','),
-               p -> list_contains(['env','service','team'], string_split(p,'=')[1])), ',') AS source_fields
+               p -> list_contains(['env','service','team'], lower(string_split(p,'=')[1]))), ',') AS source_fields
            FROM b)
          SELECT event_id, 'cat-reg' AS source_category, source_fields,
            ':cat-reg::'||source_fields AS meta_key
          FROM f
          WHERE len(list_filter(string_split(source_fields, ','),
-             p -> string_split(p,'=')[1] = 'service' AND string_split(p,'=')[2] = 'svc-1')) > 0
+             p -> lower(string_split(p,'=')[1]) = 'service'
+                  AND lower(string_split(p,'=')[2]) = 'svc-1')) > 0
          ORDER BY event_id""",
     // same 4-plane bucket derivation as q28, as the pair-blocking key
     "q52_ann_bucketed_pairs" ->

@@ -101,8 +101,13 @@ object TextImpl {
     * string — the loop form of
     * `transform(sequence(0,bands-1), b -> md5(concat_ws(",", slice(sig, b*r+1, r))))`,
     * byte-identical digests (same decimal rendering, same separator; null
-    * signature values are skipped like `concat_ws`, a short signature
-    * truncates like `slice`).
+    * signature ELEMENTS are skipped like `concat_ws`, a short signature
+    * truncates like `slice`). One deliberate divergence: a NULL signature
+    * yields NULL (null-intolerant expression), where the SQL composition
+    * produced `bands` copies of md5('') — which made every null-signature
+    * document a banding candidate of every other, a misfeature. The dedup
+    * operators filter empty shingle sets before banding, so neither form is
+    * reached there.
     */
   def lshBands(sig: ArrayData, k: Int, bands: Int): ArrayData = {
     val r = k / bands

@@ -60,7 +60,7 @@ object SearchJobs {
     df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
       .write.mode("overwrite").parquet(s"$path/sorted")
     val sorted = spark.read.parquet(s"$path/sorted")
-    val (ranked, total) = SearchQuery.rankPinned(sorted, keys, "_rank")
+    val (ranked, total) = SearchQuery.rankPinned(sorted, keys, "_rank", "_pid")
     if (total > 0) {
       ranked
         .withColumn("_page", floor((col("_rank") - 1) / PageBucket))

@@ -115,33 +115,39 @@ object SearchQuery {
     */
   def withGlobalRank(df: DataFrame, orderBy: Seq[Column],
       rankCol: String = "_rank"): DataFrame = {
+    require(!df.columns.contains("_gr_pid"),
+      "input already carries the internal _gr_pid column")
     val sorted = df.orderBy(orderBy: _*)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn("_gr_pid", spark_partition_id())
       .localCheckpoint(true)
-    rankPinned(sorted, orderBy, rankCol)._1.drop("_pid")
+    rankPinned(sorted, orderBy, rankCol, "_gr_pid")._1.drop("_gr_pid")
   }
 
   /** The shared rank core over an already-PINNED sorted frame carrying a
-    * `_pid` partition-id column (pinned = checkpointed/landed, so the count
+    * `pidCol` partition-id column (pinned = checkpointed/landed, so the count
     * pass and the rank pass cannot see resampled range boundaries). Returns
-    * the ranked frame (still carrying `_pid`) and the total row count.
+    * the ranked frame (still carrying `pidCol`) and the total row count.
     * [[SearchJobs]] pins via parquet, [[withGlobalRank]] via localCheckpoint.
+    * Intermediates use reserved `_gr_*` names so a caller's `rankCol` (or
+    * input columns) can never collide with them.
     */
   private[operators] def rankPinned(sorted: DataFrame, orderBy: Seq[Column],
-      rankCol: String): (DataFrame, Long) = {
+      rankCol: String, pidCol: String): (DataFrame, Long) = {
+    require(rankCol != "_gr_rn" && rankCol != "_gr_base" && rankCol != pidCol,
+      s"rank column '$rankCol' collides with an internal name")
     val spark = sorted.sparkSession
     import spark.implicits._
-    val counts = sorted.groupBy("_pid").count().collect()
+    val counts = sorted.groupBy(pidCol).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val bases = counts.map { case (pid, n) => val b = acc; acc += n; (pid, b) }
-    val baseDf = bases.toSeq.toDF("_pid", "_base")
+    val baseDf = bases.toSeq.toDF(pidCol, "_gr_base")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy(orderBy: _*)
-    val ranked = sorted.withColumn("_rn", row_number().over(w))
-      .join(broadcast(baseDf), "_pid")
-      .withColumn(rankCol, (col("_base") + col("_rn")).cast("long"))
-      .drop("_rn", "_base")
+      .partitionBy(pidCol).orderBy(orderBy: _*)
+    val ranked = sorted.withColumn("_gr_rn", row_number().over(w))
+      .join(broadcast(baseDf), pidCol)
+      .withColumn(rankCol, (col("_gr_base") + col("_gr_rn")).cast("long"))
+      .drop("_gr_rn", "_gr_base")
     (ranked, acc)
   }
 

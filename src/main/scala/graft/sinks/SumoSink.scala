@@ -220,17 +220,21 @@ object SumoSink {
         val parts = key.split(":", -1).padTo(4, "")
         val headers = Metadata.headersFor(parts(0), parts(1), parts(2), parts(3),
           clientHeader) + ("Content-Encoding" -> "gzip")
-        // a retried/speculative task attempt may land on a file its failed
-        // predecessor already posted and deleted — that chunk IS delivered,
-        // so the retry must not fail the drain (at-least-once, idempotent
-        // under task re-execution)
+        // With deleteOnSuccess a retried/speculative task attempt may land on
+        // a file its failed predecessor already posted and deleted — that
+        // chunk IS delivered, so the retry must not fail the drain
+        // (at-least-once, idempotent under task re-execution). Without the
+        // flag nothing in this drain deletes, so a vanished file is a real
+        // failure the caller must see.
         val wireOpt =
           try Some(Files.readAllBytes(Paths.get(p)))
           catch { case _: java.nio.file.NoSuchFileException => None }
         wireOpt match {
+          case None if deleteOnSuccess =>
+            PostOutcome(key, 0, 0, success = true, error = null, dlq_path = p)
           case None =>
-            PostOutcome(key, 0, 0, success = true,
-              error = "already delivered by a previous attempt", dlq_path = p)
+            PostOutcome(key, 0, 0, success = false,
+              error = "dlq file missing", dlq_path = p)
           case Some(wire) =>
             try {
               poster.post(headers, wire)

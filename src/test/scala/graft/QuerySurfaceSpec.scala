@@ -40,6 +40,18 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(p1 == (1L to 10L) && p2 == (11L to 20L) && p3 == (21L to 25L))
   }
 
+  test("Q1: withGlobalRank exposes the requested rank column under any name") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"m$i")).toDF("id", "msg").repartition(4)
+    for (rc <- Seq("_rank", "_rn", "rank_x")) {
+      val ranked = SearchQuery.withGlobalRank(df, Seq(col("id")), rc)
+      assert(ranked.columns.contains(rc), rc)
+      val ranks = ranked.select(rc).as[Long].collect().sorted.toSeq
+      assert(ranks == (1L to 50L), rc)
+    }
+  }
+
   test("Q1: paged plan contains no single-partition global exchange") {
     val s = spark
     import s.implicits._
