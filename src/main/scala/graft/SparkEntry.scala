@@ -734,6 +734,15 @@ object SparkEntry {
         .select(col("event_id"), col("key"), col("n_name"))
         .orderBy("event_id")
     }),
+    // ---- int8 embedding quantization: the 4× storage/IO shrink for a
+    //      100 TB embedding corpus ----
+    "q59_embedding_quantize" -> ((s, dir) => {
+      val q = graft.operators.Similarity.quantizeInt8(col("embedding"))
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), q.getField("scale").as("scale"),
+          q.getField("qvec").as("qvec"))
+        .orderBy("vec_id")
+    }),
     // ---- IVF ANN top-k: probe the nprobe nearest centroids, brute-force
     //      only their assigned vectors ----
     "q58_ivf_topk" -> ((s, dir) => {
@@ -1461,6 +1470,16 @@ object SparkEntry {
                     WHERE n_nationkey < 5) n
            ON n.key = f.key
          ORDER BY f.event_id""",
+    "q59_embedding_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 0.0) AS ma
+           FROM embeddings),
+         s AS (SELECT vec_id, embedding,
+             CASE WHEN ma = 0 THEN 1.0 ELSE ma/127.0 END AS scale
+           FROM m)
+         SELECT vec_id, scale,
+           list_transform(embedding, v -> round(v::DOUBLE / scale)::TINYINT) AS qvec
+         FROM s ORDER BY vec_id""",
     // probes = 4 nearest centroids to the query (ties to lowest cid),
     // assignment per q42's argmax, brute-force only the probed clusters
     "q58_ivf_topk" ->

@@ -105,6 +105,28 @@ object Similarity {
       df.withColumn("_bucket", hyperplaneBucket(vecCol, planes, dim)),
       idCol, vecCol, col("_bucket"), threshold)
 
+  /** Symmetric int8 quantization of an embedding: `scale = max|v|/127`,
+    * `qvec[i] = round(v[i]/scale)` as tinyint — the 4× storage/IO reduction
+    * that makes a 100 TB embedding corpus scannable; compose with
+    * [[bruteForceTopK]]/[[ivfAssign]] by dequantizing (`qvec[i]*scale`) in
+    * the scoring pass. Zero vectors quantize with scale 1 (all-zero qvec).
+    * Returns a struct `(scale: double, qvec: array<byte>)`.
+    */
+  def quantizeInt8(vecCol: Column): Column =
+    graft.functions.ExprUtils.let(
+      greatest(array_max(transform(vecCol, v => abs(v.cast("double")))), lit(0.0))) { maxAbs =>
+      graft.functions.ExprUtils.let(
+        when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)) { scale =>
+        struct(scale.as("scale"),
+          transform(vecCol, v => round(v.cast("double") / scale).cast("byte")).as("qvec"))
+      }
+    }
+
+  /** Dequantized vector (`array<double>`) from a [[quantizeInt8]] struct. */
+  def dequantize(qCol: Column): Column =
+    transform(qCol.getField("qvec"),
+      q => q.cast("double") * qCol.getField("scale"))
+
   /** IVF coarse quantization: assign every vector to its max-cosine centroid
     * (ties to the lowest centroid id). The centroid set is broadcast, so the
     * corpus side is one narrow pass (n×k scored rows) plus a map-side-combined

@@ -95,6 +95,30 @@ class TrainingDataOpsSpec extends SparkSpec {
     lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("int8 quantization round-trips with small cosine error") {
+    val s = spark
+    import s.implicits._
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = Similarity.quantizeInt8(col("embedding"))
+    val deq = Similarity.dequantize(q)
+    // exact cosine vs int8-dequantized cosine against the first vector
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val qc = org.apache.spark.sql.functions.array(query.map(v =>
+      org.apache.spark.sql.functions.lit(v.toDouble)): _*)
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.functions._
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x) /
+        sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x) *
+          aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    }
+    val errs = emb.select(
+      abs(cos(transform(col("embedding"), v => v.cast("double")), qc) -
+        cos(deq, qc)).as("err"))
+      .agg(org.apache.spark.sql.functions.max("err")).head().getDouble(0)
+    assert(errs < 0.02, s"max dequantized-cosine error $errs")
+  }
+
   test("multimodal: synthesize → decode → features → frames plumbing") {
     val s = spark
     import s.implicits._
