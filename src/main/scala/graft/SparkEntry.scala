@@ -738,9 +738,11 @@ object SparkEntry {
     //      100 TB embedding corpus ----
     "q59_embedding_quantize" -> ((s, dir) => {
       val q = graft.operators.Similarity.quantizeInt8(col("embedding"))
+      // scalar columns only: the oracle harness row-sorts with pandas, which
+      // cannot hash an array cell — so the qvec ships as a joined string
       tbl(s, dir, "embeddings")
         .select(col("vec_id"), q.getField("scale").as("scale"),
-          q.getField("qvec").as("qvec"))
+          array_join(q.getField("qvec"), ",").as("qvec_csv"))
         .orderBy("vec_id")
     }),
     // ---- IVF ANN top-k: probe the nprobe nearest centroids, brute-force
@@ -1478,7 +1480,8 @@ object SparkEntry {
              CASE WHEN ma = 0 THEN 1.0 ELSE ma/127.0 END AS scale
            FROM m)
          SELECT vec_id, scale,
-           list_transform(embedding, v -> round(v::DOUBLE / scale)::TINYINT) AS qvec
+           array_to_string(
+             list_transform(embedding, v -> round(v::DOUBLE / scale)::TINYINT), ',') AS qvec_csv
          FROM s ORDER BY vec_id""",
     // probes = 4 nearest centroids to the query (ties to lowest cid),
     // assignment per q42's argmax, brute-force only the probed clusters
