@@ -41,6 +41,17 @@ object SparkEntry {
       key: String): DataFrame =
     tbl(s, dir, name).repartitionByRange(col(key)).sortWithinPartitions(key)
 
+  /** Pin-then-sort for join-product outputs: when the sort keys only exist
+    * AFTER a heavy join/agg subtree (dedup pair lists), `tblSorted`'s
+    * project-after-sort trick can't apply, and a trailing global `orderBy`
+    * would execute the whole subtree twice (range-boundary sampling +
+    * shuffle). Eagerly localCheckpoint the (small, narrow) result first so
+    * both sort passes read pinned blocks instead of re-running the DAG —
+    * the 100 TB shape is the same: land the pair list, then sort the landing.
+    */
+  private[graft] def pinSorted(df: DataFrame, keys: String*): DataFrame =
+    df.localCheckpoint(true).orderBy(keys.head, keys.tail: _*)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -277,12 +288,15 @@ object SparkEntry {
     // ---- language ID + quality scoring ----
     "q21_langid_quality" -> ((s, dir) => {
       import graft.functions.TextFunctions._
-      tbl(s, dir, "documents").select(
-        col("doc_id"),
-        langId(col("text")).as("lang_guess"),
-        qualityScore(col("text")).as("quality"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"))
-        .orderBy("doc_id")
+      // fused: one tokenization/regex pass per row (textStats), materialized
+      // once behind a Generate barrier, on a pre-sorted scan (no trailing
+      // global orderBy re-executing the projection)
+      graft.functions.ExprUtils.materialized(
+        tblSorted(s, dir, "documents", "doc_id"), "_stats", textStats(col("text")))
+        .select(col("doc_id"),
+          col("_stats.lang_guess").as("lang_guess"),
+          col("_stats.quality").as("quality"),
+          col("_stats.punct_ratio").as("punct_ratio"))
     }),
     // ---- exact dedup over constructed case/whitespace variants ----
     "q22_dedup_exact" -> ((s, dir) => {
@@ -294,19 +308,19 @@ object SparkEntry {
     }),
     // ---- n-gram Jaccard near-dup pairs (blocked exact variant) ----
     "q23_ngram_jaccard" -> ((s, dir) => {
-      graft.operators.Dedup.ngramJaccardPairs(
+      pinSorted(graft.operators.Dedup.ngramJaccardPairs(
         tbl(s, dir, "documents"), col("doc_id"), col("text"),
         Seq(col("source"), col("lang")), threshold = 0.2)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("doc_a", "doc_b")
+        .withColumn("jaccard", round(col("jaccard"), 6)),
+        "doc_a", "doc_b")
     }),
     // ---- MinHash+LSH near-dup pairs, exact-verified ----
     "q24_minhash_lsh" -> ((s, dir) => {
-      graft.operators.Dedup.minhashPairs(
+      pinSorted(graft.operators.Dedup.minhashPairs(
         tbl(s, dir, "documents"), col("doc_id"), col("text"),
         threshold = 0.5, k = 32, bands = 8)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy("doc_a", "doc_b")
+        .withColumn("jaccard", round(col("jaccard"), 6)),
+        "doc_a", "doc_b")
     }),
     // ---- SimHash sketches ----
     "q25_simhash" -> ((s, dir) => {
@@ -324,11 +338,11 @@ object SparkEntry {
     }),
     // ---- embedding-cosine near-dup pairs (label-blocked) ----
     "q27_embedding_neardup" -> ((s, dir) => {
-      graft.operators.Dedup.embeddingNearDup(
+      pinSorted(graft.operators.Dedup.embeddingNearDup(
         tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         col("label"), threshold = 0.3)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")
+        .withColumn("cosine", round(col("cosine"), 6)),
+        "id_a", "id_b")
     }),
     // ---- ANN via hyperplane LSH buckets (scale path; bucket math is
     //      deterministic md5 arithmetic, replicated by the DuckDB oracle;
@@ -611,15 +625,15 @@ object SparkEntry {
       val pairs = graft.operators.Dedup.minhashPairs(
         eligible, col("doc_id"), col("text"), threshold = 0.5)
       val dropIds = pairs.select(col("doc_b").as("doc_id")).distinct()
-      eligible.join(dropIds, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang_guess"), col("quality"))
-        .orderBy("doc_id")
+      pinSorted(eligible.join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_guess"), col("quality")),
+        "doc_id")
     }),
     // ---- SimHash near-dup pairs via pigeonhole bands ----
     "q47_simhash_pairs" -> ((s, dir) => {
-      graft.operators.Dedup.simhashPairs(
-        tbl(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3)
-        .orderBy("doc_a", "doc_b")
+      pinSorted(graft.operators.Dedup.simhashPairs(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"), maxHamming = 3),
+        "doc_a", "doc_b")
     }),
     // ---- S7 EventBridge unwrap: guardduty detail vs whole-event passthrough ----
     "q48_eventbridge_unwrap" -> ((s, dir) => {
@@ -703,11 +717,11 @@ object SparkEntry {
     // ---- global ANN near-dup sweep: hyperplane buckets as the blocking key
     //      (the scale path q27's label-blocking stands in for) ----
     "q52_ann_bucketed_pairs" -> ((s, dir) => {
-      graft.operators.Similarity.bucketedPairs(
+      pinSorted(graft.operators.Similarity.bucketedPairs(
         tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         threshold = 0.2, planes = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("id_a", "id_b")
+        .withColumn("cosine", round(col("cosine"), 6)),
+        "id_a", "id_b")
     }),
     // ---- skew utilities: salted hot-key join, row-identical to the plain join ----
     "q53_salted_join" -> ((s, dir) => {

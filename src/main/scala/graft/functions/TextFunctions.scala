@@ -181,4 +181,37 @@ object TextFunctions {
     */
   def rollingFingerprint(c: Column, n: Int = 3): Column =
     array_min(shingleHashes(c, n))
+
+  /** Fused per-document text stats: ONE tokenization, ONE punctuation regex,
+    * and ONE stopword scan per language, shared across language ID, quality
+    * score, and punctuation ratio. The unfused
+    * [[langId]]/[[qualityScore]]/[[punctRatio]] columns each re-tokenize
+    * (interpreted eval has no CSE), so a 3-column projection runs ≥3 regex
+    * splits per row — this struct form runs each producer once. Field values
+    * are bit-identical to the unfused functions.
+    * Returns `(lang_guess: string, quality: double, punct_ratio: double)`.
+    */
+  def textStats(c: Column): Column =
+    let(tokens(c)) { toks =>
+      let(array(stopwordSets.map { case (_, words) => hitCount(toks, words) }: _*)) { hits =>
+        let((length(c) - length(regexp_replace(c, "[^\\w\\s]", ""))).cast("double") /
+            length(c)) { punct =>
+          val scores = stopwordSets.zipWithIndex.map { case ((lang, _), i) =>
+            (lang, element_at(hits, i + 1))
+          }
+          val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+          val lang = scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+            when(sc === best && best > 0, lit(l)).otherwise(acc)
+          }
+          val swRatio = element_at(hits, 1).cast("double") / size(toks)
+          val quality = round(
+            least(size(toks).cast("double") / 100.0, lit(1.0)) * 0.3 +
+              (lit(1.0) - punct) * 0.4 +
+              least(swRatio * 5.0, lit(1.0)) * 0.3,
+            6)
+          struct(lang.as("lang_guess"), quality.as("quality"),
+            round(punct, 6).as("punct_ratio"))
+        }
+      }
+    }
 }

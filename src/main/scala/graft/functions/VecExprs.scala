@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /** Float-vector kernels (static forwarders for Janino codegen).
   *
@@ -39,6 +39,32 @@ object VecImpl {
     var i = 0
     while (i < n) {
       val v = a.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    s
+  }
+
+  /** Integer dot product over int8-quantized vectors — exact (no FP
+    * accumulation-order caveat). 127² × 4096 dims stays far inside int64.
+    */
+  def dotInt8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  def sqNormInt8(a: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.getByte(i).toLong
       s += v * v
       i += 1
     }
@@ -110,6 +136,38 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.hyperplaneBucket($a, $mat)")
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** `vec_dot_int8(array<tinyint>, array<tinyint>) -> bigint` with codegen:
+  * the quantized scoring path. Integer accumulation is exact, so unlike the
+  * float kernels there is no accumulation-order caveat — any engine computes
+  * the identical value.
+  */
+case class VecDotInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_dot_int8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecImpl.dotInt8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecImpl.dotInt8($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotInt8 =
+    copy(left = l, right = r)
+}
+
+/** `vec_sqnorm_int8(array<tinyint>) -> bigint` with codegen. */
+case class VecSqNormInt8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sqnorm_int8"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.sqNormInt8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.sqNormInt8($a)")
+  override protected def withNewChildInternal(newChild: Expression): VecSqNormInt8 =
     copy(child = newChild)
 }
 

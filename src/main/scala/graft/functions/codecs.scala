@@ -81,8 +81,13 @@ object codecs {
     */
   def gunzipBase64(c: Column): Column = gunzip(unbase64(c)).cast("string")
 
-  /** Encode to the CloudWatch Logs wire format: json string -> base64(gzip). */
-  def gzipBase64(c: Column): Column = base64(gzip(c.cast("binary")))
+  /** Encode to the CloudWatch Logs wire format: json string -> base64(gzip).
+    * Spark's `base64` emits MIME-chunked output (a "\r\n" every 76 chars);
+    * the wire format is single-line base64, and embedded newlines corrupt
+    * any line-oriented carrier (NDJSON shard dumps, text files) — strip them.
+    */
+  def gzipBase64(c: Column): Column =
+    regexp_replace(base64(gzip(c.cast("binary"))), "[\\r\\n]", "")
 
   /** Registers `gunzip`/`gzip` for SQL use on this session. */
   def registerAll(spark: SparkSession): Unit = {
