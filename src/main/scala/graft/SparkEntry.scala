@@ -759,6 +759,29 @@ object SparkEntry {
           array_join(q.getField("qvec"), ",").as("qvec_csv"))
         .orderBy("vec_id")
     }),
+    // ---- IVF centroid training: seeded deterministic init + 2 Lloyd
+    //      rounds; centroids exploded to scalar (cluster_id, dim, val) rows
+    //      so the oracle harness can row-sort them ----
+    "q60_kmeans_centroids" -> ((s, dir) => {
+      graft.operators.Similarity.kmeansCentroids(
+        tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+        .select(col("cluster_id"),
+          posexplode(col("centroid")).as(Seq("dim", "val")))
+        .select(col("cluster_id"), col("dim").cast("long").as("dim"),
+          col("val").cast("double").as("val"))
+        .orderBy("cluster_id", "dim")
+    }),
+    // ---- quantized scoring end-to-end: top-k over the int8 corpus. The
+    //      symmetric scales cancel in cosine, so the scoring loop is exact
+    //      integer kernels — bit-identical cross-engine ----
+    "q61_int8_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      graft.operators.Similarity.bruteForceTopKInt8(
+        emb, col("vec_id"), col("embedding"), query, 20)
+    }),
     // ---- IVF ANN top-k: probe the nprobe nearest centroids, brute-force
     //      only their assigned vectors ----
     "q58_ivf_topk" -> ((s, dir) => {
@@ -1497,6 +1520,81 @@ object SparkEntry {
            array_to_string(
              list_transform(embedding, v -> round(v::DOUBLE / scale)::TINYINT), ',') AS qvec_csv
          FROM s ORDER BY vec_id""",
+    // k-means: seeded init = 8 smallest md5-hash vectors, 2 unrolled Lloyd
+    // rounds; assignment argmax per q42, element-wise mean as exact DECIMAL
+    // sums -> DOUBLE -> REAL (same narrowing the engine applies), empty
+    // clusters keep their previous centroid
+    "q60_kmeans_centroids" ->
+      """WITH init AS (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding,
+                   ('0x'||substring(md5('km:'||vec_id),1,15))::BIGINT AS h
+                 FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+         a1 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN init c),
+         b1 AS (SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM a1),
+         m1 AS (SELECT cid, r.range AS dim,
+                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
+                     / count(*))::REAL AS val
+                FROM b1, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
+         n1 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
+         c1 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
+                FROM init i LEFT JOIN n1 n ON i.cid = n.cid),
+         a2 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN c1 c),
+         b2 AS (SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM a2),
+         m2 AS (SELECT cid, r.range AS dim,
+                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
+                     / count(*))::REAL AS val
+                FROM b2, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
+         n2 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m2 GROUP BY cid),
+         c2 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
+                FROM c1 i LEFT JOIN n2 n ON i.cid = n.cid)
+         SELECT cid AS cluster_id, r.range AS dim, cvec[r.range+1]::DOUBLE AS val
+         FROM c2, range(64) r
+         ORDER BY cluster_id, dim""",
+    // int8 scoring: quantize per q59's rule, then cosine as exact BIGINT
+    // sums (scales cancel) cast to DOUBLE only at the end
+    "q61_int8_topk" ->
+      """WITH m AS (SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 0.0) AS ma
+           FROM embeddings),
+         qz AS (SELECT vec_id,
+             list_transform(embedding, v -> round(v::DOUBLE /
+               CASE WHEN ma = 0 THEN 1.0 ELSE ma/127.0 END)::TINYINT) AS qvec
+           FROM m),
+         qv AS (SELECT qvec FROM qz WHERE vec_id = 0)
+         SELECT vec_id, cosine_q FROM (
+           SELECT e.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(e.qvec)+1),
+                 i -> e.qvec[i]::BIGINT * q.qvec[i]::BIGINT), (x,y) -> x+y)::DOUBLE /
+               sqrt(
+                 list_reduce(list_transform(range(1, len(e.qvec)+1),
+                   i -> e.qvec[i]::BIGINT * e.qvec[i]::BIGINT), (x,y) -> x+y)::DOUBLE *
+                 list_reduce(list_transform(range(1, len(q.qvec)+1),
+                   i -> q.qvec[i]::BIGINT * q.qvec[i]::BIGINT), (x,y) -> x+y)::DOUBLE), 6) AS cosine_q
+           FROM qz e, qv q)
+         ORDER BY cosine_q DESC, vec_id LIMIT 20""",
     // probes = 4 nearest centroids to the query (ties to lowest cid),
     // assignment per q42's argmax, brute-force only the probed clusters
     "q58_ivf_topk" ->

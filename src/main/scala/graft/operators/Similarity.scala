@@ -127,6 +127,140 @@ object Similarity {
     transform(qCol.getField("qvec"),
       q => q.cast("double") * qCol.getField("scale"))
 
+  /** Integer dot product over two int8 qvecs — exact, so any engine computes
+    * the identical value regardless of accumulation order.
+    */
+  def dotInt8(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.VecDotInt8(
+      org.apache.spark.sql.GraftGlue.expression(a),
+      org.apache.spark.sql.GraftGlue.expression(b)))
+
+  def sqNormInt8(a: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.VecSqNormInt8(
+      org.apache.spark.sql.GraftGlue.expression(a)))
+
+  /** Driver-side mirror of [[quantizeInt8]] — same scale rule and the same
+    * HALF_UP rounding Spark's `round()` (and DuckDB's `round()`) applies, so
+    * a locally quantized query vector is bit-identical to the engine path.
+    * (`math.round` would differ on negative .5 boundaries — it rounds toward
+    * +∞, not away from zero.)
+    */
+  private[graft] def quantizeInt8Local(v: Seq[Float]): (Double, Array[Byte]) = {
+    val maxAbs = v.foldLeft(0.0)((m, x) => math.max(m, math.abs(x.toDouble)))
+    val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+    val q = v.map(x => BigDecimal(x.toDouble / scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toByte).toArray
+    (scale, q)
+  }
+
+  /** Cosine between the dequantized forms of two int8 qvecs. The symmetric
+    * scales cancel algebraically —
+    * `cos(qa·sa, qb·sb) = dotInt8(qa,qb) / sqrt(sqA·sqB)` exactly — so the
+    * scoring loop is pure integer kernels with no per-element dequantize
+    * multiply, and the result is bit-identical on any engine (integer sums
+    * are exact; the final casts and sqrt are IEEE-defined).
+    */
+  def cosineInt8(a: Column, b: Column): Column =
+    dotInt8(a, b).cast("double") /
+      sqrt(sqNormInt8(a).cast("double") * sqNormInt8(b).cast("double"))
+
+  /** Brute-force top-k over the int8-quantized corpus: the 100 TB scan path —
+    * 4× less IO than float, integer multiply-accumulate, identical plan shape
+    * to [[bruteForceTopK]] (narrow pass + TakeOrdered, no corpus shuffle).
+    * Here the corpus is quantized inline behind a Generate barrier (the HOF
+    * quantize chain is interpreted and must run once per row); at scale the
+    * qvec column is materialized at ingest and this is a plain scan.
+    * Returns `(vec_id, cosine_q)` — cosine of the dequantized vectors.
+    */
+  def bruteForceTopKInt8(df: DataFrame, idCol: Column, vecCol: Column,
+      query: Seq[Float], k: Int): DataFrame = {
+    val (_, qq) = quantizeInt8Local(query)
+    val qLit = array(qq.map(b => lit(b)): _*)
+    val qNorm = qq.foldLeft(0L)((s, v) => s + v.toLong * v.toLong)
+    graft.functions.ExprUtils.materialized(
+      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_q",
+      quantizeInt8(col("_vec")).getField("qvec"))
+      .select(col("vec_id"),
+        round(dotInt8(col("_q"), qLit).cast("double") /
+          sqrt(sqNormInt8(col("_q")).cast("double") * lit(qNorm.toDouble)), 6)
+          .as("cosine_q"))
+      .orderBy(col("cosine_q").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** K-means centroid training for the IVF index: deterministic seeded
+    * sampling for the initial centroids (the `k` corpus vectors with the
+    * smallest cross-engine md5 hash of `"seed:id"` — replicable in any
+    * engine, unlike RNG sampling), then `iters` Lloyd rounds. Each round is
+    * one narrow corpus pass: the centroid set is collected driver-side (k×dim
+    * floats — the same "small centroid set" premise [[ivfTopK]] already
+    * relies on) and embedded as constant-folded literals, so assignment is a
+    * per-row argmax over codegen'd [[graft.functions.VecDot]] kernels with NO
+    * crossJoin shuffle; the centroid update is an element-wise mean computed
+    * as `dim` map-side-combined decimal-sum aggregates (exact, therefore
+    * accumulation-order-independent — the distributed sum matches a
+    * sequential engine bit-for-bit), cast back through double→float in the
+    * engine. Clusters that lose every member keep their previous centroid.
+    *
+    * At 100 TB: the per-round cost is one scan + a k×dim-cell aggregate
+    * (nothing corpus-sized ever shuffles); run the rounds on a sampled
+    * fraction and only the final [[ivfAssign]] over the full corpus.
+    *
+    * Returns `(cluster_id: long, centroid: array<float>)`, ready to feed
+    * [[ivfAssign]]/[[ivfTopK]].
+    */
+  def kmeansCentroids(df: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, iters: Int, seed: String = "km"): DataFrame = {
+    val spark = df.sparkSession
+    val seedRows = df
+      .select(idCol.cast("long").as("_id"), vecCol.as("_vec"))
+      .withColumn("_h", graft.functions.TextFunctions.hash60(
+        concat(lit(seed + ":"), col("_id").cast("string"))))
+      .orderBy(col("_h"), col("_id"))
+      .limit(k)
+      .collect()
+    var cents: Array[Array[Float]] = seedRows.map(_.getSeq[Float](1).toArray)
+    require(cents.nonEmpty && cents.head.nonEmpty,
+      "kmeansCentroids: empty corpus or zero-dimension vectors")
+    val dim = cents.head.length
+
+    for (_ <- 1 to iters) {
+      // per-centroid squared norms, accumulated left-to-right in doubles —
+      // the exact order VecSqNorm uses, so cosine parity holds
+      val cnorms = cents.map(_.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      // corpus norm once per row behind a Generate barrier (no interpreted
+      // CSE: k struct branches would otherwise re-run the kernel k times)
+      val scored = graft.functions.ExprUtils.materialized(
+        df.select(vecCol.as("_vec")), "_nv", sqNorm(col("_vec")))
+      // argmax over k constant-folded centroid literals: lexicographic struct
+      // max = highest cosine, ties to the lowest cluster id
+      val best = array_max(array(cents.indices.map { i =>
+        val cvLit = array(cents(i).map(v => lit(v)): _*)
+        struct(
+          (dot(col("_vec"), cvLit) / sqrt(col("_nv") * lit(cnorms(i)))).as("c"),
+          lit(-i.toLong).as("nc"), lit(i.toLong).as("cid"))
+      }: _*))
+      val assigned = scored.select(col("_vec"), best.getField("cid").as("_cid"))
+      // element-wise mean via exact decimal sums; the double division and the
+      // float narrowing both happen engine-side (same rounding as any engine)
+      val meanCols = (0 until dim).map { d =>
+        (sum(element_at(col("_vec"), d + 1).cast("double").cast("decimal(38,15)"))
+          .cast("double") / count(lit(1))).cast("float").as(s"_c$d")
+      }
+      val updated = assigned.groupBy(col("_cid"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> Array.tabulate(dim)(d => r.getFloat(d + 1)))
+        .toMap
+      cents = cents.indices.map(i => updated.getOrElse(i.toLong, cents(i))).toArray
+    }
+
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+  }
+
   /** IVF coarse quantization: assign every vector to its max-cosine centroid
     * (ties to the lowest centroid id). The centroid set is broadcast, so the
     * corpus side is one narrow pass (n×k scored rows) plus a map-side-combined
@@ -155,7 +289,28 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: Column, vecCol: Column,
       centroids: DataFrame, centroidId: Column, centroidVec: Column,
-      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame =
+    probedSubset(df, idCol, vecCol, centroids, centroidId, centroidVec, query, nprobe)
+      .transform(d => bruteForceTopK(d, col("vec_id"), col("_vec"), query, k))
+
+  /** IVF ANN top-k scored over the int8-quantized corpus: probe selection and
+    * assignment as [[ivfTopK]], final scoring via [[bruteForceTopKInt8]] —
+    * the full 100 TB composition (coarse quantizer prunes the scan, int8
+    * shrinks what remains 4×). Returns `(vec_id, cosine_q)`.
+    */
+  def ivfTopKInt8(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame =
+    probedSubset(df, idCol, vecCol, centroids, centroidId, centroidVec, query, nprobe)
+      .transform(d => bruteForceTopKInt8(d, col("vec_id"), col("_vec"), query, k))
+
+  /** Rows assigned to the query's `nprobe` max-cosine centroids, as
+    * `(vec_id, _vec)`. Probe selection is driver-side over the (small)
+    * centroid set; the corpus never shuffles beyond the assignment reduce.
+    */
+  private def probedSubset(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      query: Seq[Float], nprobe: Int): DataFrame = {
     val cents = centroids.select(centroidId.cast("long"), centroidVec).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
@@ -172,6 +327,5 @@ object Similarity {
     df.select(idCol.as("vec_id"), vecCol.as("_vec"))
       .join(assigned, "vec_id")
       .select(col("vec_id"), col("_vec"))
-      .transform(d => bruteForceTopK(d, col("vec_id"), col("_vec"), query, k))
   }
 }

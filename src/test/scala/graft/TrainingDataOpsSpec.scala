@@ -95,6 +95,81 @@ class TrainingDataOpsSpec extends SparkSpec {
     lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("kmeans centroids: trained IVF index keeps recall vs brute force") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.kmeansCentroids(
+      emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val rows = cents.collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getSeq[Float](1).length == 64))
+    // training moves centroids off their seed vectors
+    val seeds = rows.map(_.getSeq[Float](1)).toSet
+    val corpus = emb.select("embedding").collect().map(_.getSeq[Float](0)).toSet
+    assert(seeds.exists(sv => !corpus.contains(sv)))
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      cents, col("cluster_id"), col("centroid"), query, k = 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      query, 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf.contains(0L)) // the query vector itself
+    assert(ivf.count(brute.contains) >= 5) // recall@10 over half
+  }
+
+  test("kmeans: Lloyd rounds do not increase mean assignment distance") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    def meanAssignedCos(iters: Int): Double = {
+      val c = Similarity.kmeansCentroids(
+        emb, col("vec_id"), col("embedding"), k = 8, iters = iters)
+      Similarity.ivfAssign(emb, col("vec_id"), col("embedding"),
+        c, col("cluster_id"), col("centroid"))
+        .agg(avg("cosine")).head().getDouble(0)
+    }
+    val before = meanAssignedCos(0)
+    val after = meanAssignedCos(2)
+    assert(after >= before - 1e-9, s"training regressed fit: $before -> $after")
+  }
+
+  test("int8 top-k: high recall vs float path, cosine within quantization error") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val floatTop = Similarity.bruteForceTopK(
+      emb, col("vec_id"), col("embedding"), query, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val int8Top = Similarity.bruteForceTopKInt8(
+      emb, col("vec_id"), col("embedding"), query, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(int8Top.head._1 == 0L) // self still first
+    val floatIds = floatTop.map(_._1).toSet
+    assert(int8Top.count(p => floatIds(p._1)) >= 14, "recall@20 under 0.7")
+    // quantized cosine tracks the float cosine within the int8 error budget
+    val floatCos = floatTop.toMap
+    int8Top.filter(p => floatCos.contains(p._1)).foreach { case (id, cq) =>
+      assert(math.abs(cq - floatCos(id)) < 0.02, s"vec $id: $cq vs ${floatCos(id)}")
+    }
+  }
+
+  test("ivf int8 composition: probed subset scored by integer kernels") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = Similarity.kmeansCentroids(
+      emb, col("vec_id"), col("embedding"), k = 4, iters = 1)
+    val out = Similarity.ivfTopKInt8(emb, col("vec_id"), col("embedding"),
+      cents, col("cluster_id"), col("centroid"), query, k = 10, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.nonEmpty && out.head._1 == 0L)
+    // every result must come from the probed clusters' assignment
+    val wholeInt8 = Similarity.bruteForceTopKInt8(
+      emb, col("vec_id"), col("embedding"), query, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, cq) =>
+      assert(math.abs(wholeInt8(id) - cq) < 1e-12) // same integer scoring
+    }
+  }
+
   test("int8 quantization round-trips with small cosine error") {
     val s = spark
     import s.implicits._
