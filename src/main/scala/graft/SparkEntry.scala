@@ -615,6 +615,13 @@ object SparkEntry {
         threshold = 0.5, k = 32, bands = 8)
       graft.operators.Dedup.clusters(pairs).orderBy("doc_id")
     }),
+    // ---- same components via star contraction: the deep-graph-safe path ----
+    "q62_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.minhashPairs(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        threshold = 0.5, k = 32, bands = 8)
+      graft.operators.Dedup.clustersStar(pairs).orderBy("doc_id")
+    }),
     // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
     "q46_curation_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions._
@@ -832,6 +839,57 @@ object SparkEntry {
         .orderBy("media_id")
     }),
   )
+
+  /** Shared by q45 (min-label propagation) and q62 (star contraction): both
+    * implement the same connected-components contract, so one recursive-CTE
+    * oracle pins both.
+    */
+  private val clustersOracle: String =
+    """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks)-1),
+                      i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE []::VARCHAR[] END AS sh
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+         s2 AS (SELECT doc_id,
+                  list_transform(sh, s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS shh
+                FROM sh WHERE len(sh) > 0),
+         sig AS (
+           SELECT doc_id, list_transform(range(0, 32), i ->
+             list_min(list_transform(shh, h ->
+               xor(
+                 ((h & ((1::BIGINT << (60 - ((7*i)%60))) - 1)) << ((7*i)%60))
+                   | (h >> (60 - ((7*i)%60))),
+                 ('0x'||substring(md5(i::VARCHAR),1,15))::BIGINT)))) AS sig
+           FROM s2),
+         banded AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0, 8),
+               b -> md5(array_to_string(sig[b*4+1:b*4+4], ',')))) AS band,
+             unnest(range(0, 8)) AS band_idx
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         pairs AS (SELECT doc_a, doc_b FROM (
+           SELECT doc_a, doc_b,
+             len(list_intersect(x.shh, y.shh))::DOUBLE /
+               (len(x.shh) + len(y.shh) - len(list_intersect(x.shh, y.shh))) AS j
+           FROM cand JOIN s2 x ON cand.doc_a = x.doc_id
+                     JOIN s2 y ON cand.doc_b = y.doc_id)
+           WHERE j >= 0.5),
+         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach AS (SELECT node, node AS anc FROM nodes
+                   UNION
+                   SELECT e.b AS node, r.anc
+                   FROM reach r JOIN edges e ON e.a = r.node)
+         SELECT node AS doc_id, min(anc) AS cluster_id
+         FROM reach GROUP BY node ORDER BY doc_id"""
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -1276,52 +1334,9 @@ object SparkEntry {
                '{"_sumo_metadata":null}') AS VARCHAR)
              ELSE props END AS message
          FROM m ORDER BY event_id""",
-    "q45_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-               THEN list_distinct(list_transform(range(1, len(toks)-1),
-                      i -> array_to_string(toks[i:i+2], ' ')))
-               ELSE []::VARCHAR[] END AS sh
-           FROM (SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
-         s2 AS (SELECT doc_id,
-                  list_transform(sh, s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS shh
-                FROM sh WHERE len(sh) > 0),
-         sig AS (
-           SELECT doc_id, list_transform(range(0, 32), i ->
-             list_min(list_transform(shh, h ->
-               xor(
-                 ((h & ((1::BIGINT << (60 - ((7*i)%60))) - 1)) << ((7*i)%60))
-                   | (h >> (60 - ((7*i)%60))),
-                 ('0x'||substring(md5(i::VARCHAR),1,15))::BIGINT)))) AS sig
-           FROM s2),
-         banded AS (
-           SELECT doc_id,
-             unnest(list_transform(range(0, 8),
-               b -> md5(array_to_string(sig[b*4+1:b*4+4], ',')))) AS band,
-             unnest(range(0, 8)) AS band_idx
-           FROM sig),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b
-             ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
-         pairs AS (SELECT doc_a, doc_b FROM (
-           SELECT doc_a, doc_b,
-             len(list_intersect(x.shh, y.shh))::DOUBLE /
-               (len(x.shh) + len(y.shh) - len(list_intersect(x.shh, y.shh))) AS j
-           FROM cand JOIN s2 x ON cand.doc_a = x.doc_id
-                     JOIN s2 y ON cand.doc_b = y.doc_id)
-           WHERE j >= 0.5),
-         edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                   UNION SELECT doc_b, doc_a FROM pairs),
-         nodes AS (SELECT DISTINCT a AS node FROM edges),
-         reach AS (SELECT node, node AS anc FROM nodes
-                   UNION
-                   SELECT e.b AS node, r.anc
-                   FROM reach r JOIN edges e ON e.a = r.node)
-         SELECT node AS doc_id, min(anc) AS cluster_id
-         FROM reach GROUP BY node ORDER BY doc_id""",
+    "q45_dedup_clusters" -> clustersOracle,
+    // star contraction: identical contract (min reachable id), same oracle
+    "q62_dedup_clusters_star" -> clustersOracle,
     "q46_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

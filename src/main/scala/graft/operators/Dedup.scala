@@ -157,16 +157,20 @@ object Dedup {
     * minimum of its own and its neighbors' labels. Iterations = graph
     * diameter; near-dup clusters are shallow (dozens of docs), so this
     * converges in a few rounds. Each round is one shuffle-on-node join; the
-    * label frame is persisted per round and the previous one released. (At
-    * extreme component sizes swap in small-star/large-star — same contract.)
+    * label frame is persisted per round and the previous one released. For
+    * deep components (diameter > maxIter) use [[clustersStar]] — same
+    * contract, O(log² n) rounds.
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val sym = edges.union(edges.select(col("b"), col("a"))).distinct().persist()
     val nodes = sym.select(col("a").as("node")).distinct()
-    var labels = nodes.withColumn("lbl", col("node")).persist()
-    labels.count()
+    // localCheckpoint (not persist) each round: the next round's plan
+    // references this round's frame several times, so an uncut lineage
+    // doubles the LOGICAL plan per iteration — exponential analysis cost
+    // and a driver OOM near round ~20 even though every frame is tiny
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -177,23 +181,21 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("node"), col("lbl").as("old_lbl")), "node")
         .filter(col("lbl") =!= col("old_lbl")).count()
-      labels.unpersist()
       labels = next
       it += 1
     }
     if (changed > 0) {
       // a component deeper than maxIter would silently keep non-minimal
       // labels — surface it rather than diverging from the recursive oracle
-      labels.unpersist()
       sym.unpersist()
       throw new IllegalStateException(
         s"clusters() did not converge after $maxIter rounds ($changed labels " +
           "still changing) — component diameter exceeds maxIter; raise maxIter " +
-          "or switch to star-contraction for this graph")
+          "or use clustersStar() (star contraction, O(log² n) rounds)")
     }
     // Materialize the result lineage-free, then release every intermediate
     // cache (the loop's final frame would otherwise stay pinned).
@@ -202,6 +204,87 @@ object Dedup {
       .localCheckpoint(true)
     labels.unpersist()
     sym.unpersist()
+    result
+  }
+
+  /** Connected components by alternating small-star/large-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * same `(doc_id, cluster_id = component minimum)` contract as [[clusters]],
+    * but converging in O(log² n) rounds regardless of component DIAMETER,
+    * where min-label propagation needs diameter-many rounds. Use this for
+    * graphs with long chains (propagation's pathological case); propagation
+    * stays preferable for the shallow clusters near-dup dedup produces
+    * (fewer, cheaper rounds).
+    *
+    * Each round is two grouped joins over the edge list; edges only ever
+    * point from larger to smaller id, and the edge count never grows beyond
+    * 2× the input, so every round is a bounded shuffle — no corpus-sized
+    * state accumulates. Convergence = the directed edge set reaches its
+    * fixpoint (stars rooted at each component's minimum), detected by an
+    * order-insensitive (count, xor-of-hashes) signature — one tiny agg job
+    * per round.
+    */
+  def clustersStar(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 30): DataFrame = {
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // localCheckpoint per round (not persist): each round's plan references
+    // the previous frame several times — an uncut lineage grows the logical
+    // plan exponentially (see clusters() note)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var cur = sig(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // large-star: every node connects its LARGER neighbors to the minimum
+      // of its neighborhood (incl. itself) — long chains fold toward minima
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .join(sym.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m")), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: every node rewires its (all smaller) neighbors — and
+      // itself — to the minimum among them
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val next = sig(ss)
+      converged = next == cur
+      cur = next
+      edges.unpersist()
+      edges = ss
+      it += 1
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"clustersStar() did not reach its star fixpoint after $maxIter " +
+          "rounds — raise maxIter (expected O(log² n) rounds)")
+    }
+    // Fixpoint edges are stars (leaf → component minimum): labels are the
+    // edges themselves plus (root, root) for each root (never a leaf).
+    val result = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id")).distinct()
+        .join(edges.select(col("u").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+      .localCheckpoint(true)
+    edges.unpersist()
     result
   }
 

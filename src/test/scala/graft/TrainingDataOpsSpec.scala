@@ -95,6 +95,35 @@ class TrainingDataOpsSpec extends SparkSpec {
     lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("star contraction matches min-label propagation on a mixed graph") {
+    val s = spark
+    import s.implicits._
+    // two components (one with a cycle + dangling edge, one pair) and
+    // unordered endpoints to exercise the larger->smaller normalization
+    val pairs = Seq((1L, 5L), (5L, 9L), (9L, 1L), (9L, 12L), (20L, 21L),
+      (21L, 20L)).toDF("doc_a", "doc_b")
+    val prop = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.clustersStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert(star == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 1L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("deep path component: propagation rejects, star contraction converges") {
+    val s = spark
+    import s.implicits._
+    // a 0-1-2-...-59 chain: diameter 59 > propagation's default maxIter
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException](Dedup.clusters(chain))
+    assert(ex.getMessage.contains("clustersStar"))
+    val star = Dedup.clustersStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 60)
+    assert(star.values.forall(_ == 0L)) // every node labeled with the minimum
+  }
+
   test("kmeans centroids: trained IVF index keeps recall vs brute force") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = Similarity.kmeansCentroids(
