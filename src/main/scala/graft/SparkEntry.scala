@@ -622,6 +622,33 @@ object SparkEntry {
         threshold = 0.5, k = 32, bands = 8)
       graft.operators.Dedup.clustersStar(pairs).orderBy("doc_id")
     }),
+    // ---- collector/source registry: control-plane CRUD driving the full
+    //      ingest-side data effects (filters → masks → date parse → cutoff →
+    //      source metadata). The second createSource updates-on-clash, so the
+    //      applied config is the richer one ----
+    "q63_source_registry" -> ((s, dir) => {
+      import graft.operators.Collectors
+      import graft.operators.Collectors._
+      val reg = Collectors.newRegistry()
+      val cid = reg.createCollector("aws-prod")
+      reg.createSource(cid, SourceConfig(name = "web-logs", category = "apps/old"))
+      reg.createSource(cid, SourceConfig(
+        name = "web-logs", category = "apps/web",
+        fields = Map("env" -> "prod", "team" -> "data"),
+        filters = Seq(Exclude("view"), Mask("user=\\d+", "user=***")),
+        dateFormats = Seq(DateFormat("yyyy-MM-dd HH:mm:ss",
+          "ts=(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})")),
+        cutoffTimestamp = Some("2024-01-05")))
+      val cfg = reg.source(cid, "web-logs")
+      val ev = tbl(s, dir, "events").withColumn("message",
+        concat(lit("ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit(" "), col("event_type"), lit(" user="), col("user_id"),
+          lit(" "), col("props")))
+      Collectors.ingest(ev, cfg, "message", col("ts"))
+        .select("event_id", "message", "event_time", "source_name",
+          "source_category", "source_fields")
+        .orderBy("event_id")
+    }),
     // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
     "q46_curation_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions._
@@ -1337,6 +1364,25 @@ object SparkEntry {
     "q45_dedup_clusters" -> clustersOracle,
     // star contraction: identical contract (min reachable id), same oracle
     "q62_dedup_clusters_star" -> clustersOracle,
+    // updated source config applied: exclude 'view', mask user ids globally
+    // ('g' flag — Spark regexp_replace is global), cutoff on the parsed ts
+    // (re-derived from the original column, as q40 does), literal metadata
+    "q63_source_registry" ->
+      """WITH m AS (SELECT event_id,
+             'ts='||strftime(ts, '%Y-%m-%d %H:%M:%S')||' '||event_type||
+               ' user='||user_id||' '||props AS message,
+             date_trunc('second', ts) AS event_time
+           FROM events)
+         SELECT event_id,
+           regexp_replace(message, 'user=\d+', 'user=***', 'g') AS message,
+           event_time,
+           'web-logs' AS source_name,
+           'apps/web' AS source_category,
+           'env=prod,team=data' AS source_fields
+         FROM m
+         WHERE NOT regexp_matches(message, 'view')
+           AND event_time >= TIMESTAMP '2024-01-05'
+         ORDER BY event_id""",
     "q46_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -1,0 +1,157 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The collector/source registry — the last control-plane surface of the
+  * reference: hosted collectors own sources, and a source carries the
+  * ingest-side config (category, fields, processing-rule filters,
+  * `defaultDateFormats`, `cutoffTimestamp`, multiline boundary) that shapes
+  * every record it emits (`sumologic-app-utils/src/sumoresource.py:262-396`).
+  *
+  * Like [[FieldsSchema]] and [[SearchJobs]], the registry itself is driver
+  * state: creates/updates/deletes mirror the reference API's semantics
+  * (idempotent collector create, update-on-clash for sources). The DATA
+  * effects of a source config — [[ingest]] — compile to plain
+  * projections/filters over the record frame: executor-side it is all
+  * codegen'd regex/filter work with literals baked from the config, nothing
+  * shuffles, and Catalyst pushes scan pruning straight through it.
+  */
+object Collectors {
+
+  final class CollectorNotFoundException(name: String)
+    extends IllegalArgumentException(s"Collector with name $name not found")
+  final class SourceNotFoundException(name: String)
+    extends IllegalArgumentException(s"Source with name $name not found")
+
+  /** One `defaultDateFormats` entry: extract the locator's group 1 from the
+    * message, parse with `format` (`sumoresource.py:271-281`).
+    */
+  final case class DateFormat(format: String, locator: String)
+
+  /** A source processing rule (the reference's `filters` array): Exclude
+    * drops matching records, Include keeps only matching records, Mask
+    * rewrites every match of `regex` to `mask` in place.
+    */
+  sealed trait Filter
+  final case class Exclude(regex: String) extends Filter
+  final case class Include(regex: String) extends Filter
+  final case class Mask(regex: String, mask: String = "*****") extends Filter
+
+  /** Full per-source ingest config. `cutoffTimestamp` is a literal timestamp
+    * string (the reference sets now-24h at source creation); `fields` land on
+    * every record as the `k=v,...` source-fields blob.
+    */
+  final case class SourceConfig(
+      name: String,
+      category: String,
+      fields: Map[String, String] = Map.empty,
+      filters: Seq[Filter] = Nil,
+      dateFormats: Seq[DateFormat] = Nil,
+      cutoffTimestamp: Option[String] = None,
+      multilineBoundary: Option[String] = None)
+
+  /** Driver-side CRUD with the reference's idempotency rules: collector
+    * create returns the existing id on a name clash; source create on a name
+    * clash UPDATES the stored config in place and keeps the id (the
+    * reference PUTs the new definition over an existing source).
+    */
+  final class Registry {
+    private val collectorsByName = scala.collection.mutable.LinkedHashMap[String, Long]()
+    private val sourcesByKey =
+      scala.collection.mutable.LinkedHashMap[(Long, String), (Long, SourceConfig)]()
+    private val nextId = new AtomicLong(0L)
+
+    def createCollector(name: String): Long = synchronized {
+      collectorsByName.getOrElseUpdate(name, nextId.incrementAndGet())
+    }
+
+    def collectorId(name: String): Long = synchronized {
+      collectorsByName.getOrElse(name, throw new CollectorNotFoundException(name))
+    }
+
+    def createSource(collectorId: Long, cfg: SourceConfig): Long = synchronized {
+      requireCollector(collectorId)
+      sourcesByKey.get((collectorId, cfg.name)) match {
+        case Some((id, _)) =>
+          sourcesByKey.update((collectorId, cfg.name), (id, cfg)); id
+        case None =>
+          val id = nextId.incrementAndGet()
+          sourcesByKey.put((collectorId, cfg.name), (id, cfg)); id
+      }
+    }
+
+    def source(collectorId: Long, name: String): SourceConfig = synchronized {
+      sourcesByKey.getOrElse((collectorId, name),
+        throw new SourceNotFoundException(name))._2
+    }
+
+    /** All sources of a collector in creation order, `(id, config)`. */
+    def sources(collectorId: Long): Seq[(Long, SourceConfig)] = synchronized {
+      sourcesByKey.collect { case ((c, _), v) if c == collectorId => v }.toSeq
+    }
+
+    def deleteSource(collectorId: Long, name: String): Boolean = synchronized {
+      sourcesByKey.remove((collectorId, name)).isDefined
+    }
+
+    /** Deleting a collector removes its sources (the reference deletes the
+      * container and everything under it).
+      */
+    def deleteCollector(name: String): Boolean = synchronized {
+      collectorsByName.remove(name) match {
+        case Some(id) =>
+          sourcesByKey.filterInPlace { case ((c, _), _) => c != id }; true
+        case None => false
+      }
+    }
+
+    private def requireCollector(id: Long): Unit =
+      if (!collectorsByName.values.exists(_ == id))
+        throw new CollectorNotFoundException(s"id=$id")
+  }
+
+  def newRegistry(): Registry = new Registry
+
+  /** Apply a source's processing-rule filters in declaration order. Excludes
+    * and includes are plain codegen'd `rlike` filters; masks rewrite every
+    * occurrence (`regexp_replace` is global in Spark — DuckDB needs the `'g'`
+    * flag for parity).
+    */
+  def applyFilters(df: DataFrame, messageCol: String,
+      filters: Seq[Filter]): DataFrame =
+    filters.foldLeft(df) {
+      case (d, Exclude(re)) => d.filter(!col(messageCol).rlike(re))
+      case (d, Include(re)) => d.filter(col(messageCol).rlike(re))
+      case (d, Mask(re, mask)) =>
+        d.withColumn(messageCol, regexp_replace(col(messageCol), re, mask))
+    }
+
+  /** The data effects of one source config, applied at ingest: filters →
+    * timestamp derivation (`dateFormats` in order, receipt time fallback) →
+    * cutoff → source metadata columns (`source_name`/`source_category`/
+    * `source_fields`). Multiline sources run [[Fer.multilineMerge]] with
+    * `multilineBoundary` BEFORE this (it needs the caller's stream
+    * partition/order columns).
+    *
+    * Everything here is a map-side projection or filter — at 100 TB these
+    * fuse into the scan's codegen stage; the cutoff comparison sits on a
+    * derived column, so when `dateFormats` is empty it degrades to a plain
+    * pushable predicate on the receipt column.
+    */
+  def ingest(df: DataFrame, cfg: SourceConfig, messageCol: String,
+      receiptTime: Column): DataFrame = {
+    val filtered = applyFilters(df, messageCol, cfg.filters)
+    val stamped = filtered.withColumn("event_time",
+      Fer.parseTimestamp(col(messageCol), receiptTime,
+        cfg.dateFormats.map(d => (d.format, d.locator))))
+    val cut = cfg.cutoffTimestamp.fold(stamped)(c =>
+      Fer.cutoff(stamped, col("event_time"), lit(c).cast("timestamp")))
+    cut.withColumn("source_name", lit(cfg.name))
+      .withColumn("source_category", lit(cfg.category))
+      .withColumn("source_fields",
+        lit(cfg.fields.map { case (k, v) => s"$k=$v" }.mkString(",")))
+  }
+}

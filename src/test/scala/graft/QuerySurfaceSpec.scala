@@ -142,6 +142,67 @@ class QuerySurfaceSpec extends SparkSpec {
       "2024-03-01 10:00:00", "2024-03-01 11:22:00", "2024-06-01 00:00:00"))
   }
 
+  test("collector/source registry: idempotent create, update-on-clash, scoped delete") {
+    import graft.operators.Collectors
+    import graft.operators.Collectors._
+    val reg = Collectors.newRegistry()
+    val cid = reg.createCollector("prod")
+    assert(reg.createCollector("prod") == cid) // idempotent, same id
+    val sid = reg.createSource(cid, SourceConfig("s1", "cat/a"))
+    // name clash updates the config in place, id is stable
+    assert(reg.createSource(cid, SourceConfig("s1", "cat/b")) == sid)
+    assert(reg.source(cid, "s1").category == "cat/b")
+    val cid2 = reg.createCollector("dev")
+    reg.createSource(cid2, SourceConfig("s1", "cat/dev")) // same name, other collector
+    assert(reg.sources(cid).map(_._2.name) == Seq("s1"))
+    assert(reg.source(cid2, "s1").category == "cat/dev")
+    assert(reg.deleteCollector("prod"))
+    intercept[Collectors.CollectorNotFoundException](reg.collectorId("prod"))
+    intercept[Collectors.SourceNotFoundException](reg.source(cid, "s1"))
+    assert(reg.source(cid2, "s1").category == "cat/dev") // other collector intact
+    intercept[Collectors.CollectorNotFoundException](
+      reg.createSource(cid, SourceConfig("s2", "x"))) // deleted container rejects
+  }
+
+  test("source config wires the full ingest chain: multiline, filters, dates, cutoff") {
+    import graft.operators.Collectors
+    import graft.operators.Collectors._
+    val s = spark
+    import s.implicits._
+    val reg = Collectors.newRegistry()
+    val cid = reg.createCollector("apps")
+    reg.createSource(cid, SourceConfig(
+      name = "svc", category = "apps/svc",
+      fields = Map("env" -> "prod"),
+      filters = Seq(Exclude("DEBUG"), Mask("card=\\d+", "card=####")),
+      dateFormats = Seq(DateFormat("yyyy-MM-dd HH:mm:ss",
+        "^(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})")),
+      cutoffTimestamp = Some("2024-01-02"),
+      multilineBoundary = Some("^\\d{4}-")))
+    val cfg = reg.source(cid, "svc")
+    val lines = Seq(
+      (1L, "2024-01-01 10:00:00 old entry"),      // before cutoff → dropped
+      (2L, "2024-01-03 10:00:00 DEBUG noisy"),    // exclude rule → dropped
+      (3L, "2024-01-03 11:00:00 pay card=1234"),  // masked
+      (4L, "  at Stack.frame(line 1)"),           // continuation of 3
+      (5L, "2024-01-04 09:00:00 plain ok"))
+      .toDF("line_no", "line").withColumn("stream", lit("s-0"))
+    // multiline first (needs the stream's partition/order columns), then the
+    // config's record-level effects
+    val merged = Fer.multilineMerge(lines, Seq(col("stream")), col("line_no"),
+      col("line"), cfg.multilineBoundary.get)
+    val out = Collectors.ingest(merged, cfg, "message",
+      lit("2024-06-01").cast("timestamp"))
+      .select("message", "event_time", "source_category", "source_fields")
+      .orderBy("event_time")
+      .as[(String, java.sql.Timestamp, String, String)].collect()
+    assert(out.length == 2)
+    assert(out(0)._1 == "2024-01-03 11:00:00 pay card=####\n  at Stack.frame(line 1)")
+    assert(out(0)._2.toString == "2024-01-03 11:00:00.0") // parsed, not receipt
+    assert(out(1)._1 == "2024-01-04 09:00:00 plain ok")
+    assert(out.forall(r => r._3 == "apps/svc" && r._4 == "env=prod"))
+  }
+
   test("IVF: probe-limited top-k keeps high recall vs brute force, self included") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val query = emb.filter(col("vec_id") === 0)
