@@ -288,15 +288,16 @@ object SparkEntry {
     // ---- language ID + quality scoring ----
     "q21_langid_quality" -> ((s, dir) => {
       import graft.functions.TextFunctions._
-      // fused: one tokenization/regex pass per row (textStats), materialized
-      // once behind a Generate barrier, on a pre-sorted scan (no trailing
-      // global orderBy re-executing the projection)
-      graft.functions.ExprUtils.materialized(
-        tblSorted(s, dir, "documents", "doc_id"), "_stats", textStats(col("text")))
+      // fused: the codegen'd text_stats kernel runs one tokenization/regex
+      // pass per row (whole-stage codegen CSE shares it across the three
+      // field accesses), on a pre-sorted scan (no trailing global orderBy
+      // re-executing the projection)
+      val st = textStats(col("text"))
+      tblSorted(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
-          col("_stats.lang_guess").as("lang_guess"),
-          col("_stats.quality").as("quality"),
-          col("_stats.punct_ratio").as("punct_ratio"))
+          st.getField("lang_guess").as("lang_guess"),
+          st.getField("quality").as("quality"),
+          st.getField("punct_ratio").as("punct_ratio"))
     }),
     // ---- exact dedup over constructed case/whitespace variants ----
     "q22_dedup_exact" -> ((s, dir) => {

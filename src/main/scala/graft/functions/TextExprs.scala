@@ -180,6 +180,104 @@ object TextImpl {
   }
 }
 
+/** One-pass text-stats kernel — see [[TextStats]]. Semantics are bit-identical
+  * to the let-composed SQL form ([[TextFunctions.textStatsSql]], which the
+  * DuckDB oracle replicates): same tokenizer (trim → lower → `\s+` split, one
+  * empty token for empty input), same Java-regex punctuation class, same
+  * stopword sets and first-language tie-break, same left-associative double
+  * arithmetic, and the same HALF_UP rounding Spark's `round()` applies
+  * (NaN/Inf pass through unrounded, like `RoundBase`). One deliberate
+  * divergence: an EMPTY string yields NaN quality/punct ratios where the SQL
+  * form's `x / length(c)` raises DIVIDE_BY_ZERO under ANSI mode — a
+  * degenerate-input crash no caller wants; the kernel's NaN composes with
+  * downstream quality filters (NaN compares false).
+  */
+object TextStatsImpl {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val punct = java.util.regex.Pattern.compile("[^\\w\\s]")
+  private val langNames: Array[UTF8String] =
+    TextFunctions.stopwordSets.map(s => UTF8String.fromString(s._1)).toArray
+  private val stopSets: Array[java.util.HashSet[String]] =
+    TextFunctions.stopwordSets.map { case (_, words) =>
+      val h = new java.util.HashSet[String](words.length * 2)
+      words.foreach(h.add)
+      h
+    }.toArray
+  private val und = UTF8String.fromString("und")
+
+  private def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  def textStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = ws.split(s.trim.toLowerCase.toString, -1)
+    val nLangs = stopSets.length
+    val hits = new Array[Int](nLangs)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < nLangs) {
+        if (stopSets(l).contains(toks(i))) hits(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 0
+    while (l < nLangs) { if (hits(l) > best) best = hits(l); l += 1 }
+    var lang = und
+    if (best > 0) {
+      var found = false
+      l = 0
+      while (l < nLangs && !found) {
+        if (hits(l) == best) { lang = langNames(l); found = true }
+        l += 1
+      }
+    }
+    // punctuation ratio over the ORIGINAL string (not trimmed/lowered): each
+    // regex match is one code point, so match count == the numChars drop a
+    // regexp_replace-removal computes; 0/0 → NaN like the SQL division
+    val total = s.numChars().toDouble
+    var punctCount = 0
+    val m = punct.matcher(s.toString)
+    while (m.find()) punctCount += 1
+    val punctRatio = punctCount / total
+    val swRatio = hits(0).toDouble / toks.length
+    val quality =
+      math.min(toks.length / 100.0, 1.0) * 0.3 +
+        (1.0 - punctRatio) * 0.4 +
+        math.min(swRatio * 5.0, 1.0) * 0.3
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](lang, round6(quality), round6(punctRatio)))
+  }
+}
+
+/** `text_stats(string) -> struct<lang_guess,quality,punct_ratio>` with
+  * whole-stage codegen: ONE tokenization + ONE punctuation scan + ONE
+  * stopword pass feed language ID, quality score, and punctuation ratio —
+  * the per-document stats projection that runs over every row of a corpus
+  * (the composed form re-tokenizes per output column and pays per-element
+  * interpreted dispatch in its HOF lambdas).
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lang_guess", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("quality",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("punct_ratio",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "text_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsImpl.textStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsImpl.textStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 /** One-pass shingle hashing kernel — see [[ShingleHashes]]. */
 object ShingleImpl {
   private val ws = java.util.regex.Pattern.compile("\\s+")

@@ -183,15 +183,21 @@ object TextFunctions {
     array_min(shingleHashes(c, n))
 
   /** Fused per-document text stats: ONE tokenization, ONE punctuation regex,
-    * and ONE stopword scan per language, shared across language ID, quality
-    * score, and punctuation ratio. The unfused
-    * [[langId]]/[[qualityScore]]/[[punctRatio]] columns each re-tokenize
-    * (interpreted eval has no CSE), so a 3-column projection runs ≥3 regex
-    * splits per row — this struct form runs each producer once. Field values
-    * are bit-identical to the unfused functions.
+    * and ONE stopword scan, shared across language ID, quality score, and
+    * punctuation ratio — as the codegen'd [[TextStats]] kernel (the unfused
+    * [[langId]]/[[qualityScore]]/[[punctRatio]] columns each re-tokenize and
+    * run interpreted HOF lambdas). Field values are bit-identical to the
+    * unfused functions and to [[textStatsSql]], which KernelParitySpec pins.
     * Returns `(lang_guess: string, quality: double, punct_ratio: double)`.
     */
   def textStats(c: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      TextStats(org.apache.spark.sql.GraftGlue.expression(c)))
+
+  /** The pre-kernel let-composed form of [[textStats]] (one tokenization,
+    * interpreted HOFs) — kept as the parity reference for the kernel.
+    */
+  private[graft] def textStatsSql(c: Column): Column =
     let(tokens(c)) { toks =>
       let(array(stopwordSets.map { case (_, words) => hitCount(toks, words) }: _*)) { hits =>
         let((length(c) - length(regexp_replace(c, "[^\\w\\s]", ""))).cast("double") /

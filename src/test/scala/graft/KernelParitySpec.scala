@@ -198,6 +198,42 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("text_stats kernel == let-composed SQL form (tricky + fuzzed)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1717)
+    val alphabets = Seq("abcdefg", "äöüßéñ", "汉字分词测试", "0123._-", ".,!?;:")
+    val stopword = Seq("the", "and", "el", "la", "der", "le", "的", "是")
+    def doc(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        if (rnd.nextInt(3) == 0) stopword(rnd.nextInt(stopword.length))
+        else {
+          val a = alphabets(rnd.nextInt(alphabets.length))
+          (0 until 1 + rnd.nextInt(5)).map(_ => a(rnd.nextInt(a.length))).mkString
+        }
+      }.mkString(" ") + (if (rnd.nextBoolean()) "!" else "")
+    }
+    // empty strings excluded: the SQL form raises DIVIDE_BY_ZERO under ANSI
+    // where the kernel deliberately yields NaN (documented divergence)
+    val docs = (tricky ++ Seq("el perro y la casa", "the the the!!!",
+      "¿¡punct only!? ...") ++ (0 until 300).map(_ => doc()))
+      .filter(_.nonEmpty).toDF("text")
+    val k = TextFunctions.textStats(col("text"))
+    val q = TextFunctions.textStatsSql(col("text"))
+    val rows = docs.select(
+      k.getField("lang_guess"), k.getField("quality"), k.getField("punct_ratio"),
+      q.getField("lang_guess"), q.getField("quality"), q.getField("punct_ratio"),
+      col("text"))
+      .as[(String, Double, Double, String, Double, Double, String)].collect()
+    rows.foreach { case (kl, kq, kp, sl, sq, sp, t) =>
+      assert(kl == sl, s"lang on <$t>")
+      // bit-identical comparison that also equates NaN (empty input)
+      assert(java.lang.Double.compare(kq, sq) == 0, s"quality on <$t>: $kq vs $sq")
+      assert(java.lang.Double.compare(kp, sp) == 0, s"punct on <$t>: $kp vs $sp")
+    }
+  }
+
   test("ip_in_cidr: membership, bare address, malformed → false") {
     val s = spark
     import s.implicits._

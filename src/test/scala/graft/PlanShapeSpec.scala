@@ -45,8 +45,10 @@ class PlanShapeSpec extends SparkSpec {
   test("text-stat projections run inside whole-stage codegen") {
     // the final-plan tree marks WholeStageCodegen stages with a `*(n)` prefix;
     // an interpreted Project (e.g. a HOF lambda in the projection) loses it
-    val p = plan("q20_text_stats")
-    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, p)
+    for (q <- Seq("q20_text_stats", "q21_langid_quality")) {
+      val p = plan(q)
+      assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined, s"$q:\n$p")
+    }
   }
 
   test("the salted join spreads a hot key across salt partitions") {
