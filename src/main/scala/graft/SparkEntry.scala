@@ -650,6 +650,24 @@ object SparkEntry {
           "source_category", "source_fields")
         .orderBy("event_id")
     }),
+    // ---- deterministic stratified sampling: hash-threshold membership,
+    //      per-stratum fractions as one codegen'd CASE chain ----
+    "q64_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedByHash(
+        tblSorted(s, dir, "documents", "doc_id"), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 0.25), defaultFraction = 0.125)
+        .select("doc_id", "lang", "source")
+    }),
+    // ---- token-budget sequence packing: two-pass distributed prefix sum,
+    //      no single-partition exchange ----
+    "q65_token_packing" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      graft.operators.Sampling.packByBudget(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), tokenCount(col("text")), budget = 2048L)
+        .select("doc_id", "tokens", "bin", "bin_offset")
+        .orderBy("doc_id")
+    }),
     // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
     "q46_curation_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions._
@@ -1384,6 +1402,28 @@ object SparkEntry {
          WHERE NOT regexp_matches(message, 'view')
            AND event_time >= TIMESTAMP '2024-01-05'
          ORDER BY event_id""",
+    // thresholds are fraction × 2^60, exact for binary fractions:
+    // 0.5 → 576460752303423488, 0.25 → 288230376151711744,
+    // 0.125 → 144115188075855872
+    "q64_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ('0x'||substring(md5('smp:'||doc_id),1,15))::BIGINT <
+           CASE WHEN lang = 'en' THEN 576460752303423488
+                WHEN lang = 'zh' THEN 288230376151711744
+                ELSE 144115188075855872 END
+         ORDER BY doc_id""",
+    // exclusive prefix sum over doc_id order; sum() OVER returns HUGEINT in
+    // DuckDB — cast back to BIGINT before the integer div/mod
+    "q65_token_packing" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS tokens
+           FROM documents),
+         p AS (SELECT doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+           FROM t)
+         SELECT doc_id, tokens, pre // 2048 AS bin, pre % 2048 AS bin_offset
+         FROM p ORDER BY doc_id""",
     "q46_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-set assembly operators: deterministic sampling and token-budget
+  * sequence packing — the last mile between a curated corpus and a training
+  * run.
+  *
+  * Sampling here is HASH-based, not RNG-based: membership is a pure function
+  * of (seed, key), so a sample is reproducible on any engine and stable
+  * under retries/re-partitioning — properties `df.sample()` cannot give (its
+  * Bernoulli draw depends on partition iteration order). Every operator is a
+  * narrow map-side filter/projection; nothing shuffles except packing's
+  * range sort.
+  */
+object Sampling {
+
+  /** 60-bit threshold for a sampling fraction: keep keys whose hash lands
+    * below `fraction × 2^60`. Exact for binary fractions (.5/.25/.125…),
+    * within one key of exact otherwise.
+    */
+  private[graft] def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    if (fraction >= 1.0) Long.MaxValue
+    else (fraction * (1L << 60).toDouble).toLong
+  }
+
+  /** Deterministic Bernoulli sample: keep rows where
+    * `hash60(seed:key) < fraction × 2^60`. The hash is the cross-engine
+    * md5-derived [[TextFunctions.hash60]], so any engine (the DuckDB oracle
+    * included) selects the identical row set.
+    */
+  def byHash(df: DataFrame, keyCol: Column, fraction: Double,
+      seed: String = "smp"): DataFrame =
+    df.filter(TextFunctions.hash60(
+      concat(lit(seed + ":"), keyCol.cast("string"))) < threshold(fraction))
+
+  /** Stratified deterministic sample: per-stratum fractions with a default
+    * for unlisted strata. The per-stratum thresholds compile to one
+    * codegen'd CASE chain — no join, no shuffle, and the same hash decides
+    * membership in every stratum (so raising a stratum's fraction only ADDS
+    * rows — nested samples, the property training-data ablations rely on).
+    */
+  def stratifiedByHash(df: DataFrame, keyCol: Column, stratumCol: Column,
+      fractions: Map[String, Double], defaultFraction: Double,
+      seed: String = "smp"): DataFrame = {
+    val thr = fractions.foldLeft(lit(threshold(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(stratumCol === stratum, lit(threshold(f))).otherwise(acc)
+    }
+    df.filter(TextFunctions.hash60(
+      concat(lit(seed + ":"), keyCol.cast("string"))) < thr)
+  }
+
+  /** Token-budget sequence packing: documents in `idCol` order greedily fill
+    * fixed-`budget` bins; each document's `bin = exclusive-prefix-sum div
+    * budget` and `bin_offset = prefix mod budget` (a document whose tokens
+    * straddle a boundary starts in its assigned bin and overflows — the
+    * standard contiguous-packing contract; callers that need hard bin
+    * boundaries split documents first).
+    *
+    * The prefix sum is the scalable two-pass form (the
+    * `SearchQuery.withGlobalRank` pattern): range-sort on the id, pin the
+    * partitioning, per-partition token totals → driver-side cumulative base
+    * offsets (one tiny row per partition) → window partitioned by
+    * `spark_partition_id` + broadcast base join. No single-partition
+    * exchange anywhere — at 100 TB the sort is the only corpus shuffle.
+    *
+    * Returns the input columns plus `tokens`, `bin`, `bin_offset`.
+    */
+  def packByBudget(df: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(!df.columns.exists(Set("_pk_pid", "_pk_run", "_pk_base")),
+      "input carries a reserved _pk_* column")
+    val sorted = df
+      .withColumn("tokens", tokensCol.cast("long"))
+      .repartitionByRange(idCol).sortWithinPartitions(idCol)
+      .withColumn("_pk_pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries: the totals pass and the
+                             // window pass must see the same partitioning
+    val bases = {
+      val totals = sorted.groupBy("_pk_pid").agg(sum("tokens").as("t")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      totals.map { case (pid, t) => val b = acc; acc += t; (pid, b) }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pk_pid").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sorted
+      .join(broadcast(bases.toSeq.toDF("_pk_pid", "_pk_base")), "_pk_pid")
+      .withColumn("_pk_run", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr("(_pk_base + _pk_run) div " + budget))
+      .withColumn("bin_offset", (col("_pk_base") + col("_pk_run")) % budget)
+      .drop("_pk_pid", "_pk_base", "_pk_run")
+  }
+}

@@ -199,6 +199,52 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling: deterministic, near-fraction, and nested across fractions") {
+    import graft.operators.Sampling
+    val tblDocs = SparkEntry.tbl(spark, "/root/testdata/sf0.01", "documents")
+    val n = tblDocs.count().toDouble
+    def ids(f: Double): Set[Long] =
+      Sampling.byHash(tblDocs, col("doc_id"), f, "s1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = ids(0.5)
+    assert(ids(0.5) == half) // deterministic across runs
+    assert(math.abs(half.size / n - 0.5) < 0.1, s"${half.size} of $n")
+    val quarter = ids(0.25)
+    assert(quarter.subsetOf(half)) // nested: raising a fraction only adds rows
+    // a different seed draws a different (but equally deterministic) sample
+    val otherSeed = Sampling.byHash(tblDocs, col("doc_id"), 0.5, "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(otherSeed != half)
+    // stratified: each stratum honors its own fraction
+    val strat = Sampling.stratifiedByHash(tblDocs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0), defaultFraction = 0.0, seed = "s1")
+      .select("lang").collect().map(_.getString(0))
+    assert(strat.nonEmpty && strat.forall(_ == "en"))
+  }
+
+  test("token packing: prefix sums contiguous, offsets consistent, order-stable") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    val docsTok = (1L to 100L).map(i => (i, 100 + (i % 7) * 50)).toDF("id", "tok")
+    val packed = Sampling.packByBudget(docsTok, col("id"), col("tok"), budget = 1000L)
+      .orderBy("id")
+      .select("id", "tokens", "bin", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.length == 100)
+    // reconstruct the exclusive prefix sum and check bin/offset against it
+    var pre = 0L
+    packed.foreach { case (_, tok, bin, off) =>
+      assert(bin == pre / 1000L)
+      assert(off == pre % 1000L)
+      pre += tok
+    }
+    // bins are contiguous and non-decreasing in id order
+    val bins = packed.map(_._3)
+    assert(bins.zip(bins.tail).forall { case (a, b) => b == a || b > a })
+    assert(bins.distinct.sorted.sameElements(bins.distinct))
+  }
+
   test("int8 quantization round-trips with small cosine error") {
     val s = spark
     import s.implicits._
