@@ -83,10 +83,17 @@ object Dedup {
     val sh = raw
       .select(col("doc_id"), shingleHashes(col("_text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Pin the banded table: it is NARROW (doc_id, band_idx, band digest) and
+    // feeds BOTH sides of the candidate self-join — without the pin each side
+    // re-runs the shingle+signature projection (exchange reuse does not fire
+    // across the self-join branches under AQE). Pinning the FAT shingle
+    // arrays instead measured slower than recomputing (serialization cost);
+    // the narrow band rows are ~40 bytes each.
     val banded = sh
       .select(col("doc_id"),
         lshBands(minhashSignature(col("sh"), k), k, bands).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band")))
+      .localCheckpoint(true)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
