@@ -178,9 +178,17 @@ object Dedup {
     // doubles the LOGICAL plan per iteration — exponential analysis cost
     // and a driver OOM near round ~20 even though every frame is tiny
     var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
-    var changed = 1L
+    // Convergence via the exact label sum: propagation only ever DECREASES a
+    // label, so the sum strictly decreases until the fixpoint — one narrow
+    // map-side aggregate per round replaces a full label-frame self-join
+    // (decimal keeps the sum exact where a 10^10-node × 10^10-id corpus
+    // would overflow a long).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIter) {
+    while (changed && it < maxIter) {
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy(col("a").as("node"))
@@ -189,19 +197,19 @@ object Dedup {
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("node"), col("lbl").as("old_lbl")), "node")
-        .filter(col("lbl") =!= col("old_lbl")).count()
+      val nextSum = lblSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       it += 1
     }
-    if (changed > 0) {
+    if (changed) {
       // a component deeper than maxIter would silently keep non-minimal
       // labels — surface it rather than diverging from the recursive oracle
       sym.unpersist()
       throw new IllegalStateException(
-        s"clusters() did not converge after $maxIter rounds ($changed labels " +
-          "still changing) — component diameter exceeds maxIter; raise maxIter " +
+        s"clusters() did not converge after $maxIter rounds (labels still " +
+          "changing) — component diameter exceeds maxIter; raise maxIter " +
           "or use clustersStar() (star contraction, O(log² n) rounds)")
     }
     // Materialize the result lineage-free, then release every intermediate
