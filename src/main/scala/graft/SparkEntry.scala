@@ -668,6 +668,17 @@ object SparkEntry {
         .select("doc_id", "tokens", "bin", "bin_offset")
         .orderBy("doc_id")
     }),
+    // ---- repetition quality signals (Gopher/C4-style pretraining filters) ----
+    "q66_repetition_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val r = repetitionStats(col("text"))
+      graft.functions.ExprUtils.materialized(
+        tblSorted(s, dir, "documents", "doc_id"), "_rep", r)
+        .select(col("doc_id"),
+          col("_rep.dup_token_ratio").as("dup_token_ratio"),
+          col("_rep.dup_trigram_ratio").as("dup_trigram_ratio"),
+          col("_rep.mean_token_len").as("mean_token_len"))
+    }),
     // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
     "q46_curation_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions._
@@ -1424,6 +1435,21 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, tokens, pre // 2048 AS bin, pre % 2048 AS bin_offset
          FROM p ORDER BY doc_id""",
+    "q66_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id,
+           round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+             AS dup_token_ratio,
+           round(CASE WHEN len(toks) >= 3
+             THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks)-1),
+                    i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
+                  / (len(toks)-2)
+             ELSE 0.0 END, 6) AS dup_trigram_ratio,
+           round(length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))::DOUBLE
+             / len(toks), 6) AS mean_token_len
+         FROM t ORDER BY doc_id""",
     "q46_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -182,6 +182,32 @@ object TextFunctions {
   def rollingFingerprint(c: Column, n: Int = 3): Column =
     array_min(shingleHashes(c, n))
 
+  /** Repetition quality signals (the Gopher/C4-style filters a pretraining
+    * corpus is screened with): duplicate-token ratio, duplicate-trigram
+    * ratio, and mean token length — one let-bound tokenization per row.
+    * Boilerplate/spam shows up as high dup ratios; gibberish as extreme
+    * mean token length. Returns
+    * `(dup_token_ratio, dup_trigram_ratio, mean_token_len)`, each rounded
+    * to 6 places.
+    */
+  def repetitionStats(c: Column): Column =
+    let(tokens(c)) { toks =>
+      val nToks = size(toks)
+      val dupTok =
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks, 6)
+      val dupTri = round(
+        when(nToks >= 3,
+          lit(1.0) - size(array_distinct(
+            transform(sequence(lit(1), nToks - 2), i =>
+              concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                element_at(toks, i + 2))))).cast("double") / (nToks - 2))
+          .otherwise(0.0), 6)
+      val meanLen = round(
+        length(regexp_replace(lower(trim(c)), "\\s+", "")).cast("double") / nToks, 6)
+      struct(dupTok.as("dup_token_ratio"), dupTri.as("dup_trigram_ratio"),
+        meanLen.as("mean_token_len"))
+    }
+
   /** Fused per-document text stats: ONE tokenization, ONE punctuation regex,
     * and ONE stopword scan, shared across language ID, quality score, and
     * punctuation ratio — as the codegen'd [[TextStats]] kernel (the unfused

@@ -199,6 +199,24 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: dup ratios and mean token length on known docs") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      (0L, "dup dup dup dup dup"),            // 1 distinct of 5; trigrams 3×same
+      (1L, "all tokens here are distinct"),   // no repetition
+      (2L, "ab cd")).toDF("doc_id", "text")   // < 3 tokens → trigram ratio 0
+    val out = in.select(col("doc_id"),
+      TextFunctions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.dup_token_ratio"), col("r.dup_trigram_ratio"),
+        col("r.mean_token_len"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(0L) == ((0.8, 0.666667, 3.0)))
+    assert(out(1L) == ((0.0, 0.0, 4.8)))     // 24 chars / 5 tokens
+    assert(out(2L) == ((0.0, 0.0, 2.0)))
+  }
+
   test("hash sampling: deterministic, near-fraction, and nested across fractions") {
     import graft.operators.Sampling
     val tblDocs = SparkEntry.tbl(spark, "/root/testdata/sf0.01", "documents")
