@@ -77,5 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => VecSqNorm(es.head))
     fn(ext, "ip_in_cidr", "ip_in_cidr(ip, cidr) - IPv4 CIDR membership, malformed->false", 2)(
       es => IpInCidr(es.head, es(1)))
+    fn(ext, "vec_dot_int8", "vec_dot_int8(array<tinyint>, array<tinyint>) - exact integer dot product", 2)(
+      es => VecDotInt8(es.head, es(1)))
+    fn(ext, "vec_sqnorm_int8", "vec_sqnorm_int8(array<tinyint>) - exact integer squared norm", 1)(
+      es => VecSqNormInt8(es.head))
+    fn(ext, "text_stats", "text_stats(text) - struct(lang_guess, quality, punct_ratio) in one pass", 1)(
+      es => TextStats(es.head))
   }
 }

@@ -33,7 +33,11 @@ class ExtensionsSpec extends AnyFunSuite {
         |  vec_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
         |          array(cast(3.0 AS float), cast(4.0 AS float))) AS dot,
         |  vec_sqnorm(array(cast(3.0 AS float), cast(4.0 AS float))) AS nrm,
-        |  ip_in_cidr('10.0.4.9', '10.0.4.0/22') AS cidr
+        |  ip_in_cidr('10.0.4.9', '10.0.4.0/22') AS cidr,
+        |  vec_dot_int8(array(cast(2 AS tinyint), cast(-3 AS tinyint)),
+        |               array(cast(5 AS tinyint), cast(7 AS tinyint))) AS dot8,
+        |  vec_sqnorm_int8(array(cast(3 AS tinyint), cast(-4 AS tinyint))) AS nrm8,
+        |  text_stats('the cat and the hat').lang_guess AS lang
         |""".stripMargin).head()
     assert(row.getString(0) == "hello")
     assert(row.getSeq[Long](1).length == 2) // "a b c", "b c d"
@@ -42,6 +46,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 11.0)
     assert(row.getDouble(5) == 25.0)
     assert(row.getBoolean(6))
+    assert(row.getLong(7) == -11L) // 2*5 + (-3)*7
+    assert(row.getLong(8) == 25L)
+    assert(row.getString(9) == "en")
   }
 
   test("builders validate arity and literal params with named errors") {
