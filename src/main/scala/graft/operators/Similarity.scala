@@ -304,13 +304,42 @@ object Similarity {
     probedSubset(df, idCol, vecCol, centroids, centroidId, centroidVec, query, nprobe)
       .transform(d => bruteForceTopKInt8(d, col("vec_id"), col("_vec"), query, k))
 
-  /** Rows assigned to the query's `nprobe` max-cosine centroids, as
-    * `(vec_id, _vec)`. Probe selection is driver-side over the (small)
-    * centroid set; the corpus never shuffles beyond the assignment reduce.
+  /** Materialize the IVF index: the corpus written as parquet PARTITIONED BY
+    * its centroid assignment. This is the real 100 TB shape the inline
+    * [[ivfTopK]] assignment stands in for — assignment runs ONCE at build
+    * time, and every later probe is a partition-pruned scan of just the
+    * probed clusters (the directory layout is the index).
     */
-  private def probedSubset(df: DataFrame, idCol: Column, vecCol: Column,
+  def buildIvfIndex(df: DataFrame, idCol: Column, vecCol: Column,
       centroids: DataFrame, centroidId: Column, centroidVec: Column,
-      query: Seq[Float], nprobe: Int): DataFrame = {
+      path: String): Unit = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
+      .select(col("vec_id"), col("cluster_id"))
+    df.select(idCol.as("vec_id"), vecCol.as("vec"))
+      .join(assigned, "vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** ANN top-k over a stored [[buildIvfIndex]] index: select the `nprobe`
+    * nearest centroids driver-side, then scan ONLY their partitions — the
+    * `cluster_id` filter prunes at the directory level (PartitionFilters in
+    * the scan, no I/O for unprobed clusters), which is what makes the probe
+    * cost proportional to `nprobe/k` of the corpus instead of the corpus.
+    */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    val probes = probeIds(centroids, centroidId, centroidVec, query, nprobe)
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes: _*))
+      .transform(d => bruteForceTopK(d, col("vec_id"), col("vec"), query, k))
+  }
+
+  /** The `nprobe` centroid ids nearest the query, selected driver-side over
+    * the (small) collected centroid set.
+    */
+  private def probeIds(centroids: DataFrame, centroidId: Column,
+      centroidVec: Column, query: Seq[Float], nprobe: Int): Seq[Long] = {
     val cents = centroids.select(centroidId.cast("long"), centroidVec).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
@@ -319,8 +348,18 @@ object Similarity {
       val nb = b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
       d / math.sqrt(na * nb)
     }
-    val probes = cents.map { case (cid, cv) => (cid, cos(query, cv)) }
+    cents.map { case (cid, cv) => (cid, cos(query, cv)) }
       .sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1).toSeq
+  }
+
+  /** Rows assigned to the query's `nprobe` max-cosine centroids, as
+    * `(vec_id, _vec)`. Probe selection is driver-side over the (small)
+    * centroid set; the corpus never shuffles beyond the assignment reduce.
+    */
+  private def probedSubset(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      query: Seq[Float], nprobe: Int): DataFrame = {
+    val probes = probeIds(centroids, centroidId, centroidVec, query, nprobe)
     val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
       .filter(col("cluster_id").isin(probes: _*))
       .select(col("vec_id"))

@@ -263,6 +263,30 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(bins.distinct.sorted.sameElements(bins.distinct))
   }
 
+  test("stored IVF index: partition-pruned probe matches the inline path") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.kmeansCentroids(
+      emb, col("vec_id"), col("embedding"), k = 4, iters = 1)
+    val path = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Similarity.buildIvfIndex(emb, col("vec_id"), col("embedding"),
+      cents, col("cluster_id"), col("centroid"), path)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val stored = Similarity.ivfTopKStored(spark, path,
+      cents, col("cluster_id"), col("centroid"), query, k = 10, nprobe = 2)
+    // the scan must prune at the partition level: the cluster_id filter
+    // appears as a PartitionFilters entry, not a post-scan Filter
+    val scan = stored.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("cluster_id"),
+      s"expected partition pruning on cluster_id:\n$scan")
+    val inline = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      cents, col("cluster_id"), col("centroid"), query, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == inline) // same probes, same candidates, same scores
+  }
+
   test("int8 quantization round-trips with small cosine error") {
     val s = spark
     import s.implicits._
