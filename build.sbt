@@ -15,6 +15,13 @@ Test / fork := true
 // getOrCreate race and hand it the extension-less shared session.
 Test / parallelExecution := false
 run / fork := true
+// The round driver parses graft.Bench's one-line JSON from captured sbt
+// stdout. Two sbt default behaviors break that parse: forked-run output is
+// re-logged with an "[info] " prefix, and a trailing "[success] Total
+// time..." epilogue displaces the JSON as the last line. Emit program
+// output verbatim and drop the epilogue so the JSON line is clean and last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

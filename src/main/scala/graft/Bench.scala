@@ -116,11 +116,18 @@ object Bench {
       try streamE2e(spark, sfDir)
       catch { case t: Throwable => t.printStackTrace(); (-1.0, 0L, 0L) }
     val eps = if (streamSecs > 0) streamEvents / streamSecs else -1.0
+    // Millisecond precision keeps the one-line JSON short enough to fit in
+    // the driver's bounded output-tail capture; full-precision doubles pushed
+    // the line start past the window every prior round ("parsed": null).
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = (results.toSeq :+ ("stream_e2e" -> streamSecs))
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.sum + math.max(streamSecs, 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":$eps},"sf":"$sfDir"}""")
-    spark.stop()
+    // Quiesce and stop BEFORE printing: the JSON must be the final stdout
+    // line, not interleaved with executor-shutdown log noise.
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.stop() catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"sf":"$sfDir"}""")
   }
 }
