@@ -679,6 +679,44 @@ object SparkEntry {
           col("_rep.dup_trigram_ratio").as("dup_trigram_ratio"),
           col("_rep.mean_token_len").as("mean_token_len"))
     }),
+    // ---- PII redaction: typed masks over synthesized PII-bearing text ----
+    "q67_pii_redact" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val ev = tblSorted(s, dir, "events", "event_id")
+      val msg = concat(
+        lit("user u"), col("user_id"), lit("@example.com key AKIA"),
+        upper(substring(md5(concat(lit("k:"), col("event_id"))), 1, 16)),
+        lit(" card 4111 1111 1111 "), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-"), lpad((col("user_id") % 10000).cast("string"), 4, "0"),
+        lit(" call 415-555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), col("user_id") % 256, lit(".0."), col("event_id") % 256,
+        lit(" done"))
+      ev.select(col("event_id"), redactPii(msg).as("clean"))
+    }),
+    // ---- benchmark decontamination: 5-gram overlap vs a held-out eval set ----
+    "q68_decontamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      pinSorted(graft.operators.CorpusQuality.ngramContamination(
+        docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0),
+        col("doc_id"), col("text"), n = 5), "doc_id")
+    }),
+    // ---- corpus-wide paragraph-level exact dedup (C4-style span removal) ----
+    "q69_paragraph_dedup" -> ((s, dir) => {
+      pinSorted(graft.operators.Dedup.paragraphDedup(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"), parTokens = 10),
+        "doc_id")
+    }),
+    // ---- deterministic training-order shuffle + shard assignment ----
+    "q70_shuffle_shards" -> ((s, dir) => {
+      pinSorted(graft.operators.Sampling.shuffleShards(
+        tbl(s, dir, "documents").select("doc_id", "lang"),
+        col("doc_id"), shardSize = 100L), "doc_id")
+    }),
+    // ---- unigram-surprisal quality score vs the corpus's own LM ----
+    "q71_unigram_surprisal" -> ((s, dir) => {
+      pinSorted(graft.operators.CorpusQuality.unigramSurprisal(
+        tbl(s, dir, "documents"), col("doc_id"), col("text")), "doc_id")
+    }),
     // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
     "q46_curation_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions._
@@ -1450,6 +1488,87 @@ object SparkEntry {
            round(length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))::DOUBLE
              / len(toks), 6) AS mean_token_len
          FROM t ORDER BY doc_id""",
+    // same mask chain, most-specific-first; DuckDB needs the explicit 'g'
+    // flag (Spark regexp_replace is global by default)
+    "q67_pii_redact" ->
+      """WITH m AS (SELECT event_id,
+           'user u'||user_id||'@example.com key AKIA'||
+           upper(substring(md5('k:'||event_id),1,16))||
+           ' card 4111 1111 1111 '||lpad((event_id%10000)::VARCHAR,4,'0')||
+           ' ssn 123-45-'||lpad((user_id%10000)::VARCHAR,4,'0')||
+           ' call 415-555-'||lpad((event_id%10000)::VARCHAR,4,'0')||
+           ' from 10.'||(user_id%256)||'.0.'||(event_id%256)||' done' AS msg
+         FROM events)
+         SELECT event_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(msg,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\bAKIA[0-9A-Z]{16}\b', '<AWSKEY>', 'g'),
+             '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+         FROM m ORDER BY event_id""",
+    // 5-gram hashes exactly as the Spark ShingleHashes kernel builds them:
+    // distinct shingles of the normalized tokens, 60-bit md5-prefix hash
+    "q68_decontamination" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-3),
+                 i -> array_to_string(toks[i:i+4], ' '))) AS grams
+               FROM t WHERE len(toks) >= 5),
+         h AS (SELECT doc_id, list_transform(grams,
+                 s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS hs FROM g),
+         ev AS (SELECT DISTINCT unnest(hs) AS hg FROM h WHERE doc_id % 50 = 0),
+         d AS (SELECT doc_id, len(hs)::BIGINT AS n_ngrams, unnest(hs) AS hg
+               FROM h WHERE doc_id % 50 != 0)
+         SELECT d.doc_id, d.n_ngrams, count(ev.hg)::BIGINT AS n_contaminated,
+           round(count(ev.hg)::DOUBLE / d.n_ngrams, 6) AS contamination
+         FROM d LEFT JOIN ev ON d.hg = ev.hg
+         GROUP BY d.doc_id, d.n_ngrams ORDER BY d.doc_id""",
+    // first occurrence = min (doc_id, par_idx) packed into one BIGINT; docs
+    // whose every paragraph duplicates an earlier one keep an empty string
+    "q69_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         n AS (SELECT doc_id, toks, (len(toks)+9)//10 AS np FROM t),
+         p0 AS (SELECT doc_id, toks, unnest(range(np)) AS par_idx FROM n),
+         p AS (SELECT doc_id, par_idx,
+                 array_to_string(toks[(par_idx*10+1):(par_idx*10+10)], ' ') AS par
+               FROM p0),
+         k AS (SELECT doc_id, par_idx, par,
+                 min(doc_id*1000000+par_idx) OVER (PARTITION BY md5(par)) AS fk
+               FROM p),
+         kept AS (SELECT doc_id, par_idx, par FROM k
+                  WHERE doc_id*1000000+par_idx = fk)
+         SELECT n.doc_id, np::BIGINT AS n_pars,
+           count(kept.par_idx)::BIGINT AS n_kept,
+           coalesce(string_agg(kept.par, ' ' ORDER BY kept.par_idx), '') AS kept_text
+         FROM n LEFT JOIN kept ON n.doc_id = kept.doc_id
+         GROUP BY n.doc_id, np ORDER BY n.doc_id""",
+    "q70_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, lang,
+             ('0x'||substring(md5('shuf:'||doc_id),1,15))::BIGINT AS k
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+             row_number() OVER (ORDER BY k, doc_id) - 1 AS rn FROM h)
+         SELECT doc_id, lang, rn // 100 AS shard, rn % 100 AS shard_pos
+         FROM r ORDER BY doc_id""",
+    // per-token surprisal quantized to integer nano-nats BEFORE the sum so
+    // the aggregate is exact integer math on both engines (a double sum
+    // would depend on partition order)
+    "q71_unigram_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         v AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY tok),
+         tot AS (SELECT sum(cnt)::BIGINT AS total FROM v),
+         q AS (SELECT tok, CAST(round(ln(total::DOUBLE / cnt) * 1e9) AS BIGINT) AS q
+               FROM v, tot)
+         SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           round(sum(q)::DOUBLE / count(*) / 1e9, 6) AS mean_surprisal
+         FROM t JOIN q ON t.tok = q.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "q46_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

@@ -176,6 +176,29 @@ object TextFunctions {
         least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.3,
       6)
 
+  /** PII mask patterns, most-specific first (an SSN would otherwise match the
+    * phone pattern; a card number contains IP-shaped fragments). Every regex
+    * stays inside the RE2 ∩ java.util.regex common subset so the same
+    * pattern runs identically on Spark and the DuckDB oracle.
+    */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\bAKIA[0-9A-Z]{16}\\b" -> "<AWSKEY>",
+    "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b" -> "<CARD>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** PII redaction (the scrub every shareable training corpus runs): masks
+    * emails, AWS access key ids, card numbers, SSNs, phone numbers, and IPv4
+    * addresses with typed placeholders. A chain of codegen'd global
+    * `regexp_replace`s — order matters and is fixed most-specific-first.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Rolling-hash document fingerprint over shingles (content-defined): the
     * minimum [[hash60]] shingle hash — robust to reordering of a few tokens.
     */

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level quality operators for the training-data pipeline: benchmark
+  * decontamination (n-gram overlap against a held-out eval set) and
+  * statistical quality scoring (unigram surprisal against the corpus language
+  * model) — the two checks that run after dedup and before packing.
+  */
+object CorpusQuality {
+
+  /** Benchmark decontamination scan: for every corpus document, the fraction
+    * of its distinct word `n`-grams that also appear anywhere in `evalDf`
+    * (the held-out benchmark/eval corpus). Documents scoring above a
+    * threshold are the train-test leaks a pretraining pipeline must drop.
+    *
+    * Returns `(doc_id, n_ngrams, n_contaminated, contamination)` — one row
+    * per corpus document with at least one n-gram.
+    *
+    * Scale shape: eval suites are tiny relative to a 100 TB corpus, so the
+    * distinct eval n-gram set is broadcast and the per-document check is a
+    * map-side hash probe — the corpus is never shuffled. (If the eval side
+    * ever outgrows broadcast range, the same plan works as a shuffled
+    * left join on the 8-byte hash.)
+    */
+  def ngramContamination(corpus: DataFrame, evalDf: DataFrame,
+      idCol: Column, textCol: Column, n: Int = 5): DataFrame = {
+    val evalGrams = evalDf
+      .select(explode(TextFunctions.shingleHashes(textCol, n)).as("h"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    corpus
+      .select(idCol.as("doc_id"), TextFunctions.shingleHashes(textCol, n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_ngrams"),
+        explode(col("sh")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"), "left")
+      .groupBy("doc_id", "n_ngrams")
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_ngrams"), 6)
+          .as("contamination"))
+  }
+
+  /** Unigram-surprisal quality score: each document's mean per-token
+    * `ln(total_tokens / token_count)` under the corpus's own unigram
+    * distribution — low surprisal = repetitive/templated text, high =
+    * rare-token soup; both tails are what quality filtering drops (the
+    * statistical cousin of [[graft.functions.TextFunctions.qualityScore]]'s
+    * heuristics, and the cheap stand-in for a trained-LM perplexity filter).
+    *
+    * Per-token surprisals are quantized to nano-nat integers before the
+    * per-document sum so the aggregate is exact integer arithmetic —
+    * order-independent across engines and partitionings (a double sum would
+    * vary with Spark's partition order). Returns
+    * `(doc_id, n_tokens, mean_surprisal)`.
+    *
+    * Scale shape: the vocabulary table is corpus-wide but tiny relative to
+    * the token stream (map-side partial aggregation does the heavy lift);
+    * the token→count join is an equi-join on the token string that AQE
+    * broadcasts when the vocab fits. One driver-side scalar (the grand
+    * total) comes off the already-aggregated vocab table, not the corpus.
+    */
+  def unigramSurprisal(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"),
+      explode(TextFunctions.tokens(textCol)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    val qSurprisal = round(log(lit(total.toDouble) / col("cnt")) * 1e9)
+      .cast("long").as("q")
+    toks.join(vocab.withColumn("q", qSurprisal).select("tok", "q"), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sq").cast("double") / col("n_tokens") / 1e9, 6)
+          .as("mean_surprisal"))
+  }
+}

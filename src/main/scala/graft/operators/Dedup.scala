@@ -303,6 +303,57 @@ object Dedup {
     result
   }
 
+  /** Paragraph-level exact dedup across the corpus (the C4/RefinedWeb
+    * "remove repeated boilerplate spans" step): documents are segmented into
+    * consecutive `parTokens`-token paragraphs; every paragraph whose content
+    * already appeared at a smaller `(doc_id, par_idx)` anywhere in the corpus
+    * is dropped, and the survivors are reassembled in order.
+    *
+    * Returns `(doc_id, n_pars, n_kept, kept_text)` — one row per input
+    * document (documents whose every paragraph is a duplicate keep an empty
+    * `kept_text`).
+    *
+    * Scale shape: one shuffle on the paragraph fingerprint (first-occurrence
+    * window), one shuffle back on doc id (reassembly). Both keys are
+    * high-cardinality; nothing is quadratic in corpus size, and a hot
+    * boilerplate paragraph skews only the tiny fingerprint-window side, not
+    * the reassembly.
+    */
+  def paragraphDedup(df: DataFrame, idCol: Column, textCol: Column,
+      parTokens: Int = 10): DataFrame = {
+    require(parTokens > 0, s"parTokens must be positive, got $parTokens")
+    // Paragraph order key packs (doc_id, par_idx) into one long so "first
+    // occurrence" is a single min; par_idx < 1e6 ⇔ docs under 1e6·parTokens
+    // tokens, and doc ids stay under Long.Max/1e6 (~9.2e12 docs).
+    val OrdBase = 1000000L
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    // `/` on Columns is double division — floor() it back to a long count
+    def nPars(n: Column): Column = floor((n + (parTokens - 1)) / parTokens)
+    val pars = graft.functions.TextFunctions.let(toks) { t =>
+      transform(sequence(lit(0), nPars(size(t)) - 1),
+        i => concat_ws(" ", slice(t, (i * parTokens + 1).cast("int"), lit(parTokens))))
+    }
+    val exploded = df
+      .select(idCol.as("doc_id"), posexplode(pars).as(Seq("par_idx", "par")))
+      .withColumn("_ord", col("doc_id") * OrdBase + col("par_idx"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("par")))
+    val kept = exploded
+      .withColumn("_first", min(col("_ord")).over(w))
+      .filter(col("_ord") === col("_first"))
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("par_idx"), col("par")))),
+          s => s.getField("par"))).as("kept_text"))
+    df.select(idCol.as("doc_id"),
+        nPars(graft.functions.TextFunctions.tokenCount(textCol)).as("n_pars"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pars"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (e.g. a cluster/label
     * column): cosine ≥ threshold. For global coverage compose with
     * [[Similarity.hyperplaneBucket]] as the blocking key.

@@ -55,6 +55,53 @@ object Sampling {
       concat(lit(seed + ":"), keyCol.cast("string"))) < thr)
   }
 
+  /** Deterministic global training-order shuffle + shard assignment: rows are
+    * ordered by the cross-engine hash `hash60(seed:key)` (ties broken by the
+    * key itself), then dealt into consecutive `shardSize`-row shards. The
+    * order is a pure function of (seed, key) — reproducible on any engine,
+    * any partitioning, any retry — which is what makes a training run
+    * resumable and an ablation comparable (`df.orderBy(rand())` is neither).
+    *
+    * Returns the input plus `shard` and `shard_pos` (position within shard).
+    *
+    * Scale shape: one range shuffle on the hash (the sort), then the same
+    * two-pass global-rank pattern as [[packByBudget]] — per-partition counts
+    * to the driver, cumulative bases broadcast back, rank = base +
+    * partition-local row_number. No single-partition exchange; at 100 TB the
+    * hash sort is the only corpus-wide movement, and it doubles as the
+    * physical layout you want to WRITE (shard = output file).
+    */
+  def shuffleShards(df: DataFrame, keyCol: Column, shardSize: Long,
+      seed: String = "shuf"): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(!df.columns.exists(Set("_sh_key", "_sh_pid", "_sh_rn", "_sh_base")),
+      "input carries a reserved _sh_* column")
+    val sorted = df
+      .withColumn("_sh_key", TextFunctions.hash60(
+        concat(lit(seed + ":"), keyCol.cast("string"))))
+      .repartitionByRange(col("_sh_key"), keyCol)
+      .sortWithinPartitions(col("_sh_key"), keyCol)
+      .withColumn("_sh_pid", spark_partition_id())
+      .localCheckpoint(true) // pin range boundaries across the two passes
+    val bases = {
+      val counts = sorted.groupBy("_sh_pid").agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      counts.map { case (pid, c) => val b = acc; acc += c; (pid, b) }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_sh_pid").orderBy(col("_sh_key"), keyCol)
+    sorted
+      .join(broadcast(bases.toSeq.toDF("_sh_pid", "_sh_base")), "_sh_pid")
+      .withColumn("_sh_rn",
+        col("_sh_base") + row_number().over(w).cast("long") - 1L)
+      .withColumn("shard", expr(s"_sh_rn div $shardSize"))
+      .withColumn("shard_pos", col("_sh_rn") % shardSize)
+      .drop("_sh_key", "_sh_pid", "_sh_rn", "_sh_base")
+  }
+
   /** Token-budget sequence packing: documents in `idCol` order greedily fill
     * fixed-`budget` bins; each document's `bin = exclusive-prefix-sum div
     * budget` and `bin_offset = prefix mod budget` (a document whose tokens
