@@ -48,6 +48,39 @@ object Scratch {
       }
       pairs.explain("formatted")
     }
+    // stage-by-stage minhash cost attribution (each stage includes its
+    // upstream recompute; deltas between lines = per-stage cost)
+    if (sys.env.contains("SPARK_GRAFT_MINHASH_STAGES")) {
+      val banded0 = sh
+        .select(col("doc_id"),
+          lshBands(minhashSignature(col("sh"), 32), 32, 8).as("bands"))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band")))
+      time("stage sig+bands (no pin)") { banded0.write.format("noop").mode("overwrite").save(); -1L }
+      val banded = banded0.localCheckpoint(true)
+      time("stage banded pin (ckpt)")(-1L)
+      val candidates = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      time("stage candidates")(candidates.count())
+      val docSets = sh.select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+      val verified = candidates
+        .join(docSets.select(col("doc_id").as("doc_a"),
+          col("sh").as("sh_a"), col("sz").as("sz_a")), "doc_a")
+        .join(docSets.select(col("doc_id").as("doc_b"),
+          col("sh").as("sh_b"), col("sz").as("sz_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+          col("sz_a"), col("sz_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      time("stage verify (full)") { verified.write.format("noop").mode("overwrite").save(); -1L }
+    }
     for (q <- picks) {
       // construct PER RUN: queries with eager localCheckpoints (pinSorted,
       // the cluster loops) do their heavy work at construction time — timing

@@ -149,14 +149,32 @@ object TextImpl {
     * Empty input → array of nulls (array_min of empty is null); non-empty
     * input returns an unboxed UnsafeArrayData.
     */
+  // seed60(i) allocates a MessageDigest and string-formats 16 bytes — fine
+  // once, catastrophic when recomputed k times per ROW (it dominated the
+  // whole minhash projection: ~0.5 ms/row at k=32). Seeds depend only on the
+  // index, so memoize the per-k prefix array process-wide.
+  @volatile private var seedCache: Array[Long] = Array.emptyLongArray
+  private def seeds(k: Int): Array[Long] = {
+    var c = seedCache
+    if (c.length < k) synchronized {
+      c = seedCache
+      if (c.length < k) {
+        c = Array.tabulate(math.max(k, 64))(TextFunctions.seed60)
+        seedCache = c
+      }
+    }
+    c
+  }
+
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](k)
+    val seedArr = seeds(k)
     var sawValue = false
     var i = 0
     while (i < k) {
       val r = (7 * i) % 60
-      val seed = TextFunctions.seed60(i)
+      val seed = seedArr(i)
       val mask = (1L << (60 - r)) - 1
       var min = Long.MaxValue
       var j = 0
