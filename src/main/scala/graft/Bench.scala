@@ -62,14 +62,17 @@ object Bench {
       .start()
     q.processAllAvailable()
     q.stop()
+    val tIngest = (System.nanoTime() - t0) / 1e9
     val store = graft.sinks.LogStore.open(spark, storeDir)
     val job = SearchJobs.create(store, "_sourceCategory=bench/stream evt",
       lit("2023-01-01").cast("timestamp"), lit("2024-06-01").cast("timestamp"),
-      col("ts"), col("message"), orderBy = Seq("message"))
+      col("ts"), col("message"), orderBy = Seq("ts"))
     SearchJobs.await(job)
     val matches = job.messageCount
     SearchJobs.delete(job.id)
     val secs = (System.nanoTime() - t0) / 1e9
+    Console.err.println(
+      f"[bench] stream ingest $tIngest%.2f s, search ${secs - tIngest}%.2f s")
     (secs, nEvents, matches)
   }
 
@@ -89,6 +92,14 @@ object Bench {
       SparkEntry.tbl(spark, sfDir, "documents").count()
       SparkEntry.tbl(spark, sfDir, "embeddings").count()
     } catch { case _: Throwable => () }
+    // Stream-only drill-down for iterating on the S1/K1/Q1 path without the
+    // ~5-minute batch sweep.
+    if (sys.env.contains("SPARK_GRAFT_STREAM_ONLY")) {
+      val (secs, ev, m) = streamE2e(spark, sfDir)
+      println(s"""{"stream_only":{"sec":$secs,"events":$ev,"matches":$m}}""")
+      spark.stop()
+      return
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink forces the full declared plan: under count() Catalyst prunes
       // unused projection columns and EliminateSorts drops global sorts, so

@@ -81,6 +81,23 @@ object Scratch {
         .filter(col("jaccard") >= 0.5)
       time("stage verify (full)") { verified.write.format("noop").mode("overwrite").save(); -1L }
     }
+    // batch-form stage attribution of the streaming ingest chain: point
+    // SPARK_GRAFT_STREAM_STAGES at a shard-dump dir (the bench's wire shape)
+    sys.env.get("SPARK_GRAFT_STREAM_STAGES").foreach { shardDir =>
+      import graft.operators.{CwlPipeline, Metadata}
+      val wire = spark.read.schema(graft.model.Schemas.kinesisRecord).json(shardDir)
+      time("stream: wire read")(wire.count())
+      val dec = CwlPipeline.decode(wire.select(col("kinesis.data").as("_data")), col("_data"))
+      time("stream: decode") { dec.write.format("noop").mode("overwrite").save(); -1L }
+      val ev = CwlPipeline(wire.select(col("kinesis.data").as("_data")), col("_data"),
+        CwlPipeline.Config()).drop("_data")
+      time("stream: full pipeline") { ev.write.format("noop").mode("overwrite").save(); -1L }
+      val der = Metadata.derive(ev, Metadata.MetaConfig(sourceCategoryOverride = "bench/stream"))
+        .withColumn("ts", timestamp_millis(col("timestamp")))
+      time("stream: + derive") { der.write.format("noop").mode("overwrite").save(); -1L }
+      val outDir = java.nio.file.Files.createTempDirectory("scratch-store").toString
+      time("stream: + store write") { graft.sinks.LogStore.append(der, outDir, col("ts")); -1L }
+    }
     for (q <- picks) {
       // construct PER RUN: queries with eager localCheckpoints (pinSorted,
       // the cluster loops) do their heavy work at construction time — timing
