@@ -49,26 +49,31 @@ object SearchJobs {
 
   /** Sort by `orderBy`, rank without a single-partition exchange, and write
     * the rank-bucketed store. Returns the total row count. The sorted frame
-    * is first landed to parquet so the count pass and the rank pass read the
-    * SAME materialized partitioning (a re-executed range sort may sample
-    * different boundaries).
+    * is pinned (eager localCheckpoint) so the count pass and the rank pass
+    * read the SAME materialized partitioning (a re-executed range sort may
+    * sample different boundaries). The pin is executor blocks, not a staging
+    * parquet landing: the paged store below is the only durable write, so
+    * staging through parquet would double the job's write I/O for data that
+    * is deleted seconds later (measured ~25% of the search half of the
+    * stream e2e). Block spill handles results larger than memory; a deleted
+    * executor re-runs the job (search jobs are idempotent), matching the
+    * reference's poll-and-retry contract.
     */
   private def materializePaged(df: DataFrame, orderBy: Seq[String],
       path: String): Long = {
-    val spark = df.sparkSession
     val keys = orderBy.map(col)
-    df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
-      .write.mode("overwrite").parquet(s"$path/sorted")
-    val sorted = spark.read.parquet(s"$path/sorted")
-    val (ranked, total) = SearchQuery.rankPinned(sorted, keys, "_rank", "_pid")
-    if (total > 0) {
-      ranked
-        .withColumn("_page", floor((col("_rank") - 1) / PageBucket))
-        .drop("_pid")
-        .write.mode("overwrite").partitionBy("_page").parquet(s"$path/pages")
-    }
-    deleteDir(spark, s"$path/sorted")
-    total
+    val sorted = df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    try {
+      val (ranked, total) = SearchQuery.rankPinned(sorted, keys, "_rank", "_pid")
+      if (total > 0) {
+        ranked
+          .withColumn("_page", floor((col("_rank") - 1) / PageBucket))
+          .drop("_pid")
+          .write.mode("overwrite").partitionBy("_page").parquet(s"$path/pages")
+      }
+      total
+    } finally sorted.unpersist()
   }
 
   /** Partition-pruned page read: ranks (offset, offset+limit] live in page
