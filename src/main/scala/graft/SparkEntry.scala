@@ -685,7 +685,7 @@ object SparkEntry {
       val ev = tblSorted(s, dir, "events", "event_id")
       val msg = concat(
         lit("user u"), col("user_id"), lit("@example.com key AKIA"),
-        upper(substring(md5(concat(lit("k:"), col("event_id"))), 1, 16)),
+        format_string("%016X", col("event_id")),
         lit(" card 4111 1111 1111 "), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
         lit(" ssn 123-45-"), lpad((col("user_id") % 10000).cast("string"), 4, "0"),
         lit(" call 415-555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
@@ -716,6 +716,32 @@ object SparkEntry {
     "q71_unigram_surprisal" -> ((s, dir) => {
       pinSorted(graft.operators.CorpusQuality.unigramSurprisal(
         tbl(s, dir, "documents"), col("doc_id"), col("text")), "doc_id")
+    }),
+    // ---- HTML -> text extraction (C4-style pre-step) ----
+    "q72_html_strip" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style></head><body><p>"),
+        col("text"),
+        lit("</p><!-- note --><script>var x=1;</script><div>tail &amp; <b>more</b></div></body></html>"))
+      tblSorted(s, dir, "documents", "doc_id")
+        .select(col("doc_id"), stripHtml(html).as("clean"))
+    }),
+    // ---- end-to-end training manifest: quality gate -> corpus-wide
+    //      paragraph dedup -> token-budget packing (the full last mile) ----
+    "q73_training_manifest" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = tbl(s, dir, "documents")
+      val elig = graft.functions.ExprUtils.materialized(d, "_st", textStats(col("text")))
+        .filter(col("_st.lang_guess") === "en" && col("_st.quality") >= 0.5)
+        .select("doc_id", "text")
+      val deduped = graft.operators.Dedup.paragraphDedup(
+        elig, col("doc_id"), col("text"), parTokens = 10)
+        .filter(col("n_kept") > 0)
+      pinSorted(graft.operators.Sampling.packByBudget(
+        deduped.select(col("doc_id"), col("kept_text")),
+        col("doc_id"), tokenCount(col("kept_text")), budget = 2048L)
+        .select("doc_id", "tokens", "bin", "bin_offset"), "doc_id")
     }),
     // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
     "q46_curation_pipeline" -> ((s, dir) => {
@@ -1493,7 +1519,7 @@ object SparkEntry {
     "q67_pii_redact" ->
       """WITH m AS (SELECT event_id,
            'user u'||user_id||'@example.com key AKIA'||
-           upper(substring(md5('k:'||event_id),1,16))||
+           printf('%016X', event_id)||
            ' card 4111 1111 1111 '||lpad((event_id%10000)::VARCHAR,4,'0')||
            ' ssn 123-45-'||lpad((user_id%10000)::VARCHAR,4,'0')||
            ' call 415-555-'||lpad((event_id%10000)::VARCHAR,4,'0')||
@@ -1569,6 +1595,77 @@ object SparkEntry {
            round(sum(q)::DOUBLE / count(*) / 1e9, 6) AS mean_surprisal
          FROM t JOIN q ON t.tok = q.tok
          GROUP BY t.doc_id ORDER BY t.doc_id""",
+    // the identical strip chain; inline (?is)/(?s) flags live in the pattern
+    // (RE2 and Java both honor them), only the 'g' flag is DuckDB-side
+    "q72_html_strip" ->
+      """WITH m AS (SELECT doc_id,
+           '<html><head><title>t</title><style>p{color:red}</style></head><body><p>'
+             ||text||
+             '</p><!-- note --><script>var x=1;</script><div>tail &amp; <b>more</b></div></body></html>'
+             AS html
+         FROM documents)
+         SELECT doc_id, trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(html,
+             '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '(?s)<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' ', 'g'),
+             '&amp;', '&', 'g'),
+             '&lt;', '<', 'g'),
+             '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'),
+             '\s+', ' ', 'g')) AS clean
+         FROM m ORDER BY doc_id""",
+    // quality CTEs are q46's verbatim (textStats parity); paragraph CTEs are
+    // q69's restricted to eligible docs; the packing tail is q65's
+    "q73_training_manifest" ->
+      """WITH t AS (SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         h AS (SELECT doc_id, text, toks,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','a'], x))) AS h_en,
+           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS h_es,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','von','ein','zu'], x))) AS h_de,
+           len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','un','une'], x))) AS h_fr,
+           len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有','我','不'], x))) AS h_zh
+           FROM t),
+         q AS (SELECT *, greatest(h_en,h_es,h_de,h_fr,h_zh) AS best,
+           (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / length(text) AS punct,
+           h_en::DOUBLE / len(toks) AS stop_ratio FROM h),
+         scored AS (SELECT doc_id, toks,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN h_en = best THEN 'en' WHEN h_es = best THEN 'es'
+                WHEN h_de = best THEN 'de' WHEN h_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_guess,
+           round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
+                 (1.0 - punct) * 0.4 +
+                 least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+           FROM q),
+         elig AS (SELECT doc_id, toks FROM scored
+                  WHERE lang_guess = 'en' AND quality >= 0.5),
+         n AS (SELECT doc_id, toks, (len(toks)+9)//10 AS np FROM elig),
+         p0 AS (SELECT doc_id, toks, unnest(range(np)) AS par_idx FROM n),
+         p AS (SELECT doc_id, par_idx,
+                 array_to_string(toks[(par_idx*10+1):(par_idx*10+10)], ' ') AS par
+               FROM p0),
+         k AS (SELECT doc_id, par_idx, par,
+                 min(doc_id*1000000+par_idx) OVER (PARTITION BY md5(par)) AS fk
+               FROM p),
+         kept AS (SELECT doc_id, par_idx, par FROM k
+                  WHERE doc_id*1000000+par_idx = fk),
+         ka AS (SELECT doc_id, string_agg(par, ' ' ORDER BY par_idx) AS kept_text
+                FROM kept GROUP BY doc_id),
+         tk AS (SELECT doc_id,
+             len(string_split_regex(lower(trim(kept_text)), '\s+'))::BIGINT AS tokens
+           FROM ka),
+         pr AS (SELECT doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+           FROM tk)
+         SELECT doc_id, tokens, pre // 2048 AS bin, pre % 2048 AS bin_offset
+         FROM pr ORDER BY doc_id""",
     "q46_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, text,
              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

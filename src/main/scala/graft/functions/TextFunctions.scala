@@ -199,6 +199,27 @@ object TextFunctions {
       regexp_replace(acc, pat, repl)
     }
 
+  /** HTML → text extraction (the C4/CommonCrawl pre-step): drops
+    * script/style blocks wholesale, strips remaining tags, decodes the
+    * common entities, and collapses whitespace. Pure codegen'd
+    * `regexp_replace` chain in the RE2 ∩ Java subset (no backreferences;
+    * `(?s)`/lazy quantifiers are common to both), so the DuckDB oracle runs
+    * the identical chain.
+    */
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+    val decoded = entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      regexp_replace(acc, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Rolling-hash document fingerprint over shingles (content-defined): the
     * minimum [[hash60]] shingle hash — robust to reordering of a few tokens.
     */
