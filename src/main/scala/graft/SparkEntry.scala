@@ -437,13 +437,16 @@ object SparkEntry {
         tbl(s, dir, "events").select(col("event_id"), body.as("body")),
         col("body"), rowSchema)
       val valid = SecurityHub.validate(req).filter(col("error").isNull)
-      SecurityHub.generateFindings(valid, "999999999999", "us-east-1")
+      // id is sha2(to_json(...)) — a product of the whole parse→validate→
+      // construct chain — so a bare orderBy would re-run the chain for the
+      // range-sampling pass; pin first (same pattern as q46/q69)
+      pinSorted(SecurityHub.generateFindings(valid, "999999999999", "us-east-1")
         .select(col("Id").as("id"), col("GeneratorId").as("generator_id"),
           col("AwsAccountId").as("aws_account_id"), col("CreatedAt").as("created_at"),
           col("Title").as("title"), col("Severity.Normalized").as("severity"),
           col("Compliance.Status").as("compliance"),
-          element_at(col("Resources"), 1).getField("Id").as("resource_id"))
-        .orderBy("id", "created_at", "title")
+          element_at(col("Resources"), 1).getField("Id").as("resource_id")),
+        "id", "created_at", "title")
     }),
     // ---- F8 header none/empty drop over a map column ----
     "q33_header_drop" -> ((s, dir) => {

@@ -171,42 +171,59 @@ object Dedup {
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-    val sym = edges.union(edges.select(col("b"), col("a"))).distinct().persist()
+    val sym = edges.union(edges.select(col("b"), col("a"))).distinct()
     val nodes = sym.select(col("a").as("node")).distinct()
+    // Neighborhood-with-self edge table, persisted once: the self edge lets
+    // each round be a SINGLE join + groupBy-min (the previous formulation
+    // needed a second left-join back onto the old labels to apply
+    // least(own, neighborhood-min); here "own" is just one more neighbor).
+    val nbr = sym.union(nodes.select(col("node").as("a"), col("node").as("b")))
+      .persist()
     // localCheckpoint (not persist) each round: the next round's plan
     // references this round's frame several times, so an uncut lineage
     // doubles the LOGICAL plan per iteration — exponential analysis cost
     // and a driver OOM near round ~20 even though every frame is tiny
     var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
     // Convergence via the exact label sum: propagation only ever DECREASES a
-    // label, so the sum strictly decreases until the fixpoint — one narrow
-    // map-side aggregate per round replaces a full label-frame self-join
+    // label, so the sum strictly decreases until the fixpoint — and the sum
+    // is observe()d on the very frame the checkpoint materializes, so each
+    // round is ONE Spark action, not checkpoint + a separate aggregate job
     // (decimal keeps the sum exact where a 10^10-node × 10^10-id corpus
     // would overflow a long).
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = lblSum(labels)
+    var prevSum = labels.agg(sum(col("lbl").cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    val trace = sys.env.contains("SPARK_GRAFT_CC_LOG")
     var changed = true
     var it = 0
     while (changed && it < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("b"), col("lbl").as("nlbl")), "b")
+      val t0 = System.nanoTime()
+      val obs = org.apache.spark.sql.Observation()
+      val next = nbr
+        .join(labels.select(col("node").as("b"), col("lbl")), "b")
         .groupBy(col("a").as("node"))
-        .agg(min(col("nlbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .agg(min(col("lbl")).as("lbl"))
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lbl_sum"))
         .localCheckpoint(true)
-      val nextSum = lblSum(next)
+      // the eager checkpoint IS the action that fires the observation; fall
+      // back to a direct (cheap, reads pinned blocks) aggregate if a future
+      // Spark stops reporting metrics for checkpoint actions
+      val observed = org.apache.spark.sql.GraftGlue.observedOrEmpty(obs).get("lbl_sum")
+      val nextSum = observed
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(next.agg(sum(col("lbl").cast("decimal(38,0)")))
+          .head().getDecimal(0))
       changed = nextSum.compareTo(prevSum) != 0
       prevSum = nextSum
       labels = next
       it += 1
+      if (trace) Console.err.println(
+        f"[clusters] round $it: ${(System.nanoTime - t0) / 1e9}%.2f s " +
+          s"(observed=${observed.isDefined}, changed=$changed)")
     }
     if (changed) {
       // a component deeper than maxIter would silently keep non-minimal
       // labels — surface it rather than diverging from the recursive oracle
-      sym.unpersist()
+      nbr.unpersist()
       throw new IllegalStateException(
         s"clusters() did not converge after $maxIter rounds (labels still " +
           "changing) — component diameter exceeds maxIter; raise maxIter " +
@@ -218,7 +235,7 @@ object Dedup {
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
       .localCheckpoint(true)
     labels.unpersist()
-    sym.unpersist()
+    nbr.unpersist()
     result
   }
 

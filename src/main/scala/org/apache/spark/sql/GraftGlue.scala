@@ -10,4 +10,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftGlue {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an [[Observation]]'s metrics (`getOrEmpty` is
+    * `private[sql]`): empty map if the observed action's metrics have not
+    * been delivered — callers fall back to re-aggregating rather than
+    * risking `get`'s unbounded block.
+    */
+  def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
 }
