@@ -612,12 +612,14 @@ object SparkEntry {
       derived.select(col("event_id"), col("source_category"), col("meta_key"),
           col("message"))
     }),
-    // ---- dedup cluster formation: connected components over near-dup pairs ----
+    // ---- dedup cluster formation via min-label propagation (the shallow-
+    //      graph fast path; the library default clusters() delegates to star
+    //      contraction, timed as q62 on the identical pair input) ----
     "q45_dedup_clusters" -> ((s, dir) => {
       val pairs = graft.operators.Dedup.minhashPairs(
         tbl(s, dir, "documents"), col("doc_id"), col("text"),
         threshold = 0.5, k = 32, bands = 8)
-      graft.operators.Dedup.clusters(pairs).orderBy("doc_id")
+      graft.operators.Dedup.clustersPropagate(pairs).orderBy("doc_id")
     }),
     // ---- same components via star contraction: the deep-graph-safe path ----
     "q62_dedup_clusters_star" -> ((s, dir) => {

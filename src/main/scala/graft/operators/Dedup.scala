@@ -160,16 +160,31 @@ object Dedup {
     * canonical-document assignment that completes any pairwise dedup
     * ([[minhashPairs]]/[[simhashPairs]]/[[embeddingNearDup]] feed this).
     *
-    * Min-label propagation to a fixpoint: per iteration each node takes the
-    * minimum of its own and its neighbors' labels. Iterations = graph
-    * diameter; near-dup clusters are shallow (dozens of docs), so this
-    * converges in a few rounds. Each round is one shuffle-on-node join; the
-    * label frame is persisted per round and the previous one released. For
-    * deep components (diameter > maxIter) use [[clustersStar]] — same
-    * contract, O(log² n) rounds.
+    * Delegates to [[clustersStar]] (alternating star contraction): measured
+    * on the sf0.1 near-dup corpus (5k docs, 47 shallow components), star
+    * runs ~2.7 s warm vs ~3.5 s for min-label propagation — and unlike
+    * propagation its round count is O(log² n) regardless of component
+    * DIAMETER, so a long chain can't blow the round budget at scale. Use
+    * [[clustersPropagate]] only when components are known-shallow (diameter
+    * ≤ ~2: quasi-clique near-dup groups) AND the edge list is small enough
+    * that its two cheap rounds beat star's heavier per-round work.
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    clustersStar(pairs, aCol, bCol, maxIter)
+
+  /** Min-label propagation variant of [[clusters]]: per iteration each node
+    * takes the minimum of its own and its neighbors' labels, to a fixpoint.
+    * Iterations = component diameter, so this is ONLY preferable for
+    * known-shallow graphs (near-dup quasi-cliques converge in 2 rounds —
+    * one propagation round + one fixpoint-detection round). Each round is a
+    * single join + groupBy-min over the persisted self-edge neighborhood
+    * table, with convergence observed on the same action. Throws if
+    * `maxIter` rounds don't reach the fixpoint (deep component) — fall back
+    * to [[clustersStar]].
+    */
+  def clustersPropagate(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     val sym = edges.union(edges.select(col("b"), col("a"))).distinct()
     val nodes = sym.select(col("a").as("node")).distinct()
@@ -225,7 +240,7 @@ object Dedup {
       // labels — surface it rather than diverging from the recursive oracle
       nbr.unpersist()
       throw new IllegalStateException(
-        s"clusters() did not converge after $maxIter rounds (labels still " +
+        s"clustersPropagate() did not converge after $maxIter rounds (labels still " +
           "changing) — component diameter exceeds maxIter; raise maxIter " +
           "or use clustersStar() (star contraction, O(log² n) rounds)")
     }
@@ -243,10 +258,10 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
     * same `(doc_id, cluster_id = component minimum)` contract as [[clusters]],
     * but converging in O(log² n) rounds regardless of component DIAMETER,
-    * where min-label propagation needs diameter-many rounds. Use this for
-    * graphs with long chains (propagation's pathological case); propagation
-    * stays preferable for the shallow clusters near-dup dedup produces
-    * (fewer, cheaper rounds).
+    * where min-label propagation needs diameter-many rounds. This is the
+    * [[clusters]] default: even on the shallow quasi-cliques near-dup dedup
+    * produces it measured faster than propagation (~2.7 s vs ~3.5 s warm on
+    * the sf0.1 corpus), and it has no pathological input shape.
     *
     * Each round is two grouped joins over the edge list; edges only ever
     * point from larger to smaller id, and the edge count never grows beyond

@@ -102,9 +102,9 @@ class TrainingDataOpsSpec extends SparkSpec {
     // unordered endpoints to exercise the larger->smaller normalization
     val pairs = Seq((1L, 5L), (5L, 9L), (9L, 1L), (9L, 12L), (20L, 21L),
       (21L, 20L)).toDF("doc_a", "doc_b")
-    val prop = Dedup.clusters(pairs)
+    val prop = Dedup.clustersPropagate(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val star = Dedup.clustersStar(pairs)
+    val star = Dedup.clusters(pairs) // default delegates to star contraction
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star == prop)
     assert(star == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 1L,
@@ -116,9 +116,10 @@ class TrainingDataOpsSpec extends SparkSpec {
     import s.implicits._
     // a 0-1-2-...-59 chain: diameter 59 > propagation's default maxIter
     val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val ex = intercept[IllegalStateException](Dedup.clusters(chain))
+    val ex = intercept[IllegalStateException](Dedup.clustersPropagate(chain))
     assert(ex.getMessage.contains("clustersStar"))
-    val star = Dedup.clustersStar(chain)
+    // the default clusters() handles the deep chain (star contraction)
+    val star = Dedup.clusters(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star.size == 60)
     assert(star.values.forall(_ == 0L)) // every node labeled with the minimum
