@@ -497,6 +497,25 @@ object SparkEntry {
         .select("event_id", "source_category", "message")
         .orderBy("event_id")
     }),
+    // ---- Q1 full piped-query surface: the reference's e2e tests send whole
+    //      `<predicates> | parse … | where … | timeslice … | count by …`
+    //      strings to the search-job API; here the ENTIRE query — predicate
+    //      AND aggregation half — compiles from the string ----
+    "q74_piped_query" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | where uid >= 50 | timeslice 1d | count by _timeslice, etype"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.recordsOrderBy(piped.stages).map(col): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1411,6 +1430,20 @@ object SparkEntry {
            AND ('cat-'||(user_id%5)) LIKE 'cat-1%'
            AND contains(lower(event_type||' '||props), 'error')
          ORDER BY event_id""",
+    "q74_piped_query" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS DOUBLE) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)'))
+         SELECT _timeslice, etype, count(*) AS _count
+         FROM p WHERE uid >= 50
+         GROUP BY 1, 2 ORDER BY _timeslice, etype""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

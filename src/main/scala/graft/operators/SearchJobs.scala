@@ -192,6 +192,30 @@ object SearchJobs {
     lit(java.sql.Timestamp.from(local.atZone(zone).toInstant))
   }
 
+  /** Full piped-query entry point — the reference's e2e tests pass whole
+    * `<predicates> | parse … | count by …` strings to the search-job API
+    * (`test-guardduty-benchmark.py:167-191`) and then page `records`
+    * (`sumologic.py:105-114`). The predicate half drives the `messages`
+    * flavor; the pipe stages compile into the records aggregation
+    * ([[SearchQuery.compileStages]]), ordered by
+    * [[SearchQuery.recordsOrderBy]]. Columns are referenced by NAME because
+    * the records transform runs over the landed message store, not the
+    * original plan.
+    */
+  def createPiped(df: DataFrame, query: String, fromTime: Column, toTime: Column,
+      timeCol: String, messageCol: String, orderBy: Seq[String],
+      jobRoot: String = defaultRoot): Job = {
+    val parts = SearchQuery.splitPipes(query)
+    val piped = SearchQuery.parsePiped(query)
+    val records =
+      if (piped.stages.isEmpty) None
+      else Some(RecordsSpec(
+        SearchQuery.compileStages(piped.stages, timeCol, messageCol),
+        SearchQuery.recordsOrderBy(piped.stages)))
+    create(df, parts.head, fromTime, toTime, col(timeCol), col(messageCol),
+      orderBy, records, jobRoot)
+  }
+
   /** API-fidelity variant mirroring `search_job(query, fromTime, toTime,
     * timeZone, byReceiptTime)` (`sumologic.py:96-99`): the from/to strings
     * are wall-clock times interpreted in `timeZone`, and `byReceiptTime`

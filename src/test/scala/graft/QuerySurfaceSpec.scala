@@ -108,6 +108,88 @@ class QuerySurfaceSpec extends SparkSpec {
     SearchJobs.delete(byReceipt.id)
   }
 
+  test("Q1: pipe-stage parse — anchor/regex/where/timeslice/aggs/fields/sort") {
+    import SearchQuery._
+    val p = parsePiped("_sourceCategory=prod/* error | parse \"user=* action=*\" as u, a nodrop" +
+      " | where latency >= 250 | timeslice 5m | count, sum(latency) as total_lat by _timeslice, a" +
+      " | fields _timeslice, a, _count, total_lat | sort by _timeslice, a desc")
+    assert(p.terms == Seq(MetaSelector("_sourcecategory", "prod/*"), Keyword("error")))
+    assert(p.stages == Seq(
+      ParseAnchor("user=* action=*", Seq("u", "a"), nodrop = true),
+      WhereCmp("latency", ">=", "250"),
+      Timeslice(300),
+      AggStage(Seq(AggSpec("count", None, "_count"),
+        AggSpec("sum", Some("latency"), "total_lat")), Seq("_timeslice", "a")),
+      FieldsStage(Seq("_timeslice", "a", "_count", "total_lat")),
+      SortStage(Seq(("_timeslice", false), ("a", true)))))
+    assert(recordsOrderBy(p.stages) == Seq("_timeslice", "a"))
+    // a pipe inside a quoted pattern must not split the stage
+    val q = parsePiped("err | parse regex \"(?<sev>INFO|WARN|ERROR)\"")
+    assert(q.stages == Seq(ParseRegex("(?<sev>INFO|WARN|ERROR)")))
+    // named-group indexing counts unnamed capturing groups too
+    assert(namedGroups("(a)(?<x>b)(?:c)(?<y>d)") == Seq(("x", 2), ("y", 3)))
+    intercept[IllegalArgumentException](parseStage("explode everything"))
+    intercept[IllegalArgumentException](parseStage("parse \"a=*\" as x, y"))
+  }
+
+  test("Q1: compiled stages — parse drops vs nodrop, where, timeslice, count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2024-03-01 00:10:00", "login user=alice latency=120"),
+      ("2024-03-01 00:20:00", "login user=bob latency=300"),
+      ("2024-03-01 01:10:00", "login user=carol latency=500"),
+      ("2024-03-01 01:20:00", "heartbeat ok")).toDF("ts_s", "message")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("message"))
+    val piped = SearchQuery.parsePiped(
+      "login | parse \"user=* latency=*\" as u, lat | where lat > 200" +
+        " | timeslice 1h | count by _timeslice")
+    val out = SearchQuery.compileStages(piped.stages, "ts", "message")(
+      df.filter(SearchQuery.compile(piped.terms, col("message"))))
+      .orderBy("_timeslice")
+      .select(col("_timeslice").cast("string"), col("_count"))
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("2024-03-01 00:00:00", 1L), ("2024-03-01 01:00:00", 1L)))
+    // nodrop keeps the non-matching row with null fields
+    val nd = SearchQuery.compileStages(
+      SearchQuery.parsePiped("* | parse \"user=*\" as u nodrop").stages,
+      "ts", "message")(df)
+    assert(nd.count() == 4)
+    assert(nd.filter(col("u").isNull).count() == 1)
+    // parse regex via named groups
+    val rx = SearchQuery.compileStages(
+      SearchQuery.parsePiped("* | parse regex \"user=(?<usr>[a-z]+)\"").stages,
+      "ts", "message")(df)
+      .select("usr").as[String].collect().sorted.toSeq
+    assert(rx == Seq("alice", "bob", "carol"))
+  }
+
+  test("Q1/Q3: createPiped — full query string drives messages AND records") {
+    import graft.operators.SearchJobs
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2024-03-01 00:10:00", "cat-a", "evt login user=1 latency=120"),
+      ("2024-03-01 00:20:00", "cat-a", "evt login user=2 latency=300"),
+      ("2024-03-01 01:10:00", "cat-a", "evt click user=3 latency=500"),
+      ("2024-03-01 01:20:00", "cat-b", "evt login user=4 latency=900"))
+      .toDF("ts_s", "source_category", "message")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("source_category"),
+        col("message"))
+    val job = SearchJobs.createPiped(df,
+      "_sourceCategory=cat-a evt | parse \"evt * user=* latency=*\" as etype, u, lat" +
+        " | where lat >= 200 | count by etype",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    assert(job.messageCount == 3) // predicate half only filters cat-a + keyword
+    assert(job.recordCount == 2)
+    val recs = job.records(10, 0)
+      .select("etype", "_count").as[(String, Long)].collect().toSeq
+    assert(recs == Seq(("click", 1L), ("login", 1L))) // ordered by group key
+    SearchJobs.delete(job.id)
+  }
+
   test("Q5: duplicate FER names merge by OR-ing scopes, first parse wins") {
     val rules = Seq(
       Fer.Rule("f", col("t") === "a", _ => lit("first")),
