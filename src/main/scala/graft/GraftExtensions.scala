@@ -83,5 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => VecSqNormInt8(es.head))
     fn(ext, "text_stats", "text_stats(text) - struct(lang_guess, quality, punct_ratio) in one pass", 1)(
       es => TextStats(es.head))
+    fn(ext, "pii_redact", "pii_redact(text) - mask emails/keys/cards/SSNs/phones/IPs in one pass", 1)(
+      es => PiiRedact(es.head))
   }
 }

@@ -296,6 +296,74 @@ case class TextStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Single-pass PII redaction kernel — see [[PiiRedact]]. */
+object PiiImpl {
+
+  /** The six mask patterns fused into one alternation: capture group `i+1`
+    * fires iff `TextFunctions.piiPatterns(i)` matched (the patterns contain
+    * no groups of their own, so outer-group numbering is positional).
+    */
+  private val fused: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    TextFunctions.piiPatterns.map { case (p, _) => "(" + p + ")" }.mkString("|"))
+
+  private val replacements: Array[String] =
+    TextFunctions.piiPatterns.map(_._2).toArray
+
+  /** One scan, one output build: at each match site the first non-null group
+    * picks the typed placeholder. Semantics vs the sequential
+    * `regexp_replace` chain ([[TextFunctions.redactPiiChain]]): within a
+    * match position, alternation order = chain order, so pattern PRIORITY is
+    * preserved; the two diverge only on matches that touch OTHER matches —
+    * (a) a lower-priority match beginning strictly before an overlapping
+    * higher-priority one (leftmost wins here, the earlier global pass wins
+    * in the chain), (b) a chain replacement placeholder creating a word
+    * boundary that lets a later pattern match text it couldn't match in
+    * situ, and (c) the chain's early card pass BRIDGING two adjacent
+    * digit-bearing items (an SSN/phone tail + a card head parse as one
+    * 4×4-digit run), masking across the pair where this kernel redacts each
+    * item separately. All three need two PII items flush against each other
+    * (no word between); on such inputs the leftmost per-item reading is the
+    * deliberate behavior — (c) in particular is a chain misfeature, not a
+    * target. KernelParitySpec pins parity on word-separated corpora AND the
+    * exact outputs of the three divergence shapes.
+    */
+  def redact(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val m = fused.matcher(str)
+    if (!m.find()) return s
+    val sb = new java.lang.StringBuilder(str.length + 16)
+    var last = 0
+    var go = true
+    while (go) {
+      sb.append(str, last, m.start())
+      var g = 1
+      while (m.start(g) < 0) g += 1
+      sb.append(replacements(g - 1))
+      last = m.end()
+      go = m.find()
+    }
+    sb.append(str, last, str.length)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `pii_redact(string) -> string` with whole-stage codegen: all six mask
+  * patterns in ONE alternation scan and ONE output build, where the chain
+  * form pays six full scans and five intermediate strings per row.
+  */
+case class PiiRedact(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pii_redact"
+  override protected def nullSafeEval(input: Any): Any =
+    PiiImpl.redact(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PiiImpl.redact($c)")
+  override protected def withNewChildInternal(newChild: Expression): PiiRedact =
+    copy(child = newChild)
+}
+
 /** One-pass shingle hashing kernel — see [[ShingleHashes]]. */
 object ShingleImpl {
   private val ws = java.util.regex.Pattern.compile("\\s+")

@@ -191,10 +191,22 @@ object TextFunctions {
 
   /** PII redaction (the scrub every shareable training corpus runs): masks
     * emails, AWS access key ids, card numbers, SSNs, phone numbers, and IPv4
-    * addresses with typed placeholders. A chain of codegen'd global
-    * `regexp_replace`s — order matters and is fixed most-specific-first.
+    * addresses with typed placeholders — as the codegen'd [[PiiRedact]]
+    * kernel: ONE alternation scan and ONE output build, where the
+    * [[redactPiiChain]] form pays six full scans and five intermediate
+    * strings per row. Alternation order = chain order, so pattern priority
+    * at a match site is identical; see [[PiiImpl.redact]] for the two
+    * adversarial divergence shapes (pinned by KernelParitySpec).
     */
   def redactPii(c: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      PiiRedact(org.apache.spark.sql.GraftGlue.expression(c)))
+
+  /** The sequential global-replace form of [[redactPii]] — kept as the
+    * SQL-expressible parity/oracle reference (the DuckDB oracle runs this
+    * exact chain); order matters and is fixed most-specific-first.
+    */
+  def redactPiiChain(c: Column): Column =
     piiPatterns.foldLeft(c) { case (acc, (pat, repl)) =>
       regexp_replace(acc, pat, repl)
     }
