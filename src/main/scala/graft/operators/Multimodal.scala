@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * stages.
   *
   * The Spark-side plumbing (schema, batched per-partition processing,
-  * deterministic outputs, partition sizing) is real and tested; the actual
-  * media decoding is STUBBED with a deterministic fake (image/audio libraries
-  * are not available in this environment) — swap [[FakeCodec]] for a real
-  * decoder (e.g. a JNI/FFI binding) without touching the pipeline shape.
+  * deterministic outputs, partition sizing) is real and tested. Decoding goes
+  * through the [[Codec]] seam: [[FakeCodec]] (deterministic stub — the
+  * synthetic test corpus is not real media) is the default, and
+  * [[ImageIoCodec]] is a REAL JDK-only image path (header decode, luma
+  * histograms, pixel rescale, band frames) selected via
+  * `spark.graft.multimodal.codec=imageio`; audio/video codecs would bind the
+  * same seam (no such library ships in this environment).
   *
   * At 100 TB the content column dominates I/O: keep media in its own parquet
   * column (column pruning skips it for metadata-only queries), size
@@ -30,14 +33,40 @@ object Multimodal {
       StructField("channels", IntegerType),
       StructField("duration_ms", LongType))))))
 
-  /** STUB decoder: derives deterministic pseudo-metadata and features from
-    * the raw bytes. A real build replaces these with actual codec calls; the
-    * signatures are the contract.
+  /** The codec seam: every media stage calls through this contract, so the
+    * decoder is swappable without touching the pipeline shape. Implementations
+    * must be TOTAL — corrupt media is routine at 100 TB, so malformed bytes
+    * yield empty/zero results, never exceptions. Selected per-session via
+    * `spark.graft.multimodal.codec` (`fake` | `imageio`) or per-call by
+    * passing the codec explicitly.
     */
-  object FakeCodec extends Serializable {
-    /** ??? real impl: image header parse. Deterministic fake: dims from byte
-      * length, channels from first byte.
-      */
+  trait Codec extends Serializable {
+    /** (width, height, channels, duration_ms); zeros for undecodable bytes. */
+    def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long)
+    /** Fixed-width float feature vector (L1-normalized histogram shape). */
+    def features(content: Array[Byte], bins: Int): Array[Float]
+    /** Re-encoded content at the target dimensions. */
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte]
+    /** n frames (or frame stand-ins) from the content. */
+    def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]]
+  }
+
+  /** Resolve the session-configured codec; explicit `codec` args win. */
+  private def resolve(df: DataFrame, codec: Codec): Codec =
+    if (codec != null) codec
+    else df.sparkSession.conf.get("spark.graft.multimodal.codec", "fake") match {
+      case "fake" => FakeCodec
+      case "imageio" => ImageIoCodec
+      case other => throw new IllegalArgumentException(
+        s"unknown spark.graft.multimodal.codec '$other' (fake | imageio)")
+    }
+
+  /** STUB decoder: derives deterministic pseudo-metadata and features from
+    * the raw bytes — the default, because the synthetic test corpus is not
+    * real media. The signatures are the contract.
+    */
+  object FakeCodec extends Codec {
+    /** Deterministic fake: dims from byte length, channels from first byte. */
     def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long) = {
       val len = if (content == null) 0 else content.length
       val w = 16 + (len % 1024)
@@ -85,18 +114,131 @@ object Multimodal {
     }
   }
 
-  private val decodeMetaUdf = udf { content: Array[Byte] =>
-    val (w, h, c, d) = FakeCodec.decodeMeta(content)
+  /** REAL image decode path, JDK-only (`javax.imageio` — PNG/JPEG/GIF/BMP
+    * ship with the JVM, no external deps): header-only metadata, luma
+    * histogram features, pixel-space rescale re-encoded as PNG, and
+    * horizontal-band "frames". Deterministic: the PNG writer emits no
+    * timestamps, and the histogram/rescale math is fixed-point-free.
+    * Malformed bytes yield zero/empty results (total, like the contract
+    * requires). Select with `spark.graft.multimodal.codec=imageio`.
+    */
+  object ImageIoCodec extends Codec {
+    private def read(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (content == null || content.isEmpty) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      catch { case _: Exception => None }
+
+    private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(4096)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Header-only decode — the 100 TB shape: dimensions and component count
+      * come from the format reader without materializing pixels.
+      */
+    def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long) = {
+      if (content == null || content.isEmpty) return (0, 0, 0, 0L)
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        catch { case _: Exception => null }
+      if (iis == null) return (0, 0, 0, 0L)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return (0, 0, 0, 0L)
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val channels =
+            try r.getImageTypes(0).next().getNumComponents
+            catch { case _: Exception => 0 }
+          (r.getWidth(0), r.getHeight(0), channels, 0L)
+        } finally r.dispose()
+      } catch { case _: Exception => (0, 0, 0, 0L) }
+      finally iis.close()
+    }
+
+    /** L1-normalized luma (BT.601 integer-weighted) histogram over pixels. */
+    def features(content: Array[Byte], bins: Int): Array[Float] = {
+      val counts = new Array[Float](bins)
+      read(content).foreach { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = ((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            counts(luma * bins / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var i = 0
+        while (i < bins) { counts(i) /= n; i += 1 }
+      }
+      counts
+    }
+
+    /** Pixel rescale (nearest-neighbor for determinism across JVMs — no
+      * AA/interpolation variance), re-encoded as PNG. `channels` picks the
+      * output color model (4 → ARGB, else RGB).
+      */
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] =
+      read(content) match {
+        case None => Array.emptyByteArray
+        case Some(img) =>
+          val t = if (channels >= 4) java.awt.image.BufferedImage.TYPE_INT_ARGB
+            else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val out = new java.awt.image.BufferedImage(w, h, t)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y, img.getRGB(
+                (x.toLong * img.getWidth / w).toInt,
+                (y.toLong * img.getHeight / h).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          encodePng(out)
+      }
+
+    /** Still images have no time axis: "frames" are n equal horizontal bands
+      * (top→bottom), each re-encoded as PNG — the deterministic stand-in for
+      * codec-aware frame seeks (`frameBytes` is a budget for real codecs;
+      * unused here).
+      */
+    def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] =
+      read(content) match {
+        case None => Seq.empty
+        case Some(img) =>
+          val bands = math.min(n, img.getHeight)
+          (0 until bands).map { i =>
+            val y0 = i * img.getHeight / bands
+            val y1 = math.max((i + 1) * img.getHeight / bands, y0 + 1)
+            encodePng(img.getSubimage(0, y0, img.getWidth, y1 - y0))
+          }
+      }
+  }
+
+  private def decodeMetaUdf(codec: Codec) = udf { content: Array[Byte] =>
+    val (w, h, c, d) = codec.decodeMeta(content)
     (w, h, c, d)
   }
-  private val featuresUdf =
-    udf((content: Array[Byte], bins: Int) => FakeCodec.features(content, bins))
-  private val framesUdf = udf((content: Array[Byte], n: Int, fb: Int) =>
-    FakeCodec.sampleFrames(content, n, fb))
+  private def featuresUdf(codec: Codec) =
+    udf((content: Array[Byte], bins: Int) => codec.features(content, bins))
+  private def framesUdf(codec: Codec) = udf((content: Array[Byte], n: Int, fb: Int) =>
+    codec.sampleFrames(content, n, fb))
 
   /** Decode stage: attaches the typed `meta` struct from raw content. */
-  def decode(df: DataFrame, contentCol: Column): DataFrame =
-    df.withColumn("_m", decodeMetaUdf(contentCol))
+  def decode(df: DataFrame, contentCol: Column, codec: Codec = null): DataFrame =
+    df.withColumn("_m", decodeMetaUdf(resolve(df, codec))(contentCol))
       .withColumn("meta", struct(
         col("_m._1").as("width"), col("_m._2").as("height"),
         col("_m._3").as("channels"), col("_m._4").as("duration_ms")))
@@ -105,29 +247,32 @@ object Multimodal {
   /** Feature-extract stage: fixed-width float vector per media row — feeds
     * straight into [[Similarity]] / [[Dedup.embeddingNearDup]].
     */
-  def extractFeatures(df: DataFrame, contentCol: Column, bins: Int = 16): DataFrame =
-    df.withColumn("features", featuresUdf(contentCol, lit(bins)))
-
-  private val resizeUdf = udf((content: Array[Byte], w: Int, h: Int, c: Int) =>
-    FakeCodec.resize(content, w, h, c))
+  def extractFeatures(df: DataFrame, contentCol: Column, bins: Int = 16,
+      codec: Codec = null): DataFrame =
+    df.withColumn("features", featuresUdf(resolve(df, codec))(contentCol, lit(bins)))
 
   /** Resize stage: re-encode content to the target dimensions and update the
     * typed meta to match (expects [[decode]] ran first for `meta.channels`).
     */
-  def resize(df: DataFrame, contentCol: Column, width: Int, height: Int): DataFrame =
+  def resize(df: DataFrame, contentCol: Column, width: Int, height: Int,
+      codec: Codec = null): DataFrame =
     df.withColumn("content",
-      resizeUdf(contentCol, lit(width), lit(height), coalesce(col("meta.channels"), lit(1))))
+      resizeUdf(resolve(df, codec))(contentCol, lit(width), lit(height),
+        coalesce(col("meta.channels"), lit(1))))
       .withColumn("meta", struct(
         lit(width).as("width"), lit(height).as("height"),
         col("meta.channels").as("channels"), col("meta.duration_ms").as("duration_ms")))
+
+  private def resizeUdf(codec: Codec) = udf((content: Array[Byte], w: Int, h: Int, c: Int) =>
+    codec.resize(content, w, h, c))
 
   /** Frame-sample stage: n pseudo-frames per video row, exploded to one row
     * per frame with its index.
     */
   def sampleFrames(df: DataFrame, contentCol: Column, n: Int,
-      frameBytes: Int = 4096): DataFrame =
+      frameBytes: Int = 4096, codec: Codec = null): DataFrame =
     df.select(col("*"),
-      posexplode(framesUdf(contentCol, lit(n), lit(frameBytes)))
+      posexplode(framesUdf(resolve(df, codec))(contentCol, lit(n), lit(frameBytes)))
         .as(Seq("frame_idx", "frame")))
 
   /** Batched decode over whole partitions — the `mapInPandas`-shaped path:
@@ -135,16 +280,18 @@ object Multimodal {
     * init), rows streamed through in batches of `batchSize` without
     * materializing the partition. Output schema = [[mediaSchema]].
     */
-  def decodeBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodeBatched(df: DataFrame, batchSize: Int = 64,
+      codec: Codec = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val c0 = resolve(df, codec)
     df.select(col("media_id").cast("long"), col("media_type"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // ??? real impl: codec/session init here, once per partition
+        // per-partition seam: a real codec binds its native session here once
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, tpe, content) =>
-            val (w, h, c, d) = FakeCodec.decodeMeta(content)
+            val (w, h, c, d) = c0.decodeMeta(content)
             (id, tpe, content, (w, h, c, d))
           }
         }

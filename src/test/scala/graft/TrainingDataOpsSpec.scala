@@ -337,6 +337,66 @@ class TrainingDataOpsSpec extends SparkSpec {
       row.getInt(3) == 8 * 8 * row.getInt(2)))
   }
 
+  test("multimodal: ImageIoCodec decodes real PNGs end-to-end through decodeBatched") {
+    val s = spark
+    import s.implicits._
+    // deterministic generated PNGs: id-keyed dims, constant-gradient pixels
+    def png(id: Long): Array[Byte] = {
+      val w = 20 + (id % 5).toInt * 4
+      val h = 12 + (id % 3).toInt * 6
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (x * 255 / math.max(w - 1, 1)) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = (0L until 10L).map(i => (i, "image", png(i)))
+      .toDF("media_id", "media_type", "content")
+    // config-selected codec (session conf, not an explicit argument)
+    s.conf.set("spark.graft.multimodal.codec", "imageio")
+    try {
+      val meta = Multimodal.decodeBatched(df, batchSize = 4)
+        .select(col("media_id"), col("meta.width"), col("meta.height"),
+          col("meta.channels"))
+        .as[(Long, Int, Int, Int)].collect()
+        .map { case (id, w, h, c) => id -> ((w, h, c)) }.toMap
+      (0L until 10L).foreach { i =>
+        assert(meta(i) == (20 + (i % 5).toInt * 4, 12 + (i % 3).toInt * 6, 3), s"id $i")
+      }
+      // features: real luma histogram — a horizontal gradient spreads mass
+      // across bins and still L1-normalizes
+      val f = Multimodal.extractFeatures(df, col("content"))
+        .select("features").as[Seq[Float]].collect()
+      assert(f.forall(v => v.length == 16 && math.abs(v.sum - 1.0f) < 1e-3))
+      assert(f.forall(v => v.count(_ > 0f) >= 8)) // gradient hits most bins
+      // resize to 8x8 re-encodes a REAL PNG whose header reads back 8x8
+      val resized = Multimodal.resize(Multimodal.decode(df, col("content")),
+        col("content"), 8, 8)
+        .select("content").as[Array[Byte]].collect()
+      resized.foreach { bytes =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img.getWidth == 8 && img.getHeight == 8)
+      }
+      // frames: 3 horizontal bands per image, each a decodable PNG of 1/3 height
+      val frames = Multimodal.sampleFrames(df.filter(col("media_id") === 0), col("content"), 3)
+        .select("frame").as[Array[Byte]].collect()
+      assert(frames.length == 3)
+      frames.foreach { bytes =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img.getWidth == 20 && img.getHeight == 4)
+      }
+      // total on garbage: zero meta, empty features/content, no frames
+      val junk = Seq((99L, "image", Array[Byte](1, 2, 3))).toDF("media_id", "media_type", "content")
+      assert(Multimodal.decodeBatched(junk)
+        .select(col("meta.width")).as[Int].head() == 0)
+      assert(Multimodal.sampleFrames(junk, col("content"), 3).count() == 0)
+    } finally s.conf.set("spark.graft.multimodal.codec", "fake")
+  }
+
   test("pii redaction masks every pattern and leaves clean text alone") {
     val s = spark
     import s.implicits._
