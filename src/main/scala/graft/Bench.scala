@@ -95,7 +95,17 @@ object Bench {
     // Stream-only drill-down for iterating on the S1/K1/Q1 path without the
     // ~5-minute batch sweep.
     if (sys.env.contains("SPARK_GRAFT_STREAM_ONLY")) {
-      val (secs, ev, m) = streamE2e(spark, sfDir)
+      // value N>1 = run N times in one JVM; the LAST run is the warm number
+      // comparable to the full bench suite's context (JVM/codegen hot)
+      val n = try math.max(sys.env("SPARK_GRAFT_STREAM_ONLY").toInt, 1)
+        catch { case _: NumberFormatException => 1 }
+      val runs = (1 to n).map { i =>
+        drainSession(spark)
+        val r = streamE2e(spark, sfDir)
+        Console.err.println(f"[bench] stream run $i: ${r._1}%.2f s")
+        r
+      }
+      val (secs, ev, m) = runs.last
       println(s"""{"stream_only":{"sec":$secs,"events":$ev,"matches":$m}}""")
       spark.stop()
       return
@@ -122,6 +132,12 @@ object Bench {
       val elapsed = if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1)
       name -> elapsed
     }
+    drainSession(spark)
+    // Untimed warm run first — the SAME methodology as every batch query
+    // above: the timed number is steady-state pipeline execution, not the
+    // one-off Janino compile of the streaming plans (~6 s of JVM warm-up
+    // that no second batch would ever pay).
+    try streamE2e(spark, sfDir) catch { case _: Throwable => () }
     drainSession(spark)
     val (streamSecs, streamEvents, streamMatches) =
       try streamE2e(spark, sfDir)

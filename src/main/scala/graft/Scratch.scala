@@ -92,11 +92,51 @@ object Scratch {
       val ev = CwlPipeline(wire.select(col("kinesis.data").as("_data")), col("_data"),
         CwlPipeline.Config()).drop("_data")
       time("stream: full pipeline") { ev.write.format("noop").mode("overwrite").save(); -1L }
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) ev.explain("formatted")
       val der = Metadata.derive(ev, Metadata.MetaConfig(sourceCategoryOverride = "bench/stream"))
         .withColumn("ts", timestamp_millis(col("timestamp")))
       time("stream: + derive") { der.write.format("noop").mode("overwrite").save(); -1L }
       val outDir = java.nio.file.Files.createTempDirectory("scratch-store").toString
       time("stream: + store write") { graft.sinks.LogStore.append(der, outDir, col("ts")); -1L }
+      // component isolation within transformEvents: explode-only, then each
+      // suspect added alone on top of the exploded base
+      val dec0 = CwlPipeline.decode(wire.select(col("kinesis.data").as("_data")), col("_data"))
+      val expl = CwlPipeline.explodeEvents(CwlPipeline.filterEnvelopes(CwlPipeline.Config())(dec0))
+      time("stream: explode only") { expl.write.format("noop").mode("overwrite").save(); -1L }
+      val regexOnly = expl
+        .withColumn("message", regexp_replace(col("message"), "\\n$", ""))
+        .withColumn("_console_id", regexp_extract(col("message"),
+          "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}.\\d{3}Z\\s(\\w+?-\\w+?-\\w+?-\\w+?-\\w+)\\s(?:INFO|ERROR|WARN|DEBUG)?", 1))
+        .withColumn("_report_id", regexp_extract(col("message"), "(?:RequestId:|Z)\\s+([\\w\\d\\-]+)", 1))
+      time("stream: explode+regexes") { regexOnly.write.format("noop").mode("overwrite").save(); -1L }
+      val winOnly = expl.withColumn("requestID",
+        last(col("message"), ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("_envelope_id").orderBy("_seq")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      time("stream: explode+window") { winOnly.write.format("noop").mode("overwrite").save(); -1L }
+      val jsonOnly = expl.withColumn("message_json", try_parse_json(col("message")))
+      time("stream: explode+variant") { jsonOnly.write.format("noop").mode("overwrite").save(); -1L }
+      val jsonStart = Seq("{", "[", "\"", "t", "f", "n", "-") ++ (0 to 9).map(_.toString)
+      val jsonGated = expl.withColumn("message_json",
+        when(substring(col("message"), 1, 1).isin(jsonStart: _*),
+          try_parse_json(col("message"))))
+      time("stream: explode+variant gated") { jsonGated.write.format("noop").mode("overwrite").save(); -1L }
+      val winMsg = org.apache.spark.sql.expressions.Window.partitionBy("_envelope_id")
+        .orderBy("_seq")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val pipeNoVariant = expl
+        .withColumn("message", regexp_replace(col("message"), "\\n$", ""))
+        .withColumn("_console_id", regexp_extract(col("message"),
+          "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}.\\d{3}Z\\s(\\w+?-\\w+?-\\w+?-\\w+?-\\w+)\\s(?:INFO|ERROR|WARN|DEBUG)?", 1))
+        .withColumn("_report_id", regexp_extract(col("message"), "(?:RequestId:|Z)\\s+([\\w\\d\\-]+)", 1))
+        .withColumn("requestID",
+          last(when(col("_console_id") =!= "", col("_console_id"))
+            .when(col("_report_id") =!= "", col("_report_id")), ignoreNulls = true).over(winMsg))
+        .withColumn("message", trim(col("message")))
+        .filter(col("message").isNotNull && length(col("message")) > 0)
+      time("stream: pipeline minus variant") { pipeNoVariant.write.format("noop").mode("overwrite").save(); -1L }
     }
     for (q <- picks) {
       // construct PER RUN: queries with eager localCheckpoints (pinSorted,

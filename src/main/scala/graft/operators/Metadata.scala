@@ -52,8 +52,12 @@ object Metadata {
     // non-object messages. Variant keeps nested override values intact. The
     // parse runs behind a Generate barrier: six downstream references (four
     // overrides, the presence test, the re-serialization) would otherwise
-    // re-parse each message per reference.
-    val asMap = from_json(col("message"), MapType(StringType, VariantType))
+    // re-parse each message per reference. First-char-gated: only a
+    // '{'-leading message can parse into a map, so the gate is exactly
+    // equivalent — and the (typical) non-JSON message skips the parse
+    // attempt's thrown-and-caught exception entirely.
+    val asMap = when(substring(ltrim(col("message")), 1, 1) === "{",
+      from_json(col("message"), MapType(StringType, VariantType)))
     val withMap = graft.functions.ExprUtils.materialized(df, "_msg_map", asMap)
     val meta = element_at(col("_msg_map"), "_sumo_metadata")
     def ov(prop: String): Column =
