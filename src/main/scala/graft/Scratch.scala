@@ -138,6 +138,20 @@ object Scratch {
         .filter(col("message").isNotNull && length(col("message")) > 0)
       time("stream: pipeline minus variant") { pipeNoVariant.write.format("noop").mode("overwrite").save(); -1L }
     }
+    // ANN bucket-granularity scaling drill: bucketedPairs with a plane-count
+    // sweep — demonstrates that planes must scale with log2(n) (fixed planes
+    // → fixed bucket count → within-bucket pair growth goes quadratic)
+    sys.env.get("SPARK_GRAFT_ANN_PLANES").foreach { spec =>
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      spec.split(",").map(_.trim.toInt).foreach { p =>
+        def mk = graft.operators.Similarity.bucketedPairs(
+          emb, col("vec_id"), col("embedding"), threshold = 0.2, planes = p)
+        mk.write.format("noop").mode("overwrite").save() // warm
+        time(s"bucketedPairs planes=$p") {
+          mk.write.format("noop").mode("overwrite").save(); -1L
+        }
+      }
+    }
     for (q <- picks) {
       // construct PER RUN: queries with eager localCheckpoints (pinSorted,
       // the cluster loops) do their heavy work at construction time — timing

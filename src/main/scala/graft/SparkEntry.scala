@@ -770,9 +770,14 @@ object SparkEntry {
     // ---- curation pipeline: language + quality gate, drop near-dup larger ids ----
     "q46_curation_pipeline" -> ((s, dir) => {
       import graft.functions.TextFunctions._
-      val d = tbl(s, dir, "documents")
-        .withColumn("lang_guess", langId(col("text")))
-        .withColumn("quality", qualityScore(col("text")))
+      // fused textStats kernel (bit-identical to the unfused langId/
+      // qualityScore columns — KernelParitySpec): one pass over each doc
+      // instead of two interpreted HOF evaluations
+      val d = graft.functions.ExprUtils.materialized(
+          tbl(s, dir, "documents"), "_st", textStats(col("text")))
+        .withColumn("lang_guess", col("_st.lang_guess"))
+        .withColumn("quality", col("_st.quality"))
+        .drop("_st")
       val eligible = d.filter(col("lang_guess") === "en" && col("quality") >= 0.5)
       val pairs = graft.operators.Dedup.minhashPairs(
         eligible, col("doc_id"), col("text"), threshold = 0.5)

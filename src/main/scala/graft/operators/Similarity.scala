@@ -98,6 +98,13 @@ object Similarity {
 
   /** All-pairs ANN via bucketing (IVF-flavored): cosine within each
     * hyperplane bucket only — the scalable global near-neighbor sweep.
+    *
+    * SIZE `planes` WITH THE CORPUS: bucket count is 2^planes and within-
+    * bucket work is quadratic in occupancy, so a fixed plane count goes
+    * quadratic as n grows — pick `planes ≈ log₂(n / targetOccupancy)` to
+    * hold per-bucket occupancy (and therefore total pair work per vector)
+    * constant. Measured (SCALING.md): 10× vectors at fixed planes=4 cost
+    * 22× the time; at planes=4+log₂10 they cost 5.7× — linear.
     */
   def bucketedPairs(df: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double, planes: Int = 8, dim: Int = 64): DataFrame =
