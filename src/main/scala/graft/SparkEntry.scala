@@ -591,12 +591,18 @@ object SparkEntry {
         StructField("template", StringType), StructField("severity", LongType)))
       val ev = tbl(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      val body = to_json(struct(array(struct(struct(
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("Timestamp"),
-        col("event_id").cast("string").as("MessageId"),
-        to_json(struct(
-          concat(lit("t-"), col("user_id") % 25).as("template"),
-          col("k").as("severity"))).as("Message")).as("Sns"))).as("Records")))
+      // wire synthesis as ONE codegen'd concat (the field values contain no
+      // JSON-special chars, so hand-escaping the embedded Message quotes is
+      // exact): two nested to_json calls here were Jackson+CodegenFallback
+      // per row and dominated the harness half of the query. A null k maps
+      // to JSON null so the row survives like to_json's omitted-field form.
+      val body = concat(
+        lit("{\"Records\":[{\"Sns\":{\"Timestamp\":\""),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        lit("\",\"MessageId\":\""), col("event_id").cast("string"),
+        lit("\",\"Message\":\"{\\\"template\\\":\\\"t-"), col("user_id") % 25,
+        lit("\\\",\\\"severity\\\":"), coalesce(col("k").cast("string"), lit("null")),
+        lit("}\"}}]}"))
       val snsSchema = StructType(Seq(StructField("Records",
         org.apache.spark.sql.types.ArrayType(graft.model.Schemas.snsRecord))))
       // project-after-sort: the output order key (event_id) exists at the
