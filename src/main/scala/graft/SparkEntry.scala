@@ -516,6 +516,24 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.recordsOrderBy(piped.stages).map(col): _*)
     }),
+    // ---- json pipe stage: JSON-path extraction + count_distinct through
+    //      the full string query API ----
+    "q75_piped_json" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", col("props"))
+      val q = "_sourceCategory=cat-1* | json field=message \"$.k\" as kval" +
+        " | where kval >= 10 | count, count_distinct(kval) as n_k by etype_len"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .withColumn("etype_len", length(col("event_type")).cast("long"))
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.recordsOrderBy(piped.stages).map(col): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1455,6 +1473,17 @@ object SparkEntry {
          SELECT _timeslice, etype, count(*) AS _count
          FROM p WHERE uid >= 50
          GROUP BY 1, 2 ORDER BY _timeslice, etype""",
+    "q75_piped_json" ->
+      """WITH m AS (SELECT length(event_type)::BIGINT AS etype_len,
+             'cat-'||(user_id%5) AS sc, props AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         j AS (SELECT etype_len, message->>'$.k' AS kval FROM f
+               WHERE message->>'$.k' IS NOT NULL)
+         SELECT etype_len, count(*) AS _count, count(DISTINCT kval) AS n_k
+         FROM j WHERE TRY_CAST(kval AS DOUBLE) >= 10
+         GROUP BY 1 ORDER BY etype_len""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

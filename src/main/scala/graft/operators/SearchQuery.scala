@@ -128,6 +128,12 @@ object SearchQuery {
     * non-matching rows are dropped.
     */
   final case class ParseRegex(regex: String) extends Stage
+  /** `json field=message "$.a", "$.b" as x, y [nodrop]` — JSON-path
+    * extraction (string-valued, like the API). Default field is `message`;
+    * rows where every extraction is null are dropped unless `nodrop`.
+    */
+  final case class JsonStage(field: String, extracts: Seq[(String, String)],
+      nodrop: Boolean) extends Stage
   /** `where f >= 10` / `where f = "x"` / `where f matches "a*b"`. Numeric
     * comparisons cast both sides to double (non-numeric values become null
     * and fail the predicate, like the API's lenient typing).
@@ -169,7 +175,11 @@ object SearchQuery {
 
   private val DurationRe = "(\\d+)\\s*(ms|s|m|h|d)?".r
   private val WhereRe = "(?i)where\\s+(\\S+)\\s*(=|!=|>=|<=|>|<|matches)\\s*(.+)".r
-  private val AggFnRe = "(?i)(count|sum|avg|min|max)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
+  // count_distinct before count: the alternation must not leave a _distinct
+  // suffix unconsumed (regex pattern matches anchor the FULL agg spec)
+  private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
+  private val QuotedRe = "\"([^\"]*)\"".r
+  private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
 
   /** Parse one pipe stage. Grammar is the observed reference subset — anything
     * else is rejected with the offending stage named.
@@ -192,6 +202,21 @@ object SearchQuery {
       require(stars == names.length,
         s"parse pattern has $stars wildcards but ${names.length} names: $s")
       ParseAnchor(pattern, names, nodrop)
+    } else if (lower.startsWith("json ") || lower == "json") {
+      val field = JsonFieldRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("message")
+      val paths = QuotedRe.findAllMatchIn(s).map(_.group(1)).toSeq
+      require(paths.nonEmpty, s"json stage needs at least one quoted path: $s")
+      val lastQuote = s.lastIndexOf('"')
+      val after = s.substring(lastQuote + 1)
+      val nodrop = after.toLowerCase.contains("nodrop")
+      val asIdx = after.toLowerCase.indexOf(" as ")
+      val names =
+        if (asIdx < 0) paths.map(_.split("[.\\[\\]]").filter(_.nonEmpty).last)
+        else after.substring(asIdx + 4).replaceAll("(?i)\\bnodrop\\b", "")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(names.length == paths.length,
+        s"json stage has ${paths.length} paths but ${names.length} names: $s")
+      JsonStage(field, paths.zip(names), nodrop)
     } else if (lower.startsWith("where ")) {
       s match {
         case WhereRe(f, op, v) => WhereCmp(f, op.toLowerCase, stripQuotes(v.trim))
@@ -319,6 +344,13 @@ object SearchQuery {
           named.foldLeft(df.filter(msg.rlike(re))) { case (d, (name, idx)) =>
             d.withColumn(name, regexp_extract(msg, re, idx))
           }
+        case JsonStage(field, extracts, nodrop) =>
+          val base = extracts.foldLeft(df) { case (d, (path, name)) =>
+            d.withColumn(name, get_json_object(col(field), path))
+          }
+          if (nodrop) base
+          else base.filter(extracts.map { case (_, n) => col(n).isNotNull }
+            .reduce(_ || _))
         case WhereCmp(field, op, value) =>
           val c = col(field)
           val pred = op match {
@@ -344,6 +376,8 @@ object SearchQuery {
         case AggStage(aggs, by) =>
           val cols = aggs.map {
             case AggSpec("count", _, alias) => count(lit(1)).as(alias)
+            case AggSpec("count_distinct", Some(f), alias) =>
+              countDistinct(col(f)).as(alias)
             case AggSpec("sum", Some(f), alias) =>
               sum(col(f).try_cast("decimal(38,6)")).cast("double").as(alias)
             case AggSpec("avg", Some(f), alias) =>

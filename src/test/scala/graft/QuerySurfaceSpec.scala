@@ -132,6 +132,38 @@ class QuerySurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseStage("parse \"a=*\" as x, y"))
   }
 
+  test("Q1: json pipe stage — paths/names/field/nodrop parse and extraction") {
+    import SearchQuery._
+    // explicit names + field override
+    assert(parseStage("json field=body \"$.a.b\", \"$.c\" as ab, c nodrop") ==
+      JsonStage("body", Seq("$.a.b" -> "ab", "$.c" -> "c"), nodrop = true))
+    // default field + derived names (last path segment)
+    assert(parseStage("json \"$.user.id\"") ==
+      JsonStage("message", Seq("$.user.id" -> "id"), nodrop = false))
+    intercept[IllegalArgumentException](parseStage("json field=body"))
+    intercept[IllegalArgumentException](parseStage("json \"$.a\", \"$.b\" as only_one"))
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      """{"user":{"id":"u1"},"n":3}""",
+      """{"n":7}""",
+      "not json at all").toDF("message")
+    // drop semantics: rows where every extraction is null go away
+    val got = SearchQuery.compileStages(
+      parsePiped("* | json \"$.user.id\", \"$.n\" as uid, n").stages, "ts", "message")(df)
+      .select("uid", "n").as[(String, String)].collect().toSeq
+    assert(got == Seq(("u1", "3"), (null, "7")))
+    // nodrop keeps the unparseable row
+    assert(SearchQuery.compileStages(
+      parsePiped("* | json \"$.n\" nodrop").stages, "ts", "message")(df).count() == 3)
+    // count_distinct end-to-end
+    val cd = SearchQuery.compileStages(
+      parsePiped("* | json \"$.n\" | count_distinct(n) as kinds").stages,
+      "ts", "message")(df)
+      .select("kinds").as[Long].head()
+    assert(cd == 2L)
+  }
+
   test("Q1: compiled stages — parse drops vs nodrop, where, timeslice, count") {
     val s = spark
     import s.implicits._
