@@ -85,5 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => TextStats(es.head))
     fn(ext, "pii_redact", "pii_redact(text) - mask emails/keys/cards/SSNs/phones/IPs in one pass", 1)(
       es => PiiRedact(es.head))
+    fn(ext, "paragraphs", "paragraphs(text, n) - consecutive n-token paragraphs of the normalized text", 2)(
+      es => ParagraphSplit(es.head, intArg("paragraphs", "n", es(1))))
   }
 }

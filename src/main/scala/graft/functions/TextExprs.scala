@@ -296,6 +296,54 @@ case class TextStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Paragraph segmentation kernel — see [[ParagraphSplit]]. */
+object ParagraphImpl {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Consecutive `n`-token paragraphs of the normalized text: the loop form
+    * of `transform(sequence(0, ceil(len/n)-1), i -> concat_ws(" ",
+    * slice(tokens, i*n+1, n)))` over `split(lower(trim(s)), "\s+")` tokens —
+    * identical output including the degenerate case (split of an empty
+    * string yields one empty token ⇒ one empty paragraph, matching Spark's
+    * StringSplit).
+    */
+  def paragraphs(s: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(s.trim.toLowerCase.toString, -1)
+    val nPars = (toks.length + n - 1) / n
+    val out = new Array[Any](nPars)
+    var p = 0
+    while (p < nPars) {
+      val from = p * n
+      val until = math.min(from + n, toks.length)
+      val sb = new java.lang.StringBuilder(toks(from))
+      var i = from + 1
+      while (i < until) { sb.append(' ').append(toks(i)); i += 1 }
+      out(p) = UTF8String.fromString(sb.toString)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `paragraphs(string, n) -> array<string>` with whole-stage codegen: the
+  * fused tokenize → group-by-n → join pipeline feeding paragraph-level dedup
+  * (the composed HOF form pays interpreted per-paragraph dispatch for
+  * `transform`/`slice`/`concat_ws`).
+  */
+case class ParagraphSplit(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "paragraph token count must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "paragraphs"
+  override protected def nullSafeEval(input: Any): Any =
+    ParagraphImpl.paragraphs(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ParagraphImpl.paragraphs($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ParagraphSplit =
+    copy(child = newChild)
+}
+
 /** Single-pass PII redaction kernel — see [[PiiRedact]]. */
 object PiiImpl {
 

@@ -232,6 +232,25 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Consecutive n-token paragraphs of the normalized text — the segmentation
+    * step of paragraph-level dedup, as the codegen'd [[ParagraphSplit]] kernel
+    * (the composed [[paragraphsSql]] form pays interpreted per-paragraph
+    * dispatch in `transform`/`slice`/`concat_ws`). Bit-identical outputs,
+    * pinned by KernelParitySpec.
+    */
+  def paragraphs(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      ParagraphSplit(org.apache.spark.sql.GraftGlue.expression(c), n))
+
+  /** The HOF-composed form of [[paragraphs]] — the SQL-expressible parity
+    * reference (mirrors the DuckDB oracle's list-slicing form).
+    */
+  def paragraphsSql(c: Column, n: Int): Column =
+    let(tokens(c)) { t =>
+      transform(sequence(lit(0), floor((size(t) + (n - 1)) / n) - 1),
+        i => concat_ws(" ", slice(t, (i * n + 1).cast("int"), lit(n))))
+    }
+
   /** Rolling-hash document fingerprint over shingles (content-defined): the
     * minimum [[hash60]] shingle hash — robust to reordering of a few tokens.
     */

@@ -358,13 +358,11 @@ object Dedup {
     // occurrence" is a single min; par_idx < 1e6 ⇔ docs under 1e6·parTokens
     // tokens, and doc ids stay under Long.Max/1e6 (~9.2e12 docs).
     val OrdBase = 1000000L
-    val toks = graft.functions.TextFunctions.tokens(textCol)
     // `/` on Columns is double division — floor() it back to a long count
     def nPars(n: Column): Column = floor((n + (parTokens - 1)) / parTokens)
-    val pars = graft.functions.TextFunctions.let(toks) { t =>
-      transform(sequence(lit(0), nPars(size(t)) - 1),
-        i => concat_ws(" ", slice(t, (i * parTokens + 1).cast("int"), lit(parTokens))))
-    }
+    // codegen'd segmentation kernel (bit-identical to the HOF-composed
+    // TextFunctions.paragraphsSql, KernelParitySpec-pinned)
+    val pars = graft.functions.TextFunctions.paragraphs(textCol, parTokens)
     val exploded = df
       .select(idCol.as("doc_id"), posexplode(pars).as(Seq("par_idx", "par")))
       .withColumn("_ord", col("doc_id") * OrdBase + col("par_idx"))

@@ -234,6 +234,26 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("paragraphs kernel == HOF-composed transform/slice form (tricky + fuzz)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(9191)
+    def doc(): String =
+      (0 until rnd.nextInt(40)).map(_ => "tok" + rnd.nextInt(30))
+        .mkString(if (rnd.nextBoolean()) " " else "   ") +
+        (if (rnd.nextBoolean()) "  " else "")
+    val tricky = Seq("", " ", "one", "one two", "a b c d e f g h i j k",
+      "  leading and   irregular\tspace\n", "UPPER Case MiXeD")
+    val docs = (tricky ++ (0 until 200).map(_ => doc())).toDF("text")
+    for (n <- Seq(1, 3, 10)) {
+      val rows = docs.select(
+        TextFunctions.paragraphs(col("text"), n),
+        TextFunctions.paragraphsSql(col("text"), n), col("text"))
+        .as[(Seq[String], Seq[String], String)].collect()
+      rows.foreach { case (k, q, t) => assert(k == q, s"n=$n on <$t>") }
+    }
+  }
+
   test("pii_redact kernel == regexp_replace chain (corpus shapes + fuzz)") {
     val s = spark
     import s.implicits._
