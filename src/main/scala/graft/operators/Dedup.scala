@@ -273,19 +273,35 @@ object Dedup {
     */
   def clustersStar(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 30): DataFrame = {
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // Pin the frame and read its convergence signature from the SAME action:
+    // the (count, xor-of-hashes) metrics are observe()d on the frame the
+    // eager localCheckpoint materializes, so each round is ONE Spark job —
+    // with a direct (cheap, pinned-block) aggregate fallback if a future
+    // Spark stops reporting metrics for checkpoint actions. Same pattern as
+    // clustersPropagate's label sum.
+    def pinWithSig(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = e.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .localCheckpoint(true)
+      val m = org.apache.spark.sql.GraftGlue.observedOrEmpty(obs)
+      val sig = (m.get("n"), m.get("x")) match {
+        case (Some(n: Long), Some(x: Long)) => (n, x)
+        case _ =>
+          val r = pinned.agg(count(lit(1)),
+            coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+      }
+      (pinned, sig)
     }
     // localCheckpoint per round (not persist): each round's plan references
     // the previous frame several times — an uncut lineage grows the logical
     // plan exponentially (see clusters() note)
-    var edges = pairs
+    var (edges, cur) = pinWithSig(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    var cur = sig(edges)
+      .filter(col("u") =!= col("v")).distinct())
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -303,13 +319,11 @@ object Dedup {
       // small-star: every node rewires its (all smaller) neighbors — and
       // itself — to the minimum among them
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val ss = ls.join(ssMin, "u")
+      val (ss, next) = pinWithSig(ls.join(ssMin, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true)
-      val next = sig(ss)
+        .distinct())
       converged = next == cur
       cur = next
       edges.unpersist()
