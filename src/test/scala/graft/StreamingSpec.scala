@@ -213,6 +213,55 @@ class StreamingSpec extends SparkSpec {
     SearchJobs.delete(job.id)
   }
 
+  test("SURVEY §7.2 flagship slice: ingest → store → `| count by requestID` as query TEXT") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import graft.sinks.LogStore
+    import graft.operators.SearchJobs
+    val storeDir = mkTmp("flagship-store")
+    val input = MemoryStream[String]
+    input.addData(
+      envelope("svc-a", Seq(
+        "2024-03-01T10:00:00.000Z req-a-1-x-y INFO starting job", // console line
+        "working on it",                                          // T8 carry
+        "RequestId: req-a-2-z-w Status: done")),                  // report line
+      envelope("svc-b", Seq(
+        "no id yet",                                              // nothing to carry
+        "2024-03-01T11:00:00.000Z req-b-1-q-r ERROR boom")))
+    val q = input.toDF().withColumnRenamed("value", "data").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val records = graft.operators.CwlPipeline(batch, col("data"))
+          val derived = graft.operators.Metadata.derive(records,
+            graft.operators.Metadata.MetaConfig(sourceCategoryOverride = "prod/app"))
+            .withColumn("ts", timestamp_millis(col("timestamp")))
+          LogStore.append(derived, storeDir, col("ts"))
+        }
+        ()
+      }
+      .option("checkpointLocation", mkTmp("flagship-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the blueprint's end-to-end query, passed as ONE string — predicate half
+    // drives the messages flavor, the pipe stage compiles into records
+    val job = SearchJobs.createPiped(LogStore.open(s, storeDir),
+      "_sourceCategory=prod/app | count by requestID",
+      lit("2023-01-01").cast("timestamp"), lit("2024-06-01").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    assert(job.messageCount == 5)
+    val recs = job.records(10, 0)
+      .select("requestID", "_count").as[(String, Long)].collect().toSeq
+    assert(recs == Seq(
+      (null, 1L),             // the pre-id svc-b line
+      ("req-a-1-x-y", 2L),    // console line + carried follow-up
+      ("req-a-2-z-w", 1L),    // report line takes over
+      ("req-b-1-q-r", 1L)))
+    SearchJobs.delete(job.id)
+  }
+
   test("S2 e2e: kinesis shard-dump stream → decode chain → store → search") {
     val s = spark
     import s.implicits._
