@@ -185,7 +185,11 @@ object Dedup {
     */
   def clustersPropagate(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    // Pin the pair list BEFORE symmetrizing: the union references the edge
+    // frame twice, and an unpinned reference would execute the caller's
+    // whole pair-generation DAG (the MinHash verify join) once per branch.
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
     val sym = edges.union(edges.select(col("b"), col("a"))).distinct()
     val nodes = sym.select(col("a").as("node")).distinct()
     // Neighborhood-with-self edge table, persisted once: the self edge lets
