@@ -364,7 +364,11 @@ object Dedup {
     * `kept_text`).
     *
     * Scale shape: one shuffle on the paragraph fingerprint (first-occurrence
-    * window), one shuffle back on doc id (reassembly). Both keys are
+    * window), one shuffle back on doc id (the combined count + reassembly
+    * aggregate). The input is scanned ONCE — `n_pars` comes from the same
+    * exploded frame (every document yields ≥1 paragraph, so no doc is lost),
+    * not a join back to the caller's plan, which would re-execute the
+    * upstream chain for the second reference. Both keys are
     * high-cardinality; nothing is quadratic in corpus size, and a hot
     * boilerplate paragraph skews only the tiny fingerprint-window side, not
     * the reassembly.
@@ -376,8 +380,6 @@ object Dedup {
     // occurrence" is a single min; par_idx < 1e6 ⇔ docs under 1e6·parTokens
     // tokens, and doc ids stay under Long.Max/1e6 (~9.2e12 docs).
     val OrdBase = 1000000L
-    // `/` on Columns is double division — floor() it back to a long count
-    def nPars(n: Column): Column = floor((n + (parTokens - 1)) / parTokens)
     // codegen'd segmentation kernel (bit-identical to the HOF-composed
     // TextFunctions.paragraphsSql, KernelParitySpec-pinned)
     val pars = graft.functions.TextFunctions.paragraphs(textCol, parTokens)
@@ -385,21 +387,18 @@ object Dedup {
       .select(idCol.as("doc_id"), posexplode(pars).as(Seq("par_idx", "par")))
       .withColumn("_ord", col("doc_id") * OrdBase + col("par_idx"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("par")))
-    val kept = exploded
+    // collect_list skips nulls, so the conditional struct keeps only first
+    // occurrences while count(*) still sees every paragraph of the doc
+    exploded
       .withColumn("_first", min(col("_ord")).over(w))
-      .filter(col("_ord") === col("_first"))
-    val reassembled = kept
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
+      .agg(
+        count(lit(1)).as("n_pars"),
+        count(when(col("_ord") === col("_first"), lit(1))).as("n_kept"),
         concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("par_idx"), col("par")))),
+          array_sort(collect_list(
+            when(col("_ord") === col("_first"), struct(col("par_idx"), col("par"))))),
           s => s.getField("par"))).as("kept_text"))
-    df.select(idCol.as("doc_id"),
-        nPars(graft.functions.TextFunctions.tokenCount(textCol)).as("n_pars"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_pars"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
   /** Embedding-cosine near-dup pairs within blocks (e.g. a cluster/label
