@@ -802,7 +802,11 @@ object SparkEntry {
         .withColumn("lang_guess", col("_st.lang_guess"))
         .withColumn("quality", col("_st.quality"))
         .drop("_st")
+      // pin the gate output: it feeds BOTH the minhash pair branch and the
+      // final anti-join left side — unpinned, the scan+textStats chain runs
+      // once per reference (the 100 TB shape lands the gate output too)
       val eligible = d.filter(col("lang_guess") === "en" && col("quality") >= 0.5)
+        .localCheckpoint(true)
       val pairs = graft.operators.Dedup.minhashPairs(
         eligible, col("doc_id"), col("text"), threshold = 0.5)
       val dropIds = pairs.select(col("doc_b").as("doc_id")).distinct()
