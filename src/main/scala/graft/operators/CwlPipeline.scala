@@ -124,17 +124,19 @@ object CwlPipeline {
         carried, "_msg_final", trim(col("message")))
       .drop("message")
       .withColumnRenamed("_msg_final", "message")
-    // Speculative parse, first-char-gated: a trimmed JSON value can only
-    // start with one of these chars, so gating is EXACTLY equivalent to a
-    // bare try_parse_json — and non-JSON log lines (the overwhelming case)
-    // skip the parse attempt entirely. try_parse_json's failure path burns
-    // ~8 µs/row in thrown-and-caught parse exceptions; the ungated form was
-    // the single largest cost in the streaming ingest chain (stage
-    // attribution: +0.84 s of a 2.1 s pipeline on 100k events).
+    // Speculative parse, first-char-gated: after stripping JSON's own
+    // whitespace class (space/tab/LF/CR — Spark's trim only strips spaces),
+    // a JSON value can only start with one of these chars, so gating is
+    // EXACTLY equivalent to a bare try_parse_json — and non-JSON log lines
+    // (the overwhelming case) skip the parse attempt entirely.
+    // try_parse_json's failure path burns ~8 µs/row in thrown-and-caught
+    // parse exceptions; the ungated form was the single largest cost in the
+    // streaming ingest chain (stage attribution: +0.84 s of a 2.1 s
+    // pipeline on 100k events).
     val jsonStart = Seq("{", "[", "\"", "t", "f", "n", "-") ++ (0 to 9).map(_.toString)
     val parsed = finished
       .withColumn("message_json",
-        when(substring(col("message"), 1, 1).isin(jsonStart: _*),
+        when(substring(ltrim(col("message"), " \t\n\r"), 1, 1).isin(jsonStart: _*),
           try_parse_json(col("message"))))
 
     val projected = {

@@ -53,10 +53,11 @@ object Metadata {
     // parse runs behind a Generate barrier: six downstream references (four
     // overrides, the presence test, the re-serialization) would otherwise
     // re-parse each message per reference. First-char-gated: only a
-    // '{'-leading message can parse into a map, so the gate is exactly
-    // equivalent — and the (typical) non-JSON message skips the parse
-    // attempt's thrown-and-caught exception entirely.
-    val asMap = when(substring(ltrim(col("message")), 1, 1) === "{",
+    // '{'-leading message (after JSON's whitespace class — space/tab/LF/CR;
+    // Spark's ltrim default strips spaces only) can parse into a map, so the
+    // gate is exactly equivalent — and the (typical) non-JSON message skips
+    // the parse attempt's thrown-and-caught exception entirely.
+    val asMap = when(substring(ltrim(col("message"), " \t\n\r"), 1, 1) === "{",
       from_json(col("message"), MapType(StringType, VariantType)))
     val withMap = graft.functions.ExprUtils.materialized(df, "_msg_map", asMap)
     val meta = element_at(col("_msg_map"), "_sumo_metadata")

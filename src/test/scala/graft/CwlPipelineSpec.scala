@@ -72,6 +72,18 @@ class CwlPipelineSpec extends SparkSpec {
     assert(parsed.map(_.getLong(0)).toSeq == Seq(42L))
   }
 
+  test("JSON parse gate: whitespace-led JSON still parses (gate == bare try_parse_json)") {
+    // the first-char gate must strip JSON's own whitespace class (tab/LF/CR,
+    // which Spark's trim does NOT remove) before testing the lead character
+    val env = envelope("DATA_MESSAGE", "testLogStream", Seq(
+      ("w1", 1440442987000L, "\t{\"wsj\":9}"),   // tab-led JSON object
+      ("w2", 1440442988000L, "plain text line")))
+    val out = CwlPipeline(df(Seq(wire(env)), "data"), col("data"), CwlPipeline.Config())
+    val parsed = out.filter(col("message_json").isNotNull)
+      .select(expr("cast(variant_get(message_json, '$.wsj') as long)")).collect()
+    assert(parsed.map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("logStream prefix filter (F2) is case-insensitive CSV alternation") {
     val cfg = CwlPipeline.Config(logStreamPrefix = Some("TESTLOG,unused"))
     val out = run(cfg)
