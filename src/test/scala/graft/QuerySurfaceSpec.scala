@@ -222,6 +222,30 @@ class QuerySurfaceSpec extends SparkSpec {
     SearchJobs.delete(job.id)
   }
 
+  test("Q1: createPiped edge paths — stage errors throw at create; bare query has no records") {
+    import graft.operators.SearchJobs
+    val s = spark
+    import s.implicits._
+    val df = Seq(("2024-03-01 00:10:00", "cat-a", "evt one"))
+      .toDF("ts_s", "source_category", "message")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("source_category"),
+        col("message"))
+    // an unsupported stage fails fast at create time, naming the stage
+    val ex = intercept[IllegalArgumentException](SearchJobs.createPiped(df,
+      "error | explode everything",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message")))
+    assert(ex.getMessage.contains("explode everything"))
+    // predicate-only query: messages flavor works, records flavor rejects
+    val job = SearchJobs.createPiped(df, "_sourceCategory=cat-a",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    assert(job.messageCount == 1)
+    intercept[IllegalArgumentException](job.records(10, 0))
+    SearchJobs.delete(job.id)
+  }
+
   test("Q5: duplicate FER names merge by OR-ing scopes, first parse wins") {
     val rules = Seq(
       Fer.Rule("f", col("t") === "a", _ => lit("first")),
