@@ -306,6 +306,7 @@ object Dedup {
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct())
+    val trace = sys.env.contains("SPARK_GRAFT_CC_LOG")
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -333,6 +334,8 @@ object Dedup {
       edges.unpersist()
       edges = ss
       it += 1
+      if (trace) Console.err.println(
+        s"[clustersStar] round $it: edges=${next._1} (converged=$converged)")
     }
     if (!converged) {
       edges.unpersist()
