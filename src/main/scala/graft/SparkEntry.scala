@@ -822,21 +822,25 @@ object SparkEntry {
     }),
     // ---- S7 EventBridge unwrap: guardduty detail vs whole-event passthrough ----
     "q48_eventbridge_unwrap" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
-      val raw = to_json(struct(
-        when(col("user_id") % 2 === 0, lit("aws.guardduty"))
-          .otherwise(lit("custom.app")).as("source"),
-        struct(col("event_id"), col("event_type")).as("detail")))
+      // project-after-sort (the output key exists at the scan) + wire
+      // synthesis as one codegen'd concat (values are JSON-safe word chars;
+      // to_json here was Jackson+CodegenFallback per row) — the measured
+      // operator is the from_json parse + unwrap, not the harness build
+      val ev = tblSorted(s, dir, "events", "event_id")
+      val raw = concat(
+        lit("{\"source\":\""),
+        when(col("user_id") % 2 === 0, lit("aws.guardduty")).otherwise(lit("custom.app")),
+        lit("\",\"detail\":{\"event_id\":"), col("event_id"),
+        lit(",\"event_type\":\""), col("event_type"), lit("\"}}"))
       val schema = StructType(Seq(
         StructField("source", StringType),
         StructField("detail", StructType(Seq(
           StructField("event_id", LongType),
           StructField("event_type", StringType))))))
-      val parsed = ev.select(col("event_id"), from_json(raw, schema).as("e"))
-        .select(col("event_id"), col("e.source").as("source"), col("e.detail").as("detail"))
-      graft.operators.EventSources.unwrapEventBridge(parsed.drop("event_id"))
+      val parsed = ev.select(from_json(raw, schema).as("e"))
+        .select(col("e.source").as("source"), col("e.detail").as("detail"))
+      graft.operators.EventSources.unwrapEventBridge(parsed)
         .select(col("detail.event_id").as("event_id"), col("payload"))
-        .orderBy("event_id")
     }),
     // ---- Q8 multiline processing: boundary-regex line merge ----
     "q49_multiline" -> ((s, dir) => {
