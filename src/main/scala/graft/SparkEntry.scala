@@ -419,20 +419,23 @@ object SparkEntry {
         StructField("finding_time", StringType), StructField("resource_type", StringType),
         StructField("resource_id", StringType), StructField("title", StringType),
         StructField("aws_account_id", StringType)))
-      val body = to_json(struct(
-        lit("Software and Configuration Checks").as("Types"),
-        lit("desc").as("Description"),
-        concat(lit("gen-"), col("user_id") % 3).as("GeneratorID"),
-        (col("event_id") % 101).cast("string").as("Severity"),
-        lit("http://src").as("SourceUrl"),
+      // wire synthesis as ONE codegen'd concat with the embedded Rows JSON
+      // hand-escaped (all values are JSON-safe word chars / digits) — the
+      // nested to_json calls here were Jackson+CodegenFallback per row; the
+      // measured operator is the S10 double parse, not the harness build
+      val body = concat(
+        lit("{\"Types\":\"Software and Configuration Checks\"," +
+          "\"Description\":\"desc\",\"GeneratorID\":\"gen-"), col("user_id") % 3,
+        lit("\",\"Severity\":\""), (col("event_id") % 101).cast("string"),
+        lit("\",\"SourceUrl\":\"http://src\",\"ComplianceStatus\":\""),
         element_at(array(lit("PASSED"), lit("WARNING"), lit("FAILED"),
-          lit("NOT_AVAILABLE")), (col("event_id") % 4 + 1).cast("int"))
-          .as("ComplianceStatus"),
-        to_json(array(struct(
-          unix_seconds(col("ts")).cast("string").as("finding_time"),
-          lit("AwsEc2Instance").as("resource_type"),
-          concat(lit("i-"), col("user_id")).as("resource_id"),
-          col("event_type").as("title")))).as("Rows")))
+          lit("NOT_AVAILABLE")), (col("event_id") % 4 + 1).cast("int")),
+        lit("\",\"Rows\":\"[{\\\"finding_time\\\":\\\""),
+        unix_seconds(col("ts")).cast("string"),
+        lit("\\\",\\\"resource_type\\\":\\\"AwsEc2Instance\\\"," +
+          "\\\"resource_id\\\":\\\"i-"), col("user_id"),
+        lit("\\\",\\\"title\\\":\\\""), col("event_type"),
+        lit("\\\"}]\"}"))
       val req = SecurityHub.parseRequest(
         tbl(s, dir, "events").select(col("event_id"), body.as("body")),
         col("body"), rowSchema)
