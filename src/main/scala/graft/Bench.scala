@@ -123,8 +123,14 @@ object Bench {
       drainSession(spark)
       try { run() } catch { case _: Throwable => () }
       // a crashing query records -1, not its time-to-failure — a regression
-      // that throws must not read as a fast success in the round compare
+      // that throws must not read as a fast success in the round compare.
+      // Drain BETWEEN the timed runs too: the checkpoint-heavy iterative
+      // queries otherwise leave each run's pinned blocks for ContextCleaner
+      // to race with the next run, which swung identical-code medians 2-3×
+      // (q45 measured 1.9 s and 5.1 s across bench invocations); with i.i.d.
+      // runs the median is a property of the query, not of cleaner timing.
       val times = (1 to 3).map { _ =>
+        drainSession(spark)
         val t0 = System.nanoTime()
         try { run(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
