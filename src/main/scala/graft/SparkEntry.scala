@@ -517,7 +517,7 @@ object SparkEntry {
           col("ts") < lit("2024-03-01").cast("timestamp"))
         .filter(SearchQuery.compile(piped.terms, col("message")))
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
-        .orderBy(SearchQuery.recordsOrderBy(piped.stages).map(col): _*)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
     // ---- json pipe stage: JSON-path extraction + count_distinct through
     //      the full string query API ----
@@ -535,7 +535,7 @@ object SparkEntry {
           col("ts") < lit("2024-03-01").cast("timestamp"))
         .filter(SearchQuery.compile(piped.terms, col("message")))
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
-        .orderBy(SearchQuery.recordsOrderBy(piped.stages).map(col): _*)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {

@@ -384,8 +384,13 @@ object Dedup {
     // tokens, and doc ids stay under Long.Max/1e6 (~9.2e12 docs).
     val OrdBase = 1000000L
     // codegen'd segmentation kernel (bit-identical to the HOF-composed
-    // TextFunctions.paragraphsSql, KernelParitySpec-pinned)
-    val pars = graft.functions.TextFunctions.paragraphs(textCol, parTokens)
+    // TextFunctions.paragraphsSql, KernelParitySpec-pinned). NULL text
+    // coalesces to "" BEFORE segmentation: paragraphs(null) is null and
+    // posexplode would drop the row, silently erasing the document from the
+    // per-doc output — "" instead yields one empty paragraph, so the doc
+    // survives with n_pars=1 (and dedups against other empty docs).
+    val pars = graft.functions.TextFunctions.paragraphs(
+      coalesce(textCol, lit("")), parTokens)
     val exploded = df
       .select(idCol.as("doc_id"), posexplode(pars).as(Seq("par_idx", "par")))
       .withColumn("_ord", col("doc_id") * OrdBase + col("par_idx"))

@@ -75,8 +75,8 @@ object Multimodal {
       (w, h, c, len.toLong * 3)
     }
 
-    /** ??? real impl: pixel decode + pooled embedding. Deterministic fake:
-      * 16-bin byte histogram, L1-normalized.
+    /** Deterministic fake: 16-bin byte histogram, L1-normalized. Real pixel
+      * decode lives in [[ImageIoCodec.features]] (luma histogram).
       */
     def features(content: Array[Byte], bins: Int = 16): Array[Float] = {
       val counts = new Array[Float](bins)
@@ -86,8 +86,9 @@ object Multimodal {
       counts.map(_ / n)
     }
 
-    /** ??? real impl: pixel-space rescale. Deterministic fake: byte-domain
-      * nearest-neighbor resample to the target "pixel" budget (w*h*channels).
+    /** Deterministic fake: byte-domain nearest-neighbor resample to the
+      * target "pixel" budget (w*h*channels). Real pixel-space rescale lives
+      * in [[ImageIoCodec.resize]].
       */
     def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
       if (content == null || content.isEmpty) return Array.emptyByteArray
@@ -101,8 +102,9 @@ object Multimodal {
       out
     }
 
-    /** ??? real impl: codec-aware frame seek. Deterministic fake: n evenly
-      * spaced byte-slices standing in for frames.
+    /** Deterministic fake: n evenly spaced byte-slices standing in for
+      * frames. Real frame extraction lives in [[ImageIoCodec.sampleFrames]]
+      * (horizontal bands — still images have no time axis).
       */
     def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] = {
       if (content == null || content.isEmpty || n <= 0) return Seq.empty
@@ -129,11 +131,16 @@ object Multimodal {
         new java.io.ByteArrayInputStream(content)))
       catch { case _: Exception => None }
 
-    private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream(4096)
-      javax.imageio.ImageIO.write(img, "png", bos)
-      bos.toByteArray
-    }
+    private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] =
+      try {
+        val bos = new java.io.ByteArrayOutputStream(4096)
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      } catch {
+        // the Codec contract is TOTAL — a propagated IOException here would
+        // fail the whole Spark task for one bad record at scale
+        case _: Exception => Array.emptyByteArray
+      }
 
     /** Header-only decode — the 100 TB shape: dimensions and component count
       * come from the format reader without materializing pixels.
@@ -189,7 +196,11 @@ object Multimodal {
       * output color model (4 → ARGB, else RGB).
       */
     def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] =
-      read(content) match {
+      // non-positive target dims would throw from the BufferedImage
+      // constructor — malformed INPUTS (bad bytes OR bad params) yield
+      // empty, per the total-Codec contract
+      if (w <= 0 || h <= 0) Array.emptyByteArray
+      else read(content) match {
         case None => Array.emptyByteArray
         case Some(img) =>
           val t = if (channels >= 4) java.awt.image.BufferedImage.TYPE_INT_ARGB

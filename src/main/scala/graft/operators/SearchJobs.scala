@@ -30,9 +30,17 @@ object SearchJobs {
 
   /** Aggregated `records` flavor of a job: the transform applied to the
     * filtered messages (the `| count by X` half of a Sumo query), plus the
-    * stable pagination order for the aggregated schema.
+    * stable pagination order for the aggregated schema as
+    * `(key, descending)` pairs — an explicit `sort by x desc` in the query
+    * must page records in that order, not silently ascending.
     */
-  final case class RecordsSpec(transform: DataFrame => DataFrame, orderBy: Seq[String])
+  final case class RecordsSpec(transform: DataFrame => DataFrame,
+      orderBy: Seq[(String, Boolean)])
+
+  /** Ascending-order convenience for callers without a `sort by` stage. */
+  def recordsSpecAsc(transform: DataFrame => DataFrame,
+      orderBy: Seq[String]): RecordsSpec =
+    RecordsSpec(transform, orderBy.map((_, false)))
 
   /** Rows per rank bucket — one page directory holds this many ranks, so a
     * limit ≤ bucket touches at most two directories.
@@ -59,9 +67,9 @@ object SearchJobs {
     * executor re-runs the job (search jobs are idempotent), matching the
     * reference's poll-and-retry contract.
     */
-  private def materializePaged(df: DataFrame, orderBy: Seq[String],
+  private def materializePaged(df: DataFrame, orderBy: Seq[(String, Boolean)],
       path: String): Long = {
-    val keys = orderBy.map(col)
+    val keys = SearchQuery.sortColumns(orderBy)
     val sorted = df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     try {
@@ -109,7 +117,7 @@ object SearchJobs {
         val df = resultOf()
         spark = df.sparkSession
         emptyMessages = df.limit(0)
-        count = materializePaged(df, orderBy, s"$jobDir/messages")
+        count = materializePaged(df, orderBy.map((_, false)), s"$jobDir/messages")
         recordsSpec.foreach { spec =>
           if (count == 0) {
             emptyRecords = spec.transform(emptyMessages).limit(0)

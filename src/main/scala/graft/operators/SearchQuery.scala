@@ -153,24 +153,55 @@ object SearchQuery {
   /** A parsed full query: predicate terms + pipe stages. */
   final case class Piped(terms: Seq[Term], stages: Seq[Stage])
 
-  /** Split on `|` outside double quotes (patterns/regexes may contain pipes). */
+  /** Split on `|` outside double quotes (patterns/regexes may contain pipes).
+    * A backslash-preceded quote (`\"` inside a `parse regex` pattern) does
+    * NOT flip the in-quote state — without escape tracking a later `|`
+    * inside the pattern would split the stage and silently mis-parse.
+    */
   private[graft] def splitPipes(query: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQ = false
-    query.foreach {
-      case '"' => inQ = !inQ; cur += '"'
-      case '|' if !inQ => out += cur.result(); cur.clear()
-      case c => cur += c
+    var esc = false
+    query.foreach { c =>
+      if (esc) { cur += c; esc = false }
+      else c match {
+        case '\\' => cur += '\\'; esc = true
+        case '"' => inQ = !inQ; cur += '"'
+        case '|' if !inQ => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
     }
+    require(!inQ, s"unbalanced double quote in query: $query")
     out += cur.result()
     out.result().map(_.trim)
   }
 
-  private def firstQuoted(s: String): String = {
-    val i = s.indexOf('"'); val j = s.indexOf('"', i + 1)
+  /** `(start, end)` indices of the first unescaped-double-quote pair in `s`
+    * (exclusive of the quotes). Escape-aware for the same reason as
+    * [[splitPipes]]: `\"` inside a pattern is content, not a delimiter.
+    */
+  private def quotedSpan(s: String): (Int, Int) = {
+    def nextUnescaped(from: Int): Int = {
+      var i = from
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => i += 2
+          case '"' => return i
+          case _ => i += 1
+        }
+      }
+      -1
+    }
+    val i = nextUnescaped(0)
+    val j = if (i < 0) -1 else nextUnescaped(i + 1)
     require(i >= 0 && j > i, s"expected a double-quoted string in: $s")
-    s.substring(i + 1, j)
+    (i + 1, j)
+  }
+
+  private def firstQuoted(s: String): String = {
+    val (i, j) = quotedSpan(s)
+    s.substring(i, j)
   }
 
   private val DurationRe = "(\\d+)\\s*(ms|s|m|h|d)?".r
@@ -190,8 +221,9 @@ object SearchQuery {
     if (lower.startsWith("parse regex ")) {
       ParseRegex(firstQuoted(s))
     } else if (lower.startsWith("parse ")) {
-      val pattern = firstQuoted(s)
-      val after = s.substring(s.indexOf('"', s.indexOf('"') + 1) + 1)
+      val (pStart, pEnd) = quotedSpan(s)
+      val pattern = s.substring(pStart, pEnd)
+      val after = s.substring(pEnd + 1)
       val nodrop = after.toLowerCase.contains("nodrop")
       val asIdx = after.toLowerCase.indexOf(" as ")
       require(asIdx >= 0, s"parse stage needs 'as name[, name…]': $s")
@@ -240,10 +272,12 @@ object SearchQuery {
     } else if (lower.startsWith("fields ")) {
       FieldsStage(s.substring("fields ".length).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     } else if (lower.startsWith("sort by ")) {
+      // bare `sort by x` is DESCENDING (the reference language's default);
+      // only an explicit `asc` flips a key ascending
       SortStage(s.substring("sort by ".length).split(",").map(_.trim).filter(_.nonEmpty)
         .map { k =>
-          val desc = k.toLowerCase.endsWith(" desc")
-          (k.replaceAll("(?i)\\s+(asc|desc)$", ""), desc)
+          val asc = k.toLowerCase.endsWith(" asc")
+          (k.replaceAll("(?i)\\s+(asc|desc)$", ""), !asc)
         }.toSeq)
     } else {
       // aggregation stage: `aggspec[, aggspec…] [by f1, f2]`
@@ -293,18 +327,24 @@ object SearchQuery {
 
   /** `(name, capturing-group index)` for each named group, in order. Group
     * numbers count ALL capturing groups: `(` not followed by `?`, plus the
-    * named form `(?<name>` itself (an escaped `\(` is a literal).
+    * named form `(?<name>` itself (an escaped `\(` is a literal). A `(`
+    * inside a character class (`[(]`, `[^)(]`) is a literal too — the scan
+    * tracks class nesting depth (Java classes nest: `[a[b]]` is a union) so
+    * such patterns don't shift every subsequent group index.
     */
   private[graft] def namedGroups(re: String): Seq[(String, Int)] = {
     val out = Seq.newBuilder[(String, Int)]
     var idx = 0
     var i = 0
+    var cls = 0 // character-class nesting depth — groups only count at 0
     while (i < re.length) {
       re.charAt(i) match {
         case '\\' => i += 1 // skip escaped char
-        case '(' if i + 1 >= re.length || re.charAt(i + 1) != '?' =>
+        case '[' => cls += 1
+        case ']' if cls > 0 => cls -= 1
+        case '(' if cls == 0 && (i + 1 >= re.length || re.charAt(i + 1) != '?') =>
           idx += 1
-        case '(' if re.startsWith("(?<", i) && i + 3 < re.length &&
+        case '(' if cls == 0 && re.startsWith("(?<", i) && i + 3 < re.length &&
             re.charAt(i + 3) != '=' && re.charAt(i + 3) != '!' =>
           idx += 1 // named group (not a lookbehind)
           val end = re.indexOf('>', i + 3)
@@ -394,15 +434,22 @@ object SearchQuery {
     }
   }
 
-  /** The stable records-pagination order a stage list implies: an explicit
-    * `sort by`, else the last aggregation's group keys, else its aggregate
-    * aliases (global aggregates have one row — any key is stable).
+  /** The stable records-pagination order a stage list implies, as
+    * `(key, descending)` pairs: an explicit `sort by` (direction honored —
+    * bare keys descend, the reference default), else the last aggregation's
+    * group keys ascending, else its aggregate aliases ascending (global
+    * aggregates have one row — any key is stable).
     */
-  def recordsOrderBy(stages: Seq[Stage]): Seq[String] =
+  def recordsOrderBy(stages: Seq[Stage]): Seq[(String, Boolean)] =
     stages.reverse.collectFirst {
-      case SortStage(keys) => keys.map(_._1)
-      case AggStage(aggs, by) => if (by.nonEmpty) by else aggs.map(_.alias)
+      case SortStage(keys) => keys
+      case AggStage(aggs, by) =>
+        (if (by.nonEmpty) by else aggs.map(_.alias)).map((_, false))
     }.getOrElse(Seq.empty)
+
+  /** `(key, descending)` pairs → sort `Column`s. */
+  def sortColumns(orderBy: Seq[(String, Boolean)]): Seq[Column] =
+    orderBy.map { case (k, desc) => if (desc) col(k).desc else col(k) }
 
   /** Global contiguous rank (1-based, consistent with `orderBy`) WITHOUT a
     * single-partition window: the naive `row_number().over(Window.orderBy(…))`

@@ -94,7 +94,7 @@ class QuerySurfaceSpec extends SparkSpec {
       "2024-03-01 00:00:00", "2024-03-02 00:00:00", "America/New_York",
       byReceiptTime = true, col("ts"), col("receipt_ts"), col("message"),
       orderBy = Seq("message"),
-      records = Some(SearchJobs.RecordsSpec(
+      records = Some(SearchJobs.recordsSpecAsc(
         d => d.groupBy("source_category").agg(count(lit(1)).as("cnt")),
         orderBy = Seq("source_category"))))
     assert(SearchJobs.await(byReceipt) == SearchJobs.DoneGatheringResults)
@@ -121,13 +121,29 @@ class QuerySurfaceSpec extends SparkSpec {
       AggStage(Seq(AggSpec("count", None, "_count"),
         AggSpec("sum", Some("latency"), "total_lat")), Seq("_timeslice", "a")),
       FieldsStage(Seq("_timeslice", "a", "_count", "total_lat")),
-      SortStage(Seq(("_timeslice", false), ("a", true)))))
-    assert(recordsOrderBy(p.stages) == Seq("_timeslice", "a"))
+      // bare `sort by` keys DESCEND (the reference default); only an
+      // explicit `asc` flips one ascending
+      SortStage(Seq(("_timeslice", true), ("a", true)))))
+    assert(recordsOrderBy(p.stages) == Seq(("_timeslice", true), ("a", true)))
+    val mixed = parseStage("sort by _count desc, a asc, b")
+    assert(mixed == SortStage(Seq(("_count", true), ("a", false), ("b", true))))
+    // without a sort stage the agg group keys page ascending
+    assert(recordsOrderBy(Seq(AggStage(Seq(AggSpec("count", None, "_count")),
+      Seq("k")))) == Seq(("k", false)))
     // a pipe inside a quoted pattern must not split the stage
     val q = parsePiped("err | parse regex \"(?<sev>INFO|WARN|ERROR)\"")
     assert(q.stages == Seq(ParseRegex("(?<sev>INFO|WARN|ERROR)")))
+    // an escaped quote inside the pattern must not flip the quote state —
+    // the pipe after it is still inside the stage
+    val esc = parsePiped("err | parse regex \"(?<q>\\\"[^\\\"]*\\\")|(?<bare>\\w+)\"")
+    assert(esc.stages == Seq(ParseRegex("(?<q>\\\"[^\\\"]*\\\")|(?<bare>\\w+)")))
+    intercept[IllegalArgumentException](splitPipes("err | parse \"unbalanced"))
     // named-group indexing counts unnamed capturing groups too
     assert(namedGroups("(a)(?<x>b)(?:c)(?<y>d)") == Seq(("x", 2), ("y", 3)))
+    // a literal '(' inside a character class is NOT a capturing group —
+    // class-aware scanning keeps subsequent group indices right
+    assert(namedGroups("[(](a)(?<x>b)") == Seq(("x", 2)))
+    assert(namedGroups("[^)(]*(?<x>b)[)](?<y>c)") == Seq(("x", 1), ("y", 2)))
     intercept[IllegalArgumentException](parseStage("explode everything"))
     intercept[IllegalArgumentException](parseStage("parse \"a=*\" as x, y"))
   }
@@ -220,6 +236,25 @@ class QuerySurfaceSpec extends SparkSpec {
       .select("etype", "_count").as[(String, Long)].collect().toSeq
     assert(recs == Seq(("click", 1L), ("login", 1L))) // ordered by group key
     SearchJobs.delete(job.id)
+
+    // an explicit `sort by` in the query drives records pagination order —
+    // and a BARE sort key descends (the reference default), so the pages
+    // come back highest-count-first without any `desc` keyword
+    val sorted = SearchJobs.createPiped(df,
+      "_sourceCategory=cat-a | parse \"evt * user=* latency=*\" as etype, u, lat" +
+        " | count by etype | sort by _count",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"))
+    assert(SearchJobs.await(sorted) == SearchJobs.DoneGatheringResults)
+    val desc = sorted.records(10, 0)
+      .select("etype", "_count").as[(String, Long)].collect().toSeq
+    assert(desc == Seq(("login", 2L), ("click", 1L)))
+    // page boundaries respect the descending order too
+    assert(sorted.records(1, 0).select("etype").as[String].collect().toSeq ==
+      Seq("login"))
+    assert(sorted.records(1, 1).select("etype").as[String].collect().toSeq ==
+      Seq("click"))
+    SearchJobs.delete(sorted.id)
   }
 
   test("Q1: createPiped edge paths — stage errors throw at create; bare query has no records") {

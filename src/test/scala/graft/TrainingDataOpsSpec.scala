@@ -394,6 +394,10 @@ class TrainingDataOpsSpec extends SparkSpec {
       assert(Multimodal.decodeBatched(junk)
         .select(col("meta.width")).as[Int].head() == 0)
       assert(Multimodal.sampleFrames(junk, col("content"), 3).count() == 0)
+      // total on bad PARAMS too: non-positive target dims yield empty bytes
+      // instead of throwing from the BufferedImage constructor
+      assert(Multimodal.ImageIoCodec.resize(png(0), 0, 8, 3).isEmpty)
+      assert(Multimodal.ImageIoCodec.resize(png(0), 8, -1, 3).isEmpty)
     } finally s.conf.set("spark.graft.multimodal.codec", "fake")
   }
 
@@ -419,13 +423,16 @@ class TrainingDataOpsSpec extends SparkSpec {
     import s.implicits._
     // 4-token paragraphs: doc 0 = [A, B], doc 1 = [B, C] (B repeats), doc 2 = [A]
     val a = "a1 a2 a3 a4"; val b = "b1 b2 b3 b4"; val c = "c1 c2 c3 c4"
-    val in = Seq((0L, s"$a $b"), (1L, s"$b $c"), (2L, a)).toDF("doc_id", "text")
+    val in = Seq((0L, s"$a $b"), (1L, s"$b $c"), (2L, a),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = Dedup.paragraphDedup(in, col("doc_id"), col("text"), parTokens = 4)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 4) // the null-text doc must not vanish from the output
     assert(out(0L) == ((2L, 2L, s"$a $b")))
     assert(out(1L) == ((2L, 1L, c))) // b already seen in doc 0
     assert(out(2L) == ((1L, 0L, ""))) // a already seen in doc 0
+    assert(out(3L) == ((1L, 1L, ""))) // null → one empty paragraph, kept
   }
 
   test("decontamination scores overlap against the eval set only") {
