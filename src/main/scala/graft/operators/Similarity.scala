@@ -96,21 +96,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Plane count that holds per-bucket occupancy (and therefore per-vector
+    * pair work) constant as the corpus grows: `⌈log₂(n / targetOccupancy)⌉`,
+    * floored at 1. SCALING.md measured the failure mode this prevents: 10×
+    * vectors at FIXED planes=4 cost 22× the time (bucket count constant ⇒
+    * within-bucket pairs quadratic); at planes=4+log₂10 they cost 5.7× —
+    * linear.
+    */
+  def autoPlanes(n: Long, targetOccupancy: Long = 64L): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be positive: $targetOccupancy")
+    val buckets = math.max(n.toDouble / targetOccupancy, 1.0)
+    math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt)
+  }
+
   /** All-pairs ANN via bucketing (IVF-flavored): cosine within each
     * hyperplane bucket only — the scalable global near-neighbor sweep.
     *
-    * SIZE `planes` WITH THE CORPUS: bucket count is 2^planes and within-
-    * bucket work is quadratic in occupancy, so a fixed plane count goes
-    * quadratic as n grows — pick `planes ≈ log₂(n / targetOccupancy)` to
-    * hold per-bucket occupancy (and therefore total pair work per vector)
-    * constant. Measured (SCALING.md): 10× vectors at fixed planes=4 cost
-    * 22× the time; at planes=4+log₂10 they cost 5.7× — linear.
+    * `planes` MUST grow with the corpus (bucket count is 2^planes and
+    * within-bucket work is quadratic in occupancy — a fixed plane count goes
+    * quadratic as n grows). The default `planes = 0` therefore AUTO-SIZES
+    * from a corpus count via [[autoPlanes]] — one extra column-pruned count
+    * pass at planning time (row-group-stat cheap on parquet), and the
+    * quadratic regime can no longer be configured by accident. An explicit
+    * positive `planes` is honored verbatim for callers that pre-sized
+    * (e.g. to match an oracle or to widen recall).
     */
   def bucketedPairs(df: DataFrame, idCol: Column, vecCol: Column,
-      threshold: Double, planes: Int = 8, dim: Int = 64): DataFrame =
+      threshold: Double, planes: Int = 0, dim: Int = 64): DataFrame = {
+    val p = if (planes > 0) planes else autoPlanes(df.count())
     Dedup.embeddingNearDup(
-      df.withColumn("_bucket", hyperplaneBucket(vecCol, planes, dim)),
+      df.withColumn("_bucket", hyperplaneBucket(vecCol, p, dim)),
       idCol, vecCol, col("_bucket"), threshold)
+  }
 
   /** Symmetric int8 quantization of an embedding: `scale = max|v|/127`,
     * `qvec[i] = round(v[i]/scale)` as tinyint — the 4× storage/IO reduction

@@ -95,6 +95,34 @@ class TrainingDataOpsSpec extends SparkSpec {
     lsh.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
 
+  test("ANN bucket planes auto-size with corpus growth; explicit planes honored") {
+    // the sizing rule: plane count grows with log2(n), holding per-bucket
+    // occupancy (and so per-vector pair work) constant — the SCALING.md
+    // fixed-plane quadratic regime cannot be configured by accident
+    assert(Similarity.autoPlanes(64) == 1)
+    assert(Similarity.autoPlanes(640) == 4)   // ceil(log2(10))
+    assert(Similarity.autoPlanes(6400) == 7)  // ceil(log2(100))
+    assert(Similarity.autoPlanes(64L << 20) == 20)
+    // every 10x of corpus adds ~log2(10) planes (bucket count tracks n)
+    val steps = Seq(1000L, 10000L, 100000L, 1000000L).map(Similarity.autoPlanes(_))
+    steps.sliding(2).foreach { case Seq(a, b) => assert(b - a == 3 || b - a == 4) }
+    // default (auto) = explicit autoPlanes(count); explicit planes verbatim
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    val auto = Similarity.bucketedPairs(emb, col("vec_id"), col("embedding"),
+      threshold = 0.2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicitSame = Similarity.bucketedPairs(emb, col("vec_id"), col("embedding"),
+      threshold = 0.2, planes = Similarity.autoPlanes(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicitSame)
+    // a different explicit plane count yields a different bucketing (honored,
+    // not silently overridden by the auto rule)
+    val coarse = Similarity.bucketedPairs(emb, col("vec_id"), col("embedding"),
+      threshold = 0.2, planes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coarse.size >= auto.size) // 2 buckets ⇒ strictly more candidate pairs
+  }
+
   test("star contraction matches min-label propagation on a mixed graph") {
     val s = spark
     import s.implicits._
