@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing (schema, batched per-partition processing,
   * deterministic outputs, partition sizing) is real and tested. Decoding goes
   * through the [[Codec]] seam: [[FakeCodec]] (deterministic stub — the
-  * synthetic test corpus is not real media) is the default, and
-  * [[ImageIoCodec]] is a REAL JDK-only image path (header decode, luma
-  * histograms, pixel rescale, band frames) selected via
-  * `spark.graft.multimodal.codec=imageio`; audio/video codecs would bind the
-  * same seam (no such library ships in this environment).
+  * synthetic test corpus is not real media) is the default; [[ImageIoCodec]]
+  * is a REAL JDK-only image path (header decode, luma histograms, pixel
+  * rescale, band frames; `spark.graft.multimodal.codec=imageio`) and
+  * [[AudioCodec]] a REAL JDK-only audio path (WAV/AIFF/AU header decode,
+  * amplitude histograms, resample, time-slice frames;
+  * `spark.graft.multimodal.codec=audio`); a video codec would bind the same
+  * seam (no such library ships in this environment).
   *
   * At 100 TB the content column dominates I/O: keep media in its own parquet
   * column (column pruning skips it for metadata-only queries), size
@@ -57,8 +59,9 @@ object Multimodal {
     else df.sparkSession.conf.get("spark.graft.multimodal.codec", "fake") match {
       case "fake" => FakeCodec
       case "imageio" => ImageIoCodec
+      case "audio" => AudioCodec
       case other => throw new IllegalArgumentException(
-        s"unknown spark.graft.multimodal.codec '$other' (fake | imageio)")
+        s"unknown spark.graft.multimodal.codec '$other' (fake | imageio | audio)")
     }
 
   /** STUB decoder: derives deterministic pseudo-metadata and features from
@@ -234,6 +237,158 @@ object Multimodal {
             val y0 = i * img.getHeight / bands
             val y1 = math.max((i + 1) * img.getHeight / bands, y0 + 1)
             encodePng(img.getSubimage(0, y0, img.getWidth, y1 - y0))
+          }
+      }
+  }
+
+  /** REAL audio decode path, JDK-only (`javax.sound.sampled` — WAV/AIFF/AU
+    * ship with the JVM, no external deps), binding the same [[Codec]] seam
+    * as [[ImageIoCodec]]:
+    *   - meta: header-only — `duration_ms` from frame count / frame rate,
+    *     `channels` from the format (width/height are image axes: 0);
+    *   - features: L1-normalized amplitude histogram over decoded 16-bit
+    *     PCM samples (the audio analogue of the image luma histogram);
+    *   - resize: time-domain resample to `w*h` samples (nearest-neighbor
+    *     for cross-JVM determinism), re-encoded as 16-bit mono WAV;
+    *   - frames: n equal time slices, each re-encoded as WAV.
+    * TOTAL like the contract requires: undecodable bytes or bad params
+    * yield zero/empty results. Select with
+    * `spark.graft.multimodal.codec=audio`.
+    */
+  object AudioCodec extends Codec {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decode to 16-bit signed little-endian PCM mono samples (channels are
+      * averaged by the converter when the source is multi-channel the
+      * format conversion keeps channel count; we fold interleaved channels
+      * to mono here for a stable feature domain).
+      */
+    private def pcmSamples(content: Array[Byte]): Option[(Array[Short], Float)] =
+      if (content == null || content.isEmpty) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val src = in.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            2 * src.getChannels, src.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(target, in)
+          try {
+            val bytes = pcm.readAllBytes()
+            val ch = target.getChannels
+            val nFrames = bytes.length / (2 * ch)
+            val out = new Array[Short](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              // average interleaved channels to mono
+              var acc = 0
+              var c = 0
+              while (c < ch) {
+                val i = (f * ch + c) * 2
+                acc += ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort
+                c += 1
+              }
+              out(f) = (acc / ch).toShort
+              f += 1
+            }
+            Some((out, src.getSampleRate))
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    private def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] =
+      try {
+        val bytes = new Array[Byte](samples.length * 2)
+        var i = 0
+        while (i < samples.length) {
+          bytes(2 * i) = (samples(i) & 0xFF).toByte
+          bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          sampleRate, 16, 1, 2, sampleRate, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+        val bos = new java.io.ByteArrayOutputStream(bytes.length + 64)
+        AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      } catch { case _: Exception => Array.emptyByteArray }
+
+    /** Header-only decode — the 100 TB shape: duration and channel count
+      * come from the file format without materializing samples.
+      */
+    def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long) =
+      if (content == null || content.isEmpty) (0, 0, 0, 0L)
+      else try {
+        val aff = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(content))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        val durMs =
+          if (frames > 0 && fmt.getFrameRate > 0)
+            (frames.toLong * 1000 / fmt.getFrameRate).toLong
+          else 0L
+        (0, 0, fmt.getChannels, durMs)
+      } catch { case _: Exception => (0, 0, 0, 0L) }
+
+    /** L1-normalized amplitude histogram: each 16-bit sample maps to one of
+      * `bins` equal amplitude cells over [-32768, 32768).
+      */
+    def features(content: Array[Byte], bins: Int): Array[Float] = {
+      val counts = new Array[Float](bins)
+      pcmSamples(content).foreach { case (samples, _) =>
+        if (samples.nonEmpty) {
+          samples.foreach { s =>
+            counts(((s.toInt + 32768) * bins) >>> 16) += 1f
+          }
+          val n = samples.length.toFloat
+          var i = 0
+          while (i < bins) { counts(i) /= n; i += 1 }
+        }
+      }
+      counts
+    }
+
+    /** Time-domain resample to a `w*h`-sample budget (the byte-budget
+      * reading of the image-axis params — same convention as
+      * [[FakeCodec.resize]]), nearest-neighbor, re-encoded as mono WAV.
+      */
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] =
+      if (w <= 0 || h <= 0) Array.emptyByteArray
+      else pcmSamples(content) match {
+        case None => Array.emptyByteArray
+        case Some((samples, rate)) =>
+          if (samples.isEmpty) Array.emptyByteArray
+          else {
+            val target = w * h
+            val out = new Array[Short](target)
+            var i = 0
+            while (i < target) {
+              out(i) = samples((i.toLong * samples.length / target).toInt)
+              i += 1
+            }
+            encodeWav(out, rate)
+          }
+      }
+
+    /** n equal time slices, each a decodable WAV. `frameBytes` caps the
+      * slice size (2 bytes per sample).
+      */
+    def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] =
+      if (n <= 0) Seq.empty
+      else pcmSamples(content) match {
+        case None => Seq.empty
+        case Some((samples, rate)) =>
+          if (samples.isEmpty) Seq.empty
+          else {
+            val slices = math.min(n, samples.length)
+            (0 until slices).map { i =>
+              val from = (i.toLong * samples.length / slices).toInt
+              val until0 = ((i + 1).toLong * samples.length / slices).toInt
+              val until = math.min(until0, from + math.max(frameBytes / 2, 1))
+              encodeWav(java.util.Arrays.copyOfRange(samples, from, until), rate)
+            }
           }
       }
   }

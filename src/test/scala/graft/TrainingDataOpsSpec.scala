@@ -429,6 +429,76 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally s.conf.set("spark.graft.multimodal.codec", "fake")
   }
 
+  test("multimodal: AudioCodec decodes real WAVs end-to-end through decodeBatched") {
+    val s = spark
+    import s.implicits._
+    // deterministic generated WAVs: 16-bit mono PCM sine, id-keyed length
+    def wav(id: Long): Array[Byte] = {
+      val rate = 8000f
+      val nFrames = 2000 + (id % 3).toInt * 400 // 250/300/350 ms at 8 kHz
+      val bytes = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val v = (math.sin(2 * math.Pi * 440 * i / rate) * 20000).toInt.toShort
+        bytes(2 * i) = (v & 0xFF).toByte
+        bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = (0L until 6L).map(i => (i, "audio", wav(i)))
+      .toDF("media_id", "media_type", "content")
+    s.conf.set("spark.graft.multimodal.codec", "audio")
+    try {
+      // header-only meta: duration from frame count / rate, mono channel
+      val meta = Multimodal.decodeBatched(df, batchSize = 4)
+        .select(col("media_id"), col("meta.channels"), col("meta.duration_ms"))
+        .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      (0L until 6L).foreach { i =>
+        assert(meta(i) == ((1, 250L + (i % 3) * 50L)), s"id $i: ${meta(i)}")
+      }
+      // features: amplitude histogram — a sine spreads mass across bins
+      // (extremes included) and L1-normalizes
+      val f = Multimodal.extractFeatures(df, col("content"))
+        .select("features").as[Seq[Float]].collect()
+      assert(f.forall(v => v.length == 16 && math.abs(v.sum - 1.0f) < 1e-3))
+      assert(f.forall(v => v.count(_ > 0f) >= 8))
+      // frames: 4 time slices, each itself a decodable WAV of ~1/4 duration
+      val frames = Multimodal.sampleFrames(
+        df.filter(col("media_id") === 0), col("content"), 4, frameBytes = 1 << 20)
+        .select("frame").as[Array[Byte]].collect()
+      assert(frames.length == 4)
+      frames.foreach { bytes =>
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(aff.getFrameLength == 500) // 2000 frames / 4 slices
+      }
+      // resize: time-domain resample to a w*h sample budget, a real WAV back
+      val resized = Multimodal.resize(
+        Multimodal.decodeBatched(df.filter(col("media_id") === 0)),
+        col("content"), 8, 8)
+        .select("content").as[Array[Byte]].collect()
+      resized.foreach { bytes =>
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(aff.getFrameLength == 64)
+      }
+      // total on garbage and bad params: zero meta, no frames, empty resize
+      val junk = Seq((99L, "audio", Array[Byte](1, 2, 3)))
+        .toDF("media_id", "media_type", "content")
+      assert(Multimodal.decodeBatched(junk)
+        .select(col("meta.duration_ms")).as[Long].head() == 0L)
+      assert(Multimodal.sampleFrames(junk, col("content"), 3).count() == 0)
+      assert(Multimodal.AudioCodec.resize(wav(0), 0, 8, 1).isEmpty)
+    } finally s.conf.set("spark.graft.multimodal.codec", "fake")
+  }
+
   test("pii redaction masks every pattern and leaves clean text alone") {
     val s = spark
     import s.implicits._
