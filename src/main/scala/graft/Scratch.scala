@@ -20,6 +20,46 @@ object Scratch {
       val t0 = System.nanoTime(); val n = f
       println(f"[scratch] $name: ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
     }
+    // Derived-scale corpus generator (SCALING.md methodology, now committed):
+    // SPARK_GRAFT_MAKE_SCALED=<outDir>:<factor> replicates sf0.1's documents
+    // and embeddings <factor>× with per-replica decorrelation — document
+    // tokens are interleaved with a replica marker (`r7 the r7 quick …`) so
+    // replicas share NO shingles (near-dup structure = factor independent
+    // copies, pair count ×factor, not ×C(factor,2) per clique), and
+    // embedding coordinates circularly rotate by 7k per replica
+    // (norm-preserving, buckets don't collapse). Exits after writing.
+    sys.env.get("SPARK_GRAFT_MAKE_SCALED").foreach { spec =>
+      val Array(outDir, factorS) = spec.split(":", 2)
+      val factor = factorS.toInt
+      val reps = spark.range(factor).select(col("id").cast("int").as("k"))
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+      val nDocs = docs.count()
+      docs.crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") + col("k") * lit(nDocs)).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("k"), lit(" $1"))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      val nVecs = emb.count()
+      emb.crossJoin(broadcast(reps))
+        .withColumn("_rot", (col("k") * 7) % size(col("embedding")))
+        .select(
+          (col("vec_id") + col("k") * lit(nVecs)).as("vec_id"),
+          concat(
+            slice(col("embedding"), col("_rot") + 1,
+              size(col("embedding")) - col("_rot")),
+            slice(col("embedding"), lit(1), col("_rot"))).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"[scratch] wrote ${nDocs * factor} docs, ${nVecs * factor} vecs to $outDir")
+      spark.stop()
+      return
+    }
     time("entry smoke sf0.001")(SparkEntry.entry(spark).count())
     import graft.functions.TextFunctions._
     val d = SparkEntry.tbl(spark, dir, "documents")
