@@ -537,6 +537,29 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- Q5+Q1 FERs auto-applied to the piped query path: a registered
+    //      field-extraction rule's derived field is an ordinary column the
+    //      pipe stages `where`/aggregate on — no manual parse stage. Scope
+    //      gates per-row (null outside), like the reference applies
+    //      FER-derived fields at query time when the scope matches ----
+    "q76_fer_piped_query" -> ((s, dir) => {
+      import graft.operators.{Fer, SearchQuery}
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val fers = Seq(Fer.ScopedRule("uid", "_sourceCategory=cat-*",
+        m => regexp_extract(m, "user=(\\d+)", 1)))
+      val q = "_sourceCategory=cat-1* | where uid >= 50 | count by uid"
+      val piped = SearchQuery.parsePiped(q)
+      val base = Fer.apply(ev, Fer.compileScoped(fers, col("message")), col("message"))
+      val msgs = base
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .withColumn("uid", col("uid").cast("long"))
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1495,6 +1518,17 @@ object SparkEntry {
          SELECT etype_len, count(*) AS _count, count(DISTINCT kval) AS n_k
          FROM j WHERE TRY_CAST(kval AS DOUBLE) >= 10
          GROUP BY 1 ORDER BY etype_len""",
+    "q76_fer_piped_query" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         fer AS (SELECT *, CASE WHEN sc LIKE 'cat-%'
+             THEN regexp_extract(message, 'user=(\d+)', 1) END AS uid FROM m),
+         f AS (SELECT * FROM fer WHERE sc LIKE 'cat-1%')
+         SELECT CAST(uid AS BIGINT) AS uid, count(*) AS _count
+         FROM f WHERE TRY_CAST(uid AS DOUBLE) >= 50
+         GROUP BY 1 ORDER BY uid""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -36,6 +36,22 @@ object Fer {
       group.reduce((a, b) => Rule(a.name, a.scope || b.scope, a.parse))
     }.toSeq.sortBy(_.name)
 
+  /** The reference's registry shape for an FER: `scope` is a search-predicate
+    * STRING in the [[SearchQuery]] subset (`sumoresource.py:1147-1205` stores
+    * `{scope, parseExpression, enabled}` with scope like
+    * `_sourceCategory=apps/web`), compiled per query surface against the
+    * message column. [[SearchJobs.createPiped]] auto-applies these, so a
+    * piped query can `| where fer_field=…` / `count by fer_field` without a
+    * manual parse stage — the field is just a column, gated per-row by its
+    * compiled scope.
+    */
+  final case class ScopedRule(name: String, scope: String, parse: Column => Column)
+
+  /** Compile string scopes to [[Rule]]s against a concrete message column. */
+  def compileScoped(rules: Seq[ScopedRule], messageCol: Column): Seq[Rule] =
+    rules.map(r => Rule(r.name,
+      SearchQuery.compile(SearchQuery.parse(r.scope), messageCol), r.parse))
+
   /** Apply enabled rules as derived columns: each rule adds its named field,
     * null outside its scope. This is the "view registry" form — call at read
     * time so queries see the extracted fields as ordinary columns.

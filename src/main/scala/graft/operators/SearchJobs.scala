@@ -209,18 +209,30 @@ object SearchJobs {
     * [[SearchQuery.recordsOrderBy]]. Columns are referenced by NAME because
     * the records transform runs over the landed message store, not the
     * original plan.
+    *
+    * `fers` are registered field-extraction rules ([[Fer.ScopedRule]]) —
+    * applied BEFORE the predicate half like the reference applies
+    * FER-derived fields at query time (`sumoresource.py:1147-1205`), so
+    * each rule's field is an ordinary column (null outside the rule's
+    * scope) that pipe stages can `where`/aggregate on and that pages out
+    * with `messages`. A free map-side projection: the scope gate and the
+    * extraction fuse into the scan's codegen stage.
     */
   def createPiped(df: DataFrame, query: String, fromTime: Column, toTime: Column,
       timeCol: String, messageCol: String, orderBy: Seq[String],
+      fers: Seq[Fer.ScopedRule] = Seq.empty,
       jobRoot: String = defaultRoot): Job = {
     val parts = SearchQuery.splitPipes(query)
     val piped = SearchQuery.parsePiped(query)
+    val base =
+      if (fers.isEmpty) df
+      else Fer.apply(df, Fer.compileScoped(fers, col(messageCol)), col(messageCol))
     val records =
       if (piped.stages.isEmpty) None
       else Some(RecordsSpec(
         SearchQuery.compileStages(piped.stages, timeCol, messageCol),
         SearchQuery.recordsOrderBy(piped.stages)))
-    create(df, parts.head, fromTime, toTime, col(timeCol), col(messageCol),
+    create(base, parts.head, fromTime, toTime, col(timeCol), col(messageCol),
       orderBy, records, jobRoot)
   }
 

@@ -257,6 +257,54 @@ class QuerySurfaceSpec extends SparkSpec {
     SearchJobs.delete(sorted.id)
   }
 
+  test("Q1+Q5: createPiped auto-applies registered FERs — derived fields drive stages") {
+    import graft.operators.{Fer, SearchJobs}
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2024-03-01 00:10:00", "cat-a", "evt login user=7 latency=120"),
+      ("2024-03-01 00:20:00", "cat-a", "evt login user=8 latency=300"),
+      ("2024-03-01 01:10:00", "cat-a", "evt click user=7 latency=500"),
+      ("2024-03-01 01:20:00", "cat-b", "evt login user=9 latency=900"))
+      .toDF("ts_s", "source_category", "message")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("source_category"),
+        col("message"))
+    val fers = Seq(
+      Fer.ScopedRule("lat", "_sourceCategory=cat-a",
+        m => regexp_extract(m, "latency=(\\d+)", 1)),
+      Fer.ScopedRule("usr", "_sourceCategory=cat-*",
+        m => regexp_extract(m, "user=(\\d+)", 1)))
+    // the FER-derived `lat` drives a where stage and `usr` the aggregation —
+    // no parse stage anywhere in the query string
+    val job = SearchJobs.createPiped(df,
+      "_sourceCategory=cat-a | where lat >= 200 | count by usr",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"), fers = fers)
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    assert(job.messageCount == 3) // predicate half: cat-a only
+    val recs = job.records(10, 0)
+      .select("usr", "_count").as[(String, Long)].collect().toSeq
+    assert(recs == Seq(("7", 1L), ("8", 1L))) // lat>=200: user 7 click, user 8 login
+    // messages pages carry the derived fields as ordinary columns
+    val msgs = job.messages(10, 0).select("message", "lat", "usr")
+      .as[(String, String, String)].collect()
+    assert(msgs.forall { case (m, lat, usr) =>
+      m.contains(s"latency=$lat") && m.contains(s"user=$usr") })
+    SearchJobs.delete(job.id)
+
+    // scope gating: a rule scoped to cat-b yields NULL on cat-a rows
+    val gated = SearchJobs.createPiped(df,
+      "_sourceCategory=cat-a",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"),
+      fers = Seq(Fer.ScopedRule("only_b", "_sourceCategory=cat-b",
+        m => regexp_extract(m, "user=(\\d+)", 1))))
+    assert(SearchJobs.await(gated) == SearchJobs.DoneGatheringResults)
+    assert(gated.messages(10, 0).select("only_b").as[String].collect()
+      .forall(_ == null))
+    SearchJobs.delete(gated.id)
+  }
+
   test("Q1: createPiped edge paths — stage errors throw at create; bare query has no records") {
     import graft.operators.SearchJobs
     val s = spark
