@@ -121,11 +121,16 @@ object Multimodal {
 
   /** REAL image decode path, JDK-only (`javax.imageio` — PNG/JPEG/GIF/BMP
     * ship with the JVM, no external deps): header-only metadata, luma
-    * histogram features, pixel-space rescale re-encoded as PNG, and
-    * horizontal-band "frames". Deterministic: the PNG writer emits no
-    * timestamps, and the histogram/rescale math is fixed-point-free.
-    * Malformed bytes yield zero/empty results (total, like the contract
-    * requires). Select with `spark.graft.multimodal.codec=imageio`.
+    * histogram features, pixel-space rescale re-encoded as PNG, and frame
+    * sampling. ANIMATED GIFs get a real time axis: `duration_ms` sums the
+    * per-frame GraphicControlExtension delays and `sampleFrames` samples n
+    * of the ACTUAL animation frames (composited at their declared offsets)
+    * — the video half of the codec seam over the one animation container
+    * the JDK ships. Still images fall back to horizontal bands.
+    * Deterministic: the PNG writer emits no timestamps, and the
+    * histogram/rescale math is fixed-point-free. Malformed bytes yield
+    * zero/empty results (total, like the contract requires). Select with
+    * `spark.graft.multimodal.codec=imageio`.
     */
   object ImageIoCodec extends Codec {
     private def read(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -133,6 +138,77 @@ object Multimodal {
       else try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content)))
       catch { case _: Exception => None }
+
+    /** Per-frame delay (ms) from the GIF GraphicControlExtension (the wire
+      * unit is centiseconds); 0 when absent.
+      */
+    private def gifDelayMs(meta: javax.imageio.metadata.IIOMetadata): Long =
+      try {
+        val tree = meta.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val nodes = tree.getElementsByTagName("GraphicControlExtension")
+        if (nodes.getLength == 0) 0L
+        else nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("delayTime").toLong * 10L
+      } catch { case _: Exception => 0L }
+
+    /** Frame placement from the GIF ImageDescriptor (frames may be partial
+      * updates positioned inside the logical screen).
+      */
+    private def gifFramePos(meta: javax.imageio.metadata.IIOMetadata): (Int, Int) =
+      try {
+        val tree = meta.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val nodes = tree.getElementsByTagName("ImageDescriptor")
+        if (nodes.getLength == 0) (0, 0)
+        else {
+          val e = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("imageLeftPosition").toInt,
+            e.getAttribute("imageTopPosition").toInt)
+        }
+      } catch { case _: Exception => (0, 0) }
+
+    /** Decode an animated GIF into composited full-canvas frames (offsets
+      * honored, `none` disposal — the common case; restore-to-background
+      * animations composite conservatively). None for still/non-GIF input.
+      */
+    private def animationFrames(
+        content: Array[Byte]): Option[IndexedSeq[java.awt.image.BufferedImage]] =
+      if (content == null || content.isEmpty) None
+      else try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        if (iis == null) return None
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            if (!r.getFormatName.equalsIgnoreCase("gif")) return None
+            val nImg = r.getNumImages(true)
+            if (nImg <= 1) return None
+            var canvas: java.awt.image.BufferedImage = null
+            val out = (0 until nImg).map { i =>
+              val frame = r.read(i)
+              val (left, top) = gifFramePos(r.getImageMetadata(i))
+              if (canvas == null)
+                canvas = new java.awt.image.BufferedImage(
+                  left + frame.getWidth, top + frame.getHeight,
+                  java.awt.image.BufferedImage.TYPE_INT_ARGB)
+              val g = canvas.createGraphics()
+              try g.drawImage(frame, left, top, null) finally g.dispose()
+              val snap = new java.awt.image.BufferedImage(
+                canvas.getWidth, canvas.getHeight,
+                java.awt.image.BufferedImage.TYPE_INT_ARGB)
+              val g2 = snap.createGraphics()
+              try g2.drawImage(canvas, 0, 0, null) finally g2.dispose()
+              snap
+            }
+            Some(out)
+          } finally r.dispose()
+        } finally iis.close()
+      } catch { case _: Exception => None }
 
     private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] =
       try {
@@ -164,7 +240,19 @@ object Multimodal {
           val channels =
             try r.getImageTypes(0).next().getNumComponents
             catch { case _: Exception => 0 }
-          (r.getWidth(0), r.getHeight(0), channels, 0L)
+          // animated GIFs have a real time axis: duration = summed per-frame
+          // delays (this is the one branch that walks past the header — the
+          // frame count needs a seek, but pixels are never materialized)
+          val durMs =
+            try {
+              if (!r.getFormatName.equalsIgnoreCase("gif")) 0L
+              else {
+                val n = r.getNumImages(true)
+                if (n <= 1) 0L
+                else (0 until n).map(i => gifDelayMs(r.getImageMetadata(i))).sum
+              }
+            } catch { case _: Exception => 0L }
+          (r.getWidth(0), r.getHeight(0), channels, durMs)
         } finally r.dispose()
       } catch { case _: Exception => (0, 0, 0, 0L) }
       finally iis.close()
@@ -223,21 +311,30 @@ object Multimodal {
           encodePng(out)
       }
 
-    /** Still images have no time axis: "frames" are n equal horizontal bands
-      * (top→bottom), each re-encoded as PNG — the deterministic stand-in for
-      * codec-aware frame seeks (`frameBytes` is a budget for real codecs;
-      * unused here).
+    /** Animated GIFs: n frames sampled evenly across the REAL frame
+      * sequence (composited, each re-encoded as PNG) — an actual
+      * codec-aware frame seek over the animation container the JDK ships.
+      * Still images have no time axis: "frames" fall back to n equal
+      * horizontal bands (top→bottom). `frameBytes` is a budget for codecs
+      * that stream; unused here.
       */
     def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] =
-      read(content) match {
-        case None => Seq.empty
-        case Some(img) =>
-          val bands = math.min(n, img.getHeight)
-          (0 until bands).map { i =>
-            val y0 = i * img.getHeight / bands
-            val y1 = math.max((i + 1) * img.getHeight / bands, y0 + 1)
-            encodePng(img.getSubimage(0, y0, img.getWidth, y1 - y0))
-          }
+      if (n <= 0) Seq.empty
+      else animationFrames(content) match {
+        case Some(frames) =>
+          val picks = math.min(n, frames.length)
+          (0 until picks).map(i =>
+            encodePng(frames((i.toLong * frames.length / picks).toInt)))
+        case None => read(content) match {
+          case None => Seq.empty
+          case Some(img) =>
+            val bands = math.min(n, img.getHeight)
+            (0 until bands).map { i =>
+              val y0 = i * img.getHeight / bands
+              val y1 = math.max((i + 1) * img.getHeight / bands, y0 + 1)
+              encodePng(img.getSubimage(0, y0, img.getWidth, y1 - y0))
+            }
+        }
       }
   }
 

@@ -429,6 +429,79 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally s.conf.set("spark.graft.multimodal.codec", "fake")
   }
 
+  test("multimodal: animated GIFs get a real time axis — duration and true frames") {
+    val s = spark
+    import s.implicits._
+    // generated 6-frame animated GIF: 10x10 solid grays 0,40,80,...,200 with
+    // a 5cs (50ms) delay per frame
+    def agif(nFrames: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (i <- 0 until nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = i * 40
+        for (y <- 0 until 10; x <- 0 until 10)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "5")
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
+    val df = Seq((0L, "video", agif(6))).toDF("media_id", "media_type", "content")
+    s.conf.set("spark.graft.multimodal.codec", "imageio")
+    try {
+      // duration_ms = 6 frames x 50ms from the GraphicControlExtension chain
+      val meta = Multimodal.decodeBatched(df)
+        .select(col("meta.width"), col("meta.height"), col("meta.duration_ms"))
+        .as[(Int, Int, Long)].head()
+      assert(meta == ((10, 10, 300L)))
+      // 3 sampled frames = animation frames 0, 2, 4 → grays 0, 80, 160
+      val frames = Multimodal.sampleFrames(df, col("content"), 3)
+        .orderBy("frame_idx").select("frame").as[Array[Byte]].collect()
+      assert(frames.length == 3)
+      val grays = frames.map { bytes =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img.getWidth == 10 && img.getHeight == 10) // full canvas, not a band
+        img.getRGB(5, 5) & 0xFF
+      }
+      assert(grays.sameElements(Array(0, 80, 160)), grays.mkString(","))
+      // asking for more frames than exist returns every real frame once
+      assert(Multimodal.sampleFrames(df, col("content"), 99).count() == 6)
+      // still PNGs keep the band fallback (prior behavior unchanged)
+      val still = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val pbos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(still, "png", pbos)
+      val sdf = Seq((1L, "image", pbos.toByteArray))
+        .toDF("media_id", "media_type", "content")
+      val bands = Multimodal.sampleFrames(sdf, col("content"), 2)
+        .select("frame").as[Array[Byte]].collect()
+      bands.foreach { b =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        assert(img.getWidth == 8 && img.getHeight == 4)
+      }
+    } finally s.conf.set("spark.graft.multimodal.codec", "fake")
+  }
+
   test("multimodal: AudioCodec decodes real WAVs end-to-end through decodeBatched") {
     val s = spark
     import s.implicits._
