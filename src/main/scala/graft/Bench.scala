@@ -20,8 +20,14 @@ object Bench {
         _.getFileName.toString.startsWith("blockmgr-"))
       finally ls.close()
     dirs.map { d =>
-      val s = Files.walk(d)
-      try s.filter(Files.isRegularFile(_)).count() finally s.close()
+      // the ContextCleaner deletes shuffle files CONCURRENTLY with this
+      // walk — a file vanishing between list and stat throws from the
+      // FileTreeWalker; the settle loop only needs a best-effort monotone
+      // signal, so a failed walk counts as 0 (at worst one extra poll round)
+      try {
+        val s = Files.walk(d)
+        try s.filter(Files.isRegularFile(_)).count() finally s.close()
+      } catch { case _: Exception => 0L }
     }.sum
   }
 
