@@ -144,6 +144,35 @@ class QuerySurfaceSpec extends SparkSpec {
     // class-aware scanning keeps subsequent group indices right
     assert(namedGroups("[(](a)(?<x>b)") == Seq(("x", 2)))
     assert(namedGroups("[^)(]*(?<x>b)[)](?<y>c)") == Seq(("x", 1), ("y", 2)))
+  }
+
+  test("Q1: namedGroups indices agree with the JDK regex engine on tricky shapes") {
+    import SearchQuery._
+    // the JDK engine is the oracle: for every (name, idx) the scanner
+    // reports, matcher.group(idx) must equal matcher.group(name) on a
+    // matching input — any index shift breaks the equality
+    val cases: Seq[(String, String)] = Seq(
+      ("(?<a>x)", "x"),
+      ("(a)(?<x>b)(?:c)(?<y>d)", "abcd"),
+      ("[(](?<x>b)", "(b"),                       // '(' in a class
+      ("[^)(]+(?<x>b)[)](?<y>c)", "zb)c"),        // class with '(' and ')'
+      ("\\((?<x>b)\\)", "(b)"),                   // escaped parens
+      ("(?<q>\"[^\"]*\")|(?<bare>\\w+)", "\"hi\""), // quotes + alternation
+      ("(a(b(?<deep>c)))(?<tail>d)", "abcd"),     // nested unnamed groups
+      ("(?=a)(?<x>a)", "a"),                      // lookahead is non-capturing
+      ("(?<h>a)[\\]](?<t>b)", "a]b"),             // escaped ']' inside a class
+      ("[a[b]](?<x>c)", "bc"),                    // nested class union
+      ("(?<u>x{2,3})(y)(?<v>z)", "xxyz"))         // quantified named group
+    cases.foreach { case (re, input) =>
+      val named = namedGroups(re)
+      assert(named.nonEmpty, s"no named groups parsed from: $re")
+      val m = java.util.regex.Pattern.compile(re).matcher(input)
+      assert(m.find(), s"oracle input does not match: $re / $input")
+      named.foreach { case (name, idx) =>
+        assert(m.group(idx) == m.group(name),
+          s"$re: group #$idx (${m.group(idx)}) != group <$name> (${m.group(name)})")
+      }
+    }
     intercept[IllegalArgumentException](parseStage("explode everything"))
     intercept[IllegalArgumentException](parseStage("parse \"a=*\" as x, y"))
   }
