@@ -56,7 +56,18 @@ object Scratch {
           col("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-      println(s"[scratch] wrote ${nDocs * factor} docs, ${nVecs * factor} vecs to $outDir")
+      // events for the streaming scale test: id-offset replicas, raw
+      // TIMESTAMP_NS ts preserved verbatim (tbl() does the ns→µs shift, so
+      // the replica must carry the PRE-shift representation — read raw)
+      val evRaw = spark.read.parquet(s"$dir/events.parquet")
+      val nEv = evRaw.count()
+      evRaw.crossJoin(broadcast(reps))
+        .withColumn("event_id", col("event_id") + col("k") * lit(nEv))
+        .drop("k")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      println(s"[scratch] wrote ${nDocs * factor} docs, ${nVecs * factor} vecs, " +
+        s"${nEv * factor} events to $outDir")
       spark.stop()
       return
     }
