@@ -560,6 +560,30 @@ object SparkEntry {
         .withColumn("uid", col("uid").cast("long"))
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- Q2 boolean predicate groups: the reference's metric-source query
+    //      `_contentType=HostMetrics (InstanceId=a or InstanceId=b) | count
+    //      by _sourceId, _collectorId` (sumoresource.py:1250) — parenthesized
+    //      OR of keyword probes, meta-spelled group keys resolved to engine
+    //      columns ----
+    "q77_metrics_or_group" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("content_type", lit("HostMetrics"))
+        .withColumn("source_id", concat(lit("src-"), col("user_id") % 7))
+        .withColumn("collector_id", concat(lit("col-"), col("user_id") % 3))
+        .withColumn("message",
+          concat(lit("InstanceId=i-"), col("event_id") % 8, lit(" cpu")))
+      val q = "_contentType=HostMetrics (InstanceId=i-1 or InstanceId=i-2 or" +
+        " InstanceId=i-3) | count by _sourceId, _collectorId"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compilePred(
+          SearchQuery.parsePredicate(SearchQuery.splitPipes(q).head), col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1529,6 +1553,18 @@ object SparkEntry {
          SELECT CAST(uid AS BIGINT) AS uid, count(*) AS _count
          FROM f WHERE TRY_CAST(uid AS DOUBLE) >= 50
          GROUP BY 1 ORDER BY uid""",
+    "q77_metrics_or_group" ->
+      """WITH m AS (SELECT 'HostMetrics' AS content_type,
+             'src-'||(user_id%7) AS source_id, 'col-'||(user_id%3) AS collector_id,
+             'InstanceId=i-'||(event_id%8)||' cpu' AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE content_type = 'HostMetrics'
+           AND (contains(lower(message), 'instanceid=i-1')
+             OR contains(lower(message), 'instanceid=i-2')
+             OR contains(lower(message), 'instanceid=i-3')))
+         SELECT source_id, collector_id, count(*) AS _count
+         FROM f GROUP BY 1, 2 ORDER BY source_id, collector_id""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -29,76 +29,166 @@ object SearchQuery {
   /** bare keyword — substring match on the raw message column. */
   final case class Keyword(word: String) extends Term
 
-  /** Selector name → engine column for the metadata fields Sumo exposes. */
+  /** Selector name → engine column for the metadata fields Sumo exposes
+    * (the metric queries at `sumoresource.py:1250` also select and group by
+    * `_contentType`/`_sourceId`/`_collectorId`).
+    */
   val metaColumns: Map[String, String] = Map(
     "_sourcecategory" -> "source_category",
     "_sourcename" -> "source_name",
     "_sourcehost" -> "source_host",
-    "_collector" -> "collector")
+    "_collector" -> "collector",
+    "_contenttype" -> "content_type",
+    "_sourceid" -> "source_id",
+    "_collectorid" -> "collector_id")
 
-  /** Parse the observed query subset: whitespace/AND-separated terms, each a
-    * `_field=value` selector (value may hold `*` wildcards) or a keyword.
+  /** One token → term: `_field=value` is a metadata selector, anything else
+    * a keyword (a bare `key=value` keyword contains-matches the literal
+    * `key=value` text — the reference's InstanceId=… probes,
+    * `sumoresource.py:1244-1250`).
+    */
+  private def termOf(t: String): Term =
+    if (t.startsWith("_") && t.contains("=")) {
+      val Array(f, v) = t.split("=", 2)
+      MetaSelector(f.toLowerCase, v)
+    } else Keyword(t)
+
+  /** Parse the flat query subset: whitespace/AND-separated terms. Kept for
+    * callers that want the conjunction as a list; [[parsePredicate]] is the
+    * full boolean form (parenthesized OR groups).
     */
   def parse(query: String): Seq[Term] =
     query.trim.split("\\s+").toSeq
       .filter(t => t.nonEmpty && !t.equalsIgnoreCase("AND"))
-      .map { t =>
-        if (t.startsWith("_") && t.contains("=")) {
-          val Array(f, v) = t.split("=", 2)
-          MetaSelector(f.toLowerCase, v)
-        } else Keyword(t)
+      .map(termOf)
+
+  // --------------------------------------------------------------------------
+  // Boolean predicate form: the reference also issues parenthesized OR groups
+  // — `_contentType=HostMetrics (InstanceId=i-1 or InstanceId=i-2) | count by
+  // _sourceId, _collectorId` (`sumoresource.py:1244-1250`) — which the flat
+  // term list cannot represent. Whitespace is implicit AND (as in [[parse]]);
+  // `or`/`and` are case-insensitive connectives; parens group.
+  // --------------------------------------------------------------------------
+
+  sealed trait Pred
+  final case class Leaf(term: Term) extends Pred
+  final case class AndPred(ps: Seq[Pred]) extends Pred
+  final case class OrPred(ps: Seq[Pred]) extends Pred
+
+  private def tokenizePredicate(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    def flush(): Unit = if (cur.nonEmpty) { out += cur.result(); cur.clear() }
+    s.foreach {
+      case c if c.isWhitespace => flush()
+      case '(' => flush(); out += "("
+      case ')' => flush(); out += ")"
+      case c => cur += c
+    }
+    flush()
+    out.result()
+  }
+
+  /** Recursive-descent parse of the boolean predicate subset. An empty query
+    * parses to the universal predicate (matches everything), like [[parse]].
+    */
+  def parsePredicate(query: String): Pred = {
+    val toks = tokenizePredicate(query)
+    if (toks.isEmpty) return AndPred(Seq.empty)
+    var i = 0
+    def peek: Option[String] = if (i < toks.length) Some(toks(i)) else None
+    def parseOr(): Pred = {
+      val parts = scala.collection.mutable.Buffer(parseAnd())
+      while (peek.exists(_.equalsIgnoreCase("or"))) { i += 1; parts += parseAnd() }
+      if (parts.size == 1) parts.head else OrPred(parts.toSeq)
+    }
+    def parseAnd(): Pred = {
+      val parts = scala.collection.mutable.Buffer.empty[Pred]
+      var done = false
+      while (!done) peek match {
+        case None | Some(")") => done = true
+        case Some(t) if t.equalsIgnoreCase("or") => done = true
+        case Some(t) if t.equalsIgnoreCase("and") => i += 1
+        case Some("(") =>
+          i += 1
+          parts += parseOr()
+          require(peek.contains(")"), s"unbalanced '(' in: $query")
+          i += 1
+        case Some(t) => i += 1; parts += Leaf(termOf(t))
       }
+      require(parts.nonEmpty, s"empty predicate group in: $query")
+      if (parts.size == 1) parts.head else AndPred(parts.toSeq)
+    }
+    val p = parseOr()
+    require(i == toks.length, s"unexpected '${toks(i)}' in: $query")
+    p
+  }
 
   /** Wildcard pattern → anchored case-insensitive regex (only `*` is special). */
   private def wildcardRegex(pattern: String): String =
     "(?i)^" + pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"
 
+  /** One term → `Column`. Without a registry, unknown `_field=` selectors
+    * resolve to the bare column name; with one, they must name a registered
+    * field (Q7 — rejected at compile time like the API) and match the
+    * record's `source_fields` `k=v` blob as ONE codegen'd regex (an
+    * `exists(split(...))` HOF would run interpreted per element).
+    */
+  private def compileTerm(term: Term, messageCol: Column,
+      registry: Option[FieldsSchema.Registry]): Column = term match {
+    case MetaSelector(field, pattern) if metaColumns.contains(field) =>
+      col(metaColumns(field)).rlike(wildcardRegex(pattern))
+    case MetaSelector(field, pattern) =>
+      registry match {
+        case None => col(field.stripPrefix("_")).rlike(wildcardRegex(pattern))
+        case Some(reg) =>
+          val name = field.stripPrefix("_")
+          if (!reg.contains(name)) throw new FieldsSchema.FieldNotFoundException(name)
+          // entry-anchored match: key literal, value wildcard-expanded but
+          // never crossing an entry boundary; key AND value matched
+          // case-insensitively, like the built-in meta selectors
+          val valueRe = pattern.split("\\*", -1)
+            .map(java.util.regex.Pattern.quote).mkString("[^,]*")
+          col("source_fields").rlike(
+            "(?:^|,)(?i:" + java.util.regex.Pattern.quote(name) + ")=(?i:" + valueRe + ")(?:,|$)")
+      }
+    case Keyword(word) =>
+      contains(lower(messageCol), lit(word.toLowerCase))
+  }
+
   /** Compile parsed terms to one conjunctive `Column` predicate.
     * `messageCol` receives the keyword terms (case-insensitive contains).
     */
   def compile(terms: Seq[Term], messageCol: Column): Column =
-    terms.foldLeft(lit(true)) {
-      case (acc, MetaSelector(field, pattern)) =>
-        val c = col(metaColumns.getOrElse(field, field.stripPrefix("_")))
-        acc && c.rlike(wildcardRegex(pattern))
-      case (acc, Keyword(word)) =>
-        acc && contains(lower(messageCol), lit(word.toLowerCase))
-    }
+    terms.foldLeft(lit(true))((acc, t) => acc && compileTerm(t, messageCol, None))
 
-  /** Registry-enforcing compile (Q7): built-in selectors resolve as before;
-    * any other `_field=` selector must name a field in the schema registry —
-    * unknown fields are rejected at compile time like the API — and matches
-    * against the record's `source_fields` `k=v` blob as ONE codegen'd regex
-    * (an `exists(split(...))` HOF would run interpreted per element).
-    */
+  /** Registry-enforcing compile (Q7) — see [[compileTerm]]. */
   def compile(terms: Seq[Term], messageCol: Column,
       registry: FieldsSchema.Registry): Column =
-    terms.foldLeft(lit(true)) {
-      case (acc, MetaSelector(field, pattern)) if metaColumns.contains(field) =>
-        acc && col(metaColumns(field)).rlike(wildcardRegex(pattern))
-      case (acc, MetaSelector(field, pattern)) =>
-        val name = field.stripPrefix("_")
-        if (!registry.contains(name)) throw new FieldsSchema.FieldNotFoundException(name)
-        // entry-anchored match: key literal, value wildcard-expanded but
-        // never crossing an entry boundary; value match case-insensitive
-        // like the built-in selectors
-        val valueRe = pattern.split("\\*", -1)
-          .map(java.util.regex.Pattern.quote).mkString("[^,]*")
-        // key AND value case-insensitive, like the registry and the
-        // built-in meta selectors
-        acc && col("source_fields").rlike(
-          "(?:^|,)(?i:" + java.util.regex.Pattern.quote(name) + ")=(?i:" + valueRe + ")(?:,|$)")
-      case (acc, Keyword(word)) =>
-        acc && contains(lower(messageCol), lit(word.toLowerCase))
-    }
+    terms.foldLeft(lit(true))((acc, t) => acc && compileTerm(t, messageCol, Some(registry)))
+
+  /** Compile a boolean predicate tree ([[parsePredicate]]) to one `Column`.
+    * Same per-term semantics as [[compile]]; AND/OR structure preserved, so
+    * Catalyst can still push the whole predicate into the scan.
+    */
+  def compilePred(p: Pred, messageCol: Column,
+      registry: Option[FieldsSchema.Registry] = None): Column = p match {
+    case Leaf(t) => compileTerm(t, messageCol, registry)
+    case AndPred(ps) =>
+      ps.foldLeft(lit(true))((acc, q) => acc && compilePred(q, messageCol, registry))
+    case OrPred(ps) =>
+      ps.map(compilePred(_, messageCol, registry)).reduce(_ || _)
+  }
 
   /** Q1/Q2: apply a search-job query — predicate + time range — to a log
     * table. `byReceiptTime` picks the receipt-time column like the API flag.
+    * Parses the full boolean form, so parenthesized OR groups
+    * (`sumoresource.py:1250`) work through the job API.
     */
   def searchJob(df: DataFrame, query: String, fromTime: Column, toTime: Column,
       timeCol: Column, messageCol: Column): DataFrame =
     df.filter(timeCol >= fromTime && timeCol < toTime)
-      .filter(compile(parse(query), messageCol))
+      .filter(compilePred(parsePredicate(query), messageCol))
 
   // --------------------------------------------------------------------------
   // Pipe-stage query surface: the full Sumo query shape the reference's e2e
@@ -360,6 +450,14 @@ object SearchQuery {
   private def isNumeric(v: String): Boolean =
     try { v.toDouble; true } catch { case _: NumberFormatException => false }
 
+  /** Stage field references may use the metadata selector spelling
+    * (`count by _sourceId` — `sumoresource.py:1250`); they resolve to the
+    * engine column like predicate selectors do. Output columns carry the
+    * ENGINE name (`source_id`), one spelling everywhere downstream.
+    */
+  private def resolveField(name: String): String =
+    metaColumns.getOrElse(name.toLowerCase, name)
+
   /** Compile pipe stages to one DataFrame transform. `timeColName` feeds
     * `timeslice`; `messageColName` is what `parse` stages read. Aggregations
     * over doubles accumulate in DECIMAL and cast back (order-independent
@@ -386,13 +484,13 @@ object SearchQuery {
           }
         case JsonStage(field, extracts, nodrop) =>
           val base = extracts.foldLeft(df) { case (d, (path, name)) =>
-            d.withColumn(name, get_json_object(col(field), path))
+            d.withColumn(name, get_json_object(col(resolveField(field)), path))
           }
           if (nodrop) base
           else base.filter(extracts.map { case (_, n) => col(n).isNotNull }
             .reduce(_ || _))
         case WhereCmp(field, op, value) =>
-          val c = col(field)
+          val c = col(resolveField(field))
           val pred = op match {
             case "matches" => c.rlike(
               "(?i)^" + value.split("\\*", -1)
@@ -417,18 +515,20 @@ object SearchQuery {
           val cols = aggs.map {
             case AggSpec("count", _, alias) => count(lit(1)).as(alias)
             case AggSpec("count_distinct", Some(f), alias) =>
-              countDistinct(col(f)).as(alias)
+              countDistinct(col(resolveField(f))).as(alias)
             case AggSpec("sum", Some(f), alias) =>
-              sum(col(f).try_cast("decimal(38,6)")).cast("double").as(alias)
+              sum(col(resolveField(f)).try_cast("decimal(38,6)")).cast("double").as(alias)
             case AggSpec("avg", Some(f), alias) =>
-              (sum(col(f).try_cast("decimal(38,6)")) /
-                count(col(f).try_cast("decimal(38,6)"))).cast("double").as(alias)
-            case AggSpec("min", Some(f), alias) => min(col(f).try_cast("double")).as(alias)
-            case AggSpec("max", Some(f), alias) => max(col(f).try_cast("double")).as(alias)
+              (sum(col(resolveField(f)).try_cast("decimal(38,6)")) /
+                count(col(resolveField(f)).try_cast("decimal(38,6)"))).cast("double").as(alias)
+            case AggSpec("min", Some(f), alias) =>
+              min(col(resolveField(f)).try_cast("double")).as(alias)
+            case AggSpec("max", Some(f), alias) =>
+              max(col(resolveField(f)).try_cast("double")).as(alias)
             case bad => throw new IllegalArgumentException(s"bad aggregation: $bad")
           }
-          df.groupBy(by.map(col): _*).agg(cols.head, cols.tail: _*)
-        case FieldsStage(names) => df.select(names.map(col): _*)
+          df.groupBy(by.map(n => col(resolveField(n))): _*).agg(cols.head, cols.tail: _*)
+        case FieldsStage(names) => df.select(names.map(n => col(resolveField(n))): _*)
         case SortStage(_) => df // ordering is pagination's job, not the plan's
       }
     }
@@ -442,9 +542,9 @@ object SearchQuery {
     */
   def recordsOrderBy(stages: Seq[Stage]): Seq[(String, Boolean)] =
     stages.reverse.collectFirst {
-      case SortStage(keys) => keys
+      case SortStage(keys) => keys.map { case (k, d) => (resolveField(k), d) }
       case AggStage(aggs, by) =>
-        (if (by.nonEmpty) by else aggs.map(_.alias)).map((_, false))
+        (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias)).map((_, false))
     }.getOrElse(Seq.empty)
 
   /** `(key, descending)` pairs → sort `Column`s. */

@@ -146,6 +146,48 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(namedGroups("[^)(]*(?<x>b)[)](?<y>c)") == Seq(("x", 1), ("y", 2)))
   }
 
+  test("Q2: boolean predicate groups — parse, OR semantics, meta-key resolution") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // the reference's metric-source shape (sumoresource.py:1250)
+    val p = parsePredicate(
+      "_contentType=HostMetrics (InstanceId=i-1 or InstanceId=i-2)")
+    assert(p == AndPred(Seq(
+      Leaf(MetaSelector("_contenttype", "HostMetrics")),
+      OrPred(Seq(Leaf(Keyword("InstanceId=i-1")), Leaf(Keyword("InstanceId=i-2")))))))
+    // whitespace = implicit AND, case-insensitive connectives, nesting
+    assert(parsePredicate("a OR b c") ==
+      OrPred(Seq(Leaf(Keyword("a")), AndPred(Seq(Leaf(Keyword("b")), Leaf(Keyword("c")))))))
+    assert(parsePredicate("(a or (b c)) d") == AndPred(Seq(
+      OrPred(Seq(Leaf(Keyword("a")), AndPred(Seq(Leaf(Keyword("b")), Leaf(Keyword("c")))))),
+      Leaf(Keyword("d")))))
+    // flat queries parse to the same conjunction the flat parser yields
+    assert(parsePredicate("_sourceCategory=x err") ==
+      AndPred(parse("_sourceCategory=x err").map(Leaf)))
+    intercept[IllegalArgumentException](parsePredicate("(a or b"))
+    intercept[IllegalArgumentException](parsePredicate("a ) b"))
+    intercept[IllegalArgumentException](parsePredicate("x () y"))
+
+    // compiled OR semantics end-to-end through the string search-job API
+    val df = Seq(
+      ("HostMetrics", "src-1", "InstanceId=i-1 cpu"),
+      ("HostMetrics", "src-2", "InstanceId=i-2 cpu"),
+      ("HostMetrics", "src-3", "InstanceId=i-7 cpu"),
+      ("Logs", "src-4", "InstanceId=i-1 cpu"))
+      .toDF("content_type", "source_id", "message")
+      .withColumn("ts", lit("2024-03-01 10:00:00").cast("timestamp"))
+    val hits = searchJob(df,
+      "_contentType=HostMetrics (InstanceId=i-1 or InstanceId=i-2)",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      col("ts"), col("message"))
+      .select("source_id").as[String].collect().sorted.toSeq
+    assert(hits == Seq("src-1", "src-2")) // i-7 fails the OR, Logs fails the selector
+    // meta-spelled stage keys resolve to engine columns
+    val agg = compileStages(Seq(parseStage("count by _sourceId")), "ts", "message")(df)
+    assert(agg.columns.toSeq == Seq("source_id", "_count"))
+  }
+
   test("Q1: namedGroups indices agree with the JDK regex engine on tricky shapes") {
     import SearchQuery._
     // the JDK engine is the oracle: for every (name, idx) the scanner
