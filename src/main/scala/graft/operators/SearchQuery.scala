@@ -237,8 +237,29 @@ object SearchQuery {
   final case class AggStage(aggs: Seq[AggSpec], by: Seq[String]) extends Stage
   /** `fields a, b` — projection. */
   final case class FieldsStage(names: Seq[String]) extends Stage
+  /** `fields - a, b` — exclusion form: drop the named fields, keep the rest. */
+  final case class FieldsExclude(names: Seq[String]) extends Stage
   /** `sort by a, b desc` — defines the records pagination order. */
   final case class SortStage(keys: Seq[(String, Boolean)]) extends Stage
+  /** `limit N` — first N rows in the CURRENT order (an explicit `sort by`
+    * upstream, or the implied group-key order after an aggregation). Compiles
+    * to `orderBy(...).limit(n)` so Spark plans a TakeOrdered — per-partition
+    * top-N fed to a bounded driver merge, never a full global sort.
+    */
+  final case class LimitStage(n: Int) extends Stage
+  /** `top N f1[, f2…] by sortField` — the N highest rows by `sortField`
+    * descending (the reference language's `top` operator, conventionally
+    * after `count by`: `… | count by host | top 10 host by _count`). The
+    * displayed fields ascending are the deterministic tie-break.
+    */
+  final case class TopStage(n: Int, fields: Seq[String], byField: String) extends Stage
+  /** `dedup [N] [by f1, f2]` — keep the first N rows (default 1) per distinct
+    * key in the CURRENT order. Bare `dedup` (no `by`) keeps one row per
+    * distinct combination of ALL current fields (order-free). The keyed form
+    * requires an upstream `sort by` — "first" is meaningless without one, and
+    * silently picking an arbitrary row would be nondeterministic at scale.
+    */
+  final case class DedupStage(n: Int, by: Seq[String]) extends Stage
 
   /** A parsed full query: predicate terms + pipe stages. */
   final case class Piped(terms: Seq[Term], stages: Seq[Stage])
@@ -301,6 +322,7 @@ object SearchQuery {
   private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val QuotedRe = "\"([^\"]*)\"".r
   private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
+  private val TopRe = "(?i)top\\s+(\\d+)\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
 
   /** Parse one pipe stage. Grammar is the observed reference subset — anything
     * else is rejected with the offending stage named.
@@ -360,7 +382,38 @@ object SearchQuery {
         case other => throw new IllegalArgumentException(s"bad timeslice: $other")
       }
     } else if (lower.startsWith("fields ")) {
-      FieldsStage(s.substring("fields ".length).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val body = s.substring("fields ".length).trim
+      if (body.startsWith("-"))
+        FieldsExclude(body.substring(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      else
+        FieldsStage(body.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    } else if (lower.startsWith("limit ") || lower.startsWith("limit\t")) {
+      val n = s.substring("limit ".length).trim
+      require(n.matches("\\d+"), s"limit needs a positive integer: $s")
+      LimitStage(n.toInt)
+    } else if (lower.startsWith("top ")) {
+      s match {
+        case TopRe(n, flds, byF) =>
+          TopStage(n.toInt,
+            flds.split(",").map(_.trim).filter(_.nonEmpty).toSeq, byF.trim)
+        case _ => throw new IllegalArgumentException(
+          s"top needs 'top N field[, field…] by sortField': $s")
+      }
+    } else if (lower == "dedup" || lower.startsWith("dedup ")) {
+      val body = s.substring("dedup".length).trim
+      val (nPart, byPart) = {
+        val m = "(?i)^(\\d+)?\\s*(?:by\\s+(.+))?$".r
+        body match {
+          case m(n, by) => (Option(n), Option(by))
+          case _ => throw new IllegalArgumentException(
+            s"dedup needs 'dedup [N] [by field[, field…]]': $s")
+        }
+      }
+      val n = nPart.map(_.toInt).getOrElse(1)
+      val by = byPart.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      require(by.nonEmpty || n == 1, s"dedup N without 'by' keys is ambiguous: $s")
+      DedupStage(n, by)
     } else if (lower.startsWith("sort by ")) {
       // bare `sort by x` is DESCENDING (the reference language's default);
       // only an explicit `asc` flips a key ascending
@@ -462,9 +515,17 @@ object SearchQuery {
     * `timeslice`; `messageColName` is what `parse` stages read. Aggregations
     * over doubles accumulate in DECIMAL and cast back (order-independent
     * exactness — the engine-wide sum convention).
+    *
+    * The fold threads the CURRENT sort order (from `sort by`, `top`, or the
+    * implied group-key order after an aggregation) because `limit` and keyed
+    * `dedup` are order-sensitive: `limit` compiles to `orderBy(…).limit(n)`
+    * (TakeOrdered — per-partition top-N, bounded driver merge, no global
+    * sort) and `dedup N by k` to a `row_number` window over the key ordered
+    * by the current sort (one shuffle on the key, no global order needed).
     */
   def compileStages(stages: Seq[Stage], timeColName: String,
       messageColName: String): DataFrame => DataFrame = { df0 =>
+    var order = Seq.empty[(String, Boolean)]
     stages.foldLeft(df0) { (df, stage) =>
       stage match {
         case ParseAnchor(pattern, names, nodrop) =>
@@ -527,9 +588,35 @@ object SearchQuery {
               max(col(resolveField(f)).try_cast("double")).as(alias)
             case bad => throw new IllegalArgumentException(s"bad aggregation: $bad")
           }
+          order = (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias))
+            .map((_, false))
           df.groupBy(by.map(n => col(resolveField(n))): _*).agg(cols.head, cols.tail: _*)
         case FieldsStage(names) => df.select(names.map(n => col(resolveField(n))): _*)
-        case SortStage(_) => df // ordering is pagination's job, not the plan's
+        case FieldsExclude(names) => df.drop(names.map(resolveField): _*)
+        case SortStage(keys) =>
+          order = keys.map { case (k, d) => (resolveField(k), d) }
+          df // ordering itself is pagination's job, not the plan's
+        case LimitStage(n) =>
+          if (order.isEmpty) df.limit(n)
+          else df.orderBy(sortColumns(order): _*).limit(n)
+        case TopStage(n, fields, byField) =>
+          order = (resolveField(byField), true) +:
+            fields.map(f => (resolveField(f), false))
+          df.orderBy(sortColumns(order): _*).limit(n)
+        case DedupStage(n, by) if by.isEmpty =>
+          df.dropDuplicates()
+        case DedupStage(n, by) =>
+          require(!df.columns.contains("_dd_rn"),
+            "input already carries the internal _dd_rn column")
+          require(order.nonEmpty,
+            s"dedup by ${by.mkString(",")} needs an upstream 'sort by' — " +
+              "\"first N per key\" is undefined without an order")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(by.map(n => col(resolveField(n))): _*)
+            .orderBy(sortColumns(order): _*)
+          df.withColumn("_dd_rn", row_number().over(w))
+            .filter(col("_dd_rn") <= n)
+            .drop("_dd_rn")
       }
     }
   }
@@ -543,6 +630,8 @@ object SearchQuery {
   def recordsOrderBy(stages: Seq[Stage]): Seq[(String, Boolean)] =
     stages.reverse.collectFirst {
       case SortStage(keys) => keys.map { case (k, d) => (resolveField(k), d) }
+      case TopStage(_, fields, byField) =>
+        (resolveField(byField), true) +: fields.map(f => (resolveField(f), false))
       case AggStage(aggs, by) =>
         (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias)).map((_, false))
     }.getOrElse(Seq.empty)

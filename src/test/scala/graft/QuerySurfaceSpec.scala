@@ -146,6 +146,53 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(namedGroups("[^)(]*(?<x>b)[)](?<y>c)") == Seq(("x", 1), ("y", 2)))
   }
 
+  test("Q1: structural stages — limit/top/dedup/fields- parse and execute") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // parse shapes
+    assert(parseStage("limit 10") == LimitStage(10))
+    assert(parseStage("top 5 host by _count") == TopStage(5, Seq("host"), "_count"))
+    assert(parseStage("top 3 a, b by total") == TopStage(3, Seq("a", "b"), "total"))
+    assert(parseStage("dedup") == DedupStage(1, Seq.empty))
+    assert(parseStage("dedup by k") == DedupStage(1, Seq("k")))
+    assert(parseStage("dedup 2 by k, j") == DedupStage(2, Seq("k", "j")))
+    assert(parseStage("fields - a, b") == FieldsExclude(Seq("a", "b")))
+    intercept[IllegalArgumentException](parseStage("limit ten"))
+    intercept[IllegalArgumentException](parseStage("top 5 host")) // no by
+    intercept[IllegalArgumentException](parseStage("dedup 3")) // N without by
+    // execution: count by + top = N highest, byField desc, fields asc tie-break
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("b", 5), ("c", 6))
+      .toDF("k", "v")
+    val top = compileStages(
+      Seq(AggStage(Seq(AggSpec("count", None, "_count")), Seq("k")),
+        TopStage(2, Seq("k"), "_count")), "ts", "m")(df)
+      .as[(String, Long)].collect()
+    assert(top.toSeq == Seq(("b", 3L), ("a", 2L))) // a before c at tied count 2
+    assert(recordsOrderBy(Seq(TopStage(2, Seq("k"), "_count"))) ==
+      Seq(("_count", true), ("k", false)))
+    // limit honors the CURRENT order (sort by v desc → top values)
+    val lim = compileStages(
+      Seq(SortStage(Seq(("v", true))), LimitStage(2)), "ts", "m")(df)
+      .as[(String, Int)].collect()
+    assert(lim.map(_._2).toSeq == Seq(6, 5))
+    // keyed dedup keeps first N per key in the current order
+    val dd = compileStages(
+      Seq(SortStage(Seq(("v", true))), DedupStage(2, Seq("k")), LimitStage(6)),
+      "ts", "m")(df).as[(String, Int)].collect()
+    assert(dd.map(_._2).toSeq == Seq(6, 5, 4, 2, 1))
+    // keyed dedup without an upstream sort is rejected, not arbitrary
+    intercept[IllegalArgumentException](
+      compileStages(Seq(DedupStage(1, Seq("k"))), "ts", "m")(df).collect())
+    // bare dedup = distinct over all fields
+    val dist = compileStages(Seq(DedupStage(1, Seq.empty)), "ts", "m")(
+      Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")).count()
+    assert(dist == 2)
+    // fields- drops, keeps the rest
+    assert(compileStages(Seq(FieldsExclude(Seq("v"))), "ts", "m")(df).columns
+      .toSeq == Seq("k"))
+  }
+
   test("Q2: boolean predicate groups — parse, OR semantics, meta-key resolution") {
     import SearchQuery._
     val s = spark
