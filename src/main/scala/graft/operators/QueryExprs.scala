@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar expression language for pipe stages: `| num(uid) * 2 + 1 as score`,
+  * `| if(score > 100, "hi", "lo") as band`, `| concat(a, "-", b) as tag` —
+  * the computed-field half of the reference-style query language (the
+  * reference's own queries stop at parse/where/agg, so this surface is the
+  * extension the search language conventionally carries on top).
+  *
+  * Everything compiles to built-in `Column` expressions — codegen'd, no
+  * UDFs, so a computed field is exactly as cheap as writing the same
+  * `functions._` composition by hand and Catalyst folds constants through
+  * it.
+  *
+  * Typing is the language's lenient convention: arithmetic and comparison
+  * operate in DOUBLE via `try_cast` (a non-numeric string becomes null and
+  * fails predicates rather than erroring — same convention as `where`),
+  * EXCEPT comparison against a string literal, which compares as strings.
+  * `concat` renders every argument as a string.
+  */
+object QueryExprs {
+
+  sealed trait Expr
+  final case class NumLit(text: String) extends Expr // kept verbatim for longs
+  final case class StrLit(s: String) extends Expr
+  final case class FieldRef(name: String) extends Expr
+  final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
+  final case class Call(fn: String, args: Seq[Expr]) extends Expr
+
+  // ------------------------------------------------------------------ lexer
+
+  private sealed trait Tok
+  private final case class TNum(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TId(s: String) extends Tok
+  private final case class TOp(s: String) extends Tok
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit)) {
+        val j0 = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        out += TNum(s.substring(j0, i))
+      } else if (c.isLetter || c == '_') {
+        val j0 = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += TId(s.substring(j0, i))
+      } else if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          s.charAt(i) match {
+            case '\\' if i + 1 < s.length => sb += s.charAt(i + 1); i += 2
+            case '"' => closed = true; i += 1
+            case other => sb += other; i += 1
+          }
+        }
+        require(closed, s"unterminated string in expression: $s")
+        out += TStr(sb.result())
+      } else {
+        val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+        two match {
+          case ">=" | "<=" | "!=" => out += TOp(two); i += 2
+          case _ =>
+            c match {
+              case '>' | '<' | '=' | '+' | '-' | '*' | '/' | '%' | '(' | ')' | ',' =>
+                out += TOp(c.toString); i += 1
+              case other =>
+                throw new IllegalArgumentException(s"bad character '$other' in expression: $s")
+            }
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------------- parser
+  // cmp := add (cmpOp add)? ; add := mul (('+'|'-') mul)* ;
+  // mul := unary (('*'|'/'|'%') unary)* ; unary := '-' unary | primary ;
+  // primary := NUM | STR | ident '(' args ')' | ident | '(' cmp ')'
+
+  def parse(s: String): Expr = {
+    val toks = lex(s)
+    var i = 0
+    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def eat(): Tok = {
+      require(i < toks.length, s"unexpected end of expression: $s")
+      val t = toks(i); i += 1; t
+    }
+    def expectOp(op: String): Unit = peek match {
+      case Some(TOp(`op`)) => i += 1
+      case other => throw new IllegalArgumentException(
+        s"expected '$op' but found $other in: $s")
+    }
+    def cmp(): Expr = {
+      val l = add()
+      peek match {
+        case Some(TOp(op)) if Set(">", "<", ">=", "<=", "=", "!=").contains(op) =>
+          i += 1; BinOp(op, l, add())
+        case _ => l
+      }
+    }
+    def add(): Expr = {
+      var l = mul()
+      var done = false
+      while (!done) peek match {
+        case Some(TOp(op @ ("+" | "-"))) => i += 1; l = BinOp(op, l, mul())
+        case _ => done = true
+      }
+      l
+    }
+    def mul(): Expr = {
+      var l = unary()
+      var done = false
+      while (!done) peek match {
+        case Some(TOp(op @ ("*" | "/" | "%"))) => i += 1; l = BinOp(op, l, unary())
+        case _ => done = true
+      }
+      l
+    }
+    def unary(): Expr = peek match {
+      case Some(TOp("-")) => i += 1; BinOp("-", NumLit("0"), unary())
+      case _ => primary()
+    }
+    def primary(): Expr = eat() match {
+      case TNum(n) => NumLit(n)
+      case TStr(v) => StrLit(v)
+      case TId(name) =>
+        peek match {
+          case Some(TOp("(")) =>
+            i += 1
+            val args = Seq.newBuilder[Expr]
+            if (!peek.contains(TOp(")"))) {
+              args += cmp()
+              while (peek.contains(TOp(","))) { i += 1; args += cmp() }
+            }
+            expectOp(")")
+            Call(name.toLowerCase, args.result())
+          case _ => FieldRef(name)
+        }
+      case TOp("(") =>
+        val e = cmp()
+        expectOp(")")
+        e
+      case other => throw new IllegalArgumentException(s"unexpected $other in: $s")
+    }
+    val e = cmp()
+    require(i == toks.length, s"trailing tokens after expression in: $s")
+    e
+  }
+
+  // --------------------------------------------------------------- compiler
+
+  private def isStringy(e: Expr): Boolean = e match {
+    case StrLit(_) => true
+    case Call("concat" | "tolowercase" | "touppercase" | "format", _) => true
+    case Call("if", Seq(_, a, b)) => isStringy(a) || isStringy(b)
+    case _ => false
+  }
+
+  private def num(c: Column): Column = c.try_cast("double")
+
+  /** Expression → `Column`. `resolve` maps a field reference to its engine
+    * column (the metadata-selector spelling resolves like everywhere else).
+    */
+  def compile(e: Expr, resolve: String => Column): Column = e match {
+    case NumLit(text) =>
+      if (text.contains('.')) lit(text.toDouble) else lit(text.toLong)
+    case StrLit(s) => lit(s)
+    case FieldRef(name) => resolve(name)
+    case BinOp(op, l, r) =>
+      val cmpOps = Set(">", "<", ">=", "<=", "=", "!=")
+      if (cmpOps.contains(op)) {
+        // string-literal comparison stays string; everything else numeric
+        val (lc, rc) =
+          if (isStringy(l) || isStringy(r))
+            (compile(l, resolve).cast("string"), compile(r, resolve).cast("string"))
+          else (num(compile(l, resolve)), num(compile(r, resolve)))
+        op match {
+          case ">" => lc > rc; case "<" => lc < rc
+          case ">=" => lc >= rc; case "<=" => lc <= rc
+          case "=" => lc === rc; case "!=" => lc =!= rc
+        }
+      } else {
+        val lc = num(compile(l, resolve)); val rc = num(compile(r, resolve))
+        op match {
+          case "+" => lc + rc; case "-" => lc - rc
+          case "*" => lc * rc; case "/" => lc / rc; case "%" => lc % rc
+        }
+      }
+    case Call(fn, args) => (fn, args) match {
+      case ("num", Seq(a)) => num(compile(a, resolve))
+      case ("if", Seq(c, a, b)) =>
+        when(asPredicate(c, resolve), compile(a, resolve))
+          .otherwise(compile(b, resolve))
+      case ("concat", as) if as.nonEmpty =>
+        concat(as.map(a => compile(a, resolve).cast("string")): _*)
+      case ("tolowercase", Seq(a)) => lower(compile(a, resolve).cast("string"))
+      case ("touppercase", Seq(a)) => upper(compile(a, resolve).cast("string"))
+      case ("abs", Seq(a)) => abs(num(compile(a, resolve)))
+      // floor/ceil return LONG in Spark — cast back to the language's
+      // uniform double so downstream arithmetic/rendering is type-stable
+      case ("floor", Seq(a)) => floor(num(compile(a, resolve))).cast("double")
+      case ("ceil", Seq(a)) => ceil(num(compile(a, resolve))).cast("double")
+      case ("round", Seq(a)) => round(num(compile(a, resolve)), 0)
+      case ("round", Seq(a, NumLit(n))) if !n.contains('.') =>
+        round(num(compile(a, resolve)), n.toInt)
+      case ("format", StrLit(fmt) +: rest) if rest.nonEmpty =>
+        format_string(fmt, rest.map(compile(_, resolve)): _*)
+      case _ =>
+        throw new IllegalArgumentException(
+          s"unsupported function $fn/${args.length} in expression")
+    }
+  }
+
+  /** An `if` condition must be boolean: a comparison compiles to one
+    * directly; anything else is truthy-numeric (non-null and non-zero).
+    */
+  private def asPredicate(e: Expr, resolve: String => Column): Column = e match {
+    case BinOp(op, _, _) if Set(">", "<", ">=", "<=", "=", "!=").contains(op) =>
+      compile(e, resolve).cast("boolean")
+    case other => num(compile(other, resolve)).isNotNull &&
+      num(compile(other, resolve)) =!= lit(0.0)
+  }
+}

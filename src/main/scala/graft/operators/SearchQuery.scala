@@ -260,6 +260,11 @@ object SearchQuery {
     * silently picking an arbitrary row would be nondeterministic at scale.
     */
   final case class DedupStage(n: Int, by: Seq[String]) extends Stage
+  /** `<expr> as name` — computed field ([[QueryExprs]]): arithmetic,
+    * `num`/`if`/`concat`/`format`/case functions, all compiled to built-in
+    * codegen'd `Column` expressions.
+    */
+  final case class ExprStage(expr: QueryExprs.Expr, alias: String) extends Stage
 
   /** A parsed full query: predicate terms + pipe stages. */
   final case class Piped(terms: Seq[Term], stages: Seq[Stage])
@@ -323,6 +328,10 @@ object SearchQuery {
   private val QuotedRe = "\"([^\"]*)\"".r
   private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
   private val TopRe = "(?i)top\\s+(\\d+)\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
+  // aggregation stages are recognized by their HEAD function name; anything
+  // else ending in `as name` is a computed-field expression stage
+  private val AggHeadRe = "(?i)^(count_distinct|count|sum|avg|min|max|stddev|pct)\\b".r
+  private val ExprAsRe = "(?is)^(.*\\S)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
 
   /** Parse one pipe stage. Grammar is the observed reference subset — anything
     * else is rejected with the offending stage named.
@@ -422,7 +431,7 @@ object SearchQuery {
           val asc = k.toLowerCase.endsWith(" asc")
           (k.replaceAll("(?i)\\s+(asc|desc)$", ""), !asc)
         }.toSeq)
-    } else {
+    } else if (AggHeadRe.findPrefixMatchOf(lower).isDefined) {
       // aggregation stage: `aggspec[, aggspec…] [by f1, f2]`
       val byIdx = "(?i)\\bby\\b".r.findFirstMatchIn(s).map(_.start)
       val (aggPart, byPart) = byIdx match {
@@ -440,6 +449,12 @@ object SearchQuery {
       val by = if (byPart.isEmpty) Seq.empty[String]
         else byPart.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       AggStage(aggs, by)
+    } else {
+      // computed field: `<expr> as name` ([[QueryExprs]] grammar)
+      s match {
+        case ExprAsRe(body, alias) => ExprStage(QueryExprs.parse(body), alias)
+        case _ => throw new IllegalArgumentException(s"unsupported pipe stage: $s")
+      }
     }
   }
 
@@ -591,6 +606,8 @@ object SearchQuery {
           order = (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias))
             .map((_, false))
           df.groupBy(by.map(n => col(resolveField(n))): _*).agg(cols.head, cols.tail: _*)
+        case ExprStage(expr, alias) =>
+          df.withColumn(alias, QueryExprs.compile(expr, n => col(resolveField(n))))
         case FieldsStage(names) => df.select(names.map(n => col(resolveField(n))): _*)
         case FieldsExclude(names) => df.drop(names.map(resolveField): _*)
         case SortStage(keys) =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Fer, SearchQuery, Similarity}
+import graft.operators.{Fer, QueryExprs, SearchQuery, Similarity}
 
 class QuerySurfaceSpec extends SparkSpec {
 
@@ -191,6 +191,58 @@ class QuerySurfaceSpec extends SparkSpec {
     // fields- drops, keeps the rest
     assert(compileStages(Seq(FieldsExclude(Seq("v"))), "ts", "m")(df).columns
       .toSeq == Seq("k"))
+  }
+
+  test("Q1: expression stages — arithmetic/if/concat/num compile to codegen'd columns") {
+    import SearchQuery._
+    import QueryExprs.{BinOp, Call, FieldRef, NumLit, StrLit}
+    val s = spark
+    import s.implicits._
+    // parse shapes: precedence, unary minus, nesting, strings
+    assert(parseStage("num(uid) * 2 + 1 as score") == ExprStage(
+      BinOp("+", BinOp("*", Call("num", Seq(FieldRef("uid"))), NumLit("2")),
+        NumLit("1")), "score"))
+    assert(parseStage("if(score > 100, \"hi\", \"lo\") as band") == ExprStage(
+      Call("if", Seq(BinOp(">", FieldRef("score"), NumLit("100")),
+        StrLit("hi"), StrLit("lo"))), "band"))
+    assert(QueryExprs.parse("a + b * c") ==
+      BinOp("+", FieldRef("a"), BinOp("*", FieldRef("b"), FieldRef("c"))))
+    assert(QueryExprs.parse("(a + b) * -c") ==
+      BinOp("*", BinOp("+", FieldRef("a"), FieldRef("b")),
+        BinOp("-", NumLit("0"), FieldRef("c"))))
+    // agg stages still win the 'as' ambiguity — head function decides
+    assert(parseStage("sum(v) as total by k").isInstanceOf[AggStage])
+    intercept[IllegalArgumentException](parseStage("garbage stage ~~"))
+    intercept[IllegalArgumentException](QueryExprs.parse("a +"))
+    intercept[IllegalArgumentException](QueryExprs.parse("nosuchfn(a) as x"))
+    // execution — values land as the documented lenient-double convention
+    val df = Seq(("3", "err"), ("50", "ok"), ("bad", "ok")).toDF("uid", "st")
+    val out = compileStages(Seq(
+      parseStage("num(uid) * 2 + 1 as score"),
+      parseStage("if(score > 10, \"hi\", \"lo\") as band"),
+      parseStage("concat(st, \"-\", band) as tag"),
+      parseStage("if(st = \"err\", 1, 0) as is_err")), "ts", "m")(df)
+    val rows = out.select("score", "band", "tag", "is_err")
+      .as[(Option[Double], String, String, Long)].collect().toSeq
+    assert(rows == Seq(
+      (Some(7.0), "lo", "err-lo", 1L),
+      (Some(101.0), "hi", "ok-hi", 0L),
+      (None, "lo", "ok-lo", 0L))) // non-numeric → null → falsy branch
+    // floor/ceil/round/format/abs/touppercase
+    val fx = compileStages(Seq(
+      parseStage("floor(v / 2) as fl"),
+      parseStage("round(v * 10, 1) as rd"),
+      parseStage("format(\"%s:%s\", touppercase(k), abs(0 - v)) as fm")),
+      "ts", "m")(Seq(("a", 2.5)).toDF("k", "v"))
+      .select("fl", "rd", "fm").as[(Double, Double, String)].collect().head
+    assert(fx == ((1.0, 25.0, "A:2.5")))
+    // expression columns feed straight into where + aggregation stages
+    val piped = parsePiped("ok | num(uid) * 2 as d | where d >= 6 | count by st")
+    val msgs = df.withColumn("message", col("st"))
+      .filter(compile(piped.terms, col("message")))
+    val agg = compileStages(piped.stages, "ts", "m")(msgs)
+      .orderBy("st").as[(String, Long)].collect().toSeq
+    assert(agg == Seq(("ok", 1L)))
   }
 
   test("Q2: boolean predicate groups — parse, OR semantics, meta-key resolution") {
