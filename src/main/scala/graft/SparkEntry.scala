@@ -584,6 +584,97 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- `top` stage: count by key | top N — TakeOrdered (per-partition
+    //      top-N + bounded driver merge), displayed fields break ties ----
+    "q78_piped_top" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | count by etype | top 3 etype by _count"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- keyed `dedup N` in the current sort order + computed field +
+    //      both `fields` forms (projection and exclusion) ----
+    "q79_piped_dedup" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="),
+          col("user_id"), lit(" id="), col("event_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=* id=*\" as etype, uid, eid" +
+        " | num(eid) as eidn | sort by eidn | dedup 2 by etype" +
+        " | fields etype, uid, eidn | fields - uid"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy("etype", "eidn")
+    }),
+    // ---- computed-field expression stages: arithmetic, if(), concat()
+    //      feeding where + aggregation — all codegen'd Columns ----
+    "q80_piped_expr" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | num(uid) % 10 as bucket | if(bucket >= 5, \"high\", \"low\") as band" +
+        " | concat(etype, \"-\", band) as tag" +
+        " | count, sum(bucket) as sum_b by tag"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- `lookup` stage: broadcast dimension join from the query string,
+    //      fact side never shuffles ----
+    "q81_piped_lookup" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | num(uid) % 25 as nkey | lookup n_name from nations on nkey=n_nationkey" +
+        " | count by n_name"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message",
+        Map("nations" -> tbl(s, dir, "nation")))(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- stddev/pct aggregates: exact decimal moments, interpolated
+    //      percentile ----
+    "q82_piped_stats" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-* | parse \"* user=*\" as etype, uid" +
+        " | stddev(uid) as sd, pct(uid, 95) as p95, pct(uid, 50) as med by etype"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1565,6 +1656,78 @@ object SparkEntry {
              OR contains(lower(message), 'instanceid=i-3')))
          SELECT source_id, collector_id, count(*) AS _count
          FROM f GROUP BY 1, 2 ORDER BY source_id, collector_id""",
+    "q78_piped_top" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)'))
+         SELECT etype, count(*) AS _count FROM p GROUP BY 1
+         ORDER BY _count DESC, etype LIMIT 3""",
+    "q79_piped_dedup" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id||' id='||event_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             regexp_extract(message, '(.*?)\Q user=\E(.*?)\Q id=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*?)\Q id=\E(.*)', 3)
+               AS DOUBLE) AS eidn
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*?)\Q id=\E(.*)')),
+         d AS (SELECT etype, eidn FROM p
+           QUALIFY row_number() OVER (PARTITION BY etype ORDER BY eidn DESC) <= 2)
+         SELECT etype, eidn FROM d ORDER BY etype, eidn""",
+    "q80_piped_expr" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS DOUBLE) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         e AS (SELECT etype, uid % 10 AS bucket FROM p),
+         b AS (SELECT etype, bucket,
+             CASE WHEN bucket >= 5 THEN 'high' ELSE 'low' END AS band FROM e),
+         t AS (SELECT etype||'-'||band AS tag, bucket FROM b)
+         SELECT tag, count(*) AS _count,
+           CAST(sum(CAST(bucket AS DECIMAL(38,6))) AS DOUBLE) AS sum_b
+         FROM t GROUP BY 1 ORDER BY tag""",
+    "q81_piped_lookup" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS DOUBLE) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         e AS (SELECT uid % 25 AS nkey FROM p),
+         j AS (SELECT n.n_name FROM e
+           LEFT JOIN nation n ON e.nkey = CAST(n.n_nationkey AS DOUBLE))
+         SELECT n_name, count(*) AS _count FROM j GROUP BY 1 ORDER BY n_name""",
+    "q82_piped_stats" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-%'),
+         p AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS DOUBLE) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         s AS (SELECT etype, uid, CAST(uid AS DECIMAL(18,6)) AS d FROM p)
+         SELECT etype,
+           CASE WHEN count(d) > 1 THEN sqrt(
+             (CAST(sum(d*d) AS DOUBLE)
+               - CAST(sum(d) AS DOUBLE)*CAST(sum(d) AS DOUBLE)
+                 / CAST(count(d) AS DOUBLE))
+             / (CAST(count(d) AS DOUBLE) - 1.0)) END AS sd,
+           quantile_cont(uid, 0.95) AS p95,
+           quantile_cont(uid, 0.5) AS med
+         FROM s GROUP BY 1 ORDER BY etype""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

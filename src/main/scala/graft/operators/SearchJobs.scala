@@ -221,6 +221,7 @@ object SearchJobs {
   def createPiped(df: DataFrame, query: String, fromTime: Column, toTime: Column,
       timeCol: String, messageCol: String, orderBy: Seq[String],
       fers: Seq[Fer.ScopedRule] = Seq.empty,
+      lookups: Map[String, DataFrame] = Map.empty,
       jobRoot: String = defaultRoot): Job = {
     val parts = SearchQuery.splitPipes(query)
     val piped = SearchQuery.parsePiped(query)
@@ -230,7 +231,7 @@ object SearchJobs {
     val records =
       if (piped.stages.isEmpty) None
       else Some(RecordsSpec(
-        SearchQuery.compileStages(piped.stages, timeCol, messageCol),
+        SearchQuery.compileStages(piped.stages, timeCol, messageCol, lookups),
         SearchQuery.recordsOrderBy(piped.stages)))
     create(base, parts.head, fromTime, toTime, col(timeCol), col(messageCol),
       orderBy, records, jobRoot)

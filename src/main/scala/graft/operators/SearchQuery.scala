@@ -203,9 +203,11 @@ object SearchQuery {
   // --------------------------------------------------------------------------
 
   /** One aggregation of an agg stage: function, input field (None for
-    * `count`), output alias (`_count`/`_sum`/... by default, `as x` to name).
+    * `count`), output alias (`_count`/`_sum`/... by default, `as x` to name),
+    * and an optional numeric parameter (`pct(latency, 95)` carries 95).
     */
-  final case class AggSpec(func: String, field: Option[String], alias: String)
+  final case class AggSpec(func: String, field: Option[String], alias: String,
+      param: Option[Double] = None)
 
   sealed trait Stage
   /** `parse "a=* b=*" as x, y [nodrop]` — anchor parse; `*` captures lazily
@@ -265,6 +267,13 @@ object SearchQuery {
     * codegen'd `Column` expressions.
     */
   final case class ExprStage(expr: QueryExprs.Expr, alias: String) extends Stage
+  /** `lookup out1[, out2…] from table on left=right[, l2=r2]` — enrich from
+    * a registered lookup table (the `lookups` parameter of
+    * [[compileStages]]). Compiles to a BROADCAST left join — lookup tables
+    * are dimensions by definition, so the fact side never shuffles.
+    */
+  final case class LookupStage(outputs: Seq[String], table: String,
+      on: Seq[(String, String)]) extends Stage
 
   /** A parsed full query: predicate terms + pipe stages. */
   final case class Piped(terms: Seq[Term], stages: Seq[Stage])
@@ -324,10 +333,12 @@ object SearchQuery {
   private val WhereRe = "(?i)where\\s+(\\S+)\\s*(=|!=|>=|<=|>|<|matches)\\s*(.+)".r
   // count_distinct before count: the alternation must not leave a _distinct
   // suffix unconsumed (regex pattern matches anchor the FULL agg spec)
-  private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
+  private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max|stddev)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
+  private val PctRe = "(?i)pct\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val QuotedRe = "\"([^\"]*)\"".r
   private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
   private val TopRe = "(?i)top\\s+(\\d+)\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
+  private val LookupRe = "(?i)lookup\\s+(.+?)\\s+from\\s+(\\S+)\\s+on\\s+(.+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
   private val AggHeadRe = "(?i)^(count_distinct|count|sum|avg|min|max|stddev|pct)\\b".r
@@ -408,6 +419,22 @@ object SearchQuery {
         case _ => throw new IllegalArgumentException(
           s"top needs 'top N field[, field…] by sortField': $s")
       }
+    } else if (lower.startsWith("lookup ")) {
+      s match {
+        case LookupRe(outs, table, on) =>
+          val onPairs = on.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            val parts = kv.split("=", 2)
+            require(parts.length == 2 && parts.forall(_.trim.nonEmpty),
+              s"lookup join needs left=right pairs: $s")
+            (parts(0).trim, parts(1).trim)
+          }.toSeq
+          val outputs = outs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(outputs.nonEmpty && onPairs.nonEmpty,
+            s"lookup needs output fields and join keys: $s")
+          LookupStage(outputs, table, onPairs)
+        case _ => throw new IllegalArgumentException(
+          s"lookup needs 'lookup out[, out…] from table on left=right[, …]': $s")
+      }
     } else if (lower == "dedup" || lower.startsWith("dedup ")) {
       val body = s.substring("dedup".length).trim
       val (nPart, byPart) = {
@@ -438,7 +465,11 @@ object SearchQuery {
         case Some(i) => (s.substring(0, i).trim, s.substring(i + 2).trim)
         case None => (s, "")
       }
-      val aggs = aggPart.split(",").map(_.trim).filter(_.nonEmpty).map {
+      val aggs = splitTopLevel(aggPart).map(_.trim).filter(_.nonEmpty).map {
+        // pct first: its parenthesized second argument doesn't fit the
+        // single-field shape of the main alternation
+        case PctRe(fld, p, alias) =>
+          AggSpec("pct", Some(fld), Option(alias).getOrElse("_pct"), Some(p.toDouble))
         case AggFnRe(fn, fld, alias) =>
           val f = fn.toLowerCase
           require(f == "count" || fld != null, s"$f needs an argument: $s")
@@ -456,6 +487,23 @@ object SearchQuery {
         case _ => throw new IllegalArgumentException(s"unsupported pipe stage: $s")
       }
     }
+  }
+
+  /** Split on commas at paren depth 0 — `pct(latency, 95), count` is two
+    * specs, not three.
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
   }
 
   private def stripQuotes(v: String): String =
@@ -539,7 +587,8 @@ object SearchQuery {
     * by the current sort (one shuffle on the key, no global order needed).
     */
   def compileStages(stages: Seq[Stage], timeColName: String,
-      messageColName: String): DataFrame => DataFrame = { df0 =>
+      messageColName: String,
+      lookups: Map[String, DataFrame] = Map.empty): DataFrame => DataFrame = { df0 =>
     var order = Seq.empty[(String, Boolean)]
     stages.foldLeft(df0) { (df, stage) =>
       stage match {
@@ -589,18 +638,34 @@ object SearchQuery {
             (floor(unix_timestamp(col(timeColName)) / seconds) * seconds).cast("long")))
         case AggStage(aggs, by) =>
           val cols = aggs.map {
-            case AggSpec("count", _, alias) => count(lit(1)).as(alias)
-            case AggSpec("count_distinct", Some(f), alias) =>
+            case AggSpec("count", _, alias, _) => count(lit(1)).as(alias)
+            case AggSpec("count_distinct", Some(f), alias, _) =>
               countDistinct(col(resolveField(f))).as(alias)
-            case AggSpec("sum", Some(f), alias) =>
+            case AggSpec("sum", Some(f), alias, _) =>
               sum(col(resolveField(f)).try_cast("decimal(38,6)")).cast("double").as(alias)
-            case AggSpec("avg", Some(f), alias) =>
+            case AggSpec("avg", Some(f), alias, _) =>
               (sum(col(resolveField(f)).try_cast("decimal(38,6)")) /
                 count(col(resolveField(f)).try_cast("decimal(38,6)"))).cast("double").as(alias)
-            case AggSpec("min", Some(f), alias) =>
+            case AggSpec("min", Some(f), alias, _) =>
               min(col(resolveField(f)).try_cast("double")).as(alias)
-            case AggSpec("max", Some(f), alias) =>
+            case AggSpec("max", Some(f), alias, _) =>
               max(col(resolveField(f)).try_cast("double")).as(alias)
+            case AggSpec("stddev", Some(f), alias, _) =>
+              // sample stddev from EXACT decimal moments (order-independent —
+              // a running double accumulator would drift with partition
+              // order); the sqrt and divisions run in double identically on
+              // any engine. n=1 yields null, like SQL stddev_samp.
+              val d = col(resolveField(f)).try_cast("decimal(18,6)")
+              val n = count(d).cast("double")
+              val s1 = sum(d).cast("double")
+              val s2 = sum(d * d).cast("double")
+              when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
+                .otherwise(lit(null).cast("double")).as(alias)
+            case AggSpec("pct", Some(f), alias, Some(p)) =>
+              // exact interpolated percentile (the built-in sorts per group —
+              // group cardinality bounds memory, not corpus size)
+              percentile(col(resolveField(f)).try_cast("double"), lit(p / 100.0))
+                .as(alias)
             case bad => throw new IllegalArgumentException(s"bad aggregation: $bad")
           }
           order = (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias))
@@ -608,6 +673,22 @@ object SearchQuery {
           df.groupBy(by.map(n => col(resolveField(n))): _*).agg(cols.head, cols.tail: _*)
         case ExprStage(expr, alias) =>
           df.withColumn(alias, QueryExprs.compile(expr, n => col(resolveField(n))))
+        case LookupStage(outputs, table, on) =>
+          val lk = lookups.getOrElse(table, throw new IllegalArgumentException(
+            s"unknown lookup table '$table' — register it via the lookups parameter"))
+          require(outputs.intersect(on.map(_._2)).isEmpty,
+            s"lookup outputs ${outputs.mkString(",")} overlap the join keys")
+          // project the dimension to keys+outputs, rename keys to reserved
+          // names so they can't collide with fact columns, broadcast-join
+          val proj = lk.select((on.map(_._2) ++ outputs).distinct.map(col): _*)
+          val renamed = on.zipWithIndex.foldLeft(proj) {
+            case (d, ((_, r), i)) => d.withColumnRenamed(r, s"_lk_$i")
+          }
+          val cond = on.zipWithIndex.map { case ((l, _), i) =>
+            col(resolveField(l)) === col(s"_lk_$i")
+          }.reduce(_ && _)
+          df.join(broadcast(renamed), cond, "left")
+            .drop(on.indices.map(i => s"_lk_$i"): _*)
         case FieldsStage(names) => df.select(names.map(n => col(resolveField(n))): _*)
         case FieldsExclude(names) => df.drop(names.map(resolveField): _*)
         case SortStage(keys) =>

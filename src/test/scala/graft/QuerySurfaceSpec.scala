@@ -245,6 +245,35 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(agg == Seq(("ok", 1L)))
   }
 
+  test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // pct's second argument is a comma INSIDE the spec — the top-level split
+    // must not cut it
+    assert(parseStage("stddev(v) as sd, pct(v, 95) as p95 by k") == AggStage(
+      Seq(AggSpec("stddev", Some("v"), "sd"),
+        AggSpec("pct", Some("v"), "p95", Some(95.0))), Seq("k")))
+    assert(parseStage("pct(lat, 50)") ==
+      AggStage(Seq(AggSpec("pct", Some("lat"), "_pct", Some(50.0))), Seq.empty))
+    val df = (1 to 5).map(i => ("a", i)).toDF("k", "v")
+      .union(Seq(("b", 7)).toDF("k", "v"))
+    val out = compileStages(
+      Seq(parseStage("stddev(v) as sd, pct(v, 50) as p50 by k")), "ts", "m")(df)
+      .orderBy("k").as[(String, Option[Double], Double)].collect().toSeq
+    // stddev_samp(1..5) = sqrt(2.5); single-row group → null (not NaN)
+    assert(out == Seq(("a", Some(math.sqrt(2.5)), 3.0), ("b", None, 7.0)))
+    // interpolated percentile: p25 of 1..5 lands between ranks
+    val p25 = compileStages(
+      Seq(parseStage("pct(v, 25) as p25")), "ts", "m")(df.filter($"k" === "a"))
+      .as[Double].collect().head
+    assert(p25 == 2.0)
+    val p30 = compileStages(
+      Seq(parseStage("pct(v, 30) as p30")), "ts", "m")(df.filter($"k" === "a"))
+      .as[Double].collect().head
+    assert(math.abs(p30 - 2.2) < 1e-12)
+  }
+
   test("Q2: boolean predicate groups — parse, OR semantics, meta-key resolution") {
     import SearchQuery._
     val s = spark
@@ -425,6 +454,49 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(sorted.records(1, 1).select("etype").as[String].collect().toSeq ==
       Seq("click"))
     SearchJobs.delete(sorted.id)
+  }
+
+  test("Q1: lookup stage — broadcast dimension enrichment through the query string") {
+    import graft.operators.SearchJobs
+    val s = spark
+    import s.implicits._
+    import SearchQuery._
+    assert(parseStage("lookup name, tier from accounts on uid=id") ==
+      LookupStage(Seq("name", "tier"), "accounts", Seq(("uid", "id"))))
+    intercept[IllegalArgumentException](parseStage("lookup x from t")) // no on
+    val dim = Seq((1L, "alice", "gold"), (2L, "bob", "basic"))
+      .toDF("id", "name", "tier")
+    val df = Seq(
+      ("2024-03-01 00:10:00", "cat-a", "evt login user=1 latency=120"),
+      ("2024-03-01 00:20:00", "cat-a", "evt login user=2 latency=300"),
+      ("2024-03-01 01:10:00", "cat-a", "evt click user=9 latency=500"))
+      .toDF("ts_s", "source_category", "message")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("source_category"),
+        col("message"))
+    // unknown table name throws at compile, named
+    val bad = intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("lookup name from nosuch on uid=id")), "ts", "message")(df))
+    assert(bad.getMessage.contains("nosuch"))
+    val job = SearchJobs.createPiped(df,
+      "_sourceCategory=cat-a | parse \"user=* latency=*\" as u, lat" +
+        " | num(u) as uid | lookup name, tier from accounts on uid=id" +
+        " | fields uid, name, tier, lat | sort by uid asc",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"), lookups = Map("accounts" -> dim))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    val recs = job.records(10, 0)
+      .select("uid", "name", "tier").as[(Double, Option[String], Option[String])]
+      .collect().toSeq
+    // left join: unmatched uid=9 survives with null enrichment
+    assert(recs == Seq((1.0, Some("alice"), Some("gold")),
+      (2.0, Some("bob"), Some("basic")), (9.0, None, None)))
+    // the dimension side is broadcast — no shuffle on the fact side
+    val plan = compileStages(
+      Seq(parseStage("lookup name from accounts on uid=id")), "ts", "message",
+      Map("accounts" -> dim))(df.withColumn("uid", lit(1L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    SearchJobs.delete(job.id)
   }
 
   test("Q1+Q5: createPiped auto-applies registered FERs — derived fields drive stages") {
