@@ -675,6 +675,26 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- boolean `where` bodies: and/or/not connectives, parens, wildcard
+    //      `matches`, arithmetic inside a comparison — one codegen'd filter
+    //      Column, pushed below the aggregation like any predicate ----
+    "q83_piped_bool_where" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | where (uid >= 50 and uid < 80) or" +
+        " (etype matches \"err*\" and not uid * 2 >= 60)" +
+        " | count by etype"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1728,6 +1748,18 @@ object SparkEntry {
            quantile_cont(uid, 0.95) AS p95,
            quantile_cont(uid, 0.5) AS med
          FROM s GROUP BY 1 ORDER BY etype""",
+    "q83_piped_bool_where" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS DOUBLE) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         w AS (SELECT * FROM p WHERE (uid >= 50 AND uid < 80)
+           OR (lower(etype) LIKE 'err%' AND NOT (uid * 2 >= 60)))
+         SELECT etype, count(*) AS _count FROM w GROUP BY 1 ORDER BY etype""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -28,6 +28,11 @@ object QueryExprs {
   final case class FieldRef(name: String) extends Expr
   final case class BinOp(op: String, l: Expr, r: Expr) extends Expr
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
+  /** Boolean connectives — the `where` grammar on top of comparisons
+    * (`and`/`or`/`not` are case-insensitive keywords at the boolean levels
+    * only; `matches` is the wildcard-pattern comparison).
+    */
+  final case class NotOp(e: Expr) extends Expr
 
   // ------------------------------------------------------------------ lexer
 
@@ -87,27 +92,72 @@ object QueryExprs {
   // primary := NUM | STR | ident '(' args ')' | ident | '(' cmp ')'
 
   def parse(s: String): Expr = {
-    val toks = lex(s)
-    var i = 0
-    def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
-    def eat(): Tok = {
+    val p = new P(s)
+    val e = p.cmp()
+    p.requireDone()
+    e
+  }
+
+  /** Parse a boolean `where` body: comparisons joined by `and`/`or`/`not`
+    * with parens. A bare comparison parses the same as [[parse]].
+    */
+  def parsePredicate(s: String): Expr = {
+    val p = new P(s, boolMode = true)
+    val e = p.boolOr()
+    p.requireDone()
+    e
+  }
+
+  /** Shared recursive-descent machinery. In `boolMode` the identifiers
+    * `and`/`or`/`not` are connective keywords and parens group boolean
+    * subexpressions; outside it they are ordinary field references.
+    */
+  private final class P(s: String, boolMode: Boolean = false) {
+    private val toks = lex(s)
+    private var i = 0
+    private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    private def eat(): Tok = {
       require(i < toks.length, s"unexpected end of expression: $s")
       val t = toks(i); i += 1; t
     }
-    def expectOp(op: String): Unit = peek match {
+    private def expectOp(op: String): Unit = peek match {
       case Some(TOp(`op`)) => i += 1
       case other => throw new IllegalArgumentException(
         s"expected '$op' but found $other in: $s")
     }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TId(n) => n.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def requireDone(): Unit =
+      require(i == toks.length, s"trailing tokens after expression in: $s")
+
+    def boolOr(): Expr = {
+      var l = boolAnd()
+      while (peek.exists(isKw(_, "or"))) { i += 1; l = BinOp("or", l, boolAnd()) }
+      l
+    }
+    private def boolAnd(): Expr = {
+      var l = boolNot()
+      while (peek.exists(isKw(_, "and"))) { i += 1; l = BinOp("and", l, boolNot()) }
+      l
+    }
+    private def boolNot(): Expr = peek match {
+      case Some(t) if isKw(t, "not") => i += 1; NotOp(boolNot())
+      case _ => cmp()
+    }
+
     def cmp(): Expr = {
       val l = add()
       peek match {
         case Some(TOp(op)) if Set(">", "<", ">=", "<=", "=", "!=").contains(op) =>
           i += 1; BinOp(op, l, add())
+        case Some(t) if isKw(t, "matches") =>
+          i += 1; BinOp("matches", l, add())
         case _ => l
       }
     }
-    def add(): Expr = {
+    private def add(): Expr = {
       var l = mul()
       var done = false
       while (!done) peek match {
@@ -116,7 +166,7 @@ object QueryExprs {
       }
       l
     }
-    def mul(): Expr = {
+    private def mul(): Expr = {
       var l = unary()
       var done = false
       while (!done) peek match {
@@ -125,11 +175,11 @@ object QueryExprs {
       }
       l
     }
-    def unary(): Expr = peek match {
+    private def unary(): Expr = peek match {
       case Some(TOp("-")) => i += 1; BinOp("-", NumLit("0"), unary())
       case _ => primary()
     }
-    def primary(): Expr = eat() match {
+    private def primary(): Expr = eat() match {
       case TNum(n) => NumLit(n)
       case TStr(v) => StrLit(v)
       case TId(name) =>
@@ -137,23 +187,21 @@ object QueryExprs {
           case Some(TOp("(")) =>
             i += 1
             val args = Seq.newBuilder[Expr]
+            def arg(): Expr = if (boolMode) boolOr() else cmp()
             if (!peek.contains(TOp(")"))) {
-              args += cmp()
-              while (peek.contains(TOp(","))) { i += 1; args += cmp() }
+              args += arg()
+              while (peek.contains(TOp(","))) { i += 1; args += arg() }
             }
             expectOp(")")
             Call(name.toLowerCase, args.result())
           case _ => FieldRef(name)
         }
       case TOp("(") =>
-        val e = cmp()
+        val e = if (boolMode) boolOr() else cmp()
         expectOp(")")
         e
       case other => throw new IllegalArgumentException(s"unexpected $other in: $s")
     }
-    val e = cmp()
-    require(i == toks.length, s"trailing tokens after expression in: $s")
-    e
   }
 
   // --------------------------------------------------------------- compiler
@@ -175,6 +223,22 @@ object QueryExprs {
       if (text.contains('.')) lit(text.toDouble) else lit(text.toLong)
     case StrLit(s) => lit(s)
     case FieldRef(name) => resolve(name)
+    case NotOp(x) => !compilePredicate(x, resolve)
+    case BinOp("and", l, r) =>
+      compilePredicate(l, resolve) && compilePredicate(r, resolve)
+    case BinOp("or", l, r) =>
+      compilePredicate(l, resolve) || compilePredicate(r, resolve)
+    case BinOp("matches", l, r) =>
+      val pattern = r match {
+        case StrLit(p) => p
+        case other => throw new IllegalArgumentException(
+          s"matches needs a string pattern, got $other")
+      }
+      // anchored case-insensitive wildcard — same translation as the
+      // predicate half's meta selectors
+      compile(l, resolve).cast("string").rlike(
+        "(?i)^" + pattern.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString(".*") + "$")
     case BinOp(op, l, r) =>
       val cmpOps = Set(">", "<", ">=", "<=", "=", "!=")
       if (cmpOps.contains(op)) {
@@ -220,13 +284,22 @@ object QueryExprs {
     }
   }
 
-  /** An `if` condition must be boolean: a comparison compiles to one
-    * directly; anything else is truthy-numeric (non-null and non-zero).
+  /** A predicate position (`where` body, `if` condition, `not` operand):
+    * comparisons and connectives compile to boolean columns directly;
+    * anything else is truthy-numeric (non-null and non-zero). SQL
+    * three-valued logic applies — a null comparison fails a filter and
+    * takes `if`'s else branch, matching the engine-wide lenient-typing
+    * convention.
     */
-  private def asPredicate(e: Expr, resolve: String => Column): Column = e match {
-    case BinOp(op, _, _) if Set(">", "<", ">=", "<=", "=", "!=").contains(op) =>
-      compile(e, resolve).cast("boolean")
+  def compilePredicate(e: Expr, resolve: String => Column): Column = e match {
+    case BinOp(op, _, _)
+        if Set(">", "<", ">=", "<=", "=", "!=", "and", "or", "matches").contains(op) =>
+      compile(e, resolve)
+    case NotOp(_) => compile(e, resolve)
     case other => num(compile(other, resolve)).isNotNull &&
       num(compile(other, resolve)) =!= lit(0.0)
   }
+
+  private def asPredicate(e: Expr, resolve: String => Column): Column =
+    compilePredicate(e, resolve)
 }

@@ -231,6 +231,16 @@ object SearchQuery {
     * and fail the predicate, like the API's lenient typing).
     */
   final case class WhereCmp(field: String, op: String, value: String) extends Stage
+  /** `where a >= 5 and (b = "x" or not c matches "p*")` — full boolean
+    * predicate over the expression grammar ([[QueryExprs.parsePredicate]]):
+    * `and`/`or`/`not` connectives, parens, arithmetic on either side of a
+    * comparison. The single-comparison spelling stays on [[WhereCmp]] (it
+    * allows an unquoted string operand); bodies with connectives, parens or
+    * arithmetic route here. Same lenient typing either way — numeric
+    * comparison via `try_cast(double)`, string-literal comparison as
+    * strings, null fails the filter.
+    */
+  final case class WhereExpr(expr: QueryExprs.Expr) extends Stage
   /** `timeslice 5m` / `timeslice 3600` — adds `_timeslice` (bucket-start
     * timestamp) from the job's time column.
     */
@@ -382,9 +392,11 @@ object SearchQuery {
         s"json stage has ${paths.length} paths but ${names.length} names: $s")
       JsonStage(field, paths.zip(names), nodrop)
     } else if (lower.startsWith("where ")) {
-      s match {
+      val body = s.substring("where ".length).trim
+      if (hasBooleanSyntax(body)) WhereExpr(QueryExprs.parsePredicate(body))
+      else s match {
         case WhereRe(f, op, v) => WhereCmp(f, op.toLowerCase, stripQuotes(v.trim))
-        case _ => throw new IllegalArgumentException(s"unsupported where stage: $s")
+        case _ => WhereExpr(QueryExprs.parsePredicate(body))
       }
     } else if (lower.startsWith("timeslice ")) {
       s.substring("timeslice ".length).trim match {
@@ -504,6 +516,27 @@ object SearchQuery {
     }
     out += cur.result()
     out.result()
+  }
+
+  /** True when a `where` body needs the full boolean grammar: a connective
+    * keyword or a paren OUTSIDE double-quoted spans (a quoted value may
+    * legitimately contain `and`/`(`). The simple-comparison spelling stays on
+    * the [[WhereCmp]] path, whose unquoted string operand the expression
+    * lexer would mis-read as a field reference.
+    */
+  private val BoolKwRe = "(?i)(?<![A-Za-z0-9_])(and|or|not)(?![A-Za-z0-9_])".r
+  private def hasBooleanSyntax(body: String): Boolean = {
+    val bare = new StringBuilder
+    var inQ = false
+    var esc = false
+    body.foreach { c =>
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '"') inQ = !inQ
+      else if (!inQ) bare += c
+    }
+    val s = bare.result()
+    s.contains('(') || BoolKwRe.findFirstIn(s).isDefined
   }
 
   private def stripQuotes(v: String): String =
@@ -633,6 +666,8 @@ object SearchQuery {
               s"operator '$other' needs a numeric operand: $field $other $value")
           }
           df.filter(pred)
+        case WhereExpr(expr) =>
+          df.filter(QueryExprs.compilePredicate(expr, n => col(resolveField(n))))
         case Timeslice(seconds) =>
           df.withColumn("_timeslice", timestamp_seconds(
             (floor(unix_timestamp(col(timeColName)) / seconds) * seconds).cast("long")))

@@ -245,6 +245,45 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(agg == Seq(("ok", 1L)))
   }
 
+  test("Q1: boolean where stages — connectives, parens, matches, arithmetic") {
+    import SearchQuery._
+    import QueryExprs.{BinOp, FieldRef, NotOp, NumLit, StrLit}
+    val s = spark
+    import s.implicits._
+    // routing: a single comparison stays WhereCmp (unquoted operand allowed)
+    assert(parseStage("where lat >= 200") == WhereCmp("lat", ">=", "200"))
+    assert(parseStage("where st = outbound") == WhereCmp("st", "=", "outbound"))
+    // a quoted value containing 'and' or '(' is content, not syntax
+    assert(parseStage("where st = \"a and (b\"") == WhereCmp("st", "=", "a and (b"))
+    // connectives, not, parens, arithmetic route to the expression grammar
+    assert(parseStage("where a >= 5 and b = \"x\"") == WhereExpr(
+      BinOp("and", BinOp(">=", FieldRef("a"), NumLit("5")),
+        BinOp("=", FieldRef("b"), StrLit("x")))))
+    assert(parseStage("where not a < 2") ==
+      WhereExpr(NotOp(BinOp("<", FieldRef("a"), NumLit("2")))))
+    assert(parseStage("where (a = 1 or a = 2) and not b matches \"e*\"")
+      .isInstanceOf[WhereExpr])
+    assert(parseStage("where uid * 2 >= 100") == WhereExpr(
+      BinOp(">=", BinOp("*", FieldRef("uid"), NumLit("2")), NumLit("100"))))
+    intercept[IllegalArgumentException](parseStage("where a >= 5 and"))
+    intercept[IllegalArgumentException](parseStage("where (a = 1"))
+
+    // execution: connective semantics + SQL three-valued logic on try_cast
+    val df = Seq(("3", "err"), ("50", "ok"), ("bad", "ok"), ("70", "error"))
+      .toDF("uid", "st")
+    def run(q: String): Seq[String] =
+      compileStages(Seq(parseStage(q)), "ts", "m")(df)
+        .select("uid").as[String].collect().toSeq.sorted
+    assert(run("where uid >= 10 and st = \"ok\"") == Seq("50"))
+    assert(run("where uid < 10 or st matches \"err*\"") == Seq("3", "70"))
+    assert(run("where not st matches \"err*\"") == Seq("50", "bad"))
+    // 'bad' casts to null; NOT(null) is null → dropped, not kept
+    assert(run("where not uid >= 10") == Seq("3"))
+    assert(run("where (uid >= 10 or st = \"err\") and not st = \"error\"") ==
+      Seq("3", "50"))
+    assert(run("where uid * 2 >= 100") == Seq("50", "70"))
+  }
+
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
     import SearchQuery._
     val s = spark
