@@ -695,6 +695,31 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- expression-language string surface: in-lists, isBlank, substring/
+    //      len/replace computed fields, and parse field= on a non-message
+    //      column — every function a built-in codegen'd Column ----
+    "q84_piped_strfns" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+        .withColumn("url", concat(
+          when(col("event_id") % 2 === 0, lit("https")).otherwise(lit("ftp")),
+          lit("://host/"), col("event_type")))
+      val q = "_sourceCategory=cat-* | parse \"* user=*\" as etype, uid" +
+        " | parse regex field=url \"(?<proto>\\w+)://\"" +
+        " | where etype in (\"click\", \"view\", \"error\") and not isBlank(uid)" +
+        " | substring(etype, 0, 2) as pre | len(etype) as elen" +
+        " | replace(pre, \"c\", \"k\") as prek" +
+        " | count by prek, elen, proto"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1760,6 +1785,27 @@ object SparkEntry {
          w AS (SELECT * FROM p WHERE (uid >= 50 AND uid < 80)
            OR (lower(etype) LIKE 'err%' AND NOT (uid * 2 >= 60)))
          SELECT etype, count(*) AS _count FROM w GROUP BY 1 ORDER BY etype""",
+    "q84_piped_strfns" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message,
+             (CASE WHEN event_id%2 = 0 THEN 'https' ELSE 'ftp' END)
+               ||'://host/'||event_type AS url
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-%'),
+         p AS (SELECT url,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         r AS (SELECT etype, uid, regexp_extract(url, '(\w+)://', 1) AS proto
+           FROM p WHERE regexp_matches(url, '(\w+)://')),
+         w AS (SELECT * FROM r WHERE etype IN ('click', 'view', 'error')
+           AND NOT (uid IS NULL OR trim(uid) = '')),
+         e AS (SELECT proto, substring(etype, 1, 2) AS pre,
+             CAST(length(etype) AS DOUBLE) AS elen FROM w),
+         x AS (SELECT proto, replace(pre, 'c', 'k') AS prek, elen FROM e)
+         SELECT prek, elen, proto, count(*) AS _count
+         FROM x GROUP BY 1, 2, 3 ORDER BY prek, elen, proto""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -33,6 +33,8 @@ object QueryExprs {
     * only; `matches` is the wildcard-pattern comparison).
     */
   final case class NotOp(e: Expr) extends Expr
+  /** `x in ("a", "b", 3)` — membership against a literal list. */
+  final case class InOp(e: Expr, items: Seq[Expr]) extends Expr
 
   // ------------------------------------------------------------------ lexer
 
@@ -154,6 +156,14 @@ object QueryExprs {
           i += 1; BinOp(op, l, add())
         case Some(t) if isKw(t, "matches") =>
           i += 1; BinOp("matches", l, add())
+        case Some(t) if isKw(t, "in") =>
+          i += 1
+          expectOp("(")
+          val items = Seq.newBuilder[Expr]
+          items += add()
+          while (peek.contains(TOp(","))) { i += 1; items += add() }
+          expectOp(")")
+          InOp(l, items.result())
         case _ => l
       }
     }
@@ -208,10 +218,16 @@ object QueryExprs {
 
   private def isStringy(e: Expr): Boolean = e match {
     case StrLit(_) => true
-    case Call("concat" | "tolowercase" | "touppercase" | "format", _) => true
+    case Call("concat" | "tolowercase" | "touppercase" | "format"
+        | "substring" | "replace" | "trim", _) => true
     case Call("if", Seq(_, a, b)) => isStringy(a) || isStringy(b)
     case _ => false
   }
+
+  /** Functions whose result is already boolean — predicate positions take
+    * them directly instead of the truthy-numeric fallback.
+    */
+  private val boolFns = Set("isnull", "isempty", "isblank")
 
   private def num(c: Column): Column = c.try_cast("double")
 
@@ -228,6 +244,21 @@ object QueryExprs {
       compilePredicate(l, resolve) && compilePredicate(r, resolve)
     case BinOp("or", l, r) =>
       compilePredicate(l, resolve) || compilePredicate(r, resolve)
+    case InOp(x, items) =>
+      // membership compares as strings if either side is stringy (the usual
+      // `etype in ("click","view")` case), else numerically in double —
+      // the same typing rule as binary comparison. Items must be literals:
+      // `isin` compiles to a codegen'd IN list, never a join.
+      val stringy = isStringy(x) || items.exists(isStringy)
+      val lc = if (stringy) compile(x, resolve).cast("string")
+        else num(compile(x, resolve))
+      val vals: Seq[Any] = items.map {
+        case StrLit(v) => v
+        case NumLit(t) => if (stringy) t else t.toDouble
+        case other => throw new IllegalArgumentException(
+          s"in(...) needs literal items, got $other")
+      }
+      lc.isin(vals: _*)
     case BinOp("matches", l, r) =>
       val pattern = r match {
         case StrLit(p) => p
@@ -278,6 +309,29 @@ object QueryExprs {
         round(num(compile(a, resolve)), n.toInt)
       case ("format", StrLit(fmt) +: rest) if rest.nonEmpty =>
         format_string(fmt, rest.map(compile(_, resolve)): _*)
+      case ("isnull", Seq(a)) => compile(a, resolve).isNull
+      case ("isempty", Seq(a)) =>
+        val c = compile(a, resolve).cast("string")
+        c.isNull || c === lit("")
+      case ("isblank", Seq(a)) =>
+        val c = compile(a, resolve).cast("string")
+        c.isNull || trim(c) === lit("")
+      case ("len" | "length", Seq(a)) =>
+        // uniform double like all language numerics
+        length(compile(a, resolve).cast("string")).cast("double")
+      case ("trim", Seq(a)) => trim(compile(a, resolve).cast("string"))
+      case ("replace", Seq(a, find, repl)) =>
+        // literal replacement (not regex), like the reference language
+        replace(compile(a, resolve).cast("string"),
+          compile(find, resolve).cast("string"), compile(repl, resolve).cast("string"))
+      case ("substring", as) if as.length == 2 || as.length == 3 =>
+        // 0-based [start, end) like the reference language; omitted end runs
+        // to the end of the string; empty for a degenerate range
+        val str = compile(as(0), resolve).cast("string")
+        val start = num(compile(as(1), resolve)).cast("int")
+        val end = if (as.length == 3) num(compile(as(2), resolve)).cast("int")
+          else length(str)
+        str.substr(start + lit(1), greatest(end - start, lit(0)))
       case _ =>
         throw new IllegalArgumentException(
           s"unsupported function $fn/${args.length} in expression")
@@ -295,7 +349,8 @@ object QueryExprs {
     case BinOp(op, _, _)
         if Set(">", "<", ">=", "<=", "=", "!=", "and", "or", "matches").contains(op) =>
       compile(e, resolve)
-    case NotOp(_) => compile(e, resolve)
+    case NotOp(_) | InOp(_, _) => compile(e, resolve)
+    case Call(fn, _) if boolFns.contains(fn) => compile(e, resolve)
     case other => num(compile(other, resolve)).isNotNull &&
       num(compile(other, resolve)) =!= lit(0.0)
   }

@@ -215,11 +215,14 @@ object SearchQuery {
     * Non-matching rows are dropped unless `nodrop` (then fields are null).
     */
   final case class ParseAnchor(pattern: String, names: Seq[String],
-      nodrop: Boolean) extends Stage
+      nodrop: Boolean, field: Option[String] = None) extends Stage
   /** `parse regex "(?<name>...)"` — named capture groups become fields;
-    * non-matching rows are dropped.
+    * non-matching rows are dropped. Both parse forms accept
+    * `field=<name>` before the pattern to parse a column other than the
+    * message (the reference language's `parse field=` spelling).
     */
-  final case class ParseRegex(regex: String) extends Stage
+  final case class ParseRegex(regex: String,
+      field: Option[String] = None) extends Stage
   /** `json field=message "$.a", "$.b" as x, y [nodrop]` — JSON-path
     * extraction (string-valued, like the API). Default field is `message`;
     * rows where every extraction is null are dropped unless `nodrop`.
@@ -361,7 +364,7 @@ object SearchQuery {
     val s = stage.trim
     val lower = s.toLowerCase
     if (lower.startsWith("parse regex ")) {
-      ParseRegex(firstQuoted(s))
+      ParseRegex(firstQuoted(s), parseFieldOpt(s))
     } else if (lower.startsWith("parse ")) {
       val (pStart, pEnd) = quotedSpan(s)
       val pattern = s.substring(pStart, pEnd)
@@ -375,7 +378,7 @@ object SearchQuery {
       val stars = pattern.count(_ == '*')
       require(stars == names.length,
         s"parse pattern has $stars wildcards but ${names.length} names: $s")
-      ParseAnchor(pattern, names, nodrop)
+      ParseAnchor(pattern, names, nodrop, parseFieldOpt(s))
     } else if (lower.startsWith("json ") || lower == "json") {
       val field = JsonFieldRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("message")
       val paths = QuotedRe.findAllMatchIn(s).map(_.group(1)).toSeq
@@ -499,6 +502,15 @@ object SearchQuery {
         case _ => throw new IllegalArgumentException(s"unsupported pipe stage: $s")
       }
     }
+  }
+
+  /** `field=<name>` BEFORE the quoted pattern of a parse stage (the span
+    * after it belongs to the pattern/aliases and may contain the literal
+    * text `field=`).
+    */
+  private def parseFieldOpt(s: String): Option[String] = {
+    val (pStart, _) = quotedSpan(s)
+    JsonFieldRe.findFirstMatchIn(s.substring(0, pStart)).map(_.group(1))
   }
 
   /** Split on commas at paren depth 0 — `pct(latency, 95), count` is two
@@ -625,18 +637,18 @@ object SearchQuery {
     var order = Seq.empty[(String, Boolean)]
     stages.foldLeft(df0) { (df, stage) =>
       stage match {
-        case ParseAnchor(pattern, names, nodrop) =>
+        case ParseAnchor(pattern, names, nodrop, field) =>
           val re = anchorRegex(pattern)
-          val msg = col(messageColName)
+          val msg = col(field.map(resolveField).getOrElse(messageColName))
           val base = if (nodrop) df else df.filter(msg.rlike(re))
           names.zipWithIndex.foldLeft(base) { case (d, (name, i)) =>
             val ex = regexp_extract(msg, re, i + 1)
             d.withColumn(name, if (nodrop) when(msg.rlike(re), ex) else ex)
           }
-        case ParseRegex(re) =>
+        case ParseRegex(re, field) =>
           val named = namedGroups(re)
           require(named.nonEmpty, s"parse regex needs named groups: $re")
-          val msg = col(messageColName)
+          val msg = col(field.map(resolveField).getOrElse(messageColName))
           named.foldLeft(df.filter(msg.rlike(re))) { case (d, (name, idx)) =>
             d.withColumn(name, regexp_extract(msg, re, idx))
           }

@@ -245,6 +245,26 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(agg == Seq(("ok", 1L)))
   }
 
+  test("Q1: parse field= — both parse forms read a non-message column") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("parse field=url \"p=*\" as p") ==
+      ParseAnchor("p=*", Seq("p"), nodrop = false, Some("url")))
+    assert(parseStage("parse regex field=url \"(?<proto>\\w+)://\"") ==
+      ParseRegex("(?<proto>\\w+)://", Some("url")))
+    // a literal 'field=' INSIDE the pattern is content, not the option
+    assert(parseStage("parse \"field=*\" as f") ==
+      ParseAnchor("field=*", Seq("f"), nodrop = false, None))
+    val df = Seq(("m1", "https://x/p=a"), ("m2", "ftp://y/p=b"))
+      .toDF("message", "url")
+    val out = compileStages(Seq(
+      parseStage("parse regex field=url \"(?<proto>\\w+)://\""),
+      parseStage("parse field=url \"p=*\" as pv")), "ts", "message")(df)
+      .select("proto", "pv").as[(String, String)].collect().toSeq.sorted
+    assert(out == Seq(("ftp", "b"), ("https", "a")))
+  }
+
   test("Q1: boolean where stages — connectives, parens, matches, arithmetic") {
     import SearchQuery._
     import QueryExprs.{BinOp, FieldRef, NotOp, NumLit, StrLit}
@@ -282,6 +302,46 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(run("where (uid >= 10 or st = \"err\") and not st = \"error\"") ==
       Seq("3", "50"))
     assert(run("where uid * 2 >= 100") == Seq("50", "70"))
+  }
+
+  test("Q1: in-lists, null/empty predicates, string functions") {
+    import SearchQuery._
+    import QueryExprs.{FieldRef, InOp, StrLit}
+    val s = spark
+    import s.implicits._
+    assert(QueryExprs.parsePredicate("st in (\"a\", \"b\")") ==
+      InOp(FieldRef("st"), Seq(StrLit("a"), StrLit("b"))))
+    // non-literal items are rejected at compile (isin is a literal IN list)
+    intercept[IllegalArgumentException](QueryExprs.compilePredicate(
+      QueryExprs.parsePredicate("st in (a)"), col))
+    val df = Seq(("3", "err"), ("50", "ok"), (null, ""), ("70", "  "))
+      .toDF("uid", "st")
+    def run(q: String): Seq[Option[String]] =
+      compileStages(Seq(parseStage(q)), "ts", "m")(df)
+        .select("uid").as[Option[String]].collect().toSeq.sortBy(_.getOrElse(""))
+    // string membership; numeric membership casts to double
+    assert(run("where st in (\"err\", \"ok\")") == Seq(Some("3"), Some("50")))
+    assert(run("where uid in (50, 70)") == Seq(Some("50"), Some("70")))
+    assert(run("where not uid in (50, 70)") == Seq(Some("3")))
+    // null/empty/blank tri-state, negated forms
+    assert(run("where isNull(uid)") == Seq(None))
+    assert(run("where isEmpty(st)") == Seq(None))
+    assert(run("where isBlank(st)") == Seq(None, Some("70")))
+    assert(run("where not isBlank(st)") == Seq(Some("3"), Some("50")))
+    // string functions compose with computed fields
+    val fx = compileStages(Seq(
+      parseStage("substring(k, 1, 3) as mid"),
+      parseStage("substring(k, 3) as tail"),
+      parseStage("replace(k, \"b\", \"X\") as rep"),
+      parseStage("trim(concat(\" \", k, \" \")) as tr"),
+      parseStage("len(k) as n")), "ts", "m")(Seq("abcde").toDF("k"))
+      .select("mid", "tail", "rep", "tr", "n")
+      .as[(String, String, String, String, Double)].collect().head
+    assert(fx == (("bc", "de", "aXcde", "abcde", 5.0)))
+    // degenerate range is empty, not an error
+    val emp = compileStages(Seq(parseStage("substring(k, 4, 2) as x")),
+      "ts", "m")(Seq("abcde").toDF("k")).select("x").as[String].collect().head
+    assert(emp == "")
   }
 
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
