@@ -720,6 +720,25 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- total/accum stages: running total via the two-pass distributed
+    //      prefix sum (no single-partition window), grand total via a
+    //      broadcast 1-row aggregate ----
+    "q85_piped_accum" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | count by etype | sort by _count, etype" +
+        " | accum _count as running | total _count as tot"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1806,6 +1825,21 @@ object SparkEntry {
          x AS (SELECT proto, replace(pre, 'c', 'k') AS prek, elen FROM e)
          SELECT prek, elen, proto, count(*) AS _count
          FROM x GROUP BY 1, 2, 3 ORDER BY prek, elen, proto""",
+    "q85_piped_accum" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         c AS (SELECT etype, count(*) AS _count FROM p GROUP BY 1)
+         SELECT etype, _count,
+           CAST(sum(CAST(_count AS DECIMAL(38,6)))
+             OVER (ORDER BY _count DESC, etype DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+           CAST(sum(CAST(_count AS DECIMAL(38,6))) OVER () AS DOUBLE) AS tot
+         FROM c ORDER BY _count DESC, etype DESC""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

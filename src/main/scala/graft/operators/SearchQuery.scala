@@ -280,6 +280,25 @@ object SearchQuery {
     * codegen'd `Column` expressions.
     */
   final case class ExprStage(expr: QueryExprs.Expr, alias: String) extends Stage
+  /** `total field [as alias] [by k1, k2]` — every row gains the (per-group)
+    * grand total of `field`. Grouped form is a partition-window sum (one
+    * shuffle on the keys). The GLOBAL form deliberately avoids
+    * `Window.partitionBy()` — an empty partition spec funnels the corpus
+    * through one task — and instead broadcast-joins a 1-row aggregate.
+    */
+  final case class TotalStage(field: String, alias: String,
+      by: Seq[String]) extends Stage
+  /** `accum field [as alias] [by k1, k2]` — running total in the CURRENT
+    * sort order (requires an upstream `sort by`, like keyed `dedup`).
+    * Grouped form is an ordered window per key. The GLOBAL form is a
+    * two-pass distributed prefix sum: range-sort, per-partition subtotal
+    * (one row per partition, folded driver-side into cumulative bases),
+    * partition-local running sum plus the broadcast base — no
+    * single-partition exchange. Sums accumulate in DECIMAL and cast back
+    * to double (order-independent exactness, the engine-wide convention).
+    */
+  final case class AccumStage(field: String, alias: String,
+      by: Seq[String]) extends Stage
   /** `lookup out1[, out2…] from table on left=right[, l2=r2]` — enrich from
     * a registered lookup table (the `lookups` parameter of
     * [[compileStages]]). Compiles to a BROADCAST left join — lookup tables
@@ -351,6 +370,8 @@ object SearchQuery {
   private val QuotedRe = "\"([^\"]*)\"".r
   private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
   private val TopRe = "(?i)top\\s+(\\d+)\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
+  private val TotalAccumRe =
+    "(?i)(total|accum)\\s+([A-Za-z0-9_]+)(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?".r
   private val LookupRe = "(?i)lookup\\s+(.+?)\\s+from\\s+(\\S+)\\s+on\\s+(.+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
@@ -449,6 +470,17 @@ object SearchQuery {
           LookupStage(outputs, table, onPairs)
         case _ => throw new IllegalArgumentException(
           s"lookup needs 'lookup out[, out…] from table on left=right[, …]': $s")
+      }
+    } else if (lower.startsWith("total ") || lower.startsWith("accum ")) {
+      s match {
+        case TotalAccumRe(kind, field, alias, by) =>
+          val a = Option(alias).getOrElse("_" + kind.toLowerCase)
+          val keys = Option(by).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+          if (kind.equalsIgnoreCase("total")) TotalStage(field, a, keys)
+          else AccumStage(field, a, keys)
+        case _ => throw new IllegalArgumentException(
+          s"needs '<total|accum> field [as alias] [by k1, k2…]': $s")
       }
     } else if (lower == "dedup" || lower.startsWith("dedup ")) {
       val body = s.substring("dedup".length).trim
@@ -748,6 +780,55 @@ object SearchQuery {
           order = (resolveField(byField), true) +:
             fields.map(f => (resolveField(f), false))
           df.orderBy(sortColumns(order): _*).limit(n)
+        case TotalStage(field, alias, by) =>
+          require(!df.columns.contains(alias), s"total alias '$alias' already exists")
+          val dec = col(resolveField(field)).try_cast("decimal(38,6)")
+          if (by.nonEmpty) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(by.map(n => col(resolveField(n))): _*)
+            df.withColumn(alias, sum(dec).over(w).cast("double"))
+          } else {
+            // global total: 1-row aggregate broadcast to every row — NOT an
+            // empty-partition window (that would be a one-task exchange)
+            df.crossJoin(broadcast(df.agg(sum(dec).cast("double").as(alias))))
+          }
+        case AccumStage(field, alias, by) =>
+          require(!df.columns.contains(alias), s"accum alias '$alias' already exists")
+          require(order.nonEmpty,
+            s"accum needs an upstream 'sort by' — a running total is undefined without an order")
+          val dec = col(resolveField(field)).try_cast("decimal(38,6)")
+          val W = org.apache.spark.sql.expressions.Window
+          if (by.nonEmpty) {
+            val w = W.partitionBy(by.map(n => col(resolveField(n))): _*)
+              .orderBy(sortColumns(order): _*)
+              .rowsBetween(W.unboundedPreceding, W.currentRow)
+            df.withColumn(alias, sum(dec).over(w).cast("double"))
+          } else {
+            require(!df.columns.contains("_ac_pid") && !df.columns.contains("_ac_base"),
+              "input already carries internal _ac_* columns")
+            // two-pass distributed prefix sum (same shape as rankPinned):
+            // pin the range-sorted frame so both passes see one sampling,
+            // fold per-partition subtotals into bases driver-side (one row
+            // per partition — bounded), add the broadcast base to a
+            // partition-LOCAL running sum
+            val sorted = df.orderBy(sortColumns(order): _*)
+              .withColumn("_ac_pid", spark_partition_id())
+              .localCheckpoint(true)
+            val spark = sorted.sparkSession
+            import spark.implicits._
+            val parts = sorted.groupBy("_ac_pid").agg(sum(dec).as("_s")).collect()
+              .map(r => (r.getInt(0),
+                Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))))
+              .sortBy(_._1)
+            var acc = BigDecimal(0)
+            val bases = parts.map { case (pid, p) => val b = acc; acc += p; (pid, b) }
+            val baseDf = bases.toSeq.toDF("_ac_pid", "_ac_base")
+            val w = W.partitionBy("_ac_pid").orderBy(sortColumns(order): _*)
+              .rowsBetween(W.unboundedPreceding, W.currentRow)
+            sorted.join(broadcast(baseDf), "_ac_pid")
+              .withColumn(alias, (sum(dec).over(w) + col("_ac_base")).cast("double"))
+              .drop("_ac_pid", "_ac_base")
+          }
         case DedupStage(n, by) if by.isEmpty =>
           df.dropDuplicates()
         case DedupStage(n, by) =>

@@ -344,6 +344,38 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(emp == "")
   }
 
+  test("Q1: total and accum stages — grand totals and running totals") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("total v") == TotalStage("v", "_total", Seq.empty))
+    assert(parseStage("total v as t by k") == TotalStage("v", "t", Seq("k")))
+    assert(parseStage("accum v as r") == AccumStage("v", "r", Seq.empty))
+    // accum without an upstream sort is rejected, like keyed dedup
+    intercept[IllegalArgumentException](
+      compileStages(Seq(parseStage("accum v")), "ts", "m")(Seq((1, 1)).toDF("k", "v")))
+    val df = Seq(("a", 1), ("b", 2), ("a", 3), ("b", 4)).toDF("k", "v")
+    // global total lands on every row (broadcast 1-row aggregate)
+    val tot = compileStages(Seq(parseStage("total v as t")), "ts", "m")(df)
+      .select("t").as[Double].collect().toSeq
+    assert(tot == Seq.fill(4)(10.0))
+    // grouped total: per-key window sum
+    val gtot = compileStages(Seq(parseStage("total v as t by k")), "ts", "m")(df)
+      .select("k", "t").distinct().as[(String, Double)].collect().toSeq.sortBy(_._1)
+    assert(gtot == Seq(("a", 4.0), ("b", 6.0)))
+    // global accum: two-pass prefix sum in the current (descending) order
+    val acc = compileStages(
+      Seq(parseStage("sort by v"), parseStage("accum v as r")), "ts", "m")(df)
+      .orderBy(desc("v")).select("v", "r").as[(Int, Double)].collect().toSeq
+    assert(acc == Seq((4, 4.0), (3, 7.0), (2, 9.0), (1, 10.0)))
+    // grouped accum: running within key, ascending via explicit asc
+    val gacc = compileStages(
+      Seq(parseStage("sort by v asc"), parseStage("accum v as r by k")), "ts", "m")(df)
+      .orderBy("k", "v").select("k", "v", "r")
+      .as[(String, Int, Double)].collect().toSeq
+    assert(gacc == Seq(("a", 1, 1.0), ("a", 3, 4.0), ("b", 2, 2.0), ("b", 4, 6.0)))
+  }
+
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
     import SearchQuery._
     val s = spark
