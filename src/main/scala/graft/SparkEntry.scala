@@ -739,6 +739,43 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- transpose: the charting pivot — timeslice series rows become one
+    //      column per series value, one hash aggregate ----
+    "q86_piped_transpose" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | timeslice 7d | count by _timeslice, etype" +
+        " | transpose row _timeslice column etype"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- smooth/outlier: trailing moving average and rolling anomaly band
+    //      over a timeslice series — global forms run rank + prefix-sum +
+    //      lag-join, no single-partition window ----
+    "q87_piped_outlier" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | timeslice 1d | count by _timeslice" +
+        " | sort by _timeslice asc | smooth _count window=7 as sm" +
+        " | outlier _count window=7 threshold=2"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1840,6 +1877,58 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
            CAST(sum(CAST(_count AS DECIMAL(38,6))) OVER () AS DOUBLE) AS tot
          FROM c ORDER BY _count DESC, etype DESC""",
+    "q86_piped_transpose" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//604800)*604800*1000000) AS _timeslice,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         c AS (SELECT _timeslice, etype, count(*) AS _count FROM p GROUP BY 1, 2)
+         SELECT _timeslice,
+           max(CASE WHEN etype = 'click' THEN _count END) AS click,
+           max(CASE WHEN etype = 'error' THEN _count END) AS error,
+           max(CASE WHEN etype = 'purchase' THEN _count END) AS purchase,
+           max(CASE WHEN etype = 'signup' THEN _count END) AS signup,
+           max(CASE WHEN etype = 'view' THEN _count END) AS view
+         FROM c GROUP BY 1 ORDER BY _timeslice""",
+    "q87_piped_outlier" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             count(*) AS _count
+           FROM f GROUP BY 1),
+         sm AS (SELECT _timeslice, _count,
+             CAST(sum(CAST(_count AS DECIMAL(18,6))) OVER wi AS DOUBLE)
+               / CAST(count(*) OVER wi AS DOUBLE) AS sm,
+             CAST(count(*) OVER wx AS DOUBLE) AS xc,
+             CAST(sum(CAST(_count AS DECIMAL(18,6))) OVER wx AS DOUBLE) AS xs,
+             CAST(sum(CAST(_count AS DECIMAL(18,6))
+               * CAST(_count AS DECIMAL(18,6))) OVER wx AS DOUBLE) AS xq
+           FROM c
+           WINDOW wi AS (ORDER BY _timeslice
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             wx AS (ORDER BY _timeslice
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         b AS (SELECT _timeslice, _count, sm,
+             xs / xc AS mean,
+             CASE WHEN xc > 1
+               THEN sqrt(greatest((xq - (xs*xs/xc)) / (xc - 1.0), 0.0)) END AS std
+           FROM sm),
+         o AS (SELECT _timeslice, _count, sm,
+             mean - 2*std AS _lower, mean + 2*std AS _upper FROM b)
+         SELECT _timeslice, _count, sm, _lower, _upper,
+           CAST(CASE WHEN _lower IS NOT NULL
+             AND (_count < _lower OR _count > _upper) THEN 1 ELSE 0 END
+             AS BIGINT) AS _violation
+         FROM o ORDER BY _timeslice""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -299,6 +299,38 @@ object SearchQuery {
     */
   final case class AccumStage(field: String, alias: String,
       by: Seq[String]) extends Stage
+  /** `smooth field [window=N] [as alias] [by k1, k2]` — trailing moving
+    * average over the last N rows (current row included) in the CURRENT
+    * sort order. Default window 10, default alias `_smooth`.
+    */
+  final case class SmoothStage(field: String, window: Int, alias: String,
+      by: Seq[String]) extends Stage
+  /** `outlier field [window=N] [threshold=T] [by k1, k2]` — rolling
+    * mean/stddev band over the N rows ENDING AT THE PREVIOUS row (current
+    * point excluded — a spike must not inflate its own band), flagging
+    * `_violation`=1 when the value falls outside mean ± T·std; adds
+    * `_lower`/`_upper` (null until the trailing window has ≥2 values).
+    * Defaults: window 10, threshold 3.
+    *
+    * Both stages require an upstream `sort by`. Grouped forms are ordered
+    * windows per key (one shuffle). The GLOBAL forms never use an
+    * empty-partition window: the frame is range-sorted and pinned, global
+    * row rank and running moment prefix sums (count/sum/sum-of-squares in
+    * DECIMAL) are built from per-partition subtotals folded driver-side,
+    * and the trailing window is recovered by an equi-join against the same
+    * frame lagged `window` ranks — shuffle-parallel end to end.
+    */
+  final case class OutlierStage(field: String, window: Int, threshold: Double,
+      by: Seq[String]) extends Stage
+  /** `transpose row r1[, r2…] column c` — one output row per distinct row
+    * key, one output column per distinct value of `c` (the conventional
+    * post-`timeslice | count by _timeslice, series` charting shape).
+    * Exactly one remaining column supplies the cell values. Compiles to
+    * `groupBy(rows).pivot(c)` — the distinct-value scan is bounded by the
+    * series cardinality (Spark caps it at `spark.sql.pivotMaxValues`), and
+    * the pivot itself is one hash aggregate.
+    */
+  final case class TransposeStage(rows: Seq[String], column: String) extends Stage
   /** `lookup out1[, out2…] from table on left=right[, l2=r2]` — enrich from
     * a registered lookup table (the `lookups` parameter of
     * [[compileStages]]). Compiles to a BROADCAST left join — lookup tables
@@ -372,6 +404,14 @@ object SearchQuery {
   private val TopRe = "(?i)top\\s+(\\d+)\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
   private val TotalAccumRe =
     "(?i)(total|accum)\\s+([A-Za-z0-9_]+)(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?".r
+  private val TransposeRe =
+    "(?i)transpose\\s+row\\s+(.+?)\\s+column\\s+([A-Za-z0-9_]+)\\s*".r
+  private val SmoothRe =
+    ("(?i)smooth\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
+      "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
+  private val OutlierRe =
+    ("(?i)outlier\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
+      "(?:\\s+threshold=([0-9.]+))?(?:\\s+by\\s+(.+))?").r
   private val LookupRe = "(?i)lookup\\s+(.+?)\\s+from\\s+(\\S+)\\s+on\\s+(.+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
@@ -482,6 +522,29 @@ object SearchQuery {
         case _ => throw new IllegalArgumentException(
           s"needs '<total|accum> field [as alias] [by k1, k2…]': $s")
       }
+    } else if (lower.startsWith("smooth ")) {
+      s match {
+        case SmoothRe(f, win, alias, by) =>
+          SmoothStage(f, Option(win).map(_.toInt).getOrElse(10),
+            Option(alias).getOrElse("_smooth"), splitKeys(by))
+        case _ => throw new IllegalArgumentException(
+          s"smooth needs 'smooth field [window=N] [as alias] [by k1, k2…]': $s")
+      }
+    } else if (lower.startsWith("outlier ")) {
+      s match {
+        case OutlierRe(f, win, t, by) =>
+          OutlierStage(f, Option(win).map(_.toInt).getOrElse(10),
+            Option(t).map(_.toDouble).getOrElse(3.0), splitKeys(by))
+        case _ => throw new IllegalArgumentException(
+          s"outlier needs 'outlier field [window=N] [threshold=T] [by k1, k2…]': $s")
+      }
+    } else if (lower.startsWith("transpose ")) {
+      s match {
+        case TransposeRe(rows, c) =>
+          TransposeStage(rows.split(",").map(_.trim).filter(_.nonEmpty).toSeq, c)
+        case _ => throw new IllegalArgumentException(
+          s"transpose needs 'transpose row r1[, r2…] column c': $s")
+      }
     } else if (lower == "dedup" || lower.startsWith("dedup ")) {
       val body = s.substring("dedup".length).trim
       val (nPart, byPart) = {
@@ -535,6 +598,10 @@ object SearchQuery {
       }
     }
   }
+
+  private def splitKeys(by: String): Seq[String] =
+    Option(by).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
 
   /** `field=<name>` BEFORE the quoted pattern of a parse stage (the span
     * after it belongs to the pattern/aliases and may contain the literal
@@ -829,6 +896,59 @@ object SearchQuery {
               .withColumn(alias, (sum(dec).over(w) + col("_ac_base")).cast("double"))
               .drop("_ac_pid", "_ac_base")
           }
+        case SmoothStage(field, win, alias, by) =>
+          require(!df.columns.contains(alias), s"smooth alias '$alias' already exists")
+          require(order.nonEmpty,
+            "smooth needs an upstream 'sort by' — a moving average is undefined without an order")
+          val v = col(resolveField(field))
+          // try_divide, not `/`: ANSI division by an empty window's 0 count
+          // would fail the task even under a `when` guard (subexpression
+          // elimination hoists the division out of the branch)
+          // sums are exact decimals on either path; the DIVISION runs in
+          // double so grouped and global plans round identically
+          withRollingMoments(df, order, by, v, win, includeCurrent = true)
+            .withColumn(alias, try_divide(col("_rw_sum").cast("double"),
+              col("_rw_cnt").cast("double")))
+            .drop("_rw_cnt", "_rw_sum", "_rw_q")
+        case OutlierStage(field, win, t, by) =>
+          require(Seq("_lower", "_upper", "_violation").forall(n => !df.columns.contains(n)),
+            "outlier output columns _lower/_upper/_violation already exist")
+          require(order.nonEmpty,
+            "outlier needs an upstream 'sort by' — a trailing band is undefined without an order")
+          val v = col(resolveField(field))
+          val m = withRollingMoments(df, order, by, v, win, includeCurrent = false)
+          val cnt = col("_rw_cnt").cast("double")
+          // exact decimal moments cast to double ONCE, then all-double
+          // arithmetic — grouped and global plans round identically
+          val sm = col("_rw_sum").cast("double")
+          val q = col("_rw_q").cast("double")
+          // try_divide throughout: empty/size-1 windows yield null bands
+          // instead of an ANSI divide-by-zero (subexpression elimination
+          // evaluates these divisions even under the `when` guard)
+          val mean = try_divide(sm, cnt)
+          // sample variance; the subtraction can round a constant series
+          // microscopically negative — clamp at 0
+          val std = when(col("_rw_cnt") > 1,
+            sqrt(greatest(
+              try_divide(q - try_divide(sm * sm, cnt), cnt - lit(1.0)),
+              lit(0.0))))
+          val vd = v.try_cast("double")
+          m.withColumn("_lower", (mean - lit(t) * std).cast("double"))
+            .withColumn("_upper", (mean + lit(t) * std).cast("double"))
+            .withColumn("_violation",
+              when(col("_lower").isNotNull && vd.isNotNull &&
+                (vd < col("_lower") || vd > col("_upper")), lit(1L))
+                .otherwise(lit(0L)))
+            .drop("_rw_cnt", "_rw_sum", "_rw_q")
+        case TransposeStage(rows, colF) =>
+          val rcols = rows.map(resolveField)
+          val c = resolveField(colF)
+          val valCols = df.columns.filterNot(n => rcols.contains(n) || n == c)
+          require(valCols.length == 1,
+            s"transpose needs exactly one value column, found: ${valCols.mkString(",")}")
+          order = rcols.map((_, false))
+          df.groupBy(rcols.map(col): _*).pivot(c)
+            .agg(first(col(valCols.head)))
         case DedupStage(n, by) if by.isEmpty =>
           df.dropDuplicates()
         case DedupStage(n, by) =>
@@ -847,6 +967,92 @@ object SearchQuery {
     }
   }
 
+  /** Trailing-window moments for `smooth`/`outlier`: adds `_rw_cnt`
+    * (non-null values), `_rw_sum`, `_rw_q` (sum of squares) over the last
+    * `w` rows in `order` — ending at the current row when `includeCurrent`,
+    * at the previous row otherwise. Values accumulate in DECIMAL(18,6)
+    * (squares fit DECIMAL(37,12) without overflow for any realistic metric).
+    *
+    * Grouped: one ordered window per key. Global: NO empty-partition
+    * window — range-sort and pin the frame, fold per-partition subtotals
+    * into cumulative bases driver-side (one row per partition), compute
+    * partition-local prefix moments plus the broadcast base, then recover
+    * the trailing window as `prefix(rank) − prefix(rank−w)` via an
+    * equi-join against the frame lagged `w` ranks (exclusive-of-current
+    * uses span w+1 minus the current row's own contribution).
+    */
+  private def withRollingMoments(df: DataFrame, order: Seq[(String, Boolean)],
+      by: Seq[String], value: Column, w: Int, includeCurrent: Boolean): DataFrame = {
+    require(Seq("_rw_cnt", "_rw_sum", "_rw_q", "_rw_pid", "_rw_rank")
+      .forall(n => !df.columns.contains(n)),
+      "input already carries internal _rw_* columns")
+    val dec = value.try_cast("decimal(18,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    if (by.nonEmpty) {
+      val (lo, hi) = if (includeCurrent) (-(w - 1).toLong, 0L) else (-w.toLong, -1L)
+      val win = W.partitionBy(by.map(n => col(resolveField(n))): _*)
+        .orderBy(sortColumns(order): _*).rowsBetween(lo, hi)
+      df.withColumn("_rw_cnt", count(dec).over(win))
+        .withColumn("_rw_sum", sum(dec).over(win))
+        .withColumn("_rw_q", sum(dec * dec).over(win))
+    } else {
+      val sorted = df.orderBy(sortColumns(order): _*)
+        .withColumn("_rw_pid", spark_partition_id())
+        .localCheckpoint(true)
+      val spark = sorted.sparkSession
+      import spark.implicits._
+      def bd(r: org.apache.spark.sql.Row, i: Int): BigDecimal =
+        Option(r.getDecimal(i)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      val parts = sorted.groupBy("_rw_pid").agg(
+        count(lit(1)).as("_rows"), count(dec).as("_n"),
+        sum(dec).as("_s"), sum(dec * dec).as("_q")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), bd(r, 3), bd(r, 4)))
+        .sortBy(_._1)
+      var rowAcc = 0L; var nAcc = 0L
+      var sAcc = BigDecimal(0); var qAcc = BigDecimal(0)
+      val bases = parts.map { case (pid, rows, n, sSum, qSum) =>
+        val b = (pid, rowAcc, nAcc, sAcc, qAcc)
+        rowAcc += rows; nAcc += n; sAcc += sSum; qAcc += qSum
+        b
+      }
+      val baseDf = bases.toSeq.toDF("_rw_pid", "_rw_rb", "_rw_nb", "_rw_sb", "_rw_qb")
+      val ord = W.partitionBy("_rw_pid").orderBy(sortColumns(order): _*)
+      val run = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+      // prefix moments at each global rank
+      val pref = sorted.join(broadcast(baseDf), "_rw_pid")
+        .withColumn("_rw_rank", row_number().over(ord) + col("_rw_rb"))
+        .withColumn("_rw_pn", count(dec).over(run) + col("_rw_nb"))
+        .withColumn("_rw_ps", coalesce(sum(dec).over(run), lit(0)) + col("_rw_sb"))
+        .withColumn("_rw_pq", coalesce(sum(dec * dec).over(run), lit(0)) + col("_rw_qb"))
+        .drop("_rw_rb", "_rw_nb", "_rw_sb", "_rw_qb")
+      val span = if (includeCurrent) w else w + 1
+      val lagged = pref.select(
+        (col("_rw_rank") + span).as("_rw_rank"),
+        col("_rw_pn").as("_rw_ln"), col("_rw_ps").as("_rw_ls"),
+        col("_rw_pq").as("_rw_lq"))
+      // corpus-sized on both sides: shuffle equi-join on the rank, never
+      // broadcast
+      val joined = pref.join(lagged, Seq("_rw_rank"), "left")
+      val curN = when(dec.isNotNull, lit(1L)).otherwise(lit(0L))
+      val curS = coalesce(dec, lit(0))
+      val (cnt, sm, q) =
+        if (includeCurrent)
+          (col("_rw_pn") - coalesce(col("_rw_ln"), lit(0L)),
+            col("_rw_ps") - coalesce(col("_rw_ls"), lit(0)),
+            col("_rw_pq") - coalesce(col("_rw_lq"), lit(0)))
+        else
+          (col("_rw_pn") - coalesce(col("_rw_ln"), lit(0L)) - curN,
+            col("_rw_ps") - coalesce(col("_rw_ls"), lit(0)) - curS,
+            col("_rw_pq") - coalesce(col("_rw_lq"), lit(0)) - curS * curS)
+      joined
+        .withColumn("_rw_cnt", cnt)
+        .withColumn("_rw_sum", sm)
+        .withColumn("_rw_q", q)
+        .drop("_rw_pid", "_rw_rank", "_rw_pn", "_rw_ps", "_rw_pq",
+          "_rw_ln", "_rw_ls", "_rw_lq")
+    }
+  }
+
   /** The stable records-pagination order a stage list implies, as
     * `(key, descending)` pairs: an explicit `sort by` (direction honored —
     * bare keys descend, the reference default), else the last aggregation's
@@ -858,6 +1064,7 @@ object SearchQuery {
       case SortStage(keys) => keys.map { case (k, d) => (resolveField(k), d) }
       case TopStage(_, fields, byField) =>
         (resolveField(byField), true) +: fields.map(f => (resolveField(f), false))
+      case TransposeStage(rows, _) => rows.map(r => (resolveField(r), false))
       case AggStage(aggs, by) =>
         (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias)).map((_, false))
     }.getOrElse(Seq.empty)

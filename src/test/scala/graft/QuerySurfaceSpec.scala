@@ -376,6 +376,78 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(gacc == Seq(("a", 1, 1.0), ("a", 3, 4.0), ("b", 2, 2.0), ("b", 4, 6.0)))
   }
 
+  test("Q1: smooth/outlier — trailing windows, exclusive band, global == grouped") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("smooth v") == SmoothStage("v", 10, "_smooth", Seq.empty))
+    assert(parseStage("smooth v window=3 as sm by k") ==
+      SmoothStage("v", 3, "sm", Seq("k")))
+    assert(parseStage("outlier v window=5 threshold=2.5") ==
+      OutlierStage("v", 5, 2.5, Seq.empty))
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("smooth v")), "ts", "m")(Seq((1, 1.0)).toDF("id", "v")))
+
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 10.0), (5, 5.0)).toDF("id", "v")
+    // inclusive moving average over the last 3 rows
+    val sm = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("smooth v window=3 as sm")), "ts", "m")(df)
+      .orderBy("id").select("sm").as[Double].collect().toSeq
+    assert(sm == Seq(1.0, 1.5, 2.0, 5.0, 6.0))
+    // exclusive band: spike flagged against the PRIOR window, not itself
+    val out = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("outlier v window=3 threshold=1")), "ts", "m")(df)
+      .orderBy("id").select("_lower", "_upper", "_violation")
+      .as[(Option[Double], Option[Double], Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(0L, 0L, 1L, 1L, 0L))
+    assert(out(0)._1.isEmpty && out(1)._1.isEmpty) // <2 prior values → no band
+    assert(out(3)._1.contains(1.0) && out(3)._2.contains(3.0))
+
+    // global two-pass path == per-key window path, nulls included
+    val big = (1 to 200).map(i =>
+      (i, if (i % 13 == 0) None else Some((i * 37 % 101).toDouble)))
+      .toDF("id", "v")
+    val glob = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("smooth v window=7 as sm"),
+      parseStage("outlier v window=7 threshold=2")), "ts", "m")(big)
+      .select("id", "sm", "_lower", "_violation")
+    val group = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("smooth v window=7 as sm2 by c"),
+      parseStage("outlier v window=7 threshold=2 by c")), "ts", "m")(
+      big.withColumn("c", lit(1)))
+      .select(col("id").as("id2"), col("sm2"), col("_lower").as("l2"),
+        col("_violation").as("v2"))
+    val mismatch = glob.join(group, col("id") === col("id2"))
+      .filter(!(col("sm") <=> col("sm2")) || !(col("_lower") <=> col("l2")) ||
+        !(col("_violation") <=> col("v2")))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("Q1: transpose stage — series rows pivot to columns") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("transpose row t column k") ==
+      TransposeStage(Seq("t"), "k"))
+    assert(parseStage("transpose row t, u column k") ==
+      TransposeStage(Seq("t", "u"), "k"))
+    intercept[IllegalArgumentException](parseStage("transpose column k"))
+    val df = Seq(("08:00", "click", 3L), ("08:00", "view", 5L), ("09:00", "click", 2L))
+      .toDF("t", "k", "n")
+    val out = compileStages(Seq(parseStage("transpose row t column k")),
+      "ts", "m")(df)
+    assert(out.columns.toSeq == Seq("t", "click", "view"))
+    val rows = out.orderBy("t")
+      .as[(String, Option[Long], Option[Long])].collect().toSeq
+    // missing series cell is null, not 0
+    assert(rows == Seq(("08:00", Some(3L), Some(5L)), ("09:00", Some(2L), None)))
+    // two value columns is ambiguous → rejected
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("transpose row t column k")), "ts", "m")(
+      df.withColumn("extra", lit(1))).columns)
+  }
+
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
     import SearchQuery._
     val s = spark
