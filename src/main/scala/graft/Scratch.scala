@@ -189,6 +189,31 @@ object Scratch {
         .filter(col("message").isNotNull && length(col("message")) > 0)
       time("stream: pipeline minus variant") { pipeNoVariant.write.format("noop").mode("overwrite").save(); -1L }
     }
+    // Global rolling-op scaling drill: accum/smooth/outlier compile to
+    // two-pass prefix-sum (+ lag-join) plans with no single-partition
+    // exchange — SPARK_GRAFT_ROLLING_SCALE=1000000,10000000 times each size
+    // on a synthetic series; linear ratios verify the shape holds as n grows
+    sys.env.get("SPARK_GRAFT_ROLLING_SCALE").foreach { spec =>
+      import graft.operators.SearchQuery
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        val series = spark.range(n).select(col("id"),
+          ((col("id") * 37) % 101).cast("double").as("v"))
+        def run(stage: String): Unit = {
+          // fresh construction per run: the global path pins the sorted
+          // frame eagerly, so timing must include construction
+          def mk = SearchQuery.compileStages(
+            Seq("sort by id asc", stage).map(SearchQuery.parseStage),
+            "ts", "v")(series)
+          mk.write.format("noop").mode("overwrite").save() // warm
+          time(s"rolling n=$n | $stage") {
+            mk.write.format("noop").mode("overwrite").save(); -1L
+          }
+        }
+        run("accum v as r")
+        run("smooth v window=50 as sm")
+        run("outlier v window=50 threshold=3")
+      }
+    }
     // ANN bucket-granularity scaling drill: bucketedPairs with a plane-count
     // sweep — demonstrates that planes must scale with log2(n) (fixed planes
     // → fixed bucket count → within-bucket pair growth goes quadratic)
