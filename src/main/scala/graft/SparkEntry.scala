@@ -776,6 +776,24 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- fillmissing: sparse timeslice series completed to the full
+    //      bucket × series grid, counts zero-filled ----
+    "q88_piped_fillmissing" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | where uid >= 95 | timeslice 6h | count by _timeslice, etype" +
+        " | fillmissing timeslice by etype"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1929,6 +1947,29 @@ object SparkEntry {
              AND (_count < _lower OR _count > _upper) THEN 1 ELSE 0 END
              AS BIGINT) AS _violation
          FROM o ORDER BY _timeslice""",
+    "q88_piped_fillmissing" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT ts,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS DOUBLE) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         w AS (SELECT * FROM p WHERE uid >= 95),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//21600)*21600*1000000) AS _timeslice,
+             etype, count(*) AS _count
+           FROM w GROUP BY 1, 2),
+         b AS (SELECT unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS _timeslice
+           FROM (SELECT min(_timeslice) AS mn, max(_timeslice) AS mx FROM c)),
+         k AS (SELECT DISTINCT etype FROM c),
+         g AS (SELECT b._timeslice, k.etype FROM b CROSS JOIN k)
+         SELECT g._timeslice AS _timeslice, g.etype AS etype,
+           COALESCE(c._count, 0) AS _count
+         FROM g LEFT JOIN c ON g._timeslice = c._timeslice AND g.etype = c.etype
+         ORDER BY g._timeslice, g.etype""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -299,6 +299,16 @@ object SearchQuery {
     */
   final case class AccumStage(field: String, alias: String,
       by: Seq[String]) extends Stage
+  /** `fillmissing timeslice [<dur>] [by k1, k2]` — inserts rows for
+    * timeslice buckets with no data, per series key: numeric columns fill
+    * with 0 (the conventional post-`count by` chart fill), everything else
+    * null. The bucket step defaults to the upstream `timeslice` stage's.
+    * Scale shape: the grid is `sequence(min, max)` exploded from a 1-row
+    * bounds aggregate (bounded by the time range), broadcast against the
+    * distinct series keys, then ONE shuffle left join back to the data.
+    */
+  final case class FillMissingStage(stepSec: Option[Long],
+      by: Seq[String]) extends Stage
   /** `smooth field [window=N] [as alias] [by k1, k2]` — trailing moving
     * average over the last N rows (current row included) in the CURRENT
     * sort order. Default window 10, default alias `_smooth`.
@@ -406,6 +416,8 @@ object SearchQuery {
     "(?i)(total|accum)\\s+([A-Za-z0-9_]+)(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?".r
   private val TransposeRe =
     "(?i)transpose\\s+row\\s+(.+?)\\s+column\\s+([A-Za-z0-9_]+)\\s*".r
+  private val FillMissingRe =
+    "(?i)fillmissing\\s+timeslice(?:\\s+(\\d+\\s*[a-z]*))?\\s*(?:\\s+by\\s+(.+))?".r
   private val SmoothRe =
     ("(?i)smooth\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
       "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
@@ -463,19 +475,13 @@ object SearchQuery {
         case _ => WhereExpr(QueryExprs.parsePredicate(body))
       }
     } else if (lower.startsWith("timeslice ")) {
-      s.substring("timeslice ".length).trim match {
-        case DurationRe(n, unit) =>
-          val mult = Option(unit).map(_.toLowerCase) match {
-            case None | Some("s") => 1L
-            case Some("ms") => throw new IllegalArgumentException(
-              "sub-second timeslice is not supported")
-            case Some("m") => 60L
-            case Some("h") => 3600L
-            case Some("d") => 86400L
-            case Some(u) => throw new IllegalArgumentException(s"bad unit $u")
-          }
-          Timeslice(n.toLong * mult)
-        case other => throw new IllegalArgumentException(s"bad timeslice: $other")
+      Timeslice(durationSeconds(s.substring("timeslice ".length)))
+    } else if (lower.startsWith("fillmissing ")) {
+      s match {
+        case FillMissingRe(dur, by) =>
+          FillMissingStage(Option(dur).map(durationSeconds), splitKeys(by))
+        case _ => throw new IllegalArgumentException(
+          s"fillmissing needs 'fillmissing timeslice [<dur>] [by k1, k2…]': $s")
       }
     } else if (lower.startsWith("fields ")) {
       val body = s.substring("fields ".length).trim
@@ -602,6 +608,21 @@ object SearchQuery {
   private def splitKeys(by: String): Seq[String] =
     Option(by).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+  private def durationSeconds(spec: String): Long = spec.trim match {
+    case DurationRe(n, unit) =>
+      val mult = Option(unit).map(_.toLowerCase) match {
+        case None | Some("s") => 1L
+        case Some("ms") => throw new IllegalArgumentException(
+          "sub-second timeslice is not supported")
+        case Some("m") => 60L
+        case Some("h") => 3600L
+        case Some("d") => 86400L
+        case Some(u) => throw new IllegalArgumentException(s"bad unit $u")
+      }
+      n.toLong * mult
+    case other => throw new IllegalArgumentException(s"bad duration: $other")
+  }
 
   /** `field=<name>` BEFORE the quoted pattern of a parse stage (the span
     * after it belongs to the pattern/aliases and may contain the literal
@@ -734,6 +755,7 @@ object SearchQuery {
       messageColName: String,
       lookups: Map[String, DataFrame] = Map.empty): DataFrame => DataFrame = { df0 =>
     var order = Seq.empty[(String, Boolean)]
+    var sliceSec = Option.empty[Long] // last timeslice step, fillmissing's default
     stages.foldLeft(df0) { (df, stage) =>
       stage match {
         case ParseAnchor(pattern, names, nodrop, field) =>
@@ -780,8 +802,32 @@ object SearchQuery {
         case WhereExpr(expr) =>
           df.filter(QueryExprs.compilePredicate(expr, n => col(resolveField(n))))
         case Timeslice(seconds) =>
+          sliceSec = Some(seconds)
           df.withColumn("_timeslice", timestamp_seconds(
             (floor(unix_timestamp(col(timeColName)) / seconds) * seconds).cast("long")))
+        case FillMissingStage(stepOpt, by) =>
+          require(df.columns.contains("_timeslice"),
+            "fillmissing needs an upstream timeslice stage (no _timeslice column)")
+          val step = stepOpt.orElse(sliceSec).getOrElse(
+            throw new IllegalArgumentException(
+              "fillmissing needs a duration — none given and no upstream timeslice"))
+          val keys = by.map(resolveField)
+          val bounds = df.agg(min("_timeslice").as("_fm_mn"),
+            max("_timeslice").as("_fm_mx"))
+          val buckets = bounds.select(explode(sequence(col("_fm_mn"),
+            col("_fm_mx"), expr(s"interval $step second"))).as("_timeslice"))
+          val grid =
+            if (keys.isEmpty) buckets
+            else df.select(keys.map(col): _*).distinct().crossJoin(broadcast(buckets))
+          val joined = grid.join(df, Seq("_timeslice") ++ keys, "left")
+          val numeric = df.schema.fields
+            .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            .map(_.name).toSet -- keys - "_timeslice"
+          joined.select(joined.columns.toSeq.map { c =>
+            if (numeric.contains(c))
+              coalesce(col(c), lit(0).cast(df.schema(c).dataType)).as(c)
+            else col(c)
+          }: _*)
         case AggStage(aggs, by) =>
           val cols = aggs.map {
             case AggSpec("count", _, alias, _) => count(lit(1)).as(alias)

@@ -424,6 +424,41 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("Q1: fillmissing — gap buckets appear with zero counts per series") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("fillmissing timeslice") == FillMissingStage(None, Seq.empty))
+    assert(parseStage("fillmissing timeslice 1h by k") ==
+      FillMissingStage(Some(3600L), Seq("k")))
+    // no explicit duration and no upstream timeslice → rejected
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("fillmissing timeslice")), "ts", "m")(
+      Seq(("2024-03-01 00:00:00", 1L)).toDF("t", "n")
+        .select(col("t").cast("timestamp").as("_timeslice"), col("n"))))
+    val df = Seq(
+      ("2024-03-01 10:00:00", "a"), ("2024-03-01 10:00:00", "b"),
+      ("2024-03-01 12:00:00", "a")) // 11:00 missing entirely; b sparse
+      .toDF("ts_s", "k")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("k"))
+    val out = compileStages(Seq(
+      parseStage("timeslice 1h"), parseStage("count by _timeslice, k"),
+      parseStage("fillmissing timeslice by k")), "ts", "m")(df)
+      .orderBy("_timeslice", "k")
+      .select(date_format(col("_timeslice"), "HH:mm"), col("k"), col("_count"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("10:00", "a", 1L), ("10:00", "b", 1L),
+      ("11:00", "a", 0L), ("11:00", "b", 0L),
+      ("12:00", "a", 1L), ("12:00", "b", 0L)))
+    // global form inherits the upstream step; explicit duration also works
+    val g = compileStages(Seq(
+      parseStage("timeslice 1h"), parseStage("count by _timeslice"),
+      parseStage("fillmissing timeslice 1h")), "ts", "m")(df)
+      .orderBy("_timeslice").select("_count").as[Long].collect().toSeq
+    assert(g == Seq(2L, 0L, 1L))
+  }
+
   test("Q1: transpose stage — series rows pivot to columns") {
     import SearchQuery._
     val s = spark
@@ -657,6 +692,23 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(sorted.records(1, 1).select("etype").as[String].collect().toSeq ==
       Seq("click"))
     SearchJobs.delete(sorted.id)
+
+    // round-7 stages flow through the job API unchanged: boolean where,
+    // total, smooth over the records aggregation
+    val rolled = SearchJobs.createPiped(df,
+      "_sourceCategory=cat-a | parse \"evt * user=* latency=*\" as etype, u, lat" +
+        " | where lat >= 200 and not etype = \"noise\"" +
+        " | count by etype | sort by etype | total _count as tot" +
+        " | smooth _count window=2 as sm",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"))
+    assert(SearchJobs.await(rolled) == SearchJobs.DoneGatheringResults)
+    val rrecs = rolled.records(10, 0)
+      .select("etype", "_count", "tot", "sm")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // sort by etype descends: login first, then click
+    assert(rrecs == Seq(("login", 1L, 2.0, 1.0), ("click", 1L, 2.0, 1.0)))
+    SearchJobs.delete(rolled.id)
   }
 
   test("Q1: lookup stage — broadcast dimension enrichment through the query string") {
