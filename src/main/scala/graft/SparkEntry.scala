@@ -794,6 +794,24 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- sessionize: gap-threshold session assignment per user, summarized
+    //      to sessions-per-user — grouped form is one shuffle on the key ----
+    "q89_piped_sessionize" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | sessionize maxpause=4h by uid" +
+        " | count, max(_session_id) as n_sessions by uid"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -1970,6 +1988,25 @@ object SparkEntry {
            COALESCE(c._count, 0) AS _count
          FROM g LEFT JOIN c ON g._timeslice = c._timeslice AND g.etype = c.etype
          ORDER BY g._timeslice, g.etype""",
+    "q89_piped_sessionize" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT ts,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         s AS (SELECT uid, ts,
+             CASE WHEN lag(epoch_ms(ts)//1000) OVER w IS NULL
+               OR epoch_ms(ts)//1000 - lag(epoch_ms(ts)//1000) OVER w > 14400
+               THEN 1 ELSE 0 END AS flag
+           FROM p WINDOW w AS (PARTITION BY uid ORDER BY ts)),
+         t AS (SELECT uid, sum(flag) OVER (PARTITION BY uid ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM s)
+         SELECT uid, count(*) AS _count, CAST(max(sid) AS DOUBLE) AS n_sessions
+         FROM t GROUP BY 1 ORDER BY uid""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -299,6 +299,20 @@ object SearchQuery {
     */
   final case class AccumStage(field: String, alias: String,
       by: Seq[String]) extends Stage
+  /** `sessionize [maxpause=<dur>] [by k1, k2]` — assigns `_session_id`
+    * (1-based ordinal) by splitting each key's time-ordered events where
+    * the gap from the previous event exceeds `maxpause` (default 30m).
+    * Ordered by the job's time column — no upstream `sort by` needed.
+    *
+    * Grouped: lag + running flag-sum windows per key (one shuffle). The
+    * GLOBAL form avoids the empty-partition window: range-sort by time and
+    * pin, collect per-partition `(first ts, last ts, interior session
+    * starts)` — one row per partition — fold driver-side so each
+    * partition's FIRST row takes its gap from the previous partition's
+    * LAST timestamp, then `_session_id` = broadcast base + partition-local
+    * running flag sum.
+    */
+  final case class SessionizeStage(pauseSec: Long, by: Seq[String]) extends Stage
   /** `fillmissing timeslice [<dur>] [by k1, k2]` — inserts rows for
     * timeslice buckets with no data, per series key: numeric columns fill
     * with 0 (the conventional post-`count by` chart fill), everything else
@@ -418,6 +432,8 @@ object SearchQuery {
     "(?i)transpose\\s+row\\s+(.+?)\\s+column\\s+([A-Za-z0-9_]+)\\s*".r
   private val FillMissingRe =
     "(?i)fillmissing\\s+timeslice(?:\\s+(\\d+\\s*[a-z]*))?\\s*(?:\\s+by\\s+(.+))?".r
+  private val SessionizeRe =
+    "(?i)sessionize(?:\\s+maxpause=(\\d+\\s*[a-z]*))?\\s*(?:\\s+by\\s+(.+))?".r
   private val SmoothRe =
     ("(?i)smooth\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
       "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
@@ -482,6 +498,14 @@ object SearchQuery {
           FillMissingStage(Option(dur).map(durationSeconds), splitKeys(by))
         case _ => throw new IllegalArgumentException(
           s"fillmissing needs 'fillmissing timeslice [<dur>] [by k1, k2…]': $s")
+      }
+    } else if (lower == "sessionize" || lower.startsWith("sessionize ")) {
+      s match {
+        case SessionizeRe(pause, by) =>
+          SessionizeStage(Option(pause).map(durationSeconds).getOrElse(1800L),
+            splitKeys(by))
+        case _ => throw new IllegalArgumentException(
+          s"sessionize needs 'sessionize [maxpause=<dur>] [by k1, k2…]': $s")
       }
     } else if (lower.startsWith("fields ")) {
       val body = s.substring("fields ".length).trim
@@ -805,6 +829,70 @@ object SearchQuery {
           sliceSec = Some(seconds)
           df.withColumn("_timeslice", timestamp_seconds(
             (floor(unix_timestamp(col(timeColName)) / seconds) * seconds).cast("long")))
+        case SessionizeStage(pause, by) =>
+          require(!df.columns.contains("_session_id"),
+            "input already carries a _session_id column")
+          val W = org.apache.spark.sql.expressions.Window
+          val ts = unix_timestamp(col(timeColName))
+          if (by.nonEmpty) {
+            val keyCols = by.map(n => col(resolveField(n)))
+            val wp = W.partitionBy(keyCols: _*).orderBy(col(timeColName))
+            val run = wp.rowsBetween(W.unboundedPreceding, W.currentRow)
+            val lagTs = lag(ts, 1).over(wp)
+            val flag = when(lagTs.isNull || ts - lagTs > pause, lit(1L))
+              .otherwise(lit(0L))
+            // two window functions, one spec → one shuffle on the keys
+            df.withColumn("_sz_flag", flag)
+              .withColumn("_session_id", sum(col("_sz_flag")).over(run))
+              .drop("_sz_flag")
+          } else {
+            require(Seq("_sz_pid", "_sz_flag", "_sz_rn")
+              .forall(n => !df.columns.contains(n)),
+              "input already carries internal _sz_* columns")
+            val sorted = df.orderBy(col(timeColName))
+              .withColumn("_sz_pid", spark_partition_id())
+              .localCheckpoint(true)
+            val spark = sorted.sparkSession
+            import spark.implicits._
+            val wp = W.partitionBy("_sz_pid").orderBy(col(timeColName))
+            val run = wp.rowsBetween(W.unboundedPreceding, W.currentRow)
+            val lagTs = lag(ts, 1).over(wp)
+            // interior flags only — each partition's FIRST row is resolved
+            // driver-side against the previous partition's last timestamp
+            val flagged = sorted
+              .withColumn("_sz_flag",
+                when(lagTs.isNotNull && ts - lagTs > pause, lit(1L))
+                  .otherwise(lit(0L)))
+              .withColumn("_sz_rn", row_number().over(wp))
+            val summ = flagged.groupBy("_sz_pid").agg(
+              min(ts).as("_f"), max(ts).as("_l"), sum("_sz_flag").as("_s"))
+              .collect()
+              .map(r => (r.getInt(0),
+                if (r.isNullAt(1)) None else Some(r.getLong(1)),
+                if (r.isNullAt(2)) None else Some(r.getLong(2)),
+                r.getLong(3)))
+              .sortBy(_._1)
+            var base = 0L
+            var prevLast = Option.empty[Long]
+            val entries = summ.map { case (pid, first, last, flagSum) =>
+              val firstFlag = (prevLast, first) match {
+                case (None, _) => 1L // very first row overall starts session 1
+                case (Some(pl), Some(f)) => if (f - pl > pause) 1L else 0L
+                case _ => 0L
+              }
+              val e = (pid, base, firstFlag)
+              base += flagSum + firstFlag
+              prevLast = last.orElse(prevLast)
+              e
+            }
+            val baseDf = entries.toSeq.toDF("_sz_pid", "_sz_base", "_sz_ff")
+            val joined = flagged.join(broadcast(baseDf), "_sz_pid")
+              .withColumn("_sz_adj",
+                when(col("_sz_rn") === 1, col("_sz_ff")).otherwise(col("_sz_flag")))
+            joined
+              .withColumn("_session_id", col("_sz_base") + sum(col("_sz_adj")).over(run))
+              .drop("_sz_pid", "_sz_flag", "_sz_rn", "_sz_base", "_sz_ff", "_sz_adj")
+          }
         case FillMissingStage(stepOpt, by) =>
           require(df.columns.contains("_timeslice"),
             "fillmissing needs an upstream timeslice stage (no _timeslice column)")

@@ -459,6 +459,43 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(g == Seq(2L, 0L, 1L))
   }
 
+  test("Q1: sessionize — gap splits per key, global == grouped") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("sessionize") == SessionizeStage(1800L, Seq.empty))
+    assert(parseStage("sessionize maxpause=5m by u") ==
+      SessionizeStage(300L, Seq("u")))
+    val df = Seq(
+      ("u1", "2024-03-01 10:00:00"), ("u1", "2024-03-01 10:10:00"),
+      ("u1", "2024-03-01 11:30:00"), // 80m gap → new session
+      ("u2", "2024-03-01 10:05:00"), ("u2", "2024-03-01 12:00:00"))
+      .toDF("u", "ts_s")
+      .select(col("u"), col("ts_s").cast("timestamp").as("ts"))
+    val g = compileStages(Seq(parseStage("sessionize maxpause=30m by u")),
+      "ts", "m")(df)
+      .orderBy("u", "ts").select("u", "_session_id")
+      .as[(String, Long)].collect().toSeq
+    assert(g == Seq(("u1", 1L), ("u1", 1L), ("u1", 2L), ("u2", 1L), ("u2", 2L)))
+    // global sessions run over the merged timeline; an exactly-maxpause gap
+    // does NOT split (strictly greater splits)
+    val gl = compileStages(Seq(parseStage("sessionize maxpause=30m")),
+      "ts", "m")(df)
+      .orderBy("ts").select("_session_id").as[Long].collect().toSeq
+    assert(gl == Seq(1L, 1L, 1L, 2L, 2L))
+    // global boundary-carry path == per-key window path on a bigger series
+    val big = s.range(500).select(col("id"),
+      timestamp_seconds(lit(1704067200L) + (col("id") * col("id") * 7 % 100000))
+        .as("ts"))
+    val glob = compileStages(Seq(parseStage("sessionize maxpause=60")),
+      "ts", "m")(big).select("id", "_session_id")
+    val grp = compileStages(Seq(parseStage("sessionize maxpause=60 by c")),
+      "ts", "m")(big.withColumn("c", lit(1)))
+      .select(col("id").as("id2"), col("_session_id").as("sid2"))
+    assert(glob.join(grp, col("id") === col("id2"))
+      .filter(col("_session_id") =!= col("sid2")).count() == 0)
+  }
+
   test("Q1: transpose stage — series rows pivot to columns") {
     import SearchQuery._
     val s = spark
