@@ -812,6 +812,44 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- date/codec expression functions: formatDate, toMillis, base64
+    //      round-trip — all built-in codegen'd Columns, DuckDB-mirrored ----
+    "q90_piped_datecodec" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | formatDate(ts, \"yyyy-MM-dd\") as day" +
+        " | base64encode(etype) as b64 | base64decode(b64) as rt" +
+        " | toMillis(ts) as ms" +
+        " | count, min(ms) as first_ms by day, b64, rt"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-02-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- first/last aggregates: min_by/max_by over the declared sort
+    //      order (a hash aggregate, no window) ----
+    "q91_piped_firstlast" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | sort by event_id asc" +
+        " | first(etype) as first_et, last(etype) as last_et, count by uid"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2007,6 +2045,35 @@ object SparkEntry {
            FROM s)
          SELECT uid, count(*) AS _count, CAST(max(sid) AS DOUBLE) AS n_sessions
          FROM t GROUP BY 1 ORDER BY uid""",
+    "q90_piped_datecodec" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT ts,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+             to_base64(encode(etype)) AS b64,
+             decode(from_base64(to_base64(encode(etype)))) AS rt,
+             CAST(epoch_ms(ts) AS DOUBLE) AS ms
+           FROM p)
+         SELECT day, b64, rt, count(*) AS _count, min(ms) AS first_ms
+         FROM e GROUP BY 1, 2, 3 ORDER BY day, b64, rt""",
+    "q91_piped_firstlast" ->
+      """WITH m AS (SELECT ts, event_id, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT event_id,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)'))
+         SELECT uid, arg_min(etype, event_id) AS first_et,
+           arg_max(etype, event_id) AS last_et, count(*) AS _count
+         FROM p GROUP BY 1 ORDER BY uid""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

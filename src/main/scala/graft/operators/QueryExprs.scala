@@ -219,7 +219,8 @@ object QueryExprs {
   private def isStringy(e: Expr): Boolean = e match {
     case StrLit(_) => true
     case Call("concat" | "tolowercase" | "touppercase" | "format"
-        | "substring" | "replace" | "trim", _) => true
+        | "substring" | "replace" | "trim" | "formatdate"
+        | "base64encode" | "base64decode" | "urldecode", _) => true
     case Call("if", Seq(_, a, b)) => isStringy(a) || isStringy(b)
     case _ => false
   }
@@ -324,6 +325,20 @@ object QueryExprs {
         // literal replacement (not regex), like the reference language
         replace(compile(a, resolve).cast("string"),
           compile(find, resolve).cast("string"), compile(repl, resolve).cast("string"))
+      case ("formatdate", Seq(a, StrLit(fmt))) =>
+        date_format(compile(a, resolve).try_cast("timestamp"), fmt)
+      case ("tomillis", Seq(a)) =>
+        // epoch millis as the language's uniform double (exact below 2^53)
+        unix_millis(compile(a, resolve).try_cast("timestamp")).cast("double")
+      case ("base64encode", Seq(a)) =>
+        base64(compile(a, resolve).cast("string").cast("binary"))
+      case ("base64decode", Seq(a)) =>
+        // alphabet-gated: a malformed blob yields null instead of failing
+        // the task under ANSI (lenient-typing convention)
+        val in = compile(a, resolve).cast("string")
+        when(in.rlike("^[A-Za-z0-9+/\\s]*={0,2}$"), unbase64(in).cast("string"))
+      case ("urldecode", Seq(a)) =>
+        try_url_decode(compile(a, resolve).cast("string"))
       case ("substring", as) if as.length == 2 || as.length == 3 =>
         // 0-based [start, end) like the reference language; omitted end runs
         // to the end of the string; empty for a degenerate range

@@ -421,7 +421,7 @@ object SearchQuery {
   private val WhereRe = "(?i)where\\s+(\\S+)\\s*(=|!=|>=|<=|>|<|matches)\\s*(.+)".r
   // count_distinct before count: the alternation must not leave a _distinct
   // suffix unconsumed (regex pattern matches anchor the FULL agg spec)
-  private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max|stddev)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
+  private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max|stddev|first|last)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val PctRe = "(?i)pct\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val QuotedRe = "\"([^\"]*)\"".r
   private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
@@ -443,7 +443,7 @@ object SearchQuery {
   private val LookupRe = "(?i)lookup\\s+(.+?)\\s+from\\s+(\\S+)\\s+on\\s+(.+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
-  private val AggHeadRe = "(?i)^(count_distinct|count|sum|avg|min|max|stddev|pct)\\b".r
+  private val AggHeadRe = "(?i)^(count_distinct|count|sum|avg|min|max|stddev|pct|first|last)\\b".r
   private val ExprAsRe = "(?is)^(.*\\S)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
 
   /** Parse one pipe stage. Grammar is the observed reference subset — anything
@@ -941,6 +941,20 @@ object SearchQuery {
               val s2 = sum(d * d).cast("double")
               when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))))
                 .otherwise(lit(null).cast("double")).as(alias)
+            case AggSpec(fn @ ("first" | "last"), Some(f), alias, _) =>
+              // value at the minimal (first) / maximal (last) position of
+              // the CURRENT sort order — min_by/max_by hash aggregates, not
+              // a window; mirrored when the order descends. Ties on the
+              // sort key pick arbitrarily, like the reference.
+              require(order.nonEmpty,
+                s"$fn needs an upstream 'sort by' — first/last are undefined without an order")
+              require(order.map(_._2).distinct.size == 1,
+                s"$fn needs sort keys sharing one direction")
+              val desc = order.head._2
+              val pos = if (order.size == 1) col(order.head._1)
+                else struct(order.map(k => col(k._1)): _*)
+              if ((fn == "first") != desc) min_by(col(resolveField(f)), pos).as(alias)
+              else max_by(col(resolveField(f)), pos).as(alias)
             case AggSpec("pct", Some(f), alias, Some(p)) =>
               // exact interpolated percentile (the built-in sorts per group —
               // group cardinality bounds memory, not corpus size)

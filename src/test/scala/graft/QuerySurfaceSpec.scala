@@ -342,6 +342,26 @@ class QuerySurfaceSpec extends SparkSpec {
     val emp = compileStages(Seq(parseStage("substring(k, 4, 2) as x")),
       "ts", "m")(Seq("abcde").toDF("k")).select("x").as[String].collect().head
     assert(emp == "")
+    // date + codec functions: formatDate/toMillis/base64/urldecode
+    val td = Seq(("2024-03-01 10:30:45", "hi there", "a%20b%2Fc"))
+      .toDF("t", "k", "u").withColumn("ts", col("t").cast("timestamp"))
+    val dx = compileStages(Seq(
+      parseStage("formatDate(ts, \"yyyy-MM-dd HH\") as day"),
+      parseStage("toMillis(ts) as ms"),
+      parseStage("base64encode(k) as b64"),
+      parseStage("base64decode(b64) as rt"),
+      parseStage("urldecode(u) as dec")), "ts", "m")(td)
+      .select("day", "ms", "b64", "rt", "dec")
+      .as[(String, Double, String, String, String)].collect().head
+    assert(dx == (("2024-03-01 10", 1.709289045e12, "aGkgdGhlcmU=",
+      "hi there", "a b/c")))
+    // malformed base64 / url input nulls instead of failing the task
+    val bad = compileStages(Seq(
+      parseStage("base64decode(k) as rt"),
+      parseStage("urldecode(u) as dec")), "ts", "m")(
+      Seq(("!!not-base64!!", "%zz")).toDF("k", "u"))
+      .select("rt", "dec").as[(Option[String], Option[String])].collect().head
+    assert(bad == ((None, None)))
   }
 
   test("Q1: total and accum stages — grand totals and running totals") {
@@ -518,6 +538,27 @@ class QuerySurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](compileStages(
       Seq(parseStage("transpose row t column k")), "ts", "m")(
       df.withColumn("extra", lit(1))).columns)
+  }
+
+  test("Q1: first/last aggregates — order-pinned min_by/max_by, direction-aware") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("first(v) as f, last(v) as l by k") == AggStage(
+      Seq(AggSpec("first", Some("v"), "f"), AggSpec("last", Some("v"), "l")),
+      Seq("k")))
+    val df = Seq(("a", 1, "x1"), ("a", 3, "x3"), ("b", 2, "y2"), ("b", 5, "y5"))
+      .toDF("k", "t", "v")
+    // without an upstream sort, first/last are rejected
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("first(v) as f by k")), "ts", "m")(df))
+    def run(sort: String): Seq[(String, String, String)] =
+      compileStages(Seq(parseStage(sort),
+        parseStage("first(v) as f, last(v) as l by k")), "ts", "m")(df)
+        .orderBy("k").as[(String, String, String)].collect().toSeq
+    assert(run("sort by t asc") == Seq(("a", "x1", "x3"), ("b", "y2", "y5")))
+    // bare sort descends — first is now the HIGHEST t, like the display order
+    assert(run("sort by t") == Seq(("a", "x3", "x1"), ("b", "y5", "y2")))
   }
 
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
