@@ -51,6 +51,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("global rolling stages plan no corpus-sized single-partition exchange") {
+    import graft.operators.SearchQuery
+    import org.apache.spark.sql.functions._
+    // accum/smooth/outlier/sessionize global forms: every SinglePartition
+    // exchange in the plan must sit above an aggregate (1 row per partition
+    // or a scalar) — never receive raw rows. The naive formulation
+    // (Window.partitionBy() with no keys) would put the whole corpus
+    // through one task and THIS assertion is what catches that regression.
+    val series = spark.range(5000).select(col("id"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 40).as("ts"),
+      (col("id") % 97).cast("double").as("v"))
+    val stages = Seq(
+      Seq("sort by id asc", "accum v as r"),
+      Seq("sort by id asc", "smooth v window=9 as sm"),
+      Seq("sort by id asc", "outlier v window=9 threshold=2"),
+      Seq("sessionize maxpause=60"))
+    for (st <- stages) {
+      val df = SearchQuery.compileStages(st.map(SearchQuery.parseStage),
+        "ts", "v")(series)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // a single-partition window over raw rows plans "Window ... Exchange
+      // SinglePartition" with no aggregate between — assert the pattern
+      // never occurs (partial_* aggregates above SinglePartition are the
+      // legitimate 1-row-per-partition folds)
+      val lines = p.linesIterator.toSeq
+      lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach {
+        case (_, i) =>
+          val above = lines.slice(math.max(0, i - 6), i).mkString("\n")
+          assert(above.contains("Aggregate") || above.contains("partial"),
+            s"${st.mkString(" | ")}: SinglePartition exchange fed by non-aggregate:\n$p")
+      }
+      assert(!p.contains("Window [") ||
+        !p.contains("windowspecdefinition()"), s"empty window spec in:\n$p")
+    }
+  }
+
   test("the salted join spreads a hot key across salt partitions") {
     val s = spark
     import s.implicits._
