@@ -197,7 +197,9 @@ object Scratch {
       import graft.operators.SearchQuery
       spec.split(",").map(_.trim.toLong).foreach { n =>
         val series = spark.range(n).select(col("id"),
-          ((col("id") * 37) % 101).cast("double").as("v"))
+          ((col("id") * 37) % 101).cast("double").as("v"),
+          timestamp_seconds(lit(1704067200L) + col("id") * 40 +
+            (col("id") % 25) * 30).as("ts"))
         def run(stage: String): Unit = {
           // fresh construction per run: the global path pins the sorted
           // frame eagerly, so timing must include construction
@@ -209,9 +211,16 @@ object Scratch {
             mk.write.format("noop").mode("overwrite").save(); -1L
           }
         }
-        run("accum v as r")
-        run("smooth v window=50 as sm")
-        run("outlier v window=50 threshold=3")
+        // SPARK_GRAFT_ROLLING_STAGES selects stages by head keyword (comma
+        // list) — the same one-configuration-per-JVM isolation the scale
+        // table's methodology note demands, per stage as well as per scale
+        val wanted = sys.env.get("SPARK_GRAFT_ROLLING_STAGES")
+          .map(_.split(",").map(_.trim.toLowerCase).toSet)
+        def want(stage: String): Boolean =
+          wanted.forall(_.contains(stage.split("\\s+").head.toLowerCase))
+        Seq("accum v as r", "smooth v window=50 as sm",
+          "outlier v window=50 threshold=3", "sessionize maxpause=60")
+          .filter(want).foreach(run)
       }
     }
     // ANN bucket-granularity scaling drill: bucketedPairs with a plane-count
