@@ -850,6 +850,67 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- backshift/rollingstd: series lag and trailing stddev — global
+    //      forms run rank + lag-join / prefix moments, no single-partition
+    //      window ----
+    "q92_piped_backshift" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | timeslice 1d | count by _timeslice" +
+        " | sort by _timeslice asc | backshift _count as prev" +
+        " | rollingstd _count window=7 as rs"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- keyvalue + csv/split: k=v inference (quoted values keep spaces)
+    //      and positional delimited extraction — codegen'd regexp/split_part
+    //      projections, no shuffle before the final aggregate ----
+    "q93_piped_keyvalue" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(
+          lit("evt="), col("event_type"),
+          lit(" user=\"u "), col("user_id"), lit("\""),
+          lit(" path="), col("event_type"), lit("/"), col("user_id") % 7))
+      val q = "_sourceCategory=cat-1* | keyvalue \"evt\", \"user\"" +
+        " | parse \"path=*\" as pth" +
+        " | split pth delim=\"/\" extract root, leaf" +
+        " | count by evt, user, root, leaf"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- parse regex multi: one output row per pattern match (explode of
+    //      regexp_extract_all — a codegen'd Generate, zero-match rows drop) ----
+    "q94_piped_parse_multi" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(
+          col("event_type"), lit(" u"), col("user_id"),
+          lit(" u"), col("user_id") % 10))
+      val q = "_sourceCategory=cat-1* | parse regex \"(?<tok>u\\d+)\" multi" +
+        " | count by tok | sort by _count, tok asc | limit 20"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2074,6 +2135,62 @@ object SparkEntry {
          SELECT uid, arg_min(etype, event_id) AS first_et,
            arg_max(etype, event_id) AS last_et, count(*) AS _count
          FROM p GROUP BY 1 ORDER BY uid""",
+    "q92_piped_backshift" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             count(*) AS _count
+           FROM f GROUP BY 1),
+         w AS (SELECT _timeslice, _count,
+             lag(_count, 1) OVER (ORDER BY _timeslice) AS prev,
+             CAST(count(*) OVER wi AS DOUBLE) AS xc,
+             CAST(sum(CAST(_count AS DECIMAL(18,6))) OVER wi AS DOUBLE) AS xs,
+             CAST(sum(CAST(_count AS DECIMAL(18,6))
+               * CAST(_count AS DECIMAL(18,6))) OVER wi AS DOUBLE) AS xq
+           FROM c
+           WINDOW wi AS (ORDER BY _timeslice
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT _timeslice, _count, prev,
+           CASE WHEN xc > 1
+             THEN sqrt(greatest((xq - (xs*xs/xc)) / (xc - 1.0), 0.0)) END AS rs
+         FROM w ORDER BY _timeslice""",
+    "q93_piped_keyvalue" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             'evt='||event_type||' user="u '||user_id||'" path='
+               ||event_type||'/'||(user_id%7) AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         k AS (SELECT message,
+             CASE WHEN regexp_matches(message, '\bevt\s*=\s*"[^"]*"')
+               THEN regexp_extract(message, '\bevt\s*=\s*"([^"]*)"', 1)
+               WHEN regexp_matches(message, '\bevt\s*=\s*[^\s,;"]+')
+               THEN regexp_extract(message, '\bevt\s*=\s*([^\s,;"]+)', 1) END AS evt,
+             CASE WHEN regexp_matches(message, '\buser\s*=\s*"[^"]*"')
+               THEN regexp_extract(message, '\buser\s*=\s*"([^"]*)"', 1)
+               WHEN regexp_matches(message, '\buser\s*=\s*[^\s,;"]+')
+               THEN regexp_extract(message, '\buser\s*=\s*([^\s,;"]+)', 1) END AS "user"
+           FROM f),
+         p AS (SELECT *, regexp_extract(message, '\Qpath=\E(.*)', 1) AS pth
+           FROM k WHERE regexp_matches(message, '\Qpath=\E(.*)')),
+         sp AS (SELECT evt, "user",
+             split_part(pth, '/', 1) AS root, split_part(pth, '/', 2) AS leaf
+           FROM p)
+         SELECT evt, "user", root, leaf, count(*) AS _count
+         FROM sp GROUP BY 1, 2, 3, 4 ORDER BY evt, "user", root, leaf""",
+    "q94_piped_parse_multi" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' u'||user_id||' u'||(user_id%10) AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         t AS (SELECT unnest(regexp_extract_all(message, 'u\d+')) AS tok FROM f)
+         SELECT tok, count(*) AS _count FROM t GROUP BY 1
+         ORDER BY _count DESC, tok ASC LIMIT 20""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

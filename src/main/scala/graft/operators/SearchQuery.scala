@@ -216,13 +216,36 @@ object SearchQuery {
     */
   final case class ParseAnchor(pattern: String, names: Seq[String],
       nodrop: Boolean, field: Option[String] = None) extends Stage
-  /** `parse regex "(?<name>...)"` — named capture groups become fields;
-    * non-matching rows are dropped. Both parse forms accept
+  /** `parse regex "(?<name>...)" [multi]` — named capture groups become
+    * fields; non-matching rows are dropped. Both parse forms accept
     * `field=<name>` before the pattern to parse a column other than the
-    * message (the reference language's `parse field=` spelling).
+    * message (the reference language's `parse field=` spelling). With
+    * `multi`, EVERY match of the pattern yields its own output row (the
+    * reference language's one-to-many parse): compiles to
+    * `explode(regexp_extract_all(msg, re))` — a codegen'd Generate, the
+    * per-row fan-out bounded by the match count, no shuffle — with the
+    * named groups re-extracted from each match span.
     */
   final case class ParseRegex(regex: String,
+      field: Option[String] = None, multi: Boolean = false) extends Stage
+  /** `keyvalue "k1", "k2"[, …] [field=<name>]` — the reference language's
+    * inference mode: for each requested key, extract the value of the
+    * first `key=value` occurrence (value runs to whitespace/comma/
+    * semicolon; a double-quoted value may contain any of those) into a
+    * column named after the key. Missing keys yield null — keyvalue never
+    * drops rows. One codegen'd regexp projection per key.
+    */
+  final case class KeyValueStage(keys: Seq[String],
       field: Option[String] = None) extends Stage
+  /** `csv <field> extract n1, n2[, …]` / `split <field> delim="|" extract
+    * n1, n2` — positional delimited extraction into named columns
+    * (`split_part` semantics: a position past the end yields an empty
+    * string, like the engine). The csv form is `delim=","`; neither form
+    * interprets quotes — the reference's CSV operator is a plain split,
+    * and quoted-field CSV belongs to the source layer, not a pipe stage.
+    */
+  final case class SplitStage(field: String, delim: String,
+      names: Seq[String]) extends Stage
   /** `json field=message "$.a", "$.b" as x, y [nodrop]` — JSON-path
     * extraction (string-valued, like the API). Default field is `message`;
     * rows where every extraction is null are dropped unless `nodrop`.
@@ -346,6 +369,30 @@ object SearchQuery {
     */
   final case class OutlierStage(field: String, window: Int, threshold: Double,
       by: Seq[String]) extends Stage
+  /** `backshift field [N] [as alias] [by k1, k2]` — the field's value N rows
+    * earlier (default 1) in the CURRENT sort order, null where no earlier row
+    * exists; default alias `_backshift`. The value keeps its source type —
+    * pairing a series with its own lag is the building block the reference
+    * language composes `backshift` with delta/ratio expressions.
+    *
+    * Requires an upstream `sort by`. Grouped: `lag` over an ordered window
+    * per key (one shuffle). The GLOBAL form never uses an empty-partition
+    * window: the frame gets a global rank ([[withGlobalRank]] — two-pass,
+    * per-partition counts folded driver-side), then the lagged value is
+    * recovered by a shuffle equi-join against the same frame at rank−N.
+    */
+  final case class BackshiftStage(field: String, n: Int, alias: String,
+      by: Seq[String]) extends Stage
+  /** `rollingstd field [window=N] [as alias] [by k1, k2]` — trailing sample
+    * standard deviation over the last N rows (current row included) in the
+    * CURRENT sort order. Default window 10, default alias `_rollingstd`;
+    * null until the window holds ≥2 values. Same moment engine as
+    * `smooth`/`outlier` ([[withRollingMoments]]): exact DECIMAL prefix sums,
+    * the variance arithmetic in double, grouped and global plans rounding
+    * identically.
+    */
+  final case class RollingStdStage(field: String, window: Int, alias: String,
+      by: Seq[String]) extends Stage
   /** `transpose row r1[, r2…] column c` — one output row per distinct row
     * key, one output column per distinct value of `c` (the conventional
     * post-`timeslice | count by _timeslice, series` charting shape).
@@ -440,7 +487,16 @@ object SearchQuery {
   private val OutlierRe =
     ("(?i)outlier\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
       "(?:\\s+threshold=([0-9.]+))?(?:\\s+by\\s+(.+))?").r
+  private val BackshiftRe =
+    ("(?i)backshift\\s+([A-Za-z0-9_]+)(?:\\s+(\\d+))?" +
+      "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
+  private val RollingStdRe =
+    ("(?i)rollingstd\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
+      "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
   private val LookupRe = "(?i)lookup\\s+(.+?)\\s+from\\s+(\\S+)\\s+on\\s+(.+)".r
+  private val CsvRe = "(?i)csv\\s+([A-Za-z0-9_]+)\\s+extract\\s+(.+)".r
+  private val SplitRe =
+    "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
   private val AggHeadRe = "(?i)^(count_distinct|count|sum|avg|min|max|stddev|pct|first|last)\\b".r
@@ -453,7 +509,29 @@ object SearchQuery {
     val s = stage.trim
     val lower = s.toLowerCase
     if (lower.startsWith("parse regex ")) {
-      ParseRegex(firstQuoted(s), parseFieldOpt(s))
+      val (qs, qe) = quotedSpan(s)
+      val multi = s.substring(qe + 1).toLowerCase.matches("(?s).*\\bmulti\\b.*")
+      ParseRegex(s.substring(qs, qe), parseFieldOpt(s), multi)
+    } else if (lower.startsWith("keyvalue")) {
+      val keys = QuotedRe.findAllMatchIn(s).map(_.group(1)).toSeq
+      require(keys.nonEmpty, s"keyvalue needs at least one quoted key: $s")
+      require(keys.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+        s"keyvalue keys must be identifiers (they become column names): $s")
+      KeyValueStage(keys, parseFieldOpt(s))
+    } else if (lower.startsWith("csv ")) {
+      s match {
+        case CsvRe(f, names) => SplitStage(f, ",", splitKeys(names))
+        case _ => throw new IllegalArgumentException(
+          s"csv needs 'csv <field> extract n1[, n2…]': $s")
+      }
+    } else if (lower.startsWith("split ")) {
+      s match {
+        case SplitRe(f, d, names) =>
+          require(d.nonEmpty, s"split needs a non-empty delimiter: $s")
+          SplitStage(f, d, splitKeys(names))
+        case _ => throw new IllegalArgumentException(
+          s"split needs 'split <field> delim=\"<d>\" extract n1[, n2…]': $s")
+      }
     } else if (lower.startsWith("parse ")) {
       val (pStart, pEnd) = quotedSpan(s)
       val pattern = s.substring(pStart, pEnd)
@@ -567,6 +645,22 @@ object SearchQuery {
             Option(t).map(_.toDouble).getOrElse(3.0), splitKeys(by))
         case _ => throw new IllegalArgumentException(
           s"outlier needs 'outlier field [window=N] [threshold=T] [by k1, k2…]': $s")
+      }
+    } else if (lower.startsWith("backshift ")) {
+      s match {
+        case BackshiftRe(f, n, alias, by) =>
+          BackshiftStage(f, Option(n).map(_.toInt).getOrElse(1),
+            Option(alias).getOrElse("_backshift"), splitKeys(by))
+        case _ => throw new IllegalArgumentException(
+          s"backshift needs 'backshift field [N] [as alias] [by k1, k2…]': $s")
+      }
+    } else if (lower.startsWith("rollingstd ")) {
+      s match {
+        case RollingStdRe(f, win, alias, by) =>
+          RollingStdStage(f, Option(win).map(_.toInt).getOrElse(10),
+            Option(alias).getOrElse("_rollingstd"), splitKeys(by))
+        case _ => throw new IllegalArgumentException(
+          s"rollingstd needs 'rollingstd field [window=N] [as alias] [by k1, k2…]': $s")
       }
     } else if (lower.startsWith("transpose ")) {
       s match {
@@ -790,12 +884,42 @@ object SearchQuery {
             val ex = regexp_extract(msg, re, i + 1)
             d.withColumn(name, if (nodrop) when(msg.rlike(re), ex) else ex)
           }
-        case ParseRegex(re, field) =>
+        case ParseRegex(re, field, multi) =>
           val named = namedGroups(re)
           require(named.nonEmpty, s"parse regex needs named groups: $re")
           val msg = col(field.map(resolveField).getOrElse(messageColName))
-          named.foldLeft(df.filter(msg.rlike(re))) { case (d, (name, idx)) =>
-            d.withColumn(name, regexp_extract(msg, re, idx))
+          if (!multi) {
+            named.foldLeft(df.filter(msg.rlike(re))) { case (d, (name, idx)) =>
+              d.withColumn(name, regexp_extract(msg, re, idx))
+            }
+          } else {
+            require(!df.columns.contains("_pm_match"),
+              "input already carries the internal _pm_match column")
+            // one row per match: explode the full-match spans (a codegen'd
+            // Generate — empty arrays drop the row, the non-matching-rows
+            // contract), then extract each named group from its own span
+            val exploded = df.withColumn("_pm_match",
+              explode(regexp_extract_all(msg, lit(re), lit(0))))
+            named.foldLeft(exploded) { case (d, (name, idx)) =>
+              d.withColumn(name, regexp_extract(col("_pm_match"), re, idx))
+            }.drop("_pm_match")
+          }
+        case KeyValueStage(keys, field) =>
+          val msg = col(field.map(resolveField).getOrElse(messageColName))
+          keys.foldLeft(df) { (d, k) =>
+            val q = java.util.regex.Pattern.quote(k)
+            val reQ = "\\b" + q + "\\s*=\\s*\"([^\"]*)\""
+            val reB = "\\b" + q + "\\s*=\\s*([^\\s,;\"]+)"
+            // quoted value wins (it may contain spaces/commas); bare value
+            // runs to whitespace/comma/semicolon; missing key → null
+            d.withColumn(k,
+              when(msg.rlike(reQ), regexp_extract(msg, reQ, 1))
+                .when(msg.rlike(reB), regexp_extract(msg, reB, 1)))
+          }
+        case SplitStage(field, delim, names) =>
+          val src = col(resolveField(field)).cast("string")
+          names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+            d.withColumn(n, split_part(src, lit(delim), lit(i + 1)))
           }
         case JsonStage(field, extracts, nodrop) =>
           val base = extracts.foldLeft(df) { case (d, (path, name)) =>
@@ -1087,6 +1211,49 @@ object SearchQuery {
               when(col("_lower").isNotNull && vd.isNotNull &&
                 (vd < col("_lower") || vd > col("_upper")), lit(1L))
                 .otherwise(lit(0L)))
+            .drop("_rw_cnt", "_rw_sum", "_rw_q")
+        case BackshiftStage(field, n, alias, by) =>
+          require(!df.columns.contains(alias),
+            s"backshift alias '$alias' already exists")
+          require(order.nonEmpty,
+            "backshift needs an upstream 'sort by' — a lag is undefined without an order")
+          val v = col(resolveField(field))
+          if (by.nonEmpty) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(by.map(k => col(resolveField(k))): _*)
+              .orderBy(sortColumns(order): _*)
+            df.withColumn(alias, lag(v, n).over(w))
+          } else {
+            require(!df.columns.contains("_bs_rank"),
+              "input already carries the internal _bs_rank column")
+            // global form: two-pass rank, then the lagged value recovered by
+            // a shuffle equi-join at rank−N — both sides corpus-sized, no
+            // empty-partition window, no broadcast of the corpus
+            val ranked = withGlobalRank(df, sortColumns(order), "_bs_rank")
+            val lagged = ranked.select(
+              (col("_bs_rank") + n).as("_bs_rank"), v.as(alias))
+            ranked.join(lagged, Seq("_bs_rank"), "left").drop("_bs_rank")
+          }
+        case RollingStdStage(field, win, alias, by) =>
+          require(!df.columns.contains(alias),
+            s"rollingstd alias '$alias' already exists")
+          require(order.nonEmpty,
+            "rollingstd needs an upstream 'sort by' — a rolling window is undefined without an order")
+          val v = col(resolveField(field))
+          val m = withRollingMoments(df, order, by, v, win, includeCurrent = true)
+          val cnt = col("_rw_cnt").cast("double")
+          val sm = col("_rw_sum").cast("double")
+          val q = col("_rw_q").cast("double")
+          // sample stddev from the exact decimal moments, all-double after
+          // the single cast (identical rounding on grouped/global paths);
+          // try_divide + greatest-clamp for the same ANSI/rounding reasons
+          // as the outlier band
+          m.withColumn(alias,
+              when(col("_rw_cnt") > 1,
+                sqrt(greatest(
+                  try_divide(q - try_divide(sm * sm, cnt), cnt - lit(1.0)),
+                  lit(0.0))))
+                .otherwise(lit(null).cast("double")))
             .drop("_rw_cnt", "_rw_sum", "_rw_q")
         case TransposeStage(rows, colF) =>
           val rcols = rows.map(resolveField)

@@ -444,6 +444,107 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("Q1: parse multi / keyvalue / csv / split — one-to-many and delimited extraction") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // parse multi: every match yields a row; zero-match rows drop
+    assert(parseStage("parse regex \"(?<u>u\\d+)\" multi") ==
+      ParseRegex("(?<u>u\\d+)", None, multi = true))
+    val df = Seq((1, "u1 x u2 x u3"), (2, "none"), (3, "u9")).toDF("id", "message")
+    val multi = compileStages(Seq(
+      parseStage("parse regex \"(?<u>u(?<d>\\d+))\" multi")), "ts", "message")(df)
+      .orderBy("id", "u").select("id", "u", "d")
+      .as[(Int, String, String)].collect().toSeq
+    assert(multi == Seq((1, "u1", "1"), (1, "u2", "2"), (1, "u3", "3"), (3, "u9", "9")))
+    // keyvalue: quoted values keep interior spaces, bare stop at , ; space;
+    // missing keys are null, no rows drop
+    assert(parseStage("keyvalue \"user\", \"code\"") ==
+      KeyValueStage(Seq("user", "code")))
+    assert(parseStage("keyvalue field=blob \"k\"") ==
+      KeyValueStage(Seq("k"), Some("blob")))
+    intercept[IllegalArgumentException](parseStage("keyvalue \"not a name\""))
+    val kv = Seq(
+      (1, "user=\"Jo Smith\" code=a1,junk"), (2, "code=b2; user=amy tail"),
+      (3, "neither")).toDF("id", "message")
+    val kvOut = compileStages(Seq(parseStage("keyvalue \"user\", \"code\"")),
+      "ts", "message")(kv)
+      .orderBy("id").select("user", "code")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(kvOut == Seq((Some("Jo Smith"), Some("a1")),
+      (Some("amy"), Some("b2")), (None, None)))
+    // csv / split: positional split_part, past-the-end → empty string
+    assert(parseStage("csv line extract a, b, c") ==
+      SplitStage("line", ",", Seq("a", "b", "c")))
+    assert(parseStage("split line delim=\"|\" extract a, b") ==
+      SplitStage("line", "|", Seq("a", "b")))
+    val csv = Seq((1, "x,y,z"), (2, "only")).toDF("id", "line")
+    val csvOut = compileStages(Seq(parseStage("csv line extract a, b, c")),
+      "ts", "message")(csv)
+      .orderBy("id").select("a", "b", "c")
+      .as[(String, String, String)].collect().toSeq
+    assert(csvOut == Seq(("x", "y", "z"), ("only", "", "")))
+    val sp = Seq((1, "a|b")).toDF("id", "line")
+    val spOut = compileStages(Seq(parseStage("split line delim=\"|\" extract l, r")),
+      "ts", "message")(sp).select("l", "r").as[(String, String)].collect().toSeq
+    assert(spOut == Seq(("a", "b")))
+  }
+
+  test("Q1: backshift/rollingstd — lagged values and trailing stddev, global == grouped") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("backshift v") == BackshiftStage("v", 1, "_backshift", Seq.empty))
+    assert(parseStage("backshift v 3 as prev by k") ==
+      BackshiftStage("v", 3, "prev", Seq("k")))
+    assert(parseStage("rollingstd v") ==
+      RollingStdStage("v", 10, "_rollingstd", Seq.empty))
+    assert(parseStage("rollingstd v window=5 as rs by k") ==
+      RollingStdStage("v", 5, "rs", Seq("k")))
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("backshift v")), "ts", "m")(Seq((1, 1.0)).toDF("id", "v")))
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("rollingstd v")), "ts", "m")(Seq((1, 1.0)).toDF("id", "v")))
+
+    val df = Seq((1, 1.0), (2, 2.0), (3, 3.0), (4, 10.0), (5, 5.0)).toDF("id", "v")
+    // global lag: first row null, value keeps its type
+    val bs = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("backshift v as prev")), "ts", "m")(df)
+      .orderBy("id").select("prev").as[Option[Double]].collect().toSeq
+    assert(bs == Seq(None, Some(1.0), Some(2.0), Some(3.0), Some(10.0)))
+    // N=2 lag: two leading nulls
+    val bs2 = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("backshift v 2 as prev")), "ts", "m")(df)
+      .orderBy("id").select("prev").as[Option[Double]].collect().toSeq
+    assert(bs2 == Seq(None, None, Some(1.0), Some(2.0), Some(3.0)))
+    // trailing sample stddev, window 3: singleton null, then pairwise/triple
+    val rs = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("rollingstd v window=3 as rs")), "ts", "m")(df)
+      .orderBy("id").select("rs").as[Option[Double]].collect().toSeq
+    assert(rs.head.isEmpty)
+    assert(math.abs(rs(1).get - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(rs(2).get - 1.0) < 1e-12)
+    assert(math.abs(rs(4).get - math.sqrt((9.0 + 16.0 + 1.0) / 2)) < 1e-12) // 3,10,5
+
+    // global two-pass paths == per-key window paths, nulls included
+    val big = (1 to 200).map(i =>
+      (i, if (i % 13 == 0) None else Some((i * 37 % 101).toDouble)))
+      .toDF("id", "v")
+    val glob = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("backshift v 4 as prev"),
+      parseStage("rollingstd v window=7 as rs")), "ts", "m")(big)
+      .select("id", "prev", "rs")
+    val group = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("backshift v 4 as prev2 by c"),
+      parseStage("rollingstd v window=7 as rs2 by c")), "ts", "m")(
+      big.withColumn("c", lit(1)))
+      .select(col("id").as("id2"), col("prev2"), col("rs2"))
+    val mismatch = glob.join(group, col("id") === col("id2"))
+      .filter(!(col("prev") <=> col("prev2")) || !(col("rs") <=> col("rs2")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("Q1: fillmissing — gap buckets appear with zero counts per series") {
     import SearchQuery._
     val s = spark
