@@ -911,6 +911,77 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- count_frequent: exact top-N key combos — partial hash agg +
+    //      TakeOrdered, no global sort ----
+    "q95_piped_count_frequent" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | count_frequent etype, uid limit 25"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- logreduce: deterministic signature clustering (timestamp/uuid/
+    //      hex/digit masking) — regexp chain + one hash aggregate whose
+    //      cardinality is the distinct-signature count ----
+    "q96_piped_logreduce" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(
+          col("event_type"), lit(" id="), md5(col("event_id").cast("string")),
+          lit(" n="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | logreduce limit 10"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- compare with timeshift: period-over-period self-join on the
+    //      AGGREGATED series (bucket-cardinality sides, one shuffle) ----
+    "q97_piped_compare" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | timeslice 1d | count by _timeslice" +
+        " | compare with timeshift 1d"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- predict: closed-form least-squares trend from one 1-row decimal
+    //      moment aggregate (x centered on the series origin), broadcast
+    //      back over the series + exploded forecast buckets ----
+    "q98_piped_predict" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | timeslice 1d | count by _timeslice" +
+        " | predict _count forecast=7"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2191,6 +2262,86 @@ object SparkEntry {
          t AS (SELECT unnest(regexp_extract_all(message, 'u\d+')) AS tok FROM f)
          SELECT tok, count(*) AS _count FROM t GROUP BY 1
          ORDER BY _count DESC, tok ASC LIMIT 20""",
+    "q95_piped_count_frequent" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)'))
+         SELECT etype, uid, count(*) AS _count FROM p GROUP BY 1, 2
+         ORDER BY _count DESC, etype, uid LIMIT 25""",
+    "q96_piped_logreduce" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' id='||md5(CAST(event_id AS VARCHAR))
+               ||' n='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         sg AS (SELECT regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(message,
+               '\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?', '$DATE', 'g'),
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+               '$UUID', 'g'),
+               '\b[0-9a-fA-F]{8,}\b', '$HEX', 'g'),
+               '\d+', '#', 'g') AS _signature
+           FROM f)
+         SELECT _signature, count(*) AS _count FROM sg GROUP BY 1
+         ORDER BY _count DESC, _signature LIMIT 10""",
+    "q97_piped_compare" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             count(*) AS _count
+           FROM f GROUP BY 1)
+         SELECT c._timeslice AS _timeslice, c._count AS _count,
+           p._count AS _count_1d
+         FROM c LEFT JOIN c p ON c._timeslice = p._timeslice + INTERVAL 1 DAY
+         ORDER BY _timeslice""",
+    "q98_piped_predict" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             count(*) AS _count
+           FROM f GROUP BY 1),
+         o AS (SELECT min(epoch_ms(_timeslice)//1000) AS x0,
+             max(_timeslice) AS mx FROM c),
+         s AS (SELECT min(x0) AS x0, min(mx) AS mx,
+             CAST(count(_count) AS DOUBLE) AS n,
+             CAST(sum(CAST(epoch_ms(_timeslice)//1000 - x0 AS DECIMAL(38,6)))
+               AS DOUBLE) AS sx,
+             CAST(sum(CAST(_count AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(epoch_ms(_timeslice)//1000 - x0 AS DECIMAL(38,6))
+               * CAST(_count AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(epoch_ms(_timeslice)//1000 - x0 AS DECIMAL(38,6))
+               * CAST(epoch_ms(_timeslice)//1000 - x0 AS DECIMAL(38,6)))
+               AS DOUBLE) AS sxx
+           FROM c CROSS JOIN o),
+         fit AS (SELECT x0, mx, n, sx, sy,
+             (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope FROM s),
+         fit2 AS (SELECT *, (sy - slope*sx)/n AS icept FROM fit),
+         obs AS (SELECT c._timeslice, c._count,
+             icept + slope * CAST(epoch_ms(c._timeslice)//1000 - x0 AS DOUBLE)
+               AS _predict
+           FROM c CROSS JOIN fit2),
+         fut AS (SELECT
+             make_timestamp((epoch_ms(mx)//1000 + i*86400)*1000000) AS _timeslice,
+             CAST(NULL AS BIGINT) AS _count,
+             icept + slope * CAST(epoch_ms(mx)//1000 + i*86400 - x0 AS DOUBLE)
+               AS _predict
+           FROM fit2 CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS i))
+         SELECT * FROM obs UNION ALL SELECT * FROM fut ORDER BY _timeslice""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

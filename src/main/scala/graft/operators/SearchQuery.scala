@@ -410,6 +410,53 @@ object SearchQuery {
   final case class LookupStage(outputs: Seq[String], table: String,
       on: Seq[(String, String)]) extends Stage
 
+  /** `count_frequent f1[, f2…] [limit N]` — the N most frequent key
+    * combinations (default 100, the reference API's page size) with their
+    * `_count`, most frequent first, keys ascending as the deterministic
+    * tie-break. The reference engine approximates this per-node and merges
+    * sketches; on Spark the exact form IS the scalable form — a map-side
+    * partial hash aggregate, then TakeOrdered (per-partition top-N folded
+    * into a bounded driver merge — never a full global sort).
+    */
+  final case class CountFrequentStage(fields: Seq[String],
+      limit: Int) extends Stage
+  /** `logreduce [field=<name>] [limit N]` — signature clustering: messages
+    * are reduced to a template by masking the variable tokens (ISO
+    * timestamps → `$DATE`, UUIDs → `$UUID`, long hex runs → `$HEX`, digit
+    * runs → `#`), then grouped. Output is one row per signature —
+    * `_signature`, `_count` — most frequent first, signature ascending as
+    * the tie-break, capped at N (default 100). The reference's LogReduce
+    * fuzzy-clusters with a trained model; this deterministic mask captures
+    * its common case (operational logs differing only in ids/numbers) and
+    * is exactly reproducible by any engine. One codegen'd regexp chain +
+    * one hash aggregate; the aggregate's cardinality is the number of
+    * DISTINCT signatures, not rows — the 100 TB shape.
+    */
+  final case class LogReduceStage(field: Option[String],
+      limit: Int) extends Stage
+
+  /** `compare with timeshift <dur> [on <field>]` — after `timeslice` + an
+    * aggregation, adds `<field>_<dur>` (e.g. `_count_1d`): the field's value
+    * in the bucket exactly `<dur>` EARLIER, per series key (every column
+    * except `_timeslice` and the field is a key), null when that bucket has
+    * no row. Compiles to a self left-join with the frame shifted forward by
+    * the duration — both sides are the AGGREGATED series (bucket × key
+    * cardinality, not raw rows), one shuffle join.
+    */
+  final case class CompareTimeshiftStage(seconds: Long, spec: String,
+      field: String) extends Stage
+  /** `predict <field> [forecast=N]` — least-squares linear trend of the
+    * field over the `_timeslice` series (upstream `timeslice` + aggregation
+    * required), adding `_predict` (the fitted value) to every observed
+    * bucket and appending N future buckets (field null, `_predict` the
+    * extrapolation; default 5). The fit is closed-form from one 1-row
+    * aggregate of exact DECIMAL moments (n, Σx, Σy, Σxy, Σx²) broadcast
+    * back over the series — x is the bucket's epoch second, slope/intercept
+    * arithmetic all-double after a single cast, so any engine reproduces
+    * the values bit-for-bit. No window, no sort, no driver-side math.
+    */
+  final case class PredictStage(field: String, forecast: Int) extends Stage
+
   /** A parsed full query: predicate terms + pipe stages. */
   final case class Piped(terms: Seq[Term], stages: Seq[Stage])
 
@@ -495,6 +542,14 @@ object SearchQuery {
       "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
   private val LookupRe = "(?i)lookup\\s+(.+?)\\s+from\\s+(\\S+)\\s+on\\s+(.+)".r
   private val CsvRe = "(?i)csv\\s+([A-Za-z0-9_]+)\\s+extract\\s+(.+)".r
+  private val CompareRe =
+    "(?i)compare\\s+with\\s+timeshift\\s+(\\d+\\s*[a-z]*)(?:\\s+on\\s+([A-Za-z0-9_]+))?\\s*".r
+  private val PredictRe =
+    "(?i)predict\\s+([A-Za-z0-9_]+)(?:\\s+forecast=(\\d+))?\\s*".r
+  private val CountFrequentRe =
+    "(?i)count_frequent\\s+(.+?)(?:\\s+limit\\s+(\\d+))?\\s*".r
+  private val LogReduceRe =
+    "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val SplitRe =
     "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
   // aggregation stages are recognized by their HEAD function name; anything
@@ -645,6 +700,35 @@ object SearchQuery {
             Option(t).map(_.toDouble).getOrElse(3.0), splitKeys(by))
         case _ => throw new IllegalArgumentException(
           s"outlier needs 'outlier field [window=N] [threshold=T] [by k1, k2…]': $s")
+      }
+    } else if (lower.startsWith("compare ")) {
+      s match {
+        case CompareRe(dur, field) =>
+          CompareTimeshiftStage(durationSeconds(dur),
+            dur.replaceAll("\\s+", ""), Option(field).getOrElse("_count"))
+        case _ => throw new IllegalArgumentException(
+          s"compare needs 'compare with timeshift <dur> [on <field>]': $s")
+      }
+    } else if (lower.startsWith("predict ")) {
+      s match {
+        case PredictRe(f, n) =>
+          PredictStage(f, Option(n).map(_.toInt).getOrElse(5))
+        case _ => throw new IllegalArgumentException(
+          s"predict needs 'predict <field> [forecast=N]': $s")
+      }
+    } else if (lower.startsWith("count_frequent ")) {
+      s match {
+        case CountFrequentRe(flds, n) =>
+          CountFrequentStage(splitKeys(flds), Option(n).map(_.toInt).getOrElse(100))
+        case _ => throw new IllegalArgumentException(
+          s"count_frequent needs 'count_frequent f1[, f2…] [limit N]': $s")
+      }
+    } else if (lower == "logreduce" || lower.startsWith("logreduce ")) {
+      s match {
+        case LogReduceRe(field, n) =>
+          LogReduceStage(Option(field), Option(n).map(_.toInt).getOrElse(100))
+        case _ => throw new IllegalArgumentException(
+          s"logreduce needs 'logreduce [field=<name>] [limit N]': $s")
       }
     } else if (lower.startsWith("backshift ")) {
       s match {
@@ -1212,6 +1296,103 @@ object SearchQuery {
                 (vd < col("_lower") || vd > col("_upper")), lit(1L))
                 .otherwise(lit(0L)))
             .drop("_rw_cnt", "_rw_sum", "_rw_q")
+        case CompareTimeshiftStage(sec, spec, fieldName) =>
+          require(df.columns.contains("_timeslice"),
+            "compare with timeshift needs an upstream timeslice stage")
+          val vf = resolveField(fieldName)
+          require(df.columns.contains(vf),
+            s"compare field '$vf' not present — aggregate before comparing")
+          val alias = s"${vf}_$spec"
+          require(!df.columns.contains(alias),
+            s"compare alias '$alias' already exists")
+          val keys = df.columns.filterNot(c => c == "_timeslice" || c == vf).toSeq
+          // shift the series FORWARD by the duration so joining on equal
+          // buckets pairs each bucket with its value one duration EARLIER;
+          // both sides are the aggregated series, one shuffle join
+          val shifted = df.select(
+            (col("_timeslice") + expr(s"INTERVAL $sec SECOND")).as("_timeslice") +:
+              (keys.map(col) :+ col(vf).as(alias)): _*)
+          df.join(shifted, Seq("_timeslice") ++ keys, "left")
+        case PredictStage(fieldName, forecast) =>
+          require(df.columns.contains("_timeslice"),
+            "predict needs an upstream timeslice stage")
+          val step = sliceSec.getOrElse(throw new IllegalArgumentException(
+            "predict needs an upstream timeslice stage (bucket step unknown)"))
+          val vf = resolveField(fieldName)
+          require(df.columns.contains(vf),
+            s"predict field '$vf' not present — aggregate before predicting")
+          require(!df.columns.contains("_predict"),
+            "input already carries a _predict column")
+          require(df.columns.length == 2 && df.columns.contains("_timeslice"),
+            "predict fits ONE series — project to (_timeslice, field) first")
+          // closed-form least squares from exact decimal moments; x is the
+          // bucket epoch second (exact in decimal), arithmetic in double
+          // AFTER the sums so every engine rounds identically
+          val y = col(vf).try_cast("decimal(38,6)")
+          // two 1-row aggregates: the series origin first, then moments of
+          // x CENTERED on it — raw epoch seconds squared (~1e18) would lose
+          // the normal equations to cancellation in double; centered
+          // offsets are small exact integers. x only where y is defined —
+          // otherwise a null-valued bucket would skew Σx/Σx² against Σy/Σxy.
+          val origin = df.agg(
+            min(unix_timestamp(col("_timeslice"))).as("_pr_x0"),
+            max(col("_timeslice")).as("_pr_mx"))
+          val based = df.crossJoin(broadcast(origin))
+          val xc = when(y.isNotNull,
+            (unix_timestamp(col("_timeslice")) - col("_pr_x0"))
+              .cast("decimal(38,6)"))
+          val fit = based.agg(
+            first(col("_pr_x0")).as("_pr_x0"),
+            first(col("_pr_mx")).as("_pr_mx"),
+            count(y).cast("double").as("_pr_n"),
+            sum(xc).cast("double").as("_pr_sx"),
+            sum(y).cast("double").as("_pr_sy"),
+            sum(xc * y).cast("double").as("_pr_sxy"),
+            sum(xc * xc).cast("double").as("_pr_sxx"))
+          val slope = try_divide(
+            col("_pr_n") * col("_pr_sxy") - col("_pr_sx") * col("_pr_sy"),
+            col("_pr_n") * col("_pr_sxx") - col("_pr_sx") * col("_pr_sx"))
+          val icept = try_divide(col("_pr_sy") - slope * col("_pr_sx"), col("_pr_n"))
+          val xd = (unix_timestamp(col("_timeslice")) - col("_pr_x0")).cast("double")
+          val fitCols = Seq("_pr_x0", "_pr_mx", "_pr_n", "_pr_sx", "_pr_sy",
+            "_pr_sxy", "_pr_sxx")
+          val fitted = df.crossJoin(broadcast(fit))
+            .withColumn("_predict", icept + slope * xd)
+            .drop(fitCols: _*)
+          // future buckets extrapolate from the SAME broadcast fit row —
+          // sequence-explode of `forecast` ordinals, field stays null
+          val future = fit.select(
+              explode(sequence(lit(1), lit(forecast))).as("_pr_i") +:
+                fitCols.map(col): _*)
+            .withColumn("_timeslice", timestamp_seconds(
+              unix_timestamp(col("_pr_mx")) + col("_pr_i") * step))
+            .withColumn(vf, lit(null).cast(df.schema(vf).dataType))
+            .withColumn("_predict", icept + slope *
+              (unix_timestamp(col("_timeslice")) - col("_pr_x0")).cast("double"))
+            .select(col("_timeslice"), col(vf), col("_predict"))
+          fitted.unionByName(future)
+        case CountFrequentStage(fields, n) =>
+          val keys = fields.map(resolveField)
+          order = ("_count", true) +: keys.map((_, false))
+          df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_count"))
+            .orderBy(sortColumns(order): _*).limit(n)
+        case LogReduceStage(field, n) =>
+          val msg = col(field.map(resolveField).getOrElse(messageColName))
+            .cast("string")
+          // mask order matters: timestamps/uuids/hex contain digit runs, so
+          // they must collapse to their own tokens before `\d+` → `#`
+          val sig = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            msg,
+            lit("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?Z?"),
+            lit("\\$DATE")),
+            lit("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+              "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"), lit("\\$UUID")),
+            lit("\\b[0-9a-fA-F]{8,}\\b"), lit("\\$HEX")),
+            lit("\\d+"), lit("#"))
+          order = Seq(("_count", true), ("_signature", false))
+          df.select(sig.as("_signature"))
+            .groupBy("_signature").agg(count(lit(1)).as("_count"))
+            .orderBy(sortColumns(order): _*).limit(n)
         case BackshiftStage(field, n, alias, by) =>
           require(!df.columns.contains(alias),
             s"backshift alias '$alias' already exists")

@@ -490,6 +490,86 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(spOut == Seq(("a", "b")))
   }
 
+  test("Q1: count_frequent / logreduce — top combinations and signature clustering") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("count_frequent a, b") == CountFrequentStage(Seq("a", "b"), 100))
+    assert(parseStage("count_frequent a limit 5") == CountFrequentStage(Seq("a"), 5))
+    assert(parseStage("logreduce") == LogReduceStage(None, 100))
+    assert(parseStage("logreduce field=msg limit 3") == LogReduceStage(Some("msg"), 3))
+
+    val df = Seq("a x", "a x", "a x", "b y", "b y", "c z")
+      .toDF("message").withColumn("k", split_part(col("message"), lit(" "), lit(1)))
+    val cf = compileStages(Seq(parseStage("count_frequent k limit 2")),
+      "ts", "message")(df)
+      .select("k", "_count").as[(String, Long)].collect().toSeq
+    assert(cf == Seq(("a", 3L), ("b", 2L))) // desc by count, capped
+
+    val logs = Seq(
+      "GET /api/u/123 took 45ms",
+      "GET /api/u/999 took 7ms",
+      "job 550e8400-e29b-41d4-a716-446655440000 done at 2024-01-02T03:04:05Z",
+      "job 6ba7b810-9dad-11d1-80b4-00c04fd430c8 done at 2024-02-03T04:05:06.123Z",
+      "checksum deadbeefcafe0123 verified").toDF("message")
+    val lr = compileStages(Seq(parseStage("logreduce")), "ts", "message")(logs)
+      .select("_signature", "_count").as[(String, Long)].collect().toSeq
+    assert(lr == Seq(
+      ("GET /api/u/# took #ms", 2L),
+      ("job $UUID done at $DATE", 2L),
+      ("checksum $HEX verified", 1L)))
+  }
+
+  test("Q1: compare timeshift / predict — period-over-period join and linear trend") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("compare with timeshift 1d") ==
+      CompareTimeshiftStage(86400L, "1d", "_count"))
+    assert(parseStage("compare with timeshift 2h on v") ==
+      CompareTimeshiftStage(7200L, "2h", "v"))
+    assert(parseStage("predict v") == PredictStage("v", 5))
+    assert(parseStage("predict v forecast=2") == PredictStage("v", 2))
+
+    def tsDf(rows: Seq[(String, Long)]) = rows.toDF("t", "_count")
+      .select(col("t").cast("timestamp").as("_timeslice"), col("_count"))
+    // compare: each bucket pairs with the bucket one day earlier; missing → null
+    val series = tsDf(Seq(
+      ("2024-03-01 00:00:00", 10L), ("2024-03-02 00:00:00", 14L),
+      ("2024-03-04 00:00:00", 7L)))
+    val cmpOut = compileStages(Seq(parseStage("compare with timeshift 1d")),
+      "ts", "m")(series)
+      .orderBy("_timeslice").select("_count", "_count_1d")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(cmpOut == Seq((10L, None), (14L, Some(10L)), (7L, None)))
+    // compare without an upstream timeslice → rejected
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("compare with timeshift 1d")), "ts", "m")(
+      Seq((1L, 2L)).toDF("a", "_count")))
+
+    // predict: exact line y = 2x + 1 over hourly buckets is recovered and
+    // extrapolated; observed rows keep values, forecast rows carry null
+    val hours = (0 until 6).map(i =>
+      (f"2024-03-01 0$i:00:00", 1L + 2L * i))
+    val pred = compileStages(Seq(parseStage("timeslice 1h"),
+      parseStage("fields _timeslice, _count"),
+      parseStage("predict _count forecast=2")), "ts", "m")(
+      tsDf(hours).withColumnRenamed("_timeslice", "ts"))
+    val rows = pred.orderBy("_timeslice")
+      .select(col("_timeslice").cast("string"), col("_count"), col("_predict"))
+      .as[(String, Option[Long], Double)].collect().toSeq
+    assert(rows.length == 8)
+    // fitted values on observed buckets reproduce the line exactly
+    rows.take(6).zipWithIndex.foreach { case ((_, v, p), i) =>
+      assert(v.contains(1L + 2L * i))
+      assert(math.abs(p - (1.0 + 2.0 * i)) < 1e-6)
+    }
+    // forecast buckets continue the hourly grid with null observations
+    assert(rows(6)._1 == "2024-03-01 06:00:00" && rows(6)._2.isEmpty)
+    assert(math.abs(rows(6)._3 - 13.0) < 1e-6)
+    assert(math.abs(rows(7)._3 - 15.0) < 1e-6)
+  }
+
   test("Q1: backshift/rollingstd — lagged values and trailing stddev, global == grouped") {
     import SearchQuery._
     val s = spark
