@@ -223,6 +223,28 @@ object Scratch {
           .filter(want).foreach(run)
       }
     }
+    // logreduce scaling drill: the signature mask is a 4-regex chain over
+    // every message — the dominant cost is per-row regex work, so the shape
+    // question is pure throughput (rows/s flat as n grows), not shuffle
+    // (the aggregate's cardinality is the distinct-signature count)
+    sys.env.get("SPARK_GRAFT_LOGREDUCE_SCALE").foreach { spec =>
+      import graft.operators.SearchQuery
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        val msgs = spark.range(n).select(col("id"),
+          concat(
+            element_at(typedLit(Seq("GET", "PUT", "POST")),
+              (col("id") % 3).cast("int") + 1),
+            lit(" /api/u/"), col("id") % 9973,
+            lit(" took "), col("id") % 451, lit("ms req="),
+            md5(col("id").cast("string"))).as("message"))
+        def mk = SearchQuery.compileStages(
+          Seq(SearchQuery.parseStage("logreduce limit 20")), "ts", "message")(msgs)
+        mk.write.format("noop").mode("overwrite").save() // warm
+        time(s"logreduce n=$n") {
+          mk.write.format("noop").mode("overwrite").save(); -1L
+        }
+      }
+    }
     // ANN bucket-granularity scaling drill: bucketedPairs with a plane-count
     // sweep — demonstrates that planes must scale with log2(n) (fixed planes
     // → fixed bucket count → within-bucket pair growth goes quadratic)

@@ -982,6 +982,28 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- math expression surface: sqrt/pow/log/hex/haversine — codegen'd
+    //      Columns, trig results round-guarded to 6 decimals so a 1-ulp
+    //      libm divergence can't break cross-engine parity ----
+    "q99_piped_mathfns" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | sqrt(uid) as sq | pow(uid, 3) as cube" +
+        " | dectohex(uid) as hx | hextodec(hx) as back" +
+        " | round(log(uid + 1), 6) as lg" +
+        " | round(haversine(0, 0, uid / 100, uid / 100), 6) as hav" +
+        " | count by etype, sq, cube, hx, back, lg, hav"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2342,6 +2364,33 @@ object SparkEntry {
                AS _predict
            FROM fit2 CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS i))
          SELECT * FROM obs UNION ALL SELECT * FROM fut ORDER BY _timeslice""",
+    "q99_piped_mathfns" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2)
+               AS DOUBLE) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         e AS (SELECT etype,
+             sqrt(uid) AS sq,
+             pow(uid, 3) AS cube,
+             lower(to_hex(CAST(uid AS BIGINT))) AS hx,
+             CAST(CAST('0x'||lower(to_hex(CAST(uid AS BIGINT))) AS BIGINT) AS DOUBLE)
+               AS back,
+             round(ln(uid + 1), 6) AS lg,
+             round(2*6371*asin(sqrt(
+               pow(sin(((uid/100)*(pi()/180) - 0*(pi()/180))/2), 2)
+               + cos(0*(pi()/180)) * cos((uid/100)*(pi()/180))
+                 * pow(sin(((uid/100)*(pi()/180) - 0*(pi()/180))/2), 2))), 6)
+               AS hav
+           FROM p)
+         SELECT etype, sq, cube, hx, back, lg, hav, count(*) AS _count
+         FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7
+         ORDER BY etype, sq, cube, hx, back, lg, hav""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

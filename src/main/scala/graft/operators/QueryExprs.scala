@@ -339,6 +339,35 @@ object QueryExprs {
         when(in.rlike("^[A-Za-z0-9+/\\s]*={0,2}$"), unbase64(in).cast("string"))
       case ("urldecode", Seq(a)) =>
         try_url_decode(compile(a, resolve).cast("string"))
+      // math surface mirrors the reference language's Java-Math functions;
+      // all compile to built-in codegen'd Columns over the uniform double
+      case ("sqrt", Seq(a)) => sqrt(num(compile(a, resolve)))
+      case ("cbrt", Seq(a)) => cbrt(num(compile(a, resolve)))
+      case ("exp", Seq(a)) => exp(num(compile(a, resolve)))
+      case ("log", Seq(a)) => log(num(compile(a, resolve))) // natural log
+      case ("log10", Seq(a)) => log10(num(compile(a, resolve)))
+      case ("pow", Seq(a, b)) =>
+        pow(num(compile(a, resolve)), num(compile(b, resolve)))
+      case ("signum", Seq(a)) => signum(num(compile(a, resolve)))
+      case ("hextodec", Seq(a)) =>
+        // alphabet-gated like base64decode: a non-hex string yields null,
+        // never a task failure; 15 hex digits (60 bits) is the exact-long
+        // bound, matching the md5-prefix idiom used engine-wide
+        val in = compile(a, resolve).cast("string")
+        when(in.rlike("^[0-9a-fA-F]{1,15}$"),
+          conv(in, 16, 10).cast("double"))
+      case ("dectohex", Seq(a)) =>
+        // lowercase, like to_hex everywhere else; input truncates to long
+        lower(conv(num(compile(a, resolve)).cast("long").cast("string"), 10, 16))
+      case ("haversine", Seq(lat1, lon1, lat2, lon2)) =>
+        // great-circle km on the reference language's 6371.0 earth radius;
+        // one closed-form expression, deterministic operand order
+        def rad(e: Expr) = num(compile(e, resolve)) * lit(math.Pi / 180.0)
+        val dLat = rad(lat2) - rad(lat1)
+        val dLon = rad(lon2) - rad(lon1)
+        val h = pow(sin(dLat / 2), 2) +
+          cos(rad(lat1)) * cos(rad(lat2)) * pow(sin(dLon / 2), 2)
+        lit(2.0 * 6371.0) * asin(sqrt(h))
       case ("substring", as) if as.length == 2 || as.length == 3 =>
         // 0-based [start, end) like the reference language; omitted end runs
         // to the end of the string; empty for a degenerate range

@@ -66,7 +66,11 @@ class PlanShapeSpec extends SparkSpec {
       Seq("sort by id asc", "accum v as r"),
       Seq("sort by id asc", "smooth v window=9 as sm"),
       Seq("sort by id asc", "outlier v window=9 threshold=2"),
-      Seq("sessionize maxpause=60"))
+      Seq("sessionize maxpause=60"),
+      Seq("sort by id asc", "backshift v 3 as prev"),
+      Seq("sort by id asc", "rollingstd v window=9 as rs"),
+      Seq("timeslice 1h", "count by _timeslice", "compare with timeshift 1h"),
+      Seq("timeslice 1h", "count by _timeslice", "predict _count forecast=3"))
     for (st <- stages) {
       val df = SearchQuery.compileStages(st.map(SearchQuery.parseStage),
         "ts", "v")(series)

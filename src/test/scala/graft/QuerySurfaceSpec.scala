@@ -362,6 +362,38 @@ class QuerySurfaceSpec extends SparkSpec {
       Seq(("!!not-base64!!", "%zz")).toDF("k", "u"))
       .select("rt", "dec").as[(Option[String], Option[String])].collect().head
     assert(bad == ((None, None)))
+    // math surface: Java-Math parity over the uniform double
+    val mx = compileStages(Seq(
+      parseStage("sqrt(v) as sq"), parseStage("cbrt(v) as cb"),
+      parseStage("exp(z) as ex"), parseStage("log(v) as ln"),
+      parseStage("log10(v) as l10"), parseStage("pow(v, 2) as p2"),
+      parseStage("signum(0 - v) as sg")), "ts", "m")(
+      Seq((16.0, 0.0)).toDF("v", "z"))
+      .select("sq", "cb", "ex", "ln", "l10", "p2", "sg")
+      .as[(Double, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(mx == ((4.0, math.cbrt(16.0), 1.0, math.log(16.0),
+      math.log10(16.0), 256.0, -1.0)))
+    // hex round-trip (lowercase out), non-hex input nulls
+    val hx = compileStages(Seq(
+      parseStage("dectohex(v) as h"), parseStage("hextodec(h) as back"),
+      parseStage("hextodec(k) as badh")), "ts", "m")(
+      Seq((48879.0, "xyz")).toDF("v", "k"))
+      .select("h", "back", "badh")
+      .as[(String, Double, Option[Double])].collect().head
+    assert(hx == (("beef", 48879.0, None)))
+    // haversine: London→Paris on the 6371 km sphere, against the same
+    // closed form evaluated in scala.math
+    val hv = compileStages(Seq(parseStage(
+      "haversine(51.5007, 0 - 0.1246, 48.8584, 2.2945) as km")), "ts", "m")(
+      Seq(1).toDF("one")).select("km").as[Double].collect().head
+    val (la1, lo1, la2, lo2) = (51.5007 * math.Pi / 180, -0.1246 * math.Pi / 180,
+      48.8584 * math.Pi / 180, 2.2945 * math.Pi / 180)
+    val expected = 2 * 6371.0 * math.asin(math.sqrt(
+      math.pow(math.sin((la2 - la1) / 2), 2) +
+        math.cos(la1) * math.cos(la2) * math.pow(math.sin((lo2 - lo1) / 2), 2)))
+    assert(math.abs(hv - expected) < 1e-9)
+    assert(hv > 300 && hv < 400) // sanity: London→Paris is ~340 km
   }
 
   test("Q1: total and accum stages — grand totals and running totals") {
