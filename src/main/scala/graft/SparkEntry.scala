@@ -1004,6 +1004,26 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- json auto: sampled top-level key discovery, string-valued
+    //      fields, nested objects as minified JSON text ----
+    "q100_piped_json_auto" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(
+          lit("{\"et\": \""), col("event_type"),
+          lit("\", \"uid\": "), col("user_id"),
+          lit(", \"deep\": {\"z\": "), col("user_id") % 3, lit("}}")))
+      val q = "_sourceCategory=cat-1* | json auto" +
+        " | count, min(uid) as mn, count_distinct(deep) as nd by et"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2391,6 +2411,20 @@ object SparkEntry {
          SELECT etype, sq, cube, hx, back, lg, hav, count(*) AS _count
          FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7
          ORDER BY etype, sq, cube, hx, back, lg, hav""",
+    "q100_piped_json_auto" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             '{"et": "'||event_type||'", "uid": '||user_id
+               ||', "deep": {"z": '||(user_id%3)||'}}' AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         j AS (SELECT message->>'$.et' AS et,
+             message->>'$.uid' AS uid,
+             message->>'$.deep' AS deep
+           FROM f)
+         SELECT et, count(*) AS _count, min(TRY_CAST(uid AS DOUBLE)) AS mn,
+           count(DISTINCT deep) AS nd
+         FROM j GROUP BY 1 ORDER BY et""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -252,6 +252,20 @@ object SearchQuery {
     */
   final case class JsonStage(field: String, extracts: Seq[(String, String)],
       nodrop: Boolean) extends Stage
+  /** `json auto [field=<name>] [nodrop]` — the reference language's
+    * auto-extraction: every TOP-LEVEL key becomes a string-valued field
+    * (nested objects arrive as their JSON text, like the API renders them).
+    * Keys are discovered at PLAN TIME from a bounded sample (first
+    * `sampleSize` rows — one driver action over ≤1000 values, never the
+    * corpus), sorted for a deterministic column order; the extraction
+    * itself is one codegen'd `get_json_object` projection per key over the
+    * full data. Rows whose field isn't valid JSON are dropped unless
+    * `nodrop` (then all keys null) — same contract as the path form. A key
+    * present in the data but absent from the sample is not extracted;
+    * corpora with evolving schemas should use explicit paths.
+    */
+  final case class JsonAuto(field: String, nodrop: Boolean,
+      sampleSize: Int = 1000) extends Stage
   /** `where f >= 10` / `where f = "x"` / `where f matches "a*b"`. Numeric
     * comparisons cast both sides to double (non-numeric values become null
     * and fail the predicate, like the API's lenient typing).
@@ -601,6 +615,9 @@ object SearchQuery {
       require(stars == names.length,
         s"parse pattern has $stars wildcards but ${names.length} names: $s")
       ParseAnchor(pattern, names, nodrop, parseFieldOpt(s))
+    } else if (lower.startsWith("json auto")) {
+      val field = JsonFieldRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("message")
+      JsonAuto(field, s.toLowerCase.contains("nodrop"))
     } else if (lower.startsWith("json ") || lower == "json") {
       val field = JsonFieldRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("message")
       val paths = QuotedRe.findAllMatchIn(s).map(_.group(1)).toSeq
@@ -1012,6 +1029,23 @@ object SearchQuery {
           if (nodrop) base
           else base.filter(extracts.map { case (_, n) => col(n).isNotNull }
             .reduce(_ || _))
+        case JsonAuto(field, nodrop, sample) =>
+          val srcName = resolveField(field)
+          val msg = col(srcName).cast("string")
+          // plan-time key discovery: Spark's JSON schema inference over the
+          // bounded sample; _corrupt_record rows (non-JSON) contribute no
+          // keys. Sorted for a deterministic column order.
+          val spark = df.sparkSession
+          import spark.implicits._
+          val keys = spark.read.json(df.select(msg).limit(sample).as[String])
+            .schema.fieldNames.filterNot(_ == "_corrupt_record").sorted.toSeq
+          require(keys.nonEmpty,
+            s"json auto found no JSON keys in the first $sample rows of '$srcName'")
+          val base = if (nodrop) df
+            else df.filter(get_json_object(msg, "$").isNotNull)
+          keys.foldLeft(base) { (d, k) =>
+            d.withColumn(k, get_json_object(msg, s"$$['$k']"))
+          }
         case WhereCmp(field, op, value) =>
           val c = col(resolveField(field))
           val pred = op match {

@@ -522,6 +522,35 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(spOut == Seq(("a", "b")))
   }
 
+  test("Q1: json auto — sampled key discovery, string-valued top-level fields") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("json auto") == JsonAuto("message", nodrop = false))
+    assert(parseStage("json auto field=props nodrop") ==
+      JsonAuto("props", nodrop = true))
+    val df = Seq(
+      (1, """{"b": 2, "a": "x", "nest": {"k": 1}}"""),
+      (2, """{"a": "y"}"""),
+      (3, "not json")).toDF("id", "message")
+    // non-JSON rows drop; keys sampled across rows, sorted; nested objects
+    // arrive as JSON text; missing keys null
+    val out = compileStages(Seq(parseStage("json auto")), "ts", "message")(df)
+      .orderBy("id").select("id", "a", "b", "nest")
+      .as[(Int, String, Option[String], Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1, "x", Some("2"), Some("""{"k":1}""")),
+      (2, "y", None, None)))
+    // nodrop keeps the non-JSON row with all keys null
+    val nd = compileStages(Seq(parseStage("json auto nodrop")), "ts", "message")(df)
+      .orderBy("id").select("id", "a").as[(Int, Option[String])].collect().toSeq
+    assert(nd.map(_._1) == Seq(1, 2, 3) && nd(2)._2.isEmpty)
+    // no JSON at all in the sample → rejected, named column
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("json auto")), "ts", "message")(
+      Seq((1, "plain")).toDF("id", "message")))
+  }
+
   test("Q1: count_frequent / logreduce — top combinations and signature clustering") {
     import SearchQuery._
     val s = spark
