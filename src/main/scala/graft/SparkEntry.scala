@@ -1024,6 +1024,27 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- where-in-subquery: inner query's value set filters the outer —
+    //      broadcast left-semi join, the value list never lands driver-side ----
+    "q101_piped_subquery" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | where uid in [subquery: _sourceCategory=cat-1* error" +
+        " | parse \"* user=*\" as etype, uid | count by uid" +
+        " | where _count >= 15 | fields uid]" +
+        " | count by etype, uid"
+      val piped = SearchQuery.parsePiped(q)
+      val searchable = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+      val msgs = searchable.filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message",
+        source = Some(searchable))(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2425,6 +2446,25 @@ object SparkEntry {
          SELECT et, count(*) AS _count, min(TRY_CAST(uid AS DOUBLE)) AS mn,
            count(DISTINCT deep) AS nd
          FROM j GROUP BY 1 ORDER BY et""",
+    "q101_piped_subquery" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         sf AS (SELECT * FROM m
+           WHERE sc LIKE 'cat-1%' AND lower(message) LIKE '%error%'),
+         sp AS (SELECT
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM sf WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         sq AS (SELECT uid FROM sp GROUP BY uid HAVING count(*) >= 15)
+         SELECT etype, uid, count(*) AS _count
+         FROM p WHERE uid IN (SELECT uid FROM sq)
+         GROUP BY 1, 2 ORDER BY etype, uid""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -231,7 +231,10 @@ object SearchJobs {
     val records =
       if (piped.stages.isEmpty) None
       else Some(RecordsSpec(
-        SearchQuery.compileStages(piped.stages, timeCol, messageCol, lookups),
+        // subqueries search the same source over the same time window
+        SearchQuery.compileStages(piped.stages, timeCol, messageCol, lookups,
+          source = Some(base.filter(
+            col(timeCol) >= fromTime && col(timeCol) < toTime))),
         SearchQuery.recordsOrderBy(piped.stages)))
     create(base, parts.head, fromTime, toTime, col(timeCol), col(messageCol),
       orderBy, records, jobRoot)

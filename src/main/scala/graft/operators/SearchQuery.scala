@@ -281,6 +281,18 @@ object SearchQuery {
     * strings, null fails the filter.
     */
   final case class WhereExpr(expr: QueryExprs.Expr) extends Stage
+  /** `where <field> in [subquery: <query> | … | fields f]` — the reference
+    * language's subquery: the inner query runs over the SAME searchable
+    * source and its single projected column becomes the outer filter's
+    * value set. Compiles to a BROADCAST LEFT-SEMI join on the distinct
+    * inner values — never a driver-side collect of the value list, so the
+    * "subquery returned too many values" failure mode of the reference
+    * doesn't exist (a large value set just stops being broadcast-worthy;
+    * Spark's join strategy still completes it). Inner values cast to the
+    * outer column's type (lenient-typing convention). The inner query must
+    * end with a single-column projection (`fields f`).
+    */
+  final case class WhereInSubquery(field: String, sub: Piped) extends Stage
   /** `timeslice 5m` / `timeslice 3600` — adds `_timeslice` (bucket-start
     * timestamp) from the job's time column.
     */
@@ -474,22 +486,27 @@ object SearchQuery {
   /** A parsed full query: predicate terms + pipe stages. */
   final case class Piped(terms: Seq[Term], stages: Seq[Stage])
 
-  /** Split on `|` outside double quotes (patterns/regexes may contain pipes).
-    * A backslash-preceded quote (`\"` inside a `parse regex` pattern) does
-    * NOT flip the in-quote state — without escape tracking a later `|`
+  /** Split on `|` outside double quotes (patterns/regexes may contain pipes)
+    * and outside unquoted `[…]` (a `[subquery: … | …]` clause carries its own
+    * pipes). A backslash-preceded quote (`\"` inside a `parse regex` pattern)
+    * does NOT flip the in-quote state — without escape tracking a later `|`
     * inside the pattern would split the stage and silently mis-parse.
+    * Brackets inside quoted spans (regex character classes) don't count.
     */
   private[graft] def splitPipes(query: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQ = false
     var esc = false
+    var depth = 0
     query.foreach { c =>
       if (esc) { cur += c; esc = false }
       else c match {
         case '\\' => cur += '\\'; esc = true
         case '"' => inQ = !inQ; cur += '"'
-        case '|' if !inQ => out += cur.result(); cur.clear()
+        case '[' if !inQ => depth += 1; cur += '['
+        case ']' if !inQ => depth = math.max(0, depth - 1); cur += ']'
+        case '|' if !inQ && depth == 0 => out += cur.result(); cur.clear()
         case other => cur += other
       }
     }
@@ -527,6 +544,7 @@ object SearchQuery {
 
   private val DurationRe = "(\\d+)\\s*(ms|s|m|h|d)?".r
   private val WhereRe = "(?i)where\\s+(\\S+)\\s*(=|!=|>=|<=|>|<|matches)\\s*(.+)".r
+  private val SubqueryRe = "(?is)^([A-Za-z0-9_]+)\\s+in\\s+\\[\\s*subquery:(.*)\\]\\s*$".r
   // count_distinct before count: the alternation must not leave a _distinct
   // suffix unconsumed (regex pattern matches anchor the FULL agg spec)
   private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max|stddev|first|last)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
@@ -635,10 +653,13 @@ object SearchQuery {
       JsonStage(field, paths.zip(names), nodrop)
     } else if (lower.startsWith("where ")) {
       val body = s.substring("where ".length).trim
-      if (hasBooleanSyntax(body)) WhereExpr(QueryExprs.parsePredicate(body))
-      else s match {
-        case WhereRe(f, op, v) => WhereCmp(f, op.toLowerCase, stripQuotes(v.trim))
-        case _ => WhereExpr(QueryExprs.parsePredicate(body))
+      body match {
+        case SubqueryRe(f, inner) => WhereInSubquery(f, parsePiped(inner.trim))
+        case _ if hasBooleanSyntax(body) => WhereExpr(QueryExprs.parsePredicate(body))
+        case _ => s match {
+          case WhereRe(f, op, v) => WhereCmp(f, op.toLowerCase, stripQuotes(v.trim))
+          case _ => WhereExpr(QueryExprs.parsePredicate(body))
+        }
       }
     } else if (lower.startsWith("timeslice ")) {
       Timeslice(durationSeconds(s.substring("timeslice ".length)))
@@ -972,7 +993,8 @@ object SearchQuery {
     */
   def compileStages(stages: Seq[Stage], timeColName: String,
       messageColName: String,
-      lookups: Map[String, DataFrame] = Map.empty): DataFrame => DataFrame = { df0 =>
+      lookups: Map[String, DataFrame] = Map.empty,
+      source: Option[DataFrame] = None): DataFrame => DataFrame = { df0 =>
     var order = Seq.empty[(String, Boolean)]
     var sliceSec = Option.empty[Long] // last timeslice step, fillmissing's default
     stages.foldLeft(df0) { (df, stage) =>
@@ -1067,6 +1089,25 @@ object SearchQuery {
           df.filter(pred)
         case WhereExpr(expr) =>
           df.filter(QueryExprs.compilePredicate(expr, n => col(resolveField(n))))
+        case WhereInSubquery(fieldName, sub) =>
+          val src = source.getOrElse(throw new IllegalArgumentException(
+            "where … in [subquery: …] needs the searchable source — pass " +
+              "compileStages(…, source = Some(df)) or use SearchJobs.createPiped"))
+          val f = resolveField(fieldName)
+          require(df.columns.contains(f),
+            s"subquery filter field '$f' not present in the outer stages")
+          // the inner query runs the full search pipeline over the source
+          val inner = compileStages(sub.stages, timeColName, messageColName,
+            lookups, source)(
+            src.filter(compile(sub.terms, col(messageColName))))
+          require(inner.columns.length == 1,
+            "a subquery must end with a single-column projection " +
+              s"(`… | fields f`), got: ${inner.columns.mkString(", ")}")
+          // broadcast left-semi on the distinct inner values, cast to the
+          // outer column's type — the value list never lands on the driver
+          val vals = inner.select(col(inner.columns.head)
+            .cast(df.schema(f).dataType).as("_sq_v")).distinct()
+          df.join(broadcast(vals), col(f) === col("_sq_v"), "left_semi")
         case Timeslice(seconds) =>
           sliceSec = Some(seconds)
           df.withColumn("_timeslice", timestamp_seconds(

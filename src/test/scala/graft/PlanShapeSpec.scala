@@ -92,6 +92,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("where-in-subquery plans a broadcast left-semi join, not a collect or shuffle") {
+    import graft.operators.SearchQuery
+    import org.apache.spark.sql.functions._
+    val src = spark.range(2000).select(
+      concat(lit("err u="), col("id") % 50).as("message"),
+      timestamp_seconds(lit(1704067200L) + col("id")).as("ts"))
+    val piped = SearchQuery.parsePiped(
+      "err | parse \"u=*\" as u | where u in [subquery: err | parse \"u=*\" as u | fields u]")
+    val outer = src.filter(SearchQuery.compile(piped.terms, col("message")))
+    val df = SearchQuery.compileStages(piped.stages, "ts", "message",
+      source = Some(src))(outer)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"subquery should be a broadcast left-semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"subquery must not sort-merge:\n$p")
+  }
+
   test("the salted join spreads a hot key across salt partitions") {
     val s = spark
     import s.implicits._

@@ -522,6 +522,40 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(spOut == Seq(("a", "b")))
   }
 
+  test("Q1: where-in-subquery — broadcast semi-join against the inner query's values") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // pipes inside the bracketed subquery must not split the outer stages
+    val q = "err | parse \"u=*\" as u" +
+      " | where u in [subquery: warn | parse \"u=*\" as u | fields u]" +
+      " | count by u"
+    val piped = parsePiped(q)
+    assert(piped.stages.length == 3)
+    val sub = piped.stages(1).asInstanceOf[WhereInSubquery]
+    assert(sub.field == "u" && sub.sub.stages.length == 2)
+
+    val df = Seq(
+      "err u=a", "err u=a", "err u=b", "err u=c",
+      "warn u=a", "warn u=c", "info u=z").toDF("message")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val outer = df.filter(compile(piped.terms, col("message")))
+    val out = compileStages(piped.stages, "ts", "message",
+      source = Some(df))(outer)
+      .orderBy("u").select("u", "_count").as[(String, Long)].collect().toSeq
+    // only err-users that also appear as warn-users survive
+    assert(out == Seq(("a", 2L), ("c", 1L)))
+    // without a source the stage is rejected with a named error
+    val err = intercept[IllegalArgumentException](compileStages(
+      piped.stages, "ts", "message")(outer))
+    assert(err.getMessage.contains("subquery"))
+    // a subquery not ending in one column is rejected
+    val bad = parsePiped("err | parse \"u=*\" as u" +
+      " | where u in [subquery: warn | parse \"u=*\" as u]")
+    intercept[IllegalArgumentException](compileStages(
+      bad.stages, "ts", "message", source = Some(df))(outer).collect())
+  }
+
   test("Q1: json auto — sampled key discovery, string-valued top-level fields") {
     import SearchQuery._
     val s = spark
