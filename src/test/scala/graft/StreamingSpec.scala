@@ -301,4 +301,47 @@ class StreamingSpec extends SparkSpec {
     assert(store.filter(col("logStream") === "fn-b").count() == 1)
     SearchJobs.delete(job.id)
   }
+
+  test("S2/Q2 e2e: full piped query with subquery over the streamed store") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SearchJobs
+    val shardDir = mkTmp("piped-shards")
+    val storeDir = mkTmp("piped-store")
+    def record(stream: String, msgs: Seq[String]): String =
+      s"""{"kinesis":{"data":"${envelope(stream, msgs)}"}}"""
+    Files.writeString(
+      java.nio.file.Paths.get(shardDir, "shard-0.json"),
+      record("fn-a", Seq(
+        "order created id=1", "order failed id=2", "order created id=3",
+        "order shipped id=1", "order failed id=1")))
+    val q = Streams.kinesisToStore(
+      Streams.kinesisFileSource(spark, shardDir),
+      CwlPipeline.Config(),
+      Metadata.MetaConfig(sourceCategoryOverride = "prod/kinesis"),
+      storeDir)
+      .option("checkpointLocation", mkTmp("piped-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    // the whole round-7 language — parse, subquery semi-join, aggregation,
+    // explicit sort — runs unchanged over streaming-ingested data
+    val store = graft.sinks.LogStore.open(spark, storeDir)
+    val job = SearchJobs.createPiped(store,
+      "_sourceCategory=prod/kinesis | parse \"order * id=*\" as st, id" +
+        " | where id in [subquery: _sourceCategory=prod/kinesis failed" +
+        " | parse \"order * id=*\" as st, id | fields id]" +
+        " | count by st, id | sort by id asc, st asc",
+      lit("2023-01-01").cast("timestamp"), lit("2024-06-01").cast("timestamp"),
+      "ts", "message", orderBy = Seq("message"))
+    assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+    val recs = job.records(10, 0)
+      .select("st", "id", "_count").as[(String, String, Long)].collect().toSeq
+    // ids that ever failed: 1 and 2 — id=3 is filtered out by the subquery
+    assert(recs == Seq(
+      ("created", "1", 1L), ("failed", "1", 1L), ("shipped", "1", 1L),
+      ("failed", "2", 1L)))
+    SearchJobs.delete(job.id)
+  }
 }
