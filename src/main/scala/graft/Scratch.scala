@@ -219,7 +219,8 @@ object Scratch {
         def want(stage: String): Boolean =
           wanted.forall(_.contains(stage.split("\\s+").head.toLowerCase))
         Seq("accum v as r", "smooth v window=50 as sm",
-          "outlier v window=50 threshold=3", "sessionize maxpause=60")
+          "outlier v window=50 threshold=3", "sessionize maxpause=60",
+          "backshift v 50 as prev", "rollingstd v window=50 as rs")
           .filter(want).foreach(run)
       }
     }

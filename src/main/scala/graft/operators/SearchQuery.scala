@@ -1028,7 +1028,13 @@ object SearchQuery {
             }.drop("_pm_match")
           }
         case KeyValueStage(keys, field) =>
-          val msg = col(field.map(resolveField).getOrElse(messageColName))
+          val srcName = field.map(resolveField).getOrElse(messageColName)
+          val msg = col(srcName)
+          // `col(srcName)` resolves by name per expression — a key named
+          // like the source column would make later keys read the replaced
+          // value, so reject it outright
+          require(!keys.contains(srcName),
+            s"keyvalue key '$srcName' collides with the source column")
           keys.foldLeft(df) { (d, k) =>
             val q = java.util.regex.Pattern.quote(k)
             val reQ = "\\b" + q + "\\s*=\\s*\"([^\"]*)\""
@@ -1063,11 +1069,18 @@ object SearchQuery {
             .schema.fieldNames.filterNot(_ == "_corrupt_record").sorted.toSeq
           require(keys.nonEmpty,
             s"json auto found no JSON keys in the first $sample rows of '$srcName'")
+          require(!keys.contains("_ja_src"),
+            "json auto: key '_ja_src' collides with the internal staging column")
           val base = if (nodrop) df
             else df.filter(get_json_object(msg, "$").isNotNull)
-          keys.foldLeft(base) { (d, k) =>
-            d.withColumn(k, get_json_object(msg, s"$$['$k']"))
-          }
+          // keys are DATA-DRIVEN names — one may equal the source column
+          // itself, and `col(srcName)` resolves lazily BY NAME, so
+          // extracting through a pinned staging copy keeps every key
+          // reading the original document even if an earlier key
+          // overwrites the source
+          keys.foldLeft(base.withColumn("_ja_src", msg)) { (d, k) =>
+            d.withColumn(k, get_json_object(col("_ja_src"), s"$$['$k']"))
+          }.drop("_ja_src")
         case WhereCmp(field, op, value) =>
           val c = col(resolveField(field))
           val pred = op match {

@@ -583,6 +583,18 @@ class QuerySurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](compileStages(
       Seq(parseStage("json auto")), "ts", "message")(
       Seq((1, "plain")).toDF("id", "message")))
+    // a DATA-DRIVEN key named like the source column must not poison later
+    // extractions (keys sort: "message" lands before "z")
+    val shadow = Seq((1, """{"message": "inner", "z": "ok"}"""))
+      .toDF("id", "message")
+    val sh = compileStages(Seq(parseStage("json auto")), "ts", "message")(shadow)
+      .select("message", "z").as[(String, String)].collect().head
+    assert(sh == (("inner", "ok")))
+    // a keyvalue key shadowing the source column is rejected by name
+    val kvErr = intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("keyvalue \"message\", \"k\"")), "ts", "message")(
+      Seq((1, "message=x k=y")).toDF("id", "message")))
+    assert(kvErr.getMessage.contains("collides"))
   }
 
   test("Q1: count_frequent / logreduce — top combinations and signature clustering") {
