@@ -1649,6 +1649,12 @@ object SearchQuery {
       case TopStage(_, fields, byField) =>
         (resolveField(byField), true) +: fields.map(f => (resolveField(f), false))
       case TransposeStage(rows, _) => rows.map(r => (resolveField(r), false))
+      // the self-ordering stages page in their own output order (most
+      // frequent first, keys/signature ascending as the tie-break) —
+      // mirroring the `order` each one declares in compileStages
+      case CountFrequentStage(fields, _) =>
+        ("_count", true) +: fields.map(f => (resolveField(f), false))
+      case LogReduceStage(_, _) => Seq(("_count", true), ("_signature", false))
       case AggStage(aggs, by) =>
         (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias)).map((_, false))
     }.getOrElse(Seq.empty)

@@ -625,6 +625,12 @@ class QuerySurfaceSpec extends SparkSpec {
       ("GET /api/u/# took #ms", 2L),
       ("job $UUID done at $DATE", 2L),
       ("checksum $HEX verified", 1L)))
+    // both stages page in their own output order — records pagination over
+    // them is deterministic, not fall-through-to-empty
+    assert(recordsOrderBy(Seq(parseStage("count_frequent a, b limit 5"))) ==
+      Seq(("_count", true), ("a", false), ("b", false)))
+    assert(recordsOrderBy(Seq(parseStage("logreduce"))) ==
+      Seq(("_count", true), ("_signature", false)))
   }
 
   test("Q1: compare timeshift / predict — period-over-period join and linear trend") {
