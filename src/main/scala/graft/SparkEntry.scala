@@ -1045,6 +1045,131 @@ object SparkEntry {
         source = Some(searchable))(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- diff stage: consecutive difference per series in the declared
+    //      sort order — the rolling family's delta operator ----
+    "q102_piped_diff" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | timeslice 1d | count by _timeslice, etype" +
+        " | sort by _timeslice asc | diff _count as delta by etype" +
+        " | sort by _timeslice asc, etype asc"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- transactionize: messages sharing key fields grouped into
+    //      transactions with count/begin/end/duration ----
+    "q103_piped_transactionize" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as t, uid" +
+        " | transactionize uid"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        // raw parquet time is TIMESTAMP(NANOS) — compare begin/end as epoch
+        // millis (the cross-engine-stable projection)
+        .withColumn("_begin", unix_millis(col("_begin")))
+        .withColumn("_end", unix_millis(col("_end")))
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- in-query join: two aggregated subqueries over the same stream,
+    //      alias-prefixed columns, inner join on the equality pairs ----
+    "q104_piped_join" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1*" +
+        " | join (error | parse \"* user=*\" as t, uid | count as n by uid) as e," +
+        " (click | parse \"* user=*\" as t, uid | count as n by uid) as c" +
+        " on e.uid = c.uid"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- save + lookup: one query persists its aggregate to the lookup
+    //      store, a second enriches from it by name ----
+    "q105_piped_save_lookup" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val window = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+      val qa = "_sourceCategory=cat-1* | parse \"* user=*\" as t, uid" +
+        " | count as n by uid | save q105_user_counts"
+      val pa = SearchQuery.parsePiped(qa)
+      // applying the stages materializes the save (write-through store)
+      SearchQuery.compileStages(pa.stages, "ts", "message")(
+        window.filter(SearchQuery.compile(pa.terms, col("message"))))
+      val qb = "_sourceCategory=cat-1* error | parse \"* user=*\" as t, uid" +
+        " | lookup n from q105_user_counts on uid=uid" +
+        " | where n >= 15 | count, min(n) as n_cat1 by t"
+      val pb = SearchQuery.parsePiped(qb)
+      SearchQuery.compileStages(pb.stages, "ts", "message")(
+        window.filter(SearchQuery.compile(pb.terms, col("message"))))
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(pb.stages)): _*)
+    }),
+    // ---- scalar-function surface: ip classification (codegen kernels),
+    //      Luhn card check (fused scan), parseDate ----
+    "q106_piped_fns" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("message", col("event_type"))
+        .withColumn("ip",
+          when(col("user_id") % 4 === 0,
+            concat(lit("10."), col("event_id") % 300, lit("."),
+              col("user_id") % 256, lit(".7")))
+          .when(col("user_id") % 4 === 1,
+            concat(lit("172."), col("event_id") % 32, lit(".5."),
+              col("user_id") % 256))
+          .when(col("user_id") % 4 === 2,
+            concat(lit("8.8."), col("event_id") % 256, lit("."),
+              col("user_id") % 300))
+          .otherwise(concat(col("event_id") % 400, lit("."),
+            col("user_id") % 256, lit(".1.1"))))
+        .withColumn("card",
+          when(col("event_id") % 11 === 0,
+            concat(lit("4"),
+              lpad(((col("event_id") * 37) % 1000000).cast("string"), 15, "0"),
+              lit("x")))
+          .otherwise(concat(lit("4000"),
+            lpad(((col("event_id") * 7919) % 1000000000000L).cast("string"),
+              12, "0"))))
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      val q = "* | ipv4tonumber(ip) as ipnum" +
+        " | if(isvalidip(ip), 1, 0) as valid" +
+        " | if(isprivateip(ip), 1, 0) as priv" +
+        " | if(ispublicip(ip), 1, 0) as pub" +
+        " | if(luhn(card), 1, 0) as cardok" +
+        " | parsedate(dt, \"yyyy-MM-dd HH:mm:ss\") as pd" +
+        " | fields event_id, ip, ipnum, valid, priv, pub, cardok, pd"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy("event_id")
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2465,6 +2590,126 @@ object SparkEntry {
          SELECT etype, uid, count(*) AS _count
          FROM p WHERE uid IN (SELECT uid FROM sq)
          GROUP BY 1, 2 ORDER BY etype, uid""",
+    "q102_piped_diff" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         a AS (SELECT _timeslice, etype, count(*) AS _count
+           FROM p GROUP BY 1, 2)
+         SELECT _timeslice, etype, _count,
+           CAST(_count AS DOUBLE) - lag(CAST(_count AS DOUBLE))
+             OVER (PARTITION BY etype ORDER BY _timeslice) AS delta
+         FROM a ORDER BY _timeslice, etype""",
+    "q103_piped_transactionize" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT ts,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)'))
+         SELECT uid, count(*) AS _count,
+           epoch_ms(min(ts)) AS _begin, epoch_ms(max(ts)) AS _end,
+           CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS DOUBLE) / 1000.0
+             AS _duration
+         FROM p GROUP BY uid ORDER BY _count DESC, uid""",
+    "q104_piped_join" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         e AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid,
+             count(*) AS n
+           FROM f WHERE contains(lower(message), 'error')
+             AND regexp_matches(message, '(.*?)\Q user=\E(.*)')
+           GROUP BY 1),
+         c AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid,
+             count(*) AS n
+           FROM f WHERE contains(lower(message), 'click')
+             AND regexp_matches(message, '(.*?)\Q user=\E(.*)')
+           GROUP BY 1)
+         SELECT e.uid AS e_uid, e.n AS e_n, c.uid AS c_uid, c.n AS c_n
+         FROM e JOIN c ON e.uid = c.uid ORDER BY e_uid""",
+    "q105_piped_save_lookup" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         a AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid,
+             count(*) AS n
+           FROM m WHERE sc LIKE 'cat-1%'
+             AND regexp_matches(message, '(.*?)\Q user=\E(.*)')
+           GROUP BY 1),
+         b AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS t,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
+           FROM m WHERE sc LIKE 'cat-1%'
+             AND contains(lower(message), 'error')
+             AND regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         j AS (SELECT b.t, a.n FROM b JOIN a ON b.uid = a.uid
+           WHERE TRY_CAST(a.n AS DOUBLE) >= 15)
+         SELECT t, count(*) AS _count, CAST(min(n) AS DOUBLE) AS n_cat1
+         FROM j GROUP BY t ORDER BY t""",
+    "q106_piped_fns" ->
+      """WITH synth AS (SELECT event_id, ts,
+             CASE WHEN user_id%4 = 0
+                 THEN '10.'||(event_id%300)||'.'||(user_id%256)||'.7'
+               WHEN user_id%4 = 1
+                 THEN '172.'||(event_id%32)||'.5.'||(user_id%256)
+               WHEN user_id%4 = 2
+                 THEN '8.8.'||(event_id%256)||'.'||(user_id%300)
+               ELSE (event_id%400)||'.'||(user_id%256)||'.1.1' END AS ip,
+             CASE WHEN event_id%11 = 0
+                 THEN '4'||lpad(CAST((event_id*37)%1000000 AS VARCHAR),15,'0')||'x'
+               ELSE '4000'||lpad(CAST((event_id*7919)%1000000000000 AS VARCHAR),12,'0')
+               END AS card,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         ipn AS (SELECT *,
+             CASE WHEN regexp_matches(ip, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')
+                 AND CAST(split_part(ip,'.',1) AS INT) <= 255
+                 AND CAST(split_part(ip,'.',2) AS INT) <= 255
+                 AND CAST(split_part(ip,'.',3) AS INT) <= 255
+                 AND CAST(split_part(ip,'.',4) AS INT) <= 255
+               THEN CAST(split_part(ip,'.',1) AS BIGINT)*16777216
+                 + CAST(split_part(ip,'.',2) AS BIGINT)*65536
+                 + CAST(split_part(ip,'.',3) AS BIGINT)*256
+                 + CAST(split_part(ip,'.',4) AS BIGINT) END AS ipn,
+             regexp_replace(card, '[^0-9]', '', 'g') AS cd
+           FROM synth)
+         SELECT event_id, ip, CAST(ipn AS DOUBLE) AS ipnum,
+           CAST(CASE WHEN ipn IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS valid,
+           CAST(CASE WHEN ipn BETWEEN 167772160 AND 184549375
+               OR ipn BETWEEN 2886729728 AND 2887778303
+               OR ipn BETWEEN 3232235520 AND 3232301055
+             THEN 1 ELSE 0 END AS BIGINT) AS priv,
+           CAST(CASE WHEN ipn IS NOT NULL
+               AND NOT (ipn BETWEEN 167772160 AND 184549375
+                 OR ipn BETWEEN 2886729728 AND 2887778303
+                 OR ipn BETWEEN 3232235520 AND 3232301055
+                 OR ipn BETWEEN 2130706432 AND 2147483647
+                 OR ipn BETWEEN 2851995648 AND 2852061183)
+             THEN 1 ELSE 0 END AS BIGINT) AS pub,
+           CAST(CASE WHEN regexp_matches(card, '^[0-9 \-]*$')
+               AND length(cd) BETWEEN 13 AND 19
+               AND list_aggregate(list_transform(range(1, length(cd)+1),
+                 i -> CASE WHEN i % 2 = 0 THEN
+                     CASE WHEN 2*CAST(substr(reverse(cd), i, 1) AS INT) > 9
+                       THEN 2*CAST(substr(reverse(cd), i, 1) AS INT) - 9
+                       ELSE 2*CAST(substr(reverse(cd), i, 1) AS INT) END
+                   ELSE CAST(substr(reverse(cd), i, 1) AS INT) END),
+                 'sum') % 10 = 0
+             THEN 1 ELSE 0 END AS BIGINT) AS cardok,
+           CAST(epoch_ms(strptime(dt, '%Y-%m-%d %H:%M:%S')) AS DOUBLE) AS pd
+         FROM ipn ORDER BY event_id""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

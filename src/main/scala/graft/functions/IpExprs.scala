@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** IPv4/CIDR runtime kernel (static forwarders for Janino codegen). */
@@ -73,9 +73,39 @@ case class IpInCidr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `ipv4_to_number(ip) -> bigint` — dotted-quad IPv4 to its unsigned 32-bit
+  * value; malformed input → null (the language-wide lenient-typing
+  * convention, mirroring `try_cast`). Reuses the [[IpImpl.parseIpv4]] scan;
+  * whole-stage codegen.
+  */
+case class Ipv4ToNumber(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ipv4_to_number"
+  override protected def nullSafeEval(ip: Any): Any = {
+    val v = IpImpl.parseIpv4(ip.asInstanceOf[UTF8String].toString)
+    if (v < 0L) null else v
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val v = ctx.freshName("ipNum")
+      s"""
+      long $v = graft.functions.IpImpl.parseIpv4($c.toString());
+      if ($v < 0L) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+      """
+    })
+  override protected def withNewChildInternal(newChild: Expression): Ipv4ToNumber =
+    copy(child = newChild)
+}
+
 object ip {
   def ipInCidr(ipCol: Column, cidrCol: Column): Column =
     org.apache.spark.sql.GraftGlue.column(IpInCidr(
       org.apache.spark.sql.GraftGlue.expression(ipCol),
       org.apache.spark.sql.GraftGlue.expression(cidrCol)))
+  def ipv4ToNumber(ipCol: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(Ipv4ToNumber(
+      org.apache.spark.sql.GraftGlue.expression(ipCol)))
 }

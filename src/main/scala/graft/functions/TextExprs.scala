@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Runtime kernels for the text-hash expressions — static forwarders so
@@ -409,6 +409,53 @@ case class PiiRedact(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.PiiImpl.redact($c)")
   override protected def withNewChildInternal(newChild: Expression): PiiRedact =
+    copy(child = newChild)
+}
+
+/** Luhn checksum kernel — see [[LuhnValid]]. */
+object LuhnImpl {
+  /** True when the digits of `s` are 13–19 long and pass the Luhn mod-10
+    * check (the search language's credit-card validator shape). Space and
+    * dash separators are ignored; any OTHER non-digit character → false
+    * (a string with letters is not a card number, however its digits sum).
+    * Single right-to-left scan, no allocation.
+    */
+  def luhn(s: UTF8String): Boolean = {
+    val str = s.toString
+    var sum = 0
+    var count = 0
+    var alt = false
+    var i = str.length - 1
+    while (i >= 0) {
+      val ch = str.charAt(i)
+      if (ch >= '0' && ch <= '9') {
+        var d = ch - '0'
+        if (alt) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        count += 1
+        alt = !alt
+      } else if (ch != ' ' && ch != '-') return false
+      i -= 1
+    }
+    count >= 13 && count <= 19 && sum % 10 == 0
+  }
+}
+
+/** `luhn(string) -> boolean` with whole-stage codegen: the language's
+  * credit-card validator as one fused right-to-left scan (the HOF
+  * composition — reverse → split → transform-with-index → aggregate — is
+  * CodegenFallback and pays per-character interpreted dispatch).
+  */
+case class LuhnValid(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "luhn"
+  override protected def nullSafeEval(input: Any): Any =
+    LuhnImpl.luhn(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LuhnImpl.luhn($c)")
+  override protected def withNewChildInternal(newChild: Expression): LuhnValid =
     copy(child = newChild)
 }
 

@@ -202,6 +202,11 @@ object TextFunctions {
     org.apache.spark.sql.GraftGlue.column(
       PiiRedact(org.apache.spark.sql.GraftGlue.expression(c)))
 
+  /** Luhn credit-card check — fused codegen scan, see [[LuhnValid]]. */
+  def luhn(c: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      LuhnValid(org.apache.spark.sql.GraftGlue.expression(c)))
+
   /** The sequential global-replace form of [[redactPii]] — kept as the
     * SQL-expressible parity/oracle reference (the DuckDB oracle runs this
     * exact chain); order matters and is fixed most-specific-first.

@@ -220,7 +220,7 @@ object QueryExprs {
     case StrLit(_) => true
     case Call("concat" | "tolowercase" | "touppercase" | "format"
         | "substring" | "replace" | "trim" | "formatdate"
-        | "base64encode" | "base64decode" | "urldecode", _) => true
+        | "base64encode" | "base64decode" | "urldecode" | "urlencode", _) => true
     case Call("if", Seq(_, a, b)) => isStringy(a) || isStringy(b)
     case _ => false
   }
@@ -228,7 +228,8 @@ object QueryExprs {
   /** Functions whose result is already boolean — predicate positions take
     * them directly instead of the truthy-numeric fallback.
     */
-  private val boolFns = Set("isnull", "isempty", "isblank")
+  private val boolFns = Set("isnull", "isempty", "isblank", "isnumeric",
+    "isvalidip", "isprivateip", "ispublicip", "luhn")
 
   private def num(c: Column): Column = c.try_cast("double")
 
@@ -368,6 +369,47 @@ object QueryExprs {
         val h = pow(sin(dLat / 2), 2) +
           cos(rad(lat1)) * cos(rad(lat2)) * pow(sin(dLon / 2), 2)
         lit(2.0 * 6371.0) * asin(sqrt(h))
+      case ("todegrees", Seq(a)) => degrees(num(compile(a, resolve)))
+      case ("toradians", Seq(a)) => radians(num(compile(a, resolve)))
+      case ("urlencode", Seq(a)) =>
+        url_encode(compile(a, resolve).cast("string"))
+      case ("isnumeric", Seq(a)) => num(compile(a, resolve)).isNotNull
+      case ("parsedate", Seq(a, StrLit(fmt))) =>
+        // epoch millis as the language's uniform double; unparseable → null
+        // (try_to_timestamp, the lenient-typing convention)
+        unix_millis(try_to_timestamp(compile(a, resolve).cast("string"),
+          lit(fmt))).cast("double")
+      case ("now", Seq()) =>
+        // query-evaluation time in epoch millis — CurrentTimestamp is
+        // constant-folded once per query, so every row sees the same value
+        // (the reference language's now() contract)
+        unix_millis(current_timestamp()).cast("double")
+      case ("ipv4tonumber", Seq(a)) =>
+        // unsigned 32-bit value fits a double exactly; malformed → null.
+        // Codegen'd kernel scan (graft.functions.Ipv4ToNumber)
+        graft.functions.ip.ipv4ToNumber(compile(a, resolve).cast("string"))
+          .cast("double")
+      case ("isvalidip", Seq(a)) =>
+        graft.functions.ip.ipv4ToNumber(compile(a, resolve).cast("string"))
+          .isNotNull
+      case ("isprivateip", Seq(a)) =>
+        // RFC1918 membership via the true-CIDR codegen kernel; malformed
+        // input is false on every branch (IpImpl contract)
+        val s = compile(a, resolve).cast("string")
+        graft.functions.ip.ipInCidr(s, lit("10.0.0.0/8")) ||
+          graft.functions.ip.ipInCidr(s, lit("172.16.0.0/12")) ||
+          graft.functions.ip.ipInCidr(s, lit("192.168.0.0/16"))
+      case ("ispublicip", Seq(a)) =>
+        // valid AND outside RFC1918 + loopback + link-local — the
+        // routable-address test the language pairs with isPrivateIP
+        val s = compile(a, resolve).cast("string")
+        val nonPublic = Seq("10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16",
+          "127.0.0.0/8", "169.254.0.0/16")
+        graft.functions.ip.ipv4ToNumber(s).isNotNull &&
+          !nonPublic.map(r => graft.functions.ip.ipInCidr(s, lit(r)))
+            .reduce(_ || _)
+      case ("luhn", Seq(a)) =>
+        graft.functions.TextFunctions.luhn(compile(a, resolve).cast("string"))
       case ("substring", as) if as.length == 2 || as.length == 3 =>
         // 0-based [start, end) like the reference language; omitted end runs
         // to the end of the string; empty for a degenerate range

@@ -152,6 +152,11 @@ object SearchQuery {
           col("source_fields").rlike(
             "(?:^|,)(?i:" + java.util.regex.Pattern.quote(name) + ")=(?i:" + valueRe + ")(?:,|$)")
       }
+    case Keyword("*") =>
+      // bare `*` — the language's match-everything head term (used when a
+      // query is only pipe stages, e.g. a `join` subquery over the full
+      // stream)
+      lit(true)
     case Keyword(word) =>
       contains(lower(messageCol), lit(word.toLowerCase))
   }
@@ -483,15 +488,53 @@ object SearchQuery {
     */
   final case class PredictStage(field: String, forecast: Int) extends Stage
 
+  /** `diff field [as alias] [by k1, k2]` — consecutive difference of the
+    * field (current minus previous row) in the CURRENT sort order, per key
+    * when `by` is given. Default alias `_diff`; the first row per key is
+    * null (no predecessor). Same lag machinery as `backshift`: a per-key
+    * ordered window (one shuffle), or for the global form the two-pass
+    * rank + self-equi-join at rank−1 — no single-partition window.
+    */
+  final case class DiffStage(field: String, alias: String,
+      by: Seq[String]) extends Stage
+  /** `save <table>` — persist the stream at this point to the named lookup
+    * table (parquet under `spark.graft.lookup.dir`) and pass it through —
+    * the search language's saved-search/lookup-table writer. A later
+    * `lookup … from <table>` in ANY query resolves the saved table when the
+    * name isn't in the registered `lookups` map. Downstream stages read the
+    * materialized store, so `save` doubles as a materialization barrier
+    * (the upstream plan runs once, not once per consumer).
+    */
+  final case class SaveStage(table: String) extends Stage
+  /** `transactionize k1[, k2…]` — group messages sharing the key fields
+    * into transactions: one output row per transaction with the keys,
+    * `_count` (messages), `_begin`/`_end` (first/last message time), and
+    * `_duration` (seconds, double). One hash aggregate on the keys —
+    * map-side partial combine, output cardinality = distinct transactions.
+    */
+  final case class TransactionizeStage(by: Seq[String]) extends Stage
+  /** `join (sub1) as t1, (sub2) as t2[, …] on t1.a = t2.b[, …]` — the
+    * search language's in-query join: each parenthesized subquery (its own
+    * terms + stages) runs over the incoming message stream, its output
+    * columns are prefixed `<alias>_`, and the results join INNER on the
+    * given equality pairs. Subqueries are usually aggregations, so the
+    * joined sides are group-cardinality frames — AQE picks broadcast when
+    * one side is small; the raw stream is scanned once per subquery but
+    * never joined row-to-row.
+    */
+  final case class JoinStage(subs: Seq[(String, Piped)],
+      on: Seq[(String, String, String, String)]) extends Stage
+
   /** A parsed full query: predicate terms + pipe stages. */
   final case class Piped(terms: Seq[Term], stages: Seq[Stage])
 
   /** Split on `|` outside double quotes (patterns/regexes may contain pipes)
-    * and outside unquoted `[…]` (a `[subquery: … | …]` clause carries its own
-    * pipes). A backslash-preceded quote (`\"` inside a `parse regex` pattern)
-    * does NOT flip the in-quote state — without escape tracking a later `|`
-    * inside the pattern would split the stage and silently mis-parse.
-    * Brackets inside quoted spans (regex character classes) don't count.
+    * and outside unquoted `[…]`/`(…)` (a `[subquery: … | …]` clause and a
+    * `join (… | …) as t` subquery carry their own pipes). A
+    * backslash-preceded quote (`\"` inside a `parse regex` pattern) does NOT
+    * flip the in-quote state — without escape tracking a later `|` inside
+    * the pattern would split the stage and silently mis-parse. Brackets and
+    * parens inside quoted spans (regex character classes/groups) don't count.
     */
   private[graft] def splitPipes(query: String): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -504,8 +547,8 @@ object SearchQuery {
       else c match {
         case '\\' => cur += '\\'; esc = true
         case '"' => inQ = !inQ; cur += '"'
-        case '[' if !inQ => depth += 1; cur += '['
-        case ']' if !inQ => depth = math.max(0, depth - 1); cur += ']'
+        case '[' | '(' if !inQ => depth += 1; cur += c
+        case ']' | ')' if !inQ => depth = math.max(0, depth - 1); cur += c
         case '|' if !inQ && depth == 0 => out += cur.result(); cur.clear()
         case other => cur += other
       }
@@ -584,6 +627,13 @@ object SearchQuery {
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val SplitRe =
     "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
+  private val DiffRe =
+    ("(?i)diff\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
+  private val SaveRe = "(?i)save\\s+([A-Za-z_][A-Za-z0-9_\\-]*)\\s*".r
+  private val TransactionizeRe = "(?i)transactionize\\s+(.+?)\\s*".r
+  private val JoinOnRe =
+    "([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
   private val AggHeadRe = "(?i)^(count_distinct|count|sum|avg|min|max|stddev|pct|first|last)\\b".r
@@ -776,6 +826,31 @@ object SearchQuery {
         case _ => throw new IllegalArgumentException(
           s"backshift needs 'backshift field [N] [as alias] [by k1, k2…]': $s")
       }
+    } else if (lower.startsWith("diff ")) {
+      s match {
+        case DiffRe(f, alias, by) =>
+          DiffStage(f, Option(alias).getOrElse("_diff"), splitKeys(by))
+        case _ => throw new IllegalArgumentException(
+          s"diff needs 'diff field [as alias] [by k1, k2…]': $s")
+      }
+    } else if (lower.startsWith("save ") || lower.startsWith("save\t")) {
+      s match {
+        case SaveRe(table) => SaveStage(table)
+        case _ => throw new IllegalArgumentException(
+          s"save needs 'save <table>' (identifier table name): $s")
+      }
+    } else if (lower.startsWith("transactionize ")) {
+      s match {
+        case TransactionizeRe(keys) =>
+          val by = splitKeys(keys)
+          require(by.nonEmpty && by.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+            s"transactionize needs key field names: $s")
+          TransactionizeStage(by)
+        case _ => throw new IllegalArgumentException(
+          s"transactionize needs 'transactionize k1[, k2…]': $s")
+      }
+    } else if (lower.startsWith("join ") || lower.startsWith("join(")) {
+      parseJoin(s.substring(4).trim)
     } else if (lower.startsWith("rollingstd ")) {
       s match {
         case RollingStdRe(f, win, alias, by) =>
@@ -848,6 +923,74 @@ object SearchQuery {
   private def splitKeys(by: String): Seq[String] =
     Option(by).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+  /** Body of a `join` stage (after the keyword): `(sub) as a, (sub) as b
+    * [, …] on a.x = b.y[, …]`. The subquery scanner is quote- and
+    * escape-aware like [[splitPipes]] — a parenthesized subquery carries
+    * its own pipes, quotes, and nested parens.
+    */
+  private def parseJoin(body: String): JoinStage = {
+    val s = body
+    val n = s.length
+    var i = 0
+    def skipWs(): Unit = while (i < n && s.charAt(i).isWhitespace) i += 1
+    val subs = Seq.newBuilder[(String, Piped)]
+    var more = true
+    while (more) {
+      skipWs()
+      require(i < n && s.charAt(i) == '(',
+        s"join needs '(subquery) as alias': $body")
+      val start = i
+      var depth = 0
+      var inQ = false
+      var esc = false
+      var end = -1
+      while (i < n && end < 0) {
+        val c = s.charAt(i)
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') { depth -= 1; if (depth == 0) end = i }
+        i += 1
+      }
+      require(end > 0, s"unbalanced parens in join subquery: $body")
+      val subText = s.substring(start + 1, end).trim
+      require(subText.nonEmpty, s"empty join subquery: $body")
+      skipWs()
+      require(i + 3 <= n && s.regionMatches(true, i, "as ", 0, 3),
+        s"join subquery needs 'as <alias>': $body")
+      i += 3
+      skipWs()
+      val a0 = i
+      while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+      val alias = s.substring(a0, i)
+      require(alias.nonEmpty, s"join subquery needs 'as <alias>': $body")
+      subs += ((alias, parsePiped(subText)))
+      skipWs()
+      if (i < n && s.charAt(i) == ',') { i += 1 } else more = false
+    }
+    skipWs()
+    require(i + 3 <= n && s.regionMatches(true, i, "on ", 0, 3),
+      s"join needs 'on a.x = b.y[, …]': $body")
+    val on = s.substring(i + 3).split(",").map(_.trim).filter(_.nonEmpty)
+      .map {
+        case JoinOnRe(a, f, b, g) => (a, f, b, g)
+        case other => throw new IllegalArgumentException(
+          s"join condition must be 'alias.field = alias.field', got '$other'")
+      }.toSeq
+    require(on.nonEmpty, s"join needs at least one equality condition: $body")
+    val parsed = subs.result()
+    require(parsed.length >= 2, s"join needs at least two subqueries: $body")
+    val names = parsed.map(_._1)
+    require(names.distinct.length == names.length,
+      s"duplicate join alias in: $body")
+    on.foreach { case (a, _, b, _) =>
+      require(names.contains(a) && names.contains(b),
+        s"join condition references unknown alias ('$a'/'$b'): $body")
+    }
+    JoinStage(parsed, on)
+  }
 
   private def durationSeconds(spec: String): Long = spec.trim match {
     case DurationRe(n, unit) =>
@@ -991,6 +1134,15 @@ object SearchQuery {
     * sort) and `dedup N by k` to a `row_number` window over the key ordered
     * by the current sort (one shuffle on the key, no global order needed).
     */
+  /** Directory of the saved-lookup-table store (`| save <t>` writes,
+    * `| lookup … from <t>` reads when `t` isn't a registered lookup):
+    * `spark.graft.lookup.dir`, defaulting under the JVM temp dir. On a
+    * cluster this should be shared storage (e.g. an object-store path).
+    */
+  private def lookupDir(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.lookup.dir")
+      .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-lookups")
+
   def compileStages(stages: Seq[Stage], timeColName: String,
       messageColName: String,
       lookups: Map[String, DataFrame] = Map.empty,
@@ -1264,8 +1416,15 @@ object SearchQuery {
         case ExprStage(expr, alias) =>
           df.withColumn(alias, QueryExprs.compile(expr, n => col(resolveField(n))))
         case LookupStage(outputs, table, on) =>
-          val lk = lookups.getOrElse(table, throw new IllegalArgumentException(
-            s"unknown lookup table '$table' — register it via the lookups parameter"))
+          val lk = lookups.getOrElse(table, {
+            // fall back to the saved-table store (`| save <table>`) — the
+            // language's saved-search lookup path
+            val p = new java.io.File(s"${lookupDir(df.sparkSession)}/$table")
+            require(p.exists,
+              s"unknown lookup table '$table' — register it via the lookups " +
+                "parameter or write it first with '| save …'")
+            df.sparkSession.read.parquet(p.toString)
+          })
           require(outputs.intersect(on.map(_._2)).isEmpty,
             s"lookup outputs ${outputs.mkString(",")} overlap the join keys")
           // project the dimension to keys+outputs, rename keys to reserved
@@ -1524,6 +1683,71 @@ object SearchQuery {
                   lit(0.0))))
                 .otherwise(lit(null).cast("double")))
             .drop("_rw_cnt", "_rw_sum", "_rw_q")
+        case DiffStage(field, alias, by) =>
+          require(!df.columns.contains(alias),
+            s"diff alias '$alias' already exists")
+          require(order.nonEmpty,
+            "diff needs an upstream 'sort by' — a consecutive difference is undefined without an order")
+          val v = col(resolveField(field)).try_cast("double")
+          if (by.nonEmpty) {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(by.map(k => col(resolveField(k))): _*)
+              .orderBy(sortColumns(order): _*)
+            df.withColumn(alias, v - lag(v, 1).over(w))
+          } else {
+            require(!df.columns.contains("_df_rank") && !df.columns.contains("_df_prev"),
+              "input already carries internal _df_* columns")
+            // global form: same two-pass rank + rank−1 equi-join as
+            // backshift — no single-partition window
+            val ranked = withGlobalRank(df, sortColumns(order), "_df_rank")
+            val lagged = ranked.select(
+              (col("_df_rank") + 1).as("_df_rank"), v.as("_df_prev"))
+            ranked.join(lagged, Seq("_df_rank"), "left")
+              .withColumn(alias, v - col("_df_prev"))
+              .drop("_df_rank", "_df_prev")
+          }
+        case SaveStage(table) =>
+          val spark = df.sparkSession
+          val path = s"${lookupDir(spark)}/$table"
+          // materialize the stream at this point into the lookup store;
+          // downstream reads the store back, so save is also a
+          // materialization barrier (upstream plan runs exactly once)
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case TransactionizeStage(by) =>
+          val keys = by.map(n => col(resolveField(n)))
+          order = ("_count", true) +: by.map(n => (resolveField(n), false))
+          df.groupBy(keys: _*)
+            .agg(count(lit(1)).as("_count"),
+              min(col(timeColName)).as("_begin"),
+              max(col(timeColName)).as("_end"))
+            .withColumn("_duration",
+              (unix_millis(col("_end")) - unix_millis(col("_begin")))
+                .cast("double") / 1000.0)
+        case JoinStage(subs, on) =>
+          val frames = subs.map { case (alias, sub) =>
+            val filtered = df.filter(compile(sub.terms, col(messageColName)))
+            val out = compileStages(sub.stages, timeColName, messageColName,
+              lookups, source)(filtered)
+            (alias, out.select(out.columns.map(c =>
+              col(c).as(s"${alias}_$c")).toSeq: _*))
+          }
+          var joined = frames.head._2
+          val have = scala.collection.mutable.Set(frames.head._1)
+          frames.tail.foreach { case (alias, frame) =>
+            val conds = on.collect {
+              case (a, f, b, g) if have(a) && b == alias =>
+                col(s"${a}_$f") === col(s"${b}_$g")
+              case (a, f, b, g) if have(b) && a == alias =>
+                col(s"${a}_$f") === col(s"${b}_$g")
+            }
+            require(conds.nonEmpty,
+              s"no join condition links subquery '$alias' to the previous ones")
+            joined = joined.join(frame, conds.reduce(_ && _), "inner")
+            have += alias
+          }
+          order = on.map { case (a, f, _, _) => (s"${a}_$f", false) }.distinct
+          joined
         case TransposeStage(rows, colF) =>
           val rcols = rows.map(resolveField)
           val c = resolveField(colF)
@@ -1655,6 +1879,10 @@ object SearchQuery {
       case CountFrequentStage(fields, _) =>
         ("_count", true) +: fields.map(f => (resolveField(f), false))
       case LogReduceStage(_, _) => Seq(("_count", true), ("_signature", false))
+      case TransactionizeStage(by) =>
+        ("_count", true) +: by.map(k => (resolveField(k), false))
+      case JoinStage(_, on) =>
+        on.map { case (a, f, _, _) => (s"${a}_$f", false) }.distinct
       case AggStage(aggs, by) =>
         (if (by.nonEmpty) by.map(resolveField) else aggs.map(_.alias)).map((_, false))
     }.getOrElse(Seq.empty)

@@ -1311,6 +1311,164 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(ivf.count(brute.take(10).contains) >= 5)
   }
 
+  test("Q1: diff stage — consecutive deltas in declared order, null head") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("diff v") == DiffStage("v", "_diff", Seq.empty))
+    assert(parseStage("diff v as d by k") == DiffStage("v", "d", Seq("k")))
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("diff v")), "ts", "m")(Seq((1, 1.0)).toDF("id", "v")))
+    val df = Seq((1, 1.0), (2, 4.0), (3, 2.5), (4, 2.5)).toDF("id", "v")
+    val d = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("diff v as d")), "ts", "m")(df)
+      .orderBy("id").select("d").as[Option[Double]].collect().toSeq
+    assert(d == Seq(None, Some(3.0), Some(-1.5), Some(0.0)))
+    // grouped path == global path on a single constant key
+    val g = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("diff v as d by c")), "ts", "m")(df.withColumn("c", lit(1)))
+      .orderBy("id").select("d").as[Option[Double]].collect().toSeq
+    assert(g == d)
+  }
+
+  test("Q1: transactionize — per-key count/begin/end/duration; paging order") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("transactionize k1, k2") ==
+      TransactionizeStage(Seq("k1", "k2")))
+    intercept[IllegalArgumentException](parseStage("transactionize "))
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:10"),
+      ("b", "2024-01-01 01:00:00"), ("a", "2024-01-01 00:01:40"),
+      ("b", "2024-01-01 01:00:05")).toDF("k", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val out = compileStages(Seq(parseStage("transactionize k")), "ts", "m")(df)
+      .orderBy(col("_count").desc)
+      .select("k", "_count", "_duration").as[(String, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(("a", 3L, 100.0), ("b", 2L, 5.0)))
+    assert(recordsOrderBy(Seq(parseStage("transactionize k"))) ==
+      Seq(("_count", true), ("k", false)))
+  }
+
+  test("Q1: save writes the lookup store; lookup falls back to it by name") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lk-spec").toString
+    val prev = spark.conf.getOption("spark.graft.lookup.dir")
+    spark.conf.set("spark.graft.lookup.dir", dir)
+    try {
+      assert(parseStage("save t1") == SaveStage("t1"))
+      intercept[IllegalArgumentException](parseStage("save ../evil"))
+      val dim = Seq(("u1", 5L), ("u2", 7L)).toDF("uid", "n")
+      // save passes the frame through AND materializes the store
+      val through = compileStages(Seq(parseStage("save spec_tbl")), "ts", "m")(dim)
+      assert(through.orderBy("uid").as[(String, Long)].collect().toSeq ==
+        Seq(("u1", 5L), ("u2", 7L)))
+      assert(new java.io.File(s"$dir/spec_tbl").exists)
+      val fact = Seq("u1", "u1", "u3").toDF("uid")
+      val out = compileStages(
+        Seq(parseStage("lookup n from spec_tbl on uid=uid")), "ts", "m")(fact)
+        .orderBy("uid").select("uid", "n").as[(String, Option[Long])]
+        .collect().toSeq
+      assert(out == Seq(("u1", Some(5L)), ("u1", Some(5L)), ("u3", None)))
+      // unknown table still throws, naming both registration paths
+      val err = intercept[IllegalArgumentException](compileStages(
+        Seq(parseStage("lookup n from nope on uid=uid")), "ts", "m")(fact))
+      assert(err.getMessage.contains("save"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.graft.lookup.dir", p)
+        case None => spark.conf.unset("spark.graft.lookup.dir")
+      }
+    }
+  }
+
+  test("Q1: join stage — piped subqueries survive the split, alias prefixes, inner join") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // pipes inside the parenthesized subqueries must NOT split the stage
+    val q = "* | join (error | count as n by uid) as e," +
+      " (click | count as n by uid) as c on e.uid = c.uid"
+    val piped = parsePiped(q)
+    assert(piped.stages.length == 1)
+    val js = piped.stages.head.asInstanceOf[JoinStage]
+    assert(js.subs.map(_._1) == Seq("e", "c"))
+    assert(js.on == Seq(("e", "uid", "c", "uid")))
+    // parse errors: single subquery, missing on, unknown alias
+    intercept[IllegalArgumentException](
+      parseStage("join (error | count by uid) as e on e.uid = e.uid"))
+    intercept[IllegalArgumentException](
+      parseStage("join (a | count by uid) as e, (b | count by uid) as c"))
+    intercept[IllegalArgumentException](
+      parseStage("join (a | count by uid) as e, (b | count by uid) as c" +
+        " on e.uid = x.uid"))
+    val df = Seq(
+      ("error a", "u1"), ("error b", "u1"), ("click x", "u1"),
+      ("error c", "u2"), ("click y", "u3")).toDF("m", "uid")
+    val out = compileStages(Seq(parseStage(
+      "join (error | count as n by uid) as e," +
+        " (click | count as n by uid) as c on e.uid = c.uid")), "ts", "m")(df)
+    assert(out.columns.toSeq == Seq("e_uid", "e_n", "c_uid", "c_n"))
+    assert(out.select("e_uid", "e_n", "c_n").as[(String, Long, Long)]
+      .collect().toSeq == Seq(("u1", 2L, 1L)))
+    assert(recordsOrderBy(piped.stages) == Seq(("e_uid", false)))
+  }
+
+  test("Q1: scalar functions — ip classification, luhn, parsedate, math/url") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("10.1.2.3", "4111111111111111", "2024-03-05 06:07:08"),
+      ("172.16.0.9", "4111 1111 1111 1111", "nope"),
+      ("8.8.8.8", "4111111111111112", "2024-03-05 06:07:09"),
+      ("256.1.1.1", "4111-1111x", "2024-03-05 06:07:10"),
+      ("127.0.0.1", "411111111111", "2024-03-05 06:07:11"))
+      .toDF("ip", "card", "dt")
+    val out = compileStages(Seq(
+      parseStage("ipv4tonumber(ip) as ipn"),
+      parseStage("if(isvalidip(ip), 1, 0) as valid"),
+      parseStage("if(isprivateip(ip), 1, 0) as priv"),
+      parseStage("if(ispublicip(ip), 1, 0) as pub"),
+      parseStage("if(luhn(card), 1, 0) as cardok"),
+      parseStage("parsedate(dt, \"yyyy-MM-dd HH:mm:ss\") as pd")),
+      "ts", "m")(df)
+      .select("ip", "ipn", "valid", "priv", "pub", "cardok", "pd")
+      .as[(String, Option[Double], Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(out(0) == ("10.1.2.3", Some(167838211.0), 1L, 1L, 0L, 1L,
+      Some(1709618828000.0)))
+    assert(out(1)._3 == 1L && out(1)._4 == 1L && out(1)._5 == 0L)
+    assert(out(1)._6 == 1L) // spaces are valid card separators
+    assert(out(1)._7.isEmpty) // unparseable date -> null, not a failure
+    assert(out(2) == ("8.8.8.8", Some(134744072.0), 1L, 0L, 1L, 0L,
+      Some(1709618829000.0))) // checksum off by one -> false
+    assert(out(3)._2.isEmpty && out(3)._3 == 0L && out(3)._5 == 0L)
+    assert(out(3)._6 == 0L) // letter in the card string -> false
+    assert(out(4)._4 == 0L && out(4)._5 == 0L) // loopback: neither
+    assert(out(4)._6 == 0L) // 12 digits is below the card-length floor
+    // math/url/now surface
+    val one = Seq(("a b&c", 180.0)).toDF("t", "v")
+    val m = compileStages(Seq(
+      parseStage("toradians(v) as rad"),
+      parseStage("todegrees(rad) as deg"),
+      parseStage("urlencode(t) as enc"),
+      parseStage("if(isnumeric(t), 1, 0) as tnum"),
+      parseStage("if(isnumeric(v), 1, 0) as vnum"),
+      parseStage("now() as nw")), "ts", "m")(one)
+      .select("rad", "deg", "enc", "tnum", "vnum", "nw")
+      .as[(Double, Double, String, Long, Long, Double)].head()
+    assert(math.abs(m._1 - math.Pi) < 1e-12)
+    assert(math.abs(m._2 - 180.0) < 1e-9)
+    assert(m._3 == "a+b%26c") // URL form encoding, like the JDK
+    assert(m._4 == 0L && m._5 == 1L)
+    assert(m._6 > 1.7e12) // epoch millis, constant per query
+  }
+
   implicit class PairOps(rows: Array[(String, String, String)]) {
     def toMap2: Map[String, (String, String)] =
       rows.map { case (t, f, g) => (t, (f, g)) }.toMap
