@@ -1170,6 +1170,27 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy("event_id")
     }),
+    // ---- logcompare: signature clusters current-vs-baseline across the
+    //      window split (trailing <dur> vs the rest), new-signature flags ----
+    "q107_piped_logcompare" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(
+          col("event_type"),
+          when(col("ts") >= lit("2024-02-20").cast("timestamp"),
+            lit(" deploy=canary")).otherwise(lit("")),
+          lit(" id="), md5(col("event_id").cast("string")),
+          lit(" n="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | logcompare timeshift 30d"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2710,6 +2731,37 @@ object SparkEntry {
              THEN 1 ELSE 0 END AS BIGINT) AS cardok,
            CAST(epoch_ms(strptime(dt, '%Y-%m-%d %H:%M:%S')) AS DOUBLE) AS pd
          FROM ipn ORDER BY event_id""",
+    "q107_piped_logcompare" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type
+               ||(CASE WHEN ts >= TIMESTAMP '2024-02-20'
+                   THEN ' deploy=canary' ELSE '' END)
+               ||' id='||md5(CAST(event_id AS VARCHAR))
+               ||' n='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         sg AS (SELECT ts, regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(message,
+               '\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?Z?', '$DATE', 'g'),
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+               '$UUID', 'g'),
+               '\b[0-9a-fA-F]{8,}\b', '$HEX', 'g'),
+               '\d+', '#', 'g') AS _signature
+           FROM f),
+         mx AS (SELECT max(ts) AS maxts FROM sg),
+         a AS (SELECT _signature,
+             CAST(sum(CASE WHEN ts > maxts - INTERVAL 30 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS _count,
+             CAST(sum(CASE WHEN ts <= maxts - INTERVAL 30 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS _baseline_count
+           FROM sg, mx GROUP BY 1)
+         SELECT _signature, _count, _baseline_count,
+           _baseline_count = 0 AS _is_new,
+           CASE WHEN _baseline_count > 0 THEN
+             (CAST(_count AS DOUBLE) - CAST(_baseline_count AS DOUBLE))
+               * 100.0 / CAST(_baseline_count AS DOUBLE) END AS _change_pct
+         FROM a ORDER BY _count DESC, _signature""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -488,6 +488,20 @@ object SearchQuery {
     */
   final case class PredictStage(field: String, forecast: Int) extends Stage
 
+  /** `logcompare timeshift <dur> [field=<name>]` — signature clustering
+    * (the `logreduce` mask) compared across two periods of the query
+    * window: CURRENT = the trailing `<dur>` (rows after `max(ts) − dur`),
+    * BASELINE = everything before it — the same in-window period
+    * convention as `compare with timeshift`. One row per signature:
+    * `_signature`, `_count` (current), `_baseline_count`, `_is_new`
+    * (absent from the baseline), `_change_pct` (percent change vs
+    * baseline, null when new) — most frequent current first. The split
+    * bound is a 1-row max-timestamp aggregate broadcast back (the
+    * predict/total pattern): one bounded extra pass, then one hash
+    * aggregate whose cardinality is DISTINCT signatures, not rows.
+    */
+  final case class LogCompareStage(seconds: Long,
+      field: Option[String]) extends Stage
   /** `diff field [as alias] [by k1, k2]` — consecutive difference of the
     * field (current minus previous row) in the CURRENT sort order, per key
     * when `by` is given. Default alias `_diff`; the first row per key is
@@ -625,6 +639,8 @@ object SearchQuery {
     "(?i)count_frequent\\s+(.+?)(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogReduceRe =
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
+  private val LogCompareRe =
+    "(?i)logcompare\\s+timeshift\\s+(\\d+\\s*[a-z]*)(?:\\s+field=([A-Za-z0-9_]+))?\\s*".r
   private val SplitRe =
     "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
   private val DiffRe =
@@ -810,6 +826,13 @@ object SearchQuery {
           CountFrequentStage(splitKeys(flds), Option(n).map(_.toInt).getOrElse(100))
         case _ => throw new IllegalArgumentException(
           s"count_frequent needs 'count_frequent f1[, f2…] [limit N]': $s")
+      }
+    } else if (lower.startsWith("logcompare ")) {
+      s match {
+        case LogCompareRe(dur, field) =>
+          LogCompareStage(durationSeconds(dur), Option(field))
+        case _ => throw new IllegalArgumentException(
+          s"logcompare needs 'logcompare timeshift <dur> [field=<name>]': $s")
       }
     } else if (lower == "logreduce" || lower.startsWith("logreduce ")) {
       s match {
@@ -1624,22 +1647,37 @@ object SearchQuery {
           df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_count"))
             .orderBy(sortColumns(order): _*).limit(n)
         case LogReduceStage(field, n) =>
-          val msg = col(field.map(resolveField).getOrElse(messageColName))
-            .cast("string")
-          // mask order matters: timestamps/uuids/hex contain digit runs, so
-          // they must collapse to their own tokens before `\d+` → `#`
-          val sig = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-            msg,
-            lit("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?Z?"),
-            lit("\\$DATE")),
-            lit("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
-              "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"), lit("\\$UUID")),
-            lit("\\b[0-9a-fA-F]{8,}\\b"), lit("\\$HEX")),
-            lit("\\d+"), lit("#"))
+          val sig = logSignature(
+            col(field.map(resolveField).getOrElse(messageColName)))
           order = Seq(("_count", true), ("_signature", false))
           df.select(sig.as("_signature"))
             .groupBy("_signature").agg(count(lit(1)).as("_count"))
             .orderBy(sortColumns(order): _*).limit(n)
+        case LogCompareStage(sec, field) =>
+          val sig = logSignature(
+            col(field.map(resolveField).getOrElse(messageColName)))
+          require(df.columns.contains(timeColName),
+            s"logcompare needs the time column '$timeColName' — " +
+              "apply it before stages that drop columns")
+          val ts = col(timeColName)
+          // 1-row window bound broadcast back (predict/total pattern); the
+          // split is max(ts) − dur, so CURRENT is the trailing period
+          val bounds = df.agg(max(ts).as("_lc_maxts"))
+          val split = col("_lc_maxts") - expr(s"INTERVAL $sec SECOND")
+          val cur = col("_count").cast("double")
+          val base = col("_baseline_count").cast("double")
+          order = Seq(("_count", true), ("_signature", false))
+          df.select(sig.as("_signature"), ts.as("_lc_ts"))
+            .crossJoin(broadcast(bounds))
+            .groupBy("_signature")
+            .agg(sum(when(col("_lc_ts") > split, 1L).otherwise(0L)).as("_count"),
+              sum(when(col("_lc_ts") <= split, 1L).otherwise(0L))
+                .as("_baseline_count"))
+            .withColumn("_is_new", col("_baseline_count") === 0)
+            // raw double arithmetic, no rounding — ((cur−base)·100)/base is
+            // a fixed IEEE op sequence any engine reproduces bit-for-bit
+            .withColumn("_change_pct",
+              when(col("_baseline_count") > 0, (cur - base) * 100.0 / base))
         case BackshiftStage(field, n, alias, by) =>
           require(!df.columns.contains(alias),
             s"backshift alias '$alias' already exists")
@@ -1775,6 +1813,22 @@ object SearchQuery {
     }
   }
 
+  /** The `logreduce`/`logcompare` signature mask: variable tokens collapse
+    * to typed placeholders. Order matters — timestamps/uuids/hex contain
+    * digit runs, so they must collapse to their own tokens before `\d+`→`#`.
+    */
+  private def logSignature(msgCol: Column): Column = {
+    val msg = msgCol.cast("string")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      msg,
+      lit("\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?Z?"),
+      lit("\\$DATE")),
+      lit("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"), lit("\\$UUID")),
+      lit("\\b[0-9a-fA-F]{8,}\\b"), lit("\\$HEX")),
+      lit("\\d+"), lit("#"))
+  }
+
   /** Trailing-window moments for `smooth`/`outlier`: adds `_rw_cnt`
     * (non-null values), `_rw_sum`, `_rw_q` (sum of squares) over the last
     * `w` rows in `order` — ending at the current row when `includeCurrent`,
@@ -1879,6 +1933,7 @@ object SearchQuery {
       case CountFrequentStage(fields, _) =>
         ("_count", true) +: fields.map(f => (resolveField(f), false))
       case LogReduceStage(_, _) => Seq(("_count", true), ("_signature", false))
+      case LogCompareStage(_, _) => Seq(("_count", true), ("_signature", false))
       case TransactionizeStage(by) =>
         ("_count", true) +: by.map(k => (resolveField(k), false))
       case JoinStage(_, on) =>

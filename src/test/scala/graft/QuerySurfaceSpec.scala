@@ -1469,6 +1469,36 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(m._6 > 1.7e12) // epoch millis, constant per query
   }
 
+  test("Q1: logcompare — current vs trailing-split baseline, new-signature flags") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("logcompare timeshift 1d") == LogCompareStage(86400L, None))
+    assert(parseStage("logcompare timeshift 2h field=msg") ==
+      LogCompareStage(7200L, Some("msg")))
+    intercept[IllegalArgumentException](parseStage("logcompare 1d"))
+    // window: baseline day 1, current day 2 (split = max(ts) − 1d). "GET /a"
+    // appears 2:3, "ERR boom" only in current → new.
+    val df = Seq(
+      ("GET /a id=1", "2024-01-01 01:00:00"),
+      ("GET /a id=2", "2024-01-01 02:00:00"),
+      ("GET /a id=3", "2024-01-02 01:00:00"),
+      ("GET /a id=4", "2024-01-02 02:00:00"),
+      ("GET /a id=5", "2024-01-02 03:00:00"),
+      ("ERR boom id=6", "2024-01-02 04:00:00")).toDF("m", "tss")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val out = compileStages(Seq(parseStage("logcompare timeshift 1d")),
+      "ts", "m")(df)
+      .select("_signature", "_count", "_baseline_count", "_is_new", "_change_pct")
+      .as[(String, Long, Long, Boolean, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("ERR boom id=#", 1L, 0L, true, None),
+      ("GET /a id=#", 3L, 2L, false, Some(50.0))))
+    assert(recordsOrderBy(Seq(parseStage("logcompare timeshift 1d"))) ==
+      Seq(("_count", true), ("_signature", false)))
+  }
+
   implicit class PairOps(rows: Array[(String, String, String)]) {
     def toMap2: Map[String, (String, String)] =
       rows.map { case (t, f, g) => (t, (f, g)) }.toMap
