@@ -1072,7 +1072,7 @@ object SparkEntry {
         .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
         .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
       val q = "_sourceCategory=cat-1* | parse \"* user=*\" as t, uid" +
-        " | transactionize uid"
+        " | transactionize uid merge t=first, message=join"
       val piped = SearchQuery.parsePiped(q)
       val msgs = ev
         .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
@@ -2633,11 +2633,14 @@ object SparkEntry {
            FROM events
            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
          f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
-         p AS (SELECT ts,
+         p AS (SELECT ts, message,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS t,
              regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid
            FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)'))
          SELECT uid, count(*) AS _count,
            epoch_ms(min(ts)) AS _begin, epoch_ms(max(ts)) AS _end,
+           first(t ORDER BY ts, t) AS t,
+           string_agg(message, ',' ORDER BY ts, message) AS message,
            CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS DOUBLE) / 1000.0
              AS _duration
          FROM p GROUP BY uid ORDER BY _count DESC, uid""",

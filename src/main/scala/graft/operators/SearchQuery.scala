@@ -520,13 +520,20 @@ object SearchQuery {
     * (the upstream plan runs once, not once per consumer).
     */
   final case class SaveStage(table: String) extends Stage
-  /** `transactionize k1[, k2…]` — group messages sharing the key fields
-    * into transactions: one output row per transaction with the keys,
-    * `_count` (messages), `_begin`/`_end` (first/last message time), and
-    * `_duration` (seconds, double). One hash aggregate on the keys —
-    * map-side partial combine, output cardinality = distinct transactions.
+  /** `transactionize k1[, k2…] [merge f1=first, f2=last, f3=join]` — group
+    * messages sharing the key fields into transactions: one output row per
+    * transaction with the keys, `_count` (messages), `_begin`/`_end`
+    * (first/last message time), `_duration` (seconds, double), and one
+    * column per merge spec — the field's value in the transaction's
+    * earliest message (`first`), latest (`last`), or all values
+    * comma-joined in time order (`join`); ties on the timestamp break on
+    * the value, so every strategy is deterministic. One hash aggregate on
+    * the keys — map-side partial combine, output cardinality = distinct
+    * transactions (`join` accumulates per-group lists, bounded by
+    * transaction size, not corpus size).
     */
-  final case class TransactionizeStage(by: Seq[String]) extends Stage
+  final case class TransactionizeStage(by: Seq[String],
+      merges: Seq[(String, String)] = Seq.empty) extends Stage
   /** `join (sub1) as t1, (sub2) as t2[, …] on t1.a = t2.b[, …]` — the
     * search language's in-query join: each parenthesized subquery (its own
     * terms + stages) runs over the incoming message stream, its output
@@ -647,7 +654,8 @@ object SearchQuery {
     ("(?i)diff\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
   private val SaveRe = "(?i)save\\s+([A-Za-z_][A-Za-z0-9_\\-]*)\\s*".r
-  private val TransactionizeRe = "(?i)transactionize\\s+(.+?)\\s*".r
+  private val TransactionizeRe =
+    "(?i)transactionize\\s+(.+?)(?:\\s+merge\\s+(.+))?\\s*".r
   private val JoinOnRe =
     "([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)".r
   // aggregation stages are recognized by their HEAD function name; anything
@@ -864,13 +872,23 @@ object SearchQuery {
       }
     } else if (lower.startsWith("transactionize ")) {
       s match {
-        case TransactionizeRe(keys) =>
+        case TransactionizeRe(keys, mergePart) =>
           val by = splitKeys(keys)
           require(by.nonEmpty && by.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
             s"transactionize needs key field names: $s")
-          TransactionizeStage(by)
+          val merges = splitKeys(mergePart).map { kv =>
+            val parts = kv.split("=", 2).map(_.trim)
+            require(parts.length == 2 &&
+              parts(0).matches("[A-Za-z_][A-Za-z0-9_]*") &&
+              Set("first", "last", "join").contains(parts(1).toLowerCase),
+              s"merge needs 'field=first|last|join', got '$kv': $s")
+            (parts(0), parts(1).toLowerCase)
+          }
+          require(merges.map(_._1).distinct.length == merges.length,
+            s"duplicate merge field in: $s")
+          TransactionizeStage(by, merges)
         case _ => throw new IllegalArgumentException(
-          s"transactionize needs 'transactionize k1[, k2…]': $s")
+          s"transactionize needs 'transactionize k1[, k2…] [merge f=strategy…]': $s")
       }
     } else if (lower.startsWith("join ") || lower.startsWith("join(")) {
       parseJoin(s.substring(4).trim)
@@ -1752,13 +1770,28 @@ object SearchQuery {
           // materialization barrier (upstream plan runs exactly once)
           df.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
-        case TransactionizeStage(by) =>
+        case TransactionizeStage(by, merges) =>
           val keys = by.map(n => col(resolveField(n)))
+          val ts = col(timeColName)
+          val mergeCols = merges.map { case (f, strat) =>
+            val v = col(resolveField(f))
+            strat match {
+              // (ts, value) tuple ordering — timestamp ties break on the
+              // value, so every strategy is deterministic and any engine's
+              // ORDER BY ts, v reproduces it
+              case "first" => min_by(v, struct(ts, v)).as(f)
+              case "last" => max_by(v, struct(ts, v)).as(f)
+              case "join" => concat_ws(",",
+                transform(array_sort(collect_list(
+                  struct(ts.as("t"), v.cast("string").as("v")))),
+                  x => x.getField("v"))).as(f)
+            }
+          }
           order = ("_count", true) +: by.map(n => (resolveField(n), false))
+          val aggCols = Seq(count(lit(1)).as("_count"),
+            min(ts).as("_begin"), max(ts).as("_end")) ++ mergeCols
           df.groupBy(keys: _*)
-            .agg(count(lit(1)).as("_count"),
-              min(col(timeColName)).as("_begin"),
-              max(col(timeColName)).as("_end"))
+            .agg(aggCols.head, aggCols.tail: _*)
             .withColumn("_duration",
               (unix_millis(col("_end")) - unix_millis(col("_begin")))
                 .cast("double") / 1000.0)
@@ -1934,7 +1967,7 @@ object SearchQuery {
         ("_count", true) +: fields.map(f => (resolveField(f), false))
       case LogReduceStage(_, _) => Seq(("_count", true), ("_signature", false))
       case LogCompareStage(_, _) => Seq(("_count", true), ("_signature", false))
-      case TransactionizeStage(by) =>
+      case TransactionizeStage(by, _) =>
         ("_count", true) +: by.map(k => (resolveField(k), false))
       case JoinStage(_, on) =>
         on.map { case (a, f, _, _) => (s"${a}_$f", false) }.distinct

@@ -1350,6 +1350,21 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(out == Seq(("a", 3L, 100.0), ("b", 2L, 5.0)))
     assert(recordsOrderBy(Seq(parseStage("transactionize k"))) ==
       Seq(("_count", true), ("k", false)))
+    // merge strategies: first/last pick by time (value tie-break), join
+    // concatenates in time order
+    assert(parseStage("transactionize k merge v=first, w=join") ==
+      TransactionizeStage(Seq("k"), Seq(("v", "first"), ("w", "join"))))
+    intercept[IllegalArgumentException](
+      parseStage("transactionize k merge v=median"))
+    intercept[IllegalArgumentException](
+      parseStage("transactionize k merge v=first, v=last"))
+    val m = compileStages(Seq(parseStage(
+      "transactionize k merge v=first, v2=last, v3=join")), "ts", "m")(
+      df.withColumn("v", concat(lit("x"), col("tss").substr(18, 2)))
+        .withColumn("v2", col("v")).withColumn("v3", col("v")))
+      .filter(col("k") === "a").select("v", "v2", "v3")
+      .as[(String, String, String)].head()
+    assert(m == (("x00", "x40", "x00,x10,x40"))) // seconds 00/10/[1:]40 in time order
   }
 
   test("Q1: save writes the lookup store; lookup falls back to it by name") {
