@@ -198,6 +198,7 @@ object Scratch {
       spec.split(",").map(_.trim.toLong).foreach { n =>
         val series = spark.range(n).select(col("id"),
           ((col("id") * 37) % 101).cast("double").as("v"),
+          concat(lit("k"), col("id") % (n / 20)).as("k"),
           timestamp_seconds(lit(1704067200L) + col("id") * 40 +
             (col("id") % 25) * 30).as("ts"))
         def run(stage: String): Unit = {
@@ -220,7 +221,9 @@ object Scratch {
           wanted.forall(_.contains(stage.split("\\s+").head.toLowerCase))
         Seq("accum v as r", "smooth v window=50 as sm",
           "outlier v window=50 threshold=3", "sessionize maxpause=60",
-          "backshift v 50 as prev", "rollingstd v window=50 as rs")
+          "backshift v 50 as prev", "rollingstd v window=50 as rs",
+          "diff v as d", "transactionize k merge v=first",
+          "logcompare timeshift 1h field=k")
           .filter(want).foreach(run)
       }
     }

@@ -1191,6 +1191,23 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- timeslice N buckets: observed-range quantization in-query (the
+    //      metrics width formula from a broadcast 1-row min/max) ----
+    "q108_piped_timeslice_buckets" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | timeslice 24 buckets | count by _timeslice, etype"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2765,6 +2782,24 @@ object SparkEntry {
              (CAST(_count AS DOUBLE) - CAST(_baseline_count AS DOUBLE))
                * 100.0 / CAST(_baseline_count AS DOUBLE) END AS _change_pct
          FROM a ORDER BY _count DESC, _signature""",
+    "q108_piped_timeslice_buckets" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT epoch_ms(ts)//1000 AS ep,
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         b AS (SELECT min(ep) AS mn, max(ep)+1 AS mx FROM p),
+         w AS (SELECT mn,
+             GREATEST(CAST(CEIL(CAST(mx - mn AS DOUBLE) / 24) AS BIGINT), 1)
+               AS wd FROM b),
+         q AS (SELECT make_timestamp((((ep - mn) // wd) * wd + mn) * 1000000)
+               AS _timeslice, etype
+           FROM p, w)
+         SELECT _timeslice, etype, count(*) AS _count
+         FROM q GROUP BY 1, 2 ORDER BY _timeslice, etype""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

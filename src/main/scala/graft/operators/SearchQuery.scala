@@ -302,6 +302,15 @@ object SearchQuery {
     * timestamp) from the job's time column.
     */
   final case class Timeslice(seconds: Long) extends Stage
+  /** `timeslice <N> buckets` — divide the OBSERVED time range into N equal
+    * buckets (the metrics quantizer's width formula, `ceil(range/N)`,
+    * applied in-query): `_timeslice` = bucket start. The range bounds come
+    * from a broadcast 1-row min/max aggregate (the predict/total pattern) —
+    * one bounded extra pass; downstream aggregation is unchanged. Because
+    * the width is data-driven, `fillmissing timeslice` needs an explicit
+    * duration after this stage.
+    */
+  final case class TimesliceBuckets(buckets: Int) extends Stage
   /** `count by a, b` / `sum(v) as total by k` / bare `count` (global). */
   final case class AggStage(aggs: Seq[AggSpec], by: Seq[String]) extends Stage
   /** `fields a, b` — projection. */
@@ -736,7 +745,14 @@ object SearchQuery {
         }
       }
     } else if (lower.startsWith("timeslice ")) {
-      Timeslice(durationSeconds(s.substring("timeslice ".length)))
+      val body = s.substring("timeslice ".length).trim
+      val bucketsRe = "(?i)(\\d+)\\s+buckets".r
+      body match {
+        case bucketsRe(n) =>
+          require(n.toInt > 0, s"timeslice needs a positive bucket count: $s")
+          TimesliceBuckets(n.toInt)
+        case _ => Timeslice(durationSeconds(body))
+      }
     } else if (lower.startsWith("fillmissing ")) {
       s match {
         case FillMissingRe(dur, by) =>
@@ -1318,6 +1334,24 @@ object SearchQuery {
           sliceSec = Some(seconds)
           df.withColumn("_timeslice", timestamp_seconds(
             (floor(unix_timestamp(col(timeColName)) / seconds) * seconds).cast("long")))
+        case TimesliceBuckets(nb) =>
+          require(!df.columns.contains("_tb_min") && !df.columns.contains("_tb_max"),
+            "input already carries internal _tb_* columns")
+          val epoch = unix_timestamp(col(timeColName))
+          // observed-range bounds from one broadcast 1-row aggregate; width
+          // mirrors the metrics quantizer (ceil(range/N), min 1 s), with
+          // max+1 as the exclusive upper bound so the latest row lands in
+          // bucket N−1
+          val bounds = df.agg(min(epoch).as("_tb_min"),
+            (max(epoch) + 1L).as("_tb_max"))
+          val width = greatest(
+            ceil((col("_tb_max") - col("_tb_min")).cast("double") / nb)
+              .cast("long"), lit(1L))
+          df.crossJoin(broadcast(bounds))
+            .withColumn("_timeslice", timestamp_seconds(
+              (floor((epoch - col("_tb_min")) / width) * width +
+                col("_tb_min")).cast("long")))
+            .drop("_tb_min", "_tb_max")
         case SessionizeStage(pause, by) =>
           require(!df.columns.contains("_session_id"),
             "input already carries a _session_id column")

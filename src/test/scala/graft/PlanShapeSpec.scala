@@ -69,8 +69,11 @@ class PlanShapeSpec extends SparkSpec {
       Seq("sessionize maxpause=60"),
       Seq("sort by id asc", "backshift v 3 as prev"),
       Seq("sort by id asc", "rollingstd v window=9 as rs"),
+      Seq("sort by id asc", "diff v as d"),
       Seq("timeslice 1h", "count by _timeslice", "compare with timeshift 1h"),
-      Seq("timeslice 1h", "count by _timeslice", "predict _count forecast=3"))
+      Seq("timeslice 1h", "count by _timeslice", "predict _count forecast=3"),
+      Seq("logcompare timeshift 1h"),
+      Seq("transactionize v merge id=join"))
     for (st <- stages) {
       val df = SearchQuery.compileStages(st.map(SearchQuery.parseStage),
         "ts", "v")(series)
@@ -108,6 +111,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"subquery should be a broadcast left-semi join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"subquery must not sort-merge:\n$p")
+  }
+
+  test("in-query join of aggregated subqueries broadcasts, never sort-merges") {
+    import graft.operators.SearchQuery
+    import org.apache.spark.sql.functions._
+    // both sides are group-cardinality aggregates (50 keys from 2000 rows) —
+    // AQE must pick a broadcast hash join; a SortMergeJoin here would mean
+    // the join shape regressed to raw-stream shuffling
+    val src = spark.range(2000).select(
+      concat(element_at(typedLit(Seq("error", "click")),
+        (col("id") % 2).cast("int") + 1), lit(" u="), col("id") % 50)
+        .as("message"),
+      concat(lit("u"), col("id") % 50).as("uid"),
+      timestamp_seconds(lit(1704067200L) + col("id")).as("ts"))
+    val df = SearchQuery.compileStages(Seq(SearchQuery.parseStage(
+      "join (error | count as n by uid) as e," +
+        " (click | count as n by uid) as c on e.uid = c.uid")),
+      "ts", "message")(src)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"aggregated join sides should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"join must not sort-merge:\n$p")
   }
 
   test("the salted join spreads a hot key across salt partitions") {

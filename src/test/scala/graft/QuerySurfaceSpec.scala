@@ -1514,6 +1514,28 @@ class QuerySurfaceSpec extends SparkSpec {
       Seq(("_count", true), ("_signature", false)))
   }
 
+  test("Q1: timeslice N buckets — observed-range quantization, latest row inside") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("timeslice 24 buckets") == TimesliceBuckets(24))
+    assert(parseStage("timeslice 5m") == Timeslice(300L))
+    intercept[IllegalArgumentException](parseStage("timeslice 0 buckets"))
+    // 100 rows at 10 s spacing into 10 buckets: range max−min+1 = 991,
+    // width ceil(991/10) = 100
+    val df = spark.range(100).select(col("id"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 10 + lit(1)).as("ts"))
+    val out = compileStages(Seq(parseStage("timeslice 10 buckets"),
+      parseStage("count by _timeslice")), "ts", "m")(df)
+    val buckets = out.select("_timeslice").as[java.sql.Timestamp]
+      .collect().map(_.getTime / 1000).sorted.toSeq
+    assert(buckets.length == 10) // every bucket hit, none beyond N
+    assert(buckets.head == 1704067201L) // first bucket starts at min(ts)
+    assert(buckets == buckets.head.to(buckets.head + 9 * 100, 100).toSeq)
+    val counts = out.select("_count").as[Long].collect().toSeq
+    assert(counts.sum == 100)
+  }
+
   implicit class PairOps(rows: Array[(String, String, String)]) {
     def toMap2: Map[String, (String, String)] =
       rows.map { case (t, f, g) => (t, (f, g)) }.toMap
