@@ -620,7 +620,7 @@ object SearchQuery {
   private val SubqueryRe = "(?is)^([A-Za-z0-9_]+)\\s+in\\s+\\[\\s*subquery:(.*)\\]\\s*$".r
   // count_distinct before count: the alternation must not leave a _distinct
   // suffix unconsumed (regex pattern matches anchor the FULL agg spec)
-  private val AggFnRe = "(?i)(count_distinct|count|sum|avg|min|max|stddev|first|last)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
+  private val AggFnRe = "(?i)(count_distinct_approx|count_distinct|count|sum|avg|min|max|stddev|first|last|most_recent|least_recent)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val PctRe = "(?i)pct\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val QuotedRe = "\"([^\"]*)\"".r
   private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
@@ -669,7 +669,7 @@ object SearchQuery {
     "([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
-  private val AggHeadRe = "(?i)^(count_distinct|count|sum|avg|min|max|stddev|pct|first|last)\\b".r
+  private val AggHeadRe = "(?i)^(count_distinct_approx|count_distinct|count|sum|avg|min|max|stddev|pct|first|last|most_recent|least_recent)\\b".r
   private val ExprAsRe = "(?is)^(.*\\S)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
 
   /** Parse one pipe stage. Grammar is the observed reference subset — anything
@@ -1444,6 +1444,25 @@ object SearchQuery {
             case AggSpec("count", _, alias, _) => count(lit(1)).as(alias)
             case AggSpec("count_distinct", Some(f), alias, _) =>
               countDistinct(col(resolveField(f))).as(alias)
+            case AggSpec("count_distinct_approx", Some(f), alias, _) =>
+              // explicit HLL++ estimate (the reference's count_distinct
+              // silently degrades to a sketch beyond ~100k values; this is
+              // the opt-in approximate form). Sketches differ across
+              // engines, so this is spec-validated against the exact count
+              // within the default 5% rsd rather than oracle-hashed.
+              approx_count_distinct(col(resolveField(f))).as(alias)
+            case AggSpec(fn @ ("most_recent" | "least_recent"), Some(f), alias, _) =>
+              // value on the most/least recent row by the job's time column
+              // (the reference's `_withtime` + most_recent idiom folded into
+              // one aggregate — sumologic docs group these with first/last).
+              // One hash aggregate, no window; the struct orders
+              // (time, value) so timestamp ties break on the value itself —
+              // deterministic under any partitioning, and identical to the
+              // oracle's max(struct_pack(t, v)) ordering in DuckDB.
+              val pos = struct(col(timeColName).as("_t"),
+                col(resolveField(f)).as("_v"))
+              (if (fn == "most_recent") max(pos) else min(pos))
+                .getField("_v").as(alias)
             case AggSpec("sum", Some(f), alias, _) =>
               sum(col(resolveField(f)).try_cast("decimal(38,6)")).cast("double").as(alias)
             case AggSpec("avg", Some(f), alias, _) =>

@@ -855,6 +855,35 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(run("sort by t") == Seq(("a", "x3", "x1"), ("b", "y5", "y2")))
   }
 
+  test("Q1: most_recent/least_recent — time-positioned values, value tie-break; approx distinct") {
+    import SearchQuery._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val s = spark
+    import s.implicits._
+    assert(parseStage("most_recent(v) as mr, least_recent(v) as lr by k") ==
+      AggStage(Seq(AggSpec("most_recent", Some("v"), "mr"),
+        AggSpec("least_recent", Some("v"), "lr")), Seq("k")))
+    // default aliases follow the `_<fn>` convention
+    assert(parseStage("most_recent(v)") ==
+      AggStage(Seq(AggSpec("most_recent", Some("v"), "_most_recent")), Seq.empty))
+    // a: distinct times — plain latest/earliest; b: a TIE at t=5 breaks on
+    // the value itself (deterministic under any partition order)
+    val df = Seq(("a", 1L, "x1"), ("a", 3L, "x3"),
+      ("b", 5L, "y2"), ("b", 5L, "y9"), ("b", 2L, "y0"))
+      .toDF("k", "t", "v").withColumn("ts", timestamp_seconds(col("t")))
+      .repartition(4)
+    val out = compileStages(
+      Seq(parseStage("most_recent(v) as mr, least_recent(v) as lr by k")),
+      "ts", "m")(df).orderBy("k").as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("a", "x3", "x1"), ("b", "y9", "y0")))
+    // count_distinct_approx: HLL++ estimate within the default 5% rsd of
+    // the exact count (engine sketches differ, so no cross-engine oracle)
+    val wide = spark.range(2000).select((col("id") % 500).cast("string").as("v"))
+    val est = compileStages(Seq(parseStage("count_distinct_approx(v) as n")),
+      "ts", "m")(wide).as[Long].collect().head
+    assert(math.abs(est - 500.0) / 500.0 < 0.05, s"estimate $est vs exact 500")
+  }
+
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
     import SearchQuery._
     val s = spark
