@@ -1226,6 +1226,24 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- values/median aggregates: distinct-set rollup + interpolated
+    //      50th percentile ----
+    "q110_piped_values_median" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id"),
+          lit(" v="), col("value")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=* v=*\" as etype, uid, v" +
+        " | num(v) as v | values(etype) as etypes, median(v) as med_v, count by uid"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2831,6 +2849,21 @@ object SparkEntry {
          SELECT uid, max(struct_pack(t := ts, v := etype)).v AS latest_et,
            min(struct_pack(t := ts, v := etype)).v AS earliest_et,
            count(*) AS _count
+         FROM p GROUP BY 1 ORDER BY uid""",
+    "q110_piped_values_median" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id||' v='||value AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             regexp_extract(message, '(.*?)\Q user=\E(.*?)\Q v=\E(.*)', 1) AS etype,
+             regexp_extract(message, '(.*?)\Q user=\E(.*?)\Q v=\E(.*)', 2) AS uid,
+             CAST(regexp_extract(message, '(.*?)\Q user=\E(.*?)\Q v=\E(.*)', 3)
+               AS DOUBLE) AS v
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*?)\Q v=\E(.*)'))
+         SELECT uid, array_to_string(list_sort(list(DISTINCT etype)), ',') AS etypes,
+           quantile_cont(v, 0.5) AS med_v, count(*) AS _count
          FROM p GROUP BY 1 ORDER BY uid""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)

@@ -620,7 +620,7 @@ object SearchQuery {
   private val SubqueryRe = "(?is)^([A-Za-z0-9_]+)\\s+in\\s+\\[\\s*subquery:(.*)\\]\\s*$".r
   // count_distinct before count: the alternation must not leave a _distinct
   // suffix unconsumed (regex pattern matches anchor the FULL agg spec)
-  private val AggFnRe = "(?i)(count_distinct_approx|count_distinct|count|sum|avg|min|max|stddev|first|last|most_recent|least_recent)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
+  private val AggFnRe = "(?i)(count_distinct_approx|count_distinct|count|sum|avg|min|max|stddev|first|last|most_recent|least_recent|values|median)\\s*(?:\\(\\s*([A-Za-z0-9_]+)\\s*\\))?(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val PctRe = "(?i)pct\\s*\\(\\s*([A-Za-z0-9_]+)\\s*,\\s*([0-9.]+)\\s*\\)(?:\\s+as\\s+([A-Za-z0-9_]+))?".r
   private val QuotedRe = "\"([^\"]*)\"".r
   private val JsonFieldRe = "(?i)\\bfield=([A-Za-z0-9_]+)".r
@@ -669,7 +669,7 @@ object SearchQuery {
     "([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)\\s*=\\s*([A-Za-z0-9_]+)\\.([A-Za-z0-9_]+)".r
   // aggregation stages are recognized by their HEAD function name; anything
   // else ending in `as name` is a computed-field expression stage
-  private val AggHeadRe = "(?i)^(count_distinct_approx|count_distinct|count|sum|avg|min|max|stddev|pct|first|last|most_recent|least_recent)\\b".r
+  private val AggHeadRe = "(?i)^(count_distinct_approx|count_distinct|count|sum|avg|min|max|stddev|pct|first|last|most_recent|least_recent|values|median)\\b".r
   private val ExprAsRe = "(?is)^(.*\\S)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
 
   /** Parse one pipe stage. Grammar is the observed reference subset — anything
@@ -1501,6 +1501,18 @@ object SearchQuery {
               // exact interpolated percentile (the built-in sorts per group —
               // group cardinality bounds memory, not corpus size)
               percentile(col(resolveField(f)).try_cast("double"), lit(p / 100.0))
+                .as(alias)
+            case AggSpec("median", Some(f), alias, _) =>
+              // `median(x)` = `pct(x, 50)` — same interpolated percentile
+              percentile(col(resolveField(f)).try_cast("double"), lit(0.5))
+                .as(alias)
+            case AggSpec("values", Some(f), alias, _) =>
+              // distinct values of the field per group, rendered as the
+              // reference renders multi-value fields: comma-joined. Sorted
+              // for determinism (the reference leaves the order unspecified);
+              // collect_set is a hash-agg set union — group cardinality
+              // bounds memory, not corpus size.
+              array_join(array_sort(collect_set(col(resolveField(f)))), ",")
                 .as(alias)
             case bad => throw new IllegalArgumentException(s"bad aggregation: $bad")
           }

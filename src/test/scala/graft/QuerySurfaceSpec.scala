@@ -884,6 +884,27 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(math.abs(est - 500.0) / 500.0 < 0.05, s"estimate $est vs exact 500")
   }
 
+  test("Q1: values/median aggregates — sorted distinct rollup, pct(50) equivalence") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("values(et) as vs, median(v) as m by k") == AggStage(
+      Seq(AggSpec("values", Some("et"), "vs"), AggSpec("median", Some("v"), "m")),
+      Seq("k")))
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("a", "x", 4.0),
+      ("b", "z", 7.0)).toDF("k", "et", "v")
+    val out = compileStages(
+      Seq(parseStage("values(et) as vs, median(v) as m by k")), "ts", "msg")(df)
+      .orderBy("k").as[(String, String, Double)].collect().toSeq
+    // values: distinct + sorted + comma-joined; median interpolates (2.0 is
+    // the middle of 1,2,4)
+    assert(out == Seq(("a", "x,y", 2.0), ("b", "z", 7.0)))
+    // median == pct(v, 50) on the same input
+    val med = compileStages(Seq(parseStage("median(v) as m, pct(v, 50) as p by k")),
+      "ts", "msg")(df).where($"m" =!= $"p").count()
+    assert(med == 0)
+  }
+
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
     import SearchQuery._
     val s = spark
