@@ -1244,6 +1244,31 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- geoip range enrichment: bucket-exploded broadcast range join,
+    //      fact side never shuffles ----
+    "q111_piped_geoip" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" ip="),
+          col("user_id") % 25, lit("."), col("user_id") % 200, lit("."),
+          col("event_id") % 256, lit("."), col("event_id") % 100))
+      // the range db: one /8 block per nation (non-overlapping by build)
+      val geo = tbl(s, dir, "nation").select(
+        (col("n_nationkey").cast("long") * 16777216L).as("ip_start"),
+        ((col("n_nationkey").cast("long") + 1L) * 16777216L - 1L).as("ip_end"),
+        col("n_name").as("country"))
+      val q = "_sourceCategory=cat-1* | parse \"* ip=*\" as etype, ip" +
+        " | geoip ip country | count by country"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message",
+        Map("geoip" -> geo))(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2865,6 +2890,24 @@ object SparkEntry {
          SELECT uid, array_to_string(list_sort(list(DISTINCT etype)), ',') AS etypes,
            quantile_cont(v, 0.5) AS med_v, count(*) AS _count
          FROM p GROUP BY 1 ORDER BY uid""",
+    "q111_piped_geoip" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' ip='||(user_id%25)||'.'||(user_id%200)||'.'
+               ||(event_id%256)||'.'||(event_id%100) AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT regexp_extract(message, '(.*?)\Q ip=\E(.*)', 2) AS ip
+           FROM f WHERE regexp_matches(message, '(.*?)\Q ip=\E(.*)')),
+         n AS (SELECT CAST(string_split(ip, '.')[1] AS BIGINT)*16777216
+               + CAST(string_split(ip, '.')[2] AS BIGINT)*65536
+               + CAST(string_split(ip, '.')[3] AS BIGINT)*256
+               + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipnum FROM p),
+         g AS (SELECT CAST(n_nationkey AS BIGINT)*16777216 AS s,
+             (CAST(n_nationkey AS BIGINT)+1)*16777216-1 AS e,
+             n_name AS country FROM nation),
+         j AS (SELECT country FROM n LEFT JOIN g ON ipnum >= s AND ipnum <= e)
+         SELECT country, count(*) AS _count FROM j GROUP BY 1 ORDER BY country""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -449,6 +449,24 @@ object SearchQuery {
     */
   final case class LookupStage(outputs: Seq[String], table: String,
       on: Seq[(String, String)]) extends Stage
+  /** `geoip <ipField> [out1, out2…]` — IP-range enrichment (the reference
+    * language's geo/ASN lookup shape, with the range database supplied as
+    * a `geoip` lookup table instead of a bundled MaxMind file). The table
+    * maps inclusive, NON-OVERLAPPING unsigned-IPv4 ranges
+    * `(ip_start, ip_end)` to attribute columns; outputs default to every
+    * non-range column. Compiles to a bucket-exploded BROADCAST hash join:
+    * each dim range is exploded to the /16 buckets it spans (a /8 block is
+    * 256 rows — the multiplier is range-length/65536, so a geo-scale dim
+    * stays dim-sized), the fact side computes its bucket from the
+    * codegen'd `ipv4_to_number` kernel, and the bucket equi-join carries a
+    * residual start<=ip<=end filter. The fact side never shuffles and
+    * nothing plans a nested-loop range join. Non-overlap is validated at
+    * plan time with one bounded pass over the dim (geo databases are
+    * non-overlapping by construction) — that is what makes the left join
+    * at-most-one-match deterministic. Unparseable IPs enrich to null.
+    */
+  final case class GeoLookupStage(ipField: String,
+      outputs: Seq[String]) extends Stage
 
   /** `count_frequent f1[, f2…] [limit N]` — the N most frequent key
     * combinations (default 100, the reference API's page size) with their
@@ -802,6 +820,14 @@ object SearchQuery {
         case _ => throw new IllegalArgumentException(
           s"lookup needs 'lookup out[, out…] from table on left=right[, …]': $s")
       }
+    } else if (lower.startsWith("geoip ")) {
+      val parts = s.substring("geoip ".length).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(parts.nonEmpty, s"geoip needs 'geoip ipField [out1, out2…]': $s")
+      // first token is the ip field; anything after the field (space- or
+      // comma-separated) is an output selection
+      val head = parts.head.split("\\s+").toSeq
+      GeoLookupStage(head.head, head.tail ++ parts.tail)
     } else if (lower.startsWith("total ") || lower.startsWith("accum ")) {
       s match {
         case TotalAccumRe(kind, field, alias, by) =>
@@ -1544,6 +1570,42 @@ object SearchQuery {
           }.reduce(_ && _)
           df.join(broadcast(renamed), cond, "left")
             .drop(on.indices.map(i => s"_lk_$i"): _*)
+        case GeoLookupStage(ipField, outs) =>
+          val lk = lookups.getOrElse("geoip", {
+            val p = new java.io.File(s"${lookupDir(df.sparkSession)}/geoip")
+            require(p.exists,
+              "geoip needs a 'geoip' lookup table (ip_start, ip_end, attrs…) " +
+                "— register it via the lookups parameter or '| save geoip'")
+            df.sparkSession.read.parquet(p.toString)
+          })
+          require(lk.columns.contains("ip_start") && lk.columns.contains("ip_end"),
+            s"the geoip table needs ip_start/ip_end columns, got: ${lk.columns.mkString(",")}")
+          val attrs = if (outs.nonEmpty) outs
+            else lk.columns.filterNot(Set("ip_start", "ip_end")).toSeq
+          require(attrs.intersect(df.columns).isEmpty,
+            s"geoip outputs ${attrs.mkString(",")} collide with existing fields")
+          val ranges = lk.select(col("ip_start").cast("long").as("_gl_s") +:
+            col("ip_end").cast("long").as("_gl_e") +: attrs.map(col): _*)
+          // plan-time non-overlap validation: one bounded pass over the dim
+          // (single-partition window is fine HERE — this is the dimension,
+          // not the corpus; overlap would make match choice nondeterministic)
+          val w = org.apache.spark.sql.expressions.Window.orderBy("_gl_s")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+          val overlaps = ranges.select(col("_gl_s"), col("_gl_e"))
+            .withColumn("_prev_e", max(col("_gl_e")).over(w))
+            .where(col("_prev_e").isNotNull && col("_gl_s") <= col("_prev_e"))
+            .count()
+          require(overlaps == 0,
+            s"geoip ranges overlap ($overlaps violations) — matches would be ambiguous")
+          // /16 bucket explosion: equi-join key for the broadcast hash join
+          val dim = ranges.withColumn("_gl_b",
+            explode(sequence(shiftright(col("_gl_s"), 16), shiftright(col("_gl_e"), 16))))
+          val ipNum = graft.functions.ip.ipv4ToNumber(col(resolveField(ipField)))
+          df.join(broadcast(dim),
+              shiftright(ipNum, 16) === col("_gl_b") &&
+                ipNum >= col("_gl_s") && ipNum <= col("_gl_e"),
+              "left")
+            .drop("_gl_s", "_gl_e", "_gl_b")
         case FieldsStage(names) => df.select(names.map(n => col(resolveField(n))): _*)
         case FieldsExclude(names) => df.drop(names.map(resolveField): _*)
         case SortStage(keys) =>

@@ -136,6 +136,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"join must not sort-merge:\n$p")
   }
 
+  test("geoip plans a broadcast hash join on the bucket key, never a nested loop") {
+    import graft.operators.SearchQuery
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // a naive range join (ip between start and end) would plan
+    // BroadcastNestedLoopJoin — O(rows × ranges); the /16 bucket explosion
+    // turns it into an equi-join the fact side never shuffles for
+    val geo = (0 until 32).map(k =>
+      (k.toLong * 16777216L, (k + 1).toLong * 16777216L - 1, s"c$k"))
+      .toDF("ip_start", "ip_end", "country")
+    val src = spark.range(5000).select(
+      concat(col("id") % 32, lit("."), col("id") % 200, lit(".3.4")).as("srcip"),
+      timestamp_seconds(lit(1704067200L) + col("id")).as("ts"))
+    val df = SearchQuery.compileStages(Seq(SearchQuery.parseStage("geoip srcip")),
+      "ts", "m", Map("geoip" -> geo))(src)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"geoip should broadcast-hash-join on the bucket:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"geoip must not nested-loop:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"geoip must not shuffle the fact side:\n$p")
+  }
+
   test("the salted join spreads a hot key across salt partitions") {
     val s = spark
     import s.implicits._

@@ -905,6 +905,41 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(med == 0)
   }
 
+  test("Q2+: geoip — range enrichment, overlap rejection, unparseable-IP null") {
+    import SearchQuery._
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    assert(parseStage("geoip srcip") == GeoLookupStage("srcip", Seq.empty))
+    assert(parseStage("geoip srcip country, city") ==
+      GeoLookupStage("srcip", Seq("country", "city")))
+    val geo = Seq(
+      (0L, 16777215L, "zero", "z0"),          // 0.0.0.0/8
+      (167772160L, 184549375L, "ten", "t0"),  // 10.0.0.0/8
+      (3232235520L, 3232301055L, "lan", "l0") // 192.168.0.0/16
+    ).toDF("ip_start", "ip_end", "country", "code")
+    val df = Seq("10.1.2.3", "192.168.7.9", "8.8.8.8", "not-an-ip")
+      .toDF("srcip")
+    val out = compileStages(Seq(parseStage("geoip srcip country")),
+      "ts", "m", Map("geoip" -> geo))(df)
+      .as[(String, Option[String])].collect().toMap
+    assert(out == Map("10.1.2.3" -> Some("ten"), "192.168.7.9" -> Some("lan"),
+      "8.8.8.8" -> None, "not-an-ip" -> None))
+    // outputs default to every non-range column
+    val all = compileStages(Seq(parseStage("geoip srcip")),
+      "ts", "m", Map("geoip" -> geo))(df)
+    assert(all.columns.toSeq == Seq("srcip", "country", "code"))
+    // overlapping ranges are rejected at plan time, not silently ambiguous
+    val bad = Seq((0L, 100L, "a"), (50L, 200L, "b")).toDF("ip_start", "ip_end", "country")
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("geoip srcip")), "ts", "m", Map("geoip" -> bad))(df)
+      .collect())
+    // output-name collision with an existing field is rejected
+    intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("geoip srcip")), "ts", "m", Map("geoip" -> geo))(
+      df.withColumn("country", col("srcip"))).collect())
+  }
+
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
     import SearchQuery._
     val s = spark
