@@ -1269,6 +1269,28 @@ object SparkEntry {
         Map("geoip" -> geo))(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- trig expression surface (sin…atan2; rounded like q99's
+    //      transcendentals — JVM and C-library trig agree only to an ulp) ----
+    "q112_piped_trig" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | parse \"* user=*\" as etype, uid" +
+        " | num(uid) % 997 / 1000 as x" +
+        " | round(sin(x), 9) as sn | round(cos(x), 9) as cs" +
+        " | round(tan(x), 9) as tn | round(asin(x), 9) as asn" +
+        " | round(acos(x), 9) as acs | round(atan(x), 9) as atn" +
+        " | round(atan2(x, 1 - x), 9) as at2" +
+        " | count by etype, sn, cs, tn, asn, acs, atn, at2"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2908,6 +2930,26 @@ object SparkEntry {
              n_name AS country FROM nation),
          j AS (SELECT country FROM n LEFT JOIN g ON ipnum >= s AND ipnum <= e)
          SELECT country, count(*) AS _count FROM j GROUP BY 1 ORDER BY country""",
+    "q112_piped_trig" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         p AS (SELECT
+             regexp_extract(message, '(.*?)\Q user=\E(.*)', 1) AS etype,
+             TRY_CAST(regexp_extract(message, '(.*?)\Q user=\E(.*)', 2)
+               AS DOUBLE) % 997 / 1000 AS x
+           FROM f WHERE regexp_matches(message, '(.*?)\Q user=\E(.*)')),
+         e AS (SELECT etype,
+             round(sin(x), 9) AS sn, round(cos(x), 9) AS cs,
+             round(tan(x), 9) AS tn, round(asin(x), 9) AS asn,
+             round(acos(x), 9) AS acs, round(atan(x), 9) AS atn,
+             round(atan2(x, 1 - x), 9) AS at2
+           FROM p)
+         SELECT etype, sn, cs, tn, asn, acs, atn, at2, count(*) AS _count
+         FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+         ORDER BY etype, sn, cs, tn, asn, acs, atn, at2""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

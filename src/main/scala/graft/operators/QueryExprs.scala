@@ -371,6 +371,25 @@ object QueryExprs {
         lit(2.0 * 6371.0) * asin(sqrt(h))
       case ("todegrees", Seq(a)) => degrees(num(compile(a, resolve)))
       case ("toradians", Seq(a)) => radians(num(compile(a, resolve)))
+      // trig/hyperbolic surface — the rest of the reference language's
+      // Java-Math family; all built-in codegen'd Columns. Transcendentals
+      // are not IEEE-mandated correctly rounded, so cross-engine oracles
+      // round these (the q99 log/haversine convention).
+      case ("sin", Seq(a)) => sin(num(compile(a, resolve)))
+      case ("cos", Seq(a)) => cos(num(compile(a, resolve)))
+      case ("tan", Seq(a)) => tan(num(compile(a, resolve)))
+      case ("asin", Seq(a)) => asin(num(compile(a, resolve)))
+      case ("acos", Seq(a)) => acos(num(compile(a, resolve)))
+      case ("atan", Seq(a)) => atan(num(compile(a, resolve)))
+      case ("atan2", Seq(a, b)) =>
+        atan2(num(compile(a, resolve)), num(compile(b, resolve)))
+      case ("sinh", Seq(a)) => sinh(num(compile(a, resolve)))
+      case ("cosh", Seq(a)) => cosh(num(compile(a, resolve)))
+      case ("tanh", Seq(a)) => tanh(num(compile(a, resolve)))
+      case ("hypot", Seq(a, b)) =>
+        hypot(num(compile(a, resolve)), num(compile(b, resolve)))
+      case ("expm1", Seq(a)) => expm1(num(compile(a, resolve)))
+      case ("log1p", Seq(a)) => log1p(num(compile(a, resolve)))
       case ("urlencode", Seq(a)) =>
         url_encode(compile(a, resolve).cast("string"))
       case ("isnumeric", Seq(a)) => num(compile(a, resolve)).isNotNull

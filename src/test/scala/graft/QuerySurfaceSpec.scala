@@ -394,6 +394,24 @@ class QuerySurfaceSpec extends SparkSpec {
         math.cos(la1) * math.cos(la2) * math.pow(math.sin((lo2 - lo1) / 2), 2)))
     assert(math.abs(hv - expected) < 1e-9)
     assert(hv > 300 && hv < 400) // sanity: London→Paris is ~340 km
+    // trig/hyperbolic surface: exact Java-Math parity (Spark's kernels ARE
+    // java.lang.Math on the JVM — bit-identical, no tolerance needed)
+    val tr = compileStages(Seq(
+      parseStage("sin(v) as s"), parseStage("cos(v) as c"),
+      parseStage("tan(v) as t"), parseStage("asin(v) as as_"),
+      parseStage("acos(v) as ac"), parseStage("atan(v) as at"),
+      parseStage("atan2(v, 2) as a2"), parseStage("sinh(v) as sh"),
+      parseStage("cosh(v) as ch"), parseStage("tanh(v) as th"),
+      parseStage("hypot(v, 4) as hy"), parseStage("expm1(v) as em"),
+      parseStage("log1p(v) as lp")), "ts", "m")(
+      Seq(0.5).toDF("v"))
+      .select("s", "c", "t", "as_", "ac", "at", "a2", "sh", "ch", "th",
+        "hy", "em", "lp")
+      .collect().head.toSeq.map(_.asInstanceOf[Double])
+    assert(tr == Seq(math.sin(0.5), math.cos(0.5), math.tan(0.5),
+      math.asin(0.5), math.acos(0.5), math.atan(0.5), math.atan2(0.5, 2),
+      math.sinh(0.5), math.cosh(0.5), math.tanh(0.5), math.hypot(0.5, 4),
+      math.expm1(0.5), math.log1p(0.5)))
   }
 
   test("Q1: total and accum stages — grand totals and running totals") {
