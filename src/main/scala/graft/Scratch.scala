@@ -227,6 +227,37 @@ object Scratch {
           .filter(want).foreach(run)
       }
     }
+    // geoip scaling drill: the stage is a bucket-exploded broadcast hash
+    // join — one dim-sized explosion + one codegen'd ipv4_to_number probe
+    // per row. Time should scale linearly with n and stay flat in range
+    // count (the dim never leaves broadcast size).
+    // SPARK_GRAFT_GEOIP_SCALE=1000000,10000000; SPARK_GRAFT_GEOIP_RANGES
+    // sets the dim cardinality (default 100000 — MaxMind-city scale is ~3M).
+    sys.env.get("SPARK_GRAFT_GEOIP_SCALE").foreach { spec =>
+      import graft.operators.SearchQuery
+      val nRanges = sys.env.get("SPARK_GRAFT_GEOIP_RANGES")
+        .map(_.toInt).getOrElse(100000)
+      // non-overlapping contiguous slices of the full 32-bit space
+      val width = (4294967296L / nRanges).max(2L)
+      val geo = spark.range(nRanges).select(
+        (col("id") * width).as("ip_start"),
+        ((col("id") + 1) * width - 1).as("ip_end"),
+        concat(lit("c"), col("id") % 250).as("country"))
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        val fact = spark.range(n).select(
+          concat(col("id") * 2654435761L % 256, lit("."),
+            col("id") * 40503L % 256, lit("."), col("id") % 256, lit("."),
+            (col("id") * 7) % 256).as("srcip"),
+          timestamp_seconds(lit(1704067200L) + col("id")).as("ts"))
+        def mk = SearchQuery.compileStages(
+          Seq(SearchQuery.parseStage("geoip srcip")),
+          "ts", "m", Map("geoip" -> geo))(fact)
+        mk.write.format("noop").mode("overwrite").save() // warm
+        time(s"geoip n=$n ranges=$nRanges") {
+          mk.write.format("noop").mode("overwrite").save(); -1L
+        }
+      }
+    }
     // logreduce scaling drill: the signature mask is a 4-regex chain over
     // every message — the dominant cost is per-row regex work, so the shape
     // question is pure throughput (rows/s flat as n grows), not shuffle
