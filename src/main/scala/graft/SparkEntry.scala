@@ -1291,6 +1291,24 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- outlier direction/consecutive params: one-sided band breach,
+    //      violation only after C consecutive breaches ----
+    "q113_piped_outlier_consecutive" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | timeslice 1d | count by _timeslice" +
+        " | sort by _timeslice asc" +
+        " | outlier _count window=7,threshold=0.5,consecutive=2,direction=+"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -2950,6 +2968,42 @@ object SparkEntry {
          SELECT etype, sn, cs, tn, asn, acs, atn, at2, count(*) AS _count
          FROM e GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
          ORDER BY etype, sn, cs, tn, asn, acs, atn, at2""",
+    "q113_piped_outlier_consecutive" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             count(*) AS _count
+           FROM f GROUP BY 1),
+         sm AS (SELECT _timeslice, _count,
+             CAST(count(*) OVER wx AS DOUBLE) AS xc,
+             CAST(sum(CAST(_count AS DECIMAL(18,6))) OVER wx AS DOUBLE) AS xs,
+             CAST(sum(CAST(_count AS DECIMAL(18,6))
+               * CAST(_count AS DECIMAL(18,6))) OVER wx AS DOUBLE) AS xq
+           FROM c
+           WINDOW wx AS (ORDER BY _timeslice
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         b AS (SELECT _timeslice, _count,
+             xs / xc AS mean,
+             CASE WHEN xc > 1
+               THEN sqrt(greatest((xq - (xs*xs/xc)) / (xc - 1.0), 0.0)) END AS std
+           FROM sm),
+         o AS (SELECT _timeslice, _count,
+             mean - 0.5*std AS _lower, mean + 0.5*std AS _upper FROM b),
+         r AS (SELECT _timeslice, _count, _lower, _upper,
+             CASE WHEN _lower IS NOT NULL AND _count > _upper
+               THEN 1 ELSE 0 END AS raw FROM o),
+         v AS (SELECT _timeslice, _count, _lower, _upper,
+             CAST(CASE WHEN count(*) OVER w2 = 2 AND sum(raw) OVER w2 = 2
+               THEN 1 ELSE 0 END AS BIGINT) AS _violation
+           FROM r
+           WINDOW w2 AS (ORDER BY _timeslice
+               ROWS BETWEEN 1 PRECEDING AND CURRENT ROW))
+         SELECT _timeslice, _count, _lower, _upper, _violation
+         FROM v ORDER BY _timeslice""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

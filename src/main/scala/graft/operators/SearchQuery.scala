@@ -392,12 +392,17 @@ object SearchQuery {
     */
   final case class SmoothStage(field: String, window: Int, alias: String,
       by: Seq[String]) extends Stage
-  /** `outlier field [window=N] [threshold=T] [by k1, k2]` — rolling
-    * mean/stddev band over the N rows ENDING AT THE PREVIOUS row (current
-    * point excluded — a spike must not inflate its own band), flagging
-    * `_violation`=1 when the value falls outside mean ± T·std; adds
-    * `_lower`/`_upper` (null until the trailing window has ≥2 values).
-    * Defaults: window 10, threshold 3.
+  /** `outlier field [window=N] [threshold=T] [consecutive=C]
+    * [direction=+-] [by k1, k2]` (parameters comma- or space-separated, any
+    * order) — rolling mean/stddev band over the N rows ENDING AT THE
+    * PREVIOUS row (current point excluded — a spike must not inflate its
+    * own band), flagging `_violation`=1 when the value falls outside
+    * mean ± T·std; adds `_lower`/`_upper` (null until the trailing window
+    * has ≥2 values). `direction` restricts breaches to above (`+`), below
+    * (`-`), or both (`+-`, default); `consecutive=C` marks a violation
+    * only when the C points ending at it all breach (a trailing sum over
+    * the breach flag on the same rolling engine). Defaults: window 10,
+    * threshold 3, consecutive 1, direction `+-`.
     *
     * Both stages require an upstream `sort by`. Grouped forms are ordered
     * windows per key (one shuffle). The GLOBAL forms never use an
@@ -408,7 +413,8 @@ object SearchQuery {
     * frame lagged `window` ranks — shuffle-parallel end to end.
     */
   final case class OutlierStage(field: String, window: Int, threshold: Double,
-      by: Seq[String]) extends Stage
+      by: Seq[String], consecutive: Int = 1,
+      direction: String = "+-") extends Stage
   /** `backshift field [N] [as alias] [by k1, k2]` — the field's value N rows
     * earlier (default 1) in the CURRENT sort order, null where no earlier row
     * exists; default alias `_backshift`. The value keeps its source type —
@@ -654,9 +660,6 @@ object SearchQuery {
   private val SmoothRe =
     ("(?i)smooth\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
       "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
-  private val OutlierRe =
-    ("(?i)outlier\\s+([A-Za-z0-9_]+)(?:\\s+window=(\\d+))?" +
-      "(?:\\s+threshold=([0-9.]+))?(?:\\s+by\\s+(.+))?").r
   private val BackshiftRe =
     ("(?i)backshift\\s+([A-Za-z0-9_]+)(?:\\s+(\\d+))?" +
       "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
@@ -848,13 +851,34 @@ object SearchQuery {
           s"smooth needs 'smooth field [window=N] [as alias] [by k1, k2…]': $s")
       }
     } else if (lower.startsWith("outlier ")) {
-      s match {
-        case OutlierRe(f, win, t, by) =>
-          OutlierStage(f, Option(win).map(_.toInt).getOrElse(10),
-            Option(t).map(_.toDouble).getOrElse(3.0), splitKeys(by))
-        case _ => throw new IllegalArgumentException(
-          s"outlier needs 'outlier field [window=N] [threshold=T] [by k1, k2…]': $s")
+      // key=value parameters in any order, comma- or space-separated (the
+      // reference accepts `window=5,threshold=3,consecutive=2,direction=+-`)
+      val body = s.substring("outlier ".length).trim
+      val byIdx = "(?i)\\bby\\b".r.findFirstMatchIn(body).map(_.start)
+      val (paramPart, byPart) = byIdx match {
+        case Some(i) => (body.substring(0, i).trim, body.substring(i + 2).trim)
+        case None => (body, "")
       }
+      val toks = paramPart.split("[\\s,]+").filter(_.nonEmpty)
+      require(toks.nonEmpty && !toks.head.contains("="),
+        s"outlier needs 'outlier field [window=N] [threshold=T] " +
+          s"[consecutive=C] [direction=+-] [by k1, k2…]': $s")
+      val kv = toks.tail.map { tk =>
+        val p = tk.split("=", 2)
+        require(p.length == 2 && p.forall(_.nonEmpty),
+          s"outlier parameters are key=value, got '$tk': $s")
+        (p(0).toLowerCase, p(1))
+      }.toMap
+      val unknown = kv.keySet -- Set("window", "threshold", "consecutive", "direction")
+      require(unknown.isEmpty, s"unknown outlier parameter(s) ${unknown.mkString(",")}: $s")
+      val dir = kv.getOrElse("direction", "+-")
+      require(Set("+", "-", "+-", "-+")(dir),
+        s"outlier direction must be +, - or +-: $s")
+      val consec = kv.get("consecutive").map(_.toInt).getOrElse(1)
+      require(consec >= 1, s"outlier consecutive must be >= 1: $s")
+      OutlierStage(toks.head, kv.get("window").map(_.toInt).getOrElse(10),
+        kv.get("threshold").map(_.toDouble).getOrElse(3.0), splitKeys(byPart),
+        consec, if (dir == "-+") "+-" else dir)
     } else if (lower.startsWith("compare ")) {
       s match {
         case CompareRe(dur, field) =>
@@ -1681,7 +1705,7 @@ object SearchQuery {
             .withColumn(alias, try_divide(col("_rw_sum").cast("double"),
               col("_rw_cnt").cast("double")))
             .drop("_rw_cnt", "_rw_sum", "_rw_q")
-        case OutlierStage(field, win, t, by) =>
+        case OutlierStage(field, win, t, by, consec, dir) =>
           require(Seq("_lower", "_upper", "_violation").forall(n => !df.columns.contains(n)),
             "outlier output columns _lower/_upper/_violation already exist")
           require(order.nonEmpty,
@@ -1704,13 +1728,33 @@ object SearchQuery {
               try_divide(q - try_divide(sm * sm, cnt), cnt - lit(1.0)),
               lit(0.0))))
           val vd = v.try_cast("double")
-          m.withColumn("_lower", (mean - lit(t) * std).cast("double"))
+          val banded = m
+            .withColumn("_lower", (mean - lit(t) * std).cast("double"))
             .withColumn("_upper", (mean + lit(t) * std).cast("double"))
-            .withColumn("_violation",
-              when(col("_lower").isNotNull && vd.isNotNull &&
-                (vd < col("_lower") || vd > col("_upper")), lit(1L))
-                .otherwise(lit(0L)))
             .drop("_rw_cnt", "_rw_sum", "_rw_q")
+          // direction gates which side of the band counts as a breach
+          val breach = dir match {
+            case "+" => vd > col("_upper")
+            case "-" => vd < col("_lower")
+            case _ => vd < col("_lower") || vd > col("_upper")
+          }
+          val rawFlag = when(col("_lower").isNotNull && vd.isNotNull && breach,
+            lit(1L)).otherwise(lit(0L))
+          if (consec <= 1) banded.withColumn("_violation", rawFlag)
+          else {
+            // consecutive=C: a point is a violation only when the C points
+            // ENDING AT IT all breach — a trailing sum over the breach flag
+            // on the SAME rolling engine (grouped: ordered window per key;
+            // global: rank + lag-join, still no single-partition exchange)
+            val f = banded.withColumn("_out_flag", rawFlag)
+            withRollingMoments(f, order, by, col("_out_flag"), consec,
+              includeCurrent = true)
+              .withColumn("_violation",
+                when(col("_rw_cnt") === consec &&
+                  col("_rw_sum").cast("double") === consec.toDouble, lit(1L))
+                  .otherwise(lit(0L)))
+              .drop("_rw_cnt", "_rw_sum", "_rw_q", "_out_flag")
+          }
         case CompareTimeshiftStage(sec, spec, fieldName) =>
           require(df.columns.contains("_timeslice"),
             "compare with timeshift needs an upstream timeslice stage")

@@ -492,6 +492,34 @@ class QuerySurfaceSpec extends SparkSpec {
         !(col("_violation") <=> col("v2")))
       .count()
     assert(mismatch == 0)
+
+    // direction / consecutive params (comma- or space-separated, any order)
+    assert(parseStage("outlier v window=5,threshold=2.5,consecutive=2,direction=+") ==
+      OutlierStage("v", 5, 2.5, Seq.empty, 2, "+"))
+    assert(parseStage("outlier v direction=- window=4 by k") ==
+      OutlierStage("v", 4, 3.0, Seq("k"), 1, "-"))
+    intercept[IllegalArgumentException](parseStage("outlier v direction=up"))
+    intercept[IllegalArgumentException](parseStage("outlier v windw=5"))
+    // direction=+ flags only the high side: a downward spike passes
+    val dd = Seq((1, 5.0), (2, 6.0), (3, 5.0), (4, -20.0), (5, 30.0))
+      .toDF("id", "v")
+    def flags(stage: String): Seq[Long] =
+      compileStages(Seq(parseStage("sort by id asc"), parseStage(stage)),
+        "ts", "m")(dd).orderBy("id").select("_violation").as[Long].collect().toSeq
+    assert(flags("outlier v window=3 threshold=1 direction=+") ==
+      Seq(0L, 0L, 0L, 0L, 1L))
+    assert(flags("outlier v window=3 threshold=1 direction=-") ==
+      Seq(0L, 0L, 0L, 1L, 0L))
+    // consecutive=2: a lone breach is not a violation; the second of two
+    // back-to-back breaches is
+    // row 6 = 40 sits INSIDE the (5,50,60)-window band — a third flag there
+    // would be a real breach (5 would be: lower ≈ 9), ending the run cleanly
+    val cc = Seq((1, 5.0), (2, 6.0), (3, 5.0), (4, 50.0), (5, 60.0), (6, 40.0))
+      .toDF("id", "v")
+    val cons = compileStages(Seq(parseStage("sort by id asc"),
+      parseStage("outlier v window=3,threshold=1,consecutive=2")), "ts", "m")(cc)
+      .orderBy("id").select("_violation").as[Long].collect().toSeq
+    assert(cons == Seq(0L, 0L, 0L, 0L, 1L, 0L))
   }
 
   test("Q1: parse multi / keyvalue / csv / split — one-to-many and delimited extraction") {
