@@ -1309,6 +1309,26 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- queryStartTime/queryEndTime: job-range constants in
+    //      expressions ----
+    "q114_piped_query_range" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val from = lit("2024-01-01").cast("timestamp")
+      val to = lit("2024-03-01").cast("timestamp")
+      val q = "_sourceCategory=cat-1*" +
+        " | floor((toMillis(ts) - queryStartTime()) / 86400000) as day_idx" +
+        " | (queryEndTime() - queryStartTime()) / 86400000 as range_days" +
+        " | count by day_idx, range_days"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev.filter(col("ts") >= from && col("ts") < to)
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message",
+        queryRange = Some((from, to)))(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -3004,6 +3024,18 @@ object SparkEntry {
                ROWS BETWEEN 1 PRECEDING AND CURRENT ROW))
          SELECT _timeslice, _count, _lower, _upper, _violation
          FROM v ORDER BY _timeslice""",
+    "q114_piped_query_range" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         e AS (SELECT
+             floor((CAST(epoch_ms(ts) AS DOUBLE) - 1704067200000.0) / 86400000)
+               AS day_idx,
+             (1709251200000.0 - 1704067200000.0) / 86400000 AS range_days
+           FROM f)
+         SELECT day_idx, range_days, count(*) AS _count
+         FROM e GROUP BY 1, 2 ORDER BY day_idx, range_days""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

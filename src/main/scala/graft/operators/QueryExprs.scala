@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object QueryExprs {
 
+  /** Virtual field names `queryStartTime()`/`queryEndTime()` resolve
+    * through: the compile host that knows the job's [from, to) range maps
+    * these to constant epoch-millis Columns (SearchQuery.compileStages via
+    * its `queryRange` parameter); anywhere else they throw a named error
+    * instead of silently evaluating to null.
+    */
+  val QueryStartField = "__query_start__"
+  val QueryEndField = "__query_end__"
+
   sealed trait Expr
   final case class NumLit(text: String) extends Expr // kept verbatim for longs
   final case class StrLit(s: String) extends Expr
@@ -403,6 +412,8 @@ object QueryExprs {
         // constant-folded once per query, so every row sees the same value
         // (the reference language's now() contract)
         unix_millis(current_timestamp()).cast("double")
+      case ("querystarttime", Seq()) => resolve(QueryStartField)
+      case ("queryendtime", Seq()) => resolve(QueryEndField)
       case ("ipv4tonumber", Seq(a)) =>
         // unsigned 32-bit value fits a double exactly; malformed → null.
         // Codegen'd kernel scan (graft.functions.Ipv4ToNumber)

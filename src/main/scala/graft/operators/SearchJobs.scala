@@ -234,7 +234,8 @@ object SearchJobs {
         // subqueries search the same source over the same time window
         SearchQuery.compileStages(piped.stages, timeCol, messageCol, lookups,
           source = Some(base.filter(
-            col(timeCol) >= fromTime && col(timeCol) < toTime))),
+            col(timeCol) >= fromTime && col(timeCol) < toTime)),
+          queryRange = Some((fromTime, toTime))),
         SearchQuery.recordsOrderBy(piped.stages)))
     create(base, parts.head, fromTime, toTime, col(timeCol), col(messageCol),
       orderBy, records, jobRoot)

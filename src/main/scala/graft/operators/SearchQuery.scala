@@ -1253,7 +1253,25 @@ object SearchQuery {
   def compileStages(stages: Seq[Stage], timeColName: String,
       messageColName: String,
       lookups: Map[String, DataFrame] = Map.empty,
-      source: Option[DataFrame] = None): DataFrame => DataFrame = { df0 =>
+      source: Option[DataFrame] = None,
+      queryRange: Option[(Column, Column)] = None): DataFrame => DataFrame = { df0 =>
+    // queryStartTime()/queryEndTime() resolve through these virtual names —
+    // epoch millis as the language's uniform double, constant across rows
+    // (the host that knows the job's [from, to) range supplies it;
+    // SearchJobs.createPiped always does)
+    val resolveExpr: String => Column = {
+      case QueryExprs.QueryStartField => queryRange.map(r =>
+        unix_millis(r._1.try_cast("timestamp")).cast("double")).getOrElse(
+        throw new IllegalArgumentException(
+          "queryStartTime() needs the job's time range — run the query " +
+            "through SearchJobs.createPiped or pass queryRange"))
+      case QueryExprs.QueryEndField => queryRange.map(r =>
+        unix_millis(r._2.try_cast("timestamp")).cast("double")).getOrElse(
+        throw new IllegalArgumentException(
+          "queryEndTime() needs the job's time range — run the query " +
+            "through SearchJobs.createPiped or pass queryRange"))
+      case n => col(resolveField(n))
+    }
     var order = Seq.empty[(String, Boolean)]
     var sliceSec = Option.empty[Long] // last timeslice step, fillmissing's default
     stages.foldLeft(df0) { (df, stage) =>
@@ -1360,7 +1378,7 @@ object SearchQuery {
           }
           df.filter(pred)
         case WhereExpr(expr) =>
-          df.filter(QueryExprs.compilePredicate(expr, n => col(resolveField(n))))
+          df.filter(QueryExprs.compilePredicate(expr, resolveExpr))
         case WhereInSubquery(fieldName, sub) =>
           val src = source.getOrElse(throw new IllegalArgumentException(
             "where … in [subquery: …] needs the searchable source — pass " +
@@ -1570,7 +1588,7 @@ object SearchQuery {
             .map((_, false))
           df.groupBy(by.map(n => col(resolveField(n))): _*).agg(cols.head, cols.tail: _*)
         case ExprStage(expr, alias) =>
-          df.withColumn(alias, QueryExprs.compile(expr, n => col(resolveField(n))))
+          df.withColumn(alias, QueryExprs.compile(expr, resolveExpr))
         case LookupStage(outputs, table, on) =>
           val lk = lookups.getOrElse(table, {
             // fall back to the saved-table store (`| save <table>`) — the

@@ -986,6 +986,26 @@ class QuerySurfaceSpec extends SparkSpec {
       df.withColumn("country", col("srcip"))).collect())
   }
 
+  test("Q1: queryStartTime/queryEndTime — job-range constants, named error without a range") {
+    import SearchQuery._
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = spark
+    import s.implicits._
+    val df = Seq(1, 2).toDF("id")
+    val from = lit("2024-01-01 00:00:00").cast("timestamp")
+    val to = lit("2024-02-01 00:00:00").cast("timestamp")
+    val out = compileStages(Seq(parseStage(
+      "(queryEndTime() - queryStartTime()) / 86400000 as days"),
+      parseStage("queryStartTime() as qs")), "ts", "m",
+      queryRange = Some((from, to)))(df)
+      .select("days", "qs").as[(Double, Double)].collect().toSeq
+    assert(out == Seq((31.0, 1704067200000.0), (31.0, 1704067200000.0)))
+    // without a range the functions throw a NAMED error, not a null column
+    val err = intercept[IllegalArgumentException](compileStages(
+      Seq(parseStage("queryStartTime() as qs")), "ts", "m")(df))
+    assert(err.getMessage.contains("queryStartTime"))
+  }
+
   test("Q1: stddev/pct aggregates — paren-aware spec split, exact moments, interpolation") {
     import SearchQuery._
     val s = spark
