@@ -235,8 +235,13 @@ object Bench {
     val qs = (results :+ ("stream_e2e" -> streamSecs))
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + math.max(streamSecs, 0.0)
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"sf":"$sfDir"}"""
+    // Crashed queries record a -1.0 sentinel in `queries` but must NOT be
+    // summed into the total (r7 published a meaningless `total: -43.894`).
+    // An honest partial run is a positive total over what ran + an explicit
+    // failure count.
+    val nFailed = results.count(_._2 < 0) + (if (streamSecs < 0) 1 else 0)
+    val total = results.map(_._2).filter(_ >= 0).sum + math.max(streamSecs, 0.0)
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"sf":"$sfDir"}"""
     // Full per-query blob goes to a FILE (it has never fit the driver's
     // output-tail window — 75 query names alone overflow it); stdout gets
     // the per-query lines above plus one SHORT final line that always fits
@@ -250,6 +255,6 @@ object Bench {
     // line, not interleaved with executor-shutdown log noise.
     spark.sparkContext.setLogLevel("ERROR")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
   }
 }

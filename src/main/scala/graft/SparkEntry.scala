@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,15 +17,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object SparkEntry {
 
-  /** Reads a TESTDATA table. events.parquet carries TIMESTAMP(NANOS) which
-    * Spark has no native type for: read as long ns (legacy conf) and floor to
-    * microseconds with integer division (`div` — a double division would lose
-    * precision at 1e18 ns magnitudes).
+  /** Reads a TESTDATA table. The corpus has carried `events.ts` under two
+    * physical encodings across regenerations — TIMESTAMP(NANOS) (no native
+    * Spark type: read as long ns via legacy conf, floor to µs with integer
+    * `div`) and TIMESTAMP_MICROS (read as TIMESTAMP_NTZ). Branch on the
+    * LOADED schema rather than assuming one, so a corpus drift degrades to
+    * nothing instead of an AnalysisException. The NTZ→TIMESTAMP cast is a
+    * wall-clock reinterpretation under the UTC session, keeping
+    * `unix_timestamp`/`date_format`/timeslice semantics identical to the
+    * nanos path.
     */
   private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType            => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType    => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                   => df // already session-TZ timestamp
+    }
     else df
   }
 
@@ -52,9 +61,21 @@ object SparkEntry {
   private[graft] def pinSorted(df: DataFrame, keys: String*): DataFrame =
     df.localCheckpoint(true).orderBy(keys.head, keys.tail: _*)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+  /** Every TESTDATA table the corpus ships; the smoke touches all of them. */
+  private[graft] val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Corpus-drift early warning: first force a read of EVERY table (count(1)
+    * resolves the schema and runs the scan, so an encoding/schema drift —
+    * like r7's events.ts TIMESTAMP_MICROS regeneration — fails the first
+    * driver smoke loudly instead of silently emptying the mid-round gate).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    allTables.foreach(t => tbl(spark, dir, t).select(count(lit(1))).collect())
+    queries("q1_pricing_summary")(spark, dir)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

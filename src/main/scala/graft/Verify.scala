@@ -28,7 +28,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Loud failure: a sidecar the gate surfaces as a red `err` row.
+        // r7 proved that a silent stderr print turns 77 failures into 77
+        // *absent* rows — a correctness gate must never under-report.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        Files.writeString(Paths.get(s"$outDir/$name._ERROR"),
+          s"${e.getClass.getName}: ${msg.take(2000)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1639,15 +1639,41 @@ object SearchQuery {
             .count()
           require(overlaps == 0,
             s"geoip ranges overlap ($overlaps violations) — matches would be ambiguous")
-          // /16 bucket explosion: equi-join key for the broadcast hash join
-          val dim = ranges.withColumn("_gl_b",
+          // Two-level bucket explosion: the equi-key for the broadcast hash
+          // join. A /16-only scheme is linear in range WIDTH (an all-space
+          // range explodes to 65 536 bucket rows); ranges spanning more than
+          // 256 /16-buckets (wider than a /8) bucket at /8 instead, capping
+          // every range at ≤256 bucket rows — broadcast size stays linear in
+          // range COUNT, flat in width. Ranges are non-overlapping (validated
+          // above), so an IP matches at most one level and a per-attr
+          // coalesce merges the two left joins losslessly.
+          val wideCut = 256L
+          val spanB = shiftright(col("_gl_e"), 16) - shiftright(col("_gl_s"), 16)
+          val dim = ranges.where(spanB < wideCut).withColumn("_gl_b",
             explode(sequence(shiftright(col("_gl_s"), 16), shiftright(col("_gl_e"), 16))))
+          val nWide = ranges.where(spanB >= wideCut).count() // bounded dim pass
           val ipNum = graft.functions.ip.ipv4ToNumber(col(resolveField(ipField)))
-          df.join(broadcast(dim),
+          val joined16 = df.join(broadcast(dim),
               shiftright(ipNum, 16) === col("_gl_b") &&
                 ipNum >= col("_gl_s") && ipNum <= col("_gl_e"),
               "left")
             .drop("_gl_s", "_gl_e", "_gl_b")
+          if (nWide == 0) joined16
+          else {
+            val wideDim = ranges.where(spanB >= wideCut)
+              .select(col("_gl_s").as("_glw_s") +: col("_gl_e").as("_glw_e") +:
+                attrs.map(a => col(a).as(s"_glw_$a")): _*)
+              .withColumn("_glw_b",
+                explode(sequence(shiftright(col("_glw_s"), 24), shiftright(col("_glw_e"), 24))))
+            val joined = joined16.join(broadcast(wideDim),
+                shiftright(ipNum, 24) === col("_glw_b") &&
+                  ipNum >= col("_glw_s") && ipNum <= col("_glw_e"),
+                "left")
+            attrs.foldLeft(joined) { (d, a) =>
+              d.withColumn(a, coalesce(col(a), col(s"_glw_$a")))
+            }.drop("_glw_s", "_glw_e", "_glw_b")
+              .drop(attrs.map(a => s"_glw_$a"): _*)
+          }
         case FieldsStage(names) => df.select(names.map(n => col(resolveField(n))): _*)
         case FieldsExclude(names) => df.drop(names.map(resolveField): _*)
         case SortStage(keys) =>

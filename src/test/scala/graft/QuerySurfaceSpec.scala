@@ -986,6 +986,33 @@ class QuerySurfaceSpec extends SparkSpec {
       df.withColumn("country", col("srcip"))).collect())
   }
 
+  test("Q2+: geoip — adversarially wide ranges take the /8 bucket level") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // 1.0.0.0–100.255.255.255 spans ~25 600 /16-buckets: under the old
+    // single-level scheme this ONE range explodes to 25 600 broadcast rows;
+    // the two-level path caps it at ≤256 (/8 buckets). Mixed with a narrow
+    // range to exercise the per-attr coalesce of the two left joins.
+    val geo = Seq(
+      (16777216L, 1694498815L, "wide", "w0"),
+      (3232235520L, 3232301055L, "lan", "l0")
+    ).toDF("ip_start", "ip_end", "country", "code")
+    val df = Seq("8.8.8.8", "100.255.255.255", "192.168.7.9", "101.0.0.0")
+      .toDF("srcip")
+    val out = compileStages(Seq(parseStage("geoip srcip country")),
+      "ts", "m", Map("geoip" -> geo))(df)
+      .as[(String, Option[String])].collect().toMap
+    assert(out == Map("8.8.8.8" -> Some("wide"),
+      "100.255.255.255" -> Some("wide"), "192.168.7.9" -> Some("lan"),
+      "101.0.0.0" -> None))
+    // default-attrs path carries both columns through the coalesce merge
+    val all = compileStages(Seq(parseStage("geoip srcip")),
+      "ts", "m", Map("geoip" -> geo))(df)
+    assert(all.columns.toSeq == Seq("srcip", "country", "code"))
+    assert(all.where($"srcip" === "8.8.8.8").select("code").head.getString(0) == "w0")
+  }
+
   test("Q1: queryStartTime/queryEndTime — job-range constants, named error without a range") {
     import SearchQuery._
     import org.apache.spark.sql.functions.{col, lit}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Pins SparkEntry.tbl's tolerance of every `events.ts` physical encoding the
+  * driver corpus has shipped. Round 7 was lost because `tbl` hard-coded the
+  * TIMESTAMP(NANOS)-as-long encoding and the regenerated corpus switched to
+  * TIMESTAMP_MICROS — this spec makes the next drift a red test, not a dead
+  * round.
+  */
+class TblEncodingSpec extends SparkSpec {
+
+  // One event at 2024-01-01T00:00:01.5Z, expressed under each encoding.
+  private val micros = 1704067201500000L
+
+  private def writeEvents(mk: => org.apache.spark.sql.DataFrame): String = {
+    val dir = Files.createTempDirectory("tblenc").toString
+    mk.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def readTs(dir: String): (Any, Any) = {
+    val df = SparkEntry.tbl(spark, dir, "events")
+    (df.schema("ts").dataType, df.select(unix_micros(col("ts"))).head.getLong(0))
+  }
+
+  test("long nanos encoding floors to identical micros timestamp") {
+    val s = spark; import s.implicits._
+    // nanos-as-long: the legacy TIMESTAMP(NANOS) read surfaces a LongType ts
+    val dir = writeEvents(Seq((1L, micros * 1000L + 999L)).toDF("event_id", "ts"))
+    val (dt, us) = readTs(dir)
+    assert(dt === TimestampType)
+    assert(us === micros) // sub-µs nanos floored, not rounded
+  }
+
+  test("TIMESTAMP_MICROS (NTZ) encoding reads as same wall-clock timestamp") {
+    val s = spark; import s.implicits._
+    val ntz = Seq(1L).toDF("event_id")
+      .withColumn("ts", timestamp_micros(lit(micros)).cast(TimestampNTZType))
+    assert(ntz.schema("ts").dataType === TimestampNTZType) // fixture really is NTZ
+    val (dt, us) = readTs(writeEvents(ntz))
+    assert(dt === TimestampType)
+    assert(us === micros)
+  }
+
+  test("session-TZ timestamp encoding passes through unchanged") {
+    val s = spark; import s.implicits._
+    val tz = Seq(1L).toDF("event_id").withColumn("ts", timestamp_micros(lit(micros)))
+    val (dt, us) = readTs(writeEvents(tz))
+    assert(dt === TimestampType)
+    assert(us === micros)
+  }
+}

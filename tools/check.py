@@ -43,6 +43,11 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        err_marker = f"{out_dir}/{name}._ERROR"
+        if os.path.exists(err_marker):
+            print(f"FAIL {name}: spark error: {open(err_marker).read()[:300]}")
+            n_fail += 1
+            continue
         spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_glob:
             print(f"FAIL {name}: no spark output")
