@@ -1440,9 +1440,7 @@ object SearchQuery {
             require(Seq("_sz_pid", "_sz_flag", "_sz_rn")
               .forall(n => !df.columns.contains(n)),
               "input already carries internal _sz_* columns")
-            val sorted = df.orderBy(col(timeColName))
-              .withColumn("_sz_pid", spark_partition_id())
-              .localCheckpoint(true)
+            val sorted = pinSortedByPid(df, Seq(col(timeColName)), "_sz_pid")
             val spark = sorted.sparkSession
             import spark.implicits._
             val wp = W.partitionBy("_sz_pid").orderBy(col(timeColName))
@@ -1717,9 +1715,7 @@ object SearchQuery {
             // fold per-partition subtotals into bases driver-side (one row
             // per partition — bounded), add the broadcast base to a
             // partition-LOCAL running sum
-            val sorted = df.orderBy(sortColumns(order): _*)
-              .withColumn("_ac_pid", spark_partition_id())
-              .localCheckpoint(true)
+            val sorted = pinSortedByPid(df, sortColumns(order), "_ac_pid")
             val spark = sorted.sparkSession
             import spark.implicits._
             val parts = sorted.groupBy("_ac_pid").agg(sum(dec).as("_s")).collect()
@@ -2106,9 +2102,7 @@ object SearchQuery {
         .withColumn("_rw_sum", sum(dec).over(win))
         .withColumn("_rw_q", sum(dec * dec).over(win))
     } else {
-      val sorted = df.orderBy(sortColumns(order): _*)
-        .withColumn("_rw_pid", spark_partition_id())
-        .localCheckpoint(true)
+      val sorted = pinSortedByPid(df, sortColumns(order), "_rw_pid")
       val spark = sorted.sparkSession
       import spark.implicits._
       def bd(r: org.apache.spark.sql.Row, i: Int): BigDecimal =
@@ -2194,26 +2188,57 @@ object SearchQuery {
   def sortColumns(orderBy: Seq[(String, Boolean)]): Seq[Column] =
     orderBy.map { case (k, desc) => if (desc) col(k).desc else col(k) }
 
+  /** Pin a globally-sorted frame, stamped with its partition id, so the
+    * bounded driver pass (per-partition counts/subtotals) and the
+    * per-partition window pass of every two-pass global stage (accum, global
+    * rank, sessionize, rolling moments) see ONE range sampling — a global
+    * sort re-executes its child per action otherwise, and two samplings can
+    * disagree on boundaries.
+    *
+    * Working sets under `spark.graft.pin.spillBytes` (plan-stat estimate;
+    * default 4 GiB) pin to executor block storage via eager localCheckpoint —
+    * no extra I/O, blocks release on GC. Larger frames LAND as parquet under
+    * `spark.graft.scratch.dir` and are read back: the [[SearchJobs]]
+    * materialization shape made automatic, so a 100 TB global stage spills to
+    * (shared) storage instead of holding the working set in executor block
+    * memory. Spilled pins live until the scratch dir is cleaned — same
+    * lifecycle as SearchJobs stores; on a cluster point the scratch dir at an
+    * object-store path.
+    */
+  private[operators] def pinSortedByPid(df: DataFrame, sortCols: Seq[Column],
+      pidCol: String): DataFrame = {
+    val stamped = df.orderBy(sortCols: _*).withColumn(pidCol, spark_partition_id())
+    val spark = df.sparkSession
+    val threshold = spark.conf.getOption("spark.graft.pin.spillBytes")
+      .map(_.toLong).getOrElse(4L << 30)
+    val est = stamped.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= threshold) stamped.localCheckpoint(true)
+    else {
+      val base = spark.conf.getOption("spark.graft.scratch.dir")
+        .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-pins")
+      val dir = s"$base/pin-${java.util.UUID.randomUUID}"
+      stamped.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+  }
+
   /** Global contiguous rank (1-based, consistent with `orderBy`) WITHOUT a
     * single-partition window: the naive `row_number().over(Window.orderBy(…))`
     * funnels every row through one task — a scale-killer. Instead: global
     * range sort (parallel), per-partition counts folded into cumulative base
     * offsets driver-side (one row per partition — bounded), then a
     * partition-local `row_number` plus the broadcast base. The sorted frame
-    * is localCheckpointed (eager): the count pass and the rank pass must see
-    * the same (sampled) range boundaries, and checkpoint blocks release via
-    * GC when the page is dropped — a `persist` would stay pinned in the
-    * CacheManager for the session. Callers paging repeatedly over a fat
-    * result should materialize through [[SearchJobs]], which writes a
-    * rank-bucketed store instead of holding executor memory.
+    * is pinned via [[pinSortedByPid]]: small working sets localCheckpoint
+    * (blocks release via GC), frames over `spark.graft.pin.spillBytes` land
+    * as parquet automatically. Callers paging repeatedly over a fat result
+    * should still materialize through [[SearchJobs]], which writes a
+    * rank-bucketed store built for re-reads.
     */
   def withGlobalRank(df: DataFrame, orderBy: Seq[Column],
       rankCol: String = "_rank"): DataFrame = {
     require(!df.columns.contains("_gr_pid"),
       "input already carries the internal _gr_pid column")
-    val sorted = df.orderBy(orderBy: _*)
-      .withColumn("_gr_pid", spark_partition_id())
-      .localCheckpoint(true)
+    val sorted = pinSortedByPid(df, orderBy, "_gr_pid")
     rankPinned(sorted, orderBy, rankCol, "_gr_pid")._1.drop("_gr_pid")
   }
 

@@ -1,0 +1,60 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** S5 DLQ seam: failure capture and replay speak to this interface, never to
+  * a concrete queue, so the sandbox's directory store and a live SQS-backed
+  * store (the reference's DLQ, `sumo-dlq-function-utils/lib/dlqutils.js:
+  * 10-29` — poll, re-post, delete-on-success) are swappable without touching
+  * the sink or the drain loop.
+  *
+  * Contract: `list` enumerates pending entry handles driver-side; `read` and
+  * `delete` run IN EXECUTOR TASKS (implementations must be serializable and
+  * thread-safe). `read` returning None means the entry vanished — an
+  * already-drained duplicate under at-least-once task retry, not an error.
+  * `delete` is idempotent.
+  */
+trait DlqStore extends Serializable {
+
+  /** Pending entry handles (file paths, SQS receipt handles, …). */
+  def list(): Seq[String]
+
+  /** The entry's recovered bucket `meta_key` and wire bytes; None = gone. */
+  def read(id: String): Option[(String, Array[Byte])]
+
+  /** Delete-on-success; idempotent, never throws on a missing entry. */
+  def delete(id: String): Unit
+
+  /** Capture a failed chunk; returns the new entry's handle. */
+  def write(key: String, wire: Array[Byte]): String
+}
+
+/** Directory-backed store: one gzip NDJSON file per captured chunk, the
+  * bucket key URL-encoded into the file name (self-describing entries — the
+  * replay needs no side channel, same property an SQS message gets from its
+  * attributes).
+  */
+final case class LocalDirDlqStore(dir: String) extends DlqStore {
+
+  override def list(): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".ndjson.gz")).map(_.getPath).toSeq
+
+  override def read(id: String): Option[(String, Array[Byte])] = {
+    val name = Paths.get(id).getFileName.toString
+    val key = java.net.URLDecoder.decode(name.split("__")(0), "UTF-8")
+    try Some((key, Files.readAllBytes(Paths.get(id))))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+  }
+
+  override def delete(id: String): Unit = Files.deleteIfExists(Paths.get(id))
+
+  override def write(key: String, wire: Array[Byte]): String = {
+    Files.createDirectories(Paths.get(dir))
+    val enc = java.net.URLEncoder.encode(key, "UTF-8")
+    val f = Paths.get(dir,
+      enc + "__" + java.util.UUID.randomUUID().toString + ".ndjson.gz")
+    Files.write(f, wire, StandardOpenOption.CREATE_NEW)
+    f.toString
+  }
+}

@@ -83,7 +83,8 @@ object SumoSink {
       retrySeedMs: Long = 50,
       dlqDir: Option[String] = None,
       compress: Boolean = true,
-      saltFactor: Int = 1): Dataset[PostOutcome] = {
+      saltFactor: Int = 1,
+      dlqStore: Option[DlqStore] = None): Dataset[PostOutcome] = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -111,7 +112,8 @@ object SumoSink {
       .sortWithinPartitions("meta_key")
       .mapPartitions { it =>
         new ChunkedPostIterator(it, poster, clientHeader, maxBytes, retries,
-          retrySeedMs, dlqDir, compress)
+          retrySeedMs, dlqDir.map(LocalDirDlqStore(_): DlqStore).orElse(dlqStore),
+          compress)
       }
   }
 
@@ -125,7 +127,7 @@ object SumoSink {
       maxBytes: Long,
       retries: Int,
       retrySeedMs: Long,
-      dlqDir: Option[String],
+      dlq: Option[DlqStore],
       compress: Boolean) extends Iterator[PostOutcome] {
 
     private val rows = it.buffered
@@ -178,16 +180,10 @@ object SumoSink {
             if (attempt <= retries) Thread.sleep(retrySeedMs * attempt)
         }
       }
-      val dlqPath = dlqDir.map { d =>
-        Files.createDirectories(Paths.get(d))
-        val enc = java.net.URLEncoder.encode(key, "UTF-8")
-        val f = Paths.get(d,
-          enc + "__" + java.util.UUID.randomUUID().toString + ".ndjson.gz")
-        val stored = if (compress) wire
-          else CodecImpl.gzip(wire)
-        Files.write(f, stored, StandardOpenOption.CREATE_NEW)
-        f.toString
-      }.orNull
+      // the store always holds gzip wire, so replay's re-post headers
+      // (Content-Encoding: gzip) are key-independent
+      val dlqPath = dlq.map(_.write(key,
+        if (compress) wire else CodecImpl.gzip(wire))).orNull
       PostOutcome(key, n, rawBytes, success = false,
         error = String.valueOf(err.getMessage), dlq_path = dlqPath)
     }
@@ -200,45 +196,55 @@ object SumoSink {
       count(when(!col("success"), 1)).as("requestFailCnt"),
       sum(when(col("success"), col("n_lines")).otherwise(0L)).as("messagesSent"))
 
-  /** S5/R3 DLQ replay (batch drain): re-read captured chunks and re-post.
-    * The bucket key is recovered from the file name. With `deleteOnSuccess`
-    * each delivered file is removed IN THE EXECUTOR TASK right after its
-    * post — SQS delete-on-success semantics with no driver round-trip (a
-    * crash between post and delete redelivers: at-least-once). Without it,
-    * callers remove `dlq_path`s reported successful.
+  /** S5/R3 DLQ replay (batch drain) over a directory store — see the
+    * [[DlqStore]] overload; this keeps the original dir-based signature.
     */
   def replayDlq(spark: org.apache.spark.sql.SparkSession, dlqDir: String,
-      poster: BucketPoster, clientHeader: String = "cwl-aws-lambda",
-      deleteOnSuccess: Boolean = false): Dataset[PostOutcome] = {
+      poster: BucketPoster, clientHeader: String,
+      deleteOnSuccess: Boolean): Dataset[PostOutcome] =
+    replayDlq(spark, LocalDirDlqStore(dlqDir), poster, clientHeader,
+      deleteOnSuccess)
+
+  def replayDlq(spark: org.apache.spark.sql.SparkSession, dlqDir: String,
+      poster: BucketPoster): Dataset[PostOutcome] =
+    replayDlq(spark, dlqDir, poster, "cwl-aws-lambda", deleteOnSuccess = false)
+
+  def replayDlq(spark: org.apache.spark.sql.SparkSession, dlqDir: String,
+      poster: BucketPoster, deleteOnSuccess: Boolean): Dataset[PostOutcome] =
+    replayDlq(spark, dlqDir, poster, "cwl-aws-lambda", deleteOnSuccess)
+
+  /** S5/R3 DLQ replay (batch drain): re-read captured chunks from any
+    * [[DlqStore]] and re-post. With `deleteOnSuccess` each delivered entry is
+    * removed IN THE EXECUTOR TASK right after its post — SQS
+    * delete-on-success semantics with no driver round-trip (a crash between
+    * post and delete redelivers: at-least-once). Without it, callers remove
+    * `dlq_path`s reported successful.
+    */
+  def replayDlq(spark: org.apache.spark.sql.SparkSession, store: DlqStore,
+      poster: BucketPoster, clientHeader: String,
+      deleteOnSuccess: Boolean): Dataset[PostOutcome] = {
     import spark.implicits._
-    val files = Option(new java.io.File(dlqDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".ndjson.gz")).map(_.getPath).toSeq
-    spark.createDataset(files).mapPartitions { paths =>
-      paths.map { p =>
-        val name = Paths.get(p).getFileName.toString
-        val key = java.net.URLDecoder.decode(name.split("__")(0), "UTF-8")
-        val parts = key.split(":", -1).padTo(4, "")
-        val headers = Metadata.headersFor(parts(0), parts(1), parts(2), parts(3),
-          clientHeader) + ("Content-Encoding" -> "gzip")
+    spark.createDataset(store.list()).mapPartitions { ids =>
+      ids.map { p =>
         // With deleteOnSuccess a retried/speculative task attempt may land on
-        // a file its failed predecessor already posted and deleted — that
+        // an entry its failed predecessor already posted and deleted — that
         // chunk IS delivered, so the retry must not fail the drain
         // (at-least-once, idempotent under task re-execution). Without the
-        // flag nothing in this drain deletes, so a vanished file is a real
+        // flag nothing in this drain deletes, so a vanished entry is a real
         // failure the caller must see.
-        val wireOpt =
-          try Some(Files.readAllBytes(Paths.get(p)))
-          catch { case _: java.nio.file.NoSuchFileException => None }
-        wireOpt match {
+        store.read(p) match {
           case None if deleteOnSuccess =>
-            PostOutcome(key, 0, 0, success = true, error = null, dlq_path = p)
+            PostOutcome("", 0, 0, success = true, error = null, dlq_path = p)
           case None =>
-            PostOutcome(key, 0, 0, success = false,
-              error = "dlq file missing", dlq_path = p)
-          case Some(wire) =>
+            PostOutcome("", 0, 0, success = false,
+              error = "dlq entry missing", dlq_path = p)
+          case Some((key, wire)) =>
+            val parts = key.split(":", -1).padTo(4, "")
+            val headers = Metadata.headersFor(parts(0), parts(1), parts(2),
+              parts(3), clientHeader) + ("Content-Encoding" -> "gzip")
             try {
               poster.post(headers, wire)
-              if (deleteOnSuccess) Files.deleteIfExists(Paths.get(p))
+              if (deleteOnSuccess) store.delete(p)
               val n = new String(CodecImpl.gunzip(wire), UTF_8).count(_ == '\n') + 1
               PostOutcome(key, n, wire.length, success = true, error = null, dlq_path = p)
             } catch {

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S2 source seam: the stream pipelines ([[Streams.kinesisToStore]],
+  * [[Streams.cwlToSumo]]) consume a [[RecordSource]], never a concrete
+  * reader, so the sandbox's landed-file stand-in and a live connector (a
+  * `spark-sql-kinesis`-style shard reader, Kafka, or a Kinesis→S3 landing
+  * bridge) are swappable without touching pipeline code. Mirrors the shape
+  * of the public Kinesis connector surface: `open` returns an unbounded
+  * streaming DataFrame carrying the adapter's fixed wire [[schema]].
+  *
+  * Reference wire shape: `kinesis/node.js/k2sl_lambda.js:182-199` — JSON
+  * records `{kinesis:{data: base64(gzip(envelope))}}`.
+  */
+trait RecordSource extends Serializable {
+
+  /** The wire schema every frame returned by [[open]] carries. */
+  def schema: StructType
+
+  /** Open the unbounded stream on this session. */
+  def open(spark: SparkSession): DataFrame
+}
+
+/** The sandbox stand-in: a directory of landed shard dumps (JSON lines of
+  * the Kinesis record wire shape) consumed as a file stream. A live shard
+  * connector replaces only this class.
+  */
+final case class KinesisFileSource(path: String) extends RecordSource {
+  override def schema: StructType = graft.model.Schemas.kinesisRecord
+  override def open(spark: SparkSession): DataFrame =
+    spark.readStream.schema(schema).json(path)
+}

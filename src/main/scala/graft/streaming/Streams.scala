@@ -60,12 +60,13 @@ object Streams {
 
   /** S2 streaming source: Kinesis record batches as a file stream — JSON
     * lines of the `{kinesis:{data: base64(gzip(envelope))}}` wire shape
-    * (reference `kinesis/node.js/k2sl_lambda.js:182-199`). A landed shard
-    * dump directory stands in for a live shard connector; swapping in a real
-    * connector only changes this reader, not the pipeline.
+    * (reference `kinesis/node.js/k2sl_lambda.js:182-199`). Sugar for
+    * [[KinesisFileSource]]; a live connector implements [[RecordSource]]
+    * and swaps in at the [[kinesisToStore]] call site, never in pipeline
+    * code.
     */
   def kinesisFileSource(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(graft.model.Schemas.kinesisRecord).json(path)
+    KinesisFileSource(path).open(spark)
 
   /** S2 streaming: the Kinesis wire stream through the S1 decode → filter →
     * explode → transform chain, metadata derived, landed in the queryable
@@ -73,7 +74,8 @@ object Streams {
     * `timestamp`; it becomes the store's `ts` partition clock.
     */
   def kinesisToStore(records: DataFrame, cfg: CwlPipeline.Config,
-      metaCfg: Metadata.MetaConfig, storeDir: String) =
+      metaCfg: Metadata.MetaConfig,
+      storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     records.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val events = CwlPipeline(
@@ -86,6 +88,14 @@ object Streams {
       ()
     }
 
+  /** [[kinesisToStore]] over any [[RecordSource]] adapter — the seam where a
+    * live shard connector replaces the landed-file stand-in.
+    */
+  def kinesisToStore(spark: SparkSession, source: RecordSource,
+      cfg: CwlPipeline.Config, metaCfg: Metadata.MetaConfig,
+      storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kinesisToStore(source.open(spark), cfg, metaCfg, storeDir)
+
   /** S5/R3: DLQ drain — scheduled like the reference's drain
     * (`rate(5 minutes)`, `DLQLambdaCloudFormation.json:257`); re-posts each
     * captured chunk and deletes on success IN THE EXECUTOR TASK (SQS
@@ -96,8 +106,15 @@ object Streams {
     */
   def drainDlq(spark: SparkSession, dlqDir: String,
       poster: SumoSink.BucketPoster): Long =
-    SumoSink.replayDlq(spark, dlqDir, poster, deleteOnSuccess = true)
-      .filter(_.success).count()
+    drainDlq(spark, graft.sinks.LocalDirDlqStore(dlqDir), poster)
+
+  /** [[drainDlq]] over any [[graft.sinks.DlqStore]] — the seam where a live
+    * SQS-backed queue replaces the directory stand-in.
+    */
+  def drainDlq(spark: SparkSession, store: graft.sinks.DlqStore,
+      poster: SumoSink.BucketPoster): Long =
+    SumoSink.replayDlq(spark, store, poster, "cwl-aws-lambda",
+      deleteOnSuccess = true).filter(_.success).count()
 
   /** Q4/R8 streaming analogue: watermarked event-time timeslice aggregation.
     * The reference's query surface quantizes time ranges; on a stream this is

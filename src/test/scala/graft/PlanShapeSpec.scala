@@ -161,6 +161,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"geoip must not shuffle the fact side:\n$p")
   }
 
+  test("global-stage pin spills to parquet above the size threshold") {
+    import graft.operators.SearchQuery
+    import org.apache.spark.sql.functions._
+    val series = spark.range(2000).select(col("id"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 40).as("ts"),
+      (col("id") % 97).cast("double").as("v"))
+    def planOf(): String = {
+      val df = SearchQuery.compileStages(Seq(
+        SearchQuery.parseStage("sort by id asc"),
+        SearchQuery.parseStage("accum v as r")), "ts", "v")(series)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // small working set: block-storage pin (checkpointed RDD scan), no file I/O
+    val small = planOf()
+    assert(small.contains("Scan ExistingRDD"),
+      s"under-threshold pin should localCheckpoint:\n$small")
+    // forced-tiny threshold: the SAME stage must land as parquet and read it
+    // back — the automatic SearchJobs-materialization shape for fat frames
+    spark.conf.set("spark.graft.pin.spillBytes", "1")
+    try {
+      val spilled = planOf()
+      assert(spilled.contains("Scan parquet") && !spilled.contains("Scan ExistingRDD"),
+        s"over-threshold pin should materialize as parquet:\n$spilled")
+    } finally spark.conf.unset("spark.graft.pin.spillBytes")
+  }
+
   test("the salted join spreads a hot key across salt partitions") {
     val s = spark
     import s.implicits._

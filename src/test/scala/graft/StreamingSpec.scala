@@ -14,6 +14,25 @@ import graft.operators.{CwlPipeline, Metadata}
 import graft.sinks.SumoSink
 import graft.streaming.Streams
 
+/** Top-level (not inner-class) fixtures so executor-side closures don't drag
+  * the suite into serialization. local-mode executors share the JVM, so the
+  * companion map observes executor writes.
+  */
+object AdapterSeamFixtures {
+  val entries = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[Byte])]
+  case class MemDlqStore() extends graft.sinks.DlqStore {
+    override def list(): Seq[String] = entries.keys.toSeq
+    override def read(id: String): Option[(String, Array[Byte])] = entries.get(id)
+    override def delete(id: String): Unit = { entries.remove(id); () }
+    override def write(key: String, wire: Array[Byte]): String = {
+      val id = "m-" + java.util.UUID.randomUUID()
+      entries.put(id, (key, wire))
+      id
+    }
+  }
+}
+
 class StreamingSpec extends SparkSpec {
 
   private def mkTmp(prefix: String): String =
@@ -300,6 +319,52 @@ class StreamingSpec extends SparkSpec {
     // logStream context survives the kinesis path like the S1 path
     assert(store.filter(col("logStream") === "fn-b").count() == 1)
     SearchJobs.delete(job.id)
+  }
+
+  test("S2/S5 adapter seam: custom RecordSource and DlqStore swap in, pipeline untouched") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    // A connector-shaped adapter that is NOT the file stand-in: wraps a
+    // MemoryStream and emits the wire schema. kinesisToStore(spark, source,…)
+    // cannot tell it from a live shard reader — that indistinguishability IS
+    // the seam contract.
+    val input = MemoryStream[String]
+    val memSource = new graft.streaming.RecordSource {
+      override def schema = graft.model.Schemas.kinesisRecord
+      override def open(sp: org.apache.spark.sql.SparkSession) =
+        input.toDF().select(from_json(col("value"), schema).as("r")).select("r.*")
+    }
+    input.addData(s"""{"kinesis":{"data":"${envelope("fn-m", Seq("adapter line"))}"}}""")
+    val storeDir = mkTmp("adapter-store")
+    val q = Streams.kinesisToStore(spark, memSource, CwlPipeline.Config(),
+      Metadata.MetaConfig(sourceCategoryOverride = "adapter/cat"), storeDir)
+      .option("checkpointLocation", mkTmp("adapter-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val store = graft.sinks.LogStore.open(spark, storeDir)
+    assert(store.filter(col("message") === "adapter line").count() == 1)
+
+    // SQS-shaped in-memory DLQ store: capture through post(dlqStore=…),
+    // drain through drainDlq(store) — delete-on-success empties the queue.
+    AdapterSeamFixtures.entries.clear()
+    val memDlq = AdapterSeamFixtures.MemDlqStore()
+    val failing = new SumoSink.BucketPoster {
+      override def post(h: Map[String, String], b: Array[Byte]): Unit =
+        throw new RuntimeException("down")
+    }
+    val derived = Metadata.derive(
+      CwlPipeline(Seq(envelope("fn-m", Seq("dlq line"))).toDF("data"),
+        col("data"), CwlPipeline.Config()),
+      Metadata.MetaConfig(sourceCategoryOverride = "adapter/cat"))
+    val outcomes = SumoSink.post(derived, failing, retries = 0,
+      retrySeedMs = 1, dlqStore = Some(memDlq)).collect()
+    assert(outcomes.forall(!_.success) && AdapterSeamFixtures.entries.size == 1)
+    val out = mkTmp("adapter-out")
+    val drained = Streams.drainDlq(spark, memDlq, new SumoSink.LocalDirPoster(out))
+    assert(drained == 1 && AdapterSeamFixtures.entries.isEmpty)
+    assert(readBack(out) == Seq(readBack(out).head)) // one re-posted chunk
   }
 
   test("S2/Q2 e2e: full piped query with subquery over the streamed store") {
