@@ -237,12 +237,32 @@ object Scratch {
       import graft.operators.SearchQuery
       val nRanges = sys.env.get("SPARK_GRAFT_GEOIP_RANGES")
         .map(_.toInt).getOrElse(100000)
-      // non-overlapping contiguous slices of the full 32-bit space
-      val width = (4294967296L / nRanges).max(2L)
-      val geo = spark.range(nRanges).select(
+      // SPARK_GRAFT_GEOIP_WIDE=k: adversarial width distribution — k monster
+      // ranges tile the upper half of the space (each spans 2^31/k addresses)
+      // while the narrow ranges tile the lower half. Exercises the two-level
+      // /8 bucket path and reports the broadcast-size driver (exploded dim
+      // rows) under single-level /16 vs the two-level scheme.
+      val nWide = sys.env.get("SPARK_GRAFT_GEOIP_WIDE").map(_.toInt).getOrElse(0)
+      val lowSpan = if (nWide == 0) 4294967296L else 2147483648L
+      // non-overlapping contiguous slices
+      val width = (lowSpan / nRanges).max(2L)
+      val narrowGeo = spark.range(nRanges).select(
         (col("id") * width).as("ip_start"),
         ((col("id") + 1) * width - 1).as("ip_end"),
         concat(lit("c"), col("id") % 250).as("country"))
+      val geo = if (nWide == 0) narrowGeo else {
+        val wWidth = (2147483648L / nWide).max(2L)
+        narrowGeo.unionAll(spark.range(nWide).select(
+          (lit(2147483648L) + col("id") * wWidth).as("ip_start"),
+          (lit(2147483648L) + (col("id") + 1) * wWidth - 1).as("ip_end"),
+          concat(lit("w"), col("id") % 250).as("country")))
+      }
+      val spanB = shiftright(col("ip_end"), 16) - shiftright(col("ip_start"), 16)
+      val b16 = geo.select(sum(spanB + 1)).head.getLong(0)
+      val b2 = geo.select(sum(when(spanB < 256, spanB + 1).otherwise(
+        shiftright(col("ip_end"), 24) - shiftright(col("ip_start"), 24) + 1)))
+        .head.getLong(0)
+      println(s"[scratch] geoip dim bucket rows: single-level/16=$b16 two-level=$b2")
       spec.split(",").map(_.trim.toLong).foreach { n =>
         val fact = spark.range(n).select(
           concat(col("id") * 2654435761L % 256, lit("."),
