@@ -2218,6 +2218,18 @@ object SearchQuery {
         .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-pins")
       val dir = s"$base/pin-${java.util.UUID.randomUUID}"
       stamped.write.mode("overwrite").parquet(dir)
+      // best-effort lifecycle: a spilled pin is query-scoped scratch, not a
+      // SearchJobs store — reap it when this JVM exits (a cluster deployment
+      // pointing scratch at an object store should pair it with a TTL rule)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(dir)
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case _: Exception => () }))
       spark.read.parquet(dir)
     }
   }
