@@ -1350,6 +1350,22 @@ object SparkEntry {
         queryRange = Some((from, to)))(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- temperature-weighted corpus mixing (α-sampling over lang strata):
+    //      bounded count aggregate + codegen'd hash-threshold filter ----
+    "q115_temperature_mix" -> ((s, dir) => {
+      graft.operators.Sampling.mixByTemperature(
+        tblSorted(s, dir, "documents", "doc_id"), col("doc_id"), col("lang"),
+        alpha = 0.5, targetRows = 250)
+        .select("doc_id", "lang", "source")
+    }),
+    // ---- per-group cardinality cap (docs-per-source control): Catalyst
+    //      rewrites row_number()<=k to a pre-shuffle WindowGroupLimit ----
+    "q116_cap_per_source" -> ((s, dir) => {
+      graft.operators.Sampling.capPerGroup(
+        tbl(s, dir, "documents").select("doc_id", "source", "lang"),
+        Seq(col("source")), col("doc_id"), k = 10)
+        .orderBy("doc_id")
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -3057,6 +3073,27 @@ object SparkEntry {
            FROM f)
          SELECT day_idx, range_days, count(*) AS _count
          FROM e GROUP BY 1, 2 ORDER BY day_idx, range_days""",
+    // α-sampling: the fraction math mirrors Sampling.mixByTemperature
+    // operation-for-operation (left-assoc divides, floor-to-1e-6 grid,
+    // truncating 2^60 threshold) so both engines build identical thresholds
+    "q115_temperature_mix" ->
+      """WITH c AS (SELECT lang AS s, count(*) AS cnt FROM documents GROUP BY 1),
+         t AS (SELECT sum(pow(CAST(cnt AS DOUBLE), 0.5)) AS wsum FROM c),
+         f AS (SELECT s, least(1.0,
+             floor(250.0 * pow(CAST(cnt AS DOUBLE), 0.5) / (SELECT wsum FROM t)
+               / CAST(cnt AS DOUBLE) * 1000000) / 1000000) AS frac
+           FROM c)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN f ON d.lang = f.s
+         WHERE ('0x'||substring(md5('mix:'||d.doc_id),1,15))::BIGINT
+               < CAST(trunc(frac * 1152921504606846976.0) AS BIGINT)
+         ORDER BY d.doc_id""",
+    "q116_cap_per_source" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY doc_id""",
     "q37_metrics_quantize" ->
       """SELECT CAST(FLOOR((epoch_ms(ts)//1000 - 1704067200) / 12471.0) AS BIGINT)
                   * 12471 + 1704067200 AS bucket_start,

@@ -25,6 +25,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // a stale sidecar from an earlier failed run must not shadow a now-
+      // passing query (outDir reuse across dev iterations)
+      Files.deleteIfExists(Paths.get(s"$outDir/$name._ERROR"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

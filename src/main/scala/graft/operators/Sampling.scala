@@ -55,6 +55,62 @@ object Sampling {
       concat(lit(seed + ":"), keyCol.cast("string"))) < thr)
   }
 
+  /** Temperature-weighted source mixing — the multinomial α-sampling used to
+    * balance multi-source/multi-language training corpora (p_s ∝ c_s^α):
+    * a stratum with natural count c_s is kept at fraction
+    * `f_s = min(1, targetRows · p_s / c_s)`. α < 1 flattens the mix
+    * (downsampling dominant strata, keeping small ones intact); α = 1
+    * reproduces natural proportions.
+    *
+    * Stratum counts are a bounded aggregate (one row per stratum) collected
+    * driver-side; the fractions then compile through [[stratifiedByHash]]'s
+    * codegen CASE chain — membership is the deterministic cross-engine hash,
+    * the corpus never shuffles, and nested-sample monotonicity holds per
+    * stratum. At 100 TB: one count aggregate + one map-side filter.
+    *
+    * Fractions snap DOWN to a 1e-6 grid: they reach verifying engines
+    * through independent float paths (libm `pow`, summation order), and the
+    * grid turns a last-ulp disagreement into bit-identical thresholds
+    * instead of a flipped boundary row.
+    */
+  def mixByTemperature(df: DataFrame, keyCol: Column, stratumCol: Column,
+      alpha: Double, targetRows: Long, seed: String = "mix"): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive, got $alpha")
+    require(targetRows >= 0, s"targetRows must be non-negative, got $targetRows")
+    val counts = df.groupBy(stratumCol.cast("string").as("_mx_s"))
+      .agg(count(lit(1)).as("_mx_c")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val wsum = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }.sum
+    val fractions = counts.map { case (s, c) =>
+      val raw = targetRows.toDouble * math.pow(c.toDouble, alpha) / wsum / c.toDouble
+      s -> math.min(1.0, math.floor(raw * 1e6) / 1e6)
+    }.toMap
+    stratifiedByHash(df, keyCol, stratumCol, fractions,
+      defaultFraction = 0.0, seed)
+  }
+
+  /** Per-group cardinality cap: keep at most `k` rows of each group,
+    * deterministically (first `k` by `orderCol`). The curation uses: cap
+    * documents per domain/source (the CommonCrawl boilerplate-tail control),
+    * or — passing a content hash as the group — keep-k duplicate control
+    * (retain natural duplication signal, cap the pathological tail).
+    *
+    * Scale shape: the `row_number() ≤ k` filter is rewritten by Catalyst
+    * into a WindowGroupLimit (partial map-side limit BEFORE the shuffle,
+    * final limit after), so a hot group ships at most k·partitions rows —
+    * never its full cardinality — and nothing fully sorts any group.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[Column], orderCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be at least 1, got $k")
+    require(!df.columns.contains("_cap_rn"),
+      "input already carries the internal _cap_rn column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*).orderBy(orderCol)
+    df.withColumn("_cap_rn", row_number().over(w))
+      .filter(col("_cap_rn") <= k).drop("_cap_rn")
+  }
+
   /** Deterministic global training-order shuffle + shard assignment: rows are
     * ordered by the cross-engine hash `hash60(seed:key)` (ties broken by the
     * key itself), then dealt into consecutive `shardSize`-row shards. The

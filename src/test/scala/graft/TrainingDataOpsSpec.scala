@@ -653,4 +653,56 @@ class TrainingDataOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("temperature mixing flattens skewed strata; α=1 keeps natural proportions") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    // 800 'big' vs 100 'small' — heavily skewed
+    val in = (0L until 900L).map(i =>
+      (i, if (i < 800) "big" else "small")).toDF("doc_id", "stratum")
+    def kept(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.mixByTemperature(in, col("doc_id"), col("stratum"), alpha, target)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 0.5: p_big/p_small = sqrt(8) ≈ 2.83 ≪ the natural 8 — the mix
+    // flattens: big is downsampled hard, small kept (near-)whole
+    val flat = kept(0.5, 300)
+    val ratio = flat("big").toDouble / flat("small")
+    assert(ratio > 1.5 && ratio < 4.5, s"expected flattened ~2.8x, got $ratio: $flat")
+    // α = 1: fractions equal across strata → proportions stay near-natural
+    // (wide band: the deterministic hash draw on a 100-row stratum carries
+    // a few-sigma deviation from the 8x expectation) and, the property that
+    // matters, visibly steeper than the flattened α=0.5 mix
+    val nat = kept(1.0, 300)
+    val natRatio = nat("big").toDouble / nat("small")
+    assert(natRatio > 5 && natRatio < 20, s"expected near-natural ~8x, got $natRatio: $nat")
+    assert(natRatio > ratio * 1.5,
+      s"α=1 ($natRatio) should be steeper than α=0.5 ($ratio)")
+    // nested-sample monotonicity: a smaller target selects a SUBSET
+    val big = Sampling.mixByTemperature(in, col("doc_id"), col("stratum"), 0.5, 300)
+      .select("doc_id").as[Long].collect().toSet
+    val small = Sampling.mixByTemperature(in, col("doc_id"), col("stratum"), 0.5, 150)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "lowering targetRows must only remove rows")
+  }
+
+  test("capPerGroup keeps first k per group and plans a WindowGroupLimit") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val in = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val df = Sampling.capPerGroup(in, Seq(col("g")), col("id"), k = 5)
+    val out = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == 15)
+    // deterministic: the first five ids of each group, nothing else
+    assert(out.filter(_._2 == "g0").map(_._1).sorted.toSeq ==
+      Seq(0L, 3L, 6L, 9L, 12L))
+    // the rank<=k filter must be rewritten to a group limit (partial
+    // map-side limit BEFORE the shuffle) — a hot group never ships its
+    // full cardinality, which is the 100 TB property this op exists for
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"expected Catalyst's WindowGroupLimit rewrite:\n$p")
+  }
 }
