@@ -278,6 +278,31 @@ object Scratch {
         }
       }
     }
+    // sampling-op scaling drill: capPerGroup must stay flat under a hot
+    // group (the WindowGroupLimit partial limit ships ≤k rows per map
+    // partition, never the group's cardinality); mixByTemperature is one
+    // bounded count aggregate + a map-side filter.
+    // SPARK_GRAFT_SAMPLING_SCALE=1000000,10000000
+    sys.env.get("SPARK_GRAFT_SAMPLING_SCALE").foreach { spec =>
+      import graft.operators.Sampling
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        // 90% of rows in ONE hot group, the rest across 1000 groups
+        val df = spark.range(n).select(col("id"),
+          when(col("id") % 10 < 9, lit("hot"))
+            .otherwise(concat(lit("g"), col("id") % 1000)).as("grp"))
+        def cap = Sampling.capPerGroup(df, Seq(col("grp")), col("id"), k = 10)
+        cap.write.format("noop").mode("overwrite").save() // warm
+        time(s"capPerGroup n=$n hot=90%") {
+          cap.write.format("noop").mode("overwrite").save(); -1L
+        }
+        def mix = Sampling.mixByTemperature(df, col("id"), col("grp"),
+          alpha = 0.5, targetRows = n / 10)
+        mix.write.format("noop").mode("overwrite").save() // warm
+        time(s"mixByTemperature n=$n") {
+          mix.write.format("noop").mode("overwrite").save(); -1L
+        }
+      }
+    }
     // logreduce scaling drill: the signature mask is a 4-regex chain over
     // every message — the dominant cost is per-row regex work, so the shape
     // question is pure throughput (rows/s flat as n grows), not shuffle

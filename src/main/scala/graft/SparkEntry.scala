@@ -1723,9 +1723,12 @@ object SparkEntry {
       val blob = concat(lit("Env=e"), col("event_id") % 3,
         lit(",rogue=r"), col("user_id") % 2,
         lit(",SERVICE=svc-"), col("user_id") % 4)
-      val msg = to_json(struct(
-        struct(blob.as("sourceFieldsOverride")).as("_sumo_metadata"),
-        col("event_id").as("i")))
+      // wire synthesis as one codegen'd concat, not to_json (a Jackson
+      // CodegenFallback per row — the q43 r7 finding); blob content is
+      // alphanumeric/,=- so no JSON escaping can arise
+      val msg = concat(
+        lit("{\"_sumo_metadata\":{\"sourceFieldsOverride\":\""), blob,
+        lit("\"},\"i\":"), col("event_id"), lit("}"))
       val derived = Metadata.derive(
         ev.select(col("event_id"), msg.as("message")),
         Metadata.MetaConfig(sourceCategoryOverride = "cat-reg"), Some(reg))
