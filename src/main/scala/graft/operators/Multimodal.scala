@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * synthetic test corpus is not real media) is the default; [[ImageIoCodec]]
   * is a REAL JDK-only image path (header decode, luma histograms, pixel
   * rescale, band frames; `spark.graft.multimodal.codec=imageio`) and
-  * [[AudioCodec]] a REAL JDK-only audio path (WAV/AIFF/AU header decode,
+  * [[AudioCodec]] is a REAL JDK-only audio path (WAV/AIFF/AU header decode,
   * amplitude histograms, resample, time-slice frames;
-  * `spark.graft.multimodal.codec=audio`); a video codec would bind the same
-  * seam (no such library ships in this environment).
+  * `spark.graft.multimodal.codec=audio`); [[VideoCodec]] is a REAL JDK-only
+  * video path over the one codec family the JDK can express — MJPEG-in-AVI
+  * (hand-rolled RIFF container parse/write, per-frame JPEG via
+  * `javax.imageio`; `spark.graft.multimodal.codec=video`).
   *
   * At 100 TB the content column dominates I/O: keep media in its own parquet
   * column (column pruning skips it for metadata-only queries), size
@@ -60,8 +62,9 @@ object Multimodal {
       case "fake" => FakeCodec
       case "imageio" => ImageIoCodec
       case "audio" => AudioCodec
+      case "video" => VideoCodec
       case other => throw new IllegalArgumentException(
-        s"unknown spark.graft.multimodal.codec '$other' (fake | imageio | audio)")
+        s"unknown spark.graft.multimodal.codec '$other' (fake | imageio | audio | video)")
     }
 
   /** STUB decoder: derives deterministic pseudo-metadata and features from
@@ -487,6 +490,214 @@ object Multimodal {
               encodeWav(java.util.Arrays.copyOfRange(samples, from, until), rate)
             }
           }
+      }
+  }
+
+  /** REAL video decode path, JDK-only: MJPEG-in-AVI — a RIFF/AVI container
+    * parser (hand-rolled; RIFF is length-prefixed chunks, fully parseable
+    * with no codec library) whose frames are plain JPEGs decoded by
+    * `javax.imageio`. This binds the video half of the [[Codec]] seam with
+    * REAL container semantics:
+    *   - meta: width/height/`dwTotalFrames`/`dwMicroSecPerFrame` from the
+    *     `avih` main header — header-only, frames never decoded;
+    *   - features: luma histogram accumulated over ≤8 evenly sampled REAL
+    *     frames;
+    *   - resize: every frame pixel-rescaled (nearest-neighbor) and the AVI
+    *     rebuilt — a decodable MJPEG video at the new dimensions;
+    *   - sampleFrames: n real frames seeked by chunk index, re-encoded PNG
+    *     (consistent with [[ImageIoCodec]] frame output).
+    * The reference processes media only as opaque payloads; this is
+    * extension-surface depth, selected via
+    * `spark.graft.multimodal.codec=video`. Malformed bytes yield zero/empty
+    * (total contract). No other video container ships with the JDK; MJPEG
+    * is the one codec expressible through `javax.imageio`.
+    */
+  object VideoCodec extends Codec {
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      if (off < 0 || off + 4 > b.length) -1L
+      else (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      if (off < 0 || off + 4 > b.length) ""
+      else new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk the RIFF chunk tree; returns (avih header bytes, frame payload
+      * (offset, length) list) or None for non-AVI/malformed content.
+      * Frame chunks are `NNdc`/`NNdb` (compressed/uncompressed video data).
+      */
+    private def parseAvi(b: Array[Byte]): Option[(Array[Byte], Seq[(Int, Int)])] = {
+      if (b == null || b.length < 12 || fourcc(b, 0) != "RIFF" ||
+        fourcc(b, 8) != "AVI ") return None
+      var avih: Array[Byte] = null
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(from: Int, until: Int): Unit = {
+        var p = from
+        while (p + 8 <= until) {
+          val id = fourcc(b, p)
+          val sz = u32(b, p + 4)
+          if (sz < 0 || p + 8 + sz > until) return // truncated: stop, keep what parsed
+          val dataAt = p + 8
+          id match {
+            case "LIST" => walk(dataAt + 4, dataAt + sz.toInt) // skip list type
+            case "avih" =>
+              avih = java.util.Arrays.copyOfRange(b, dataAt, dataAt + sz.toInt)
+            case _ if id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+              id(0).isDigit && id(1).isDigit =>
+              if (sz > 0) frames += ((dataAt, sz.toInt))
+            case _ => ()
+          }
+          p = dataAt + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+      }
+      walk(12, math.min(b.length, 8 + u32(b, 4).toInt))
+      if (avih == null || avih.length < 40) None else Some((avih, frames.toSeq))
+    }
+
+    private def readFrame(b: Array[Byte], at: (Int, Int)): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b, at._1, at._2)))
+      catch { case _: Exception => None }
+
+    /** Build a minimal standards-shaped MJPEG AVI: hdrl(avih + one vids
+      * strl) + movi of `00dc` JPEG chunks. Little-endian throughout.
+      */
+    private[graft] def writeAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+        usPerFrame: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(frames.map(_.length + 16).sum + 512)
+      def le32(v: Long): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+        val pad = data.length & 1
+        cc(id) ++ le32(data.length) ++ data ++ Array.fill[Byte](pad)(0)
+      }
+      def list(typ: String, data: Array[Byte]): Array[Byte] =
+        cc("LIST") ++ le32(data.length + 4L) ++ cc(typ) ++ data
+      val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ Array.fill[Byte](16)(0)
+      val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(usPerFrame) ++ le32(1000000L) ++ le32(0) ++
+        le32(frames.length.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0)
+      val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array[Byte](1, 0, 24, 0) ++ cc("MJPG") ++
+        le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = cc("AVI ") ++ hdrl ++ movi
+      bos.write(cc("RIFF")); bos.write(le32(body.length.toLong)); bos.write(body)
+      bos.toByteArray
+    }
+
+    /** Header-only: dims + frame timing straight from `avih`; channels 3
+      * (MJPEG decodes RGB). duration = totalFrames × µs-per-frame.
+      */
+    def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long) =
+      parseAvi(content) match {
+        case None => (0, 0, 0, 0L)
+        case Some((avih, _)) =>
+          val usPerFrame = u32(avih, 0)
+          val totalFrames = u32(avih, 16)
+          (u32(avih, 32).toInt, u32(avih, 36).toInt, 3,
+            totalFrames * usPerFrame / 1000L)
+      }
+
+    /** Luma histogram over ≤8 evenly sampled decoded frames, L1-normalized
+      * across all sampled pixels (same binning as [[ImageIoCodec]]).
+      */
+    def features(content: Array[Byte], bins: Int): Array[Float] = {
+      val counts = new Array[Float](bins)
+      parseAvi(content) match {
+        case None => counts
+        case Some((_, frames)) =>
+          if (frames.isEmpty) return counts
+          val picks = math.min(8, frames.length)
+          var total = 0L
+          (0 until picks).foreach { i =>
+            readFrame(content, frames((i.toLong * frames.length / picks).toInt))
+              .foreach { img =>
+                val w = img.getWidth; val h = img.getHeight
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    val luma = ((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 +
+                      (rgb & 0xFF) * 114) / 1000
+                    counts(luma * bins / 256) += 1f
+                    x += 1
+                  }
+                  y += 1
+                }
+                total += w.toLong * h
+              }
+          }
+          if (total > 0) { var i = 0; while (i < bins) { counts(i) /= total; i += 1 } }
+          counts
+      }
+    }
+
+    /** Every frame nearest-neighbor rescaled and re-encoded JPEG, container
+      * rebuilt at the new dimensions — a decodable MJPEG AVI.
+      */
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] =
+      if (w <= 0 || h <= 0) Array.emptyByteArray
+      else parseAvi(content) match {
+        case None => Array.emptyByteArray
+        case Some((avih, frames)) =>
+          if (frames.isEmpty) return Array.emptyByteArray
+          val out = frames.flatMap { at =>
+            readFrame(content, at).flatMap { img =>
+              val scaled = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  scaled.setRGB(x, y, img.getRGB(
+                    (x.toLong * img.getWidth / w).toInt,
+                    (y.toLong * img.getHeight / h).toInt))
+                  x += 1
+                }
+                y += 1
+              }
+              try {
+                val bos = new java.io.ByteArrayOutputStream(4096)
+                javax.imageio.ImageIO.write(scaled, "jpg", bos)
+                Some(bos.toByteArray)
+              } catch { case _: Exception => None }
+            }
+          }
+          if (out.isEmpty) Array.emptyByteArray
+          else writeAvi(out, w, h, u32(avih, 0))
+      }
+
+    /** n REAL frames seeked by chunk index (no decode of skipped frames),
+      * re-encoded PNG like [[ImageIoCodec]] frame output. `frameBytes`
+      * unused (frames are whole images).
+      */
+    def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] =
+      if (n <= 0) Seq.empty
+      else parseAvi(content) match {
+        case None => Seq.empty
+        case Some((_, frames)) =>
+          if (frames.isEmpty) return Seq.empty
+          val picks = math.min(n, frames.length)
+          (0 until picks).flatMap { i =>
+            readFrame(content, frames((i.toLong * frames.length / picks).toInt))
+              .map { img =>
+                try {
+                  val bos = new java.io.ByteArrayOutputStream(4096)
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  bos.toByteArray
+                } catch { case _: Exception => Array.emptyByteArray }
+              }
+          }.filter(_.nonEmpty)
       }
   }
 

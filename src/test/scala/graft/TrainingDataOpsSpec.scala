@@ -429,6 +429,64 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally s.conf.set("spark.graft.multimodal.codec", "fake")
   }
 
+  test("multimodal: VideoCodec decodes real MJPEG AVIs end-to-end") {
+    val s = spark
+    import s.implicits._
+    import Multimodal.VideoCodec
+    // a real MJPEG AVI: 12 JPEG frames whose brightness ramps over time
+    // (frame k is a flat gray of level 20k) at 25 fps (40 000 µs/frame)
+    def jpegFrame(level: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = math.min(level, 255)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = VideoCodec.writeAvi(
+      (0 until 12).map(k => jpegFrame(k * 20, 32, 24)), 32, 24, 40000L)
+    val df = Seq((0L, "video", avi)).toDF("media_id", "media_type", "content")
+    s.conf.set("spark.graft.multimodal.codec", "video")
+    try {
+      // meta straight from the avih header: dims, 3 channels, 12×40ms = 480ms
+      val m = Multimodal.decodeBatched(df)
+        .select(col("meta.width"), col("meta.height"), col("meta.channels"),
+          col("meta.duration_ms")).as[(Int, Int, Int, Long)].head()
+      assert(m == (32, 24, 3, 480L))
+      // features: flat-gray frames at several levels → mass in several bins,
+      // L1-normalized over real decoded pixels
+      val f = Multimodal.extractFeatures(df, col("content"))
+        .select("features").as[Seq[Float]].head()
+      assert(f.length == 16 && math.abs(f.sum - 1.0f) < 1e-3)
+      assert(f.count(_ > 0f) >= 3, s"brightness ramp should span bins: $f")
+      // sampleFrames: 4 REAL frames, each a decodable PNG at source dims,
+      // brightness increasing with frame index (the time axis is real)
+      val frames = Multimodal.sampleFrames(df, col("content"), 4)
+        .select("frame").as[Array[Byte]].collect()
+      assert(frames.length == 4)
+      val lumas = frames.map { bytes =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        assert(img.getWidth == 32 && img.getHeight == 24)
+        img.getRGB(16, 12) & 0xFF
+      }
+      assert(lumas.sliding(2).forall(p => p(0) < p(1)),
+        s"sampled frames should brighten over time: ${lumas.toSeq}")
+      // resize: a DECODABLE MJPEG AVI at the new dims with all 12 frames
+      val resized = Multimodal.resize(Multimodal.decode(df, col("content")),
+        col("content"), 8, 6).select("content").as[Array[Byte]].head()
+      val rm = VideoCodec.decodeMeta(resized)
+      assert(rm == (8, 6, 3, 480L), s"resized meta: $rm")
+      assert(VideoCodec.sampleFrames(resized, 2, 0).length == 2)
+      // total on garbage and on a truncated container
+      assert(VideoCodec.decodeMeta(Array[Byte](1, 2, 3)) == (0, 0, 0, 0L))
+      assert(VideoCodec.decodeMeta(java.util.Arrays.copyOf(avi, 40)) == (0, 0, 0, 0L))
+      assert(VideoCodec.sampleFrames(null, 3, 0).isEmpty)
+      assert(VideoCodec.resize(avi, 0, 6, 3).isEmpty)
+    } finally s.conf.set("spark.graft.multimodal.codec", "fake")
+  }
+
   test("multimodal: animated GIFs get a real time axis — duration and true frames") {
     val s = spark
     import s.implicits._
