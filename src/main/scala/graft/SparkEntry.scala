@@ -35,6 +35,15 @@ object SparkEntry {
       case TimestampNTZType    => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                   => df // already session-TZ timestamp
     }
+    else if (name == "embeddings") df.schema("embedding").dataType match {
+      // same drift insurance as events.ts: the vector kernels contract on
+      // array<float>, so a regenerated corpus carrying double elements must
+      // degrade to a cast, not an AnalysisException mid-gate
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => df
+    }
     else df
   }
 
@@ -1365,6 +1374,26 @@ object SparkEntry {
         tbl(s, dir, "documents").select("doc_id", "source", "lang"),
         Seq(col("source")), col("doc_id"), k = 10)
         .orderBy("doc_id")
+    }),
+    // ---- five-way dimension join (TPC-H Q5 shape): the fact scans once,
+    //      every dimension broadcasts, revenue aggregates map-side ----
+    "q117_region_part_revenue" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part")
+      val su = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(col("p_size") <= 15)
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "p_brand")
     }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
@@ -3076,6 +3105,18 @@ object SparkEntry {
            FROM f)
          SELECT day_idx, range_days, count(*) AS _count
          FROM e GROUP BY 1, 2 ORDER BY day_idx, range_days""",
+    "q117_region_part_revenue" ->
+      """SELECT r_name, p_brand,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE p_size <= 15
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // α-sampling: the fraction math mirrors Sampling.mixByTemperature
     // operation-for-operation (left-assoc divides, floor-to-1e-6 grid,
     // truncating 2^60 threshold) so both engines build identical thresholds

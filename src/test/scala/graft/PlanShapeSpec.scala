@@ -19,7 +19,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dimension joins broadcast — the fact side never shuffles for a join") {
     for (q <- Seq("q3_join_revenue_by_nation", "q31_eni_enrichment",
-        "q41_account_alias", "q43_sns_inspector")) {
+        "q41_account_alias", "q43_sns_inspector", "q117_region_part_revenue")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q should not sort-merge:\n$p")
