@@ -15,6 +15,10 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PIN_SPILL=<bytes>: force the global-stage pin threshold
+    // (0/1 = always spill to parquet) for spill-overhead drills
+    sys.env.get("SPARK_GRAFT_PIN_SPILL")
+      .foreach(v => spark.conf.set("spark.graft.pin.spillBytes", v))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
