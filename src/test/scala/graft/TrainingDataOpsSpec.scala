@@ -487,6 +487,40 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally s.conf.set("spark.graft.multimodal.codec", "fake")
   }
 
+  test("multimodal: VideoCodec is total on fuzzed garbage and every truncation") {
+    import Multimodal.VideoCodec
+    def allOps(b: Array[Byte]): Unit = {
+      VideoCodec.decodeMeta(b)
+      VideoCodec.features(b, 16)
+      VideoCodec.sampleFrames(b, 3, 1000)
+      VideoCodec.resize(b, 4, 4, 3)
+    }
+    // seeded garbage: the hand-rolled RIFF walker must never throw
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(400))
+      rnd.nextBytes(b)
+      allOps(b)
+    }
+    // a VALID AVI truncated at every 7th offset: chunk sizes now lie about
+    // the bytes that follow — the walker must stop at the buffer edge, and
+    // whatever parsed before the cut stays usable
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val avi = VideoCodec.writeAvi(Seq.fill(3)(bos.toByteArray), 8, 8, 40000L)
+    (0 until avi.length by 7).foreach { k =>
+      allOps(java.util.Arrays.copyOf(avi, k))
+    }
+    // garbage INSIDE a well-formed container: frame chunks carrying
+    // non-JPEG bytes decode to no frames, not an exception
+    val badFrames = VideoCodec.writeAvi(
+      Seq(Array.fill[Byte](64)(0x5A)), 8, 8, 40000L)
+    assert(VideoCodec.sampleFrames(badFrames, 2, 0).isEmpty)
+    assert(VideoCodec.resize(badFrames, 4, 4, 3).isEmpty)
+  }
+
   test("multimodal: animated GIFs get a real time axis — duration and true frames") {
     val s = spark
     import s.implicits._
