@@ -1395,6 +1395,15 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
         .orderBy("r_name", "p_brand")
     }),
+    // ---- sliding-window token chunking (context windows with overlap):
+    //      one tokenization per row below the Generate barrier, no shuffle ----
+    "q118_token_chunks" -> ((s, dir) => {
+      graft.operators.Sampling.chunkByTokens(
+        tbl(s, dir, "documents").select("doc_id", "text"), col("text"),
+        windowTokens = 64, strideTokens = 48)
+        .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -3117,6 +3126,20 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE p_size <= 15
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q118_token_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1
+             END AS k
+           FROM t)
+         SELECT doc_id, i AS chunk_idx,
+             array_to_string(toks[(i*48+1):(i*48+64)], ' ') AS chunk_text,
+             len(toks[(i*48+1):(i*48+64)])::BIGINT AS chunk_tokens
+         FROM c, unnest(generate_series(0, k - 1)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
     // α-sampling: the fraction math mirrors Sampling.mixByTemperature
     // operation-for-operation (left-assoc divides, floor-to-1e-6 grid,
     // truncating 2^60 threshold) so both engines build identical thresholds

@@ -158,6 +158,43 @@ object Sampling {
       .drop("_sh_key", "_sh_pid", "_sh_rn", "_sh_base")
   }
 
+  /** Sliding-window token chunking: split each document into fixed-size
+    * context windows of `windowTokens` whitespace tokens starting every
+    * `strideTokens` (stride < window ⇒ overlapping windows — the standard
+    * embedding/pretraining chunking shape). Emits one row per (doc, chunk)
+    * with `chunk_idx`, `chunk_text` (space-rejoined) and `chunk_tokens`.
+    * Chunk count = 1 + ⌈(n − w)/s⌉ for n > w, else 1 — every token lands in
+    * ≥1 chunk, the final window may be short.
+    *
+    * Scale shape: pure map-side generate — tokenization happens ONCE per
+    * row in a projection below the explode (the Generate is a CollapseProject
+    * barrier, so Spark's no-CSE interpreted eval can't re-split per chunk),
+    * and no shuffle anywhere. Row growth is ~n/s per document — the caller
+    * chooses the blowup.
+    */
+  def chunkByTokens(df: DataFrame, textCol: Column, windowTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(strideTokens > 0, s"strideTokens must be positive, got $strideTokens")
+    require(!df.columns.exists(Set("_ck_toks", "chunk_idx", "chunk_text", "chunk_tokens")),
+      "input carries a reserved chunking column")
+    val w = windowTokens; val s = strideTokens
+    val n = size(col("_ck_toks"))
+    val nChunks = when(n <= w, lit(1L))
+      .otherwise(ceil((n - w).cast("double") / s).cast("long") + 1L)
+    df.withColumn("_ck_toks", TextFunctions.tokens(textCol))
+      .select(col("*"),
+        posexplode(sequence(lit(0L), nChunks - 1L)).as(Seq("chunk_idx", "_ck_i")))
+      .withColumn("chunk_text",
+        array_join(slice(col("_ck_toks"),
+          (col("chunk_idx") * s + 1).cast("int"), lit(w)), " "))
+      .withColumn("chunk_tokens",
+        size(slice(col("_ck_toks"),
+          (col("chunk_idx") * s + 1).cast("int"), lit(w))).cast("long"))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .drop("_ck_toks", "_ck_i")
+  }
+
   /** Token-budget sequence packing: documents in `idCol` order greedily fill
     * fixed-`budget` bins; each document's `bin = exclusive-prefix-sum div
     * budget` and `bin_offset = prefix mod budget` (a document whose tokens

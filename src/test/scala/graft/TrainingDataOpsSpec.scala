@@ -779,6 +779,34 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(small.subsetOf(big), "lowering targetRows must only remove rows")
   }
 
+  test("chunkByTokens: full coverage, declared overlap, short final window") {
+    val s = spark
+    import s.implicits._
+    // 100 tokens "t0 … t99", window 40, stride 30: k = 1 + ⌈(100−40)/30⌉ = 3
+    // chunks starting at tokens 0 / 30 / 60 → [0,40) [30,70) [60,100)
+    val text = (0 until 100).map(i => s"t$i").mkString(" ")
+    val out = graft.operators.Sampling.chunkByTokens(
+      Seq((1L, text)).toDF("doc_id", "text"), col("text"), 40, 30)
+      .select("chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out(0)._2.startsWith("t0 ") && out(0)._3 == 40)
+    assert(out(1)._2.startsWith("t30 ") && out(1)._3 == 40)
+    // final window starts at token 60 and ends at the last token
+    assert(out(2)._2.startsWith("t60 ") && out(2)._2.endsWith(" t99") && out(2)._3 == 40)
+    // overlap: chunk 1 repeats chunk 0's last 10 tokens
+    assert(out(0)._2.split(" ").takeRight(10).toSeq ==
+      out(1)._2.split(" ").slice(0, 10).toSeq)
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_._2.split(" ")).toSet
+    assert((0 until 100).forall(i => covered(s"t$i")))
+    // a doc shorter than the window is one short chunk
+    val short = graft.operators.Sampling.chunkByTokens(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), col("text"), 40, 30)
+      .select("chunk_text", "chunk_tokens").as[(String, Long)].collect()
+    assert(short.toSeq == Seq(("a b c", 3L)))
+  }
+
   test("capPerGroup keeps first k per group and plans a WindowGroupLimit") {
     val s = spark
     import s.implicits._
