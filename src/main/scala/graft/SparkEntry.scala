@@ -1404,6 +1404,42 @@ object SparkEntry {
         .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
         .orderBy("doc_id", "chunk_idx")
     }),
+    // ---- BM25 lexical retrieval: term-filtered explode (pre-shuffle),
+    //      broadcast idf table, nano-quantized order-free score sum ----
+    "q119_bm25_topk" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25TopK(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("spark", "vector", "stream", "slow"), k = 25)
+    }),
+    // ---- SemDeDup: k-means clustering as the blocking key, within-cluster
+    //      cosine prune, keep-lowest representative ----
+    "q120_semantic_dedup" -> ((s, dir) => {
+      pinSorted(graft.operators.Dedup.semanticDedup(
+        tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        k = 8, iters = 2, threshold = 0.3), "vec_id")
+    }),
+    // ---- exact-substring span dedup: positional 8-gram inverted index,
+    //      first occurrence kept, later copies deleted token-wise ----
+    "q121_span_dedup" -> ((s, dir) => {
+      pinSorted(graft.operators.Dedup.spanDedup(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"), n = 8),
+        "doc_id")
+    }),
+    // ---- interpolated-bigram surprisal: the perplexity-filter step up
+    //      from q71's unigram score ----
+    "q122_bigram_surprisal" -> ((s, dir) => {
+      pinSorted(graft.operators.CorpusQuality.bigramSurprisal(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"), lambda = 0.7),
+        "doc_id")
+    }),
+    // ---- exact-proportion stratified train/val/test split ----
+    "q123_stratified_split" -> ((s, dir) => {
+      pinSorted(graft.operators.Sampling.stratifiedSplit(
+        tbl(s, dir, "documents"), col("doc_id"), col("lang"),
+        valFrac = 0.1, testFrac = 0.2)
+        .select(col("key").as("doc_id"), col("stratum"), col("split")),
+        "doc_id")
+    }),
     // ---- Q4 metrics quantization into requestedDataPoints buckets ----
     "q37_metrics_quantize" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -3140,6 +3176,174 @@ object SparkEntry {
              len(toks[(i*48+1):(i*48+64)])::BIGINT AS chunk_tokens
          FROM c, unnest(generate_series(0, k - 1)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
+    // Okapi BM25, operation-for-operation the Retrieval.bm25 expression tree
+    // (left-assoc divides, k1+1 / 1-b computed as arithmetic not folded
+    // literals); per-term contributions nano-quantized before the per-doc sum
+    "q119_bm25_topk" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM t),
+         s AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+         tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+                WHERE tok IN ('spark','vector','stream','slow')
+                GROUP BY doc_id, dl, tok),
+         f AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         c AS (SELECT t.doc_id,
+                 CAST(round(
+                   ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+                   (t.tf * (1.2 + 1.0)) /
+                   (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) * 1e9)
+                   AS BIGINT) AS q
+               FROM tf t JOIN f ON t.tok = f.tok CROSS JOIN s)
+         SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+           round(sum(q)::DOUBLE / 1e9, 6) AS score
+         FROM c GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 25""",
+    // SemDeDup: q60's k-means CTE chain (seed km, k=8, 2 Lloyd rounds)
+    // verbatim, q42's argmax assignment, within-cluster pair prune at
+    // round(cos,6) >= 0.3, higher id of every qualifying pair dropped
+    "q120_semantic_dedup" ->
+      """WITH init AS (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding,
+                   ('0x'||substring(md5('km:'||vec_id),1,15))::BIGINT AS h
+                 FROM embeddings ORDER BY h, vec_id LIMIT 8)),
+         a1 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN init c),
+         b1 AS (SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM a1),
+         m1 AS (SELECT cid, r.range AS dim,
+                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
+                     / count(*))::REAL AS val
+                FROM b1, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
+         n1 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
+         c1 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
+                FROM init i LEFT JOIN n1 n ON i.cid = n.cid),
+         a2 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN c1 c),
+         b2 AS (SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM a2),
+         m2 AS (SELECT cid, r.range AS dim,
+                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
+                     / count(*))::REAL AS val
+                FROM b2, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
+         n2 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m2 GROUP BY cid),
+         c2 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
+                FROM c1 i LEFT JOIN n2 n ON i.cid = n.cid),
+         aa AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN c2 c),
+         asg AS (SELECT vec_id, embedding, cid FROM (
+                  SELECT vec_id, embedding, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM aa) WHERE rn = 1),
+         p AS (SELECT y.vec_id AS id_b
+               FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               WHERE round(
+                 list_reduce(list_transform(range(1, len(x.embedding)+1),
+                   i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x2,y2) -> x2+y2) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(x.embedding)+1),
+                     i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (x2,y2) -> x2+y2) *
+                   list_reduce(list_transform(range(1, len(y.embedding)+1),
+                     i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x2,y2) -> x2+y2)),
+                 6) >= 0.3),
+         dr AS (SELECT DISTINCT id_b FROM p)
+         SELECT a.vec_id, a.cid AS cluster_id, (dr.id_b IS NULL) AS kept
+         FROM asg a LEFT JOIN dr ON a.vec_id = dr.id_b
+         ORDER BY a.vec_id""",
+    // exact-substring span dedup: positional 8-gram hashes, global first
+    // occurrence by (doc_id, pos), later copies expand to covered token
+    // positions; kept_text reassembles the uncovered tokens in order
+    "q121_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         g0 AS (SELECT doc_id, toks, unnest(range(len(toks)-7)) AS pos
+                FROM t WHERE len(toks) >= 8),
+         h AS (SELECT doc_id, pos,
+                 ('0x'||substring(md5(array_to_string(toks[pos+1:pos+8], ' ')),1,15))::BIGINT AS hg
+               FROM g0),
+         r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY hg ORDER BY doc_id, pos) AS rn
+               FROM h),
+         cov0 AS (SELECT doc_id, pos, unnest(range(8)) AS o FROM r WHERE rn >= 2),
+         cov AS (SELECT DISTINCT doc_id, pos + o AS tpos FROM cov0),
+         tok AS (SELECT doc_id, unnest(range(len(toks))) AS tpos, toks FROM t),
+         tk AS (SELECT doc_id, tpos, toks[tpos+1] AS tok FROM tok)
+         SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+           count(cov.tpos)::BIGINT AS n_removed,
+           coalesce(array_to_string(
+             list(tk.tok ORDER BY tk.tpos) FILTER (cov.tpos IS NULL), ' '), '')
+             AS kept_text
+         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+         GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+    // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
+    // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q122_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         u0 AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM t),
+         u AS (SELECT doc_id, i,
+                 ('0x'||substring(md5(toks[i+1]),1,15))::BIGINT AS h FROM u0),
+         b0 AS (SELECT doc_id, unnest(range(len(toks)-1)) AS i, toks
+                FROM t WHERE len(toks) >= 2),
+         b AS (SELECT doc_id, i,
+                 ('0x'||substring(md5(toks[i+1]||' '||toks[i+2]),1,15))::BIGINT AS h12,
+                 ('0x'||substring(md5(toks[i+1]),1,15))::BIGINT AS h1,
+                 ('0x'||substring(md5(toks[i+2]),1,15))::BIGINT AS h2
+               FROM b0),
+         cu AS (SELECT h, count(*)::BIGINT AS cu FROM u GROUP BY h),
+         tot AS (SELECT sum(cu)::DOUBLE AS ttl FROM cu),
+         cb AS (SELECT h12, count(*)::BIGINT AS cb FROM b GROUP BY h12),
+         q AS (SELECT x.doc_id,
+                 CAST(round(-ln(0.7 * cb.cb / c1.cu + (1.0 - 0.7) * c2.cu / tot.ttl)
+                   * 1e9) AS BIGINT) AS q
+               FROM b x JOIN cb ON x.h12 = cb.h12
+                 JOIN cu c1 ON x.h1 = c1.h
+                 JOIN cu c2 ON x.h2 = c2.h
+                 CROSS JOIN tot)
+         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(sum(q)::DOUBLE / count(*) / 1e9, 6) AS mean_surprisal
+         FROM q GROUP BY doc_id ORDER BY doc_id""",
+    // exact-proportion stratified split: per-stratum hash rank, first
+    // floor(n*testFrac) test, next floor(n*valFrac) val, rest train
+    "q123_stratified_split" ->
+      """WITH d AS (SELECT doc_id, lang,
+             ('0x'||substring(md5('split:'||doc_id),1,15))::BIGINT AS h
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+               FROM d),
+         c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang)
+         SELECT r.doc_id, r.lang AS stratum,
+           CASE WHEN rn <= floor(n * 0.2) THEN 'test'
+                WHEN rn <= floor(n * 0.2) + floor(n * 0.1) THEN 'val'
+                ELSE 'train' END AS split
+         FROM r JOIN c ON r.lang = c.lang ORDER BY r.doc_id""",
     // α-sampling: the fraction math mirrors Sampling.mixByTemperature
     // operation-for-operation (left-assoc divides, floor-to-1e-6 grid,
     // truncating 2^60 threshold) so both engines build identical thresholds

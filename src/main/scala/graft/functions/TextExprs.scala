@@ -497,6 +497,55 @@ object ShingleImpl {
   }
 }
 
+/** Positional variant of [[ShingleImpl.shingleHash60]]: one hash per n-gram
+  * START POSITION, duplicates kept (index i of the output = the n-gram
+  * beginning at token i). Span-level dedup needs the position axis — the
+  * distinct form collapses exactly the repeats it must locate.
+  */
+object PositionalShingleImpl {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def positionalShingleHash60(s: UTF8String, n: Int): ArrayData = {
+    val normalized = s.trim.toLowerCase.toString
+    val toks = ws.split(normalized, -1)
+    if (toks.length < n || normalized.isEmpty) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    }
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = TextImpl.hash60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `positional_shingle_hash60(string, n) -> array<long>` with whole-stage
+  * codegen: like [[ShingleHashes]] but positional and duplicate-preserving —
+  * the projection under exact-substring span dedup.
+  */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle size must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "positional_shingle_hash60"
+  override protected def nullSafeEval(input: Any): Any =
+    PositionalShingleImpl.positionalShingleHash60(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PositionalShingleImpl.positionalShingleHash60($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
 /** `shingle_hash60(string, n) -> array<long>` with whole-stage codegen: the
   * fused tokenize → n-gram → distinct → hash60 pipeline (the hot projection
   * of every dedup operator — one pass, no per-element interpreted dispatch).

@@ -98,6 +98,15 @@ object TextFunctions {
     org.apache.spark.sql.GraftGlue.column(
       ShingleHashes(org.apache.spark.sql.GraftGlue.expression(c), n))
 
+  /** Positional n-gram hashes: element i = [[hash60]] of the token n-gram
+    * starting at token i, duplicates preserved — the span-dedup axis the
+    * distinct [[shingleHashes]] form deliberately collapses. Codegen'd
+    * [[PositionalShingleHashes]] kernel.
+    */
+  def positionalShingleHashes(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      PositionalShingleHashes(org.apache.spark.sql.GraftGlue.expression(c), n))
+
   /** MinHash signature over a pre-hashed shingle array: k minima of the
     * seeded [[mix60]] permutations, as the codegen'd [[MinHashSignature]]
     * kernel (single pass per seed, no per-element expression dispatch;

@@ -77,4 +77,59 @@ object CorpusQuality {
         round(col("sq").cast("double") / col("n_tokens") / 1e9, 6)
           .as("mean_surprisal"))
   }
+
+  /** Interpolated-bigram surprisal: each document's mean per-bigram
+    * `−ln(λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/T)` under the corpus's own bigram
+    * model (Jelinek–Mercer interpolation with the unigram distribution) —
+    * one rung up the ladder from [[unigramSurprisal]] toward a trained-LM
+    * perplexity filter: templated/repeated text scores low, token-soup
+    * scores high, and (unlike the unigram score) shuffled word salad no
+    * longer scores like fluent text. Returns
+    * `(doc_id, n_bigrams, mean_surprisal)` — docs with <2 tokens drop out.
+    *
+    * Tokens and bigrams are counted by their 60-bit content hash (the
+    * cross-engine [[graft.functions.TextFunctions.hash60]] bits), so both
+    * engines see the same (collision-tolerant) counts; per-bigram surprisals
+    * are quantized to nano-nat integers before the per-document sum —
+    * order-independent exact aggregation, as [[unigramSurprisal]].
+    *
+    * Scale shape: both count tables shrink by map-side partial aggregation
+    * before their shuffles; the bigram→count joins are equi-joins on 8-byte
+    * hashes that AQE broadcasts when the model fits (a 100 TB corpus's
+    * bigram table may not — then they run as shuffled joins on
+    * well-distributed keys). The grand total is one driver scalar off the
+    * already-aggregated unigram table.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: Column, textCol: Column,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")
+    val t = coalesce(textCol, lit(""))
+    // positional unigram + bigram hashes in two codegen'd passes; per
+    // position i the bigram h12[i] spans unigrams h1[i], h1[i+1]
+    val pos = df.select(idCol.as("doc_id"),
+        TextFunctions.positionalShingleHashes(t, 1).as("_hu"),
+        TextFunctions.positionalShingleHashes(t, 2).as("_hb"))
+      .select(col("doc_id"), col("_hu"),
+        posexplode(col("_hb")).as(Seq("pos", "h12")))
+      .select(col("doc_id"), col("h12"),
+        element_at(col("_hu"), col("pos") + 1).as("h1"),
+        element_at(col("_hu"), col("pos") + 2).as("h2"))
+    val uni = df.select(
+        explode(TextFunctions.positionalShingleHashes(t, 1)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu"))).head().getLong(0)
+    val bi = pos.groupBy(col("h12").as("h")).agg(count(lit(1)).as("cb"))
+    val p = lit(lambda) * col("cb") / col("c1") +
+      (lit(1.0) - lit(lambda)) * col("c2") / lit(total.toDouble)
+    pos
+      .join(bi.withColumnRenamed("h", "h12"), "h12")
+      .join(uni.select(col("h").as("h1"), col("cu").as("c1")), "h1")
+      .join(uni.select(col("h").as("h2"), col("cu").as("c2")), "h2")
+      .select(col("doc_id"), round(-log(p) * 1e9).cast("long").as("_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_q")).as("_sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_sq").cast("double") / col("n_bigrams") / 1e9, 6)
+          .as("mean_surprisal"))
+  }
 }

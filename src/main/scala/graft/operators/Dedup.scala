@@ -426,4 +426,88 @@ object Dedup {
           sqrt(col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via k-means clustering +
+    * within-cluster cosine pruning. Vectors are clustered
+    * ([[Similarity.kmeansCentroids]] — seeded, deterministic), every
+    * within-cluster pair at cosine ≥ `threshold` marks the HIGHER id as a
+    * semantic duplicate, and the verdict table
+    * `(vec_id, cluster_id, kept)` comes back for the caller to anti-join
+    * against the corpus (keep-lowest is the greedy keep-one-representative
+    * rule).
+    *
+    * The cosine is rounded to 6 decimals before the threshold compare on
+    * both engines, so a 1-ulp cross-engine wobble cannot flip a verdict.
+    *
+    * Scale shape: clustering IS the blocking — pair work is quadratic only
+    * in cluster occupancy, so `k` must grow with the corpus exactly like
+    * [[Similarity.autoPlanes]] grows LSH planes (k ≈ n / target occupancy;
+    * train on a sample, assign everything). Assignment is a broadcast
+    * argmax ([[Similarity.ivfAssign]] — the corpus never shuffles beyond
+    * its reduce), and the pair join shuffles on cluster id.
+    */
+  def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, iters: Int, threshold: Double, seed: String = "km"): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, k, iters, seed)
+    val assigned = Similarity
+      .ivfAssign(df, idCol, vecCol, cents, col("cluster_id"), col("centroid"))
+      .select("vec_id", "cluster_id")
+    val vecs = df.select(idCol.as("vec_id"), vecCol.as("vec"))
+    val dropped = embeddingNearDup(
+        assigned.join(vecs, "vec_id"), col("vec_id"), col("vec"),
+        col("cluster_id"), threshold = -1.0) // threshold applied on rounded value below
+      .filter(round(col("cosine"), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(!col("_dup"), lit(true)).as("kept"))
+  }
+
+  /** Exact-substring span dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): every token
+    * `n`-gram occurring more than once ANYWHERE in the corpus is a duplicated
+    * span; all occurrences except the globally-first (lowest `(doc_id, pos)`)
+    * are removed, token-wise. Returns one row per document:
+    * `(doc_id, n_tokens, n_removed, kept_text)` — `kept_text` is the
+    * document with every token covered by a non-first duplicated span
+    * deleted (the suffix-array method's output, re-expressed as a
+    * fingerprint inverted index).
+    *
+    * Scale shape: the positional n-gram hash projection is one codegen'd
+    * narrow pass; first-occurrence ranking is a window partitioned by the
+    * 60-bit gram hash (well-distributed — no hot partition); only duplicated
+    * occurrences expand to covered positions, so the heavy explode is
+    * bounded by the duplicate volume, not the corpus. Two shuffles total
+    * (gram rank, per-doc reassembly).
+    */
+  def spanDedup(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 8): DataFrame = {
+    require(n > 0, s"span n-gram size must be positive, got $n")
+    val grams = df.select(idCol.as("doc_id"),
+        posexplode(positionalShingleHashes(coalesce(textCol, lit("")), n))
+          .as(Seq("pos", "h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    // every non-first occurrence of a repeated gram covers tokens
+    // [pos, pos+n): expand, then dedup overlapping spans per document
+    val covered = grams
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("tpos"))
+      .distinct()
+      .withColumn("_cut", lit(true))
+    df.select(idCol.as("doc_id"),
+        posexplode(tokens(coalesce(textCol, lit("")))).as(Seq("tpos", "tok")))
+      .join(covered, Seq("doc_id", "tpos"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("_cut"), lit(1))).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_cut").isNull, struct(col("tpos"), col("tok"))))),
+          s => s.getField("tok"))).as("kept_text"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical retrieval over the document corpus: BM25 scoring against a fixed
+  * query-term set — the retrieval half of a data-curation / RAG pipeline
+  * (select the documents most relevant to a probe query, rank train-set
+  * candidates against an eval prompt, build hard-negative pools).
+  *
+  * Scale shape: the corpus is tokenized once in a narrow pass; only tokens
+  * matching the (tiny, literal) query-term set survive the explode — the
+  * term filter is applied BEFORE any shuffle, so the aggregated state is
+  * O(matching doc-term pairs), not O(corpus tokens). Document-frequency and
+  * corpus stats are one map-side-combined aggregation each; the per-term idf
+  * table (≤ |terms| rows) broadcasts back. The corpus itself never shuffles —
+  * only the matched (doc, term) pairs do.
+  */
+object Retrieval {
+
+  /** BM25 scores for every document matching ≥1 query term:
+    * `(doc_id, n_terms_hit, score)`.
+    *
+    * Okapi BM25 with the standard `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`
+    * and per-term contribution
+    * `idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * Per-term contributions are quantized to nano units (BIGINT) before the
+    * per-document sum, so the aggregate is exact integer arithmetic —
+    * order-independent across engines and partitionings (the same trick as
+    * [[CorpusQuality.unigramSurprisal]]).
+    */
+  def bm25(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query-term set")
+    val docs = df.select(idCol.as("doc_id"),
+      TextFunctions.tokens(textCol).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+    // corpus stats off one narrow aggregate: N docs, total tokens → avgdl.
+    // Driver-side scalars (2 longs), not a corpus collect.
+    val statsRow = docs.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    // term filter BEFORE the shuffle: only query-term tokens leave the scan
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    // document frequency per term: ≤ |terms| rows, broadcast back
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(dfreq), "tok")
+      .select(col("doc_id"),
+        round(contrib * 1e9).cast("long").as("_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("_q")).as("_sq"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("_sq").cast("double") / 1e9, 6).as("score"))
+  }
+
+  /** Top-k BM25 retrieval: [[bm25]] + an ordered k-row take (Spark
+    * TakeOrdered — no global sort of the scored set). Ties break to the
+    * lowest doc id.
+    */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25(df, idCol, textCol, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+}

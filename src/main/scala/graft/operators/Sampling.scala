@@ -111,6 +111,47 @@ object Sampling {
       .filter(col("_cap_rn") <= k).drop("_cap_rn")
   }
 
+  /** Deterministic stratified train/val/test split with EXACT per-stratum
+    * proportions (where [[stratifiedByHash]] gives expected proportions,
+    * this gives `floor(n·frac)` per stratum exactly — what a small eval
+    * stratum needs to not end up empty or doubled by hash luck). Rows are
+    * ranked within each stratum by the cross-engine `hash60(seed:key)`
+    * (ties to the key), the first `floor(n·testFrac)` become `test`, the
+    * next `floor(n·valFrac)` become `val`, the rest `train`. The rank is a
+    * pure function of (seed, key-set), so the split is reproducible on any
+    * engine and stable under repartitioning — and because the rank doesn't
+    * move, growing `valFrac` only PROMOTES train rows, never reshuffles
+    * existing val/test membership.
+    *
+    * Returns the input keyed columns plus the assignment:
+    * `(key, stratum, split)`.
+    *
+    * Scale shape: one window rank partitioned by stratum (the hash spreads
+    * rows uniformly inside each partition-by bucket; skew only if one
+    * stratum dominates — which is exactly when the plain [[byHash]] split
+    * suffices instead) plus a broadcast of the tiny per-stratum count table.
+    */
+  def stratifiedSplit(df: DataFrame, keyCol: Column, stratumCol: Column,
+      valFrac: Double, testFrac: Double, seed: String = "split"): DataFrame = {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1.0,
+      s"val+test fractions must fit inside (0,1): $valFrac + $testFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("_h"), col("key"))
+    val counts = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("_n"))
+    df.select(keyCol.as("key"), stratumCol.as("stratum"),
+        TextFunctions.hash60(
+          concat(lit(seed + ":"), keyCol.cast("string"))).as("_h"))
+      .withColumn("_rn", row_number().over(w))
+      .join(broadcast(counts), "stratum")
+      .select(col("key"), col("stratum"),
+        when(col("_rn") <= floor(col("_n") * lit(testFrac)), lit("test"))
+          .when(col("_rn") <= floor(col("_n") * lit(testFrac)) +
+            floor(col("_n") * lit(valFrac)), lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** Deterministic global training-order shuffle + shard assignment: rows are
     * ordered by the cross-engine hash `hash60(seed:key)` (ties broken by the
     * key itself), then dealt into consecutive `shardSize`-row shards. The

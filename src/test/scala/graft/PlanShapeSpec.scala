@@ -209,4 +209,38 @@ class PlanShapeSpec extends SparkSpec {
       assert(salted > plain, s"salting should spread the hot key, got $salted")
     } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", sc)
   }
+
+  test("curation ops: no cartesian pair work, no single-partition funnel") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = SparkEntry.tbl(spark, dir, "documents")
+    val emb = SparkEntry.tbl(spark, dir, "embeddings")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    // BM25: the idf table broadcasts back, the score path never cross-joins
+    val bm25 = planOf(graft.operators.Retrieval.bm25(
+      docs, col("doc_id"), col("text"), Seq("spark", "vector")))
+    assert(bm25.contains("BroadcastHashJoin"), bm25)
+    assert(!bm25.contains("CartesianProduct"), bm25)
+    // span dedup / bigram surprisal / stratified split: every window is
+    // partitioned (the gram hash / stratum), so no stage funnels the corpus
+    // into one partition and no pair work goes unblocked
+    val plans = Seq(
+      planOf(graft.operators.Dedup.spanDedup(
+        docs, col("doc_id"), col("text"), n = 8)),
+      planOf(graft.operators.CorpusQuality.bigramSurprisal(
+        docs, col("doc_id"), col("text"))),
+      planOf(graft.operators.Sampling.stratifiedSplit(
+        docs, col("doc_id"), col("lang"), valFrac = 0.1, testFrac = 0.2)),
+      planOf(graft.operators.Dedup.semanticDedup(
+        emb, col("vec_id"), col("embedding"), k = 4, iters = 1, threshold = 0.3)))
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Exchange SinglePartition"), p)
+    }
+    // SemDeDup's only nested-loop is the broadcast centroid argmax (k rows)
+    val sem = plans.last
+    assert(sem.contains("BroadcastNestedLoopJoin") || sem.contains("BroadcastHashJoin"), sem)
+  }
 }

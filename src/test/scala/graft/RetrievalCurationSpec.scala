@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{CorpusQuality, Dedup, Retrieval, Sampling}
+
+/** Specs for the round-8 curation additions: BM25 retrieval, SemDeDup,
+  * exact-substring span dedup, bigram surprisal, stratified splits, and the
+  * positional shingle kernel they build on.
+  */
+class RetrievalCurationSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "apple grape melon kiwi"),
+      (2L, "banana banana banana melon"),
+      (3L, "no fruit words here at all")).toDF("doc_id", "text")
+  }
+
+  test("positional shingle hashes: positional axis, distinct-set parity") {
+    val r = docs.select(
+        TextFunctions.positionalShingleHashes(col("text"), 2).as("pos"),
+        TextFunctions.shingleHashes(col("text"), 2).as("dis"))
+      .collect()
+    r.foreach { row =>
+      val pos = row.getSeq[Long](0)
+      val dis = row.getSeq[Long](1)
+      assert(pos.toSet == dis.toSet) // same gram universe
+      assert(dis.distinct == dis)    // distinct form really is distinct
+    }
+    // doc 0 has 4 tokens -> 3 positional bigrams, and "apple banana" !=
+    // "banana cherry" hashes land at their positions
+    assert(r(0).getSeq[Long](0).length == 3)
+  }
+
+  test("bm25 matches the hand-computed score and ranks both-terms first") {
+    val out = Retrieval.bm25(docs, col("doc_id"), col("text"),
+        Seq("apple", "banana"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 3 matches nothing and is absent
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L)._1 == 2) // both terms
+    // hand computation: N=4 docs, dl = (4,4,4,6), avgdl = 18/4
+    val n = 4.0; val avgdl = 18.0 / 4
+    def idf(df: Long) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long) =
+      (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def quant(x: Double) = math.round(x * 1e9)
+    val d0 = math.rint((quant(idf(2) * w(2, 4)) + quant(idf(2) * w(1, 4))) / 1e9 * 1e6) / 1e6
+    assert(math.abs(out(0L)._2 - d0) < 1e-9)
+    // doc 0 (apple×2 + banana×1) outranks single-term docs
+    assert(out(0L)._2 > out(1L)._2 && out(0L)._2 > out(2L)._2)
+    val top = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("apple", "banana"), k = 1).collect()
+    assert(top.length == 1 && top.head.getLong(0) == 0L)
+  }
+
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    // two tight groups (ids 0,1,2 ~ e1; ids 10,11 ~ e2) + one loner
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f)),
+      (2L, Seq(0.98f, 0.02f, 0.0f)),
+      (10L, Seq(0.0f, 1.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.99f, 0.01f)),
+      (20L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+  }
+
+  test("semanticDedup keeps the lowest id per near-group (k=1 = global)") {
+    val out = Dedup.semanticDedup(vecs, col("vec_id"), col("embedding"),
+        k = 1, iters = 1, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(0L) && !out(1L) && !out(2L)) // group A: 0 kept
+    assert(out(10L) && !out(11L))           // group B: 10 kept
+    assert(out(20L))                        // loner untouched
+  }
+
+  test("semanticDedup verdicts satisfy the keep-lowest invariant under k=2") {
+    val rows = Dedup.semanticDedup(vecs, col("vec_id"), col("embedding"),
+      k = 2, iters = 2, threshold = 0.95).collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val v = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    rows.filter(!_.getBoolean(2)).foreach { r =>
+      val id = r.getLong(0)
+      // every dropped vector has a lower-id same-cluster neighbor over threshold
+      assert(v.keys.exists(o => o < id && cluster(o) == cluster(id) &&
+        cos(v(o), v(id)) >= 0.95), s"dropped $id without a kept witness")
+    }
+    // no two kept vectors in one cluster are near-dups of each other
+    for (a <- kept; b <- kept if a < b && cluster(a) == cluster(b))
+      assert(cos(v(a), v(b)) < 0.95, s"kept near-dup pair ($a,$b)")
+  }
+
+  test("spanDedup removes later copies of an 8-gram, keeps the first") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "x y a b c d e f g h z"),
+      (2L, "p q r s t u v w p q r s t u v w"),
+      (3L, "totally unrelated short text")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(in, col("doc_id"), col("text"), n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((10L, 0L, "a b c d e f g h i j"))) // first occurrence kept
+    assert(out(1L) == ((11L, 8L, "x y z")))               // cross-doc copy cut
+    assert(out(2L) == ((16L, 8L, "p q r s t u v w")))     // within-doc repeat cut
+    assert(out(3L)._2 == 0L)                              // untouched
+  }
+
+  test("bigram surprisal: repeated bigrams score below token soup") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      (0L, "go go go go go go go go"),
+      (1L, "zeta omega theta lambda kappa sigma gamma delta")).toDF("doc_id", "text")
+    val out = CorpusQuality.bigramSurprisal(in, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 == 7 && out(1L)._1 == 7) // n-1 bigrams each
+    assert(out(0L)._2 < out(1L)._2)            // templated text is predictable
+  }
+
+  test("stratifiedSplit yields exact floor(n·frac) per stratum, deterministic") {
+    val s = spark
+    import s.implicits._
+    val in = (0 until 100).map(i =>
+      (i.toLong, if (i < 60) "en" else "de")).toDF("doc_id", "lang")
+    def run() = Sampling.stratifiedSplit(in, col("doc_id"), col("lang"),
+      valFrac = 0.1, testFrac = 0.2).collect()
+    val out = run()
+    val byStratum = out.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length).toMap
+    assert(byStratum(("en", "test")) == 12 && byStratum(("en", "val")) == 6 &&
+      byStratum(("en", "train")) == 42)
+    assert(byStratum(("de", "test")) == 8 && byStratum(("de", "val")) == 4 &&
+      byStratum(("de", "train")) == 28)
+    // pure function of (seed, key): a second run assigns identically
+    val again = run().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach(r => assert(again(r.getLong(0)) == r.getString(2)))
+  }
+}
