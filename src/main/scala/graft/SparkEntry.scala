@@ -1432,6 +1432,28 @@ object SparkEntry {
         tbl(s, dir, "documents"), col("doc_id"), col("text"), lambda = 0.7),
         "doc_id")
     }),
+    // ---- full IVF+int8 ANN composition: coarse quantizer prunes the scan,
+    //      int8 kernels score what remains (the 100 TB read path) ----
+    "q124_ivf_int8_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      graft.operators.Similarity.ivfTopKInt8(emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), query, k = 10, nprobe = 4)
+    }),
+    // ---- hybrid retrieval: BM25 ⊕ cosine by reciprocal-rank fusion ----
+    "q125_hybrid_rrf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      graft.operators.Retrieval.hybridTopK(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        terms = Seq("spark", "vector", "stream", "slow"),
+        emb, col("vec_id"), col("embedding"), query,
+        poolK = 50, k = 20)
+    }),
     // ---- exact-proportion stratified train/val/test split ----
     "q123_stratified_split" -> ((s, dir) => {
       pinSorted(graft.operators.Sampling.stratifiedSplit(
@@ -3329,6 +3351,102 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
            round(sum(q)::DOUBLE / count(*) / 1e9, 6) AS mean_surprisal
          FROM q GROUP BY doc_id ORDER BY doc_id""",
+    // q58's probe/assign chain + q61's int8 scoring over the probed subset:
+    // the full IVF->int8 composition, scales cancel, integer hot loop
+    "q124_ivf_int8_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         pc AS (SELECT c.cid,
+                  list_reduce(list_transform(range(1, len(c.cvec)+1),
+                    i -> q.qv[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(q.qv)+1),
+                      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS pcos
+                FROM c, q),
+         probes AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY pcos DESC, cid) AS rn
+                      FROM pc) WHERE rn <= 4),
+         a AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(e.embedding)+1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                   list_reduce(list_transform(range(1, len(c.cvec)+1),
+                     i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+               FROM embeddings e CROSS JOIN c),
+         best AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM a),
+         assigned AS (SELECT vec_id FROM best
+                      WHERE rn = 1 AND cid IN (SELECT cid FROM probes)),
+         m AS (SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, v -> abs(v::DOUBLE))), 0.0) AS ma
+           FROM embeddings),
+         qz AS (SELECT vec_id,
+             list_transform(embedding, v -> round(v::DOUBLE /
+               CASE WHEN ma = 0 THEN 1.0 ELSE ma/127.0 END)::TINYINT) AS qvec
+           FROM m),
+         qv8 AS (SELECT qvec FROM qz WHERE vec_id = 0)
+         SELECT vec_id, cosine_q FROM (
+           SELECT e.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(e.qvec)+1),
+                 i -> e.qvec[i]::BIGINT * q.qvec[i]::BIGINT), (x,y) -> x+y)::DOUBLE /
+               sqrt(
+                 list_reduce(list_transform(range(1, len(e.qvec)+1),
+                   i -> e.qvec[i]::BIGINT * e.qvec[i]::BIGINT), (x,y) -> x+y)::DOUBLE *
+                 list_reduce(list_transform(range(1, len(q.qvec)+1),
+                   i -> q.qvec[i]::BIGINT * q.qvec[i]::BIGINT), (x,y) -> x+y)::DOUBLE), 6) AS cosine_q
+           FROM qz e JOIN assigned USING (vec_id), qv8 q)
+         ORDER BY cosine_q DESC, vec_id LIMIT 10""",
+    // reciprocal-rank fusion of q119's BM25 pool (poolK=50) and the
+    // brute-force cosine pool; 1/(60+rank) per appearance, fused top-20
+    "q125_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM t),
+         s AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+         tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+                WHERE tok IN ('spark','vector','stream','slow')
+                GROUP BY doc_id, dl, tok),
+         f AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         cq AS (SELECT t.doc_id,
+                 CAST(round(
+                   ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+                   (t.tf * (1.2 + 1.0)) /
+                   (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) * 1e9)
+                   AS BIGINT) AS q
+               FROM tf t JOIN f ON t.tok = f.tok CROSS JOIN s),
+         bm AS (SELECT doc_id, round(sum(q)::DOUBLE / 1e9, 6) AS score
+                FROM cq GROUP BY doc_id
+                ORDER BY score DESC, doc_id LIMIT 50),
+         bmr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r_bm
+                 FROM bm),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         vc AS (SELECT e.vec_id AS doc_id,
+                  round(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE), (x,y) -> x+y) /
+                    sqrt(
+                      list_reduce(list_transform(range(1, len(e.embedding)+1),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                      list_reduce(list_transform(range(1, len(q.qe)+1),
+                        i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+                FROM embeddings e, qv q
+                ORDER BY cosine DESC, doc_id LIMIT 50),
+         vcr AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+                 FROM vc)
+         SELECT coalesce(bmr.doc_id, vcr.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + r_bm), 0.0) +
+             coalesce(1.0 / (60 + r_vec), 0.0), 6) AS rrf
+         FROM bmr FULL OUTER JOIN vcr ON bmr.doc_id = vcr.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     // exact-proportion stratified split: per-stratum hash rank, first
     // floor(n*testFrac) test, next floor(n*valFrac) val, rest train
     "q123_stratified_split" ->

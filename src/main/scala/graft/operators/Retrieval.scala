@@ -75,4 +75,37 @@ object Retrieval {
     bm25(df, idCol, textCol, terms, k1, b)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion
+    * (Cormack et al. 2009): the BM25 top-`poolK` and the cosine top-`poolK`
+    * are fused as `Σ 1/(rrfK + rank)` over the lists a document appears in,
+    * and the fused top-`k` comes back as `(doc_id, rrf)` — the standard
+    * first-stage ranker of a RAG / curation stack (rank fusion needs no
+    * score calibration between the two systems, which is why it beats
+    * score-blending across engines).
+    *
+    * The documents and embeddings sides join on a shared id space.
+    *
+    * Scale shape: each side is its own scalable retrieval (BM25's term
+    * filter / ANN pruning); ranks are assigned AFTER the `poolK`-row take,
+    * so the only unpartitioned windows run over `poolK` rows, never the
+    * corpus, and the fusion join is `poolK`-bounded on both sides.
+    */
+  def hybridTopK(docs: DataFrame, docId: Column, textCol: Column,
+      terms: Seq[String], emb: DataFrame, vecId: Column, vecCol: Column,
+      query: Seq[Float], poolK: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val bmRank = bm25TopK(docs, docId, textCol, terms, poolK)
+      .select(col("doc_id"), row_number().over(
+        w.orderBy(col("score").desc, col("doc_id"))).as("r_bm"))
+    val vecRank = Similarity.bruteForceTopK(emb, vecId, vecCol, query, poolK)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        w.orderBy(col("cosine").desc, col("vec_id"))).as("r_vec"))
+    bmRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -59,6 +59,29 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(top.length == 1 && top.head.getLong(0) == 0L)
   }
 
+  test("hybrid RRF: both-list documents outrank single-list ones") {
+    val s = spark
+    import s.implicits._
+    // doc 0 is top of BOTH lists (it holds the rare term AND the query
+    // vector); doc 1 lexical-only; vec 2 vector-only
+    val d = Seq(
+      (0L, "apple banana apple banana"),
+      (1L, "apple and some other words here"),
+      (3L, "nothing relevant")).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Retrieval.hybridTopK(
+        d, col("doc_id"), col("text"), Seq("apple", "banana"),
+        e, col("vec_id"), col("embedding"), Seq(1.0f, 0.0f), poolK = 3, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // rank 1 in both lists → exactly 2/(60+1), rounded to 6
+    assert(math.abs(out(0L) - math.rint(2.0 / 61 * 1e6) / 1e6) < 1e-9)
+    assert(out(0L) > out(1L) && out(0L) > out(2L))
+    assert(out.keySet.contains(3L)) // present via both tails, still fused
+  }
+
   private def vecs = {
     val s = spark
     import s.implicits._
