@@ -75,6 +75,38 @@ object Scratch {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_CURATION_SCALE=1: time the round-8 curation ops on the
+    // current SF_DIR (point it at a MAKE_SCALED dir for the 10×/100× rungs).
+    // SemDeDup runs at occupancy-held k (n/64, the autoPlanes analogue);
+    // SPARK_GRAFT_CURATION_FIXED_K=<k> adds the fixed-k run that documents
+    // the quadratic failure mode the scaling rule prevents.
+    sys.env.get("SPARK_GRAFT_CURATION_SCALE").foreach { _ =>
+      import graft.operators.{CorpusQuality, Dedup, Retrieval}
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      time("docs warmup")(docs.count())
+      time("span_dedup n=8")(Dedup.spanDedup(
+        docs, col("doc_id"), col("text"), n = 8).count())
+      time("bm25")(Retrieval.bm25(docs, col("doc_id"), col("text"),
+        Seq("spark", "vector", "stream", "slow")).count())
+      time("bigram_surprisal")(CorpusQuality.bigramSurprisal(
+        docs, col("doc_id"), col("text")).count())
+      val nVec = emb.count()
+      // k ∝ n holds within-cluster pair work flat but makes the broadcast
+      // argmax n×k — beyond a few hundred centroids the 100 TB shape is
+      // hierarchical (coarse→fine) or hyperplane-bucketed blocking
+      // (Similarity.bucketedPairs), so the drill caps k where that switch
+      // would happen instead of inflating one flat argmax
+      val kAuto = math.min(256, math.max(8, (nVec / 64).toInt))
+      time(s"semantic_dedup k=$kAuto (occupancy-held)")(Dedup.semanticDedup(
+        emb, col("vec_id"), col("embedding"), kAuto, 2, 0.3).count())
+      sys.env.get("SPARK_GRAFT_CURATION_FIXED_K").foreach { ks =>
+        time(s"semantic_dedup k=$ks (fixed)")(Dedup.semanticDedup(
+          emb, col("vec_id"), col("embedding"), ks.toInt, 2, 0.3).count())
+      }
+      spark.stop()
+      return
+    }
     time("entry smoke sf0.001")(SparkEntry.entry(spark).count())
     import graft.functions.TextFunctions._
     val d = SparkEntry.tbl(spark, dir, "documents")
