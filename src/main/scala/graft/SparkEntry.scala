@@ -1200,6 +1200,32 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy("event_id")
     }),
+    // ---- scalar-function surface: CIDR triple (getCIDRPrefix /
+    //      maskFromCIDR / compareCIDRPrefix), contains, parseHex ----
+    "q126_piped_cidrfns" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("message", col("event_type"))
+        .withColumn("ip", concat(lit("10."), col("user_id") % 256, lit("."),
+          col("event_id") % 256, lit(".7")))
+        .withColumn("peer", concat(lit("10."), col("user_id") % 256, lit("."),
+          expr("event_id div 2") % 256, lit(".9")))
+      val q = "* | getcidrprefix(ip, 24) as net24" +
+        " | getcidrprefix(ip, 12) as net12" +
+        " | maskfromcidr(20) as mask20" +
+        " | if(comparecidrprefix(ip, peer, 24), 1, 0) as same24" +
+        " | if(comparecidrprefix(ip, peer, 16), 1, 0) as same16" +
+        " | if(contains(ip, \".25\"), 1, 0) as has25" +
+        " | parsehex(\"ff\") as ffv" +
+        " | fields event_id, ip, peer, net24, net12, mask20, same24, same16, has25, ffv"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy("event_id")
+    }),
     // ---- logcompare: signature clusters current-vs-baseline across the
     //      window split (trailing <dur> vs the rest), new-signature flags ----
     "q107_piped_logcompare" -> ((s, dir) => {
@@ -3008,6 +3034,37 @@ object SparkEntry {
              THEN 1 ELSE 0 END AS BIGINT) AS cardok,
            CAST(epoch_ms(strptime(dt, '%Y-%m-%d %H:%M:%S')) AS DOUBLE) AS pd
          FROM ipn ORDER BY event_id""",
+    // the synthesized octets are all <=255, so validity gating reduces to
+    // direct bit math; masks: /24=4294967040 /16=4294901760 /12=4293918720
+    "q126_piped_cidrfns" ->
+      """WITH synth AS (SELECT event_id,
+             '10.'||(user_id%256)||'.'||(event_id%256)||'.7' AS ip,
+             '10.'||(user_id%256)||'.'||((event_id//2)%256)||'.9' AS peer
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         n AS (SELECT *,
+             CAST(split_part(ip,'.',1) AS BIGINT)*16777216
+               + CAST(split_part(ip,'.',2) AS BIGINT)*65536
+               + CAST(split_part(ip,'.',3) AS BIGINT)*256
+               + CAST(split_part(ip,'.',4) AS BIGINT) AS ipn,
+             CAST(split_part(peer,'.',1) AS BIGINT)*16777216
+               + CAST(split_part(peer,'.',2) AS BIGINT)*65536
+               + CAST(split_part(peer,'.',3) AS BIGINT)*256
+               + CAST(split_part(peer,'.',4) AS BIGINT) AS pn
+           FROM synth),
+         m AS (SELECT *, ipn & 4294967040 AS m24, ipn & 4293918720 AS m12
+           FROM n)
+         SELECT event_id, ip, peer,
+           ((m24>>24)&255)||'.'||((m24>>16)&255)||'.'||((m24>>8)&255)||'.'||(m24&255) AS net24,
+           ((m12>>24)&255)||'.'||((m12>>16)&255)||'.'||((m12>>8)&255)||'.'||(m12&255) AS net12,
+           '255.255.240.0' AS mask20,
+           CAST(CASE WHEN (ipn & 4294967040) = (pn & 4294967040)
+             THEN 1 ELSE 0 END AS BIGINT) AS same24,
+           CAST(CASE WHEN (ipn & 4294901760) = (pn & 4294901760)
+             THEN 1 ELSE 0 END AS BIGINT) AS same16,
+           CAST(CASE WHEN contains(ip, '.25') THEN 1 ELSE 0 END AS BIGINT) AS has25,
+           CAST(CAST('0xff' AS BIGINT) AS DOUBLE) AS ffv
+         FROM m ORDER BY event_id""",
     "q107_piped_logcompare" ->
       """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
              event_type

@@ -229,7 +229,8 @@ object QueryExprs {
     case StrLit(_) => true
     case Call("concat" | "tolowercase" | "touppercase" | "format"
         | "substring" | "replace" | "trim" | "formatdate"
-        | "base64encode" | "base64decode" | "urldecode" | "urlencode", _) => true
+        | "base64encode" | "base64decode" | "urldecode" | "urlencode"
+        | "getcidrprefix" | "maskfromcidr", _) => true
     case Call("if", Seq(_, a, b)) => isStringy(a) || isStringy(b)
     case _ => false
   }
@@ -238,9 +239,30 @@ object QueryExprs {
     * them directly instead of the truthy-numeric fallback.
     */
   private val boolFns = Set("isnull", "isempty", "isblank", "isnumeric",
-    "isvalidip", "isprivateip", "ispublicip", "luhn")
+    "isvalidip", "isprivateip", "ispublicip", "luhn", "contains",
+    "comparecidrprefix")
 
   private def num(c: Column): Column = c.try_cast("double")
+
+  /** Masked network number of `ip` under prefix length `p`: null for a
+    * malformed address or a prefix outside [0,32]. 64-bit shifts keep the
+    * /0 edge exact.
+    */
+  private def cidrPrefixNum(ip: Column, p: Column): Column = {
+    val pl = p.try_cast("double").cast("int")
+    val n = graft.functions.ip.ipv4ToNumber(ip.cast("string"))
+    when(pl.between(0, 32),
+      n.bitwiseAND(call_function("shiftleft", lit(4294967295L), lit(32) - pl)
+        .bitwiseAND(lit(4294967295L))))
+  }
+
+  /** 32-bit network number → dotted-quad string (null-propagating). */
+  private def dottedQuad(n: Column): Column =
+    when(n.isNotNull, format_string("%d.%d.%d.%d",
+      shiftrightunsigned(n, 24).bitwiseAND(lit(255L)),
+      shiftrightunsigned(n, 16).bitwiseAND(lit(255L)),
+      shiftrightunsigned(n, 8).bitwiseAND(lit(255L)),
+      n.bitwiseAND(lit(255L))))
 
   /** Expression → `Column`. `resolve` maps a field reference to its engine
     * column (the metadata-selector spelling resolves like everywhere else).
@@ -359,7 +381,7 @@ object QueryExprs {
       case ("pow", Seq(a, b)) =>
         pow(num(compile(a, resolve)), num(compile(b, resolve)))
       case ("signum", Seq(a)) => signum(num(compile(a, resolve)))
-      case ("hextodec", Seq(a)) =>
+      case ("hextodec" | "parsehex", Seq(a)) =>
         // alphabet-gated like base64decode: a non-hex string yields null,
         // never a task failure; 15 hex digits (60 bits) is the exact-long
         // bound, matching the md5-prefix idiom used engine-wide
@@ -440,6 +462,26 @@ object QueryExprs {
             .reduce(_ || _)
       case ("luhn", Seq(a)) =>
         graft.functions.TextFunctions.luhn(compile(a, resolve).cast("string"))
+      case ("contains", Seq(a, b)) =>
+        compile(a, resolve).cast("string")
+          .contains(compile(b, resolve).cast("string"))
+      case ("getcidrprefix", Seq(ip, p)) =>
+        // the network prefix of an IPv4 address as a dotted quad (the
+        // language's CIDR triple); malformed ip / out-of-range prefix → null
+        dottedQuad(cidrPrefixNum(compile(ip, resolve), compile(p, resolve)))
+      case ("maskfromcidr", Seq(p)) =>
+        // prefix length → dotted-quad netmask; the long shift keeps /0 exact
+        // ((0xFFFFFFFF << 32) & 0xFFFFFFFF = 0 in 64-bit math)
+        val pl = num(compile(p, resolve)).cast("int")
+        dottedQuad(when(pl.between(0, 32),
+          call_function("shiftleft", lit(4294967295L), lit(32) - pl)
+            .bitwiseAND(lit(4294967295L))))
+      case ("comparecidrprefix", Seq(ip1, ip2, p)) =>
+        // true iff both addresses share the first `p` bits; malformed or
+        // out-of-range inputs are false (boolean contract, like isValidIP)
+        val a1 = cidrPrefixNum(compile(ip1, resolve), compile(p, resolve))
+        val a2 = cidrPrefixNum(compile(ip2, resolve), compile(p, resolve))
+        a1.isNotNull && a2.isNotNull && (a1 === a2)
       case ("substring", as) if as.length == 2 || as.length == 3 =>
         // 0-based [start, end) like the reference language; omitted end runs
         // to the end of the string; empty for a degenerate range

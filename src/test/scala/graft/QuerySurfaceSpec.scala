@@ -1662,6 +1662,45 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(m._6 > 1.7e12) // epoch millis, constant per query
   }
 
+  test("Q1: scalar functions — CIDR triple, contains, parsehex") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("10.10.1.35", "10.10.1.200"),   // same /24
+      ("10.10.1.35", "10.10.2.35"),    // same /16, different /24
+      ("192.168.7.9", "10.10.1.35"),   // different everything
+      ("bogus", "10.10.1.35"))         // malformed left side
+      .toDF("ip", "peer")
+    val out = compileStages(Seq(
+      parseStage("getcidrprefix(ip, 24) as net24"),
+      parseStage("getcidrprefix(ip, 12) as net12"),
+      parseStage("maskfromcidr(20) as mask20"),
+      parseStage("if(comparecidrprefix(ip, peer, 24), 1, 0) as same24"),
+      parseStage("if(comparecidrprefix(ip, peer, 16), 1, 0) as same16"),
+      parseStage("if(contains(ip, \"10.1\"), 1, 0) as has101"),
+      parseStage("parsehex(\"1f\") as p31")), "ts", "m")(df)
+      .select("net24", "net12", "mask20", "same24", "same16", "has101", "p31")
+      .as[(Option[String], Option[String], String, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out(0) == ((Some("10.10.1.0"), Some("10.0.0.0"), "255.255.240.0",
+      1L, 1L, 1L, 31.0)))
+    assert(out(1)._4 == 0L && out(1)._5 == 1L) // /16 match survives a /24 miss
+    assert(out(2)._1.contains("192.168.7.0") &&
+      out(2)._2.contains("192.160.0.0") && out(2)._4 == 0L && out(2)._5 == 0L)
+    assert(out(3)._1.isEmpty && out(3)._2.isEmpty) // malformed ip -> null prefix
+    assert(out(3)._4 == 0L && out(3)._5 == 0L)     // and false comparisons
+    // prefix-length edges: /0 masks everything equal, /32 requires identity
+    val edge = compileStages(Seq(
+      parseStage("if(comparecidrprefix(ip, peer, 0), 1, 0) as all0"),
+      parseStage("if(comparecidrprefix(ip, peer, 32), 1, 0) as exact"),
+      parseStage("maskfromcidr(0) as m0"),
+      parseStage("maskfromcidr(32) as m32")), "ts", "m")(df.limit(1))
+      .select("all0", "exact", "m0", "m32")
+      .as[(Long, Long, String, String)].head()
+    assert(edge == ((1L, 0L, "0.0.0.0", "255.255.255.255")))
+  }
+
   test("Q1: logcompare — current vs trailing-split baseline, new-signature flags") {
     import SearchQuery._
     val s = spark
