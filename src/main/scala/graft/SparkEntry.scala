@@ -1480,6 +1480,12 @@ object SparkEntry {
         emb, col("vec_id"), col("embedding"), query,
         poolK = 50, k = 20)
     }),
+    // ---- CCNet-style per-language perplexity buckets (head/middle/tail) ----
+    "q127_ccnet_buckets" -> ((s, dir) => {
+      pinSorted(graft.operators.CorpusQuality.perplexityBuckets(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"), col("lang")),
+        "doc_id")
+    }),
     // ---- exact-proportion stratified train/val/test split ----
     "q123_stratified_split" -> ((s, dir) => {
       pinSorted(graft.operators.Sampling.stratifiedSplit(
@@ -3504,6 +3510,43 @@ object SparkEntry {
              coalesce(1.0 / (60 + r_vec), 0.0), 6) AS rrf
          FROM bmr FULL OUTER JOIN vcr ON bmr.doc_id = vcr.doc_id
          ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // q122's surprisal chain + per-language percent_rank buckets; the
+    // doc_id tie-break makes ranks unique so the split is deterministic
+    "q127_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         u0 AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM t),
+         u AS (SELECT doc_id, i,
+                 ('0x'||substring(md5(toks[i+1]),1,15))::BIGINT AS h FROM u0),
+         b0 AS (SELECT doc_id, unnest(range(len(toks)-1)) AS i, toks
+                FROM t WHERE len(toks) >= 2),
+         b AS (SELECT doc_id, i,
+                 ('0x'||substring(md5(toks[i+1]||' '||toks[i+2]),1,15))::BIGINT AS h12,
+                 ('0x'||substring(md5(toks[i+1]),1,15))::BIGINT AS h1,
+                 ('0x'||substring(md5(toks[i+2]),1,15))::BIGINT AS h2
+               FROM b0),
+         cu AS (SELECT h, count(*)::BIGINT AS cu FROM u GROUP BY h),
+         tot AS (SELECT sum(cu)::DOUBLE AS ttl FROM cu),
+         cb AS (SELECT h12, count(*)::BIGINT AS cb FROM b GROUP BY h12),
+         q AS (SELECT x.doc_id,
+                 CAST(round(-ln(0.7 * cb.cb / c1.cu + (1.0 - 0.7) * c2.cu / tot.ttl)
+                   * 1e9) AS BIGINT) AS q
+               FROM b x JOIN cb ON x.h12 = cb.h12
+                 JOIN cu c1 ON x.h1 = c1.h
+                 JOIN cu c2 ON x.h2 = c2.h
+                 CROSS JOIN tot),
+         sc AS (SELECT doc_id,
+                  round(sum(q)::DOUBLE / count(*) / 1e9, 6) AS mean_surprisal
+                FROM q GROUP BY doc_id),
+         j AS (SELECT sc.doc_id, d.lang, sc.mean_surprisal,
+                 percent_rank() OVER (PARTITION BY d.lang
+                   ORDER BY sc.mean_surprisal, sc.doc_id) AS pr
+               FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+         SELECT doc_id, lang, mean_surprisal,
+           CASE WHEN pr < (1.0/3) THEN 'head'
+                WHEN pr < (1.0/3) + (1.0/3) THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM j ORDER BY doc_id""",
     // exact-proportion stratified split: per-stratum hash rank, first
     // floor(n*testFrac) test, next floor(n*valFrac) val, rest train
     "q123_stratified_split" ->

@@ -100,6 +100,39 @@ object CorpusQuality {
     * well-distributed keys). The grand total is one driver scalar off the
     * already-aggregated unigram table.
     */
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019, arXiv:1911.00359):
+    * score every document with [[bigramSurprisal]], then split EACH language
+    * into head/middle/tail by per-language surprisal percentile — the
+    * pretraining convention that keeps "fluent for its language" comparable
+    * across languages instead of letting one language's distribution set a
+    * global cutoff. Returns `(doc_id, lang, mean_surprisal, bucket)`.
+    *
+    * Percentile is `percent_rank` over (surprisal, doc_id) — the doc-id
+    * tie-break makes ranks unique, so the split is deterministic on any
+    * engine. Bucket bounds: `head < headFrac ≤ middle < headFrac+midFrac ≤
+    * tail`.
+    *
+    * Scale shape: inherits [[bigramSurprisal]]'s counts; the only addition
+    * is one window partitioned by language (skew only if one language
+    * dominates — at which point partition the window further by a hash of
+    * the surprisal band, or fall back to the two-pass rank engine the
+    * global query stages use).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: Column, textCol: Column,
+      langCol: Column, headFrac: Double = 1.0 / 3,
+      midFrac: Double = 1.0 / 3, lambda: Double = 0.7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("mean_surprisal"), col("doc_id"))
+    bigramSurprisal(df, idCol, textCol, lambda)
+      .join(df.select(idCol.as("doc_id"), langCol.as("lang")), "doc_id")
+      .withColumn("_pr", percent_rank().over(w))
+      .select(col("doc_id"), col("lang"), col("mean_surprisal"),
+        when(col("_pr") < lit(headFrac), lit("head"))
+          .when(col("_pr") < lit(headFrac) + lit(midFrac), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   def bigramSurprisal(df: DataFrame, idCol: Column, textCol: Column,
       lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")

@@ -74,6 +74,31 @@ class KernelParitySpec extends SparkSpec {
     rows.foreach { case (k, q) => assert(k == q) }
   }
 
+  test("positional shingle kernel == HOF sequence/slice form (tricky + fuzz)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(777)
+    val alphabets = Seq("abcdefg", "äöüßéñ", "汉字分词测试", "0123._-")
+    def token(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until 1 + rnd.nextInt(5)).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    def doc(): String =
+      (0 until rnd.nextInt(25)).map(_ => token())
+        .mkString(Seq(" ", "  ", "\t")(rnd.nextInt(3)))
+    val docs = (tricky ++ (0 until 200).map(_ => doc())).toDF("text")
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val posSql = when(size(toks) >= 3 && length(trim(col("text"))) > 0,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(3)))), 1, 15),
+          16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val rows = docs.select(
+      positionalShingleHashes(col("text"), 3).as("kernel"), posSql.as("sql"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (k, q) => assert(k == q) }
+  }
+
   test("ip_in_cidr == independent InetAddress reference on random inputs") {
     val rnd = new scala.util.Random(7)
     def refInCidr(ip: String, base: String, len: Int): Boolean =

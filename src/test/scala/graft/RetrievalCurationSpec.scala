@@ -154,6 +154,31 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(out(0L)._2 < out(1L)._2)            // templated text is predictable
   }
 
+  test("perplexityBuckets splits each language by its own percentiles") {
+    val s = spark
+    import s.implicits._
+    // 9 docs per lang with distinct surprisal profiles; buckets must come
+    // out ~3/3/3 WITHIN each language, not globally
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val in = (0 until 18).map { i =>
+      val lang = if (i < 9) "en" else "de"
+      val toks = (0 to i % 9).flatMap(_ =>
+        Seq.fill(3)(vocab(rnd.nextInt(vocab.length)))) :+ s"tail$i"
+      (i.toLong, lang, toks.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val out = graft.operators.CorpusQuality.perplexityBuckets(
+        in, col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => (r.getString(1), r.getString(3)))
+    for (lang <- Seq("en", "de")) {
+      val counts = out.filter(_._1 == lang).groupBy(_._2)
+        .view.mapValues(_.length).toMap
+      assert(counts.values.sum == 9, s"$lang: $counts")
+      assert(counts.getOrElse("head", 0) >= 2 &&
+        counts.getOrElse("tail", 0) >= 2, s"$lang: $counts")
+    }
+  }
+
   test("stratifiedSplit yields exact floor(n·frac) per stratum, deterministic") {
     val s = spark
     import s.implicits._
