@@ -87,5 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => PiiRedact(es.head))
     fn(ext, "paragraphs", "paragraphs(text, n) - consecutive n-token paragraphs of the normalized text", 2)(
       es => ParagraphSplit(es.head, intArg("paragraphs", "n", es(1))))
+    fn(ext, "positional_shingle_hash60",
+      "positional_shingle_hash60(text, n) - per-position word n-gram 60-bit hashes, duplicates kept", 2)(
+      es => PositionalShingleHashes(es.head,
+        intArg("positional_shingle_hash60", "n", es(1))))
   }
 }

@@ -35,8 +35,10 @@ object Retrieval {
   def bm25(df: DataFrame, idCol: Column, textCol: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25: empty query-term set")
+    // null text tokenizes as "" (one empty token) instead of dropping the
+    // document from N/avgdl — same null contract as spanDedup/bigramSurprisal
     val docs = df.select(idCol.as("doc_id"),
-      TextFunctions.tokens(textCol).as("_toks"))
+      TextFunctions.tokens(coalesce(textCol, lit(""))).as("_toks"))
       .select(col("doc_id"), col("_toks"),
         size(col("_toks")).cast("long").as("dl"))
     // corpus stats off one narrow aggregate: N docs, total tokens → avgdl.

@@ -37,7 +37,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  vec_dot_int8(array(cast(2 AS tinyint), cast(-3 AS tinyint)),
         |               array(cast(5 AS tinyint), cast(7 AS tinyint))) AS dot8,
         |  vec_sqnorm_int8(array(cast(3 AS tinyint), cast(-4 AS tinyint))) AS nrm8,
-        |  text_stats('the cat and the hat').lang_guess AS lang
+        |  text_stats('the cat and the hat').lang_guess AS lang,
+        |  positional_shingle_hash60('a b a b', 2) AS psh
         |""".stripMargin).head()
     assert(row.getString(0) == "hello")
     assert(row.getSeq[Long](1).length == 2) // "a b c", "b c d"
@@ -49,6 +50,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(7) == -11L) // 2*5 + (-3)*7
     assert(row.getLong(8) == 25L)
     assert(row.getString(9) == "en")
+    val psh = row.getSeq[Long](10)
+    assert(psh.length == 3 && psh(0) == psh(2)) // "a b","b a","a b" repeat kept
   }
 
   test("builders validate arity and literal params with named errors") {
