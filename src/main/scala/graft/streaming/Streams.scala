@@ -188,4 +188,41 @@ object Streams {
     */
   def firehoseTrigger(seconds: Int = 60): Trigger =
     Trigger.ProcessingTime(s"$seconds seconds")
+
+  /** Streaming curation: the LLM-pipeline gate applied AT INGEST instead of
+    * in a batch sweep — language/quality filter (fused `textStats` kernel),
+    * first-seen exact dedup on the content fingerprint with watermark-bounded
+    * state, then PII redaction on what survives. Output rows carry
+    * `lang_guess`/`quality` beside the redacted text.
+    *
+    * Composition of the batch operators' own kernels, so a document admitted
+    * by the stream is EXACTLY the document the batch curation pipeline (q46)
+    * would admit — the two paths can be mixed (stream for the live feed,
+    * batch for the backfill) without divergence.
+    *
+    * Scale shape: the gate and redaction are stateless map-side projections;
+    * the only state is the dedup store, keyed by the 32-hex fingerprint
+    * (uniform — no hot key) and bounded by the watermark horizon. At 100 TB/
+    * day the horizon IS the dedup window: cross-horizon dedup belongs to the
+    * batch sweep, which this pipeline's fingerprints line up with by
+    * construction.
+    */
+  def curationStream(docs: DataFrame, tsCol: String, lateness: String,
+      textCol: String = "text", minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    import graft.functions.TextFunctions._
+    val gated = graft.functions.ExprUtils.materialized(
+        docs, "_st", textStats(col(textCol)))
+      .filter(col("_st.lang_guess").isin(langs: _*) &&
+        col("_st.quality") >= minQuality)
+      .withColumn("lang_guess", col("_st.lang_guess"))
+      .withColumn("quality", col("_st.quality"))
+      .drop("_st")
+      .withColumn("_fp", fingerprint(col(textCol)))
+    gated
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .withColumn(textCol, redactPii(col(textCol)))
+      .drop("_fp")
+  }
 }

@@ -160,6 +160,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_ == ("r1", "CREATE")) == 1)
   }
 
+  test("streaming curation: gate → fingerprint dedup → redaction at ingest") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = Streams.curationStream(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "ts", lateness = "1 hour", minQuality = 0.3)
+    val q = out.writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val fluent = "the cat and the dog sat in the house with the hat " * 3
+    input.addData(
+      (t(0), 0L, fluent),
+      (t(1), 1L, "el perro es un animal y la casa es grande que bueno"), // not en
+      (t(2), 2L, "mail me at bob@example.com " + fluent))
+    q.processAllAvailable()
+    input.addData(
+      (t(5), 3L, fluent.replace(" ", "  ")), // whitespace-variant dup of doc 0
+      (t(6), 4L, ",,, !!! ??? ;;; ***")) // punctuation soup fails quality
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("curation_out")
+      .select("doc_id", "text", "lang_guess")
+      .as[(Long, String, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId.keySet == Set(0L, 2L)) // es doc, dup, and soup all dropped
+    assert(byId(0L)._3 == "en")
+    assert(byId(2L)._2.contains("<EMAIL>") && !byId(2L)._2.contains("@")) // redacted
+  }
+
   test("T8 streaming: requestID carries forward across micro-batches via state store") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
