@@ -1480,6 +1480,25 @@ object SparkEntry {
         emb, col("vec_id"), col("embedding"), query,
         poolK = 50, k = 20)
     }),
+    // ---- corpus health report: the per-(source,lang) rollup a curation run
+    //      starts from — docs, tokens, exact-integer mean quality, dup rate.
+    //      One pass (fused textStats kernel), one map-side-combined agg ----
+    "q128_corpus_report" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val d = graft.functions.ExprUtils.materialized(
+        tbl(s, dir, "documents"), "_st", textStats(col("text")))
+      d.groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+          // quality is pre-rounded to 1e-6, so the 1e6-scaled sum is exact
+          // integer arithmetic — order-independent across engines
+          round(sum(round(col("_st.quality") * 1e6).cast("long"))
+            .cast("double") / count(lit(1)) / 1e6, 6).as("mean_quality"),
+          (count(lit(1)) - countDistinct(fingerprint(col("text"))))
+            .as("n_dup_docs"))
+        .orderBy("source", "lang")
+    }),
     // ---- CCNet-style per-language perplexity buckets (head/middle/tail) ----
     "q127_ccnet_buckets" -> ((s, dir) => {
       pinSorted(graft.operators.CorpusQuality.perplexityBuckets(
@@ -3510,6 +3529,30 @@ object SparkEntry {
              coalesce(1.0 / (60 + r_vec), 0.0), 6) AS rrf
          FROM bmr FULL OUTER JOIN vcr ON bmr.doc_id = vcr.doc_id
          ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // q46's textStats quality CTEs + the q22 fingerprint form, rolled up
+    // per (source, lang); quality mean over exact 1e6-scaled integers
+    "q128_corpus_report" ->
+      """WITH t AS (SELECT doc_id, source, lang, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         h AS (SELECT doc_id, source, lang, text, toks,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','a'], x))) AS h_en
+           FROM t),
+         q AS (SELECT *,
+           (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE / length(text) AS punct,
+           h_en::DOUBLE / len(toks) AS stop_ratio FROM h),
+         scored AS (SELECT source, lang, text, toks,
+           round(least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3 +
+                 (1.0 - punct) * 0.4 +
+                 least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+           FROM q)
+         SELECT source, lang, count(*)::BIGINT AS n_docs,
+           sum(len(toks))::BIGINT AS total_tokens,
+           round(sum(CAST(round(quality * 1e6) AS BIGINT))::DOUBLE
+             / count(*) / 1e6, 6) AS mean_quality,
+           (count(*) - count(DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))))::BIGINT
+             AS n_dup_docs
+         FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
     // q122's surprisal chain + per-language percent_rank buckets; the
     // doc_id tie-break makes ranks unique so the split is deterministic
     "q127_ccnet_buckets" ->

@@ -154,6 +154,34 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(out(0L)._2 < out(1L)._2)            // templated text is predictable
   }
 
+  test("edge cases: absent terms, oversize grams, singleton strata/clusters") {
+    val s = spark
+    import s.implicits._
+    // term absent from every document → empty result, not an error
+    assert(Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("zzz")).count() == 0)
+    // n-gram longer than every doc → nothing dedups, all tokens kept
+    val longGram = Dedup.spanDedup(docs, col("doc_id"), col("text"), n = 50)
+      .collect()
+    assert(longGram.length == 4 && longGram.forall(_.getLong(2) == 0L))
+    // single-vector corpus: trivially kept
+    val one = Seq((5L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val sem = Dedup.semanticDedup(one, col("vec_id"), col("embedding"),
+      k = 1, iters = 1, threshold = 0.5).collect()
+    assert(sem.length == 1 && sem.head.getBoolean(2))
+    // singleton stratum: floor(1·0.2) = 0 test rows → everything trains
+    val tiny = Seq((1L, "xx"), (2L, "en"), (3L, "en"), (4L, "en"))
+      .toDF("doc_id", "lang")
+    val split = Sampling.stratifiedSplit(tiny, col("doc_id"), col("lang"),
+      valFrac = 0.1, testFrac = 0.2).collect()
+    assert(split.filter(_.getString(1) == "xx").forall(_.getString(2) == "train"))
+    // one doc in a language: percent_rank 0 → head, never an error
+    val soloLang = Seq((9L, "de", "ein zwei drei vier fünf sechs"))
+      .toDF("doc_id", "lang", "text")
+    val pb = CorpusQuality.perplexityBuckets(
+      soloLang, col("doc_id"), col("text"), col("lang")).collect()
+    assert(pb.length == 1 && pb.head.getString(3) == "head")
+  }
+
   test("perplexityBuckets splits each language by its own percentiles") {
     val s = spark
     import s.implicits._
