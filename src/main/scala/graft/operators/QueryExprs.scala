@@ -242,6 +242,26 @@ object QueryExprs {
     "isvalidip", "isprivateip", "ispublicip", "luhn", "contains",
     "comparecidrprefix")
 
+  /** Expressions that definitely produce numbers — the `if` branch-coercion
+    * rule needs to know, because Spark's own when/otherwise type coercion
+    * inserts STRICT ANSI casts: `if(cond, 1, someStringField)` would compile
+    * to `CAST(field AS BIGINT)` and a malformed field value fails the TASK,
+    * violating the language's null-never-error contract (fuzz-caught).
+    */
+  private val numericFns = Set("num", "abs", "floor", "ceil", "round", "len",
+    "length", "tomillis", "sqrt", "cbrt", "exp", "log", "log10", "pow",
+    "signum", "hextodec", "parsehex", "haversine", "todegrees", "toradians",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh",
+    "tanh", "hypot", "expm1", "log1p", "parsedate", "now", "querystarttime",
+    "queryendtime", "ipv4tonumber")
+
+  private def isNumericy(e: Expr): Boolean = e match {
+    case NumLit(_) => true
+    case BinOp("+" | "-" | "*" | "/" | "%", _, _) => true
+    case Call(fn, _) => numericFns.contains(fn)
+    case _ => false
+  }
+
   private def num(c: Column): Column = c.try_cast("double")
 
   /** Masked network number of `ip` under prefix length `p`: null for a
@@ -326,8 +346,21 @@ object QueryExprs {
     case Call(fn, args) => (fn, args) match {
       case ("num", Seq(a)) => num(compile(a, resolve))
       case ("if", Seq(c, a, b)) =>
-        when(asPredicate(c, resolve), compile(a, resolve))
-          .otherwise(compile(b, resolve))
+        // Branch typing under the lenient convention: a stringy branch makes
+        // the whole if render strings (numbers stringify safely); a numeric
+        // branch paired with a type-opaque one pulls both through try_cast —
+        // left to Spark's when/otherwise coercion, a string field beside a
+        // numeric literal gets a STRICT ANSI cast and malformed values fail
+        // the task. Same-kind branches pass through untouched (if(c,1,0)
+        // stays BIGINT).
+        val stringy = isStringy(a) || isStringy(b)
+        val bothNum = isNumericy(a) && isNumericy(b)
+        val mixed = !stringy && !bothNum && (isNumericy(a) || isNumericy(b))
+        def branch(e: Expr): Column = {
+          val c0 = compile(e, resolve)
+          if (stringy) c0.cast("string") else if (mixed) num(c0) else c0
+        }
+        when(asPredicate(c, resolve), branch(a)).otherwise(branch(b))
       case ("concat", as) if as.nonEmpty =>
         concat(as.map(a => compile(a, resolve).cast("string")): _*)
       case ("tolowercase", Seq(a)) => lower(compile(a, resolve).cast("string"))

@@ -1662,6 +1662,42 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(m._6 > 1.7e12) // epoch millis, constant per query
   }
 
+  test("Q2: expression parser fuzz — generated expressions parse, compile, evaluate") {
+    import graft.operators.QueryExprs
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31337)
+    val fields = Seq("a", "b", "c")
+    val fns1 = Seq("abs", "floor", "ceil", "sqrt", "exp", "trim",
+      "tolowercase", "touppercase", "len", "num", "isnumeric", "urlencode")
+    def gen(depth: Int): String =
+      if (depth <= 0) rnd.nextInt(4) match {
+        case 0 => fields(rnd.nextInt(fields.length))
+        case 1 => rnd.nextInt(1000).toString
+        case 2 => "\"s" + rnd.nextInt(10) + "\""
+        case _ => (rnd.nextInt(100).toString + "." + rnd.nextInt(100))
+      }
+      else rnd.nextInt(6) match {
+        case 0 => s"${gen(depth - 1)} ${Seq("+", "-", "*", "/", "%")(rnd.nextInt(5))} ${gen(depth - 1)}"
+        case 1 => s"${fns1(rnd.nextInt(fns1.length))}(${gen(depth - 1)})"
+        case 2 => s"if(${gen(depth - 1)} > ${gen(depth - 1)}, ${gen(depth - 1)}, ${gen(depth - 1)})"
+        case 3 => s"concat(${gen(depth - 1)}, ${gen(depth - 1)})"
+        case 4 => s"(${gen(depth - 1)})"
+        case _ => s"round(${gen(depth - 1)}, ${rnd.nextInt(7)})"
+      }
+    val df = Seq(("3", "x4", "5.5"), ("-2", "", "nope")).toDF("a", "b", "c")
+    (0 until 300).foreach { i =>
+      val expr = gen(2 + rnd.nextInt(2))
+      // must parse, compile to a Column, and evaluate without throwing —
+      // lenient typing turns bad numerics into nulls, never task failures
+      val ast =
+        try QueryExprs.parse(expr)
+        catch { case e: Exception => fail(s"parse[$i] '$expr': $e") }
+      try df.select(QueryExprs.compile(ast, n => col(n))).collect()
+      catch { case e: Exception => fail(s"eval[$i] '$expr': $e") }
+    }
+  }
+
   test("Q1: scalar functions — CIDR triple, contains, parsehex") {
     import SearchQuery._
     val s = spark
