@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins: the third leg of the join
+  * strategy triangle (broadcast for small dims, AQE/salt for skew, BUCKETS
+  * for repeated big-to-big equi-joins). Writing both sides bucketed AND
+  * sorted on the join key stores the shuffle once at write time; every later
+  * join on that key plans a sort-merge join with NO Exchange and NO Sort on
+  * either side — at 100 TB that converts the recurring cost of the
+  * pipeline's biggest shuffle into a one-time layout decision.
+  *
+  * The bucket count is part of the contract: both sides must agree (or be
+  * integer multiples, which Spark coalesces via
+  * `spark.sql.bucketing.coalesceBucketsInJoin.enabled`). Size it so one
+  * bucket ≈ one task's comfortable working set at the target scale — for a
+  * 100 TB fact table and ~256 MB task targets that is O(400k) buckets, far
+  * above any per-executor constraint.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted external parquet table registered under
+    * `table` at `path`. The write shuffles ONCE into `nBuckets` by `key`;
+    * subsequent reads carry the layout in the catalog so joins/aggregations
+    * on `key` skip their Exchange.
+    */
+  def writeBucketed(df: DataFrame, key: String, nBuckets: Int,
+      table: String, path: String): Unit = {
+    require(nBuckets > 0, s"bucket count must be positive: $nBuckets")
+    // repartition by the SAME hash Spark's bucketing uses, so each write
+    // task holds exactly one bucket → ONE file per bucket. With multiple
+    // files per bucket the reader cannot trust per-bucket sortedness and
+    // re-plans a Sort under every join, quietly forfeiting half the layout's
+    // value (the shuffle still elides, the sort does not).
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Join two previously-bucketed tables on their shared bucket key. This is
+    * just `spark.table(a).join(spark.table(b), key)` — the method exists to
+    * name the contract: both tables bucketed on `key` with compatible bucket
+    * counts ⇒ the planned sort-merge join has no shuffle; additionally set
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (sound with
+    * [[writeBucketed]]'s one-file-per-bucket layout) and the per-query Sort
+    * elides too (PlanShapeSpec pins both).
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+}

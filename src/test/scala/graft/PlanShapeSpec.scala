@@ -210,6 +210,44 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", sc)
   }
 
+  test("bucketed tables join with no Exchange and no Sort on either side") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("buckets").toString
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the scan only CLAIMS per-bucket ordering under this conf (since Spark
+    // 3.0 it defaults off because multi-file buckets can't guarantee it);
+    // writeBucketed's one-file-per-bucket layout is what makes it sound here
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val fact = (0 until 20000).map(i => (i.toLong % 997, i.toLong)).toDF("key", "v")
+      val dim = (0 until 997).map(i => (i.toLong, s"n$i")).toDF("key", "name")
+      graft.operators.Bucketing.writeBucketed(fact, "key", 8, "bkt_fact", s"$tmp/fact")
+      graft.operators.Bucketing.writeBucketed(dim, "key", 8, "bkt_dim", s"$tmp/dim")
+      val joined = graft.operators.Bucketing.bucketedJoin(spark, "bkt_fact", "bkt_dim", "key")
+      assert(joined.count() == 20000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // the whole point of the layout: the write shuffled once, the join
+      // plans NO shuffle and NO per-query sort on either side
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(!"(?m)^\\s*[+:]?-?\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r.findFirstIn(p).isDefined,
+        s"bucketed+sorted join must not re-sort:\n$p")
+      // same key aggregation also skips its Exchange
+      val agg = spark.table("bkt_fact").groupBy("key").agg(sum("v"))
+      agg.collect()
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"), s"bucketed groupBy must not shuffle:\n$ap")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS bkt_fact")
+      spark.sql("DROP TABLE IF EXISTS bkt_dim")
+    }
+  }
+
   test("curation ops: no cartesian pair work, no single-partition funnel") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
