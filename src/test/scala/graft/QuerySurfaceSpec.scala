@@ -1662,6 +1662,51 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(m._6 > 1.7e12) // epoch millis, constant per query
   }
 
+  test("Q2: piped-stage fuzz — random stage pipelines compile and execute") {
+    import graft.operators.SearchQuery
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(90210)
+    val df = (0 until 200).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:0${i % 6}:00"),
+        s"${Seq("click", "view", "error")(i % 3)} user=${i % 17}")
+    }.toDF("ts", "message")
+    def rowStage(i: Int): String = rnd.nextInt(6) match {
+      case 0 => s"num(uid) * ${1 + rnd.nextInt(5)} as x$i"
+      case 1 => s"if(uid % 2 = 1, \"odd\", \"even\") as p$i"
+      case 2 => s"where uid % ${2 + rnd.nextInt(5)} = ${rnd.nextInt(2)}"
+      case 3 => s"dectohex(uid) as h$i"
+      case 4 => s"concat(etype, \"-\", uid) as t$i"
+      case _ => s"round(sqrt(uid), ${rnd.nextInt(5)}) as r$i"
+    }
+    def tail(): Seq[String] = rnd.nextInt(7) match {
+      case 0 => Seq("count by etype")
+      case 1 => Seq("sum(uid) as su by etype")
+      case 2 => Seq("sort by uid", s"limit ${1 + rnd.nextInt(10)}")
+      case 3 => Seq(s"top ${1 + rnd.nextInt(5)} etype by uid")
+      case 4 => Seq("count_frequent etype")
+      case 5 => Seq("sort by uid", "dedup by etype")
+      case _ => Seq.empty
+    }
+    (0 until 60).foreach { i =>
+      val stages = Seq("parse \"* user=*\" as etype, uid") ++
+        (0 until rnd.nextInt(4)).map(rowStage) ++ tail()
+      val q = "* | " + stages.mkString(" | ")
+      // every generated pipeline must parse, compile, and run — and twice,
+      // identically (no nondeterministic stage may leak into the language)
+      try {
+        val piped = SearchQuery.parsePiped(q)
+        def run() = SearchQuery.compileStages(piped.stages, "ts", "message")(
+          df.filter(SearchQuery.compile(piped.terms, col("message")))).count()
+        val (a, b) = (run(), run())
+        assert(a == b, s"pipeline[$i] nondeterministic '$q': $a vs $b")
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case e: Exception => fail(s"pipeline[$i] '$q': $e")
+      }
+    }
+  }
+
   test("Q2: expression parser fuzz — generated expressions parse, compile, evaluate") {
     import graft.operators.QueryExprs
     val s = spark
