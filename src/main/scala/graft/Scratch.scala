@@ -107,6 +107,34 @@ object Scratch {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_CURATION_STREAM=1: throughput of the streaming curation
+    // path (gate → watermarked fingerprint dedup → PII redact) over the
+    // current SF_DIR's documents, driven as a file-source stream into a
+    // noop sink — wall-clocked docs/s for SCALING.md.
+    sys.env.get("SPARK_GRAFT_CURATION_STREAM").foreach { _ =>
+      import graft.streaming.Streams
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("ts", "doc_id", "text")
+      val n = docs.count()
+      val src = java.nio.file.Files.createTempDirectory("curation-src").toString
+      docs.write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .parquet(src)
+      val out = Streams.curationStream(stream, "ts", lateness = "1 hour")
+      val t0 = System.nanoTime()
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("curation-ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] curation stream: $n docs in $sec%.2f s = ${n / sec}%.0f docs/s")
+      spark.stop()
+      return
+    }
     time("entry smoke sf0.001")(SparkEntry.entry(spark).count())
     import graft.functions.TextFunctions._
     val d = SparkEntry.tbl(spark, dir, "documents")
