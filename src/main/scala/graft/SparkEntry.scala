@@ -1430,6 +1430,19 @@ object SparkEntry {
         .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
         .orderBy("doc_id", "chunk_idx")
     }),
+    // ---- batch BM25: many probe queries scored in ONE corpus pass,
+    //      per-query top-k via a query-partitioned window ----
+    "q129_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, Seq("spark", "vector")),
+        (1L, Seq("stream", "slow", "batch")),
+        (2L, Seq("join", "hash"))).toDF("query_id", "terms")
+      graft.operators.Retrieval.bm25Batch(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        queries, col("query_id"), col("terms"), k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // ---- BM25 lexical retrieval: term-filtered explode (pre-shuffle),
     //      broadcast idf table, nano-quantized order-free score sum ----
     "q119_bm25_topk" -> ((s, dir) => {
@@ -3280,6 +3293,38 @@ object SparkEntry {
              len(toks[(i*48+1):(i*48+64)])::BIGINT AS chunk_tokens
          FROM c, unnest(generate_series(0, k - 1)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
+    // q119's BM25 arithmetic with a VALUES query table: tf/df computed once
+    // on the union-term-pruned stream, per-(query,doc) nano sums, rank ≤ 10
+    // per query
+    "q129_bm25_batch" ->
+      """WITH qs AS (SELECT CAST(v.query_id AS BIGINT) AS query_id, v.tok
+           FROM (VALUES (0, 'spark'), (0, 'vector'),
+                        (1, 'stream'), (1, 'slow'), (1, 'batch'),
+                        (2, 'join'), (2, 'hash')) AS v(query_id, tok)),
+         t AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         d AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM t),
+         s AS (SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+         tf AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+                WHERE tok IN (SELECT DISTINCT tok FROM qs)
+                GROUP BY doc_id, dl, tok),
+         f AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+         c AS (SELECT q.query_id, t.doc_id,
+                 CAST(round(
+                   ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+                   (t.tf * (1.2 + 1.0)) /
+                   (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / s.avgdl)) * 1e9)
+                   AS BIGINT) AS q
+               FROM tf t JOIN f ON t.tok = f.tok JOIN qs q ON t.tok = q.tok
+               CROSS JOIN s),
+         g AS (SELECT query_id, doc_id, count(*)::BIGINT AS n_terms_hit,
+                 round(sum(q)::DOUBLE / 1e9, 6) AS score
+               FROM c GROUP BY 1, 2),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM g)
+         SELECT query_id, doc_id, n_terms_hit, score, rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     // Okapi BM25, operation-for-operation the Retrieval.bm25 expression tree
     // (left-assoc divides, k1+1 / 1-b computed as arithmetic not folded
     // literals); per-term contributions nano-quantized before the per-doc sum

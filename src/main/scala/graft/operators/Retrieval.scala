@@ -78,6 +78,55 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Batch BM25: score MANY queries against the corpus in one pass — the
+    * realistic retrieval shape (a probe-query table instead of one literal
+    * term list). Returns `(query_id, doc_id, n_terms_hit, score, rank)`
+    * with `rank ≤ k` per query.
+    *
+    * Scale shape: the query table is tiny and broadcasts twice — once as a
+    * distinct-term semi-join that prunes the exploded token stream BEFORE
+    * its shuffle (only tokens some query mentions survive), once to fan
+    * matched (doc, term) stats out to (query, doc, term). Document
+    * frequency is computed on the pruned stream. The per-query top-k is a
+    * window PARTITIONED by query id — never a global funnel.
+    */
+  def bm25Batch(df: DataFrame, idCol: Column, textCol: Column,
+      queries: DataFrame, queryIdCol: Column, queryTermsCol: Column,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qs = queries.select(queryIdCol.as("query_id"),
+      explode(queryTermsCol).as("tok"))
+    val docs = df.select(idCol.as("doc_id"),
+      TextFunctions.tokens(coalesce(textCol, lit(""))).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        size(col("_toks")).cast("long").as("dl"))
+    val statsRow = docs.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("tok"))
+      .join(broadcast(qs.select("tok").distinct()), Seq("tok"), "left_semi")
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(broadcast(qs), "tok")
+      .select(col("query_id"), col("doc_id"),
+        round(contrib * 1e9).cast("long").as("_q"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("_q")).as("_sq"))
+      .select(col("query_id"), col("doc_id"), col("n_terms_hit"),
+        round(col("_sq").cast("double") / 1e9, 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Hybrid lexical+vector retrieval via reciprocal-rank fusion
     * (Cormack et al. 2009): the BM25 top-`poolK` and the cosine top-`poolK`
     * are fused as `Σ 1/(rrfK + rank)` over the lists a document appears in,
