@@ -189,6 +189,24 @@ object Streams {
   def firehoseTrigger(seconds: Int = 60): Trigger =
     Trigger.ProcessingTime(s"$seconds seconds")
 
+  /** Streaming analogue of the query language's `sessionize` stage: gap-based
+    * session windows per key with watermark-bounded state
+    * (`session_window` — sessions close once the watermark passes the gap
+    * after their last event, which is exactly the batch stage's
+    * gap-threshold rule applied incrementally). Returns one row per closed
+    * session: the key columns, `session.start`/`session.end`, and the
+    * caller's aggregates.
+    *
+    * Scale shape: state is per (key, open session) and the key set shards
+    * across the state store; the watermark horizon bounds both lateness and
+    * state size — the same trade [[timeslice]] makes.
+    */
+  def sessionize(df: DataFrame, tsCol: String, lateness: String, gap: String,
+      keys: Seq[String], aggCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("session") +: keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+
   /** Streaming curation: the LLM-pipeline gate applied AT INGEST instead of
     * in a batch sweep — language/quality filter (fused `textStats` kernel),
     * first-seen exact dedup on the content fingerprint with watermark-bounded

@@ -160,6 +160,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_ == ("r1", "CREATE")) == 1)
   }
 
+  test("streaming sessionize: gap-split session windows close at the watermark") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val sess = Streams.sessionize(
+      input.toDF().toDF("ts", "user"),
+      "ts", lateness = "10 minutes", gap = "5 minutes", keys = Seq("user"),
+      aggCols = Seq(count(lit(1)).as("n_events")))
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: events at 0,3 (one session), then 20 (a second session);
+    // u2: single event at 1
+    input.addData((t(0), "u1"), (t(3), "u1"), (t(1), "u2"), (t(20), "u1"))
+    q.processAllAvailable()
+    // push the watermark far past every gap so all sessions close
+    input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "u3"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_out")
+      .select(col("user"), col("session.start").cast("string"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows.contains(("u1", "2024-01-01 10:00:00", 2L))) // 0+3 merged
+    assert(rows.contains(("u1", "2024-01-01 10:20:00", 1L))) // gap split
+    assert(rows.contains(("u2", "2024-01-01 10:01:00", 1L)))
+  }
+
   test("streaming curation: gate → fingerprint dedup → redaction at ingest") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
