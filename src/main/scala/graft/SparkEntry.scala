@@ -1247,6 +1247,22 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- logexplain: test-vs-control key-combo relevance from one
+    //      filter-tagged aggregate + a 1-row totals broadcast ----
+    "q130_piped_logexplain" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-* | logexplain value > 180 on event_type limit 20"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- timeslice N buckets: observed-range quantization in-query (the
     //      metrics width formula from a broadcast 1-row min/max) ----
     "q108_piped_timeslice_buckets" -> ((s, dir) => {
@@ -3103,6 +3119,27 @@ object SparkEntry {
            CAST(CASE WHEN contains(ip, '.25') THEN 1 ELSE 0 END AS BIGINT) AS has25,
            CAST(CAST('0xff' AS BIGINT) AS DOUBLE) AS ffv
          FROM m ORDER BY event_id""",
+    "q130_piped_logexplain" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc, event_type, value
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT event_type,
+             CASE WHEN value > 180 THEN 1 ELSE 0 END AS tflag
+           FROM m WHERE sc LIKE 'cat-%'),
+         tot AS (SELECT sum(tflag)::BIGINT AS tt,
+             sum(1 - tflag)::BIGINT AS ct FROM f),
+         g AS (SELECT event_type, sum(tflag)::BIGINT AS _test_count,
+             sum(1 - tflag)::BIGINT AS _control_count
+           FROM f GROUP BY event_type)
+         SELECT event_type, _test_count, _control_count,
+           round(_test_count::DOUBLE / tt, 6) AS _test_coverage,
+           round(CASE WHEN ct > 0 THEN _control_count::DOUBLE / ct
+             ELSE 0 END, 6) AS _control_coverage,
+           round((_test_count::DOUBLE / tt) *
+             (1 - CASE WHEN ct > 0 THEN _control_count::DOUBLE / ct
+                ELSE 0 END), 6) AS _relevance
+         FROM g, tot WHERE _test_count > 0
+         ORDER BY _relevance DESC, event_type LIMIT 20""",
     "q107_piped_logcompare" ->
       """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
              event_type

@@ -535,6 +535,24 @@ object SearchQuery {
     */
   final case class LogCompareStage(seconds: Long,
       field: Option[String]) extends Stage
+  /** `logexplain <condition> on <f1>[, f2…] [limit N]` — explains which
+    * key combinations correlate with a condition: rows matching the
+    * condition are the TEST set, the rest the CONTROL set; one output row
+    * per distinct `on`-fields combination seen in the test set —
+    * `<fields…>, _test_count, _control_count, _test_coverage,
+    * _control_coverage, _relevance` — highest relevance first, fields
+    * ascending as the tie-break, capped at N (default 100). The reference's
+    * LogExplain ranks with an opaque trained scorer; this deterministic
+    * relevance is `test_coverage · (1 − control_coverage)` — 1.0 when a
+    * combination covers the whole test set and never appears in control —
+    * which captures its headline case (keys exclusive to the failure
+    * population rank first) and is exactly reproducible by any engine.
+    * One filter-tagged hash aggregate (cardinality = distinct key combos,
+    * not rows) plus a 1-row totals aggregate broadcast back — the
+    * predict/total pattern, no extra corpus pass.
+    */
+  final case class LogExplainStage(cond: QueryExprs.Expr,
+      fields: Seq[String], limit: Int) extends Stage
   /** `diff field [as alias] [by k1, k2]` — consecutive difference of the
     * field (current minus previous row) in the CURRENT sort order, per key
     * when `by` is given. Default alias `_diff`; the first row per key is
@@ -678,6 +696,8 @@ object SearchQuery {
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogCompareRe =
     "(?i)logcompare\\s+timeshift\\s+(\\d+\\s*[a-z]*)(?:\\s+field=([A-Za-z0-9_]+))?\\s*".r
+  private val LogExplainRe =
+    "(?is)logexplain\\s+(.+?)\\s+on\\s+([A-Za-z0-9_]+(?:\\s*,\\s*[A-Za-z0-9_]+)*)(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val SplitRe =
     "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
   private val DiffRe =
@@ -907,6 +927,14 @@ object SearchQuery {
           LogCompareStage(durationSeconds(dur), Option(field))
         case _ => throw new IllegalArgumentException(
           s"logcompare needs 'logcompare timeshift <dur> [field=<name>]': $s")
+      }
+    } else if (lower.startsWith("logexplain ")) {
+      s match {
+        case LogExplainRe(cond, flds, n) =>
+          LogExplainStage(QueryExprs.parsePredicate(cond.trim), splitKeys(flds),
+            Option(n).map(_.toInt).getOrElse(100))
+        case _ => throw new IllegalArgumentException(
+          s"logexplain needs 'logexplain <condition> on f1[, f2…] [limit N]': $s")
       }
     } else if (lower == "logreduce" || lower.startsWith("logreduce ")) {
       s match {
@@ -1907,6 +1935,36 @@ object SearchQuery {
             // a fixed IEEE op sequence any engine reproduces bit-for-bit
             .withColumn("_change_pct",
               when(col("_baseline_count") > 0, (cur - base) * 100.0 / base))
+        case LogExplainStage(condExpr, fields, n) =>
+          val cond = QueryExprs.compilePredicate(condExpr, resolveExpr)
+          val keys = fields.map(resolveField)
+          order = ("_relevance", true) +: keys.map((_, false))
+          // one pass, filter-tagged: the aggregate's cardinality is the
+          // distinct key-combo count, not rows; totals are a 1-row aggregate
+          // broadcast back (the predict/total pattern)
+          val tagged = df.withColumn("_le_t",
+            when(cond, 1L).otherwise(0L))
+          val totals = tagged.agg(sum(col("_le_t")).as("_le_tt"),
+            sum(lit(1L) - col("_le_t")).as("_le_ct"))
+          val tc = col("_test_count").cast("double")
+          val cc = col("_control_count").cast("double")
+          // integer-ratio doubles: cnt/total is one IEEE divide from exact
+          // longs, and relevance one multiply — bit-reproducible anywhere;
+          // control coverage is 0 when the control set is empty
+          val tcov = tc / col("_le_tt").cast("double")
+          val ccov = when(col("_le_ct") > 0,
+            cc / col("_le_ct").cast("double")).otherwise(lit(0.0))
+          tagged.groupBy(keys.map(col): _*)
+            .agg(sum(col("_le_t")).as("_test_count"),
+              sum(lit(1L) - col("_le_t")).as("_control_count"))
+            .filter(col("_test_count") > 0)
+            .crossJoin(broadcast(totals))
+            .select((keys.map(col) ++ Seq(
+              col("_test_count"), col("_control_count"),
+              round(tcov, 6).as("_test_coverage"),
+              round(ccov, 6).as("_control_coverage"),
+              round(tcov * (lit(1.0) - ccov), 6).as("_relevance"))): _*)
+            .orderBy(sortColumns(order): _*).limit(n)
         case BackshiftStage(field, n, alias, by) =>
           require(!df.columns.contains(alias),
             s"backshift alias '$alias' already exists")
@@ -2176,6 +2234,8 @@ object SearchQuery {
         ("_count", true) +: fields.map(f => (resolveField(f), false))
       case LogReduceStage(_, _) => Seq(("_count", true), ("_signature", false))
       case LogCompareStage(_, _) => Seq(("_count", true), ("_signature", false))
+      case LogExplainStage(_, fields, _) =>
+        ("_relevance", true) +: fields.map(f => (resolveField(f), false))
       case TransactionizeStage(by, _) =>
         ("_count", true) +: by.map(k => (resolveField(k), false))
       case JoinStage(_, on) =>

@@ -1812,6 +1812,41 @@ class QuerySurfaceSpec extends SparkSpec {
       Seq(("_count", true), ("_signature", false)))
   }
 
+  test("Q1: logexplain — test-vs-control coverage + deterministic relevance") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("logexplain code >= 500 on host limit 5") match {
+      case LogExplainStage(_, Seq("host"), 5) => true; case _ => false
+    })
+    assert(parseStage("logexplain code = 500 on host, path") match {
+      case LogExplainStage(_, Seq("host", "path"), 100) => true; case _ => false
+    })
+    intercept[IllegalArgumentException](parseStage("logexplain code=500"))
+    // 6 rows: test set = code>=500 (3 rows, hosts a,a,b); control = 3 rows
+    // (hosts b,c,c). host a: tc=2/3, cc=0 → relevance 2/3; host b: tc=1/3,
+    // cc=1/3 → 1/3·2/3=2/9; hosts c: test_count 0 → dropped.
+    val df = Seq(
+      ("a", 500), ("a", 503), ("b", 500),
+      ("b", 200), ("c", 200), ("c", 404)).toDF("host", "code")
+    val out = compileStages(Seq(parseStage("logexplain code >= 500 on host")),
+      "ts", "m")(df)
+      .select("host", "_test_count", "_control_count", "_relevance")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 2L, 0L, math.rint(2.0 / 3 * 1e6) / 1e6),
+      ("b", 1L, 1L, math.rint(1.0 / 3 * (1 - 1.0 / 3) * 1e6) / 1e6)))
+    // all-test degenerate input: control total 0 → control coverage 0, no NaN
+    val allTest = Seq(("a", 500), ("b", 502)).toDF("host", "code")
+    val at = compileStages(Seq(parseStage("logexplain code >= 500 on host")),
+      "ts", "m")(allTest)
+      .select("host", "_control_coverage", "_relevance")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(at == Seq(("a", 0.0, 0.5), ("b", 0.0, 0.5)))
+    assert(recordsOrderBy(Seq(parseStage("logexplain code >= 500 on host"))) ==
+      Seq(("_relevance", true), ("host", false)))
+  }
+
   test("Q1: timeslice N buckets — observed-range quantization, latest row inside") {
     import SearchQuery._
     val s = spark
