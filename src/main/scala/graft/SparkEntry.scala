@@ -1528,6 +1528,14 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- DSIR importance weights: hashed-ngram target/raw log-ratio,
+    //      fixed-size bucket table broadcast back over the gram stream ----
+    "q131_dsir_weights" -> ((s, dir) => {
+      graft.operators.CorpusQuality.dsirWeights(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        col("source").isin("src1", "src2", "src3"))
+        .orderBy("doc_id")
+    }),
     // ---- CCNet-style per-language perplexity buckets (head/middle/tail) ----
     "q127_ccnet_buckets" -> ((s, dir) => {
       pinSorted(graft.operators.CorpusQuality.perplexityBuckets(
@@ -3489,6 +3497,33 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q131_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id, source, unnest(toks) AS gram FROM t
+           UNION ALL
+           SELECT doc_id, source,
+             unnest(list_transform(range(len(toks)-1),
+               i -> toks[i+1]||' '||toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 2),
+         g AS (SELECT doc_id,
+             source IN ('src1','src2','src3') AS tgt,
+             ('0x'||substring(md5(gram),1,15))::BIGINT % 256 AS b
+           FROM g0),
+         c AS (SELECT b,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+           FROM g GROUP BY b),
+         tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM c),
+         q AS (SELECT b,
+             CAST(round((ln((ct+1)::DOUBLE / (tt+256)) -
+               ln((cr+1)::DOUBLE / (tr+256))) * 1e9) AS BIGINT) AS q
+           FROM c, tot)
+         SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+           round(sum(q.q)::DOUBLE / 1e9, 6) AS log_weight
+         FROM g JOIN q USING (b) GROUP BY g.doc_id ORDER BY g.doc_id""",
     "q122_bigram_surprisal" ->
       """WITH t AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

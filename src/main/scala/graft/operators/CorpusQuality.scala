@@ -133,6 +133,58 @@ object CorpusQuality {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-n-gram bag is under the
+    * TARGET distribution than under the RAW distribution,
+    * `w(x) = Σ_grams [ln p_target(bucket(g)) − ln p_raw(bucket(g))]` —
+    * the log importance weight the paper resamples by. Features are word
+    * unigrams + bigrams hashed into `buckets` counts (the paper's hashed
+    * generative model); both distributions are Laplace-smoothed
+    * `(c_b + 1) / (total + buckets)`. Returns
+    * `(doc_id, n_grams, log_weight)` — positive = target-like. Downstream,
+    * resample with [[Sampling]] (deterministic top-k or hash-threshold on
+    * the weight) to select the target-like slice of a raw corpus.
+    *
+    * Per-bucket log-ratios are quantized to nano-nat integers before the
+    * per-document sum ([[unigramSurprisal]]'s trick) so the aggregate is
+    * exact integer arithmetic — order-independent across engines.
+    *
+    * Scale shape: the bucket table is FIXED-SIZE (`buckets` rows) however
+    * large the corpus — the gram stream collapses to it by map-side partial
+    * aggregation, the totals come off that table (one bounded driver read),
+    * and the per-doc scoring join broadcasts the bucket table back. The
+    * corpus is never shuffled: one narrow gram pass for counting, one for
+    * scoring — each doc's sum lives inside its own rows, so the final
+    * groupBy(doc_id) aggregates map-side within the scan partitioning.
+    */
+  def dsirWeights(df: DataFrame, idCol: Column, textCol: Column,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val t = coalesce(textCol, lit(""))
+    val grams = df.select(idCol.as("doc_id"), isTarget.as("_t"),
+        TextFunctions.positionalShingleHashes(t, 1).as("_h1"),
+        TextFunctions.positionalShingleHashes(t, 2).as("_h2"))
+      .select(col("doc_id"), col("_t"),
+        explode(concat(col("_h1"), col("_h2"))).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)))
+    val cnt = grams.groupBy("b").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
+    // grand totals off the already-aggregated bucket table (≤ buckets rows)
+    val totRow = cnt.agg(sum(col("ct")), sum(col("cr"))).head()
+    val (tt, tr) = (totRow.getLong(0), totRow.getLong(1))
+    val q = round((log((col("ct") + lit(1L)).cast("double") /
+        lit((tt + buckets).toDouble)) -
+      log((col("cr") + lit(1L)).cast("double") /
+        lit((tr + buckets).toDouble))) * 1e9).cast("long").as("q")
+    grams.join(broadcast(cnt.select(col("b"), q)), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("q")).as("_sq"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("_sq").cast("double") / 1e9, 6).as("log_weight"))
+  }
+
   def bigramSurprisal(df: DataFrame, idCol: Column, textCol: Column,
       lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")

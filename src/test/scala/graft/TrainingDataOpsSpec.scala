@@ -712,6 +712,36 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out(1L) == 0.0)
   }
 
+  test("dsirWeights: target-vocabulary docs outscore raw-vocabulary docs") {
+    val s = spark
+    import s.implicits._
+    // target speaks {legal court judge}, raw speaks {pixel render shader};
+    // the two probe docs (0, 1) are raw-side rows whose scores must reflect
+    // which vocabulary they borrow
+    val in = Seq(
+      (0L, "legal court judge ruling appeal", false), // target-like probe
+      (1L, "pixel render shader buffer frame", false), // raw-like probe
+      (10L, "legal court judge verdict trial", true),
+      (11L, "court judge legal appeal ruling", true),
+      (12L, "judge ruling court trial legal", true),
+      (20L, "pixel shader render frame buffer", false),
+      (21L, "render buffer pixel shader frame", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = graft.operators.CorpusQuality.dsirWeights(
+      in, col("doc_id"), col("text"), col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // unigrams + bigrams of a 5-token doc: 5 + 4 = 9 grams
+    assert(out.values.forall(_._1 == 9L))
+    assert(out(0L)._2 > out(1L)._2) // target-like probe outscores raw-like
+    assert(out(10L)._2 > 0.0) // target docs land positive
+    assert(out(20L)._2 < 0.0) // raw docs land negative
+    // deterministic across runs
+    val again = graft.operators.CorpusQuality.dsirWeights(
+      in, col("doc_id"), col("text"), col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
+
   test("unigram surprisal: rare-token docs score above common-token docs") {
     val s = spark
     import s.implicits._
