@@ -1528,6 +1528,19 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- incremental dedup: new batch vs corpus snapshot — broadcast
+    //      Bloom prunes the anti-join to the maybe-set, result exact ----
+    "q132_incremental_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val snapshot = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.operators.Dedup.incrementalDedup(
+        batch, snapshot, col("text"), col("text"))
+        .select("doc_id").orderBy("doc_id")
+    }),
     // ---- DSIR importance weights: hashed-ngram target/raw log-ratio,
     //      fixed-size bucket table broadcast back over the gram stream ----
     "q131_dsir_weights" -> ((s, dir) => {
@@ -3497,6 +3510,16 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q132_incremental_dedup" ->
+      """WITH snap AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+               UNION ALL
+               SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id FROM b
+         WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           NOT IN (SELECT fp FROM snap)
+         ORDER BY doc_id""",
     "q131_dsir_weights" ->
       """WITH t AS (SELECT doc_id, source,
              string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -22,6 +22,49 @@ object Dedup {
     df.groupBy(fingerprint(textCol).as("fingerprint"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** Incremental dedup: keep only the `batch` rows whose normalized-text
+    * fingerprint does NOT already exist in `snapshot` — the "dedup the new
+    * crawl against the existing corpus" step that runs on every ingest of a
+    * continuously-built training set. Exact result (identical to a plain
+    * left-anti join on the fingerprint), but the batch side is pre-filtered
+    * by a BROADCAST Bloom filter built over the snapshot fingerprints:
+    * a "definitely new" verdict (no false negatives) skips the join
+    * entirely, so only the true-duplicate rows plus an `fpp` fraction of
+    * the batch ever shuffle. Within-batch duplicates are retained —
+    * compose with [[exact]] for that.
+    *
+    * Scale shape: the Bloom is built by Spark's sketch aggregation
+    * (`stat.bloomFilter`, a treeAggregate — the snapshot never shuffles),
+    * and the confirm join's snapshot side is the narrow 1-column
+    * fingerprint projection — the index shape a production pipeline keeps
+    * as a bucketed table so the residual anti-join is co-located
+    * ([[graft.operators.Bucketing]]). The broadcast bound: ~1.2 GB at 10⁹
+    * snapshot rows / fpp 0.01 — beyond that, hash-partition both sides by
+    * fingerprint prefix and build per-range blooms (same plan per range).
+    *
+    * `expectedSnapshotRows` sizes the filter; pass it when known (a catalog
+    * rowcount) — 0 triggers one columnar `count()` of the snapshot.
+    */
+  def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
+      batchText: Column, snapshotText: Column,
+      expectedSnapshotRows: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val sfp = snapshot.select(
+      fingerprint(coalesce(snapshotText, lit(""))).as("_fp"))
+    val n = if (expectedSnapshotRows > 0) expectedSnapshotRows
+      else math.max(1L, sfp.count())
+    val bf = sfp.stat.bloomFilter("_fp", n, fpp)
+    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
+    val probe = udf((s: String) => bfB.value.mightContainString(s))
+    val tagged = batch
+      .withColumn("_fp", fingerprint(coalesce(batchText, lit(""))))
+      .withColumn("_maybe", probe(col("_fp")))
+    // no false negatives: !maybe rows are provably absent from the snapshot
+    val fresh = tagged.filter(!col("_maybe"))
+    val confirmed = tagged.filter(col("_maybe"))
+      .join(sfp, Seq("_fp"), "left_anti")
+    fresh.unionByName(confirmed).drop("_fp", "_maybe")
+  }
+
   /** n-gram Jaccard near-dup pairs within explicit blocks (cheap exact
     * variant): pairs inside the same `blockCols` with shingle-set Jaccard ≥
     * threshold. Blocking bounds the quadratic term; for global coverage use

@@ -712,6 +712,30 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out(1L) == 0.0)
   }
 
+  test("incrementalDedup: exact anti-join semantics; normalization-aware; batch dups kept") {
+    val s = spark
+    import s.implicits._
+    val snapshot = Seq(
+      (0L, "the quick brown fox"),
+      (2L, "jumps over the lazy dog")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "THE  quick   brown fox"), // dup of 0 after normalization
+      (11L, "a genuinely new document"),
+      (12L, "a genuinely new document"), // within-batch dup: retained
+      (13L, "jumps over the lazy dog")) // exact dup of 2
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalDedup(
+      batch, snapshot, col("text"), col("text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 12L))
+    // high-fpp filter still yields the exact result (false positives are
+    // resolved by the confirm join, false negatives don't exist)
+    val loose = graft.operators.Dedup.incrementalDedup(
+      batch, snapshot, col("text"), col("text"), fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(loose == Seq(11L, 12L))
+  }
+
   test("dsirWeights: target-vocabulary docs outscore raw-vocabulary docs") {
     val s = spark
     import s.implicits._
