@@ -281,4 +281,34 @@ class PlanShapeSpec extends SparkSpec {
     val sem = plans.last
     assert(sem.contains("BroadcastNestedLoopJoin") || sem.contains("BroadcastHashJoin"), sem)
   }
+
+  test("dsir weights: fixed-size bucket table broadcasts back, corpus never shuffles for scoring") {
+    import org.apache.spark.sql.functions._
+    val docs = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val df = graft.operators.CorpusQuality.dsirWeights(
+      docs, col("doc_id"), col("text"), col("source").isin("src1"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the gram→bucket-score join must be the broadcast of the ≤256-row
+    // bucket table, never a shuffled join of the gram stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("incremental dedup: only the bloom-maybe residue joins; batch scan filters stay pushed") {
+    import org.apache.spark.sql.functions._
+    val docs = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "documents")
+    val snapshot = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val df = graft.operators.Dedup.incrementalDedup(
+      batch, snapshot, col("text"), col("text"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the confirm join is a LEFT ANTI on the fingerprint (broadcast at this
+    // size); nothing cartesian, nothing funneled to one partition
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
