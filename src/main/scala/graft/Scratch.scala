@@ -91,6 +91,13 @@ object Scratch {
         Seq("spark", "vector", "stream", "slow")).count())
       time("bigram_surprisal")(CorpusQuality.bigramSurprisal(
         docs, col("doc_id"), col("text")).count())
+      time("dsir_weights")(CorpusQuality.dsirWeights(
+        docs, col("doc_id"), col("text"),
+        col("source").isin("src1", "src2", "src3")).count())
+      time("incremental_dedup")(Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("text"), col("text")).count())
       val nVec = emb.count()
       // k ∝ n holds within-cluster pair work flat but makes the broadcast
       // argmax n×k — beyond a few hundred centroids the 100 TB shape is

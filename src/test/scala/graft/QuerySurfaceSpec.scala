@@ -1679,13 +1679,14 @@ class QuerySurfaceSpec extends SparkSpec {
       case 4 => s"concat(etype, \"-\", uid) as t$i"
       case _ => s"round(sqrt(uid), ${rnd.nextInt(5)}) as r$i"
     }
-    def tail(): Seq[String] = rnd.nextInt(7) match {
+    def tail(): Seq[String] = rnd.nextInt(8) match {
       case 0 => Seq("count by etype")
       case 1 => Seq("sum(uid) as su by etype")
       case 2 => Seq("sort by uid", s"limit ${1 + rnd.nextInt(10)}")
       case 3 => Seq(s"top ${1 + rnd.nextInt(5)} etype by uid")
       case 4 => Seq("count_frequent etype")
       case 5 => Seq("sort by uid", "dedup by etype")
+      case 6 => Seq(s"logexplain uid % ${2 + rnd.nextInt(4)} = 0 on etype")
       case _ => Seq.empty
     }
     (0 until 60).foreach { i =>
