@@ -1247,6 +1247,23 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- multi-period compare: N bounded self-joins of the aggregated
+    //      series, one column per shifted period ----
+    "q133_piped_compare_multi" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | timeslice 1d | count by _timeslice" +
+        " | compare with timeshift 1d 3"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy("_timeslice")
+    }),
     // ---- logexplain: test-vs-control key-combo relevance from one
     //      filter-tagged aggregate + a 1-row totals broadcast ----
     "q130_piped_logexplain" -> ((s, dir) => {
@@ -3140,6 +3157,23 @@ object SparkEntry {
            CAST(CASE WHEN contains(ip, '.25') THEN 1 ELSE 0 END AS BIGINT) AS has25,
            CAST(CAST('0xff' AS BIGINT) AS DOUBLE) AS ffv
          FROM m ORDER BY event_id""",
+    "q133_piped_compare_multi" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             count(*) AS _count
+           FROM f GROUP BY 1)
+         SELECT c._timeslice AS _timeslice, c._count AS _count,
+           p1._count AS _count_1d, p2._count AS _count_2d, p3._count AS _count_3d
+         FROM c
+           LEFT JOIN c p1 ON c._timeslice = p1._timeslice + INTERVAL 1 DAY
+           LEFT JOIN c p2 ON c._timeslice = p2._timeslice + INTERVAL 2 DAY
+           LEFT JOIN c p3 ON c._timeslice = p3._timeslice + INTERVAL 3 DAY
+         ORDER BY _timeslice""",
     "q130_piped_logexplain" ->
       """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc, event_type, value
            FROM events

@@ -499,16 +499,18 @@ object SearchQuery {
   final case class LogReduceStage(field: Option[String],
       limit: Int) extends Stage
 
-  /** `compare with timeshift <dur> [on <field>]` — after `timeslice` + an
-    * aggregation, adds `<field>_<dur>` (e.g. `_count_1d`): the field's value
-    * in the bucket exactly `<dur>` EARLIER, per series key (every column
-    * except `_timeslice` and the field is a key), null when that bucket has
-    * no row. Compiles to a self left-join with the frame shifted forward by
-    * the duration — both sides are the AGGREGATED series (bucket × key
-    * cardinality, not raw rows), one shuffle join.
+  /** `compare with timeshift <dur> [N] [on <field>]` — after `timeslice` +
+    * an aggregation, adds `<field>_<dur>` (e.g. `_count_1d`): the field's
+    * value in the bucket exactly `<dur>` EARLIER, per series key (every
+    * column except `_timeslice` and the field is a key), null when that
+    * bucket has no row. With N > 1, one column per period —
+    * `_count_1d, _count_2d, …` — the reference's repeated-shift form.
+    * Compiles to N self left-joins with the frame shifted forward by
+    * i·duration — every side is the AGGREGATED series (bucket × key
+    * cardinality, not raw rows), N bounded shuffle joins.
     */
   final case class CompareTimeshiftStage(seconds: Long, spec: String,
-      field: String) extends Stage
+      field: String, periods: Int = 1) extends Stage
   /** `predict <field> [forecast=N]` — least-squares linear trend of the
     * field over the `_timeslice` series (upstream `timeslice` + aggregation
     * required), adding `_predict` (the fitted value) to every observed
@@ -687,7 +689,7 @@ object SearchQuery {
   private val LookupRe = "(?i)lookup\\s+(.+?)\\s+from\\s+(\\S+)\\s+on\\s+(.+)".r
   private val CsvRe = "(?i)csv\\s+([A-Za-z0-9_]+)\\s+extract\\s+(.+)".r
   private val CompareRe =
-    "(?i)compare\\s+with\\s+timeshift\\s+(\\d+\\s*[a-z]*)(?:\\s+on\\s+([A-Za-z0-9_]+))?\\s*".r
+    "(?i)compare\\s+with\\s+timeshift\\s+(\\d+\\s*[a-z]*)(?:\\s+(\\d+))?(?:\\s+on\\s+([A-Za-z0-9_]+))?\\s*".r
   private val PredictRe =
     "(?i)predict\\s+([A-Za-z0-9_]+)(?:\\s+forecast=(\\d+))?\\s*".r
   private val CountFrequentRe =
@@ -901,11 +903,12 @@ object SearchQuery {
         consec, if (dir == "-+") "+-" else dir)
     } else if (lower.startsWith("compare ")) {
       s match {
-        case CompareRe(dur, field) =>
+        case CompareRe(dur, n, field) =>
           CompareTimeshiftStage(durationSeconds(dur),
-            dur.replaceAll("\\s+", ""), Option(field).getOrElse("_count"))
+            dur.replaceAll("\\s+", ""), Option(field).getOrElse("_count"),
+            Option(n).map(_.toInt).getOrElse(1))
         case _ => throw new IllegalArgumentException(
-          s"compare needs 'compare with timeshift <dur> [on <field>]': $s")
+          s"compare needs 'compare with timeshift <dur> [N] [on <field>]': $s")
       }
     } else if (lower.startsWith("predict ")) {
       s match {
@@ -1823,23 +1826,36 @@ object SearchQuery {
                   .otherwise(lit(0L)))
               .drop("_rw_cnt", "_rw_sum", "_rw_q", "_out_flag")
           }
-        case CompareTimeshiftStage(sec, spec, fieldName) =>
+        case CompareTimeshiftStage(sec, spec, fieldName, periods) =>
           require(df.columns.contains("_timeslice"),
             "compare with timeshift needs an upstream timeslice stage")
+          require(periods >= 1, s"compare periods must be >= 1: $periods")
           val vf = resolveField(fieldName)
           require(df.columns.contains(vf),
             s"compare field '$vf' not present — aggregate before comparing")
-          val alias = s"${vf}_$spec"
-          require(!df.columns.contains(alias),
-            s"compare alias '$alias' already exists")
           val keys = df.columns.filterNot(c => c == "_timeslice" || c == vf).toSeq
-          // shift the series FORWARD by the duration so joining on equal
-          // buckets pairs each bucket with its value one duration EARLIER;
-          // both sides are the aggregated series, one shuffle join
-          val shifted = df.select(
-            (col("_timeslice") + expr(s"INTERVAL $sec SECOND")).as("_timeslice") +:
-              (keys.map(col) :+ col(vf).as(alias)): _*)
-          df.join(shifted, Seq("_timeslice") ++ keys, "left")
+          // multi-period naming scales the spec's count: `1d 3` adds
+          // `_count_1d, _count_2d, _count_3d` (the reference's column
+          // convention for repeated shifts)
+          val SpecRe = "(\\d+)([a-z]*)".r
+          val (num, unit) = spec match {
+            case SpecRe(n, u) => (n.toLong, u)
+            case _ => (1L, spec)
+          }
+          // shift the series FORWARD by i durations so joining on equal
+          // buckets pairs each bucket with its value i durations EARLIER;
+          // every side is the AGGREGATED series (bucket × key cardinality,
+          // not raw rows) — N bounded joins, each one shuffle
+          (1 to periods).foldLeft(df) { (acc, i) =>
+            val alias = s"${vf}_${num * i}$unit"
+            require(!acc.columns.contains(alias),
+              s"compare alias '$alias' already exists")
+            val shifted = df.select(
+              (col("_timeslice") + expr(s"INTERVAL ${sec * i} SECOND"))
+                .as("_timeslice") +:
+                (keys.map(col) :+ col(vf).as(alias)): _*)
+            acc.join(shifted, Seq("_timeslice") ++ keys, "left")
+          }
         case PredictStage(fieldName, forecast) =>
           require(df.columns.contains("_timeslice"),
             "predict needs an upstream timeslice stage")

@@ -701,6 +701,23 @@ class QuerySurfaceSpec extends SparkSpec {
       .orderBy("_timeslice").select("_count", "_count_1d")
       .as[(Long, Option[Long])].collect().toSeq
     assert(cmpOut == Seq((10L, None), (14L, Some(10L)), (7L, None)))
+    // multi-period: `1d 3` adds _count_1d, _count_2d, _count_3d — each
+    // bucket paired with its value i days earlier
+    assert(parseStage("compare with timeshift 1d 3") ==
+      CompareTimeshiftStage(86400L, "1d", "_count", 3))
+    val multi = tsDf(Seq(
+      ("2024-03-01 00:00:00", 10L), ("2024-03-02 00:00:00", 14L),
+      ("2024-03-03 00:00:00", 20L), ("2024-03-04 00:00:00", 7L)))
+    val m3 = compileStages(Seq(parseStage("compare with timeshift 1d 3")),
+      "ts", "m")(multi)
+      .orderBy("_timeslice")
+      .select("_count", "_count_1d", "_count_2d", "_count_3d")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(m3 == Seq(
+      (10L, None, None, None),
+      (14L, Some(10L), None, None),
+      (20L, Some(14L), Some(10L), None),
+      (7L, Some(20L), Some(14L), Some(10L))))
     // compare without an upstream timeslice → rejected
     intercept[IllegalArgumentException](compileStages(
       Seq(parseStage("compare with timeshift 1d")), "ts", "m")(
