@@ -1247,6 +1247,22 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- AR(1) predict: lag-pair moment fit + explicit-chain forecast ----
+    "q134_piped_predict_ar" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-1* | timeslice 1d | count by _timeslice" +
+        " | predict _count forecast=3 model=ar"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+        .filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy("_timeslice")
+    }),
     // ---- multi-period compare: N bounded self-joins of the aggregated
     //      series, one column per shifted period ----
     "q133_piped_compare_multi" -> ((s, dir) => {
@@ -3157,6 +3173,43 @@ object SparkEntry {
            CAST(CASE WHEN contains(ip, '.25') THEN 1 ELSE 0 END AS BIGINT) AS has25,
            CAST(CAST('0xff' AS BIGINT) AS DOUBLE) AS ffv
          FROM m ORDER BY event_id""",
+    "q134_piped_predict_ar" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         f AS (SELECT * FROM m WHERE sc LIKE 'cat-1%'),
+         c AS (SELECT
+             make_timestamp(((epoch_ms(ts)//1000)//86400)*86400*1000000) AS _timeslice,
+             count(*) AS _count
+           FROM f GROUP BY 1),
+         p AS (SELECT c._timeslice, c._count, l._count AS prev
+               FROM c LEFT JOIN c l ON c._timeslice = l._timeslice + INTERVAL 1 DAY),
+         fit AS (SELECT count(*)::DOUBLE AS n,
+             sum(prev::DECIMAL(38,6))::DOUBLE AS sx,
+             sum(_count::DECIMAL(38,6))::DOUBLE AS sy,
+             sum(prev::DECIMAL(38,6) * _count::DECIMAL(38,6))::DOUBLE AS sxy,
+             sum(prev::DECIMAL(38,6) * prev::DECIMAL(38,6))::DOUBLE AS sxx
+           FROM p WHERE prev IS NOT NULL),
+         ph AS (SELECT phi, (sy - phi * sx) / n AS c0
+                FROM (SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS phi, sx, sy, n
+                      FROM fit)),
+         b AS (SELECT max(_timeslice) AS mx,
+                 arg_max(_count, _timeslice) AS lasty FROM c),
+         fitted AS (SELECT p._timeslice, p._count,
+             c0 + phi * p.prev::DOUBLE AS _predict
+           FROM p, ph),
+         future AS (
+           SELECT mx + INTERVAL 1 DAY AS _timeslice, NULL::BIGINT AS _count,
+             c0 + phi * lasty::DOUBLE AS _predict FROM b, ph
+           UNION ALL
+           SELECT mx + INTERVAL 2 DAY, NULL,
+             c0 + phi * (c0 + phi * lasty::DOUBLE) FROM b, ph
+           UNION ALL
+           SELECT mx + INTERVAL 3 DAY, NULL,
+             c0 + phi * (c0 + phi * (c0 + phi * lasty::DOUBLE)) FROM b, ph)
+         SELECT * FROM (SELECT * FROM fitted UNION ALL SELECT * FROM future)
+         ORDER BY _timeslice""",
     "q133_piped_compare_multi" ->
       """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
              event_type||' user='||user_id AS message

@@ -511,17 +511,29 @@ object SearchQuery {
     */
   final case class CompareTimeshiftStage(seconds: Long, spec: String,
       field: String, periods: Int = 1) extends Stage
-  /** `predict <field> [forecast=N]` — least-squares linear trend of the
-    * field over the `_timeslice` series (upstream `timeslice` + aggregation
+  /** `predict <field> [forecast=N] [model=ar|linear]` — fit of the field
+    * over the `_timeslice` series (upstream `timeslice` + aggregation
     * required), adding `_predict` (the fitted value) to every observed
     * bucket and appending N future buckets (field null, `_predict` the
-    * extrapolation; default 5). The fit is closed-form from one 1-row
-    * aggregate of exact DECIMAL moments (n, Σx, Σy, Σxy, Σx²) broadcast
-    * back over the series — x is the bucket's epoch second, slope/intercept
+    * extrapolation; default 5, model default linear).
+    *
+    * `model=linear`: least-squares trend on the bucket epoch second. The
+    * fit is closed-form from one 1-row aggregate of exact DECIMAL moments
+    * (n, Σx, Σy, Σxy, Σx²) broadcast back over the series — slope/intercept
     * arithmetic all-double after a single cast, so any engine reproduces
     * the values bit-for-bit. No window, no sort, no driver-side math.
+    *
+    * `model=ar`: first-order autoregression `y_t = c + φ·y_{t−1}` — the
+    * reference's autoregressive predict. (φ, c) are the least-squares fit
+    * over consecutive-bucket lag pairs (one bounded self-join of the
+    * AGGREGATED series shifted by the timeslice step — the `compare`
+    * machinery), from the same exact-DECIMAL moment aggregate; observed
+    * buckets without a predecessor carry a null `_predict`; future buckets
+    * iterate the recurrence as an explicit expression chain (no `pow` —
+    * cross-engine `pow` is not bit-stable; repeated multiply is).
     */
-  final case class PredictStage(field: String, forecast: Int) extends Stage
+  final case class PredictStage(field: String, forecast: Int,
+      model: String = "linear") extends Stage
 
   /** `logcompare timeshift <dur> [field=<name>]` — signature clustering
     * (the `logreduce` mask) compared across two periods of the query
@@ -691,7 +703,7 @@ object SearchQuery {
   private val CompareRe =
     "(?i)compare\\s+with\\s+timeshift\\s+(\\d+\\s*[a-z]*)(?:\\s+(\\d+))?(?:\\s+on\\s+([A-Za-z0-9_]+))?\\s*".r
   private val PredictRe =
-    "(?i)predict\\s+([A-Za-z0-9_]+)(?:\\s+forecast=(\\d+))?\\s*".r
+    "(?i)predict\\s+([A-Za-z0-9_]+)((?:\\s+(?:forecast=\\d+|model=(?:ar|linear)))*)\\s*".r
   private val CountFrequentRe =
     "(?i)count_frequent\\s+(.+?)(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogReduceRe =
@@ -912,10 +924,13 @@ object SearchQuery {
       }
     } else if (lower.startsWith("predict ")) {
       s match {
-        case PredictRe(f, n) =>
-          PredictStage(f, Option(n).map(_.toInt).getOrElse(5))
+        case PredictRe(f, opts) =>
+          val kv = "(?i)(forecast|model)=(\\w+)".r.findAllMatchIn(opts)
+            .map(m => m.group(1).toLowerCase -> m.group(2).toLowerCase).toMap
+          PredictStage(f, kv.get("forecast").map(_.toInt).getOrElse(5),
+            kv.getOrElse("model", "linear"))
         case _ => throw new IllegalArgumentException(
-          s"predict needs 'predict <field> [forecast=N]': $s")
+          s"predict needs 'predict <field> [forecast=N] [model=ar|linear]': $s")
       }
     } else if (lower.startsWith("count_frequent ")) {
       s match {
@@ -1856,7 +1871,60 @@ object SearchQuery {
                 (keys.map(col) :+ col(vf).as(alias)): _*)
             acc.join(shifted, Seq("_timeslice") ++ keys, "left")
           }
-        case PredictStage(fieldName, forecast) =>
+        case PredictStage(fieldName, forecast, "ar") =>
+          require(df.columns.contains("_timeslice"),
+            "predict needs an upstream timeslice stage")
+          val step = sliceSec.getOrElse(throw new IllegalArgumentException(
+            "predict needs an upstream timeslice stage (bucket step unknown)"))
+          val vf = resolveField(fieldName)
+          require(df.columns.contains(vf),
+            s"predict field '$vf' not present — aggregate before predicting")
+          require(!df.columns.contains("_predict"),
+            "input already carries a _predict column")
+          require(df.columns.length == 2 && df.columns.contains("_timeslice"),
+            "predict fits ONE series — project to (_timeslice, field) first")
+          // lag pairs via the compare machinery: the series joined to itself
+          // shifted forward one step — both sides bucket-cardinality
+          val lagged = df.select(
+            (col("_timeslice") + expr(s"INTERVAL $step SECOND"))
+              .as("_timeslice"),
+            col(vf).as("_pr_prev"))
+          val pairs = df.join(lagged, Seq("_timeslice"), "left")
+          val xv = col("_pr_prev").try_cast("decimal(38,6)")
+          val yv = col(vf).try_cast("decimal(38,6)")
+          // exact decimal moments over the lag pairs; double only after sums
+          val fit = pairs.filter(xv.isNotNull && yv.isNotNull).agg(
+            count(lit(1)).cast("double").as("_pr_n"),
+            sum(xv).cast("double").as("_pr_sx"),
+            sum(yv).cast("double").as("_pr_sy"),
+            sum(xv * yv).cast("double").as("_pr_sxy"),
+            sum(xv * xv).cast("double").as("_pr_sxx"))
+          val bounds = df.agg(
+            max(col("_timeslice")).as("_pr_mx"),
+            max_by(col(vf), col("_timeslice")).as("_pr_last"))
+          val phi = try_divide(
+            col("_pr_n") * col("_pr_sxy") - col("_pr_sx") * col("_pr_sy"),
+            col("_pr_n") * col("_pr_sxx") - col("_pr_sx") * col("_pr_sx"))
+          val c0 = try_divide(col("_pr_sy") - phi * col("_pr_sx"), col("_pr_n"))
+          val fitCols = Seq("_pr_n", "_pr_sx", "_pr_sy", "_pr_sxy", "_pr_sxx")
+          val fitted = pairs.crossJoin(broadcast(fit))
+            .withColumn("_predict", c0 + phi * col("_pr_prev").cast("double"))
+            .drop(fitCols :+ "_pr_prev": _*)
+          // future buckets iterate ŷ_{T+h} = c + φ·ŷ_{T+h−1} as an explicit
+          // chain of adds/multiplies — identical op sequence to an unrolled
+          // SQL expression, so any engine reproduces it bit-for-bit
+          val chain = (1 to forecast)
+            .scanLeft(col("_pr_last").cast("double"))((p, _) => c0 + phi * p)
+            .drop(1)
+          val future = fit.crossJoin(bounds)
+            .select(col("_pr_mx"),
+              posexplode(array(chain: _*)).as(Seq("_pr_h0", "_predict")))
+            .withColumn("_timeslice", timestamp_seconds(
+              unix_timestamp(col("_pr_mx")) + (col("_pr_h0") + 1) * step))
+            .withColumn(vf, lit(null).cast(df.schema(vf).dataType))
+            .select(col("_timeslice"), col(vf), col("_predict"))
+          fitted.unionByName(future)
+        case PredictStage(fieldName, forecast, _) =>
           require(df.columns.contains("_timeslice"),
             "predict needs an upstream timeslice stage")
           val step = sliceSec.getOrElse(throw new IllegalArgumentException(

@@ -744,6 +744,31 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(rows(6)._1 == "2024-03-01 06:00:00" && rows(6)._2.isEmpty)
     assert(math.abs(rows(6)._3 - 13.0) < 1e-6)
     assert(math.abs(rows(7)._3 - 15.0) < 1e-6)
+
+    // model=ar: an exact AR(1) series y_t = 10 + 0.5·y_{t−1} is recovered —
+    // integer-exact moments make φ and c land exactly on 0.5 / 10
+    assert(parseStage("predict v forecast=3 model=ar") ==
+      PredictStage("v", 3, "ar"))
+    assert(parseStage("predict v model=ar") == PredictStage("v", 5, "ar"))
+    val arSeries = Seq(100L, 60L, 40L, 30L, 25L).zipWithIndex.map {
+      case (v, i) => (f"2024-03-01 0$i:00:00", v)
+    }
+    val ar = compileStages(Seq(parseStage("timeslice 1h"),
+      parseStage("fields _timeslice, _count"),
+      parseStage("predict _count forecast=3 model=ar")), "ts", "m")(
+      tsDf(arSeries).withColumnRenamed("_timeslice", "ts"))
+      .orderBy("_timeslice")
+      .select(col("_timeslice").cast("string"), col("_count"), col("_predict"))
+      .as[(String, Option[Long], Option[Double])].collect().toSeq
+    assert(ar.length == 8)
+    assert(ar.head._3.isEmpty) // first bucket has no predecessor
+    // observed buckets: fitted = 10 + 0.5·prev, exactly
+    assert(ar.slice(1, 5).map(_._3.get) == Seq(60.0, 40.0, 30.0, 25.0))
+    // forecast recurrence from y_T = 25: 22.5, 21.25, 20.625
+    assert(ar.drop(5).map(r => (r._1, r._2, r._3.get)) == Seq(
+      ("2024-03-01 05:00:00", None, 22.5),
+      ("2024-03-01 06:00:00", None, 21.25),
+      ("2024-03-01 07:00:00", None, 20.625)))
   }
 
   test("Q1: backshift/rollingstd — lagged values and trailing stddev, global == grouped") {
