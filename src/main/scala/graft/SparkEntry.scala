@@ -1158,6 +1158,25 @@ object SparkEntry {
         window.filter(SearchQuery.compile(pb.terms, col("message"))))
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(pb.stages)): _*)
     }),
+    // ---- cat: the lookup-table viewer (save's read counterpart) ----
+    "q135_piped_cat" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val window = ev
+        .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+          col("ts") < lit("2024-03-01").cast("timestamp"))
+      val qa = "_sourceCategory=cat-1* | parse \"* user=*\" as t, uid" +
+        " | count as n by uid | save q135_user_counts"
+      val pa = SearchQuery.parsePiped(qa)
+      SearchQuery.compileStages(pa.stages, "ts", "message")(
+        window.filter(SearchQuery.compile(pa.terms, col("message"))))
+      val qb = "* | cat q135_user_counts | where n >= 15 | sort by uid"
+      val pb = SearchQuery.parsePiped(qb)
+      SearchQuery.compileStages(pb.stages, "ts", "message")(window)
+        .orderBy("uid")
+    }),
     // ---- scalar-function surface: ip classification (codegen kernels),
     //      Luhn card check (fused scan), parseDate ----
     "q106_piped_fns" -> ((s, dir) => {
@@ -3089,6 +3108,18 @@ object SparkEntry {
            WHERE TRY_CAST(a.n AS DOUBLE) >= 15)
          SELECT t, count(*) AS _count, CAST(min(n) AS DOUBLE) AS n_cat1
          FROM j GROUP BY t ORDER BY t""",
+    "q135_piped_cat" ->
+      """WITH m AS (SELECT ts, 'cat-'||(user_id%5) AS sc,
+             event_type||' user='||user_id AS message
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-03-01'),
+         a AS (SELECT regexp_extract(message, '(.*?)\Q user=\E(.*)', 2) AS uid,
+             count(*) AS n
+           FROM m WHERE sc LIKE 'cat-1%'
+             AND regexp_matches(message, '(.*?)\Q user=\E(.*)')
+           GROUP BY 1)
+         SELECT uid, n FROM a WHERE TRY_CAST(n AS DOUBLE) >= 15
+         ORDER BY uid""",
     "q106_piped_fns" ->
       """WITH synth AS (SELECT event_id, ts,
              CASE WHEN user_id%4 = 0

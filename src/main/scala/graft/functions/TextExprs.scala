@@ -564,6 +564,47 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Bucketed weight-table lookup-sum — the apply side of a trained
+  * hashed-feature linear model (DSIR weights, a quality classifier): each
+  * 60-bit gram hash indexes `weights[h mod weights.length]` and the row's
+  * score is the exact integer sum. Kept integer (nano-nat quantized
+  * weights) so the sum is order-independent and bit-identical to the batch
+  * training side.
+  */
+object WeightedBucketImpl {
+  def sum(arr: ArrayData, w: Array[Long]): Long = {
+    val m = w.length
+    var s = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      // gram hashes are 60-bit nonnegative, but stay safe for any long input
+      s += w((((arr.getLong(i) % m) + m) % m).toInt)
+      i += 1
+    }
+    s
+  }
+}
+
+/** `weighted_bucket_sum(array<long>) -> bigint` with whole-stage codegen;
+  * the frozen weight table rides along as a codegen reference object.
+  */
+case class WeightedBucketSum(child: Expression, weights: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(weights.nonEmpty, "weights must be non-empty")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "weighted_bucket_sum"
+  override protected def nullSafeEval(input: Any): Any =
+    WeightedBucketImpl.sum(input.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bucketWeights", weights, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WeightedBucketImpl.sum($c, $w)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WeightedBucketSum =
+    copy(child = newChild)
+}
+
 /** `hash60_array(array<string>) -> array<long>` with whole-stage codegen. */
 case class Hash60Array(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

@@ -107,6 +107,14 @@ object TextFunctions {
     org.apache.spark.sql.GraftGlue.column(
       PositionalShingleHashes(org.apache.spark.sql.GraftGlue.expression(c), n))
 
+  /** Exact integer lookup-sum over a frozen bucket-weight table — the apply
+    * side of a trained hashed-feature linear model. Codegen'd
+    * [[WeightedBucketSum]] kernel.
+    */
+  def weightedBucketSum(hashCol: Column, weights: Array[Long]): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      WeightedBucketSum(org.apache.spark.sql.GraftGlue.expression(hashCol), weights))
+
   /** MinHash signature over a pre-hashed shingle array: k minima of the
     * seeded [[mix60]] permutations, as the codegen'd [[MinHashSignature]]
     * kernel (single pass per seed, no per-element expression dispatch;

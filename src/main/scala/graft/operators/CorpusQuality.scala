@@ -185,6 +185,39 @@ object CorpusQuality {
         round(col("_sq").cast("double") / 1e9, 6).as("log_weight"))
   }
 
+  /** Train-side export of [[dsirWeights]]: the per-bucket nano-nat
+    * log-ratio table as a driver array — the frozen model a streaming
+    * ingest scores against ([[graft.streaming.Streams.dsirScoreStream]]).
+    * The collect is bounded by `buckets` (the table is fixed-size however
+    * large the corpus); per-bucket rounding is HALF_UP, matching Spark's
+    * `round`, so `weightedBucketSum` over these weights reproduces the
+    * batch [[dsirWeights]] scores bit-for-bit.
+    */
+  def dsirBucketWeights(df: DataFrame, textCol: Column, isTarget: Column,
+      buckets: Int = 256): Array[Long] = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val t = coalesce(textCol, lit(""))
+    val cnt = df.select(isTarget.as("_t"),
+        TextFunctions.positionalShingleHashes(t, 1).as("_h1"),
+        TextFunctions.positionalShingleHashes(t, 2).as("_h2"))
+      .select(col("_t"), explode(concat(col("_h1"), col("_h2"))).as("h"))
+      .groupBy(pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .agg(sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
+      .collect()
+    val ct = Array.fill(buckets)(0L)
+    val cr = Array.fill(buckets)(0L)
+    cnt.foreach { r =>
+      val b = r.getLong(0).toInt; ct(b) = r.getLong(1); cr(b) = r.getLong(2)
+    }
+    val (tt, tr) = (ct.sum, cr.sum)
+    Array.tabulate(buckets) { b =>
+      val q = (math.log((ct(b) + 1).toDouble / (tt + buckets)) -
+        math.log((cr(b) + 1).toDouble / (tr + buckets))) * 1e9
+      BigDecimal(q).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+  }
+
   def bigramSurprisal(df: DataFrame, idCol: Column, textCol: Column,
       lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1): $lambda")

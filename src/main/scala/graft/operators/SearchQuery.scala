@@ -585,6 +585,12 @@ object SearchQuery {
     * (the upstream plan runs once, not once per consumer).
     */
   final case class SaveStage(table: String) extends Stage
+  /** `cat <table>` — replace the stream with the named lookup table's
+    * contents (the reference's lookup-table viewer; `save`'s read
+    * counterpart). A plain scan of the materialized store — filters and
+    * projections applied downstream push into it.
+    */
+  final case class CatStage(table: String) extends Stage
   /** `transactionize k1[, k2…] [merge f1=first, f2=last, f3=join]` — group
     * messages sharing the key fields into transactions: one output row per
     * transaction with the keys, `_count` (messages), `_begin`/`_end`
@@ -718,6 +724,7 @@ object SearchQuery {
     ("(?i)diff\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+as\\s+([A-Za-z0-9_]+))?(?:\\s+by\\s+(.+))?").r
   private val SaveRe = "(?i)save\\s+([A-Za-z_][A-Za-z0-9_\\-]*)\\s*".r
+  private val CatRe = "(?i)cat\\s+([A-Za-z_][A-Za-z0-9_\\-]*)\\s*".r
   private val TransactionizeRe =
     "(?i)transactionize\\s+(.+?)(?:\\s+merge\\s+(.+))?\\s*".r
   private val JoinOnRe =
@@ -981,6 +988,12 @@ object SearchQuery {
         case SaveRe(table) => SaveStage(table)
         case _ => throw new IllegalArgumentException(
           s"save needs 'save <table>' (identifier table name): $s")
+      }
+    } else if (lower.startsWith("cat ") || lower.startsWith("cat\t")) {
+      s match {
+        case CatRe(table) => CatStage(table)
+        case _ => throw new IllegalArgumentException(
+          s"cat needs 'cat <table>' (identifier table name): $s")
       }
     } else if (lower.startsWith("transactionize ")) {
       s match {
@@ -2123,6 +2136,12 @@ object SearchQuery {
           // materialization barrier (upstream plan runs exactly once)
           df.write.mode("overwrite").parquet(path)
           spark.read.parquet(path)
+        case CatStage(table) =>
+          val spark = df.sparkSession
+          val p = new java.io.File(s"${lookupDir(spark)}/$table")
+          require(p.exists,
+            s"cat: lookup table '$table' does not exist — save it first")
+          spark.read.parquet(p.toString)
         case TransactionizeStage(by, merges) =>
           val keys = by.map(n => col(resolveField(n)))
           val ts = col(timeColName)

@@ -243,4 +243,25 @@ object Streams {
       .withColumn(textCol, redactPii(col(textCol)))
       .drop("_fp")
   }
+
+  /** Online DSIR scoring: apply FROZEN importance weights (trained offline
+    * by [[graft.operators.CorpusQuality.dsirBucketWeights]]) to a document
+    * stream, adding `dsir_weight` — the log importance weight in nats,
+    * positive = target-like. Train-offline/apply-online is the production
+    * shape: the weight table is a plan-time constant riding inside the
+    * codegen'd kernel, so this is a STATELESS map-side projection — no
+    * state store, no shuffle, throughput scales with executor count, and
+    * scores are bit-identical to the batch
+    * [[graft.operators.CorpusQuality.dsirWeights]] on the same text.
+    * Filter on the returned column (`≥ threshold`) to gate ingest.
+    */
+  def dsirScoreStream(docs: DataFrame, bucketWeights: Array[Long],
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = coalesce(col(textCol), lit(""))
+    val grams = concat(
+      positionalShingleHashes(t, 1), positionalShingleHashes(t, 2))
+    docs.withColumn("dsir_weight",
+      round(weightedBucketSum(grams, bucketWeights).cast("double") / 1e9, 6))
+  }
 }

@@ -1613,6 +1613,17 @@ class QuerySurfaceSpec extends SparkSpec {
       val err = intercept[IllegalArgumentException](compileStages(
         Seq(parseStage("lookup n from nope on uid=uid")), "ts", "m")(fact))
       assert(err.getMessage.contains("save"))
+      // cat replaces the stream with the stored table; downstream stages
+      // apply to the table contents
+      assert(parseStage("cat spec_tbl") == CatStage("spec_tbl"))
+      intercept[IllegalArgumentException](parseStage("cat ../evil"))
+      val catted = compileStages(Seq(parseStage("cat spec_tbl"),
+        parseStage("where n >= 6")), "ts", "m")(fact)
+        .as[(String, Long)].collect().toSeq
+      assert(catted == Seq(("u2", 7L)))
+      val catErr = intercept[IllegalArgumentException](compileStages(
+        Seq(parseStage("cat nope")), "ts", "m")(fact))
+      assert(catErr.getMessage.contains("save"))
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.graft.lookup.dir", p)

@@ -766,6 +766,28 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(again == out.map { case (k, v) => k -> v._2 })
   }
 
+  test("dsir: frozen-weight streaming scorer reproduces batch scores bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      (0L, "legal court judge ruling appeal", false),
+      (1L, "pixel render shader buffer frame", false),
+      (10L, "legal court judge verdict trial", true),
+      (11L, "court judge legal appeal ruling", true),
+      (20L, "pixel shader render frame buffer", false))
+      .toDF("doc_id", "text", "tgt")
+    val w = graft.operators.CorpusQuality.dsirBucketWeights(
+      in, col("text"), col("tgt"))
+    assert(w.length == 256 && w.exists(_ != 0L))
+    val batch = graft.operators.CorpusQuality.dsirWeights(
+      in, col("doc_id"), col("text"), col("tgt"))
+      .select("doc_id", "log_weight").as[(Long, Double)].collect().toMap
+    // the apply side is a stateless projection — identical on a batch frame
+    val applied = graft.streaming.Streams.dsirScoreStream(in, w)
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(applied == batch)
+  }
+
   test("unigram surprisal: rare-token docs score above common-token docs") {
     val s = spark
     import s.implicits._
