@@ -35,6 +35,25 @@ class KernelParitySpec extends SparkSpec {
     rows.foreach { case (k, q) => assert(k == q) }
   }
 
+  test("weighted_bucket_sum kernel == HOF aggregate form, incl. negative hashes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    val w = Array.fill(64)(rnd.nextLong() % 1000000L)
+    // mixed-sign hashes exercise the safe floor-mod path (gram hashes are
+    // nonneg 60-bit, but the kernel must not silently break on general longs)
+    val df = (0 until 50).map(_ =>
+      Seq.fill(1 + rnd.nextInt(20))(rnd.nextLong())).toDF("hs")
+    val sqlForm = aggregate(
+      transform(col("hs"), h => element_at(
+        array(w.map(lit(_)): _*), (pmod(h, lit(64L)) + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    val rows = df.select(
+      graft.functions.TextFunctions.weightedBucketSum(col("hs"), w).as("k"),
+      sqlForm.as("q")).as[(Long, Long)].collect()
+    rows.foreach { case (k, q) => assert(k == q) }
+  }
+
   test("minhash kernel == unrolled mix60/array_min form") {
     val s = spark
     import s.implicits._

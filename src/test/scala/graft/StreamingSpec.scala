@@ -219,6 +219,43 @@ class StreamingSpec extends SparkSpec {
     assert(byId(2L)._2.contains("<EMAIL>") && !byId(2L)._2.contains("@")) // redacted
   }
 
+  test("streaming DSIR scoring: frozen weights applied statelessly on a real stream") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // train on a batch frame: target speaks legal vocabulary
+    val train = Seq(
+      (10L, "legal court judge verdict trial", true),
+      (11L, "court judge legal appeal ruling", true),
+      (20L, "pixel shader render frame buffer", false),
+      (21L, "render buffer pixel shader frame", false))
+      .toDF("doc_id", "text", "tgt")
+    val w = graft.operators.CorpusQuality.dsirBucketWeights(
+      train, col("text"), col("tgt"))
+    // apply to a live MemoryStream: stateless projection, no watermark needed
+    val input = MemoryStream[(Long, String)]
+    val scored = Streams.dsirScoreStream(
+      input.toDF().toDF("doc_id", "text"), w)
+    val q = scored.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    input.addData(
+      (0L, "legal court judge ruling appeal"),
+      (1L, "pixel render shader buffer frame"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dsir_out")
+      .select("doc_id", "dsir_weight")
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) > 0.0 && out(1L) < 0.0) // target-like vs raw-like
+    // stream scores equal the batch scorer on the same weights
+    val batch = Streams.dsirScoreStream(
+      Seq((0L, "legal court judge ruling appeal"),
+        (1L, "pixel render shader buffer frame")).toDF("doc_id", "text"), w)
+      .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toMap
+    assert(out == batch)
+  }
+
   test("T8 streaming: requestID carries forward across micro-batches via state store") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
