@@ -114,6 +114,32 @@ object Scratch {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_DSIR_STREAM=1: throughput of the frozen-weight online
+    // DSIR scorer — train on the batch corpus (bounded 256-bucket table),
+    // then score the same docs as a file-source stream into a noop sink.
+    // Stateless projection: the wall-clock is the tokenize+hash kernel.
+    sys.env.get("SPARK_GRAFT_DSIR_STREAM").foreach { _ =>
+      import graft.streaming.Streams
+      val docs = SparkEntry.tbl(spark, dir, "documents").select("doc_id", "text", "source")
+      val n = docs.count()
+      val w = graft.operators.CorpusQuality.dsirBucketWeights(
+        docs, col("text"), col("source").isin("src1", "src2", "src3"))
+      val src = java.nio.file.Files.createTempDirectory("dsir-src").toString
+      docs.write.mode("overwrite").parquet(src)
+      val stream = spark.readStream.schema(docs.schema).parquet(src)
+      val t0 = System.nanoTime()
+      val q = Streams.dsirScoreStream(stream, w)
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("dsir-ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] dsir stream: $n docs in $sec%.2f s = ${n / sec}%.0f docs/s")
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_CURATION_STREAM=1: throughput of the streaming curation
     // path (gate → watermarked fingerprint dedup → PII redact) over the
     // current SF_DIR's documents, driven as a file-source stream into a
