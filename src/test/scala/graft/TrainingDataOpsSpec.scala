@@ -736,6 +736,47 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(loose == Seq(11L, 12L))
   }
 
+  test("incrementalDedup == plain anti-join on randomized corpora (fuzz)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(1337)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    def doc() = Seq.fill(2 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (0 until 8).foreach { round =>
+      val snapTexts = Seq.fill(5 + rnd.nextInt(10))(doc())
+      val batch = (0 until 10 + rnd.nextInt(10)).map(i => (i.toLong, doc()))
+      val snapshot = snapTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      val batchDf = batch.toDF("doc_id", "text")
+      // independent expected-set: normalized-text membership, computed in
+      // plain Scala (no Spark machinery shared with the operator)
+      def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      val snapSet = snapTexts.map(norm).toSet
+      val expected = batch.collect { case (id, t) if !snapSet(norm(t)) => id }.sorted
+      // high fpp forces the confirm join to do real work every round
+      val got = graft.operators.Dedup.incrementalDedup(
+        batchDf, snapshot, col("text"), col("text"), fpp = 0.4)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == expected, s"round $round")
+    }
+  }
+
+  test("dsirWeights is partition-invariant (order-independent aggregation)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("law", "court", "judge", "pixel", "shader", "frame", "tree")
+    val in = (0 until 60).map { i =>
+      (i.toLong,
+        Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        rnd.nextBoolean())
+    }.toDF("doc_id", "text", "tgt")
+    def run(parts: Int) = graft.operators.CorpusQuality.dsirWeights(
+      in.repartition(parts), col("doc_id"), col("text"), col("tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(run(1) == run(7)) // nano-nat integer sums: no partition-order drift
+  }
+
   test("dsirWeights: target-vocabulary docs outscore raw-vocabulary docs") {
     val s = spark
     import s.implicits._
