@@ -1580,6 +1580,21 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- BPE tokenizer: train merges from the bounded word-frequency
+    //      table, freeze, count tokens with the codegen'd encoder. No
+    //      oracleSql: the iterative trainer is not SQL-expressible, so the
+    //      driver records the rows-only check; correctness is pinned by
+    //      TrainingDataOpsSpec (hand-traced training order + independent
+    //      naive-reference encoder on random strings). ----
+    "q136_bpe_tokens" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, col("text"), numMerges = 40)
+      docs.select(col("doc_id"),
+        graft.operators.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n_regex_tokens"))
+        .orderBy("doc_id")
+    }),
     // ---- incremental dedup: new batch vs corpus snapshot — broadcast
     //      Bloom prunes the anti-join to the maybe-set, result exact ----
     "q132_incremental_dedup" -> ((s, dir) => {

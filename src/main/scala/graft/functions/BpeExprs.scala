@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE encode (Sennrich et al. 2016, arXiv:1508.07909): whitespace-split the
+  * normalized text, then tokenize each word from characters by repeatedly
+  * applying the LOWEST-rank merge present anywhere in the word to every
+  * left-to-right occurrence — the classic greedy encoder loop (GPT-2's
+  * `bpe()` shape, minus the byte remapping; no end-of-word marker). The
+  * trainer ([[graft.operators.Bpe.train]]) applies merges with the same
+  * left-to-right routine, so encoding a word the trainer saw reproduces the
+  * trainer's segmentation exactly.
+  */
+object BpeImpl {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** One left-to-right pass merging every non-overlapping `(a, b)` pair.
+    * Shared verbatim between the trainer's apply step and the encoder so
+    * the two sides can never drift on overlap handling ("aaa" + merge
+    * `a a` → `[aa, a]`, leftmost-greedy).
+    */
+  def mergeAll(parts: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](parts.length)
+    var j = 0
+    while (j < parts.length) {
+      if (j < parts.length - 1 && parts(j) == a && parts(j + 1) == b) {
+        out += (a + b); j += 2
+      } else { out += parts(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Greedy encode of one word: lowest-rank merge first, all occurrences
+    * per round, until no ranked pair remains.
+    */
+  def encodeWord(word: String,
+      ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    var parts: Array[String] = word.map(_.toString).toArray
+    while (parts.length >= 2) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < parts.length - 1) {
+        val r = ranks.get(parts(i) + " " + parts(i + 1))
+        if (r != null && r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) return parts
+      parts = mergeAll(parts, parts(bi), parts(bi + 1))
+    }
+    parts
+  }
+
+  def encode(s: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    // trim-then-lower, same Java regex engine as the SQL split form — the
+    // ShingleImpl normalization convention
+    val normalized = s.trim.toLowerCase.toString
+    if (normalized.isEmpty) {
+      return new GenericArrayData(Array.empty[Any])
+    }
+    val toks = ws.split(normalized, -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val enc = encodeWord(toks(i), ranks)
+      var j = 0
+      while (j < enc.length) { out += UTF8String.fromString(enc(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Merge list ("a b" strings, rank = position) → lookup map. */
+  def ranksOf(merges: Array[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) { m.put(merges(i), Integer.valueOf(i)); i += 1 }
+    m
+  }
+}
+
+/** `bpe_encode(string) -> array<string>` with whole-stage codegen; the
+  * frozen merge-rank table rides along as a codegen reference object.
+  */
+case class BpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "bpe_encode"
+  @transient private lazy val ranks = BpeImpl.ranksOf(merges.toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    BpeImpl.encode(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeImpl.encode($c, $r)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

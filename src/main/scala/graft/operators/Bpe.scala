@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BpeEncode, BpeImpl, TextFunctions}
+
+/** Byte-pair-encoding tokenizer for the training-data pipeline (Sennrich et
+  * al. 2016, arXiv:1508.07909): train a merge table, freeze it, count/encode
+  * tokens with it — the tokenizer-aware counting a token-budget packer or a
+  * per-corpus cost model actually needs (the regex token count in
+  * [[graft.functions.TextFunctions.tokenCount]] is the cheap stand-in).
+  *
+  * Scale shape: BPE training only needs the WORD-FREQUENCY table, not the
+  * corpus — one distributed `groupBy(word).count()` (map-side combined,
+  * vocabulary-bounded) capped at `topWords`, then the classic driver-side
+  * merge loop over that bounded table. A 100 TB corpus changes the count
+  * aggregate's input size, not the trainer's: the driver never sees more
+  * than `topWords` rows. Encoding is a stateless codegen'd projection with
+  * the frozen merge table as a reference object — the
+  * [[graft.streaming.Streams.dsirScoreStream]] train-offline/apply-online
+  * shape.
+  */
+object Bpe {
+
+  /** Train `numMerges` BPE merges. Deterministic: word ties in the count
+    * cap break lexicographically, pair-count ties pick the lexicographically
+    * smallest pair (count order first), and merge application is the same
+    * left-to-right [[BpeImpl.mergeAll]] the encoder uses. Pair counts are
+    * the textbook naive count (overlapping occurrences each count — "aaa"
+    * contributes 2 to `(a,a)`), like the reference trainer.
+    */
+  def train(df: DataFrame, textCol: Column, numMerges: Int,
+      topWords: Int = 50000): Array[String] = {
+    require(numMerges >= 0, s"numMerges must be nonnegative: $numMerges")
+    val wc = df
+      .select(explode(TextFunctions.tokens(coalesce(textCol, lit("")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (parts, c) =>
+        var i = 0
+        while (i < parts.length - 1) {
+          val key = (parts(i), parts(i + 1))
+          pairCounts.update(key, pairCounts.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) = pairCounts.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += s"$a $b"
+        words = words.map { case (parts, c) =>
+          (BpeImpl.mergeAll(parts, a, b), c)
+        }
+        k += 1
+      }
+    }
+    merges.toArray
+  }
+
+  /** Encode with a frozen merge table: codegen'd [[BpeEncode]] kernel. */
+  def encode(c: Column, merges: Array[String]): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      BpeEncode(org.apache.spark.sql.GraftGlue.expression(c),
+        merges.toIndexedSeq))
+
+  /** Per-document BPE token count under a frozen merge table. */
+  def tokenCount(c: Column, merges: Array[String]): Column =
+    size(encode(c, merges)).cast("long")
+}

@@ -736,6 +736,63 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(loose == Seq(11L, 12L))
   }
 
+  test("BPE: hand-traced training order, encoder reproduces trainer segmentation") {
+    val s = spark
+    import s.implicits._
+    // "aaab"×3: pair counts (a,a)=6, (a,b)=3 → merge 1 = "a a" (leftmost-
+    // greedy: aaa→[aa,a]); then (aa,a)=3 ties (a,b)=3 → lexicographic pick
+    // "a b"; word is now [aa, ab]
+    val corpus = Seq.fill(3)("aaab").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(corpus, col("text"), numMerges = 2)
+    assert(merges.toSeq == Seq("a a", "a b"))
+    val enc = corpus.select(
+      graft.operators.Bpe.encode(col("text"), merges).as("toks"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("aa", "ab"))
+    // merge exhaustion stops early instead of looping
+    assert(graft.operators.Bpe.train(corpus, col("text"), 100).length < 100)
+  }
+
+  test("BPE: encode matches an independent naive reference on random strings") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(90125)
+    def randWord() = Seq.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString
+    val docs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(5))(randWord()).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(df, col("text"), numMerges = 12)
+    val ranks = merges.zipWithIndex.toMap
+    // independent reference: recursive lowest-rank merge, written against
+    // the SPEC (not sharing the kernel's loop)
+    def refWord(parts: List[String]): List[String] = {
+      val present = parts.zip(parts.drop(1))
+        .flatMap { case (a, b) => ranks.get(s"$a $b").map(r => (r, a, b)) }
+      if (present.isEmpty) parts
+      else {
+        val (_, a, b) = present.minBy(_._1)
+        def go(l: List[String]): List[String] = l match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: go(rest)
+          case x :: rest => x :: go(rest)
+          case Nil => Nil
+        }
+        refWord(go(parts))
+      }
+    }
+    def refEncode(text: String): Seq[String] =
+      text.trim.toLowerCase.split("\\s+").toSeq
+        .flatMap(w => refWord(w.map(_.toString).toList))
+    val got = df.select(col("doc_id"),
+      graft.operators.Bpe.encode(col("text"), merges).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refEncode(text), s"doc $id '$text'")
+      // lossless segmentation: tokens concatenate back to the words
+      assert(got(id).mkString == text.trim.toLowerCase.split("\\s+").mkString)
+    }
+  }
+
   test("incrementalDedup == plain anti-join on randomized corpora (fuzz)") {
     val s = spark
     import s.implicits._
