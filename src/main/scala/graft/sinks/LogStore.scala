@@ -42,4 +42,43 @@ object LogStore {
     open(spark, dir)
       .filter(col("source_category") === category)
       .filter(col(tsCol) >= fromTs && col(tsCol) < toTs)
+
+  /** Compact one category-day partition: rewrite its accumulated small
+    * files (streaming appends land file-per-micro-batch) into
+    * `ceil(rows / targetRecordsPerFile)` right-sized files. The store-
+    * maintenance job every streaming ingest needs — thousands of 1 MB
+    * files turn scan planning and task scheduling into the bottleneck long
+    * before data volume does. Content is preserved exactly; only the file
+    * layout changes. Single-writer maintenance op: run it when no append
+    * targets the same partition (the swap is write-new → delete-old →
+    * move-in, not atomic against concurrent writers). Returns
+    * `(filesBefore, filesAfter)`.
+    */
+  def compact(spark: SparkSession, dir: String, ingestDate: String,
+      category: String, targetRecordsPerFile: Long = 5000000L): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val part = Paths.get(dir, s"ingest_date=$ingestDate",
+      s"source_category=$category")
+    require(Files.isDirectory(part), s"no such partition: $part")
+    def parts() = Files.list(part).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val before = parts()
+    val df = spark.read.parquet(part.toString)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val tmp = part.resolve("_compact_tmp")
+    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    before.foreach(Files.delete)
+    val moved = Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    moved.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, part.resolve(f"part-compact-$i%05d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    // drop the tmp dir and its _SUCCESS marker
+    Files.list(tmp).iterator().asScala.foreach(Files.delete)
+    Files.delete(tmp)
+    (before.length, moved.length)
+  }
 }

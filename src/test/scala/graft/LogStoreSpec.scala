@@ -39,6 +39,35 @@ class LogStoreSpec extends SparkSpec {
     assert(!scanned.contains("cat-0") || scanned.contains("cat-1"))
   }
 
+  test("compact rewrites a partition's small files without changing content") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-compact").toString
+    // 8 appends = 8+ small files in the same category-day partition
+    (0 until 8).foreach { b =>
+      LogStore.append(
+        (0 until 100).map(i =>
+          (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 60}%02d"),
+            "cat-0", s"""{"b":$b,"i":$i}"""))
+          .toDF("ts", "source_category", "message"),
+        dir, col("ts"))
+    }
+    val beforeRows = LogStore.open(spark, dir).select("message")
+      .as[String].collect().sorted.toSeq
+    val (nBefore, nAfter) = LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    assert(nBefore >= 8 && nAfter == 1, s"$nBefore -> $nAfter")
+    val afterRows = LogStore.open(spark, dir).select("message")
+      .as[String].collect().sorted.toSeq
+    assert(afterRows == beforeRows) // content byte-identical, layout changed
+    // pruned search still works over the compacted layout
+    val q = LogStore.search(spark, dir, "cat-0",
+      lit("2024-03-01").cast("timestamp"), lit("2024-03-02").cast("timestamp"))
+    assert(q.count() == 800L)
+    intercept[IllegalArgumentException](
+      LogStore.compact(spark, dir, "2099-01-01", "nope"))
+  }
+
   test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {
     val dir = Files.createTempDirectory("logstore2").toString
     LogStore.append(corpus, dir, col("ts"))
