@@ -49,13 +49,18 @@ object LogStore {
     * maintenance job every streaming ingest needs — thousands of 1 MB
     * files turn scan planning and task scheduling into the bottleneck long
     * before data volume does. Content is preserved exactly; only the file
-    * layout changes. Single-writer maintenance op: run it when no append
+    * layout changes. `clusterBy` (typically the timestamp) additionally
+    * range-partitions rows across the output files and sorts within each,
+    * aligning parquet row-group min/max stats with the dominant time-range
+    * predicate so scans skip whole row groups.
+    * Single-writer maintenance op: run it when no append
     * targets the same partition (the swap is write-new → delete-old →
     * move-in, not atomic against concurrent writers). Returns
     * `(filesBefore, filesAfter)`.
     */
   def compact(spark: SparkSession, dir: String, ingestDate: String,
-      category: String, targetRecordsPerFile: Long = 5000000L): (Int, Int) = {
+      category: String, targetRecordsPerFile: Long = 5000000L,
+      clusterBy: Seq[String] = Seq.empty): (Int, Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val part = Paths.get(dir, s"ingest_date=$ingestDate",
@@ -68,7 +73,15 @@ object LogStore {
     val n = df.count()
     val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val tmp = part.resolve("_compact_tmp")
-    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    // clusterBy (typically the timestamp): range-partition across the output
+    // files and sort within each, so parquet row-group min/max stats line up
+    // with the dominant time-range predicate and scans skip whole row
+    // groups — the poor man's clustering index, free at compaction time
+    val arranged =
+      if (clusterBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+    arranged.write.mode("overwrite").parquet(tmp.toString)
     before.foreach(Files.delete)
     val moved = Files.list(tmp).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq

@@ -66,6 +66,23 @@ class LogStoreSpec extends SparkSpec {
     assert(q.count() == 800L)
     intercept[IllegalArgumentException](
       LogStore.compact(spark, dir, "2099-01-01", "nope"))
+    // time-clustered recompaction: 2 range-partitioned files, each sorted
+    // by ts, so row-group stats align with time-range scans
+    val (_, nClustered) = LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 400L, clusterBy = Seq("ts"))
+    assert(nClustered == 2)
+    val clusteredRows = LogStore.open(spark, dir).select("message")
+      .as[String].collect().sorted.toSeq
+    assert(clusteredRows == beforeRows)
+    // within every physical file the ts column is non-decreasing
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = LogStore.open(spark, dir)
+      .select(input_file_name().as("f"), col("ts"))
+      .as[(String, java.sql.Timestamp)].collect().groupBy(_._1)
+    perFile.values.foreach { rows =>
+      val ts = rows.map(_._2.getTime).toSeq
+      assert(ts == ts.sorted)
+    }
   }
 
   test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {
