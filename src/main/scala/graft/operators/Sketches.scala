@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pre-aggregated distinct-count rollups — the OLAP pattern behind every
+  * "unique users per category over an arbitrary date range" dashboard at
+  * 100 TB: sketch once at ingest granularity, answer range queries by
+  * MERGING sketches instead of rescanning raw data. Built on Spark's
+  * Datasketches HLL functions (`hll_sketch_agg`/`hll_union_agg`/
+  * `hll_sketch_estimate`), whose sketches are binary columns a parquet
+  * rollup table stores like any other — and whose union preserves the
+  * sketch's error guarantee (union-of-sketches estimates track the
+  * sketch-of-union within a fraction of the ~1.6% RSE; the states are not
+  * bit-identical because DataSketches' union promotion path differs from
+  * direct aggregation), so a year of daily rollups answers any sub-range
+  * with one tiny aggregate.
+  *
+  * The reference's closest surface is `count_distinct_approx`
+  * ([[SearchQuery]] aggregations); this is its scale-out sibling: the
+  * query-time estimator works on raw rows, the rollup makes the raw scan
+  * unnecessary.
+  */
+object Sketches {
+
+  /** Ingest-side rollup: one row per (day, keys) carrying the HLL sketch
+    * of `valueCol` plus the exact row count. `lgK` trades size for accuracy
+    * (12 → 4 KB per sketch, ~1.6% relative standard error). One map-side-
+    * combined aggregate; output cardinality = day × key combinations.
+    */
+  def dailyRollup(df: DataFrame, tsCol: Column, keyCols: Seq[Column],
+      valueCol: Column, lgK: Int = 12): DataFrame =
+    df.groupBy((to_date(tsCol).as("day") +: keyCols): _*)
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("uniques_sketch"),
+        count(lit(1)).as("n_rows"))
+
+  /** Query-side merge: collapse a (filtered) rollup slice to per-group
+    * distinct estimates. Input is rollup rows (bounded), never raw data —
+    * the whole point. Returns `approx_uniques` (estimate, double) and the
+    * exact `n_rows` sum.
+    */
+  def uniquesOver(rollup: DataFrame, groupCols: Seq[Column]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) rollup.groupBy()
+      else rollup.groupBy(groupCols: _*)
+    grouped.agg(
+      hll_sketch_estimate(hll_union_agg(col("uniques_sketch"), lit(false)))
+        .as("approx_uniques"),
+      sum(col("n_rows")).as("n_rows"))
+  }
+}

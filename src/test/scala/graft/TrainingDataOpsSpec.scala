@@ -736,6 +736,41 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(loose == Seq(11L, 12L))
   }
 
+  test("HLL rollup: union of daily sketches == sketch of the union; estimate near exact") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(8080)
+    val events = (0 until 5000).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-03-${1 + i % 9}%02d 10:00:00"),
+        s"cat-${i % 4}", s"user-${rnd.nextInt(700)}")
+    }.toDF("ts", "category", "user")
+    val rollup = graft.operators.Sketches.dailyRollup(
+      events, col("ts"), Seq(col("category")), col("user"))
+    assert(rollup.count() == 36) // 9 days × 4 categories (i%9, i%4 coprime)
+    // merged estimate over all days per category vs the exact distinct count
+    val est = graft.operators.Sketches.uniquesOver(rollup, Seq(col("category")))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    val exact = events.groupBy("category")
+      .agg(countDistinct(col("user")).as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (cat, d) =>
+      assert(math.abs(est(cat) - d) / d < 0.05, s"$cat: ${est(cat)} vs $d")
+    }
+    // mergeability: merging daily sketches tracks the single-pass sketch
+    // closely (DataSketches' union target-type/promotion path differs from
+    // direct aggregation, so the states — and estimates — can differ by a
+    // fraction of a percent; the ~1.6% RSE guarantee holds for both)
+    val direct = graft.operators.Sketches.uniquesOver(
+      graft.operators.Sketches.dailyRollup(
+        events.withColumn("ts", lit("2024-03-01 00:00:00").cast("timestamp")),
+        col("ts"), Seq(col("category")), col("user")),
+      Seq(col("category")))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    est.foreach { case (cat, e) =>
+      assert(math.abs(e - direct(cat)) / direct(cat) < 0.02, s"$cat: $e vs ${direct(cat)}")
+    }
+  }
+
   test("BPE: hand-traced training order, encoder reproduces trainer segmentation") {
     val s = spark
     import s.implicits._
