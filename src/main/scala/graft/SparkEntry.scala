@@ -1580,6 +1580,28 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- URL curation: canonicalize (codegen kernel) → domain blocklist
+    //      → per-domain page/unique-URL rollup ----
+    "q137_url_curation" -> ((s, dir) => {
+      import graft.functions.TextFunctions.{urlNormalize, urlDomain}
+      val ev = tbl(s, dir, "events")
+      val url = concat(
+        when(col("user_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        lit("W"), col("user_id") % 7, lit(".Site"), col("event_id") % 50,
+        lit(".example"),
+        when(col("user_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        when(col("event_id") % 4 === 0, lit(""))
+          .otherwise(concat(lit("/Path/"), col("event_id") % 9)),
+        lit("?b="), col("user_id") % 5, lit("&utm_source=x"),
+        lit("&a="), col("event_id") % 3,
+        when(col("event_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      ev.select(urlNormalize(url).as("u"), urlDomain(url).as("domain"))
+        .filter(!col("domain").isin("site13.example", "site37.example"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("u")).as("n_unique_urls"))
+        .orderBy("domain")
+    }),
     // ---- BPE tokenizer: train merges from the bounded word-frequency
     //      table, freeze, count tokens with the codegen'd encoder. No
     //      oracleSql: the iterative trainer is not SQL-expressible, so the
@@ -3643,6 +3665,42 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q137_url_curation" ->
+      """WITH u0 AS (SELECT
+             (CASE WHEN user_id%2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+             ||'W'||(user_id%7)||'.Site'||(event_id%50)||'.example'
+             ||(CASE WHEN user_id%3 = 0 THEN ':80' ELSE '' END)
+             ||(CASE WHEN event_id%4 = 0 THEN '' ELSE '/Path/'||(event_id%9) END)
+             ||'?b='||(user_id%5)||'&utm_source=x'||'&a='||(event_id%3)
+             ||(CASE WHEN event_id%5 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM events),
+         p AS (SELECT url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+           FROM u0),
+         h AS (SELECT *,
+             CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                    THEN left(auth, len(auth)-3)
+                  WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN left(auth, len(auth)-4)
+                  ELSE auth END AS host,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
+           FROM p),
+         n AS (SELECT
+             scheme||'://'||host||path||
+               (CASE WHEN len(params) > 0
+                  THEN '?'||array_to_string(params, '&') ELSE '' END) AS u,
+             regexp_extract(regexp_extract(auth, '^([^:]*)', 1),
+               '([^.]+\.[^.]+)$', 1) AS domain
+           FROM h)
+         SELECT domain, count(*) AS n_pages,
+           count(DISTINCT u) AS n_unique_urls
+         FROM n WHERE domain NOT IN ('site13.example', 'site37.example')
+         GROUP BY domain ORDER BY domain""",
     "q132_incremental_dedup" ->
       """WITH snap AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
              FROM documents WHERE doc_id % 2 = 0),

@@ -107,6 +107,16 @@ object TextFunctions {
     org.apache.spark.sql.GraftGlue.column(
       PositionalShingleHashes(org.apache.spark.sql.GraftGlue.expression(c), n))
 
+  /** Canonical URL form for web-corpus dedup: codegen'd [[UrlNormalize]]. */
+  def urlNormalize(c: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      UrlNormalize(org.apache.spark.sql.GraftGlue.expression(c)))
+
+  /** Registrable-domain heuristic (last two labels): codegen'd [[UrlDomain]]. */
+  def urlDomain(c: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      UrlDomain(org.apache.spark.sql.GraftGlue.expression(c)))
+
   /** Exact integer lookup-sum over a frozen bucket-weight table — the apply
     * side of a trained hashed-feature linear model. Codegen'd
     * [[WeightedBucketSum]] kernel.

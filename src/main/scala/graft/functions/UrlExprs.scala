@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization for web-corpus curation (the C4/Dolma-style URL
+  * dedup axis): lowercase scheme+host, strip the fragment, strip default
+  * ports (`:80` for http, `:443` for https), empty path → `/`, drop
+  * `utm_*` tracking params, sort the remaining query params
+  * (bytewise-ascending, the order any engine's string sort reproduces),
+  * and rebuild. Non-URLs (no `scheme://authority`) canonicalize to null —
+  * filter or route them explicitly rather than silently passing garbage
+  * into a dedup key.
+  *
+  * Every rule is regex/split/sort-expressible, so a SQL engine reproduces
+  * the canonical form exactly — the DuckDB oracle for q137 is that mirror.
+  */
+object UrlImpl {
+  private val urlRe = java.util.regex.Pattern.compile(
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
+
+  def normalize(u: UTF8String): UTF8String = {
+    val m = urlRe.matcher(u.trim.toString)
+    if (!m.matches()) return null
+    val scheme = m.group(1).toLowerCase
+    var host = m.group(2).toLowerCase
+    if (scheme == "http" && host.endsWith(":80")) host = host.dropRight(3)
+    if (scheme == "https" && host.endsWith(":443")) host = host.dropRight(4)
+    val path = if (m.group(3) == null || m.group(3).isEmpty) "/" else m.group(3)
+    val query = Option(m.group(4)).map(_.split("&", -1).toSeq
+        .filter(p => p.nonEmpty && !p.startsWith("utm_"))
+        .sorted)
+      .filter(_.nonEmpty)
+    val sb = new StringBuilder(scheme).append("://").append(host).append(path)
+    query.foreach(q => sb.append('?').append(q.mkString("&")))
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Registrable-domain heuristic: the last two dot-labels of the host
+    * (port stripped). A public-suffix-list upgrade slots in here; the
+    * two-label form is the deterministic, list-free stand-in both engines
+    * compute identically.
+    */
+  def domain(u: UTF8String): UTF8String = {
+    val m = urlRe.matcher(u.trim.toString)
+    if (!m.matches()) return null
+    val host = m.group(2).toLowerCase.takeWhile(_ != ':')
+    val labels = host.split("\\.", -1)
+    if (labels.length < 2 || labels.exists(_.isEmpty)) UTF8String.fromString(host)
+    else UTF8String.fromString(labels(labels.length - 2) + "." + labels(labels.length - 1))
+  }
+}
+
+/** `url_normalize(string) -> string` with whole-stage codegen. */
+case class UrlNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlImpl.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlImpl.normalize($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): UrlNormalize =
+    copy(child = newChild)
+}
+
+/** `url_domain(string) -> string` with whole-stage codegen. */
+case class UrlDomain(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_domain"
+  override protected def nullSafeEval(input: Any): Any =
+    UrlImpl.domain(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlImpl.domain($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  override protected def withNewChildInternal(newChild: Expression): UrlDomain =
+    copy(child = newChild)
+}

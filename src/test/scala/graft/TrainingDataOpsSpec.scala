@@ -736,6 +736,42 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(loose == Seq(11L, 12L))
   }
 
+  test("URL normalize/domain: canonical form, tracking params, ports, fragments") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions.{urlNormalize, urlDomain}
+    val cases = Seq(
+      // lowercase scheme+host, keep path case, default port stripped
+      ("HTTP://WWW.Example.COM:80/A/B?b=2&a=1", "http://www.example.com/A/B?a=1&b=2"),
+      ("https://a.b.Example.org:443/", "https://a.b.example.org/"),
+      // non-default port kept; empty path → '/'
+      ("https://x.example:8080", "https://x.example:8080/"),
+      // :80 on https is NOT the default — kept
+      ("https://x.example:80/p", "https://x.example:80/p"),
+      // fragment dropped; utm_* dropped; empty-param runs collapse
+      ("http://x.example/p?utm_source=a&z=1&&utm_medium=b#frag", "http://x.example/p?z=1"),
+      // all params dropped → no '?'
+      ("http://x.example/p?utm_source=a", "http://x.example/p"),
+      // param without '=' sorts as a plain string
+      ("http://x.example/p?flag&a=1", "http://x.example/p?a=1&flag"))
+    val out = cases.map(_._1).toDF("u")
+      .select(urlNormalize(col("u"))).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+    // non-URLs → null
+    val bad = Seq("not a url", "", "relative/path").toDF("u")
+      .select(urlNormalize(col("u"))).as[Option[String]].collect().toSeq
+    assert(bad.forall(_.isEmpty))
+    // registrable-domain heuristic: last two labels, port-blind, lowercased
+    val doms = Seq("HTTP://WWW.Example.COM:80/x", "https://example.org/",
+      "http://localhost/x").toDF("u")
+      .select(urlDomain(col("u"))).as[String].collect().toSeq
+    assert(doms == Seq("example.com", "example.org", "localhost"))
+    // idempotence: normalizing a normalized URL is a fixpoint
+    val once = cases.map(_._2).toDF("u")
+      .select(urlNormalize(col("u"))).as[String].collect().toSeq
+    assert(once == cases.map(_._2))
+  }
+
   test("HLL rollup: union of daily sketches == sketch of the union; estimate near exact") {
     val s = spark
     import s.implicits._
