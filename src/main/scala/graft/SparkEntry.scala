@@ -1602,6 +1602,18 @@ object SparkEntry {
           countDistinct(col("u")).as("n_unique_urls"))
         .orderBy("domain")
     }),
+    // ---- docs-per-domain cap over the URL kernel: the crawl-balance op
+    //      (URL canonicalize → domain → WindowGroupLimit cap) ----
+    "q138_domain_caps" -> ((s, dir) => {
+      import graft.functions.TextFunctions.urlDomain
+      val ev = tbl(s, dir, "events")
+      val url = concat(lit("https://w"), col("user_id") % 11, lit(".Host"),
+        col("event_id") % 23, lit(".example/p/"), col("event_id") % 7)
+      graft.operators.Sampling.capPerGroup(
+        ev.select(col("event_id"), urlDomain(url).as("domain")),
+        Seq(col("domain")), col("event_id"), k = 40)
+        .orderBy("event_id")
+    }),
     // ---- BPE tokenizer: train merges from the bounded word-frequency
     //      table, freeze, count tokens with the codegen'd encoder. No
     //      oracleSql: the iterative trainer is not SQL-expressible, so the
@@ -3665,6 +3677,14 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q138_domain_caps" ->
+      """SELECT event_id, domain FROM (
+           SELECT event_id, domain,
+                  row_number() OVER (PARTITION BY domain ORDER BY event_id) AS rn
+           FROM (SELECT event_id,
+                   'host'||(event_id%23)||'.example' AS domain
+                 FROM events))
+         WHERE rn <= 40 ORDER BY event_id""",
     "q137_url_curation" ->
       """WITH u0 AS (SELECT
              (CASE WHEN user_id%2 = 0 THEN 'HTTP://' ELSE 'https://' END)
