@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Rows per PHYSICAL partition — the skew-diagnosis primitive: run it on
+    * the frame AS PARTITIONED (post-repartition / pre-join) to see whether
+    * the layout a shuffle produced is balanced before committing the
+    * expensive downstream stage to it. One map-side-combined aggregate.
+    */
+  def partitionStats(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** 1-row skew summary over [[partitionStats]]: partition count, min/max/
+    * mean rows, and `skew` = max/mean — 1.0 is perfectly balanced; the
+    * max-partition stage time scales with this number, so it IS the
+    * stage-latency multiplier a skewed layout costs. Empty partitions are
+    * invisible to `spark_partition_id` grouping; `n_partitions` counts
+    * non-empty ones.
+    */
+  def skewReport(df: DataFrame): DataFrame =
+    partitionStats(df).agg(
+      count(lit(1)).as("n_partitions"),
+      min(col("n_rows")).as("min_rows"),
+      max(col("n_rows")).as("max_rows"),
+      avg(col("n_rows")).as("mean_rows"),
+      (max(col("n_rows")).cast("double") / avg(col("n_rows"))).as("skew"))
+
   /** Left join that routes null-keyed fact rows around the join instead of
     * shuffling them all into one partition. Result is column-identical to
     * `fact.join(dim, keys, "left")`.

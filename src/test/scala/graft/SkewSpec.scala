@@ -53,4 +53,27 @@ class SkewSpec extends SparkSpec {
       .select("media_id", "meta.width", "meta.height", "meta.channels", "meta.duration_ms")
     assert(perRow.exceptAll(batched).isEmpty && batched.exceptAll(perRow).isEmpty)
   }
+
+  test("skewReport: balanced layout ≈1.0, single hot key maxes out") {
+    val s = spark
+    import s.implicits._
+    // AQE would re-coalesce the observed layout; pin it off for the assertion
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val uniform = spark.range(8000).toDF("id").repartition(8, col("id"))
+      val r = Skew.skewReport(uniform)
+        .as[(Long, Long, Long, Double, Double)].head()
+      assert(r._1 == 8L && r._5 < 1.3, r) // near-balanced
+      assert(r._2 + r._3 > 0 && r._4 > 0)
+      // constant key: everything lands in one partition → skew = n_nonempty
+      val hot = spark.range(8000).select(lit(1L).as("id")).repartition(8, col("id"))
+      val h = Skew.skewReport(hot)
+        .as[(Long, Long, Long, Double, Double)].head()
+      assert(h._1 == 1L && h._3 == 8000L && h._5 == 1.0) // one giant non-empty partition
+      // the histogram itself shows the hot partition
+      val hist = Skew.partitionStats(hot).as[(Int, Long)].collect().toSeq
+      assert(hist.map(_._2).sum == 8000L && hist.length == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
