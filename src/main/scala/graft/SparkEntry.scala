@@ -1580,6 +1580,15 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- funnel: ordered-step conversion over the event stream ----
+    "q139_funnel" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      graft.operators.Funnel.steps(ev, col("user_id"), col("ts"), Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "error" -> (col("event_type") === "error")))
+        .orderBy("step_idx")
+    }),
     // ---- URL curation: canonicalize (codegen kernel) → domain blocklist
     //      → per-domain page/unique-URL rollup ----
     "q137_url_curation" -> ((s, dir) => {
@@ -3677,6 +3686,21 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q139_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'error' AND e.ts > s2.t GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM s1) AS n_users
+           UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 3, 'error', (SELECT count(*) FROM s3))
+         ORDER BY step_idx""",
     "q138_domain_caps" ->
       """SELECT event_id, domain FROM (
            SELECT event_id, domain,

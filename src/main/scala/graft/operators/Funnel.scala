@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel / conversion analysis: how many users progress through an ORDERED
+  * sequence of step predicates (step i+1 counts only strictly after the
+  * user's step-i time) — the product-analytics counterpart of
+  * `transactionize`, and the query every event corpus eventually gets asked
+  * ("signup → first_search → purchase, where do we lose people?").
+  *
+  * Returns one row per step: `(step_idx, step, n_users)` with `n_users`
+  * monotonically non-increasing.
+  *
+  * Scale shape: each step is one filter-pruned aggregate over the events
+  * (map-side combined to user cardinality) plus one equi-join on the user
+  * key against the previous step's reach table. The reach table is pinned
+  * per step (it is the SMALL, user-cardinality side — and pinning stops
+  * step k's count from re-executing steps 1..k−1's lineage, which would
+  * otherwise make N steps O(N²) event scans); the raw event stream is
+  * scanned once per step over its own predicate-pruned slice only.
+  */
+object Funnel {
+
+  def steps(df: DataFrame, userCol: Column, tsCol: Column,
+      stepDefs: Seq[(String, Column)]): DataFrame = {
+    require(stepDefs.nonEmpty, "funnel needs at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(userCol.as("_fn_user"), tsCol.as("_fn_ts"),
+      struct(stepDefs.zipWithIndex.map { case ((_, pred), i) =>
+        pred.as(s"s$i") }: _*).as("_fn_p"))
+    var reached = ev.filter(col("_fn_p").getField("s0"))
+      .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
+      .localCheckpoint(true)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    counts += ((1, stepDefs.head._1, reached.count()))
+    stepDefs.zipWithIndex.drop(1).foreach { case ((name, _), i) =>
+      reached = ev.filter(col("_fn_p").getField(s"s$i"))
+        .join(reached, "_fn_user")
+        .filter(col("_fn_ts") > col("_fn_t"))
+        .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
+        .localCheckpoint(true)
+      counts += ((i + 1, name, reached.count()))
+    }
+    counts.toSeq.toDF("step_idx", "step", "n_users")
+  }
+}

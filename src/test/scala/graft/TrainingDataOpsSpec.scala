@@ -736,6 +736,30 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(loose == Seq(11L, 12L))
   }
 
+  test("funnel: ordered-step progression, strictly-after semantics, monotone counts") {
+    val s = spark
+    import s.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // u1 completes view → click → buy in order
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "buy"),
+      // u2 clicks BEFORE viewing: click must not count (strictly after)
+      (2L, t(1), "click"), (2L, t(2), "view"),
+      // u3 views and clicks, never buys
+      (3L, t(0), "view"), (3L, t(5), "click"),
+      // u4 same-timestamp view+click: strictly-after excludes the click
+      (4L, t(3), "view"), (4L, t(3), "click"),
+      // u5 never enters the funnel
+      (5L, t(0), "buy")).toDF("user", "ts", "etype")
+    val out = graft.operators.Funnel.steps(ev, col("user"), col("ts"), Seq(
+      "view" -> (col("etype") === "view"),
+      "click" -> (col("etype") === "click"),
+      "buy" -> (col("etype") === "buy")))
+      .orderBy("step_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "buy", 1L)))
+  }
+
   test("URL normalize/domain: canonical form, tracking params, ports, fragments") {
     val s = spark
     import s.implicits._
