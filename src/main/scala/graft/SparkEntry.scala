@@ -1580,6 +1580,16 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- funnel with hop latency: per-step reach + mean seconds from the
+    //      previous step among converters ----
+    "q140_funnel_latency" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      graft.operators.Funnel.stepsDetailed(ev, col("user_id"), col("ts"), Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "error" -> (col("event_type") === "error")))
+        .orderBy("step_idx")
+    }),
     // ---- funnel: ordered-step conversion over the event stream ----
     "q139_funnel" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
@@ -3686,6 +3696,30 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q140_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'error' AND e.ts > s2.t GROUP BY e.user_id),
+         d2 AS (SELECT count(*)::BIGINT AS n,
+             sum(epoch_ms(s2.t)//1000 - epoch_ms(s1.t)//1000)::BIGINT AS sd
+           FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+         d3 AS (SELECT count(*)::BIGINT AS n,
+             sum(epoch_ms(s3.t)//1000 - epoch_ms(s2.t)//1000)::BIGINT AS sd
+           FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM s1) AS n_users,
+             NULL::DOUBLE AS avg_secs_from_prev
+           UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+             (SELECT CASE WHEN n > 0 THEN sd::DOUBLE / n END FROM d2)
+           UNION ALL SELECT 3, 'error', (SELECT count(*) FROM s3),
+             (SELECT CASE WHEN n > 0 THEN sd::DOUBLE / n END FROM d3))
+         ORDER BY step_idx""",
     "q139_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
              WHERE event_type = 'view' GROUP BY user_id),

@@ -45,4 +45,45 @@ object Funnel {
     }
     counts.toSeq.toDF("step_idx", "step", "n_users")
   }
+
+  /** [[steps]] plus the latency axis: for every step after the first, the
+    * mean seconds between a converting user's previous-step time and this
+    * step's time (`avg_secs_from_prev`, null on step 1) — "where do we lose
+    * people, and how long does each hop take". The mean is `Σdiff / n` from
+    * an exact integer second-diff sum (one IEEE divide — any engine
+    * reproduces it); same pinned-reach-table pass structure as [[steps]].
+    */
+  def stepsDetailed(df: DataFrame, userCol: Column, tsCol: Column,
+      stepDefs: Seq[(String, Column)]): DataFrame = {
+    require(stepDefs.nonEmpty, "funnel needs at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ev = df.select(userCol.as("_fn_user"), tsCol.as("_fn_ts"),
+      struct(stepDefs.zipWithIndex.map { case ((_, pred), i) =>
+        pred.as(s"s$i") }: _*).as("_fn_p"))
+    var reached = ev.filter(col("_fn_p").getField("s0"))
+      .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
+      .localCheckpoint(true)
+    val rows = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, Long, Option[Double])]
+    rows += ((1, stepDefs.head._1, reached.count(), None))
+    stepDefs.zipWithIndex.drop(1).foreach { case ((name, _), i) =>
+      val prev = reached
+      reached = ev.filter(col("_fn_p").getField(s"s$i"))
+        .join(prev, "_fn_user")
+        .filter(col("_fn_ts") > col("_fn_t"))
+        .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
+        .localCheckpoint(true)
+      val stat = reached
+        .join(prev.select(col("_fn_user"), col("_fn_t").as("_fn_pt")), "_fn_user")
+        .agg(count(lit(1)).as("n"),
+          sum(unix_timestamp(col("_fn_t")) - unix_timestamp(col("_fn_pt")))
+            .as("sd"))
+        .head()
+      val n = stat.getLong(0)
+      rows += ((i + 1, name, n,
+        if (n == 0) None else Some(stat.getLong(1).toDouble / n)))
+    }
+    rows.toSeq.toDF("step_idx", "step", "n_users", "avg_secs_from_prev")
+  }
 }

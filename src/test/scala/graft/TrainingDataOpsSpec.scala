@@ -758,6 +758,17 @@ class TrainingDataOpsSpec extends SparkSpec {
       .orderBy("step_idx")
       .as[(Int, String, Long)].collect().toSeq
     assert(out == Seq((1, "view", 4L), (2, "click", 2L), (3, "buy", 1L)))
+    // latency variant: u1 view→click 60s, click→buy 60s; u3 view→click 300s
+    val det = graft.operators.Funnel.stepsDetailed(ev, col("user"), col("ts"), Seq(
+      "view" -> (col("etype") === "view"),
+      "click" -> (col("etype") === "click"),
+      "buy" -> (col("etype") === "buy")))
+      .orderBy("step_idx")
+      .as[(Int, String, Long, Option[Double])].collect().toSeq
+    assert(det == Seq(
+      (1, "view", 4L, None),
+      (2, "click", 2L, Some((60.0 + 300.0) / 2)),
+      (3, "buy", 1L, Some(60.0))))
   }
 
   test("URL normalize/domain: canonical form, tracking params, ports, fragments") {
