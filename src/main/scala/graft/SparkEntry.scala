@@ -1580,6 +1580,13 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- cohort retention triangle: first-seen-week cohorts × week
+    //      offsets, all-integer counts ----
+    "q141_retention" -> ((s, dir) => {
+      graft.operators.Funnel.retention(
+        tbl(s, dir, "events"), col("user_id"), col("ts"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // ---- funnel with hop latency: per-step reach + mean seconds from the
     //      previous step among converters ----
     "q140_funnel_latency" -> ((s, dir) => {
@@ -3696,6 +3703,17 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q141_retention" ->
+      """WITH ev AS (SELECT user_id,
+             date_trunc('week', ts)::DATE AS week FROM events),
+         cohort AS (SELECT user_id, min(week) AS cohort_week
+           FROM ev GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, week FROM ev)
+         SELECT cohort_week,
+           CAST((active.week - cohort.cohort_week) / 7 AS INTEGER) AS week_offset,
+           count(*) AS n_users
+         FROM active JOIN cohort ON active.user_id = cohort.user_id
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q140_funnel_latency" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
              WHERE event_type = 'view' GROUP BY user_id),

@@ -86,4 +86,31 @@ object Funnel {
     }
     rows.toSeq.toDF("step_idx", "step", "n_users", "avg_secs_from_prev")
   }
+
+  /** Cohort retention triangle: users are cohorted by the Monday-based week
+    * of their FIRST event; each later week they appear in increments their
+    * cohort's count at that week offset. Returns
+    * `(cohort_week, week_offset, n_users)` — offset 0 is the cohort size,
+    * and `n_users` at offset k / offset 0 is the classic "week-k retention"
+    * every activation dashboard plots. All-integer counts — deterministic
+    * on any engine.
+    *
+    * Scale shape: one aggregate to per-user first-seen (user cardinality,
+    * map-side combined), one distinct over (user, week) — both shuffles
+    * keyed on the user — then an equi-join of the two user-keyed tables
+    * (co-partitioned under AQE) and a final counts aggregate whose
+    * cardinality is cohorts × offsets, not users.
+    */
+  def retention(df: DataFrame, userCol: Column, tsCol: Column): DataFrame = {
+    val ev = df.select(userCol.as("_fn_user"),
+      date_trunc("week", tsCol).cast("date").as("_fn_week"))
+    val cohort = ev.groupBy("_fn_user")
+      .agg(min(col("_fn_week")).as("cohort_week"))
+    val active = ev.distinct()
+    active.join(cohort, "_fn_user")
+      .groupBy(col("cohort_week"),
+        (datediff(col("_fn_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -771,6 +771,26 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3, "buy", 1L, Some(60.0))))
   }
 
+  test("retention: Monday cohorts, week offsets, counts shrink down the triangle") {
+    val s = spark
+    import s.implicits._
+    def d(day: String) = java.sql.Timestamp.valueOf(s"2024-03-$day 12:00:00")
+    // week of Mon 2024-03-04 and Mon 2024-03-11; u1 active both weeks,
+    // u2 only week 1 (two events — distinct collapses), u3 starts week 2
+    val ev = Seq(
+      (1L, d("04")), (1L, d("13")),
+      (2L, d("05")), (2L, d("06")),
+      (3L, d("12"))).toDF("user", "ts")
+    val out = graft.operators.Funnel.retention(ev, col("user"), col("ts"))
+      .orderBy("cohort_week", "week_offset")
+      .as[(java.sql.Date, Int, Long)].collect().toSeq
+      .map { case (w, o, n) => (w.toString, o, n) }
+    assert(out == Seq(
+      ("2024-03-04", 0, 2L), // u1, u2 cohort week
+      ("2024-03-04", 1, 1L), // only u1 returns
+      ("2024-03-11", 0, 1L))) // u3's cohort
+  }
+
   test("URL normalize/domain: canonical form, tracking params, ports, fragments") {
     val s = spark
     import s.implicits._
