@@ -771,6 +771,37 @@ class TrainingDataOpsSpec extends SparkSpec {
       (3, "buy", 1L, Some(60.0))))
   }
 
+  test("funnel == naive per-user replay on randomized event streams (fuzz)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(60606)
+    (0 until 6).foreach { round =>
+      val events = (0 until 150 + rnd.nextInt(100)).map { _ =>
+        (rnd.nextInt(12).toLong,
+          java.sql.Timestamp.valueOf(
+            f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+          Seq("a", "b", "c")(rnd.nextInt(3)))
+      }
+      // independent reference: literal per-user replay of the definition
+      def firstAfter(u: Long, et: String, after: Option[Long]): Option[Long] =
+        events.collect { case (`u`, t, `et`)
+          if after.forall(t.getTime > _) => t.getTime }
+          .minOption
+      val users = events.map(_._1).distinct
+      val t1 = users.flatMap(u => firstAfter(u, "a", None).map(u -> _)).toMap
+      val t2 = t1.flatMap { case (u, t) => firstAfter(u, "b", Some(t)).map(u -> _) }
+      val t3 = t2.flatMap { case (u, t) => firstAfter(u, "c", Some(t)).map(u -> _) }
+      val got = graft.operators.Funnel.steps(
+        events.toDF("user", "ts", "etype"), col("user"), col("ts"), Seq(
+          "a" -> (col("etype") === "a"),
+          "b" -> (col("etype") === "b"),
+          "c" -> (col("etype") === "c")))
+        .orderBy("step_idx").select("n_users").as[Long].collect().toSeq
+      assert(got == Seq(t1.size.toLong, t2.size.toLong, t3.size.toLong),
+        s"round $round")
+    }
+  }
+
   test("retention: Monday cohorts, week offsets, counts shrink down the triangle") {
     val s = spark
     import s.implicits._
