@@ -1580,6 +1580,19 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- funnel through the full piped-query surface ----
+    "q142_piped_funnel" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", concat(lit("cat-"), col("user_id") % 5))
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "_sourceCategory=cat-* | funnel event_type = \"view\"" +
+        " -> event_type = \"click\" -> event_type = \"error\" by user_id"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev.filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- cohort retention triangle: first-seen-week cohorts × week
     //      offsets, all-integer counts ----
     "q141_retention" -> ((s, dir) => {
@@ -3703,6 +3716,21 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q142_piped_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'error' AND e.ts > s2.t GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step_idx, 'event_type = "view"' AS step,
+             (SELECT count(*) FROM s1) AS n_users
+           UNION ALL SELECT 2, 'event_type = "click"', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 3, 'event_type = "error"', (SELECT count(*) FROM s3))
+         ORDER BY step_idx""",
     "q141_retention" ->
       """WITH ev AS (SELECT user_id,
              date_trunc('week', ts)::DATE AS week FROM events),

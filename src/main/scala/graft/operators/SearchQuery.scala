@@ -567,6 +567,15 @@ object SearchQuery {
     */
   final case class LogExplainStage(cond: QueryExprs.Expr,
       fields: Seq[String], limit: Int) extends Stage
+  /** `funnel <pred1> -> <pred2> [-> …] by <userField>` — ordered-step
+    * conversion over the stream ([[graft.operators.Funnel.steps]] semantics:
+    * step i+1 counts a user only strictly after their step-i time). One row
+    * per step: `step_idx, step, n_users`, monotone non-increasing. Each
+    * step predicate is the full expression grammar; the step label is the
+    * predicate's source text.
+    */
+  final case class FunnelStage(steps: Seq[(String, QueryExprs.Expr)],
+      userField: String) extends Stage
   /** `diff field [as alias] [by k1, k2]` — consecutive difference of the
     * field (current minus previous row) in the CURRENT sort order, per key
     * when `by` is given. Default alias `_diff`; the first row per key is
@@ -718,6 +727,7 @@ object SearchQuery {
     "(?i)logcompare\\s+timeshift\\s+(\\d+\\s*[a-z]*)(?:\\s+field=([A-Za-z0-9_]+))?\\s*".r
   private val LogExplainRe =
     "(?is)logexplain\\s+(.+?)\\s+on\\s+([A-Za-z0-9_]+(?:\\s*,\\s*[A-Za-z0-9_]+)*)(?:\\s+limit\\s+(\\d+))?\\s*".r
+  private val FunnelRe = "(?is)funnel\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
   private val SplitRe =
     "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
   private val DiffRe =
@@ -960,6 +970,16 @@ object SearchQuery {
             Option(n).map(_.toInt).getOrElse(100))
         case _ => throw new IllegalArgumentException(
           s"logexplain needs 'logexplain <condition> on f1[, f2…] [limit N]': $s")
+      }
+    } else if (lower.startsWith("funnel ")) {
+      s match {
+        case FunnelRe(stepsSpec, user) =>
+          val steps = stepsSpec.split("->").map(_.trim).filter(_.nonEmpty).toSeq
+          require(steps.nonEmpty,
+            s"funnel needs at least one '->'-separated step predicate: $s")
+          FunnelStage(steps.map(t => t -> QueryExprs.parsePredicate(t)), user)
+        case _ => throw new IllegalArgumentException(
+          s"funnel needs 'funnel <pred1> -> <pred2> […] by <userField>': $s")
       }
     } else if (lower == "logreduce" || lower.startsWith("logreduce ")) {
       s match {
@@ -2062,6 +2082,15 @@ object SearchQuery {
               round(ccov, 6).as("_control_coverage"),
               round(tcov * (lit(1.0) - ccov), 6).as("_relevance"))): _*)
             .orderBy(sortColumns(order): _*).limit(n)
+        case FunnelStage(stepDefs, userField) =>
+          require(df.columns.contains(timeColName),
+            s"funnel needs the time column '$timeColName' — " +
+              "apply it before stages that drop columns")
+          order = Seq(("step_idx", false))
+          graft.operators.Funnel.steps(df,
+            col(resolveField(userField)), col(timeColName),
+            stepDefs.map { case (label, e) =>
+              label -> QueryExprs.compilePredicate(e, resolveExpr) })
         case BackshiftStage(field, n, alias, by) =>
           require(!df.columns.contains(alias),
             s"backshift alias '$alias' already exists")
@@ -2339,6 +2368,7 @@ object SearchQuery {
       case LogCompareStage(_, _) => Seq(("_count", true), ("_signature", false))
       case LogExplainStage(_, fields, _) =>
         ("_relevance", true) +: fields.map(f => (resolveField(f), false))
+      case FunnelStage(_, _) => Seq(("step_idx", false))
       case TransactionizeStage(by, _) =>
         ("_count", true) +: by.map(k => (resolveField(k), false))
       case JoinStage(_, on) =>

@@ -1905,6 +1905,30 @@ class QuerySurfaceSpec extends SparkSpec {
       Seq(("_relevance", true), ("host", false)))
   }
 
+  test("Q1: funnel stage — ordered-step conversion through the piped surface") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    assert(parseStage("funnel etype = \"view\" -> etype = \"click\" by user") match {
+      case FunnelStage(steps, "user") if steps.map(_._1) ==
+        Seq("etype = \"view\"", "etype = \"click\"") => true
+      case _ => false
+    })
+    intercept[IllegalArgumentException](parseStage("funnel etype = \"a\""))
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", "view"), (1L, "2024-01-01 10:01:00", "click"),
+      (2L, "2024-01-01 10:01:00", "click"), (2L, "2024-01-01 10:02:00", "view"),
+      (3L, "2024-01-01 10:00:00", "view")).toDF("user", "tss", "etype")
+      .withColumn("ts", col("tss").cast("timestamp"))
+    val out = compileStages(Seq(parseStage(
+      "funnel etype = \"view\" -> etype = \"click\" by user")), "ts", "m")(df)
+      .orderBy("step_idx").select("step_idx", "n_users")
+      .as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 3L), (2, 1L)))
+    assert(recordsOrderBy(Seq(parseStage(
+      "funnel etype = \"a\" -> etype = \"b\" by u"))) == Seq(("step_idx", false)))
+  }
+
   test("Q1: timeslice N buckets — observed-range quantization, latest row inside") {
     import SearchQuery._
     val s = spark
