@@ -1732,7 +1732,7 @@ class QuerySurfaceSpec extends SparkSpec {
       case 4 => s"concat(etype, \"-\", uid) as t$i"
       case _ => s"round(sqrt(uid), ${rnd.nextInt(5)}) as r$i"
     }
-    def tail(): Seq[String] = rnd.nextInt(10) match {
+    def tail(): Seq[String] = rnd.nextInt(11) match {
       case 0 => Seq("count by etype")
       case 1 => Seq("sum(uid) as su by etype")
       case 2 => Seq("sort by uid", s"limit ${1 + rnd.nextInt(10)}")
@@ -1744,6 +1744,7 @@ class QuerySurfaceSpec extends SparkSpec {
         s"compare with timeshift 1h ${1 + rnd.nextInt(3)}")
       case 8 => Seq("timeslice 1h", "count by _timeslice",
         s"predict _count forecast=${1 + rnd.nextInt(4)} model=ar")
+      case 9 => Seq("funnel etype = \"click\" -> etype = \"view\" by uid")
       case _ => Seq.empty
     }
     (0 until 60).foreach { i =>
