@@ -1580,6 +1580,17 @@ object SparkEntry {
             .as("n_dup_docs"))
         .orderBy("source", "lang")
     }),
+    // ---- retention through the full piped-query surface ----
+    "q143_piped_retention" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("message", concat(col("event_type"), lit(" user="), col("user_id")))
+      val q = "* | retention by user_id"
+      val piped = SearchQuery.parsePiped(q)
+      SearchQuery.compileStages(piped.stages, "ts", "message")(
+        ev.filter(SearchQuery.compile(piped.terms, col("message"))))
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- funnel through the full piped-query surface ----
     "q142_piped_funnel" -> ((s, dir) => {
       import graft.operators.SearchQuery
@@ -3716,6 +3727,17 @@ object SparkEntry {
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
     // Jelinek-Mercer interpolated bigram surprisal over 60-bit content
     // hashes; per-bigram -ln(p) nano-quantized before the per-doc sum
+    "q143_piped_retention" ->
+      """WITH ev AS (SELECT user_id,
+             date_trunc('week', ts)::DATE AS week FROM events),
+         cohort AS (SELECT user_id, min(week) AS cohort_week
+           FROM ev GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, week FROM ev)
+         SELECT cohort_week,
+           CAST((active.week - cohort.cohort_week) / 7 AS INTEGER) AS week_offset,
+           count(*) AS n_users
+         FROM active JOIN cohort ON active.user_id = cohort.user_id
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q142_piped_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
              WHERE event_type = 'view' GROUP BY user_id),

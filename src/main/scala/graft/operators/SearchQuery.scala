@@ -576,6 +576,12 @@ object SearchQuery {
     */
   final case class FunnelStage(steps: Seq[(String, QueryExprs.Expr)],
       userField: String) extends Stage
+  /** `retention by <userField>` — cohort retention triangle
+    * ([[graft.operators.Funnel.retention]]): users cohorted by the
+    * Monday-based week of their first event, counted at each later week
+    * offset they reappear in. `(cohort_week, week_offset, n_users)`.
+    */
+  final case class RetentionStage(userField: String) extends Stage
   /** `diff field [as alias] [by k1, k2]` — consecutive difference of the
     * field (current minus previous row) in the CURRENT sort order, per key
     * when `by` is given. Default alias `_diff`; the first row per key is
@@ -728,6 +734,7 @@ object SearchQuery {
   private val LogExplainRe =
     "(?is)logexplain\\s+(.+?)\\s+on\\s+([A-Za-z0-9_]+(?:\\s*,\\s*[A-Za-z0-9_]+)*)(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val FunnelRe = "(?is)funnel\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
+  private val RetentionRe = "(?i)retention\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
   private val SplitRe =
     "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
   private val DiffRe =
@@ -980,6 +987,12 @@ object SearchQuery {
           FunnelStage(steps.map(t => t -> QueryExprs.parsePredicate(t)), user)
         case _ => throw new IllegalArgumentException(
           s"funnel needs 'funnel <pred1> -> <pred2> […] by <userField>': $s")
+      }
+    } else if (lower.startsWith("retention ")) {
+      s match {
+        case RetentionRe(user) => RetentionStage(user)
+        case _ => throw new IllegalArgumentException(
+          s"retention needs 'retention by <userField>': $s")
       }
     } else if (lower == "logreduce" || lower.startsWith("logreduce ")) {
       s match {
@@ -2091,6 +2104,13 @@ object SearchQuery {
             col(resolveField(userField)), col(timeColName),
             stepDefs.map { case (label, e) =>
               label -> QueryExprs.compilePredicate(e, resolveExpr) })
+        case RetentionStage(userField) =>
+          require(df.columns.contains(timeColName),
+            s"retention needs the time column '$timeColName' — " +
+              "apply it before stages that drop columns")
+          order = Seq(("cohort_week", false), ("week_offset", false))
+          graft.operators.Funnel.retention(df,
+            col(resolveField(userField)), col(timeColName))
         case BackshiftStage(field, n, alias, by) =>
           require(!df.columns.contains(alias),
             s"backshift alias '$alias' already exists")
@@ -2369,6 +2389,8 @@ object SearchQuery {
       case LogExplainStage(_, fields, _) =>
         ("_relevance", true) +: fields.map(f => (resolveField(f), false))
       case FunnelStage(_, _) => Seq(("step_idx", false))
+      case RetentionStage(_) =>
+        Seq(("cohort_week", false), ("week_offset", false))
       case TransactionizeStage(by, _) =>
         ("_count", true) +: by.map(k => (resolveField(k), false))
       case JoinStage(_, on) =>

@@ -1928,6 +1928,14 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(out == Seq((1, 3L), (2, 1L)))
     assert(recordsOrderBy(Seq(parseStage(
       "funnel etype = \"a\" -> etype = \"b\" by u"))) == Seq(("step_idx", false)))
+    // retention stage: same fixture — u1/u2 cohort in the first week, u2
+    // returns? (all events same day here → single cohort, offset 0 only)
+    assert(parseStage("retention by user") == RetentionStage("user"))
+    val ret = compileStages(Seq(parseStage("retention by user")), "ts", "m")(df)
+      .orderBy("cohort_week", "week_offset")
+      .select("week_offset", "n_users").as[(Int, Long)].collect().toSeq
+    assert(ret == Seq((0, 3L))) // one cohort week, all 3 users
+    intercept[IllegalArgumentException](parseStage("retention user"))
   }
 
   test("Q1: timeslice N buckets — observed-range quantization, latest row inside") {
