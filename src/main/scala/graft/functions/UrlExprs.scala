@@ -21,6 +21,15 @@ object UrlImpl {
   private val urlRe = java.util.regex.Pattern.compile(
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
 
+  /** UTF-8 bytewise comparison (what "bytewise-ascending" must mean for the
+    * oracle to agree): Java String.compareTo orders by UTF-16 code units,
+    * which disagrees with UTF-8 byte order for non-BMP characters vs
+    * [U+E000, U+FFFF] — DuckDB's `list_sort` (and any engine sorting UTF-8
+    * bytes) would produce a different canonical form there.
+    */
+  private val utf8Bytewise: Ordering[String] = (a: String, b: String) =>
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
   def normalize(u: UTF8String): UTF8String = {
     val m = urlRe.matcher(u.trim.toString)
     if (!m.matches()) return null
@@ -31,7 +40,7 @@ object UrlImpl {
     val path = if (m.group(3) == null || m.group(3).isEmpty) "/" else m.group(3)
     val query = Option(m.group(4)).map(_.split("&", -1).toSeq
         .filter(p => p.nonEmpty && !p.startsWith("utm_"))
-        .sorted)
+        .sorted(utf8Bytewise))
       .filter(_.nonEmpty)
     val sb = new StringBuilder(scheme).append("://").append(host).append(path)
     query.foreach(q => sb.append('?').append(q.mkString("&")))

@@ -171,9 +171,14 @@ object CorpusQuality {
     val cnt = grams.groupBy("b").agg(
       sum(when(col("_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("_t"), 0L).otherwise(1L)).as("cr"))
-    // grand totals off the already-aggregated bucket table (≤ buckets rows)
+    // grand totals off the already-aggregated bucket table (≤ buckets rows);
+    // SQL sum over zero rows is null — an empty corpus yields an empty gram
+    // stream, so zero totals flow through to an empty (correctly-typed)
+    // result instead of an NPE on getLong
     val totRow = cnt.agg(sum(col("ct")), sum(col("cr"))).head()
-    val (tt, tr) = (totRow.getLong(0), totRow.getLong(1))
+    val (tt, tr) =
+      if (totRow.isNullAt(0)) (0L, 0L)
+      else (totRow.getLong(0), totRow.getLong(1))
     val q = round((log((col("ct") + lit(1L)).cast("double") /
         lit((tt + buckets).toDouble)) -
       log((col("cr") + lit(1L)).cast("double") /

@@ -33,14 +33,17 @@ object Dedup {
     * the batch ever shuffle. Within-batch duplicates are retained —
     * compose with [[exact]] for that.
     *
-    * Scale shape: the Bloom is built by Spark's sketch aggregation
-    * (`stat.bloomFilter`, a treeAggregate — the snapshot never shuffles),
-    * and the confirm join's snapshot side is the narrow 1-column
-    * fingerprint projection — the index shape a production pipeline keeps
-    * as a bucketed table so the residual anti-join is co-located
-    * ([[graft.operators.Bucketing]]). The broadcast bound: ~1.2 GB at 10⁹
-    * snapshot rows / fpp 0.01 — beyond that, hash-partition both sides by
-    * fingerprint prefix and build per-range blooms (same plan per range).
+    * Scale shape: the Bloom is built by the codegen sketch aggregate
+    * (`bloom_filter_agg` over `xxhash64(_fp)` — partial-merged map-side,
+    * the snapshot never shuffles; one binary scalar reaches the driver),
+    * and the probe is the codegen `might_contain` over the same hash — no
+    * ScalaUDF, no per-row String boxing. The confirm join's snapshot side
+    * is the narrow 1-column fingerprint projection — the index shape a
+    * production pipeline keeps as a bucketed table so the residual
+    * anti-join is co-located ([[graft.operators.Bucketing]]). The filter
+    * bound: ~1.2 GB at 10⁹ snapshot rows / fpp 0.01 — beyond that,
+    * hash-partition both sides by fingerprint prefix and build per-range
+    * blooms (same plan per range).
     *
     * `expectedSnapshotRows` sizes the filter; pass it when known (a catalog
     * rowcount) — 0 triggers one columnar `count()` of the snapshot.
@@ -48,19 +51,49 @@ object Dedup {
   def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
       batchText: Column, snapshotText: Column,
       expectedSnapshotRows: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftGlue
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val spark = batch.sparkSession
     val sfp = snapshot.select(
       fingerprint(coalesce(snapshotText, lit(""))).as("_fp"))
     val n = if (expectedSnapshotRows > 0) expectedSnapshotRows
       else math.max(1L, sfp.count())
-    val bf = sfp.stat.bloomFilter("_fp", n, fpp)
-    val bfB = batch.sparkSession.sparkContext.broadcast(bf)
-    val probe = udf((s: String) => bfB.value.mightContainString(s))
+    // optimal sizing for the requested fpp: m = -n ln(p) / (ln 2)²
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently CLAMPS n/numBits to the runtime-filter
+    // confs (defaults size for join pruning, ~4M items) — lift them for the
+    // build so the caller's fpp is honored, then restore. The confs are read
+    // at aggregate-eval time, so the scope only needs to cover the action.
+    val confKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = confKeys.map { case (k, need) =>
+      val cur = spark.conf.getOption(k)
+      if (cur.forall(_.toLong < need)) spark.conf.set(k, need.toString)
+      k -> cur
+    }
+    val bfBytes =
+      try sfp.agg(GraftGlue.column(new BloomFilterAggregate(
+          GraftGlue.expression(xxhash64(col("_fp"))),
+          Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     val tagged = batch
       .withColumn("_fp", fingerprint(coalesce(batchText, lit(""))))
-      .withColumn("_maybe", probe(col("_fp")))
+    // empty snapshot aggregates to a null sketch: nothing to dedup against
+    if (bfBytes == null) return tagged.drop("_fp")
+    val probe = GraftGlue.column(BloomFilterMightContain(
+      Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+      GraftGlue.expression(xxhash64(col("_fp")))))
+    val maybeTagged = tagged.withColumn("_maybe", probe)
     // no false negatives: !maybe rows are provably absent from the snapshot
-    val fresh = tagged.filter(!col("_maybe"))
-    val confirmed = tagged.filter(col("_maybe"))
+    val fresh = maybeTagged.filter(!col("_maybe"))
+    val confirmed = maybeTagged.filter(col("_maybe"))
       .join(sfp, Seq("_fp"), "left_anti")
     fresh.unionByName(confirmed).drop("_fp", "_maybe")
   }

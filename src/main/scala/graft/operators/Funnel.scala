@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: each step is one filter-pruned aggregate over the events
   * (map-side combined to user cardinality) plus one equi-join on the user
   * key against the previous step's reach table. The reach table is pinned
-  * per step (it is the SMALL, user-cardinality side — and pinning stops
-  * step k's count from re-executing steps 1..k−1's lineage, which would
-  * otherwise make N steps O(N²) event scans); the raw event stream is
-  * scanned once per step over its own predicate-pruned slice only.
+  * per step via the spill-aware [[Pins.pin]] (pinning stops step k's count
+  * from re-executing steps 1..k−1's lineage, which would otherwise make N
+  * steps O(N²) event scans) — user-cardinality reach tables over the
+  * spill threshold land as parquet instead of occupying executor block
+  * memory, where an executor loss would also invalidate non-replicated
+  * localCheckpoint blocks mid-job; the raw event stream is scanned once
+  * per step over its own predicate-pruned slice only.
   */
 object Funnel {
 
@@ -30,17 +33,15 @@ object Funnel {
     val ev = df.select(userCol.as("_fn_user"), tsCol.as("_fn_ts"),
       struct(stepDefs.zipWithIndex.map { case ((_, pred), i) =>
         pred.as(s"s$i") }: _*).as("_fn_p"))
-    var reached = ev.filter(col("_fn_p").getField("s0"))
-      .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
-      .localCheckpoint(true)
+    var reached = Pins.pin(ev.filter(col("_fn_p").getField("s0"))
+      .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t")))
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     counts += ((1, stepDefs.head._1, reached.count()))
     stepDefs.zipWithIndex.drop(1).foreach { case ((name, _), i) =>
-      reached = ev.filter(col("_fn_p").getField(s"s$i"))
+      reached = Pins.pin(ev.filter(col("_fn_p").getField(s"s$i"))
         .join(reached, "_fn_user")
         .filter(col("_fn_ts") > col("_fn_t"))
-        .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
-        .localCheckpoint(true)
+        .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t")))
       counts += ((i + 1, name, reached.count()))
     }
     counts.toSeq.toDF("step_idx", "step", "n_users")
@@ -61,19 +62,17 @@ object Funnel {
     val ev = df.select(userCol.as("_fn_user"), tsCol.as("_fn_ts"),
       struct(stepDefs.zipWithIndex.map { case ((_, pred), i) =>
         pred.as(s"s$i") }: _*).as("_fn_p"))
-    var reached = ev.filter(col("_fn_p").getField("s0"))
-      .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
-      .localCheckpoint(true)
+    var reached = Pins.pin(ev.filter(col("_fn_p").getField("s0"))
+      .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t")))
     val rows = scala.collection.mutable
       .ArrayBuffer.empty[(Int, String, Long, Option[Double])]
     rows += ((1, stepDefs.head._1, reached.count(), None))
     stepDefs.zipWithIndex.drop(1).foreach { case ((name, _), i) =>
       val prev = reached
-      reached = ev.filter(col("_fn_p").getField(s"s$i"))
+      reached = Pins.pin(ev.filter(col("_fn_p").getField(s"s$i"))
         .join(prev, "_fn_user")
         .filter(col("_fn_ts") > col("_fn_t"))
-        .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t"))
-        .localCheckpoint(true)
+        .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t")))
       val stat = reached
         .join(prev.select(col("_fn_user"), col("_fn_t").as("_fn_pt")), "_fn_user")
         .agg(count(lit(1)).as("n"),

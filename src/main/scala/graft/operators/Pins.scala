@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** The spill-aware pin every multi-pass operator shares: materialize an
+  * intermediate so later passes cannot re-execute (or re-sample) its
+  * lineage, WITHOUT unconditionally holding it in executor block-manager
+  * memory.
+  *
+  * Working sets under `spark.graft.pin.spillBytes` (plan-stat estimate;
+  * default 4 GiB) pin via eager `localCheckpoint` — no extra I/O, blocks
+  * release on GC. Larger frames LAND as parquet under
+  * `spark.graft.scratch.dir` and are read back, so a 100 TB stage spills to
+  * (shared) storage instead of pinning a user-cardinality working set into
+  * block memory — where a lost executor would also invalidate the
+  * non-replicated localCheckpoint blocks mid-job. Spilled pins live until
+  * the scratch dir is cleaned (a JVM-exit hook reaps them locally; a
+  * cluster deployment pointing scratch at an object store should pair it
+  * with a TTL rule).
+  *
+  * Used by [[SearchQuery.pinSortedByPid]] (global two-pass stages) and by
+  * [[Funnel]]'s per-step reach tables.
+  */
+object Pins {
+
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val threshold = spark.conf.getOption("spark.graft.pin.spillBytes")
+      .map(_.toLong).getOrElse(4L << 30)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= threshold) df.localCheckpoint(true)
+    else {
+      val base = spark.conf.getOption("spark.graft.scratch.dir")
+        .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-pins")
+      val dir = s"$base/pin-${java.util.UUID.randomUUID}"
+      df.write.mode("overwrite").parquet(dir)
+      // best-effort lifecycle: a spilled pin is query-scoped scratch, not a
+      // SearchJobs store — reap it when this JVM exits (a cluster deployment
+      // pointing scratch at an object store should pair it with a TTL rule)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(dir)
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case _: Exception => () }))
+      spark.read.parquet(dir)
+    }
+  }
+}

@@ -2410,44 +2410,13 @@ object SearchQuery {
     * sort re-executes its child per action otherwise, and two samplings can
     * disagree on boundaries.
     *
-    * Working sets under `spark.graft.pin.spillBytes` (plan-stat estimate;
-    * default 4 GiB) pin to executor block storage via eager localCheckpoint —
-    * no extra I/O, blocks release on GC. Larger frames LAND as parquet under
-    * `spark.graft.scratch.dir` and are read back: the [[SearchJobs]]
-    * materialization shape made automatic, so a 100 TB global stage spills to
-    * (shared) storage instead of holding the working set in executor block
-    * memory. Spilled pins live until the scratch dir is cleaned — same
-    * lifecycle as SearchJobs stores; on a cluster point the scratch dir at an
-    * object-store path.
+    * Spill behavior per [[Pins.pin]]: localCheckpoint under
+    * `spark.graft.pin.spillBytes`, parquet land-and-reread above — the
+    * [[SearchJobs]] materialization shape made automatic for 100 TB stages.
     */
   private[operators] def pinSortedByPid(df: DataFrame, sortCols: Seq[Column],
-      pidCol: String): DataFrame = {
-    val stamped = df.orderBy(sortCols: _*).withColumn(pidCol, spark_partition_id())
-    val spark = df.sparkSession
-    val threshold = spark.conf.getOption("spark.graft.pin.spillBytes")
-      .map(_.toLong).getOrElse(4L << 30)
-    val est = stamped.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= threshold) stamped.localCheckpoint(true)
-    else {
-      val base = spark.conf.getOption("spark.graft.scratch.dir")
-        .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-pins")
-      val dir = s"$base/pin-${java.util.UUID.randomUUID}"
-      stamped.write.mode("overwrite").parquet(dir)
-      // best-effort lifecycle: a spilled pin is query-scoped scratch, not a
-      // SearchJobs store — reap it when this JVM exits (a cluster deployment
-      // pointing scratch at an object store should pair it with a TTL rule)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Paths.get(dir)
-          val walk = java.nio.file.Files.walk(root)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        } catch { case _: Exception => () }))
-      spark.read.parquet(dir)
-    }
-  }
+      pidCol: String): DataFrame =
+    Pins.pin(df.orderBy(sortCols: _*).withColumn(pidCol, spark_partition_id()))
 
   /** Global contiguous rank (1-based, consistent with `orderBy`) WITHOUT a
     * single-partition window: the naive `row_number().over(Window.orderBy(…))`

@@ -53,26 +53,63 @@ object LogStore {
     * range-partitions rows across the output files and sorts within each,
     * aligning parquet row-group min/max stats with the dominant time-range
     * predicate so scans skip whole row groups.
-    * Single-writer maintenance op: run it when no append
-    * targets the same partition (the swap is write-new → delete-old →
-    * move-in, not atomic against concurrent writers). Returns
+    *
+    * Crash-safe swap: the old files are RENAMED into a sibling
+    * `_compact_trash` dir (cheap same-filesystem rename, never a delete of
+    * live data), the new files move in, and only then is the trash dropped.
+    * A kill at any point loses nothing: every byte is in the partition, the
+    * trash, or the (Spark-ignored, underscore-prefixed) tmp dir — and the
+    * next [[compact]] call on the partition self-heals by rolling the
+    * interrupted swap back (drops this run's partially-moved-in new files,
+    * identified by the run token recorded in the trash, and restores the
+    * trash) before starting its own. Single-writer maintenance op: run it
+    * when no append targets the same partition. Returns
     * `(filesBefore, filesAfter)`.
     */
   def compact(spark: SparkSession, dir: String, ingestDate: String,
       category: String, targetRecordsPerFile: Long = 5000000L,
       clusterBy: Seq[String] = Seq.empty): (Int, Int) = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val part = Paths.get(dir, s"ingest_date=$ingestDate",
       s"source_category=$category")
     require(Files.isDirectory(part), s"no such partition: $part")
-    def parts() = Files.list(part).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-    val before = parts()
+    // Files.list streams hold a directory fd until closed — this runs once
+    // per partition per maintenance sweep, so leaks accumulate fast
+    def ls(d: Path)(keep: Path => Boolean): Seq[Path] = {
+      val s = Files.list(d)
+      try s.iterator().asScala.filter(keep).toList finally s.close()
+    }
+    def parquets(d: Path) = ls(d)(_.getFileName.toString.endsWith(".parquet"))
+    val tmp = part.resolve("_compact_tmp")
+    val trash = part.resolve("_compact_trash")
+    val tokenFile = trash.resolve("_token")
+    def rmTree(root: Path): Unit = {
+      if (Files.isDirectory(root)) ls(root)(_ => true).foreach(rmTree)
+      Files.deleteIfExists(root)
+    }
+    // roll back an interrupted previous swap: files moved in by THAT run
+    // carry its token in their name (read from the trash marker); drop
+    // them, restore the trash (the authoritative old layout), start clean
+    if (Files.isDirectory(trash)) {
+      val staleToken =
+        if (Files.exists(tokenFile))
+          new String(Files.readAllBytes(tokenFile),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else ""
+      if (staleToken.nonEmpty)
+        parquets(part).filter(_.getFileName.toString.contains(staleToken))
+          .foreach(Files.delete)
+      parquets(trash).foreach(p =>
+        Files.move(p, part.resolve(p.getFileName),
+          StandardCopyOption.ATOMIC_MOVE))
+      rmTree(trash)
+    }
+    rmTree(tmp)
+    val before = parquets(part)
     val df = spark.read.parquet(part.toString)
     val n = df.count()
     val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    val tmp = part.resolve("_compact_tmp")
     // clusterBy (typically the timestamp): range-partition across the output
     // files and sort within each, so parquet row-group min/max stats line up
     // with the dominant time-range predicate and scans skip whole row
@@ -82,16 +119,21 @@ object LogStore {
       else df.repartitionByRange(files, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
     arranged.write.mode("overwrite").parquet(tmp.toString)
-    before.foreach(Files.delete)
-    val moved = Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    // swap: token marker first (so a half-done move-in is identifiable),
+    // then old → trash, new → in, trash dropped last
+    Files.createDirectories(trash)
+    Files.write(tokenFile,
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    before.foreach(p =>
+      Files.move(p, trash.resolve(p.getFileName), StandardCopyOption.ATOMIC_MOVE))
+    val moved = parquets(tmp)
     moved.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, part.resolve(f"part-compact-$i%05d.parquet"),
+      Files.move(p, part.resolve(f"part-compact-$token-$i%05d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    // drop the tmp dir and its _SUCCESS marker
-    Files.list(tmp).iterator().asScala.foreach(Files.delete)
-    Files.delete(tmp)
+    rmTree(trash)
+    rmTree(tmp)
     (before.length, moved.length)
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.SearchJobs
@@ -83,6 +85,47 @@ class LogStoreSpec extends SparkSpec {
       val ts = rows.map(_._2.getTime).toSeq
       assert(ts == ts.sorted)
     }
+  }
+
+  test("compact self-heals an interrupted swap without losing or duplicating rows") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-crash").toString
+    (0 until 4).foreach { b =>
+      LogStore.append(
+        (0 until 50).map(i =>
+          (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 50}%02d"),
+            "cat-0", s"""{"b":$b,"i":$i}"""))
+          .toDF("ts", "source_category", "message"),
+        dir, col("ts"))
+    }
+    val expect = LogStore.open(spark, dir).select("message")
+      .as[String].collect().sorted.toSeq
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    // simulate a compact killed mid-swap: one old file already renamed into
+    // the trash (token recorded), one half-moved-in new file from the dead
+    // run (garbage bytes — it must be dropped unread), rest untouched
+    val trash = part.resolve("_compact_trash")
+    Files.createDirectories(trash)
+    Files.write(trash.resolve("_token"), "deadcafe".getBytes("UTF-8"))
+    val old = {
+      val ls = Files.list(part)
+      try ls.iterator().asScala.toList.filter(
+        _.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    }
+    Files.move(old.head, trash.resolve(old.head.getFileName))
+    Files.write(part.resolve("part-compact-deadcafe-00000.parquet"),
+      Array[Byte](1, 2, 3)) // not valid parquet — recovery must delete, not read
+    // the next compact rolls the dead swap back, then compacts normally
+    val (nBefore, nAfter) = LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    assert(nBefore >= 4 && nAfter == 1, s"$nBefore -> $nAfter")
+    val got = LogStore.open(spark, dir).select("message")
+      .as[String].collect().sorted.toSeq
+    assert(got == expect)
+    assert(!Files.exists(trash) && !Files.exists(part.resolve("_compact_tmp")))
   }
 
   test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {

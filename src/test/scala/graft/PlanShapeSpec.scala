@@ -310,5 +310,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
+    // the probe stage is the codegen'd might_contain over xxhash64, NOT a
+    // ScalaUDF (which would break whole-stage codegen and box every row)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("UDF("), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
+  test("funnel reach tables route through the spill-aware pin (land as parquet over threshold)") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files.createTempDirectory("funnel-pins").toString
+    val prevSpill = spark.conf.getOption("spark.graft.pin.spillBytes")
+    val prevScratch = spark.conf.getOption("spark.graft.scratch.dir")
+    spark.conf.set("spark.graft.pin.spillBytes", "1") // force every pin to spill
+    spark.conf.set("spark.graft.scratch.dir", scratch)
+    try {
+      val ev = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "events")
+      val out = graft.operators.Funnel.steps(ev, col("user_id"), col("ts"), Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click")))
+        .collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("n_users") >= out(1).getAs[Long]("n_users"))
+      // every per-step reach table landed as a parquet pin dir, none was
+      // localCheckpointed into block-manager memory
+      val pins = new java.io.File(scratch).listFiles()
+      assert(pins != null && pins.count(_.getName.startsWith("pin-")) >= 2,
+        s"expected >=2 spilled reach-table pins in $scratch")
+    } finally {
+      prevSpill.fold(spark.conf.unset("spark.graft.pin.spillBytes"))(
+        spark.conf.set("spark.graft.pin.spillBytes", _))
+      prevScratch.fold(spark.conf.unset("spark.graft.scratch.dir"))(
+        spark.conf.set("spark.graft.scratch.dir", _))
+    }
   }
 }
