@@ -1635,10 +1635,16 @@ object SparkEntry {
     "q137_url_curation" -> ((s, dir) => {
       import graft.functions.TextFunctions.{urlNormalize, urlDomain}
       val ev = tbl(s, dir, "events")
+      // suffix mix exercises the PSL path: two-label registry suffixes
+      // (co.uk/com.au) must keep three labels, unknown TLDs fall to the
+      // implicit default rule
+      val suffix = when(col("event_id") % 4 === 0, lit("co.uk"))
+        .when(col("event_id") % 4 === 1, lit("com.au"))
+        .otherwise(lit("example"))
       val url = concat(
         when(col("user_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
         lit("W"), col("user_id") % 7, lit(".Site"), col("event_id") % 50,
-        lit(".example"),
+        lit("."), suffix,
         when(col("user_id") % 3 === 0, lit(":80")).otherwise(lit("")),
         when(col("event_id") % 4 === 0, lit(""))
           .otherwise(concat(lit("/Path/"), col("event_id") % 9)),
@@ -1646,7 +1652,7 @@ object SparkEntry {
         lit("&a="), col("event_id") % 3,
         when(col("event_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
       ev.select(urlNormalize(url).as("u"), urlDomain(url).as("domain"))
-        .filter(!col("domain").isin("site13.example", "site37.example"))
+        .filter(!col("domain").isin("site13.example", "site37.co.uk"))
         .groupBy("domain")
         .agg(count(lit(1)).as("n_pages"),
           countDistinct(col("u")).as("n_unique_urls"))
@@ -1657,8 +1663,11 @@ object SparkEntry {
     "q138_domain_caps" -> ((s, dir) => {
       import graft.functions.TextFunctions.urlDomain
       val ev = tbl(s, dir, "events")
+      val suffix = when(col("user_id") % 3 === 0, lit("co.uk"))
+        .when(col("user_id") % 3 === 1, lit("ac.jp"))
+        .otherwise(lit("example"))
       val url = concat(lit("https://w"), col("user_id") % 11, lit(".Host"),
-        col("event_id") % 23, lit(".example/p/"), col("event_id") % 7)
+        col("event_id") % 23, lit("."), suffix, lit("/p/"), col("event_id") % 7)
       graft.operators.Sampling.capPerGroup(
         ev.select(col("event_id"), urlDomain(url).as("domain")),
         Seq(col("domain")), col("event_id"), k = 40)
@@ -2255,6 +2264,15 @@ object SparkEntry {
                    FROM reach r JOIN edges e ON e.a = r.node)
          SELECT node AS doc_id, min(anc) AS cluster_id
          FROM reach GROUP BY node ORDER BY doc_id"""
+
+  /** The bundled public-suffix literal rules as a `(rule, label_count)`
+    * VALUES list — the q137/q138 oracles inline the SAME table the
+    * [[graft.functions.UrlDomain]] kernel ships, so the SQL mirror of the
+    * longest-match algorithm can never drift from the kernel's rule set.
+    */
+  private def pslValues: String =
+    graft.functions.PublicSuffixes.bundledExactRules
+      .map(r => s"('$r',${r.count(_ == '.') + 1})").mkString(",")
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -3804,17 +3822,37 @@ object SparkEntry {
            UNION ALL SELECT 3, 'error', (SELECT count(*) FROM s3))
          ORDER BY step_idx""",
     "q138_domain_caps" ->
-      """SELECT event_id, domain FROM (
+      s"""WITH psl(r, kl) AS (VALUES $pslValues),
+         u0 AS (SELECT event_id,
+             lower('w'||(user_id%11)||'.Host'||(event_id%23)||'.'
+               ||(CASE WHEN user_id%3 = 0 THEN 'co.uk'
+                       WHEN user_id%3 = 1 THEN 'ac.jp'
+                       ELSE 'example' END)) AS host
+           FROM events),
+         d AS (SELECT event_id, host, string_split(host, '.') AS ls FROM u0),
+         e AS (SELECT event_id, host, ls, len(ls) AS nl,
+             coalesce((SELECT max(kl) FROM psl
+                       WHERE kl <= len(ls)
+                         AND psl.r = array_to_string(ls[len(ls)-kl+1:len(ls)], '.')),
+                      1) AS sl
+           FROM d),
+         dom AS (SELECT event_id,
+             CASE WHEN nl > sl THEN array_to_string(ls[nl-sl:nl], '.')
+                  ELSE host END AS domain
+           FROM e)
+         SELECT event_id, domain FROM (
            SELECT event_id, domain,
                   row_number() OVER (PARTITION BY domain ORDER BY event_id) AS rn
-           FROM (SELECT event_id,
-                   'host'||(event_id%23)||'.example' AS domain
-                 FROM events))
+           FROM dom)
          WHERE rn <= 40 ORDER BY event_id""",
     "q137_url_curation" ->
-      """WITH u0 AS (SELECT
+      s"""WITH psl(r, kl) AS (VALUES $pslValues),
+         u0 AS (SELECT
              (CASE WHEN user_id%2 = 0 THEN 'HTTP://' ELSE 'https://' END)
-             ||'W'||(user_id%7)||'.Site'||(event_id%50)||'.example'
+             ||'W'||(user_id%7)||'.Site'||(event_id%50)||'.'
+             ||(CASE WHEN event_id%4 = 0 THEN 'co.uk'
+                     WHEN event_id%4 = 1 THEN 'com.au'
+                     ELSE 'example' END)
              ||(CASE WHEN user_id%3 = 0 THEN ':80' ELSE '' END)
              ||(CASE WHEN event_id%4 = 0 THEN '' ELSE '/Path/'||(event_id%9) END)
              ||'?b='||(user_id%5)||'&utm_source=x'||'&a='||(event_id%3)
@@ -3824,7 +3862,7 @@ object SparkEntry {
              lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-             regexp_extract(url, '\?([^#]*)', 1) AS q
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
            FROM u0),
          h AS (SELECT *,
              CASE WHEN scheme = 'http' AND auth LIKE '%:80'
@@ -3840,12 +3878,22 @@ object SparkEntry {
              scheme||'://'||host||path||
                (CASE WHEN len(params) > 0
                   THEN '?'||array_to_string(params, '&') ELSE '' END) AS u,
-             regexp_extract(regexp_extract(auth, '^([^:]*)', 1),
-               '([^.]+\.[^.]+)$', 1) AS domain
-           FROM h)
+             regexp_extract(auth, '^([^:]*)', 1) AS hostnp,
+             string_split(regexp_extract(auth, '^([^:]*)', 1), '.') AS ls
+           FROM h),
+         d AS (SELECT u, hostnp, ls, len(ls) AS nl,
+             coalesce((SELECT max(kl) FROM psl
+                       WHERE kl <= len(ls)
+                         AND psl.r = array_to_string(ls[len(ls)-kl+1:len(ls)], '.')),
+                      1) AS sl
+           FROM n),
+         dom AS (SELECT u,
+             CASE WHEN nl > sl THEN array_to_string(ls[nl-sl:nl], '.')
+                  ELSE hostnp END AS domain
+           FROM d)
          SELECT domain, count(*) AS n_pages,
            count(DISTINCT u) AS n_unique_urls
-         FROM n WHERE domain NOT IN ('site13.example', 'site37.example')
+         FROM dom WHERE domain NOT IN ('site13.example', 'site37.co.uk')
          GROUP BY domain ORDER BY domain""",
     "q132_incremental_dedup" ->
       """WITH snap AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

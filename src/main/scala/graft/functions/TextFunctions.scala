@@ -112,10 +112,20 @@ object TextFunctions {
     org.apache.spark.sql.GraftGlue.column(
       UrlNormalize(org.apache.spark.sql.GraftGlue.expression(c)))
 
-  /** Registrable-domain heuristic (last two labels): codegen'd [[UrlDomain]]. */
+  /** Registrable domain under the bundled public-suffix snapshot:
+    * codegen'd [[UrlDomain]].
+    */
   def urlDomain(c: Column): Column =
     org.apache.spark.sql.GraftGlue.column(
       UrlDomain(org.apache.spark.sql.GraftGlue.expression(c)))
+
+  /** [[urlDomain]] under a caller-supplied public-suffix list (e.g. a full
+    * publicsuffix.org export via [[PublicSuffixes.parseFile]]) — the rule
+    * table ships with the plan as a codegen reference object.
+    */
+  def urlDomain(c: Column, rules: PublicSuffixes.Rules): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      UrlDomain(org.apache.spark.sql.GraftGlue.expression(c), rules))
 
   /** Exact integer lookup-sum over a frozen bucket-weight table — the apply
     * side of a trained hashed-feature linear model. Codegen'd

@@ -47,18 +47,97 @@ object UrlImpl {
     UTF8String.fromString(sb.toString)
   }
 
-  /** Registrable-domain heuristic: the last two dot-labels of the host
-    * (port stripped). A public-suffix-list upgrade slots in here; the
-    * two-label form is the deterministic, list-free stand-in both engines
-    * compute identically.
+  /** Registrable domain under a public-suffix list: longest matching rule
+    * wins (exception beats wildcard beats literal; the implicit `*` default
+    * rule makes the bare TLD the suffix when nothing matches), registrable =
+    * suffix plus one label. Hosts that ARE a public suffix, have too few
+    * labels, or contain empty labels come back unchanged — callers treat
+    * those as ungroupable rather than silently collapsing them.
     */
-  def domain(u: UTF8String): UTF8String = {
+  def domain(u: UTF8String, rules: PublicSuffixes.Rules): UTF8String = {
     val m = urlRe.matcher(u.trim.toString)
     if (!m.matches()) return null
     val host = m.group(2).toLowerCase.takeWhile(_ != ':')
     val labels = host.split("\\.", -1)
-    if (labels.length < 2 || labels.exists(_.isEmpty)) UTF8String.fromString(host)
-    else UTF8String.fromString(labels(labels.length - 2) + "." + labels(labels.length - 1))
+    if (labels.length < 2 || labels.exists(_.isEmpty))
+      return UTF8String.fromString(host)
+    val sl = rules.suffixLength(labels)
+    if (labels.length <= sl) UTF8String.fromString(host)
+    else UTF8String.fromString(
+      labels.slice(labels.length - sl - 1, labels.length).mkString("."))
+  }
+
+  def domain(u: UTF8String): UTF8String = domain(u, PublicSuffixes.bundled)
+}
+
+/** Public-suffix list (publicsuffix.org format) for registrable-domain
+  * extraction. A snapshot of the ICANN section's widely-used multi-label
+  * registry suffixes ships as a bundled resource; production deployments
+  * load a full export via [[PublicSuffixes.parse]] and pass the result to
+  * [[graft.functions.TextFunctions.urlDomain]] — the rule table rides with
+  * the plan as a codegen reference object (the frozen-table shape
+  * [[BpeEncode]] uses), so executors get it via task serialization with no
+  * side-channel state.
+  */
+object PublicSuffixes {
+
+  /** Parsed rule set. `suffixLength` implements the standard PSL algorithm
+    * over a host's labels: among matching rules the longest wins, `!`
+    * exception rules win outright (their suffix is the rule minus its
+    * leftmost label), `*.x` wildcard rules match one label deeper than `x`,
+    * and the implicit `*` default rule floors the suffix at one label.
+    */
+  final case class Rules(
+      exact: java.util.HashSet[String],
+      wildcard: java.util.HashSet[String],
+      exception: java.util.HashSet[String]) extends Serializable {
+    def suffixLength(labels: Array[String]): Int = {
+      val n = labels.length
+      var best = 1 // implicit default rule '*'
+      var k = 1
+      var cand = labels(n - 1)
+      while (k <= n) {
+        if (exception.contains(cand)) return k - 1
+        if (exact.contains(cand) && k > best) best = k
+        if (k < n && wildcard.contains(cand) && k + 1 > best) best = k + 1
+        k += 1
+        if (k <= n) cand = labels(n - k) + "." + cand
+      }
+      best
+    }
+  }
+
+  def parse(lines: Iterator[String]): Rules = {
+    val exact = new java.util.HashSet[String]
+    val wildcard = new java.util.HashSet[String]
+    val exception = new java.util.HashSet[String]
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).foreach {
+      case l if l.startsWith("!") => exception.add(l.drop(1).toLowerCase)
+      case l if l.startsWith("*.") => wildcard.add(l.drop(2).toLowerCase)
+      case l => exact.add(l.toLowerCase)
+    }
+    Rules(exact, wildcard, exception)
+  }
+
+  def parseFile(path: String): Rules = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+
+  /** The bundled snapshot (see `graft/psl_snapshot.txt` for provenance). */
+  lazy val bundled: Rules = {
+    val in = getClass.getResourceAsStream("/graft/psl_snapshot.txt")
+    require(in != null, "bundled PSL snapshot missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+
+  /** The bundled literal rules, sorted — the q137/q138 oracles inline this
+    * same table, so the SQL mirror can never drift from the kernel.
+    */
+  def bundledExactRules: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    bundled.exact.asScala.toSeq.sorted
   }
 }
 
@@ -79,19 +158,25 @@ case class UrlNormalize(child: Expression)
     copy(child = newChild)
 }
 
-/** `url_domain(string) -> string` with whole-stage codegen. */
-case class UrlDomain(child: Expression)
+/** `url_domain(string) -> string` with whole-stage codegen; the frozen
+  * public-suffix rule table rides along as a codegen reference object.
+  */
+case class UrlDomain(child: Expression,
+    rules: PublicSuffixes.Rules = PublicSuffixes.bundled)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "url_domain"
   override protected def nullSafeEval(input: Any): Any =
-    UrlImpl.domain(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    UrlImpl.domain(input.asInstanceOf[UTF8String], rules)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("pslRules", rules,
+      classOf[PublicSuffixes.Rules].getName)
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.UrlImpl.domain($c);
+      ${ev.value} = graft.functions.UrlImpl.domain($c, $r);
       ${ev.isNull} = ${ev.value} == null;""")
+  }
   override protected def withNewChildInternal(newChild: Expression): UrlDomain =
     copy(child = newChild)
 }

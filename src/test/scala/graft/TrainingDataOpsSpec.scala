@@ -847,11 +847,26 @@ class TrainingDataOpsSpec extends SparkSpec {
     val bad = Seq("not a url", "", "relative/path").toDF("u")
       .select(urlNormalize(col("u"))).as[Option[String]].collect().toSeq
     assert(bad.forall(_.isEmpty))
-    // registrable-domain heuristic: last two labels, port-blind, lowercased
+    // registrable domain: PSL longest-match, port-blind, lowercased —
+    // two-label registry suffixes (co.uk/com.au/ac.jp) keep THREE labels,
+    // a host that IS a public suffix comes back unchanged, unknown TLDs
+    // fall to the implicit default rule (last label = suffix)
     val doms = Seq("HTTP://WWW.Example.COM:80/x", "https://example.org/",
-      "http://localhost/x").toDF("u")
+      "http://localhost/x",
+      "https://www.bbc.CO.UK/news", "http://shop.foo.com.au:80/",
+      "https://w3.bar.ac.jp/x", "http://co.uk/",
+      "https://deep.a.b.example.dev/").toDF("u")
       .select(urlDomain(col("u"))).as[String].collect().toSeq
-    assert(doms == Seq("example.com", "example.org", "localhost"))
+    assert(doms == Seq("example.com", "example.org", "localhost",
+      "bbc.co.uk", "foo.com.au", "bar.ac.jp", "co.uk", "example.dev"))
+    // caller-supplied list (full-PSL seam): wildcard and exception rules
+    val custom = graft.functions.PublicSuffixes.parse(Iterator(
+      "// test list", "*.ck", "!www.ck", "uk", "co.uk"))
+    val cdoms = Seq("https://a.b.ck/", "https://www.ck/",
+      "https://x.co.uk/").toDF("u")
+      .select(graft.functions.TextFunctions.urlDomain(col("u"), custom))
+      .as[String].collect().toSeq
+    assert(cdoms == Seq("a.b.ck", "www.ck", "x.co.uk"))
     // idempotence: normalizing a normalized URL is a fixpoint
     val once = cases.map(_._2).toDF("u")
       .select(urlNormalize(col("u"))).as[String].collect().toSeq
