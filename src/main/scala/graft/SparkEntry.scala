@@ -1673,15 +1673,18 @@ object SparkEntry {
         Seq(col("domain")), col("event_id"), k = 40)
         .orderBy("event_id")
     }),
-    // ---- BPE tokenizer: train merges from the bounded word-frequency
-    //      table, freeze, count tokens with the codegen'd encoder. No
-    //      oracleSql: the iterative trainer is not SQL-expressible, so the
-    //      driver records the rows-only check; correctness is pinned by
-    //      TrainingDataOpsSpec (hand-traced training order + independent
-    //      naive-reference encoder on random strings). ----
+    // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
+    //      distributed word-count + driver merge loop), freeze, count
+    //      tokens over the documents with the codegen'd encoder. The
+    //      frozen table is input-independent, so the oracle embeds the
+    //      identical table (trainLocal parity, spec-pinned) and verifies
+    //      the greedy encode itself via an iterated recursive CTE. ----
     "q136_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
       val docs = tbl(s, dir, "documents")
-      val merges = graft.operators.Bpe.train(docs, col("text"), numMerges = 40)
+      val merges = graft.operators.Bpe.train(
+        graft.operators.Bpe.seedCorpus.toDF("text"), col("text"),
+        numMerges = 40)
       docs.select(col("doc_id"),
         graft.operators.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
@@ -3845,6 +3848,58 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY domain ORDER BY event_id) AS rn
            FROM dom)
          WHERE rn <= 40 ORDER BY event_id""",
+    // q136: the frozen merge table (trainLocal == the Spark trainer,
+    // spec-pinned) rides as a rank MAP literal; the greedy encoder is the
+    // one-occurrence-per-step iterated form of BpeImpl.encodeWord — merges
+    // learned later always involve tokens created earlier, so their ranks
+    // are strictly higher and merging the leftmost lowest-rank pair one
+    // occurrence at a time reproduces the per-round mergeAll exactly.
+    "q136_bpe_tokens" -> {
+      val merges = graft.operators.Bpe.trainLocal(
+        graft.operators.Bpe.seedCorpus, numMerges = 40)
+      val keys = merges.map(m => s"'$m'").mkString(",")
+      val ranks = merges.indices.mkString(",")
+      s"""WITH RECURSIVE
+         rmap AS (SELECT map([$keys], [$ranks]) AS m),
+         docs0 AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         wpd AS (SELECT doc_id, tok AS w, count(*) AS n
+                 FROM docs0, unnest(regexp_split_to_array(t, '\\s+')) AS u(tok)
+                 WHERE tok <> '' GROUP BY doc_id, tok),
+         vocab AS (SELECT DISTINCT w FROM wpd),
+         enc AS (
+           SELECT w, list_transform(range(1, len(w)+1), i -> w[i]) AS parts
+           FROM vocab
+           UNION ALL
+           SELECT w, parts[1:bi-1] || [parts[bi] || parts[bi+1]]
+                       || parts[bi+2:len(parts)] AS parts
+           FROM (
+             SELECT w, parts, list_position(rl, list_min(rl)) AS bi,
+                    list_min(rl) AS br
+             FROM (
+               SELECT e.w AS w, e.parts AS parts,
+                 list_transform(range(1, len(e.parts)),
+                   i -> coalesce(map_extract(r.m,
+                          e.parts[i] || ' ' || e.parts[i+1])[1], 999999)) AS rl
+               FROM enc e, rmap r
+               WHERE len(e.parts) >= 2) q1) q2
+           WHERE br < 999999),
+         fin AS (
+           SELECT e.w AS w, len(e.parts) AS toklen
+           FROM enc e, rmap r
+           WHERE len(e.parts) < 2
+              OR list_min(list_transform(range(1, len(e.parts)),
+                   i -> coalesce(map_extract(r.m,
+                          e.parts[i] || ' ' || e.parts[i+1])[1], 999999)))
+                 = 999999),
+         cnt AS (SELECT w.doc_id, sum(w.n * f.toklen) AS bpe
+                 FROM wpd w JOIN fin f ON w.w = f.w GROUP BY w.doc_id)
+         SELECT d.doc_id,
+           coalesce(c.bpe, 0)::BIGINT AS n_bpe_tokens,
+           len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))::BIGINT
+             AS n_regex_tokens
+         FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+         ORDER BY d.doc_id"""
+    },
     "q137_url_curation" ->
       s"""WITH psl(r, kl) AS (VALUES $pslValues),
          u0 AS (SELECT

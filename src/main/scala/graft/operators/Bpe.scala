@@ -39,6 +39,30 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(topWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    mergeLoop(wc, numMerges)
+  }
+
+  /** [[train]] minus the distributed word count: the identical merge loop
+    * over an in-memory corpus (same normalization, same tie-breaking), for
+    * trainer tests and for oracles that must embed the exact merge table
+    * without a SparkSession. `BpeTrainParitySpec`-style parity with the
+    * Spark path is pinned in TrainingDataOpsSpec.
+    */
+  def trainLocal(corpus: Seq[String], numMerges: Int,
+      topWords: Int = 50000): Array[String] = {
+    require(numMerges >= 0, s"numMerges must be nonnegative: $numMerges")
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    corpus.foreach { t =>
+      Option(t).getOrElse("").trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty)
+        .foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
+    }
+    val wc = counts.toArray.sortBy { case (w, c) => (-c, w) }.take(topWords)
+    mergeLoop(wc, numMerges)
+  }
+
+  private def mergeLoop(wc: Array[(String, Long)],
+      numMerges: Int): Array[String] = {
     var words: Array[(Array[String], Long)] =
       wc.map { case (w, c) => (w.map(_.toString).toArray, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -67,6 +91,28 @@ object Bpe {
     }
     merges.toArray
   }
+
+  /** The fixed training corpus behind q136's frozen merge table — the
+    * train-offline / freeze / apply-online shape: the tokenizer is trained
+    * once on a curated seed (here: the engine's own domain vocabulary),
+    * then the frozen table scores any corpus. Being input-independent, the
+    * q136 DuckDB oracle can embed the identical table and verify the
+    * greedy encoder itself (the trainer stays spec-pinned against
+    * [[trainLocal]] parity + the naive-reference encoder fuzz).
+    */
+  val seedCorpus: Seq[String] = Seq(
+    "the query scan reads the column batch and the filter prunes the scan",
+    "hash join build side broadcasts and the probe side streams the batch",
+    "sort merge join shuffles both sides by the join key and sorts the runs",
+    "group by aggregates partial sums map side before the shuffle exchange",
+    "the window frame orders rows by key and slides over the sorted stream",
+    "vector values pack the row batch so the scan stays in the fast path",
+    "small tables broadcast while big tables shuffle on the hash of the key",
+    "the customer orders table joins the line item table on the order key",
+    "slow queries spill the sort runs when the data does not fit the batch",
+    "spark plans the query as a tree of scans filters joins and aggregates",
+    "a stream of row groups flows from the scan to the merge and the sort",
+    "dup rows collapse in the group by and the distinct keys stay sorted")
 
   /** Encode with a frozen merge table: codegen'd [[BpeEncode]] kernel. */
   def encode(c: Column, merges: Array[String]): Column =

@@ -926,6 +926,28 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(graft.operators.Bpe.train(corpus, col("text"), 100).length < 100)
   }
 
+  test("BPE: trainLocal == distributed train on the q136 seed corpus (oracle parity)") {
+    val s = spark
+    import s.implicits._
+    // the q136 oracle embeds trainLocal(seedCorpus)'s merge table as a
+    // literal; this pin is what makes that embedding sound — if the two
+    // trainers ever diverge (normalization, tie-break, cap order), this
+    // fails before the driver's oracle does
+    val local = graft.operators.Bpe.trainLocal(
+      graft.operators.Bpe.seedCorpus, numMerges = 40)
+    val dist = graft.operators.Bpe.train(
+      graft.operators.Bpe.seedCorpus.toDF("text"), col("text"), numMerges = 40)
+    assert(local.toSeq == dist.toSeq)
+    assert(local.length == 40) // seed corpus is rich enough to fill the table
+    // and on a messier corpus (mixed case, repeated words, tie pressure)
+    val messy = Seq("The  Table table TABLE scan", "scan scan the table",
+      "a b a b a b", "query query query")
+    val l2 = graft.operators.Bpe.trainLocal(messy, numMerges = 10)
+    val d2 = graft.operators.Bpe.train(messy.toDF("text"), col("text"),
+      numMerges = 10)
+    assert(l2.toSeq == d2.toSeq)
+  }
+
   test("BPE: encode matches an independent naive reference on random strings") {
     val s = spark
     import s.implicits._
