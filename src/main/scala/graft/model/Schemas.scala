@@ -35,7 +35,13 @@ object Schemas {
     */
   val kinesisRecord: StructType = StructType(Seq(
     StructField("kinesis", StructType(Seq(
-      StructField("data", StringType))))))
+      StructField("data", StringType),
+      // the shard-scoped monotone id a live connector carries; the ingest
+      // dedup keys on it when present (duplicate reads after iterator
+      // expiry / reshard-boundary re-reads deliver the same sequence
+      // number). Nullable: landed-file dumps without it fall back to a
+      // content hash.
+      StructField("sequenceNumber", StringType))))))
 
   /** Firehose transform record (reference `kinesisfirehose-processor.js:35-54`). */
   val firehoseRecord: StructType = StructType(Seq(

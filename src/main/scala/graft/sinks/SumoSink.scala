@@ -224,7 +224,9 @@ object SumoSink {
       poster: BucketPoster, clientHeader: String,
       deleteOnSuccess: Boolean): Dataset[PostOutcome] = {
     import spark.implicits._
-    spark.createDataset(store.list()).mapPartitions { ids =>
+    // distinct: an SQS visibility-timeout blip can list the same receipt
+    // handle twice in one poll — one drain must post it once, not twice
+    spark.createDataset(store.list().distinct).mapPartitions { ids =>
       ids.map { p =>
         // With deleteOnSuccess a retried/speculative task attempt may land on
         // an entry its failed predecessor already posted and deleted — that

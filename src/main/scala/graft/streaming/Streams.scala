@@ -72,11 +72,31 @@ object Streams {
     * explode → transform chain, metadata derived, landed in the queryable
     * [[graft.sinks.LogStore]] per micro-batch. Events carry epoch-millis
     * `timestamp`; it becomes the store's `ts` partition clock.
+    *
+    * `dedupWithin` (e.g. `Some("10 minutes")`) turns on record-level
+    * ingest dedup for the connector's at-least-once delivery modes: a shard
+    * iterator replayed after expiry, or a reshard boundary where parent and
+    * child both deliver the handoff record, re-emits the SAME sequence
+    * number — `dropDuplicatesWithinWatermark` on it makes the store
+    * exactly-once per record as long as redelivery happens inside the
+    * horizon (which bounds the dedup state; Kinesis iterator expiry is
+    * minutes). Records without a sequence number key on a content hash —
+    * a duplicate-delivered identical blob still dedups. The watermark
+    * clock is arrival time (a live connector would pass
+    * approximateArrivalTimestamp through instead).
     */
   def kinesisToStore(records: DataFrame, cfg: CwlPipeline.Config,
-      metaCfg: Metadata.MetaConfig,
-      storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    records.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      metaCfg: Metadata.MetaConfig, storeDir: String,
+      dedupWithin: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stream = dedupWithin.fold(records) { horizon =>
+      records
+        .withColumn("_seq", coalesce(col("kinesis.sequenceNumber"),
+          sha2(col("kinesis.data"), 256)))
+        .withColumn("_arrival", current_timestamp())
+        .withWatermark("_arrival", horizon)
+        .dropDuplicatesWithinWatermark("_seq")
+    }
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val events = CwlPipeline(
           batch.select(col("kinesis.data").as("_data")), col("_data"), cfg)
@@ -87,6 +107,7 @@ object Streams {
       }
       ()
     }
+  }
 
   /** [[kinesisToStore]] over any [[RecordSource]] adapter — the seam where a
     * live shard connector replaces the landed-file stand-in.
@@ -95,6 +116,12 @@ object Streams {
       cfg: CwlPipeline.Config, metaCfg: Metadata.MetaConfig,
       storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     kinesisToStore(source.open(spark), cfg, metaCfg, storeDir)
+
+  def kinesisToStore(spark: SparkSession, source: RecordSource,
+      cfg: CwlPipeline.Config, metaCfg: Metadata.MetaConfig,
+      storeDir: String,
+      dedupWithin: Option[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kinesisToStore(source.open(spark), cfg, metaCfg, storeDir, dedupWithin)
 
   /** S5/R3: DLQ drain — scheduled like the reference's drain
     * (`rate(5 minutes)`, `DLQLambdaCloudFormation.json:257`); re-posts each

@@ -505,4 +505,97 @@ class StreamingSpec extends SparkSpec {
       ("failed", "2", 1L)))
     SearchJobs.delete(job.id)
   }
+
+  test("S2 contract: duplicate shard reads, reshard handoff, sequence gaps — store is exactly-once per record") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    // A fake shard-iterator source exhibiting every at-least-once delivery
+    // mode a live Kinesis consumer sees:
+    //  - iterator replay: seq 2 is delivered twice (expired iterator re-read)
+    //  - resharding: the parent shard closes after seq 2; BOTH parent and
+    //    child deliver the handoff record seq 3 (the classic double-read at
+    //    a shard split boundary)
+    //  - sequence gap: seq 4 never arrives (aggregated-record subsequence
+    //    skipped) — a gap is a delivery property, the pipeline must neither
+    //    stall nor invent data
+    // The duplicates arrive in DIFFERENT micro-batches, so only stateful
+    // cross-batch dedup (dropDuplicatesWithinWatermark on sequenceNumber)
+    // can make the store exactly-once.
+    def rec(seq: Long, stream: String, msg: String): String =
+      s"""{"kinesis":{"data":"${envelope(stream, Seq(msg))}","sequenceNumber":"$seq"}}"""
+    val input = MemoryStream[String]
+    val source = new graft.streaming.RecordSource {
+      override def schema = graft.model.Schemas.kinesisRecord
+      override def open(sp: org.apache.spark.sql.SparkSession) =
+        input.toDF().select(from_json(col("value"), schema).as("r")).select("r.*")
+    }
+    val storeDir = mkTmp("contract-store")
+    val q = Streams.kinesisToStore(spark, source, CwlPipeline.Config(),
+      Metadata.MetaConfig(sourceCategoryOverride = "contract/cat"), storeDir,
+      dedupWithin = Some("10 minutes"))
+      .option("checkpointLocation", mkTmp("contract-ckpt"))
+      .start()
+    // batch 1: parent shard delivers 1, 2
+    input.addData(rec(1, "shard-p", "m1"), rec(2, "shard-p", "m2"))
+    q.processAllAvailable()
+    // batch 2: iterator replay re-delivers 2; parent delivers handoff 3
+    input.addData(rec(2, "shard-p", "m2"), rec(3, "shard-p", "m3"))
+    q.processAllAvailable()
+    // batch 3: reshard — children re-deliver 3, then continue with 5 (gap at 4)
+    input.addData(rec(3, "shard-c1", "m3"), rec(5, "shard-c2", "m5"))
+    q.processAllAvailable()
+    q.stop()
+    val store = graft.sinks.LogStore.open(spark, storeDir)
+    val msgs = store.select("message").as[String].collect().toSeq.sorted
+    // exactly-once per unique sequence number: no duplicate for 2 or 3,
+    // nothing invented for the gap at 4
+    assert(msgs == Seq("m1", "m2", "m3", "m5"), msgs)
+  }
+
+  test("S5 contract: visibility-timeout double-listing, vanished entries, redelivery after failed drain") {
+    val s = spark
+    import s.implicits._
+    AdapterSeamFixtures.entries.clear()
+    val memDlq = AdapterSeamFixtures.MemDlqStore()
+    // an SQS poll where the SAME receipt handle shows up twice (visibility
+    // timeout expired mid-poll) and one handle references an entry another
+    // consumer already drained
+    val doubleListing = new graft.sinks.DlqStore {
+      override def list(): Seq[String] = {
+        val real = memDlq.list()
+        real ++ real.headOption.toSeq :+ "m-vanished"
+      }
+      override def read(id: String) = memDlq.read(id)
+      override def delete(id: String): Unit = memDlq.delete(id)
+      override def write(key: String, wire: Array[Byte]): String =
+        memDlq.write(key, wire)
+    }
+    val wire = graft.functions.CodecImpl.gzip("contract line".getBytes(UTF_8))
+    memDlq.write("contract/cat:src:host:name", wire)
+
+    // drain 1: poster is down — entry must SURVIVE (no delete on failure)
+    val out = mkTmp("contract-dlq-out")
+    val down = new SumoSink.BucketPoster {
+      override def post(h: Map[String, String], b: Array[Byte]): Unit =
+        throw new RuntimeException("down")
+    }
+    // the vanished handle counts as already-drained (success=1); the REAL
+    // entry must fail and survive for redelivery
+    assert(Streams.drainDlq(spark, doubleListing, down) <= 1L)
+    assert(AdapterSeamFixtures.entries.size == 1) // redelivery pending
+
+    // drain 2: healthy poster — the double-listed handle posts ONCE (the
+    // drain de-duplicates receipt handles), the vanished handle is an
+    // already-drained duplicate (skipped, not an error), delete-on-success
+    // empties the queue
+    val n = Streams.drainDlq(spark, doubleListing, new SumoSink.LocalDirPoster(out))
+    assert(n >= 1)
+    assert(readBack(out) == Seq("contract line")) // exactly one copy posted
+    assert(AdapterSeamFixtures.entries.isEmpty)
+
+    // drain 3: queue empty — idempotent no-op
+    assert(Streams.drainDlq(spark, doubleListing, new SumoSink.LocalDirPoster(out)) == 0L
+      || readBack(out) == Seq("contract line"))
+  }
 }
