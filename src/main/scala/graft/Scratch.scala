@@ -114,6 +114,64 @@ object Scratch {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_MAINT_SCALE=1: the store-maintenance drills — compaction
+    // throughput + post-compaction scan pruning on the SF_DIR's events
+    // (point at a MAKE_SCALED dir for the 10× rung), and HLL-rollup
+    // build/merge cost at 365 days × keys (rows via
+    // SPARK_GRAFT_MAINT_ROWS, default 10M — SF-independent synthetic).
+    sys.env.get("SPARK_GRAFT_MAINT_SCALE").foreach { _ =>
+      import graft.sinks.LogStore
+      import graft.operators.Sketches
+      // --- compaction: land all events into ONE category-day partition as
+      // 64 micro-batch-sized files (the streaming-append end state), then
+      // compact with time clustering and compare a narrow time-slice scan
+      val ev = SparkEntry.tbl(spark, dir, "events")
+      val nEv = ev.count()
+      val storeDir = java.nio.file.Files.createTempDirectory("maint-store").toString
+      val oneDay = ev.select(
+        to_timestamp(concat(lit("2024-03-01 "),
+          date_format(col("ts"), "HH:mm:ss"))).as("ts"),
+        lit("drill-cat").as("source_category"),
+        to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+          .as("message"))
+      time(s"store land ($nEv rows, 64 files)") {
+        LogStore.append(oneDay.repartition(64), storeDir, col("ts")); nEv
+      }
+      def slice() = LogStore.search(spark, storeDir, "drill-cat",
+        lit("2024-03-01 10:00:00").cast("timestamp"),
+        lit("2024-03-01 10:30:00").cast("timestamp")).count()
+      time("pre-compact 30-min slice scan")(slice())
+      time("compact (cluster by ts)") {
+        val (b, a) = LogStore.compact(spark, storeDir, "2024-03-01",
+          "drill-cat", targetRecordsPerFile = math.max(1L, nEv / 8),
+          clusterBy = Seq("ts"))
+        println(s"[scratch]   files $b -> $a")
+        nEv
+      }
+      time("post-compact 30-min slice scan")(slice())
+      // --- HLL rollups: build at day×category grain, then range-merge —
+      // the query-side cost is sketch-count-bounded, never raw-row-bounded
+      val n = sys.env.getOrElse("SPARK_GRAFT_MAINT_ROWS", "10000000").toLong
+      val raw = spark.range(n).select(
+        to_timestamp(date_add(lit("2024-01-01").cast("date"),
+          (col("id") % 365).cast("int"))).as("ts"),
+        concat(lit("cat-"), col("id") % 32).as("cat"),
+        (col("id") * 2654435761L % 2000000).as("user"))
+      val rollup = Sketches.dailyRollup(raw, col("ts"), Seq(col("cat")),
+        col("user"))
+      var pinned: org.apache.spark.sql.DataFrame = null
+      time(s"rollup build ($n rows -> 365x32 sketches)") {
+        pinned = rollup.localCheckpoint(true) // eager: the build happens HERE
+        pinned.count()
+      }
+      time("uniques merge: full year")(
+        Sketches.uniquesOver(pinned, Seq(col("cat"))).count())
+      time("uniques merge: 90-day slice")(
+        Sketches.uniquesOver(pinned.filter(
+          col("day").between("2024-02-01", "2024-04-30")), Seq(col("cat"))).count())
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_DSIR_STREAM=1: throughput of the frozen-weight online
     // DSIR scorer — train on the batch corpus (bounded 256-bucket table),
     // then score the same docs as a file-source stream into a noop sink.
