@@ -1673,6 +1673,27 @@ object SparkEntry {
         Seq(col("domain")), col("event_id"), k = 40)
         .orderBy("event_id")
     }),
+    // ---- URL kernels in the piped language: parse → urlnormalize/
+    //      urldomain computed fields → rollup — the query-surface form of
+    //      the q137 curation pipeline ----
+    "q144_piped_url" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", lit("web/crawl"))
+        .withColumn("message", concat(lit("GET url=HTTP://W"),
+          col("user_id") % 7, lit(".Site"), col("event_id") % 50,
+          when(col("event_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".example")),
+          when(col("user_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+          lit("/P/"), col("event_id") % 9,
+          lit("?b="), col("user_id") % 5, lit("&utm_x=1&a=2")))
+      val q = "_sourceCategory=web* | parse \"url=*\" as u" +
+        " | urlnormalize(u) as cu | urldomain(u) as d" +
+        " | count by cu, d | sort by cu, d"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev.filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -3848,6 +3869,52 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY domain ORDER BY event_id) AS rn
            FROM dom)
          WHERE rn <= 40 ORDER BY event_id""",
+    "q144_piped_url" ->
+      s"""WITH psl(r, kl) AS (VALUES $pslValues),
+         m AS (SELECT
+             'GET url=HTTP://W'||(user_id%7)||'.Site'||(event_id%50)
+             ||(CASE WHEN event_id%4 = 0 THEN '.co.uk' ELSE '.example' END)
+             ||(CASE WHEN user_id%3 = 0 THEN ':80' ELSE '' END)
+             ||'/P/'||(event_id%9)
+             ||'?b='||(user_id%5)||'&utm_x=1&a=2' AS message
+           FROM events),
+         p0 AS (SELECT regexp_extract(message, '\\Qurl=\\E(.*)', 1) AS u
+           FROM m WHERE regexp_matches(message, '\\Qurl=\\E(.*)')),
+         p AS (SELECT u,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             regexp_extract(u, '\\?([^#]*)', 1) AS q
+           FROM p0),
+         h AS (SELECT *,
+             CASE WHEN scheme = 'http' AND auth LIKE '%:80'
+                    THEN left(auth, len(auth)-3)
+                  WHEN scheme = 'https' AND auth LIKE '%:443'
+                    THEN left(auth, len(auth)-4)
+                  ELSE auth END AS host,
+             CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+             list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
+           FROM p),
+         n AS (SELECT
+             scheme||'://'||host||path||
+               (CASE WHEN len(params) > 0
+                  THEN '?'||array_to_string(params, '&') ELSE '' END) AS cu,
+             regexp_extract(auth, '^([^:]*)', 1) AS hostnp,
+             string_split(regexp_extract(auth, '^([^:]*)', 1), '.') AS ls
+           FROM h),
+         d0 AS (SELECT cu, hostnp, ls, len(ls) AS nl,
+             coalesce((SELECT max(kl) FROM psl
+                       WHERE kl <= len(ls)
+                         AND psl.r = array_to_string(ls[len(ls)-kl+1:len(ls)], '.')),
+                      1) AS sl
+           FROM n),
+         dom AS (SELECT cu,
+             CASE WHEN nl > sl THEN array_to_string(ls[nl-sl:nl], '.')
+                  ELSE hostnp END AS d
+           FROM d0)
+         SELECT cu, d, count(*)::BIGINT AS _count
+         FROM dom GROUP BY cu, d ORDER BY cu, d""",
     // q136: the frozen merge table (trainLocal == the Spark trainer,
     // spec-pinned) rides as a rank MAP literal; the greedy encoder is the
     // one-occurrence-per-step iterated form of BpeImpl.encodeWord — merges

@@ -230,6 +230,7 @@ object QueryExprs {
     case Call("concat" | "tolowercase" | "touppercase" | "format"
         | "substring" | "replace" | "trim" | "formatdate"
         | "base64encode" | "base64decode" | "urldecode" | "urlencode"
+        | "urlnormalize" | "urldomain"
         | "getcidrprefix" | "maskfromcidr", _) => true
     case Call("if", Seq(_, a, b)) => isStringy(a) || isStringy(b)
     case _ => false
@@ -404,6 +405,15 @@ object QueryExprs {
         when(in.rlike("^[A-Za-z0-9+/\\s]*={0,2}$"), unbase64(in).cast("string"))
       case ("urldecode", Seq(a)) =>
         try_url_decode(compile(a, resolve).cast("string"))
+      // URL-curation kernels surfaced in the language: canonical form and
+      // PSL registrable domain (codegen'd; non-URLs → null, never a task
+      // failure — the lenient-typing convention)
+      case ("urlnormalize", Seq(a)) =>
+        graft.functions.TextFunctions.urlNormalize(
+          compile(a, resolve).cast("string"))
+      case ("urldomain", Seq(a)) =>
+        graft.functions.TextFunctions.urlDomain(
+          compile(a, resolve).cast("string"))
       // math surface mirrors the reference language's Java-Math functions;
       // all compile to built-in codegen'd Columns over the uniform double
       case ("sqrt", Seq(a)) => sqrt(num(compile(a, resolve)))

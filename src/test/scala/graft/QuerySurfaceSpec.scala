@@ -1715,6 +1715,25 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(m._6 > 1.7e12) // epoch millis, constant per query
   }
 
+  test("Q1: urlnormalize/urldomain computed fields — canonical form + PSL domain in the language") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "HTTP://WWW.Shop.CO.UK:80/A/B?utm_source=x&b=2&a=1#f",
+      "https://a.b.example.dev:443/",
+      "not a url").toDF("u")
+    val out = compileStages(Seq(
+      parseStage("urlnormalize(u) as cu"),
+      parseStage("urldomain(u) as d")), "ts", "m")(df)
+      .select("cu", "d")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(out(0) == (Some("http://www.shop.co.uk/A/B?a=1&b=2"),
+      Some("shop.co.uk"))) // PSL: co.uk keeps three labels
+    assert(out(1) == (Some("https://a.b.example.dev/"), Some("example.dev")))
+    assert(out(2) == (None, None)) // non-URL -> null, never a task failure
+  }
+
   test("Q2: piped-stage fuzz — random stage pipelines compile and execute") {
     import graft.operators.SearchQuery
     val s = spark
