@@ -40,56 +40,85 @@ object Dedup {
     * ScalaUDF, no per-row String boxing. The confirm join's snapshot side
     * is the narrow 1-column fingerprint projection — the index shape a
     * production pipeline keeps as a bucketed table so the residual
-    * anti-join is co-located ([[graft.operators.Bucketing]]). The filter
-    * bound: ~1.2 GB at 10⁹ snapshot rows / fpp 0.01 — beyond that,
-    * hash-partition both sides by fingerprint prefix and build per-range
-    * blooms (same plan per range).
+    * anti-join is co-located ([[graft.operators.Bucketing]]).
     *
-    * `expectedSnapshotRows` sizes the filter; pass it when known (a catalog
-    * rowcount) — 0 triggers one columnar `count()` of the snapshot.
+    * A single filter is ~1.2 GB at 10⁹ snapshot rows / fpp 0.01 — past the
+    * comfortable single-literal size, set `ranges` > 1: fingerprints
+    * hash-partition by `xxhash64 mod ranges`, one right-sized Bloom is
+    * built per range in the SAME one-pass aggregate (grouped, still
+    * map-side partial-merged), and the probe becomes a codegen'd
+    * range-dispatch chain — each row tests only its own range's filter, so
+    * peak per-filter size (and the task-binary cost of any one literal)
+    * drops by `ranges`× while semantics stay exact. 10¹⁰ rows at fpp 0.01
+    * = 64 ranges × ~190 MB.
+    *
+    * `expectedSnapshotRows` sizes the filters; pass it when known (a
+    * catalog rowcount) — 0 triggers one columnar `count()` of the snapshot.
     */
   def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
       batchText: Column, snapshotText: Column,
-      expectedSnapshotRows: Long = 0L, fpp: Double = 0.01): DataFrame = {
+      expectedSnapshotRows: Long = 0L, fpp: Double = 0.01,
+      ranges: Int = 1): DataFrame = {
     import org.apache.spark.sql.GraftGlue
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(ranges >= 1 && ranges <= 256,
+      s"ranges must be in [1, 256]: $ranges (the probe is a codegen dispatch chain)")
     val spark = batch.sparkSession
     val sfp = snapshot.select(
       fingerprint(coalesce(snapshotText, lit(""))).as("_fp"))
     val n = if (expectedSnapshotRows > 0) expectedSnapshotRows
       else math.max(1L, sfp.count())
+    val nPerRange = math.max(1L, (n + ranges - 1) / ranges)
     // optimal sizing for the requested fpp: m = -n ln(p) / (ln 2)²
     val numBits = math.max(64L,
-      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      math.ceil(-nPerRange * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     // BloomFilterAggregate silently CLAMPS n/numBits to the runtime-filter
     // confs (defaults size for join pruning, ~4M items) — lift them for the
     // build so the caller's fpp is honored, then restore. The confs are read
     // at aggregate-eval time, so the scope only needs to cover the action.
     val confKeys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> n,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nPerRange,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
     val saved = confKeys.map { case (k, need) =>
       val cur = spark.conf.getOption(k)
       if (cur.forall(_.toLong < need)) spark.conf.set(k, need.toString)
       k -> cur
     }
-    val bfBytes =
-      try sfp.agg(GraftGlue.column(new BloomFilterAggregate(
-          GraftGlue.expression(xxhash64(col("_fp"))),
-          Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-      finally saved.foreach {
+    def rangeOf(fp: Column): Column =
+      pmod(xxhash64(fp), lit(ranges.toLong)).cast("int")
+    val aggCol = GraftGlue.column(new BloomFilterAggregate(
+      GraftGlue.expression(xxhash64(col("_fp"))),
+      Literal(nPerRange), Literal(numBits)).toAggregateExpression()).as("bf")
+    // one pass, R rows out: (range, filter). R=1 keeps the ungrouped form
+    // (no exchange at all for the common case).
+    val built: Seq[(Int, Array[Byte])] =
+      try {
+        if (ranges == 1)
+          Seq(0 -> sfp.agg(aggCol).head().getAs[Array[Byte]]("bf"))
+        else sfp.groupBy(rangeOf(col("_fp")).as("_rg")).agg(aggCol)
+          .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toSeq
+      } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
+    val filters = built.filter(_._2 != null)
     val tagged = batch
       .withColumn("_fp", fingerprint(coalesce(batchText, lit(""))))
-    // empty snapshot aggregates to a null sketch: nothing to dedup against
-    if (bfBytes == null) return tagged.drop("_fp")
-    val probe = GraftGlue.column(BloomFilterMightContain(
-      Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
-      GraftGlue.expression(xxhash64(col("_fp")))))
+    // empty snapshot aggregates to no/null sketches: nothing to dedup against
+    if (filters.isEmpty) return tagged.drop("_fp")
+    def mightContain(bytes: Array[Byte]): Column =
+      GraftGlue.column(BloomFilterMightContain(
+        Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+        GraftGlue.expression(xxhash64(col("_fp")))))
+    // probe: direct might_contain for R=1, else a range-dispatch CASE chain
+    // (each row evaluates exactly one filter; a range with no snapshot rows
+    // is provably-absent → false)
+    val probe =
+      if (ranges == 1) mightContain(filters.head._2)
+      else filters.foldLeft(lit(false)) { case (acc, (r, bytes)) =>
+        when(rangeOf(col("_fp")) === r, mightContain(bytes)).otherwise(acc)
+      }
     val maybeTagged = tagged.withColumn("_maybe", probe)
     // no false negatives: !maybe rows are provably absent from the snapshot
     val fresh = maybeTagged.filter(!col("_maybe"))

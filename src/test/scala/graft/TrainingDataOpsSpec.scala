@@ -1009,6 +1009,13 @@ class TrainingDataOpsSpec extends SparkSpec {
         batchDf, snapshot, col("text"), col("text"), fpp = 0.4)
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(got == expected, s"round $round")
+      // the 10¹⁰-row shape: per-range filters + range-dispatch probe must
+      // be EXACT-equivalent (some ranges empty at this size — provably
+      // absent, not an error)
+      val gotRanged = graft.operators.Dedup.incrementalDedup(
+        batchDf, snapshot, col("text"), col("text"), fpp = 0.4, ranges = 4)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(gotRanged == expected, s"round $round (ranges=4)")
     }
   }
 
