@@ -1792,7 +1792,8 @@ class QuerySurfaceSpec extends SparkSpec {
     val rnd = new scala.util.Random(31337)
     val fields = Seq("a", "b", "c")
     val fns1 = Seq("abs", "floor", "ceil", "sqrt", "exp", "trim",
-      "tolowercase", "touppercase", "len", "num", "isnumeric", "urlencode")
+      "tolowercase", "touppercase", "len", "num", "isnumeric", "urlencode",
+      "urlnormalize", "urldomain")
     def gen(depth: Int): String =
       if (depth <= 0) rnd.nextInt(4) match {
         case 0 => fields(rnd.nextInt(fields.length))
