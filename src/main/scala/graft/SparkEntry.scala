@@ -1673,6 +1673,22 @@ object SparkEntry {
         Seq(col("domain")), col("event_id"), k = 40)
         .orderBy("event_id")
     }),
+    // ---- trace: cross-message id-chain follower — frontier expansion on
+    //      the co-occurrence graph, rows selected by id-array membership ----
+    "q145_piped_trace" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", lit("trace/app"))
+        .withColumn("message", concat(lit("req id=t"), col("event_id") % 600,
+          lit(" peer=t"), (col("event_id") % 600 - (col("event_id") % 600) % 20)))
+      val q = "_sourceCategory=trace* | trace \"(t[0-9]+)\" \"t47\"" +
+        " | parse \"id=* peer=*\" as id, peer" +
+        " | count by id, peer | sort by id, peer"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev.filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- URL kernels in the piped language: parse → urlnormalize/
     //      urldomain computed fields → rollup — the query-surface form of
     //      the q137 curation pipeline ----
@@ -3869,6 +3885,30 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY domain ORDER BY event_id) AS rn
            FROM dom)
          WHERE rn <= 40 ORDER BY event_id""",
+    "q145_piped_trace" ->
+      """WITH RECURSIVE
+         m AS (SELECT 'req id=t'||(event_id%600)
+                 ||' peer=t'||((event_id%600) - (event_id%600)%20) AS message
+               FROM events),
+         md AS (SELECT DISTINCT message FROM m),
+         ids AS (SELECT message,
+                   unnest(regexp_extract_all(message, '(t[0-9]+)', 1)) AS id
+                 FROM md),
+         reach AS (SELECT 't47' AS id
+                   UNION
+                   SELECT i2.id FROM reach r
+                   JOIN ids i1 ON i1.id = r.id
+                   JOIN ids i2 ON i2.message = i1.message),
+         sel AS (SELECT message FROM m WHERE EXISTS (
+                   SELECT 1 FROM ids i JOIN reach r ON i.id = r.id
+                   WHERE i.message = m.message)),
+         p AS (SELECT
+                 regexp_extract(message, '(.*?)\Qid=\E(.*?)\Q peer=\E(.*)', 2) AS id,
+                 regexp_extract(message, '(.*?)\Qid=\E(.*?)\Q peer=\E(.*)', 3) AS peer
+               FROM sel
+               WHERE regexp_matches(message, '(.*?)\Qid=\E(.*?)\Q peer=\E(.*)'))
+         SELECT id, peer, count(*)::BIGINT AS _count
+         FROM p GROUP BY id, peer ORDER BY id, peer""",
     "q144_piped_url" ->
       s"""WITH psl(r, kl) AS (VALUES $pslValues),
          m AS (SELECT

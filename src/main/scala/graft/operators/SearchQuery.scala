@@ -582,6 +582,23 @@ object SearchQuery {
     * offset they reappear in. `(cohort_week, week_offset, n_users)`.
     */
   final case class RetentionStage(userField: String) extends Stage
+  /** `trace "<regex-with-one-capture-group>" "<seed-id>"` — the reference
+    * language's cross-message chain follower: keep exactly the rows whose
+    * extracted ids connect (transitively, via co-occurrence in a row) to
+    * the seed id. Classic session/request forensics: start from one
+    * request id and pull every message in its causal chain.
+    *
+    * Scale shape: the id frontier expands one co-occurrence hop per round
+    * (a broadcast semi-join of the exploded id table against the reach
+    * set, distinct ids out) — rounds = chain diameter, each one bounded
+    * shuffle work; the reach table is id-cardinality. Row membership
+    * resolves WITHOUT row identity: the distinct id-ARRAYS overlapping the
+    * reach set select their rows by an array-equality semi-join. Rounds
+    * cap at `spark.graft.trace.maxRounds` (default 64) — co-occurrence
+    * graphs of real id chains are shallow (hub-shaped traces converge in
+    * 2-3 hops); the cap only guards pathological long-chain topologies.
+    */
+  final case class TraceStage(pattern: String, seed: String) extends Stage
   /** `diff field [as alias] [by k1, k2]` — consecutive difference of the
     * field (current minus previous row) in the CURRENT sort order, per key
     * when `by` is given. Default alias `_diff`; the first row per key is
@@ -734,6 +751,7 @@ object SearchQuery {
   private val LogExplainRe =
     "(?is)logexplain\\s+(.+?)\\s+on\\s+([A-Za-z0-9_]+(?:\\s*,\\s*[A-Za-z0-9_]+)*)(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val FunnelRe = "(?is)funnel\\s+(.+?)\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
+  private val TraceRe = "(?is)trace\\s+\"(.*?)\"\\s+\"(.*?)\"\\s*".r
   private val RetentionRe = "(?i)retention\\s+by\\s+([A-Za-z0-9_]+)\\s*".r
   private val SplitRe =
     "(?i)split\\s+([A-Za-z0-9_]+)\\s+delim=\"(.*?)\"\\s+extract\\s+(.+)".r
@@ -993,6 +1011,16 @@ object SearchQuery {
         case RetentionRe(user) => RetentionStage(user)
         case _ => throw new IllegalArgumentException(
           s"retention needs 'retention by <userField>': $s")
+      }
+    } else if (lower.startsWith("trace ")) {
+      s match {
+        case TraceRe(pat, seed) =>
+          require(pat.contains("("),
+            s"trace pattern needs a capture group for the id: $pat")
+          require(seed.nonEmpty, "trace needs a non-empty seed id")
+          TraceStage(pat, seed)
+        case _ => throw new IllegalArgumentException(
+          s"""trace needs 'trace "<regex>" "<seed-id>"': $s""")
       }
     } else if (lower == "logreduce" || lower.startsWith("logreduce ")) {
       s match {
@@ -2111,6 +2139,47 @@ object SearchQuery {
           order = Seq(("cohort_week", false), ("week_offset", false))
           graft.operators.Funnel.retention(df,
             col(resolveField(userField)), col(timeColName))
+        case TraceStage(pattern, seed) =>
+          val spark = df.sparkSession
+          require(!df.columns.contains("_tr_ids") && !df.columns.contains("_tr_id"),
+            "input already carries an internal _tr_* column")
+          // rows without any extractable id can never join a trace — gone
+          // up front, like the reference operator
+          val withIds = df
+            .withColumn("_tr_ids", regexp_extract_all(
+              col(messageColName), lit(pattern), lit(1)))
+            .filter(size(col("_tr_ids")) > 0)
+          // pinned: the frontier loop re-reads these frames once per hop
+          val pinned = Pins.pin(withIds)
+          val exploded = Pins.pin(pinned
+            .select(col("_tr_ids"), explode(col("_tr_ids")).as("_tr_id")))
+          var reach = spark.createDataset(Seq(seed))(
+            org.apache.spark.sql.Encoders.STRING).toDF("_tr_id")
+          var nReach = 1L
+          var grown = true
+          var rounds = 0
+          val maxRounds = spark.conf.getOption("spark.graft.trace.maxRounds")
+            .map(_.toInt).getOrElse(64)
+          while (grown && rounds < maxRounds) {
+            // one co-occurrence hop: every id sharing a row with the reach
+            // set joins it (monotone — convergence when the count stops
+            // growing; each round is one bounded job on the pinned table)
+            val next = Pins.pin(
+              exploded.join(broadcast(reach), "_tr_id")
+                .select(explode(col("_tr_ids")).as("_tr_id")).distinct())
+            val n = next.count()
+            grown = n > nReach
+            nReach = n
+            reach = next
+            rounds += 1
+          }
+          // membership without row identity: the distinct id-ARRAYS that
+          // overlap the reach set pick their rows via an array-equality
+          // semi-join (arrays hash/compare natively in Spark joins)
+          val matched = exploded
+            .join(broadcast(reach), Seq("_tr_id"), "left_semi")
+            .select(col("_tr_ids")).distinct()
+          pinned.join(matched, Seq("_tr_ids"), "left_semi").drop("_tr_ids")
         case BackshiftStage(field, n, alias, by) =>
           require(!df.columns.contains(alias),
             s"backshift alias '$alias' already exists")

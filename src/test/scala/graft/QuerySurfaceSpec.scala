@@ -1715,6 +1715,27 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(m._6 > 1.7e12) // epoch millis, constant per query
   }
 
+  test("Q1: trace — transitive id-chain filter via co-occurrence hops") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // two components: {a1,a2,a3} chained across rows, {b1,b2} separate;
+    // one row with no ids at all (dropped up front)
+    val df = Seq(
+      "start a1 meets a2", "hop a2 meets a3", "other b1 meets b2",
+      "tail a3 alone", "no ids here").toDF("message")
+    val out = compileStages(Seq(parseStage("trace \"(a\\d|b\\d)\" \"a1\"")),
+      "ts", "message")(df).as[String].collect().toSeq.sorted
+    // a1 -> a2 (row 1) -> a3 (row 2) -> row 4; b-rows and id-less rows out
+    assert(out == Seq("hop a2 meets a3", "start a1 meets a2", "tail a3 alone"))
+    // seed that matches nothing -> empty, not an error
+    val none = compileStages(Seq(parseStage("trace \"(a\\d|b\\d)\" \"zz\"")),
+      "ts", "message")(df).count()
+    assert(none == 0L)
+    // a capture group is required (the id IS group 1)
+    intercept[IllegalArgumentException](parseStage("trace \"a\\d\" \"a1\""))
+  }
+
   test("Q1: urlnormalize/urldomain computed fields — canonical form + PSL domain in the language") {
     import SearchQuery._
     val s = spark
