@@ -317,6 +317,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython"), p)
   }
 
+  test("trace: frontier joins broadcast, membership is a semi-join, nothing single-partition") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SearchQuery
+    val ev = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("message", concat(lit("req id=t"), col("event_id") % 60,
+        lit(" peer=t"), (col("event_id") % 60 - (col("event_id") % 60) % 20)))
+    val df = SearchQuery.compileStages(
+      Seq(SearchQuery.parseStage("trace \"(t[0-9]+)\" \"t7\"")),
+      "ts", "message")(ev)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the final membership join is an equi LEFT SEMI on the id arrays
+    // (broadcast at this size); no per-row nested-loop or cartesian work,
+    // nothing funneled through one partition
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("funnel reach tables route through the spill-aware pin (land as parquet over threshold)") {
     import org.apache.spark.sql.functions._
     val scratch = java.nio.file.Files.createTempDirectory("funnel-pins").toString
