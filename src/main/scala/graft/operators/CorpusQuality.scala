@@ -67,7 +67,11 @@ object CorpusQuality {
     val toks = df.select(idCol.as("doc_id"),
       explode(TextFunctions.tokens(textCol)).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    // SQL sum over zero rows is null — an empty corpus must yield an empty
+    // (correctly-typed) frame, not an NPE on getLong (same guard as
+    // dsirWeights; the literal below never evaluates when toks is empty)
+    val totRow = vocab.agg(sum(col("cnt"))).head()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val qSurprisal = round(log(lit(total.toDouble) / col("cnt")) * 1e9)
       .cast("long").as("q")
     toks.join(vocab.withColumn("q", qSurprisal).select("tok", "q"), "tok")
@@ -240,7 +244,9 @@ object CorpusQuality {
     val uni = df.select(
         explode(TextFunctions.positionalShingleHashes(t, 1)).as("h"))
       .groupBy("h").agg(count(lit(1)).as("cu"))
-    val total = uni.agg(sum(col("cu"))).head().getLong(0)
+    // null-sum guard for the empty corpus, as in unigramSurprisal
+    val totRow = uni.agg(sum(col("cu"))).head()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val bi = pos.groupBy(col("h12").as("h")).agg(count(lit(1)).as("cb"))
     val p = lit(lambda) * col("cb") / col("c1") +
       (lit(1.0) - lit(lambda)) * col("c2") / lit(total.toDouble)

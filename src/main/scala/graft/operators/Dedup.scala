@@ -74,17 +74,18 @@ object Dedup {
     val numBits = math.max(64L,
       math.ceil(-nPerRange * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     // BloomFilterAggregate silently CLAMPS n/numBits to the runtime-filter
-    // confs (defaults size for join pruning, ~4M items) — lift them for the
-    // build so the caller's fpp is honored, then restore. The confs are read
-    // at aggregate-eval time, so the scope only needs to cover the action.
-    val confKeys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nPerRange,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-    val saved = confKeys.map { case (k, need) =>
-      val cur = spark.conf.getOption(k)
-      if (cur.forall(_.toLong < need)) spark.conf.set(k, need.toString)
-      k -> cur
-    }
+    // confs (defaults size for join pruning, ~4M items) — lift them so the
+    // caller's fpp is honored. The lift is scoped to a CLONED session (same
+    // SparkContext, independent conf): concurrent queries planned on the
+    // caller's session during the build window never inherit the inflated
+    // limits, and concurrent incrementalDedup calls cannot race a
+    // last-writer-wins restore — there is nothing to restore.
+    val buildSession = GraftGlue.scopedSession(spark)
+    buildSession.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nPerRange.toString)
+    buildSession.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits.toString)
+    val sfpBuild = GraftGlue.withSession(sfp, buildSession)
     def rangeOf(fp: Column): Column =
       pmod(xxhash64(fp), lit(ranges.toLong)).cast("int")
     val aggCol = GraftGlue.column(new BloomFilterAggregate(
@@ -93,15 +94,10 @@ object Dedup {
     // one pass, R rows out: (range, filter). R=1 keeps the ungrouped form
     // (no exchange at all for the common case).
     val built: Seq[(Int, Array[Byte])] =
-      try {
-        if (ranges == 1)
-          Seq(0 -> sfp.agg(aggCol).head().getAs[Array[Byte]]("bf"))
-        else sfp.groupBy(rangeOf(col("_fp")).as("_rg")).agg(aggCol)
-          .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toSeq
-      } finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+      if (ranges == 1)
+        Seq(0 -> sfpBuild.agg(aggCol).head().getAs[Array[Byte]]("bf"))
+      else sfpBuild.groupBy(rangeOf(col("_fp")).as("_rg")).agg(aggCol)
+        .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toSeq
     val filters = built.filter(_._2 != null)
     val tagged = batch
       .withColumn("_fp", fingerprint(coalesce(batchText, lit(""))))

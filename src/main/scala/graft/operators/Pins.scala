@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.DataFrame
 
 /** The spill-aware pin every multi-pass operator shares: materialize an
@@ -13,40 +15,82 @@ import org.apache.spark.sql.DataFrame
   * `spark.graft.scratch.dir` and are read back, so a 100 TB stage spills to
   * (shared) storage instead of pinning a user-cardinality working set into
   * block memory — where a lost executor would also invalidate the
-  * non-replicated localCheckpoint blocks mid-job. Spilled pins live until
-  * the scratch dir is cleaned (a JVM-exit hook reaps them locally; a
-  * cluster deployment pointing scratch at an object store should pair it
-  * with a TTL rule).
+  * non-replicated localCheckpoint blocks mid-job.
   *
-  * Used by [[SearchQuery.pinSortedByPid]] (global two-pass stages) and by
-  * [[Funnel]]'s per-step reach tables.
+  * Lifecycle: iterative operators ([[SearchQuery]]'s trace frontier, any
+  * loop that supersedes its previous round's pin) call [[release]] as soon
+  * as a pin has no remaining consumer — blocks unpersist / the scratch dir
+  * is deleted eagerly. Anything not released is reaped by ONE static JVM
+  * shutdown hook over a concurrent registry (NOT a hook per pin — a
+  * long-lived session pinning thousands of frames must not accumulate
+  * thousands of hook threads); a cluster deployment pointing scratch at an
+  * object store should pair it with a TTL rule.
+  *
+  * Used by [[SearchQuery.pinSortedByPid]] (global two-pass stages), by
+  * [[Funnel]]'s per-step reach tables, and by the trace frontier loop.
   */
 object Pins {
+
+  /** Scratch dirs of spilled pins not yet released — reaped at JVM exit. */
+  private val spilledDirs = ConcurrentHashMap.newKeySet[String]()
+
+  /** Pinned frame → its eager-release action. Weak keys: a pin the caller
+    * simply drops stays collectible, and its spill dir is still in
+    * [[spilledDirs]] for the exit hook.
+    */
+  private val releasers = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, () => Unit]())
+
+  private lazy val installExitHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      spilledDirs.forEach(d => rmTree(d))
+    }))
+
+  private def rmTree(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    } catch { case _: Exception => () }
 
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val threshold = spark.conf.getOption("spark.graft.pin.spillBytes")
       .map(_.toLong).getOrElse(4L << 30)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= threshold) df.localCheckpoint(true)
-    else {
+    if (est <= threshold) {
+      val out = df.localCheckpoint(true)
+      // eager release = unpersist the checkpointed blocks; the frame is NOT
+      // recomputable afterwards (localCheckpoint truncates lineage), which
+      // is exactly the contract: release only a superseded pin
+      releasers.put(out, () => out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+      }.getOrElse(()))
+      out
+    } else {
       val base = spark.conf.getOption("spark.graft.scratch.dir")
         .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-pins")
       val dir = s"$base/pin-${java.util.UUID.randomUUID}"
       df.write.mode("overwrite").parquet(dir)
-      // best-effort lifecycle: a spilled pin is query-scoped scratch, not a
-      // SearchJobs store — reap it when this JVM exits (a cluster deployment
-      // pointing scratch at an object store should pair it with a TTL rule)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Paths.get(dir)
-          val walk = java.nio.file.Files.walk(root)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator.asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        } catch { case _: Exception => () }))
-      spark.read.parquet(dir)
+      spilledDirs.add(dir)
+      installExitHook
+      val out = spark.read.parquet(dir)
+      releasers.put(out, () => { spilledDirs.remove(dir); rmTree(dir) })
+      out
     }
   }
+
+  /** Eagerly free a frame returned by [[pin]] once nothing will read it
+    * again: unpersists the localCheckpoint blocks or deletes the scratch
+    * parquet. No-op for frames [[pin]] did not produce (callers may pass a
+    * loop's unpinned seed frame without special-casing round zero).
+    */
+  def release(df: DataFrame): Unit =
+    Option(releasers.remove(df)).foreach(_.apply())
 }

@@ -2160,16 +2160,32 @@ object SearchQuery {
           var rounds = 0
           val maxRounds = spark.conf.getOption("spark.graft.trace.maxRounds")
             .map(_.toInt).getOrElse(64)
+          // guard the frontier broadcast: real id chains have component-
+          // sized (small) reach sets, but a degenerate seed — a capture
+          // group matching a ubiquitous token — grows the component to
+          // corpus scale, and a forced broadcast() hint there OOMs the
+          // driver instead of degrading. The per-hop count is already on
+          // hand for convergence: above the limit the hint is dropped and
+          // the join falls back to a shuffle hash/merge semi-join.
+          val bcastIdLimit =
+            spark.conf.getOption("spark.graft.trace.broadcastIdLimit")
+              .map(_.toLong).getOrElse(1000000L)
+          def frontier(r: DataFrame, n: Long) =
+            if (n <= bcastIdLimit) broadcast(r) else r
           while (grown && rounds < maxRounds) {
             // one co-occurrence hop: every id sharing a row with the reach
             // set joins it (monotone — convergence when the count stops
             // growing; each round is one bounded job on the pinned table)
             val next = Pins.pin(
-              exploded.join(broadcast(reach), "_tr_id")
+              exploded.join(frontier(reach, nReach), "_tr_id")
                 .select(explode(col("_tr_ids")).as("_tr_id")).distinct())
             val n = next.count()
             grown = n > nReach
             nReach = n
+            // the superseded round's pin has no remaining consumer — free
+            // its blocks now instead of accumulating up to maxRounds pinned
+            // frames in the block manager (no-op on the unpinned seed frame)
+            Pins.release(reach)
             reach = next
             rounds += 1
           }
@@ -2177,7 +2193,7 @@ object SearchQuery {
           // overlap the reach set pick their rows via an array-equality
           // semi-join (arrays hash/compare natively in Spark joins)
           val matched = exploded
-            .join(broadcast(reach), Seq("_tr_id"), "left_semi")
+            .join(frontier(reach, nReach), Seq("_tr_id"), "left_semi")
             .select(col("_tr_ids")).distinct()
           pinned.join(matched, Seq("_tr_ids"), "left_semi").drop("_tr_ids")
         case BackshiftStage(field, n, alias, by) =>

@@ -1,5 +1,9 @@
 package graft.sinks
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,8 +19,42 @@ import org.apache.spark.sql.functions._
   * handle the rest inside each file. Writes are append-only and idempotent
   * per batch directory; `maxRecordsPerFile` bounds file sizes so a hot
   * category-day splits instead of producing one giant file.
+  *
+  * == Reader isolation (manifest) ==
+  *
+  * Each partition directory MAY carry a `_manifest` file; when present,
+  * readers resolve the live file set through it instead of trusting the raw
+  * directory listing. The manifest records (a) at most one `pending` compact
+  * token — files named `part-compact-<token>-*` are staged by an in-flight
+  * compaction and NOT yet live — and (b) a set of `dead` files — superseded
+  * by a committed compaction, awaiting garbage collection. Live set =
+  * directory parquets − dead − pending-token files. Plain appends write
+  * fresh uniquely-named files that are neither dead nor pending, so they are
+  * live the moment they land, manifest or not.
+  *
+  * [[compact]]'s ONLY commit point is one atomic manifest rename (pending →
+  * dead). A reader that resolved the old manifest keeps reading the old
+  * files (they stay on disk through a configurable grace period); a reader
+  * that resolves the new one sees exactly the new files. No reader can
+  * observe a partial mixture, and a kill at ANY point leaves the partition
+  * in one of two consistent states (see [[compact]]). This is the same
+  * snapshot discipline table formats (Delta/Iceberg) apply at catalog scale,
+  * kept deliberately minimal: one small text file per partition directory.
+  *
+  * [[open]]/[[search]] resolve the manifest at call time and pin the
+  * snapshot: the returned DataFrame reads exactly the files live at that
+  * moment — later appends or compaction commits do not shift it. That is
+  * what makes concurrent search-job pagination stable while ingest runs.
   */
 object LogStore {
+
+  /** How long a superseded (compacted-away) file stays on disk after the
+    * compaction commit before garbage collection may remove it. In-flight
+    * readers that resolved the pre-commit manifest keep reading those files;
+    * the grace period bounds how stale such a reader may be. Same idea as
+    * Delta's vacuum retention, scaled to query latency rather than days.
+    */
+  val DefaultDeadFileGraceMs: Long = 10L * 60 * 1000
 
   /** Append a derived log batch (shape per [[graft.operators.Metadata.derive]]
     * plus a `ts` timestamp column) into the partitioned store.
@@ -30,18 +68,36 @@ object LogStore {
       .partitionBy("ingest_date", "source_category")
       .parquet(dir)
 
-  /** Open the store for querying; partition columns come back typed. */
-  def open(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  /** Open the store for querying; partition columns come back typed.
+    *
+    * Snapshot semantics: the live file set of every partition is resolved
+    * through its `_manifest` (if any) NOW, and the returned DataFrame is
+    * pinned to that set. Concurrent compaction cannot starve this reader
+    * (superseded files outlive the commit by the grace period) and
+    * concurrent appends do not shift already-created pages mid-pagination.
+    */
+  def open(spark: SparkSession, dir: String): DataFrame = {
+    val files = liveFiles(Paths.get(dir)).map(_.toString)
+    require(files.nonEmpty, s"empty or missing store: $dir")
+    spark.read.option("basePath", dir).parquet(files: _*)
+  }
 
   /** The canonical search shape: category selector + time range, both
-    * pruning/pushing at the scan.
+    * pruning/pushing at the scan. Category pruning happens twice — at
+    * listing time (only matching partition directories are walked) and at
+    * planning time (the partition filter stays in the plan) — so the scan
+    * never touches another category's files even before Catalyst runs.
     */
   def search(spark: SparkSession, dir: String, category: String,
-      fromTs: Column, toTs: Column, tsCol: String = "ts"): DataFrame =
-    open(spark, dir)
+      fromTs: Column, toTs: Column, tsCol: String = "ts"): DataFrame = {
+    val files = liveFiles(Paths.get(dir),
+      partKeep = _.getFileName.toString == s"source_category=$category")
+      .map(_.toString)
+    require(files.nonEmpty, s"no live files for category $category in $dir")
+    spark.read.option("basePath", dir).parquet(files: _*)
       .filter(col("source_category") === category)
       .filter(col(tsCol) >= fromTs && col(tsCol) < toTs)
+  }
 
   /** Compact one category-day partition: rewrite its accumulated small
     * files (streaming appends land file-per-micro-batch) into
@@ -54,60 +110,48 @@ object LogStore {
     * aligning parquet row-group min/max stats with the dominant time-range
     * predicate so scans skip whole row groups.
     *
-    * Crash-safe swap: the old files are RENAMED into a sibling
-    * `_compact_trash` dir (cheap same-filesystem rename, never a delete of
-    * live data), the new files move in, and only then is the trash dropped.
-    * A kill at any point loses nothing: every byte is in the partition, the
-    * trash, or the (Spark-ignored, underscore-prefixed) tmp dir — and the
-    * next [[compact]] call on the partition self-heals by rolling the
-    * interrupted swap back (drops this run's partially-moved-in new files,
-    * identified by the run token recorded in the trash, and restores the
-    * trash) before starting its own. Single-writer maintenance op: run it
-    * when no append targets the same partition. Returns
-    * `(filesBefore, filesAfter)`.
+    * == Protocol (single explicit commit point) ==
+    *
+    *  1. recover+GC preamble: an uncommitted prior run's `pending` files
+    *     are deleted (their data is still fully in the old live files);
+    *     `dead` files older than `deadFileGraceMs` are deleted. Both are
+    *     idempotent — a kill mid-preamble just leaves work for the next run.
+    *  1. the compacted data is written to `_compact_tmp` (underscore dir:
+    *     invisible to Spark and to [[liveFiles]]).
+    *  1. the manifest is atomically replaced with one declaring this run's
+    *     token `pending`, then the new files move in (still invisible:
+    *     their names carry the pending token).
+    *  1. COMMIT: the manifest is atomically replaced again — pending
+    *     cleared, the old files recorded `dead` with a timestamp. This one
+    *     rename is the entire commit; before it readers resolve the old
+    *     set, after it the new set, never a mixture.
+    *  1. old files are NOT deleted here — they age out via the preamble of
+    *     a later maintenance pass (or immediately when
+    *     `deadFileGraceMs = 0`), so readers holding the pre-commit snapshot
+    *     are never starved mid-query.
+    *
+    * A kill at any point loses nothing and duplicates nothing: before the
+    * commit rename the authoritative state is the old files (pending ones
+    * are garbage by construction); after it, the new ones (dead ones are
+    * garbage). There is no window in which both or neither hold.
+    *
+    * Concurrent readers are safe; concurrent appends to the same partition
+    * are safe (fresh file names are live regardless of manifest state);
+    * concurrent compacts of the SAME partition remain single-writer by
+    * contract. Returns `(filesBefore, filesAfter)` — live counts.
     */
   def compact(spark: SparkSession, dir: String, ingestDate: String,
       category: String, targetRecordsPerFile: Long = 5000000L,
-      clusterBy: Seq[String] = Seq.empty): (Int, Int) = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+      clusterBy: Seq[String] = Seq.empty,
+      deadFileGraceMs: Long = DefaultDeadFileGraceMs): (Int, Int) = {
     val part = Paths.get(dir, s"ingest_date=$ingestDate",
       s"source_category=$category")
     require(Files.isDirectory(part), s"no such partition: $part")
-    // Files.list streams hold a directory fd until closed — this runs once
-    // per partition per maintenance sweep, so leaks accumulate fast
-    def ls(d: Path)(keep: Path => Boolean): Seq[Path] = {
-      val s = Files.list(d)
-      try s.iterator().asScala.filter(keep).toList finally s.close()
-    }
-    def parquets(d: Path) = ls(d)(_.getFileName.toString.endsWith(".parquet"))
-    val tmp = part.resolve("_compact_tmp")
-    val trash = part.resolve("_compact_trash")
-    val tokenFile = trash.resolve("_token")
-    def rmTree(root: Path): Unit = {
-      if (Files.isDirectory(root)) ls(root)(_ => true).foreach(rmTree)
-      Files.deleteIfExists(root)
-    }
-    // roll back an interrupted previous swap: files moved in by THAT run
-    // carry its token in their name (read from the trash marker); drop
-    // them, restore the trash (the authoritative old layout), start clean
-    if (Files.isDirectory(trash)) {
-      val staleToken =
-        if (Files.exists(tokenFile))
-          new String(Files.readAllBytes(tokenFile),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-        else ""
-      if (staleToken.nonEmpty)
-        parquets(part).filter(_.getFileName.toString.contains(staleToken))
-          .foreach(Files.delete)
-      parquets(trash).foreach(p =>
-        Files.move(p, part.resolve(p.getFileName),
-          StandardCopyOption.ATOMIC_MOVE))
-      rmTree(trash)
-    }
+    recoverAndGc(part, deadFileGraceMs)
+    val tmp = part.resolve(TmpDir)
     rmTree(tmp)
-    val before = parquets(part)
-    val df = spark.read.parquet(part.toString)
+    val before = liveParquets(part)
+    val df = spark.read.parquet(before.map(_.toString): _*)
     val n = df.count()
     val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     // clusterBy (typically the timestamp): range-partition across the output
@@ -120,20 +164,167 @@ object LogStore {
         .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
     arranged.write.mode("overwrite").parquet(tmp.toString)
     val token = java.util.UUID.randomUUID.toString.take(8)
-    // swap: token marker first (so a half-done move-in is identifiable),
-    // then old → trash, new → in, trash dropped last
-    Files.createDirectories(trash)
-    Files.write(tokenFile,
-      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    before.foreach(p =>
-      Files.move(p, trash.resolve(p.getFileName), StandardCopyOption.ATOMIC_MOVE))
-    val moved = parquets(tmp)
-    moved.zipWithIndex.foreach { case (p, i) =>
+    val m0 = readManifest(part)
+    // stage: declare the token pending FIRST (atomic), so the moved-in files
+    // are invisible to every reader from the instant they appear
+    writeManifest(part, m0.copy(pending = Some(token)))
+    val staged = parquets(tmp)
+    staged.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, part.resolve(f"part-compact-$token-$i%05d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    rmTree(trash)
+    // COMMIT — one atomic rename flips pending → dead
+    val now = System.currentTimeMillis()
+    writeManifest(part, Manifest(pending = None,
+      dead = m0.dead ++ before.map(p => now -> p.getFileName.toString)))
+    if (deadFileGraceMs <= 0) recoverAndGc(part, deadFileGraceMs)
     rmTree(tmp)
-    (before.length, moved.length)
+    (before.length, staged.length)
+  }
+
+  /** Run just the recover+GC preamble of [[compact]] on one partition —
+    * useful as a standalone maintenance sweep to reap aged-out dead files
+    * without rewriting anything.
+    */
+  def vacuum(dir: String, ingestDate: String, category: String,
+      deadFileGraceMs: Long = DefaultDeadFileGraceMs): Unit = {
+    val part = Paths.get(dir, s"ingest_date=$ingestDate",
+      s"source_category=$category")
+    require(Files.isDirectory(part), s"no such partition: $part")
+    recoverAndGc(part, deadFileGraceMs)
+  }
+
+  // ---------------------------------------------------------------- manifest
+
+  private val ManifestName = "_manifest"
+  private val TmpDir = "_compact_tmp"
+
+  /** `pending`: an in-flight compact's token — `part-compact-<token>-*`
+    * files are staged, not live. `dead`: (commitMillis, fileName) pairs
+    * superseded by a committed compact, awaiting GC.
+    */
+  private case class Manifest(pending: Option[String],
+      dead: Seq[(Long, String)]) {
+    def isEmpty: Boolean = pending.isEmpty && dead.isEmpty
+  }
+
+  private def readManifest(part: Path): Manifest = {
+    val f = part.resolve(ManifestName)
+    if (!Files.exists(f)) Manifest(None, Nil)
+    else {
+      val lines = Files.readAllLines(f,
+        java.nio.charset.StandardCharsets.UTF_8).asScala.map(_.trim)
+      val pending = lines.collectFirst {
+        case l if l.startsWith("pending=") => l.stripPrefix("pending=")
+      }.filter(_.nonEmpty)
+      val dead = lines.collect {
+        case l if l.startsWith("dead=") =>
+          val v = l.stripPrefix("dead=")
+          val comma = v.indexOf(',')
+          (v.take(comma).toLong, v.drop(comma + 1))
+      }.toSeq
+      Manifest(pending, dead)
+    }
+  }
+
+  /** Atomic replace: write a sibling temp file, ATOMIC_MOVE it onto
+    * `_manifest`. An empty manifest is deleted — a partition that has never
+    * compacted stays manifest-free and reads straight off the listing.
+    */
+  private def writeManifest(part: Path, m: Manifest): Unit = {
+    val f = part.resolve(ManifestName)
+    if (m.isEmpty) { Files.deleteIfExists(f); return }
+    val body = (m.pending.map(t => s"pending=$t").toSeq ++
+      m.dead.map { case (ts, name) => s"dead=$ts,$name" }).mkString("\n")
+    val tmp = part.resolve(ManifestName + ".tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Idempotent recovery + garbage collection. An uncommitted pending
+    * token's staged files are garbage (the commit rename never happened, so
+    * the old files are authoritative) — delete them, clear the marker. Dead
+    * entries older than the grace period are deleted files-first (a kill
+    * between file deletes and the manifest rewrite just re-runs harmlessly:
+    * `deleteIfExists`).
+    */
+  private def recoverAndGc(part: Path, deadFileGraceMs: Long): Unit = {
+    val m = readManifest(part)
+    if (m.isEmpty) return
+    m.pending.foreach { t =>
+      parquets(part)
+        .filter(_.getFileName.toString.startsWith(s"part-compact-$t-"))
+        .foreach(Files.deleteIfExists(_))
+    }
+    val cutoff = System.currentTimeMillis() - deadFileGraceMs
+    val (expired, kept) = m.dead.partition(_._1 <= cutoff)
+    expired.foreach { case (_, name) =>
+      Files.deleteIfExists(part.resolve(name))
+    }
+    writeManifest(part, Manifest(None, kept))
+  }
+
+  // ----------------------------------------------------------------- listing
+
+  private def ls(d: Path)(keep: Path => Boolean): Seq[Path] = {
+    // Files.list streams hold a directory fd until closed
+    val s = Files.list(d)
+    try s.iterator().asScala.filter(keep).toList finally s.close()
+  }
+
+  private def parquets(d: Path): Seq[Path] =
+    ls(d)(_.getFileName.toString.endsWith(".parquet"))
+
+  /** The files of one partition a reader may see: directory parquets minus
+    * manifest-dead minus pending-staged.
+    *
+    * The manifest is read before AND after the directory listing and the
+    * listing only counts when both reads agree (generation check): every
+    * state transition — pending declare, commit, GC — rewrites the manifest,
+    * so a stable manifest proves the listing is consistent with it. Without
+    * this, a listing taken before a compact's staging paired with a manifest
+    * read after its commit would resolve an empty (or doubled) set.
+    */
+  private def liveParquets(part: Path): Seq[Path] = {
+    var attempt = 0
+    while (true) {
+      val m1 = readManifest(part)
+      val listed = parquets(part)
+      val m2 = readManifest(part)
+      if (m1 == m2 || attempt >= 50) {
+        val deadNames = m2.dead.map(_._2).toSet
+        return listed.filter { p =>
+          val name = p.getFileName.toString
+          !deadNames.contains(name) &&
+            !m2.pending.exists(t => name.startsWith(s"part-compact-$t-"))
+        }
+      }
+      attempt += 1
+      Thread.sleep(10)
+    }
+    Nil // unreachable
+  }
+
+  /** Walk the `ingest_date=.../source_category=...` partition dirs (filtered by
+    * `partKeep` on the category dir) and resolve each through its manifest.
+    * Driver-side and sequential — one cheap text read per partition dir; at
+    * catalog scale this listing would live in a table format instead.
+    */
+  private def liveFiles(root: Path,
+      partKeep: Path => Boolean = _ => true): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Nil
+    for {
+      dateDir <- ls(root)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("ingest_date="))
+      catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("source_category=") && partKeep(p))
+      f <- liveParquets(catDir)
+    } yield f
+  }
+
+  private def rmTree(root: Path): Unit = {
+    if (Files.isDirectory(root)) ls(root)(_ => true).foreach(rmTree)
+    Files.deleteIfExists(root)
   }
 }

@@ -80,18 +80,29 @@ object Streams {
     * number — `dropDuplicatesWithinWatermark` on it makes the store
     * exactly-once per record as long as redelivery happens inside the
     * horizon (which bounds the dedup state; Kinesis iterator expiry is
-    * minutes). Records without a sequence number key on a content hash —
-    * a duplicate-delivered identical blob still dedups. The watermark
-    * clock is arrival time (a live connector would pass
-    * approximateArrivalTimestamp through instead).
+    * minutes). Records WITHOUT a sequence number pass through unconditionally
+    * by default: keying them on a content hash would silently DROP genuinely
+    * distinct records that carry byte-identical payloads inside the horizon
+    * (repeated log lines in a sequence-number-less landed-file dump are
+    * data, not duplicates). Opt into that lossy behavior explicitly with
+    * `dedupContentHashFallback = true` when the feed's identical blobs
+    * really are redeliveries. The watermark clock is arrival time (a live
+    * connector would pass approximateArrivalTimestamp through instead).
     */
   def kinesisToStore(records: DataFrame, cfg: CwlPipeline.Config,
       metaCfg: Metadata.MetaConfig, storeDir: String,
-      dedupWithin: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      dedupWithin: Option[String] = None,
+      dedupContentHashFallback: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val stream = dedupWithin.fold(records) { horizon =>
+      // the prefix disambiguates the three key spaces; uuid() makes a
+      // sequence-number-less record's key unique — never deduped, and a
+      // task retry only re-randomizes toward keeping (at-least-once safe)
+      val fallback =
+        if (dedupContentHashFallback) concat(lit("h:"), sha2(col("kinesis.data"), 256))
+        else concat(lit("u:"), expr("uuid()"))
       records
-        .withColumn("_seq", coalesce(col("kinesis.sequenceNumber"),
-          sha2(col("kinesis.data"), 256)))
+        .withColumn("_seq", coalesce(
+          concat(lit("s:"), col("kinesis.sequenceNumber")), fallback))
         .withColumn("_arrival", current_timestamp())
         .withWatermark("_arrival", horizon)
         .dropDuplicatesWithinWatermark("_seq")
@@ -122,6 +133,13 @@ object Streams {
       storeDir: String,
       dedupWithin: Option[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     kinesisToStore(source.open(spark), cfg, metaCfg, storeDir, dedupWithin)
+
+  def kinesisToStore(spark: SparkSession, source: RecordSource,
+      cfg: CwlPipeline.Config, metaCfg: Metadata.MetaConfig,
+      storeDir: String, dedupWithin: Option[String],
+      dedupContentHashFallback: Boolean): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    kinesisToStore(source.open(spark), cfg, metaCfg, storeDir, dedupWithin,
+      dedupContentHashFallback)
 
   /** S5/R3: DLQ drain — scheduled like the reference's drain
     * (`rate(5 minutes)`, `DLQLambdaCloudFormation.json:257`); re-posts each

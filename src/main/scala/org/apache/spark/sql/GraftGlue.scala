@@ -17,4 +17,21 @@ object GraftGlue {
     * risking `get`'s unbounded block.
     */
   def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
+
+  /** A twin session sharing the SparkContext and everything cached, but
+    * with an INDEPENDENT conf (`cloneSession` is `private[sql]`). The
+    * sanctioned way to scope a conf override to one operation: set it on
+    * the clone, run the action there, drop the clone — concurrent queries
+    * on the original session never observe the override and there is no
+    * restore step to race on.
+    */
+  def scopedSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Rebind a frame's logical plan to another session (same SparkContext),
+    * so its actions plan and run under THAT session's conf.
+    */
+  def withSession(df: DataFrame, spark: SparkSession): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
 }

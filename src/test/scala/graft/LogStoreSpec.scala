@@ -87,10 +87,9 @@ class LogStoreSpec extends SparkSpec {
     }
   }
 
-  test("compact self-heals an interrupted swap without losing or duplicating rows") {
+  private def fourBatches(dir: String): Unit = {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("logstore-crash").toString
     (0 until 4).foreach { b =>
       LogStore.append(
         (0 until 50).map(i =>
@@ -99,33 +98,120 @@ class LogStoreSpec extends SparkSpec {
           .toDF("ts", "source_category", "message"),
         dir, col("ts"))
     }
-    val expect = LogStore.open(spark, dir).select("message")
-      .as[String].collect().sorted.toSeq
+  }
+
+  private def messages(dir: String): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    LogStore.open(spark, dir).select("message").as[String].collect()
+      .sorted.toSeq
+  }
+
+  test("compact killed before commit: staged files invisible, next run heals") {
+    val dir = Files.createTempDirectory("logstore-crash").toString
+    fourBatches(dir)
+    val expect = messages(dir)
     val part = java.nio.file.Paths.get(dir,
       "ingest_date=2024-03-01", "source_category=cat-0")
-    // simulate a compact killed mid-swap: one old file already renamed into
-    // the trash (token recorded), one half-moved-in new file from the dead
-    // run (garbage bytes — it must be dropped unread), rest untouched
-    val trash = part.resolve("_compact_trash")
-    Files.createDirectories(trash)
-    Files.write(trash.resolve("_token"), "deadcafe".getBytes("UTF-8"))
-    val old = {
+    // simulate a compact killed between staging and the commit rename: the
+    // manifest declares the token pending and one half-moved-in garbage file
+    // carries it (not valid parquet — it must be deleted unread, never
+    // resolved as live by any reader)
+    Files.write(part.resolve("_manifest"), "pending=deadcafe".getBytes("UTF-8"))
+    Files.write(part.resolve("part-compact-deadcafe-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // readers resolve the OLD set — the uncommitted staged file is invisible
+    assert(messages(dir) == expect)
+    // the next compact deletes the dead run's staging, then compacts normally
+    val (nBefore, nAfter) = LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    assert(nBefore >= 4 && nAfter == 1, s"$nBefore -> $nAfter")
+    assert(messages(dir) == expect)
+    assert(!Files.exists(part.resolve("part-compact-deadcafe-00000.parquet")))
+    assert(!Files.exists(part.resolve("_compact_tmp")))
+  }
+
+  test("compact killed mid-GC: dead files stay excluded, next sweep finishes") {
+    val dir = Files.createTempDirectory("logstore-crash2").toString
+    fourBatches(dir)
+    val expect = messages(dir)
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    // commit with the default grace: old files linger on disk, recorded dead
+    val (nBefore, _) = LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    val allFiles = {
       val ls = Files.list(part)
       try ls.iterator().asScala.toList.filter(
         _.getFileName.toString.endsWith(".parquet"))
       finally ls.close()
     }
-    Files.move(old.head, trash.resolve(old.head.getFileName))
-    Files.write(part.resolve("part-compact-deadcafe-00000.parquet"),
-      Array[Byte](1, 2, 3)) // not valid parquet — recovery must delete, not read
-    // the next compact rolls the dead swap back, then compacts normally
-    val (nBefore, nAfter) = LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+    assert(allFiles.length == nBefore + 1) // dead files still present
+    assert(messages(dir) == expect)       // but excluded from reads
+    // simulate a GC pass killed after deleting SOME dead files (manifest not
+    // yet rewritten): reads stay exact — deletion order cannot matter
+    val manifest = new String(Files.readAllBytes(part.resolve("_manifest")), "UTF-8")
+    val firstDead = manifest.linesIterator
+      .find(_.startsWith("dead=")).get.split(",", 2)(1)
+    Files.delete(part.resolve(firstDead))
+    assert(messages(dir) == expect)
+    // the next sweep (grace 0) finishes the cleanup idempotently
+    LogStore.vacuum(dir, "2024-03-01", "cat-0", deadFileGraceMs = 0L)
+    val after = {
+      val ls = Files.list(part)
+      try ls.iterator().asScala.toList.filter(
+        _.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    }
+    assert(after.length == 1)
+    assert(!Files.exists(part.resolve("_manifest"))) // empty manifest removed
+    assert(messages(dir) == expect)
+  }
+
+  test("search during compact never observes a partial file set") {
+    val dir = Files.createTempDirectory("logstore-iso").toString
+    fourBatches(dir) // 200 rows, one partition
+    val from = lit("2024-03-01").cast("timestamp")
+    val to = lit("2024-03-02").cast("timestamp")
+    @volatile var stop = false
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        val n = LogStore.search(spark, dir, "cat-0", from, to).count()
+        if (n != 200L) bad.add(n)
+      }
+    })
+    reader.start()
+    try {
+      // repeated compactions with alternating layout while the reader spins;
+      // default grace keeps superseded files alive for in-flight snapshots
+      (0 until 4).foreach { i =>
+        LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+          targetRecordsPerFile = if (i % 2 == 0) 1000L else 50L,
+          clusterBy = if (i % 2 == 0) Seq("ts") else Seq.empty)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(bad.isEmpty, s"reader observed partial counts: $bad")
+    assert(messages(dir).length == 200)
+  }
+
+  test("appends during the grace window stay live alongside the manifest") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-app").toString
+    fourBatches(dir)
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
       targetRecordsPerFile = 1000L)
-    assert(nBefore >= 4 && nAfter == 1, s"$nBefore -> $nAfter")
-    val got = LogStore.open(spark, dir).select("message")
-      .as[String].collect().sorted.toSeq
-    assert(got == expect)
-    assert(!Files.exists(trash) && !Files.exists(part.resolve("_compact_tmp")))
+    // an append AFTER the compact commit lands fresh file names: live
+    // immediately even though the partition carries a manifest with dead
+    // entries, and untouched by the subsequent GC sweep
+    LogStore.append(
+      Seq((java.sql.Timestamp.valueOf("2024-03-01 11:00:00"), "cat-0",
+        """{"late":1}""")).toDF("ts", "source_category", "message"),
+      dir, col("ts"))
+    assert(messages(dir).length == 201)
+    LogStore.vacuum(dir, "2024-03-01", "cat-0", deadFileGraceMs = 0L)
+    assert(messages(dir).length == 201)
   }
 
   test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {

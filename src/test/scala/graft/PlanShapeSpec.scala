@@ -338,6 +338,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("trace: over the broadcast-id limit the frontier degrades to a shuffle semi-join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SearchQuery
+    val ev = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("message", concat(lit("req id=t"), col("event_id") % 60,
+        lit(" peer=t"), (col("event_id") % 60 - (col("event_id") % 60) % 20)))
+    val prevLimit = spark.conf.getOption("spark.graft.trace.broadcastIdLimit")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // limit 0 drops the hint every round; auto-broadcast off proves the
+    // fallback really is a shuffle join, not the same broadcast by another
+    // route (in production auto-broadcast MAY still fire — that's Spark's
+    // own size-checked decision, which is exactly the safe regime)
+    spark.conf.set("spark.graft.trace.broadcastIdLimit", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SearchQuery.compileStages(
+        Seq(SearchQuery.parseStage("trace \"(t[0-9]+)\" \"t7\"")),
+        "ts", "message")(ev)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("LeftSemi"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally {
+      prevLimit.fold(spark.conf.unset("spark.graft.trace.broadcastIdLimit"))(
+        spark.conf.set("spark.graft.trace.broadcastIdLimit", _))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("funnel reach tables route through the spill-aware pin (land as parquet over threshold)") {
     import org.apache.spark.sql.functions._
     val scratch = java.nio.file.Files.createTempDirectory("funnel-pins").toString

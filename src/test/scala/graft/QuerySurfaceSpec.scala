@@ -1736,6 +1736,33 @@ class QuerySurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseStage("trace \"a\\d\" \"a1\""))
   }
 
+  test("Q1: trace — degenerate seed (corpus-wide component) completes without a frontier broadcast") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // every row shares the ubiquitous token, so the reach set is the whole
+    // id universe after one hop — with the broadcast limit forced to 0 the
+    // frontier hint is dropped every round and the trace must still
+    // converge and return every id-bearing row via shuffle semi-joins
+    val df = (0 until 500).map(i => s"req common hits u$i").toDF("message")
+    val prev = spark.conf.getOption("spark.graft.trace.broadcastIdLimit")
+    spark.conf.set("spark.graft.trace.broadcastIdLimit", "0")
+    try {
+      val out = compileStages(
+        Seq(parseStage("trace \"(common|u\\d+)\" \"u7\"")),
+        "ts", "message")(df)
+      assert(out.count() == 500L)
+      // the guarded plan carries no user broadcast hint (auto-broadcast by
+      // Spark's own size check is fine — the hazard was the unconditional
+      // hint): at limit 0 no ResolvedHint appears in the analyzed plan
+      assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        out.queryExecution.analyzed.toString)
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.trace.broadcastIdLimit"))(
+        spark.conf.set("spark.graft.trace.broadcastIdLimit", _))
+    }
+  }
+
   test("Q1: urlnormalize/urldomain computed fields — canonical form + PSL domain in the language") {
     import SearchQuery._
     val s = spark

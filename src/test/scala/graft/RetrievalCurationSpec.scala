@@ -154,6 +154,22 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(out(0L)._2 < out(1L)._2)            // templated text is predictable
   }
 
+  test("surprisal on an empty corpus returns an empty frame, not an NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val u = CorpusQuality.unigramSurprisal(empty, col("doc_id"), col("text"))
+    assert(u.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "mean_surprisal") && u.count() == 0)
+    val b = CorpusQuality.bigramSurprisal(empty, col("doc_id"), col("text"))
+    assert(b.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "mean_surprisal") && b.count() == 0)
+    // and the already-guarded sibling keeps its contract
+    val d = graft.operators.CorpusQuality.dsirWeights(
+      empty, col("doc_id"), col("text"), lit(true))
+    assert(d.count() == 0)
+  }
+
   test("edge cases: absent terms, oversize grams, singleton strata/clusters") {
     val s = spark
     import s.implicits._

@@ -553,6 +553,58 @@ class StreamingSpec extends SparkSpec {
     assert(msgs == Seq("m1", "m2", "m3", "m5"), msgs)
   }
 
+  test("S2 contract: sequence-number-less records with identical payloads are NOT deduped by default") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    // a landed-file dump with no sequence numbers: three byte-identical
+    // records are three real log lines — dedupWithin must pass them all
+    // through (keying them on a content hash would be silent data loss)
+    def rec(stream: String, msg: String): String =
+      s"""{"kinesis":{"data":"${envelope(stream, Seq(msg))}"}}"""
+    val input = MemoryStream[String]
+    val source = new graft.streaming.RecordSource {
+      override def schema = graft.model.Schemas.kinesisRecord
+      override def open(sp: org.apache.spark.sql.SparkSession) =
+        input.toDF().select(from_json(col("value"), schema).as("r")).select("r.*")
+    }
+    val storeDir = mkTmp("noseq-store")
+    val q = Streams.kinesisToStore(spark, source, CwlPipeline.Config(),
+      Metadata.MetaConfig(sourceCategoryOverride = "contract/cat"), storeDir,
+      dedupWithin = Some("10 minutes"))
+      .option("checkpointLocation", mkTmp("noseq-ckpt"))
+      .start()
+    input.addData(rec("f", "same"), rec("f", "same"))
+    q.processAllAvailable()
+    input.addData(rec("f", "same"))
+    q.processAllAvailable()
+    q.stop()
+    val msgs = graft.sinks.LogStore.open(spark, storeDir)
+      .select("message").as[String].collect().toSeq
+    assert(msgs == Seq("same", "same", "same"), msgs)
+
+    // the lossy content-hash fallback is OPT-IN: identical blobs inside the
+    // horizon then dedup to one
+    val input2 = MemoryStream[String]
+    val source2 = new graft.streaming.RecordSource {
+      override def schema = graft.model.Schemas.kinesisRecord
+      override def open(sp: org.apache.spark.sql.SparkSession) =
+        input2.toDF().select(from_json(col("value"), schema).as("r")).select("r.*")
+    }
+    val storeDir2 = mkTmp("noseq-hash-store")
+    val q2 = Streams.kinesisToStore(spark, source2, CwlPipeline.Config(),
+      Metadata.MetaConfig(sourceCategoryOverride = "contract/cat"), storeDir2,
+      dedupWithin = Some("10 minutes"), dedupContentHashFallback = true)
+      .option("checkpointLocation", mkTmp("noseq-hash-ckpt"))
+      .start()
+    input2.addData(rec("f", "same"), rec("f", "same"))
+    q2.processAllAvailable()
+    q2.stop()
+    val msgs2 = graft.sinks.LogStore.open(spark, storeDir2)
+      .select("message").as[String].collect().toSeq
+    assert(msgs2 == Seq("same"), msgs2)
+  }
+
   test("S5 contract: visibility-timeout double-listing, vanished entries, redelivery after failed drain") {
     val s = spark
     import s.implicits._

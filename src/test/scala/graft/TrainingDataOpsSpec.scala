@@ -873,6 +873,37 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(once == cases.map(_._2))
   }
 
+  test("bundled PSL carries wildcard registries and their exceptions") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions.urlDomain
+    // the designated-city blocks: *.kawasaki.jp makes <anything>.kawasaki.jp
+    // a public suffix (registrable keeps FOUR labels), while the
+    // !city.kawasaki.jp exception pins the city's own domain back to
+    // city.kawasaki.jp; whole-TLD wildcards (*.bd, *.ck with !www.ck)
+    // behave the same one level up
+    val doms = Seq(
+      "https://foo.bar.kawasaki.jp/x",   // suffix bar.kawasaki.jp → 4 labels
+      "http://sub.city.kawasaki.jp/",    // exception → city.kawasaki.jp
+      "https://host.city.sapporo.jp/",   // exception → city.sapporo.jp
+      "https://shop.ex.nagoya.jp/",      // wildcard → shop.ex.nagoya.jp
+      "http://www.ed.ac.jp/",            // plain two-label registry → 3 labels
+      "https://x.example.bd/",           // *.bd → x.example.bd
+      "http://a.b.ck/", "https://www.ck/" // *.ck + !www.ck
+    ).toDF("u").select(urlDomain(col("u"))).as[String].collect().toSeq
+    assert(doms == Seq(
+      "foo.bar.kawasaki.jp", "city.kawasaki.jp", "city.sapporo.jp",
+      "shop.ex.nagoya.jp", "ed.ac.jp", "x.example.bd", "a.b.ck", "www.ck"),
+      doms)
+    // and the literal-rule table the oracles inline still parses clean:
+    // every exact rule is multi-label lowercase with no wildcard/exception
+    // markers (those live in their own sets)
+    val exact = graft.functions.PublicSuffixes.bundledExactRules
+    assert(exact.size > 900, s"snapshot unexpectedly small: ${exact.size}")
+    assert(exact.forall(r => r.contains(".") || r == r.toLowerCase))
+    assert(exact.forall(r => !r.contains("*") && !r.contains("!")))
+  }
+
   test("HLL rollup: union of daily sketches == sketch of the union; estimate near exact") {
     val s = spark
     import s.implicits._
