@@ -68,6 +68,66 @@ object LogStore {
       .partitionBy("ingest_date", "source_category")
       .parquet(dir)
 
+  /** Idempotent per-micro-batch append for streaming ingest
+    * ([[graft.streaming.Streams.kinesisToStore]]). Structured Streaming's
+    * `foreachBatch` is at-least-once: a crash AFTER the store write but
+    * BEFORE the checkpoint's offset commit re-runs the whole batch on
+    * restart, and a plain [[append]] (random file names) would then land
+    * every row twice. This variant makes the re-run a no-op:
+    *
+    *  1. already-committed batch (marker `_commits/b<batchId>` present) →
+    *     return immediately — the classic foreachBatch idempotence check.
+    *  1. the batch lands in `_stage/b<batchId>` (underscore dir — invisible
+    *     to readers; `overwrite` mode makes a re-stage after a crash clean).
+    *  1. leftover `part-b<batchId>-*` files from an interrupted previous
+    *     move of THIS batch are deleted (marker absent ⇒ not committed ⇒
+    *     they are garbage), then the staged files move in under
+    *     deterministic `part-b<batchId>-<n>.parquet` names.
+    *  1. the marker is written (commit), the stage dir dropped.
+    *
+    * A kill at any point leaves either a committed batch (marker present,
+    * all files in place) or an uncommitted one whose partial files the
+    * re-run sweeps before re-moving — the store converges to exactly-once
+    * per batch. Mid-move, a concurrent reader can transiently see a prefix
+    * of an uncommitted batch (standard read-uncommitted append semantics —
+    * the same window a plain append has); the FINAL state never holds a
+    * duplicate. One writer stream per store: batch ids come from the
+    * stream's own checkpoint sequence.
+    */
+  def appendBatch(df: DataFrame, dir: String, tsCol: Column, batchId: Long,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val root = Paths.get(dir)
+    val marker = root.resolve("_commits").resolve(s"b$batchId")
+    if (Files.exists(marker)) return
+    val stage = root.resolve("_stage").resolve(s"b$batchId")
+    df.withColumn("ingest_date", to_date(tsCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("ingest_date", "source_category")
+      .parquet(stage.toString)
+    val stagedParts = for {
+      d <- ls(stage)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("ingest_date="))
+      c <- ls(d)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("source_category="))
+    } yield c
+    stagedParts.foreach { sp =>
+      val target = root.resolve(stage.relativize(sp))
+      Files.createDirectories(target)
+      parquets(target)
+        .filter(_.getFileName.toString.startsWith(s"part-b$batchId-"))
+        .foreach(Files.deleteIfExists(_))
+      parquets(sp).sortBy(_.getFileName.toString).zipWithIndex.foreach {
+        case (p, i) =>
+          Files.move(p, target.resolve(f"part-b$batchId-$i%05d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, Array.emptyByteArray)
+    rmTree(stage)
+  }
+
   /** Open the store for querying; partition columns come back typed.
     *
     * Snapshot semantics: the live file set of every partition is resolved

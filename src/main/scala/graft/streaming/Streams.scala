@@ -107,14 +107,16 @@ object Streams {
         .withWatermark("_arrival", horizon)
         .dropDuplicatesWithinWatermark("_seq")
     }
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val events = CwlPipeline(
           batch.select(col("kinesis.data").as("_data")), col("_data"), cfg)
           .drop("_data")
         val derived = Metadata.derive(events, metaCfg)
           .withColumn("ts", timestamp_millis(col("timestamp")))
-        graft.sinks.LogStore.append(derived, storeDir, col("ts"))
+        // idempotent per-batch write: a batch replayed after a crash between
+        // the store write and the checkpoint commit lands exactly once
+        graft.sinks.LogStore.appendBatch(derived, storeDir, col("ts"), batchId)
       }
       ()
     }

@@ -214,6 +214,63 @@ class LogStoreSpec extends SparkSpec {
     assert(messages(dir).length == 201)
   }
 
+  test("concurrent search jobs page stably while a third party appends") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-conc").toString
+    LogStore.append(corpus, dir, col("ts"))
+    def mkJob(cat: String) = {
+      // each job opens its own snapshot: the live file set is resolved at
+      // open time and the job materializes its rank-bucketed result store
+      // at create time — appends after this line cannot shift its pages
+      val store = LogStore.open(spark, dir)
+        .withColumn("event_seq", get_json_object(col("message"), "$.i").cast("long"))
+      SearchJobs.create(store, s"_sourceCategory=$cat",
+        lit("2024-03-01").cast("timestamp"), lit("2024-03-08").cast("timestamp"),
+        col("ts"), col("message"), orderBy = Seq("event_seq"))
+    }
+    val job1 = mkJob("cat-1")
+    val job2 = mkJob("cat-2")
+    assert(SearchJobs.await(job1) == SearchJobs.DoneGatheringResults)
+    assert(SearchJobs.await(job2) == SearchJobs.DoneGatheringResults)
+    val n1 = job1.messageCount
+    val n2 = job2.messageCount
+    def pages(job: SearchJobs.Job): Seq[Long] =
+      (0 until 3).flatMap(p => job.messages(100, p * 100)
+        .select("event_seq").collect().map(_.getLong(0)))
+    val before1 = pages(job1)
+    val before2 = pages(job2)
+    // two paging threads race each other AND a stream of appends into the
+    // same categories; every re-read of every page must be byte-stable
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def pager(job: SearchJobs.Job, expect: Seq[Long]) = new Thread(() =>
+      (0 until 5).foreach { _ =>
+        val got = pages(job)
+        if (got != expect) errs.add(s"page drift: $got")
+        if (job.messageCount != expect.length) errs.add("count drift")
+      })
+    val t1 = pager(job1, before1)
+    val t2 = pager(job2, before2)
+    t1.start(); t2.start()
+    (0 until 3).foreach { b =>
+      LogStore.append(
+        (0 until 50).map(i =>
+          (java.sql.Timestamp.valueOf(f"2024-03-02 12:0$b%d:${i % 60}%02d"),
+            s"cat-${1 + b % 2}", s"""{"i":${90000 + b * 100 + i}}"""))
+          .toDF("ts", "source_category", "message"),
+        dir, col("ts"))
+    }
+    t1.join(60000); t2.join(60000)
+    assert(errs.isEmpty, errs)
+    assert(job1.messageCount == n1 && job2.messageCount == n2)
+    // a job created AFTER the appends resolves the bigger snapshot — the
+    // isolation is per-job, not staleness of the store
+    val job3 = mkJob("cat-2")
+    assert(SearchJobs.await(job3) == SearchJobs.DoneGatheringResults)
+    assert(job3.messageCount == n2 + 50)
+    Seq(job1, job2, job3).foreach(j => SearchJobs.delete(j.id))
+  }
+
   test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {
     val dir = Files.createTempDirectory("logstore2").toString
     LogStore.append(corpus, dir, col("ts"))
