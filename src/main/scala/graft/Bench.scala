@@ -160,6 +160,11 @@ object Bench {
     val recycleEvery =
       try sys.env.getOrElse("SPARK_GRAFT_RECYCLE_EVERY", "10").toInt
       catch { case _: NumberFormatException => 10 }
+    // SPARK_GRAFT_BENCH_RUNS=1 for one-shot rungs (e.g. the sf1 composite)
+    // where wall clock dominates and run-to-run noise is not the question
+    val nRuns =
+      try math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+      catch { case _: NumberFormatException => 3 }
     var spark = newSession(cpus)
     warm(spark, sfDir)
     // Stream-only drill-down for iterating on the S1/K1/Q1 path without the
@@ -220,25 +225,29 @@ object Bench {
       // to race with the next run, which swung identical-code medians 2-3×
       // (q45 measured 1.9 s and 5.1 s across bench invocations); with i.i.d.
       // runs the median is a property of the query, not of cleaner timing.
-      val times = (1 to 3).map { _ =>
+      val times = (1 to nRuns).map { _ =>
         drainSession(s)
         val t0 = System.nanoTime()
         try { run(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      // MIN of the 3 drained runs, not median: the machine the driver
+      // MIN of the drained runs, not median: the machine the driver
       // benches on carries ambient load that varies >1.5x over hours
       // (round-8: q43 recorded 7.0 s in-suite vs 3.7 s isolated under
       // identical plans), and load can only ADD time — the min is the
       // query's intrinsic cost and the estimator that makes round-over-
       // round composites reproducible on a shared box. A crashing run
-      // still poisons the query to -1.
+      // still poisons the query to -1. The MEDIAN rides along in
+      // `queries_median` so the r8→r9 estimator change stays attributable
+      // across rounds (both estimators visible on the same run).
       val elapsed = if (times.exists(_ < 0)) -1.0 else times.min
+      val med =
+        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.length / 2)
       // One short line per query, flushed as it completes: machine-parseable
       // even when the driver's bounded output-tail capture can't hold the
       // full result blob on a single line (the round-5/6 "parsed": null bug).
       println(s"""{"q":"$name","sec":${r3(elapsed)}}""")
-      name -> elapsed
+      name -> ((elapsed, med))
     }
     drainSession(spark)
     // Untimed warm run first — the SAME methodology as every batch query
@@ -262,16 +271,24 @@ object Bench {
       catch { case t: Throwable => t.printStackTrace(); (-1.0, 0L, 0L) }
     val eps1m = if (s1mSecs > 0) s1mEvents / s1mSecs else -1.0
     println(s"""{"q":"stream_1m","sec":${r3(s1mSecs)}}""")
-    val qs = (results :+ ("stream_e2e" -> streamSecs))
+    val qs = (results.map { case (k, v) => k -> v._1 } :+
+      ("stream_e2e" -> streamSecs))
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val qsMed = (results.map { case (k, v) => k -> v._2 } :+
+      ("stream_e2e" -> streamSecs))
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // Crashed queries record a -1.0 sentinel in `queries` but must NOT be
     // summed into the total (r7 published a meaningless `total: -43.894`).
     // An honest partial run is a positive total over what ran + an explicit
     // failure count.
-    val nFailed = results.count(_._2 < 0) + (if (streamSecs < 0) 1 else 0)
-    val total = results.map(_._2).filter(_ >= 0).sum + math.max(streamSecs, 0.0)
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of 3 drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"queries":$qs,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir"}"""
+    val nFailed = results.count(_._2._1 < 0) + (if (streamSecs < 0) 1 else 0)
+    val total =
+      results.map(_._2._1).filter(_ >= 0).sum + math.max(streamSecs, 0.0)
+    val totalMed =
+      results.map(_._2._2).filter(_ >= 0).sum + math.max(streamSecs, 0.0)
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir"}"""
     // Full per-query blob goes to a FILE (it has never fit the driver's
     // output-tail window — 75 query names alone overflow it); stdout gets
     // the per-query lines above plus one SHORT final line that always fits

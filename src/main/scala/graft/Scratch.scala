@@ -70,8 +70,30 @@ object Scratch {
         .drop("k")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      // TPC-H-ish tables, so a scaled dir can host the FULL bench suite:
+      // fact tables (orders, lineitem) replicate with the order key offset
+      // per replica — referential integrity between them is preserved, and
+      // every dimension row simply gains factor× the fan-out (the realistic
+      // growth shape) — while the dimensions copy through verbatim.
+      val ordersRaw = spark.read.parquet(s"$dir/orders.parquet")
+      val liRaw = spark.read.parquet(s"$dir/lineitem.parquet")
+      val okOff = ordersRaw.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      ordersRaw.crossJoin(broadcast(reps))
+        .withColumn("o_orderkey", col("o_orderkey") + col("k") * okOff)
+        .drop("k")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      liRaw.crossJoin(broadcast(reps))
+        .withColumn("l_orderkey", col("l_orderkey") + col("k") * okOff)
+        .drop("k")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
       println(s"[scratch] wrote ${nDocs * factor} docs, ${nVecs * factor} vecs, " +
-        s"${nEv * factor} events to $outDir")
+        s"${nEv * factor} events (+orders/lineitem ×$factor, dims verbatim) to $outDir")
       spark.stop()
       return
     }
@@ -98,6 +120,15 @@ object Scratch {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
         col("text"), col("text")).count())
+      // per-range Bloom variant (the beyond-10⁹-rows form): one grouped
+      // build pass + codegen range-dispatch probe — same answer, R sketches
+      sys.env.get("SPARK_GRAFT_DEDUP_RANGES").foreach { rs =>
+        val r = rs.toInt
+        time(s"incremental_dedup ranges=$r")(Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          col("text"), col("text"), ranges = r).count())
+      }
       val nVec = emb.count()
       // k ∝ n holds within-cluster pair work flat but makes the broadcast
       // argmax n×k — beyond a few hundred centroids the 100 TB shape is
@@ -223,6 +254,37 @@ object Scratch {
       q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scratch] curation stream: $n docs in $sec%.2f s = ${n / sec}%.0f docs/s")
+      spark.stop()
+      return
+    }
+    // trace scaling drill: hop-count sensitivity. Synthetic corpus of
+    // disjoint id chains — row i carries `id=c<g>x<p> peer=c<g>x<p+1>`
+    // (g = chain, p = position), so tracing seed c0x0 must walk exactly
+    // `chain` co-occurrence hops to converge. The shape question: time
+    // should be ~linear in n (each hop is one bounded job over the pinned
+    // exploded table) and ~linear in chain length (hop COUNT, not data,
+    // drives the loop) — a superlinear blowup in either would mean frontier
+    // state is accumulating. SPARK_GRAFT_TRACE_SCALE=1000000,10000000;
+    // SPARK_GRAFT_TRACE_CHAIN=4,16,48 (default; stays under maxRounds=64).
+    sys.env.get("SPARK_GRAFT_TRACE_SCALE").foreach { spec =>
+      import graft.operators.SearchQuery
+      val chains = sys.env.getOrElse("SPARK_GRAFT_TRACE_CHAIN", "4,16,48")
+        .split(",").map(_.trim.toInt)
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        chains.foreach { len =>
+          val msgs = spark.range(n).select(
+            concat(lit("req id=c"), col("id") / len, lit("x"), col("id") % len,
+              lit(" peer=c"), col("id") / len, lit("x"),
+              (col("id") % len) + 1).as("message"))
+          def mk = SearchQuery.compileStages(
+            Seq(SearchQuery.parseStage("trace \"(c[0-9]+x[0-9]+)\" \"c0x0\"")),
+            "ts", "message")(msgs)
+          mk.write.format("noop").mode("overwrite").save() // warm
+          time(s"trace n=$n chain=$len") {
+            mk.write.format("noop").mode("overwrite").save(); -1L
+          }
+        }
+      }
       spark.stop()
       return
     }

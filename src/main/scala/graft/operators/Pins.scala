@@ -60,30 +60,60 @@ object Pins {
 
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // default threshold: block-manager pins only pay off while they are
+    // SMALL. A multi-pass consumer re-reading a parquet pin gets vectorized
+    // columnar scans with column pruning; re-reading cached serialized rows
+    // re-deserializes every column of every row each pass — the 100× trace
+    // drill ran 2.3× slower with its ~GB exploded table cached (47.7 s)
+    // than demoted to parquet (20-24 s), while at 1×/10× (tens of MB) the
+    // cache saves the ~0.3 s/pin parquet round-trip. The old fixed 4 GiB
+    // cutoff sat on the wrong side of that crossover for every big frame.
     val threshold = spark.conf.getOption("spark.graft.pin.spillBytes")
-      .map(_.toLong).getOrElse(4L << 30)
+      .map(_.toLong)
+      .getOrElse(math.min(512L << 20, Runtime.getRuntime.maxMemory / 8))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= threshold) {
-      val out = df.localCheckpoint(true)
-      // eager release = unpersist the checkpointed blocks; the frame is NOT
-      // recomputable afterwards (localCheckpoint truncates lineage), which
-      // is exactly the contract: release only a superseded pin
-      releasers.put(out, () => out.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false); ()
-      }.getOrElse(()))
-      out
-    } else {
-      val base = spark.conf.getOption("spark.graft.scratch.dir")
-        .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-pins")
-      val dir = s"$base/pin-${java.util.UUID.randomUUID}"
-      df.write.mode("overwrite").parquet(dir)
-      spilledDirs.add(dir)
-      installExitHook
-      val out = spark.read.parquet(dir)
-      releasers.put(out, () => { spilledDirs.remove(dir); rmTree(dir) })
-      out
-    }
+      // serialized blocks: 2-4× denser than deserialized row objects, and
+      // what does overflow spills to disk compactly instead of thrashing
+      val out = df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // the estimate lies for synthesized columns (default per-column
+      // widths) — check what ACTUALLY landed in the block manager and
+      // demote an over-threshold pin to parquet after the fact. The probe
+      // costs one extra write of the already-materialized frame when it
+      // fires; NOT demoting cost the 100× trace drill 3× its runtime in
+      // storage-memory churn across the frontier loop's re-reads.
+      val rddOpt = out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      val actual = rddOpt.map(r =>
+        org.apache.spark.GraftCoreGlue.rddBlocksSize(
+          spark.sparkContext, r.id)).getOrElse(0L)
+      if (actual <= threshold) {
+        // eager release = unpersist the checkpointed blocks; the frame is
+        // NOT recomputable afterwards (localCheckpoint truncates lineage),
+        // which is exactly the contract: release only a superseded pin
+        releasers.put(out, () => { rddOpt.foreach(_.unpersist(false)); () })
+        out
+      } else {
+        val spilled = landAsParquet(out)
+        rddOpt.foreach(_.unpersist(false))
+        spilled
+      }
+    } else landAsParquet(df)
+  }
+
+  private def landAsParquet(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val base = spark.conf.getOption("spark.graft.scratch.dir")
+      .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-pins")
+    val dir = s"$base/pin-${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(dir)
+    spilledDirs.add(dir)
+    installExitHook
+    val out = spark.read.parquet(dir)
+    releasers.put(out, () => { spilledDirs.remove(dir); rmTree(dir) })
+    out
   }
 
   /** Eagerly free a frame returned by [[pin]] once nothing will read it

@@ -1,0 +1,30 @@
+package org.apache.spark
+
+import org.apache.spark.storage.BlockId
+
+/** Bridge into `private[spark]` core surface, the [[sql.GraftGlue]] analogue
+  * for the scheduler/storage layer.
+  */
+object GraftCoreGlue {
+
+  /** The ACTUAL bytes (memory + disk, as stored) a cached RDD's blocks
+    * occupy right now — queried synchronously from the block manager master,
+    * not from the async status store (which lags the job-end event and can
+    * read 0 immediately after an eager checkpoint). This is the ground truth
+    * [[graft.operators.Pins]] checks its plan-stat ESTIMATE against: for
+    * frames full of synthesized strings/arrays the optimizer's default
+    * per-column widths can undershoot the real footprint by an order of
+    * magnitude, and the pin policy must react to what actually landed.
+    */
+  def rddBlocksSize(sc: SparkContext, rddId: Int): Long = {
+    val master = SparkEnv.get.blockManager.master
+    master
+      .getMatchingBlockIds(
+        (b: BlockId) => b.asRDDId.exists(_.rddId == rddId),
+        askStorageEndpoints = true)
+      .flatMap(id =>
+        master.getBlockStatus(id, askStorageEndpoints = true).values)
+      .map(s => s.memSize + s.diskSize)
+      .sum
+  }
+}
