@@ -234,26 +234,63 @@ object Dedup {
     * one exact band. Default 4 bands of 15 bits ⇒ exact for d ≤ 3 with
     * 32768 buckets per band (an 8-bit banding caps at 256 buckets, making
     * the band self-join ~n²/256 — a full-shuffle quadratic at 100 TB).
+    *
+    * The quadratic machinery runs in SKETCH space, not document space:
+    * templated/boilerplate corpora collapse thousands of documents onto one
+    * simhash value, and a band self-join over documents then materializes
+    * |bucket|² intermediate rows per band (the sf1 drill measured 132× at
+    * 10× data — 500M pre-distinct rows for 125M real pairs). Instead the
+    * band join + Hamming verify runs over DISTINCT sketch values, and doc
+    * pairs expand afterwards: identical-sketch cliques via one group
+    * self-join (hamming 0 by construction), cross-sketch pairs via the
+    * verified sketch-pair list. The expansion is output-sized — the
+    * unavoidable floor for a pair-listing contract — with no per-band
+    * duplication and no pre-verify blowup. (Callers that only need
+    * clusters should collapse identical sketches entirely instead of
+    * enumerating clique pairs; see [[clusters]].)
     */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bitsPer = 60 / nBands
-    val sh = df.select(idCol.as("doc_id"), simhash60(textCol).as("sim"))
-    val banded = sh.withColumn("band_idx",
+    // pin the sketch table: it feeds FOUR join branches below, and without
+    // the pin each branch would re-run the whole text→simhash kernel (the
+    // expensive part) over the corpus; pinned it is one pass + three cheap
+    // re-reads of 16-byte rows
+    val sh = Pins.pin(
+      df.select(idCol.as("doc_id"), simhash60(textCol).as("sim")))
+    val sims = sh.select("sim").distinct()
+    val banded = sims.withColumn("band_idx",
       explode(sequence(lit(0), lit(nBands - 1))))
       .withColumn("band_val",
         call_function("shiftright", col("sim"), col("band_idx").cast("int") * bitsPer)
           .bitwiseAND((1L << bitsPer) - 1))
-    banded.alias("a")
+    // verified sketch pairs: strict sim ordering halves the join, distinct
+    // collapses multi-band agreement BEFORE any document fan-out
+    val simPairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming(col("a.sim"), col("b.sim")).cast("long").as("hamming"))
+          col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .distinct()
+      .withColumn("hamming",
+        hamming(col("sim_a"), col("sim_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
+    // identical-sketch cliques: all pairs, hamming 0 by construction
+    val same = sh.alias("x")
+      .join(sh.alias("y"),
+        col("x.sim") === col("y.sim") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // cross-sketch pairs: expand each verified sketch pair through the two
+    // membership groups; least/greatest restores the doc_a < doc_b contract
+    val cross = simPairs
+      .join(sh.select(col("sim").as("sim_a"), col("doc_id").as("_ida")), "sim_a")
+      .join(sh.select(col("sim").as("sim_b"), col("doc_id").as("_idb")), "sim_b")
+      .select(least(col("_ida"), col("_idb")).as("doc_a"),
+        greatest(col("_ida"), col("_idb")).as("doc_b"), col("hamming"))
+    same.unionByName(cross)
   }
 
   /** Connected components over a near-dup pair list: every document gets the
