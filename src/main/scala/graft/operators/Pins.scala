@@ -68,15 +68,18 @@ object Pins {
     // than demoted to parquet (20-24 s), while at 1×/10× (tens of MB) the
     // cache saves the ~0.3 s/pin parquet round-trip. The old fixed 4 GiB
     // cutoff sat on the wrong side of that crossover for every big frame.
+    // the threshold is in BLOCK-MANAGER bytes (deserialized row objects,
+    // the units the probe below measures and the units eviction churn is
+    // denominated in), so heap/4 is the natural default scale
     val threshold = spark.conf.getOption("spark.graft.pin.spillBytes")
       .map(_.toLong)
-      .getOrElse(math.min(512L << 20, Runtime.getRuntime.maxMemory / 8))
+      .getOrElse(math.min(1L << 30, Runtime.getRuntime.maxMemory / 4))
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= threshold) {
-      // serialized blocks: 2-4× denser than deserialized row objects, and
-      // what does overflow spills to disk compactly instead of thrashing
-      val out = df.localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // deserialized cache: under-threshold pins are re-read many times and
+      // a deserialized read is free (a serialized level costs every pass a
+      // full deserialize — measured +50% on the trace loop at sf0.1)
+      val out = df.localCheckpoint(true)
       // the estimate lies for synthesized columns (default per-column
       // widths) — check what ACTUALLY landed in the block manager and
       // demote an over-threshold pin to parquet after the fact. The probe
