@@ -254,6 +254,22 @@ object LogStore {
     recoverAndGc(part, deadFileGraceMs)
   }
 
+  /** [[vacuum]] over every partition of the store — the scheduled
+    * maintenance sweep form. One manifest read per partition; partitions
+    * with no manifest cost a stat call and nothing else.
+    */
+  def vacuumAll(dir: String,
+      deadFileGraceMs: Long = DefaultDeadFileGraceMs): Unit = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    for {
+      dateDir <- ls(root)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("ingest_date="))
+      catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("source_category="))
+    } recoverAndGc(catDir, deadFileGraceMs)
+  }
+
   // ---------------------------------------------------------------- manifest
 
   private val ManifestName = "_manifest"

@@ -155,8 +155,9 @@ class LogStoreSpec extends SparkSpec {
       .find(_.startsWith("dead=")).get.split(",", 2)(1)
     Files.delete(part.resolve(firstDead))
     assert(messages(dir) == expect)
-    // the next sweep (grace 0) finishes the cleanup idempotently
-    LogStore.vacuum(dir, "2024-03-01", "cat-0", deadFileGraceMs = 0L)
+    // the next sweep (grace 0) finishes the cleanup idempotently — driven
+    // through the store-wide form to cover its partition walk
+    LogStore.vacuumAll(dir, deadFileGraceMs = 0L)
     val after = {
       val ls = Files.list(part)
       try ls.iterator().asScala.toList.filter(
@@ -269,6 +270,52 @@ class LogStoreSpec extends SparkSpec {
     assert(SearchJobs.await(job3) == SearchJobs.DoneGatheringResults)
     assert(job3.messageCount == n2 + 50)
     Seq(job1, job2, job3).foreach(j => SearchJobs.delete(j.id))
+  }
+
+  test("appendBatch interleaved with compaction: replay markers survive, counts exact") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-ab").toString
+    def batch(b: Int) =
+      (0 until 40).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 60}%02d"),
+          "cat-0", s"""{"b":$b,"i":$i}"""))
+        .toDF("ts", "source_category", "message")
+    LogStore.appendBatch(batch(0), dir, col("ts"), 0L)
+    LogStore.appendBatch(batch(1), dir, col("ts"), 1L)
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    // a batch landed AFTER the compaction is live immediately (fresh names)
+    LogStore.appendBatch(batch(2), dir, col("ts"), 2L)
+    assert(messages(dir).length == 120)
+    // checkpoint replay of batches whose FILES were compacted away: the
+    // commit markers outlive compaction (compact never touches _commits),
+    // so the replay is a no-op — no duplicates, no resurrection
+    LogStore.appendBatch(batch(0), dir, col("ts"), 0L)
+    LogStore.appendBatch(batch(1), dir, col("ts"), 1L)
+    assert(messages(dir).length == 120)
+    // and after the dead files are GC'd the markers still hold
+    LogStore.vacuum(dir, "2024-03-01", "cat-0", deadFileGraceMs = 0L)
+    LogStore.appendBatch(batch(1), dir, col("ts"), 1L)
+    LogStore.appendBatch(batch(2), dir, col("ts"), 2L)
+    assert(messages(dir).length == 120)
+    // concurrent regime: an appender thread races two more compactions;
+    // every batch must land exactly once and the store must stay exact
+    val t = new Thread(() => (3 until 8).foreach { b =>
+      LogStore.appendBatch(batch(b), dir, col("ts"), b.toLong)
+    })
+    t.start()
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 50L)
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L, clusterBy = Seq("ts"))
+    t.join(60000)
+    // one final compact folds whatever landed mid-swap into the layout
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    val msgs = messages(dir)
+    assert(msgs.length == 320, s"got ${msgs.length}")
+    assert(msgs.distinct.length == 320)
   }
 
   test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {
