@@ -153,8 +153,13 @@ object LogStore {
     val files = liveFiles(Paths.get(dir),
       partKeep = _.getFileName.toString == s"source_category=$category")
       .map(_.toString)
-    require(files.nonEmpty, s"no live files for category $category in $dir")
-    spark.read.option("basePath", dir).parquet(files: _*)
+    // a category with no partitions is an EMPTY RESULT, not an error — fall
+    // back to the full snapshot (schema intact) and let the partition
+    // filter prune everything at planning time
+    val base =
+      if (files.nonEmpty) spark.read.option("basePath", dir).parquet(files: _*)
+      else open(spark, dir)
+    base
       .filter(col("source_category") === category)
       .filter(col(tsCol) >= fromTs && col(tsCol) < toTs)
   }

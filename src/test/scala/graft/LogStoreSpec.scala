@@ -39,6 +39,10 @@ class LogStoreSpec extends SparkSpec {
     // directory-level check: only cat-1 partition directories are listed
     val scanned = q.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!scanned.contains("cat-0") || scanned.contains("cat-1"))
+    // an absent category is an empty result, not an error
+    assert(LogStore.search(spark, dir, "no-such-cat",
+      lit("2024-03-02").cast("timestamp"),
+      lit("2024-03-03").cast("timestamp")).count() == 0L)
   }
 
   test("compact rewrites a partition's small files without changing content") {
