@@ -71,6 +71,43 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out.contains((0L, 1L))) // one-token difference within budget
   }
 
+  test("simhash banding == brute-force Hamming, including identical-sketch cliques") {
+    val s = spark
+    import s.implicits._
+    // adversarial corpus for the sketch-space banding rewrite: heavy
+    // duplication (identical-sketch cliques), near-misses, and unrelated
+    // docs — the banded pair set must equal a brute-force n² scan exactly
+    val rnd = new scala.util.Random(4747)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val texts = (0 until 60).map { i =>
+      if (i % 3 == 0) "alpha beta gamma delta eps zeta" // big clique
+      else if (i % 3 == 1) // near-misses of the clique text
+        s"alpha beta gamma delta eps ${words(rnd.nextInt(words.size))}"
+      else Seq.fill(6)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val banded = Dedup.simhashPairs(df, col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val sims = df.select(col("doc_id"),
+        graft.functions.TextFunctions.simhash60(col("text")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys; if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b))
+      if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} " +
+        s"missing=${(brute.keySet -- banded.keySet).take(5)} " +
+        s"extra=${(banded.keySet -- brute.keySet).take(5)}")
+    // no duplicate pair rows either (the per-band dedup happens pre-expand)
+    val rows = Dedup.simhashPairs(df, col("doc_id"), col("text"), maxHamming = 3)
+      .count()
+    assert(rows == banded.size)
+  }
+
   test("cosine + brute-force top-k on real embeddings") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val query = emb.filter(col("vec_id") === 0)
