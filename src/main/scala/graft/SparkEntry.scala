@@ -68,7 +68,11 @@ object SparkEntry {
     * the 100 TB shape is the same: land the pair list, then sort the landing.
     */
   private[graft] def pinSorted(df: DataFrame, keys: String*): DataFrame =
-    df.localCheckpoint(true).orderBy(keys.head, keys.tail: _*)
+    // spill-aware pin (measured demote to parquet over threshold) — a raw
+    // localCheckpoint here cached a 125M-row q47 result into the block
+    // manager at sf1; the policy in Pins keeps small results cached and
+    // lands big ones columnar before the global sort re-reads them
+    graft.operators.Pins.pin(df).orderBy(keys.head, keys.tail: _*)
 
   /** Every TESTDATA table the corpus ships; the smoke touches all of them. */
   private[graft] val allTables = Seq("region", "nation", "customer", "supplier",
