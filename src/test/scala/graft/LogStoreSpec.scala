@@ -173,6 +173,28 @@ class LogStoreSpec extends SparkSpec {
     assert(messages(dir) == expect)
   }
 
+  test("compact killed after commit leaves only reclaimable litter") {
+    val dir = Files.createTempDirectory("logstore-crash3").toString
+    fourBatches(dir)
+    val expect = messages(dir)
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    // simulate a kill between the commit rename and the tmp-dir drop: a
+    // stale _compact_tmp with unreadable bytes must be invisible to readers
+    // and swept by the next compact without being read
+    val tmp = part.resolve("_compact_tmp")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("part-junk.parquet"), Array[Byte](9, 9, 9))
+    assert(messages(dir) == expect)
+    val (nB, nA) = LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 50L)
+    assert(nB == 1 && nA == 4, s"$nB -> $nA")
+    assert(messages(dir) == expect)
+    assert(!Files.exists(tmp))
+  }
+
   test("search during compact never observes a partial file set") {
     val dir = Files.createTempDirectory("logstore-iso").toString
     fourBatches(dir) // 200 rows, one partition
