@@ -38,10 +38,14 @@ object Funnel {
     val counts = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     counts += ((1, stepDefs.head._1, reached.count()))
     stepDefs.zipWithIndex.drop(1).foreach { case ((name, _), i) =>
+      val prev = reached
       reached = Pins.pin(ev.filter(col("_fn_p").getField(s"s$i"))
-        .join(reached, "_fn_user")
+        .join(prev, "_fn_user")
         .filter(col("_fn_ts") > col("_fn_t"))
         .groupBy("_fn_user").agg(min(col("_fn_ts")).as("_fn_t")))
+      // step k's pin is fully folded into step k+1's — free it now rather
+      // than carrying every step's reach table to the end of the query
+      Pins.release(prev)
       counts += ((i + 1, name, reached.count()))
     }
     counts.toSeq.toDF("step_idx", "step", "n_users")
@@ -80,6 +84,8 @@ object Funnel {
             .as("sd"))
         .head()
       val n = stat.getLong(0)
+      // prev's last consumer is the stat aggregate above — free it eagerly
+      Pins.release(prev)
       rows += ((i + 1, name, n,
         if (n == 0) None else Some(stat.getLong(1).toDouble / n)))
     }

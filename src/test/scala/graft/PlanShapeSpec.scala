@@ -385,10 +385,13 @@ class PlanShapeSpec extends SparkSpec {
       assert(out.length == 2)
       assert(out(0).getAs[Long]("n_users") >= out(1).getAs[Long]("n_users"))
       // every per-step reach table landed as a parquet pin dir, none was
-      // localCheckpointed into block-manager memory
+      // localCheckpointed into block-manager memory — and the superseded
+      // step-1 pin was RELEASED eagerly when step 2 folded it in, so
+      // exactly the final reach table's dir remains on disk
       val pins = new java.io.File(scratch).listFiles()
-      assert(pins != null && pins.count(_.getName.startsWith("pin-")) >= 2,
-        s"expected >=2 spilled reach-table pins in $scratch")
+      assert(pins != null && pins.count(_.getName.startsWith("pin-")) == 1,
+        s"expected exactly the final reach-table pin in $scratch: " +
+          pins.map(_.getName).mkString(","))
     } finally {
       prevSpill.fold(spark.conf.unset("spark.graft.pin.spillBytes"))(
         spark.conf.set("spark.graft.pin.spillBytes", _))
