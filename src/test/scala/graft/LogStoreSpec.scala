@@ -344,6 +344,67 @@ class LogStoreSpec extends SparkSpec {
     assert(msgs.distinct.length == 320)
   }
 
+  test("store protocol fuzz: random append/replay/compact/vacuum/crash-litter interleavings stay exact") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-fuzz").toString
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    val rnd = new scala.util.Random(20241003)
+    val expected = scala.collection.mutable.SortedSet.empty[String]
+    var nextBatch = 0L
+    val committed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def batchDf(b: Long) =
+      (0 until 10).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-01 10:${(b % 50) + 10}%02d:${i % 60}%02d"),
+          "cat-0", s"""{"b":$b,"i":$i}"""))
+        .toDF("ts", "source_category", "message")
+    // seed the store so every op (incl. compact) is legal from step one
+    LogStore.appendBatch(batchDf(nextBatch), dir, col("ts"), nextBatch)
+    (0 until 10).foreach(i => expected += s"""{"b":0,"i":$i}""")
+    committed += nextBatch; nextBatch += 1
+    (0 until 40).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 => // fresh batch
+          LogStore.appendBatch(batchDf(nextBatch), dir, col("ts"), nextBatch)
+          (0 until 10).foreach(i => expected += s"""{"b":$nextBatch,"i":$i}""")
+          committed += nextBatch; nextBatch += 1
+        case 2 => // checkpoint replay of a random committed batch: no-op
+          val b = committed(rnd.nextInt(committed.length))
+          LogStore.appendBatch(batchDf(b), dir, col("ts"), b)
+        case 3 => // compact with a random layout target
+          LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+            targetRecordsPerFile = Seq(7L, 50L, 1000L)(rnd.nextInt(3)),
+            clusterBy = if (rnd.nextBoolean()) Seq("ts") else Seq.empty)
+        case 4 => // maintenance sweep, randomly eager or grace-respecting
+          LogStore.vacuumAll(dir,
+            deadFileGraceMs = if (rnd.nextBoolean()) 0L else LogStore.DefaultDeadFileGraceMs)
+        case 5 => // crash litter: an uncommitted compact's pending state
+          // (manifest marker + garbage staged file) or a stale tmp dir
+          if (rnd.nextBoolean()) {
+            val m = part.resolve("_manifest")
+            if (!Files.exists(m)) {
+              Files.write(m, "pending=fuzzdead".getBytes("UTF-8"))
+              Files.write(part.resolve("part-compact-fuzzdead-00000.parquet"),
+                Array[Byte](1, 2, 3))
+            }
+          } else {
+            val tmp = part.resolve("_compact_tmp")
+            Files.createDirectories(tmp)
+            Files.write(tmp.resolve("junk.parquet"), Array[Byte](7))
+          }
+      }
+      val got = messages(dir)
+      assert(got == expected.toSeq,
+        s"step $step diverged: got ${got.length}, expected ${expected.size}")
+    }
+    // a final eager sweep + compact leaves one clean layout, still exact
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 100000L, deadFileGraceMs = 0L)
+    LogStore.vacuumAll(dir, deadFileGraceMs = 0L)
+    assert(messages(dir) == expected.toSeq)
+  }
+
   test("Q1 lifecycle: create → poll → page, stable non-overlapping pages") {
     val dir = Files.createTempDirectory("logstore2").toString
     LogStore.append(corpus, dir, col("ts"))
