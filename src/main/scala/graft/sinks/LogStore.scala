@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   * readers resolve the live file set through it instead of trusting the raw
   * directory listing. The manifest records (a) at most one `pending` compact
   * token — files named `part-compact-<token>-*` are staged by an in-flight
-  * compaction and NOT yet live — and (b) a set of `dead` files — superseded
-  * by a committed compaction, awaiting garbage collection. Live set =
-  * directory parquets − dead − pending-token files. Plain appends write
-  * fresh uniquely-named files that are neither dead nor pending, so they are
-  * live the moment they land, manifest or not.
+  * compaction and NOT yet live — (b) a set of `dead` files — superseded
+  * by a committed compaction, awaiting garbage collection — and (c)
+  * `pending_batch` streaming batch ids — `part-b<id>-*` files mid-
+  * [[appendBatch]], staged but not yet flipped live. Live set = directory
+  * parquets − dead − pending-token files − pending-batch files. Plain
+  * appends write fresh uniquely-named files that are neither dead nor
+  * pending, so they are live the moment they land, manifest or not.
   *
   * [[compact]]'s ONLY commit point is one atomic manifest rename (pending →
   * dead). A reader that resolved the old manifest keeps reading the old
@@ -73,25 +75,36 @@ object LogStore {
     * `foreachBatch` is at-least-once: a crash AFTER the store write but
     * BEFORE the checkpoint's offset commit re-runs the whole batch on
     * restart, and a plain [[append]] (random file names) would then land
-    * every row twice. This variant makes the re-run a no-op:
+    * every row twice. This variant makes the re-run a no-op AND gives each
+    * touched partition the same reader isolation compaction has:
     *
     *  1. already-committed batch (marker `_commits/b<batchId>` present) →
     *     return immediately — the classic foreachBatch idempotence check.
     *  1. the batch lands in `_stage/b<batchId>` (underscore dir — invisible
     *     to readers; `overwrite` mode makes a re-stage after a crash clean).
-    *  1. leftover `part-b<batchId>-*` files from an interrupted previous
-    *     move of THIS batch are deleted (marker absent ⇒ not committed ⇒
-    *     they are garbage), then the staged files move in under
-    *     deterministic `part-b<batchId>-<n>.parquet` names.
-    *  1. the marker is written (commit), the stage dir dropped.
+    *  1. per touched partition: the manifest atomically declares the batch
+    *     id pending (`part-b<batchId>-*` names become invisible to readers
+    *     from this instant), leftover `part-b<batchId>-*` files from an
+    *     interrupted previous move of THIS batch are deleted (marker absent
+    *     ⇒ not committed ⇒ they are garbage), the staged files move in
+    *     under deterministic `part-b<batchId>-<n>.parquet` names — still
+    *     invisible — then one atomic manifest rename clears the pending id
+    *     (the partition's COMMIT: the whole batch flips live at once).
+    *  1. the marker is written (the batch-wide commit), the stage dir
+    *     dropped.
     *
     * A kill at any point leaves either a committed batch (marker present,
-    * all files in place) or an uncommitted one whose partial files the
-    * re-run sweeps before re-moving — the store converges to exactly-once
-    * per batch. Mid-move, a concurrent reader can transiently see a prefix
-    * of an uncommitted batch (standard read-uncommitted append semantics —
-    * the same window a plain append has); the FINAL state never holds a
-    * duplicate. One writer stream per store: batch ids come from the
+    * all files in place) or an uncommitted one whose files are EITHER still
+    * guarded by a pending-batch manifest entry (invisible — and [[compact]]
+    * will neither fold them in nor mark them dead) or already flipped live
+    * in their partition; the replay re-declares, sweeps, and re-moves, so
+    * the store converges to exactly-once per batch. No reader ever observes
+    * a PREFIX of a batch within a partition — each partition flips
+    * atomically from pre-batch to post-batch (a replay after a partition
+    * already flipped may transiently flip it back to pre-batch and forward
+    * again; both observable states are consistent). Cross-partition, the
+    * flips are independent — the same per-partition atomicity contract
+    * [[compact]] has. One writer stream per store: batch ids come from the
     * stream's own checkpoint sequence.
     */
   def appendBatch(df: DataFrame, dir: String, tsCol: Column, batchId: Long,
@@ -114,6 +127,10 @@ object LogStore {
     stagedParts.foreach { sp =>
       val target = root.resolve(stage.relativize(sp))
       Files.createDirectories(target)
+      // declare: from here every part-b<id>- file in this partition is
+      // invisible to readers (and to compact), committed or not
+      mutateManifest(target)(m =>
+        m.copy(pendingBatches = m.pendingBatches + batchId))
       parquets(target)
         .filter(_.getFileName.toString.startsWith(s"part-b$batchId-"))
         .foreach(Files.deleteIfExists(_))
@@ -122,6 +139,9 @@ object LogStore {
           Files.move(p, target.resolve(f"part-b$batchId-$i%05d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
       }
+      // partition COMMIT — one atomic rename flips the whole batch live
+      mutateManifest(target)(m =>
+        m.copy(pendingBatches = m.pendingBatches - batchId))
     }
     Files.createDirectories(marker.getParent)
     Files.write(marker, Array.emptyByteArray)
@@ -229,19 +249,21 @@ object LogStore {
         .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
     arranged.write.mode("overwrite").parquet(tmp.toString)
     val token = java.util.UUID.randomUUID.toString.take(8)
-    val m0 = readManifest(part)
     // stage: declare the token pending FIRST (atomic), so the moved-in files
-    // are invisible to every reader from the instant they appear
-    writeManifest(part, m0.copy(pending = Some(token)))
+    // are invisible to every reader from the instant they appear. RMW under
+    // the partition lock — a concurrent appendBatch may be flipping its own
+    // pending_batch entry in the same manifest
+    mutateManifest(part)(_.copy(pending = Some(token)))
     val staged = parquets(tmp)
     staged.zipWithIndex.foreach { case (p, i) =>
       Files.move(p, part.resolve(f"part-compact-$token-$i%05d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
     }
-    // COMMIT — one atomic rename flips pending → dead
+    // COMMIT — one atomic rename flips pending → dead (pending_batch entries
+    // that appeared meanwhile are preserved verbatim)
     val now = System.currentTimeMillis()
-    writeManifest(part, Manifest(pending = None,
-      dead = m0.dead ++ before.map(p => now -> p.getFileName.toString)))
+    mutateManifest(part)(m => m.copy(pending = None,
+      dead = m.dead ++ before.map(p => now -> p.getFileName.toString)))
     if (deadFileGraceMs <= 0) recoverAndGc(part, deadFileGraceMs)
     rmTree(tmp)
     (before.length, staged.length)
@@ -282,11 +304,15 @@ object LogStore {
 
   /** `pending`: an in-flight compact's token — `part-compact-<token>-*`
     * files are staged, not live. `dead`: (commitMillis, fileName) pairs
-    * superseded by a committed compact, awaiting GC.
+    * superseded by a committed compact, awaiting GC. `pendingBatches`:
+    * streaming batch ids mid-[[appendBatch]] — their `part-b<id>-*` files
+    * are staged, not live, until the partition's batch commit clears the id.
     */
   private case class Manifest(pending: Option[String],
-      dead: Seq[(Long, String)]) {
-    def isEmpty: Boolean = pending.isEmpty && dead.isEmpty
+      dead: Seq[(Long, String)],
+      pendingBatches: Set[Long] = Set.empty) {
+    def isEmpty: Boolean =
+      pending.isEmpty && dead.isEmpty && pendingBatches.isEmpty
   }
 
   private def readManifest(part: Path): Manifest = {
@@ -304,7 +330,11 @@ object LogStore {
           val comma = v.indexOf(',')
           (v.take(comma).toLong, v.drop(comma + 1))
       }.toSeq
-      Manifest(pending, dead)
+      val pendingBatches = lines.collect {
+        case l if l.startsWith("pending_batch=") =>
+          l.stripPrefix("pending_batch=").toLong
+      }.toSet
+      Manifest(pending, dead, pendingBatches)
     }
   }
 
@@ -316,6 +346,7 @@ object LogStore {
     val f = part.resolve(ManifestName)
     if (m.isEmpty) { Files.deleteIfExists(f); return }
     val body = (m.pending.map(t => s"pending=$t").toSeq ++
+      m.pendingBatches.toSeq.sorted.map(b => s"pending_batch=$b") ++
       m.dead.map { case (ts, name) => s"dead=$ts,$name" }).mkString("\n")
     val tmp = part.resolve(ManifestName + ".tmp")
     Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -323,12 +354,36 @@ object LogStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Per-partition read-modify-write of the manifest. The streaming writer
+    * ([[appendBatch]]) and the maintenance writer ([[compact]]/[[vacuum]])
+    * may legitimately touch the SAME partition's manifest concurrently —
+    * without mutual exclusion one would clobber the other's pending entry.
+    * The lock is in-process (a striped monitor keyed by the partition
+    * path), which matches the store's coordination model: one driver owns
+    * ingest and maintenance for a store (the same single-writer-per-scope
+    * contract Delta's commit service provides at catalog scale). Readers
+    * never take the lock — they rely on the atomic rename + generation
+    * check in [[liveParquets]].
+    */
+  private val manifestLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def mutateManifest(part: Path)(f: Manifest => Manifest): Unit = {
+    val lock = manifestLocks.computeIfAbsent(
+      part.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized { writeManifest(part, f(readManifest(part))) }
+  }
+
   /** Idempotent recovery + garbage collection. An uncommitted pending
     * token's staged files are garbage (the commit rename never happened, so
     * the old files are authoritative) — delete them, clear the marker. Dead
     * entries older than the grace period are deleted files-first (a kill
     * between file deletes and the manifest rewrite just re-runs harmlessly:
-    * `deleteIfExists`).
+    * `deleteIfExists`). `pending_batch` entries are left strictly alone:
+    * only the owning stream can tell an in-flight batch from a crashed one,
+    * and its replay (same batch id) is the recovery path — maintenance
+    * deleting those files would race a move-in that is legitimately still
+    * running.
     */
   private def recoverAndGc(part: Path, deadFileGraceMs: Long): Unit = {
     val m = readManifest(part)
@@ -343,7 +398,8 @@ object LogStore {
     expired.foreach { case (_, name) =>
       Files.deleteIfExists(part.resolve(name))
     }
-    writeManifest(part, Manifest(None, kept))
+    mutateManifest(part)(cur =>
+      cur.copy(pending = None, dead = kept))
   }
 
   // ----------------------------------------------------------------- listing
@@ -357,15 +413,30 @@ object LogStore {
   private def parquets(d: Path): Seq[Path] =
     ls(d)(_.getFileName.toString.endsWith(".parquet"))
 
+  /** How many list-reread generation attempts a reader makes before
+    * failing loudly. Package-visible so the churn spec can force quick
+    * exhaustion instead of busy-writing for half a second.
+    */
+  private[graft] var generationRetries: Int = 50
+
   /** The files of one partition a reader may see: directory parquets minus
-    * manifest-dead minus pending-staged.
+    * manifest-dead minus pending-staged (compact token AND streaming batch
+    * ids mid-append).
     *
     * The manifest is read before AND after the directory listing and the
     * listing only counts when both reads agree (generation check): every
-    * state transition — pending declare, commit, GC — rewrites the manifest,
-    * so a stable manifest proves the listing is consistent with it. Without
-    * this, a listing taken before a compact's staging paired with a manifest
-    * read after its commit would resolve an empty (or doubled) set.
+    * state transition — pending declare, batch declare/commit, compact
+    * commit, GC — rewrites the manifest, so a stable manifest proves the
+    * listing is consistent with it. Without this, a listing taken before a
+    * compact's staging paired with a manifest read after its commit would
+    * resolve an empty (or doubled) set.
+    *
+    * Exhaustion is LOUD: if the manifest keeps changing across every
+    * attempt (pathological churn — compaction every <10 ms, sustained),
+    * the reader throws a retryable [[IllegalStateException]] rather than
+    * silently returning the possibly-inconsistent mixture the check exists
+    * to prevent. Callers re-resolve; correctness mechanisms don't degrade
+    * silently.
     */
   private def liveParquets(part: Path): Seq[Path] = {
     var attempt = 0
@@ -373,35 +444,65 @@ object LogStore {
       val m1 = readManifest(part)
       val listed = parquets(part)
       val m2 = readManifest(part)
-      if (m1 == m2 || attempt >= 50) {
+      if (m1 == m2) {
         val deadNames = m2.dead.map(_._2).toSet
         return listed.filter { p =>
           val name = p.getFileName.toString
           !deadNames.contains(name) &&
-            !m2.pending.exists(t => name.startsWith(s"part-compact-$t-"))
+            !m2.pending.exists(t => name.startsWith(s"part-compact-$t-")) &&
+            !m2.pendingBatches.exists(b => name.startsWith(s"part-b$b-"))
         }
       }
       attempt += 1
+      if (attempt > generationRetries)
+        throw new IllegalStateException(
+          s"manifest of $part kept changing across $attempt listing " +
+            "attempts — maintenance churn outpaced the reader; retry the read")
       Thread.sleep(10)
     }
     Nil // unreachable
   }
 
+  /** Partition count above which the listing walk goes parallel, and the
+    * thread count it uses. Listing is metadata-latency-bound (stat + small
+    * text read per partition), so threads overlap I/O waits — on an object
+    * store each round-trip is ~10 ms and a sequential walk of 100k
+    * partitions would be ~17 min of pure latency before any query plans.
+    */
+  private val ParallelListingThreshold = 64
+  private val ListingThreads = 32
+
   /** Walk the `ingest_date=.../source_category=...` partition dirs (filtered by
     * `partKeep` on the category dir) and resolve each through its manifest.
-    * Driver-side and sequential — one cheap text read per partition dir; at
-    * catalog scale this listing would live in a table format instead.
+    * Driver-side; above [[ParallelListingThreshold]] partitions the
+    * per-partition manifest resolution fans out over [[ListingThreads]]
+    * threads (deterministic order preserved). At true catalog scale this
+    * listing would live in a table-format index instead; the parallel walk
+    * keeps the flat-directory form viable to ~100k partitions (see
+    * SCALING.md listing drill).
     */
   private def liveFiles(root: Path,
       partKeep: Path => Boolean = _ => true): Seq[Path] = {
     if (!Files.isDirectory(root)) return Nil
-    for {
+    val catDirs = for {
       dateDir <- ls(root)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("ingest_date="))
       catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("source_category=") && partKeep(p))
-      f <- liveParquets(catDir)
-    } yield f
+    } yield catDir
+    if (catDirs.lengthCompare(ParallelListingThreshold) <= 0)
+      catDirs.flatMap(liveParquets)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ListingThreads)
+      try {
+        val futures = catDirs.map { d =>
+          pool.submit(new java.util.concurrent.Callable[Seq[Path]] {
+            def call(): Seq[Path] = liveParquets(d)
+          })
+        }
+        futures.flatMap(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   private def rmTree(root: Path): Unit = {

@@ -344,6 +344,123 @@ class LogStoreSpec extends SparkSpec {
     assert(msgs.distinct.length == 320)
   }
 
+  test("appendBatch flips each partition atomically: a concurrent reader never sees a batch prefix") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-atomic").toString
+    def rows(b: Int, n: Int) =
+      (0 until n).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 60}%02d"),
+          "cat-0", s"""{"b":$b,"i":$i}"""))
+        .toDF("ts", "source_category", "message")
+    LogStore.appendBatch(rows(0, 50), dir, col("ts"), 0L)
+    // one partition, 200 rows forced into 200 one-row files: the move-in
+    // loop is 200 separate renames — a wide-open window for the old
+    // read-uncommitted prefix. With the manifest pending_batch guard the
+    // only legal observations are 50 (pre-batch) and 250 (post-commit).
+    @volatile var stop = false
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        val n = LogStore.open(spark, dir).count()
+        if (n != 50L && n != 250L) bad.add(n)
+      }
+    })
+    reader.start()
+    try LogStore.appendBatch(rows(1, 200), dir, col("ts"), 1L,
+      maxRecordsPerFile = 1L)
+    finally { stop = true; reader.join(30000) }
+    assert(bad.isEmpty, s"reader observed mid-batch prefixes: $bad")
+    assert(messages(dir).length == 250)
+  }
+
+  test("compact during a crashed streaming batch neither folds in nor duplicates its rows") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-crashbatch").toString
+    def batch(b: Int) =
+      (0 until 40).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 60}%02d"),
+          "cat-0", s"""{"b":$b,"i":$i}"""))
+        .toDF("ts", "source_category", "message")
+    LogStore.appendBatch(batch(0), dir, col("ts"), 0L)
+    val expect = messages(dir)
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    // crash sim: batch 9 died mid-move — manifest still declares the id
+    // pending, one moved-in file sits in the partition (its content is a
+    // copy of live data, so any wrongful fold-in shows up as duplicates),
+    // the _commits/b9 marker was never written
+    val live = {
+      val ls = Files.list(part)
+      try ls.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+      finally ls.close()
+    }
+    Files.copy(live, part.resolve("part-b9-00000.parquet"))
+    Files.write(part.resolve("_manifest"), "pending_batch=9".getBytes("UTF-8"))
+    assert(messages(dir) == expect) // invisible to readers
+    // compact must treat the uncommitted files as litter: not folded into
+    // the compacted output, not marked dead, left for the replay to sweep
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L)
+    assert(messages(dir) == expect)
+    assert(Files.exists(part.resolve("part-b9-00000.parquet")))
+    // the stream restarts and replays batch 9: the stale litter is swept,
+    // the real rows land exactly once
+    LogStore.appendBatch(batch(9), dir, col("ts"), 9L)
+    val after = messages(dir)
+    assert(after.length == 80 && after.distinct.length == 80)
+    // and the replayed batch survives a full maintenance pass
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L, deadFileGraceMs = 0L)
+    assert(messages(dir).length == 80)
+  }
+
+  test("generation-check exhaustion raises instead of silently mixing") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-churn").toString
+    fourBatches(dir)
+    val expect = messages(dir)
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    def writeM(body: String): Unit = {
+      // same atomic-replace protocol as the store's own writer
+      val tmp = part.resolve("_manifest.churn")
+      Files.write(tmp, body.getBytes("UTF-8"))
+      Files.move(tmp, part.resolve("_manifest"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val saved = LogStore.generationRetries
+    LogStore.generationRetries = 2
+    @volatile var stop = false
+    val churner = new Thread(() => {
+      var i = 0L
+      while (!stop) { writeM(s"dead=$i,zzz-nonexistent.parquet"); i += 1 }
+    })
+    churner.start()
+    try {
+      var raised = 0
+      var silentMix = 0
+      (0 until 20).foreach { _ =>
+        try {
+          val got = messages(dir)
+          if (got != expect) silentMix += 1
+        } catch { case _: IllegalStateException => raised += 1 }
+      }
+      assert(silentMix == 0, "a read under churn returned an inconsistent set")
+      assert(raised > 0, "sustained churn never raised — exhaustion is silent")
+    } finally {
+      stop = true; churner.join(10000)
+      LogStore.generationRetries = saved
+    }
+    // churn stopped: the very next read converges and is exact
+    writeM("dead=1,zzz-nonexistent.parquet")
+    assert(messages(dir) == expect)
+  }
+
   test("store protocol fuzz: random append/replay/compact/vacuum/crash-litter interleavings stay exact") {
     val s = spark
     import s.implicits._
@@ -364,7 +481,7 @@ class LogStoreSpec extends SparkSpec {
     (0 until 10).foreach(i => expected += s"""{"b":0,"i":$i}""")
     committed += nextBatch; nextBatch += 1
     (0 until 40).foreach { step =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // fresh batch
           LogStore.appendBatch(batchDf(nextBatch), dir, col("ts"), nextBatch)
           (0 until 10).foreach(i => expected += s"""{"b":$nextBatch,"i":$i}""")
@@ -393,6 +510,20 @@ class LogStoreSpec extends SparkSpec {
             Files.createDirectories(tmp)
             Files.write(tmp.resolve("junk.parquet"), Array[Byte](7))
           }
+        case 6 => // crash litter: a streaming batch that died mid-move —
+          // its moved-in file (real rows!) must stay invisible until the
+          // owning stream replays that id; this fuzz never replays it, so
+          // the rows must never surface
+          val crashedId = 9000L + step
+          LogStore.appendBatch(batchDf(crashedId), dir, col("ts"), crashedId)
+          // ...then rewind it to "mid-move": drop the commit marker and
+          // re-declare the id pending, exactly the crash-window state
+          Files.deleteIfExists(java.nio.file.Paths.get(dir, "_commits",
+            s"b$crashedId"))
+          val m = part.resolve("_manifest")
+          val prev = if (Files.exists(m))
+            new String(Files.readAllBytes(m), "UTF-8") + "\n" else ""
+          Files.write(m, (prev + s"pending_batch=$crashedId").getBytes("UTF-8"))
       }
       val got = messages(dir)
       assert(got == expected.toSeq,
