@@ -60,6 +60,36 @@ object Bench {
     }
   }
 
+  /** Machine-load context recorded with every run (round-10 verdict: a 14%
+    * builder↔driver spread on identical code made cross-machine deltas
+    * ambiguous — the protocol needs the load facts IN the artifact).
+    * `other_jvms` counts java processes besides this one — a concurrent
+    * sbt/Spark run is the single biggest measured distorter (>1.5×).
+    */
+  private def loadSnapshot(): (Seq[Double], Int) = {
+    val la = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Exception => Seq(-1.0, -1.0, -1.0) }
+    val self = ProcessHandle.current().pid()
+    val others = try {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+      try ls.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        n.forall(_.isDigit) && n.toLong != self && {
+          try new String(java.nio.file.Files.readAllBytes(
+            p.resolve("comm")), "UTF-8").trim == "java"
+          catch { case _: Exception => false }
+        }
+      } finally ls.close()
+    } catch { case _: Exception => -1 }
+    (la, others)
+  }
+
+  private def loadJson(la: Seq[Double], others: Int): String =
+    s"""{"loadavg":[${la.map(v => math.rint(v * 100) / 100).mkString(",")}],"other_jvms":$others}"""
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,6 +195,16 @@ object Bench {
     val nRuns =
       try math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
       catch { case _: NumberFormatException => 3 }
+    // Load context BEFORE any of our own Spark work contributes to it.
+    // Accept/reject rule (SCALING.md): a run is flagged — not trusted as a
+    // round's "final" number — when another JVM is already running or the
+    // 1-min loadavg exceeds half the benching cores at start.
+    val (loadStart, jvmsStart) = loadSnapshot()
+    val loadFlagged = jvmsStart > 0 ||
+      (loadStart.head >= 0 && loadStart.head > cpus.toDouble / 2)
+    if (loadFlagged) Console.err.println(
+      s"[bench] WARNING load-flagged run: loadavg=${loadStart.mkString(",")} " +
+        s"other_jvms=$jvmsStart — numbers not comparable across rounds")
     var spark = newSession(cpus)
     warm(spark, sfDir)
     // Stream-only drill-down for iterating on the S1/K1/Q1 path without the
@@ -241,8 +281,15 @@ object Bench {
       // `queries_median` so the r8→r9 estimator change stays attributable
       // across rounds (both estimators visible on the same run).
       val elapsed = if (times.exists(_ < 0)) -1.0 else times.min
+      // true median: even run counts average the two middle elements (the
+      // upper-middle alone biased queries_median high for even nRuns)
       val med =
-        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.length / 2)
+        if (times.exists(_ < 0)) -1.0
+        else {
+          val sorted = times.sorted
+          if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+          else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
+        }
       // One short line per query, flushed as it completes: machine-parseable
       // even when the driver's bounded output-tail capture can't hold the
       // full result blob on a single line (the round-5/6 "parsed": null bug).
@@ -288,7 +335,10 @@ object Bench {
       results.map(_._2._1).filter(_ >= 0).sum + math.max(streamSecs, 0.0)
     val totalMed =
       results.map(_._2._2).filter(_ >= 0).sum + math.max(streamSecs, 0.0)
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir"}"""
+    val (loadEnd, jvmsEnd) = loadSnapshot()
+    val loadCtx =
+      s""""load":{"start":${loadJson(loadStart, jvmsStart)},"end":${loadJson(loadEnd, jvmsEnd)},"cpus_host":${Runtime.getRuntime.availableProcessors},"cpus_bench":$cpus,"flagged":$loadFlagged}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir"}"""
     // Full per-query blob goes to a FILE (it has never fit the driver's
     // output-tail window — 75 query names alone overflow it); stdout gets
     // the per-query lines above plus one SHORT final line that always fits
@@ -302,6 +352,6 @@ object Bench {
     // line, not interleaved with executor-shutdown log noise.
     spark.sparkContext.setLogLevel("ERROR")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"load_flagged":$loadFlagged,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
   }
 }

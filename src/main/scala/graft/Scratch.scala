@@ -272,9 +272,13 @@ object Scratch {
         .split(",").map(_.trim.toInt)
       spec.split(",").map(_.trim.toLong).foreach { n =>
         chains.foreach { len =>
+          // `id div len` (INTEGER division): `col("id") / len` is DOUBLE
+          // division in Spark and would render "c0.25x1"-style ids the
+          // trace regex can never match — the drill would time a no-op
+          val g = expr(s"id div $len")
           val msgs = spark.range(n).select(
-            concat(lit("req id=c"), col("id") / len, lit("x"), col("id") % len,
-              lit(" peer=c"), col("id") / len, lit("x"),
+            concat(lit("req id=c"), g, lit("x"), col("id") % len,
+              lit(" peer=c"), g, lit("x"),
               (col("id") % len) + 1).as("message"))
           def mk = SearchQuery.compileStages(
             Seq(SearchQuery.parseStage("trace \"(c[0-9]+x[0-9]+)\" \"c0x0\"")),

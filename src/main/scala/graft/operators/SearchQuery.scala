@@ -2172,7 +2172,24 @@ object SearchQuery {
               .map(_.toLong).getOrElse(1000000L)
           def frontier(r: DataFrame, n: Long) =
             if (n <= bcastIdLimit) broadcast(r) else r
-          while (grown && rounds < maxRounds) {
+          // Each BFS hop scans the whole pinned exploded table (a hash
+          // semi-join has no index to probe), so BFS costs O(hops × corpus)
+          // — the round-11 drill measured ~2.9 s/hop at 10M rows. That is
+          // the right trade for the common short request chain (cheap
+          // broadcast semi-joins, no shuffle), and the wrong one past a few
+          // dozen hops. When the loop exhausts its hop budget still
+          // growing — where it previously returned a silently TRUNCATED
+          // reach — it now hands the remainder to alternating star
+          // contraction (O(log² n) heavy global rounds, diameter-free) and
+          // takes the seed's connected component, which is exactly the BFS
+          // closure. Measured crossover ≈ 50 hops at 10M rows (global CC
+          // ~70-100 s vs ~2.9 s/hop), hence the default budget stays
+          // maxRounds; `spark.graft.trace.bfsRounds` lets a known-deep
+          // graph opt into the contraction path earlier.
+          val bfsRounds =
+            spark.conf.getOption("spark.graft.trace.bfsRounds")
+              .map(_.toInt).getOrElse(maxRounds)
+          while (grown && rounds < math.min(maxRounds, bfsRounds)) {
             // one co-occurrence hop: every id sharing a row with the reach
             // set joins it (monotone — convergence when the count stops
             // growing; each round is one bounded job on the pinned table)
@@ -2188,6 +2205,30 @@ object SearchQuery {
             Pins.release(reach)
             reach = next
             rounds += 1
+          }
+          if (grown) {
+            // diameter exceeded the BFS budget — finish via connected
+            // components. Within-row connectivity needs only a star from
+            // each row's first id, so the edge list is |ids| rows, not
+            // |ids|² pairs.
+            val comps = graft.operators.Dedup.clustersStar(
+              pinned.select(col("_tr_ids").getItem(0).as("_tr_a"),
+                explode(col("_tr_ids")).as("_tr_b")), "_tr_a", "_tr_b")
+            // the seed's component label: a 1-row lookup
+            val seedCluster = comps.filter(col("doc_id") === seed)
+              .select("cluster_id").head(1).headOption.map(_.getString(0))
+            val compReach = seedCluster match {
+              case Some(c) => comps
+                // members + the root itself (clustersStar emits (root,root))
+                .filter(col("cluster_id") === c)
+                .select(col("doc_id").as("_tr_id"))
+              case None => spark.createDataset(Seq(seed))(
+                org.apache.spark.sql.Encoders.STRING).toDF("_tr_id")
+            }
+            Pins.release(reach)
+            reach = Pins.pin(compReach)
+            nReach = reach.count()
+            comps.unpersist()
           }
           // membership without row identity: the distinct id-ARRAYS that
           // overlap the reach set pick their rows via an array-equality

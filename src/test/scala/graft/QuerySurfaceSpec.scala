@@ -1736,6 +1736,36 @@ class QuerySurfaceSpec extends SparkSpec {
     intercept[IllegalArgumentException](parseStage("trace \"a\\d\" \"a1\""))
   }
 
+  test("Q1: trace — chain deeper than the BFS hop budget completes exactly via star contraction") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // a 100-hop chain c0→c1→…→c100: with the BFS budget forced to 2 the
+    // hop loop alone would return a silently truncated reach (the pre-r11
+    // failure mode at maxRounds) — the connected-component fallback must
+    // finish the walk and return EVERY chain row, nothing from the other
+    // component, regardless of diameter
+    val chain = (0 until 100).map(i => s"req c$i calls c${i + 1}")
+    val other = Seq("req z1 calls z2", "req z2 calls z3")
+    val df = scala.util.Random.shuffle(chain ++ other).toDF("message")
+    val prev = spark.conf.getOption("spark.graft.trace.bfsRounds")
+    spark.conf.set("spark.graft.trace.bfsRounds", "2")
+    try {
+      val out = compileStages(
+        Seq(parseStage("trace \"([cz]\\d+)\" \"c0\"")),
+        "ts", "message")(df).as[String].collect().toSeq.sorted
+      assert(out == chain.sorted, s"got ${out.length} rows")
+      // seed inside the small component: fallback still isolates it
+      val z = compileStages(
+        Seq(parseStage("trace \"([cz]\\d+)\" \"z3\"")),
+        "ts", "message")(df).as[String].collect().toSeq.sorted
+      assert(z == other.sorted)
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.trace.bfsRounds"))(
+        spark.conf.set("spark.graft.trace.bfsRounds", _))
+    }
+  }
+
   test("Q1: trace — degenerate seed (corpus-wide component) completes without a frontier broadcast") {
     import SearchQuery._
     val s = spark
