@@ -24,6 +24,51 @@ object Scratch {
       val t0 = System.nanoTime(); val n = f
       println(f"[scratch] $name: ${(System.nanoTime - t0) / 1e9}%.2f s ($n rows)")
     }
+    // Store-listing drill (SCALING.md round 11): SPARK_GRAFT_LISTING_SCALE=
+    // "1000,10000,100000" builds a synthetic store tree with that many
+    // category-day partitions (2 empty .parquet names each — listing never
+    // opens files — and a manifest with dead entries on every 4th
+    // partition), then times LogStore's planning-side live-set resolution,
+    // sequential vs the 32-thread parallel walk. Local-fs metadata ops are
+    // ~µs, so this measures the WALK's per-partition cost floor; on an
+    // object store each partition adds a ~10 ms round-trip, which is what
+    // the thread fan-out amortizes.
+    sys.env.get("SPARK_GRAFT_LISTING_SCALE").foreach { spec =>
+      import java.nio.file.{Files => JF, Paths => JP}
+      spec.split(",").map(_.trim.toInt).foreach { nParts =>
+        val root = JF.createTempDirectory(s"listing-$nParts")
+        val nDates = math.max(1, nParts / 100)
+        var made = 0
+        (0 until nDates).foreach { d =>
+          val dateDir = root.resolve(f"ingest_date=2024-${1 + d / 28 % 12}%02d-${1 + d % 28}%02d-$d")
+          JF.createDirectories(dateDir)
+          (0 until math.min(100, nParts - made)).foreach { c =>
+            val p = dateDir.resolve(s"source_category=cat-$c")
+            JF.createDirectories(p)
+            JF.write(p.resolve("part-00000.parquet"), Array.emptyByteArray)
+            JF.write(p.resolve("part-00001.parquet"), Array.emptyByteArray)
+            if (c % 4 == 0) JF.write(p.resolve("_manifest"),
+              "dead=1,part-gone-0.parquet\ndead=2,part-gone-1.parquet"
+                .getBytes("UTF-8"))
+            made += 1
+          }
+        }
+        import graft.sinks.LogStore
+        val savedThreshold = LogStore.ParallelListingThreshold
+        Seq("sequential" -> Int.MaxValue, "parallel32" -> 64).foreach {
+          case (label, thr) =>
+            LogStore.ParallelListingThreshold = thr
+            (0 until 3).foreach { rep =>
+              time(s"listing $label parts=$nParts rep=$rep") {
+                LogStore.listLiveCount(root.toString).toLong
+              }
+            }
+        }
+        LogStore.ParallelListingThreshold = savedThreshold
+      }
+      spark.stop()
+      return
+    }
     // Derived-scale corpus generator (SCALING.md methodology, now committed):
     // SPARK_GRAFT_MAKE_SCALED=<outDir>:<factor> replicates sf0.1's documents
     // and embeddings <factor>× with per-replica decorrelation — document

@@ -469,8 +469,15 @@ object LogStore {
     * store each round-trip is ~10 ms and a sequential walk of 100k
     * partitions would be ~17 min of pure latency before any query plans.
     */
-  private val ParallelListingThreshold = 64
+  private[graft] var ParallelListingThreshold = 64
   private val ListingThreads = 32
+
+  /** Listing-drill hook (Scratch): resolve the store's live file set and
+    * return its size — times exactly the planning-side listing layer,
+    * nothing parquet.
+    */
+  private[graft] def listLiveCount(dir: String): Int =
+    liveFiles(Paths.get(dir)).size
 
   /** Walk the `ingest_date=.../source_category=...` partition dirs (filtered by
     * `partKeep` on the category dir) and resolve each through its manifest.
