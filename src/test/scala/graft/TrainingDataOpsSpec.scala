@@ -936,9 +936,38 @@ class TrainingDataOpsSpec extends SparkSpec {
     // every exact rule is multi-label lowercase with no wildcard/exception
     // markers (those live in their own sets)
     val exact = graft.functions.PublicSuffixes.bundledExactRules
-    assert(exact.size > 900, s"snapshot unexpectedly small: ${exact.size}")
+    assert(exact.size > 3000, s"snapshot unexpectedly small: ${exact.size}")
     assert(exact.forall(r => r.contains(".") || r == r.toLowerCase))
     assert(exact.forall(r => !r.contains("*") && !r.contains("!")))
+  }
+
+  test("round-11 PSL expansion: registries absent from the old snapshot group correctly") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions.urlDomain
+    // each of these registries was MISSING before round 11, so every URL
+    // under it mis-grouped one label short (e.g. comune.milano.it grouped
+    // as milano.it — merging every Milano-province site into one "domain")
+    val doms = Seq(
+      "https://www.comune.milano.it/x",   // .it province (was: 0 .it rules)
+      "http://shop.florence.it/",         // .it English alias
+      "https://lib.school.k12.ca.us/",    // .us k12 tree
+      "http://a.chiyoda.tokyo.jp/",       // .jp ward municipality
+      "https://x.naha.okinawa.jp/",       // .jp municipality
+      "http://b.gs.oslo.no/",             // .no school tree
+      "https://site.warszawa.pl/",        // .pl regional
+      "http://svc.e.bg/",                 // .bg single-letter registry
+      "https://host.aland.fi/"            // autonomous registry
+    ).toDF("u").select(urlDomain(col("u"))).as[String].collect().toSeq
+    assert(doms == Seq(
+      "comune.milano.it", "shop.florence.it", "school.k12.ca.us",
+      "a.chiyoda.tokyo.jp", "x.naha.okinawa.jp", "b.gs.oslo.no",
+      "site.warszawa.pl", "svc.e.bg", "host.aland.fi"), doms)
+    // an .it domain NOT under a listed province still falls to the default
+    // single-label rule — the expansion adds suffixes, never removes
+    val plain = Seq("https://www.ferrari.it/x").toDF("u")
+      .select(urlDomain(col("u"))).as[String].head()
+    assert(plain == "ferrari.it")
   }
 
   test("HLL rollup: union of daily sketches == sketch of the union; estimate near exact") {
