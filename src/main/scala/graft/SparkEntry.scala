@@ -1529,6 +1529,20 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         k = 8, iters = 2, threshold = 0.3), "vec_id")
     }),
+    // ---- occupancy-held SemDeDup: k grows with the corpus (k = n/64) so
+    //      per-cluster occupancy — and with it the within-cluster pair
+    //      work — stays bounded as data scales. q120 pins the oracle's
+    //      FIXED k (quadratic occupancy growth by construction); this is
+    //      the production sizing the scale drills measured linear, now
+    //      oracle-gated itself (round-10 verdict ask #6). The count() is a
+    //      1-row aggregate, not a collect. ----
+    "q146_semantic_dedup_autok" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val k = math.max(1L, emb.count() / 64).toInt
+      pinSorted(graft.operators.Dedup.semanticDedup(
+        emb, col("vec_id"), col("embedding"),
+        k = k, iters = 2, threshold = 0.3), "vec_id")
+    }),
     // ---- exact-substring span dedup: positional 8-gram inverted index,
     //      first occurrence kept, later copies deleted token-wise ----
     "q121_span_dedup" -> ((s, dir) => {
@@ -2317,6 +2331,85 @@ object SparkEntry {
   private def pslValues: String =
     graft.functions.PublicSuffixes.bundledExactRules
       .map(r => s"('$r',${r.count(_ == '.') + 1})").mkString(",")
+
+  /** The SemDeDup oracle (seeded init + 2 Lloyd rounds + within-cluster
+    * cosine prune) parameterized by the k expression, so the fixed-k
+    * (q120) and occupancy-held auto-k (q146) gates share one SQL mirror
+    * that can never drift between them.
+    */
+  private def semDedupOracleSql(kSql: String): String =
+    s"""WITH init AS (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                  embedding AS cvec
+           FROM (SELECT vec_id, embedding,
+                   ('0x'||substring(md5('km:'||vec_id),1,15))::BIGINT AS h
+                 FROM embeddings ORDER BY h, vec_id LIMIT $kSql)),
+         a1 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN init c),
+         b1 AS (SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM a1),
+         m1 AS (SELECT cid, r.range AS dim,
+                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
+                     / count(*))::REAL AS val
+                FROM b1, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
+         n1 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
+         c1 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
+                FROM init i LEFT JOIN n1 n ON i.cid = n.cid),
+         a2 AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN c1 c),
+         b2 AS (SELECT vec_id, embedding, cid,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM a2),
+         m2 AS (SELECT cid, r.range AS dim,
+                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
+                     / count(*))::REAL AS val
+                FROM b2, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
+         n2 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m2 GROUP BY cid),
+         c2 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
+                FROM c1 i LEFT JOIN n2 n ON i.cid = n.cid),
+         aa AS (SELECT e.vec_id, e.embedding, c.cid,
+                  list_reduce(list_transform(range(1, len(e.embedding)+1),
+                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+                FROM embeddings e CROSS JOIN c2 c),
+         asg AS (SELECT vec_id, embedding, cid FROM (
+                  SELECT vec_id, embedding, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM aa) WHERE rn = 1),
+         p AS (SELECT y.vec_id AS id_b
+               FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               WHERE round(
+                 list_reduce(list_transform(range(1, len(x.embedding)+1),
+                   i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x2,y2) -> x2+y2) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(x.embedding)+1),
+                     i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (x2,y2) -> x2+y2) *
+                   list_reduce(list_transform(range(1, len(y.embedding)+1),
+                     i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x2,y2) -> x2+y2)),
+                 6) >= 0.3),
+         dr AS (SELECT DISTINCT id_b FROM p)
+         SELECT a.vec_id, a.cid AS cluster_id, (dr.id_b IS NULL) AS kept
+         FROM asg a LEFT JOIN dr ON a.vec_id = dr.id_b
+         ORDER BY a.vec_id"""
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -3689,79 +3782,9 @@ object SparkEntry {
     // SemDeDup: q60's k-means CTE chain (seed km, k=8, 2 Lloyd rounds)
     // verbatim, q42's argmax assignment, within-cluster pair prune at
     // round(cos,6) >= 0.3, higher id of every qualifying pair dropped
-    "q120_semantic_dedup" ->
-      """WITH init AS (
-           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
-                  embedding AS cvec
-           FROM (SELECT vec_id, embedding,
-                   ('0x'||substring(md5('km:'||vec_id),1,15))::BIGINT AS h
-                 FROM embeddings ORDER BY h, vec_id LIMIT 8)),
-         a1 AS (SELECT e.vec_id, e.embedding, c.cid,
-                  list_reduce(list_transform(range(1, len(e.embedding)+1),
-                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
-                  sqrt(
-                    list_reduce(list_transform(range(1, len(e.embedding)+1),
-                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
-                    list_reduce(list_transform(range(1, len(c.cvec)+1),
-                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
-                FROM embeddings e CROSS JOIN init c),
-         b1 AS (SELECT vec_id, embedding, cid,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                FROM a1),
-         m1 AS (SELECT cid, r.range AS dim,
-                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
-                     / count(*))::REAL AS val
-                FROM b1, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
-         n1 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m1 GROUP BY cid),
-         c1 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
-                FROM init i LEFT JOIN n1 n ON i.cid = n.cid),
-         a2 AS (SELECT e.vec_id, e.embedding, c.cid,
-                  list_reduce(list_transform(range(1, len(e.embedding)+1),
-                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
-                  sqrt(
-                    list_reduce(list_transform(range(1, len(e.embedding)+1),
-                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
-                    list_reduce(list_transform(range(1, len(c.cvec)+1),
-                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
-                FROM embeddings e CROSS JOIN c1 c),
-         b2 AS (SELECT vec_id, embedding, cid,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                FROM a2),
-         m2 AS (SELECT cid, r.range AS dim,
-                  ((sum(CAST(embedding[r.range+1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
-                     / count(*))::REAL AS val
-                FROM b2, range(64) r WHERE rn = 1 GROUP BY cid, r.range),
-         n2 AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM m2 GROUP BY cid),
-         c2 AS (SELECT i.cid, coalesce(n.cvec, i.cvec) AS cvec
-                FROM c1 i LEFT JOIN n2 n ON i.cid = n.cid),
-         aa AS (SELECT e.vec_id, e.embedding, c.cid,
-                  list_reduce(list_transform(range(1, len(e.embedding)+1),
-                    i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
-                  sqrt(
-                    list_reduce(list_transform(range(1, len(e.embedding)+1),
-                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
-                    list_reduce(list_transform(range(1, len(c.cvec)+1),
-                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
-                FROM embeddings e CROSS JOIN c2 c),
-         asg AS (SELECT vec_id, embedding, cid FROM (
-                  SELECT vec_id, embedding, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                  FROM aa) WHERE rn = 1),
-         p AS (SELECT y.vec_id AS id_b
-               FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
-               WHERE round(
-                 list_reduce(list_transform(range(1, len(x.embedding)+1),
-                   i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x2,y2) -> x2+y2) /
-                 sqrt(
-                   list_reduce(list_transform(range(1, len(x.embedding)+1),
-                     i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (x2,y2) -> x2+y2) *
-                   list_reduce(list_transform(range(1, len(y.embedding)+1),
-                     i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (x2,y2) -> x2+y2)),
-                 6) >= 0.3),
-         dr AS (SELECT DISTINCT id_b FROM p)
-         SELECT a.vec_id, a.cid AS cluster_id, (dr.id_b IS NULL) AS kept
-         FROM asg a LEFT JOIN dr ON a.vec_id = dr.id_b
-         ORDER BY a.vec_id""",
+    "q120_semantic_dedup" -> semDedupOracleSql("8"),
+    "q146_semantic_dedup_autok" -> semDedupOracleSql(
+      "greatest(1, (SELECT count(*)//64 FROM embeddings))"),
     // exact-substring span dedup: positional 8-gram hashes, global first
     // occurrence by (doc_id, pos), later copies expand to covered token
     // positions; kept_text reassembles the uncovered tokens in order

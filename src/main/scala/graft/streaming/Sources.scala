@@ -32,3 +32,32 @@ final case class KinesisFileSource(path: String) extends RecordSource {
   override def open(spark: SparkSession): DataFrame =
     spark.readStream.schema(schema).json(path)
 }
+
+/** A live PUSH wire through the same seam: a TCP socket delivering one
+  * wire-shape JSON record per line (Spark's built-in socket source), parsed
+  * into the kinesis record schema. This is the genuinely unbounded form of
+  * the S2 adapter — records arrive whenever the remote writes, not when a
+  * file lands — and everything downstream (decode chain, sequence-number
+  * dedup, exactly-once store batches) is identical, proving the seam
+  * carries a live connector unchanged.
+  *
+  * Durability contract, stated honestly: the socket transport itself is
+  * NOT replayable (no offsets — a restart cannot re-read what the remote
+  * already sent, exactly like a raw `GetRecords` consumer that never
+  * persists its shard iterator). Within a run, delivery is still
+  * exactly-once per record through `dedupWithin` sequence-number dedup and
+  * the per-batch store commit protocol. A production Kinesis reader adds
+  * exactly one thing on top of this adapter: checkpointed shard iterators,
+  * which is offset state in the SOURCE, not a pipeline change — the
+  * reference consumer has the same split (`k2sl_lambda.js:182-199` reads;
+  * the Lambda trigger owns the checkpoint).
+  */
+final case class KinesisSocketSource(host: String, port: Int)
+    extends RecordSource {
+  import org.apache.spark.sql.functions.{col, from_json}
+  override def schema: StructType = graft.model.Schemas.kinesisRecord
+  override def open(spark: SparkSession): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(from_json(col("value"), schema).as("_r")).select("_r.*")
+}

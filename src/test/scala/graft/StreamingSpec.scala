@@ -605,6 +605,58 @@ class StreamingSpec extends SparkSpec {
     assert(msgs2 == Seq("same"), msgs2)
   }
 
+  test("S2 live wire: a socket-fed RecordSource pushes through kinesisToStore, exactly-once per record") {
+    val s = spark
+    import s.implicits._
+    // a real TCP feeder — not MemoryStream, not a landed file: records
+    // arrive whenever the remote writes, the genuinely unbounded push shape
+    // a live Kinesis/SQS consumer sees. The feed re-delivers seq 2 after a
+    // pause (expired-iterator replay across micro-batches); the store must
+    // still land every unique sequence number exactly once.
+    def rec(seq: Long, msg: String): String =
+      s"""{"kinesis":{"data":"${envelope("live-shard", Seq(msg))}","sequenceNumber":"$seq"}}"""
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val port = server.getLocalPort
+    @volatile var feedErr: Throwable = null
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        out.println(rec(1, "m1")); out.println(rec(2, "m2"))
+        Thread.sleep(1200) // let a micro-batch boundary pass
+        out.println(rec(2, "m2")); out.println(rec(3, "m3")) // replayed seq 2
+        Thread.sleep(3000) // keep the connection up while batches drain
+        out.close(); sock.close()
+      } catch { case t: Throwable => feedErr = t }
+    })
+    feeder.start()
+    val storeDir = mkTmp("socket-store")
+    val q = Streams.kinesisToStore(spark,
+      graft.streaming.KinesisSocketSource("127.0.0.1", port),
+      CwlPipeline.Config(),
+      Metadata.MetaConfig(sourceCategoryOverride = "live/cat"), storeDir,
+      dedupWithin = Some("10 minutes"))
+      .option("checkpointLocation", mkTmp("socket-ckpt"))
+      .start()
+    // poll the store until the three unique records landed (push source:
+    // there is no "all available" moment until the feed closes)
+    def msgs(): Seq[String] =
+      try graft.sinks.LogStore.open(spark, storeDir)
+        .select("message").as[String].collect().toSeq.sorted
+      catch { case _: IllegalArgumentException => Nil } // store not yet created
+    val deadline = System.currentTimeMillis() + 60000
+    while (msgs() != Seq("m1", "m2", "m3") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(250)
+    q.processAllAvailable()
+    q.stop()
+    feeder.join(15000)
+    server.close()
+    assert(feedErr == null, s"feeder failed: $feedErr")
+    // exactly-once: the replayed seq 2 never landed twice
+    assert(msgs() == Seq("m1", "m2", "m3"), msgs())
+  }
+
   test("kinesisToStore crash recovery: a batch replayed from the checkpoint lands exactly once") {
     val s = spark
     import s.implicits._
