@@ -71,13 +71,18 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
       catch { case _: Exception => Seq(-1.0, -1.0, -1.0) }
-    val self = ProcessHandle.current().pid()
+    // exclude our whole ancestor chain, not just self: `run / fork` means
+    // the benching JVM is a CHILD of the sbt launcher JVM — counting the
+    // launcher as "other" would flag every run unconditionally
+    val lineage = Iterator.iterate(Option(ProcessHandle.current())) {
+      _.flatMap(h => Option(h.parent().orElse(null)))
+    }.takeWhile(_.isDefined).take(16).flatten.map(_.pid()).toSet
     val others = try {
       import scala.jdk.CollectionConverters._
       val ls = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
       try ls.iterator().asScala.count { p =>
         val n = p.getFileName.toString
-        n.forall(_.isDigit) && n.toLong != self && {
+        n.forall(_.isDigit) && !lineage.contains(n.toLong) && {
           try new String(java.nio.file.Files.readAllBytes(
             p.resolve("comm")), "UTF-8").trim == "java"
           catch { case _: Exception => false }
