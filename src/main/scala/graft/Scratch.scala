@@ -69,6 +69,55 @@ object Scratch {
       spark.stop()
       return
     }
+    // PQ drill (SCALING.md round 11): SPARK_GRAFT_PQ_SCALE="1000000,10000000"
+    // synthesizes n dim-64 vectors (deterministic trig mix — no RNG, so runs
+    // reproduce), then times (a) the one-off index build (encode kernel +
+    // parquet write), (b) a top-10 ADC query over the stored codes-only
+    // index, (c) the float brute-force top-10 on the same corpus, and
+    // reports both files' bytes — the measured form of PQ's claim: ~32×
+    // smaller scan, query cost m lookups instead of dim multiply-adds.
+    sys.env.get("SPARK_GRAFT_PQ_SCALE").foreach { spec =>
+      import org.apache.spark.sql.types.FloatType
+      import graft.operators.Similarity
+      def dirBytes(p: String): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        val vecs = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => sin(col("id") * (j + lit(1)) * 0.7 + j * 1.3).cast(FloatType))
+            .as("embedding"))
+          .repartition(32).localCheckpoint()
+        val cb = Similarity.pqCodebook(vecs.filter(col("vec_id") < 16),
+          col("vec_id"), col("embedding"), m = 8)
+        val query = vecs.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toSeq
+        val codesDir = java.nio.file.Files.createTempDirectory(s"pq-$n").toString
+        val floatDir = java.nio.file.Files.createTempDirectory(s"pqf-$n").toString
+        time(s"pq build n=$n (encode+write)") {
+          Similarity.buildPqIndex(vecs, col("vec_id"), col("embedding"), cb, codesDir); n
+        }
+        vecs.write.mode("overwrite").parquet(floatDir)
+        println(s"[scratch] pq bytes n=$n codes=${dirBytes(codesDir)} " +
+          s"float=${dirBytes(floatDir)} " +
+          f"ratio=${dirBytes(floatDir).toDouble / dirBytes(codesDir)}%.1f")
+        (0 until 3).foreach { rep =>
+          time(s"pq stored adc top-10 n=$n rep=$rep") {
+            Similarity.pqTopKStored(spark, codesDir, cb, query, 10).count()
+          }
+          time(s"float brute top-10 n=$n rep=$rep") {
+            Similarity.bruteForceTopK(spark.read.parquet(floatDir),
+              col("vec_id"), col("embedding"), query, 10).count()
+          }
+        }
+        vecs.unpersist()
+      }
+      spark.stop()
+      return
+    }
     // Derived-scale corpus generator (SCALING.md methodology, now committed):
     // SPARK_GRAFT_MAKE_SCALED=<outDir>:<factor> replicates sf0.1's documents
     // and embeddings <factor>× with per-replica decorrelation — document

@@ -1568,6 +1568,35 @@ object SparkEntry {
       graft.operators.Similarity.ivfTopKInt8(emb, col("vec_id"), col("embedding"),
         cents, col("cid"), col("cvec"), query, k = 10, nprobe = 4)
     }),
+    // ---- product-quantization ANN: 8 subspaces × 16 data-picked codewords
+    //      (vec_id < 16, deterministic — the oracle re-derives them), corpus
+    //      encoded to 8 codes in one kernel pass, scored by ADC table
+    //      lookups. The 32×-compression scan path for a 100 TB embedding
+    //      corpus. ----
+    "q147_pq_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      graft.operators.Similarity.pqTopK(
+        emb, col("vec_id"), col("embedding"), cb, query, k = 10)
+    }),
+    // ---- IVF-PQ: the Faiss-standard full composition — coarse quantizer
+    //      (16 centroids, probe 4) prunes the scan, PQ codes make scoring
+    //      the survivors a table-lookup loop ----
+    "q148_ivf_pq_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      graft.operators.Similarity.ivfPqTopK(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, query, k = 10, nprobe = 4)
+    }),
     // ---- hybrid retrieval: BM25 ⊕ cosine by reciprocal-rank fusion ----
     "q125_hybrid_rrf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -4198,6 +4227,93 @@ object SparkEntry {
                    i -> q.qvec[i]::BIGINT * q.qvec[i]::BIGINT), (x,y) -> x+y)::DOUBLE), 6) AS cosine_q
            FROM qz e JOIN assigned USING (vec_id), qv8 q)
          ORDER BY cosine_q DESC, vec_id LIMIT 10""",
+    // PQ ADC: codebook = subspace slices of vec_id<16; per (vector, subspace)
+    // the code is the argmin-L2² codeword (ties to the lowest code; the d2
+    // list_reduce accumulates (v-c)² left-to-right — the engine kernel's
+    // exact order, so the argmin comparison can never diverge); score =
+    // per-subspace q·codeword lookups summed IN SUBSPACE ORDER
+    // (list(ip ORDER BY s) then list_reduce — again the kernel's order)
+    "q147_pq_topk" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id)
+         SELECT vec_id, round(score, 6) AS adc_score FROM sc
+         ORDER BY adc_score DESC, vec_id LIMIT 10""",
+    // IVF-PQ: q124's coarse-quantizer probe set (16 centroids, probe 4 by
+    // partial cosine, assignment by full cosine) restricts which vectors the
+    // q147 ADC scoring sees
+    "q148_ivf_pq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         pc AS (SELECT c.cid,
+                  list_reduce(list_transform(range(1, len(c.cvec)+1),
+                    i -> q.qv[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(q.qv)+1),
+                      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS pcos
+                FROM c, q),
+         probes AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY pcos DESC, cid) AS rn
+                      FROM pc) WHERE rn <= 4),
+         a AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(e.embedding)+1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                   list_reduce(list_transform(range(1, len(c.cvec)+1),
+                     i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+               FROM embeddings e CROSS JOIN c),
+         best AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM a),
+         assigned AS (SELECT vec_id FROM best
+                      WHERE rn = 1 AND cid IN (SELECT cid FROM probes)),
+         cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e JOIN assigned USING (vec_id)
+               CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id)
+         SELECT vec_id, round(score, 6) AS adc_score FROM sc
+         ORDER BY adc_score DESC, vec_id LIMIT 10""",
     // reciprocal-rank fusion of q119's BM25 pool (poolK=50) and the
     // brute-force cosine pool; 1/(60+rank) per appearance, fused top-20
     "q125_hybrid_rrf" ->

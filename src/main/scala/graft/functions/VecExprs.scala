@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Float-vector kernels (static forwarders for Janino codegen).
   *
@@ -71,6 +71,72 @@ object VecImpl {
     s
   }
 
+  /** Product-quantization encode (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the vector is split into
+    * `m = codebook.length` contiguous subspaces of `dsub` dims each; per
+    * subspace the emitted code is the argmin-L2² codeword, ties to the
+    * lowest code (strict `<` keeps the first minimum). Each per-codeword
+    * distance accumulates `(v-c)²` left-to-right in doubles — bit-identical
+    * to the DuckDB `list_reduce(list_transform(...))` oracle formulation, so
+    * the argmin (an exact double comparison) can never diverge across
+    * engines. The codebook rides along as a codegen reference object.
+    *
+    * A vector shorter than `m × dsub` fails loudly: silently encoding a
+    * truncated tail would corrupt every downstream ADC score with no
+    * visible symptom.
+    */
+  def pqEncode(a: ArrayData, codebook: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebook.length
+    val out = new Array[Int](m)
+    var s = 0
+    var base = 0
+    while (s < m) {
+      val codes = codebook(s)
+      val dsub = codes(0).length
+      if (a.numElements() < base + dsub) {
+        throw new IllegalArgumentException(
+          s"pq_encode: embedding has ${a.numElements()} dims but the codebook " +
+            s"needs ${base + dsub} — m × dsub must not exceed the dimension")
+      }
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codes.length) {
+        val cw = codes(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = a.getFloat(base + j).toDouble - cw(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      base += dsub
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance (ADC) score: `Σ_s lut(s)(code_s)` accumulated
+    * left-to-right over subspaces — the table-lookup inner loop that makes a
+    * PQ-compressed corpus scannable (m additions per vector, no per-dim
+    * arithmetic). The lookup table is query-specific, precomputed
+    * driver-side with the same accumulation order as the oracle.
+    */
+  def pqAdc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+    val m = math.min(codes.numElements(), lut.length)
+    var s = 0
+    var acc = 0.0
+    while (s < m) {
+      acc += lut(s)(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** Random-hyperplane bucket: bit p set iff `vec · planes(p) > 0`. Each
     * per-plane dot accumulates left-to-right in doubles from 0.0 — bit-
     * identical to the `aggregate(sequence(...))` SQL form this replaces (and
@@ -136,6 +202,43 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
     defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.hyperplaneBucket($a, $mat)")
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** `pq_encode(array<float>) -> array<int>` with codegen; the constant
+  * codebook (m subspaces × ncodes codewords × dsub floats) rides along as a
+  * codegen reference object.
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.pqEncode(a.asInstanceOf[ArrayData], codebook)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pqEncode($a, $cb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_adc(array<int>) -> double` with codegen; the query's lookup table
+  * (m × ncodes doubles) rides along as a codegen reference object.
+  */
+case class PqAdc(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.pqAdc(a.asInstanceOf[ArrayData], lut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("pqLut", lut, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pqAdc($a, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
     copy(child = newChild)
 }
 

@@ -376,6 +376,167 @@ object Similarity {
       .sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1).toSeq
   }
 
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011): the 100 TB compression path.
+  // A dim-64 float corpus is 256 B/vector; PQ codes at m=8 subspaces are
+  // 8 B/vector (32×), and query scoring is m table lookups per vector
+  // (the ADC loop) instead of dim multiply-adds. IVF prunes which vectors
+  // are scored; PQ shrinks what scoring costs — composed in [[ivfPqTopK]].
+  // --------------------------------------------------------------------
+
+  /** Data-picked PQ codebook: the rows of `codewords` (sorted by id, all
+    * collected — callers pass a SMALL pre-filtered set, e.g. the first 16
+    * vectors) sliced into `m` contiguous subspaces. Codeword `c` of subspace
+    * `s` is row `c`'s dims `[s·dsub, (s+1)·dsub)`. Deterministic (no RNG), so
+    * a SQL oracle re-derives the identical codebook; quality-trained
+    * codebooks come from [[pqTrainCodebook]].
+    */
+  def pqCodebook(codewords: DataFrame, idCol: Column, vecCol: Column,
+      m: Int): Array[Array[Array[Float]]] = {
+    val rows = codewords.select(idCol.cast("long").as("_id"), vecCol.as("_v"))
+      .orderBy(col("_id")).collect()
+    require(rows.nonEmpty, "pqCodebook: empty codeword set")
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val dim = vecs.head.length
+    require(m > 0 && dim % m == 0,
+      s"pqCodebook: dimension $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m, vecs.length)((s, c) => vecs(c).slice(s * dsub, (s + 1) * dsub))
+  }
+
+  /** PQ codes for an embedding column: `array<int>` of `m` codewords, argmin
+    * L2² per subspace (ties to the lowest code). One codegen'd kernel pass
+    * ([[graft.functions.PqEncode]]); the codebook (m × ncodes × dsub floats —
+    * KBs) rides along as a constant reference object, never a join.
+    */
+  def pqEncode(vecCol: Column, codebook: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.PqEncode(
+      org.apache.spark.sql.GraftGlue.expression(vecCol), codebook))
+
+  /** Query-specific ADC lookup table: `lut(s)(c) = q_sub(s) · codeword(s)(c)`
+    * with left-to-right double accumulation — the same order
+    * [[graft.functions.VecImpl.dot]] and the DuckDB oracle use, so the table
+    * (and every score summed from it) is bit-identical across engines.
+    */
+  private[graft] def pqLut(query: Seq[Float],
+      codebook: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    var base = 0
+    codebook.map { codes =>
+      val dsub = codes(0).length
+      require(query.length >= base + dsub,
+        s"pqLut: query has ${query.length} dims but the codebook needs ${base + dsub}")
+      val row = codes.map { cw =>
+        var s = 0.0
+        var j = 0
+        while (j < dsub) {
+          s += query(base + j).toDouble * cw(j).toDouble
+          j += 1
+        }
+        s
+      }
+      base += dsub
+      row
+    }
+  }
+
+  /** PQ ANN top-k: encode each vector to `m` codes (one codegen pass), score
+    * via the ADC lookup table (`m` additions/vector), keep k. `adc_score`
+    * approximates `q · v`. At scale the codes column is materialized at
+    * ingest ([[buildPqIndex]]-style) and this is a scan of m-byte codes —
+    * 32× less IO than the float corpus; the plan is a narrow pass +
+    * TakeOrdered, no corpus shuffle.
+    */
+  def pqTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      codebook: Array[Array[Array[Float]]], query: Seq[Float], k: Int): DataFrame = {
+    val lut = pqLut(query, codebook)
+    val adc = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdc(
+      org.apache.spark.sql.GraftGlue.expression(pqEncode(vecCol, codebook)), lut))
+    df.select(idCol.as("vec_id"), round(adc, 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ ANN top-k — the Faiss-standard composition: the coarse quantizer
+    * prunes the scan to the query's `nprobe` centroid lists, then PQ codes
+    * make scoring the survivors a table-lookup loop. Returns
+    * `(vec_id, adc_score)`.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      codebook: Array[Array[Array[Float]]], query: Seq[Float],
+      k: Int, nprobe: Int = 2): DataFrame =
+    probedSubset(df, idCol, vecCol, centroids, centroidId, centroidVec, query, nprobe)
+      .transform(d => pqTopK(d, col("vec_id"), col("_vec"), codebook, query, k))
+
+  /** Materialize the PQ index: `(vec_id, codes)` written as parquet — the
+    * encode kernel runs ONCE at build time, and every later query scans only
+    * the m-int codes column (for dim-64 float vectors at m=8 that is the 32×
+    * IO reduction; with a dictionary-encoded int column parquet stores it
+    * near the theoretical m bytes/vector). Scoring a stored index never
+    * touches the embedding column at all.
+    */
+  def buildPqIndex(df: DataFrame, idCol: Column, vecCol: Column,
+      codebook: Array[Array[Array[Float]]], path: String): Unit =
+    df.select(idCol.as("vec_id"), pqEncode(vecCol, codebook).as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** ANN top-k over a stored [[buildPqIndex]] index: one narrow ADC pass over
+    * the codes column + TakeOrdered — the plan never reads embeddings.
+    */
+  def pqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      codebook: Array[Array[Array[Float]]], query: Seq[Float], k: Int): DataFrame = {
+    val lut = pqLut(query, codebook)
+    val adc = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdc(
+      org.apache.spark.sql.GraftGlue.expression(col("codes")), lut))
+    spark.read.parquet(path)
+      .select(col("vec_id"), round(adc, 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Lloyd-trained PQ codebook: per-subspace k-means under L2 (the metric PQ
+    * encodes with), all `m` subspaces trained in the SAME corpus pass per
+    * round — encode with the current codebook (one [[pqEncode]] kernel pass),
+    * explode to `(subspace, code, subvector)`, and update every codeword as
+    * an element-wise mean via exact decimal sums (accumulation-order-
+    * independent, so the distributed mean is deterministic). Codewords that
+    * lose every member keep their previous value. Initial codewords are the
+    * `ncodes` corpus vectors with the smallest cross-engine md5 hash of
+    * `"seed:id"` — replicable, unlike RNG sampling.
+    *
+    * At 100 TB: each round is one scan + an (m·ncodes·dsub)-cell aggregate;
+    * train on a sampled fraction and only encode the full corpus once.
+    */
+  def pqTrainCodebook(df: DataFrame, idCol: Column, vecCol: Column,
+      m: Int, ncodes: Int, iters: Int, seed: String = "pq"): Array[Array[Array[Float]]] = {
+    val seedRows = df
+      .select(idCol.cast("long").as("_id"), vecCol.as("_vec"))
+      .withColumn("_h", graft.functions.TextFunctions.hash60(
+        concat(lit(seed + ":"), col("_id").cast("string"))))
+      .orderBy(col("_h"), col("_id"))
+      .limit(ncodes)
+    var cb = pqCodebook(seedRows, col("_id"), col("_vec"), m)
+    val dsub = cb(0)(0).length
+    for (_ <- 1 to iters) {
+      val encoded = df.select(vecCol.as("_vec"))
+        .withColumn("_codes", pqEncode(col("_vec"), cb))
+        .select(col("_vec"), posexplode(col("_codes")).as(Seq("_s", "_code")))
+        .withColumn("_sub", slice(col("_vec"), col("_s") * dsub + 1, lit(dsub)))
+      val meanCols = (0 until dsub).map { d =>
+        (sum(element_at(col("_sub"), d + 1).cast("double").cast("decimal(38,15)"))
+          .cast("double") / count(lit(1))).cast("float").as(s"_c$d")
+      }
+      val updated = encoded.groupBy(col("_s"), col("_code"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          Array.tabulate(dsub)(d => r.getFloat(d + 2)))
+        .toMap
+      cb = Array.tabulate(m, ncodes)((s, c) => updated.getOrElse((s, c), cb(s)(c)))
+    }
+    cb
+  }
+
   /** Rows assigned to the query's `nprobe` max-cosine centroids, as
     * `(vec_id, _vec)`. Probe selection is driver-side over the (small)
     * centroid set; the corpus never shuffles beyond the assignment reduce.

@@ -265,6 +265,128 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq encode matches a local reference argmin on real embeddings") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+    val coded = emb
+      .select(col("vec_id"), col("embedding"),
+        Similarity.pqEncode(col("embedding"), cb).as("codes"))
+      .collect()
+    assert(coded.nonEmpty)
+    coded.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val codes = r.getSeq[Int](2)
+      assert(codes.length == 8)
+      // local mirror of the kernel: argmin-L2² per subspace, ties → lowest
+      val expect = (0 until 8).map { s =>
+        (0 until 16).minBy { c =>
+          (0 until 8).foldLeft(0.0) { (d, j) =>
+            val diff = v(s * 8 + j).toDouble - cb(s)(c)(j).toDouble
+            d + diff * diff
+          }
+        }
+      }
+      assert(codes == expect, s"vec ${r.getLong(0)}")
+    }
+    // a codeword-source vector encodes to itself exactly (d2 = 0 per subspace)
+    val self = coded.find(_.getLong(0) == 3L).get.getSeq[Int](2)
+    assert(self == Seq.fill(8)(3))
+  }
+
+  test("pq ADC top-k: exact scores for encoded vectors, self near the top") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val top = Similarity.pqTopK(emb, col("vec_id"), col("embedding"), cb, query, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.length == 10)
+    val scores = top.map(_._2).toSeq
+    assert(scores == scores.sorted.reverse)
+    // vec_id 0 is a codeword source → its ADC score is the EXACT q·v0 = ‖q‖²
+    val qNormSq = {
+      val full = query.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      // the ADC sum accumulates per-subspace partials in subspace order —
+      // recompute in that order for bit-equality with the engine
+      val parts = (0 until 8).map { s =>
+        (0 until 8).foldLeft(0.0)((acc, j) =>
+          acc + query(s * 8 + j).toDouble * query(s * 8 + j).toDouble)
+      }
+      val ordered = parts.foldLeft(0.0)(_ + _)
+      assert(math.abs(ordered - full) < 1e-9)
+      ordered
+    }
+    val selfScore = top.toMap.get(0L)
+    assert(selfScore.isDefined, "self must appear in PQ top-10")
+    assert(selfScore.get == BigDecimal(qNormSq)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ivf-pq composition: every hit is from a probed cluster, ADC-scored") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val out = Similarity.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty && out.contains(0L))
+    // subset discipline: ivf-pq hits score identically to whole-corpus pq
+    val whole = Similarity.pqTopK(emb, col("vec_id"), col("embedding"), cb, query, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, sc) => assert(whole(id) == sc) }
+  }
+
+  test("pq stored index: codes-only scan scores identically to inline pq") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("pq-index").toString
+    Similarity.buildPqIndex(emb, col("vec_id"), col("embedding"), cb, path)
+    val stored = Similarity.pqTopKStored(spark, path, cb, query, 10)
+    // the stored plan reads ONLY the codes column — never the embeddings
+    assert(!stored.queryExecution.executedPlan.toString.contains("embedding"))
+    val inline = Similarity.pqTopK(emb, col("vec_id"), col("embedding"), cb, query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == inline)
+  }
+
+  test("pq trained codebook: Lloyd rounds do not worsen reconstruction error") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    def reconErr(cb: Array[Array[Array[Float]]]): Double =
+      emb.select(col("embedding"),
+          Similarity.pqEncode(col("embedding"), cb).as("codes"))
+        .collect().foldLeft(0.0) { (tot, r) =>
+          val v = r.getSeq[Float](0)
+          val codes = r.getSeq[Int](1)
+          tot + (0 until 8).foldLeft(0.0) { (d, s) =>
+            d + (0 until 8).foldLeft(0.0) { (dd, j) =>
+              val diff = v(s * 8 + j).toDouble - cb(s)(codes(s))(j).toDouble
+              dd + diff * diff
+            }
+          }
+        }
+    val seeded = Similarity.pqTrainCodebook(
+      emb, col("vec_id"), col("embedding"), m = 8, ncodes = 16, iters = 0)
+    val trained = Similarity.pqTrainCodebook(
+      emb, col("vec_id"), col("embedding"), m = 8, ncodes = 16, iters = 2)
+    assert(trained.length == 8 && trained.forall(_.length == 16) &&
+      trained.forall(_.forall(_.length == 8)))
+    // Lloyd is monotone against its own init (same hash-picked seed) —
+    // allow float-mean rounding slack
+    assert(reconErr(trained) <= reconErr(seeded) * 1.001,
+      s"trained=${reconErr(trained)} seeded=${reconErr(seeded)}")
+  }
+
   test("repetition stats: dup ratios and mean token length on known docs") {
     val s = spark
     import s.implicits._
