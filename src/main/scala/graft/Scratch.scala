@@ -118,6 +118,103 @@ object Scratch {
       spark.stop()
       return
     }
+    // PQ recall drill (SCALING.md round 11): SPARK_GRAFT_PQ_RECALL=<n>
+    // synthesizes n CLUSTERED vectors — 64 trig centers, each member offset
+    // by a per-id pseudo-random direction whose AMPLITUDE is hash-spread
+    // over [0.05, 1.0] (a Knuth multiplicative-hash fraction). The amplitude
+    // spread is the point: the query is center 0 verbatim, so its true
+    // top-10 are the cluster-0 members with the smallest offsets —
+    // MEANINGFULLY nearer than the rest, which is what real embedding
+    // corpora look like. (A first cut gave every member the same 0.15
+    // amplitude; the "top-10" were then decided by noise-level cosine
+    // differences no 8-byte code can resolve, and every method measured ~0
+    // recall — a degenerate ground truth, not a PQ verdict.) Vectors are
+    // L2-NORMALIZED before encoding: ADC approximates the INNER PRODUCT, so
+    // for a cosine ground truth the corpus must be normalized first (the
+    // standard cosine-ANN practice) — unnormalized, the drill's large-
+    // amplitude center-aligned members out-dot the true cosine neighbors
+    // and recall collapses to 0 at 1M no matter the codebook. Axes measured
+    // against exact-cosine top-10: codebook size (16/64/256 codes per
+    // subspace — 4/6/8-bit PQ), Lloyd-trained vs data-picked, bare ADC vs
+    // exact-rerank refine at shortlist 100 / 1000 / 2×tie-cell (the query's
+    // ADC tie-cell size is printed — recall is capped by shortlist/tie-cell
+    // and ties break by vec_id, so the cap is deterministic, not an
+    // expectation), and IVF-PQ nprobe with refine.
+    sys.env.get("SPARK_GRAFT_PQ_RECALL").foreach { nSpec =>
+      import org.apache.spark.sql.types.FloatType
+      import graft.operators.Similarity
+      val n = nSpec.trim.toLong
+      val amp = lit(0.05) + pmod(col("id") * lit(2654435761L), lit(1000000L))
+        .cast("double") / 1000000.0 * 0.95
+      val raw = transform(sequence(lit(0), lit(63)),
+        j => sin((col("id") % 64) * (j + lit(1)) * 0.9 + j * 0.41)
+          + sin(col("id") * (j + lit(7)) * 1.7) * amp)
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        transform(raw, x =>
+          (x / sqrt(aggregate(raw, lit(0.0), (a, y) => a + y * y)))
+            .cast(FloatType)).as("embedding"))
+        .repartition(32).localCheckpoint()
+      val query = vecs.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val exact = Similarity.bruteForceTopK(
+          vecs, col("vec_id"), col("embedding"), query, 10)
+        .collect().map(_.getLong(0)).toSet
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        df.collect().map(_.getLong(0)).count(exact).toDouble / exact.size
+      val picked = Similarity.pqCodebook(vecs.filter(col("vec_id") < 16),
+        col("vec_id"), col("embedding"), m = 8)
+      def adc(cb: Array[Array[Array[Float]]]): Double =
+        recall(Similarity.pqTopK(vecs, col("vec_id"), col("embedding"), cb, query, 10))
+      def refined(cb: Array[Array[Array[Float]]], shortlist: Int): Double =
+        recall(Similarity.pqTopKRefine(
+          vecs, col("vec_id"), col("embedding"), cb, query, 10, shortlist))
+      // the ADC tie cell: rows sharing the query's exact code word in every
+      // subspace — refine can only rank INSIDE the shortlist, so recall is
+      // capped by shortlist/tie-cell when the true neighbors live in it
+      def tieCell(cb: Array[Array[Array[Float]]]): Long =
+        vecs.filter(Similarity.pqEncode(col("embedding"), cb) ===
+          Similarity.pqEncode(array(query.map(lit(_)): _*)
+            .cast("array<float>"), cb)).count()
+      def report(label: String, cb: Array[Array[Array[Float]]]): Unit = {
+        val tie = tieCell(cb)
+        println(f"[scratch] pq recall n=$n $label adc=${adc(cb)}%.2f " +
+          f"refine100=${refined(cb, 100)}%.2f " +
+          f"refine1000=${refined(cb, 1000)}%.2f " +
+          f"refine2tie=${refined(cb, math.max(1000, 2 * tie.toInt))}%.2f tie=$tie")
+      }
+      report("picked16", picked)
+      Seq(16, 64, 256).foreach { nc =>
+        val cb = Similarity.pqTrainCodebook(
+          vecs, col("vec_id"), col("embedding"), m = 8, ncodes = nc, iters = 2)
+        report(s"trained$nc", cb)
+      }
+      // finer book (m=16 × 256 codes, 16 B/vector): cells shrink, but the
+      // true neighbors now scatter across MANY cells ranked by noisy ADC —
+      // the required shortlist is set by the quantization-NOISE band around
+      // the top-k boundary, not the tie cell. Sweep shortlist to measure it.
+      val best = Similarity.pqTrainCodebook(
+        vecs, col("vec_id"), col("embedding"), m = 16, ncodes = 256, iters = 2)
+      report("trained256m16", best)
+      Seq(4000, 16000, 64000).foreach { r =>
+        println(f"[scratch] pq recall n=$n trained256m16 " +
+          f"refine$r=${refined(best, r)}%.2f")
+      }
+      // the composition sweep refines above the measured noise band
+      // (~0.4% of corpus at 1M); below it (e.g. 1000) recall is 0 — the
+      // shortlist, not nprobe, is the binding knob once probing is correct
+      val refineN = math.max(4000, 2 * tieCell(best).toInt)
+      val cents = Similarity.kmeansCentroids(
+        vecs, col("vec_id"), col("embedding"), k = 64, iters = 2)
+      Seq(1, 2, 4, 8, 16).foreach { np =>
+        val ids = Similarity.ivfPqTopK(vecs, col("vec_id"), col("embedding"),
+          cents, col("cluster_id"), col("centroid"), best, query,
+          k = 10, nprobe = np, refine = refineN)
+        println(f"[scratch] ivf-pq recall n=$n nprobe=$np trained256m16+refine$refineN " +
+          f"r=${recall(ids)}%.2f")
+      }
+      spark.stop()
+      return
+    }
     // Derived-scale corpus generator (SCALING.md methodology, now committed):
     // SPARK_GRAFT_MAKE_SCALED=<outDir>:<factor> replicates sf0.1's documents
     // and embeddings <factor>× with per-replica decorrelation — document

@@ -1582,6 +1582,22 @@ object SparkEntry {
       graft.operators.Similarity.pqTopK(
         emb, col("vec_id"), col("embedding"), cb, query, k = 10)
     }),
+    // ---- PQ codebook TRAINING gated cross-engine: hash-picked init (16
+    //      corpus vectors by md5 order), one Lloyd round — encode, then
+    //      per-(subspace, code, dim) exact decimal means. The oracle
+    //      replicates init pick, argmin encode, and the mean update in SQL
+    //      (q60's methodology applied to the per-subspace book) ----
+    "q149_pq_train" -> ((s, dir) => {
+      val cb = graft.operators.Similarity.pqTrainCodebook(
+        tbl(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+        m = 8, ncodes = 16, iters = 1)
+      val rows = for {
+        sub <- cb.indices; code <- cb(sub).indices; dim <- cb(sub)(code).indices
+      } yield (sub.toLong, code.toLong, dim.toLong, cb(sub)(code)(dim).toDouble)
+      import s.implicits._
+      rows.toDF("subspace", "code", "dim", "val")
+        .orderBy("subspace", "code", "dim")
+    }),
     // ---- IVF-PQ: the Faiss-standard full composition — coarse quantizer
     //      (16 centroids, probe 4) prunes the scan, PQ codes make scoring
     //      the survivors a table-lookup loop ----
@@ -1596,6 +1612,47 @@ object SparkEntry {
       graft.operators.Similarity.ivfPqTopK(
         emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
         cb, query, k = 10, nprobe = 4)
+    }),
+    // ---- PQ + exact-rerank refine (IVFADC+R): ADC shortlists 50, exact
+    //      cosine re-scores only those — the recall-recovery stage (the
+    //      round-11 drill: bare ADC ties whole code cells; refine with
+    //      shortlist > tie-cell restores recall to 1.0) ----
+    "q150_pq_refine" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      graft.operators.Similarity.pqTopKRefine(
+        emb, col("vec_id"), col("embedding"), cb, query, k = 10, shortlist = 50)
+    }),
+    // ---- cosine-consistent PQ: the corpus, codebook, and query are
+    //      L2-normalized FIRST (kernel), so the ADC inner product orders by
+    //      cosine — the round-11 recall drill's lesson encoded as the
+    //      supported cosine-ANN path ----
+    "q151_pq_cosine" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val normed = emb.select(col("vec_id"),
+        graft.operators.Similarity.l2Normalize(col("embedding")).as("embedding"))
+      val qn = graft.operators.Similarity.l2NormalizeLocal(
+        emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toSeq)
+      val cb = graft.operators.Similarity.pqCodebook(
+        normed.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      graft.operators.Similarity.pqTopKRefine(
+        normed, col("vec_id"), col("embedding"), cb, qn, k = 10, shortlist = 50)
+    }),
+    // ---- batch ANN: 3 query vectors scored against the corpus in ONE
+    //      narrow pass; per-query top-k via a rank window that Spark's
+    //      InferWindowGroupLimit prunes to k per partition pre-shuffle ----
+    "q152_ann_batch" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+      graft.operators.Similarity.bruteForceTopKBatch(
+        emb, col("vec_id"), col("embedding"), queries, k = 10)
+        .orderBy("query_id", "rank")
     }),
     // ---- hybrid retrieval: BM25 ⊕ cosine by reciprocal-rank fusion ----
     "q125_hybrid_rrf" -> ((s, dir) => {
@@ -4258,6 +4315,39 @@ object SparkEntry {
                 GROUP BY enc.vec_id)
          SELECT vec_id, round(score, 6) AS adc_score FROM sc
          ORDER BY adc_score DESC, vec_id LIMIT 10""",
+    // PQ training round in SQL: hash-ordered init pick (code = rank by
+    // vec_id within the 16 picked — pqCodebook re-sorts by id), argmin-L2²
+    // encode against the init book, then per-(subspace, code, dim) exact
+    // decimal means with init fallback for empty cells (q60's methodology)
+    "q149_pq_train" ->
+      """WITH init AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cvec
+           FROM (SELECT vec_id, embedding,
+                   ('0x'||substring(md5('pq:'||vec_id),1,15))::BIGINT AS h
+                 FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, i.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - i.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - i.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e CROSS JOIN sp CROSS JOIN init i),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         m1 AS (SELECT enc.s, enc.code, r.range AS dim,
+                  ((sum(CAST(e.embedding[enc.s*8 + r.range + 1]::DOUBLE AS DECIMAL(38,15)))::DOUBLE)
+                     / count(*))::REAL AS val
+                FROM enc JOIN embeddings e USING (vec_id), range(8) r
+                GROUP BY enc.s, enc.code, r.range),
+         grid AS (SELECT sp.s, i.code, r.range AS dim,
+                    i.cvec[sp.s*8 + r.range + 1]::REAL AS initval
+                  FROM init i CROSS JOIN sp CROSS JOIN range(8) r)
+         SELECT g.s::BIGINT AS subspace, g.code::BIGINT AS code,
+           g.dim::BIGINT AS dim, coalesce(m.val, g.initval)::DOUBLE AS val
+         FROM grid g LEFT JOIN m1 m ON m.s = g.s AND m.code = g.code AND m.dim = g.dim
+         ORDER BY subspace, code, dim""",
     // IVF-PQ: q124's coarse-quantizer probe set (16 centroids, probe 4 by
     // partial cosine, assignment by full cosine) restricts which vectors the
     // q147 ADC scoring sees
@@ -4314,6 +4404,116 @@ object SparkEntry {
                 GROUP BY enc.vec_id)
          SELECT vec_id, round(score, 6) AS adc_score FROM sc
          ORDER BY adc_score DESC, vec_id LIMIT 10""",
+    // PQ refine: q147's encode+LUT machinery shortlists 50 by (ADC desc,
+    // vec_id), then exact cosine (q26's form) re-ranks ONLY the shortlist
+    "q150_pq_refine" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id),
+         short AS (SELECT vec_id FROM (
+                     SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+                     FROM sc) WHERE rn <= 50)
+         SELECT vec_id, cosine FROM (
+           SELECT e.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(e.embedding)+1),
+                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+               / sqrt(
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y)
+                 * list_reduce(list_transform(range(1, len(q.qv)+1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+           FROM embeddings e JOIN short USING (vec_id), q)
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // cosine-consistent PQ: q150's shortlist-then-rerank over vectors that
+    // are L2-NORMALIZED first (x/sqrt(Σx²) in doubles, cast REAL — the
+    // l2_normalize kernel's exact arithmetic); codebook, query, encode, LUT,
+    // and rerank all read the normalized table
+    "q151_pq_cosine" ->
+      """WITH nv AS (SELECT vec_id,
+             list_transform(embedding, x -> (x::DOUBLE / sqrt(
+               list_reduce(list_transform(range(1, len(embedding)+1),
+                 i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+                 (a, b) -> a + b)))::REAL) AS embedding
+           FROM embeddings),
+         cb AS (SELECT vec_id AS code, embedding AS cvec FROM nv WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM nv e CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         q AS (SELECT embedding AS qv FROM nv WHERE vec_id = 0),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id),
+         short AS (SELECT vec_id FROM (
+                     SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+                     FROM sc) WHERE rn <= 50)
+         SELECT vec_id, cosine FROM (
+           SELECT e.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(e.embedding)+1),
+                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+               / sqrt(
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y)
+                 * list_reduce(list_transform(range(1, len(q.qv)+1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+           FROM nv e JOIN short USING (vec_id), q)
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    // batch ANN: per-query cosine (q26's form) against a 3-query batch,
+    // rank window partitioned by query — ranked by the ROUNDED cosine, the
+    // engine's window key
+    "q152_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 3),
+         sc AS (SELECT q.query_id, e.vec_id,
+                  round(
+                    list_reduce(list_transform(range(1, len(e.embedding)+1),
+                      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+                    / sqrt(
+                      list_reduce(list_transform(range(1, len(e.embedding)+1),
+                        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y)
+                      * list_reduce(list_transform(range(1, len(q.qv)+1),
+                        i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+                FROM embeddings e CROSS JOIN q)
+         SELECT query_id, vec_id, cosine, rank FROM (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+           FROM sc) WHERE rank <= 10
+         ORDER BY query_id, rank""",
     // reciprocal-rank fusion of q119's BM25 pool (poolK=50) and the
     // brute-force cosine pool; 1/(60+rank) per appearance, fused top-20
     "q125_hybrid_rrf" ->

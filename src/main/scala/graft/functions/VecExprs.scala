@@ -137,6 +137,30 @@ object VecImpl {
     acc
   }
 
+  /** L2-normalize: each element divided (in doubles) by the root of the
+    * left-to-right square sum, cast back to float — the exact arithmetic of
+    * the `list_transform(e, x -> (x/sqrt(list_reduce(...)))::REAL)` oracle
+    * form, so normalized vectors are bit-identical across engines (IEEE
+    * division and sqrt are exact). The cosine-ANN precondition for PQ: ADC
+    * approximates the INNER PRODUCT, and only on a normalized corpus does
+    * inner-product order equal cosine order. A zero vector normalizes to
+    * zero (SQL would yield NULL/inf; this engine's embedding columns are
+    * non-zero by construction).
+    */
+  def l2Normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val norm = math.sqrt(sqNorm(a))
+    val out = new Array[Float](n)
+    if (norm != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = (a.getFloat(i).toDouble / norm).toFloat
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Random-hyperplane bucket: bit p set iff `vec · planes(p) > 0`. Each
     * per-plane dot accumulates left-to-right in doubles from 0.0 — bit-
     * identical to the `aggregate(sequence(...))` SQL form this replaces (and
@@ -271,6 +295,20 @@ case class VecSqNormInt8(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.sqNormInt8($a)")
   override protected def withNewChildInternal(newChild: Expression): VecSqNormInt8 =
+    copy(child = newChild)
+}
+
+/** `l2_normalize(array<float>) -> array<float>` with codegen. */
+case class VecL2Normalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.l2Normalize(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.l2Normalize($a)")
+  override protected def withNewChildInternal(newChild: Expression): VecL2Normalize =
     copy(child = newChild)
 }
 

@@ -42,6 +42,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** L2-normalized copy of a float-vector column (codegen kernel). The
+    * cosine-ANN precondition for inner-product indexes: PQ's ADC score
+    * approximates `q · v`, and only on a normalized corpus does
+    * inner-product order equal cosine order — unnormalized, large-norm
+    * vectors out-dot true cosine neighbors and recall collapses (measured:
+    * the round-11 recall drill). Element arithmetic matches the SQL oracle
+    * form bit-for-bit (double divide by the root of the left-to-right
+    * square sum, cast to float).
+    */
+  def l2Normalize(vecCol: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.VecL2Normalize(
+      org.apache.spark.sql.GraftGlue.expression(vecCol)))
+
+  /** Driver-side [[l2Normalize]] with the kernel's exact arithmetic, for
+    * normalizing a query vector to match a normalized corpus.
+    */
+  def l2NormalizeLocal(v: Seq[Float]): Seq[Float] = {
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x.toDouble)
+    val n = math.sqrt(s)
+    if (n == 0.0) v.map(_ => 0f) else v.map(x => (x.toDouble / n).toFloat)
+  }
+
+  /** Batch brute-force ANN: many query vectors scored in ONE corpus pass.
+    * The query batch is a plan-time literal (a driver-held Seq — query
+    * batches are human-scale, not corpus-scale), exploded against each row
+    * so the dot kernel runs per (row, query) inside whole-stage codegen; the
+    * per-query top-k is a rank window PARTITIONED by query id, which Spark's
+    * InferWindowGroupLimit turns into a per-partition k-row heap BEFORE the
+    * exchange — the shuffle carries at most partitions × |queries| × k rows,
+    * never the corpus.
+    */
+  def bruteForceTopKBatch(df: DataFrame, idCol: Column, vecCol: Column,
+      queries: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "bruteForceTopKBatch: empty query batch")
+    val qlit = array(queries.map { case (qid, qv) =>
+      struct(lit(qid).as("query_id"),
+        array(qv.map(v => lit(v)): _*).as("qv")) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    df.select(idCol.as("vec_id"), vecCol.as("_v"), explode(qlit).as("_q"))
+      .select(col("_q.query_id").as("query_id"), col("vec_id"),
+        round(cosine(col("_v"), col("_q.qv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Cross-engine 60-bit hash of a string, computed locally: first 15 hex
     * digits of md5 as a bigint — same bits as
     * [[graft.functions.TextFunctions.hash60]] and the DuckDB
@@ -464,9 +512,12 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: Column, vecCol: Column,
       centroids: DataFrame, centroidId: Column, centroidVec: Column,
       codebook: Array[Array[Array[Float]]], query: Seq[Float],
-      k: Int, nprobe: Int = 2): DataFrame =
+      k: Int, nprobe: Int = 2, refine: Int = 0): DataFrame =
     probedSubset(df, idCol, vecCol, centroids, centroidId, centroidVec, query, nprobe)
-      .transform(d => pqTopK(d, col("vec_id"), col("_vec"), codebook, query, k))
+      .transform(d =>
+        if (refine > 0)
+          pqTopKRefine(d, col("vec_id"), col("_vec"), codebook, query, k, refine)
+        else pqTopK(d, col("vec_id"), col("_vec"), codebook, query, k))
 
   /** Materialize the PQ index: `(vec_id, codes)` written as parquet — the
     * encode kernel runs ONCE at build time, and every later query scans only
@@ -491,6 +542,34 @@ object Similarity {
     spark.read.parquet(path)
       .select(col("vec_id"), round(adc, 6).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** PQ ANN with exact re-ranking — the refine stage of Jégou et al.'s
+    * IVFADC+R: ADC shortlists `shortlist` candidates (the cheap m-lookup
+    * scoring decides WHO gets exact treatment), then exact cosine re-scores
+    * only those rows and keeps k. The corpus-sized pass stays ADC; the exact
+    * metric touches `shortlist` rows, which arrive through a TakeOrdered (no
+    * corpus shuffle). This recovers the recall that code granularity
+    * destroys: at ncodes=16 a whole cluster of vectors can share one code
+    * vector and tie exactly, so bare ADC top-k is tie-break order, not
+    * similarity — the recall drill (SCALING.md round 11) measures the
+    * difference. Inline form carries the embedding through the shortlist
+    * take; a stored-index deployment joins the shortlist ids back to the
+    * corpus instead (an id-IN filter parquet prunes by row-group stats).
+    */
+  def pqTopKRefine(df: DataFrame, idCol: Column, vecCol: Column,
+      codebook: Array[Array[Array[Float]]], query: Seq[Float],
+      k: Int, shortlist: Int): DataFrame = {
+    val lut = pqLut(query, codebook)
+    val adc = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdc(
+      org.apache.spark.sql.GraftGlue.expression(pqEncode(vecCol, codebook)), lut))
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(idCol.as("vec_id"), vecCol.as("_vec"), adc.as("_adc"))
+      .orderBy(col("_adc").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"), round(cosine(col("_vec"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
 

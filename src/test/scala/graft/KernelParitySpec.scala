@@ -166,6 +166,31 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("l2_normalize kernel == HOF divide-by-root-square-sum form") {
+    val s = spark
+    import s.implicits._
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    val sqlForm = transform(col("embedding"),
+      x => (x.cast("double") / sqrt(aggregate(transform(col("embedding"),
+        y => y.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v)))
+        .cast("float"))
+    val rows = emb.select(
+      graft.operators.Similarity.l2Normalize(col("embedding")).as("kernel"),
+      sqlForm.as("sql"))
+      .as[(Seq[Float], Seq[Float])].collect()
+    rows.foreach { case (k, q) => assert(k == q) } // bit-identical
+    // the local form matches the kernel element-for-element, and the result
+    // has unit norm (within one float ulp per dim)
+    val v = emb.select("embedding").head().getSeq[Float](0).toSeq
+    val local = graft.operators.Similarity.l2NormalizeLocal(v)
+    val viaKernel = emb.limit(1)
+      .select(graft.operators.Similarity.l2Normalize(col("embedding")))
+      .head().getSeq[Float](0).toSeq
+    assert(local == viaKernel)
+    val norm = math.sqrt(local.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    assert(math.abs(norm - 1.0) < 1e-6)
+  }
+
   // the pre-kernel SQL composition of the 60-bit SimHash, inlined
   private def sqlSimhash60(c: org.apache.spark.sql.Column) =
     TextFunctions.let(transform(tokens(c), t => hash60(t))) { th =>

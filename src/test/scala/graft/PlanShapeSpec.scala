@@ -42,6 +42,41 @@ class PlanShapeSpec extends SparkSpec {
       s"pruned scan must not read unprojected columns:\n$scan")
   }
 
+  test("pq scoring: one narrow pass + TakeOrdered, corpus never shuffles") {
+    val p = plan("q147_pq_topk")
+    // encode+ADC is a Project over the scan; top-k is TakeOrderedAndProject —
+    // an Exchange would mean the corpus shuffles for a per-row scoring pass
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"pq top-k must not shuffle the corpus:\n$p")
+  }
+
+  test("pq stored index: the codes-only scan reads neither embedding nor floats") {
+    import org.apache.spark.sql.functions._
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = graft.operators.Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val path = java.nio.file.Files.createTempDirectory("pq-plan").toString
+    graft.operators.Similarity.buildPqIndex(
+      emb, col("vec_id"), col("embedding"), cb, path)
+    val df = graft.operators.Similarity.pqTopKStored(spark, path, cb, query, 10)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.replaceAll("\\s", "").contains("embedding"),
+      s"stored-pq scan must read only the codes column:\n$scan")
+  }
+
+  test("batch ANN: rank filter becomes a pre-shuffle WindowGroupLimit") {
+    val p = plan("q152_ann_batch")
+    // InferWindowGroupLimit must turn `rank <= k` into per-partition k-row
+    // heaps BEFORE the exchange — without it the shuffle carries the full
+    // corpus × query-batch cross product
+    assert(p.contains("WindowGroupLimit"),
+      s"batch ANN must group-limit before the shuffle:\n$p")
+  }
+
   test("text-stat projections run inside whole-stage codegen") {
     // the final-plan tree marks WholeStageCodegen stages with a `*(n)` prefix;
     // an interpreted Project (e.g. a HOF lambda in the projection) loses it

@@ -360,6 +360,45 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == inline)
   }
 
+  test("pq refine: shortlist covering the corpus equals exact brute force") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val n = emb.count().toInt
+    // with shortlist >= n the ADC stage prunes nothing and the exact rerank
+    // must reproduce bruteForceTopK bit-for-bit (same cosine, same order)
+    val refined = Similarity.pqTopKRefine(
+        emb, col("vec_id"), col("embedding"), cb, query, k = 10, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), query, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined == brute)
+    // and a real shortlist returns k rows ranked by exact cosine desc
+    val small = Similarity.pqTopKRefine(
+        emb, col("vec_id"), col("embedding"), cb, query, k = 10, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(small.size == 10 && small.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("batch ANN: each query's rows equal its single-query brute force") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    val batch = Similarity.bruteForceTopKBatch(
+        emb, col("vec_id"), col("embedding"), queries, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      val single = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"), qv, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(got == single, s"query $qid diverged from single-query brute force")
+    }
+  }
+
   test("pq trained codebook: Lloyd rounds do not worsen reconstruction error") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     def reconErr(cb: Array[Array[Array[Float]]]): Double =
