@@ -1626,6 +1626,23 @@ object SparkEntry {
       graft.operators.Similarity.pqTopKRefine(
         emb, col("vec_id"), col("embedding"), cb, query, k = 10, shortlist = 50)
     }),
+    // ---- stored-index refine — the 100 TB serving shape end to end: ADC
+    //      shortlist off the codes-only parquet, exact rerank via a
+    //      broadcast semi-join back into the float corpus (oracle shared
+    //      with q150: same semantics, different physical path) ----
+    "q153_pq_stored_refine" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      val path = java.nio.file.Files.createTempDirectory("pq-q153").toString
+      graft.operators.Similarity.buildPqIndex(
+        emb, col("vec_id"), col("embedding"), cb, path)
+      graft.operators.Similarity.pqTopKStoredRefine(
+        s, path, emb, col("vec_id"), col("embedding"), cb, query,
+        k = 10, shortlist = 50)
+    }),
     // ---- cosine-consistent PQ: the corpus, codebook, and query are
     //      L2-normalized FIRST (kernel), so the ADC inner product orders by
     //      cosine — the round-11 recall drill's lesson encoded as the
@@ -2498,7 +2515,52 @@ object SparkEntry {
          ORDER BY a.vec_id"""
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
+  /** Shared by q150 (inline refine) and q153 (stored-index refine): the two
+    * engine paths are semantically identical — ADC shortlist 50 by
+    * (score desc, vec_id), exact cosine rerank — so one SQL oracle gates
+    * both physical shapes.
+    */
+  private val pqRefineOracleSql =
+    """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id),
+         short AS (SELECT vec_id FROM (
+                     SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+                     FROM sc) WHERE rn <= 50)
+         SELECT vec_id, cosine FROM (
+           SELECT e.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(e.embedding)+1),
+                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+               / sqrt(
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y)
+                 * list_reduce(list_transform(range(1, len(q.qv)+1),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
+           FROM embeddings e JOIN short USING (vec_id), q)
+         ORDER BY cosine DESC, vec_id LIMIT 10"""
+
   def oracleSql: Map[String, String] = Map(
+    "q153_pq_stored_refine" -> pqRefineOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -4406,44 +4468,7 @@ object SparkEntry {
          ORDER BY adc_score DESC, vec_id LIMIT 10""",
     // PQ refine: q147's encode+LUT machinery shortlists 50 by (ADC desc,
     // vec_id), then exact cosine (q26's form) re-ranks ONLY the shortlist
-    "q150_pq_refine" ->
-      """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-         sp AS (SELECT unnest(range(0, 8)) AS s),
-         d AS (SELECT e.vec_id, sp.s, cb.code,
-                 list_reduce(list_transform(range(1, 9), j ->
-                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
-                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
-                   (x, y) -> x + y) AS d2
-               FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
-         enc AS (SELECT vec_id, s, code FROM (
-                   SELECT vec_id, s, code,
-                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
-                   FROM d) WHERE rn = 1),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         lut AS (SELECT sp.s, cb.code,
-                   list_reduce(list_transform(range(1, 9), j ->
-                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
-                     (x, y) -> x + y) AS ip
-                 FROM cb CROSS JOIN sp CROSS JOIN q),
-         sc AS (SELECT enc.vec_id,
-                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
-                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
-                GROUP BY enc.vec_id),
-         short AS (SELECT vec_id FROM (
-                     SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
-                     FROM sc) WHERE rn <= 50)
-         SELECT vec_id, cosine FROM (
-           SELECT e.vec_id,
-             round(
-               list_reduce(list_transform(range(1, len(e.embedding)+1),
-                 i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
-               / sqrt(
-                 list_reduce(list_transform(range(1, len(e.embedding)+1),
-                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y)
-                 * list_reduce(list_transform(range(1, len(q.qv)+1),
-                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6) AS cosine
-           FROM embeddings e JOIN short USING (vec_id), q)
-         ORDER BY cosine DESC, vec_id LIMIT 10""",
+    "q150_pq_refine" -> pqRefineOracleSql,
     // cosine-consistent PQ: q150's shortlist-then-rerank over vectors that
     // are L2-NORMALIZED first (x/sqrt(Σx²) in doubles, cast REAL — the
     // l2_normalize kernel's exact arithmetic); codebook, query, encode, LUT,

@@ -573,6 +573,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[pqTopKRefine]] over a stored [[buildPqIndex]] index — the 100 TB
+    * serving shape end to end: the ADC shortlist comes off the codes-only
+    * scan (never touches embeddings), and the exact rerank reaches back into
+    * the float corpus through a BROADCAST semi-join on the (tiny) shortlist
+    * id set — the corpus scans once, filtered, and only `shortlist` rows'
+    * embeddings are ever scored exactly.
+    */
+  def pqTopKStoredRefine(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: Column, vecCol: Column,
+      codebook: Array[Array[Array[Float]]], query: Seq[Float],
+      k: Int, shortlist: Int): DataFrame = {
+    val lut = pqLut(query, codebook)
+    val adc = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdc(
+      org.apache.spark.sql.GraftGlue.expression(col("codes")), lut))
+    val short = spark.read.parquet(path)
+      .select(col("vec_id"), adc.as("_adc"))
+      .orderBy(col("_adc").desc, col("vec_id"))
+      .limit(shortlist)
+    val q = array(query.map(v => lit(v)): _*)
+    corpus.select(idCol.as("vec_id"), vecCol.as("_vec"))
+      .join(broadcast(short.select("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), round(cosine(col("_vec"), q), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Lloyd-trained PQ codebook: per-subspace k-means under L2 (the metric PQ
     * encodes with), all `m` subspaces trained in the SAME corpus pass per
     * round — encode with the current codebook (one [[pqEncode]] kernel pass),

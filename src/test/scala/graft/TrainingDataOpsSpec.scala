@@ -382,6 +382,24 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(small.size == 10 && small.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("pq stored refine == inline refine (same shortlist, same rerank)") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("pq-refine").toString
+    Similarity.buildPqIndex(emb, col("vec_id"), col("embedding"), cb, path)
+    val stored = Similarity.pqTopKStoredRefine(
+        spark, path, emb, col("vec_id"), col("embedding"), cb, query,
+        k = 10, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.pqTopKRefine(
+        emb, col("vec_id"), col("embedding"), cb, query, k = 10, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == inline)
+  }
+
   test("batch ANN: each query's rows equal its single-query brute force") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
