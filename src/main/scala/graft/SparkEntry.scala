@@ -1643,6 +1643,38 @@ object SparkEntry {
         s, path, emb, col("vec_id"), col("embedding"), cb, query,
         k = 10, shortlist = 50)
     }),
+    // ---- stored IVF-PQ: codes partitioned by centroid — probes prune at
+    //      the directory level AND the scan reads only m-int codes; the
+    //      oracle is q148's (same semantics, the stored physical path) ----
+    "q154_ivf_pq_stored" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      val path = java.nio.file.Files.createTempDirectory("ivfpq-q154").toString
+      graft.operators.Similarity.buildIvfPqIndex(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, path)
+      graft.operators.Similarity.ivfPqTopKStored(
+        s, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+    }),
+    // ---- batch ADC: one codes pass scores a 3-query batch (PqAdcBatch
+    //      kernel), per-query top-k via the WindowGroupLimit shape ----
+    "q155_pq_adc_batch" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      graft.operators.Similarity.pqTopKBatch(
+        emb, col("vec_id"), col("embedding"), cb, queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // ---- cosine-consistent PQ: the corpus, codebook, and query are
     //      L2-normalized FIRST (kernel), so the ADC inner product orders by
     //      cosine — the round-11 recall drill's lesson encoded as the
@@ -2515,6 +2547,63 @@ object SparkEntry {
          ORDER BY a.vec_id"""
 
   /** DuckDB-equivalent SQL per query (same table names, same column aliases). */
+  /** Shared by q148 (inline IVF-PQ) and q154 (stored, partition-pruned
+    * IVF-PQ): identical semantics, two physical paths.
+    */
+  private val ivfPqOracleSql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         pc AS (SELECT c.cid,
+                  list_reduce(list_transform(range(1, len(c.cvec)+1),
+                    i -> q.qv[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(q.qv)+1),
+                      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS pcos
+                FROM c, q),
+         probes AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY pcos DESC, cid) AS rn
+                      FROM pc) WHERE rn <= 4),
+         a AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(e.embedding)+1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                   list_reduce(list_transform(range(1, len(c.cvec)+1),
+                     i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+               FROM embeddings e CROSS JOIN c),
+         best AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM a),
+         assigned AS (SELECT vec_id FROM best
+                      WHERE rn = 1 AND cid IN (SELECT cid FROM probes)),
+         cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e JOIN assigned USING (vec_id)
+               CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id)
+         SELECT vec_id, round(score, 6) AS adc_score FROM sc
+         ORDER BY adc_score DESC, vec_id LIMIT 10"""
+
   /** Shared by q150 (inline refine) and q153 (stored-index refine): the two
     * engine paths are semantically identical — ADC shortlist 50 by
     * (score desc, vec_id), exact cosine rerank — so one SQL oracle gates
@@ -2561,6 +2650,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q153_pq_stored_refine" -> pqRefineOracleSql,
+    "q154_ivf_pq_stored" -> ivfPqOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -4413,59 +4503,40 @@ object SparkEntry {
     // IVF-PQ: q124's coarse-quantizer probe set (16 centroids, probe 4 by
     // partial cosine, assignment by full cosine) restricts which vectors the
     // q147 ADC scoring sees
-    "q148_ivf_pq_topk" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-         pc AS (SELECT c.cid,
-                  list_reduce(list_transform(range(1, len(c.cvec)+1),
-                    i -> q.qv[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
-                  sqrt(
-                    list_reduce(list_transform(range(1, len(q.qv)+1),
-                      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y) *
-                    list_reduce(list_transform(range(1, len(c.cvec)+1),
-                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS pcos
-                FROM c, q),
-         probes AS (SELECT cid FROM (
-                      SELECT cid, row_number() OVER (ORDER BY pcos DESC, cid) AS rn
-                      FROM pc) WHERE rn <= 4),
-         a AS (SELECT e.vec_id, c.cid,
-                 list_reduce(list_transform(range(1, len(e.embedding)+1),
-                   i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
-                 sqrt(
-                   list_reduce(list_transform(range(1, len(e.embedding)+1),
-                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
-                   list_reduce(list_transform(range(1, len(c.cvec)+1),
-                     i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
-               FROM embeddings e CROSS JOIN c),
-         best AS (SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                  FROM a),
-         assigned AS (SELECT vec_id FROM best
-                      WHERE rn = 1 AND cid IN (SELECT cid FROM probes)),
-         cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    "q148_ivf_pq_topk" -> ivfPqOracleSql,
+    // batch ADC: q147's codebook/encode with a per-query LUT (3 queries),
+    // rank window partitioned by query over the ROUNDED score (the engine's
+    // window key)
+    "q155_pq_adc_batch" ->
+      """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
          sp AS (SELECT unnest(range(0, 8)) AS s),
          d AS (SELECT e.vec_id, sp.s, cb.code,
                  list_reduce(list_transform(range(1, 9), j ->
                    (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
                    (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
                    (x, y) -> x + y) AS d2
-               FROM embeddings e JOIN assigned USING (vec_id)
-               CROSS JOIN sp CROSS JOIN cb),
+               FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
          enc AS (SELECT vec_id, s, code FROM (
                    SELECT vec_id, s, code,
                      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
                    FROM d) WHERE rn = 1),
-         lut AS (SELECT sp.s, cb.code,
+         q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 3),
+         lut AS (SELECT q.query_id, sp.s, cb.code,
                    list_reduce(list_transform(range(1, 9), j ->
                      q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
                      (x, y) -> x + y) AS ip
                  FROM cb CROSS JOIN sp CROSS JOIN q),
-         sc AS (SELECT enc.vec_id,
+         sc AS (SELECT lut.query_id, enc.vec_id,
                   list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
                 FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
-                GROUP BY enc.vec_id)
-         SELECT vec_id, round(score, 6) AS adc_score FROM sc
-         ORDER BY adc_score DESC, vec_id LIMIT 10""",
+                GROUP BY lut.query_id, enc.vec_id)
+         SELECT query_id, vec_id, adc_score, rank FROM (
+           SELECT query_id, vec_id, round(score, 6) AS adc_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 6) DESC, vec_id) AS rank
+           FROM sc) WHERE rank <= 10
+         ORDER BY query_id, rank""",
     // PQ refine: q147's encode+LUT machinery shortlists 50 by (ADC desc,
     // vec_id), then exact cosine (q26's form) re-ranks ONLY the shortlist
     "q150_pq_refine" -> pqRefineOracleSql,

@@ -137,6 +137,21 @@ object VecImpl {
     acc
   }
 
+  /** Batch ADC: one pass over a row's codes scores EVERY query — the codes
+    * array is decoded from Tungsten once and the m lookups per query hit
+    * the same cache lines, so q queries cost far less than q separate
+    * scans. Per-query accumulation is [[pqAdc]]'s exact order.
+    */
+  def pqAdcBatch(codes: ArrayData, luts: Array[Array[Array[Double]]]): ArrayData = {
+    val out = new Array[Double](luts.length)
+    var qi = 0
+    while (qi < luts.length) {
+      out(qi) = pqAdc(codes, luts(qi))
+      qi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** L2-normalize: each element divided (in doubles) by the root of the
     * left-to-right square sum, cast back to float — the exact arithmetic of
     * the `list_transform(e, x -> (x/sqrt(list_reduce(...)))::REAL)` oracle
@@ -295,6 +310,25 @@ case class VecSqNormInt8(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.sqNormInt8($a)")
   override protected def withNewChildInternal(newChild: Expression): VecSqNormInt8 =
+    copy(child = newChild)
+}
+
+/** `pq_adc_batch(array<int>) -> array<double>` with codegen; the per-query
+  * lookup tables (q × m × ncodes doubles) ride along as one codegen
+  * reference object.
+  */
+case class PqAdcBatch(child: Expression, luts: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_adc_batch"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.pqAdcBatch(a.asInstanceOf[ArrayData], luts)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("pqLuts", luts, "double[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pqAdcBatch($a, $t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqAdcBatch =
     copy(child = newChild)
 }
 

@@ -407,6 +407,58 @@ object Similarity {
       .transform(d => bruteForceTopK(d, col("vec_id"), col("vec"), query, k))
   }
 
+  /** Materialize the IVF-PQ index — the Faiss billion-vector layout as a
+    * table format: PQ codes (m ints/vector) written PARTITIONED BY centroid
+    * assignment. A query then reads only the probed clusters' directories
+    * (PartitionFilters) and only the codes column within them — the two
+    * prunes compose, so probe cost is `nprobe/nlist` of an already-32×-
+    * smaller scan. Assignment and encode both run once, at build.
+    */
+  def buildIvfPqIndex(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      codebook: Array[Array[Array[Float]]], path: String): Unit = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
+      .select(col("vec_id"), col("cluster_id"))
+    df.select(idCol.as("vec_id"), pqEncode(vecCol, codebook).as("codes"))
+      .join(assigned, "vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** ANN top-k over a stored [[buildIvfPqIndex]] index: probe selection
+    * driver-side, partition-pruned codes-only scan, ADC scoring; with
+    * `refine > 0` the ADC shortlist is exact-reranked against the float
+    * corpus through a broadcast semi-join ([[pqTopKStoredRefine]]'s shape).
+    * This is the complete 100 TB serving composition with every stage
+    * reading the minimum bytes it can.
+    */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      codebook: Array[Array[Array[Float]]], query: Seq[Float],
+      k: Int, nprobe: Int = 2, refine: Int = 0): DataFrame = {
+    val probes = probeIds(centroids, centroidId, centroidVec, query, nprobe)
+    val lut = pqLut(query, codebook)
+    val adc = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdc(
+      org.apache.spark.sql.GraftGlue.expression(col("codes")), lut))
+    val scored = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probes: _*))
+      .select(col("vec_id"), adc.as("_adc"))
+    if (refine > 0) {
+      val short = scored
+        .orderBy(col("_adc").desc, col("vec_id")).limit(refine)
+      val q = array(query.map(v => lit(v)): _*)
+      corpus.select(idCol.as("vec_id"), vecCol.as("_vec"))
+        .join(broadcast(short.select("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), round(cosine(col("_vec"), q), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+    } else {
+      scored.select(col("vec_id"), round(col("_adc"), 6).as("adc_score"))
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(k)
+    }
+  }
+
   /** The `nprobe` centroid ids nearest the query, selected driver-side over
     * the (small) collected centroid set.
     */
@@ -571,6 +623,31 @@ object Similarity {
       .select(col("vec_id"), round(cosine(col("_vec"), q), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch PQ ANN: every query scored in ONE pass over the codes — the
+    * [[graft.functions.PqAdcBatch]] kernel decodes each row's codes once and
+    * walks all q lookup tables (m additions per query), so serving a query
+    * batch costs one codes scan, not q of them. Per-query top-k is the same
+    * pre-shuffle WindowGroupLimit shape as [[bruteForceTopKBatch]]. Works
+    * identically over a stored [[buildPqIndex]] codes table.
+    */
+  def pqTopKBatch(df: DataFrame, idCol: Column, vecCol: Column,
+      codebook: Array[Array[Array[Float]]],
+      queries: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "pqTopKBatch: empty query batch")
+    val luts = queries.map(q => pqLut(q._2, codebook)).toArray
+    val adcB = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdcBatch(
+      org.apache.spark.sql.GraftGlue.expression(pqEncode(vecCol, codebook)), luts))
+    val qids = array(queries.map(q => lit(q._1)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+    df.select(idCol.as("vec_id"), posexplode(adcB).as(Seq("_qi", "_adc")))
+      .select(element_at(qids, col("_qi") + 1).as("query_id"), col("vec_id"),
+        round(col("_adc"), 6).as("adc_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** [[pqTopKRefine]] over a stored [[buildPqIndex]] index — the 100 TB

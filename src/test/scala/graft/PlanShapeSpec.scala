@@ -68,6 +68,32 @@ class PlanShapeSpec extends SparkSpec {
       s"stored-pq scan must read only the codes column:\n$scan")
   }
 
+  test("stored ivf-pq: probes prune partitions, scan reads codes only") {
+    import org.apache.spark.sql.functions._
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = graft.operators.Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-plan").toString
+    graft.operators.Similarity.buildIvfPqIndex(
+      emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb, path)
+    val df = graft.operators.Similarity.ivfPqTopKStored(
+      spark, path, emb, col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    // the cluster_id predicate must land in PartitionFilters (directory
+    // pruning — unprobed clusters cost zero I/O), and the data schema read
+    // must be the codes column, never embeddings
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("\\s", "").contains("cluster_id"), scan)
+    assert(!scan.replaceAll("\\s", "").contains("embedding"),
+      s"stored ivf-pq scan must read only codes:\n$scan")
+  }
+
   test("batch ANN: rank filter becomes a pre-shuffle WindowGroupLimit") {
     val p = plan("q152_ann_batch")
     // InferWindowGroupLimit must turn `rank <= k` into per-partition k-row

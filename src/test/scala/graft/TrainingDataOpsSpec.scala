@@ -400,6 +400,48 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(stored == inline)
   }
 
+  test("stored ivf-pq == inline ivf-pq; batch ADC == per-query pq top-k") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString
+    Similarity.buildIvfPqIndex(
+      emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb, path)
+    val stored = Similarity.ivfPqTopKStored(
+        spark, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.ivfPqTopK(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == inline)
+    // refine variant returns exact cosines for the ADC shortlist
+    val refined = Similarity.ivfPqTopKStored(
+        spark, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 5, nprobe = 4, refine = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined.size == 5 && refined.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    // batch ADC: each query's partition equals the single-query pq top-k
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    val batch = Similarity.pqTopKBatch(
+        emb, col("vec_id"), col("embedding"), cb, queries, k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    queries.foreach { case (qid, qv) =>
+      val single = Similarity.pqTopK(emb, col("vec_id"), col("embedding"), cb, qv, 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(qid).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(got == single, s"query $qid diverged from single-query pq top-k")
+    }
+  }
+
   test("batch ANN: each query's rows equal its single-query brute force") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
