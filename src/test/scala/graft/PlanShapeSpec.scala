@@ -94,13 +94,15 @@ class PlanShapeSpec extends SparkSpec {
       s"stored ivf-pq scan must read only codes:\n$scan")
   }
 
-  test("batch ANN: rank filter becomes a pre-shuffle WindowGroupLimit") {
-    val p = plan("q152_ann_batch")
-    // InferWindowGroupLimit must turn `rank <= k` into per-partition k-row
-    // heaps BEFORE the exchange — without it the shuffle carries the full
-    // corpus × query-batch cross product
-    assert(p.contains("WindowGroupLimit"),
-      s"batch ANN must group-limit before the shuffle:\n$p")
+  test("batch ANN/ADC: rank filter becomes a pre-shuffle WindowGroupLimit") {
+    for (q <- Seq("q152_ann_batch", "q155_pq_adc_batch")) {
+      val p = plan(q)
+      // InferWindowGroupLimit must turn `rank <= k` into per-partition k-row
+      // heaps BEFORE the exchange — without it the shuffle carries the full
+      // corpus × query-batch cross product
+      assert(p.contains("WindowGroupLimit"),
+        s"$q must group-limit before the shuffle:\n$p")
+    }
   }
 
   test("text-stat projections run inside whole-stage codegen") {
