@@ -1703,6 +1703,48 @@ object SparkEntry {
         emb, col("vec_id"), col("embedding"), queries, k = 10)
         .orderBy("query_id", "rank")
     }),
+    // ---- document fingerprinting: robust winnowing (Schleimer et al.,
+    //      SIGMOD'03) — the coverage-guaranteed ~2/(w+1) sub-sample of the
+    //      positional shingle set, one codegen kernel pass per doc ----
+    "q156_winnow_fingerprints" -> ((s, dir) => {
+      pinSorted(graft.operators.Fingerprints.winnowFingerprints(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"), n = 4, w = 4),
+        "doc_id", "fp")
+    }),
+    // ---- GLOBAL near-dup candidates on the winnowed set: fingerprint
+    //      sparsity is what makes the unblocked inverted-index join
+    //      feasible where full shingles need explicit blocks ----
+    "q157_winnow_neardup" -> ((s, dir) => {
+      pinSorted(graft.operators.Fingerprints.winnowNearDupPairs(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 4, w = 4, minShared = 2),
+        "doc_a", "doc_b")
+    }),
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis):
+    //      hash-deterministic ES keys, global top-k via per-partition
+    //      heaps — the quality-weighted corpus subset draw ----
+    "q158_weighted_sample" -> ((s, dir) => {
+      graft.operators.Sampling.weightedSampleTopK(
+        tbl(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        col("doc_id"), col("n_chars"), k = 100)
+        .orderBy("doc_id")
+    }),
+    // ---- content-defined chunking (LBFS-style): content-keyed boundaries
+    //      so chunk hashes survive edits — the incremental-dedup unit ----
+    "q159_cdc_chunks" -> ((s, dir) => {
+      pinSorted(graft.operators.Fingerprints.cdcChunks(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, divisor = 16),
+        "doc_id", "chunk_idx")
+    }),
+    // ---- cross-corpus duplicated-chunk rollup (boilerplate detection):
+    //      chunk hashes in ≥2 docs, wherever edits shifted them ----
+    "q160_dup_chunks" -> ((s, dir) => {
+      pinSorted(graft.operators.Fingerprints.duplicatedChunks(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"),
+        n = 3, divisor = 16, minDocs = 2),
+        "chunk_hash")
+    }),
     // ---- hybrid retrieval: BM25 ⊕ cosine by reciprocal-rank fusion ----
     "q125_hybrid_rrf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -2648,7 +2690,81 @@ object SparkEntry {
            FROM embeddings e JOIN short USING (vec_id), q)
          ORDER BY cosine DESC, vec_id LIMIT 10"""
 
+  /** Shared CTE chain for the winnowing family (q156/q157): positional
+    * 4-gram hashes → sliding-window-of-4 minima over full windows →
+    * distinct per-doc fingerprint values (the exact value set the
+    * [[graft.functions.WinnowImpl]] kernel emits).
+    */
+  private val winnowFpCte =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         g0 AS (SELECT doc_id, toks, unnest(range(len(toks)-3)) AS pos
+                FROM t WHERE len(toks) >= 4),
+         h AS (SELECT doc_id, pos,
+                 ('0x'||substring(md5(array_to_string(toks[pos+1:pos+4], ' ')),1,15))::BIGINT AS hg
+               FROM g0),
+         wm AS (SELECT doc_id, pos,
+                  min(hg) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+                FROM h),
+         fp AS (SELECT DISTINCT doc_id, mn AS fp FROM wm WHERE pos >= 3)"""
+
+  /** Shared CTE chain for the CDC family (q159/q160): positional 3-gram
+    * hashes, a cut after every gram whose hash ≡ 0 (mod 16) except one that
+    * would leave an empty trailing chunk, chunk index = running cut count
+    * over strictly-preceding tokens — the token partition the
+    * [[graft.functions.CdcImpl]] kernel emits.
+    */
+  private val cdcChunkCte =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents WHERE len(trim(text)) > 0),
+         g AS (SELECT doc_id, toks, len(toks) AS m, unnest(range(len(toks)-2)) AS pos
+               FROM t WHERE len(toks) >= 3),
+         h AS (SELECT doc_id, m, pos,
+                 ('0x'||substring(md5(array_to_string(toks[pos+1:pos+3], ' ')),1,15))::BIGINT AS hg
+               FROM g),
+         cuts AS (SELECT doc_id, pos + 2 AS cutpos FROM h
+                  WHERE hg % 16 = 0 AND pos + 2 < m - 1),
+         tok AS (SELECT doc_id, unnest(range(len(toks))) AS tpos, toks FROM t),
+         tk AS (SELECT doc_id, tpos, toks[tpos+1] AS tok FROM tok),
+         fl AS (SELECT tk.doc_id, tk.tpos, tk.tok,
+                  CASE WHEN c.cutpos IS NOT NULL THEN 1 ELSE 0 END AS iscut
+                FROM tk LEFT JOIN cuts c
+                  ON tk.doc_id = c.doc_id AND tk.tpos = c.cutpos),
+         ch AS (SELECT doc_id, tpos, tok,
+                  coalesce(sum(iscut) OVER (PARTITION BY doc_id ORDER BY tpos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+                FROM fl),
+         ck AS (SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                  count(*)::BIGINT AS n_tokens,
+                  ('0x'||substring(md5(array_to_string(list(tok ORDER BY tpos), ' ')),1,15))::BIGINT AS chunk_hash
+                FROM ch GROUP BY doc_id, chunk_idx)"""
+
   def oracleSql: Map[String, String] = Map(
+    "q156_winnow_fingerprints" -> (winnowFpCte +
+      " SELECT doc_id, fp FROM fp ORDER BY doc_id, fp"),
+    "q157_winnow_neardup" -> (winnowFpCte +
+      """, sz AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+                FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b, shared,
+           round(shared::DOUBLE / least(x.sz, y.sz), 6) AS overlap
+         FROM pr JOIN sz x ON pr.doc_a = x.doc_id JOIN sz y ON pr.doc_b = y.doc_id
+         WHERE shared >= 2 ORDER BY doc_a, doc_b"""),
+    "q158_weighted_sample" ->
+      """SELECT doc_id, lang, source, n_chars, es_key FROM (
+           SELECT doc_id, lang, source, n_chars,
+             CAST(floor(ln((('0x'||substring(md5('ws:'||doc_id),1,15))::BIGINT + 1)::DOUBLE
+                 / 1152921504606846976.0) / n_chars::DOUBLE * 1e9) AS BIGINT) AS es_key
+           FROM documents WHERE n_chars > 0
+           ORDER BY es_key DESC, doc_id LIMIT 100) ORDER BY doc_id""",
+    "q159_cdc_chunks" -> (cdcChunkCte +
+      " SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM ck ORDER BY doc_id, chunk_idx"),
+    "q160_dup_chunks" -> (cdcChunkCte +
+      """ SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occurrences, min(n_tokens)::BIGINT AS n_tokens
+         FROM ck GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk_hash"""),
     "q153_pq_stored_refine" -> pqRefineOracleSql,
     "q154_ivf_pq_stored" -> ivfPqOracleSql,
     "q1_pricing_summary" ->

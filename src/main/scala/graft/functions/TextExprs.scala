@@ -672,3 +672,144 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
+
+/** Robust-winnowing fingerprint kernel (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+  * the fingerprint set of a document is the set of DISTINCT minima over
+  * every window of `w` consecutive positional n-gram hashes. Guarantees
+  * any shared token run of length ≥ w+n-1 contributes at least one shared
+  * fingerprint, at ~2/(w+1) the density of the full shingle set — the
+  * sub-sampled dedup axis for corpus-scale near-dup candidate generation.
+  *
+  * Single pass, monotonic-deque sliding minimum (O(grams)); output sorted
+  * ascending so downstream explodes are deterministic. Bit-identical to the
+  * SQL form `DISTINCT min(hash) OVER (ORDER BY pos ROWS w-1 PRECEDING)`
+  * restricted to full windows (`pos >= w-1`) — ties in a window pick the
+  * same VALUE regardless of which position wins, so the value set needs no
+  * rightmost-tie rule.
+  */
+object WinnowImpl {
+  def winnow(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val grams = PositionalShingleImpl.positionalShingleHash60(s, n)
+    val m = grams.numElements()
+    if (m < w) {
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    }
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    // deque of candidate indices, increasing hash value front-to-back
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < m) {
+      val h = grams.getLong(i)
+      while (tail > head && grams.getLong(dq(tail - 1)) >= h) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val mn = grams.getLong(dq(head))
+        if (seen.add(mn)) out += mn
+      }
+      i += 1
+    }
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(arr)
+  }
+}
+
+/** `winnow_fingerprints(string, n, w) -> array<long>` with whole-stage
+  * codegen — see [[WinnowImpl]].
+  */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && w > 0, "shingle size and window must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowImpl.winnow(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowImpl.winnow($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** Content-defined chunking kernel (LBFS-style; Muthitacharoen, Chen &
+  * Mazières, "A Low-bandwidth Network File System", SOSP'01, applied to
+  * token streams): a chunk boundary falls AFTER the last token of every
+  * n-gram whose [[TextImpl.hash60]] ≡ 0 (mod `divisor`), except a boundary
+  * that would leave an empty trailing chunk. Because boundaries depend only
+  * on local content, an edit reflows at most the chunks it touches — chunk
+  * hashes downstream of the edit are unchanged, which is what makes
+  * chunk-level dedup stable under document edits (the property fixed-size
+  * chunking lacks).
+  *
+  * Returns `array<struct<chunk_idx, n_tokens, chunk_hash>>`; `chunk_hash`
+  * is hash60 of the space-joined chunk tokens. Empty/blank text → empty
+  * array. A doc with fewer than n tokens has no grams, hence one chunk.
+  */
+object CdcImpl {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def chunks(s: UTF8String, n: Int, divisor: Int): ArrayData = {
+    val normalized = s.trim.toLowerCase.toString
+    if (normalized.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = ws.split(normalized, -1)
+    val m = toks.length
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int]
+    var p = 0
+    while (p <= m - n) {
+      val sb = new java.lang.StringBuilder(toks(p))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(p + j)); j += 1 }
+      val h = TextImpl.hash60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val last = p + n - 1
+      if (h % divisor == 0 && last < m - 1) cuts += last
+      p += 1
+    }
+    val out = new Array[Any](cuts.length + 1)
+    var start = 0
+    var idx = 0
+    while (idx <= cuts.length) {
+      val end = if (idx < cuts.length) cuts(idx) else m - 1
+      val sb = new java.lang.StringBuilder(toks(start))
+      var t = start + 1
+      while (t <= end) { sb.append(' ').append(toks(t)); t += 1 }
+      val h = TextImpl.hash60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+        idx.toLong, (end - start + 1).toLong, h)
+      start = end + 1
+      idx += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `cdc_chunks(string, n, divisor) ->
+  * array<struct<chunk_idx:long, n_tokens:long, chunk_hash:long>>` with
+  * whole-stage codegen — see [[CdcImpl]].
+  */
+case class CdcChunks(child: Expression, n: Int, divisor: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0 && divisor > 0, "gram size and divisor must be positive")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_idx", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_hash", LongType, nullable = false))))
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    CdcImpl.chunks(input.asInstanceOf[UTF8String], n, divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CdcImpl.chunks($c, $n, $divisor)")
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}

@@ -107,6 +107,22 @@ object TextFunctions {
     org.apache.spark.sql.GraftGlue.column(
       PositionalShingleHashes(org.apache.spark.sql.GraftGlue.expression(c), n))
 
+  /** Robust-winnowing fingerprint set (distinct sliding-window minima of the
+    * positional n-gram hashes, sorted): codegen'd [[WinnowFingerprints]] —
+    * the ~2/(w+1)-density sub-sample of the shingle set that still catches
+    * every shared run of ≥ w+n-1 tokens.
+    */
+  def winnowFingerprints(c: Column, n: Int, w: Int): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      WinnowFingerprints(org.apache.spark.sql.GraftGlue.expression(c), n, w))
+
+  /** Content-defined chunks (boundary after every n-gram hash ≡ 0 mod
+    * divisor): codegen'd [[CdcChunks]], one struct per chunk.
+    */
+  def cdcChunks(c: Column, n: Int, divisor: Int): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      CdcChunks(org.apache.spark.sql.GraftGlue.expression(c), n, divisor))
+
   /** Canonical URL form for web-corpus dedup: codegen'd [[UrlNormalize]]. */
   def urlNormalize(c: Column): Column =
     org.apache.spark.sql.GraftGlue.column(

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document-fingerprinting operators for corpus-scale dedup: robust
+  * winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03) and content-defined
+  * chunking (LBFS, Muthitacharoen et al., SOSP'01) over the same tokenize →
+  * hash60 substrate as the shingle/MinHash family ([[Dedup]]).
+  *
+  * Both exist because the full positional-shingle table is the scale
+  * bottleneck of substring-level dedup at 100 TB: winnowing sub-samples it
+  * ~(w+1)/2× with a coverage guarantee (any shared run of ≥ w+n-1 tokens
+  * still shares a fingerprint), and CDC replaces position-keyed chunking
+  * with content-keyed boundaries so chunk hashes survive document edits —
+  * the property that lets an incremental pipeline skip re-deduping
+  * everything downstream of a one-line edit.
+  *
+  * Plan shape: the kernels are narrow codegen projections
+  * ([[graft.functions.WinnowImpl]], [[graft.functions.CdcImpl]]); the only
+  * shuffles are the hash joins/aggregations on their (long) outputs.
+  */
+object Fingerprints {
+
+  /** Per-document winnowing fingerprints: one row per (doc, fingerprint),
+    * fingerprints sorted within each doc. Docs with fewer than n+w-1 tokens
+    * have no full window and emit no rows (the oracle replicates this via
+    * its full-window `pos >= w-1` restriction).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 4, w: Int = 4): DataFrame =
+    df.select(idCol.as("doc_id"), textCol.as("_text"))
+      // single-file scans otherwise run the kernel on one core — same
+      // rationale as Dedup.ngramJaccardPairs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("_text"), n, w)).as("fp"))
+
+  /** Winnowing near-dup candidate pairs: pairs sharing ≥ `minShared`
+    * fingerprints, with the overlap ratio shared / min(|A|, |B|). The
+    * inverted-index join runs on the winnowed set — ~(w+1)/2× smaller than
+    * the shingle join [[Dedup.ngramJaccardPairs]] pays for the same
+    * ≥ w+n-1-token-run coverage, which is what makes the GLOBAL (unblocked)
+    * join feasible where the shingle variant needs explicit blocks. Pass
+    * `blockCols` to additionally confine pairs to blocks. A web-corpus run
+    * would cap fingerprint document frequency first (boilerplate fps form
+    * the only quadratic posting lists — same df-cap discipline as the hot
+    * shingles in [[Dedup.minhashPairs]]'s scaladoc).
+    */
+  def winnowNearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
+      blockCols: Seq[Column] = Nil, n: Int = 4, w: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val blocked = blockCols.nonEmpty
+    val base = df.select(idCol.as("doc_id"),
+        (if (blocked) struct(blockCols: _*) else lit(0)).as("block"),
+        textCol.as("_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("block"),
+        TextFunctions.winnowFingerprints(col("_text"), n, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val ex = base.select(col("doc_id"), col("block"),
+      size(col("fps")).as("sz"), explode(col("fps")).as("fp"))
+    val cond = col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id")
+    ex.alias("a")
+      .join(ex.alias("b"),
+        if (blocked) col("a.block") === col("b.block") && cond else cond)
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("sz_a"), col("sz_b")), 6).as("overlap"))
+  }
+
+  /** Content-defined chunks: one row per (doc, chunk) with the chunk's
+    * token count and hash60. Boundaries fall after every n-gram whose hash
+    * ≡ 0 (mod divisor) — expected chunk length ≈ divisor tokens —
+    * except a boundary that would leave an empty trailing chunk.
+    */
+  def cdcChunks(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 3, divisor: Int = 16): DataFrame =
+    df.select(idCol.as("doc_id"), textCol.as("_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextFunctions.cdcChunks(col("_text"), n, divisor)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_hash").as("chunk_hash"))
+
+  /** Cross-corpus duplicated-chunk report over [[cdcChunks]]: chunk hashes
+    * appearing in ≥ `minDocs` distinct documents, with occurrence counts —
+    * the boilerplate-detection rollup (shared headers/footers surface as
+    * high-`n_docs` chunks regardless of where edits shifted them).
+    */
+  def duplicatedChunks(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 3, divisor: Int = 16, minDocs: Int = 2): DataFrame =
+    cdcChunks(df, idCol, textCol, n, divisor)
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= minDocs)
+}

@@ -281,4 +281,35 @@ object Sampling {
       .withColumn("bin_offset", (col("_pk_base") + col("_pk_run")) % budget)
       .drop("_pk_pid", "_pk_base", "_pk_run")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006): rank
+    * every row by `u^(1/weight)` with `u = (hash60(seed:key)+1) / 2^60` and
+    * keep the top k — the inclusion law of sequential weighted draws, but
+    * embarrassingly parallel and reproducible on any engine (the draw is a
+    * pure function of the key, not of iteration order).
+    *
+    * Ranks by the monotone-equivalent `ln(u)/weight` (avoids `pow` — one
+    * fewer libm call to agree on), nano-quantized to an integer exactly like
+    * the surprisal scores ([[CorpusQuality]]): verifying engines reach the
+    * key through independent libm `ln`s, and the 1e-9 grid turns a last-ulp
+    * disagreement into identical keys instead of a flipped boundary row.
+    * Returns the row key plus `es_key` (the quantized rank key).
+    *
+    * Scale shape: one narrow projection + a global top-k (TakeOrdered —
+    * per-partition heaps, never a full sort). Zero-weight rows are excluded
+    * (their inclusion probability is 0).
+    */
+  def weightedSampleTopK(df: DataFrame, keyCol: Column, weightCol: Column,
+      k: Int, seed: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be at least 1, got $k")
+    val u = (TextFunctions.hash60(
+      concat(lit(seed + ":"), keyCol.cast("string"))) + lit(1L))
+      .cast("double") / lit((1L << 60).toDouble)
+    df.filter(weightCol > 0)
+      .withColumn("es_key",
+        floor(log(u) / weightCol.cast("double") * lit(1e9)).cast("long"))
+      .orderBy(col("es_key").desc, keyCol)
+      .limit(k)
+  }
 }

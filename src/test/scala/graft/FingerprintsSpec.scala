@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fingerprints, Sampling}
+
+/** Properties of the fingerprinting operators — the guarantees the papers
+  * prove, checked on constructed corpora: winnowing's shared-run coverage,
+  * CDC's edit-locality, Efraimidis–Spirakis determinism and weight
+  * sensitivity.
+  */
+class FingerprintsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // distinct filler tokens so constructed docs share nothing by accident
+  private def filler(prefix: String, k: Int): String =
+    (0 until k).map(i => s"$prefix$i").mkString(" ")
+
+  test("winnowing coverage: a shared run of w+n-1 tokens shares a fingerprint") {
+    // n=4, w=4 → guarantee kicks in at 7 shared consecutive tokens
+    val run = "alpha beta gamma delta epsilon zeta eta"
+    val d = docs(
+      1L -> (filler("x", 20) + " " + run + " " + filler("y", 20)),
+      2L -> (filler("p", 20) + " " + run + " " + filler("q", 20)))
+    val fps = Fingerprints.winnowFingerprints(d, col("doc_id"), col("text"))
+    val byDoc = fps.collect().groupBy(_.getLong(0)).map { case (k, v) =>
+      k -> v.map(_.getLong(1)).toSet
+    }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "docs sharing a 7-token run must share at least one fingerprint")
+  }
+
+  test("winnowing density: fingerprints ≪ positional grams, none below n+w-1 tokens") {
+    val d = docs(
+      1L -> filler("t", 400),
+      2L -> filler("s", 6)) // 6 tokens < n+w-1=7 → zero full windows
+    val fps = Fingerprints.winnowFingerprints(d, col("doc_id"), col("text"))
+      .collect().groupBy(_.getLong(0))
+    // 400 tokens → 397 grams; expected fingerprint density ~2/(w+1)=0.4
+    val n1 = fps(1L).length
+    assert(n1 > 0 && n1 < 250, s"winnowed $n1 of 397 grams — not a sub-sample")
+    assert(!fps.contains(2L), "a doc with no full window emits no fingerprints")
+  }
+
+  test("winnow near-dup: finds the planted near-duplicate, globally") {
+    val base = filler("w", 60)
+    val d = docs(
+      1L -> base,
+      2L -> (base + " trailing extra tokens here"),
+      3L -> filler("z", 60))
+    val pairs = Fingerprints.winnowNearDupPairs(
+      d, col("doc_id"), col("text"), minShared = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "exactly the planted pair, nothing with the disjoint doc")
+    val overlap = pairs.head.getAs[Double]("overlap")
+    assert(overlap > 0.9, s"planted near-dup overlap $overlap should be ~1.0")
+  }
+
+  test("CDC chunks partition the token stream") {
+    val d = docs(1L -> filler("c", 200), 2L -> "one two") // 2 tokens < n → 1 chunk
+    val ch = Fingerprints.cdcChunks(d, col("doc_id"), col("text"))
+    val rows = ch.collect().groupBy(_.getLong(0))
+    assert(rows(1L).map(_.getAs[Long]("n_tokens")).sum == 200L,
+      "chunk token counts must sum to the doc's token count")
+    val idxs = rows(1L).map(_.getAs[Long]("chunk_idx")).sorted
+    assert(idxs.sameElements(idxs.indices.map(_.toLong)), "chunk_idx contiguous from 0")
+    assert(rows(2L).length == 1 && rows(2L).head.getAs[Long]("n_tokens") == 2L,
+      "a doc below the gram size is one whole chunk")
+  }
+
+  test("CDC edit locality: a prepended edit reflows at most the first chunk") {
+    // content-keyed boundaries realign after the edit; position-keyed
+    // (fixed-size) chunking would shift every downstream chunk hash
+    val base = (0 until 300).map(i => s"tok${i % 97}x$i").mkString(" ")
+    val a = docs(1L -> base)
+    val b = docs(1L -> ("edited preamble inserted " + base))
+    def hashes(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Fingerprints.cdcChunks(df, col("doc_id"), col("text"))
+        .collect().map(_.getAs[Long]("chunk_hash")).toSet
+    val lost = hashes(a) -- hashes(b)
+    assert(lost.size <= 1,
+      s"only the chunk containing the edit may change, lost ${lost.size}")
+  }
+
+  test("weighted sample: deterministic, k rows, weight-sensitive") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 200L).map(i => (i, if (i == 77L) 1000000000L else 1L))
+      .toDF("id", "wt")
+    val take1 = Sampling.weightedSampleTopK(d, col("id"), col("wt"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val take2 = Sampling.weightedSampleTopK(d, col("id"), col("wt"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(take1 == take2, "hash-deterministic: identical across runs")
+    assert(take1.length == 10)
+    assert(take1.contains(77L),
+      "a weight 1e9× the field dominates the without-replacement draw")
+    // zero/negative weights are excluded, never sampled
+    val dz = Seq((1L, 0L), (2L, 5L)).toDF("id", "wt")
+    val tz = Sampling.weightedSampleTopK(dz, col("id"), col("wt"), k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tz == Seq(2L))
+  }
+
+  test("duplicated-chunk rollup finds shared boilerplate across shifted docs") {
+    val boiler = filler("footer", 40)
+    val d = docs(
+      1L -> (filler("a", 33) + " " + boiler),
+      2L -> (filler("b", 57) + " " + boiler),
+      3L -> filler("c", 80))
+    val dup = Fingerprints.duplicatedChunks(d, col("doc_id"), col("text"))
+      .collect()
+    assert(dup.nonEmpty, "the 40-token boilerplate must surface a shared chunk")
+    assert(dup.forall(_.getAs[Long]("n_docs") >= 2))
+  }
+}

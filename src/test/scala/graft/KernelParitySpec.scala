@@ -54,6 +54,28 @@ class KernelParitySpec extends SparkSpec {
     rows.foreach { case (k, q) => assert(k == q) }
   }
 
+  test("winnow kernel == window-min-over-positional-hashes form") {
+    val s = spark
+    import s.implicits._
+    val d = tricky.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = d.select(col("doc_id"),
+      explode(TextFunctions.winnowFingerprints(col("text"), 3, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the SQL form the DuckDB oracle replicates: sliding min over the
+    // positional gram hashes, full windows only, distinct values
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+    val sqlForm = d.select(col("doc_id"),
+        posexplode(TextFunctions.positionalShingleHashes(col("text"), 3)))
+      .withColumn("mn", min(col("col")).over(w))
+      .filter(col("pos") >= 3)
+      .select(col("doc_id"), col("mn"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == sqlForm)
+  }
+
   test("minhash kernel == unrolled mix60/array_min form") {
     val s = spark
     import s.implicits._
