@@ -288,6 +288,39 @@ object Scratch {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_FINGERPRINT_SCALE=1: time the round-11 fingerprinting ops
+    // (winnowing, CDC) on the current SF_DIR — point it at a MAKE_SCALED
+    // dir for the 10×/100× rungs. Reports the winnowed-vs-positional
+    // sub-sample ratio alongside the timings (the scale claim IS the ratio).
+    sys.env.get("SPARK_GRAFT_FINGERPRINT_SCALE").foreach { _ =>
+      import graft.operators.Fingerprints
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+      time("docs warmup")(docs.count())
+      val fps = Fingerprints.winnowFingerprints(docs, col("doc_id"), col("text"))
+      time("winnow_fingerprints")(fps.count())
+      val nFp = fps.count()
+      val nGrams = docs.select(explode(
+        graft.functions.TextFunctions.positionalShingleHashes(col("text"), 4)))
+        .count()
+      println(f"[scratch] winnow density: $nFp fps / $nGrams grams = ${nFp.toDouble / nGrams}%.3f")
+      // the pair report is Σ df² output (55M rows at 10× on the replica
+      // corpus) — SPARK_GRAFT_FINGERPRINT_PAIRS=0 skips it on rungs where
+      // enumerating the contract would dominate the drill
+      if (sys.env.getOrElse("SPARK_GRAFT_FINGERPRINT_PAIRS", "1") != "0") {
+        time("winnow_neardup global")(Fingerprints.winnowNearDupPairs(
+          docs, col("doc_id"), col("text"), minShared = 2).count())
+      }
+      time("winnow_clusters")(Fingerprints.winnowClusters(
+        docs, col("doc_id"), col("text")).count())
+      time("cdc_chunks")(Fingerprints.cdcChunks(
+        docs, col("doc_id"), col("text")).count())
+      time("dup_chunks")(Fingerprints.duplicatedChunks(
+        docs, col("doc_id"), col("text")).count())
+      time("weighted_sample k=1000")(graft.operators.Sampling.weightedSampleTopK(
+        docs, col("doc_id"), col("n_chars"), k = 1000).count())
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_CURATION_SCALE=1: time the round-8 curation ops on the
     // current SF_DIR (point it at a MAKE_SCALED dir for the 10×/100× rungs).
     // SemDeDup runs at occupancy-held k (n/64, the autoPlanes analogue);

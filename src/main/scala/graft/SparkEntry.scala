@@ -1720,6 +1720,14 @@ object SparkEntry {
         n = 4, w = 4, minShared = 2),
         "doc_a", "doc_b")
     }),
+    // ---- winnowing dedup clusters: the linear-edge scale path (per-fp
+    //      min-doc edges + star contraction) where q157's pair report is
+    //      Σ df² — a 100-replica group is 100 edges, not 4,950 pairs ----
+    "q161_winnow_clusters" -> ((s, dir) => {
+      graft.operators.Fingerprints.winnowClusters(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // ---- weighted sampling without replacement (Efraimidis–Spirakis):
     //      hash-deterministic ES keys, global top-k via per-partition
     //      heaps — the quality-weighted corpus subset draw ----
@@ -2751,6 +2759,18 @@ object SparkEntry {
            round(shared::DOUBLE / least(x.sz, y.sz), 6) AS overlap
          FROM pr JOIN sz x ON pr.doc_a = x.doc_id JOIN sz y ON pr.doc_b = y.doc_id
          WHERE shared >= 2 ORDER BY doc_a, doc_b"""),
+    "q161_winnow_clusters" -> (winnowFpCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, mn AS (SELECT fp, min(doc_id) AS m FROM fp GROUP BY fp),
+         e0 AS (SELECT f.doc_id AS a, mn.m AS b
+                FROM fp f JOIN mn USING (fp) WHERE f.doc_id <> mn.m),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach AS (SELECT node, node AS anc FROM nodes
+                   UNION
+                   SELECT e.b AS node, r.anc
+                   FROM reach r JOIN edges e ON e.a = r.node)
+         SELECT node AS doc_id, min(anc) AS cluster_id
+         FROM reach GROUP BY node ORDER BY doc_id"""),
     "q158_weighted_sample" ->
       """SELECT doc_id, lang, source, n_chars, es_key FROM (
            SELECT doc_id, lang, source, n_chars,

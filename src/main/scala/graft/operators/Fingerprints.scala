@@ -75,6 +75,27 @@ object Fingerprints {
           least(col("sz_a"), col("sz_b")), 6).as("overlap"))
   }
 
+  /** Winnowing dedup clusters — the SCALE path where [[winnowNearDupPairs]]
+    * is the report: sharing a fingerprint (one shared ≥ w+n-1-token run)
+    * connects documents, and components form by star contraction over the
+    * LINEAR edge reduction (every doc holding a fingerprint links to that
+    * fingerprint's minimum doc — same components as the full pairwise
+    * graph, but |edges| = |(doc, fp)| rows where pairwise is Σ df² over
+    * fingerprints: a 100-replica boilerplate group costs 100 edges here vs
+    * 4,950 pairs there). Returns (doc_id, cluster_id) for every doc that
+    * shares a fingerprint with any other doc.
+    */
+  def winnowClusters(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int = 4, w: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, n, w)
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val edges = fps.withColumn("m", min(col("doc_id")).over(byFp))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
+      .distinct()
+    Dedup.clustersStar(edges)
+  }
+
   /** Content-defined chunks: one row per (doc, chunk) with the chunk's
     * token count and hash60. Boundaries fall after every n-gram whose hash
     * ≡ 0 (mod divisor) — expected chunk length ≈ divisor tokens —

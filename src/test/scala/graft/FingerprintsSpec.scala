@@ -61,6 +61,21 @@ class FingerprintsSpec extends SparkSpec {
     assert(overlap > 0.9, s"planted near-dup overlap $overlap should be ~1.0")
   }
 
+  test("winnow clusters: linear edge reduction yields pairwise components") {
+    val base = filler("w", 60)
+    val d = docs(
+      1L -> base,
+      2L -> (base + " first variant tail"),
+      3L -> (base + " second variant tail"),
+      4L -> filler("z", 60),
+      5L -> (filler("z", 60) + " another tail"),
+      6L -> filler("solo", 60))
+    val got = Fingerprints.winnowClusters(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L),
+      s"two 3/2-doc components labeled by their minima, solo doc absent: $got")
+  }
+
   test("CDC chunks partition the token stream") {
     val d = docs(1L -> filler("c", 200), 2L -> "one two") // 2 tokens < n → 1 chunk
     val ch = Fingerprints.cdcChunks(d, col("doc_id"), col("text"))

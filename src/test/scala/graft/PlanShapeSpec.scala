@@ -42,6 +42,31 @@ class PlanShapeSpec extends SparkSpec {
       s"pruned scan must not read unprojected columns:\n$scan")
   }
 
+  test("weighted sample: global top-k is TakeOrdered heaps, never a full sort") {
+    val p = plan("q158_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ES top-k must run as per-partition heaps:\n$p")
+  }
+
+  test("winnow/CDC kernels run inside whole-stage codegen") {
+    // plan the operator subtrees directly: the q156/q159 entries pin the
+    // (small) result before the global sort, which hides the kernel stage
+    // behind a Scan ExistingRDD in the outer plan
+    import org.apache.spark.sql.functions.col
+    val docs = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "documents")
+    for ((name, df) <- Seq(
+        "winnow" -> graft.operators.Fingerprints.winnowFingerprints(
+          docs, col("doc_id"), col("text")),
+        "cdc" -> graft.operators.Fingerprints.cdcChunks(
+          docs, col("doc_id"), col("text")))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // a `*(n) Generate` span = the explode over the kernel projection is
+      // codegen'd; an interpreted kernel would drop the `*(n)` prefix
+      assert("""\*\(\d+\) Generate""".r.findFirstIn(p).isDefined, s"$name:\n$p")
+    }
+  }
+
   test("pq scoring: one narrow pass + TakeOrdered, corpus never shuffles") {
     val p = plan("q147_pq_topk")
     // encode+ADC is a Project over the scan; top-k is TakeOrderedAndProject —
