@@ -2716,6 +2716,15 @@ object SparkEntry {
                 FROM h),
          fp AS (SELECT DISTINCT doc_id, mn AS fp FROM wm WHERE pos >= 3)"""
 
+  /** df-cap suffix for the winnow match forms (q157/q161): fingerprints
+    * held by more than 64 docs are non-discriminative (boilerplate / hot
+    * grams) and are the only source of quadratic posting lists — mirrors
+    * [[graft.operators.Fingerprints]]'s `cappedFps`.
+    */
+  private val winnowCapCte =
+    """, d AS (SELECT fp, count(*) AS df FROM fp GROUP BY fp),
+         fpc AS (SELECT f.doc_id, f.fp FROM fp f JOIN d USING (fp) WHERE d.df <= 64)"""
+
   /** Shared CTE chain for the CDC family (q159/q160): positional 3-gram
     * hashes, a cut after every gram whose hash ≡ 0 (mod 16) except one that
     * would leave an empty trailing chunk, chunk index = running cut count
@@ -2750,19 +2759,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q156_winnow_fingerprints" -> (winnowFpCte +
       " SELECT doc_id, fp FROM fp ORDER BY doc_id, fp"),
-    "q157_winnow_neardup" -> (winnowFpCte +
-      """, sz AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+    "q157_winnow_neardup" -> (winnowFpCte + winnowCapCte +
+      """, sz AS (SELECT doc_id, count(*) AS sz FROM fpc GROUP BY doc_id),
          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-                FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id)
          SELECT doc_a, doc_b, shared,
            round(shared::DOUBLE / least(x.sz, y.sz), 6) AS overlap
          FROM pr JOIN sz x ON pr.doc_a = x.doc_id JOIN sz y ON pr.doc_b = y.doc_id
          WHERE shared >= 2 ORDER BY doc_a, doc_b"""),
-    "q161_winnow_clusters" -> (winnowFpCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, mn AS (SELECT fp, min(doc_id) AS m FROM fp GROUP BY fp),
+    "q161_winnow_clusters" -> ((winnowFpCte + winnowCapCte)
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, mn AS (SELECT fp, min(doc_id) AS m FROM fpc GROUP BY fp),
          e0 AS (SELECT f.doc_id AS a, mn.m AS b
-                FROM fp f JOIN mn USING (fp) WHERE f.doc_id <> mn.m),
+                FROM fpc f JOIN mn USING (fp) WHERE f.doc_id <> mn.m),
          edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
          nodes AS (SELECT DISTINCT a AS node FROM edges),
          reach AS (SELECT node, node AS anc FROM nodes

@@ -38,34 +38,46 @@ object Fingerprints {
       .select(col("doc_id"),
         explode(TextFunctions.winnowFingerprints(col("_text"), n, w)).as("fp"))
 
+  /** The df-capped exploded fingerprint table shared by the pair and
+    * cluster forms: (doc_id, sz, fp) where fingerprints held by more than
+    * `maxDf` documents are dropped and `sz` is the doc's POST-cap
+    * fingerprint count. A hot fingerprint is by definition
+    * non-discriminative (boilerplate, or a degenerate gram on a tiny
+    * vocabulary), and it is also the ONLY source of quadratic posting
+    * lists — the cap is the standard hot-shingle discipline, and the
+    * replica-corpus drill measures exactly what it prevents (Σ df² pair
+    * blow-up from marker-induced hot grams).
+    */
+  private def cappedFps(df: DataFrame, idCol: Column, textCol: Column,
+      n: Int, w: Int, maxDf: Int): DataFrame = {
+    require(maxDf >= 2, s"a fingerprint needs df >= 2 to ever match, got $maxDf")
+    val ex = df.select(idCol.as("doc_id"), textCol.as("_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("_text"), n, w)).as("fp"))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    ex.withColumn("_df", count(lit(1)).over(byFp))
+      .filter(col("_df") <= maxDf)
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .drop("_df")
+  }
+
   /** Winnowing near-dup candidate pairs: pairs sharing ≥ `minShared`
-    * fingerprints, with the overlap ratio shared / min(|A|, |B|). The
-    * inverted-index join runs on the winnowed set — ~(w+1)/2× smaller than
-    * the shingle join [[Dedup.ngramJaccardPairs]] pays for the same
-    * ≥ w+n-1-token-run coverage, which is what makes the GLOBAL (unblocked)
-    * join feasible where the shingle variant needs explicit blocks. Pass
-    * `blockCols` to additionally confine pairs to blocks. A web-corpus run
-    * would cap fingerprint document frequency first (boilerplate fps form
-    * the only quadratic posting lists — same df-cap discipline as the hot
-    * shingles in [[Dedup.minhashPairs]]'s scaladoc).
+    * fingerprints of document frequency ≤ `maxDf`, with the overlap ratio
+    * shared / min(|A|, |B|) over the capped sets. The inverted-index join
+    * runs on the winnowed set — ~(w+1)/2× smaller than the shingle join
+    * [[Dedup.ngramJaccardPairs]] pays for the same ≥ w+n-1-token-run
+    * coverage, which is what makes the GLOBAL join feasible where the
+    * shingle variant needs explicit blocks; the df-cap bounds every posting
+    * list, so pair output is Σ df² over SURVIVING fps ≤ maxDf × |(doc,fp)|.
     */
   def winnowNearDupPairs(df: DataFrame, idCol: Column, textCol: Column,
-      blockCols: Seq[Column] = Nil, n: Int = 4, w: Int = 4,
-      minShared: Int = 2): DataFrame = {
-    val blocked = blockCols.nonEmpty
-    val base = df.select(idCol.as("doc_id"),
-        (if (blocked) struct(blockCols: _*) else lit(0)).as("block"),
-        textCol.as("_text"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), col("block"),
-        TextFunctions.winnowFingerprints(col("_text"), n, w).as("fps"))
-      .filter(size(col("fps")) > 0)
-    val ex = base.select(col("doc_id"), col("block"),
-      size(col("fps")).as("sz"), explode(col("fps")).as("fp"))
-    val cond = col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id")
+      n: Int = 4, w: Int = 4, minShared: Int = 2, maxDf: Int = 64): DataFrame = {
+    val ex = cappedFps(df, idCol, textCol, n, w, maxDf)
     ex.alias("a")
       .join(ex.alias("b"),
-        if (blocked) col("a.block") === col("b.block") && cond else cond)
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("shared"))
@@ -76,18 +88,20 @@ object Fingerprints {
   }
 
   /** Winnowing dedup clusters — the SCALE path where [[winnowNearDupPairs]]
-    * is the report: sharing a fingerprint (one shared ≥ w+n-1-token run)
-    * connects documents, and components form by star contraction over the
-    * LINEAR edge reduction (every doc holding a fingerprint links to that
-    * fingerprint's minimum doc — same components as the full pairwise
-    * graph, but |edges| = |(doc, fp)| rows where pairwise is Σ df² over
-    * fingerprints: a 100-replica boilerplate group costs 100 edges here vs
-    * 4,950 pairs there). Returns (doc_id, cluster_id) for every doc that
-    * shares a fingerprint with any other doc.
+    * is the report: sharing a (df-capped) fingerprint — one shared
+    * ≥ w+n-1-token run — connects documents, and components form by star
+    * contraction over the LINEAR edge reduction (every doc holding a
+    * fingerprint links to that fingerprint's minimum doc — same components
+    * as the full pairwise graph, but |edges| = |(doc, fp)| rows where
+    * pairwise is Σ df² over fingerprints: a 100-replica boilerplate group
+    * costs 100 edges here vs 4,950 pairs there). The df-cap keeps hot
+    * (non-discriminative) fingerprints from welding unrelated docs into
+    * one mega-component. Returns (doc_id, cluster_id) for every doc that
+    * shares a surviving fingerprint with any other doc.
     */
   def winnowClusters(df: DataFrame, idCol: Column, textCol: Column,
-      n: Int = 4, w: Int = 4): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, n, w)
+      n: Int = 4, w: Int = 4, maxDf: Int = 64): DataFrame = {
+    val fps = cappedFps(df, idCol, textCol, n, w, maxDf)
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
     val edges = fps.withColumn("m", min(col("doc_id")).over(byFp))
       .filter(col("doc_id") =!= col("m"))

@@ -61,6 +61,28 @@ class FingerprintsSpec extends SparkSpec {
     assert(overlap > 0.9, s"planted near-dup overlap $overlap should be ~1.0")
   }
 
+  test("df-cap: a hot fingerprint neither pairs nor welds components") {
+    // four IDENTICAL boilerplate docs: every fingerprint they select has
+    // df = 4 > maxDf = 3, so the whole group drops out of matching — while
+    // the rare pair (df = 2 fps) still surfaces
+    val hot = filler("hot", 30)
+    val rare = filler("rare", 20)
+    val d = docs(
+      1L -> (rare + " " + filler("a", 10)),
+      2L -> (rare + " " + filler("b", 10)),
+      3L -> hot, 4L -> hot, 5L -> hot, 6L -> hot)
+    val pairs = Fingerprints.winnowNearDupPairs(
+      d, col("doc_id"), col("text"), minShared = 1, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the rare-run pair may survive the cap: $pairs")
+    val comps = Fingerprints.winnowClusters(
+      d, col("doc_id"), col("text"), maxDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L),
+      s"hot fps must not weld the boilerplate group into components: $comps")
+  }
+
   test("winnow clusters: linear edge reduction yields pairwise components") {
     val base = filler("w", 60)
     val d = docs(
