@@ -419,6 +419,14 @@ object LogStore {
     */
   private[graft] var generationRetries: Int = 50
 
+  /** Test seam: runs between the directory listing and the second manifest
+    * read of each generation attempt. The churn spec uses it to rewrite the
+    * manifest INSIDE the race window deterministically — a wall-clock
+    * churner thread loses the race on a fast idle machine and the
+    * exhaustion path goes unexercised. No-op in production.
+    */
+  private[graft] var betweenGenerationReads: () => Unit = () => ()
+
   /** The files of one partition a reader may see: directory parquets minus
     * manifest-dead minus pending-staged (compact token AND streaming batch
     * ids mid-append).
@@ -443,6 +451,7 @@ object LogStore {
     while (true) {
       val m1 = readManifest(part)
       val listed = parquets(part)
+      betweenGenerationReads()
       val m2 = readManifest(part)
       if (m1 == m2) {
         val deadNames = m2.dead.map(_._2).toSet

@@ -435,25 +435,28 @@ class LogStoreSpec extends SparkSpec {
     }
     val saved = LogStore.generationRetries
     LogStore.generationRetries = 2
-    @volatile var stop = false
-    val churner = new Thread(() => {
-      var i = 0L
-      while (!stop) { writeM(s"dead=$i,zzz-nonexistent.parquet"); i += 1 }
-    })
-    churner.start()
+    // Deterministic churn: rewrite the manifest INSIDE the race window (the
+    // seam runs between the listing and the second manifest read), so EVERY
+    // generation attempt observes m1 != m2. A wall-clock churner thread
+    // loses this race on a fast idle machine (the reader's list+reread
+    // completes between two of its writes) and the exhaustion path then
+    // goes unexercised — the assertion was flaky by construction.
+    var i = 0L
+    LogStore.betweenGenerationReads =
+      () => { writeM(s"dead=$i,zzz-nonexistent.parquet"); i += 1 }
     try {
       var raised = 0
       var silentMix = 0
-      (0 until 20).foreach { _ =>
+      (0 until 5).foreach { _ =>
         try {
           val got = messages(dir)
           if (got != expect) silentMix += 1
         } catch { case _: IllegalStateException => raised += 1 }
       }
       assert(silentMix == 0, "a read under churn returned an inconsistent set")
-      assert(raised > 0, "sustained churn never raised — exhaustion is silent")
+      assert(raised == 5, "sustained churn never raised — exhaustion is silent")
     } finally {
-      stop = true; churner.join(10000)
+      LogStore.betweenGenerationReads = () => ()
       LogStore.generationRetries = saved
     }
     // churn stopped: the very next read converges and is exact
