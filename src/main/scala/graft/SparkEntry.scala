@@ -1753,6 +1753,54 @@ object SparkEntry {
         n = 3, divisor = 16, minDocs = 2),
         "chunk_hash")
     }),
+    // ---- as-of join (point-in-time enrichment): each event gets the
+    //      user's most recent at-or-before purchase — union + one window
+    //      pass, the sort-merge-join shuffle bill, no per-row probe ----
+    "q162_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("event_id").as("pid"))
+      graft.operators.TemporalJoins.asofJoin(left, right, Seq("user_id"),
+          "ts", "ts", Seq("value", "pid"), tieBreak = col("pid"),
+          prefix = "last_purchase_")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("last_purchase_ts")))
+        .orderBy("event_id")
+    }),
+    // ---- as-of with staleness tolerance: the matched state goes null once
+    //      older than 3 days — "the config in effect, unless expired" ----
+    "q163_asof_tolerance" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("event_id").as("pid"))
+      graft.operators.TemporalJoins.asofJoin(left, right, Seq("user_id"),
+          "ts", "ts", Seq("value"), tieBreak = col("pid"),
+          toleranceUs = Some(259200000000L), prefix = "recent_purchase_")
+        .select("event_id", "recent_purchase_ts", "recent_purchase_value")
+        .orderBy("event_id")
+    }),
+    // ---- interval containment join: events landing inside the 1-hour
+    //      incident window each error opens — bucket-replicated intervals
+    //      (fan-out ≤ 2), equi-join on (user, bucket), exact residual ----
+    "q164_interval_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val win = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+          col("ts").as("s"), (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+      graft.operators.TemporalJoins.intervalJoin(
+          ev.select("event_id", "user_id", "ts", "value"), "ts",
+          win, "s", "e", Seq("user_id"), bucketSec = 3600L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 1e6).cast("long")).as("value_micros"))
+        .orderBy("incident_id")
+    }),
     // ---- hybrid retrieval: BM25 ⊕ cosine by reciprocal-rank fusion ----
     "q125_hybrid_rrf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -2756,7 +2804,60 @@ object SparkEntry {
                   ('0x'||substring(md5(array_to_string(list(tok ORDER BY tpos), ' ')),1,15))::BIGINT AS chunk_hash
                 FROM ch GROUP BY doc_id, chunk_idx)"""
 
+  /** Shared as-of mirror (q162/q163): the SAME union-and-window shape the
+    * operator plans — sides tagged, purchases sorted before events at an
+    * equal instant (inclusive match), per-purchase event_id as the
+    * deterministic tie-break, ignore-nulls last_value carrying the payload
+    * forward. Left rows carry a NULL tie; DuckDB sorts those NULLS LAST
+    * where Spark sorts NULLS FIRST, but the divergence only reorders
+    * side=1 peers, which contribute no payload and all see the same
+    * side=0 prefix — the carried value is identical either way.
+    */
+  private val asofPurchaseCte =
+    """WITH u AS (
+         SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie,
+                event_id, event_type,
+                NULL::TIMESTAMP AS pts, NULL::DOUBLE AS pval,
+                NULL::BIGINT AS pid
+           FROM events WHERE event_type <> 'purchase'
+         UNION ALL
+         SELECT user_id, ts, 0, event_id, NULL, NULL, ts, value, event_id
+           FROM events WHERE event_type = 'purchase'),
+       w AS (
+         SELECT *,
+           last_value(pts IGNORE NULLS) OVER win AS a_ts,
+           last_value(pval IGNORE NULLS) OVER win AS a_val,
+           last_value(pid IGNORE NULLS) OVER win AS a_id
+         FROM u
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+
   def oracleSql: Map[String, String] = Map(
+    "q162_asof_join" -> (asofPurchaseCte +
+      """ SELECT event_id, user_id, ts, event_type,
+            a_ts AS last_purchase_ts, a_val AS last_purchase_value,
+            a_id AS last_purchase_pid,
+            epoch_us(ts) - epoch_us(a_ts) AS gap_us
+          FROM w WHERE side = 1 ORDER BY event_id"""),
+    "q163_asof_tolerance" -> (asofPurchaseCte +
+      """ SELECT event_id,
+            CASE WHEN a_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(a_ts) <= 259200000000
+                 THEN a_ts END AS recent_purchase_ts,
+            CASE WHEN a_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(a_ts) <= 259200000000
+                 THEN a_val END AS recent_purchase_value
+          FROM w WHERE side = 1 ORDER BY event_id"""),
+    "q164_interval_join" ->
+      """WITH win AS (SELECT event_id AS incident_id, user_id, ts AS s,
+                             ts + INTERVAL 1 HOUR AS e
+                      FROM events WHERE event_type = 'error')
+         SELECT incident_id, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(round(ev.value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micros
+         FROM win JOIN events ev
+           ON ev.user_id = win.user_id AND ev.ts >= win.s AND ev.ts < win.e
+         GROUP BY 1 ORDER BY incident_id""",
     "q156_winnow_fingerprints" -> (winnowFpCte +
       " SELECT doc_id, fp FROM fp ORDER BY doc_id, fp"),
     "q157_winnow_neardup" -> (winnowFpCte + winnowCapCte +

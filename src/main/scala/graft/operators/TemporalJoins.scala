@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins: as-of (point-in-time) enrichment and interval
+  * (time-range containment) joins — the two event⋈dimension shapes a log
+  * corpus keeps asking for that plain equi-joins can't express. The
+  * reference enriches each record with whatever lookup state was current
+  * when the record ARRIVED (external-config fetch at handler start, e.g.
+  * `cloudwatchlogs-with-dlq/src/cwl.js` reading its env-driven config per
+  * invocation); replayed at corpus scale, "the value in effect at event
+  * time" IS an as-of join against the config/change history.
+  *
+  * Both operators are composed from stock Catalyst operators — no custom
+  * plan node is needed because the semantics decompose exactly:
+  *
+  *  - [[asofJoin]]: union the (tagged) sides, one window pass per key
+  *    ordered by time carrying the last non-null right payload forward,
+  *    keep left rows. ONE hash exchange on the key (both inputs) + one
+  *    sort — the same shuffle bill as a sort-merge equi-join, and the
+  *    plan any dedicated as-of implementation lowers to. No per-row probe
+  *    loop, no range join, no broadcast requirement on either side.
+  *  - [[intervalJoin]]: replicate each interval onto the fixed-width time
+  *    buckets it covers (`sequence` + explode — fan-out is
+  *    ceil(width/bucket)+1, bounded and chosen by the caller or derived
+  *    from the observed max width), equi-join on (keys, bucket), then the
+  *    exact containment residual. An event row carries ONE bucket, so a
+  *    (event, interval) match is produced at most once — no dedup pass.
+  *
+  * Scale notes (100 TB lens): asofJoin's window serializes per key — a
+  * single pathologically hot key becomes one task, the same bound as any
+  * per-key ordered operator (sessionize, carry-forward). The standard
+  * mitigation composes from this operator: range-split time per key and
+  * replicate each range's last right row into the next range's head as a
+  * synthetic side-0 row, then asofJoin within (key, range). intervalJoin
+  * shuffles |L| + |R|·fanout rows; pick `bucketSec` near the max interval
+  * width so fanout ≤ 2 (the auto mode does this with one 1-row aggregate,
+  * the predict/total pattern).
+  */
+object TemporalJoins {
+
+  /** Floor-divide a non-negative long column by a positive constant,
+    * exactly. `Column./` is IEEE double division; here both the operand
+    * (micros since epoch, < 2^53 until year ~2255) and the quotient are
+    * exactly representable AFTER the remainder is subtracted, and IEEE
+    * division of exactly-representable operands with a representable
+    * quotient is exact.
+    */
+  private def fdiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Backward as-of join: for each left row, the most recent right row with
+    * the same `keys` and `right(rightTs) <= left(leftTs)` (inclusive).
+    * Among right ties at the same instant the row with the greatest
+    * `tieBreak` wins (pass a unique id for determinism). With
+    * `toleranceUs`, matches older than the tolerance resolve to null —
+    * "the last config change, unless it has gone stale".
+    *
+    * Output: every left column, then `prefix+rightTs` (the matched right
+    * timestamp) and `prefix+c` for each payload column `c` — all null when
+    * no (fresh) match exists.
+    *
+    * Plan shape: Union → Exchange(hash on keys) → Sort(keys, ts, side,
+    * tie) → Window(last ignoreNulls, rows unbounded-preceding..current) →
+    * Filter(side=1). Right rows sort BEFORE left rows at an equal
+    * timestamp (side 0 < 1), which is what makes the match inclusive.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: Column = lit(0L), toleranceUs: Option[Long] = None,
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val reserved = Seq("__ts", "__side", "__tie", "__p")
+    require(!left.columns.exists(reserved.contains),
+      s"left side may not carry the reserved columns ${reserved.mkString(", ")}")
+
+    // the payload struct leads with the matched right timestamp so one
+    // ignore-nulls `last` carries timestamp and payload forward together
+    // (a per-column `last` could otherwise mix rows if a payload column is
+    // itself null on some right rows)
+    val pStruct = struct(
+      (col(rightTs).as("__rts") +: payload.map(col)): _*)
+    val r = right.select(
+      (keys.map(col) :+ col(rightTs).cast("timestamp").as("__ts") :+
+        lit(0).as("__side") :+ tieBreak.cast("long").as("__tie") :+
+        pStruct.as("__p")): _*)
+    val l = left.withColumn("__ts", col(leftTs).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    // allowMissingColumns null-fills each side's absent columns: left gains
+    // a typed-null __p/__tie, right gains nulls for the non-key left columns
+    val u = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val fresh = toleranceUs match {
+      case Some(t) => col("__m").isNotNull &&
+        unix_micros(col("__ts")) - unix_micros(col("__m.__rts")) <= t
+      case None => col("__m").isNotNull
+    }
+    matched.select(
+      left.columns.map(col) ++
+        (when(fresh, col("__m.__rts")).as(s"$prefix$rightTs") +:
+          payload.map(c => when(fresh, col("__m")(c)).as(s"$prefix$c"))): _*)
+  }
+
+  /** Interval containment join: left rows (point events at `leftTs`) against
+    * right rows (intervals `[startCol, endCol)`, end exclusive) sharing
+    * `keys`. Returns the matched pairs: all left columns plus the right's
+    * non-key columns. Intervals with `end <= start` are dropped (empty by
+    * the containment rule). Overlapping intervals multiply matches — this
+    * is a join, not an assignment.
+    *
+    * `bucketSec <= 0` derives the bucket from the observed max interval
+    * width (one 1-row aggregate over the intervals — the predict/total
+    * pattern), capping replication at 2 buckets per interval.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, startCol: String, endCol: String,
+      keys: Seq[String], bucketSec: Long = 0L): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    val iv = right.filter(col(endCol) > col(startCol))
+    val bucketUs: Long =
+      if (bucketSec > 0) bucketSec * 1000000L
+      else {
+        // bounded 1-row aggregate: the widest interval, floor 1 s
+        val w = iv.agg(max(unix_micros(col(endCol)) -
+          unix_micros(col(startCol)))).head
+        if (w.isNullAt(0)) 1000000L else math.max(w.getLong(0), 1000000L)
+      }
+    // [s, e) covers buckets fdiv(s)..fdiv(e-1): e-1 because the end is
+    // exclusive — an interval ending exactly on a bucket boundary must not
+    // be replicated into the bucket it no longer reaches
+    val rb = iv.withColumn("__b", explode(sequence(
+      fdiv(unix_micros(col(startCol)), bucketUs),
+      fdiv(unix_micros(col(endCol)) - 1, bucketUs))))
+    val lb = left.withColumn("__b", fdiv(unix_micros(col(leftTs)), bucketUs))
+    val rightOut = right.columns.filterNot(keys.contains)
+    lb.join(rb, keys :+ "__b")
+      .filter(lb(leftTs) >= rb(startCol) && lb(leftTs) < rb(endCol))
+      .select(left.columns.map(lb(_)) ++ rightOut.map(rb(_)): _*)
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // events: (id, key, ts); snapshots: (key, ts, v, tie)
+  private def leftDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "a", t("2024-01-01 10:00:00")), // before any snapshot
+      (2L, "a", t("2024-01-01 12:00:00")), // exactly at snap1 → inclusive
+      (3L, "a", t("2024-01-01 13:30:00")), // between snap1 and snap2
+      (4L, "a", t("2024-01-02 09:00:00")), // after snap2
+      (5L, "b", t("2024-01-01 12:30:00")), // b's only snapshot is later
+      (6L, "b", t("2024-01-05 00:00:00")), // stale by 3+ days vs b-snap
+      (7L, "c", t("2024-01-01 00:00:00"))  // key with no snapshots at all
+    ).toDF("id", "key", "ts")
+  }
+
+  private def rightDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("a", t("2024-01-01 12:00:00"), 10.0, 1L),
+      ("a", t("2024-01-01 12:00:00"), 11.0, 2L), // tie: greater tie wins
+      ("a", t("2024-01-01 14:00:00"), 20.0, 3L),
+      ("b", t("2024-01-01 13:00:00"), 30.0, 4L)
+    ).toDF("key", "ts", "v", "tie")
+  }
+
+  test("asofJoin: backward inclusive match, tie-break, no-match null") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("key"),
+      "ts", "ts", Seq("v"), tieBreak = col("tie"))
+      .orderBy("id")
+      .select("id", "asof_ts", "asof_v")
+      .collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byId(1L) == (None, None))                              // nothing before
+    assert(byId(2L) == (Some(t("2024-01-01 12:00:00")), Some(11.0))) // inclusive + max-tie
+    assert(byId(3L) == (Some(t("2024-01-01 12:00:00")), Some(11.0)))
+    assert(byId(4L) == (Some(t("2024-01-01 14:00:00")), Some(20.0)))
+    assert(byId(5L) == (None, None))                              // b snap is later
+    assert(byId(6L) == (Some(t("2024-01-01 13:00:00")), Some(30.0)))
+    assert(byId(7L) == (None, None))                              // no key
+  }
+
+  test("asofJoin: tolerance nulls stale matches only") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("key"),
+      "ts", "ts", Seq("v"), tieBreak = col("tie"),
+      toleranceUs = Some(3L * 24 * 3600 * 1000000L))
+      .orderBy("id").select("id", "asof_v").collect()
+    val byId = out.map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(4L) == Some(20.0)) // fresh (hours old)
+    assert(byId(6L) == None)       // 3d20h old → stale
+  }
+
+  test("asofJoin == per-row brute force on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val lRows = (0 until 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(100000).toLong))
+    val rRows = (0 until 150).map(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(100000).toLong, i.toDouble, i.toLong))
+    val l = lRows.toDF("id", "key", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu") * 1000000L))
+      .drop("tsu")
+    val r = rRows.toDF("key", "tsu", "v", "tie")
+      .withColumn("ts", timestamp_micros(col("tsu") * 1000000L))
+      .drop("tsu")
+    val got = TemporalJoins.asofJoin(l, r, Seq("key"), "ts", "ts", Seq("v"),
+      tieBreak = col("tie"))
+      .select("id", "asof_v").collect()
+      .map(row => row.getLong(0) -> Option(row.get(1))).toMap
+    // brute force: max (ts, tie) among right rows at or before
+    lRows.foreach { case (id, key, ts) =>
+      val want = rRows.filter(rr => rr._1 == key && rr._2 <= ts)
+        .sortBy(rr => (rr._2, rr._4)).lastOption.map(_._3)
+      assert(got(id) == want, s"id=$id key=$key ts=$ts")
+    }
+  }
+
+  test("asofJoin plans exactly one shuffle exchange") {
+    val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("key"),
+      "ts", "ts", Seq("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan)
+  }
+
+  test("intervalJoin: containment, boundaries, overlap, multi-bucket") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "a", t("2024-01-01 10:00:00")),
+      (2L, "a", t("2024-01-01 10:59:59")),
+      (3L, "a", t("2024-01-01 11:00:00")), // == end of w1 → excluded (exclusive)
+      (4L, "a", t("2024-01-01 10:30:00")), // inside w1 AND w2 (overlap)
+      (5L, "b", t("2024-01-01 10:00:00"))  // right key, different user
+    ).toDF("id", "key", "ts")
+    val win = Seq(
+      ("w1", "a", t("2024-01-01 10:00:00"), t("2024-01-01 11:00:00")),
+      ("w2", "a", t("2024-01-01 10:15:00"), t("2024-01-01 10:45:00")),
+      ("w3", "a", t("2024-01-01 23:00:00"), t("2024-01-02 05:00:00")), // 6h: multi-bucket
+      ("w0", "a", t("2024-01-01 09:00:00"), t("2024-01-01 09:00:00"))  // empty → dropped
+    ).toDF("w", "key", "s", "e")
+    // bucket (15 min) much smaller than widths: exercises replication >2
+    val got = TemporalJoins.intervalJoin(ev, "ts", win, "s", "e",
+      Seq("key"), bucketSec = 900L)
+      .select("id", "w").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "w1"), (2L, "w1"), (4L, "w1"), (4L, "w2")))
+    // auto bucket (derived from max width) gives the identical result
+    val auto = TemporalJoins.intervalJoin(ev, "ts", win, "s", "e",
+      Seq("key")).select("id", "w").as[(Long, String)].collect().toSet
+    assert(auto == got)
+  }
+
+  test("intervalJoin == plain theta join on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val ev = (0 until 500).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(50000).toLong))
+      .toDF("id", "key", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu") * 1000000L)).drop("tsu")
+    val win = (0 until 60).map { i =>
+      val st = rnd.nextInt(50000).toLong
+      (i.toLong, s"k${rnd.nextInt(5)}", st, st + 1 + rnd.nextInt(5000))
+    }.toDF("w", "key", "su", "eu")
+      .withColumn("s", timestamp_micros(col("su") * 1000000L))
+      .withColumn("e", timestamp_micros(col("eu") * 1000000L))
+      .drop("su", "eu")
+    val got = TemporalJoins.intervalJoin(ev, "ts", win, "s", "e",
+      Seq("key"), bucketSec = 1000L)
+      .select("id", "w").as[(Long, Long)].collect().toSet
+    val want = ev.as("l").join(win.as("r"),
+        col("l.key") === col("r.key") &&
+          col("l.ts") >= col("r.s") && col("l.ts") < col("r.e"))
+      .select("id", "w").as[(Long, Long)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+}
