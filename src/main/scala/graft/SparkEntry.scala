@@ -1753,6 +1753,18 @@ object SparkEntry {
         n = 3, divisor = 16, minDocs = 2),
         "chunk_hash")
     }),
+    // ---- fuzzy decontamination: winnow-fingerprint overlap between the
+    //      corpus and a held-out eval slice — catches paraphrased/partial
+    //      benchmark leaks where q68's exact 5-gram probe needs verbatim
+    //      runs; eval side broadcast, corpus never joins itself ----
+    "q165_fuzzy_decontamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.CorpusQuality.fuzzyContamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), col("doc_id"), col("text"))
+        .orderBy("doc_id", "eval_id")
+    }),
     // ---- as-of join (point-in-time enrichment): each event gets the
     //      user's most recent at-or-before purchase — union + one window
     //      pass, the sort-merge-join shuffle bill, no per-row probe ----
@@ -2833,6 +2845,18 @@ object SparkEntry {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
 
   def oracleSql: Map[String, String] = Map(
+    "q165_fuzzy_decontamination" -> (winnowFpCte +
+      """, ev AS (SELECT doc_id AS eval_id, fp FROM fp WHERE doc_id % 10 = 0),
+         esz AS (SELECT eval_id, count(*)::BIGINT AS esz FROM ev GROUP BY eval_id),
+         cf AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 <> 0),
+         cdf AS (SELECT fp FROM cf GROUP BY fp HAVING count(*) <= 64),
+         cfc AS (SELECT cf.doc_id, cf.fp FROM cf JOIN cdf USING (fp)),
+         m AS (SELECT cfc.doc_id, ev.eval_id, count(*)::BIGINT AS shared
+               FROM cfc JOIN ev USING (fp) GROUP BY cfc.doc_id, ev.eval_id)
+         SELECT m.doc_id, m.eval_id, shared,
+           round(shared::DOUBLE / esz, 6) AS contamination
+         FROM m JOIN esz USING (eval_id) WHERE shared >= 2
+         ORDER BY doc_id, eval_id"""),
     "q162_asof_join" -> (asofPurchaseCte +
       """ SELECT event_id, user_id, ts, event_type,
             a_ts AS last_purchase_ts, a_val AS last_purchase_value,

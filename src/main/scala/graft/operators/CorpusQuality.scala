@@ -44,6 +44,47 @@ object CorpusQuality {
           .as("contamination"))
   }
 
+  /** Fuzzy decontamination: the near-dup complement to
+    * [[ngramContamination]]'s exact probe — winnowing-fingerprint overlap
+    * between each corpus document and each eval document, so paraphrased or
+    * partially-copied benchmark leaks surface even where no long verbatim
+    * n-gram run survives (the winnow guarantee needs only one shared
+    * ≥ w+n−1-token run per shared fingerprint).
+    *
+    * Returns `(doc_id, eval_id, shared, contamination)` for pairs sharing
+    * ≥ `minShared` fingerprints, where `contamination` = shared / |eval
+    * doc's fingerprint set| — the fraction of the BENCHMARK document found
+    * in the corpus document, the drop-decision convention.
+    *
+    * Scale shape: the eval side is tiny by definition — its fingerprint
+    * table and size table broadcast, so the probe is map-side against the
+    * corpus fingerprint stream and the only corpus-sized shuffles are the
+    * winnow kernel's parallelism repartition and the df-cap count. Corpus
+    * fingerprints with document frequency > `maxDf` are dropped first
+    * (same hot-shingle discipline as
+    * [[Fingerprints.winnowNearDupPairs]]): a fingerprint shared by
+    * thousands of corpus docs is boilerplate, not leak evidence, and it is
+    * also the only unbounded term in the probe's match count.
+    */
+  def fuzzyContamination(corpus: DataFrame, evalDf: DataFrame,
+      corpusId: Column, corpusText: Column, evalId: Column, evalText: Column,
+      n: Int = 4, w: Int = 4, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val cf = Fingerprints.winnowFingerprints(corpus, corpusId, corpusText, n, w)
+      .withColumn("_df", count(lit(1)).over(byFp))
+      .filter(col("_df") <= maxDf).drop("_df")
+    val ev = Fingerprints.winnowFingerprints(evalDf, evalId, evalText, n, w)
+      .withColumnRenamed("doc_id", "eval_id")
+    val esz = ev.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+    cf.join(broadcast(ev), Seq("fp"))
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(broadcast(esz), Seq("eval_id"))
+      .select(col("doc_id"), col("eval_id"), col("shared"),
+        round(col("shared").cast("double") / col("esz"), 6)
+          .as("contamination"))
+  }
+
   /** Unigram-surprisal quality score: each document's mean per-token
     * `ln(total_tokens / token_count)` under the corpus's own unigram
     * distribution — low surprisal = repetitive/templated text, high =

@@ -970,6 +970,32 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out(1L) == 0.0)
   }
 
+  test("fuzzy decontamination: paraphrased leak found, clean doc silent, boilerplate capped") {
+    val s = spark
+    import s.implicits._
+    val run = (1 to 16).map(i => s"leak$i").mkString(" ") // one ≥ w+n-1 shared run
+    val boiler = (1 to 12).map(i => s"foot$i").mkString(" ")
+    val evalSet = Seq(
+      (100L, run),                  // the benchmark doc
+      (101L, boiler)                // eval doc made of pure boilerplate
+    ).toDF("doc_id", "text")
+    // the boilerplate doc appears VERBATIM in many corpus docs (identical
+    // text — shared SUBSTRINGS would still leak private boundary fps, the
+    // round-11 winnow-cap lesson) → every one of its fingerprints has
+    // df=8 > maxDf and is dropped, so eval 101 reads as uncontaminated
+    val corpus = Seq(
+      (0L, s"intro words here $run trailing different suffix"), // partial copy
+      (1L, "a genuinely clean document with its own content entirely")
+    ).toDF("doc_id", "text") union
+      (2 to 9).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val out = graft.operators.CorpusQuality.fuzzyContamination(
+      corpus, evalSet, col("doc_id"), col("text"), col("doc_id"), col("text"),
+      maxDf = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set((0L, 100L)), s"got $out") // only the partial copy
+    assert(out((0L, 100L)) > 0.5) // most of the benchmark doc is present
+  }
+
   test("incrementalDedup: exact anti-join semantics; normalization-aware; batch dups kept") {
     val s = spark
     import s.implicits._
