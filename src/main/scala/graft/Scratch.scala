@@ -321,6 +321,44 @@ object Scratch {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_TEMPORAL_SCALE=1: time the temporal joins + the fuzzy
+    // decontamination probe on the current SF_DIR (point at MAKE_SCALED
+    // dirs for 10×/100× rungs). MAKE_SCALED replicates events at CONSTANT
+    // user cardinality, so rungs deepen per-key history — the serial
+    // dimension of the asof window, the honest stress for a union+window
+    // plan. Interval-join note: replicas share (user, ts), so its OUTPUT
+    // grows ×factor² on this corpus by construction (10× windows, each
+    // holding 10× events) — the match count is printed with the timing so
+    // the per-output-row cost is what gets compared across rungs.
+    sys.env.get("SPARK_GRAFT_TEMPORAL_SCALE").foreach { _ =>
+      import graft.operators.TemporalJoins
+      val ev = SparkEntry.tbl(spark, dir, "events")
+      time("events warmup")(ev.count())
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("event_id").as("pid"))
+      time("asof_join")(TemporalJoins.asofJoin(left, right, Seq("user_id"),
+        "ts", "ts", Seq("value", "pid"), tieBreak = col("pid"),
+        prefix = "last_purchase_").count())
+      val win = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+          col("ts").as("s"), (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
+      // time() prints the match count — the ×factor² output contract rides
+      // along with the timing
+      time("interval_join")(TemporalJoins.intervalJoin(
+        ev.select("event_id", "user_id", "ts", "value"), "ts",
+        win, "s", "e", Seq("user_id"), bucketSec = 3600L).count())
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+      time("fuzzy_decontamination")(
+        graft.operators.CorpusQuality.fuzzyContamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), col("doc_id"), col("text")).count())
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_CURATION_SCALE=1: time the round-8 curation ops on the
     // current SF_DIR (point it at a MAKE_SCALED dir for the 10×/100× rungs).
     // SemDeDup runs at occupancy-held k (n/64, the autoPlanes analogue);
