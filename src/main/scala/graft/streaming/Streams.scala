@@ -229,6 +229,93 @@ object Streams {
       }
   }
 
+  /** One row of the tagged union feeding [[asofStream]]: `side` 0 =
+    * snapshot (carries `tie`/`value`), 1 = event (carries `id`).
+    */
+  case class AsofUnion(key: String, ts: Timestamp, side: Int,
+      tie: Long, value: Double, id: Long)
+  /** An event enriched with the snapshot in effect at its event time —
+    * `snapTsUs`/`snapValue` empty when no snapshot precedes it. */
+  case class AsofEnriched(key: String, tsUs: Long, id: Long,
+      snapTsUs: Option[Long], snapValue: Option[Double])
+  /** State-store record of [[asofStream]] — public only because the state
+    * encoder's generated code must construct it. */
+  case class AsofBufState(snaps: Seq[(Long, Long, Double)],
+      pending: Seq[(Long, Long)])
+
+  /** Streaming as-of enrichment (the event-time temporal join): each event
+    * joins the latest snapshot at or before its EVENT time, exactly
+    * [[graft.operators.TemporalJoins.asofJoin]]'s semantics, regardless of
+    * the order the two streams interleave in ARRIVAL. The batch trick
+    * (global sort + window) has no streaming analogue, so this is the
+    * genuine stateful form: per key, buffer events and snapshot history in
+    * the state store and resolve an event only once the watermark passes
+    * its timestamp — at that point no earlier snapshot can still arrive,
+    * so a late-arriving snapshot with an older timestamp is honored, not
+    * raced. Snapshot ties at one instant resolve to the greatest `tie`.
+    *
+    * State stays bounded by the watermark on both axes: resolved events
+    * leave `pending`, and of the snapshots at or before the watermark only
+    * the LATEST is retained (every future ripe event has ts > watermark,
+    * so older superseded snapshots are unreachable). The `lateness` budget
+    * is therefore the retention knob — state holds one horizon of events
+    * plus one horizon of snapshot churn per key.
+    *
+    * Events with no snapshot at or before their time emit with empty
+    * snapshot fields (the batch operator's null semantics).
+    *
+    * `idleTimeout` doubles as the FLUSH path: a key whose stream goes
+    * quiet gets one timeout invocation that resolves everything the
+    * watermark has ripened before its state expires (emission otherwise
+    * rides on the next data batch for that key). Tests driving with
+    * `processAllAvailable` should pass None — see [[carryForward]].
+    */
+  def asofStream(rows: Dataset[AsofUnion], lateness: String,
+      idleTimeout: Option[String] = None): Dataset[AsofEnriched] = {
+    implicit val outEnc: Encoder[AsofEnriched] = Encoders.product[AsofEnriched]
+    implicit val stEnc: Encoder[AsofBufState] = Encoders.product[AsofBufState]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows.withWatermark("ts", lateness)
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState[AsofBufState, AsofEnriched](
+        OutputMode.Append(), timeoutConf) {
+        (key: String, batch: Iterator[AsofUnion], state: GroupState[AsofBufState]) => {
+          val st = state.getOption.getOrElse(AsofBufState(Nil, Nil))
+          var snaps = st.snaps
+          var pending = st.pending
+          // a timeout invocation carries no batch rows — it's the FLUSH
+          // path: resolve whatever the watermark has ripened, then expire
+          if (!state.hasTimedOut) batch.foreach { r =>
+            val us = r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L
+            if (r.side == 0) snaps :+= ((us, r.tie, r.value))
+            else pending :+= ((us, r.id))
+          }
+          val sortedSnaps = snaps.sortBy(s => (s._1, s._2))
+          val wUs = state.getCurrentWatermarkMs() * 1000L
+          // ripe = at or before the watermark: every snapshot that could
+          // precede such an event has arrived (later rows are dropped by
+          // the watermark itself)
+          val (ripe, still) = pending.sortBy(identity).partition(_._1 <= wUs)
+          val out = ripe.map { case (ets, id) =>
+            val m = sortedSnaps.takeWhile(_._1 <= ets).lastOption
+            AsofEnriched(key, ets, id, m.map(_._1), m.map(_._3))
+          }
+          val keepFrom = sortedSnaps.lastIndexWhere(_._1 <= wUs)
+          val kept = if (keepFrom <= 0) sortedSnaps
+                     else sortedSnaps.drop(keepFrom)
+          if (still.isEmpty && (state.hasTimedOut || kept.isEmpty)) {
+            state.remove()
+          } else {
+            state.update(AsofBufState(kept, still))
+            idleTimeout.foreach(state.setTimeoutDuration)
+          }
+          out.iterator
+        }
+      }
+  }
+
   /** R8 declarative buffering: the Firehose 60s-or-4MB buffer becomes a
     * processing-time trigger + the sink's `maxBytes` chunking (K5; reference
     * `KinesisFirehoseCWLogs.template.yaml:280-285`).

@@ -160,6 +160,96 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count(_ == ("r1", "CREATE")) == 1)
   }
 
+  test("asofStream: event-time temporal join — buffers until watermark, honors late snapshots") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1704103200000L + sec * 1000L)
+    def us(sec: Int) = t(sec).getTime * 1000L
+    val input = MemoryStream[(String, Timestamp, Int, Long, Double, Long)]
+    val ds = Streams.asofStream(
+      input.toDF().toDF("key", "ts", "side", "tie", "value", "id")
+        .as[Streams.AsofUnion],
+      lateness = "0 seconds")
+    val q = ds.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    // batch 1: snapshot@100s, events@150s and @50s — watermark still 0,
+    // everything buffers
+    input.addData(("k", t(100), 0, 1L, 1.0, 0L),
+      ("k", t(150), 1, 0L, 0.0, 1L), ("k", t(50), 1, 0L, 0.0, 2L))
+    q.processAllAvailable()
+    assert(spark.table("asof_out").count() == 0)
+    // batch 2: a LATE snapshot@140s (older than the already-seen 150s
+    // event, newer than the watermark — legal) plus a future event;
+    // watermark advances to 150s → both buffered events resolve, and the
+    // 150s event must see the late 140s snapshot, not the 100s one
+    input.addData(("k", t(140), 0, 2L, 2.0, 0L), ("k", t(300), 1, 0L, 0.0, 3L))
+    q.processAllAvailable()
+    // batch 3: far-future event advances the watermark past 300s
+    input.addData(("k", t(9999), 1, 0L, 0.0, 99L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("asof_out")
+      .select("id", "snapTsUs", "snapValue")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((Some(us(140)), Some(2.0)))) // late snapshot won
+    assert(rows(2L) == ((None, None)))               // nothing at or before 50s
+    assert(rows(3L) == ((Some(us(140)), Some(2.0)))) // pruned state kept the survivor
+    assert(!rows.contains(99L))                      // still pending at stop
+  }
+
+  test("asofStream matches the batch asofJoin on a shuffled two-stream interleave") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = 1704103200000L
+    def ts(sec: Int) = new Timestamp(base + sec * 1000L)
+    val snaps = (0 until 40).map(i =>
+      (s"k${rnd.nextInt(3)}", ts(rnd.nextInt(5000)), 0, i.toLong, i.toDouble, 0L))
+    val evs = (0 until 120).map(i =>
+      (s"k${rnd.nextInt(4)}", ts(rnd.nextInt(5000)), 1, 0L, 0.0, (1000 + i).toLong))
+    // interleave must respect the lateness budget or Spark itself drops
+    // rows the batch reference still sees: sort into time-ordered batches
+    // (each 40-row batch is internally an arbitrary snapshot/event mix)
+    // and give the watermark a 600 s budget — no row ever arrives late,
+    // so stream and batch answer over identical inputs
+    val all = rnd.shuffle(snaps ++ evs).sortBy(_._2.getTime)
+    val input = MemoryStream[(String, Timestamp, Int, Long, Double, Long)]
+    val ds = Streams.asofStream(
+      input.toDF().toDF("key", "ts", "side", "tie", "value", "id")
+        .as[Streams.AsofUnion],
+      lateness = "600 seconds")
+    val q = ds.writeStream.format("memory").queryName("asof_fuzz")
+      .outputMode("append").start()
+    all.grouped(40).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+    // watermark push + flush: emission rides on data batches and the
+    // watermark advances only AFTER a batch, so every key gets a
+    // far-future dummy in TWO successive rounds — the first advances the
+    // watermark past every real event, the second delivers the batch that
+    // resolves the stragglers inside the final lateness window
+    for (r <- 0 until 2) {
+      (0 until 4).foreach(k =>
+        input.addData((s"k$k", ts(999999 + r), 1, 0L, 0.0, 9999L)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("asof_fuzz").filter(col("id") < 9999)
+      .select("id", "snapValue").as[(Long, Option[Double])].collect().toMap
+    // reference: the batch operator over the same rows
+    val lDf = evs.toDF("key", "ts", "side", "tie", "value", "id")
+      .select("key", "ts", "id")
+    val rDf = snaps.toDF("key", "ts", "side", "tie", "value", "id")
+      .select("key", "ts", "tie", "value")
+    val want = graft.operators.TemporalJoins.asofJoin(
+      lDf, rDf, Seq("key"), "ts", "ts", Seq("value"), tieBreak = col("tie"))
+      .select(col("id"), col("asof_value"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got.size == evs.size)
+    assert(got == want)
+  }
+
   test("streaming sessionize: gap-split session windows close at the watermark") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
