@@ -1782,6 +1782,22 @@ object SparkEntry {
           unix_micros(col("ts")) - unix_micros(col("last_purchase_ts")))
         .orderBy("event_id")
     }),
+    // ---- hot-key as-of: the time-range-split form — same semantics as
+    //      q162 (SHARED oracle), window parallelism ×ranges per key ----
+    "q166_asof_split" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("event_id").as("pid"))
+      graft.operators.TemporalJoins.asofJoinSplit(left, right, Seq("user_id"),
+          "ts", "ts", Seq("value", "pid"), tieBreak = col("pid"),
+          prefix = "last_purchase_", ranges = 8)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("last_purchase_ts")))
+        .orderBy("event_id")
+    }),
     // ---- as-of with staleness tolerance: the matched state goes null once
     //      older than 3 days — "the config in effect, unless expired" ----
     "q163_asof_tolerance" -> ((s, dir) => {
@@ -2844,7 +2860,17 @@ object SparkEntry {
          WINDOW win AS (PARTITION BY user_id ORDER BY ts, side, tie
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
 
+  /** q162/q166 share this mirror: same semantics, two physical paths
+    * (single-window vs time-range split) — the stored-vs-inline pattern. */
+  private val asofJoinOracleSql = "" +
+    """ SELECT event_id, user_id, ts, event_type,
+          a_ts AS last_purchase_ts, a_val AS last_purchase_value,
+          a_id AS last_purchase_pid,
+          epoch_us(ts) - epoch_us(a_ts) AS gap_us
+        FROM w WHERE side = 1 ORDER BY event_id"""
+
   def oracleSql: Map[String, String] = Map(
+    "q166_asof_split" -> (asofPurchaseCte + asofJoinOracleSql),
     "q165_fuzzy_decontamination" -> (winnowFpCte +
       """, ev AS (SELECT doc_id AS eval_id, fp FROM fp WHERE doc_id % 10 = 0),
          esz AS (SELECT eval_id, count(*)::BIGINT AS esz FROM ev GROUP BY eval_id),
@@ -2857,12 +2883,7 @@ object SparkEntry {
            round(shared::DOUBLE / esz, 6) AS contamination
          FROM m JOIN esz USING (eval_id) WHERE shared >= 2
          ORDER BY doc_id, eval_id"""),
-    "q162_asof_join" -> (asofPurchaseCte +
-      """ SELECT event_id, user_id, ts, event_type,
-            a_ts AS last_purchase_ts, a_val AS last_purchase_value,
-            a_id AS last_purchase_pid,
-            epoch_us(ts) - epoch_us(a_ts) AS gap_us
-          FROM w WHERE side = 1 ORDER BY event_id"""),
+    "q162_asof_join" -> (asofPurchaseCte + asofJoinOracleSql),
     "q163_asof_tolerance" -> (asofPurchaseCte +
       """ SELECT event_id,
             CASE WHEN a_ts IS NOT NULL

@@ -110,6 +110,76 @@ object TemporalJoins {
           payload.map(c => when(fresh, col("__m")(c)).as(s"$prefix$c"))): _*)
   }
 
+  /** Hot-key as-of: [[asofJoin]] with the key space widened by a time-range
+    * split, so one pathologically hot key parallelizes across `ranges`
+    * tasks instead of serializing into one window partition. Semantics are
+    * IDENTICAL to [[asofJoin]] (spec-pinned on random data).
+    *
+    * Construction (all from stock operators): the left span splits into
+    * `ranges` equal time slices; each side tags rows with their slice; and
+    * each (key, slice) that has left rows gets one synthetic right row
+    * carrying the best snapshot from all EARLIER slices (the boundary
+    * carry-in), computed as a running max-of-struct over the per-slice
+    * maxima — a window over at most one row per (key, slice), not over the
+    * data. Then one [[asofJoin]] on (keys, slice) finishes the job: within
+    * a slice the carry-in sorts before every left row by construction, so
+    * a left row sees exactly {earlier-slice best} ∪ {own-slice snapshots at
+    * or before it}.
+    *
+    * Cost: two extra bounded shuffles (the distinct left grid and the
+    * per-slice right maxima — both ≤ one row per (key, slice)) buys window
+    * parallelism `ranges`× per key. Right rows outside the left span clamp
+    * to the edge slices, which preserves order within them.
+    */
+  def asofJoinSplit(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tieBreak: Column = lit(0L), toleranceUs: Option[Long] = None,
+      prefix: String = "asof_", ranges: Int = 16): DataFrame = {
+    require(ranges >= 1, s"ranges must be >= 1, got $ranges")
+    val bounds = left.agg(
+      min(unix_micros(col(leftTs))), max(unix_micros(col(leftTs)))).head
+    if (bounds.isNullAt(0)) // empty left: schema-correct empty result
+      return asofJoin(left, right, keys, leftTs, rightTs, payload,
+        tieBreak, toleranceUs, prefix).filter(lit(false))
+    val lo = bounds.getLong(0)
+    val width = math.max((bounds.getLong(1) - lo) / ranges + 1, 1L)
+    def slice(ts: Column): Column =
+      least(greatest(fdiv(unix_micros(ts) - lo + width, width) - 1, lit(0L)),
+        lit(ranges - 1L)) // clamp: right rows outside the left span land on
+                          // the edge slices (order within them is preserved)
+
+    val l2 = left.withColumn("__slice", slice(col(leftTs)))
+    val rTagged = right
+      .withColumn("__tie", tieBreak.cast("long"))
+      .withColumn("__slice", slice(col(rightTs)))
+    // per-(key, slice) best snapshot, (ts, tie)-ordered via struct compare;
+    // payload rides in the same struct so the carry stays one row
+    val sStruct = struct((col(rightTs).cast("timestamp").as("__sts") +:
+      col("__tie").as("__stie") +: payload.map(col)): _*)
+    val rMax = rTagged.groupBy((keys :+ "__slice").map(col): _*)
+      .agg(max(sStruct).as("__s"))
+    val grid = l2.select((keys :+ "__slice").map(col): _*).distinct()
+    // running best over EARLIER slices: grid rows (tag 0) see only rMax
+    // rows (tag 1) with a strictly smaller slice
+    val u = rMax.withColumn("__tag", lit(1))
+      .unionByName(grid.withColumn("__tag", lit(0)), allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__slice").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = u.withColumn("__carry", max(col("__s")).over(w))
+      .filter(col("__tag") === 0 && col("__carry").isNotNull)
+    val injected = carried.select(
+      (keys.map(col) :+ col("__slice") :+
+        col("__carry.__sts").as(rightTs) :+
+        col("__carry.__stie").as("__tie")) ++
+        payload.map(p => col("__carry")(p).as(p)): _*)
+    val r2 = rTagged.select(injected.columns.map(col): _*)
+      .unionByName(injected)
+    asofJoin(l2, r2, keys :+ "__slice", leftTs, rightTs, payload,
+      col("__tie"), toleranceUs, prefix)
+      .drop("__slice")
+  }
+
   /** Interval containment join: left rows (point events at `leftTs`) against
     * right rows (intervals `[startCol, endCol)`, end exclusive) sharing
     * `keys`. Returns the matched pairs: all left columns plus the right's

@@ -97,6 +97,35 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(exchanges == 1, plan)
   }
 
+  test("asofJoinSplit == asofJoin on hot-keyed random data, with and without tolerance") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    // 80% of rows pile onto one hot key — the scenario the split exists for
+    def key() = if (rnd.nextInt(5) > 0) "hot" else s"k${rnd.nextInt(3)}"
+    val l = (0 until 600).map(i => (i.toLong, key(), rnd.nextInt(100000).toLong))
+      .toDF("id", "key", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu") * 1000000L)).drop("tsu")
+    val r = (0 until 200).map(i => (key(), rnd.nextInt(100000).toLong, i.toDouble, i.toLong))
+      .toDF("key", "tsu", "v", "tie")
+      .withColumn("ts", timestamp_micros(col("tsu") * 1000000L)).drop("tsu")
+    for (tol <- Seq(None, Some(20000L * 1000000L))) {
+      val plain = TemporalJoins.asofJoin(l, r, Seq("key"), "ts", "ts",
+        Seq("v"), col("tie"), tol)
+        .select("id", "asof_ts", "asof_v").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+      val split = TemporalJoins.asofJoinSplit(l, r, Seq("key"), "ts", "ts",
+        Seq("v"), col("tie"), tol, ranges = 8)
+        .select("id", "asof_ts", "asof_v").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2)))).toSet
+      assert(split == plain, s"tol=$tol")
+    }
+    // empty left stays schema-correct and empty
+    val empty = TemporalJoins.asofJoinSplit(l.filter(lit(false)), r,
+      Seq("key"), "ts", "ts", Seq("v"), col("tie"))
+    assert(empty.columns.contains("asof_v") && empty.count() == 0)
+  }
+
   test("intervalJoin: containment, boundaries, overlap, multi-bucket") {
     val s = spark
     import s.implicits._
