@@ -339,9 +339,13 @@ object Scratch {
       val right = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value"),
           col("event_id").as("pid"))
+      // count(matched col), NOT count(*): a bare count lets Catalyst prune
+      // the unused window column and the drill times a scan instead of the
+      // asof (caught when a "40M-row single-task window" ran in 0.5 s)
       time("asof_join")(TemporalJoins.asofJoin(left, right, Seq("user_id"),
         "ts", "ts", Seq("value", "pid"), tieBreak = col("pid"),
-        prefix = "last_purchase_").count())
+        prefix = "last_purchase_")
+        .agg(count(col("last_purchase_value"))).head.getLong(0))
       val win = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("incident_id"), col("user_id"),
           col("ts").as("s"), (col("ts") + expr("INTERVAL 1 HOUR")).as("e"))
@@ -356,6 +360,24 @@ object Scratch {
           docs.filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
           col("doc_id"), col("text"), col("doc_id"), col("text")).count())
+      // hot-key rung: ONE key — plain asof serializes its window into one
+      // task; the split form should approach ×min(ranges, cores)
+      val hotN = sys.env.getOrElse("SPARK_GRAFT_TEMPORAL_HOT", "4000000").toLong
+      if (hotN > 0) {
+        val t0 = 1700000000000000L
+        val hotL = spark.range(hotN).select(col("id"), lit("hot").as("key"),
+          timestamp_micros(col("id") * 1000L + t0).as("ts"))
+        val hotR = spark.range(hotN / 10).select(lit("hot").as("key"),
+          timestamp_micros(col("id") * 10000L + t0).as("ts"),
+          col("id").cast("double").as("v"), col("id").as("tie"))
+        time(s"asof_hotkey plain n=$hotN")(graft.operators.TemporalJoins
+          .asofJoin(hotL, hotR, Seq("key"), "ts", "ts", Seq("v"),
+            col("tie")).agg(count(col("asof_v"))).head.getLong(0))
+        time(s"asof_hotkey split=32 n=$hotN")(graft.operators.TemporalJoins
+          .asofJoinSplit(hotL, hotR, Seq("key"), "ts", "ts", Seq("v"),
+            col("tie"), ranges = 32)
+          .agg(count(col("asof_v"))).head.getLong(0))
+      }
       spark.stop()
       return
     }
