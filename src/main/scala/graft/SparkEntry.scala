@@ -1753,6 +1753,13 @@ object SparkEntry {
         n = 3, divisor = 16, minDocs = 2),
         "chunk_hash")
     }),
+    // ---- Gopher quality rule bundle (arXiv:2112.11446 §A1.1): measured
+    //      signals + failed-rule list + keep verdict, pure map-side ----
+    "q167_gopher_rules" -> ((s, dir) => {
+      graft.operators.CorpusQuality.gopherRules(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // ---- fuzzy decontamination: winnow-fingerprint overlap between the
     //      corpus and a held-out eval slice — catches paraphrased/partial
     //      benchmark leaks where q68's exact 5-gram probe needs verbatim
@@ -2870,6 +2877,45 @@ object SparkEntry {
         FROM w WHERE side = 1 ORDER BY event_id"""
 
   def oracleSql: Map[String, String] = Map(
+    "q167_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\s+') AS toks,
+             string_split(text, chr(10)) AS lines FROM documents),
+         m AS (SELECT doc_id,
+           len(toks)::BIGINT AS n_words,
+           round(length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))::DOUBLE
+             / len(toks), 6) AS mean_word_len,
+           round((length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE
+             / len(toks), 6) AS symbol_ratio,
+           round(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+                  OR starts_with(ltrim(l), '* ')
+                  OR starts_with(ltrim(l), '•')))::DOUBLE
+             / len(lines), 6) AS bullet_ratio,
+           round(len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::DOUBLE
+             / len(lines), 6) AS ellipsis_ratio,
+           round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+             / len(toks), 6) AS alpha_ratio,
+           len(list_intersect(list_distinct(toks),
+             ['the','and','of','to','in','is','it','a']))::BIGINT AS stopword_hits
+         FROM t)
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           ellipsis_ratio, alpha_ratio, stopword_hits,
+           list_filter([
+             CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'word_count' END,
+             CASE WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len' END,
+             CASE WHEN NOT (symbol_ratio < 0.1) THEN 'symbol_ratio' END,
+             CASE WHEN NOT (bullet_ratio < 0.9) THEN 'bullet_ratio' END,
+             CASE WHEN NOT (ellipsis_ratio < 0.3) THEN 'ellipsis_ratio' END,
+             CASE WHEN NOT (alpha_ratio > 0.8) THEN 'alpha_ratio' END,
+             CASE WHEN NOT (stopword_hits >= 2) THEN 'stopwords' END],
+             x -> x IS NOT NULL) AS fails,
+           ((n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND (symbol_ratio < 0.1) AND (bullet_ratio < 0.9)
+             AND (ellipsis_ratio < 0.3) AND (alpha_ratio > 0.8)
+             AND (stopword_hits >= 2)) AS keep
+         FROM m ORDER BY doc_id""",
     "q166_asof_split" -> (asofPurchaseCte + asofJoinOracleSql),
     "q165_fuzzy_decontamination" -> (winnowFpCte +
       """, ev AS (SELECT doc_id AS eval_id, fp FROM fp WHERE doc_id % 10 = 0),

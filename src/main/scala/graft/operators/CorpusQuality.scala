@@ -85,6 +85,66 @@ object CorpusQuality {
           .as("contamination"))
   }
 
+  /** Gopher-style quality rule bundle (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1 — the published heuristic gate most curation pipelines start
+    * from): per document, the measured signals, the list of FAILED rule
+    * names, and the overall keep verdict. Thresholds are the paper's: word
+    * count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    * ratio (`#`/`...`) < 0.1, bullet-started lines < 90%, ellipsis-ended
+    * lines < 30%, words-with-an-alphabetic-char > 80%, ≥ 2 distinct
+    * stopwords present.
+    *
+    * One tokenization and one line split per row (let-bound — interpreted
+    * HOFs re-evaluate referenced expressions per element otherwise); the
+    * per-token scans are HOF lambdas, acceptable here because this is a
+    * once-per-corpus gate, not a per-query hot path. Pure map-side
+    * projection: no shuffle at any scale.
+    */
+  def gopherRules(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    import graft.functions.TextFunctions.{let, tokens}
+    val stop = Seq("the", "and", "of", "to", "in", "is", "it", "a")
+    val out = df.select(idCol.as("doc_id"), textCol.as("_t"))
+      .select(col("doc_id"), let(tokens(col("_t"))) { toks =>
+        let(split(col("_t"), "\n")) { lines =>
+          val nW = size(toks).cast("long")
+          val meanLen = round(
+            length(regexp_replace(lower(trim(col("_t"))), "\\s+", ""))
+              .cast("double") / nW, 6)
+          val hashes = length(col("_t")) -
+            length(regexp_replace(col("_t"), "#", ""))
+          val ellipses = (length(col("_t")) -
+            length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / lit(3)
+          val symbolRatio = round((hashes + ellipses) / nW, 6)
+          val bulletRatio = round(size(filter(lines, l =>
+            ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
+              ltrim(l).startsWith("•"))).cast("double") / size(lines), 6)
+          val ellLineRatio = round(size(filter(lines, l =>
+            rtrim(l).endsWith("..."))).cast("double") / size(lines), 6)
+          val alphaRatio = round(size(filter(toks, t =>
+            t.rlike("[a-z]"))).cast("double") / nW, 6)
+          val stopHits = size(array_intersect(
+            array_distinct(toks), array(stop.map(lit): _*))).cast("long")
+          val checks = Seq[(String, Column)](
+            "word_count" -> nW.between(50, 100000),
+            "mean_word_len" -> meanLen.between(3.0, 10.0),
+            "symbol_ratio" -> (symbolRatio < 0.1),
+            "bullet_ratio" -> (bulletRatio < 0.9),
+            "ellipsis_ratio" -> (ellLineRatio < 0.3),
+            "alpha_ratio" -> (alphaRatio > 0.8),
+            "stopwords" -> (stopHits >= 2))
+          struct(
+            nW.as("n_words"), meanLen.as("mean_word_len"),
+            symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+            ellLineRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+            stopHits.as("stopword_hits"),
+            array_compact(array(checks.map { case (name, ok) =>
+              when(!ok, lit(name)) }: _*)).as("fails"),
+            checks.map(_._2).reduce(_ && _).as("keep"))
+        }
+      }.as("_g"))
+    out.select(col("doc_id"), col("_g.*"))
+  }
+
   /** Unigram-surprisal quality score: each document's mean per-token
     * `ln(total_tokens / token_count)` under the corpus's own unigram
     * distribution — low surprisal = repetitive/templated text, high =

@@ -970,6 +970,28 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(out(1L) == 0.0)
   }
 
+  test("gopher rules: clean doc keeps; bullet/symbol/short docs fail the named rules") {
+    val s = spark
+    import s.implicits._
+    val clean = Seq.fill(4)(
+      "the quick brown fox jumps over a lazy dog and runs to the hills in rain")
+      .mkString(" ") // 64 words, mean len ~3.9, no symbols, stopword-rich
+    val bullets = "- first item\n- second item\n- third item"
+    val hashy = Seq.fill(60)("tag #x").mkString(" ") // symbol per 2 words
+    val in = Seq((0L, clean), (1L, bullets), (2L, hashy), (3L, "hi there"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.CorpusQuality.gopherRules(
+      in, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](r.fieldIndex("fails")).toList,
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(0L) == ((Nil, true)), s"clean: ${out(0L)}")
+    assert(out(1L)._1.contains("bullet_ratio") && !out(1L)._2)
+    assert(out(2L)._1.contains("symbol_ratio") && !out(2L)._2)
+    assert(out(3L)._1.contains("word_count") &&
+      out(3L)._1.contains("stopwords") && !out(3L)._2)
+  }
+
   test("fuzzy decontamination: paraphrased leak found, clean doc silent, boilerplate capped") {
     val s = spark
     import s.implicits._
