@@ -136,6 +136,9 @@ object TemporalJoins {
       tieBreak: Column = lit(0L), toleranceUs: Option[Long] = None,
       prefix: String = "asof_", ranges: Int = 16): DataFrame = {
     require(ranges >= 1, s"ranges must be >= 1, got $ranges")
+    val reservedSplit = Seq("__slice", "__tie", "__s", "__tag", "__carry")
+    require(!(left.columns ++ right.columns).exists(reservedSplit.contains),
+      s"asofJoinSplit reserves the columns ${reservedSplit.mkString(", ")}")
     val bounds = left.agg(
       min(unix_micros(col(leftTs))), max(unix_micros(col(leftTs)))).head
     if (bounds.isNullAt(0)) // empty left: schema-correct empty result
@@ -195,6 +198,8 @@ object TemporalJoins {
       right: DataFrame, startCol: String, endCol: String,
       keys: Seq[String], bucketSec: Long = 0L): DataFrame = {
     require(keys.nonEmpty, "intervalJoin needs at least one key column")
+    require(!(left.columns ++ right.columns).contains("__b"),
+      "intervalJoin reserves the column __b")
     val iv = right.filter(col(endCol) > col(startCol))
     val bucketUs: Long =
       if (bucketSec > 0) bucketSec * 1000000L

@@ -283,23 +283,30 @@ object Streams {
         OutputMode.Append(), timeoutConf) {
         (key: String, batch: Iterator[AsofUnion], state: GroupState[AsofBufState]) => {
           val st = state.getOption.getOrElse(AsofBufState(Nil, Nil))
-          var snaps = st.snaps
-          var pending = st.pending
+          // buffers, not immutable :+ (appending N rows to a Seq is O(N²))
+          val newSnaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val newPend = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
           // a timeout invocation carries no batch rows — it's the FLUSH
           // path: resolve whatever the watermark has ripened, then expire
           if (!state.hasTimedOut) batch.foreach { r =>
             val us = r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L
-            if (r.side == 0) snaps :+= ((us, r.tie, r.value))
-            else pending :+= ((us, r.id))
+            if (r.side == 0) newSnaps += ((us, r.tie, r.value))
+            else newPend += ((us, r.id))
           }
-          val sortedSnaps = snaps.sortBy(s => (s._1, s._2))
+          val sortedSnaps = (st.snaps ++ newSnaps).sortBy(s => (s._1, s._2))
           val wUs = state.getCurrentWatermarkMs() * 1000L
           // ripe = at or before the watermark: every snapshot that could
           // precede such an event has arrived (later rows are dropped by
           // the watermark itself)
-          val (ripe, still) = pending.sortBy(identity).partition(_._1 <= wUs)
+          val (ripe, still) =
+            (st.pending ++ newPend).sortBy(identity).partition(_._1 <= wUs)
+          // two-pointer walk: ripe and snapshots are both time-sorted, so
+          // resolution is O(|ripe| + |snaps|), not a scan per event
+          val snapArr = sortedSnaps.toArray
+          var si = 0
           val out = ripe.map { case (ets, id) =>
-            val m = sortedSnaps.takeWhile(_._1 <= ets).lastOption
+            while (si < snapArr.length && snapArr(si)._1 <= ets) si += 1
+            val m = if (si == 0) None else Some(snapArr(si - 1))
             AsofEnriched(key, ets, id, m.map(_._1), m.map(_._3))
           }
           val keepFrom = sortedSnaps.lastIndexWhere(_._1 <= wUs)
