@@ -2885,35 +2885,41 @@ object SparkEntry {
            len(toks)::BIGINT AS n_words,
            round(length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))::DOUBLE
              / len(toks), 6) AS mean_word_len,
-           round((length(text) - length(replace(text, '#', ''))
-                  + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE
-             / len(toks), 6) AS symbol_ratio,
+           round((length(text) - length(replace(text, '#', '')))::DOUBLE
+             / len(toks), 6) AS hash_ratio,
+           round(((length(text) - length(replace(text, '...', ''))) // 3
+                  + (length(text) - length(replace(text, '…', ''))))::DOUBLE
+             / len(toks), 6) AS ellipsis_ratio,
            round(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
                   OR starts_with(ltrim(l), '* ')
                   OR starts_with(ltrim(l), '•')))::DOUBLE
-             / len(lines), 6) AS bullet_ratio,
-           round(len(list_filter(lines, l -> rtrim(l) LIKE '%...'))::DOUBLE
-             / len(lines), 6) AS ellipsis_ratio,
+             / len(lines), 6) AS bullet_line_ratio,
+           round(len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+                  OR rtrim(l) LIKE '%…'))::DOUBLE
+             / len(lines), 6) AS ellipsis_line_ratio,
            round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE
              / len(toks), 6) AS alpha_ratio,
            len(list_intersect(list_distinct(toks),
-             ['the','and','of','to','in','is','it','a']))::BIGINT AS stopword_hits
+             ['the','be','to','of','and','that','have','with']))::BIGINT
+             AS stopword_hits
          FROM t)
-         SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
-           ellipsis_ratio, alpha_ratio, stopword_hits,
-           list_filter([
+         SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+           bullet_line_ratio, ellipsis_line_ratio, alpha_ratio, stopword_hits,
+           array_to_string(list_filter([
              CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 'word_count' END,
              CASE WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len' END,
-             CASE WHEN NOT (symbol_ratio < 0.1) THEN 'symbol_ratio' END,
-             CASE WHEN NOT (bullet_ratio < 0.9) THEN 'bullet_ratio' END,
-             CASE WHEN NOT (ellipsis_ratio < 0.3) THEN 'ellipsis_ratio' END,
-             CASE WHEN NOT (alpha_ratio > 0.8) THEN 'alpha_ratio' END,
+             CASE WHEN NOT (hash_ratio <= 0.1) THEN 'hash_ratio' END,
+             CASE WHEN NOT (ellipsis_ratio <= 0.1) THEN 'ellipsis_ratio' END,
+             CASE WHEN NOT (bullet_line_ratio <= 0.9) THEN 'bullet_lines' END,
+             CASE WHEN NOT (ellipsis_line_ratio <= 0.3) THEN 'ellipsis_lines' END,
+             CASE WHEN NOT (alpha_ratio >= 0.8) THEN 'alpha_ratio' END,
              CASE WHEN NOT (stopword_hits >= 2) THEN 'stopwords' END],
-             x -> x IS NOT NULL) AS fails,
+             x -> x IS NOT NULL), ',') AS fails,
            ((n_words BETWEEN 50 AND 100000)
              AND (mean_word_len BETWEEN 3.0 AND 10.0)
-             AND (symbol_ratio < 0.1) AND (bullet_ratio < 0.9)
-             AND (ellipsis_ratio < 0.3) AND (alpha_ratio > 0.8)
+             AND (hash_ratio <= 0.1) AND (ellipsis_ratio <= 0.1)
+             AND (bullet_line_ratio <= 0.9) AND (ellipsis_line_ratio <= 0.3)
+             AND (alpha_ratio >= 0.8)
              AND (stopword_hits >= 2)) AS keep
          FROM m ORDER BY doc_id""",
     "q166_asof_split" -> (asofPurchaseCte + asofJoinOracleSql),

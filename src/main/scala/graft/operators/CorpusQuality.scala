@@ -85,14 +85,21 @@ object CorpusQuality {
           .as("contamination"))
   }
 
-  /** Gopher-style quality rule bundle (Rae et al. 2021, arXiv:2112.11446
-    * §A1.1 — the published heuristic gate most curation pipelines start
-    * from): per document, the measured signals, the list of FAILED rule
-    * names, and the overall keep verdict. Thresholds are the paper's: word
-    * count in [50, 100k], mean word length in [3, 10], symbol-to-word
-    * ratio (`#`/`...`) < 0.1, bullet-started lines < 90%, ellipsis-ended
-    * lines < 30%, words-with-an-alphabetic-char > 80%, ≥ 2 distinct
-    * stopwords present.
+  /** Gopher quality rule bundle (Rae et al. 2021, arXiv:2112.11446 §A1.1
+    * — the published heuristic gate most curation pipelines start from):
+    * per document, the measured signals, the comma-joined list of FAILED
+    * rule names, and the overall keep verdict. Rules are the paper's:
+    * word count in [50, 100k]; mean word length in [3, 10]; remove if the
+    * symbol-to-word ratio exceeds 0.1 for EITHER the hash symbol or the
+    * ellipsis (per-symbol tests, `...` and `…` both counted); remove if
+    * more than 90% of lines start with a bullet or more than 30% end with
+    * an ellipsis; require ≥80% of words to contain an alphabetic
+    * character; require at least two of the paper's stop words
+    * {the, be, to, of, and, that, have, with}.
+    *
+    * `fails` is emitted as a comma-joined STRING, not an array — the
+    * result is a correctness-gate surface and array cells don't survive
+    * a generic sort/hash compare.
     *
     * One tokenization and one line split per row (let-bound — interpreted
     * HOFs re-evaluate referenced expressions per element otherwise); the
@@ -102,7 +109,7 @@ object CorpusQuality {
     */
   def gopherRules(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     import graft.functions.TextFunctions.{let, tokens}
-    val stop = Seq("the", "and", "of", "to", "in", "is", "it", "a")
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val out = df.select(idCol.as("doc_id"), textCol.as("_t"))
       .select(col("doc_id"), let(tokens(col("_t"))) { toks =>
         let(split(col("_t"), "\n")) { lines =>
@@ -113,13 +120,16 @@ object CorpusQuality {
           val hashes = length(col("_t")) -
             length(regexp_replace(col("_t"), "#", ""))
           val ellipses = (length(col("_t")) -
-            length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / lit(3)
-          val symbolRatio = round((hashes + ellipses) / nW, 6)
+            length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / lit(3) +
+            (length(col("_t")) - length(regexp_replace(col("_t"), "…", "")))
+          val hashRatio = round(hashes.cast("double") / nW, 6)
+          val ellipsisRatio = round(ellipses.cast("double") / nW, 6)
           val bulletRatio = round(size(filter(lines, l =>
             ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ") ||
               ltrim(l).startsWith("•"))).cast("double") / size(lines), 6)
           val ellLineRatio = round(size(filter(lines, l =>
-            rtrim(l).endsWith("..."))).cast("double") / size(lines), 6)
+            rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+            .cast("double") / size(lines), 6)
           val alphaRatio = round(size(filter(toks, t =>
             t.rlike("[a-z]"))).cast("double") / nW, 6)
           val stopHits = size(array_intersect(
@@ -127,18 +137,20 @@ object CorpusQuality {
           val checks = Seq[(String, Column)](
             "word_count" -> nW.between(50, 100000),
             "mean_word_len" -> meanLen.between(3.0, 10.0),
-            "symbol_ratio" -> (symbolRatio < 0.1),
-            "bullet_ratio" -> (bulletRatio < 0.9),
-            "ellipsis_ratio" -> (ellLineRatio < 0.3),
-            "alpha_ratio" -> (alphaRatio > 0.8),
+            "hash_ratio" -> (hashRatio <= 0.1),
+            "ellipsis_ratio" -> (ellipsisRatio <= 0.1),
+            "bullet_lines" -> (bulletRatio <= 0.9),
+            "ellipsis_lines" -> (ellLineRatio <= 0.3),
+            "alpha_ratio" -> (alphaRatio >= 0.8),
             "stopwords" -> (stopHits >= 2))
           struct(
             nW.as("n_words"), meanLen.as("mean_word_len"),
-            symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
-            ellLineRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
-            stopHits.as("stopword_hits"),
-            array_compact(array(checks.map { case (name, ok) =>
-              when(!ok, lit(name)) }: _*)).as("fails"),
+            hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+            bulletRatio.as("bullet_line_ratio"),
+            ellLineRatio.as("ellipsis_line_ratio"),
+            alphaRatio.as("alpha_ratio"), stopHits.as("stopword_hits"),
+            concat_ws(",", array_compact(array(checks.map { case (name, ok) =>
+              when(!ok, lit(name)) }: _*))).as("fails"),
             checks.map(_._2).reduce(_ && _).as("keep"))
         }
       }.as("_g"))

@@ -978,18 +978,23 @@ class TrainingDataOpsSpec extends SparkSpec {
       .mkString(" ") // 64 words, mean len ~3.9, no symbols, stopword-rich
     val bullets = "- first item\n- second item\n- third item"
     val hashy = Seq.fill(60)("tag #x").mkString(" ") // symbol per 2 words
-    val in = Seq((0L, clean), (1L, bullets), (2L, hashy), (3L, "hi there"))
-      .toDF("doc_id", "text")
+    val dotty = Seq.fill(40)("so… then").mkString(" ") // unicode ellipsis per 2 words
+    val in = Seq((0L, clean), (1L, bullets), (2L, hashy), (3L, "hi there"),
+      (4L, dotty)).toDF("doc_id", "text")
     val out = graft.operators.CorpusQuality.gopherRules(
       in, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) ->
-        ((r.getSeq[String](r.fieldIndex("fails")).toList,
+        ((r.getAs[String]("fails").split(",").filter(_.nonEmpty).toList,
           r.getAs[Boolean]("keep")))).toMap
     assert(out(0L) == ((Nil, true)), s"clean: ${out(0L)}")
-    assert(out(1L)._1.contains("bullet_ratio") && !out(1L)._2)
-    assert(out(2L)._1.contains("symbol_ratio") && !out(2L)._2)
+    assert(out(1L)._1.contains("bullet_lines") && !out(1L)._2)
+    assert(out(2L)._1.contains("hash_ratio") && !out(2L)._2)
     assert(out(3L)._1.contains("word_count") &&
       out(3L)._1.contains("stopwords") && !out(3L)._2)
+    // the paper's symbol test is PER symbol: '…' alone trips ellipsis_ratio
+    // (0.5/word) without touching hash_ratio
+    assert(out(4L)._1.contains("ellipsis_ratio") &&
+      !out(4L)._1.contains("hash_ratio") && !out(4L)._2, s"dotty: ${out(4L)}")
   }
 
   test("fuzzy decontamination: paraphrased leak found, clean doc silent, boilerplate capped") {
