@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   * compaction and NOT yet live — (b) a set of `dead` files — superseded
   * by a committed compaction, awaiting garbage collection — and (c)
   * `pending_batch` streaming batch ids — `part-b<id>-*` files mid-
-  * [[appendBatch]], staged but not yet flipped live. Live set = directory
-  * parquets − dead − pending-token files − pending-batch files. Plain
+  * [[appendBatch]], staged but not yet committed (an id whose store-level
+  * `_commits/b<id>` marker exists is committed; the entry is then inert
+  * cleanup debt). Live set = directory
+  * parquets − dead − pending-token files − uncommitted-batch files. Plain
   * appends write fresh uniquely-named files that are neither dead nor
   * pending, so they are live the moment they land, manifest or not.
   *
@@ -86,26 +88,33 @@ object LogStore {
     *     id pending (`part-b<batchId>-*` names become invisible to readers
     *     from this instant), leftover `part-b<batchId>-*` files from an
     *     interrupted previous move of THIS batch are deleted (marker absent
-    *     ⇒ not committed ⇒ they are garbage), the staged files move in
+    *     ⇒ not committed ⇒ they are garbage), and the staged files move in
     *     under deterministic `part-b<batchId>-<n>.parquet` names — still
-    *     invisible — then one atomic manifest rename clears the pending id
-    *     (the partition's COMMIT: the whole batch flips live at once).
-    *  1. the marker is written (the batch-wide commit), the stage dir
-    *     dropped.
+    *     invisible, because the pending entry stays in place.
+    *  1. COMMIT: the `_commits/b<batchId>` marker is written. This single
+    *     create is the batch-wide commit point — resolution treats a
+    *     pending batch id whose marker exists as committed, so every
+    *     touched partition flips live at this one instant.
+    *  1. cleanup (not commit): the pending entries are cleared and the
+    *     stage dir dropped. A crash here changes nothing observable —
+    *     [[recoverAndGc]] also clears pending entries whose marker exists.
     *
     * A kill at any point leaves either a committed batch (marker present,
-    * all files in place) or an uncommitted one whose files are EITHER still
-    * guarded by a pending-batch manifest entry (invisible — and [[compact]]
-    * will neither fold them in nor mark them dead) or already flipped live
-    * in their partition; the replay re-declares, sweeps, and re-moves, so
-    * the store converges to exactly-once per batch. No reader ever observes
-    * a PREFIX of a batch within a partition — each partition flips
-    * atomically from pre-batch to post-batch (a replay after a partition
-    * already flipped may transiently flip it back to pre-batch and forward
-    * again; both observable states are consistent). Cross-partition, the
-    * flips are independent — the same per-partition atomicity contract
-    * [[compact]] has. One writer stream per store: batch ids come from the
-    * stream's own checkpoint sequence.
+    * all files in place — the marker is written only after every partition's
+    * move-in completed) or an uncommitted one whose files are ALL still
+    * guarded by pending-batch manifest entries: invisible to readers, and
+    * [[compact]] neither folds them in nor marks them dead (it resolves
+    * through the same marker-aware filter). There is no window in which an
+    * uncommitted batch's files are live — the exactly-once hole where a
+    * partition flipped before the marker existed, a compact folded those
+    * rows in, and the replay landed them again, is structurally gone. The
+    * replay (marker absent) re-declares, sweeps, and re-moves, so the store
+    * converges to exactly-once per batch. No reader ever observes a PREFIX
+    * of a batch: visibility flips at the marker create, after all move-ins
+    * (readers stat the marker BEFORE listing a partition, so a marker that
+    * appears mid-listing cannot expose a partial move-in). One writer
+    * stream per store: batch ids come from the stream's own checkpoint
+    * sequence.
     */
   def appendBatch(df: DataFrame, dir: String, tsCol: Column, batchId: Long,
       maxRecordsPerFile: Long = 5000000L): Unit = {
@@ -124,7 +133,7 @@ object LogStore {
       c <- ls(d)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("source_category="))
     } yield c
-    stagedParts.foreach { sp =>
+    val targets = stagedParts.map { sp =>
       val target = root.resolve(stage.relativize(sp))
       Files.createDirectories(target)
       // declare: from here every part-b<id>- file in this partition is
@@ -139,12 +148,20 @@ object LogStore {
           Files.move(p, target.resolve(f"part-b$batchId-$i%05d.parquet"),
             StandardCopyOption.ATOMIC_MOVE)
       }
-      // partition COMMIT — one atomic rename flips the whole batch live
+      target
+    }
+    // COMMIT — the one marker create flips the batch live everywhere; the
+    // pending entries are still in place, so until this instant nothing of
+    // the batch is visible, and a crash anywhere above leaves only guarded
+    // (invisible, compact-proof) files for the replay to sweep
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, Array.emptyByteArray)
+    // cleanup, not commit: entries for a marker-present batch are inert
+    // (resolution treats them as committed), so a crash mid-loop is harmless
+    targets.foreach { target =>
       mutateManifest(target)(m =>
         m.copy(pendingBatches = m.pendingBatches - batchId))
     }
-    Files.createDirectories(marker.getParent)
-    Files.write(marker, Array.emptyByteArray)
     rmTree(stage)
   }
 
@@ -374,16 +391,26 @@ object LogStore {
     lock.synchronized { writeManifest(part, f(readManifest(part))) }
   }
 
+  /** Does the store-level commit marker for streaming batch `id` exist?
+    * The partition path is always `<root>/ingest_date=…/source_category=…`
+    * by construction, so the store root is two levels up.
+    */
+  private def batchCommitted(part: Path, id: Long): Boolean =
+    Files.exists(part.getParent.getParent.resolve("_commits").resolve(s"b$id"))
+
   /** Idempotent recovery + garbage collection. An uncommitted pending
     * token's staged files are garbage (the commit rename never happened, so
     * the old files are authoritative) — delete them, clear the marker. Dead
     * entries older than the grace period are deleted files-first (a kill
     * between file deletes and the manifest rewrite just re-runs harmlessly:
-    * `deleteIfExists`). `pending_batch` entries are left strictly alone:
-    * only the owning stream can tell an in-flight batch from a crashed one,
-    * and its replay (same batch id) is the recovery path — maintenance
-    * deleting those files would race a move-in that is legitimately still
-    * running.
+    * `deleteIfExists`). `pending_batch` entries whose commit marker EXISTS
+    * are leftover cleanup from a writer that crashed between the marker
+    * write and the clear loop — inert (resolution already treats them as
+    * committed), dropped here. Marker-absent entries are left strictly
+    * alone: only the owning stream can tell an in-flight batch from a
+    * crashed one, and its replay (same batch id) is the recovery path —
+    * maintenance deleting those files would race a move-in that is
+    * legitimately still running.
     */
   private def recoverAndGc(part: Path, deadFileGraceMs: Long): Unit = {
     val m = readManifest(part)
@@ -399,7 +426,8 @@ object LogStore {
       Files.deleteIfExists(part.resolve(name))
     }
     mutateManifest(part)(cur =>
-      cur.copy(pending = None, dead = kept))
+      cur.copy(pending = None, dead = kept,
+        pendingBatches = cur.pendingBatches.filterNot(batchCommitted(part, _))))
   }
 
   // ----------------------------------------------------------------- listing
@@ -429,15 +457,24 @@ object LogStore {
 
   /** The files of one partition a reader may see: directory parquets minus
     * manifest-dead minus pending-staged (compact token AND streaming batch
-    * ids mid-append).
+    * ids that are pending AND not yet marker-committed).
     *
     * The manifest is read before AND after the directory listing and the
     * listing only counts when both reads agree (generation check): every
-    * state transition — pending declare, batch declare/commit, compact
+    * state transition — pending declare, batch declare/cleanup, compact
     * commit, GC — rewrites the manifest, so a stable manifest proves the
     * listing is consistent with it. Without this, a listing taken before a
     * compact's staging paired with a manifest read after its commit would
     * resolve an empty (or doubled) set.
+    *
+    * A pending batch id resolves through its store-level `_commits` marker:
+    * marker present ⇒ committed (files live, the entry is leftover
+    * cleanup), absent ⇒ in-flight/crashed (files invisible). The marker is
+    * statted BEFORE the directory listing — a marker observed present then
+    * preceded the listing, which therefore saw every moved-in file (moves
+    * complete before the marker is written); a marker that appears only
+    * mid-listing is deliberately ignored this attempt, yielding the
+    * consistent pre-batch snapshot rather than a possible prefix.
     *
     * Exhaustion is LOUD: if the manifest keeps changing across every
     * attempt (pathological churn — compaction every <10 ms, sustained),
@@ -450,6 +487,7 @@ object LogStore {
     var attempt = 0
     while (true) {
       val m1 = readManifest(part)
+      val uncommitted = m1.pendingBatches.filterNot(batchCommitted(part, _))
       val listed = parquets(part)
       betweenGenerationReads()
       val m2 = readManifest(part)
@@ -459,7 +497,7 @@ object LogStore {
           val name = p.getFileName.toString
           !deadNames.contains(name) &&
             !m2.pending.exists(t => name.startsWith(s"part-compact-$t-")) &&
-            !m2.pendingBatches.exists(b => name.startsWith(s"part-b$b-"))
+            !uncommitted.exists(b => name.startsWith(s"part-b$b-"))
         }
       }
       attempt += 1

@@ -111,6 +111,13 @@ class LogStoreSpec extends SparkSpec {
       .sorted.toSeq
   }
 
+  private def parquetNames(part: java.nio.file.Path): Seq[String] = {
+    val ls = Files.list(part)
+    try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toList
+    finally ls.close()
+  }
+
   test("compact killed before commit: staged files invisible, next run heals") {
     val dir = Files.createTempDirectory("logstore-crash").toString
     fourBatches(dir)
@@ -412,6 +419,82 @@ class LogStoreSpec extends SparkSpec {
     val after = messages(dir)
     assert(after.length == 80 && after.distinct.length == 80)
     // and the replayed batch survives a full maintenance pass
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L, deadFileGraceMs = 0L)
+    assert(messages(dir).length == 80)
+  }
+
+  test("writer crashed between marker write and cleanup: rows visible once, compact+replay exact") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-postmarker").toString
+    def batch(b: Int) =
+      (0 until 40).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 60}%02d"),
+          "cat-0", s"""{"b":$b,"i":$i}"""))
+        .toDF("ts", "source_category", "message")
+    LogStore.appendBatch(batch(0), dir, col("ts"), 0L)
+    LogStore.appendBatch(batch(9), dir, col("ts"), 9L)
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    // crash sim: the writer died AFTER the _commits/b9 marker (the commit)
+    // but BEFORE the cleanup loop cleared the pending entry — re-add it
+    Files.write(part.resolve("_manifest"), "pending_batch=9".getBytes("UTF-8"))
+    // marker present ⇒ the entry is inert: rows are live, exactly once
+    val expect = messages(dir)
+    assert(expect.length == 80 && expect.distinct.length == 80)
+    // checkpoint replay short-circuits on the marker — no duplicates
+    LogStore.appendBatch(batch(9), dir, col("ts"), 9L)
+    assert(messages(dir) == expect)
+    // compact folds the committed rows in exactly once (marker-aware
+    // resolution includes them despite the stale pending entry)...
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L, deadFileGraceMs = 0L)
+    assert(messages(dir).toSet == expect.toSet)
+    // ...and the maintenance preamble dropped the inert entry
+    val m = if (Files.exists(part.resolve("_manifest")))
+      Files.readString(part.resolve("_manifest")) else ""
+    assert(!m.contains("pending_batch=9"), s"stale entry survived: $m")
+    // replay after the entry is gone is still a no-op
+    LogStore.appendBatch(batch(9), dir, col("ts"), 9L)
+    assert(messages(dir).toSet == expect.toSet)
+  }
+
+  test("writer crashed after full move-in, before marker: batch invisible, compact-proof, replays once") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-premarker").toString
+    def batch(b: Int) =
+      (0 until 40).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 60}%02d"),
+          "cat-0", s"""{"b":$b,"i":$i}"""))
+        .toDF("ts", "source_category", "message")
+    // build the exact pre-fix exactly-once hole: batch 9 COMPLETED its
+    // per-partition move-in (all files in place) but the marker was never
+    // written — under the old per-partition commit these files were live
+    // and unguarded, a compact folded them in, and the replay landed them
+    // again. Construct it by committing batch 9 then deleting the marker
+    // and restoring the pending entry (the post-fix on-disk state).
+    LogStore.appendBatch(batch(0), dir, col("ts"), 0L)
+    LogStore.appendBatch(batch(9), dir, col("ts"), 9L)
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    Files.delete(java.nio.file.Paths.get(dir, "_commits", "b9"))
+    Files.write(part.resolve("_manifest"), "pending_batch=9".getBytes("UTF-8"))
+    // no marker ⇒ the fully-moved-in batch is INVISIBLE...
+    val expect = messages(dir)
+    assert(expect.length == 40, s"uncommitted batch leaked: ${expect.length}")
+    // ...and compact neither folds it in nor marks it dead
+    LogStore.compact(spark, dir, "2024-03-01", "cat-0",
+      targetRecordsPerFile = 1000L, deadFileGraceMs = 0L)
+    assert(messages(dir).length == 40)
+    assert(parquetNames(part).exists(_.startsWith("part-b9-")),
+      "compact destroyed an in-flight batch's staged files")
+    // the stream restarts and replays batch 9: exactly-once, then stable
+    // across a full maintenance pass
+    LogStore.appendBatch(batch(9), dir, col("ts"), 9L)
+    val after = messages(dir)
+    assert(after.length == 80 && after.distinct.length == 80)
     LogStore.compact(spark, dir, "2024-03-01", "cat-0",
       targetRecordsPerFile = 1000L, deadFileGraceMs = 0L)
     assert(messages(dir).length == 80)
