@@ -127,7 +127,13 @@ object VecImpl {
     * driver-side with the same accumulation order as the oracle.
     */
   def pqAdc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
-    val m = math.min(codes.numElements(), lut.length)
+    // a codes/LUT length mismatch (wrong m, stale index) must fail loudly —
+    // scoring a prefix would return a silently-partial distance
+    if (codes.numElements() != lut.length)
+      throw new IllegalArgumentException(
+        s"pqAdc: codes has ${codes.numElements()} subspaces but the LUT " +
+          s"has ${lut.length} — m mismatch (stale index or wrong codebook)")
+    val m = lut.length
     var s = 0
     var acc = 0.0
     while (s < m) {

@@ -698,6 +698,11 @@ object Similarity {
       .orderBy(col("_h"), col("_id"))
       .limit(ncodes)
     var cb = pqCodebook(seedRows, col("_id"), col("_vec"), m)
+    // a corpus smaller than ncodes seeds an under-full codebook and the
+    // update loop below would index past cb(s) — fail loudly instead
+    require(cb(0).length == ncodes,
+      s"pqTrainCodebook needs >= ncodes=$ncodes corpus rows to seed the " +
+        s"codebook; got ${cb(0).length}")
     val dsub = cb(0)(0).length
     for (_ <- 1 to iters) {
       val encoded = df.select(vecCol.as("_vec"))

@@ -72,7 +72,9 @@ object TemporalJoins {
       tieBreak: Column = lit(0L), toleranceUs: Option[Long] = None,
       prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
-    val reserved = Seq("__ts", "__side", "__tie", "__p")
+    // __m included: a left frame carrying __m would be silently replaced by
+    // the internal match struct below, not passed through
+    val reserved = Seq("__ts", "__side", "__tie", "__p", "__m")
     require(!left.columns.exists(reserved.contains),
       s"left side may not carry the reserved columns ${reserved.mkString(", ")}")
 

@@ -53,6 +53,17 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(byId(7L) == (None, None))                              // no key
   }
 
+  test("asofJoin rejects a left frame carrying any reserved column, __m included") {
+    // __m is the internal match struct: without the guard a caller's __m
+    // column would be silently replaced, not passed through
+    val poisoned = leftDf.withColumn("__m", lit("mine"))
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(poisoned, rightDf, Seq("key"),
+        "ts", "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("__m") || e.getMessage.contains("reserved"))
+  }
+
   test("asofJoin: tolerance nulls stale matches only") {
     val out = TemporalJoins.asofJoin(leftDf, rightDf, Seq("key"),
       "ts", "ts", Seq("v"), tieBreak = col("tie"),

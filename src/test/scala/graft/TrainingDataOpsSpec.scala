@@ -486,6 +486,31 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"trained=${reconErr(trained)} seeded=${reconErr(seeded)}")
   }
 
+  test("pq guards: undersized training corpus and codes/LUT m-mismatch fail loudly") {
+    val s = spark
+    import s.implicits._
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    // 10 rows cannot seed 16 codewords — must raise, not AIOOBE later
+    val tiny = emb.limit(10)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrainCodebook(tiny, col("vec_id"), col("embedding"),
+        m = 8, ncodes = 16, iters = 1)
+    }
+    assert(e.getMessage.contains("ncodes"))
+    // ADC with a LUT built for a different m must throw, not score a prefix
+    val lut = Array.fill(4)(Array.fill(16)(0.5))
+    val codes8 = Seq((0L, Seq.fill(8)(0))).toDF("vec_id", "codes")
+    val adc = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdc(
+      org.apache.spark.sql.GraftGlue.expression(col("codes")), lut))
+    val err = intercept[Exception] {
+      codes8.select(adc.as("score")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("subspaces"), s"unexpected failure: $chain")
+  }
+
   test("repetition stats: dup ratios and mean token length on known docs") {
     val s = spark
     import s.implicits._
