@@ -1760,6 +1760,17 @@ object SparkEntry {
         tbl(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // ---- exact heavy hitters, sketch-then-verify: Misra-Gries candidate
+    //      summary (bounded partials, kilobyte merge tree), broadcast
+    //      recount — exact term set with freq > N/cap, no full-key shuffle ----
+    "q168_heavy_hitters" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      graft.operators.HeavyHitters.heavyHitters(toks, col("tok"),
+          capacity = 512)
+        .orderBy(col("cnt").desc, col("key"))
+    }),
     // ---- fuzzy decontamination: winnow-fingerprint overlap between the
     //      corpus and a held-out eval slice — catches paraphrased/partial
     //      benchmark leaks where q68's exact 5-gram probe needs verbatim
@@ -2922,6 +2933,13 @@ object SparkEntry {
              AND (alpha_ratio >= 0.8)
              AND (stopword_hits >= 2)) AS keep
          FROM m ORDER BY doc_id""",
+    "q168_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)),
+             '\s+')) AS key FROM documents),
+         tot AS (SELECT count(*)::BIGINT AS n FROM t)
+         SELECT key, count(*)::BIGINT AS cnt FROM t, tot
+         GROUP BY key, n HAVING count(*) * 512 > n
+         ORDER BY cnt DESC, key""",
     "q166_asof_split" -> (asofPurchaseCte + asofJoinOracleSql),
     "q165_fuzzy_decontamination" -> (winnowFpCte +
       """, ev AS (SELECT doc_id AS eval_id, fp FROM fp WHERE doc_id % 10 = 0),

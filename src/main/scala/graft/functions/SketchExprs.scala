@@ -1,0 +1,122 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries frequent-items summary as a native aggregate (the mergeable
+  * variant of Agarwal et al., "Mergeable Summaries", PODS 2012): a bounded
+  * map of candidate keys whose stored counts undercount true frequency by
+  * at most `N / capacity`, so every key with true frequency above that
+  * threshold is guaranteed present. The summary is a CANDIDATE GENERATOR —
+  * stored counts are lower-ish estimates and the key set depends on
+  * partition/merge order — so callers recount candidates exactly in a
+  * second pass ([[graft.operators.HeavyHitters.heavyHitters]]) and the
+  * final output is deterministic.
+  *
+  * Why this beats a full `groupBy(key).count()` at 100 TB: the exact
+  * rollup shuffles one record per DISTINCT key (billions for token
+  * streams); this aggregate's partials are ≤ `2·capacity` entries per
+  * partition regardless of input size, the merge tree moves kilobytes, and
+  * the only shuffle-scale work left is the verification pass over a
+  * broadcast candidate set.
+  *
+  * Update/merge cost is O(1) amortized: the map may grow to `2·capacity`,
+  * then one compress subtracts the capacity-th largest count from every
+  * entry and drops the non-positive ones (≥ capacity entries absorb that
+  * subtraction, which is what bounds the total undercount by N/capacity).
+  */
+case class MisraGries(child: Expression, capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // copy out of the (reused) unsafe buffer before keying the map
+      val k = v.asInstanceOf[UTF8String].toString
+      buf.update(k, buf.getOrElse(k, 0L) + 1L)
+      compress(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (k, c) => buf.update(k, buf.getOrElse(k, 0L) + c) }
+    compress(buf)
+    buf
+  }
+
+  private def compress(buf: mutable.HashMap[String, Long]): Unit = {
+    if (buf.size > 2 * capacity) {
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val s = counts(counts.length - capacity) // capacity-th largest
+      val dead = buf.iterator.collect { case (k, c) if c <= s => k }.toList
+      dead.foreach(buf.remove)
+      buf.mapValuesInPlace((_, c) => c - s)
+    }
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val entries = buf.toArray.sortBy(_._1)
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(e => UTF8String.fromString(e._1))),
+      new GenericArrayData(entries.map(_._2)))
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) =>
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(b: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(b))
+    val n = in.readInt()
+    val m = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      m.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MisraGries =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGries =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): MisraGries =
+    copy(child = newChild)
+}

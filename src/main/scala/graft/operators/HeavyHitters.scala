@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters over unbounded key streams via the two-pass
+  * sketch-then-verify pattern (Misra–Gries candidates, exact recount) —
+  * the frequency cousin of the dedup family's candidate-generation +
+  * verification shape, and the standard way to get exact top terms out of
+  * a 100 TB token stream without shuffling one record per distinct key.
+  *
+  * Pass 1 collapses the stream into ONE [[graft.functions.MisraGries]]
+  * summary (≤ 2·capacity entries; partials merge associatively, so the
+  * map-side tree does almost all the work and the driver receives
+  * kilobytes). The summary guarantees every key with true frequency
+  * `> N / capacity` is present, though its stored counts are
+  * order-dependent undercounts. Pass 2 recounts ONLY the candidate keys —
+  * a broadcast semi-join, so the big side never shuffles — and keeps those
+  * strictly above the threshold. The result is therefore EXACT and
+  * deterministic: the set of keys with frequency > N/capacity and their
+  * true counts, independent of partitioning or merge order.
+  */
+object HeavyHitters {
+
+  /** All keys of `keyCol` with exact frequency > N/capacity (N = number of
+    * non-null rows), as `(key, cnt)`. Two passes over `df`; the driver
+    * holds ≤ 2·capacity candidate strings between them.
+    */
+  def heavyHitters(df: DataFrame, keyCol: Column, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.select(keyCol.cast("string").as("key"))
+    val mg = org.apache.spark.sql.GraftGlue.column(
+      graft.functions.MisraGries(
+        org.apache.spark.sql.GraftGlue.expression(col("key")), capacity)
+        .toAggregateExpression())
+    val row = keyed.agg(mg.as("mg"), count(col("key")).as("n")).head()
+    val candidates = row.getMap[String, Long](0).keys.toSeq.sorted
+    val n = row.getLong(1)
+    if (candidates.isEmpty) {
+      return spark.emptyDataFrame
+        .withColumn("key", lit("").cast("string"))
+        .withColumn("cnt", lit(0L))
+        .limit(0)
+    }
+    import spark.implicits._
+    val candDf = candidates.toDF("key")
+    // exact verification: the stream filters against the broadcast
+    // candidate set (no shuffle of non-candidates), then one small groupBy
+    keyed.join(broadcast(candDf), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      // the sketch guarantee covers strictly-greater-than-threshold keys;
+      // integer cross-multiply keeps the test exact in both engines
+      .filter(col("cnt") * capacity > n)
+  }
+}

@@ -511,6 +511,32 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(chain.contains("subspaces"), s"unexpected failure: $chain")
   }
 
+  test("heavy hitters: exact above-threshold set, stable across partitionings, empty when none") {
+    val s = spark
+    import s.implicits._
+    // zipf-ish synthetic stream: key k appears 1000/k times, k in 1..200
+    val rows = (1 to 200).flatMap(k => Seq.fill(1000 / k)(s"k$k"))
+    val n = rows.length
+    val cap = 64
+    def brute = rows.groupBy(identity).view
+      .mapValues(_.length.toLong).filter(_._2 * cap > n).toMap
+    // the sketch's candidate set is order-dependent; the OUTPUT must not be
+    val outs = Seq(2, 7, 32).map { parts =>
+      graft.operators.HeavyHitters.heavyHitters(
+        scala.util.Random.shuffle(rows).toDF("key").repartition(parts),
+        col("key"), cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    outs.foreach(o => assert(o == brute, s"mismatch: $o vs $brute"))
+    // a uniform stream with every count below the threshold yields nothing
+    val flat = (1 to 500).map(k => s"u$k").toDF("key")
+    assert(graft.operators.HeavyHitters.heavyHitters(flat, col("key"), 64)
+      .count() == 0L)
+    // empty input: empty result, not a crash
+    assert(graft.operators.HeavyHitters.heavyHitters(
+      flat.limit(0), col("key"), 64).count() == 0L)
+  }
+
   test("repetition stats: dup ratios and mean token length on known docs") {
     val s = spark
     import s.implicits._
