@@ -1760,6 +1760,13 @@ object SparkEntry {
         tbl(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // ---- C4 cleanup (arXiv:1910.10683 §2.2): line-level terminal-punct /
+    //      min-words / javascript filters + document-level drop rules ----
+    "q169_c4_clean" -> ((s, dir) => {
+      graft.operators.CorpusQuality.c4Clean(
+        tbl(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
     // ---- exact heavy hitters, sketch-then-verify: Misra-Gries candidate
     //      summary (bounded partials, kilobyte merge tree), broadcast
     //      recount — exact term set with freq > N/cap, no full-key shuffle ----
@@ -2933,6 +2940,28 @@ object SparkEntry {
              AND (alpha_ratio >= 0.8)
              AND (stopword_hits >= 2)) AS keep
          FROM m ORDER BY doc_id""",
+    "q169_c4_clean" ->
+      """WITH t AS (SELECT doc_id, text,
+             string_split(text, chr(10)) AS lines FROM documents),
+         k AS (SELECT doc_id, text, len(lines)::BIGINT AS n_lines,
+             list_filter(lines, l ->
+               (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                 OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+               AND len(string_split_regex(trim(l), '\s+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM t),
+         c AS (SELECT doc_id, text, n_lines,
+             len(kept)::BIGINT AS kept_lines,
+             coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text
+           FROM k)
+         SELECT doc_id, n_lines, kept_lines, cleaned_text,
+           (length(cleaned_text)
+             - length(translate(cleaned_text, '.!?', '')))::BIGINT
+             AS n_sentences,
+           (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+             AND (length(cleaned_text)
+               - length(translate(cleaned_text, '.!?', ''))) >= 3) AS keep
+         FROM c ORDER BY doc_id""",
     "q168_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(lower(trim(text)),
              '\s+')) AS key FROM documents),

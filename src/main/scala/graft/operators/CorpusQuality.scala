@@ -157,6 +157,51 @@ object CorpusQuality {
     out.select(col("doc_id"), col("_g.*"))
   }
 
+  /** C4-style line/document cleanup (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the other canonical published curation gate next to
+    * [[gopherRules]]): per document, keep only lines that end in a terminal
+    * punctuation mark (`.`, `!`, `?`, `"`), contain at least
+    * `minWordsPerLine` words, and do not mention "javascript"
+    * (case-insensitive); then drop the whole document when the raw text
+    * contains `{` (the paper's code heuristic) or the phrase "lorem ipsum",
+    * or when the cleaned text has fewer than `minSentences` sentences
+    * (terminal-punctuation count). The paper's bad-word-list rule is the
+    * caller's `badWords` parameter (whole-document substring match,
+    * lowercase), empty by default — the published list is not bundled.
+    *
+    * Returns `(doc_id, n_lines, kept_lines, cleaned_text, n_sentences,
+    * keep)` so the caller can both filter (`keep`) and audit how much each
+    * rule removed. Pure map-side projection: one line split per row, no
+    * shuffle at any scale.
+    */
+  def c4Clean(df: DataFrame, idCol: Column, textCol: Column,
+      minWordsPerLine: Int = 5, minSentences: Int = 3,
+      badWords: Seq[String] = Nil): DataFrame = {
+    import graft.functions.TextFunctions.let
+    df.select(idCol.as("doc_id"), textCol.as("_t"))
+      .select(col("doc_id"), col("_t"), let(filter(split(col("_t"), "\n"), l =>
+        (rtrim(l).endsWith(".") || rtrim(l).endsWith("!") ||
+          rtrim(l).endsWith("?") || rtrim(l).endsWith("\"")) &&
+          (size(split(trim(l), "\\s+")) >= minWordsPerLine) &&
+          !lower(l).contains("javascript"))) { kept =>
+        let(array_join(kept, "\n")) { cleaned =>
+          val nSentences = (length(cleaned) -
+            length(translate(cleaned, ".!?", ""))).cast("long")
+          val docDrop = col("_t").contains("{") ||
+            lower(col("_t")).contains("lorem ipsum") ||
+            badWords.map(w => lower(col("_t")).contains(w.toLowerCase))
+              .foldLeft(lit(false))(_ || _)
+          struct(
+            size(split(col("_t"), "\n")).cast("long").as("n_lines"),
+            size(kept).cast("long").as("kept_lines"),
+            cleaned.as("cleaned_text"),
+            nSentences.as("n_sentences"),
+            (!docDrop && nSentences >= minSentences).as("keep"))
+        }
+      }.as("_c"))
+      .select(col("doc_id"), col("_c.*"))
+  }
+
   /** Unigram-surprisal quality score: each document's mean per-token
     * `ln(total_tokens / token_count)` under the corpus's own unigram
     * distribution — low surprisal = repetitive/templated text, high =

@@ -511,6 +511,41 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(chain.contains("subspaces"), s"unexpected failure: $chain")
   }
 
+  test("c4 clean: line rules, document drops, and the badWords parameter") {
+    val s = spark
+    import s.implicits._
+    val good = Seq(
+      "This is a perfectly reasonable first sentence of prose.",
+      "Here is another full sentence that ends with punctuation!",
+      "And a third one, because three sentences are required.").mkString("\n")
+    val mixedLines = Seq(
+      "Keep me because I end with a period and have words.",
+      "short line.",                               // < 5 words → dropped
+      "No terminal punctuation so this goes away", // no ., !, ?, " → dropped
+      "Enable javascript to view this content properly.", // javascript → dropped
+      "A second kept sentence brings the total to enough.",
+      "\"A quoted sentence line also counts as terminal.\"").mkString("\n")
+    val curly = good + "\nfunction f() { return 1; }."
+    val lorem = good + "\nLorem Ipsum dolor sit amet filler text here."
+    val thin = "Only one kept sentence lives in this document."
+    val badw = good + "\nThis mentions the forbidden zzyzx word once."
+    val in = Seq((0L, good), (1L, mixedLines), (2L, curly), (3L, lorem),
+      (4L, thin), (5L, badw)).toDF("doc_id", "text")
+    val out = graft.operators.CorpusQuality.c4Clean(
+      in, col("doc_id"), col("text"), badWords = Seq("zzyzx"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("kept_lines"), r.getAs[Long]("n_sentences"),
+          r.getAs[Boolean]("keep"), r.getAs[String]("cleaned_text")))).toMap
+    assert(out(0L) == ((3L, 3L, true, good)))
+    // 3 of 6 lines survive (kept, second kept, quoted)
+    assert(out(1L)._1 == 3L && out(1L)._3)
+    assert(!out(1L)._4.contains("javascript") && !out(1L)._4.contains("short"))
+    assert(!out(2L)._3, "curly-brace doc must drop")
+    assert(!out(3L)._3, "lorem ipsum doc must drop")
+    assert(out(4L)._1 == 1L && !out(4L)._3, "under-3-sentence doc must drop")
+    assert(!out(5L)._3, "badWords doc must drop")
+  }
+
   test("heavy hitters: exact above-threshold set, stable across partitionings, empty when none") {
     val s = spark
     import s.implicits._
