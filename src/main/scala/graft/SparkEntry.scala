@@ -1760,6 +1760,17 @@ object SparkEntry {
         tbl(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // ---- mixture recipe: per-source epoch/rate plan to hit a token
+    //      budget at given weights — one partial-agg scan + broadcast
+    //      weight table, the corpus never reshuffles ----
+    "q170_mixture_recipe" -> ((s, dir) => {
+      graft.operators.Sampling.mixtureRecipe(
+        tbl(s, dir, "documents"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        Map("src0" -> 0.15, "src5" -> 0.05, "src7" -> 0.1, "src19" -> 0.3),
+        budgetTokens = 50000L)
+        .orderBy("source")
+    }),
     // ---- C4 cleanup (arXiv:1910.10683 §2.2): line-level terminal-punct /
     //      min-words / javascript filters + document-level drop rules ----
     "q169_c4_clean" -> ((s, dir) => {
@@ -2940,6 +2951,25 @@ object SparkEntry {
              AND (alpha_ratio >= 0.8)
              AND (stopword_hits >= 2)) AS keep
          FROM m ORDER BY doc_id""",
+    "q170_mixture_recipe" ->
+      """WITH a AS (SELECT source,
+             CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+               AS BIGINT) AS available_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT * FROM (VALUES
+             ('src0', 0.15::DOUBLE), ('src5', 0.05::DOUBLE),
+             ('src7', 0.1::DOUBLE), ('src19', 0.3::DOUBLE))
+           AS w(source, weight)),
+         j AS (SELECT a.source, available_tokens,
+             floor(weight * 50000)::BIGINT AS target_tokens
+           FROM a JOIN w USING (source))
+         SELECT source, available_tokens, target_tokens,
+           round(target_tokens::DOUBLE / available_tokens, 6) AS rate,
+           floor(target_tokens::DOUBLE / available_tokens)::BIGINT
+             AS full_epochs,
+           round(target_tokens::DOUBLE / available_tokens
+             - floor(target_tokens::DOUBLE / available_tokens), 6) AS residual
+         FROM j ORDER BY source""",
     "q169_c4_clean" ->
       """WITH t AS (SELECT doc_id, text,
              string_split(text, chr(10)) AS lines FROM documents),

@@ -300,6 +300,42 @@ object Sampling {
     * per-partition heaps, never a full sort). Zero-weight rows are excluded
     * (their inclusion probability is 0).
     */
+  /** Mixture recipe: per-source epoch/sampling plan to hit a token budget
+    * at given mixture weights — the planning step in front of every
+    * multi-source training-data build ("webtext 60%, code 20%, …" × a
+    * token budget). For each weighted source: its available token mass,
+    * its target share `floor(weight · budget)`, the sampling rate
+    * `target / available`, and that rate split into `full_epochs` whole
+    * passes plus a `residual` fraction — rate > 1 means the source is
+    * repeated (upsampled) `full_epochs` times plus a `residual` subsample,
+    * rate ≤ 1 a plain subsample, exactly how published recipes state
+    * per-source epoch counts. Weights are absolute budget fractions
+    * (caller normalizes if needed); unweighted sources are excluded.
+    *
+    * Scale shape: one partial-aggregated `groupBy(source)` over the corpus
+    * plus a broadcast literal weight table — the corpus is scanned once and
+    * never reshuffled. The downstream executors of this plan are
+    * [[byHash]] (the residual subsample) and plain union-of-repeats.
+    */
+  def mixtureRecipe(df: DataFrame, sourceCol: Column, tokensCol: Column,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"token budget must be positive, got $budgetTokens")
+    require(weights.nonEmpty, "mixtureRecipe needs at least one weighted source")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(sourceCol.as("source"))
+      .agg(sum(tokensCol.cast("long")).as("available_tokens"))
+    val wdf = weights.toSeq.sortBy(_._1).toDF("source", "weight")
+    val rate = col("target_tokens").cast("double") / col("available_tokens")
+    avail.join(broadcast(wdf), Seq("source"))
+      .withColumn("target_tokens",
+        floor(col("weight") * budgetTokens).cast("long"))
+      .select(col("source"), col("available_tokens"), col("target_tokens"),
+        round(rate, 6).as("rate"),
+        floor(rate).cast("long").as("full_epochs"),
+        round(rate - floor(rate), 6).as("residual"))
+  }
+
   def weightedSampleTopK(df: DataFrame, keyCol: Column, weightCol: Column,
       k: Int, seed: String = "ws"): DataFrame = {
     require(k >= 1, s"k must be at least 1, got $k")

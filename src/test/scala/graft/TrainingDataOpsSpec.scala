@@ -511,6 +511,26 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(chain.contains("subspaces"), s"unexpected failure: $chain")
   }
 
+  test("mixture recipe: rates, epoch split, and unweighted-source exclusion") {
+    val s = spark
+    import s.implicits._
+    // web: 1000 tokens avail; code: 400; junk: unweighted
+    val in = Seq(("web", 600L), ("web", 400L), ("code", 400L), ("junk", 99L))
+      .toDF("source", "toks")
+    val out = graft.operators.Sampling.mixtureRecipe(
+      in, col("source"), col("toks"),
+      Map("web" -> 0.25, "code" -> 0.75), budgetTokens = 2000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("available_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Double]("rate"), r.getAs[Long]("full_epochs"),
+          r.getAs[Double]("residual")))).toMap
+    // web: target 500 of 1000 → rate 0.5, zero full epochs, residual 0.5
+    assert(out("web") == ((1000L, 500L, 0.5, 0L, 0.5)))
+    // code: target 1500 of 400 → 3.75: three full passes + 0.75 subsample
+    assert(out("code") == ((400L, 1500L, 3.75, 3L, 0.75)))
+    assert(!out.contains("junk"), "unweighted source must be excluded")
+  }
+
   test("c4 clean: line rules, document drops, and the badWords parameter") {
     val s = spark
     import s.implicits._
