@@ -288,6 +288,36 @@ object Scratch {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_HH_SCALE=1: time the round-12 ops (heavy hitters, C4
+    // cleanup, mixture recipe) on the current SF_DIR — point at MAKE_SCALED
+    // dirs for 10×/100× rungs. The heavy-hitter scale claim is the sketch
+    // invariant: candidate count stays ≤ 2·capacity no matter the rung, so
+    // the only growing cost is the two linear scans.
+    sys.env.get("SPARK_GRAFT_HH_SCALE").foreach { _ =>
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+      time("docs warmup")(docs.count())
+      val toks = docs.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val nToks = time("token stream count")(toks.count())
+      for (cap <- Seq(512, 4096)) {
+        var hh = 0L
+        time(s"heavy_hitters cap=$cap") {
+          hh = graft.operators.HeavyHitters.heavyHitters(toks, col("tok"), cap)
+            .count()
+          hh
+        }
+        println(s"[scratch] heavy_hitters cap=$cap: $hh keys over $nToks tokens")
+      }
+      time("c4_clean")(graft.operators.CorpusQuality.c4Clean(
+        docs, col("doc_id"), col("text"))
+        .agg(sum(col("kept_lines"))).head().getLong(0))
+      time("mixture_recipe")(graft.operators.Sampling.mixtureRecipe(
+        docs, col("source"), graft.functions.TextFunctions.tokenCount(col("text")),
+        Map("src0" -> 0.15, "src5" -> 0.05, "src7" -> 0.1, "src19" -> 0.3),
+        budgetTokens = 5000000L).count())
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_FINGERPRINT_SCALE=1: time the round-11 fingerprinting ops
     // (winnowing, CDC) on the current SF_DIR — point it at a MAKE_SCALED
     // dir for the 10×/100× rungs. Reports the winnowed-vs-positional
