@@ -298,7 +298,8 @@ object Scratch {
       time("docs warmup")(docs.count())
       val toks = docs.select(explode(
         graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      val nToks = time("token stream count")(toks.count())
+      var nToks = 0L
+      time("token stream count") { nToks = toks.count(); nToks }
       for (cap <- Seq(512, 4096)) {
         var hh = 0L
         time(s"heavy_hitters cap=$cap") {
