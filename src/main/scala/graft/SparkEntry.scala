@@ -1789,6 +1789,18 @@ object SparkEntry {
           capacity = 512)
         .orderBy(col("cnt").desc, col("key"))
     }),
+    // ---- per-group heavy hitters: same sketch keyed by source — the
+    //      shuffle carries groups x 2·cap map entries, not the stream ----
+    "q171_heavy_hitters_by_source" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+      graft.operators.HeavyHitters.heavyHittersByGroup(
+          toks, col("source"), col("tok"), capacity = 128)
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"), col("cnt").desc, col("key"))
+    }),
     // ---- fuzzy decontamination: winnow-fingerprint overlap between the
     //      corpus and a held-out eval slice — catches paraphrased/partial
     //      benchmark leaks where q68's exact 5-gram probe needs verbatim
@@ -2999,6 +3011,14 @@ object SparkEntry {
          SELECT key, count(*)::BIGINT AS cnt FROM t, tot
          GROUP BY key, n HAVING count(*) * 512 > n
          ORDER BY cnt DESC, key""",
+    "q171_heavy_hitters_by_source" ->
+      """WITH t AS (SELECT source, unnest(string_split_regex(
+             lower(trim(text)), '\s+')) AS key FROM documents),
+         n AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY source)
+         SELECT t.source, key, count(*)::BIGINT AS cnt
+         FROM t JOIN n USING (source)
+         GROUP BY t.source, key, n.n HAVING count(*) * 128 > n.n
+         ORDER BY source, cnt DESC, key""",
     "q166_asof_split" -> (asofPurchaseCte + asofJoinOracleSql),
     "q165_fuzzy_decontamination" -> (winnowFpCte +
       """, ev AS (SELECT doc_id AS eval_id, fp FROM fp WHERE doc_id % 10 = 0),

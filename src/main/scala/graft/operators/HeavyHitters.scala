@@ -52,4 +52,48 @@ object HeavyHitters {
       // integer cross-multiply keeps the test exact in both engines
       .filter(col("cnt") * capacity > n)
   }
+
+  /** Per-group heavy hitters: for every group, the exact keys with
+    * frequency > N_group/capacity — "top terms per language", "hot URLs
+    * per day". Same two-pass shape as [[heavyHitters]] with the sketch
+    * keyed by group: pass 1 is one `groupBy(group)` whose per-group state
+    * is a bounded Misra–Gries map (map-side partials keep the shuffle at
+    * `groups × 2·capacity` entries), pass 2 recounts the broadcast
+    * `(group, key)` candidate set exactly. The driver holds
+    * `groups × 2·capacity` candidate pairs between the passes — the
+    * per-group analogue of the centroid-table contract, sized for
+    * thousands of groups, not millions (beyond that, run [[heavyHitters]]
+    * per partition-pruned group slice).
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCol: Column, keyCol: Column,
+      capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(groupCol.cast("string").as("grp"),
+      keyCol.cast("string").as("key"))
+    val mg = org.apache.spark.sql.GraftGlue.column(
+      graft.functions.MisraGries(
+        org.apache.spark.sql.GraftGlue.expression(col("key")), capacity)
+        .toAggregateExpression())
+    val sketches = keyed.groupBy("grp")
+      .agg(mg.as("mg"), count(col("key")).as("n")).collect()
+    val candidates = sketches.flatMap { r =>
+      r.getMap[String, Long](1).keys.map(k => (r.getString(0), k))
+    }.toSeq.sorted
+    if (candidates.isEmpty) {
+      return spark.emptyDataFrame
+        .withColumn("grp", lit("").cast("string"))
+        .withColumn("key", lit("").cast("string"))
+        .withColumn("cnt", lit(0L))
+        .limit(0)
+    }
+    val nDf = sketches.map(r => (r.getString(0), r.getLong(2))).toSeq
+      .toDF("grp", "n")
+    keyed.join(broadcast(candidates.toDF("grp", "key")),
+        Seq("grp", "key"), "left_semi")
+      .groupBy("grp", "key").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(nDf), Seq("grp"))
+      .filter(col("cnt") * capacity > col("n"))
+      .select("grp", "key", "cnt")
+  }
 }

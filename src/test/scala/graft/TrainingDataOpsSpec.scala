@@ -590,6 +590,16 @@ class TrainingDataOpsSpec extends SparkSpec {
     // empty input: empty result, not a crash
     assert(graft.operators.HeavyHitters.heavyHitters(
       flat.limit(0), col("key"), 64).count() == 0L)
+    // per-group: the skewed group yields its exact hitters against ITS OWN
+    // total; the uniform group contributes nothing
+    val grouped = rows.map(("zipf", _)) ++ (1 to 500).map(k => ("flat", s"u$k"))
+    val byG = graft.operators.HeavyHitters.heavyHittersByGroup(
+      scala.util.Random.shuffle(grouped).toDF("g", "key").repartition(5),
+      col("g"), col("key"), cap)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(byG == brute.map { case (k, c) => ("zipf", k) -> c },
+      s"per-group mismatch: $byG")
   }
 
   test("repetition stats: dup ratios and mean token length on known docs") {
