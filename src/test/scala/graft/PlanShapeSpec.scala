@@ -26,6 +26,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: verification pass is a broadcast semi-join, stream never sort-merges") {
+    // the scale claim of the two-pass shape: after the sketch, the token
+    // stream only ever meets the bounded candidate set via broadcast — a
+    // SortMergeJoin here would re-shuffle the whole stream at 100 TB
+    for (q <- Seq("q168_heavy_hitters", "q171_heavy_hitters_by_source")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+        s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q should not sort-merge:\n$p")
+    }
+  }
+
   test("scan-level predicates push into the parquet reader") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [") &&
