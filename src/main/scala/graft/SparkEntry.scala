@@ -1760,6 +1760,16 @@ object SparkEntry {
         tbl(s, dir, "documents"), col("doc_id"), col("text"))
         .orderBy("doc_id")
     }),
+    // ---- exact quantiles, sketch-then-verify: approx bracket + exact
+    //      rank correction — true order statistics in two scans, no sort ----
+    "q172_exact_quantiles" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(graft.functions.TextFunctions.tokenCount(col("text"))
+          .as("toks"))
+      graft.operators.Quantiles.exactQuantiles(d, col("toks"),
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("quantile")
+    }),
     // ---- mixture recipe: per-source epoch/rate plan to hit a token
     //      budget at given weights — one partial-agg scan + broadcast
     //      weight table, the corpus never reshuffles ----
@@ -2963,6 +2973,17 @@ object SparkEntry {
              AND (alpha_ratio >= 0.8)
              AND (stopword_hits >= 2)) AS keep
          FROM m ORDER BY doc_id""",
+    "q172_exact_quantiles" ->
+      """WITH t AS (SELECT len(string_split_regex(lower(trim(text)),
+             '\s+'))::BIGINT AS v FROM documents),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+         n AS (SELECT count(*)::BIGINT AS n FROM t),
+         qs AS (SELECT * FROM (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+             (0.99::DOUBLE)) AS qs(quantile))
+         SELECT quantile, v AS value
+         FROM qs CROSS JOIN n
+         JOIN r ON r.rn = greatest(1, ceil(quantile * n.n)::BIGINT)
+         ORDER BY quantile""",
     "q170_mixture_recipe" ->
       """WITH a AS (SELECT source,
              CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles via sketch-then-verify — the selection
+  * analogue of [[HeavyHitters]]: an approximate sketch proposes a bracket
+  * value, exact rank counts either confirm it or bound a tiny ordered tail
+  * that contains the true answer. Two scans of the data plus (only when the
+  * sketch missed) a TakeOrdered job over ≤ N/accuracy rows — never a full
+  * sort, never a driver-side collect of data rows, and the result is the
+  * EXACT order statistic, deterministic regardless of partitioning or of
+  * the sketch's merge order (the sketch only narrows where to look).
+  *
+  * Definition: quantile `q` = the `max(1, ceil(q·N))`-th smallest value
+  * (the discrete/`percentile_disc` convention — an actual element of the
+  * column, no interpolation, which is what keeps the answer exact and
+  * engine-independent).
+  *
+  * At 100 TB: `accuracy` bounds the correction tail at N/accuracy rows
+  * through one single-partition TakeOrdered — size it so that stays
+  * executor-friendly (1e12 rows × accuracy 1e7 → ≤ 100k-row tail). The
+  * common case (sketch bracket already straddles the target rank) costs
+  * nothing beyond the two scans.
+  */
+object Quantiles {
+
+  /** Exact values of `valCol` (integral; cast to long) at each requested
+    * quantile, as `(quantile, value)` rows.
+    */
+  def exactQuantiles(df: DataFrame, valCol: Column, qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got ${qs.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(valCol.cast("long").as("v")).filter(col("v").isNotNull)
+    // one pass: total count + the sketch brackets for every quantile
+    val head: Row = vals.agg(
+      count(col("v")).as("n"),
+      percentile_approx(col("v"),
+        array(qs.map(lit): _*), lit(accuracy)).as("br")).head()
+    val n = head.getLong(0)
+    if (n == 0L) {
+      return Seq.empty[(Double, Long)].toDF("quantile", "value").limit(0)
+    }
+    val brackets = head.getSeq[Long](1)
+    // one more pass: exact rank of every bracket value (count below, count
+    // at) — a single aggregate over conditional sums, not a pass per q
+    val rankCols = brackets.zipWithIndex.flatMap { case (b, i) =>
+      Seq(sum(when(col("v") < b, 1L).otherwise(0L)).as(s"lt$i"),
+        sum(when(col("v") === b, 1L).otherwise(0L)).as(s"eq$i"))
+    }
+    val ranks = vals.agg(rankCols.head, rankCols.tail: _*).head()
+    val out = qs.zipWithIndex.map { case (q, i) =>
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      val b = brackets(i)
+      val lt = ranks.getLong(2 * i)
+      val eq = ranks.getLong(2 * i + 1)
+      val value =
+        if (target > lt && target <= lt + eq) b // bracket hit — the usual case
+        else if (target > lt + eq) {
+          // true value sits above the bracket: the (target-lt-eq)-th
+          // smallest of the > b tail — TakeOrdered over ≤ N/accuracy rows,
+          // reduced to one scalar on the executors
+          vals.filter(col("v") > b).orderBy(col("v"))
+            .limit((target - lt - eq).toInt)
+            .agg(max(col("v"))).head().getLong(0)
+        } else {
+          // below the bracket: the (lt-target+1)-th largest of the < b tail
+          vals.filter(col("v") < b).orderBy(col("v").desc)
+            .limit((lt - target + 1).toInt)
+            .agg(min(col("v"))).head().getLong(0)
+        }
+      (q, value)
+    }
+    out.toDF("quantile", "value")
+  }
+}

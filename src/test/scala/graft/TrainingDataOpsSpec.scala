@@ -511,6 +511,36 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(chain.contains("subspaces"), s"unexpected failure: $chain")
   }
 
+  test("exact quantiles: equals brute-force order statistics, correction paths included") {
+    val s = spark
+    import s.implicits._
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    def brute(rows: Seq[Long]): Map[Double, Long] = {
+      val sorted = rows.sorted
+      qs.map(q => q -> sorted(
+        (math.max(1L, math.ceil(q * rows.length).toLong) - 1).toInt)).toMap
+    }
+    val skewed = (1 to 2000).map(i => (i.toLong * i) % 997L)
+    for (parts <- Seq(3, 17); acc <- Seq(10, 10000)) {
+      // accuracy=10 forces bracket misses of up to n/10 ranks — both
+      // correction tails (above and below) must still land exactly
+      val out = graft.operators.Quantiles.exactQuantiles(
+        scala.util.Random.shuffle(skewed).toDF("v").repartition(parts),
+        col("v"), qs, accuracy = acc)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      assert(out == brute(skewed), s"parts=$parts acc=$acc: $out")
+    }
+    // duplicate-heavy: every quantile is the single repeated value
+    val dupes = Seq.fill(500)(7L)
+    val outD = graft.operators.Quantiles.exactQuantiles(
+      dupes.toDF("v"), col("v"), qs)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(outD.values.toSet == Set(7L))
+    // empty input: empty result, not a crash
+    assert(graft.operators.Quantiles.exactQuantiles(
+      dupes.toDF("v").limit(0), col("v"), qs).count() == 0L)
+  }
+
   test("mixture recipe: rates, epoch split, and unweighted-source exclusion") {
     val s = spark
     import s.implicits._
