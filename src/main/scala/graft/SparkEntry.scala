@@ -1770,6 +1770,18 @@ object SparkEntry {
           Seq(0.5, 0.9, 0.99))
         .orderBy("quantile")
     }),
+    // ---- per-group exact quantiles: bracket sketch keyed by group, one
+    //      joint rank scan, bounded corrections — the corpus-report
+    //      distribution audit per source ----
+    "q173_quantiles_by_source" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("toks"))
+      graft.operators.Quantiles.exactQuantilesByGroup(
+          d, col("source"), col("toks"), Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("grp", "source")
+        .orderBy("source", "quantile")
+    }),
     // ---- mixture recipe: per-source epoch/rate plan to hit a token
     //      budget at given weights — one partial-agg scan + broadcast
     //      weight table, the corpus never reshuffles ----
@@ -2973,6 +2985,19 @@ object SparkEntry {
              AND (alpha_ratio >= 0.8)
              AND (stopword_hits >= 2)) AS keep
          FROM m ORDER BY doc_id""",
+    "q173_quantiles_by_source" ->
+      """WITH t AS (SELECT source, len(string_split_regex(lower(trim(text)),
+             '\s+'))::BIGINT AS v FROM documents),
+         r AS (SELECT source, v, row_number()
+             OVER (PARTITION BY source ORDER BY v) AS rn FROM t),
+         n AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY source),
+         qs AS (SELECT * FROM (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+             (0.99::DOUBLE)) AS qs(quantile))
+         SELECT n.source AS source, quantile, v AS value
+         FROM n CROSS JOIN qs
+         JOIN r ON r.source = n.source
+           AND r.rn = greatest(1, ceil(quantile * n.n)::BIGINT)
+         ORDER BY n.source, quantile""",
     "q172_exact_quantiles" ->
       """WITH t AS (SELECT len(string_split_regex(lower(trim(text)),
              '\s+'))::BIGINT AS v FROM documents),

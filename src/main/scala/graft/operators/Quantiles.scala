@@ -77,4 +77,71 @@ object Quantiles {
     }
     out.toDF("quantile", "value")
   }
+
+  /** Per-group exact quantiles — "token-length p50/p90/p99 per source",
+    * the distribution-audit column of every corpus report. Same
+    * sketch-then-verify shape with the sketch keyed by group: pass 1 is
+    * one `groupBy(group)` carrying count + approx brackets (the driver
+    * holds groups × |qs| bracket longs — the centroid-table contract);
+    * pass 2 joins the broadcast bracket table back and measures every
+    * bracket's exact rank in ONE scan (row fan-out × |qs|, a small
+    * constant); misses resolve through per-(group, quantile) bounded
+    * TakeOrdered tails exactly as in [[exactQuantiles]] — in the common
+    * case zero of them run. Returns `(grp, quantile, value)`.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: Column, valCol: Column,
+      qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got ${qs.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(groupCol.cast("string").as("grp"),
+      valCol.cast("long").as("v")).filter(col("v").isNotNull)
+    val sketch = vals.groupBy("grp").agg(
+      count(col("v")).as("n"),
+      percentile_approx(col("v"),
+        array(qs.map(lit): _*), lit(accuracy)).as("br")).collect()
+    if (sketch.isEmpty) {
+      return Seq.empty[(String, Double, Long)]
+        .toDF("grp", "quantile", "value").limit(0)
+    }
+    val meta = sketch.map { r =>
+      r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))
+    }.toMap
+    val bracketRows = meta.toSeq.sortBy(_._1).flatMap { case (g, (_, br)) =>
+      qs.indices.map(i => (g, i, br(i)))
+    }
+    // one scan measures every (group, quantile) bracket's exact rank; the
+    // |qs|-way fan-out is a broadcast join, the stream never shuffles raw
+    val ranks = vals
+      .join(broadcast(bracketRows.toDF("grp", "qi", "b")), Seq("grp"))
+      .groupBy("grp", "qi").agg(
+        sum(when(col("v") < col("b"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") === col("b"), 1L).otherwise(0L)).as("eq"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val out = meta.toSeq.sortBy(_._1).flatMap { case (g, (n, br)) =>
+      qs.zipWithIndex.map { case (q, i) =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        val b = br(i)
+        val (lt, eq) = ranks((g, i))
+        val value =
+          if (target > lt && target <= lt + eq) b
+          else if (target > lt + eq) {
+            vals.filter(col("grp") === g && col("v") > b).orderBy(col("v"))
+              .limit((target - lt - eq).toInt)
+              .agg(max(col("v"))).head().getLong(0)
+          } else {
+            vals.filter(col("grp") === g && col("v") < b)
+              .orderBy(col("v").desc)
+              .limit((lt - target + 1).toInt)
+              .agg(min(col("v"))).head().getLong(0)
+          }
+        (g, q, value)
+      }
+    }
+    out.toDF("grp", "quantile", "value")
+  }
 }

@@ -539,6 +539,17 @@ class TrainingDataOpsSpec extends SparkSpec {
     // empty input: empty result, not a crash
     assert(graft.operators.Quantiles.exactQuantiles(
       dupes.toDF("v").limit(0), col("v"), qs).count() == 0L)
+    // per-group: each group's quantiles resolve against its own
+    // distribution, coarse sketch again forcing corrections
+    val groups = skewed.map(("a", _)) ++ (1 to 700).map(i => ("b", i * 3L))
+    val byG = graft.operators.Quantiles.exactQuantilesByGroup(
+      scala.util.Random.shuffle(groups).toDF("g", "v").repartition(7),
+      col("g"), col("v"), qs, accuracy = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    val bruteB = brute((1 to 700).map(i => i * 3L))
+    assert(qs.forall(q => byG(("a", q)) == brute(skewed)(q)), s"group a: $byG")
+    assert(qs.forall(q => byG(("b", q)) == bruteB(q)), s"group b: $byG")
   }
 
   test("mixture recipe: rates, epoch split, and unweighted-source exclusion") {
