@@ -1367,7 +1367,7 @@ class TrainingDataOpsSpec extends SparkSpec {
     // every exact rule is multi-label lowercase with no wildcard/exception
     // markers (those live in their own sets)
     val exact = graft.functions.PublicSuffixes.bundledExactRules
-    assert(exact.size > 3000, s"snapshot unexpectedly small: ${exact.size}")
+    assert(exact.size > 7000, s"snapshot unexpectedly small: ${exact.size}")
     assert(exact.forall(r => r.contains(".") || r == r.toLowerCase))
     assert(exact.forall(r => !r.contains("*") && !r.contains("!")))
   }
@@ -1399,6 +1399,36 @@ class TrainingDataOpsSpec extends SparkSpec {
     val plain = Seq("https://www.ferrari.it/x").toDF("u")
       .select(urlDomain(col("u"))).as[String].head()
     assert(plain == "ferrari.it")
+  }
+
+  test("round-13 full-ICANN PSL: long-tail registries absent from the 3,272-rule snapshot group correctly") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextFunctions.urlDomain
+    // round 13 replaced the hand-curated 3,272-rule snapshot with the
+    // COMPLETE published ICANN section (7,380 rules, verbatim). Each
+    // registry here is in the full list but was absent before, so every
+    // URL under it mis-grouped one label short — the exact long-tail
+    // corruption the domain-keyed dedup/cap axes (q137/q138/q144) hit on
+    // a real web corpus
+    val doms = Seq(
+      "https://www.comune.olbia-tempio.it/x", // Sardinian province (long tail)
+      "http://lib.uchiko.ehime.jp/",          // jp municipality beyond the majors
+      "https://x.akiruno.tokyo.jp/",          // Tokyo-metro city outside the wards
+      "http://reg.aerodrome.aero/",           // sponsored-gTLD second level
+      "https://art.shell.museum/"             // museum-registry second level
+    ).toDF("u").select(urlDomain(col("u"))).as[String].collect().toSeq
+    assert(doms == Seq(
+      "comune.olbia-tempio.it", "lib.uchiko.ehime.jp", "x.akiruno.tokyo.jp",
+      "reg.aerodrome.aero", "art.shell.museum"), doms)
+    // the snapshot is now the complete ICANN section: 7,380 rules
+    // (18 wildcards, 8 exceptions) — pin the scale so a regressions to a
+    // partial table fails loudly
+    val b = graft.functions.PublicSuffixes.bundled
+    assert(b.exact.size + b.wildcard.size + b.exception.size == 7380,
+      s"expected the complete 7,380-rule ICANN section, got " +
+        s"${b.exact.size}+${b.wildcard.size}+${b.exception.size}")
+    assert(b.wildcard.size == 18 && b.exception.size == 8)
   }
 
   test("HLL rollup: union of daily sketches == sketch of the union; estimate near exact") {
