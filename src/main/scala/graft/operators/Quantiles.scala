@@ -1,13 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact distributed quantiles via sketch-then-verify — the selection
   * analogue of [[HeavyHitters]]: an approximate sketch proposes a bracket
   * value, exact rank counts either confirm it or bound a tiny ordered tail
   * that contains the true answer. Two scans of the data plus (only when the
-  * sketch missed) a TakeOrdered job over ≤ N/accuracy rows — never a full
+  * sketch missed) ONE batched correction job over all misses — never a full
   * sort, never a driver-side collect of data rows, and the result is the
   * EXACT order statistic, deterministic regardless of partitioning or of
   * the sketch's merge order (the sketch only narrows where to look).
@@ -17,13 +18,91 @@ import org.apache.spark.sql.functions._
   * column, no interpolation, which is what keeps the answer exact and
   * engine-independent).
   *
-  * At 100 TB: `accuracy` bounds the correction tail at N/accuracy rows
-  * through one single-partition TakeOrdered — size it so that stays
-  * executor-friendly (1e12 rows × accuracy 1e7 → ≤ 100k-row tail). The
+  * At 100 TB: `accuracy` bounds each correction tail at N/accuracy rows;
+  * misses (however many) resolve in ONE window job whose per-partition
+  * WindowGroupLimit heaps cap survivors at the largest tail before the
+  * shuffle — size `accuracy` so that stays executor-friendly (1e12 rows ×
+  * accuracy 1e7 → ≤ 100k-row tail). A tail over `Int.MaxValue` rows throws
+  * up front with a sizing message instead of wrapping the limit. The
   * common case (sketch bracket already straddles the target rank) costs
   * nothing beyond the two scans.
+  *
+  * Null handling: null values AND null group keys are excluded up front —
+  * an order statistic over nulls is undefined, and a null group is not a
+  * population; pre-`coalesce` the group column to a sentinel if nulls
+  * should count as their own group.
   */
 object Quantiles {
+
+  /** One unresolved bracket: the true `k`-th smallest of the rows above
+    * `b` (`up`), or `k`-th largest below it.
+    */
+  private final case class Miss(grp: String, qi: Int, b: Long, up: Boolean,
+      k: Long)
+
+  /** Guard the correction-tail size before it becomes a window/limit bound:
+    * a tail over Int.MaxValue rows means `accuracy` is mis-sized for N —
+    * fail loudly with the fix instead of wrapping to a negative limit.
+    */
+  private[graft] def checkTail(k: Long, accuracy: Int): Unit =
+    require(k <= Int.MaxValue,
+      s"quantile correction tail of $k rows exceeds Int.MaxValue — the " +
+        s"sketch (accuracy=$accuracy) is too coarse for this row count; " +
+        "raise `accuracy` so N/accuracy fits executor memory (tail size " +
+        "is bounded by N/accuracy)")
+
+  /** Resolve every sketch miss in ONE additional job: broadcast the miss
+    * table, keep each miss's tail side only, and read off the k-th order
+    * statistic per (group, quantile) with a `row_number` capped at the
+    * largest k — the literal cap becomes a `WindowGroupLimit`, so each
+    * input partition forwards at most misses × maxK rows into the one
+    * shuffle (the TakeOrdered heap shape, but shared by all misses).
+    * Descending tails ride the same window via the order-reversing `~v`
+    * involution (bitwise not: monotone-decreasing, overflow-free, unlike
+    * negation at Long.MinValue).
+    */
+  private def resolveMisses(vals: DataFrame, misses: Seq[Miss],
+      accuracy: Int): Map[(String, Int), Long] =
+    missResolutionPlan(vals,
+      misses.map(m => (m.grp, m.qi, m.b, m.up, m.k)), accuracy)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+
+  /** The batched-correction query itself, exposed (package-private) so
+    * PlanShapeSpec can pin its `WindowGroupLimit` shape. `misses` rows are
+    * `(grp, qi, bracket, up, k)`.
+    */
+  private[graft] def missResolutionPlan(vals: DataFrame,
+      misses: Seq[(String, Int, Long, Boolean, Long)],
+      accuracy: Int): DataFrame = {
+    val spark = vals.sparkSession
+    import spark.implicits._
+    val maxK = misses.map(_._5).max
+    checkTail(maxK, accuracy)
+    val missDf = misses.toDF("grp", "qi", "b", "up", "k")
+    val w = Window.partitionBy("grp", "qi").orderBy("vs")
+    vals.join(broadcast(missDf), Seq("grp"))
+      .filter((col("up") && col("v") > col("b")) ||
+        (!col("up") && col("v") < col("b")))
+      .withColumn("vs", when(col("up"), col("v"))
+        .otherwise(bitwise_not(col("v"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(maxK.toInt) && col("rn") === col("k"))
+      .select(col("grp"), col("qi"),
+        when(col("up"), col("vs")).otherwise(bitwise_not(col("vs")))
+          .as("value"))
+  }
+
+  /** Classify one (group, quantile): `Right(value)` when the bracket's rank
+    * interval straddles the target (the common case), `Left(miss)` with the
+    * tail-side selection otherwise.
+    */
+  private def classify(grp: String, qi: Int, target: Long, b: Long, lt: Long,
+      eq: Long): Either[Miss, Long] =
+    if (target > lt && target <= lt + eq) Right(b)
+    else if (target > lt + eq) Left(Miss(grp, qi, b, up = true, target - lt - eq))
+    else Left(Miss(grp, qi, b, up = false, lt - target + 1))
 
   /** Exact values of `valCol` (integral; cast to long) at each requested
     * quantile, as `(quantile, value)` rows.
@@ -35,7 +114,8 @@ object Quantiles {
       s"quantiles must be in (0, 1], got ${qs.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(valCol.cast("long").as("v")).filter(col("v").isNotNull)
+    val vals = df.select(lit("").as("grp"),
+      valCol.cast("long").as("v")).filter(col("v").isNotNull)
     // one pass: total count + the sketch brackets for every quantile
     val head: Row = vals.agg(
       count(col("v")).as("n"),
@@ -53,29 +133,17 @@ object Quantiles {
         sum(when(col("v") === b, 1L).otherwise(0L)).as(s"eq$i"))
     }
     val ranks = vals.agg(rankCols.head, rankCols.tail: _*).head()
-    val out = qs.zipWithIndex.map { case (q, i) =>
-      val target = math.max(1L, math.ceil(q * n).toLong)
-      val b = brackets(i)
-      val lt = ranks.getLong(2 * i)
-      val eq = ranks.getLong(2 * i + 1)
-      val value =
-        if (target > lt && target <= lt + eq) b // bracket hit — the usual case
-        else if (target > lt + eq) {
-          // true value sits above the bracket: the (target-lt-eq)-th
-          // smallest of the > b tail — TakeOrdered over ≤ N/accuracy rows,
-          // reduced to one scalar on the executors
-          vals.filter(col("v") > b).orderBy(col("v"))
-            .limit((target - lt - eq).toInt)
-            .agg(max(col("v"))).head().getLong(0)
-        } else {
-          // below the bracket: the (lt-target+1)-th largest of the < b tail
-          vals.filter(col("v") < b).orderBy(col("v").desc)
-            .limit((lt - target + 1).toInt)
-            .agg(min(col("v"))).head().getLong(0)
-        }
-      (q, value)
+    val classified = qs.indices.map { i =>
+      val target = math.max(1L, math.ceil(qs(i) * n).toLong)
+      classify("", i, target, brackets(i), ranks.getLong(2 * i),
+        ranks.getLong(2 * i + 1))
     }
-    out.toDF("quantile", "value")
+    val misses = classified.collect { case Left(m) => m }
+    val fixed = if (misses.isEmpty) Map.empty[(String, Int), Long]
+      else resolveMisses(vals, misses, accuracy)
+    qs.zipWithIndex.map { case (q, i) =>
+      (q, classified(i).fold(m => fixed((m.grp, m.qi)), identity))
+    }.toDF("quantile", "value")
   }
 
   /** Per-group exact quantiles — "token-length p50/p90/p99 per source",
@@ -85,9 +153,10 @@ object Quantiles {
     * holds groups × |qs| bracket longs — the centroid-table contract);
     * pass 2 joins the broadcast bracket table back and measures every
     * bracket's exact rank in ONE scan (row fan-out × |qs|, a small
-    * constant); misses resolve through per-(group, quantile) bounded
-    * TakeOrdered tails exactly as in [[exactQuantiles]] — in the common
-    * case zero of them run. Returns `(grp, quantile, value)`.
+    * constant); however many (group, quantile) brackets missed, they all
+    * resolve through ONE batched WindowGroupLimit job — not a job per
+    * miss. Rows with a null group key are excluded (see class doc).
+    * Returns `(grp, quantile, value)`.
     */
   def exactQuantilesByGroup(df: DataFrame, groupCol: Column, valCol: Column,
       qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
@@ -97,7 +166,8 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(groupCol.cast("string").as("grp"),
-      valCol.cast("long").as("v")).filter(col("v").isNotNull)
+      valCol.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("grp").isNotNull)
     val sketch = vals.groupBy("grp").agg(
       count(col("v")).as("n"),
       percentile_approx(col("v"),
@@ -122,26 +192,25 @@ object Quantiles {
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
-    val out = meta.toSeq.sortBy(_._1).flatMap { case (g, (n, br)) =>
-      qs.zipWithIndex.map { case (q, i) =>
-        val target = math.max(1L, math.ceil(q * n).toLong)
-        val b = br(i)
+    val groups = meta.toSeq.sortBy(_._1)
+    val classified = groups.flatMap { case (g, (n, br)) =>
+      qs.indices.map { i =>
+        val target = math.max(1L, math.ceil(qs(i) * n).toLong)
         val (lt, eq) = ranks((g, i))
-        val value =
-          if (target > lt && target <= lt + eq) b
-          else if (target > lt + eq) {
-            vals.filter(col("grp") === g && col("v") > b).orderBy(col("v"))
-              .limit((target - lt - eq).toInt)
-              .agg(max(col("v"))).head().getLong(0)
-          } else {
-            vals.filter(col("grp") === g && col("v") < b)
-              .orderBy(col("v").desc)
-              .limit((lt - target + 1).toInt)
-              .agg(min(col("v"))).head().getLong(0)
-          }
-        (g, q, value)
+        classify(g, i, target, br(i), lt, eq)
       }
     }
-    out.toDF("grp", "quantile", "value")
+    val misses = classified.collect { case Left(m) => m }
+    val fixed = if (misses.isEmpty) Map.empty[(String, Int), Long]
+      else resolveMisses(vals, misses, accuracy)
+    // stitch results back in (grp, quantile) order
+    val byKey = classified.zip(groups.flatMap { case (g, _) =>
+      qs.indices.map(i => (g, i))
+    }).map { case (res, key) =>
+      key -> res.fold(m => fixed((m.grp, m.qi)), identity)
+    }.toMap
+    groups.flatMap { case (g, _) =>
+      qs.zipWithIndex.map { case (q, i) => (g, q, byKey((g, i))) }
+    }.toDF("grp", "quantile", "value")
   }
 }

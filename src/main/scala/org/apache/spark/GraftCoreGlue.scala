@@ -27,4 +27,24 @@ object GraftCoreGlue {
       .map(s => s.memSize + s.diskSize)
       .sum
   }
+
+  /** Count the Spark jobs an action block launches — synchronously: the
+    * listener bus is drained before the count is read, so the number is
+    * exact, not a racy status-store snapshot. Test-surface for the
+    * "resolve N misses in ONE job" style of contract (e.g.
+    * [[graft.operators.Quantiles]]'s batched correction).
+    */
+  def countJobs[A](sc: SparkContext)(body: => A): (A, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new scheduler.SparkListener {
+      override def onJobStart(js: scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.listenerBus.addToSharedQueue(l)
+    try {
+      val a = body
+      sc.listenerBus.waitUntilEmpty()
+      (a, jobs.get())
+    } finally sc.listenerBus.removeListener(l)
+  }
 }

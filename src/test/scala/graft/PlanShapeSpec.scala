@@ -142,6 +142,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("quantile miss correction: batched window is a pre-shuffle WindowGroupLimit") {
+    val s = spark
+    import s.implicits._
+    val vals = (1 to 5000).map(i => ("g" + i % 3, i.toLong)).toDF("grp", "v")
+    val q = graft.operators.Quantiles.missResolutionPlan(vals,
+      Seq(("g0", 0, 100L, true, 7L), ("g1", 1, 900L, false, 4L),
+        ("g2", 2, 2500L, true, 12L)), accuracy = 100)
+    // the literal rn <= maxK cap must become per-partition heaps BEFORE the
+    // (grp, qi) exchange — without it every miss's full tail side rides the
+    // shuffle instead of at most misses × maxK rows per input partition
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"batched correction must group-limit before the shuffle:\n$p")
+    // and it still reads off the right order statistics
+    val out = q.collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out == Map("g0" -> 120L, "g1" -> 889L, "g2" -> 2534L), out)
+  }
+
   test("text-stat projections run inside whole-stage codegen") {
     // the final-plan tree marks WholeStageCodegen stages with a `*(n)` prefix;
     // an interpreted Project (e.g. a HOF lambda in the projection) loses it

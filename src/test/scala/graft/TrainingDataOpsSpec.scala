@@ -552,6 +552,90 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(qs.forall(q => byG(("b", q)) == bruteB(q)), s"group b: $byG")
   }
 
+  test("round-13 quantiles: all sketch misses batch into ONE correction job; null groups excluded; tail guard") {
+    val s = spark
+    import s.implicits._
+    val qs = Seq(0.25, 0.5, 0.75)
+    val rnd = new scala.util.Random(1313)
+    def mk(groups: Int): org.apache.spark.sql.DataFrame = {
+      val data = (1 to groups).flatMap(g =>
+        (1 to 800).map(i => (s"g$g", ((i.toLong * 37) % 769) + g)))
+      rnd.shuffle(data).toDF("g", "v").repartition(5)
+    }
+    // independently count how many (group, quantile) brackets the coarse
+    // sketch misses — the SAME aggregate expressions the operator runs, so
+    // the counts agree; the test needs >=3 so "one job per miss" vs "one
+    // job for all" is a visible difference
+    def missCount(df: org.apache.spark.sql.DataFrame, acc: Int): Int = {
+      val sk = df.groupBy("g").agg(count("v").as("n"),
+        percentile_approx(col("v"), array(qs.map(lit): _*), lit(acc)).as("br"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      sk.iterator.flatMap { case (g, n, br) =>
+        qs.indices.map { i =>
+          val target = math.max(1L, math.ceil(qs(i) * n).toLong)
+          val Array(lt, eq) = df.filter(col("g") === g)
+            .agg(sum(when(col("v") < br(i), 1L).otherwise(0L)),
+              sum(when(col("v") === br(i), 1L).otherwise(0L)))
+            .head().toSeq.map(_.asInstanceOf[Long]).toArray
+          if (target > lt && target <= lt + eq) 0 else 1
+        }
+      }.sum
+    }
+    def jobsFor(df: org.apache.spark.sql.DataFrame, acc: Int): Int = {
+      val (_, n) = org.apache.spark.GraftCoreGlue.countJobs(s.sparkContext) {
+        graft.operators.Quantiles.exactQuantilesByGroup(
+          df, col("g"), col("v"), qs, accuracy = acc).collect()
+      }
+      n
+    }
+    val small = mk(3); val big = mk(9)
+    val mSmall = missCount(small, 10); val mBig = missCount(big, 10)
+    assert(mSmall >= 3, s"test premise: want >=3 misses, got $mSmall")
+    assert(mBig > mSmall, s"test premise: want more misses at 9 groups " +
+      s"($mBig vs $mSmall)")
+    val j0 = jobsFor(small, 100000) // exact sketch: zero misses
+    val jSmall = jobsFor(small, 10)
+    val jBig = jobsFor(big, 10)
+    // batched correction: the job count is INDEPENDENT of the miss count
+    // (a job-per-miss implementation would differ by mBig - mSmall jobs),
+    // and the whole correction is ONE query — AQE stages each of its
+    // exchanges as a separate job (source repartition, broadcast, window
+    // shuffle, result), so "one query" reads as <= 4 extra jobs, a
+    // constant, where per-miss resolution would add >= mSmall
+    assert(jSmall == jBig, s"job count must not scale with misses: " +
+      s"$jSmall (m=$mSmall) vs $jBig (m=$mBig)")
+    assert(jSmall <= j0 + 4, s"correction must be one batched query: " +
+      s"$jSmall vs zero-miss $j0")
+    assert(jSmall - j0 < mSmall, s"per-miss jobs would add >= $mSmall")
+    // exactness with the batched path (both datasets, coarse sketch)
+    def brute(df: org.apache.spark.sql.DataFrame): Map[(String, Double), Long] = {
+      val byG = df.collect().groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+      byG.flatMap { case (g, sorted) =>
+        qs.map(q => (g, q) -> sorted(
+          (math.max(1L, math.ceil(q * sorted.length).toLong) - 1).toInt))
+      }
+    }
+    val out = graft.operators.Quantiles.exactQuantilesByGroup(
+      big, col("g"), col("v"), qs, accuracy = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    assert(out == brute(big))
+    // null group keys: excluded (documented), never an NPE
+    val withNulls = Seq((null: String, 5L), ("a", 1L), ("a", 2L), ("a", 3L),
+      (null: String, 9L)).toDF("g", "v")
+    val nn = graft.operators.Quantiles.exactQuantilesByGroup(
+      withNulls, col("g"), col("v"), Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(nn.toSeq == Seq(("a", 2L)), nn.mkString(","))
+    // tail-size guard: a correction tail over Int.MaxValue throws with the
+    // accuracy-sizing message instead of wrapping the limit negative
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.checkTail(3000000000L, 100)
+    }
+    assert(err.getMessage.contains("accuracy"), err.getMessage)
+  }
+
   test("mixture recipe: rates, epoch split, and unweighted-source exclusion") {
     val s = spark
     import s.implicits._
