@@ -61,22 +61,40 @@ object HeavyHitters {
     * `groups × 2·capacity` entries), pass 2 recounts the broadcast
     * `(group, key)` candidate set exactly. The driver holds
     * `groups × 2·capacity` candidate pairs between the passes — the
-    * per-group analogue of the centroid-table contract, sized for
-    * thousands of groups, not millions (beyond that, run [[heavyHitters]]
-    * per partition-pruned group slice).
+    * per-group analogue of the centroid-table contract, ENFORCED by
+    * `spark.graft.hh.maxGroups` (default 10,000): the sketch pull is
+    * `limit(max+1)`-bounded so an unexpectedly-high-cardinality group
+    * column throws loudly instead of materializing millions of sketch
+    * maps on the driver. Beyond the cap, raise it deliberately or run
+    * [[heavyHitters]] per partition-pruned group slice. Rows with a null
+    * group key are excluded — a null group is not a population;
+    * pre-`coalesce` to a sentinel if nulls should count as a group.
     */
   def heavyHittersByGroup(df: DataFrame, groupCol: Column, keyCol: Column,
       capacity: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val maxGroups = spark.conf.getOption("spark.graft.hh.maxGroups")
+      .map(_.toInt).getOrElse(10000)
     val keyed = df.select(groupCol.cast("string").as("grp"),
       keyCol.cast("string").as("key"))
+      .filter(col("grp").isNotNull)
     val mg = org.apache.spark.sql.GraftGlue.column(
       graft.functions.MisraGries(
         org.apache.spark.sql.GraftGlue.expression(col("key")), capacity)
         .toAggregateExpression())
+    // the limit bounds the DRIVER pull (the aggregate itself is bounded
+    // per group on the executors): one extra row is enough to detect the
+    // overflow without ever materializing the full group set locally
     val sketches = keyed.groupBy("grp")
-      .agg(mg.as("mg"), count(col("key")).as("n")).collect()
+      .agg(mg.as("mg"), count(col("key")).as("n"))
+      .limit(maxGroups + 1).collect()
+    require(sketches.length <= maxGroups,
+      s"heavyHittersByGroup: over $maxGroups distinct groups — the driver-" +
+        s"side candidate table (groups × 2×capacity entries) would not be " +
+        "a bounded summary at this cardinality. Raise " +
+        "spark.graft.hh.maxGroups deliberately, or run heavyHitters() per " +
+        "partition-pruned group slice instead.")
     val candidates = sketches.flatMap { r =>
       r.getMap[String, Long](1).keys.map(k => (r.getString(0), k))
     }.toSeq.sorted

@@ -727,6 +727,36 @@ class TrainingDataOpsSpec extends SparkSpec {
       s"per-group mismatch: $byG")
   }
 
+  test("round-13 heavy hitters: group-cardinality cap throws loudly; null groups excluded") {
+    val s = spark
+    import s.implicits._
+    // a group column that is accidentally high-cardinality (the classic
+    // "grouped by request id instead of route" mistake): the bounded-summary
+    // contract must fail BEFORE the driver materializes every sketch map
+    val hi = (1 to 200).flatMap(g => Seq.fill(3)((s"g$g", "k"))).toDF("g", "key")
+    s.conf.set("spark.graft.hh.maxGroups", "50")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        graft.operators.HeavyHitters.heavyHittersByGroup(
+          hi, col("g"), col("key"), 8).collect()
+      }
+      assert(err.getMessage.contains("maxGroups") &&
+        err.getMessage.contains("group slice"), err.getMessage)
+      // at or under the cap: works
+      s.conf.set("spark.graft.hh.maxGroups", "200")
+      assert(graft.operators.HeavyHitters.heavyHittersByGroup(
+        hi, col("g"), col("key"), 8).count() == 200L)
+    } finally s.conf.unset("spark.graft.hh.maxGroups")
+    // null group keys: excluded (documented), never an NPE in the
+    // driver-side candidate sort
+    val withNulls = Seq((null: String, "a"), ("g", "a"), ("g", "a"),
+      (null: String, "b"), ("g", "b")).toDF("g", "key")
+    val out = graft.operators.HeavyHitters.heavyHittersByGroup(
+      withNulls, col("g"), col("key"), 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(("g", "a", 2L), ("g", "b", 1L)), out.mkString(","))
+  }
+
   test("repetition stats: dup ratios and mean token length on known docs") {
     val s = spark
     import s.implicits._
