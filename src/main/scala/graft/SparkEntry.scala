@@ -3046,7 +3046,8 @@ object SparkEntry {
            (length(cleaned_text)
              - length(translate(cleaned_text, '.!?', '')))::BIGINT
              AS n_sentences,
-           (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+           (NOT contains(cleaned_text, '{')
+             AND NOT contains(lower(text), 'lorem ipsum')
              AND (length(cleaned_text)
                - length(translate(cleaned_text, '.!?', ''))) >= 3) AS keep
          FROM c ORDER BY doc_id""",

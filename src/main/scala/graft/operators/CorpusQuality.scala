@@ -162,12 +162,17 @@ object CorpusQuality {
     * [[gopherRules]]): per document, keep only lines that end in a terminal
     * punctuation mark (`.`, `!`, `?`, `"`), contain at least
     * `minWordsPerLine` words, and do not mention "javascript"
-    * (case-insensitive); then drop the whole document when the raw text
-    * contains `{` (the paper's code heuristic) or the phrase "lorem ipsum",
-    * or when the cleaned text has fewer than `minSentences` sentences
-    * (terminal-punctuation count). The paper's bad-word-list rule is the
-    * caller's `badWords` parameter (whole-document substring match,
-    * lowercase), empty by default — the published list is not bundled.
+    * (case-insensitive); then drop the whole document when the CLEANED
+    * text contains `{` — the reference implementation applies the code
+    * heuristic to lines that already passed the line filters, so a brace
+    * inside a dropped boilerplate line does not kill the page — or when
+    * the cleaned text has fewer than `minSentences` sentences
+    * (terminal-punctuation count). Documented deviation: the
+    * "lorem ipsum" drop and the caller's `badWords` parameter
+    * (substring match, lowercase; empty by default — the published list
+    * is not bundled) test the RAW text, deliberately stricter: template
+    * boilerplate anywhere in the page marks the page, even inside lines
+    * the line filters would have discarded.
     *
     * Returns `(doc_id, n_lines, kept_lines, cleaned_text, n_sentences,
     * keep)` so the caller can both filter (`keep`) and audit how much each
@@ -187,7 +192,7 @@ object CorpusQuality {
         let(array_join(kept, "\n")) { cleaned =>
           val nSentences = (length(cleaned) -
             length(translate(cleaned, ".!?", ""))).cast("long")
-          val docDrop = col("_t").contains("{") ||
+          val docDrop = cleaned.contains("{") ||
             lower(col("_t")).contains("lorem ipsum") ||
             badWords.map(w => lower(col("_t")).contains(w.toLowerCase))
               .foldLeft(lit(false))(_ || _)

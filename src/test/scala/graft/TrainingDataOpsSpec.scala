@@ -674,8 +674,12 @@ class TrainingDataOpsSpec extends SparkSpec {
     val lorem = good + "\nLorem Ipsum dolor sit amet filler text here."
     val thin = "Only one kept sentence lives in this document."
     val badw = good + "\nThis mentions the forbidden zzyzx word once."
+    // the code heuristic applies to lines that PASSED the line filters
+    // (reference behavior): a brace inside a line the filters already
+    // dropped (no terminal punctuation here) must not kill the page
+    val curlyDropped = good + "\nif (x) { y() }"
     val in = Seq((0L, good), (1L, mixedLines), (2L, curly), (3L, lorem),
-      (4L, thin), (5L, badw)).toDF("doc_id", "text")
+      (4L, thin), (5L, badw), (6L, curlyDropped)).toDF("doc_id", "text")
     val out = graft.operators.CorpusQuality.c4Clean(
       in, col("doc_id"), col("text"), badWords = Seq("zzyzx"))
       .collect().map(r => r.getLong(0) ->
@@ -689,6 +693,8 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(!out(3L)._3, "lorem ipsum doc must drop")
     assert(out(4L)._1 == 1L && !out(4L)._3, "under-3-sentence doc must drop")
     assert(!out(5L)._3, "badWords doc must drop")
+    assert(out(6L)._3 && out(6L)._4 == good,
+      "brace in a line the line filters dropped must NOT kill the page")
   }
 
   test("heavy hitters: exact above-threshold set, stable across partitionings, empty when none") {
