@@ -2059,6 +2059,43 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- exact heavy hitters from the query surface: parse a key out of
+    //      the message, then `topk_exact ... by ...` compiles to the
+    //      Misra-Gries sketch-then-recount — the skewed 25%-paths rise
+    //      above each host's N/16 threshold, the uniform tail never
+    //      shuffles per-distinct-key ----
+    "q174_piped_topk_exact" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", lit("svc/api"))
+        .withColumn("message", concat(lit("fetch path=/p/"),
+          when(col("event_id") % 4 === 0, col("event_id") % 50)
+            .otherwise(col("event_id") % 3),
+          lit(" host=h"), col("user_id") % 7))
+      val q = "_sourceCategory=svc* | parse \"path=* host=*\" as path, host" +
+        " | topk_exact path capacity=16 by host"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev.filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
+    // ---- exact percentiles from the query surface: `pct_exact` compiles
+    //      to the bracket-sketch + batched rank correction; accuracy=100
+    //      keeps the sketch coarse enough to exercise the miss path ----
+    "q175_piped_pct_exact" -> ((s, dir) => {
+      import graft.operators.SearchQuery
+      val ev = tbl(s, dir, "events")
+        .withColumn("source_category", lit("svc/api"))
+        .withColumn("message", concat(lit("rsp bytes="),
+          ((col("event_id") % 100000) * (col("event_id") % 997)) % 9973,
+          lit(" host=h"), col("user_id") % 5))
+      val q = "_sourceCategory=svc* | parse \"bytes=* host=*\" as sz, host" +
+        " | pct_exact sz 50,90,99 accuracy=100 by host"
+      val piped = SearchQuery.parsePiped(q)
+      val msgs = ev.filter(SearchQuery.compile(piped.terms, col("message")))
+      SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
+        .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -4662,6 +4699,32 @@ object SparkEntry {
                WHERE regexp_matches(message, '(.*?)\Qid=\E(.*?)\Q peer=\E(.*)'))
          SELECT id, peer, count(*)::BIGINT AS _count
          FROM p GROUP BY id, peer ORDER BY id, peer""",
+    "q174_piped_topk_exact" ->
+      """WITH m AS (SELECT 'fetch path=/p/'
+             ||(CASE WHEN event_id%4 = 0 THEN event_id%50 ELSE event_id%3 END)
+             ||' host=h'||(user_id%7) AS message FROM events),
+         p AS (SELECT regexp_extract(message, 'path=(.*?) host=(.*)', 1) AS path,
+                      regexp_extract(message, 'path=(.*?) host=(.*)', 2) AS host
+               FROM m),
+         n AS (SELECT host, count(*)::BIGINT AS n FROM p GROUP BY host)
+         SELECT p.host, p.path, count(*)::BIGINT AS _count
+         FROM p JOIN n USING (host)
+         GROUP BY p.host, p.path, n.n
+         HAVING count(*) * 16 > n.n
+         ORDER BY host, _count DESC, path""",
+    "q175_piped_pct_exact" ->
+      """WITH m AS (SELECT
+             ((event_id%100000) * (event_id%997)) % 9973 AS sz,
+             'h'||(user_id%5) AS host FROM events),
+         n AS (SELECT host, count(*)::BIGINT AS n FROM m GROUP BY host),
+         r AS (SELECT host, sz,
+                 row_number() OVER (PARTITION BY host ORDER BY sz) AS rn
+               FROM m),
+         q(qv) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE))
+         SELECT r.host, q.qv AS _quantile, r.sz AS sz
+         FROM r JOIN n USING (host)
+         JOIN q ON r.rn = greatest(1::BIGINT, ceil(q.qv * n.n)::BIGINT)
+         ORDER BY host, _quantile""",
     "q144_piped_url" ->
       s"""WITH psl(r, kl) AS (VALUES $pslValues),
          m AS (SELECT

@@ -484,6 +484,31 @@ object SearchQuery {
     */
   final case class CountFrequentStage(fields: Seq[String],
       limit: Int) extends Stage
+  /** `topk_exact <field> capacity=N [by <group>]` — EXACT heavy hitters:
+    * every value of `field` whose true frequency exceeds N_rows/capacity,
+    * with its exact `_count`. Unlike [[CountFrequentStage]] (which ranks
+    * the full key cardinality through a hash aggregate), this compiles to
+    * [[graft.operators.HeavyHitters]]'s two-pass Misra–Gries
+    * sketch-then-recount, so the shuffle never carries one record per
+    * DISTINCT key — the shape that survives a 100 TB token stream whose
+    * key cardinality dwarfs memory. The `by` form answers per-group
+    * against each group's own total. Most frequent first, key ascending
+    * as the tie-break (group first in the `by` form).
+    */
+  final case class TopkExactStage(field: String, capacity: Int,
+      by: Option[String]) extends Stage
+  /** `pct_exact <field> p1[,p2…] [accuracy=N] [by <group>]` — EXACT
+    * percentiles (values > 1 read as percents, ≤ 1 as fractions): the true
+    * order statistic of `field` at each requested rank, via
+    * [[graft.operators.Quantiles]]'s sketch-then-verify (approx bracket +
+    * exact rank correction bounded at N/accuracy rows) — never a full
+    * sort. The reference's `pct(f, 95)` is a t-digest approximation; this
+    * stage is its exact, deterministic counterpart. Output rows are
+    * `(_quantile, <field>)` (+ the group column in the `by` form),
+    * quantile ascending.
+    */
+  final case class PctExactStage(field: String, percentiles: Seq[Double],
+      accuracy: Int, by: Option[String]) extends Stage
   /** `logreduce [field=<name>] [limit N]` — signature clustering: messages
     * are reduced to a template by masking the variable tokens (ISO
     * timestamps → `$DATE`, UUIDs → `$UUID`, long hex runs → `$HEX`, digit
@@ -744,6 +769,11 @@ object SearchQuery {
     "(?i)predict\\s+([A-Za-z0-9_]+)((?:\\s+(?:forecast=\\d+|model=(?:ar|linear)))*)\\s*".r
   private val CountFrequentRe =
     "(?i)count_frequent\\s+(.+?)(?:\\s+limit\\s+(\\d+))?\\s*".r
+  private val TopkExactRe =
+    "(?i)topk_exact\\s+([A-Za-z0-9_]+)\\s+capacity=(\\d+)(?:\\s+by\\s+([A-Za-z0-9_]+))?\\s*".r
+  private val PctExactRe =
+    ("(?i)pct_exact\\s+([A-Za-z0-9_]+)\\s+([0-9][0-9.,\\s]*?)" +
+      "(?:\\s+accuracy=(\\d+))?(?:\\s+by\\s+([A-Za-z0-9_]+))?\\s*").r
   private val LogReduceRe =
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogCompareRe =
@@ -980,6 +1010,27 @@ object SearchQuery {
           CountFrequentStage(splitKeys(flds), Option(n).map(_.toInt).getOrElse(100))
         case _ => throw new IllegalArgumentException(
           s"count_frequent needs 'count_frequent f1[, f2…] [limit N]': $s")
+      }
+    } else if (lower.startsWith("topk_exact ")) {
+      s match {
+        case TopkExactRe(f, cap, by) =>
+          require(cap.toInt > 0, s"topk_exact capacity must be positive: $s")
+          TopkExactStage(f, cap.toInt, Option(by))
+        case _ => throw new IllegalArgumentException(
+          s"topk_exact needs 'topk_exact <field> capacity=N [by <group>]': $s")
+      }
+    } else if (lower.startsWith("pct_exact ")) {
+      s match {
+        case PctExactRe(f, ps, acc, by) =>
+          val pcts = ps.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(_.toDouble).toSeq
+          require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+            s"pct_exact percentiles must be in (0, 100]: $s")
+          PctExactStage(f, pcts,
+            Option(acc).map(_.toInt).getOrElse(10000), Option(by))
+        case _ => throw new IllegalArgumentException(
+          s"pct_exact needs 'pct_exact <field> p1[,p2…] [accuracy=N] " +
+            s"[by <group>]': $s")
       }
     } else if (lower.startsWith("logcompare ")) {
       s match {
@@ -2061,6 +2112,39 @@ object SearchQuery {
           order = ("_count", true) +: keys.map((_, false))
           df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_count"))
             .orderBy(sortColumns(order): _*).limit(n)
+        case TopkExactStage(f, cap, by) =>
+          val key = resolveField(f)
+          by match {
+            case Some(g0) =>
+              val g = resolveField(g0)
+              order = Seq((g, false), ("_count", true), (key, false))
+              HeavyHitters.heavyHittersByGroup(df, col(g), col(key), cap)
+                .select(col("grp").as(g), col("key").as(key),
+                  col("cnt").as("_count"))
+                .orderBy(sortColumns(order): _*)
+            case None =>
+              order = Seq(("_count", true), (key, false))
+              HeavyHitters.heavyHitters(df, col(key), cap)
+                .select(col("key").as(key), col("cnt").as("_count"))
+                .orderBy(sortColumns(order): _*)
+          }
+        case PctExactStage(f, pcts, acc, by) =>
+          val v = resolveField(f)
+          val qs = pcts.map(p => if (p > 1.0) p / 100.0 else p)
+          by match {
+            case Some(g0) =>
+              val g = resolveField(g0)
+              order = Seq((g, false), ("_quantile", false))
+              Quantiles.exactQuantilesByGroup(df, col(g), col(v), qs, acc)
+                .select(col("grp").as(g), col("quantile").as("_quantile"),
+                  col("value").as(v))
+                .orderBy(sortColumns(order): _*)
+            case None =>
+              order = Seq(("_quantile", false))
+              Quantiles.exactQuantiles(df, col(v), qs, acc)
+                .select(col("quantile").as("_quantile"), col("value").as(v))
+                .orderBy(sortColumns(order): _*)
+          }
         case LogReduceStage(field, n) =>
           val sig = logSignature(
             col(field.map(resolveField).getOrElse(messageColName)))
@@ -2510,6 +2594,11 @@ object SearchQuery {
       // mirroring the `order` each one declares in compileStages
       case CountFrequentStage(fields, _) =>
         ("_count", true) +: fields.map(f => (resolveField(f), false))
+      case TopkExactStage(f, _, by) =>
+        by.map(g => (resolveField(g), false)).toSeq ++
+          Seq(("_count", true), (resolveField(f), false))
+      case PctExactStage(_, _, _, by) =>
+        by.map(g => (resolveField(g), false)).toSeq :+ (("_quantile", false))
       case LogReduceStage(_, _) => Seq(("_count", true), ("_signature", false))
       case LogCompareStage(_, _) => Seq(("_count", true), ("_signature", false))
       case LogExplainStage(_, fields, _) =>

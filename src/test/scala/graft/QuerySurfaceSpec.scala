@@ -679,6 +679,58 @@ class QuerySurfaceSpec extends SparkSpec {
       Seq(("_count", true), ("_signature", false)))
   }
 
+  test("Q2+: topk_exact / pct_exact — exact heavy hitters and order statistics from the pipe") {
+    import SearchQuery._
+    val s = spark
+    import s.implicits._
+    // parse forms: capacity required; percentiles as percents or fractions;
+    // accuracy and by optional
+    assert(parseStage("topk_exact path capacity=16") ==
+      TopkExactStage("path", 16, None))
+    assert(parseStage("topk_exact path capacity=16 by host") ==
+      TopkExactStage("path", 16, Some("host")))
+    assert(parseStage("pct_exact sz 50,90,99") ==
+      PctExactStage("sz", Seq(50.0, 90.0, 99.0), 10000, None))
+    assert(parseStage("pct_exact sz 0.5, 0.99 accuracy=100 by host") ==
+      PctExactStage("sz", Seq(0.5, 0.99), 100, Some("host")))
+    intercept[IllegalArgumentException](parseStage("topk_exact path"))
+    intercept[IllegalArgumentException](parseStage("pct_exact sz 0"))
+    // compile: topk_exact keeps only above-threshold keys with EXACT counts
+    // (count_frequent would rank everything); by-group vs global forms
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, s"g${i % 2}") }.toDF("k", "g")
+    val topG = compileStages(Seq(parseStage("topk_exact k capacity=4")),
+      "ts", "message")(df)
+      .select("k", "_count").as[(String, Long)].collect().toSeq
+    assert(topG == Seq(("a", 6L))) // only a: 6*4 > 10; b: 2*4 !> 10
+    val byHost = compileStages(Seq(parseStage("topk_exact k capacity=4 by g")),
+      "ts", "message")(df)
+      .select("g", "k", "_count").as[(String, String, Long)].collect().toSeq
+    assert(byHost == Seq(("g0", "a", 3L), ("g1", "a", 3L)), byHost)
+    // pct_exact: exact order statistics, percent and fraction spellings
+    // agree, value column keeps the source field's name
+    val nums = (1L to 100L).map(v => (v, if (v % 2 == 0) "e" else "o"))
+      .toDF("sz", "g")
+    val p = compileStages(Seq(parseStage("pct_exact sz 50,90")),
+      "ts", "message")(nums)
+      .select("_quantile", "sz").as[(Double, Long)].collect().toSeq
+    assert(p == Seq((0.5, 50L), (0.9, 90L)), p)
+    val pf = compileStages(Seq(parseStage("pct_exact sz 0.5,0.9")),
+      "ts", "message")(nums)
+      .select("_quantile", "sz").as[(Double, Long)].collect().toSeq
+    assert(pf == p)
+    val pg = compileStages(Seq(parseStage("pct_exact sz 50 by g")),
+      "ts", "message")(nums)
+      .select("g", "_quantile", "sz").as[(String, Double, Long)]
+      .collect().toSeq
+    assert(pg == Seq(("e", 0.5, 50L), ("o", 0.5, 49L)), pg)
+    // both stages page in their own output order
+    assert(recordsOrderBy(Seq(parseStage("topk_exact k capacity=8 by g"))) ==
+      Seq(("g", false), ("_count", true), ("k", false)))
+    assert(recordsOrderBy(Seq(parseStage("pct_exact sz 50,90"))) ==
+      Seq(("_quantile", false)))
+  }
+
   test("Q1: compare timeshift / predict — period-over-period join and linear trend") {
     import SearchQuery._
     val s = spark
