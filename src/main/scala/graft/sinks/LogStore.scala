@@ -301,9 +301,16 @@ object LogStore {
   /** [[vacuum]] over every partition of the store — the scheduled
     * maintenance sweep form. One manifest read per partition; partitions
     * with no manifest cost a stat call and nothing else.
+    *
+    * `commitMarkerWatermark`: when set, `_commits/b<id>` markers with
+    * `id <= watermark` are garbage-collected AFTER the partition sweep
+    * (see [[gcCommitMarkers]] for the safety contract) — without this a
+    * long-running stream accumulates one marker file per micro-batch in a
+    * single flat directory forever.
     */
   def vacuumAll(dir: String,
-      deadFileGraceMs: Long = DefaultDeadFileGraceMs): Unit = {
+      deadFileGraceMs: Long = DefaultDeadFileGraceMs,
+      commitMarkerWatermark: Option[Long] = None): Unit = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) return
     for {
@@ -312,6 +319,47 @@ object LogStore {
       catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("source_category="))
     } recoverAndGc(catDir, deadFileGraceMs)
+    commitMarkerWatermark.foreach(gcCommitMarkers(dir, _))
+  }
+
+  /** Garbage-collect `_commits/b<id>` batch markers with
+    * `id <= upToBatchId`. Two safety rules:
+    *
+    *  1. **The watermark is the caller's replay fence.** A deleted marker
+    *     makes a re-run of [[appendBatch]] for that id land the batch
+    *     AGAIN, so `upToBatchId` must be an id the stream's checkpoint has
+    *     durably advanced past — Structured Streaming replays at most the
+    *     last uncommitted batch, so `lastCompletedBatchId - 1` (from the
+    *     query's progress/checkpoint) is always safe. Markers above the
+    *     watermark are untouched no matter how old.
+    *  1. **Ids still pending in ANY partition manifest keep their marker**
+    *     (the crash-between-marker-and-cleanup window): those inert
+    *     `pending_batch` entries resolve to "committed" THROUGH the
+    *     marker — deleting it first would flip committed files invisible.
+    *     [[vacuumAll]] clears inert entries in its partition sweep before
+    *     calling this, so such markers are reaped one sweep later.
+    *
+    * Returns the number of markers deleted.
+    */
+  def gcCommitMarkers(dir: String, upToBatchId: Long): Int = {
+    val root = Paths.get(dir)
+    val commits = root.resolve("_commits")
+    if (!Files.isDirectory(commits)) return 0
+    val stillPending: Set[Long] = (for {
+      dateDir <- ls(root)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("ingest_date="))
+      catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("source_category="))
+      id <- readManifest(catDir).pendingBatches
+    } yield id).toSet
+    val reapable = ls(commits) { p =>
+      val n = p.getFileName.toString
+      n.startsWith("b") && n.drop(1).forall(_.isDigit)
+    }.filter { p =>
+      val id = p.getFileName.toString.drop(1).toLong
+      id <= upToBatchId && !stillPending(id)
+    }
+    reapable.count(Files.deleteIfExists(_))
   }
 
   // ---------------------------------------------------------------- manifest

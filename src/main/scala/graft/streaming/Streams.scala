@@ -118,6 +118,13 @@ object Streams {
         // the store write and the checkpoint commit lands exactly once
         graft.sinks.LogStore.appendBatch(derived, storeDir, col("ts"), batchId)
       }
+      // marker hygiene: when THIS batch runs, the checkpoint has durably
+      // committed batchId-1, so ids <= batchId-2 can never replay — their
+      // _commits markers are pure litter (one file per past micro-batch in
+      // a flat dir, forever, without this). Reap-as-you-go keeps the
+      // directory O(1); the inert-pending fence inside gcCommitMarkers
+      // still protects any crash-window ids.
+      if (batchId >= 2) graft.sinks.LogStore.gcCommitMarkers(storeDir, batchId - 2)
       ()
     }
   }

@@ -460,6 +460,50 @@ class LogStoreSpec extends SparkSpec {
     assert(messages(dir).toSet == expect.toSet)
   }
 
+  test("round-13 marker GC: watermark reaps old _commits markers, pending entries fence, rows stay live") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("logstore-markergc").toString
+    def batch(b: Int) =
+      (0 until 20).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-03-01 10:0$b%d:${i % 60}%02d"),
+          "cat-0", s"""{"b":$b,"i":$i}"""))
+        .toDF("ts", "source_category", "message")
+    (0 to 5).foreach(b => LogStore.appendBatch(batch(b), dir, col("ts"), b.toLong))
+    val commits = java.nio.file.Paths.get(dir, "_commits")
+    def markers = {
+      val ls = Files.list(commits)
+      try ls.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally ls.close()
+    }
+    assert(markers == (0 to 5).map(b => s"b$b"))
+    // crash sim: batch 2 committed but its cleanup never ran — the inert
+    // pending entry must FENCE b2's marker (the entry resolves to
+    // "committed" through it; reaping first would hide committed files)
+    val part = java.nio.file.Paths.get(dir,
+      "ingest_date=2024-03-01", "source_category=cat-0")
+    Files.write(part.resolve("_manifest"), "pending_batch=2".getBytes("UTF-8"))
+    assert(LogStore.gcCommitMarkers(dir, upToBatchId = 4L) == 4) // b0,b1,b3,b4
+    assert(markers == Seq("b2", "b5"))
+    val expect = messages(dir)
+    assert(expect.length == 120 && expect.distinct.length == 120,
+      "marker GC must not change visibility")
+    // the scheduled sweep clears the inert entry FIRST, so the fenced
+    // marker is reaped by the same vacuumAll one sweep later
+    LogStore.vacuumAll(dir, commitMarkerWatermark = Some(4L))
+    assert(markers == Seq("b5"), "inert entry cleared, then marker reaped")
+    assert(messages(dir).toSet == expect.toSet)
+    // above-watermark markers survive any number of sweeps (they are the
+    // replay fence for batches the checkpoint may still re-run)
+    LogStore.vacuumAll(dir, commitMarkerWatermark = Some(4L))
+    assert(markers == Seq("b5"))
+    // replay of a GC'd batch id would re-land — the watermark contract is
+    // exactly that the checkpoint has advanced past it; replay of the
+    // still-fenced b5 stays a no-op
+    LogStore.appendBatch(batch(5), dir, col("ts"), 5L)
+    assert(messages(dir).toSet == expect.toSet)
+  }
+
   test("writer crashed after full move-in, before marker: batch invisible, compact-proof, replays once") {
     val s = spark
     import s.implicits._

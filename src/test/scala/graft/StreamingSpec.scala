@@ -504,6 +504,18 @@ class StreamingSpec extends SparkSpec {
     assert(msgs == Seq("order created id=1", "order created id=3"))
     // logStream context survives the kinesis path like the S1 path
     assert(store.filter(col("logStream") === "fn-b").count() == 1)
+    // marker hygiene: reap-as-you-go GC keeps _commits bounded — only
+    // markers the checkpoint could still replay (ids > lastBatch-2) remain,
+    // not one file per past micro-batch
+    val commits = java.nio.file.Paths.get(storeDir, "_commits")
+    val live = {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(commits)
+      try ls.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally ls.close()
+    }
+    assert(live.nonEmpty && live.size <= 2,
+      s"markers must stay bounded at the replay window: $live")
     SearchJobs.delete(job.id)
   }
 
