@@ -70,6 +70,41 @@ object SumoSink {
     }
   }
 
+  /** Real HTTP transport for K1 — the wire the reference's collector client
+    * speaks (`sumologsclient.js:44-109`, retry framing `utils.js:68-105`):
+    * one POST per chunk to the collector endpoint, the bucket's
+    * `X-Sumo-*`/`Content-Encoding` headers passed through verbatim, gzip'd
+    * NDJSON body as built by the chunker. Any non-2xx status (and any
+    * connect/timeout failure) throws, which is the contract the upstream
+    * retry/backoff/DLQ loop in [[post]] is built on — a 5xx therefore rides
+    * the SAME bounded-retry-then-capture path as a thrown transport error.
+    *
+    * The poster serializes into executor tasks; the underlying
+    * [[java.net.http.HttpClient]] is per-JVM (`@transient lazy`) and
+    * thread-safe, so concurrent bucket posts (R6) share one connection
+    * pool per executor.
+    */
+  class HttpPoster(endpoint: String, connectTimeoutMs: Long = 10000L,
+      requestTimeoutMs: Long = 60000L) extends BucketPoster {
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .build()
+    override def post(headers: Map[String, String], body: Array[Byte]): Unit = {
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      val resp = client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"POST $endpoint -> HTTP ${resp.statusCode()}: " +
+            resp.body().take(200))
+    }
+  }
+
   /** K1: deliver a metadata-derived DataFrame (shape per [[Metadata.derive]])
     * as NDJSON buckets. Returns the per-chunk outcome Dataset — inspect/aggregate
     * it for G4 counts; failed chunks are already persisted under `dlqDir`.

@@ -125,6 +125,81 @@ class SumoSinkSpec extends SparkSpec {
       retries = 3, retrySeedMs = 1).collect()
     assert(outcomes.forall(_.success))
   }
+
+  test("round-13 K1 over real HTTP: success + server-side header fidelity, 5xx → retry → DLQ → heal → drain") {
+    import scala.jdk.CollectionConverters._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Map[String, String], Array[Byte])]()
+    val fail503 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/collect",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        val body = ex.getRequestBody.readAllBytes()
+        // lowercase keys: the JDK server normalizes header-name casing
+        val hdrs = ex.getRequestHeaders.entrySet().asScala
+          .map(e => e.getKey.toLowerCase -> e.getValue.get(0)).toMap
+        if (fail503.get() && hdrs.getOrElse("x-sumo-category", "") == "odd") {
+          ex.sendResponseHeaders(503, -1)
+        } else {
+          received.add((hdrs, body))
+          ex.sendResponseHeaders(200, -1)
+        }
+        ex.close()
+      })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/collect"
+      // 1) success path: every chunk POSTs once; body and headers asserted
+      //    on the SERVER side (gzip NDJSON wire, X-Sumo-* verbatim)
+      val outcomes = SumoSink.post(Metadata.derive(inputDf),
+        new SumoSink.HttpPoster(endpoint)).collect()
+      assert(outcomes.forall(_.success) && outcomes.map(_.n_lines).sum == 100)
+      val reqs = received.asScala.toSeq
+      assert(reqs.size == outcomes.length)
+      val lines = reqs.flatMap { case (_, b) =>
+        new String(CodecImpl.gunzip(b), UTF_8).split("\n") }
+      assert(lines.size == 100 &&
+        lines.forall(l => l.contains("\"message\"") && !l.contains("_sumo_metadata")))
+      reqs.foreach { case (h, _) =>
+        assert(h.get("content-encoding").contains("gzip"), h)
+        assert(h.get("x-sumo-client").contains("cwl-aws-lambda"), h)
+        assert(h.get("x-sumo-category").exists(Set("even", "odd")), h)
+      }
+      // 2) 5xx path: the odd category now 503s — its chunks must exhaust
+      //    the retry budget against the real server (attempts counted
+      //    server-side) and land in the DLQ with the HTTP status in the
+      //    error; the even category is untouched
+      fail503.set(true)
+      received.clear()
+      val dlq = mkTmp()
+      val before = hits.get()
+      val res2 = SumoSink.post(Metadata.derive(inputDf),
+        new SumoSink.HttpPoster(endpoint),
+        retries = 2, retrySeedMs = 1, dlqDir = Some(dlq)).collect()
+      val (ok, bad) = res2.partition(_.success)
+      assert(ok.nonEmpty && ok.forall(_.meta_key.contains("even")), ok.toSeq)
+      assert(bad.nonEmpty && bad.forall(o => o.meta_key.contains("odd") &&
+        o.dlq_path != null && o.error.contains("503")), bad.toSeq)
+      assert(hits.get() - before == ok.length + bad.length * 3,
+        "each failed chunk must hit the server retries+1 times")
+      // 3) heal and drain: replay re-posts the captured wire over HTTP and
+      //    deletes on success; the drained lines actually arrive
+      fail503.set(false)
+      received.clear()
+      val replayed = SumoSink.replayDlq(spark, dlq,
+        new SumoSink.HttpPoster(endpoint), deleteOnSuccess = true).collect()
+      assert(replayed.nonEmpty && replayed.forall(_.success))
+      val drained = received.asScala.toSeq.flatMap { case (_, b) =>
+        new String(CodecImpl.gunzip(b), UTF_8).split("\n") }
+      assert(drained.size == 50, s"all odd-category lines drained: ${drained.size}")
+      assert(Option(new java.io.File(dlq).listFiles()).getOrElse(Array.empty)
+        .isEmpty, "delete-on-success must empty the DLQ")
+    } finally server.stop(0)
+  }
 }
 
 /** Fails the first attempt per JVM+key, succeeds after — exercises R2 retry. */
