@@ -121,10 +121,14 @@ object Bench {
   /** Streaming-path throughput: events.parquet re-wrapped as kinesis shard
     * dumps (the S2 wire shape), streamed through the decode → metadata →
     * LogStore chain, then queried via a search job — the S1/K1/Q1 path the
-    * batch queries never time. Returns (seconds, events, matches).
+    * batch queries never time. Returns (seconds, ingestSeconds,
+    * searchSeconds, events, matches) — the stage split rides into
+    * BENCH.json so a round-over-round throughput delta is attributable to
+    * ingest vs search instead of ambiguous (the r10–r12 137k→109k ev/s
+    * question).
     */
   private def streamE2e(spark: SparkSession, sfDir: String,
-      replicate: Int = 1): (Double, Long, Long) = {
+      replicate: Int = 1): (Double, Double, Double, Long, Long) = {
     import graft.operators.{CwlPipeline, Metadata, SearchJobs}
     import graft.streaming.Streams
     val shardDir = java.nio.file.Files.createTempDirectory("bench-shards").toString
@@ -179,7 +183,7 @@ object Bench {
     val secs = (System.nanoTime() - t0) / 1e9
     Console.err.println(
       f"[bench] stream ingest $tIngest%.2f s, search ${secs - tIngest}%.2f s")
-    (secs, nEvents, matches)
+    (secs, tIngest, secs - tIngest, nEvents, matches)
   }
 
   def main(args: Array[String]): Unit = {
@@ -229,8 +233,8 @@ object Bench {
         Console.err.println(f"[bench] stream run $i: ${r._1}%.2f s")
         r
       }
-      val (secs, ev, m) = runs.last
-      println(s"""{"stream_only":{"sec":$secs,"events":$ev,"matches":$m}}""")
+      val (secs, ing, sch, ev, m) = runs.last
+      println(s"""{"stream_only":{"sec":$secs,"ingest_sec":$ing,"search_sec":$sch,"events":$ev,"matches":$m}}""")
       spark.stop()
       return
     }
@@ -308,9 +312,9 @@ object Bench {
     // that no second batch would ever pay).
     try streamE2e(spark, sfDir) catch { case _: Throwable => () }
     drainSession(spark)
-    val (streamSecs, streamEvents, streamMatches) =
+    val (streamSecs, streamIngest, streamSearch, streamEvents, streamMatches) =
       try streamE2e(spark, sfDir)
-      catch { case t: Throwable => t.printStackTrace(); (-1.0, 0L, 0L) }
+      catch { case t: Throwable => t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
     val eps = if (streamSecs > 0) streamEvents / streamSecs else -1.0
     println(s"""{"q":"stream_e2e","sec":${r3(streamSecs)}}""")
     // 1M-event drill (events ×10, disjoint ids): the amortized-throughput
@@ -318,9 +322,9 @@ object Bench {
     // 100k run is ~1/3 fixed micro-batch cost. Recorded separately, NOT
     // summed into the composite (keeps totals comparable across rounds).
     drainSession(spark)
-    val (s1mSecs, s1mEvents, s1mMatches) =
+    val (s1mSecs, s1mIngest, s1mSearch, s1mEvents, s1mMatches) =
       try streamE2e(spark, sfDir, replicate = 10)
-      catch { case t: Throwable => t.printStackTrace(); (-1.0, 0L, 0L) }
+      catch { case t: Throwable => t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
     val eps1m = if (s1mSecs > 0) s1mEvents / s1mSecs else -1.0
     println(s"""{"q":"stream_1m","sec":${r3(s1mSecs)}}""")
     val qs = (results.map { case (k, v) => k -> v._1 } :+
@@ -343,7 +347,7 @@ object Bench {
     val (loadEnd, jvmsEnd) = loadSnapshot()
     val loadCtx =
       s""""load":{"start":${loadJson(loadStart, jvmsStart)},"end":${loadJson(loadEnd, jvmsEnd)},"cpus_host":${Runtime.getRuntime.availableProcessors},"cpus_bench":$cpus,"flagged":$loadFlagged}"""
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)},"ingest_sec":${r3(streamIngest)},"search_sec":${r3(streamSearch)},"ingest_events_per_sec":${r3(if (streamIngest > 0) streamEvents / streamIngest else -1.0)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)},"ingest_events_per_sec":${r3(if (s1mIngest > 0) s1mEvents / s1mIngest else -1.0)}},"sf":"$sfDir"}"""
     // Full per-query blob goes to a FILE (it has never fit the driver's
     // output-tail window — 75 query names alone overflow it); stdout gets
     // the per-query lines above plus one SHORT final line that always fits
@@ -357,6 +361,6 @@ object Bench {
     // line, not interleaved with executor-shutdown log noise.
     spark.sparkContext.setLogLevel("ERROR")
     try spark.stop() catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"load_flagged":$loadFlagged,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)}},"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"load_flagged":$loadFlagged,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)}},"stream_1m":{"events":$s1mEvents,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)}},"sf":"$sfDir","queries_file":"${benchFile.toAbsolutePath}"}""")
   }
 }
