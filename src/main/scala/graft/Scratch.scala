@@ -616,6 +616,26 @@ object Scratch {
       .select(col("doc_id"), shingleHashes(col("_text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     time("sh materialize")(sh.count())
+    // Pair-normalized simhash accounting (SCALING.md round 13): the q47
+    // sf0.1-vs-sf1 ratio question is only answerable in µs/pair — the
+    // operator's output grows with data, so wall seconds alone conflate
+    // "slower" with "more pairs". Min-of-3 warm noop writes + the exact
+    // pair count at the CURRENT sf dir.
+    if (sys.env.contains("SPARK_GRAFT_SIMHASH_PAIRS")) {
+      def pairs = graft.operators.Dedup.simhashPairs(
+        d, col("doc_id"), col("text"), maxHamming = 3)
+      pairs.write.format("noop").mode("overwrite").save() // warm
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        pairs.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val n = pairs.count()
+      val best = runs.min
+      println(f"[scratch] simhash_pairs: n=$n best=$best%.2f s " +
+        f"runs=${runs.map(t => f"$t%.2f").mkString(",")} -> " +
+        f"${n / best / 1000}%.1f kpairs/s, ${best * 1e6 / n}%.3f us/pair")
+    }
     // extra args = query names, timed warm against a noop sink (full declared
     // plan, codegen already compiled) — the per-query drill-down the bench's
     // cold single-shot numbers can't give
