@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.operators.Metadata.MetaConfig
+
+/** Deployment-config resolution seam — the reference's env→parameter-store
+  * boundary re-expressed for an engine (reference
+  * `cloudwatchlogs-with-dlq/cloudwatchlogs_lambda.js:25-40` — SSM
+  * `GetParameter(WithDecryption)` — and `:92-126` — the env-driven config
+  * block with the env-wins / store-fallback endpoint rule and URL
+  * validation).
+  *
+  * Resolution order for a named setting: the env map wins, a
+  * [[ConfigSource.ParameterStore]] (the SSM stand-in; the sandbox has no
+  * AWS, so the bundled implementation is directory-backed — one file per
+  * parameter, the decrypt-then-trim shape a SecureString read has) is the
+  * fallback, and a miss on both fails with the reference's dual-option
+  * message. `fromEnv` then builds the typed [[CwlPipeline.Config]] /
+  * [[Metadata.MetaConfig]] pair from the same env keys the reference
+  * reads, so a user can lift a deployment's environment block verbatim.
+  */
+object ConfigSource {
+
+  /** The SSM-shaped lookup boundary: `get` returns the decrypted value or
+    * None. Implementations must be cheap to call repeatedly (resolution
+    * happens on the driver at plan-build time, never per row).
+    */
+  trait ParameterStore extends Serializable {
+    def get(name: String): Option[String]
+  }
+
+  /** No parameters — env-only resolution (the common engine deployment). */
+  object EmptyParameterStore extends ParameterStore {
+    override def get(name: String): Option[String] = None
+  }
+
+  /** Directory-backed store: parameter `NAME` is the trimmed content of
+    * `<dir>/NAME`. Slashes in names (SSM path style, `/sumologic/X`) map to
+    * subdirectories.
+    */
+  final class DirParameterStore(dir: String) extends ParameterStore {
+    override def get(name: String): Option[String] = {
+      val p = java.nio.file.Paths.get(dir, name.stripPrefix("/").split("/"): _*)
+      if (java.nio.file.Files.isRegularFile(p))
+        Some(java.nio.file.Files.readString(p,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else None
+    }
+  }
+
+  /** Env wins, store is the fallback, a miss on both throws the reference's
+    * "either define … or create …" message (`cloudwatchlogs_lambda.js:115`).
+    */
+  def resolve(name: String, env: Map[String, String] = sys.env,
+      store: ParameterStore = EmptyParameterStore): String =
+    env.get(name).filter(_.nonEmpty)
+      .orElse(store.get(name).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Either define the $name environment variable or create a " +
+          s"parameter named $name in the parameter store"))
+
+  /** The endpoint rule: [[resolve]] + the reference's URL validation —
+    * https scheme, a host, and a path (`cloudwatchlogs_lambda.js:123-126`).
+    */
+  def resolveEndpoint(name: String = "SUMO_ENDPOINT",
+      env: Map[String, String] = sys.env,
+      store: ParameterStore = EmptyParameterStore): String = {
+    val v = resolve(name, env, store)
+    val u = try new java.net.URI(v)
+      catch { case _: java.net.URISyntaxException => null }
+    require(u != null && u.getScheme == "https" && u.getHost != null &&
+      u.getRawPath != null && u.getRawPath.nonEmpty,
+      s"Invalid $name environment variable: $v")
+    v
+  }
+
+  /** The reference's `getConfig` env block (`cloudwatchlogs_lambda.js:
+    * 92-111`) as the engine's typed configs: the pipeline half (log format,
+    * logStream prefixes, VPC CIDR drop, includeLogInfo) and the metadata
+    * half (source overrides). Booleans follow the reference exactly:
+    * `INCLUDE_LOG_INFO` is `=== "true"`, absent → false.
+    */
+  def fromEnv(env: Map[String, String] = sys.env)
+      : (CwlPipeline.Config, MetaConfig) = {
+    val cfg = CwlPipeline.Config(
+      logFormat = env.getOrElse("LOG_FORMAT", "Others"),
+      includeLogInfo = env.get("INCLUDE_LOG_INFO").contains("true"),
+      logStreamPrefix = env.get("LOG_STREAM_PREFIX").filter(_.nonEmpty),
+      vpcCidrPrefix = env.get("VPC_CIDR_PREFIX").filter(_.nonEmpty))
+    val meta = MetaConfig(
+      sourceNameOverride = env.getOrElse("SOURCE_NAME_OVERRIDE", ""),
+      sourceCategoryOverride = env.getOrElse("SOURCE_CATEGORY_OVERRIDE", ""),
+      sourceHostOverride = env.getOrElse("SOURCE_HOST_OVERRIDE", ""),
+      sourceFieldsOverride = env.getOrElse("SOURCE_FIELDS_OVERRIDE", ""),
+      clientHeader = clientHeader(env))
+    (cfg, meta)
+  }
+
+  /** Client header with the reference default (`SUMO_CLIENT_HEADER`). */
+  def clientHeader(env: Map[String, String] = sys.env): String =
+    env.get("SUMO_CLIENT_HEADER").filter(_.nonEmpty)
+      .getOrElse("cwl-aws-lambda")
+}

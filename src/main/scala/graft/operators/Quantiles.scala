@@ -165,13 +165,25 @@ object Quantiles {
       s"quantiles must be in (0, 1], got ${qs.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
+    val maxGroups = spark.conf.getOption("spark.graft.quantiles.maxGroups")
+      .map(_.toInt).getOrElse(10000)
     val vals = df.select(groupCol.cast("string").as("grp"),
       valCol.cast("long").as("v"))
       .filter(col("v").isNotNull && col("grp").isNotNull)
+    // the limit bounds the DRIVER pull (the same guard as
+    // [[HeavyHitters.heavyHittersByGroup]]): one extra row detects the
+    // overflow without materializing every group's bracket table locally
     val sketch = vals.groupBy("grp").agg(
       count(col("v")).as("n"),
       percentile_approx(col("v"),
-        array(qs.map(lit): _*), lit(accuracy)).as("br")).collect()
+        array(qs.map(lit): _*), lit(accuracy)).as("br"))
+      .limit(maxGroups + 1).collect()
+    require(sketch.length <= maxGroups,
+      s"exactQuantilesByGroup: over $maxGroups distinct groups — the " +
+        "driver-side bracket table (groups × |quantiles| longs) would not " +
+        "be a bounded summary at this cardinality. Raise " +
+        "spark.graft.quantiles.maxGroups deliberately, or run " +
+        "exactQuantiles() per partition-pruned group slice instead.")
     if (sketch.isEmpty) {
       return Seq.empty[(String, Double, Long)]
         .toDF("grp", "quantile", "value").limit(0)

@@ -95,4 +95,58 @@ class CwlPipelineSpec extends SparkSpec {
     val out = run(CwlPipeline.Config(includeLogInfo = false))
     assert(!out.columns.contains("logStream") && !out.columns.contains("logGroup"))
   }
+
+  test("round-13 config seam: env wins, parameter store falls back, endpoint validated, typed configs from env") {
+    import graft.operators.ConfigSource
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssm")
+    java.nio.file.Files.writeString(dir.resolve("SUMO_ENDPOINT"),
+      "https://collectors.example/receiver/v1/http/abc\n") // store trims
+    val store = new ConfigSource.DirParameterStore(dir.toString)
+    // env wins over the store
+    assert(ConfigSource.resolve("SUMO_ENDPOINT",
+      Map("SUMO_ENDPOINT" -> "https://env.example/p"), store) ==
+      "https://env.example/p")
+    // store fallback when env is absent or empty (decrypt-then-trim shape)
+    assert(ConfigSource.resolve("SUMO_ENDPOINT", Map.empty, store) ==
+      "https://collectors.example/receiver/v1/http/abc")
+    assert(ConfigSource.resolve("SUMO_ENDPOINT",
+      Map("SUMO_ENDPOINT" -> ""), store) ==
+      "https://collectors.example/receiver/v1/http/abc")
+    // SSM path-style names map to subdirectories
+    java.nio.file.Files.createDirectories(dir.resolve("sumologic"))
+    java.nio.file.Files.writeString(dir.resolve("sumologic/KEY"), "v1")
+    assert(ConfigSource.resolve("/sumologic/KEY", Map.empty, store) == "v1")
+    // miss on both: the reference's dual-option message
+    val miss = intercept[IllegalArgumentException] {
+      ConfigSource.resolve("NOPE", Map.empty, store)
+    }
+    assert(miss.getMessage.contains("environment variable") &&
+      miss.getMessage.contains("parameter store"), miss.getMessage)
+    // endpoint validation: https + host + path required
+    for (bad <- Seq("http://x.example/p", "https:///p", "https://x.example",
+        "not a url")) {
+      val e = intercept[IllegalArgumentException] {
+        ConfigSource.resolveEndpoint(env = Map("SUMO_ENDPOINT" -> bad))
+      }
+      assert(e.getMessage.contains("Invalid"), s"$bad: ${e.getMessage}")
+    }
+    assert(ConfigSource.resolveEndpoint(
+      env = Map("SUMO_ENDPOINT" -> "https://x.example/receiver")) ==
+      "https://x.example/receiver")
+    // the typed config pair from the reference's env keys (booleans are
+    // the reference's === "true"; absent prefix stays None)
+    val (cfg, meta) = ConfigSource.fromEnv(Map(
+      "LOG_FORMAT" -> "VPC-JSON", "INCLUDE_LOG_INFO" -> "true",
+      "LOG_STREAM_PREFIX" -> "prod-,canary-",
+      "SOURCE_CATEGORY_OVERRIDE" -> "prod/vpc",
+      "SUMO_CLIENT_HEADER" -> "custom-client"))
+    assert(cfg.isVpc && cfg.includeLogInfo &&
+      cfg.logStreamPrefix.contains("prod-,canary-") &&
+      cfg.vpcCidrPrefix.isEmpty)
+    assert(meta.sourceCategoryOverride == "prod/vpc" &&
+      meta.clientHeader == "custom-client")
+    val (cfg2, meta2) = ConfigSource.fromEnv(Map("INCLUDE_LOG_INFO" -> "TRUE"))
+    assert(!cfg2.includeLogInfo, "reference boolean is the exact string 'true'")
+    assert(meta2.clientHeader == "cwl-aws-lambda")
+  }
 }

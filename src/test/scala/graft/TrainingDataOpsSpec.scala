@@ -634,6 +634,18 @@ class TrainingDataOpsSpec extends SparkSpec {
       graft.operators.Quantiles.checkTail(3000000000L, 100)
     }
     assert(err.getMessage.contains("accuracy"), err.getMessage)
+    // group-cardinality cap (same bounded-summary contract as
+    // heavyHittersByGroup): high-cardinality group columns fail loudly
+    // before the driver materializes every bracket table
+    s.conf.set("spark.graft.quantiles.maxGroups", "4")
+    try {
+      val errG = intercept[IllegalArgumentException] {
+        graft.operators.Quantiles.exactQuantilesByGroup(
+          big, col("g"), col("v"), Seq(0.5)).collect() // 9 groups > 4
+      }
+      assert(errG.getMessage.contains("maxGroups") &&
+        errG.getMessage.contains("group slice"), errG.getMessage)
+    } finally s.conf.unset("spark.graft.quantiles.maxGroups")
   }
 
   test("mixture recipe: rates, epoch split, and unweighted-source exclusion") {
