@@ -2096,6 +2096,22 @@ object SparkEntry {
       SearchQuery.compileStages(piped.stages, "ts", "message")(msgs)
         .orderBy(SearchQuery.sortColumns(SearchQuery.recordsOrderBy(piped.stages)): _*)
     }),
+    // ---- PCA projection (dimension-reduced ANN preprocessing): frozen
+    //      input-independent seed model (the BPE frozen-table pattern —
+    //      PcaSpec pins distributed pcaTrain == trainLocal), projection by
+    //      the codegen kernel, i-ascending accumulation == the oracle's
+    //      list_reduce. Pure map-side; one kernel eval per row (let). ----
+    "q176_pca_project" -> ((s, dir) => {
+      import graft.functions.TextFunctions.let
+      val model = graft.operators.Embeddings.seedModel()
+      tblSorted(s, dir, "embeddings", "vec_id")
+        .select(col("vec_id"),
+          let(graft.operators.Embeddings.pcaProject(col("embedding"), model)) {
+            p => struct((0 until model.k).map(i => p(i).as(s"pc$i")): _*)
+          }.as("_c"))
+        .select(col("vec_id") +:
+          (0 until model.k).map(i => col(s"_c.pc$i")): _*)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -4699,6 +4715,32 @@ object SparkEntry {
                WHERE regexp_matches(message, '(.*?)\Qid=\E(.*?)\Q peer=\E(.*)'))
          SELECT id, peer, count(*)::BIGINT AS _count
          FROM p GROUP BY id, peer ORDER BY id, peer""",
+    "q176_pca_project" -> {
+      // the SAME frozen seed model the engine query uses, as SQL literals
+      // (Double.toString round-trips, so both engines hold identical
+      // doubles); per-component left-fold over range == the kernel's
+      // i-ascending accumulation
+      val m = graft.operators.Embeddings.seedModel()
+      // force E-notation: DuckDB parses long PLAIN decimals as DECIMAL(18,…)
+      // first (18-digit truncation → double-rounding, last-ulp drift);
+      // exponent-form literals parse directly as correctly-rounded DOUBLE
+      def dlit(v: Double): String = {
+        val s = v.toString
+        if (s.contains("E")) s else s + "e0"
+      }
+      val mu = m.mean.map(dlit).mkString("[", ",", "]")
+      val ws = (0 until m.k).map(c =>
+        m.matrix.map(r => dlit(r(c))).mkString("[", ",", "]"))
+      val cols = (0 until m.k).map(i =>
+        s"""list_reduce(list_transform(range(1, ${m.d + 1}),
+           ii -> (embedding[ii]::DOUBLE - c.mu[ii]) * c.w$i[ii]),
+           (x, y) -> x + y) AS pc$i""").mkString(",\n           ")
+      s"""WITH c AS (SELECT $mu AS mu,
+           ${ws.zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(",\n           ")})
+         SELECT vec_id,
+           $cols
+         FROM embeddings, c ORDER BY vec_id"""
+    },
     "q174_piped_topk_exact" ->
       """WITH m AS (SELECT 'fetch path=/p/'
              ||(CASE WHEN event_id%4 = 0 THEN event_id%50 ELSE event_id%3 END)

@@ -45,6 +45,26 @@ object VecImpl {
     s
   }
 
+  /** Centered linear projection: `out[k] = Σ_i (x_i − μ_i) · mat[i][k]`,
+    * i-ascending accumulation per output dim (== the oracle's
+    * `list_reduce` over `range`). `mat` is row-indexed by input dim.
+    */
+  def pcaProject(a: ArrayData, mean: Array[Double],
+      mat: Array[Array[Double]]): ArrayData = {
+    val d = math.min(a.numElements(), mean.length)
+    val k = if (mat.isEmpty) 0 else mat(0).length
+    val out = new Array[Double](k)
+    var i = 0
+    while (i < d) {
+      val c = a.getFloat(i).toDouble - mean(i)
+      val row = mat(i)
+      var j = 0
+      while (j < k) { out(j) += c * row(j); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Integer dot product over int8-quantized vectors — exact (no FP
     * accumulation-order caveat). 127² × 4096 dims stays far inside int64.
     */
@@ -284,6 +304,30 @@ case class PqAdc(child: Expression, lut: Array[Array[Double]])
     defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pqAdc($a, $t)")
   }
   override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+}
+
+/** `pca_project(array<float>) -> array<double>` with codegen: centered
+  * linear projection `out[k] = Σ_i (x_i − μ_i) · W[i][k]`, accumulated
+  * i-ascending per output dim — bit-identical to the DuckDB
+  * `list_reduce(list_transform(range …))` oracle formulation. The frozen
+  * mean and projection matrix ride along as codegen reference objects
+  * (the [[HyperplaneBucket]]/[[PqEncode]] frozen-table shape).
+  */
+case class PcaProject(child: Expression, mean: Array[Double],
+    mat: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pca_project"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.pcaProject(a.asInstanceOf[ArrayData], mean, mat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mu = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val w = ctx.addReferenceObj("pcaMatrix", mat, "double[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pcaProject($a, $mu, $w)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PcaProject =
     copy(child = newChild)
 }
 

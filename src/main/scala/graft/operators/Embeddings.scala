@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-matrix linear algebra for the vector-curation family: PCA
+  * training (mean + top-k principal directions) and the centered projection
+  * that feeds dimension-reduced ANN (project to k ≪ d, then IVF/PQ — the
+  * classic Faiss `PCAMatrix,IVF…` preprocessing chain) and
+  * whitening/visualization pipelines.
+  *
+  * Training shape at 100 TB: ONE pass over the vectors computing the d
+  * first moments and the d(d+1)/2 second moments per partition
+  * (imperative per-partition accumulation — a genuine `mapPartitions`
+  * case: 2,144 doubles of state for d=64, no per-row allocation), merged
+  * on the driver in partition order (bounded: partitions × (d²+d+2)/2
+  * doubles — the centroid-table contract). The eigendecomposition runs on
+  * the driver over the d×d covariance (cyclic Jacobi, deterministic, with
+  * a sign convention), which is exact and trivially affordable for
+  * embedding dims (64–4096). Determinism: for a fixed partitioning the
+  * result is bit-stable (fixed merge order); across partitionings the
+  * float partial sums can differ in the last ulps — the gated query
+  * therefore freezes a [[trainLocal]] model (input-independent seed, the
+  * BPE frozen-table pattern) and PcaSpec pins distributed == local on a
+  * single partition plus ≤1e-9 relative drift on many.
+  */
+object Embeddings {
+
+  /** Frozen PCA model: `mean` (length d), `matrix` row-indexed by input dim
+    * (d × k, columns are unit eigenvectors, variance-descending), and the
+    * eigenvalues (projected variance per component).
+    */
+  final case class PcaModel(mean: Array[Double], matrix: Array[Array[Double]],
+      eigenvalues: Array[Double]) extends Serializable {
+    def d: Int = mean.length
+    def k: Int = eigenvalues.length
+  }
+
+  /** Train PCA over a float-vector column: one distributed moment pass +
+    * driver-side Jacobi on the d×d covariance. `k` = number of components
+    * to keep (1 ≤ k ≤ d).
+    */
+  def pcaTrain(df: DataFrame, vecCol: Column, k: Int): PcaModel = {
+    val vecs = df.select(vecCol.cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
+    // per-partition moment accumulation; merge driver-side in partition
+    // order (deterministic for a fixed partitioning)
+    val parts = vecs.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      var state: Array[Double] = null // [n, sum_0..d-1, prod upper triangle]
+      var d = 0
+      it.foreach { row =>
+        val a = row.getArray(0)
+        if (d == 0) {
+          d = a.numElements()
+          state = new Array[Double](1 + d + d * (d + 1) / 2)
+        }
+        require(a.numElements() == d,
+          s"pcaTrain: ragged vector (dim ${a.numElements()} vs $d)")
+        state(0) += 1.0
+        var i = 0
+        var t = 1 + d
+        while (i < d) {
+          val xi = a.getFloat(i).toDouble
+          state(1 + i) += xi
+          var j = i
+          while (j < d) {
+            state(t + j - i) += xi * a.getFloat(j).toDouble
+            j += 1
+          }
+          t += d - i
+          i += 1
+        }
+      }
+      if (state == null) Iterator.empty else Iterator((pid, state))
+    }.collect().sortBy(_._1).map(_._2)
+    require(parts.nonEmpty, "pcaTrain: no vectors")
+    val d = {
+      // state length s = 1 + d + d(d+1)/2 → recover d
+      val s = parts.head.length
+      ((math.sqrt(8.0 * s + 1) - 3) / 2).round.toInt
+    }
+    require(parts.forall(_.length == parts.head.length),
+      "pcaTrain: inconsistent vector dims across partitions")
+    val acc = new Array[Double](parts.head.length)
+    parts.foreach { p => var i = 0; while (i < acc.length) { acc(i) += p(i); i += 1 } }
+    val n = acc(0)
+    require(k >= 1 && k <= d, s"pcaTrain: k=$k out of range for d=$d")
+    require(n >= 2, s"pcaTrain: need at least 2 vectors, got ${n.toLong}")
+    val mean = Array.tabulate(d)(i => acc(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = acc(t + j - i) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      t += d - i
+      i += 1
+    }
+    finishModel(cov, mean, k)
+  }
+
+  /** Driver-local trainer over in-memory vectors — identical math to
+    * [[pcaTrain]] with a single "partition". This is what a gated query
+    * freezes (input-independent seed → input-independent model, the BPE
+    * pattern), and what PcaSpec pins the distributed pass against.
+    */
+  def trainLocal(vecs: Seq[Array[Float]], k: Int): PcaModel = {
+    require(vecs.nonEmpty, "trainLocal: no vectors")
+    val d = vecs.head.length
+    require(vecs.forall(_.length == d), "trainLocal: ragged vectors")
+    require(k >= 1 && k <= d && vecs.length >= 2)
+    val n = vecs.length.toDouble
+    val sums = new Array[Double](d)
+    val prods = Array.ofDim[Double](d, d)
+    vecs.foreach { v =>
+      var i = 0
+      while (i < d) {
+        val xi = v(i).toDouble
+        sums(i) += xi
+        var j = i
+        while (j < d) { prods(i)(j) += xi * v(j).toDouble; j += 1 }
+        i += 1
+      }
+    }
+    val mean = sums.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = prods(i)(j) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    finishModel(cov, mean, k)
+  }
+
+  private def finishModel(cov: Array[Array[Double]], mean: Array[Double],
+      k: Int): PcaModel = {
+    val (values, vectors) = jacobiEigen(cov)
+    // variance-descending component order; eigenvalue then first-differing-
+    // component tie-break keeps the order total and deterministic
+    val order = values.indices.sortBy(i => (-values(i), i)).take(k)
+    val d = mean.length
+    // sign convention: the largest-|component| entry of each eigenvector is
+    // positive (ties → lowest index wins) — eigenvectors are sign-ambiguous
+    // and two runs must freeze the same matrix
+    val cols = order.map { c =>
+      val v = Array.tabulate(d)(r => vectors(r)(c))
+      var best = 0
+      var i = 1
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+      if (v(best) < 0) v.map(x => -x) else v
+    }
+    val mat = Array.tabulate(d, k)((r, c) => cols(c)(r))
+    PcaModel(mean, mat, order.map(values).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — deterministic
+    * sweep order, converges quadratically; d ≤ a few thousand is
+    * driver-trivial. Returns (eigenvalues, eigenvector matrix with
+    * eigenvectors as COLUMNS, same index order as the values).
+    */
+  private[operators] def jacobiEigen(
+      sym: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = Array.tabulate(d, d)((i, j) => sym(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (off > 1e-14 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tSign = if (theta >= 0) 1.0 else -1.0
+            val tTan = tSign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tTan * tTan + 1.0)
+            val s = tTan * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Project a float-vector column through a frozen model:
+    * `array<double>` of length k via the codegen
+    * [[graft.functions.PcaProject]] kernel (pure map-side; the matrix
+    * rides as a codegen reference object).
+    */
+  def pcaProject(vecCol: Column, model: PcaModel): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.PcaProject(
+      org.apache.spark.sql.GraftGlue.expression(vecCol.cast("array<float>")),
+      model.mean, model.matrix))
+
+  /** The input-independent seed model the gated q176 freezes (the BPE
+    * seed-corpus pattern): 256 pseudo-vectors whose coordinates derive
+    * from md5, stretched per-dim so the principal directions are
+    * non-degenerate; `trainLocal` on them is deterministic across JVMs.
+    */
+  def seedModel(d: Int = 64, k: Int = 8): PcaModel = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val vecs = (0 until 256).map { j =>
+      Array.tabulate(d) { i =>
+        val h = md.digest(s"pca:$j:$i".getBytes("UTF-8"))
+        val u = ((h(0) & 0xff) << 16 | (h(1) & 0xff) << 8 | (h(2) & 0xff))
+          .toDouble / 0xffffff.toDouble // [0, 1]
+        // per-dim stretch (1 + i/8) gives a spread eigenspectrum
+        ((u - 0.5) * (1.0 + i / 8.0)).toFloat
+      }
+    }
+    trainLocal(vecs, k)
+  }
+}

@@ -648,6 +648,68 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally s.conf.unset("spark.graft.quantiles.maxGroups")
   }
 
+  test("round-13 PCA: distributed moments == local trainer; eigen properties; kernel parity") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Embeddings
+    val rnd = new scala.util.Random(176)
+    // correlated synthetic data: x2 ≈ 2·x0, x3 ≈ -x1, plus noise dims —
+    // the principal directions are known up to noise
+    val vecs = (0 until 600).map { _ =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      Array[Float](a.toFloat, b.toFloat, (2 * a + 0.01 * rnd.nextGaussian()).toFloat,
+        (-b + 0.01 * rnd.nextGaussian()).toFloat,
+        (0.1 * rnd.nextGaussian()).toFloat, (0.05 * rnd.nextGaussian()).toFloat)
+    }
+    val local = Embeddings.trainLocal(vecs, k = 3)
+    // single partition: the distributed moment pass is the SAME fold in the
+    // same order — bitwise-equal model
+    val df1 = vecs.map(v => Tuple1(v.toSeq)).toDF("embedding").coalesce(1)
+    val dist1 = Embeddings.pcaTrain(df1, col("embedding"), k = 3)
+    assert(dist1.mean.toSeq == local.mean.toSeq)
+    assert(dist1.matrix.map(_.toSeq).toSeq == local.matrix.map(_.toSeq).toSeq)
+    assert(dist1.eigenvalues.toSeq == local.eigenvalues.toSeq)
+    // many partitions: partial-sum merge order differs → last-ulp drift
+    // only (the documented determinism contract)
+    val dist7 = Embeddings.pcaTrain(
+      vecs.map(v => Tuple1(v.toSeq)).toDF("embedding").repartition(7),
+      col("embedding"), k = 3)
+    (0 until 3).foreach { c =>
+      val dot = (0 until 6).map(r => dist7.matrix(r)(c) * local.matrix(r)(c)).sum
+      assert(math.abs(dot - 1.0) < 1e-9, s"component $c drifted: $dot")
+    }
+    // eigen properties on the local model: variance-descending eigenvalues
+    // that match the projected variances; components decorrelated
+    assert(local.eigenvalues.sliding(2).forall(p => p(0) >= p(1)))
+    val projected = vecs.map { v =>
+      (0 until 3).map(c => (0 until 6).map(r =>
+        (v(r).toDouble - local.mean(r)) * local.matrix(r)(c)).sum).toArray
+    }
+    val n = projected.length.toDouble
+    (0 until 3).foreach { c =>
+      val varC = projected.map(p => p(c) * p(c)).sum / n
+      assert(math.abs(varC - local.eigenvalues(c)) < 1e-6 * (1 + varC),
+        s"component $c: var $varC vs eig ${local.eigenvalues(c)}")
+    }
+    val cross01 = projected.map(p => p(0) * p(1)).sum / n
+    assert(math.abs(cross01) < 1e-9, s"components correlated: $cross01")
+    // the top-2 subspace captures the 2 signal directions: >97% of the
+    // total variance (noise dims are tiny)
+    val totalVar = (0 until 6).map(r =>
+      vecs.map(v => math.pow(v(r) - local.mean(r), 2)).sum / n).sum
+    assert((local.eigenvalues(0) + local.eigenvalues(1)) / totalVar > 0.97)
+    // projection kernel == the brute per-row computation (same fold order)
+    val viaKernel = df1
+      .select(Embeddings.pcaProject(col("embedding"), local).as("p"))
+      .as[Seq[Double]].collect()
+    assert(viaKernel.map(_.toSeq).toSeq == projected.map(_.toSeq).toSeq)
+    // sign convention: largest-|component| entry positive in every column
+    (0 until 3).foreach { c =>
+      val colV = (0 until 6).map(r => local.matrix(r)(c))
+      assert(colV.maxBy(math.abs) > 0, s"column $c sign convention")
+    }
+  }
+
   test("mixture recipe: rates, epoch split, and unweighted-source exclusion") {
     val s = spark
     import s.implicits._
