@@ -235,6 +235,21 @@ object Embeddings {
       org.apache.spark.sql.GraftGlue.expression(vecCol.cast("array<float>")),
       model.mean, model.matrix))
 
+  /** Whitening transform of a trained model: each component column scaled
+    * by `1/√eigenvalue`, so projected components have unit variance (the
+    * PCA-whitening preprocessing in front of cosine/L2 indexes when the
+    * spectrum is skewed). Components with variance ≤ `eps` are dropped —
+    * dividing by √0 would blow up numerically meaningless directions.
+    */
+  def whitened(m: PcaModel, eps: Double = 1e-12): PcaModel = {
+    val keep = m.eigenvalues.indices.filter(c => m.eigenvalues(c) > eps)
+    PcaModel(
+      m.mean,
+      m.matrix.map(row =>
+        keep.map(c => row(c) / math.sqrt(m.eigenvalues(c))).toArray),
+      keep.map(_ => 1.0).toArray)
+  }
+
   /** The input-independent seed model the gated q176 freezes (the BPE
     * seed-corpus pattern): 256 pseudo-vectors whose coordinates derive
     * from md5, stretched per-dim so the principal directions are

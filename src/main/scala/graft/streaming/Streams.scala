@@ -183,6 +183,40 @@ object Streams {
       .groupBy(window(col(tsCol), slide).as("slice") +: seriesCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
 
+  /** Streaming heavy hitters: per event-time window, the Misra–Gries
+    * candidate summary of `keyCol` — every key with true in-window
+    * frequency > n/capacity is guaranteed present (the sketch's coverage
+    * property), stored counts are order-dependent UNDERCOUNTS by at most
+    * `n/capacity`. The batch operator's exact-recount second pass needs
+    * the data again, which a stream by definition cannot offer once the
+    * window closes — so the streaming form emits the candidate set with
+    * its error bound and lets the caller either threshold conservatively
+    * (`count_lower + max_undercount` vs the target) or recount the
+    * shortlist against the at-rest store. State per window is ≤
+    * 2·capacity map entries (mergeable partials — the same bounded-state
+    * contract the batch sketch has), finalized exactly once via the
+    * watermark. Output: `(window_start, window_end, key, count_lower, n,
+    * max_undercount)`.
+    */
+  def heavyHittersStream(events: DataFrame, tsCol: String, lateness: String,
+      windowDur: String, keyCol: org.apache.spark.sql.Column,
+      capacity: Int): DataFrame = {
+    val mg = org.apache.spark.sql.GraftGlue.column(
+      graft.functions.MisraGries(
+        org.apache.spark.sql.GraftGlue.expression(col("_key")), capacity)
+        .toAggregateExpression())
+    events
+      .select(col(tsCol).as("_ts"), keyCol.cast("string").as("_key"))
+      .filter(col("_key").isNotNull)
+      .withWatermark("_ts", lateness)
+      .groupBy(window(col("_ts"), windowDur).as("_w"))
+      .agg(mg.as("_mg"), count(col("_key")).as("n"))
+      .select(col("_w.start").as("window_start"),
+        col("_w.end").as("window_end"),
+        explode(col("_mg")).as(Seq("key", "count_lower")),
+        col("n"), (col("n") / capacity).cast("long").as("max_undercount"))
+  }
+
   /** G5 streaming: first-seen dedup by (resource, status) with bounded state —
     * `dropDuplicatesWithinWatermark` keeps the state store from growing
     * unboundedly (the reference's in-memory `all_resource_statuses` map reset

@@ -138,6 +138,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:00:00", "view", 1L, 5.0)))
   }
 
+  test("round-13 streaming heavy hitters: windowed Misra-Gries finalizes with coverage + bound") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val out = Streams.heavyHittersStream(
+      input.toDF().toDF("ts", "key"),
+      "ts", lateness = "10 minutes", windowDur = "1 hour",
+      keyCol = col("key"), capacity = 4)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // window 10:00: hot key 12×, six 1-off keys — key cardinality (7)
+    // EXCEEDS capacity (4), so stored counts may undercount, but the hot
+    // key (12 > n/cap = 18/4) is GUARANTEED present
+    val rows = (0 until 12).map(i => (t(i), "hot")) ++
+      (0 until 6).map(i => (t(30 + i), s"cold$i"))
+    input.addData(scala.util.Random.shuffle(rows): _*)
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "later"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("hh_stream")
+      .filter(col("window_start") === t(0))
+      .select("key", "count_lower", "n", "max_undercount")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fin.contains("hot"), s"coverage guarantee violated: $fin")
+    val (lower, n, bound) = fin("hot")
+    assert(n == 18L && bound == 4L)
+    assert(lower <= 12L && lower + bound >= 12L,
+      s"true count 12 outside [$lower, ${lower + bound}]")
+    // sketch size stays bounded at 2·capacity candidates
+    assert(fin.size <= 8, s"candidate set exceeded 2*capacity: ${fin.size}")
+  }
+
   test("G5 streaming: dropDuplicatesWithinWatermark keeps first occurrence across batches") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext

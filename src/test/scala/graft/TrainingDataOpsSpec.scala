@@ -708,6 +708,16 @@ class TrainingDataOpsSpec extends SparkSpec {
       val colV = (0 until 6).map(r => local.matrix(r)(c))
       assert(colV.maxBy(math.abs) > 0, s"column $c sign convention")
     }
+    // whitening: projected components become unit-variance
+    val white = Embeddings.whitened(local)
+    val wProj = vecs.map { v =>
+      (0 until white.k).map(c => (0 until 6).map(r =>
+        (v(r).toDouble - white.mean(r)) * white.matrix(r)(c)).sum)
+    }
+    (0 until white.k).foreach { c =>
+      val varC = wProj.map(p => p(c) * p(c)).sum / n
+      assert(math.abs(varC - 1.0) < 1e-6, s"whitened var($c) = $varC")
+    }
   }
 
   test("mixture recipe: rates, epoch split, and unweighted-source exclusion") {
