@@ -70,6 +70,13 @@ object SearchJobs {
   private def materializePaged(df: DataFrame, orderBy: Seq[(String, Boolean)],
       path: String): Long = {
     val keys = SearchQuery.sortColumns(orderBy)
+    // A bare cache pin, DELIBERATELY not the spill-aware Pins.pin: this
+    // frame is read exactly TWICE (rank counts, page write) and then
+    // dropped, which is under the cache-vs-parquet crossover even at the
+    // 10M-row stream drill — measured round 13: warm search 28.5 s cached
+    // vs 31.6 s with Pins.pin demoting to parquet (the extra landing write
+    // costs more than two cached-row passes save; the q145 crossover needs
+    // MANY re-reads of a ~GB frame, not two).
     val sorted = df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     try {
