@@ -636,6 +636,33 @@ object Scratch {
         f"runs=${runs.map(t => f"$t%.2f").mkString(",")} -> " +
         f"${n / best / 1000}%.1f kpairs/s, ${best * 1e6 / n}%.3f us/pair")
     }
+    // PCA scale drill (SCALING.md round 13): moment-pass training and
+    // kernel projection over the CURRENT sf dir's embeddings — the claim
+    // under test is that both are single-pass linear (train state is
+    // partitions × ~d²/2 doubles, projection is map-side)
+    if (sys.env.contains("SPARK_GRAFT_PCA_SCALE")) {
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      val n = emb.count()
+      var model: graft.operators.Embeddings.PcaModel = null
+      model = graft.operators.Embeddings.pcaTrain(emb, col("embedding"), 8) // warm
+      val trains = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        model = graft.operators.Embeddings.pcaTrain(emb, col("embedding"), 8)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def proj = emb.select(col("vec_id"),
+        graft.operators.Embeddings.pcaProject(col("embedding"), model).as("p"))
+      proj.write.format("noop").mode("overwrite").save() // warm
+      val projs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        proj.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] pca: n=$n train_best=${trains.min}%.2f s " +
+        f"(runs ${trains.map(t => f"$t%.2f").mkString(",")}), " +
+        f"project_best=${projs.min}%.2f s " +
+        f"(runs ${projs.map(t => f"$t%.2f").mkString(",")})")
+    }
     // extra args = query names, timed warm against a noop sink (full declared
     // plan, codegen already compiled) — the per-query drill-down the bench's
     // cold single-shot numbers can't give
