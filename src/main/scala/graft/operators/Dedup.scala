@@ -159,12 +159,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH parameter planning: the (bands, rowsPerBand) split of `k` hashes
+    * whose S-curve midpoint `(1/b)^(1/r)` sits closest to the target
+    * Jaccard threshold (the standard MMDS §3.4 construction — pairs at the
+    * midpoint collide in some band with probability ≈ 1−1/e). Returns
+    * `(bands, rowsPerBand, midpoint)`; feed the bands into
+    * [[minhashPairs]] instead of guessing. Driver-side arithmetic over
+    * the divisors of `k` — nothing distributed, so sizing is free.
+    *
+    * Sizing intuition: more bands = more candidate volume below the
+    * threshold (recall-leaning); fewer = precision-leaning. At 100 TB the
+    * candidate count is the whole cost, so plan `b` from the threshold
+    * rather than defaulting wide.
+    */
+  def lshPlan(threshold: Double, k: Int = 32): (Int, Int, Double) = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(k >= 2, s"need at least 2 hashes: $k")
+    val candidates = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    candidates.minBy { case (_, _, mid) => math.abs(mid - threshold) }
+  }
+
   /** MinHash+LSH near-dup pairs: shingle → k-hash signature → band digests →
     * bucket self-join for candidates → exact Jaccard verification.
     *
     * The only shuffle is on band digest (plus the verify join on doc id);
     * with b bands of r rows, collision probability is the standard
-    * 1-(1-j^r)^b curve.
+    * 1-(1-j^r)^b curve — size `bands` from the threshold with [[lshPlan]].
     */
   def minhashPairs(df: DataFrame, idCol: Column, textCol: Column,
       threshold: Double, k: Int = 32, bands: Int = 8, n: Int = 3): DataFrame = {

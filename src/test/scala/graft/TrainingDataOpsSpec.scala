@@ -62,6 +62,19 @@ class TrainingDataOpsSpec extends SparkSpec {
     val lsh = Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact) // high-similarity pairs survive banding at j>=0.5
+    // parameter planning: the S-curve midpoint closest to the target —
+    // MMDS hand values for k=32: t=0.5 → 8 bands of 4 ((1/8)^(1/4)≈0.595
+    // beats 16×2's 0.25); t=0.85 → 4 bands of 8; t=0.2 → 16 bands of 2;
+    // and the planned bands reproduce the recovery above
+    assert(Dedup.lshPlan(0.5, 32)._1 == 8)
+    assert(Dedup.lshPlan(0.85, 32)._1 == 4)
+    assert(Dedup.lshPlan(0.2, 32)._1 == 16)
+    val (b, r, mid) = Dedup.lshPlan(0.5, 32)
+    assert(b * r == 32 && math.abs(mid - math.pow(1.0 / b, 1.0 / r)) < 1e-12)
+    val planned = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5, k = 32, bands = b)
+      .select("doc_a", "doc_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(planned == exact)
   }
 
   test("simhash: identical content distance 0, near content small distance") {
