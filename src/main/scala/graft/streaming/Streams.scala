@@ -217,6 +217,40 @@ object Streams {
         col("n"), (col("n") / capacity).cast("long").as("max_undercount"))
   }
 
+  /** Streaming quantiles: per event-time window, approximate percentiles of
+    * `valCol` from the mergeable Greenwald–Khanna sketch behind
+    * `percentile_approx` — rank error ≤ n/accuracy, emitted alongside `n`
+    * and the `max_rank_error` bound so callers can size trust the same way
+    * [[heavyHittersStream]]'s undercount bound works. The batch operator's
+    * exact rank-correction pass needs the data again (a closed window
+    * cannot offer it); recount the shortlist against the at-rest store when
+    * exactness matters. State per window is the sketch (O(accuracy)
+    * entries), finalized once via the watermark. Output: `(window_start,
+    * window_end, quantile, value, n, max_rank_error)`.
+    */
+  def quantilesStream(events: DataFrame, tsCol: String, lateness: String,
+      windowDur: String, valCol: org.apache.spark.sql.Column,
+      qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1]: ${qs.mkString(", ")}")
+    events
+      .select(col(tsCol).as("_ts"), valCol.cast("long").as("_v"))
+      .filter(col("_v").isNotNull)
+      .withWatermark("_ts", lateness)
+      .groupBy(window(col("_ts"), windowDur).as("_w"))
+      .agg(percentile_approx(col("_v"),
+          array(qs.map(lit): _*), lit(accuracy)).as("_brs"),
+        count(col("_v")).as("n"))
+      .select(col("_w.start").as("window_start"),
+        col("_w.end").as("window_end"),
+        posexplode(col("_brs")).as(Seq("_qi", "value")),
+        col("n"))
+      .select(col("window_start"), col("window_end"),
+        element_at(array(qs.map(lit): _*), col("_qi") + 1).as("quantile"),
+        col("value"), col("n"),
+        (col("n") / accuracy).cast("long").as("max_rank_error"))
+  }
+
   /** G5 streaming: first-seen dedup by (resource, status) with bounded state —
     * `dropDuplicatesWithinWatermark` keeps the state store from growing
     * unboundedly (the reference's in-memory `all_resource_statuses` map reset

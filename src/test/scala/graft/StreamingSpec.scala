@@ -174,6 +174,38 @@ class StreamingSpec extends SparkSpec {
     assert(fin.size <= 8, s"candidate set exceeded 2*capacity: ${fin.size}")
   }
 
+  test("round-13 streaming quantiles: windowed sketch finalizes with rank-error bound") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = Streams.quantilesStream(
+      input.toDF().toDF("ts", "v"),
+      "ts", lateness = "10 minutes", windowDur = "1 hour",
+      valCol = col("v"), qs = Seq(0.5, 0.9), accuracy = 10000)
+    val q = out.writeStream.format("memory").queryName("q_stream")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // window 10:00: values 1..100 across micro-batches
+    (1L to 100L).grouped(40).foreach { g =>
+      input.addData(g.map(v => (t((v % 50).toInt), v)): _*)
+      q.processAllAvailable()
+    }
+    input.addData((Timestamp.valueOf("2024-01-01 13:00:00"), 0L))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("q_stream")
+      .filter(col("window_start") === t(0))
+      .select("quantile", "value", "n", "max_rank_error")
+      .as[(Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fin.keySet == Set(0.5, 0.9), fin.keySet)
+    val (p50, n, bound) = fin(0.5)
+    assert(n == 100L && bound == 0L) // n/accuracy rounds to 0 ranks here
+    // accuracy 10000 over n=100 → the sketch is exact: true order stats
+    assert(p50 == 50L && fin(0.9)._1 == 90L, fin)
+  }
+
   test("G5 streaming: dropDuplicatesWithinWatermark keeps first occurrence across batches") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
