@@ -316,6 +316,22 @@ object Scratch {
         docs, col("source"), graft.functions.TextFunctions.tokenCount(col("text")),
         Map("src0" -> 0.15, "src5" -> 0.05, "src7" -> 0.1, "src19" -> 0.3),
         budgetTokens = 5000000L).count())
+      // round-13: exact per-group quantiles under a DELIBERATELY coarse
+      // sketch — the scale claim is that however many (group, quantile)
+      // brackets miss, the correction is ONE batched WindowGroupLimit job,
+      // so cost is two scans + one bounded window regardless of misses
+      for (acc <- Seq(10000, 10)) {
+        val t0 = System.nanoTime()
+        val (rows, jobs) = org.apache.spark.GraftCoreGlue.countJobs(spark.sparkContext) {
+          graft.operators.Quantiles.exactQuantilesByGroup(
+            docs.select(col("source"),
+              graft.functions.TextFunctions.tokenCount(col("text")).as("t")),
+            col("source"), col("t"), Seq(0.5, 0.9, 0.99), accuracy = acc)
+            .count()
+        }
+        println(f"[scratch] exact_quantiles_by_group acc=$acc: $rows rows, " +
+          f"$jobs jobs, ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
       spark.stop()
       return
     }
