@@ -200,21 +200,39 @@ object Streams {
     */
   def heavyHittersStream(events: DataFrame, tsCol: String, lateness: String,
       windowDur: String, keyCol: org.apache.spark.sql.Column,
-      capacity: Int): DataFrame = {
+      capacity: Int): DataFrame =
+    heavyHittersStreamBy(events, tsCol, lateness, windowDur, keyCol,
+      capacity, by = Nil)
+
+  /** [[heavyHittersStream]] with extra grouping columns — "top URLs per
+    * window PER TENANT". State is ≤ 2·capacity entries per (window, by)
+    * combination, so the by-columns' cardinality multiplies state exactly
+    * like it multiplies any windowed aggregation's; the undercount bound
+    * is per-group (`n` = that group's window total). Rows with a null by
+    * key are excluded, matching the batch operator.
+    */
+  def heavyHittersStreamBy(events: DataFrame, tsCol: String, lateness: String,
+      windowDur: String, keyCol: org.apache.spark.sql.Column,
+      capacity: Int, by: Seq[String]): DataFrame = {
     val mg = org.apache.spark.sql.GraftGlue.column(
       graft.functions.MisraGries(
         org.apache.spark.sql.GraftGlue.expression(col("_key")), capacity)
         .toAggregateExpression())
-    events
-      .select(col(tsCol).as("_ts"), keyCol.cast("string").as("_key"))
-      .filter(col("_key").isNotNull)
+    val base = events
+      .select(col(tsCol).as("_ts") +: keyCol.cast("string").as("_key") +:
+        by.map(col): _*)
+      .filter(col("_key").isNotNull &&
+        by.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
       .withWatermark("_ts", lateness)
-      .groupBy(window(col("_ts"), windowDur).as("_w"))
+    base
+      .groupBy(window(col("_ts"), windowDur).as("_w") +: by.map(col): _*)
       .agg(mg.as("_mg"), count(col("_key")).as("n"))
-      .select(col("_w.start").as("window_start"),
-        col("_w.end").as("window_end"),
-        explode(col("_mg")).as(Seq("key", "count_lower")),
-        col("n"), (col("n") / capacity).cast("long").as("max_undercount"))
+      .select(col("_w.start").as("window_start") +:
+        col("_w.end").as("window_end") +:
+        by.map(col) :+
+        explode(col("_mg")).as(Seq("key", "count_lower")) :+
+        col("n") :+
+        (col("n") / capacity).cast("long").as("max_undercount"): _*)
   }
 
   /** Streaming quantiles: per event-time window, approximate percentiles of

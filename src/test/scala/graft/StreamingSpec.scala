@@ -174,6 +174,42 @@ class StreamingSpec extends SparkSpec {
     assert(fin.size <= 8, s"candidate set exceeded 2*capacity: ${fin.size}")
   }
 
+  test("round-13 streaming heavy hitters by group: per-group totals and coverage") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = Streams.heavyHittersStreamBy(
+      input.toDF().toDF("ts", "tenant", "key"),
+      "ts", lateness = "10 minutes", windowDur = "1 hour",
+      keyCol = col("key"), capacity = 4, by = Seq("tenant"))
+    val q = out.writeStream.format("memory").queryName("hh_by")
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // tenant A: hot 8× + 2 singles (n=10); tenant B: uniform 5 singles
+    val rows = (0 until 8).map(i => (t(i), "A", "hot")) ++
+      Seq((t(20), "A", "a1"), (t(21), "A", "a2")) ++
+      (0 until 5).map(i => (t(40 + i), "B", s"b$i")) ++
+      Seq((t(5), null: String, "ghost")) // null by key excluded
+    input.addData(scala.util.Random.shuffle(rows): _*)
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "A", "later"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("hh_by")
+      .filter(col("window_start") === t(0))
+      .select("tenant", "key", "count_lower", "n")
+      .as[(String, String, Long, Long)].collect()
+    val byTenant = fin.groupBy(_._1)
+    // per-group totals: A's n=10, B's n=5 — the bound is per group
+    assert(byTenant("A").forall(_._4 == 10L))
+    assert(byTenant("B").forall(_._4 == 5L))
+    // coverage: A's hot key (8 > 10/4) guaranteed present
+    assert(byTenant("A").exists(_._2 == "hot"))
+    // null by key never surfaces
+    assert(!fin.exists(_._2 == "ghost"))
+  }
+
   test("round-13 streaming quantiles: windowed sketch finalizes with rank-error bound") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
