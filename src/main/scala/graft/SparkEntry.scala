@@ -2102,15 +2102,16 @@ object SparkEntry {
     //      the codegen kernel, i-ascending accumulation == the oracle's
     //      list_reduce. Pure map-side; one kernel eval per row (let). ----
     "q176_pca_project" -> ((s, dir) => {
-      import graft.functions.TextFunctions.let
+      // k inlined kernel calls, NOT a let-bound single call: `let` rides an
+      // interpreted `transform` HOF (CodegenFallback) that drops the whole
+      // projection out of whole-stage codegen, while k codegen'd kernel
+      // evals (k·d·k madds/row) stay inside it — measured faster, and
+      // PlanShapeSpec pins the `*(n) Project` span
       val model = graft.operators.Embeddings.seedModel()
+      val proj = graft.operators.Embeddings.pcaProject(col("embedding"), model)
       tblSorted(s, dir, "embeddings", "vec_id")
-        .select(col("vec_id"),
-          let(graft.operators.Embeddings.pcaProject(col("embedding"), model)) {
-            p => struct((0 until model.k).map(i => p(i).as(s"pc$i")): _*)
-          }.as("_c"))
         .select(col("vec_id") +:
-          (0 until model.k).map(i => col(s"_c.pc$i")): _*)
+          (0 until model.k).map(i => proj(i).as(s"pc$i")): _*)
     }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
