@@ -2113,6 +2113,35 @@ object SparkEntry {
         .select(col("vec_id") +:
           (0 until model.k).map(i => proj(i).as(s"pc$i")): _*)
     }),
+    // ---- dimension-reduced ANN, the PCAMatrix->index chain composed
+    //      end-to-end: project 64-dim embeddings through the frozen PCA
+    //      to 8 float dims (8x smaller serving vectors), then cosine
+    //      top-k in the REDUCED space; the query vector reduces through
+    //      the same model driver-side with the kernel's exact fold ----
+    "q177_pca_ann" -> ((s, dir) => {
+      val model = graft.operators.Embeddings.seedModel()
+      val proj = graft.operators.Embeddings.pcaProject(col("embedding"), model)
+      val reduced = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          array((0 until model.k).map(i => proj(i).cast("float")): _*)
+            .as("rvec"))
+      val q0 = tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      // driver-side reduction with the kernel's exact accumulation order
+      val query = {
+        val out = new Array[Double](model.k)
+        var i = 0
+        while (i < model.d) {
+          val c = q0(i).toDouble - model.mean(i)
+          var j = 0
+          while (j < model.k) { out(j) += c * model.matrix(i)(j); j += 1 }
+          i += 1
+        }
+        out.map(_.toFloat).toSeq
+      }
+      graft.operators.Similarity.bruteForceTopK(
+        reduced, col("vec_id"), col("rvec"), query, 20)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -4741,6 +4770,42 @@ object SparkEntry {
          SELECT vec_id,
            $cols
          FROM embeddings, c ORDER BY vec_id"""
+    },
+    "q177_pca_ann" -> {
+      // same frozen model as q176; reduced vectors materialize as FLOAT
+      // (CAST(double AS FLOAT) is the identical IEEE rounding both
+      // engines), then the q26-shape cosine top-k runs in reduced space
+      val m = graft.operators.Embeddings.seedModel()
+      def dlit(v: Double): String = {
+        val s = v.toString
+        if (s.contains("E")) s else s + "e0"
+      }
+      val mu = m.mean.map(dlit).mkString("[", ",", "]")
+      val ws = (0 until m.k).map(c =>
+        m.matrix.map(r => dlit(r(c))).mkString("[", ",", "]"))
+      val comps = (0 until m.k).map(i =>
+        s"""CAST(list_reduce(list_transform(range(1, ${m.d + 1}),
+           ii -> (embedding[ii]::DOUBLE - c.mu[ii]) * c.w$i[ii]),
+           (x, y) -> x + y) AS FLOAT)""").mkString(",\n             ")
+      s"""WITH c AS (SELECT $mu AS mu,
+           ${ws.zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(",\n           ")}),
+         r AS (SELECT vec_id,
+             [$comps] AS rv
+           FROM embeddings, c),
+         q AS (SELECT rv AS qv FROM r WHERE vec_id = 0)
+         SELECT vec_id, cosine FROM (
+           SELECT r.vec_id,
+             round(
+               list_reduce(list_transform(range(1, ${m.k + 1}),
+                 i -> r.rv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)
+               / sqrt(
+                 list_reduce(list_transform(range(1, ${m.k + 1}),
+                   i -> r.rv[i]::DOUBLE * r.rv[i]::DOUBLE), (x,y) -> x+y)
+                 * list_reduce(list_transform(range(1, ${m.k + 1}),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y)), 6)
+               AS cosine
+           FROM r, q)
+         ORDER BY cosine DESC, vec_id LIMIT 20"""
     },
     "q174_piped_topk_exact" ->
       """WITH m AS (SELECT 'fetch path=/p/'
