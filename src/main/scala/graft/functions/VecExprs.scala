@@ -51,7 +51,11 @@ object VecImpl {
     */
   def pcaProject(a: ArrayData, mean: Array[Double],
       mat: Array[Array[Double]]): ArrayData = {
-    val d = math.min(a.numElements(), mean.length)
+    val d = mean.length
+    require(a.numElements() == d,
+      s"pcaProject: input vector has ${a.numElements()} dims but the model " +
+        s"was trained on $d — a ragged row would silently project a prefix " +
+        "and emit wrong components; filter or pad malformed rows upstream")
     val k = if (mat.isEmpty) 0 else mat(0).length
     val out = new Array[Double](k)
     var i = 0

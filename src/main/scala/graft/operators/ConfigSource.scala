@@ -38,8 +38,13 @@ object ConfigSource {
     * subdirectories.
     */
   final class DirParameterStore(dir: String) extends ParameterStore {
+    private val root =
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
     override def get(name: String): Option[String] = {
-      val p = java.nio.file.Paths.get(dir, name.stripPrefix("/").split("/"): _*)
+      // normalize before reading: a name with `..` segments must not escape
+      // the store root (SSM names can't traverse; neither can this stand-in)
+      val p = root.resolve(name.stripPrefix("/")).normalize()
+      if (!p.startsWith(root)) return None
       if (java.nio.file.Files.isRegularFile(p))
         Some(java.nio.file.Files.readString(p,
           java.nio.charset.StandardCharsets.UTF_8).trim)

@@ -80,16 +80,15 @@ object SumoSink {
     * the SAME bounded-retry-then-capture path as a thrown transport error.
     *
     * The poster serializes into executor tasks; the underlying
-    * [[java.net.http.HttpClient]] is per-JVM (`@transient lazy`) and
-    * thread-safe, so concurrent bucket posts (R6) share one connection
-    * pool per executor.
+    * [[java.net.http.HttpClient]] is genuinely per-JVM — a companion-object
+    * cache keyed by connect timeout — and thread-safe, so concurrent bucket
+    * posts (R6) share one connection pool per executor even when each
+    * deserialized task carries its own poster instance.
     */
   class HttpPoster(endpoint: String, connectTimeoutMs: Long = 10000L,
       requestTimeoutMs: Long = 60000L) extends BucketPoster {
-    @transient private lazy val client: java.net.http.HttpClient =
-      java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
-        .build()
+    private def client: java.net.http.HttpClient =
+      HttpPoster.clientFor(connectTimeoutMs)
     override def post(headers: Map[String, String], body: Array[Byte]): Unit = {
       val b = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(endpoint))
@@ -103,6 +102,18 @@ object SumoSink {
           s"POST $endpoint -> HTTP ${resp.statusCode()}: " +
             resp.body().take(200))
     }
+  }
+
+  object HttpPoster {
+    // per-JVM connection pools, one per distinct connect timeout (the only
+    // builder-time knob) — request timeout is per-request and doesn't key
+    private val clients =
+      new java.util.concurrent.ConcurrentHashMap[Long, java.net.http.HttpClient]()
+    private[sinks] def clientFor(connectTimeoutMs: Long): java.net.http.HttpClient =
+      clients.computeIfAbsent(connectTimeoutMs, ms =>
+        java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(ms))
+          .build())
   }
 
   /** K1: deliver a metadata-derived DataFrame (shape per [[Metadata.derive]])

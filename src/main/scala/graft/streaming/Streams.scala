@@ -121,10 +121,16 @@ object Streams {
       // marker hygiene: when THIS batch runs, the checkpoint has durably
       // committed batchId-1, so ids <= batchId-2 can never replay — their
       // _commits markers are pure litter (one file per past micro-batch in
-      // a flat dir, forever, without this). Reap-as-you-go keeps the
-      // directory O(1); the inert-pending fence inside gcCommitMarkers
-      // still protects any crash-window ids.
-      if (batchId >= 2) graft.sinks.LogStore.gcCommitMarkers(storeDir, batchId - 2)
+      // a flat dir, forever, without this). The gc pass re-scans every
+      // partition manifest on the driver, so it runs every Nth batch
+      // (spark.graft.store.markerGcInterval, default 16) rather than every
+      // batch — the watermark fence makes delayed reaping equally safe
+      // (markers just live ≤N batches longer), and the directory stays
+      // O(N) instead of O(stream age).
+      val gcInterval = batch.sparkSession.conf
+        .get("spark.graft.store.markerGcInterval", "16").toLong.max(1L)
+      if (batchId >= 2 && batchId % gcInterval == 0)
+        graft.sinks.LogStore.gcCommitMarkers(storeDir, batchId - 2)
       ()
     }
   }

@@ -584,6 +584,10 @@ class StreamingSpec extends SparkSpec {
     Files.writeString(
       java.nio.file.Paths.get(shardDir, "shard-0.json"),
       record("fn-a", Seq("order created id=1", "order failed id=2")))
+    // production default reaps every 16th batch (one manifest scan per N
+    // batches); interval 1 here so this short stream still exercises the
+    // tight replay-window bound asserted below
+    s.conf.set("spark.graft.store.markerGcInterval", "1")
     val q = Streams.kinesisToStore(
       Streams.kinesisFileSource(spark, shardDir),
       CwlPipeline.Config(),
@@ -620,6 +624,7 @@ class StreamingSpec extends SparkSpec {
     }
     assert(live.nonEmpty && live.size <= 2,
       s"markers must stay bounded at the replay window: $live")
+    s.conf.unset("spark.graft.store.markerGcInterval")
     SearchJobs.delete(job.id)
   }
 
