@@ -679,6 +679,31 @@ object Scratch {
         f"project_best=${projs.min}%.2f s " +
         f"(runs ${projs.map(t => f"$t%.2f").mkString(",")})")
     }
+    // PCA tree-merge drill (round 14): SPARK_GRAFT_PCA_TREE=<parts>x<d> —
+    // trains over synthetic gaussians spread across `parts` partitions at
+    // dim d. The claim under test: the pid-structured tree delivers ONE
+    // moment state to the driver (1 + d + d(d+1)/2 doubles) regardless of
+    // partition count — a flat per-partition collect would pull parts×state.
+    sys.env.get("SPARK_GRAFT_PCA_TREE").foreach { spec =>
+      val Array(parts, d) = spec.split("x").map(_.trim.toInt)
+      val perPart = 4
+      val vecs = spark.range(0, parts.toLong * perPart, 1, parts)
+        .select(col("id"),
+          expr(s"transform(sequence(0, ${d - 1}), i -> " +
+            "cast(conv(substring(md5(concat(cast(id as string), ':', " +
+            "cast(i as string))), 1, 8), 16, 10) as double) / 4294967295.0)")
+            .cast("array<float>").as("embedding"))
+      vecs.write.format("noop").mode("overwrite").save() // warm codegen
+      val stateDoubles = 1L + d + d.toLong * (d + 1) / 2
+      val t0 = System.nanoTime()
+      val m = graft.operators.Embeddings.pcaTrain(vecs, col("embedding"), 8)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // independent check: mean of dim 0 over uniform [0,1] md5 draws ≈ 0.5
+      println(f"[scratch] pca_tree: parts=$parts d=$d n=${parts * perPart} " +
+        f"train=$sec%.2f s driver_state=1x$stateDoubles doubles " +
+        f"(${stateDoubles * 8 / 1024 / 1024} MiB; flat collect would be " +
+        f"${parts * stateDoubles * 8 / 1024 / 1024} MiB) mean0=${m.mean(0)}%.4f")
+    }
     // extra args = query names, timed warm against a noop sink (full declared
     // plan, codegen already compiled) — the per-query drill-down the bench's
     // cold single-shot numbers can't give

@@ -12,17 +12,24 @@ import org.apache.spark.sql.functions._
   * Training shape at 100 TB: ONE pass over the vectors computing the d
   * first moments and the d(d+1)/2 second moments per partition
   * (imperative per-partition accumulation — a genuine `mapPartitions`
-  * case: 2,144 doubles of state for d=64, no per-row allocation), merged
-  * on the driver in partition order (bounded: partitions × (d²+d+2)/2
-  * doubles — the centroid-table contract). The eigendecomposition runs on
-  * the driver over the d×d covariance (cyclic Jacobi, deterministic, with
-  * a sign convention), which is exact and trivially affordable for
-  * embedding dims (64–4096). Determinism: for a fixed partitioning the
-  * result is bit-stable (fixed merge order); across partitionings the
-  * float partial sums can differ in the last ulps — the gated query
-  * therefore freezes a [[trainLocal]] model (input-independent seed, the
-  * BPE frozen-table pattern) and PcaSpec pins distributed == local on a
-  * single partition plus ≤1e-9 relative drift on many.
+  * case: 2,144 doubles of state for d=64, no per-row allocation), then a
+  * pid-structured tree merge (fan-in 64, ascending-pid order inside every
+  * group) so the driver receives exactly ONE (d²+d+2)/2-double state no
+  * matter how many input partitions there are — at d=4096 that is one
+  * ~67 MB pull whether the corpus has 32 partitions or 10⁵ (a flat
+  * per-partition collect would be a multi-GB driver OOM at that scale).
+  * The eigendecomposition runs on the driver over the d×d covariance
+  * (cyclic Jacobi, deterministic, with a sign convention), which is exact
+  * and trivially affordable for embedding dims (64–4096). Determinism:
+  * the summation tree is a pure function of the partitioning (groups of
+  * 64 ascending pids per level), so for a fixed partitioning the result
+  * is bit-stable — and for ≤64 partitions the tree degenerates to the
+  * single ascending-pid merge, bit-identical to a flat ordered fold.
+  * Across partitionings the float partial sums can differ in the last
+  * ulps — the gated query therefore freezes a [[trainLocal]] model
+  * (input-independent seed, the BPE frozen-table pattern) and PcaSpec
+  * pins distributed == local on a single partition plus ≤1e-9 relative
+  * drift on many.
   */
 object Embeddings {
 
@@ -43,9 +50,7 @@ object Embeddings {
   def pcaTrain(df: DataFrame, vecCol: Column, k: Int): PcaModel = {
     val vecs = df.select(vecCol.cast("array<float>").as("v"))
       .filter(col("v").isNotNull)
-    // per-partition moment accumulation; merge driver-side in partition
-    // order (deterministic for a fixed partitioning)
-    val parts = vecs.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+    val stateRdd = vecs.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       var state: Array[Double] = null // [n, sum_0..d-1, prod upper triangle]
       var d = 0
       it.foreach { row =>
@@ -71,18 +76,45 @@ object Embeddings {
           i += 1
         }
       }
-      if (state == null) Iterator.empty else Iterator((pid, state))
-    }.collect().sortBy(_._1).map(_._2)
-    require(parts.nonEmpty, "pcaTrain: no vectors")
+      if (state == null) Iterator.empty else Iterator((pid.toLong, state))
+    }
+    // pid-structured tree merge: level by level, group 64 ascending pids and
+    // fold them in pid order on an executor. The tree is a pure function of
+    // the partitioning (deterministic), the driver receives ONE state (never
+    // partitions × d² doubles), and for ≤64 partitions the single group's
+    // ascending-pid fold is bit-identical to a flat ordered merge.
+    val fanIn = 64
+    var cur = stateRdd
+    var width = stateRdd.getNumPartitions.max(1)
+    while (width > 1) {
+      width = (width + fanIn - 1) / fanIn
+      cur = cur.map { case (pid, st) => (pid / fanIn, (pid, st)) }
+        .groupByKey(width)
+        .map { case (g, group) =>
+          val sorted = group.toArray.sortBy(_._1)
+          val acc = sorted.head._2.clone()
+          sorted.iterator.drop(1).foreach { case (_, p) =>
+            require(p.length == acc.length,
+              "pcaTrain: inconsistent vector dims across partitions")
+            var i = 0
+            while (i < acc.length) { acc(i) += p(i); i += 1 }
+          }
+          (g, acc)
+        }
+    }
+    val roots = cur.collect().sortBy(_._1)
+    require(roots.nonEmpty, "pcaTrain: no vectors")
+    require(roots.forall(_._2.length == roots.head._2.length),
+      "pcaTrain: inconsistent vector dims across partitions")
+    val acc = roots.head._2.clone()
+    roots.iterator.drop(1).foreach { case (_, p) =>
+      var i = 0; while (i < acc.length) { acc(i) += p(i); i += 1 }
+    }
     val d = {
       // state length s = 1 + d + d(d+1)/2 → recover d
-      val s = parts.head.length
+      val s = acc.length
       ((math.sqrt(8.0 * s + 1) - 3) / 2).round.toInt
     }
-    require(parts.forall(_.length == parts.head.length),
-      "pcaTrain: inconsistent vector dims across partitions")
-    val acc = new Array[Double](parts.head.length)
-    parts.foreach { p => var i = 0; while (i < acc.length) { acc(i) += p(i); i += 1 } }
     val n = acc(0)
     require(k >= 1 && k <= d, s"pcaTrain: k=$k out of range for d=$d")
     require(n >= 2, s"pcaTrain: need at least 2 vectors, got ${n.toLong}")

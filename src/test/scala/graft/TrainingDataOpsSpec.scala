@@ -691,6 +691,18 @@ class TrainingDataOpsSpec extends SparkSpec {
       val dot = (0 until 6).map(r => dist7.matrix(r)(c) * local.matrix(r)(c)).sum
       assert(math.abs(dot - 1.0) < 1e-9, s"component $c drifted: $dot")
     }
+    // >64 partitions forces a MULTI-LEVEL pid tree (fan-in 64: 130 pids →
+    // 3 groups → 1 root) — the partition-count-independent merge path the
+    // driver never sees more than one state from
+    val dist130 = Embeddings.pcaTrain(
+      vecs.map(v => Tuple1(v.toSeq)).toDF("embedding").repartition(130),
+      col("embedding"), k = 3)
+    (0 until 3).foreach { c =>
+      val dot = (0 until 6).map(r => dist130.matrix(r)(c) * local.matrix(r)(c)).sum
+      assert(math.abs(dot - 1.0) < 1e-9, s"tree-merge component $c drifted: $dot")
+    }
+    assert(math.abs(dist130.eigenvalues.sum - local.eigenvalues.sum) <
+      1e-9 * local.eigenvalues.sum)
     // eigen properties on the local model: variance-descending eigenvalues
     // that match the projected variances; components decorrelated
     assert(local.eigenvalues.sliding(2).forall(p => p(0) >= p(1)))
