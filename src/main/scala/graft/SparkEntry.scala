@@ -2142,6 +2142,21 @@ object SparkEntry {
       graft.operators.Similarity.bruteForceTopK(
         reduced, col("vec_id"), col("rvec"), query, 20)
     }),
+    // ---- PCA WHITENING: the frozen seed model's components rescaled to
+    //      unit variance (matrix column c divided by sqrt(eigenvalue_c))
+    //      before projection — the skewed-spectrum preprocessing in front
+    //      of cosine/L2 indexes. The oracle does NOT freeze the whitened
+    //      matrix: it re-derives the per-element w/sqrt(eig) division from
+    //      the RAW matrix + eigenvalue literals (both correctly-rounded
+    //      IEEE ops), so the whitening transform itself is what's gated. ----
+    "q178_pca_whiten" -> ((s, dir) => {
+      val white = graft.operators.Embeddings.whitened(
+        graft.operators.Embeddings.seedModel())
+      val proj = graft.operators.Embeddings.pcaProject(col("embedding"), white)
+      tblSorted(s, dir, "embeddings", "vec_id")
+        .select(col("vec_id") +:
+          (0 until white.k).map(i => proj(i).as(s"wc$i")): _*)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -4806,6 +4821,31 @@ object SparkEntry {
                AS cosine
            FROM r, q)
          ORDER BY cosine DESC, vec_id LIMIT 20"""
+    },
+    "q178_pca_whiten" -> {
+      // raw matrix + eigenvalues as literals; the WHITENING arithmetic
+      // (w[ii]/sqrt(eig)) runs inside DuckDB — division and sqrt are
+      // correctly-rounded IEEE ops, so the per-element whitened weights
+      // are bit-identical to Embeddings.whitened's precomputed matrix,
+      // and the i-ascending fold matches the kernel exactly
+      val m = graft.operators.Embeddings.seedModel()
+      def dlit(v: Double): String = {
+        val s = v.toString
+        if (s.contains("E")) s else s + "e0"
+      }
+      val mu = m.mean.map(dlit).mkString("[", ",", "]")
+      val ws = (0 until m.k).map(c =>
+        m.matrix.map(r => dlit(r(c))).mkString("[", ",", "]"))
+      val cols = (0 until m.k).map(i =>
+        s"""list_reduce(list_transform(range(1, ${m.d + 1}),
+           ii -> (embedding[ii]::DOUBLE - c.mu[ii])
+                 * (c.w$i[ii] / sqrt(${dlit(m.eigenvalues(i))}))),
+           (x, y) -> x + y) AS wc$i""").mkString(",\n           ")
+      s"""WITH c AS (SELECT $mu AS mu,
+           ${ws.zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(",\n           ")})
+         SELECT vec_id,
+           $cols
+         FROM embeddings, c ORDER BY vec_id"""
     },
     "q174_piped_topk_exact" ->
       """WITH m AS (SELECT 'fetch path=/p/'
