@@ -2157,6 +2157,20 @@ object SparkEntry {
         .select(col("vec_id") +:
           (0 until white.k).map(i => proj(i).as(s"wc$i")): _*)
     }),
+    // ---- model store + piped serve path: the frozen model SAVES to the
+    //      named model store, then a piped `pca <name> on <field>` stage
+    //      LOADS it by name and projects — the train-offline/serve-online
+    //      chain end-to-end through persistence (ModelStoreSpec pins the
+    //      round-trip bit-identical; this gates the query-string surface).
+    //      Same math as q176, so it shares q176's oracle shape. ----
+    "q179_pca_store_piped" -> ((s, dir) => {
+      import graft.operators.{Embeddings, ModelStore, SearchQuery}
+      ModelStore.savePca(s, "q179_seed", Embeddings.seedModel())
+      val piped = SearchQuery.parsePiped("* | pca q179_seed on embedding")
+      SearchQuery.compileStages(piped.stages, "vec_id", "vec_id")(
+        tblSorted(s, dir, "embeddings", "vec_id"))
+        .select(col("vec_id") +: (0 until 8).map(i => col(s"pc$i")): _*)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -4821,6 +4835,28 @@ object SparkEntry {
                AS cosine
            FROM r, q)
          ORDER BY cosine DESC, vec_id LIMIT 20"""
+    },
+    "q179_pca_store_piped" -> {
+      // identical math to q176 (the piped stage loads the SAME frozen model
+      // from the store and projects with the same kernel) — the oracle is
+      // q176's: frozen literals, per-component i-ascending fold
+      val m = graft.operators.Embeddings.seedModel()
+      def dlit(v: Double): String = {
+        val s = v.toString
+        if (s.contains("E")) s else s + "e0"
+      }
+      val mu = m.mean.map(dlit).mkString("[", ",", "]")
+      val ws = (0 until m.k).map(c =>
+        m.matrix.map(r => dlit(r(c))).mkString("[", ",", "]"))
+      val cols = (0 until m.k).map(i =>
+        s"""list_reduce(list_transform(range(1, ${m.d + 1}),
+           ii -> (embedding[ii]::DOUBLE - c.mu[ii]) * c.w$i[ii]),
+           (x, y) -> x + y) AS pc$i""").mkString(",\n           ")
+      s"""WITH c AS (SELECT $mu AS mu,
+           ${ws.zipWithIndex.map { case (w, i) => s"$w AS w$i" }.mkString(",\n           ")})
+         SELECT vec_id,
+           $cols
+         FROM embeddings, c ORDER BY vec_id"""
     },
     "q178_pca_whiten" -> {
       // raw matrix + eigenvalues as literals; the WHITENING arithmetic

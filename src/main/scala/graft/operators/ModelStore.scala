@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Named persistence for trained model artifacts — PCA models, PQ
+  * codebooks, IVF centroid tables — alongside the saved-lookup-table store
+  * (the `| save` / `| lookup … from` convention): artifacts land as parquet
+  * under `spark.graft.lookup.dir/_models/<kind>/<name>`, so the
+  * train-offline/serve-online chain (train ONCE over the full corpus,
+  * project/encode at ingest or query time, possibly in a different JVM days
+  * later) never recomputes a model. On a cluster the lookup dir is shared
+  * storage, which makes a saved model visible to every driver the same way
+  * saved lookup tables already are.
+  *
+  * Fidelity contract: parquet stores IEEE doubles/floats exactly, so a
+  * loaded model projects/encodes BIT-IDENTICALLY to the in-memory one
+  * (ModelStoreSpec pins projection, whitened projection, and PQ encode).
+  *
+  * The `_models/` prefix keeps the namespace disjoint from saved lookup
+  * tables (`<dir>/<table>`), so a model named like a lookup table can never
+  * shadow one.
+  */
+object ModelStore {
+
+  private def root(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.lookup.dir")
+      .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-lookups")
+
+  private def path(spark: SparkSession, kind: String, name: String): String = {
+    require(name.nonEmpty && name.exists(_ != '.') && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '.' || c == '-'),
+      s"model name must be [A-Za-z0-9_.-]+ (not all dots): '$name'")
+    s"${root(spark)}/_models/$kind/$name"
+  }
+
+  /** Persist a trained [[Embeddings.PcaModel]] under `name` (single-row
+    * parquet: mean, d×k matrix, eigenvalues — all exact doubles).
+    */
+  def savePca(spark: SparkSession, name: String,
+      m: Embeddings.PcaModel): Unit = {
+    import spark.implicits._
+    Seq((m.mean.toSeq, m.matrix.map(_.toSeq).toSeq, m.eigenvalues.toSeq))
+      .toDF("mean", "matrix", "eigenvalues")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path(spark, "pca", name))
+  }
+
+  def loadPca(spark: SparkSession, name: String): Embeddings.PcaModel = {
+    val p = path(spark, "pca", name)
+    require(new java.io.File(p).exists,
+      s"pca model '$name' does not exist in the model store — save it first")
+    val r = spark.read.parquet(p).head()
+    Embeddings.PcaModel(
+      r.getAs[scala.collection.Seq[Double]]("mean").toArray,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("matrix")
+        .map(_.toArray).toArray,
+      r.getAs[scala.collection.Seq[Double]]("eigenvalues").toArray)
+  }
+
+  /** Persist a PQ codebook (`m` subspaces × codewords × dsub floats) under
+    * `name` — the artifact [[Similarity.pqTopK]]/[[Similarity.adcTopK]]
+    * score against.
+    */
+  def savePqCodebook(spark: SparkSession, name: String,
+      codebook: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(codebook.map(_.map(_.toSeq).toSeq).toSeq)).toDF("codebook")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path(spark, "pq", name))
+  }
+
+  def loadPqCodebook(spark: SparkSession,
+      name: String): Array[Array[Array[Float]]] = {
+    val p = path(spark, "pq", name)
+    require(new java.io.File(p).exists,
+      s"pq codebook '$name' does not exist in the model store — save it first")
+    spark.read.parquet(p).head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Float]]]]("codebook")
+      .map(_.map(_.toArray).toArray).toArray
+  }
+
+  /** Persist an IVF centroid table (`cluster_id`, `centroid`) — already a
+    * DataFrame, so this is the thin parquet wrapper that gives centroids the
+    * same named-artifact lifecycle as the scalar models.
+    */
+  def saveCentroids(centroids: DataFrame, name: String): Unit =
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(path(centroids.sparkSession, "ivf", name))
+
+  def loadCentroids(spark: SparkSession, name: String): DataFrame = {
+    val p = path(spark, "ivf", name)
+    require(new java.io.File(p).exists,
+      s"ivf centroids '$name' do not exist in the model store — save them first")
+    spark.read.parquet(p)
+  }
+}

@@ -509,6 +509,18 @@ object SearchQuery {
     */
   final case class PctExactStage(field: String, percentiles: Seq[Double],
       accuracy: Int, by: Option[String]) extends Stage
+  /** `pca <model> on <field> [prefix=<p>] [whiten]` — project a vector
+    * field through a NAMED trained PCA model from the model store
+    * ([[graft.operators.ModelStore]], `spark.graft.lookup.dir/_models/…`):
+    * adds `<p>0…<p>k-1` double columns (default prefix `pc`), optionally
+    * through the unit-variance whitened form of the model. This is the
+    * serve-online half of the train-offline chain — the model was trained
+    * once (possibly in another JVM, days earlier) and loads by name at
+    * stage-compile time on the driver; the projection itself is the pure
+    * map-side codegen kernel, so the stage adds no shuffle.
+    */
+  final case class PcaStage(model: String, field: String, prefix: String,
+      whiten: Boolean) extends Stage
   /** `logreduce [field=<name>] [limit N]` — signature clustering: messages
     * are reduced to a template by masking the variable tokens (ISO
     * timestamps → `$DATE`, UUIDs → `$UUID`, long hex runs → `$HEX`, digit
@@ -774,6 +786,9 @@ object SearchQuery {
   private val PctExactRe =
     ("(?i)pct_exact\\s+([A-Za-z0-9_]+)\\s+([0-9][0-9.,\\s]*?)" +
       "(?:\\s+accuracy=(\\d+))?(?:\\s+by\\s+([A-Za-z0-9_]+))?\\s*").r
+  private val PcaRe =
+    ("(?i)pca\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+prefix=([A-Za-z0-9_]+))?(\\s+whiten)?\\s*").r
   private val LogReduceRe =
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogCompareRe =
@@ -1018,6 +1033,13 @@ object SearchQuery {
           TopkExactStage(f, cap.toInt, Option(by))
         case _ => throw new IllegalArgumentException(
           s"topk_exact needs 'topk_exact <field> capacity=N [by <group>]': $s")
+      }
+    } else if (lower.startsWith("pca ")) {
+      s match {
+        case PcaRe(model, f, prefix, whiten) =>
+          PcaStage(model, f, Option(prefix).getOrElse("pc"), whiten != null)
+        case _ => throw new IllegalArgumentException(
+          s"pca needs 'pca <model> on <field> [prefix=<p>] [whiten]': $s")
       }
     } else if (lower.startsWith("pct_exact ")) {
       s match {
@@ -2112,6 +2134,16 @@ object SearchQuery {
           order = ("_count", true) +: keys.map((_, false))
           df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_count"))
             .orderBy(sortColumns(order): _*).limit(n)
+        case PcaStage(modelName, f, prefix, whiten) =>
+          // model loads by name ON THE DRIVER at stage-compile time (the
+          // matrix then rides into codegen as a reference object); k
+          // inlined kernel evals per q176's measured pattern — `let` would
+          // ride an interpreted HOF and drop the Project out of codegen
+          val m0 = graft.operators.ModelStore.loadPca(df.sparkSession, modelName)
+          val m = if (whiten) Embeddings.whitened(m0) else m0
+          val proj = Embeddings.pcaProject(col(resolveField(f)), m)
+          df.select(df.columns.map(col) ++
+            (0 until m.k).map(i => proj(i).as(s"$prefix$i")): _*)
         case TopkExactStage(f, cap, by) =>
           val key = resolveField(f)
           by match {

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Embeddings, ModelStore, SearchQuery, Similarity}
+
+/** Round-trip fidelity of the named model store (train-offline/serve-online):
+  * a model loaded by name must project/encode BIT-IDENTICALLY to the
+  * in-memory one — parquet doubles/floats are exact, so any drift would mean
+  * the store mangled the artifact.
+  */
+class ModelStoreSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-models-$tag")
+    d.toString
+  }
+
+  private def vecsDf(n: Int, d: Int) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(179)
+    (0 until n).map(i =>
+      (i.toLong, Seq.fill(d)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("PCA model: save/load round-trip is field-exact and projection-bit-identical") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.lookup.dir", freshDir("pca"))
+    try {
+      val df = vecsDf(200, 16)
+      val trained = Embeddings.pcaTrain(df, col("embedding"), k = 4)
+      ModelStore.savePca(s, "round-trip.v1", trained)
+      val loaded = ModelStore.loadPca(s, "round-trip.v1")
+      assert(loaded.mean.toSeq == trained.mean.toSeq)
+      assert(loaded.matrix.map(_.toSeq).toSeq == trained.matrix.map(_.toSeq).toSeq)
+      assert(loaded.eigenvalues.toSeq == trained.eigenvalues.toSeq)
+      // bit-identical projection before/after persistence
+      def proj(m: Embeddings.PcaModel) = df
+        .orderBy("vec_id")
+        .select(Embeddings.pcaProject(col("embedding"), m).as("p"))
+        .as[Seq[Double]].collect().map(_.toSeq).toSeq
+      assert(proj(loaded) == proj(trained))
+      // whitened form of a LOADED model == whitened form of the live one
+      assert(proj(Embeddings.whitened(loaded)) ==
+        proj(Embeddings.whitened(trained)))
+      // overwrite semantics: saving a new model under the same name wins
+      val retrained = Embeddings.pcaTrain(df, col("embedding"), k = 2)
+      ModelStore.savePca(s, "round-trip.v1", retrained)
+      assert(ModelStore.loadPca(s, "round-trip.v1").k == 2)
+      // a missing name fails loudly, naming the fix
+      val err = intercept[IllegalArgumentException] {
+        ModelStore.loadPca(s, "never-saved")
+      }
+      assert(err.getMessage.contains("save it first"))
+      // path discipline: the model namespace rejects traversal-shaped names
+      intercept[IllegalArgumentException] {
+        ModelStore.loadPca(s, "../escape")
+      }
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
+
+  test("PQ codebook + IVF centroids: save/load round-trip, encode-bit-identical") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.lookup.dir", freshDir("pq"))
+    try {
+      val df = vecsDf(64, 8)
+      val cb = Similarity.pqCodebook(
+        df.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 2)
+      ModelStore.savePqCodebook(s, "cb8x2", cb)
+      val cb2 = ModelStore.loadPqCodebook(s, "cb8x2")
+      assert(cb2.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+      def codes(c: Array[Array[Array[Float]]]) = df.orderBy("vec_id")
+        .select(Similarity.pqEncode(col("embedding"), c).as("c"))
+        .as[Seq[Int]].collect().map(_.toSeq).toSeq
+      assert(codes(cb2) == codes(cb))
+      // IVF centroids: the DataFrame artifact gets the same lifecycle
+      val cents = df.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cluster_id"), col("embedding").as("centroid"))
+      ModelStore.saveCentroids(cents, "ivf4")
+      val back = ModelStore.loadCentroids(s, "ivf4")
+        .orderBy("cluster_id").collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      val orig = cents.orderBy("cluster_id").collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+      assert(back == orig)
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
+
+  test("piped `pca <model> on <field>`: loads by name, projects map-side, whiten variant") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.lookup.dir", freshDir("piped"))
+    try {
+      val df = vecsDf(100, 16)
+      val trained = Embeddings.pcaTrain(df, col("embedding"), k = 3)
+      ModelStore.savePca(s, "served", trained)
+      val piped = SearchQuery.parsePiped("* | pca served on embedding")
+      val out = SearchQuery.compileStages(piped.stages, "vec_id", "vec_id")(df)
+      assert(out.columns.toSeq == Seq("vec_id", "embedding", "pc0", "pc1", "pc2"))
+      val viaStage = out.orderBy("vec_id")
+        .select(array(col("pc0"), col("pc1"), col("pc2")).as("p"))
+        .as[Seq[Double]].collect().map(_.toSeq).toSeq
+      val direct = df.orderBy("vec_id")
+        .select(Embeddings.pcaProject(col("embedding"), trained).as("p"))
+        .as[Seq[Double]].collect().map(_.toSeq).toSeq
+      assert(viaStage == direct)
+      // prefix + whiten options
+      val pw = SearchQuery.parsePiped("* | pca served on embedding prefix=w whiten")
+      val outW = SearchQuery.compileStages(pw.stages, "vec_id", "vec_id")(df)
+      val viaW = outW.orderBy("vec_id")
+        .select(array(col("w0"), col("w1"), col("w2")).as("p"))
+        .as[Seq[Double]].collect().map(_.toSeq).toSeq
+      val directW = df.orderBy("vec_id")
+        .select(Embeddings.pcaProject(col("embedding"),
+          Embeddings.whitened(trained)).as("p"))
+        .as[Seq[Double]].collect().map(_.toSeq).toSeq
+      assert(viaW == directW)
+      // the stage is pure projection: no Exchange in the plan
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"pca stage must not shuffle:\n$plan")
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
+}
