@@ -2171,6 +2171,33 @@ object SparkEntry {
         tblSorted(s, dir, "embeddings", "vec_id"))
         .select(col("vec_id") +: (0 until 8).map(i => col(s"pc$i")): _*)
     }),
+    // ---- monitor threshold evaluation (scheduled-search half of the
+    //      alert loop): the SAME piped query registered under two
+    //      monitors — one whose row-count threshold fires, one suppressed
+    //      — and the output is exactly the row set a fired monitor POSTs
+    //      (the forwarder's required fields). The suppress branch
+    //      contributes zero rows THROUGH the same threshold logic, so the
+    //      oracle re-derives fire AND suppress from the counts. ----
+    "q180_monitor_eval" -> ((s, dir) => {
+      import graft.operators.Monitors
+      val ev = tbl(s, dir, "events")
+        .withColumn("message", concat(lit("error code="), col("event_id") % 7,
+          lit(" host=h"), col("user_id") % 5))
+      val base = "error | parse \"code=* host=*\" as code, resource_id" +
+        " | count by resource_id" +
+        " | 1704067200000 as finding_time | \"Other\" as resource_type" +
+        " | \"error volume\" as title" +
+        " | fields finding_time, resource_type, resource_id, title, _count"
+      val conn = Monitors.Connection("c", "https://example.invalid/webhook")
+      Seq(
+        Monitors.Monitor("m_fire", base, Monitors.Threshold(">", 3), conn),
+        Monitors.Monitor("m_supp", base, Monitors.Threshold(">", 100), conn))
+        .map { m =>
+          val (fired, _, res) = Monitors.evaluate(ev, m, "ts", "message")
+          (if (fired) res else res.limit(0))
+            .withColumn("monitor", lit(m.name))
+        }.reduce(_ unionByName _)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -4836,6 +4863,23 @@ object SparkEntry {
            FROM r, q)
          ORDER BY cosine DESC, vec_id LIMIT 20"""
     },
+    "q180_monitor_eval" ->
+      """WITH msg AS (SELECT 'error code='||(event_id%7)||' host=h'||(user_id%5)
+               AS message FROM events),
+         p AS (SELECT regexp_extract(message, 'code=(.*?) host=(.*)', 2)
+               AS resource_id FROM msg),
+         c AS (SELECT resource_id, count(*)::BIGINT AS _count
+               FROM p GROUP BY resource_id),
+         n AS (SELECT count(*) AS k FROM c)
+         SELECT CAST(1704067200000 AS BIGINT) AS finding_time,
+                'Other' AS resource_type, resource_id,
+                'error volume' AS title, _count, 'm_fire' AS monitor
+         FROM c, n WHERE n.k > 3
+         UNION ALL
+         SELECT CAST(1704067200000 AS BIGINT), 'Other', resource_id,
+                'error volume', _count, 'm_supp'
+         FROM c, n WHERE n.k > 100
+         ORDER BY monitor, resource_id""",
     "q179_pca_store_piped" -> {
       // identical math to q176 (the piped stage loads the SAME frozen model
       // from the store and projects with the same kernel) — the oracle is

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Scheduled searches with webhook delivery — the reference's alert-monitor
+  * → connection → SecurityHub-forwarder loop re-expressed over the engine's
+  * own query surface:
+  *
+  *   - the reference installs alert monitors whose scheduled searches fire a
+  *     webhook connection (`sumologic-app-utils/src/sumoresource.py:1503`
+  *     AlertsMonitor; `:161-199` Connections — note the defaultPayload's
+  *     `"GeneratorID":"InsertFindingsScheduledSearch"`),
+  *   - the webhook body is the Connections-shaped JSON envelope whose `Rows`
+  *     field is a STRINGIFIED JSON array of result rows
+  *     (`sumoresource.py:188`),
+  *   - and its own SecurityHub forwarder consumes exactly that shape
+  *     (`securityhub-forwarder/src/securityhub_forwarder.py:106-110` parse,
+  *     `:56-89` finding construction).
+  *
+  * Here a [[Monitor]] is a saved piped query + a row-count threshold + a
+  * [[Connection]]; [[tick]] evaluates every monitor once (deterministic —
+  * the e2e spec and the gated query both drive it), and [[run]] schedules
+  * ticks on a Structured Streaming `Trigger.ProcessingTime` clock (the
+  * reference schedules its loops the same way — `rate(5 minutes)`,
+  * `DLQLambdaCloudFormation.json:257`). A fired monitor POSTs through the
+  * same [[graft.sinks.SumoSink.BucketPoster]] seam the log sink uses, so the
+  * payload lands on whatever transport the deployment wires — the real
+  * `HttpPoster` in production, an in-process server in the spec — and what
+  * arrives parses straight through [[SecurityHub.parseRequest]] →
+  * [[SecurityHub.validate]] → [[SecurityHub.generateFindings]], closing the
+  * loop end-to-end inside the engine.
+  *
+  * Scale shape: evaluation is the piped query's own distributed plan; only
+  * the POSTED rows cross to the driver, capped at `maxRows` (the cap is
+  * recorded in the [[Outcome]] — `resultCount` vs `postedRows` makes
+  * truncation visible, never silent).
+  */
+object Monitors {
+
+  /** Webhook connection: endpoint + auth headers + the payload envelope
+    * defaults, mirroring the reference's Connections resource
+    * (`sumoresource.py:161-199` — headers carry accessKey/secretKey/region/
+    * serviceName; the envelope fields default like its defaultPayload).
+    */
+  final case class Connection(
+      name: String,
+      url: String,
+      headers: Map[String, String] = Map.empty,
+      types: String = "HIPAA Controls",
+      description: String = "This search",
+      generatorId: String = "InsertFindingsScheduledSearch",
+      severity: Int = 30,
+      sourceUrl: String = "",
+      complianceStatus: Option[String] = Some("FAILED")) {
+    require(severity >= 0 && severity <= 100,
+      "Severity should be between 0 to 100") // forwarder's own rule
+    require(complianceStatus.forall(
+      Set("PASSED", "WARNING", "FAILED", "NOT_AVAILABLE")),
+      "ComplianceStatus should be PASSED/WARNING/FAILED/NOT_AVAILABLE")
+  }
+
+  /** Row-count trigger condition on the monitor's result set. */
+  final case class Threshold(op: String, value: Long) {
+    require(Set(">", ">=", "<", "<=", "==", "!=")(op),
+      s"threshold op must be one of > >= < <= == !=: '$op'")
+    def check(n: Long): Boolean = op match {
+      case ">" => n > value
+      case ">=" => n >= value
+      case "<" => n < value
+      case "<=" => n <= value
+      case "==" => n == value
+      case "!=" => n != value
+    }
+    override def toString: String = s"count $op $value"
+  }
+
+  /** A registered scheduled search: `query` is a full piped query string
+    * (predicate half + stages); when the result row count satisfies
+    * `threshold`, up to `maxRows` result rows post through `connection`.
+    * For SecurityHub delivery the query must emit the forwarder's required
+    * row fields — `finding_time`, `resource_type`, `resource_id`, `title`
+    * (`securityhub_forwarder.py:95`) — typically via `parse`/`fields`
+    * stages; [[tick]] fails loudly if a FIRED monitor's rows lack them.
+    */
+  final case class Monitor(
+      name: String,
+      query: String,
+      threshold: Threshold,
+      connection: Connection,
+      maxRows: Int = 1000) {
+    require(maxRows > 0, s"maxRows must be positive: $maxRows")
+  }
+
+  /** One evaluation's visible outcome. `postedRows < resultCount` means the
+    * `maxRows` cap truncated the payload (never silent).
+    */
+  final case class Outcome(monitor: String, resultCount: Long,
+      fired: Boolean, postedRows: Int)
+
+  private val RequiredRowFields =
+    Seq("finding_time", "resource_type", "resource_id", "title")
+
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').result()
+  }
+
+  /** The Connections-shaped webhook body: envelope fields from the
+    * connection, `Rows` as the STRINGIFIED JSON array of result rows —
+    * byte-shape-compatible with what [[SecurityHub.parseRequest]]'s
+    * double-parse (and the reference forwarder's `validate_params`)
+    * consumes.
+    */
+  private[operators] def payloadJson(c: Connection,
+      rowsJson: Seq[String]): String = {
+    val fields = Seq(
+      "Types" -> jstr(c.types),
+      "Description" -> jstr(c.description),
+      "GeneratorID" -> jstr(c.generatorId),
+      "Severity" -> c.severity.toString,
+      "SourceUrl" -> jstr(c.sourceUrl)) ++
+      c.complianceStatus.map(cs => "ComplianceStatus" -> jstr(cs)) :+
+      ("Rows" -> jstr(rowsJson.mkString("[", ",", "]")))
+    fields.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+  }
+
+  /** Evaluate one monitor against the source (deterministic, no side
+    * effects): compile the piped query, count the result, decide the
+    * threshold. Returns the decision plus the result DataFrame so callers
+    * (and the gated query) can inspect exactly what would post.
+    */
+  def evaluate(df: DataFrame, m: Monitor, timeCol: String = "ts",
+      messageCol: String = "message"): (Boolean, Long, DataFrame) = {
+    val piped = SearchQuery.parsePiped(m.query)
+    val matched = df.filter(SearchQuery.compile(piped.terms, col(messageCol)))
+    val res = SearchQuery.compileStages(piped.stages, timeCol, messageCol)(matched)
+    val n = res.count()
+    (m.threshold.check(n), n, res)
+  }
+
+  /** Evaluate every monitor once and POST the fired ones — the unit of work
+    * [[run]] schedules. Evaluation order is the registry order; each fired
+    * monitor posts one body (`Content-Type: application/json` + the
+    * connection's auth headers).
+    */
+  def tick(df: DataFrame, monitors: Seq[Monitor],
+      poster: graft.sinks.SumoSink.BucketPoster,
+      timeCol: String = "ts", messageCol: String = "message"): Seq[Outcome] =
+    monitors.map { m =>
+      val (fired, n, res) = evaluate(df, m, timeCol, messageCol)
+      if (!fired) Outcome(m.name, n, fired = false, postedRows = 0)
+      else {
+        val missing = RequiredRowFields.filterNot(res.columns.contains)
+        require(missing.isEmpty,
+          s"monitor '${m.name}' fired but its rows lack the forwarder's " +
+            s"required fields ${missing.mkString(", ")} — emit them via " +
+            "parse/fields stages (securityhub_forwarder.py:95)")
+        val rows = res.toJSON.take(m.maxRows).toSeq
+        poster.post(
+          Map("Content-Type" -> "application/json") ++ m.connection.headers,
+          payloadJson(m.connection, rows).getBytes("UTF-8"))
+        Outcome(m.name, n, fired = true, postedRows = rows.size)
+      }
+    }
+
+  /** Schedule [[tick]] on a `Trigger.ProcessingTime` clock: a rate-source
+    * micro-batch per `every` interval, each re-reading the source fresh
+    * (`source()` — e.g. `() => LogStore.open(spark, dir)`) so new ingested
+    * data is visible to the next evaluation. Start/stop like any stream:
+    * `.option("checkpointLocation", …).start()`.
+    */
+  def run(spark: SparkSession, source: () => DataFrame,
+      monitors: Seq[Monitor], poster: graft.sinks.SumoSink.BucketPoster,
+      every: String = "5 minutes", timeCol: String = "ts",
+      messageCol: String = "message"): DataStreamWriter[Row] =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .trigger(Trigger.ProcessingTime(every))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        tick(source(), monitors, poster, timeCol, messageCol)
+        ()
+      }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Monitors, SecurityHub}
+import graft.sinks.SumoSink
+
+/** The scheduled-search → webhook → forwarder loop end-to-end: monitors
+  * evaluate piped queries, fire on a row-count threshold, POST the
+  * Connections-shaped payload over REAL HTTP, and what lands parses through
+  * SecurityHub.parseRequest → validate → generateFindings — the same loop
+  * the reference drives between its AlertsMonitor searches and its
+  * securityhub-forwarder lambda.
+  */
+class MonitorsSpec extends SparkSpec {
+
+  private def mkTmp(): String =
+    Files.createTempDirectory("graft-monitors").toString
+
+  // error logs: 3 hosts, each with an epoch-ms timestamp in the message
+  private def logsDf = {
+    val s = spark
+    import s.implicits._
+    (0 until 60).map { i =>
+      val host = s"web-${i % 3}"
+      (new java.sql.Timestamp(1542719060000L + i * 1000),
+        s"error code=${500 + i % 2} host=$host t=${1542719060000L + i * 1000}")
+    }.toDF("ts", "message")
+  }
+
+  private val monitorQuery =
+    "error | parse \"host=* t=*\" as resource_id, finding_time" +
+      " | count by resource_id, finding_time" +
+      " | \"Other\" as resource_type | \"Error spike\" as title" +
+      " | sort by resource_id, finding_time" +
+      " | fields finding_time, resource_type, resource_id, title, _count"
+
+  test("tick over real HTTP: fire posts the Connections payload, suppress posts nothing, forwarder consumes it") {
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Map[String, String], String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/webhook",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val hdrs = ex.getRequestHeaders.entrySet().asScala
+          .map(e => e.getKey.toLowerCase -> e.getValue.get(0)).toMap
+        received.add((hdrs, body))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val conn = Monitors.Connection(
+        name = "securityhub-connection",
+        url = s"http://127.0.0.1:${server.getAddress.getPort}/webhook",
+        headers = Map("accessKey" -> "ak", "secretKey" -> "sk",
+          "awsRegion" -> "us-east-1", "serviceName" -> "securityhub"),
+        types = "Software and Configuration Checks",
+        description = "Errors by host",
+        generatorId = "InsertFindingsScheduledSearch",
+        severity = 30)
+      val fireM = Monitors.Monitor("errors-fire", monitorQuery,
+        Monitors.Threshold(">", 10), conn)
+      val suppressM = Monitors.Monitor("errors-suppress", monitorQuery,
+        Monitors.Threshold(">", 1000), conn)
+      val poster = new SumoSink.HttpPoster(conn.url)
+
+      val outcomes = Monitors.tick(logsDf, Seq(fireM, suppressM), poster)
+      // 3 hosts × 20 distinct timestamps = 60 result rows: fire crosses
+      // its >10 threshold, suppress stays under >1000
+      assert(outcomes == Seq(
+        Monitors.Outcome("errors-fire", 60, fired = true, postedRows = 60),
+        Monitors.Outcome("errors-suppress", 60, fired = false, postedRows = 0)))
+      val reqs = received.asScala.toSeq
+      assert(reqs.size == 1, "only the fired monitor may post")
+      val (hdrs, body) = reqs.head
+      assert(hdrs.get("content-type").contains("application/json"))
+      assert(hdrs.get("accesskey").contains("ak") &&
+        hdrs.get("awsregion").contains("us-east-1"), hdrs)
+
+      // the landed body IS the forwarder's wire shape: parseRequest's
+      // double-parse → validate (clean) → generateFindings
+      import s.implicits._
+      val rowSchema = StructType(Seq(
+        StructField("finding_time", StringType),
+        StructField("resource_type", StringType),
+        StructField("resource_id", StringType),
+        StructField("title", StringType),
+        StructField("aws_account_id", StringType))) // optional per forwarder
+      val parsed = SecurityHub.parseRequest(
+        Seq(body).toDF("body"), col("body"), rowSchema)
+      val validated = SecurityHub.validate(parsed)
+      assert(validated.filter(col("error").isNotNull).count() == 0)
+      val findings = SecurityHub.generateFindings(
+        validated.filter(col("error").isNull), "123456789012", "us-east-1")
+      assert(findings.count() == 60)
+      val f = findings.orderBy("Title", "CreatedAt").head()
+      assert(f.getAs[String]("GeneratorId") == "InsertFindingsScheduledSearch")
+      assert(f.getAs[scala.collection.Seq[String]]("Types") ==
+        Seq("Software and Configuration Checks"))
+      assert(f.getAs[org.apache.spark.sql.Row]("Severity").getInt(0) == 30)
+      assert(f.getAs[String]("Title") == "Error spike")
+      assert(f.getAs[String]("CreatedAt").startsWith("2018-11-20T")) // epoch-ms converted
+      val res = f.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("Resources").head
+      assert(res.getAs[String]("Type") == "Other" &&
+        res.getAs[String]("Id").startsWith("web-"))
+      assert(f.getAs[org.apache.spark.sql.Row]("Compliance").getString(0) == "FAILED")
+
+      // a fired monitor whose rows LACK the forwarder's required fields
+      // fails loudly instead of posting a payload the consumer rejects
+      val bad = Monitors.Monitor("bad-rows",
+        "error | count by resource_id0", // wrong field name entirely
+        Monitors.Threshold(">=", 0), conn)
+      val err = intercept[Exception] {
+        Monitors.tick(logsDf, Seq(bad), poster)
+      }
+      assert(err.getMessage != null)
+      assert(received.size() == 1, "no partial post on failure")
+    } finally server.stop(0)
+  }
+
+  test("maxRows cap truncates the payload VISIBLY (resultCount vs postedRows)") {
+    val received = new java.util.concurrent.atomic.AtomicReference[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/webhook",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.set(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val conn = Monitors.Connection("c",
+        s"http://127.0.0.1:${server.getAddress.getPort}/webhook")
+      val m = Monitors.Monitor("capped", monitorQuery,
+        Monitors.Threshold(">", 0), conn, maxRows = 5)
+      val out = Monitors.tick(logsDf, Seq(m), new SumoSink.HttpPoster(conn.url))
+      assert(out == Seq(Monitors.Outcome("capped", 60, fired = true, postedRows = 5)))
+      // 5 rows on the wire, and the Rows field is a STRINGIFIED array
+      // (the reference defaultPayload / parseRequest double-parse shape)
+      assert(received.get().contains("\"Rows\":\"[") )
+    } finally server.stop(0)
+  }
+
+  test("run(): Trigger.ProcessingTime schedule evaluates the registry repeatedly") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/webhook",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val conn = Monitors.Connection("c",
+        s"http://127.0.0.1:${server.getAddress.getPort}/webhook")
+      val m = Monitors.Monitor("scheduled", monitorQuery,
+        Monitors.Threshold(">", 0), conn)
+      val q = Monitors.run(spark, () => logsDf, Seq(m),
+        new SumoSink.HttpPoster(conn.url), every = "1 second")
+        .option("checkpointLocation", mkTmp())
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (hits.get() < 2 && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        assert(hits.get() >= 2,
+          s"expected repeated scheduled evaluations, saw ${hits.get()}")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+}
