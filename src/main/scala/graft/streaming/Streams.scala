@@ -504,4 +504,113 @@ object Streams {
     docs.withColumn("dsir_weight",
       round(weightedBucketSum(grams, bucketWeights).cast("double") / 1e9, 6))
   }
+
+  /** Online PCA projection at ingest (the [[dsirScoreStream]]
+    * train-offline/apply-online pattern): project a vector column through a
+    * FROZEN model — trained offline by
+    * [[graft.operators.Embeddings.pcaTrain]], typically loaded by name from
+    * [[graft.operators.ModelStore]] — adding `<prefix>0…<prefix>k-1` double
+    * columns, so reduced vectors land in the store AT ingest and the
+    * dimension-reduced ANN serving path never touches the raw dims. The
+    * matrix is a plan-time constant riding inside the codegen'd kernel:
+    * STATELESS map-side projection, no state store, no shuffle, and output
+    * bit-identical to the batch [[graft.operators.Embeddings.pcaProject]]
+    * (and the piped `pca <model> on <field>` stage) on the same vectors —
+    * StreamingSpec pins the parity.
+    */
+  def pcaProjectStream(vecs: DataFrame,
+      model: graft.operators.Embeddings.PcaModel,
+      vecCol: String = "embedding", prefix: String = "pc"): DataFrame = {
+    val proj = graft.operators.Embeddings.pcaProject(col(vecCol), model)
+    vecs.select(col("*") +:
+      (0 until model.k).map(i => proj(i).as(s"$prefix$i")): _*)
+  }
+
+  // public: the Dataset encoders' generated code instantiates these
+  final case class OutlierIn(k: String, ts: Timestamp,
+      raw: Option[Double], dec: Option[BigDecimal])
+  final case class OutlierState(ring: Seq[BigDecimal], run: Int)
+  /** One streamed point with its trailing band and breach verdict. */
+  final case class OutlierPoint(key: String, ts: Timestamp,
+      value: Option[Double], lower: Option[Double], upper: Option[Double],
+      violation: Long)
+
+  /** Streaming `outlier` — the batch stage's trailing-band breach detector
+    * (`| outlier f window=N threshold=T [consecutive=C] [direction=+/-]`)
+    * as a watermarked per-key stream, completing the alerting family
+    * ([[heavyHittersStream]] / [[quantilesStream]] pattern): each point is
+    * judged against mean ± T·std of the PREVIOUS `window` points of its
+    * key, `direction` gates which band side counts as a breach, and
+    * `consecutive=C` fires only when the C points ending at the current one
+    * all breach — the run survives micro-batch boundaries in the key's
+    * state, so a spike split across batches still alerts.
+    *
+    * Band parity with the batch operator is EXACT on same-ordered input:
+    * state keeps the trailing values quantized to decimal(18,6) by Spark's
+    * own cast (the batch stage's `try_cast`), moments accumulate in exact
+    * BigDecimal and cast to double once — the same arithmetic, so
+    * `_lower`/`_upper`/`_violation` are bit-identical (StreamingSpec pins
+    * it across a batch split). Ordering contract: points are processed in
+    * event-time order WITHIN each micro-batch (sorted per key per batch);
+    * an event arriving in a LATER batch than a newer point is folded at
+    * arrival — the same arrival-order truth as [[asofStream]]. State per
+    * key is `window` decimals + one counter; null values occupy a window
+    * slot but contribute nothing, matching the batch frame.
+    */
+  def outlierStream(events: DataFrame, tsCol: String, lateness: String,
+      keyCol: org.apache.spark.sql.Column, valCol: org.apache.spark.sql.Column,
+      window: Int, threshold: Double, consecutive: Int = 1,
+      direction: String = "+-"): Dataset[OutlierPoint] = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(consecutive >= 1, s"consecutive must be >= 1: $consecutive")
+    require(Set("+", "-", "+-")(direction),
+      s"direction must be +, - or +-: '$direction'")
+    implicit val inEnc: Encoder[OutlierIn] = Encoders.product[OutlierIn]
+    implicit val stEnc: Encoder[OutlierState] = Encoders.product[OutlierState]
+    implicit val outEnc: Encoder[OutlierPoint] = Encoders.product[OutlierPoint]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val typed = events
+      .select(keyCol.cast("string").as("k"), col(tsCol).as("ts"),
+        valCol.try_cast("double").as("raw"),
+        valCol.try_cast("decimal(18,6)").as("dec")) // Spark's own quantization
+      .filter(col("k").isNotNull)
+      .withWatermark("ts", lateness)
+      .as[OutlierIn]
+    typed.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[OutlierIn], state: GroupState[OutlierState]) =>
+          var st = state.getOption.getOrElse(OutlierState(Seq.empty, 0))
+          val out = it.toSeq.sortBy(_.ts.getTime).map { p =>
+            // trailing moments over the ring (previous `window` slots):
+            // exact decimal sums, ONE cast to double — the batch stage's
+            // decimal(18,6) arithmetic verbatim
+            val present = st.ring.filter(_ != null)
+            val cnt = present.size.toDouble
+            val (lower, upper) =
+              if (present.size > 1) {
+                val sm = present.sum.toDouble
+                val q = present.map(d => d * d).sum.toDouble
+                val mean = sm / cnt
+                val variance = ((q - sm * sm / cnt) / (cnt - 1.0)).max(0.0)
+                val std = math.sqrt(variance)
+                (Some(mean - threshold * std), Some(mean + threshold * std))
+              } else (None, None)
+            val breach = (lower, upper, p.raw) match {
+              case (Some(lo), Some(hi), Some(v)) => direction match {
+                case "+" => v > hi
+                case "-" => v < lo
+                case _ => v < lo || v > hi
+              }
+              case _ => false
+            }
+            val run = if (breach) st.run + 1 else 0
+            st = OutlierState(
+              (st.ring :+ p.dec.orNull).takeRight(window), run)
+            OutlierPoint(key, p.ts, p.raw, lower, upper,
+              if (run >= consecutive) 1L else 0L)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

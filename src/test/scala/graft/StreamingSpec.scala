@@ -966,4 +966,85 @@ class StreamingSpec extends SparkSpec {
     assert(Streams.drainDlq(spark, doubleListing, new SumoSink.LocalDirPoster(out)) == 0L
       || readBack(out) == Seq("contract line"))
   }
+
+  test("round-14 streaming PCA projection at ingest == batch kernel, bit-for-bit") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import graft.operators.Embeddings
+    val model = Embeddings.seedModel(d = 8, k = 3)
+    val rnd = new scala.util.Random(14)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val proj = Streams.pcaProjectStream(
+      input.toDF().toDF("vec_id", "embedding"), model)
+    val q = proj.writeStream.format("memory").queryName("pca_stream")
+      .outputMode("append").start()
+    input.addData(vecs.take(25): _*)
+    q.processAllAvailable()
+    input.addData(vecs.drop(25): _*) // second micro-batch: stateless ⇒ same kernel
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pca_stream")
+      .select(col("vec_id"), array(col("pc0"), col("pc1"), col("pc2")).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val batch = Embeddings.pcaProject(col("embedding"), model)
+    val expected = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), batch(0), batch(1), batch(2))
+      .as[(Long, Double, Double, Double)].collect()
+      .map { case (id, a, b, c) => id -> Seq(a, b, c) }.toMap
+    assert(streamed == expected) // bitwise — the same frozen-kernel plan
+  }
+
+  test("round-14 streaming outlier: bands == batch stage, consecutive run survives the batch boundary") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // host a: flat baseline then a two-point spike SPLIT ACROSS micro-batches
+    // (100 ends batch 1, 200 opens batch 2 — big enough to clear the band the
+    // first spike itself inflated) — consecutive=2 must fire on the second
+    // spike point only, via state carried across batches.
+    // host b: flat forever — zero violations.
+    val aVals = Seq(10.0, 10.5, 9.5, 10.0, 10.25, 100.0, 200.0, 10.0, 9.75)
+    val bVals = Seq(5.0, 5.5, 4.5, 5.0, 5.25, 5.5, 4.75, 5.0, 5.25)
+    val all = aVals.zipWithIndex.map { case (v, i) => (t(i), "a", v) } ++
+      bVals.zipWithIndex.map { case (v, i) => (t(i), "b", v) }
+    val (batch1, batch2) = all.partition(_._1.getTime <= t(5).getTime)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.outlierStream(
+      input.toDF().toDF("ts", "host", "v"),
+      "ts", lateness = "10 minutes", keyCol = col("host"), valCol = col("v"),
+      window = 4, threshold = 3.0, consecutive = 2, direction = "+")
+    val q = out.writeStream.format("memory").queryName("outlier_stream")
+      .outputMode("append").start()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("outlier_stream")
+      .select("key", "ts", "lower", "upper", "violation")
+      .as[(String, Timestamp, Option[Double], Option[Double], Long)]
+      .collect().map(r => (r._1, r._2.getTime) -> ((r._3, r._4, r._5))).toMap
+    assert(streamed.size == all.size)
+    // batch truth: the SAME data through the batch `outlier` stage
+    import graft.operators.SearchQuery
+    val batchOut = SearchQuery.compileStages(
+      Seq(SearchQuery.SortStage(Seq(("ts", false))),
+        SearchQuery.OutlierStage("v", 4, 3.0, Seq("host"), 2, "+")),
+      "ts", "msg")(all.toDF("ts", "host", "v"))
+      .select(col("host"), col("ts"), col("_lower"), col("_upper"),
+        col("_violation"))
+      .as[(String, Timestamp, Option[Double], Option[Double], Long)]
+      .collect().map(r => (r._1, r._2.getTime) -> ((r._3, r._4, r._5))).toMap
+    assert(streamed == batchOut) // bands AND verdicts bit-identical
+    // the cross-batch consecutive gate: first spike point suppressed
+    // (run=1), second fires (run=2, carried over the micro-batch split)
+    assert(streamed(("a", t(5).getTime))._3 == 0L)
+    assert(streamed(("a", t(6).getTime))._3 == 1L)
+    assert(streamed.collect { case ((k, _), (_, _, v)) if k == "b" => v }
+      .forall(_ == 0L))
+  }
 }
