@@ -679,6 +679,52 @@ object Scratch {
         f"project_best=${projs.min}%.2f s " +
         f"(runs ${projs.map(t => f"$t%.2f").mkString(",")})")
     }
+    // search-page materialization drill (round 14): layout variants for
+    // materializePaged, timed over a synthetic store-shaped frame
+    sys.env.get("SPARK_GRAFT_PAGE_DRILL").foreach { rows =>
+      graft.operators.PageDrill.run(spark, rows.trim.toLong)
+    }
+    // search A/B (round 14): the REAL SearchJobs path (store scan → sort →
+    // rank → page write) alternating coarse vs legacy page layouts inside
+    // ONE JVM, so ambient load hits both arms equally. Store built once.
+    sys.env.get("SPARK_GRAFT_SEARCH_AB").foreach { rows =>
+      val n = rows.trim.toLong
+      val storeDir =
+        java.nio.file.Files.createTempDirectory("graft-ab-store").toString
+      val src = spark.range(0, n, 1, 32)
+        .select(
+          timestamp_millis(lit(1700000000000L) + col("id")).as("ts"),
+          concat(lit("evt click user="), col("id") % 97,
+            lit(" req="), md5(col("id").cast("string"))).as("message"),
+          lit("bench/stream").as("source_category"),
+          concat(lit("shard-"), col("id") % 64).as("logStream"))
+      graft.sinks.LogStore.append(src, storeDir, col("ts"))
+      val store = graft.sinks.LogStore.open(spark, storeDir)
+      def searchOnce(layout: String): Double = {
+        spark.conf.set("spark.graft.search.pageLayout", layout)
+        val t0 = System.nanoTime()
+        val job = graft.operators.SearchJobs.create(store,
+          "_sourceCategory=bench/stream evt",
+          lit("2023-01-01").cast("timestamp"),
+          lit("2024-06-01").cast("timestamp"),
+          col("ts"), col("message"), orderBy = Seq("ts"))
+        val st = graft.operators.SearchJobs.await(job, timeoutMs = 600000)
+        require(st == graft.operators.SearchJobs.DoneGatheringResults, s"$st")
+        require(job.messageCount == n, s"${job.messageCount}")
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.operators.SearchJobs.delete(job.id)
+        sec
+      }
+      searchOnce("coarse") // warm both the scan and the write machinery
+      val runs = (1 to 3).flatMap { i =>
+        Seq("legacy" -> searchOnce("legacy"), "coarse" -> searchOnce("coarse"))
+      }
+      spark.conf.unset("spark.graft.search.pageLayout")
+      def best(tag: String) = runs.collect { case (`tag`, s) => s }.min
+      println(f"[scratch] search_ab n=$n legacy_best=${best("legacy")}%.2f s " +
+        f"coarse_best=${best("coarse")}%.2f s " +
+        f"(all: ${runs.map { case (t, s) => f"$t=$s%.1f" }.mkString(", ")})")
+    }
     // PCA tree-merge drill (round 14): SPARK_GRAFT_PCA_TREE=<parts>x<d> —
     // trains over synthetic gaussians spread across `parts` partitions at
     // dim d. The claim under test: the pid-structured tree delivers ONE

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Profiling harness for the search-job page-materialization path (the
+  * dominant stream-stage cost at 10M events — SCALING.md round 13/14): times
+  * layout variants of "global sort + rank + paged parquet write" over a
+  * synthetic store-shaped frame so the write strategy is chosen by
+  * measurement, not theory. Driven by `SPARK_GRAFT_PAGE_DRILL=<rows>` via
+  * [[graft.Scratch]]; not part of any query path.
+  */
+object PageDrill {
+
+  private def time[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  private def mkTmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-pagedrill-$tag").toString
+
+  def run(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val pageBucket = 10000L
+    // store-shaped source: ts + message + metadata columns, landed as
+    // parquet and re-read THROUGH a filter so sort-sampling re-execution
+    // shows up exactly like the real search scan
+    val src = mkTmp("src")
+    // full store-row width (the stream store lands ~10 columns) — the
+    // write cost scales with column count, so the drill must match
+    spark.range(0, n, 1, 32)
+      .select(
+        col("id"),
+        (lit(1700000000000L) + col("id")).as("timestamp"),
+        timestamp_millis(lit(1700000000000L) + col("id")).as("ts"),
+        concat(lit("evt click user="), col("id") % 97,
+          lit(" req="), md5(col("id").cast("string"))).as("message"),
+        concat(lit("shard-"), col("id") % 64).as("logStream"),
+        lit("bench").as("logGroup"),
+        lit("123456789012").as("owner"),
+        lit("bench/stream").as("source_category"),
+        lit("stream").as("source_name"),
+        concat(lit("host-"), col("id") % 8).as("source_host"))
+      .write.mode("overwrite").parquet(src)
+    def df = spark.read.parquet(src).filter(col("message").contains("evt"))
+    val keys = Seq(col("ts").asc)
+
+    def rankOf(sorted: DataFrame): (DataFrame, Long) =
+      SearchQuery.rankPinned(sorted, keys, "_rank", "_pid")
+
+    // V0 — the shipping shape: sort→pin, pid-rank, write partitionBy(_page)
+    def v0(): (Double, Double, Double) = {
+      val (tSort, sorted) = time {
+        df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
+          .localCheckpoint(true)
+      }
+      try {
+        val (tRank, (ranked, _)) = time(rankOf(sorted))
+        val out = mkTmp("v0")
+        val (tWrite, _) = time {
+          ranked.withColumn("_page", floor((col("_rank") - 1) / pageBucket))
+            .drop("_pid")
+            .write.mode("overwrite").partitionBy("_page").parquet(s"$out/pages")
+        }
+        (tSort, tRank, tWrite)
+      } finally { sorted.unpersist(); () }
+    }
+
+    // V2 — no directory fan-out: plain parquet of the sorted ranked frame;
+    // files carry contiguous _rank ranges, so page reads prune on parquet
+    // min/max stats instead of partition dirs
+    def v2(): (Double, Double, Double, String) = {
+      val (tSort, sorted) = time {
+        df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
+          .localCheckpoint(true)
+      }
+      try {
+        val (tRank, (ranked, _)) = time(rankOf(sorted))
+        val out = mkTmp("v2")
+        val (tWrite, _) = time {
+          // small row groups: _rank min/max stats must prune at ~page
+          // granularity, not one 300k-row group per task file
+          ranked.drop("_pid")
+            .write.mode("overwrite")
+            .option("parquet.block.size", (1 << 20).toString)
+            .parquet(s"$out/pages")
+        }
+        (tSort, tRank, tWrite, out)
+      } finally { sorted.unpersist(); () }
+    }
+
+    // V3 — coarse dirs (100 pages per directory): partition pruning at the
+    // dir level, _rank row-group stats inside; block size swept (0 = the
+    // parquet default, one huge group per file)
+    def v3(blockBytes: Int): (Double, Double, Double, String) = {
+      val (tSort, sorted) = time {
+        df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
+          .localCheckpoint(true)
+      }
+      try {
+        val (tRank, (ranked, _)) = time(rankOf(sorted))
+        val out = mkTmp("v3")
+        val (tWrite, _) = time {
+          val w = ranked.withColumn("_pagedir",
+            floor((col("_rank") - 1) / (pageBucket * 100)))
+            .drop("_pid")
+            .write.mode("overwrite")
+          (if (blockBytes > 0) w.option("parquet.block.size", blockBytes.toString)
+           else w)
+            .partitionBy("_pagedir").parquet(s"$out/pages")
+        }
+        (tSort, tRank, tWrite, out)
+      } finally { sorted.unpersist(); () }
+    }
+
+    // V1 — pre-pin before the sort: does the range-sampler's child
+    // re-execution matter against a parquet re-read?
+    def v1(): (Double, Double) = {
+      val (tPin, pinned) = time(df.localCheckpoint(true))
+      try {
+        val (tSort, sorted) = time {
+          pinned.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
+            .localCheckpoint(true)
+        }
+        sorted.unpersist()
+        (tPin, tSort)
+      } finally { pinned.unpersist(); () }
+    }
+
+    // read sweep: SAMPLED paging (every `stride`-th page) — a full
+    // 1000-page sweep is 1000 Spark jobs of pure per-job overhead; the
+    // per-page cost is what differentiates layouts. Reported as projected
+    // full-sweep seconds (sampled mean × page count).
+    def sweep(read: Int => DataFrame): Double = {
+      val pages = (n / pageBucket).toInt
+      val stride = math.max(1, pages / 25)
+      val sampled = (0 until pages by stride).toSeq
+      val (t, acc) = time {
+        sampled.map(p => read(p * pageBucket.toInt).count()).sum
+      }
+      require(acc == sampled.size * pageBucket, s"paged $acc rows")
+      t / sampled.size * pages
+    }
+    def readV0(out: String)(offset: Int): DataFrame = {
+      val lo = offset / pageBucket
+      spark.read.parquet(s"$out/pages")
+        .filter(col("_page") >= lo && col("_page") <= lo)
+        .filter(col("_rank") > offset && col("_rank") <= offset + pageBucket)
+    }
+    def readV2(out: String)(offset: Int): DataFrame =
+      spark.read.parquet(s"$out/pages")
+        .filter(col("_rank") > offset && col("_rank") <= offset + pageBucket)
+    def readV3(out: String)(offset: Int): DataFrame = {
+      val lo = offset / (pageBucket * 100)
+      spark.read.parquet(s"$out/pages")
+        .filter(col("_pagedir") === lo)
+        .filter(col("_rank") > offset && col("_rank") <= offset + pageBucket)
+    }
+
+    // warm (codegen + shuffle machinery) once on a small slice
+    rankOf(df.limit(100000).orderBy(keys: _*)
+      .withColumn("_pid", spark_partition_id()).localCheckpoint(true))._1.count()
+
+    (1 to 3).foreach { round =>
+      val (s0, r0, w0) = v0()
+      println(f"[scratch] page_drill v0 (ship) round=$round n=$n " +
+        f"sort=$s0%.2f rank=$r0%.2f write=$w0%.2f total=${s0 + r0 + w0}%.2f s")
+      val (s2, r2, w2, out2) = v2()
+      println(f"[scratch] page_drill v2 (flat,1m) round=$round n=$n " +
+        f"sort=$s2%.2f rank=$r2%.2f write=$w2%.2f total=${s2 + r2 + w2}%.2f s")
+      val _ = out2
+      Seq(1 << 20, 8 << 20, 0).foreach { bb =>
+        val (s3, r3, w3, out3) = v3(bb)
+        val tag = if (bb == 0) "def" else s"${bb / (1 << 20)}m"
+        println(f"[scratch] page_drill v3 (coarse,$tag) round=$round n=$n " +
+          f"sort=$s3%.2f rank=$r3%.2f write=$w3%.2f total=${s3 + r3 + w3}%.2f s")
+        if (round == 3) {
+          val tR3 = sweep(readV3(out3))
+          println(f"[scratch] page_drill read_sweep v3,$tag " +
+            f"projected_full=$tR3%.1f s (${n / pageBucket} pages)")
+        }
+      }
+      val (tPin, tSortPinned) = v1()
+      println(f"[scratch] page_drill v1 (pre-pin) round=$round " +
+        f"pin=$tPin%.2f sort_over_pin=$tSortPinned%.2f s")
+      if (round == 3) {
+        val (_, sorted) = time {
+          df.orderBy(keys: _*).withColumn("_pid", spark_partition_id())
+            .localCheckpoint(true)
+        }
+        val (ranked, _2) = rankOf(sorted)
+        val out0 = mkTmp("v0r")
+        ranked.withColumn("_page", floor((col("_rank") - 1) / pageBucket))
+          .drop("_pid")
+          .write.mode("overwrite").partitionBy("_page").parquet(s"$out0/pages")
+        sorted.unpersist()
+        val tR0 = sweep(readV0(out0))
+        println(f"[scratch] page_drill read_sweep v0 projected_full=$tR0%.1f s")
+      }
+    }
+  }
+}

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * parquet store — global range sort (parallel), per-partition counts folded
   * into cumulative offsets (driver-side, one row per partition), a
   * partition-local `row_number` for the global rank, then a write partitioned
-  * by `_page = (rank-1)/bucket`. Every page is a partition-pruned read of the
-  * one or two matching `_page` directories — no single-partition exchange,
-  * no full result cached in memory, pages by construction stable and
+  * by COARSE rank directories (`_pagedir`, 100 pages each) with ~1 MB parquet
+  * row groups inside, so `_rank` min/max stats prune to ~page granularity
+  * within the one or two matching directories. Two measured reasons for the
+  * coarse layout over one-directory-per-page (SCALING.md round 14, 10M
+  * rows): the dynamic-partition write is 1.5–2× cheaper with 100× fewer
+  * directories, and page READS stop re-listing a 1,000-directory tree on
+  * every call (2.5 s → 0.14 s per page). No single-partition exchange, no
+  * full result cached in memory, pages by construction stable and
   * non-overlapping.
   */
 object SearchJobs {
@@ -42,10 +47,26 @@ object SearchJobs {
       orderBy: Seq[String]): RecordsSpec =
     RecordsSpec(transform, orderBy.map((_, false)))
 
-  /** Rows per rank bucket — one page directory holds this many ranks, so a
-    * limit ≤ bucket touches at most two directories.
-    */
+  /** Rows per page bucket (the limit/offset granularity callers see). */
   private val PageBucket = 10000L
+
+  /** Rows per page DIRECTORY (100 pages): directory-level pruning bounds
+    * the per-read listing, `_rank` row-group stats prune inside. A finer
+    * fan-out (one dir per page) measured 1.5–2× slower to write and ~16×
+    * slower to read at 10M rows (per-call partition discovery of 1,000
+    * dirs); a coarser one degrades dir pruning. 1M rows/dir keeps both
+    * costs flat for realistic job results.
+    */
+  private val DirBucket = PageBucket * 100
+
+  /** Parquet row-group size for page stores: small groups (~8 MB) make the
+    * `_rank` min/max footer stats prune at near-page granularity — the
+    * default 128 MB would put a whole task's rows in ONE group and turn
+    * every page read into a ~300k-row decode. 1 MB measured slower to
+    * WRITE (per-group flush overhead across the store's ~10 columns) for
+    * no read win a 10k-row page can feel.
+    */
+  private val PageRowGroupBytes = 8 << 20
 
   private def deleteDir(spark: SparkSession, dir: String): Unit =
     try {
@@ -82,28 +103,56 @@ object SearchJobs {
     try {
       val (ranked, total) = SearchQuery.rankPinned(sorted, keys, "_rank", "_pid")
       if (total > 0) {
-        ranked
-          .withColumn("_page", floor((col("_rank") - 1) / PageBucket))
-          .drop("_pid")
-          .write.mode("overwrite").partitionBy("_page").parquet(s"$path/pages")
+        // spark.graft.search.pageLayout=legacy restores the round-13
+        // dir-per-page layout — the A/B seam the round-14 adjudication
+        // alternates inside one JVM (SPARK_GRAFT_SEARCH_AB drill)
+        if (df.sparkSession.conf
+            .get("spark.graft.search.pageLayout", "coarse") == "legacy") {
+          ranked
+            .withColumn("_pagedir", floor((col("_rank") - 1) / PageBucket))
+            .drop("_pid")
+            .write.mode("overwrite")
+            .partitionBy("_pagedir").parquet(s"$path/pages")
+        } else {
+          ranked
+            .withColumn("_pagedir", floor((col("_rank") - 1) / DirBucket))
+            .drop("_pid")
+            .write.mode("overwrite")
+            .option("parquet.block.size", PageRowGroupBytes.toString)
+            .partitionBy("_pagedir").parquet(s"$path/pages")
+        }
+        // the layout choice must ride with the landed pages, not session
+        // state — readPage derives its dir math from this marker
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$path/_dir_bucket"),
+          (if (df.sparkSession.conf
+            .get("spark.graft.search.pageLayout", "coarse") == "legacy")
+            PageBucket else DirBucket).toString)
       }
       total
     } finally sorted.unpersist()
   }
 
-  /** Partition-pruned page read: ranks (offset, offset+limit] live in page
-    * directories offset/bucket … (offset+limit-1)/bucket — the `_page`
-    * predicate prunes at planning time, `_rank` trims inside them.
+  /** Partition-pruned page read: ranks (offset, offset+limit] live in the
+    * `_pagedir` directories the range spans (pruned at planning time); the
+    * `_rank` predicate then skips row groups via footer min/max stats
+    * (groups are ~1 MB, so the decode is ~page-sized) and trims rows.
     */
   private def readPage(spark: SparkSession, path: String, limit: Int,
       offset: Int): DataFrame = {
-    val lo = offset / PageBucket
-    val hi = (offset.toLong + limit - 1) / PageBucket
+    val dirBucket = {
+      val m = java.nio.file.Paths.get(s"$path/_dir_bucket")
+      if (java.nio.file.Files.exists(m))
+        java.nio.file.Files.readString(m).trim.toLong
+      else DirBucket
+    }
+    val lo = offset / dirBucket
+    val hi = (offset.toLong + limit - 1) / dirBucket
     spark.read.parquet(s"$path/pages")
-      .filter(col("_page") >= lo && col("_page") <= hi)
+      .filter(col("_pagedir") >= lo && col("_pagedir") <= hi)
       .filter(col("_rank") > offset && col("_rank") <= offset.toLong + limit)
       .orderBy("_rank")
-      .drop("_rank", "_page")
+      .drop("_rank", "_pagedir")
   }
 
   final class Job private[SearchJobs] (
@@ -133,7 +182,7 @@ object SearchJobs {
             // aggregate over the landed store, not the original plan — the
             // expensive search half runs exactly once per job
             val agg = spec.transform(spark.read.parquet(s"$jobDir/messages/pages")
-              .drop("_rank", "_page"))
+              .drop("_rank", "_pagedir"))
             emptyRecords = agg.limit(0)
             recCount = materializePaged(agg, spec.orderBy, s"$jobDir/records")
           }
