@@ -89,15 +89,33 @@ object Monitors {
       query: String,
       threshold: Threshold,
       connection: Connection,
-      maxRows: Int = 1000) {
+      maxRows: Int = 1000,
+      notifyOncePerBreach: Boolean = false) {
     require(maxRows > 0, s"maxRows must be positive: $maxRows")
   }
 
   /** One evaluation's visible outcome. `postedRows < resultCount` means the
-    * `maxRows` cap truncated the payload (never silent).
+    * `maxRows` cap truncated the payload (never silent); `suppressed` marks
+    * a threshold-crossing evaluation that did NOT post because the monitor
+    * is `notifyOncePerBreach` and already alerted for this breach episode.
     */
   final case class Outcome(monitor: String, resultCount: Long,
-      fired: Boolean, postedRows: Int)
+      fired: Boolean, postedRows: Int, suppressed: Boolean = false)
+
+  /** Breach-episode memory for `notifyOncePerBreach` monitors: tracks which
+    * monitors are inside an un-resolved breach. One instance per [[run]]
+    * schedule (or per caller-managed alerting loop) — pass the same instance
+    * to successive [[tick]]s. An evaluation back under the threshold
+    * RESOLVES the episode and re-arms the monitor, the Sumo monitor
+    * trigger/resolve lifecycle.
+    */
+  final class BreachState {
+    private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private[Monitors] def shouldPost(m: Monitor, crossed: Boolean): Boolean =
+      if (!crossed) { active.remove(m.name); false }
+      else if (!m.notifyOncePerBreach) true
+      else active.add(m.name) // first crossing of the episode only
+  }
 
   private val RequiredRowFields =
     Seq("finding_time", "resource_type", "resource_id", "title")
@@ -153,26 +171,41 @@ object Monitors {
   /** Evaluate every monitor once and POST the fired ones — the unit of work
     * [[run]] schedules. Evaluation order is the registry order; each fired
     * monitor posts one body (`Content-Type: application/json` + the
-    * connection's auth headers).
+    * connection's auth headers). The result plan is pinned before the
+    * count, so a fired monitor's query executes ONCE, not once for the
+    * count and again for the rows. With a [[BreachState]], a
+    * `notifyOncePerBreach` monitor posts only on the FIRST crossing of
+    * each breach episode and re-arms when an evaluation resolves.
     */
   def tick(df: DataFrame, monitors: Seq[Monitor],
       poster: graft.sinks.SumoSink.BucketPoster,
-      timeCol: String = "ts", messageCol: String = "message"): Seq[Outcome] =
+      timeCol: String = "ts", messageCol: String = "message",
+      state: BreachState = new BreachState): Seq[Outcome] =
     monitors.map { m =>
-      val (fired, n, res) = evaluate(df, m, timeCol, messageCol)
-      if (!fired) Outcome(m.name, n, fired = false, postedRows = 0)
-      else {
-        val missing = RequiredRowFields.filterNot(res.columns.contains)
-        require(missing.isEmpty,
-          s"monitor '${m.name}' fired but its rows lack the forwarder's " +
-            s"required fields ${missing.mkString(", ")} — emit them via " +
-            "parse/fields stages (securityhub_forwarder.py:95)")
-        val rows = res.toJSON.take(m.maxRows).toSeq
-        poster.post(
-          Map("Content-Type" -> "application/json") ++ m.connection.headers,
-          payloadJson(m.connection, rows).getBytes("UTF-8"))
-        Outcome(m.name, n, fired = true, postedRows = rows.size)
-      }
+      val piped = SearchQuery.parsePiped(m.query)
+      val matched = df.filter(SearchQuery.compile(piped.terms, col(messageCol)))
+      val res = SearchQuery
+        .compileStages(piped.stages, timeCol, messageCol)(matched)
+        .localCheckpoint(true) // one execution serves count AND rows
+      try {
+        val n = res.count()
+        val crossed = m.threshold.check(n)
+        if (!state.shouldPost(m, crossed))
+          Outcome(m.name, n, fired = false, postedRows = 0,
+            suppressed = crossed)
+        else {
+          val missing = RequiredRowFields.filterNot(res.columns.contains)
+          require(missing.isEmpty,
+            s"monitor '${m.name}' fired but its rows lack the forwarder's " +
+              s"required fields ${missing.mkString(", ")} — emit them via " +
+              "parse/fields stages (securityhub_forwarder.py:95)")
+          val rows = res.toJSON.take(m.maxRows).toSeq
+          poster.post(
+            Map("Content-Type" -> "application/json") ++ m.connection.headers,
+            payloadJson(m.connection, rows).getBytes("UTF-8"))
+          Outcome(m.name, n, fired = true, postedRows = rows.size)
+        }
+      } finally { res.unpersist(); () }
     }
 
   /** Schedule [[tick]] on a `Trigger.ProcessingTime` clock: a rate-source
@@ -184,12 +217,14 @@ object Monitors {
   def run(spark: SparkSession, source: () => DataFrame,
       monitors: Seq[Monitor], poster: graft.sinks.SumoSink.BucketPoster,
       every: String = "5 minutes", timeCol: String = "ts",
-      messageCol: String = "message"): DataStreamWriter[Row] =
+      messageCol: String = "message"): DataStreamWriter[Row] = {
+    val state = new BreachState // one breach-episode memory per schedule
     spark.readStream.format("rate").option("rowsPerSecond", "1").load()
       .writeStream
       .trigger(Trigger.ProcessingTime(every))
       .foreachBatch { (_: DataFrame, _: Long) =>
-        tick(source(), monitors, poster, timeCol, messageCol)
+        tick(source(), monitors, poster, timeCol, messageCol, state)
         ()
       }
+  }
 }

@@ -149,6 +149,45 @@ class MonitorsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("notifyOncePerBreach: first crossing posts, repeats suppress, resolve re-arms") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/webhook",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val conn = Monitors.Connection("c",
+        s"http://127.0.0.1:${server.getAddress.getPort}/webhook")
+      val m = Monitors.Monitor("episodic", monitorQuery,
+        Monitors.Threshold(">", 30), conn, notifyOncePerBreach = true)
+      val poster = new SumoSink.HttpPoster(conn.url)
+      val state = new Monitors.BreachState
+      def tickWith(rows: Int) = Monitors.tick(
+        logsDf.limit(rows), Seq(m), poster, state = state).head
+      // breach opens: posts once
+      assert(tickWith(60) ==
+        Monitors.Outcome("episodic", 60, fired = true, postedRows = 60))
+      assert(hits.get() == 1)
+      // still breaching: SUPPRESSED (visible in the outcome), no post
+      assert(tickWith(55) ==
+        Monitors.Outcome("episodic", 55, fired = false, postedRows = 0,
+          suppressed = true))
+      assert(hits.get() == 1)
+      // back under the threshold: resolves silently and re-arms
+      assert(tickWith(10) ==
+        Monitors.Outcome("episodic", 10, fired = false, postedRows = 0))
+      // a NEW breach episode posts again
+      assert(tickWith(60).fired)
+      assert(hits.get() == 2)
+    } finally server.stop(0)
+  }
+
   test("run(): Trigger.ProcessingTime schedule evaluates the registry repeatedly") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(
