@@ -140,7 +140,7 @@ object Monitors {
     * double-parse (and the reference forwarder's `validate_params`)
     * consumes.
     */
-  private[operators] def payloadJson(c: Connection,
+  private[graft] def payloadJson(c: Connection,
       rowsJson: Seq[String]): String = {
     val fields = Seq(
       "Types" -> jstr(c.types),
@@ -214,6 +214,68 @@ object Monitors {
     * data is visible to the next evaluation. Start/stop like any stream:
     * `.option("checkpointLocation", …).start()`.
     */
+  // ------------------------------------------------------- registry store
+  // Monitors persist like models (the reference installs its alert
+  // monitors as durable resources — `sumoresource.py:1503` imports them
+  // into the org; here a saved monitor survives driver restarts the same
+  // way saved lookup tables and PCA models do). Single-row parquet under
+  // `spark.graft.lookup.dir/_models/monitor/<name>`: exact round-trip, no
+  // hand-rolled JSON parsing.
+
+  private def monitorPath(spark: SparkSession, name: String): String = {
+    require(name.nonEmpty && name.exists(_ != '.') && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '.' || c == '-'),
+      s"monitor name must be [A-Za-z0-9_.-]+ (not all dots): '$name'")
+    val root = spark.conf.getOption("spark.graft.lookup.dir")
+      .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-lookups")
+    s"$root/_models/monitor/$name"
+  }
+
+  def save(spark: SparkSession, m: Monitor): Unit = {
+    import spark.implicits._
+    val c = m.connection
+    Seq((m.name, m.query, m.threshold.op, m.threshold.value,
+      m.maxRows, m.notifyOncePerBreach,
+      c.name, c.url, c.headers, c.types, c.description, c.generatorId,
+      c.severity, c.sourceUrl, c.complianceStatus))
+      .toDF("name", "query", "thresholdOp", "thresholdValue",
+        "maxRows", "notifyOncePerBreach",
+        "connName", "url", "headers", "types", "description", "generatorId",
+        "severity", "sourceUrl", "complianceStatus")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(monitorPath(spark, m.name))
+  }
+
+  def load(spark: SparkSession, name: String): Monitor = {
+    val p = monitorPath(spark, name)
+    require(new java.io.File(p).exists,
+      s"monitor '$name' does not exist in the registry — save it first")
+    val r = spark.read.parquet(p).head()
+    Monitor(
+      r.getAs[String]("name"),
+      r.getAs[String]("query"),
+      Threshold(r.getAs[String]("thresholdOp"), r.getAs[Long]("thresholdValue")),
+      Connection(
+        r.getAs[String]("connName"), r.getAs[String]("url"),
+        r.getAs[scala.collection.Map[String, String]]("headers").toMap,
+        r.getAs[String]("types"),
+        r.getAs[String]("description"), r.getAs[String]("generatorId"),
+        r.getAs[Int]("severity"), r.getAs[String]("sourceUrl"),
+        Option(r.getAs[String]("complianceStatus"))),
+      r.getAs[Int]("maxRows"),
+      r.getAs[Boolean]("notifyOncePerBreach"))
+  }
+
+  /** Saved-monitor names, sorted — the registry listing [[run]] can be fed
+    * from (`list(spark).map(load(spark, _))`).
+    */
+  def list(spark: SparkSession): Seq[String] = {
+    val root = new java.io.File(
+      monitorPath(spark, "probe")).getParentFile
+    if (!root.isDirectory) Seq.empty
+    else root.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+
   def run(spark: SparkSession, source: () => DataFrame,
       monitors: Seq[Monitor], poster: graft.sinks.SumoSink.BucketPoster,
       every: String = "5 minutes", timeCol: String = "ts",

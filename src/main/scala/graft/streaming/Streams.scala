@@ -551,12 +551,48 @@ object Streams {
     * BigDecimal and cast to double once — the same arithmetic, so
     * `_lower`/`_upper`/`_violation` are bit-identical (StreamingSpec pins
     * it across a batch split). Ordering contract: points are processed in
-    * event-time order WITHIN each micro-batch (sorted per key per batch);
+    * event-time order WITHIN each micro-batch (sorted per key per batch —
+    * this buffers one key's batch rows in executor memory, so feed the
+    * detector an aggregated series (timeslice first), not raw events; an
+    * alerting series is a few points per key per trigger by construction);
     * an event arriving in a LATER batch than a newer point is folded at
     * arrival — the same arrival-order truth as [[asofStream]]. State per
     * key is `window` decimals + one counter; null values occupy a window
     * slot but contribute nothing, matching the batch frame.
     */
+  /** [[outlierStream]] wired to webhook delivery — monitor-grade streaming
+    * alerting: each micro-batch's VIOLATION points post as one
+    * Connections-shaped payload (the same body
+    * [[graft.operators.Monitors.tick]] sends and
+    * [[graft.operators.SecurityHub.parseRequest]] consumes), with the
+    * forwarder's required row fields derived from the breach itself —
+    * `resource_id` = the key, `finding_time` = the point's epoch millis,
+    * `title` names the breach with its value and band. Batches with no
+    * violations post nothing. ≤ `maxRows` violations per batch cross the
+    * driver (truncation bounded per micro-batch, not per stream).
+    */
+  def outlierAlerts(points: Dataset[OutlierPoint],
+      connection: graft.operators.Monitors.Connection,
+      poster: SumoSink.BucketPoster,
+      maxRows: Int = 1000): org.apache.spark.sql.streaming.DataStreamWriter[OutlierPoint] =
+    points.writeStream.foreachBatch {
+      (batch: Dataset[OutlierPoint], _: Long) =>
+        val rows = batch.filter(col("violation") === 1L)
+          .select(
+            unix_millis(col("ts")).as("finding_time"),
+            lit("Other").as("resource_type"),
+            col("key").as("resource_id"),
+            concat(lit("Outlier breach: value "), col("value"),
+              lit(" outside ["), col("lower"), lit(", "), col("upper"),
+              lit("]")).as("title"))
+          .toJSON.take(maxRows).toSeq
+        if (rows.nonEmpty) poster.post(
+          Map("Content-Type" -> "application/json") ++ connection.headers,
+          graft.operators.Monitors.payloadJson(connection, rows)
+            .getBytes("UTF-8"))
+        ()
+    }
+
   def outlierStream(events: DataFrame, tsCol: String, lateness: String,
       keyCol: org.apache.spark.sql.Column, valCol: org.apache.spark.sql.Column,
       window: Int, threshold: Double, consecutive: Int = 1,

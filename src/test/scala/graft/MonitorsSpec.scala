@@ -188,6 +188,34 @@ class MonitorsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("registry: monitors persist and reload field-exact; listing sorted; missing is loud") {
+    val s = spark
+    s.conf.set("spark.graft.lookup.dir",
+      Files.createTempDirectory("graft-monreg").toString)
+    try {
+      val m = Monitors.Monitor("errors-by-host.v2", monitorQuery,
+        Monitors.Threshold(">=", 42),
+        Monitors.Connection("sh-conn", "https://example.invalid/hook",
+          headers = Map("accessKey" -> "ak", "awsRegion" -> "eu-west-1"),
+          types = "TTPs", description = "d", generatorId = "g",
+          severity = 70, sourceUrl = "https://example.invalid/search",
+          complianceStatus = None),
+        maxRows = 25, notifyOncePerBreach = true)
+      Monitors.save(s, m)
+      assert(Monitors.load(s, "errors-by-host.v2") == m)
+      Monitors.save(s, m.copy(name = "another"))
+      assert(Monitors.list(s) == Seq("another", "errors-by-host.v2"))
+      // a reloaded monitor is immediately runnable — same evaluation
+      val (fired, n, _) = Monitors.evaluate(
+        logsDf, Monitors.load(s, "errors-by-host.v2"))
+      assert(fired && n == 60)
+      val err = intercept[IllegalArgumentException] {
+        Monitors.load(s, "never-saved")
+      }
+      assert(err.getMessage.contains("save it first"))
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
+
   test("run(): Trigger.ProcessingTime schedule evaluates the registry repeatedly") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(

@@ -1047,4 +1047,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.collect { case ((k, _), (_, _, v)) if k == "b" => v }
       .forall(_ == 0L))
   }
+
+  test("round-14 outlierAlerts: violations post the Connections payload the forwarder consumes; quiet batches post nothing") {
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val conn = graft.operators.Monitors.Connection("alerts",
+        s"http://127.0.0.1:${server.getAddress.getPort}/hook",
+        types = "Unusual Behaviors", severity = 50)
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 11:$m%02d:00")
+      val input = MemoryStream[(Timestamp, String, Double)]
+      val points = Streams.outlierStream(
+        input.toDF().toDF("ts", "host", "v"),
+        "ts", lateness = "10 minutes", keyCol = col("host"),
+        valCol = col("v"), window = 3, threshold = 3.0, direction = "+")
+      val q = Streams.outlierAlerts(points, conn,
+        new SumoSink.HttpPoster(conn.url))
+        .option("checkpointLocation", mkTmp("oa-ckpt"))
+        .start()
+      // batch 1: flat baseline — no violations, NOTHING posts
+      input.addData((t(0), "a", 10.0), (t(1), "a", 10.5), (t(2), "a", 9.5),
+        (t(3), "a", 10.0))
+      q.processAllAvailable()
+      assert(received.isEmpty, "quiet batch must not post")
+      // batch 2: spike — exactly the violation point posts
+      input.addData((t(4), "a", 500.0))
+      q.processAllAvailable()
+      q.stop()
+      val bodies = received.asScala.toSeq
+      assert(bodies.size == 1)
+      // the landed body parses through the forwarder chain into one finding
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("finding_time",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("resource_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("resource_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("title",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("aws_account_id",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = graft.operators.SecurityHub.parseRequest(
+        bodies.toDF("body"), col("body"), rowSchema)
+      val valid = graft.operators.SecurityHub.validate(parsed)
+      assert(valid.filter(col("error").isNotNull).count() == 0)
+      val f = graft.operators.SecurityHub.generateFindings(
+        valid, "123456789012", "us-east-1").collect()
+      assert(f.length == 1)
+      assert(f.head.getAs[String]("Title").startsWith("Outlier breach: value 500.0"))
+      val res = f.head
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("Resources").head
+      assert(res.getAs[String]("Id") == "a")
+    } finally server.stop(0)
+  }
 }
