@@ -725,6 +725,49 @@ object Scratch {
         f"coarse_best=${best("coarse")}%.2f s " +
         f"(all: ${runs.map { case (t, s) => f"$t=$s%.1f" }.mkString(", ")})")
     }
+    // streaming-outlier scale drill (round 14):
+    // SPARK_GRAFT_OUTLIER_SCALE=<keys>x<batches> — one point per key per
+    // micro-batch (the alerting shape: an aggregated series), plus one
+    // hot-key burst batch. The claims under test: state = keys × (window
+    // decimals + counter), per-batch wall scales with points not history,
+    // and a fat single-key batch (the documented buffer bound) survives.
+    sys.env.get("SPARK_GRAFT_OUTLIER_SCALE").foreach { spec =>
+      val Array(keys, batches) = spec.split("x").map(_.trim.toInt)
+      implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val points = graft.streaming.Streams.outlierStream(
+        input.toDF().toDF("ts", "host", "v"), "ts", "1 hour",
+        col("host"), col("v"), window = 8, threshold = 3.0,
+        consecutive = 1, direction = "+")
+      val q = points.writeStream.format("memory").queryName("outlier_scale")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        val ts = new java.sql.Timestamp(1700000000000L + b * 60000L)
+        // value 100 on every 17th key in the LAST batch = planted spikes
+        input.addData((0 until keys).map(k =>
+          (ts, s"k$k", if (b == batches - 1 && k % 17 == 0) 100.0
+            else 10.0 + (k % 7) * 0.25)): _*)
+        q.processAllAvailable()
+      }
+      val steady = (System.nanoTime() - t0) / 1e9
+      // hot-key burst: one batch, 200k points on ONE key (the sort bound)
+      val t1 = System.nanoTime()
+      input.addData((0 until 200000).map(i =>
+        (new java.sql.Timestamp(1700010000000L + i), "hot", 10.0 + i % 3)): _*)
+      q.processAllAvailable()
+      val burst = (System.nanoTime() - t1) / 1e9
+      q.stop()
+      val viol = spark.table("outlier_scale")
+        .filter(col("violation") === 1).count()
+      val n = keys.toLong * batches
+      println(f"[scratch] outlier_scale keys=$keys batches=$batches " +
+        f"points=$n steady=$steady%.2f s (${n / steady / 1000}%.0f kpts/s) " +
+        f"hot_burst_200k=$burst%.2f s violations=$viol " +
+        f"state≈${keys * (8 * 16 + 16)}%d bytes")
+    }
     // PCA tree-merge drill (round 14): SPARK_GRAFT_PCA_TREE=<parts>x<d> —
     // trains over synthetic gaussians spread across `parts` partitions at
     // dim d. The claim under test: the pid-structured tree delivers ONE

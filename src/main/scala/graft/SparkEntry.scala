@@ -2178,6 +2178,21 @@ object SparkEntry {
     //      (the forwarder's required fields). The suppress branch
     //      contributes zero rows THROUGH the same threshold logic, so the
     //      oracle re-derives fire AND suppress from the counts. ----
+    // ---- PQ through the model store: the q147 codebook SAVES under a
+    //      name and the query path LOADS it back before scoring — the
+    //      train-offline/serve-online chain for the 32×-compressed scan,
+    //      gated by q147's own oracle (bit-exact round-trip ⇒ identical
+    //      codes, LUT, and top-k). ----
+    "q181_pq_store" -> ((s, dir) => {
+      import graft.operators.{ModelStore, Similarity}
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      ModelStore.savePqCodebook(s, "q181_cb", Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8))
+      Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+        ModelStore.loadPqCodebook(s, "q181_cb"), query, k = 10)
+    }),
     "q180_monitor_eval" -> ((s, dir) => {
       import graft.operators.Monitors
       val ev = tbl(s, dir, "events")
@@ -2944,6 +2959,32 @@ object SparkEntry {
     * (score desc, vec_id), exact cosine rerank — so one SQL oracle gates
     * both physical shapes.
     */
+  private val pqTopkOracleSql =
+    """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id)
+         SELECT vec_id, round(score, 6) AS adc_score FROM sc
+         ORDER BY adc_score DESC, vec_id LIMIT 10"""
+
   private val pqRefineOracleSql =
     """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
          sp AS (SELECT unnest(range(0, 8)) AS s),
@@ -5221,31 +5262,10 @@ object SparkEntry {
     // exact order, so the argmin comparison can never diverge); score =
     // per-subspace q·codeword lookups summed IN SUBSPACE ORDER
     // (list(ip ORDER BY s) then list_reduce — again the kernel's order)
-    "q147_pq_topk" ->
-      """WITH cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-         sp AS (SELECT unnest(range(0, 8)) AS s),
-         d AS (SELECT e.vec_id, sp.s, cb.code,
-                 list_reduce(list_transform(range(1, 9), j ->
-                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
-                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
-                   (x, y) -> x + y) AS d2
-               FROM embeddings e CROSS JOIN sp CROSS JOIN cb),
-         enc AS (SELECT vec_id, s, code FROM (
-                   SELECT vec_id, s, code,
-                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
-                   FROM d) WHERE rn = 1),
-         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         lut AS (SELECT sp.s, cb.code,
-                   list_reduce(list_transform(range(1, 9), j ->
-                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
-                     (x, y) -> x + y) AS ip
-                 FROM cb CROSS JOIN sp CROSS JOIN q),
-         sc AS (SELECT enc.vec_id,
-                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
-                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
-                GROUP BY enc.vec_id)
-         SELECT vec_id, round(score, 6) AS adc_score FROM sc
-         ORDER BY adc_score DESC, vec_id LIMIT 10""",
+    "q147_pq_topk" -> pqTopkOracleSql,
+    // q181 shares q147's oracle — SAME semantics, the codebook round-trips
+    // through the model store on the engine side (the q153/q154 precedent)
+    "q181_pq_store" -> pqTopkOracleSql,
     // PQ training round in SQL: hash-ordered init pick (code = rank by
     // vec_id within the 16 picked — pqCodebook re-sorts by id), argmin-L2²
     // encode against the init book, then per-(subspace, code, dim) exact
