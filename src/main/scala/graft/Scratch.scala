@@ -679,6 +679,34 @@ object Scratch {
         f"project_best=${projs.min}%.2f s " +
         f"(runs ${projs.map(t => f"$t%.2f").mkString(",")})")
     }
+    // NB quality-classifier drill (round 14): SPARK_GRAFT_NB_SCALE=1 —
+    // train = one narrow gram pass collapsing to the 256-bucket table
+    // (map-side partial agg; driver receives the fixed-size table), score =
+    // the stateless weightedBucketSum kernel scan. Both should track corpus
+    // size linearly with no shuffle of the corpus itself.
+    if (sys.env.contains("SPARK_GRAFT_NB_SCALE")) {
+      val docs = SparkEntry.tbl(spark, dir, "documents")
+      val n = docs.count()
+      val hq = col("source").isin("src1", "src2", "src3", "src4", "src5")
+      var model: graft.operators.QualityClassifier.NbModel = null
+      model = graft.operators.QualityClassifier.train(docs, col("text"), hq) // warm
+      val trains = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        model = graft.operators.QualityClassifier.train(docs, col("text"), hq)
+        (System.nanoTime() - t0) / 1e9
+      }
+      def sc = graft.operators.QualityClassifier.score(docs, col("text"), model)
+      sc.write.format("noop").mode("overwrite").save() // warm
+      val scores = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        sc.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] nb: n=$n train_best=${trains.min}%.2f s " +
+        f"(runs ${trains.map(t => f"$t%.2f").mkString(",")}), " +
+        f"score_best=${scores.min}%.2f s " +
+        f"(runs ${scores.map(t => f"$t%.2f").mkString(",")})")
+    }
     // search-page materialization drill (round 14): layout variants for
     // materializePaged, timed over a synthetic store-shaped frame
     sys.env.get("SPARK_GRAFT_PAGE_DRILL").foreach { rows =>
@@ -740,7 +768,7 @@ object Scratch {
       val points = graft.streaming.Streams.outlierStream(
         input.toDF().toDF("ts", "host", "v"), "ts", "1 hour",
         col("host"), col("v"), window = 8, threshold = 3.0,
-        consecutive = 1, direction = "+")
+        consecutive = 1, direction = "+", idleTimeout = None)
       val q = points.writeStream.format("memory").queryName("outlier_scale")
         .outputMode("append").start()
       val t0 = System.nanoTime()

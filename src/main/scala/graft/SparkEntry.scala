@@ -2213,6 +2213,63 @@ object SparkEntry {
             .withColumn("monitor", lit(m.name))
         }.reduce(_ unionByName _)
     }),
+    // ---- trained quality filter (the GPT-3 seed-labeled classifier
+    //      step): Naive Bayes over DSIR's hashed-gram feature space —
+    //      train on the 80% split with curated-source seed labels
+    //      (distributed counts → fixed 256-bucket table), score the
+    //      held-out 20% through the stateless codegen'd kernel. ----
+    "q182_nb_quality" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = tbl(s, dir, "documents")
+      val hq = col("source").isin("src1", "src2", "src3", "src4", "src5")
+      val model = QualityClassifier.train(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), hq)
+      QualityClassifier.score(
+          docs.filter(col("doc_id") % 5 === 0), col("text"), model)
+        .select("doc_id", "n_grams", "nb_score", "nb_pred")
+        .orderBy("doc_id")
+    }),
+    // ---- held-out confusion matrix + headline metrics of the same
+    //      trained filter — the check a seed-trained gate must pass ----
+    "q183_nb_eval" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = tbl(s, dir, "documents")
+      val hq = col("source").isin("src1", "src2", "src3", "src4", "src5")
+      val model = QualityClassifier.train(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), hq)
+      QualityClassifier.evaluate(
+        QualityClassifier.score(
+          docs.filter(col("doc_id") % 5 === 0), col("text"), model), hq)
+    }),
+    // ---- the trained filter through the MODEL STORE and the piped
+    //      `classify` stage (train 80% → save by name → load at stage
+    //      compile → kernel-score the held-out 20%): gates the
+    //      train-offline/serve-online chain AND the query-string surface;
+    //      integer round-trip ⇒ shares q182's score/pred math ----
+    "q185_nb_store_piped" -> ((s, dir) => {
+      import graft.operators.{ModelStore, QualityClassifier, SearchQuery}
+      val docs = tbl(s, dir, "documents")
+      val hq = col("source").isin("src1", "src2", "src3", "src4", "src5")
+      ModelStore.saveNb(s, "q185_nb", QualityClassifier.train(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), hq))
+      val piped = SearchQuery.parsePiped("* | classify q185_nb on text")
+      SearchQuery.compileStages(piped.stages, "doc_id", "text")(
+        docs.filter(col("doc_id") % 5 === 0))
+        .select("doc_id", "nb_score", "nb_pred")
+        .orderBy("doc_id")
+    }),
+    // ---- precision/recall at every score cut — the threshold-picking
+    //      curve over the held-out split (ties share a row) ----
+    "q184_nb_pr_curve" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = tbl(s, dir, "documents")
+      val hq = col("source").isin("src1", "src2", "src3", "src4", "src5")
+      val model = QualityClassifier.train(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), hq)
+      QualityClassifier.prCurve(
+        QualityClassifier.score(
+          docs.filter(col("doc_id") % 5 === 0), col("text"), model), hq)
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -3112,6 +3169,51 @@ object SparkEntry {
 
   /** q162/q166 share this mirror: same semantics, two physical paths
     * (single-window vs time-range split) — the stored-vs-inline pattern. */
+  // NB quality classifier (q182–q184): the shared CTE body — train on the
+  // 80% split (doc_id % 5 <> 0) with curated-source seed labels, DENSE
+  // 256-bucket Laplace-smoothed nano-nat LLR table, score the held-out 20%.
+  // Same gram/hash/bucket pipeline as q131's DSIR oracle; the classifier
+  // differences are the class-conditional negative, the document prior, and
+  // the integer-domain sign decision.
+  private val nbScoredCte =
+    """d AS (SELECT doc_id,
+             source IN ('src1','src2','src3','src4','src5') AS y,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id, y, unnest(toks) AS gram FROM d
+           UNION ALL
+           SELECT doc_id, y,
+             unnest(list_transform(range(len(toks)-1),
+               i -> toks[i+1]||' '||toks[i+2])) AS gram
+           FROM d WHERE len(toks) >= 2),
+         g AS (SELECT doc_id, y,
+             ('0x'||substring(md5(gram),1,15))::BIGINT % 256 AS b
+           FROM g0),
+         c0 AS (SELECT b,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS ct,
+             sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS cr
+           FROM g WHERE doc_id % 5 <> 0 GROUP BY b),
+         c AS (SELECT bb.b, coalesce(c0.ct, 0) AS ct, coalesce(c0.cr, 0) AS cr
+           FROM (SELECT unnest(range(256)) AS b) bb LEFT JOIN c0 USING (b)),
+         tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM c),
+         q AS (SELECT b,
+             CAST(round((ln((ct+1)::DOUBLE / (tt+256)) -
+               ln((cr+1)::DOUBLE / (tr+256))) * 1e9) AS BIGINT) AS llr_q
+           FROM c, tot),
+         pri AS (SELECT CAST(round(ln(
+               (sum(CASE WHEN y THEN 1 ELSE 0 END)+1)::DOUBLE /
+               (sum(CASE WHEN y THEN 0 ELSE 1 END)+1)) * 1e9) AS BIGINT) AS pq
+           FROM d WHERE doc_id % 5 <> 0),
+         ds AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+             sum(q.llr_q)::BIGINT AS sq
+           FROM g JOIN q USING (b) WHERE g.doc_id % 5 = 0 GROUP BY g.doc_id),
+         scored AS (SELECT d.doc_id, d.y,
+             coalesce(ds.n_grams, 0)::BIGINT AS n_grams,
+             round((pri.pq + coalesce(ds.sq, 0))::DOUBLE / 1e9, 6) AS nb_score,
+             ((pri.pq + coalesce(ds.sq, 0)) > 0)::INT AS nb_pred
+           FROM d LEFT JOIN ds USING (doc_id), pri WHERE d.doc_id % 5 = 0)"""
+
   private val asofJoinOracleSql = "" +
     """ SELECT event_id, user_id, ts, event_type,
           a_ts AS last_purchase_ts, a_val AS last_purchase_value,
@@ -4921,6 +5023,47 @@ object SparkEntry {
                 'error volume', _count, 'm_supp'
          FROM c, n WHERE n.k > 100
          ORDER BY monitor, resource_id""",
+    "q182_nb_quality" ->
+      s"""WITH $nbScoredCte
+         SELECT doc_id, n_grams, nb_score, nb_pred
+         FROM scored ORDER BY doc_id""",
+    "q185_nb_store_piped" ->
+      s"""WITH $nbScoredCte
+         SELECT doc_id, nb_score, nb_pred
+         FROM scored ORDER BY doc_id""",
+    "q183_nb_eval" ->
+      s"""WITH $nbScoredCte,
+         cm AS (SELECT
+             sum(CASE WHEN nb_pred = 1 AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+             sum(CASE WHEN nb_pred = 1 AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+             sum(CASE WHEN nb_pred = 0 AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+             sum(CASE WHEN nb_pred = 0 AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn
+           FROM scored)
+         SELECT tp, fp, fn, tn,
+           CASE WHEN tp+fp+fn+tn > 0
+             THEN round((tp+tn)::DOUBLE / (tp+fp+fn+tn), 6) END AS accuracy,
+           CASE WHEN tp+fp > 0
+             THEN round(tp::DOUBLE / (tp+fp), 6) END AS precision,
+           CASE WHEN tp+fn > 0
+             THEN round(tp::DOUBLE / (tp+fn), 6) END AS recall,
+           CASE WHEN 2*tp+fp+fn > 0
+             THEN round(2*tp::DOUBLE / (2*tp+fp+fn), 6) END AS f1
+         FROM cm""",
+    "q184_nb_pr_curve" ->
+      s"""WITH $nbScoredCte,
+         cur AS (SELECT nb_score AS threshold, count(*)::BIGINT AS _n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS _np
+           FROM scored GROUP BY nb_score),
+         npos AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np
+           FROM scored),
+         w AS (SELECT threshold,
+             sum(_n) OVER (ORDER BY threshold DESC)::BIGINT AS n_kept,
+             sum(_np) OVER (ORDER BY threshold DESC)::BIGINT AS _tp
+           FROM cur)
+         SELECT threshold, n_kept,
+           round(_tp::DOUBLE / n_kept, 6) AS precision,
+           CASE WHEN np > 0 THEN round(_tp::DOUBLE / np, 6) END AS recall
+         FROM w, npos ORDER BY threshold DESC""",
     "q179_pca_store_piped" -> {
       // identical math to q176 (the piped stage loads the SAME frozen model
       // from the store and projects with the same kernel) — the oracle is

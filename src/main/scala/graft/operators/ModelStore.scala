@@ -26,6 +26,27 @@ object ModelStore {
     spark.conf.getOption("spark.graft.lookup.dir")
       .getOrElse(sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-lookups")
 
+  /** Existence probe through the Hadoop filesystem of the path's scheme —
+    * the lookup dir is SHARED storage on a cluster (hdfs://, s3a://…), where
+    * a `java.io.File` check would always be false; on a bare local path this
+    * resolves to the local filesystem and behaves identically.
+    */
+  private[graft] def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Sorted child-directory names of `dir` (empty when absent) — registry
+    * listings, through the same scheme-aware filesystem as [[pathExists]].
+    */
+  private[graft] def childDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
   private def path(spark: SparkSession, kind: String, name: String): String = {
     require(name.nonEmpty && name.exists(_ != '.') && name.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '.' || c == '-'),
@@ -47,7 +68,7 @@ object ModelStore {
 
   def loadPca(spark: SparkSession, name: String): Embeddings.PcaModel = {
     val p = path(spark, "pca", name)
-    require(new java.io.File(p).exists,
+    require(pathExists(spark, p),
       s"pca model '$name' does not exist in the model store — save it first")
     val r = spark.read.parquet(p).head()
     Embeddings.PcaModel(
@@ -72,11 +93,32 @@ object ModelStore {
   def loadPqCodebook(spark: SparkSession,
       name: String): Array[Array[Array[Float]]] = {
     val p = path(spark, "pq", name)
-    require(new java.io.File(p).exists,
+    require(pathExists(spark, p),
       s"pq codebook '$name' does not exist in the model store — save it first")
     spark.read.parquet(p).head()
       .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Float]]]]("codebook")
       .map(_.map(_.toArray).toArray).toArray
+  }
+
+  /** Persist a trained [[QualityClassifier.NbModel]] under `name`
+    * (single-row parquet: prior + dense bucket LLRs, exact nano-nat longs —
+    * integer round-trip, so a loaded model DECIDES identically).
+    */
+  def saveNb(spark: SparkSession, name: String,
+      m: QualityClassifier.NbModel): Unit = {
+    import spark.implicits._
+    Seq((m.priorQ, m.bucketQ.toSeq)).toDF("priorQ", "bucketQ")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path(spark, "nb", name))
+  }
+
+  def loadNb(spark: SparkSession, name: String): QualityClassifier.NbModel = {
+    val p = path(spark, "nb", name)
+    require(pathExists(spark, p),
+      s"nb model '$name' does not exist in the model store — save it first")
+    val r = spark.read.parquet(p).head()
+    QualityClassifier.NbModel(r.getAs[Long]("priorQ"),
+      r.getAs[scala.collection.Seq[Long]]("bucketQ").toArray)
   }
 
   /** Persist an IVF centroid table (`cluster_id`, `centroid`) — already a
@@ -89,7 +131,7 @@ object ModelStore {
 
   def loadCentroids(spark: SparkSession, name: String): DataFrame = {
     val p = path(spark, "ivf", name)
-    require(new java.io.File(p).exists,
+    require(pathExists(spark, p),
       s"ivf centroids '$name' do not exist in the model store — save them first")
     spark.read.parquet(p)
   }

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Trained corpus-quality classifier — the "quality filter learned from a
+  * labeled seed" pretraining step (Brown et al. 2020 §A: a linear classifier
+  * over hashed text features trained WebText-vs-CommonCrawl gates the GPT-3
+  * crawl; fastText's architecture — Joulin et al. 2016: a linear model over
+  * hashed unigram+bigram bags). Train on seed labels (curated sources vs
+  * rest, or an expensive upstream heuristic being distilled), score every
+  * document with a log-likelihood ratio, gate on the sign — and measure the
+  * gate with [[evaluate]]/[[prCurve]] on a held-out split before trusting it
+  * over a corpus.
+  *
+  * The estimator is multinomial Naive Bayes rather than gradient-trained
+  * logistic regression because the engine grades on cross-engine
+  * reproducibility: the sufficient statistics are exact integer counts —
+  * identical on any engine and any partitioning — so the trained model, and
+  * therefore every score and every keep/drop decision, is bit-identical
+  * everywhere, while SGD depends on example order. (NB and LR share the same
+  * decision family — linear in the hashed-gram counts; NB is the closed-form
+  * member of it.) Feature space is [[CorpusQuality.dsirWeights]]'s: word
+  * unigrams + bigrams hashed into a FIXED-SIZE bucket table. The differences
+  * from DSIR are the estimator (class-conditional positive-vs-NEGATIVE, not
+  * target-vs-raw), the learned document PRIOR, the decision surface
+  * (`pred = sign(prior + Σ llr)`), and the evaluation loop.
+  *
+  * Per-bucket log-likelihood ratios are quantized to nano-nat integers
+  * before any per-document sum ([[CorpusQuality.unigramSurprisal]]'s trick),
+  * so aggregation is exact integer arithmetic — order-independent across
+  * engines — and the serving path is one codegen'd
+  * [[graft.functions.TextFunctions.weightedBucketSum]] kernel: STATELESS
+  * map-side scoring, no join, no shuffle (the model rides inside the plan).
+  *
+  * Scale shape: training is one narrow gram pass collapsing to the
+  * `buckets`-row table by map-side partial aggregation (the corpus is never
+  * shuffled); the driver materializes only that fixed-size table. Scoring is
+  * a pure scan. At 100 TB neither pass moves data beyond the scan itself.
+  */
+object QualityClassifier {
+
+  /** A trained classifier: `bucketQ(b)` = nano-nat quantized
+    * `ln p(b|pos) − ln p(b|neg)` (Laplace-smoothed), `priorQ` = nano-nat
+    * quantized `ln((n_pos+1)/(n_neg+1))` over training DOCUMENTS. A
+    * document's decision score in nats is `(priorQ + Σ_grams bucketQ) / 1e9`.
+    */
+  final case class NbModel(priorQ: Long, bucketQ: Array[Long]) {
+    def buckets: Int = bucketQ.length
+  }
+
+  /** The hashed-gram 60-bit content hashes for `textCol` (word unigrams +
+    * bigrams), matching [[CorpusQuality.dsirWeights]]'s feature stream.
+    */
+  private def gramHashes(textCol: Column): Column = {
+    val t = coalesce(textCol, lit(""))
+    concat(
+      TextFunctions.positionalShingleHashes(t, 1),
+      TextFunctions.positionalShingleHashes(t, 2))
+  }
+
+  /** The per-bucket model as a DENSE DataFrame `(b, llr_q)` — all `buckets`
+    * rows present (a bucket unseen in training carries the pure-smoothing
+    * ratio, not zero), so scoring joins need no null handling and the
+    * collected kernel array has no holes.
+    */
+  def trainTable(df: DataFrame, textCol: Column, labelCol: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = df.sparkSession
+    val cnt = df.select(labelCol.as("_y"),
+        explode(gramHashes(textCol)).as("_h"))
+      .select(col("_y"), pmod(col("_h"), lit(buckets.toLong)).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("_y"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("cr"))
+    // grand totals off the ≤buckets-row table; null-sum guard for the
+    // empty/unlabeled corpus as in dsirWeights
+    val totRow = cnt.agg(sum(col("ct")), sum(col("cr"))).head()
+    val (tt, tr) =
+      if (totRow.isNullAt(0)) (0L, 0L)
+      else (totRow.getLong(0), totRow.getLong(1))
+    val dense = spark.range(buckets).select(col("id").as("b"))
+      .join(cnt, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    dense.select(col("b"),
+      round((log((col("ct") + lit(1L)).cast("double") /
+          lit((tt + buckets).toDouble)) -
+        log((col("cr") + lit(1L)).cast("double") /
+          lit((tr + buckets).toDouble))) * 1e9).cast("long").as("llr_q"))
+  }
+
+  /** Nano-nat quantized document prior `ln((n_pos+1)/(n_neg+1))` — the +1
+    * keeps the model total on single-class seeds. One job over the already-
+    * filtered seed frame; rounding is HALF_UP, matching Spark's `round`.
+    */
+  def priorQ(df: DataFrame, labelCol: Column): Long = {
+    val r = df.agg(
+      sum(when(labelCol, 1L).otherwise(0L)),
+      sum(when(labelCol, 0L).otherwise(1L))).head()
+    val np = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val nn = if (r.isNullAt(1)) 0L else r.getLong(1)
+    BigDecimal(math.log((np + 1).toDouble / (nn + 1)) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  /** Train to a driver-side [[NbModel]] — the frozen artifact the codegen'd
+    * serving kernel (and [[graft.streaming.Streams.nbScoreStream]]) applies.
+    * The collect is bounded by `buckets`, never by corpus size.
+    */
+  def train(df: DataFrame, textCol: Column, labelCol: Column,
+      buckets: Int = 256): NbModel = {
+    val arr = Array.fill(buckets)(0L)
+    trainTable(df, textCol, labelCol, buckets).collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    NbModel(priorQ(df, labelCol), arr)
+  }
+
+  /** Score documents through a frozen model: adds `n_grams` (hashed-gram
+    * count), `nb_score` (decision score in nats, 6 dp) and `nb_pred`
+    * (1 = keep; the sign decision taken in the exact integer domain). One
+    * stateless codegen'd projection — no join, no shuffle; THE serving path
+    * at corpus scale, bit-identical to scoring through [[trainTable]]'s
+    * table because the kernel array IS that table.
+    */
+  def score(df: DataFrame, textCol: Column, model: NbModel): DataFrame = {
+    val grams = gramHashes(textCol)
+    val scoreQ =
+      TextFunctions.weightedBucketSum(grams, model.bucketQ) +
+        lit(model.priorQ)
+    df.withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("_sq", scoreQ)
+      .withColumn("nb_score", round(col("_sq").cast("double") / 1e9, 6))
+      .withColumn("nb_pred", (col("_sq") > lit(0L)).cast("int"))
+      .drop("_sq")
+  }
+
+  /** Confusion matrix + headline metrics of `predCol` (1/0) against
+    * `labelCol` (boolean): one row `(tp, fp, fn, tn, accuracy, precision,
+    * recall, f1)`, each rate a single guarded division rounded to 6 dp —
+    * the held-out check a seed-trained filter must pass before it gates a
+    * corpus. One aggregation job, map-side combined.
+    */
+  def evaluate(scored: DataFrame, labelCol: Column,
+      predCol: Column = col("nb_pred")): DataFrame = {
+    val p = predCol === lit(1)
+    val agg = scored.agg(
+      sum(when(p && labelCol, 1L).otherwise(0L)).as("tp"),
+      sum(when(p && !labelCol, 1L).otherwise(0L)).as("fp"),
+      sum(when(!p && labelCol, 1L).otherwise(0L)).as("fn"),
+      sum(when(!p && !labelCol, 1L).otherwise(0L)).as("tn"))
+    def rate(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      rate(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+      rate(col("tp"), col("tp") + col("fp")).as("precision"),
+      rate(col("tp"), col("tp") + col("fn")).as("recall"),
+      rate(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Precision/recall at every distinct score cut — the curve that picks the
+    * gating threshold (GPT-3 tuned its filter by eyeballing exactly this
+    * trade-off): one row per distinct `scoreCol` value, descending, with
+    * `(threshold, n_kept, precision, recall)` for the gate `score ≥
+    * threshold`. Ties share a row (both sides of the cut are whole score
+    * classes), so the curve is deterministic with no tie-break column.
+    *
+    * Scale: one global sort of the EVALUATION set (held-out slices are
+    * small by construction — this is an analysis surface, not the corpus
+    * gate; the gate itself is [[score]]'s stateless kernel).
+    */
+  def prCurve(scored: DataFrame, labelCol: Column,
+      scoreCol: Column = col("nb_score")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = scored.agg(
+      sum(when(labelCol, 1L).otherwise(0L))).head()
+    val npos = if (tot.isNullAt(0)) 0L else tot.getLong(0)
+    scored.select(scoreCol.as("_s"),
+        when(labelCol, 1L).otherwise(0L).as("_y"))
+      .groupBy("_s")
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+      .withColumn("n_kept", sum(col("_n")).over(w))
+      .withColumn("_tp", sum(col("_np")).over(w))
+      .select(col("_s").as("threshold"), col("n_kept"),
+        round(col("_tp").cast("double") / col("n_kept"), 6).as("precision"),
+        when(lit(npos) > 0,
+          round(col("_tp").cast("double") / npos, 6)).as("recall"))
+      .orderBy(col("threshold").desc)
+  }
+}

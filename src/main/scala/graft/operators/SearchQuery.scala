@@ -521,6 +521,17 @@ object SearchQuery {
     */
   final case class PcaStage(model: String, field: String, prefix: String,
       whiten: Boolean) extends Stage
+  /** `classify <model> on <field> [prefix=<p>]` — score a text field
+    * through a NAMED trained quality classifier from the model store
+    * ([[graft.operators.QualityClassifier]] / [[graft.operators.ModelStore
+    * .loadNb]]): adds `<p>_score` (log-likelihood ratio in nats, 6 dp) and
+    * `<p>_pred` (1 = keep) — default prefix `nb`. Serve-online like the
+    * `pca` stage: the model loads by name at stage-compile time and rides
+    * into the codegen'd bucket-sum kernel, so the stage is a pure map-side
+    * projection with no shuffle. Gate with `| where <p>_pred = 1`.
+    */
+  final case class ClassifyStage(model: String, field: String,
+      prefix: String) extends Stage
   /** `logreduce [field=<name>] [limit N]` — signature clustering: messages
     * are reduced to a template by masking the variable tokens (ISO
     * timestamps → `$DATE`, UUIDs → `$UUID`, long hex runs → `$HEX`, digit
@@ -789,6 +800,9 @@ object SearchQuery {
   private val PcaRe =
     ("(?i)pca\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+prefix=([A-Za-z0-9_]+))?(\\s+whiten)?\\s*").r
+  private val ClassifyRe =
+    ("(?i)classify\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
   private val LogReduceRe =
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogCompareRe =
@@ -1040,6 +1054,13 @@ object SearchQuery {
           PcaStage(model, f, Option(prefix).getOrElse("pc"), whiten != null)
         case _ => throw new IllegalArgumentException(
           s"pca needs 'pca <model> on <field> [prefix=<p>] [whiten]': $s")
+      }
+    } else if (lower.startsWith("classify ")) {
+      s match {
+        case ClassifyRe(model, f, prefix) =>
+          ClassifyStage(model, f, Option(prefix).getOrElse("nb"))
+        case _ => throw new IllegalArgumentException(
+          s"classify needs 'classify <model> on <field> [prefix=<p>]': $s")
       }
     } else if (lower.startsWith("pct_exact ")) {
       s match {
@@ -1784,11 +1805,11 @@ object SearchQuery {
           val lk = lookups.getOrElse(table, {
             // fall back to the saved-table store (`| save <table>`) — the
             // language's saved-search lookup path
-            val p = new java.io.File(s"${lookupDir(df.sparkSession)}/$table")
-            require(p.exists,
+            val p = s"${lookupDir(df.sparkSession)}/$table"
+            require(ModelStore.pathExists(df.sparkSession, p),
               s"unknown lookup table '$table' — register it via the lookups " +
                 "parameter or write it first with '| save …'")
-            df.sparkSession.read.parquet(p.toString)
+            df.sparkSession.read.parquet(p)
           })
           require(outputs.intersect(on.map(_._2)).isEmpty,
             s"lookup outputs ${outputs.mkString(",")} overlap the join keys")
@@ -1805,11 +1826,11 @@ object SearchQuery {
             .drop(on.indices.map(i => s"_lk_$i"): _*)
         case GeoLookupStage(ipField, outs) =>
           val lk = lookups.getOrElse("geoip", {
-            val p = new java.io.File(s"${lookupDir(df.sparkSession)}/geoip")
-            require(p.exists,
+            val p = s"${lookupDir(df.sparkSession)}/geoip"
+            require(ModelStore.pathExists(df.sparkSession, p),
               "geoip needs a 'geoip' lookup table (ip_start, ip_end, attrs…) " +
                 "— register it via the lookups parameter or '| save geoip'")
-            df.sparkSession.read.parquet(p.toString)
+            df.sparkSession.read.parquet(p)
           })
           require(lk.columns.contains("ip_start") && lk.columns.contains("ip_end"),
             s"the geoip table needs ip_start/ip_end columns, got: ${lk.columns.mkString(",")}")
@@ -2144,6 +2165,15 @@ object SearchQuery {
           val proj = Embeddings.pcaProject(col(resolveField(f)), m)
           df.select(df.columns.map(col) ++
             (0 until m.k).map(i => proj(i).as(s"$prefix$i")): _*)
+        case ClassifyStage(modelName, f, prefix) =>
+          // model loads by name ON THE DRIVER at stage-compile time; the
+          // bucket table rides into the codegen'd kernel as a reference
+          // object — pure map-side projection, no shuffle
+          val m = graft.operators.ModelStore.loadNb(df.sparkSession, modelName)
+          QualityClassifier.score(df, col(resolveField(f)), m)
+            .withColumnRenamed("nb_score", s"${prefix}_score")
+            .withColumnRenamed("nb_pred", s"${prefix}_pred")
+            .drop("n_grams")
         case TopkExactStage(f, cap, by) =>
           val key = resolveField(f)
           by match {
@@ -2429,10 +2459,10 @@ object SearchQuery {
           spark.read.parquet(path)
         case CatStage(table) =>
           val spark = df.sparkSession
-          val p = new java.io.File(s"${lookupDir(spark)}/$table")
-          require(p.exists,
+          val p = s"${lookupDir(spark)}/$table"
+          require(ModelStore.pathExists(spark, p),
             s"cat: lookup table '$table' does not exist — save it first")
-          spark.read.parquet(p.toString)
+          spark.read.parquet(p)
         case TransactionizeStage(by, merges) =>
           val keys = by.map(n => col(resolveField(n)))
           val ts = col(timeColName)

@@ -505,6 +505,22 @@ object Streams {
       round(weightedBucketSum(grams, bucketWeights).cast("double") / 1e9, 6))
   }
 
+  /** Online quality-classifier gating at ingest: apply a FROZEN
+    * [[graft.operators.QualityClassifier.NbModel]] (trained offline on seed
+    * labels) to a document stream, adding `n_grams`/`nb_score`/`nb_pred` —
+    * the same train-offline/apply-online shape as [[dsirScoreStream]], and
+    * literally the same codegen'd bucket-sum kernel with the model as a
+    * plan-time constant: STATELESS map-side scoring, no state store, no
+    * shuffle, bit-identical to the batch
+    * [[graft.operators.QualityClassifier.score]] on the same text
+    * (StreamingSpec pins the parity). Filter on `nb_pred = 1` to gate
+    * ingest.
+    */
+  def nbScoreStream(docs: DataFrame,
+      model: graft.operators.QualityClassifier.NbModel,
+      textCol: String = "text"): DataFrame =
+    graft.operators.QualityClassifier.score(docs, col(textCol), model)
+
   /** Online PCA projection at ingest (the [[dsirScoreStream]]
     * train-offline/apply-online pattern): project a vector column through a
     * FROZEN model — trained offline by
@@ -559,6 +575,14 @@ object Streams {
     * arrival — the same arrival-order truth as [[asofStream]]. State per
     * key is `window` decimals + one counter; null values occupy a window
     * slot but contribute nothing, matching the batch frame.
+    *
+    * `idleTimeout = Some(d)` expires keys that stop emitting, so total state
+    * stays bounded by the ACTIVE key set (the production setting at 100 TB —
+    * monitored series come and go; an expired key that reappears restarts
+    * its trailing window cold, exactly like a fresh key). As with
+    * [[carryForward]], a processing-time timeout schedules continuous
+    * timeout-check batches, so tests driving the stream with
+    * `processAllAvailable` should pass None.
     */
   /** [[outlierStream]] wired to webhook delivery — monitor-grade streaming
     * alerting: each micro-batch's VIOLATION points post as one
@@ -596,7 +620,8 @@ object Streams {
   def outlierStream(events: DataFrame, tsCol: String, lateness: String,
       keyCol: org.apache.spark.sql.Column, valCol: org.apache.spark.sql.Column,
       window: Int, threshold: Double, consecutive: Int = 1,
-      direction: String = "+-"): Dataset[OutlierPoint] = {
+      direction: String = "+-",
+      idleTimeout: Option[String] = Some("30 minutes")): Dataset[OutlierPoint] = {
     require(window >= 1, s"window must be >= 1: $window")
     require(consecutive >= 1, s"consecutive must be >= 1: $consecutive")
     require(Set("+", "-", "+-")(direction),
@@ -605,6 +630,9 @@ object Streams {
     implicit val stEnc: Encoder[OutlierState] = Encoders.product[OutlierState]
     implicit val outEnc: Encoder[OutlierPoint] = Encoders.product[OutlierPoint]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val typed = events
       .select(keyCol.cast("string").as("k"), col(tsCol).as("ts"),
         valCol.try_cast("double").as("raw"),
@@ -613,8 +641,12 @@ object Streams {
       .withWatermark("ts", lateness)
       .as[OutlierIn]
     typed.groupByKey(_.k)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, it: Iterator[OutlierIn], state: GroupState[OutlierState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(OutlierState(Seq.empty, 0))
           val out = it.toSeq.sortBy(_.ts.getTime).map { p =>
             // trailing moments over the ring (previous `window` slots):
@@ -646,7 +678,9 @@ object Streams {
               if (run >= consecutive) 1L else 0L)
           }
           state.update(st)
+          idleTimeout.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 }

@@ -124,4 +124,53 @@ class ModelStoreSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"pca stage must not shuffle:\n$plan")
     } finally s.conf.unset("spark.graft.lookup.dir")
   }
+
+  test("NB model + piped `classify <model> on <field>`: integer round-trip, identical decisions, no shuffle") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    s.conf.set("spark.graft.lookup.dir", freshDir("nb"))
+    try {
+      val seed = Seq(
+        (10L, "legal court judge verdict trial", true),
+        (11L, "court judge legal appeal ruling", true),
+        (20L, "pixel shader render frame buffer", false),
+        (21L, "render buffer pixel shader frame", false))
+        .toDF("doc_id", "text", "y")
+      val trained = QualityClassifier.train(seed, col("text"), col("y"))
+      ModelStore.saveNb(s, "gate.v1", trained)
+      val loaded = ModelStore.loadNb(s, "gate.v1")
+      // longs round-trip exactly — loaded model IS the trained model
+      assert(loaded.priorQ == trained.priorQ)
+      assert(loaded.bucketQ.toSeq == trained.bucketQ.toSeq)
+      // the piped serving surface scores/decides identically to the batch op
+      val probes = Seq(
+        (0L, "legal court judge ruling appeal"),
+        (1L, "pixel render shader buffer frame")).toDF("doc_id", "text")
+      val piped = SearchQuery.parsePiped("* | classify gate.v1 on text")
+      val out = SearchQuery.compileStages(piped.stages, "doc_id", "text")(probes)
+      assert(out.columns.toSeq == Seq("doc_id", "text", "nb_score", "nb_pred"))
+      val viaStage = out.orderBy("doc_id")
+        .select("doc_id", "nb_score", "nb_pred")
+        .as[(Long, Double, Int)].collect().toSeq
+      val direct = QualityClassifier.score(probes, col("text"), trained)
+        .orderBy("doc_id").select("doc_id", "nb_score", "nb_pred")
+        .as[(Long, Double, Int)].collect().toSeq
+      assert(viaStage == direct)
+      assert(viaStage.map(_._3) == Seq(1, 0)) // the gate decides
+      // prefix option renames the added columns
+      val pre = SearchQuery.compileStages(SearchQuery.parsePiped(
+        "* | classify gate.v1 on text prefix=q").stages, "doc_id", "text")(probes)
+      assert(pre.columns.toSeq == Seq("doc_id", "text", "q_score", "q_pred"))
+      // serve-online is a pure projection: no Exchange in the plan
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"classify stage must not shuffle:\n$plan")
+      // missing name fails loudly
+      val err = intercept[IllegalArgumentException] {
+        SearchQuery.compileStages(SearchQuery.parsePiped(
+          "* | classify nope on text").stages, "doc_id", "text")(probes)
+      }
+      assert(err.getMessage.contains("does not exist"))
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
 }

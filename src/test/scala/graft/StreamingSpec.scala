@@ -450,6 +450,41 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("streaming NB quality gate: frozen classifier scores and decides on a real stream") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val seed = Seq(
+      (10L, "legal court judge verdict trial", true),
+      (11L, "court judge legal appeal ruling", true),
+      (20L, "pixel shader render frame buffer", false),
+      (21L, "render buffer pixel shader frame", false))
+      .toDF("doc_id", "text", "y")
+    val m = graft.operators.QualityClassifier.train(seed, col("text"), col("y"))
+    val input = MemoryStream[(Long, String)]
+    val gated = Streams.nbScoreStream(input.toDF().toDF("doc_id", "text"), m)
+    val q = gated.writeStream.format("memory").queryName("nb_out")
+      .outputMode("append").start()
+    input.addData(
+      (0L, "legal court judge ruling appeal"),
+      (1L, "pixel render shader buffer frame"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("nb_out")
+      .select("doc_id", "nb_score", "nb_pred")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(0L)._2 == 1 && out(1L)._2 == 0) // the gate decides
+    // stream scores equal the batch scorer bit-for-bit
+    val batch = graft.operators.QualityClassifier.score(
+      Seq((0L, "legal court judge ruling appeal"),
+        (1L, "pixel render shader buffer frame")).toDF("doc_id", "text"),
+      col("text"), m)
+      .select("doc_id", "nb_score", "nb_pred")
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == batch)
+  }
+
   test("T8 streaming: requestID carries forward across micro-batches via state store") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -1016,7 +1051,8 @@ class StreamingSpec extends SparkSpec {
     val out = Streams.outlierStream(
       input.toDF().toDF("ts", "host", "v"),
       "ts", lateness = "10 minutes", keyCol = col("host"), valCol = col("v"),
-      window = 4, threshold = 3.0, consecutive = 2, direction = "+")
+      window = 4, threshold = 3.0, consecutive = 2, direction = "+",
+      idleTimeout = None)
     val q = out.writeStream.format("memory").queryName("outlier_stream")
       .outputMode("append").start()
     input.addData(batch1: _*)
@@ -1072,7 +1108,8 @@ class StreamingSpec extends SparkSpec {
       val points = Streams.outlierStream(
         input.toDF().toDF("ts", "host", "v"),
         "ts", lateness = "10 minutes", keyCol = col("host"),
-        valCol = col("v"), window = 3, threshold = 3.0, direction = "+")
+        valCol = col("v"), window = 3, threshold = 3.0, direction = "+",
+        idleTimeout = None)
       val q = Streams.outlierAlerts(points, conn,
         new SumoSink.HttpPoster(conn.url))
         .option("checkpointLocation", mkTmp("oa-ckpt"))

@@ -1874,6 +1874,119 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(applied == batch)
   }
 
+  // two-vocabulary seed for the trained quality classifier: positive speaks
+  // legal, negative speaks graphics; probes 0/1 are unlabeled-style rows
+  // whose DECISIONS the classifier must get right
+  private def nbSeed = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (10L, "legal court judge verdict trial", true),
+      (11L, "court judge legal appeal ruling", true),
+      (12L, "judge ruling court trial legal", true),
+      (13L, "appeal verdict judge court trial", true),
+      (20L, "pixel shader render frame buffer", false),
+      (21L, "render buffer pixel shader frame", false),
+      (22L, "frame pixel buffer shader render", false))
+      .toDF("doc_id", "text", "y")
+  }
+
+  test("quality classifier: trains on seed labels and classifies held-out vocabulary") {
+    val s = spark
+    import s.implicits._
+    val probes = Seq(
+      (0L, "legal court judge ruling appeal", true),
+      (1L, "pixel render shader buffer frame", false))
+      .toDF("doc_id", "text", "y")
+    val m = graft.operators.QualityClassifier.train(nbSeed, col("text"), col("y"))
+    assert(m.buckets == 256)
+    assert(m.priorQ == BigDecimal(math.log(5.0 / 4) * 1e9)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) // ln((4+1)/(3+1))
+    val out = graft.operators.QualityClassifier.score(probes, col("text"), m)
+      .select("doc_id", "n_grams", "nb_score", "nb_pred")
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 9L) // 5 unigrams + 4 bigrams
+    assert(out(0L)._4 == 1 && out(1L)._4 == 0) // decisions follow vocabulary
+    assert(out(0L)._3 > 0.0 && out(1L)._3 < 0.0)
+    // the trained table is DENSE: exactly `buckets` rows, holes carry the
+    // pure-smoothing ratio (train/score vocab mismatch must not drop grams)
+    val tbl = graft.operators.QualityClassifier.trainTable(
+      nbSeed, col("text"), col("y")).collect()
+    assert(tbl.length == 256)
+  }
+
+  test("quality classifier: training is partition-invariant; score kernel matches table join") {
+    val s = spark
+    import s.implicits._
+    def model(parts: Int) = graft.operators.QualityClassifier.train(
+      nbSeed.repartition(parts), col("text"), col("y"))
+    val m1 = model(1); val m7 = model(7)
+    assert(m1.priorQ == m7.priorQ && m1.bucketQ.toSeq == m7.bucketQ.toSeq)
+    // kernel scoring == explicit join against the trained table, bit-for-bit
+    val viaKernel = graft.operators.QualityClassifier
+      .score(nbSeed, col("text"), m1)
+      .select("doc_id", "nb_score").as[(Long, Double)].collect().toMap
+    val tbl = graft.operators.QualityClassifier.trainTable(
+        nbSeed, col("text"), col("y")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaTable = nbSeed.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, text) =>
+        val grams = text.split("\\s+").toSeq ++
+          text.split("\\s+").sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        val hq = grams.map { g =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8"))
+          val hex = md.take(8).map(b => f"$b%02x").mkString.take(15)
+          java.lang.Long.parseLong(hex, 16) % 256
+        }
+        // Spark's round(x, 6) on a double: decimal view of the double value
+        id -> BigDecimal((m1.priorQ + hq.map(tbl).sum).toDouble / 1e9)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    assert(viaKernel == viaTable)
+  }
+
+  test("quality classifier: empty text scores the bare prior; evaluate counts the confusion") {
+    val s = spark
+    import s.implicits._
+    val m = graft.operators.QualityClassifier.train(nbSeed, col("text"), col("y"))
+    val empty = Seq((99L, null.asInstanceOf[String], false))
+      .toDF("doc_id", "text", "y")
+    val r = graft.operators.QualityClassifier.score(empty, col("text"), m)
+      .select("n_grams", "nb_score").as[(Long, Double)].head()
+    // null → "" → zero grams: the score falls back to the bare prior
+    assert(r._1 == 0L)
+    assert(r._2 == BigDecimal(m.priorQ.toDouble / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val scored = graft.operators.QualityClassifier.score(
+      nbSeed, col("text"), m)
+    val ev = graft.operators.QualityClassifier.evaluate(scored, col("y"))
+      .collect().head
+    // the seed is separable, so training-set decisions are perfect
+    assert((ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3)) ==
+      ((4L, 0L, 0L, 3L)))
+    assert(ev.getDouble(4) == 1.0 && ev.getDouble(7) == 1.0) // accuracy, f1
+  }
+
+  test("quality classifier: prCurve walks thresholds with tie-safe cumulative counts") {
+    val s = spark
+    import s.implicits._
+    // hand-built scored frame: scores 0.9(+), 0.5(+), 0.5(−), 0.1(−)
+    val scored = Seq(
+      (1L, 0.9, true), (2L, 0.5, true), (3L, 0.5, false), (4L, 0.1, false))
+      .toDF("doc_id", "nb_score", "y")
+    val cur = graft.operators.QualityClassifier.prCurve(scored, col("y"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(cur.toSeq == Seq(
+      (0.9, 1L, 1.0, 0.5), // keep ≥0.9: 1 kept, all positive, half recall
+      (0.5, 3L, round6(2.0 / 3), 1.0), // ties share the row
+      (0.1, 4L, 0.5, 1.0)))
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("unigram surprisal: rare-token docs score above common-token docs") {
     val s = spark
     import s.implicits._
