@@ -98,23 +98,32 @@ object Monitors {
     * `maxRows` cap truncated the payload (never silent); `suppressed` marks
     * a threshold-crossing evaluation that did NOT post because the monitor
     * is `notifyOncePerBreach` and already alerted for this breach episode.
+    * `deliveryError` records a webhook delivery that failed after all
+    * retries (`fired` stays true — the threshold DID cross; `postedRows` 0 —
+    * nothing landed); evaluation of the remaining monitors continues.
     */
   final case class Outcome(monitor: String, resultCount: Long,
-      fired: Boolean, postedRows: Int, suppressed: Boolean = false)
+      fired: Boolean, postedRows: Int, suppressed: Boolean = false,
+      deliveryError: String = null)
 
   /** Breach-episode memory for `notifyOncePerBreach` monitors: tracks which
     * monitors are inside an un-resolved breach. One instance per [[run]]
     * schedule (or per caller-managed alerting loop) — pass the same instance
     * to successive [[tick]]s. An evaluation back under the threshold
     * RESOLVES the episode and re-arms the monitor, the Sumo monitor
-    * trigger/resolve lifecycle.
+    * trigger/resolve lifecycle. An episode is marked notified only after a
+    * DELIVERED post, so a crossing whose webhook fails every retry is
+    * re-attempted on the next tick instead of silently lost.
     */
   final class BreachState {
     private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private[Monitors] def shouldPost(m: Monitor, crossed: Boolean): Boolean =
       if (!crossed) { active.remove(m.name); false }
       else if (!m.notifyOncePerBreach) true
-      else active.add(m.name) // first crossing of the episode only
+      else !active.contains(m.name) // first un-notified crossing only
+    private[Monitors] def markNotified(m: Monitor): Unit = {
+      active.add(m.name); ()
+    }
   }
 
   private val RequiredRowFields =
@@ -171,16 +180,22 @@ object Monitors {
   /** Evaluate every monitor once and POST the fired ones — the unit of work
     * [[run]] schedules. Evaluation order is the registry order; each fired
     * monitor posts one body (`Content-Type: application/json` + the
-    * connection's auth headers). The result plan is pinned before the
-    * count, so a fired monitor's query executes ONCE, not once for the
+    * connection's auth headers), with the sink family's bounded
+    * linear-backoff retries (R2's `retries × retrySeedMs` framing); a
+    * delivery that still fails lands in the [[Outcome]] as `deliveryError`
+    * and the REMAINING monitors evaluate normally — one flaky webhook must
+    * not silence the rest of the registry. The result plan is pinned before
+    * the count, so a fired monitor's query executes ONCE, not once for the
     * count and again for the rows. With a [[BreachState]], a
     * `notifyOncePerBreach` monitor posts only on the FIRST crossing of
-    * each breach episode and re-arms when an evaluation resolves.
+    * each breach episode and re-arms when an evaluation resolves; the
+    * episode counts as notified only when delivery SUCCEEDS.
     */
   def tick(df: DataFrame, monitors: Seq[Monitor],
       poster: graft.sinks.SumoSink.BucketPoster,
       timeCol: String = "ts", messageCol: String = "message",
-      state: BreachState = new BreachState): Seq[Outcome] =
+      state: BreachState = new BreachState,
+      retries: Int = 3, retrySeedMs: Long = 50): Seq[Outcome] =
     monitors.map { m =>
       val piped = SearchQuery.parsePiped(m.query)
       val matched = df.filter(SearchQuery.compile(piped.terms, col(messageCol)))
@@ -200,10 +215,28 @@ object Monitors {
               s"required fields ${missing.mkString(", ")} — emit them via " +
               "parse/fields stages (securityhub_forwarder.py:95)")
           val rows = res.toJSON.take(m.maxRows).toSeq
-          poster.post(
-            Map("Content-Type" -> "application/json") ++ m.connection.headers,
-            payloadJson(m.connection, rows).getBytes("UTF-8"))
-          Outcome(m.name, n, fired = true, postedRows = rows.size)
+          val body = payloadJson(m.connection, rows).getBytes("UTF-8")
+          val headers =
+            Map("Content-Type" -> "application/json") ++ m.connection.headers
+          var attempt = 0
+          var err: Throwable = null
+          var delivered = false
+          while (!delivered && attempt <= retries) {
+            try { poster.post(headers, body); delivered = true }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                err = e
+                attempt += 1
+                // linear backoff, the sink's k2sl_lambda.js:51-57 framing
+                if (attempt <= retries) Thread.sleep(retrySeedMs * attempt)
+            }
+          }
+          if (delivered) {
+            state.markNotified(m)
+            Outcome(m.name, n, fired = true, postedRows = rows.size)
+          } else
+            Outcome(m.name, n, fired = true, postedRows = 0,
+              deliveryError = String.valueOf(err.getMessage))
         }
       } finally { res.unpersist(); () }
     }
@@ -248,7 +281,7 @@ object Monitors {
 
   def load(spark: SparkSession, name: String): Monitor = {
     val p = monitorPath(spark, name)
-    require(new java.io.File(p).exists,
+    require(ModelStore.pathExists(spark, p),
       s"monitor '$name' does not exist in the registry — save it first")
     val r = spark.read.parquet(p).head()
     Monitor(
@@ -269,12 +302,9 @@ object Monitors {
   /** Saved-monitor names, sorted — the registry listing [[run]] can be fed
     * from (`list(spark).map(load(spark, _))`).
     */
-  def list(spark: SparkSession): Seq[String] = {
-    val root = new java.io.File(
-      monitorPath(spark, "probe")).getParentFile
-    if (!root.isDirectory) Seq.empty
-    else root.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
-  }
+  def list(spark: SparkSession): Seq[String] =
+    ModelStore.childDirs(spark,
+      monitorPath(spark, "probe").stripSuffix("/probe"))
 
   def run(spark: SparkSession, source: () => DataFrame,
       monitors: Seq[Monitor], poster: graft.sinks.SumoSink.BucketPoster,

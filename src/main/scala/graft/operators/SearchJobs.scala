@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * parquet store — global range sort (parallel), per-partition counts folded
   * into cumulative offsets (driver-side, one row per partition), a
   * partition-local `row_number` for the global rank, then a write partitioned
-  * by COARSE rank directories (`_pagedir`, 100 pages each) with ~1 MB parquet
+  * by COARSE rank directories (`_pagedir`, 100 pages each) with ~8 MB parquet
   * row groups inside, so `_rank` min/max stats prune to ~page granularity
   * within the one or two matching directories. Two measured reasons for the
   * coarse layout over one-directory-per-page (SCALING.md round 14, 10M
@@ -122,12 +122,19 @@ object SearchJobs {
             .partitionBy("_pagedir").parquet(s"$path/pages")
         }
         // the layout choice must ride with the landed pages, not session
-        // state — readPage derives its dir math from this marker
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$path/_dir_bucket"),
-          (if (df.sparkSession.conf
+        // state — readPage derives its dir math from this marker. Hadoop FS
+        // (not java.nio) so the marker lands on whatever scheme hosts the
+        // store — shared storage on a cluster, local disk here.
+        val markerBucket =
+          if (df.sparkSession.conf
             .get("spark.graft.search.pageLayout", "coarse") == "legacy")
-            PageBucket else DirBucket).toString)
+            PageBucket else DirBucket
+        val mp = new org.apache.hadoop.fs.Path(s"$path/_dir_bucket")
+        val mfs = mp.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        val out = mfs.create(mp, true)
+        try out.write(markerBucket.toString.getBytes("UTF-8"))
+        finally out.close()
       }
       total
     } finally sorted.unpersist()
@@ -141,10 +148,13 @@ object SearchJobs {
   private def readPage(spark: SparkSession, path: String, limit: Int,
       offset: Int): DataFrame = {
     val dirBucket = {
-      val m = java.nio.file.Paths.get(s"$path/_dir_bucket")
-      if (java.nio.file.Files.exists(m))
-        java.nio.file.Files.readString(m).trim.toLong
-      else DirBucket
+      val mp = new org.apache.hadoop.fs.Path(s"$path/_dir_bucket")
+      val mfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (mfs.exists(mp)) {
+        val in = mfs.open(mp)
+        try new String(in.readAllBytes(), "UTF-8").trim.toLong
+        finally in.close()
+      } else DirBucket
     }
     val lo = offset / dirBucket
     val hi = (offset.toLong + limit - 1) / dirBucket

@@ -188,6 +188,90 @@ class MonitorsSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("delivery failure: retries with backoff, lands in the Outcome, and never silences the rest of the registry") {
+    val goodHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val badHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/bad",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        badHits.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(503, -1) // always down
+        ex.close()
+      })
+    server.createContext("/good",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        goodHits.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val badM = Monitors.Monitor("flaky-webhook", monitorQuery,
+        Monitors.Threshold(">", 10), Monitors.Connection("bad", s"$base/bad"))
+      val goodM = Monitors.Monitor("healthy-webhook", monitorQuery,
+        Monitors.Threshold(">", 10), Monitors.Connection("good", s"$base/good"))
+      def posterFor(url: String) = new SumoSink.HttpPoster(url)
+      val out = Monitors.tick(logsDf, Seq(badM), posterFor(s"$base/bad"),
+        retries = 2, retrySeedMs = 1) ++
+        Monitors.tick(logsDf, Seq(goodM), posterFor(s"$base/good"),
+          retries = 2, retrySeedMs = 1)
+      assert(badHits.get() == 3) // initial attempt + 2 retries
+      val bad = out.head
+      assert(bad.fired && bad.postedRows == 0 &&
+        bad.deliveryError != null && bad.deliveryError.contains("503"))
+      assert(out(1) ==
+        Monitors.Outcome("healthy-webhook", 60, fired = true, postedRows = 60))
+      assert(goodHits.get() == 1)
+      // per-monitor isolation within ONE tick: the failing monitor first,
+      // the healthy one still evaluates and posts
+      val both = Monitors.tick(logsDf, Seq(badM, goodM), new SumoSink.BucketPoster {
+        def post(headers: Map[String, String], body: Array[Byte]): Unit =
+          throw new java.io.IOException("transport down")
+      }, retries = 0)
+      assert(both.size == 2 && both.forall(o => o.fired && o.deliveryError != null))
+    } finally server.stop(0)
+  }
+
+  test("notifyOncePerBreach: a crossing whose delivery fails is re-attempted next tick, not lost") {
+    val accept = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/webhook",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(if (accept.get()) 200 else 503, -1)
+        ex.close()
+      })
+    server.start()
+    try {
+      val conn = Monitors.Connection("c",
+        s"http://127.0.0.1:${server.getAddress.getPort}/webhook")
+      val m = Monitors.Monitor("episodic-retry", monitorQuery,
+        Monitors.Threshold(">", 30), conn, notifyOncePerBreach = true)
+      val poster = new SumoSink.HttpPoster(conn.url)
+      val state = new Monitors.BreachState
+      def tickOnce() = Monitors.tick(logsDf, Seq(m), poster,
+        state = state, retries = 1, retrySeedMs = 1).head
+      // webhook down: the crossing fires but does not deliver — the episode
+      // is NOT marked notified
+      val failed = tickOnce()
+      assert(failed.fired && failed.postedRows == 0 &&
+        failed.deliveryError != null)
+      // webhook heals: the SAME un-notified episode posts (not suppressed)
+      accept.set(true)
+      assert(tickOnce() ==
+        Monitors.Outcome("episodic-retry", 60, fired = true, postedRows = 60))
+      // and only now do repeats suppress
+      assert(tickOnce().suppressed)
+    } finally server.stop(0)
+  }
+
   test("registry: monitors persist and reload field-exact; listing sorted; missing is loud") {
     val s = spark
     s.conf.set("spark.graft.lookup.dir",
