@@ -2270,6 +2270,32 @@ object SparkEntry {
         QualityClassifier.score(
           docs.filter(col("doc_id") % 5 === 0), col("text"), model), hq)
     }),
+    // ---- multiclass NB (language ID / domain routing — the K-output
+    //      fastText shape): per-class priors + gram tables trained on the
+    //      80% split, held-out docs classified by integer-domain argmax
+    //      (FIRST max in ascending class order — deterministic ties) ----
+    "q186_nb_langid" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = tbl(s, dir, "documents")
+      val m = QualityClassifier.trainMulti(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang"))
+      QualityClassifier.scoreMulti(
+          docs.filter(col("doc_id") % 5 === 0), col("text"), m)
+        .select("doc_id", "nb_class", "nb_score", "nb_margin")
+        .orderBy("doc_id")
+    }),
+    // ---- multiclass confusion rollup of the same held-out decisions ----
+    "q187_nb_confusion" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = tbl(s, dir, "documents")
+      val m = QualityClassifier.trainMulti(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang"))
+      QualityClassifier.confusionMulti(
+        QualityClassifier.scoreMulti(
+          docs.filter(col("doc_id") % 5 === 0), col("text"), m),
+        col("lang"))
+        .orderBy("label", "pred")
+    }),
     // ---- BPE tokenizer: train merges on the FIXED seed corpus (the
     //      distributed word-count + driver merge loop), freeze, count
     //      tokens over the documents with the codegen'd encoder. The
@@ -3213,6 +3239,63 @@ object SparkEntry {
              round((pri.pq + coalesce(ds.sq, 0))::DOUBLE / 1e9, 6) AS nb_score,
              ((pri.pq + coalesce(ds.sq, 0)) > 0)::INT AS nb_pred
            FROM d LEFT JOIN ds USING (doc_id), pri WHERE d.doc_id % 5 = 0)"""
+
+  // Multiclass NB (q186/q187): per-class priors ln((n_c+1)/(N+K)) and dense
+  // per-class bucket tables ln((n_cb+1)/(T_c+B)), trained on the 80% split;
+  // held-out docs scored class-by-class, the winner by (score DESC, class
+  // ASC) — row_number ties land on the ascending class, matching Spark's
+  // first-max array_position; the margin is winner minus the second
+  // DESCENDING score (a two-way tie ⇒ 0), matching sort_array desc.
+  private val nbMultiCte =
+    """d AS (SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id, lang, unnest(toks) AS gram FROM d
+           UNION ALL
+           SELECT doc_id, lang,
+             unnest(list_transform(range(len(toks)-1),
+               i -> toks[i+1]||' '||toks[i+2])) AS gram
+           FROM d WHERE len(toks) >= 2),
+         g AS (SELECT doc_id, lang,
+             ('0x'||substring(md5(gram),1,15))::BIGINT % 256 AS b
+           FROM g0),
+         cls AS (SELECT lang AS c,
+             row_number() OVER (ORDER BY lang) AS ci,
+             count(*)::BIGINT AS nc
+           FROM d WHERE doc_id % 5 <> 0 GROUP BY lang),
+         ntot AS (SELECT sum(nc)::BIGINT AS nd, count(*)::BIGINT AS k FROM cls),
+         pri AS (SELECT c, ci,
+             CAST(round(ln((nc+1)::DOUBLE / (nd+k)) * 1e9) AS BIGINT) AS pq
+           FROM cls, ntot),
+         cb0 AS (SELECT lang AS c, b, count(*)::BIGINT AS n
+           FROM g WHERE doc_id % 5 <> 0 GROUP BY lang, b),
+         grid AS (SELECT cls.c, bb.b
+           FROM cls, (SELECT unnest(range(256)) AS b) bb),
+         cb AS (SELECT grid.c, grid.b, coalesce(cb0.n, 0) AS n
+           FROM grid LEFT JOIN cb0 ON grid.c = cb0.c AND grid.b = cb0.b),
+         ct AS (SELECT c, sum(n)::BIGINT AS tot FROM cb GROUP BY c),
+         q AS (SELECT cb.c, cb.b,
+             CAST(round(ln((cb.n+1)::DOUBLE / (ct.tot+256)) * 1e9) AS BIGINT)
+               AS lq
+           FROM cb JOIN ct USING (c)),
+         ds AS (SELECT g.doc_id, q.c, sum(q.lq)::BIGINT AS sq
+           FROM g JOIN q USING (b) WHERE g.doc_id % 5 = 0
+           GROUP BY g.doc_id, q.c),
+         sc AS (SELECT ds.doc_id, ds.c, pri.pq + ds.sq AS s, pri.ci
+           FROM ds JOIN pri ON ds.c = pri.c),
+         win AS (SELECT doc_id, c, s,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY s DESC, ci ASC) AS rn
+           FROM sc),
+         mscored AS (SELECT w.doc_id,
+             max(CASE WHEN rn = 1 THEN c END) AS nb_class,
+             round(max(CASE WHEN rn = 1 THEN s END)::DOUBLE / 1e9, 6)
+               AS nb_score,
+             round((max(CASE WHEN rn = 1 THEN s END) -
+               max(CASE WHEN rn = 2 THEN s END))::DOUBLE / 1e9, 6)
+               AS nb_margin
+           FROM win w GROUP BY w.doc_id)"""
 
   private val asofJoinOracleSql = "" +
     """ SELECT event_id, user_id, ts, event_type,
@@ -5031,6 +5114,16 @@ object SparkEntry {
       s"""WITH $nbScoredCte
          SELECT doc_id, nb_score, nb_pred
          FROM scored ORDER BY doc_id""",
+    "q186_nb_langid" ->
+      s"""WITH $nbMultiCte
+         SELECT doc_id, nb_class, nb_score, nb_margin
+         FROM mscored ORDER BY doc_id""",
+    "q187_nb_confusion" ->
+      s"""WITH $nbMultiCte
+         SELECT d.lang AS label, m.nb_class AS pred, count(*)::BIGINT AS n
+         FROM mscored m JOIN d ON m.doc_id = d.doc_id
+         GROUP BY d.lang, m.nb_class
+         ORDER BY label, pred""",
     "q183_nb_eval" ->
       s"""WITH $nbScoredCte,
          cm AS (SELECT

@@ -121,6 +121,32 @@ object ModelStore {
       r.getAs[scala.collection.Seq[Long]]("bucketQ").toArray)
   }
 
+  /** Persist a trained [[QualityClassifier.NbMultiModel]] under `name`
+    * (single-row parquet: sorted classes, per-class priors, per-class dense
+    * bucket LLR tables — exact longs, integer round-trip).
+    */
+  def saveNbMulti(spark: SparkSession, name: String,
+      m: QualityClassifier.NbMultiModel): Unit = {
+    import spark.implicits._
+    Seq((m.classes.toSeq, m.priorQ.toSeq, m.bucketQ.map(_.toSeq).toSeq))
+      .toDF("classes", "priorQ", "bucketQ")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path(spark, "nbmulti", name))
+  }
+
+  def loadNbMulti(spark: SparkSession,
+      name: String): QualityClassifier.NbMultiModel = {
+    val p = path(spark, "nbmulti", name)
+    require(pathExists(spark, p),
+      s"nbmulti model '$name' does not exist in the model store — save it first")
+    val r = spark.read.parquet(p).head()
+    QualityClassifier.NbMultiModel(
+      r.getAs[scala.collection.Seq[String]]("classes").toArray,
+      r.getAs[scala.collection.Seq[Long]]("priorQ").toArray,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("bucketQ")
+        .map(_.toArray).toArray)
+  }
+
   /** Persist an IVF centroid table (`cluster_id`, `centroid`) — already a
     * DataFrame, so this is the thin parquet wrapper that gives centroids the
     * same named-artifact lifecycle as the scalar models.

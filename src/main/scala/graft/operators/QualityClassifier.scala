@@ -138,6 +138,102 @@ object QualityClassifier {
       .drop("_sq")
   }
 
+  /** A trained multiclass model: `classes` sorted ascending (the argmax
+    * tie-break order), `priorQ(c)` = nano-nat `ln((n_c+1)/(N+K))` over
+    * training documents, `bucketQ(c)(b)` = nano-nat `ln p(b|c)`
+    * (Laplace-smoothed). A document's class-c log-posterior (up to the
+    * class-independent evidence term) is `(priorQ(c) + Σ_grams
+    * bucketQ(c)(bucket(g))) / 1e9`; the decision is the FIRST maximum in
+    * class order — deterministic under integer-score ties.
+    */
+  final case class NbMultiModel(classes: Array[String],
+      priorQ: Array[Long], bucketQ: Array[Array[Long]]) {
+    def buckets: Int = bucketQ.head.length
+    require(classes.length >= 2, "need at least 2 classes")
+    require(classes.length == priorQ.length &&
+      classes.length == bucketQ.length, "ragged multiclass model")
+  }
+
+  /** Train a multiclass NB (language ID, domain routing — the fastText
+    * supervised shape with K outputs): per-class gram counts over the same
+    * hashed feature space, collapsed map-side to a `classes × buckets`
+    * table (bounded driver pull — K·B longs however large the corpus).
+    * Classes are the distinct non-null `classCol` values, sorted; rows with
+    * a null class are ignored.
+    */
+  def trainMulti(df: DataFrame, textCol: Column, classCol: Column,
+      buckets: Int = 256): NbMultiModel = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val labeled = df.filter(classCol.isNotNull)
+    val docCounts = labeled.groupBy(classCol.as("_c"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.size >= 2,
+      s"trainMulti needs at least 2 classes, got ${docCounts.keySet}")
+    val classes = docCounts.keys.toArray.sorted
+    val idx = classes.zipWithIndex.toMap
+    val k = classes.length
+    val nDocs = docCounts.values.sum
+    val priorQ = classes.map { c =>
+      BigDecimal(math.log((docCounts(c) + 1).toDouble / (nDocs + k)) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val cnt = labeled.select(classCol.as("_c"),
+        explode(gramHashes(textCol)).as("_h"))
+      .groupBy(col("_c"), pmod(col("_h"), lit(buckets.toLong)).as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+    val counts = Array.fill(k, buckets)(0L)
+    cnt.foreach { r =>
+      counts(idx(r.getString(0)))(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val bucketQ = counts.map { row =>
+      val tot = row.sum
+      row.map { c =>
+        BigDecimal(math.log((c + 1).toDouble / (tot + buckets)) * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    NbMultiModel(classes, priorQ, bucketQ)
+  }
+
+  /** Classify through a frozen multiclass model: adds `nb_class` (the
+    * argmax — FIRST maximum in ascending class order on ties), `nb_score`
+    * (the winner's log-posterior in nats, 6 dp) and `nb_margin` (winner
+    * minus runner-up in nats, 6 dp — the decision's confidence). K
+    * stateless codegen'd kernel sums per row (K is the class count, known
+    * at plan time); the argmax is taken in the exact integer domain, so
+    * decisions are engine- and partitioning-independent.
+    */
+  def scoreMulti(df: DataFrame, textCol: Column,
+      model: NbMultiModel): DataFrame = {
+    val grams = gramHashes(textCol)
+    val scoresQ = array(model.classes.indices.map(c =>
+      TextFunctions.weightedBucketSum(grams, model.bucketQ(c)) +
+        lit(model.priorQ(c))): _*)
+    // winner and runner-up off the DESCENDING sort (tie-safe: a two-way tie
+    // at the top yields margin 0, not the third-best); the argmax index off
+    // the original array — array_position returns the FIRST maximum, the
+    // ascending-class-order tie-break
+    val sorted = sort_array(col("_sq"), asc = false)
+    val best = element_at(sorted, 1)
+    val bestIdx = array_position(col("_sq"), best) // 1-based FIRST max
+    df.withColumn("_sq", scoresQ)
+      .withColumn("nb_class",
+        element_at(typedLit(model.classes.toSeq), bestIdx.cast("int")))
+      .withColumn("nb_score", round(best.cast("double") / 1e9, 6))
+      .withColumn("nb_margin", round(
+        (best - element_at(sorted, 2)).cast("double") / 1e9, 6))
+      .drop("_sq")
+  }
+
+  /** Multiclass confusion rollup: one row per (true class, predicted
+    * class) with its count — the evaluation surface for [[scoreMulti]].
+    */
+  def confusionMulti(scored: DataFrame, labelCol: Column,
+      predCol: Column = col("nb_class")): DataFrame =
+    scored.groupBy(labelCol.as("label"), predCol.as("pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** Confusion matrix + headline metrics of `predCol` (1/0) against
     * `labelCol` (boolean): one row `(tp, fp, fn, tn, accuracy, precision,
     * recall, f1)`, each rate a single guarded division rounded to 6 dp —

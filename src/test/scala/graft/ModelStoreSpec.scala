@@ -171,6 +171,25 @@ class ModelStoreSpec extends SparkSpec {
           "* | classify nope on text").stages, "doc_id", "text")(probes)
       }
       assert(err.getMessage.contains("does not exist"))
+      // multiclass round-trip: integers exact, decisions identical
+      val multiSeed = Seq(
+        (1L, "legal court judge verdict trial", "law"),
+        (2L, "pixel shader render frame buffer", "gfx"),
+        (3L, "flour butter sugar oven dough", "food"))
+        .toDF("doc_id", "text", "cls")
+      val mm = QualityClassifier.trainMulti(multiSeed, col("text"), col("cls"))
+      ModelStore.saveNbMulti(s, "router.v1", mm)
+      val lm = ModelStore.loadNbMulti(s, "router.v1")
+      assert(lm.classes.toSeq == mm.classes.toSeq)
+      assert(lm.priorQ.toSeq == mm.priorQ.toSeq)
+      assert(lm.bucketQ.map(_.toSeq).toSeq == mm.bucketQ.map(_.toSeq).toSeq)
+      val before = QualityClassifier.scoreMulti(multiSeed, col("text"), mm)
+        .select("doc_id", "nb_class", "nb_score", "nb_margin")
+        .as[(Long, String, Double, Double)].collect().toSeq
+      val after = QualityClassifier.scoreMulti(multiSeed, col("text"), lm)
+        .select("doc_id", "nb_class", "nb_score", "nb_margin")
+        .as[(Long, String, Double, Double)].collect().toSeq
+      assert(before == after)
     } finally s.conf.unset("spark.graft.lookup.dir")
   }
 }

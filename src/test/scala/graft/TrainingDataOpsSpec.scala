@@ -1987,6 +1987,67 @@ class TrainingDataOpsSpec extends SparkSpec {
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("multiclass NB: per-class vocabularies classify, ties break to the first class with margin 0") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    val seed = Seq(
+      (1L, "legal court judge verdict trial", "law"),
+      (2L, "court judge legal appeal ruling", "law"),
+      (3L, "pixel shader render frame buffer", "gfx"),
+      (4L, "render buffer pixel shader frame", "gfx"),
+      (5L, "flour butter sugar oven dough", "food"),
+      (6L, "oven dough flour sugar butter", "food"))
+      .toDF("doc_id", "text", "cls")
+    val m = QualityClassifier.trainMulti(seed, col("text"), col("cls"))
+    assert(m.classes.toSeq == Seq("food", "gfx", "law")) // sorted
+    val probes = Seq(
+      (10L, "judge ruling court trial legal"),
+      (11L, "frame pixel buffer shader render"),
+      (12L, "butter oven sugar dough flour")).toDF("doc_id", "text")
+    val out = QualityClassifier.scoreMulti(probes, col("text"), m)
+      .select("doc_id", "nb_class", "nb_margin")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L)._1 == "law" && out(11L)._1 == "gfx" && out(12L)._1 == "food")
+    assert(out.values.forall(_._2 > 0.0)) // separable seeds decide with margin
+    // EXACT integer tie: two classes trained on identical text and doc
+    // counts have identical priors and tables — the decision must land on
+    // the first class in ascending order with margin exactly 0
+    val tied = Seq(
+      (1L, "legal court judge verdict trial", "aa"),
+      (2L, "legal court judge verdict trial", "bb"),
+      (3L, "pixel shader render frame buffer", "zz"))
+      .toDF("doc_id", "text", "cls")
+    val tm = QualityClassifier.trainMulti(tied, col("text"), col("cls"))
+    val tr = QualityClassifier.scoreMulti(
+        Seq((9L, "court judge legal")).toDF("doc_id", "text"), col("text"), tm)
+      .select("nb_class", "nb_margin").as[(String, Double)].head()
+    assert(tr == (("aa", 0.0)))
+  }
+
+  test("multiclass NB: training is partition-invariant; confusion rollup counts decisions") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    val seed = Seq(
+      (1L, "legal court judge verdict trial", "law"),
+      (2L, "court judge legal appeal ruling", "law"),
+      (3L, "pixel shader render frame buffer", "gfx"),
+      (4L, "render buffer pixel shader frame", "gfx"))
+      .toDF("doc_id", "text", "cls")
+    def model(parts: Int) = QualityClassifier.trainMulti(
+      seed.repartition(parts), col("text"), col("cls"))
+    val m1 = model(1); val m5 = model(5)
+    assert(m1.classes.toSeq == m5.classes.toSeq)
+    assert(m1.priorQ.toSeq == m5.priorQ.toSeq)
+    assert(m1.bucketQ.map(_.toSeq).toSeq == m5.bucketQ.map(_.toSeq).toSeq)
+    val scored = QualityClassifier.scoreMulti(seed, col("text"), m1)
+    val cm = QualityClassifier.confusionMulti(scored, col("cls"))
+      .orderBy("label", "pred")
+      .as[(String, String, Long)].collect().toSeq
+    assert(cm == Seq(("gfx", "gfx", 2L), ("law", "law", 2L)))
+  }
+
   test("unigram surprisal: rare-token docs score above common-token docs") {
     val s = spark
     import s.implicits._
