@@ -2284,6 +2284,19 @@ object SparkEntry {
         .select("doc_id", "nb_class", "nb_score", "nb_margin")
         .orderBy("doc_id")
     }),
+    // ---- the multiclass router through the MODEL STORE and the piped
+    //      `route` stage: integer round-trip ⇒ shares q186's oracle ----
+    "q188_nb_route_piped" -> ((s, dir) => {
+      import graft.operators.{ModelStore, QualityClassifier, SearchQuery}
+      val docs = tbl(s, dir, "documents")
+      ModelStore.saveNbMulti(s, "q188_router", QualityClassifier.trainMulti(
+        docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang")))
+      val piped = SearchQuery.parsePiped("* | route q188_router on text")
+      SearchQuery.compileStages(piped.stages, "doc_id", "text")(
+        docs.filter(col("doc_id") % 5 === 0))
+        .select("doc_id", "nb_class", "nb_score", "nb_margin")
+        .orderBy("doc_id")
+    }),
     // ---- multiclass confusion rollup of the same held-out decisions ----
     "q187_nb_confusion" -> ((s, dir) => {
       import graft.operators.QualityClassifier
@@ -5115,6 +5128,10 @@ object SparkEntry {
          SELECT doc_id, nb_score, nb_pred
          FROM scored ORDER BY doc_id""",
     "q186_nb_langid" ->
+      s"""WITH $nbMultiCte
+         SELECT doc_id, nb_class, nb_score, nb_margin
+         FROM mscored ORDER BY doc_id""",
+    "q188_nb_route_piped" ->
       s"""WITH $nbMultiCte
          SELECT doc_id, nb_class, nb_score, nb_margin
          FROM mscored ORDER BY doc_id""",

@@ -532,6 +532,15 @@ object SearchQuery {
     */
   final case class ClassifyStage(model: String, field: String,
       prefix: String) extends Stage
+  /** `route <model> on <field> [prefix=<p>]` — classify a text field
+    * through a NAMED multiclass model ([[graft.operators.ModelStore
+    * .loadNbMulti]]): adds `<p>_class` (the integer-domain argmax),
+    * `<p>_score` and `<p>_margin` — default prefix `nb`. The K-way
+    * serve-online surface (language routing, domain routing); like
+    * `classify`, a pure map-side codegen projection with no shuffle.
+    */
+  final case class RouteStage(model: String, field: String,
+      prefix: String) extends Stage
   /** `logreduce [field=<name>] [limit N]` — signature clustering: messages
     * are reduced to a template by masking the variable tokens (ISO
     * timestamps → `$DATE`, UUIDs → `$UUID`, long hex runs → `$HEX`, digit
@@ -803,6 +812,9 @@ object SearchQuery {
   private val ClassifyRe =
     ("(?i)classify\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
+  private val RouteRe =
+    ("(?i)route\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
   private val LogReduceRe =
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogCompareRe =
@@ -1061,6 +1073,13 @@ object SearchQuery {
           ClassifyStage(model, f, Option(prefix).getOrElse("nb"))
         case _ => throw new IllegalArgumentException(
           s"classify needs 'classify <model> on <field> [prefix=<p>]': $s")
+      }
+    } else if (lower.startsWith("route ")) {
+      s match {
+        case RouteRe(model, f, prefix) =>
+          RouteStage(model, f, Option(prefix).getOrElse("nb"))
+        case _ => throw new IllegalArgumentException(
+          s"route needs 'route <model> on <field> [prefix=<p>]': $s")
       }
     } else if (lower.startsWith("pct_exact ")) {
       s match {
@@ -2174,6 +2193,13 @@ object SearchQuery {
             .withColumnRenamed("nb_score", s"${prefix}_score")
             .withColumnRenamed("nb_pred", s"${prefix}_pred")
             .drop("n_grams")
+        case RouteStage(modelName, f, prefix) =>
+          val m = graft.operators.ModelStore
+            .loadNbMulti(df.sparkSession, modelName)
+          QualityClassifier.scoreMulti(df, col(resolveField(f)), m)
+            .withColumnRenamed("nb_class", s"${prefix}_class")
+            .withColumnRenamed("nb_score", s"${prefix}_score")
+            .withColumnRenamed("nb_margin", s"${prefix}_margin")
         case TopkExactStage(f, cap, by) =>
           val key = resolveField(f)
           by match {

@@ -521,6 +521,20 @@ object Streams {
       textCol: String = "text"): DataFrame =
     graft.operators.QualityClassifier.score(docs, col(textCol), model)
 
+  /** Online multiclass routing at ingest: classify each streamed document
+    * through a frozen [[graft.operators.QualityClassifier.NbMultiModel]]
+    * (language ID, domain routing), adding `nb_class`/`nb_score`/
+    * `nb_margin` — K stateless kernel sums per row with the argmax in the
+    * exact integer domain, so stream decisions are bit-identical to the
+    * batch [[graft.operators.QualityClassifier.scoreMulti]]. Route with
+    * `partitionBy(nb_class)` on the sink, or filter low-`nb_margin` rows
+    * to a review lane.
+    */
+  def nbRouteStream(docs: DataFrame,
+      model: graft.operators.QualityClassifier.NbMultiModel,
+      textCol: String = "text"): DataFrame =
+    graft.operators.QualityClassifier.scoreMulti(docs, col(textCol), model)
+
   /** Online PCA projection at ingest (the [[dsirScoreStream]]
     * train-offline/apply-online pattern): project a vector column through a
     * FROZEN model — trained offline by

@@ -190,6 +190,18 @@ class ModelStoreSpec extends SparkSpec {
         .select("doc_id", "nb_class", "nb_score", "nb_margin")
         .as[(Long, String, Double, Double)].collect().toSeq
       assert(before == after)
+      // the piped `route` surface decides identically and adds no shuffle
+      val routed = SearchQuery.compileStages(SearchQuery.parsePiped(
+        "* | route router.v1 on text prefix=r").stages, "doc_id", "text")(
+        multiSeed.drop("cls"))
+      assert(routed.columns.toSeq ==
+        Seq("doc_id", "text", "r_class", "r_score", "r_margin"))
+      val viaRoute = routed.orderBy("doc_id")
+        .select("doc_id", "r_class", "r_score", "r_margin")
+        .as[(Long, String, Double, Double)].collect().toSeq
+      assert(viaRoute == before)
+      val rplan = routed.queryExecution.executedPlan.toString
+      assert(!rplan.contains("Exchange"), s"route stage must not shuffle:\n$rplan")
     } finally s.conf.unset("spark.graft.lookup.dir")
   }
 }

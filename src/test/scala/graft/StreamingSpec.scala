@@ -485,6 +485,40 @@ class StreamingSpec extends SparkSpec {
     assert(out == batch)
   }
 
+  test("streaming multiclass routing: frozen router classifies a live stream, batch-identical") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val seed = Seq(
+      (1L, "legal court judge verdict trial", "law"),
+      (2L, "pixel shader render frame buffer", "gfx"),
+      (3L, "flour butter sugar oven dough", "food"))
+      .toDF("doc_id", "text", "cls")
+    val m = graft.operators.QualityClassifier.trainMulti(
+      seed, col("text"), col("cls"))
+    val input = MemoryStream[(Long, String)]
+    val routed = Streams.nbRouteStream(input.toDF().toDF("doc_id", "text"), m)
+    val q = routed.writeStream.format("memory").queryName("route_out")
+      .outputMode("append").start()
+    input.addData(
+      (10L, "judge ruling court trial legal"),
+      (11L, "butter oven sugar dough flour"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("route_out")
+      .select("doc_id", "nb_class", "nb_score", "nb_margin")
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => r._1 -> r._2) == Seq(10L -> "law", 11L -> "food"))
+    val batch = graft.operators.QualityClassifier.scoreMulti(
+      Seq((10L, "judge ruling court trial legal"),
+        (11L, "butter oven sugar dough flour")).toDF("doc_id", "text"),
+      col("text"), m)
+      .select("doc_id", "nb_class", "nb_score", "nb_margin")
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == batch)
+  }
+
   test("T8 streaming: requestID carries forward across micro-batches via state store") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
