@@ -706,6 +706,30 @@ object Scratch {
         f"(runs ${trains.map(t => f"$t%.2f").mkString(",")}), " +
         f"score_best=${scores.min}%.2f s " +
         f"(runs ${scores.map(t => f"$t%.2f").mkString(",")})")
+      // multiclass (5 language classes): K kernel sums per row at score
+      // time, K×256 counts at train time — same one-scan shapes
+      var mm: graft.operators.QualityClassifier.NbMultiModel = null
+      mm = graft.operators.QualityClassifier.trainMulti(
+        docs, col("text"), col("lang")) // warm
+      val mtrains = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mm = graft.operators.QualityClassifier.trainMulti(
+          docs, col("text"), col("lang"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      def msc = graft.operators.QualityClassifier.scoreMulti(
+        docs, col("text"), mm)
+      msc.write.format("noop").mode("overwrite").save() // warm
+      val mscores = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        msc.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] nb_multi: n=$n k=${mm.classes.length} " +
+        f"train_best=${mtrains.min}%.2f s " +
+        f"(runs ${mtrains.map(t => f"$t%.2f").mkString(",")}), " +
+        f"score_best=${mscores.min}%.2f s " +
+        f"(runs ${mscores.map(t => f"$t%.2f").mkString(",")})")
     }
     // search-page materialization drill (round 14): layout variants for
     // materializePaged, timed over a synthetic store-shaped frame

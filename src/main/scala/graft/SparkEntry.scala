@@ -2297,6 +2297,19 @@ object SparkEntry {
         .select("doc_id", "nb_class", "nb_score", "nb_margin")
         .orderBy("doc_id")
     }),
+    // ---- frozen DSIR weights through the MODEL STORE and the piped
+    //      `dsir` stage (train → save by name → kernel-score): the last
+    //      trained artifact family to get the store+piped serving chain ----
+    "q189_dsir_store_piped" -> ((s, dir) => {
+      import graft.operators.{CorpusQuality, ModelStore, SearchQuery}
+      val docs = tbl(s, dir, "documents")
+      ModelStore.saveDsir(s, "q189_dsir", CorpusQuality.dsirBucketWeights(
+        docs, col("text"), col("source").isin("src1", "src2", "src3")))
+      val piped = SearchQuery.parsePiped("* | dsir q189_dsir on text")
+      SearchQuery.compileStages(piped.stages, "doc_id", "text")(docs)
+        .select("doc_id", "dsir_weight")
+        .orderBy("doc_id")
+    }),
     // ---- multiclass confusion rollup of the same held-out decisions ----
     "q187_nb_confusion" -> ((s, dir) => {
       import graft.operators.QualityClassifier
@@ -5135,6 +5148,34 @@ object SparkEntry {
       s"""WITH $nbMultiCte
          SELECT doc_id, nb_class, nb_score, nb_margin
          FROM mscored ORDER BY doc_id""",
+    // q131's model math; the store+piped path emits just the weight (the
+    // stream-scorer column), over all docs (every document has grams)
+    "q189_dsir_store_piped" ->
+      """WITH t AS (SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         g0 AS (
+           SELECT doc_id, source, unnest(toks) AS gram FROM t
+           UNION ALL
+           SELECT doc_id, source,
+             unnest(list_transform(range(len(toks)-1),
+               i -> toks[i+1]||' '||toks[i+2])) AS gram
+           FROM t WHERE len(toks) >= 2),
+         g AS (SELECT doc_id,
+             source IN ('src1','src2','src3') AS tgt,
+             ('0x'||substring(md5(gram),1,15))::BIGINT % 256 AS b
+           FROM g0),
+         c AS (SELECT b,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+             sum(CASE WHEN tgt THEN 0 ELSE 1 END)::BIGINT AS cr
+           FROM g GROUP BY b),
+         tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM c),
+         q AS (SELECT b,
+             CAST(round((ln((ct+1)::DOUBLE / (tt+256)) -
+               ln((cr+1)::DOUBLE / (tr+256))) * 1e9) AS BIGINT) AS q
+           FROM c, tot)
+         SELECT g.doc_id, round(sum(q.q)::DOUBLE / 1e9, 6) AS dsir_weight
+         FROM g JOIN q USING (b) GROUP BY g.doc_id ORDER BY g.doc_id""",
     "q187_nb_confusion" ->
       s"""WITH $nbMultiCte
          SELECT d.lang AS label, m.nb_class AS pred, count(*)::BIGINT AS n

@@ -147,6 +147,33 @@ object ModelStore {
         .map(_.toArray).toArray)
   }
 
+  /** Persist a trained DSIR bucket-weight table
+    * ([[CorpusQuality.dsirBucketWeights]]) under `name` (single-row
+    * parquet of exact nano-nat longs — integer round-trip).
+    */
+  def saveDsir(spark: SparkSession, name: String,
+      weights: Array[Long]): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(weights.toSeq)).toDF("weights")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path(spark, "dsir", name))
+  }
+
+  def loadDsir(spark: SparkSession, name: String): Array[Long] = {
+    val p = path(spark, "dsir", name)
+    require(pathExists(spark, p),
+      s"dsir weights '$name' do not exist in the model store — save them first")
+    spark.read.parquet(p).head()
+      .getAs[scala.collection.Seq[Long]]("weights").toArray
+  }
+
+  /** Saved artifact names of one `kind` (`pca`, `pq`, `ivf`, `nb`,
+    * `nbmulti`, `dsir`), sorted — the registry listing, like
+    * [[Monitors.list]] for monitors.
+    */
+  def list(spark: SparkSession, kind: String): Seq[String] =
+    childDirs(spark, s"${root(spark)}/_models/$kind")
+
   /** Persist an IVF centroid table (`cluster_id`, `centroid`) — already a
     * DataFrame, so this is the thin parquet wrapper that gives centroids the
     * same named-artifact lifecycle as the scalar models.

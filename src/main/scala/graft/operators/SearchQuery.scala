@@ -541,6 +541,15 @@ object SearchQuery {
     */
   final case class RouteStage(model: String, field: String,
       prefix: String) extends Stage
+  /** `dsir <model> on <field> [prefix=<p>]` — apply NAMED frozen DSIR
+    * importance weights ([[graft.operators.ModelStore.loadDsir]]) to a
+    * text field, adding `<p>_weight` (log importance weight in nats, 6 dp;
+    * default prefix `dsir`, i.e. `dsir_weight` — the
+    * [[graft.streaming.Streams.dsirScoreStream]] column). Same stateless
+    * kernel projection as `classify`/`route`.
+    */
+  final case class DsirStage(model: String, field: String,
+      prefix: String) extends Stage
   /** `logreduce [field=<name>] [limit N]` — signature clustering: messages
     * are reduced to a template by masking the variable tokens (ISO
     * timestamps → `$DATE`, UUIDs → `$UUID`, long hex runs → `$HEX`, digit
@@ -815,6 +824,9 @@ object SearchQuery {
   private val RouteRe =
     ("(?i)route\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
+  private val DsirRe =
+    ("(?i)dsir\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
   private val LogReduceRe =
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogCompareRe =
@@ -1080,6 +1092,13 @@ object SearchQuery {
           RouteStage(model, f, Option(prefix).getOrElse("nb"))
         case _ => throw new IllegalArgumentException(
           s"route needs 'route <model> on <field> [prefix=<p>]': $s")
+      }
+    } else if (lower.startsWith("dsir ")) {
+      s match {
+        case DsirRe(model, f, prefix) =>
+          DsirStage(model, f, Option(prefix).getOrElse("dsir"))
+        case _ => throw new IllegalArgumentException(
+          s"dsir needs 'dsir <model> on <field> [prefix=<p>]': $s")
       }
     } else if (lower.startsWith("pct_exact ")) {
       s match {
@@ -2200,6 +2219,16 @@ object SearchQuery {
             .withColumnRenamed("nb_class", s"${prefix}_class")
             .withColumnRenamed("nb_score", s"${prefix}_score")
             .withColumnRenamed("nb_margin", s"${prefix}_margin")
+        case DsirStage(modelName, f, prefix) =>
+          val w = graft.operators.ModelStore
+            .loadDsir(df.sparkSession, modelName)
+          val t = coalesce(col(resolveField(f)), lit(""))
+          val grams = concat(
+            graft.functions.TextFunctions.positionalShingleHashes(t, 1),
+            graft.functions.TextFunctions.positionalShingleHashes(t, 2))
+          df.withColumn(s"${prefix}_weight", round(
+            graft.functions.TextFunctions.weightedBucketSum(grams, w)
+              .cast("double") / 1e9, 6))
         case TopkExactStage(f, cap, by) =>
           val key = resolveField(f)
           by match {

@@ -204,4 +204,36 @@ class ModelStoreSpec extends SparkSpec {
       assert(!rplan.contains("Exchange"), s"route stage must not shuffle:\n$rplan")
     } finally s.conf.unset("spark.graft.lookup.dir")
   }
+
+  test("DSIR weights + piped `dsir <model> on <field>`: integer round-trip, scorer parity, registry listing") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.lookup.dir", freshDir("dsir"))
+    try {
+      val seed = Seq(
+        (0L, "legal court judge ruling appeal", false),
+        (1L, "pixel render shader buffer frame", false),
+        (10L, "legal court judge verdict trial", true),
+        (20L, "pixel shader render frame buffer", false))
+        .toDF("doc_id", "text", "tgt")
+      val w = graft.operators.CorpusQuality.dsirBucketWeights(
+        seed, col("text"), col("tgt"))
+      ModelStore.saveDsir(s, "iw.v1", w)
+      assert(ModelStore.loadDsir(s, "iw.v1").toSeq == w.toSeq) // exact longs
+      assert(ModelStore.list(s, "dsir") == Seq("iw.v1"))
+      assert(ModelStore.list(s, "pca") == Seq.empty) // other kinds untouched
+      // the piped stage scores identically to the frozen-weight stream scorer
+      val piped = SearchQuery.compileStages(SearchQuery.parsePiped(
+        "* | dsir iw.v1 on text").stages, "doc_id", "text")(seed.drop("tgt"))
+      assert(piped.columns.toSeq == Seq("doc_id", "text", "dsir_weight"))
+      val viaStage = piped.orderBy("doc_id")
+        .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toSeq
+      val viaStream = graft.streaming.Streams.dsirScoreStream(
+          seed.drop("tgt"), w).orderBy("doc_id")
+        .select("doc_id", "dsir_weight").as[(Long, Double)].collect().toSeq
+      assert(viaStage == viaStream)
+      val plan = piped.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"dsir stage must not shuffle:\n$plan")
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
 }
