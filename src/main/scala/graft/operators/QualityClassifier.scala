@@ -158,14 +158,26 @@ object QualityClassifier {
     * supervised shape with K outputs): per-class gram counts over the same
     * hashed feature space, collapsed map-side to a `classes × buckets`
     * table (bounded driver pull — K·B longs however large the corpus).
-    * Classes are the distinct non-null `classCol` values, sorted; rows with
-    * a null class are ignored.
+    * Classes are the distinct non-null `classCol` values cast to string,
+    * sorted; rows with a null class are ignored. The class count is checked
+    * against `spark.graft.nb.maxClasses` (default 1,000) BEFORE anything is
+    * collected — a high-cardinality column passed by mistake (an id, a raw
+    * domain) throws loudly instead of pulling K·B state to the driver.
     */
   def trainMulti(df: DataFrame, textCol: Column, classCol: Column,
       buckets: Int = 256): NbMultiModel = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val labeled = df.filter(classCol.isNotNull)
-    val docCounts = labeled.groupBy(classCol.as("_c"))
+    val cls = classCol.cast("string")
+    val labeled = df.filter(cls.isNotNull)
+    val maxClasses = df.sparkSession.conf
+      .get("spark.graft.nb.maxClasses", "1000").toInt
+    val k0 = labeled.agg(count_distinct(cls)).head().getLong(0)
+    require(k0 <= maxClasses,
+      s"trainMulti: $k0 distinct classes exceeds spark.graft.nb.maxClasses" +
+        s"=$maxClasses — a label column should be a small closed set (a " +
+        "language, a domain tier); raise the conf only if the K·buckets " +
+        "model genuinely fits the driver")
+    val docCounts = labeled.groupBy(cls.as("_c"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(docCounts.size >= 2,
@@ -178,7 +190,7 @@ object QualityClassifier {
       BigDecimal(math.log((docCounts(c) + 1).toDouble / (nDocs + k)) * 1e9)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
-    val cnt = labeled.select(classCol.as("_c"),
+    val cnt = labeled.select(cls.as("_c"),
         explode(gramHashes(textCol)).as("_h"))
       .groupBy(col("_c"), pmod(col("_h"), lit(buckets.toLong)).as("b"))
       .agg(count(lit(1)).as("n")).collect()

@@ -2025,6 +2025,21 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(tr == (("aa", 0.0)))
   }
 
+  test("multiclass NB: class-cardinality guard throws BEFORE collecting driver state") {
+    val s = spark
+    import s.implicits._
+    val wide = (0 until 50).map(i => (i.toLong, s"text $i", s"class$i"))
+      .toDF("doc_id", "text", "cls")
+    s.conf.set("spark.graft.nb.maxClasses", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.QualityClassifier.trainMulti(
+          wide, col("text"), col("cls"))
+      }
+      assert(e.getMessage.contains("maxClasses"))
+    } finally s.conf.unset("spark.graft.nb.maxClasses")
+  }
+
   test("multiclass NB: training is partition-invariant; confusion rollup counts decisions") {
     val s = spark
     import s.implicits._
