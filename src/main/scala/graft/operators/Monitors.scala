@@ -195,7 +195,8 @@ object Monitors {
       poster: graft.sinks.SumoSink.BucketPoster,
       timeCol: String = "ts", messageCol: String = "message",
       state: BreachState = new BreachState,
-      retries: Int = 3, retrySeedMs: Long = 50): Seq[Outcome] =
+      retries: Int = 3, retrySeedMs: Long = 50): Seq[Outcome] = {
+    require(retries >= 0, s"retries must be >= 0: $retries")
     monitors.map { m =>
       val piped = SearchQuery.parsePiped(m.query)
       val matched = df.filter(SearchQuery.compile(piped.terms, col(messageCol)))
@@ -240,6 +241,7 @@ object Monitors {
         }
       } finally { res.unpersist(); () }
     }
+  }
 
   /** Schedule [[tick]] on a `Trigger.ProcessingTime` clock: a rate-source
     * micro-batch per `every` interval, each re-reading the source fresh

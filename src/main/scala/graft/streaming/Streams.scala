@@ -608,6 +608,11 @@ object Streams {
     * `title` names the breach with its value and band. Batches with no
     * violations post nothing. ≤ `maxRows` violations per batch cross the
     * driver (truncation bounded per micro-batch, not per stream).
+    * Delivery semantics: a failed POST fails the micro-batch, which the
+    * checkpoint then re-runs — streaming's own retry loop IS the delivery
+    * retry (at-least-once alerts; the forwarder side is idempotent on the
+    * finding id, `securityhub_forwarder.py:56-66`). Monitors.tick's
+    * bounded in-process retries are the BATCH schedule's equivalent.
     */
   def outlierAlerts(points: Dataset[OutlierPoint],
       connection: graft.operators.Monitors.Connection,
