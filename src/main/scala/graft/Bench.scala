@@ -209,11 +209,38 @@ object Bench {
     // round's "final" number — when another JVM is already running or the
     // 1-min loadavg exceeds half the benching cores at start.
     val (loadStart, jvmsStart) = loadSnapshot()
-    val loadFlagged = jvmsStart > 0 ||
+    val startFlagged = jvmsStart > 0 ||
       (loadStart.head >= 0 && loadStart.head > cpus.toDouble / 2)
-    if (loadFlagged) Console.err.println(
+    if (startFlagged) Console.err.println(
       s"[bench] WARNING load-flagged run: loadavg=${loadStart.mkString(",")} " +
         s"other_jvms=$jvmsStart — numbers not comparable across rounds")
+    // The start-of-run check alone missed two rounds of MID-run ambient
+    // drift (r13/r14: calm start, loadavg 12+ by the stream stages, hours
+    // of adjudication to prove the binaries were identical). Sample the
+    // 1-min loadavg + other-JVM count after EVERY query: a sample is BAD
+    // when another JVM is benching alongside us or the load exceeds
+    // cpus/2 (a calm host never exceeds ~4 under this suite's own duty
+    // cycle — drains and single-query bursts keep the 1-min average low).
+    // More than `badSampleLimit` bad samples flags the whole RUN in the
+    // JSON; every query whose own window went bad is re-queued ONCE at
+    // the end (load only ADDS time, so min(original, requeue) is the
+    // query's intrinsic cost if either window was calm). The artifact
+    // adjudicates itself — no judge replay needed to tell drift from
+    // regression.
+    val badSampleLimit =
+      try sys.env.getOrElse("SPARK_GRAFT_LOAD_BAD_SAMPLES", "3").toInt
+      catch { case _: NumberFormatException => 3 }
+    val midSamples = scala.collection.mutable.ArrayBuffer.empty[
+      (String, Double, Int)] // (query, load1, other_jvms)
+    def sampleAfter(name: String): Boolean = {
+      val (la, jvms) = loadSnapshot()
+      midSamples += ((name, la.head, jvms))
+      val bad = jvms > 0 || (la.head >= 0 && la.head > cpus.toDouble / 2)
+      if (bad) Console.err.println(
+        f"[bench] load sample after $name: load1=${la.head}%.2f " +
+          s"other_jvms=$jvms — window poisoned, will re-queue")
+      bad
+    }
     var spark = newSession(cpus)
     warm(spark, sfDir)
     // Stream-only drill-down for iterating on the S1/K1/Q1 path without the
@@ -247,48 +274,46 @@ object Bench {
       SparkEntry.queries.toSeq.filter(kv => sel(kv._1)))
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     var sinceRecycle = 0
-    val results = picked.map { case (name, fn) =>
+    def recycleIfDue(): Unit =
       if (sinceRecycle >= recycleEvery) {
         spark.stop()
         spark = newSession(cpus)
         warm(spark, sfDir)
         sinceRecycle = 0
       }
-      sinceRecycle += 1
+    // noop sink forces the full declared plan: under count() Catalyst prunes
+    // unused projection columns and EliminateSorts drops global sorts, so
+    // projection-only queries would time a bare scan instead of their work.
+    // One untimed warm run first (JMH-style): the timed number is the
+    // steady-state execution, not Janino codegen compilation + first-touch
+    // planning (~0.5-1.5 s of per-query JVM warm-up, not engine work).
+    // Then `nRuns` timed runs, with a session drain before each so
+    // leftovers from earlier queries can't inflate this one.
+    // A crashing query records -1, not its time-to-failure — a regression
+    // that throws must not read as a fast success in the round compare.
+    // Drain BETWEEN the timed runs too: the checkpoint-heavy iterative
+    // queries otherwise leave each run's pinned blocks for ContextCleaner
+    // to race with the next run, which swung identical-code medians 2-3×
+    // (q45 measured 1.9 s and 5.1 s across bench invocations); with i.i.d.
+    // runs the median is a property of the query, not of cleaner timing.
+    // MIN of the drained runs, not median: ambient load varies >1.5× over
+    // hours on a shared box and can only ADD time — the min is the query's
+    // intrinsic cost. The MEDIAN rides along in `queries_median` so the
+    // r8→r9 estimator change stays attributable across rounds.
+    def timeQuery(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) = {
       val s = spark
-      // noop sink forces the full declared plan: under count() Catalyst prunes
-      // unused projection columns and EliminateSorts drops global sorts, so
-      // projection-only queries would time a bare scan instead of their work.
-      // One untimed warm run first (JMH-style): the timed number is the
-      // steady-state execution, not Janino codegen compilation + first-touch
-      // planning (~0.5-1.5 s of per-query JVM warm-up, not engine work).
-      // Median of 3 timed runs, with a session drain before each query so
-      // leftovers from earlier queries can't inflate this one.
-      def run(): Unit = fn(s, sfDir).write.format("noop").mode("overwrite").save()
+      def run(): Unit =
+        fn(s, sfDir).write.format("noop").mode("overwrite").save()
       drainSession(s)
       try { run() } catch { case _: Throwable => () }
-      // a crashing query records -1, not its time-to-failure — a regression
-      // that throws must not read as a fast success in the round compare.
-      // Drain BETWEEN the timed runs too: the checkpoint-heavy iterative
-      // queries otherwise leave each run's pinned blocks for ContextCleaner
-      // to race with the next run, which swung identical-code medians 2-3×
-      // (q45 measured 1.9 s and 5.1 s across bench invocations); with i.i.d.
-      // runs the median is a property of the query, not of cleaner timing.
       val times = (1 to nRuns).map { _ =>
         drainSession(s)
         val t0 = System.nanoTime()
         try { run(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      // MIN of the drained runs, not median: the machine the driver
-      // benches on carries ambient load that varies >1.5x over hours
-      // (round-8: q43 recorded 7.0 s in-suite vs 3.7 s isolated under
-      // identical plans), and load can only ADD time — the min is the
-      // query's intrinsic cost and the estimator that makes round-over-
-      // round composites reproducible on a shared box. A crashing run
-      // still poisons the query to -1. The MEDIAN rides along in
-      // `queries_median` so the r8→r9 estimator change stays attributable
-      // across rounds (both estimators visible on the same run).
       val elapsed = if (times.exists(_ < 0)) -1.0 else times.min
       // true median: even run counts average the two middle elements (the
       // upper-middle alone biased queries_median high for even nRuns)
@@ -299,12 +324,49 @@ object Bench {
           if (sorted.length % 2 == 1) sorted(sorted.length / 2)
           else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2
         }
+      (elapsed, med)
+    }
+    val poisoned = scala.collection.mutable.ArrayBuffer.empty[String]
+    val firstPass = picked.map { case (name, fn) =>
+      recycleIfDue()
+      sinceRecycle += 1
+      val (elapsed, med) = timeQuery(fn)
+      if (sampleAfter(name) && elapsed >= 0) poisoned += name
       // One short line per query, flushed as it completes: machine-parseable
       // even when the driver's bounded output-tail capture can't hold the
       // full result blob on a single line (the round-5/6 "parsed": null bug).
       println(s"""{"q":"$name","sec":${r3(elapsed)}}""")
       name -> ((elapsed, med))
     }
+    // Re-queue every load-poisoned query ONCE at the end (a later window is
+    // often calmer); min(first, requeue) is the recorded value — load only
+    // adds time, so whichever window was calm wins. A crash is never
+    // masked: crashed queries aren't re-queued, and a crashing requeue run
+    // can't overwrite a clean first-pass number.
+    val requeuedNames = poisoned.toSeq
+    val results: Seq[(String, (Double, Double))] =
+      if (requeuedNames.isEmpty) firstPass
+      else {
+        Console.err.println(s"[bench] re-queueing ${requeuedNames.size} " +
+          s"load-poisoned queries: ${requeuedNames.mkString(", ")}")
+        spark.stop(); spark = newSession(cpus); warm(spark, sfDir)
+        sinceRecycle = 0
+        val byName = picked.toMap
+        val retimed = requeuedNames.map { name =>
+          recycleIfDue()
+          sinceRecycle += 1
+          val (e2, m2) = timeQuery(byName(name))
+          sampleAfter(s"$name#requeue") // recorded; never re-queued twice
+          println(s"""{"q":"$name","sec":${r3(e2)},"requeue":true}""")
+          name -> ((e2, m2))
+        }.toMap
+        firstPass.map { case (name, (e1, m1)) =>
+          retimed.get(name) match {
+            case Some((e2, m2)) if e2 >= 0 && e2 < e1 => name -> ((e2, m2))
+            case _ => name -> ((e1, m1))
+          }
+        }
+      }
     drainSession(spark)
     // Untimed warm run first — the SAME methodology as every batch query
     // above: the timed number is steady-state pipeline execution, not the
@@ -312,9 +374,30 @@ object Bench {
     // that no second batch would ever pay).
     try streamE2e(spark, sfDir) catch { case _: Throwable => () }
     drainSession(spark)
+    // Stream stages get the same poisoned-window treatment as the batch
+    // queries (r14's whole adjudication was a 61.5 s loaded-window
+    // stream_1m search vs 5.6 s calm): sample after each, re-run once on a
+    // bad sample, keep the faster (calmer) measurement.
+    def runStream(label: String, replicate: Int)
+        : (Double, Double, Double, Long, Long) = {
+      val first =
+        try streamE2e(spark, sfDir, replicate)
+        catch { case t: Throwable =>
+          t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
+      if (!sampleAfter(label) || first._1 < 0) first
+      else {
+        Console.err.println(s"[bench] re-running $label once (poisoned window)")
+        drainSession(spark)
+        val second =
+          try streamE2e(spark, sfDir, replicate)
+          catch { case t: Throwable =>
+            t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
+        sampleAfter(s"$label#requeue")
+        if (second._1 >= 0 && second._1 < first._1) second else first
+      }
+    }
     val (streamSecs, streamIngest, streamSearch, streamEvents, streamMatches) =
-      try streamE2e(spark, sfDir)
-      catch { case t: Throwable => t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
+      runStream("stream_e2e", 1)
     val eps = if (streamSecs > 0) streamEvents / streamSecs else -1.0
     println(s"""{"q":"stream_e2e","sec":${r3(streamSecs)}}""")
     // 1M-event drill (events ×10, disjoint ids): the amortized-throughput
@@ -323,8 +406,7 @@ object Bench {
     // summed into the composite (keeps totals comparable across rounds).
     drainSession(spark)
     val (s1mSecs, s1mIngest, s1mSearch, s1mEvents, s1mMatches) =
-      try streamE2e(spark, sfDir, replicate = 10)
-      catch { case t: Throwable => t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
+      runStream("stream_1m", 10)
     val eps1m = if (s1mSecs > 0) s1mEvents / s1mSecs else -1.0
     println(s"""{"q":"stream_1m","sec":${r3(s1mSecs)}}""")
     val qs = (results.map { case (k, v) => k -> v._1 } :+
@@ -345,8 +427,18 @@ object Bench {
     val totalMed =
       results.map(_._2._2).filter(_ >= 0).sum + math.max(streamSecs, 0.0)
     val (loadEnd, jvmsEnd) = loadSnapshot()
+    // run-level verdict: start-of-run contamination OR a sustained mid-run
+    // drift (> badSampleLimit poisoned windows). The artifact carries the
+    // full sample trail so the flag is auditable, not just asserted.
+    val midBad = midSamples.count { case (_, la1, jvms) =>
+      jvms > 0 || (la1 >= 0 && la1 > cpus.toDouble / 2) }
+    val midFlagged = midBad > badSampleLimit
+    val loadFlagged = startFlagged || midFlagged
+    val midMax = if (midSamples.isEmpty) -1.0 else midSamples.map(_._2).max
+    val midCtx =
+      s""""mid":{"samples":${midSamples.size},"bad_samples":$midBad,"bad_limit":$badSampleLimit,"max_load1":${r3(midMax)},"flagged":$midFlagged,"requeued":${requeuedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val loadCtx =
-      s""""load":{"start":${loadJson(loadStart, jvmsStart)},"end":${loadJson(loadEnd, jvmsEnd)},"cpus_host":${Runtime.getRuntime.availableProcessors},"cpus_bench":$cpus,"flagged":$loadFlagged}"""
+      s""""load":{"start":${loadJson(loadStart, jvmsStart)},"end":${loadJson(loadEnd, jvmsEnd)},$midCtx,"cpus_host":${Runtime.getRuntime.availableProcessors},"cpus_bench":$cpus,"flagged":$loadFlagged}"""
     val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)},"ingest_sec":${r3(streamIngest)},"search_sec":${r3(streamSearch)},"ingest_events_per_sec":${r3(if (streamIngest > 0) streamEvents / streamIngest else -1.0)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)},"ingest_events_per_sec":${r3(if (s1mIngest > 0) s1mEvents / s1mIngest else -1.0)}},"sf":"$sfDir"}"""
     // Full per-query blob goes to a FILE (it has never fit the driver's
     // output-tail window — 75 query names alone overflow it); stdout gets

@@ -837,13 +837,33 @@ object Scratch {
       vecs.write.format("noop").mode("overwrite").save() // warm codegen
       val stateDoubles = 1L + d + d.toLong * (d + 1) / 2
       val t0 = System.nanoTime()
-      val m = graft.operators.Embeddings.pcaTrain(vecs, col("embedding"), 8)
+      // the claim under drill is the distributed moment pass + tree merge;
+      // past d=512 the driver-side O(d³) Jacobi dominates wall clock
+      // without touching the merge, so large-d rungs time pcaMoments
+      // directly (mean0 recomputed from the merged state either way)
+      val mean0 =
+        if (d <= 512)
+          graft.operators.Embeddings.pcaTrain(vecs, col("embedding"), 8).mean(0)
+        else {
+          val acc = graft.operators.Embeddings.pcaMoments(vecs, col("embedding"))
+          acc(1) / acc(0)
+        }
       val sec = (System.nanoTime() - t0) / 1e9
+      // the byte-budgeted fan-in (mirror of pcaTrain's own formula): a
+      // merge task's heap is fanIn × stateBytes, bounded by the budget at
+      // any d — the round-15 claim on top of round-14's ONE-driver-state
+      val stateBytes = stateDoubles * 8
+      val budget = spark.conf.getOption("spark.graft.pca.mergeBudgetBytes")
+        .map(_.toLong).getOrElse(512L * 1024 * 1024)
+      val fanIn = math.max(2L, math.min(64L, budget / math.max(1L, stateBytes)))
       // independent check: mean of dim 0 over uniform [0,1] md5 draws ≈ 0.5
       println(f"[scratch] pca_tree: parts=$parts d=$d n=${parts * perPart} " +
         f"train=$sec%.2f s driver_state=1x$stateDoubles doubles " +
-        f"(${stateDoubles * 8 / 1024 / 1024} MiB; flat collect would be " +
-        f"${parts * stateDoubles * 8 / 1024 / 1024} MiB) mean0=${m.mean(0)}%.4f")
+        f"(${stateBytes / 1024 / 1024} MiB; flat collect would be " +
+        f"${parts * stateBytes / 1024 / 1024} MiB) fanIn=$fanIn " +
+        f"merge_task≈${fanIn * stateBytes / 1024 / 1024} MiB " +
+        f"(fixed-64 would be ${64 * stateBytes / 1024 / 1024} MiB) " +
+        f"mean0=$mean0%.4f")
     }
     // extra args = query names, timed warm against a noop sink (full declared
     // plan, codegen already compiled) — the per-query drill-down the bench's

@@ -74,6 +74,29 @@ object SparkEntry {
     // lands big ones columnar before the global sort re-reads them
     graft.operators.Pins.pin(df).orderBy(keys.head, keys.tail: _*)
 
+  /** The q190/q191 planted near-dup media corpus: every media id carries
+    * one of 64 seed blobs ([[graft.operators.Multimodal.synthesize]] md5
+    * chains), and every third id has byte 41 (1-indexed) overwritten with
+    * `id % 251` — a single-byte perturbation that moves at most one
+    * nearest-neighbor luma-grid cell, i.e. a Hamming-0..2 neighbor of the
+    * pristine hash. The binary surgery is substring/concat/unhex SQL so the
+    * DuckDB oracle mirrors it exactly in hex-string space.
+    */
+  private def phashMedia(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val ids = tbl(s, dir, "embeddings").select(col("vec_id"))
+    val seeds = Multimodal.synthesize(
+      ids.select((col("vec_id") % 64).as("seed")).distinct(), col("seed"))
+      .select(col("media_id").as("seed"), col("content"))
+    ids.join(broadcast(seeds), col("vec_id") % 64 === col("seed"))
+      .select(col("vec_id").as("media_id"),
+        when(col("vec_id") % 3 === 0,
+          concat(substring(col("content"), 1, 40),
+            unhex(lpad(hex(col("vec_id") % 251), 2, "0")),
+            expr("substring(content, 42, 2147483647)")))
+          .otherwise(col("content")).as("content"))
+  }
+
   /** Every TESTDATA table the corpus ships; the smoke touches all of them. */
   private[graft] val allTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -2310,6 +2333,54 @@ object SparkEntry {
         .select("doc_id", "dsir_weight")
         .orderBy("doc_id")
     }),
+    // ---- perceptual-hash image near-dup: the multimodal × dedup
+    //      composition. Planted corpus: 64 seed blobs shared across media
+    //      ids, every third id gets a single-byte tweak (pure SQL binary
+    //      surgery — substring/concat/unhex — so the oracle mirrors it in
+    //      hex). dHash over the FakeCodec luma grid → banded Hamming join
+    //      (Dedup.sketchPairs at 64 bits) → verified pairs. The oracle
+    //      re-derives the blobs, the tweak, the 9×8 grid, the dHash bits
+    //      and then BRUTE-FORCES all sketch pairs — independently proving
+    //      the pigeonhole banding misses nothing. ----
+    "q190_image_phash_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      pinSorted(Multimodal.imageNearDupPairs(
+        phashMedia(s, dir), col("media_id"), col("content"), maxHamming = 3),
+        "media_a", "media_b")
+    }),
+    // ---- same corpus through the full dedup chain: pairs → star-contraction
+    //      connected components → canonical (minimum) media id per cluster ----
+    "q191_image_phash_clusters" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      pinSorted(Multimodal.imageNearDupClusters(
+        phashMedia(s, dir), col("media_id"), col("content"), maxHamming = 3),
+        "media_id")
+    }),
+    // ---- incremental IVF-PQ maintenance: build on 2/3 of the corpus,
+    //      append the rest with the FROZEN centroids + codebook (stage →
+    //      deterministic part-b<id> names → _commits marker, the LogStore
+    //      appendBatch protocol), then answer from the stored index — must
+    //      equal the inline operator over the FULL corpus. Oracle = q148's
+    //      (same semantics, the append-maintained physical path). ----
+    "q192_ivf_pq_append" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      val path = java.nio.file.Files.createTempDirectory("ivfpq-q192").toString
+      graft.operators.Similarity.buildIvfPqIndex(
+        emb.filter(col("vec_id") % 3 =!= 2), col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, path)
+      graft.operators.Similarity.appendToIvfPqIndex(
+        s, path, emb.filter(col("vec_id") % 3 === 2), col("vec_id"),
+        col("embedding"), cents, col("cid"), col("cvec"), cb, batchId = 1)
+      graft.operators.Similarity.ivfPqTopKStored(
+        s, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+    }),
     // ---- multiclass confusion rollup of the same held-out decisions ----
     "q187_nb_confusion" -> ((s, dir) => {
       import graft.operators.QualityClassifier
@@ -2917,6 +2988,61 @@ object SparkEntry {
          SELECT node AS doc_id, min(anc) AS cluster_id
          FROM reach GROUP BY node ORDER BY doc_id"""
 
+  /** Shared q190/q191 oracle body: re-derives the planted media corpus
+    * (seed md5 chains + hex-space byte-41 tweak), the FakeCodec 9×8
+    * nearest-neighbor luma grid, the 64-bit dHash (bit 63 as the min-long
+    * literal — DuckDB throws on `1 << 63`), then BRUTE-FORCES all
+    * distinct-sketch pairs at Hamming ≤ 3: an independent, banding-free
+    * proof that the Spark side's pigeonhole candidate join misses nothing.
+    * Ends with `pairs(media_a, media_b, hamming)`.
+    */
+  private val phashPairsCte: String =
+    """ids AS (SELECT vec_id::BIGINT AS media_id, (vec_id % 64)::BIGINT AS seed
+              FROM embeddings),
+         seeds AS (SELECT DISTINCT seed, (256 + seed % 4096)::INT AS len FROM ids),
+         blobs AS (
+           SELECT seed, len,
+             substring(list_reduce(list_transform(range(0, (len + 15) // 16),
+               b -> md5(seed::VARCHAR||':'||b::VARCHAR)), (x,y) -> x||y),
+               1, (2*len)::INT) AS h
+           FROM seeds),
+         tweaked AS (
+           SELECT i.media_id, b.len,
+             CASE WHEN i.media_id % 3 = 0
+               THEN substring(b.h, 1, 80)
+                    || lpad(lower(hex(i.media_id % 251)), 2, '0')
+                    || substring(b.h, 83)
+               ELSE b.h END AS h
+           FROM ids i JOIN blobs b USING (seed)),
+         grids AS (
+           SELECT media_id,
+             list_transform(range(0, 72),
+               i -> ('0x'||substring(h, (2*((i*len)//72)+1)::INT, 2))::BIGINT) AS cells
+           FROM tweaked),
+         hashed AS (
+           SELECT media_id,
+             list_sum(list_transform(range(0, 64),
+               k -> CASE WHEN cells[(k//8)*9 + (k%8) + 2] > cells[(k//8)*9 + (k%8) + 1]
+                    THEN CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << k) END
+                    ELSE 0 END))::BIGINT AS ph
+           FROM grids),
+         dh AS (SELECT DISTINCT ph FROM hashed),
+         shp AS (
+           SELECT a.ph AS ph_a, b.ph AS ph_b,
+             bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+           FROM dh a JOIN dh b ON a.ph < b.ph
+           WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+         same_ph AS (
+           SELECT x.media_id AS media_a, y.media_id AS media_b, 0::BIGINT AS hamming
+           FROM hashed x JOIN hashed y ON x.ph = y.ph AND x.media_id < y.media_id),
+         cross_ph AS (
+           SELECT least(x.media_id, y.media_id) AS media_a,
+                  greatest(x.media_id, y.media_id) AS media_b, s.hamming
+           FROM shp s JOIN hashed x ON x.ph = s.ph_a
+                      JOIN hashed y ON y.ph = s.ph_b),
+         pairs AS (SELECT * FROM same_ph UNION ALL SELECT * FROM cross_ph)"""
+
   /** The bundled public-suffix literal rules as a `(rule, label_count)`
     * VALUES list — the q137/q138 oracles inline the SAME table the
     * [[graft.functions.UrlDomain]] kernel ships, so the SQL mirror of the
@@ -3308,8 +3434,14 @@ object SparkEntry {
          ds AS (SELECT g.doc_id, q.c, sum(q.lq)::BIGINT AS sq
            FROM g JOIN q USING (b) WHERE g.doc_id % 5 = 0
            GROUP BY g.doc_id, q.c),
-         sc AS (SELECT ds.doc_id, ds.c, pri.pq + ds.sq AS s, pri.ci
-           FROM ds JOIN pri ON ds.c = pri.c),
+         -- LEFT JOIN from the held-out docs (the nbScoredCte pattern): a
+         -- gram-less doc (null/empty text) scores prior-only per class,
+         -- matching scoreMulti's coalesce(text, '') kernel row
+         sc AS (SELECT hd.doc_id, pri.c,
+             pri.pq + coalesce(ds.sq, 0) AS s, pri.ci
+           FROM (SELECT doc_id FROM d WHERE doc_id % 5 = 0) hd
+           CROSS JOIN pri
+           LEFT JOIN ds ON ds.doc_id = hd.doc_id AND ds.c = pri.c),
          win AS (SELECT doc_id, c, s,
              row_number() OVER (PARTITION BY doc_id
                ORDER BY s DESC, ci ASC) AS rn
@@ -5174,8 +5306,34 @@ object SparkEntry {
              CAST(round((ln((ct+1)::DOUBLE / (tt+256)) -
                ln((cr+1)::DOUBLE / (tr+256))) * 1e9) AS BIGINT) AS q
            FROM c, tot)
-         SELECT g.doc_id, round(sum(q.q)::DOUBLE / 1e9, 6) AS dsir_weight
-         FROM g JOIN q USING (b) GROUP BY g.doc_id ORDER BY g.doc_id""",
+         -- LEFT JOIN from documents: the piped kernel keeps every row, so
+         -- a gram-less doc (null/empty text) carries weight 0, not absence
+         SELECT t.doc_id,
+           round(coalesce(s.sq, 0)::DOUBLE / 1e9, 6) AS dsir_weight
+         FROM t LEFT JOIN (
+           SELECT g.doc_id, sum(q.q)::BIGINT AS sq
+           FROM g JOIN q USING (b) GROUP BY g.doc_id) s USING (doc_id)
+         ORDER BY t.doc_id""",
+    // same semantics as the inline IVF-PQ top-k (q148) — the append-
+    // maintained stored path must answer identically on the full corpus
+    "q192_ivf_pq_append" -> ivfPqOracleSql,
+    "q190_image_phash_neardup" ->
+      s"""WITH $phashPairsCte
+         SELECT media_a, media_b, hamming FROM pairs
+         ORDER BY media_a, media_b""",
+    // the pair list through connected components (the clustersOracle
+    // recursive-reachability pattern): canonical = min reachable media id
+    "q191_image_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairsCte,
+         edges AS (SELECT media_a AS a, media_b AS b FROM pairs
+                   UNION SELECT media_b, media_a FROM pairs),
+         nodes AS (SELECT DISTINCT a AS node FROM edges),
+         reach AS (SELECT node, node AS anc FROM nodes
+                   UNION
+                   SELECT e.b AS node, r.anc
+                   FROM reach r JOIN edges e ON e.a = r.node)
+         SELECT node AS media_id, min(anc) AS cluster_id
+         FROM reach GROUP BY node ORDER BY media_id""",
     "q187_nb_confusion" ->
       s"""WITH $nbMultiCte
          SELECT d.lang AS label, m.nb_class AS pred, count(*)::BIGINT AS n

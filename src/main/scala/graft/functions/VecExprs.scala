@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Float-vector kernels (static forwarders for Janino codegen).
   *
@@ -142,6 +142,51 @@ object VecImpl {
       s += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-row max-cosine centroid assignment against a FROZEN centroid set:
+    * the streaming/serving form of the batch broadcast-join argmax
+    * (`Similarity.ivfAssign`). Per centroid, cosine = dot / sqrt(na·nc)
+    * with the exact left-to-right double accumulation of [[dot]]/[[sqNorm]]
+    * (centroid norms precomputed in the same order), and the winner is the
+    * greatest cosine with ties to the LOWEST centroid id — compared via
+    * `Double.compare`, the same total order (NaN greatest) Spark's
+    * `max(struct(cos, -cid, cid))` applies, so the per-row decision is
+    * bit-identical to the batch operator. Returns
+    * `struct(cluster_id, cosine)`.
+    */
+  def ivfAssignBest(a: ArrayData, cids: Array[Long],
+      cvecs: Array[Array[Float]], cnorms: Array[Double])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    if (cids.isEmpty)
+      throw new IllegalArgumentException("ivf_assign: empty centroid set")
+    val na = sqNorm(a)
+    val n = a.numElements()
+    var bestI = 0
+    var bestCos = Double.NaN
+    var i = 0
+    while (i < cvecs.length) {
+      val c = cvecs(i)
+      val m = math.min(n, c.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        d += a.getFloat(j).toDouble * c(j).toDouble
+        j += 1
+      }
+      val cos = d / math.sqrt(na * cnorms(i))
+      val cmp =
+        if (i == 0) 1
+        else {
+          val byCos = java.lang.Double.compare(cos, bestCos)
+          if (byCos != 0) byCos
+          else java.lang.Long.compare(cids(bestI), cids(i)) // lower id wins
+        }
+      if (cmp > 0) { bestI = i; bestCos = cos }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cids(bestI), bestCos))
   }
 
   /** Asymmetric-distance (ADC) score: `Σ_s lut(s)(code_s)` accumulated
@@ -290,6 +335,42 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pqEncode($a, $cb)")
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `ivf_assign(array<float>) -> struct<cluster_id: bigint, cosine: double>`
+  * with codegen; the frozen centroid set (ids + vectors + precomputed
+  * norms) rides along as codegen reference objects — the
+  * [[PqEncode]]/[[PcaProject]] frozen-table shape, sized for real `nlist`
+  * (one reference array, not an nlist-wide expression tree).
+  */
+case class IvfAssignBest(child: Expression, cids: Array[Long],
+    cvecs: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cids.length == cvecs.length && cids.nonEmpty,
+    s"ivf_assign: ${cids.length} ids vs ${cvecs.length} centroid vectors")
+  // centroid norms precomputed ONCE, in VecImpl.sqNorm's accumulation order
+  private lazy val cnorms: Array[Double] = cvecs.map { c =>
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { val v = c(i).toDouble; s += v * v; i += 1 }
+    s
+  }
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+  override def prettyName: String = "ivf_assign"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.ivfAssignBest(a.asInstanceOf[ArrayData], cids, cvecs, cnorms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("ivfCids", cids, "long[]")
+    val vs = ctx.addReferenceObj("ivfCvecs", cvecs, "float[][]")
+    val ns = ctx.addReferenceObj("ivfCnorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VecImpl.ivfAssignBest($a, $ids, $vs, $ns)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfAssignBest =
     copy(child = newChild)
 }
 

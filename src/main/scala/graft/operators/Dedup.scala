@@ -273,21 +273,43 @@ object Dedup {
     * enumerating clique pairs; see [[clusters]].)
     */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    sketchPairs(df.select(idCol.as("doc_id"), simhash60(textCol).as("sim")),
+      totalBits = 60, maxHamming = maxHamming)
+
+  /** The banded-Hamming machinery behind [[simhashPairs]], generalized to
+    * any ≤64-bit sketch column — [[Multimodal.imageNearDupPairs]] feeds
+    * 64-bit perceptual hashes through the same candidate join. Input is
+    * `(doc_id, sim)`; output is `(doc_a, doc_b, hamming)` with
+    * `doc_a < doc_b` and `hamming ≤ maxHamming`, exact by the pigeonhole
+    * argument (maxHamming+1 bands; uneven widths fold the remainder bits
+    * into the LAST band, so every bit is covered and the guarantee holds).
+    * See [[simhashPairs]] for the distinct-sketch-space design rationale.
+    */
+  private[graft] def sketchPairs(sketch: DataFrame, totalBits: Int,
+      maxHamming: Int): DataFrame = {
+    require(totalBits >= 1 && totalBits <= 64,
+      s"sketchPairs: totalBits must be in [1, 64]: $totalBits")
+    require(maxHamming >= 0 && maxHamming < totalBits,
+      s"sketchPairs: maxHamming must be in [0, totalBits): $maxHamming")
     val nBands = maxHamming + 1
-    val bitsPer = 60 / nBands
+    val bitsPer = totalBits / nBands
     // pin the sketch table: it feeds FOUR join branches below, and without
-    // the pin each branch would re-run the whole text→simhash kernel (the
+    // the pin each branch would re-run the whole text→sketch kernel (the
     // expensive part) over the corpus; pinned it is one pass + three cheap
     // re-reads of 16-byte rows
-    val sh = Pins.pin(
-      df.select(idCol.as("doc_id"), simhash60(textCol).as("sim")))
+    val sh = Pins.pin(sketch.select(col("doc_id"), col("sim")))
     val sims = sh.select("sim").distinct()
-    val banded = sims.withColumn("band_idx",
-      explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("band_val",
-        call_function("shiftright", col("sim"), col("band_idx").cast("int") * bitsPer)
-          .bitwiseAND((1L << bitsPer) - 1))
+    // per-band (shift, mask) are plan-time literals; the last band absorbs
+    // the remainder bits (width 64 needs no mask — the shift is 0)
+    val bandVals = array((0 until nBands).map { b =>
+      val off = b * bitsPer
+      val width = if (b == nBands - 1) totalBits - off else bitsPer
+      val shifted = call_function("shiftright", col("sim"), lit(off))
+      if (width >= 64) shifted else shifted.bitwiseAND((1L << width) - 1)
+    }: _*)
+    val banded = sims.select(col("sim"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
     // verified sketch pairs: strict sim ordering halves the join, distinct
     // collapses multi-band agreement BEFORE any document fan-out
     val simPairs = banded.alias("a")

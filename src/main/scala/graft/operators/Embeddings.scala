@@ -43,11 +43,13 @@ object Embeddings {
     def k: Int = eigenvalues.length
   }
 
-  /** Train PCA over a float-vector column: one distributed moment pass +
-    * driver-side Jacobi on the d×d covariance. `k` = number of components
-    * to keep (1 ≤ k ≤ d).
+  /** The distributed half of [[pcaTrain]] on its own: one moment pass +
+    * pid-structured tree merge, returning the SINGLE merged state
+    * `[n, Σx_i (d), upper-triangle Σx_i·x_j (d(d+1)/2)]`. Split out so the
+    * merge's memory bound is drillable at large d without paying the
+    * driver-side O(d³) eigen (`SPARK_GRAFT_PCA_TREE`).
     */
-  def pcaTrain(df: DataFrame, vecCol: Column, k: Int): PcaModel = {
+  private[graft] def pcaMoments(df: DataFrame, vecCol: Column): Array[Double] = {
     val vecs = df.select(vecCol.cast("array<float>").as("v"))
       .filter(col("v").isNotNull)
     val stateRdd = vecs.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
@@ -78,12 +80,30 @@ object Embeddings {
       }
       if (state == null) Iterator.empty else Iterator((pid.toLong, state))
     }
-    // pid-structured tree merge: level by level, group 64 ascending pids and
-    // fold them in pid order on an executor. The tree is a pure function of
-    // the partitioning (deterministic), the driver receives ONE state (never
-    // partitions × d² doubles), and for ≤64 partitions the single group's
-    // ascending-pid fold is bit-identical to a flat ordered merge.
-    val fanIn = 64
+    // pid-structured tree merge: level by level, group `fanIn` ascending
+    // pids and fold them in pid order on an executor. The tree is a pure
+    // function of the partitioning AND the fan-in (deterministic), the
+    // driver receives ONE state (never partitions × d² doubles), and when
+    // one group holds every partition its ascending-pid fold is
+    // bit-identical to a flat ordered merge.
+    //
+    // fanIn is sized from a BYTE budget, not a fixed width: a merge task
+    // materializes up to fanIn states of 8·(1+d+d(d+1)/2) bytes each, so a
+    // fixed 64 would put 64 × ~67 MB ≈ 4.3 GB on one task's heap at
+    // d=4096. budget/stateBytes keeps the group's heap bounded at any d
+    // (≤64 preserves the small-d shape; ≥2 keeps the tree collapsing).
+    val fanIn = {
+      val headVec = vecs.limit(1).collect() // one-row probe for d
+      if (headVec.isEmpty) 64 // no vectors: the merge never runs
+      else {
+        val d0 = headVec(0).getSeq[Float](0).size
+        val stateBytes = 8L * (1L + d0 + d0.toLong * (d0 + 1) / 2)
+        val budget = df.sparkSession.conf
+          .getOption("spark.graft.pca.mergeBudgetBytes")
+          .map(_.toLong).getOrElse(512L * 1024 * 1024)
+        math.max(2L, math.min(64L, budget / math.max(1L, stateBytes))).toInt
+      }
+    }
     var cur = stateRdd
     var width = stateRdd.getNumPartitions.max(1)
     while (width > 1) {
@@ -110,6 +130,15 @@ object Embeddings {
     roots.iterator.drop(1).foreach { case (_, p) =>
       var i = 0; while (i < acc.length) { acc(i) += p(i); i += 1 }
     }
+    acc
+  }
+
+  /** Train PCA over a float-vector column: one distributed moment pass +
+    * driver-side Jacobi on the d×d covariance. `k` = number of components
+    * to keep (1 ≤ k ≤ d).
+    */
+  def pcaTrain(df: DataFrame, vecCol: Column, k: Int): PcaModel = {
+    val acc = pcaMoments(df, vecCol)
     val d = {
       // state length s = 1 + d + d(d+1)/2 → recover d
       val s = acc.length

@@ -101,10 +101,13 @@ object Monitors {
     * `deliveryError` records a webhook delivery that failed after all
     * retries (`fired` stays true — the threshold DID cross; `postedRows` 0 —
     * nothing landed); evaluation of the remaining monitors continues.
+    * `elapsedMs` is the monitor's own wall clock (query evaluation through
+    * delivery, retries included) — a slow scheduled search is visible in
+    * the tick's outcomes, not hidden inside the schedule's period.
     */
   final case class Outcome(monitor: String, resultCount: Long,
       fired: Boolean, postedRows: Int, suppressed: Boolean = false,
-      deliveryError: String = null)
+      deliveryError: String = null, elapsedMs: Long = -1L)
 
   /** Breach-episode memory for `notifyOncePerBreach` monitors: tracks which
     * monitors are inside an un-resolved breach. One instance per [[run]]
@@ -114,16 +117,27 @@ object Monitors {
     * trigger/resolve lifecycle. An episode is marked notified only after a
     * DELIVERED post, so a crossing whose webhook fails every retry is
     * re-attempted on the next tick instead of silently lost.
+    *
+    * Concurrency: the episode is RESERVED atomically (`Set.add`) before the
+    * post and rolled back when delivery fails, so concurrent ticks sharing
+    * one instance (or [[tick]]'s own parallel evaluation) can never
+    * double-post a breach episode's first crossing — exactly one caller
+    * wins the reservation.
     */
   final class BreachState {
     private val active = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    private[Monitors] def shouldPost(m: Monitor, crossed: Boolean): Boolean =
+    /** Decide AND reserve in one atomic step: true ⇒ the caller owns this
+      * episode's notification and must [[release]] it if delivery fails.
+      */
+    private[Monitors] def tryReserve(m: Monitor, crossed: Boolean): Boolean =
       if (!crossed) { active.remove(m.name); false }
       else if (!m.notifyOncePerBreach) true
-      else !active.contains(m.name) // first un-notified crossing only
-    private[Monitors] def markNotified(m: Monitor): Unit = {
-      active.add(m.name); ()
-    }
+      else active.add(m.name) // atomic: first un-notified crossing only
+    /** Roll a failed delivery's reservation back so the next tick
+      * re-attempts the same un-notified episode.
+      */
+    private[Monitors] def release(m: Monitor): Unit =
+      if (m.notifyOncePerBreach) { active.remove(m.name); () }
   }
 
   private val RequiredRowFields =
@@ -178,38 +192,83 @@ object Monitors {
   }
 
   /** Evaluate every monitor once and POST the fired ones — the unit of work
-    * [[run]] schedules. Evaluation order is the registry order; each fired
+    * [[run]] schedules. Monitors evaluate CONCURRENTLY on a bounded pool
+    * (`parallelism` threads — registry size never dictates thread count),
+    * so one slow query or one webhook stuck in its retry backoff never
+    * delays an independent monitor beyond its own evaluation time; the
+    * returned outcomes keep the registry order regardless. Each fired
     * monitor posts one body (`Content-Type: application/json` + the
     * connection's auth headers), with the sink family's bounded
-    * linear-backoff retries (R2's `retries × retrySeedMs` framing); a
-    * delivery that still fails lands in the [[Outcome]] as `deliveryError`
-    * and the REMAINING monitors evaluate normally — one flaky webhook must
-    * not silence the rest of the registry. The result plan is pinned before
-    * the count, so a fired monitor's query executes ONCE, not once for the
-    * count and again for the rows. With a [[BreachState]], a
-    * `notifyOncePerBreach` monitor posts only on the FIRST crossing of
-    * each breach episode and re-arms when an evaluation resolves; the
-    * episode counts as notified only when delivery SUCCEEDS.
+    * linear-backoff retries (R2's `retries × retrySeedMs` framing); the
+    * backoff sleeps only that monitor's own worker. A delivery that still
+    * fails lands in the [[Outcome]] as `deliveryError` and the REMAINING
+    * monitors evaluate normally — one flaky webhook must not silence the
+    * rest of the registry. The result plan is pinned before the count, so a
+    * fired monitor's query executes ONCE, not once for the count and again
+    * for the rows. With a [[BreachState]], a `notifyOncePerBreach` monitor
+    * posts only on the FIRST crossing of each breach episode (reserved
+    * atomically — concurrent evaluations cannot double-post) and re-arms
+    * when an evaluation resolves; the episode counts as notified only when
+    * delivery SUCCEEDS.
     */
   def tick(df: DataFrame, monitors: Seq[Monitor],
       poster: graft.sinks.SumoSink.BucketPoster,
       timeCol: String = "ts", messageCol: String = "message",
       state: BreachState = new BreachState,
-      retries: Int = 3, retrySeedMs: Long = 50): Seq[Outcome] = {
+      retries: Int = 3, retrySeedMs: Long = 50,
+      parallelism: Int = 4): Seq[Outcome] = {
     require(retries >= 0, s"retries must be >= 0: $retries")
-    monitors.map { m =>
-      val piped = SearchQuery.parsePiped(m.query)
-      val matched = df.filter(SearchQuery.compile(piped.terms, col(messageCol)))
-      val res = SearchQuery
-        .compileStages(piped.stages, timeCol, messageCol)(matched)
-        .localCheckpoint(true) // one execution serves count AND rows
-      try {
-        val n = res.count()
-        val crossed = m.threshold.check(n)
-        if (!state.shouldPost(m, crossed))
-          Outcome(m.name, n, fired = false, postedRows = 0,
-            suppressed = crossed)
-        else {
+    require(parallelism >= 1, s"parallelism must be >= 1: $parallelism")
+    if (monitors.isEmpty) return Seq.empty
+    val threads = math.min(parallelism, monitors.size)
+    if (threads == 1) return monitors.map(
+      evalOne(df, _, poster, timeCol, messageCol, state, retries, retrySeedMs))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-monitor-tick")
+        t.setDaemon(true); t
+      })
+    try {
+      val futures = monitors.map { m =>
+        pool.submit(new java.util.concurrent.Callable[Outcome] {
+          def call(): Outcome = evalOne(
+            df, m, poster, timeCol, messageCol, state, retries, retrySeedMs)
+        })
+      }
+      futures.map { f =>
+        try f.get()
+        catch { // surface the monitor's own failure, not the pool wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally { pool.shutdown(); () }
+  }
+
+  /** One monitor's evaluate → threshold → reserve → post → outcome cycle —
+    * [[tick]]'s unit of parallelism. Any thrown failure first rolls back
+    * the breach reservation so the episode is not stuck notified-but-never-
+    * posted.
+    */
+  private def evalOne(df: DataFrame, m: Monitor,
+      poster: graft.sinks.SumoSink.BucketPoster,
+      timeCol: String, messageCol: String, state: BreachState,
+      retries: Int, retrySeedMs: Long): Outcome = {
+    val t0 = System.nanoTime()
+    def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
+    val piped = SearchQuery.parsePiped(m.query)
+    val matched = df.filter(SearchQuery.compile(piped.terms, col(messageCol)))
+    val res = SearchQuery
+      .compileStages(piped.stages, timeCol, messageCol)(matched)
+      .localCheckpoint(true) // one execution serves count AND rows
+    try {
+      val n = res.count()
+      val crossed = m.threshold.check(n)
+      if (!state.tryReserve(m, crossed))
+        Outcome(m.name, n, fired = false, postedRows = 0,
+          suppressed = crossed, elapsedMs = elapsedMs)
+      else {
+        try {
           val missing = RequiredRowFields.filterNot(res.columns.contains)
           require(missing.isEmpty,
             s"monitor '${m.name}' fired but its rows lack the forwarder's " +
@@ -228,19 +287,25 @@ object Monitors {
               case scala.util.control.NonFatal(e) =>
                 err = e
                 attempt += 1
-                // linear backoff, the sink's k2sl_lambda.js:51-57 framing
+                // linear backoff, the sink's k2sl_lambda.js:51-57 framing;
+                // sleeps THIS monitor's worker only
                 if (attempt <= retries) Thread.sleep(retrySeedMs * attempt)
             }
           }
-          if (delivered) {
-            state.markNotified(m)
-            Outcome(m.name, n, fired = true, postedRows = rows.size)
-          } else
+          if (delivered)
+            Outcome(m.name, n, fired = true, postedRows = rows.size,
+              elapsedMs = elapsedMs)
+          else {
+            state.release(m) // un-notified: next tick re-attempts
             Outcome(m.name, n, fired = true, postedRows = 0,
-              deliveryError = String.valueOf(err.getMessage))
+              deliveryError = String.valueOf(err.getMessage),
+              elapsedMs = elapsedMs)
+          }
+        } catch {
+          case e: Throwable => state.release(m); throw e
         }
-      } finally { res.unpersist(); () }
-    }
+      }
+    } finally { res.unpersist(); () }
   }
 
   /** Schedule [[tick]] on a `Trigger.ProcessingTime` clock: a rate-source

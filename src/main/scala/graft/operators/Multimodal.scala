@@ -49,6 +49,12 @@ object Multimodal {
     def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long)
     /** Fixed-width float feature vector (L1-normalized histogram shape). */
     def features(content: Array[Byte], bins: Int): Array[Float]
+    /** Row-major w×h grid of pooled intensity cells in 0..255 — the
+      * perceptual-hash input ([[Multimodal.dHash64]]/[[Multimodal.aHash64]]).
+      * Integer arithmetic only (cross-engine reproducible); empty for
+      * undecodable bytes.
+      */
+    def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int]
     /** Re-encoded content at the target dimensions. */
     def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte]
     /** n frames (or frame stand-ins) from the content. */
@@ -90,6 +96,20 @@ object Multimodal {
       content.foreach(b => counts((b & 0xFF) * bins / 256) += 1f)
       val n = content.length.toFloat
       counts.map(_ / n)
+    }
+
+    /** Deterministic fake: nearest-neighbor byte sample into the w×h grid —
+      * the same index arithmetic as [[resize]] (`content[(i*len)/cells]`),
+      * so the DuckDB oracle re-derives each cell from the md5-chain hex
+      * with one substring. Real pooled pixel luma lives in
+      * [[ImageIoCodec.lumaGrid]].
+      */
+    def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int] = {
+      val cells = w * h
+      if (content == null || content.isEmpty || cells <= 0)
+        return Array.emptyIntArray
+      Array.tabulate(cells)(i =>
+        content((i.toLong * content.length / cells).toInt) & 0xFF)
     }
 
     /** Deterministic fake: byte-domain nearest-neighbor resample to the
@@ -285,6 +305,43 @@ object Multimodal {
       counts
     }
 
+    /** Average-pooled BT.601 integer luma over the REAL pixels: each cell is
+      * the integer mean of `(299r+587g+114b)/1000` across the pixels that
+      * map into it — pure integer arithmetic, so the grid (and every hash
+      * derived from it) is identical on any JVM. A small pixel edit moves a
+      * couple of cell means by a few levels: exactly the locality dHash
+      * banks on.
+      */
+    def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int] =
+      if (w <= 0 || h <= 0) Array.emptyIntArray
+      else read(content) match {
+        case None => Array.emptyIntArray
+        case Some(img) => pooledLuma(img, w, h)
+      }
+
+    private[Multimodal] def pooledLuma(
+        img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+      val sums = new Array[Long](w * h)
+      val counts = new Array[Long](w * h)
+      val iw = img.getWidth; val ih = img.getHeight
+      var y = 0
+      while (y < ih) {
+        val cy = (y.toLong * h / ih).toInt
+        var x = 0
+        while (x < iw) {
+          val rgb = img.getRGB(x, y)
+          val luma = ((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          val c = cy * w + (x.toLong * w / iw).toInt
+          sums(c) += luma; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(w * h)(i =>
+        if (counts(i) == 0) 0 else (sums(i) / counts(i)).toInt)
+    }
+
     /** Pixel rescale (nearest-neighbor for determinism across JVMs — no
       * AA/interpolation variance), re-encoded as PNG. `channels` picks the
       * output color model (4 → ARGB, else RGB).
@@ -448,6 +505,31 @@ object Multimodal {
         }
       }
       counts
+    }
+
+    /** Pooled mean ABSOLUTE amplitude per cell, scaled to 0..255 — the audio
+      * reading of the luma-grid contract (an "amplitude fingerprint" over
+      * w×h equal time slices; integer arithmetic throughout).
+      */
+    def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int] = {
+      val cells = w * h
+      if (cells <= 0) return Array.emptyIntArray
+      pcmSamples(content) match {
+        case None => Array.emptyIntArray
+        case Some((samples, _)) =>
+          if (samples.isEmpty) Array.emptyIntArray
+          else Array.tabulate(cells) { i =>
+            val from = (i.toLong * samples.length / cells).toInt
+            val until = math.max(((i + 1).toLong * samples.length / cells).toInt,
+              from + 1)
+            var s = 0L
+            var j = from
+            while (j < until && j < samples.length) {
+              s += math.abs(samples(j).toInt); j += 1
+            }
+            ((s / math.max(math.min(until, samples.length) - from, 1)) * 255 / 32768).toInt
+          }
+      }
     }
 
     /** Time-domain resample to a `w*h`-sample budget (the byte-budget
@@ -642,6 +724,21 @@ object Multimodal {
       }
     }
 
+    /** FIRST decodable frame's pooled luma grid ([[ImageIoCodec]]'s
+      * arithmetic) — the key-frame perceptual fingerprint: two videos whose
+      * opening frames near-match hash near each other, which is the
+      * useful-by-default reading for a container-level near-dup pass.
+      */
+    def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int] =
+      if (w <= 0 || h <= 0) Array.emptyIntArray
+      else parseAvi(content) match {
+        case None => Array.emptyIntArray
+        case Some((_, frames)) =>
+          frames.iterator.flatMap(readFrame(content, _)).buffered.headOption
+            .map(ImageIoCodec.pooledLuma(_, w, h))
+            .getOrElse(Array.emptyIntArray)
+      }
+
     /** Every frame nearest-neighbor rescaled and re-encoded JPEG, container
       * rebuilt at the new dimensions — a decodable MJPEG AVI.
       */
@@ -776,6 +873,105 @@ object Multimodal {
         col("_m._3").as("channels"), col("_m._4").as("duration_ms")))
       .drop("_m")
   }
+
+  // --------------------------------------------------------------------
+  // Perceptual-hash near-duplicate detection: the multimodal × dedup
+  // composition. A 64-bit dHash/aHash over the codec's pooled luma grid is
+  // LOCAL — a small edit (recompress, crop a corner, tweak pixels) flips a
+  // few bits — so near-dup images reduce to Hamming-≤d pairs over longs,
+  // exactly the problem [[Dedup.sketchPairs]] already solves at scale
+  // (banded pigeonhole candidates over DISTINCT hash values, never
+  // all-pairs). At 100 TB the hash pass is one narrow map over the media
+  // column; everything after runs in 16-byte sketch space.
+  // --------------------------------------------------------------------
+
+  /** 64-bit difference hash over a (w+1)×h grid (default 9×8): bit `y*w+x`
+    * is set iff the cell RIGHT of (x,y) is strictly brighter. Gradient
+    * signs, not absolute levels — invariant to global brightness shifts.
+    */
+  def dHash64(grid: Array[Int], w: Int = 8, h: Int = 8): Long = {
+    require(grid.length == (w + 1) * h,
+      s"dHash64: grid must be ${(w + 1) * h} cells ((w+1)×h), got ${grid.length}")
+    var bits = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (grid(y * (w + 1) + x + 1) > grid(y * (w + 1) + x))
+          bits |= 1L << (y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** 64-bit average hash over an 8×8 grid: bit `i` is set iff
+    * `64*cell(i) > sum(cells)` — strictly above the mean, in exact integer
+    * arithmetic.
+    */
+  def aHash64(grid: Array[Int]): Long = {
+    require(grid.length == 64, s"aHash64: grid must be 64 cells, got ${grid.length}")
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += grid(i); i += 1 }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * grid(i) > sum) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  private def pHashUdf(codec: Codec, kind: String) = udf { content: Array[Byte] =>
+    val grid = kind match {
+      case "dhash" => codec.lumaGrid(content, 9, 8)
+      case "ahash" => codec.lumaGrid(content, 8, 8)
+      case other => throw new IllegalArgumentException(
+        s"unknown perceptual hash kind '$other' (dhash | ahash)")
+    }
+    if (grid.isEmpty) None
+    else Some(if (kind == "dhash") dHash64(grid) else aHash64(grid))
+  }
+
+  /** Perceptual hash per media row: `(media_id, phash)`, `phash` null for
+    * undecodable content. One narrow map-side pass; project ONLY the id and
+    * content columns upstream so the scan prunes the rest.
+    */
+  def pHash(df: DataFrame, idCol: Column, contentCol: Column,
+      kind: String = "dhash", codec: Codec = null): DataFrame =
+    df.select(idCol.cast("long").as("media_id"),
+      pHashUdf(resolve(df, codec), kind)(contentCol).as("phash"))
+
+  /** Near-duplicate media pairs: perceptual hash → [[Dedup.sketchPairs]]
+    * banded Hamming join (maxHamming+1 bands over the 64-bit hash, exact by
+    * pigeonhole) → `(media_a, media_b, hamming)` with `media_a < media_b`.
+    * Undecodable rows (null hash) drop out — corrupt media can't near-dup.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: Column, contentCol: Column,
+      maxHamming: Int = 3, kind: String = "dhash",
+      codec: Codec = null): DataFrame =
+    Dedup.sketchPairs(
+      pHash(df, idCol, contentCol, kind, codec)
+        .filter(col("phash").isNotNull)
+        .select(col("media_id").as("doc_id"), col("phash").as("sim")),
+      totalBits = 64, maxHamming = maxHamming)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Near-duplicate clusters: [[imageNearDupPairs]] edges through
+    * [[Dedup.clustersStar]] — every clustered media row labeled with the
+    * minimum reachable media id. Rows with no near-dup partner are absent
+    * (singletons need no canonical assignment).
+    */
+  def imageNearDupClusters(df: DataFrame, idCol: Column, contentCol: Column,
+      maxHamming: Int = 3, kind: String = "dhash",
+      codec: Codec = null): DataFrame =
+    Dedup.clustersStar(
+      imageNearDupPairs(df, idCol, contentCol, maxHamming, kind, codec),
+      "media_a", "media_b")
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
 
   /** Deterministic synthetic media corpus derived from a numeric id column —
     * the environment has no real media; tests and benches build content as

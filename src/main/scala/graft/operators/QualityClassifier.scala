@@ -279,20 +279,36 @@ object QualityClassifier {
     *
     * Scale: one global sort of the EVALUATION set (held-out slices are
     * small by construction — this is an analysis surface, not the corpus
-    * gate; the gate itself is [[score]]'s stateless kernel).
+    * gate; the gate itself is [[score]]'s stateless kernel). Because
+    * nano-nat scores are nearly unique per document, the distinct-score
+    * table is guarded by `spark.graft.prcurve.maxGroups` (default
+    * 100,000): an oversized "held-out" set throws loudly instead of
+    * crawling through a single-partition window sort.
     */
   def prCurve(scored: DataFrame, labelCol: Column,
       scoreCol: Column = col("nb_score")): DataFrame = {
+    val maxGroups = scored.sparkSession.conf
+      .getOption("spark.graft.prcurve.maxGroups")
+      .map(_.toInt).getOrElse(100000)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("_s").desc)
       .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val tot = scored.agg(
       sum(when(labelCol, 1L).otherwise(0L))).head()
     val npos = if (tot.isNullAt(0)) 0L else tot.getLong(0)
-    scored.select(scoreCol.as("_s"),
+    val grouped = scored.select(scoreCol.as("_s"),
         when(labelCol, 1L).otherwise(0L).as("_y"))
       .groupBy("_s")
       .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val nDistinct = grouped.limit(maxGroups + 1).count()
+    require(nDistinct <= maxGroups,
+      s"prCurve: over $maxGroups distinct score values — the curve ranks " +
+        "ALL distinct scores through one unpartitioned window, so an " +
+        "oversized evaluation set becomes a single-partition sort. This " +
+        "is an analysis surface for HELD-OUT slices: sample the " +
+        "evaluation set first (Sampling.hashSample), quantize the score, " +
+        "or raise spark.graft.prcurve.maxGroups deliberately.")
+    grouped
       .withColumn("n_kept", sum(col("_n")).over(w))
       .withColumn("_tp", sum(col("_np")).over(w))
       .select(col("_s").as("threshold"), col("n_kept"),

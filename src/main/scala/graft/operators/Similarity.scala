@@ -353,6 +353,31 @@ object Similarity {
         col("_best._cos").as("cosine"))
   }
 
+  /** Collect a (small) centroid DataFrame into the frozen driver-side form
+    * [[ivfAssignFrozen]] and the streaming assign stage consume, sorted by
+    * centroid id (deterministic kernel construction).
+    */
+  def collectCentroids(centroids: DataFrame, centroidId: Column,
+      centroidVec: Column): Seq[(Long, Array[Float])] =
+    centroids.select(centroidId.cast("long"), centroidVec).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** Per-row max-cosine centroid assignment against a FROZEN centroid set —
+    * [[ivfAssign]]'s decision as a stateless codegen kernel column
+    * (`struct(cluster_id, cosine)`): no join, no aggregation, bit-identical
+    * winners (same cosine arithmetic, same lowest-id tie rule; KernelParity
+    * pins it). This is the serving/streaming form: the batch operator's
+    * broadcast + argmax reduce needs a shuffle, this needs none — ingest
+    * can stamp `cluster_id` on vectors as they arrive so they land
+    * partition-routable for the stored-index layout.
+    */
+  def ivfAssignFrozen(vecCol: Column,
+      centroids: Seq[(Long, Array[Float])]): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.IvfAssignBest(
+      org.apache.spark.sql.GraftGlue.expression(vecCol),
+      centroids.map(_._1).toArray, centroids.map(_._2).toArray))
+
   /** IVF ANN top-k: score only vectors assigned to the query's `nprobe`
     * nearest centroids. Probe selection is driver-side over the (small)
     * centroid set; the corpus never shuffles beyond the assignment reduce —
@@ -402,7 +427,7 @@ object Similarity {
       centroids: DataFrame, centroidId: Column, centroidVec: Column,
       query: Seq[Float], k: Int, nprobe: Int = 2): DataFrame = {
     val probes = probeIds(centroids, centroidId, centroidVec, query, nprobe)
-    spark.read.parquet(path)
+    openIvfIndex(spark, path)
       .filter(col("cluster_id").isin(probes: _*))
       .transform(d => bruteForceTopK(d, col("vec_id"), col("vec"), query, k))
   }
@@ -422,6 +447,176 @@ object Similarity {
     df.select(idCol.as("vec_id"), pqEncode(vecCol, codebook).as("codes"))
       .join(assigned, "vec_id")
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    // training-time quantization error rides with the index (underscore
+    // dir — invisible to the partition scan) so later appends can probe
+    // centroid drift against the distribution the quantizer was fit on
+    writeTrainStats(df, idCol, vecCol, centroids, centroidId, centroidVec, path)
+  }
+
+  // --------------------------------------------------------------------
+  // Incremental index maintenance: a 100 TB corpus APPENDS — retraining
+  // and rewriting the whole index per batch is a full-corpus job, but
+  // encoding NEW vectors with the FROZEN centroids + codebook and landing
+  // them into the same per-centroid directory layout is one narrow pass
+  // over just the batch. The commit protocol is LogStore.appendBatch's
+  // marker scheme (sinks/LogStore.scala): batch files carry deterministic
+  // `part-b<batchId>-` names, a batch is LIVE only once its
+  // `_commits/b<batchId>` marker exists, and a replay of an uncommitted
+  // batch sweeps its own leftovers before re-landing — so a crashed
+  // append converges to exactly-once and [[openIvfIndex]] readers never
+  // resolve a half-landed batch.
+  // --------------------------------------------------------------------
+
+  /** Mean coarse-quantization error of `df` under the given centroid set:
+    * `avg(1 - cosine(vec, assigned centroid))` — the drift statistic. One
+    * narrow broadcast-assign pass; nothing shuffles but the per-vector
+    * argmax reduce.
+    */
+  def quantizationError(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column): Double = {
+    val r = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
+      .agg(avg(lit(1.0) - col("cosine"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  private def writeTrainStats(df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      path: String): Unit = {
+    val err = quantizationError(df, idCol, vecCol, centroids, centroidId, centroidVec)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(err).toDF("mean_err").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta/train_stats")
+  }
+
+  /** The drift probe on its own: `(batchErr, trainErr)` — batch vectors'
+    * mean quantization error under the frozen centroids vs the error the
+    * index recorded at build time. Monitor it; [[appendToIvfPqIndex]]
+    * enforces it.
+    */
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column)
+      : (Double, Double) = {
+    val batchErr = quantizationError(
+      df, idCol, vecCol, centroids, centroidId, centroidVec)
+    val statsPath = s"$path/_meta/train_stats"
+    require(ModelStore.pathExists(spark, statsPath),
+      s"no train stats at $statsPath — the index predates drift tracking; " +
+        "rebuild it with buildIvfPqIndex to record the training-time error")
+    val trainErr = spark.read.parquet(statsPath)
+      .head().getAs[Double]("mean_err")
+    (batchErr, trainErr)
+  }
+
+  /** Append a batch into a stored [[buildIvfPqIndex]] index: encode with
+    * the FROZEN codebook, assign with the FROZEN centroids, land into the
+    * existing per-centroid partition layout. Idempotent per `batchId`
+    * (at-least-once callers — a foreachBatch replay, a retried job — are
+    * no-ops once the batch's commit marker exists) and crash-safe: an
+    * interrupted append leaves only files [[openIvfIndex]] resolves as
+    * dead, and the replay sweeps + re-lands them.
+    *
+    * Centroid drift is probed BEFORE anything lands: when the batch's mean
+    * quantization error exceeds `driftFactor ×` the training-time error
+    * recorded by the build, the append THROWS — silently appending through
+    * a stale coarse quantizer skews every later probe's recall (vectors
+    * land in the wrong partitions), and that is invisible at query time.
+    * Retrain (kmeansCentroids + rebuild) or raise `driftFactor`
+    * deliberately; `Double.PositiveInfinity` disables the gate. Indexes
+    * built before drift tracking skip the probe (no recorded baseline).
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, idCol: Column, vecCol: Column,
+      centroids: DataFrame, centroidId: Column, centroidVec: Column,
+      codebook: Array[Array[Array[Float]]], batchId: Long,
+      driftFactor: Double = 2.0): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(driftFactor > 0, s"driftFactor must be positive: $driftFactor")
+    val rootP = new HPath(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new HPath(s"$path/_commits/b$batchId")
+    if (fs.exists(marker)) return // committed: the replay is a no-op
+    if (ModelStore.pathExists(spark, s"$path/_meta/train_stats")) {
+      val (batchErr, trainErr) = ivfDrift(
+        spark, path, df, idCol, vecCol, centroids, centroidId, centroidVec)
+      // the epsilon floor keeps a near-zero training error (degenerate
+      // perfectly-clustered corpus) from rejecting every real batch
+      require(batchErr <= driftFactor * math.max(trainErr, 1e-9),
+        f"appendToIvfPqIndex: centroid drift — batch quantization error " +
+          f"$batchErr%.6f exceeds $driftFactor%.1fx the training-time " +
+          f"error $trainErr%.6f. The frozen coarse quantizer no longer " +
+          "fits the data: retrain centroids and rebuild the index, or " +
+          "raise driftFactor deliberately.")
+    }
+    // stage the encoded batch OUTSIDE the live tree (underscore dir —
+    // doubly invisible: hidden from the scan, and unreferenced by readers)
+    val stage = s"$path/_stage/b$batchId"
+    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
+      .select(col("vec_id"), col("cluster_id"))
+    df.select(idCol.as("vec_id"), pqEncode(vecCol, codebook).as("codes"))
+      .join(assigned, "vec_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(stage)
+    // land per cluster partition under deterministic batch names; sweep
+    // THIS batch's leftovers first (marker absent ⇒ they are garbage from
+    // an interrupted previous attempt of this same batch)
+    val stageP = new HPath(stage)
+    fs.listStatus(stageP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+      .foreach { part =>
+        val target = new HPath(rootP, part.getPath.getName)
+        fs.mkdirs(target)
+        fs.listStatus(target)
+          .filter(_.getPath.getName.startsWith(s"part-b$batchId-"))
+          .foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(part.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).sortBy(_.getName).zipWithIndex
+          .foreach { case (f, i) =>
+            require(fs.rename(f, new HPath(target, f"part-b$batchId-$i%05d.parquet")),
+              s"appendToIvfPqIndex: rename failed for $f")
+          }
+      }
+    // COMMIT — one marker create flips the whole batch live for
+    // [[openIvfIndex]] readers; a crash before this line leaves only
+    // files resolution treats as dead
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(stageP, true) // cleanup, not commit
+    ()
+  }
+
+  /** Open a stored IVF / IVF-PQ index with batch-commit resolution: build
+    * output is always live; `part-b<id>-` files are live iff their
+    * `_commits/b<id>` marker exists — an uncommitted (crashed) append is
+    * invisible until its replay commits it. The listing walks one
+    * directory level per centroid (the same planning-side cost class as
+    * the scan's own file index); partition pruning still applies because
+    * the file-list read keeps `cluster_id` as a partition column via
+    * `basePath`.
+    */
+  def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val rootP = new HPath(path)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitsP = new HPath(s"$path/_commits")
+    val commits: Set[String] =
+      if (fs.exists(commitsP))
+        fs.listStatus(commitsP).map(_.getPath.getName).toSet
+      else Set.empty
+    val files = fs.listStatus(rootP)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+      .flatMap(p => fs.listStatus(p.getPath))
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+          (!n.startsWith("part-b") ||
+            commits.contains(n.stripPrefix("part-").takeWhile(_ != '-')))
+      }
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"empty or missing index: $path")
+    spark.read.option("basePath", path).parquet(files: _*)
   }
 
   /** ANN top-k over a stored [[buildIvfPqIndex]] index: probe selection
@@ -440,7 +635,7 @@ object Similarity {
     val lut = pqLut(query, codebook)
     val adc = org.apache.spark.sql.GraftGlue.column(graft.functions.PqAdc(
       org.apache.spark.sql.GraftGlue.expression(col("codes")), lut))
-    val scored = spark.read.parquet(path)
+    val scored = openIvfIndex(spark, path)
       .filter(col("cluster_id").isin(probes: _*))
       .select(col("vec_id"), adc.as("_adc"))
     if (refine > 0) {

@@ -556,6 +556,31 @@ object Streams {
       (0 until model.k).map(i => proj(i).as(s"$prefix$i")): _*)
   }
 
+  /** Online IVF coarse assignment at ingest (the [[pcaProjectStream]]
+    * frozen-model pattern): stamp each streamed vector with its max-cosine
+    * `cluster_id` (+ `cosine`) under FROZEN centroids — trained offline by
+    * [[graft.operators.Similarity.kmeansCentroids]] — so landed vectors
+    * are already partition-routable for the stored-index layout
+    * ([[graft.operators.Similarity.buildIvfPqIndex]]'s `cluster_id=`
+    * directories): `partitionBy("cluster_id")` on the sink, or feed
+    * [[graft.operators.Similarity.appendToIvfPqIndex]] micro-batches that
+    * need no assignment pass of their own. The centroid set is a plan-time
+    * constant inside one codegen'd kernel ([[graft.functions.IvfAssignBest]]):
+    * STATELESS map-side projection, no state store, NO shuffle (the batch
+    * [[graft.operators.Similarity.ivfAssign]] needs an argmax reduce; this
+    * decides per row), decisions bit-identical to the batch operator —
+    * StreamingSpec pins the parity and the shuffle-free plan.
+    */
+  def ivfAssignStream(vecs: DataFrame,
+      centroids: Seq[(Long, Array[Float])],
+      vecCol: String = "embedding"): DataFrame = {
+    val best = graft.operators.Similarity.ivfAssignFrozen(col(vecCol), centroids)
+    vecs.withColumn("_best", best)
+      .withColumn("cluster_id", col("_best.cluster_id"))
+      .withColumn("cosine", col("_best.cosine"))
+      .drop("_best")
+  }
+
   // public: the Dataset encoders' generated code instantiates these
   final case class OutlierIn(k: String, ts: Timestamp,
       raw: Option[Double], dec: Option[BigDecimal])
@@ -591,12 +616,14 @@ object Streams {
     * slot but contribute nothing, matching the batch frame.
     *
     * `idleTimeout = Some(d)` expires keys that stop emitting, so total state
-    * stays bounded by the ACTIVE key set (the production setting at 100 TB —
+    * stays bounded by the ACTIVE key set (opt IN for production at 100 TB —
     * monitored series come and go; an expired key that reappears restarts
-    * its trailing window cold, exactly like a fresh key). As with
-    * [[carryForward]], a processing-time timeout schedules continuous
-    * timeout-check batches, so tests driving the stream with
-    * `processAllAvailable` should pass None.
+    * its trailing window cold, exactly like a fresh key — a DIFFERENT
+    * detection behavior after gaps, which is why it is not the default).
+    * The default `None` keeps state forever and detection decisions
+    * identical across gaps. As with [[carryForward]], a processing-time
+    * timeout schedules continuous timeout-check batches, so tests driving
+    * the stream with `processAllAvailable` must use the `None` default.
     */
   /** [[outlierStream]] wired to webhook delivery — monitor-grade streaming
     * alerting: each micro-batch's VIOLATION points post as one
@@ -640,7 +667,7 @@ object Streams {
       keyCol: org.apache.spark.sql.Column, valCol: org.apache.spark.sql.Column,
       window: Int, threshold: Double, consecutive: Int = 1,
       direction: String = "+-",
-      idleTimeout: Option[String] = Some("30 minutes")): Dataset[OutlierPoint] = {
+      idleTimeout: Option[String] = None): Dataset[OutlierPoint] = {
     require(window >= 1, s"window must be >= 1: $window")
     require(consecutive >= 1, s"consecutive must be >= 1: $consecutive")
     require(Set("+", "-", "+-")(direction),

@@ -20,6 +20,15 @@ class MonitorsSpec extends SparkSpec {
   private def mkTmp(): String =
     Files.createTempDirectory("graft-monitors").toString
 
+  // outcomes carry a real wall clock; equality asserts compare the
+  // deterministic fields and check the clock separately
+  private def bare(o: Monitors.Outcome): Monitors.Outcome = {
+    assert(o.elapsedMs >= 0, s"elapsedMs must be recorded: $o")
+    o.copy(elapsedMs = -1L)
+  }
+  private def bare(os: Seq[Monitors.Outcome]): Seq[Monitors.Outcome] =
+    os.map(bare)
+
   // error logs: 3 hosts, each with an epoch-ms timestamp in the message
   private def logsDf = {
     val s = spark
@@ -74,7 +83,7 @@ class MonitorsSpec extends SparkSpec {
       val outcomes = Monitors.tick(logsDf, Seq(fireM, suppressM), poster)
       // 3 hosts × 20 distinct timestamps = 60 result rows: fire crosses
       // its >10 threshold, suppress stays under >1000
-      assert(outcomes == Seq(
+      assert(bare(outcomes) == Seq(
         Monitors.Outcome("errors-fire", 60, fired = true, postedRows = 60),
         Monitors.Outcome("errors-suppress", 60, fired = false, postedRows = 0)))
       val reqs = received.asScala.toSeq
@@ -142,7 +151,7 @@ class MonitorsSpec extends SparkSpec {
       val m = Monitors.Monitor("capped", monitorQuery,
         Monitors.Threshold(">", 0), conn, maxRows = 5)
       val out = Monitors.tick(logsDf, Seq(m), new SumoSink.HttpPoster(conn.url))
-      assert(out == Seq(Monitors.Outcome("capped", 60, fired = true, postedRows = 5)))
+      assert(bare(out) == Seq(Monitors.Outcome("capped", 60, fired = true, postedRows = 5)))
       // 5 rows on the wire, and the Rows field is a STRINGIFIED array
       // (the reference defaultPayload / parseRequest double-parse shape)
       assert(received.get().contains("\"Rows\":\"[") )
@@ -168,8 +177,8 @@ class MonitorsSpec extends SparkSpec {
         Monitors.Threshold(">", 30), conn, notifyOncePerBreach = true)
       val poster = new SumoSink.HttpPoster(conn.url)
       val state = new Monitors.BreachState
-      def tickWith(rows: Int) = Monitors.tick(
-        logsDf.limit(rows), Seq(m), poster, state = state).head
+      def tickWith(rows: Int) = bare(Monitors.tick(
+        logsDf.limit(rows), Seq(m), poster, state = state).head)
       // breach opens: posts once
       assert(tickWith(60) ==
         Monitors.Outcome("episodic", 60, fired = true, postedRows = 60))
@@ -223,7 +232,7 @@ class MonitorsSpec extends SparkSpec {
       val bad = out.head
       assert(bad.fired && bad.postedRows == 0 &&
         bad.deliveryError != null && bad.deliveryError.contains("503"))
-      assert(out(1) ==
+      assert(bare(out(1)) ==
         Monitors.Outcome("healthy-webhook", 60, fired = true, postedRows = 60))
       assert(goodHits.get() == 1)
       // per-monitor isolation within ONE tick: the failing monitor first,
@@ -256,8 +265,8 @@ class MonitorsSpec extends SparkSpec {
         Monitors.Threshold(">", 30), conn, notifyOncePerBreach = true)
       val poster = new SumoSink.HttpPoster(conn.url)
       val state = new Monitors.BreachState
-      def tickOnce() = Monitors.tick(logsDf, Seq(m), poster,
-        state = state, retries = 1, retrySeedMs = 1).head
+      def tickOnce() = bare(Monitors.tick(logsDf, Seq(m), poster,
+        state = state, retries = 1, retrySeedMs = 1).head)
       // webhook down: the crossing fires but does not deliver — the episode
       // is NOT marked notified
       val failed = tickOnce()
@@ -270,6 +279,44 @@ class MonitorsSpec extends SparkSpec {
       // and only now do repeats suppress
       assert(tickOnce().suppressed)
     } finally server.stop(0)
+  }
+
+  test("parallel tick: a 3-retry-failing webhook does not delay an independent monitor beyond its own eval time") {
+    // badM's webhook fails every attempt with a LONG linear backoff
+    // (2s + 4s = 6s of sleeps); goodM shares the same tick. With parallel
+    // evaluation the good monitor's outcome completes on its own clock —
+    // the failing monitor's backoff never serializes in front of it.
+    val goodPostedAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val tickStart = System.nanoTime()
+    val poster = new SumoSink.BucketPoster {
+      def post(headers: Map[String, String], body: Array[Byte]): Unit =
+        headers.get("x-target") match {
+          case Some("bad") => throw new java.io.IOException("always down")
+          case _ => goodPostedAt.set(System.nanoTime()); ()
+        }
+    }
+    val badM = Monitors.Monitor("slow-failing", monitorQuery,
+      Monitors.Threshold(">", 10),
+      Monitors.Connection("bad", "http://bad.invalid/hook",
+        headers = Map("x-target" -> "bad")))
+    val goodM = Monitors.Monitor("independent", monitorQuery,
+      Monitors.Threshold(">", 10),
+      Monitors.Connection("good", "http://good.invalid/hook",
+        headers = Map("x-target" -> "good")))
+    val out = Monitors.tick(logsDf, Seq(badM, goodM), poster,
+      retries = 2, retrySeedMs = 2000)
+    // registry order preserved even though completion order differs
+    assert(out.map(_.monitor) == Seq("slow-failing", "independent"))
+    val bad = out.head
+    val good = out(1)
+    assert(bad.fired && bad.deliveryError != null && bad.elapsedMs >= 6000,
+      s"bad monitor must burn its own backoff: $bad")
+    assert(good.fired && good.postedRows == 60 && good.deliveryError == null)
+    assert(good.elapsedMs < 5000,
+      s"independent monitor delayed by the failing one: $good")
+    val goodWallMs = (goodPostedAt.get() - tickStart) / 1000000L
+    assert(goodWallMs < 5000,
+      s"independent monitor's post waited ${goodWallMs}ms — not isolated")
   }
 
   test("registry: monitors persist and reload field-exact; listing sorted; missing is loud") {

@@ -1066,6 +1066,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected) // bitwise — the same frozen-kernel plan
   }
 
+  test("round-15 streaming IVF coarse assignment at ingest == batch ivfAssign, bit-for-bit, shuffle-free") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(15)
+    val raw = (0 until 56).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    // force EXACT cosine ties: rows 56/57 duplicate centroid 2's vector,
+    // which centroids 2 AND 12 share — the lowest centroid id must win in
+    // both engines (the batch max(struct) order vs the kernel's compare)
+    val centDf = (raw.take(4) :+ ((12L, raw(2)._2)))
+      .toDF("cid", "cvec")
+    val vecs = raw ++ Seq((56L, raw(2)._2), (57L, raw(2)._2))
+    val frozen = Similarity.collectCentroids(centDf, col("cid"), col("cvec"))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val assigned = Streams.ivfAssignStream(
+      input.toDF().toDF("vec_id", "embedding"), frozen)
+    val q = assigned.writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("append").start()
+    input.addData(vecs.take(30): _*)
+    q.processAllAvailable()
+    input.addData(vecs.drop(30): _*) // stateless ⇒ second batch, same kernel
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivf_stream")
+      .select("vec_id", "cluster_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = Similarity.ivfAssign(vecs.toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), centDf, col("cid"), col("cvec"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed == batch) // bitwise, ties to centroid 2 (never 12)
+    assert(streamed(56L)._1 == 2L && streamed(57L)._1 == 2L)
+    // the serving stage is one stateless projection: NO exchange anywhere
+    // (the batch operator needs an argmax shuffle; this is the point)
+    val served = Streams.ivfAssignStream(
+      vecs.toDF("vec_id", "embedding"), frozen)
+    val exchanges = served.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, served.queryExecution.executedPlan.toString)
+  }
+
   test("round-14 streaming outlier: bands == batch stage, consecutive run survives the batch boundary") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -455,6 +455,85 @@ class TrainingDataOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq append: frozen-codebook append == full build; crash replay is exactly-once; drift gate throws") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 2)
+    val batch = emb.filter(col("vec_id") % 3 === 2)
+    Similarity.buildIvfPqIndex(
+      base, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb, path)
+    def storedTopk() = Similarity.ivfPqTopKStored(
+        spark, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val preAppend = storedTopk()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def b7Files(): Seq[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+      .flatMap(p => fs.listStatus(p.getPath))
+      .map(f => f.getPath.getParent.getName + "/" + f.getPath.getName)
+      .filter(_.contains("part-b7-")).toSeq.sorted
+    // CRASHED append: a real append whose commit marker then vanishes is
+    // byte-for-byte the crash-after-land-before-commit state
+    Similarity.appendToIvfPqIndex(spark, path, batch,
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb,
+      batchId = 7)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/b7"), false)
+    val landed = b7Files()
+    assert(landed.nonEmpty)
+    // uncommitted files are invisible to readers
+    assert(storedTopk() == preAppend)
+    // REPLAY: sweeps its own leftovers, re-lands, commits — exactly-once
+    Similarity.appendToIvfPqIndex(spark, path, batch,
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb,
+      batchId = 7)
+    assert(b7Files() == landed) // re-landed, never duplicated
+    val afterAppend = storedTopk()
+    // committed: the stored index now answers exactly like the inline
+    // operator over the FULL corpus (same frozen cents + codebook)
+    val inlineFull = Similarity.ivfPqTopK(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterAppend == inlineFull)
+    // at-least-once caller replays a COMMITTED batch: complete no-op
+    Similarity.appendToIvfPqIndex(spark, path, batch,
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb,
+      batchId = 7)
+    assert(b7Files() == landed && storedTopk() == afterAppend)
+    // drift probe: negated vectors quantize strictly worse under the frozen
+    // centroids than the matched batch (same distribution as training)
+    val drifted = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(-1.0f)).as("embedding"))
+    val (driftErr, trainErr) = Similarity.ivfDrift(spark, path, drifted,
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"))
+    val (batchErr, _) = Similarity.ivfDrift(spark, path, batch,
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"))
+    assert(trainErr > 0 && batchErr < driftErr,
+      s"negated batch must quantize worse: batch=$batchErr drift=$driftErr train=$trainErr")
+    // a gate set between the matched and drifted ratios: the matched batch
+    // clears it (the require's own arithmetic) and the drifted batch must
+    // throw BEFORE landing anything
+    val gate = (batchErr + driftErr) / 2 / trainErr
+    assert(batchErr <= gate * math.max(trainErr, 1e-9))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(spark, path, drifted,
+        col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb,
+        batchId = 8, driftFactor = gate)
+    }
+    assert(err.getMessage.contains("centroid drift"), err.getMessage)
+    assert(b7Files() == landed && !fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/_commits/b8")))
+  }
+
   test("batch ANN: each query's rows equal its single-query brute force") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
@@ -1071,6 +1150,89 @@ class TrainingDataOpsSpec extends SparkSpec {
       assert(Multimodal.ImageIoCodec.resize(png(0), 0, 8, 3).isEmpty)
       assert(Multimodal.ImageIoCodec.resize(png(0), 8, -1, 3).isEmpty)
     } finally s.conf.set("spark.graft.multimodal.codec", "fake")
+  }
+
+  test("multimodal: perceptual-hash near-dup — a planted pixel edit clusters with its original over real PNGs") {
+    val s = spark
+    import s.implicits._
+    // 64×64 grayscale gradient (luma = 3x): every 9×8 cell mean strictly
+    // increases along x, so the dHash is all-ones. `patch` blacks out a
+    // 6×8 block INSIDE grid cell (row 0, col 4) — one cell mean collapses,
+    // flipping exactly the one comparison where that cell stops beating
+    // its left neighbor. `flip` reverses the gradient (all-zeros hash).
+    def img(reversed: Boolean, patch: Boolean): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g0 = if (reversed) 189 - x * 3 else x * 3
+        val g = if (patch && x >= 29 && x <= 34 && y < 8) 0 else g0
+        b.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "png", bos)
+      bos.toByteArray
+    }
+    val codec = Multimodal.ImageIoCodec
+    val hBase = Multimodal.dHash64(codec.lumaGrid(img(false, false), 9, 8))
+    val hNear = Multimodal.dHash64(codec.lumaGrid(img(false, true), 9, 8))
+    val hFar = Multimodal.dHash64(codec.lumaGrid(img(true, false), 9, 8))
+    assert(hBase == -1L) // strictly increasing cells ⇒ all 64 bits set
+    assert(java.lang.Long.bitCount(hBase ^ hNear) == 1, // the planted flip
+      s"hamming(base, near) = ${java.lang.Long.bitCount(hBase ^ hNear)}")
+    assert(java.lang.Long.bitCount(hBase ^ hFar) > 32)
+    val media = Seq(
+      (10L, img(false, false)), // base
+      (11L, img(false, true)), // near-dup of 10
+      (12L, img(true, false)), // unrelated
+      (13L, Array[Byte](9, 9, 9))) // undecodable: null hash, dropped
+      .toDF("media_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(
+      media, col("media_id"), col("content"), maxHamming = 3, codec = codec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((10L, 11L, 1L)))
+    val clusters = Multimodal.imageNearDupClusters(
+      media, col("media_id"), col("content"), maxHamming = 3, codec = codec)
+      .orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.toSeq == Seq((10L, 10L), (11L, 10L)))
+    // aHash over the same luma path: the gradient's bright half sits above
+    // the mean — 32 bits set; the near-dup stays within a couple of bits
+    val aBase = Multimodal.aHash64(codec.lumaGrid(img(false, false), 8, 8))
+    val aNear = Multimodal.aHash64(codec.lumaGrid(img(false, true), 8, 8))
+    assert(java.lang.Long.bitCount(aBase) == 32)
+    assert(java.lang.Long.bitCount(aBase ^ aNear) <= 2)
+  }
+
+  test("dedup: sketchPairs banded candidates are EXACT vs brute force, including uneven band widths") {
+    val s = spark
+    import s.implicits._
+    // 64-bit sketches with maxHamming=2 ⇒ 3 bands of 21/21/22 bits — the
+    // remainder-fold case the pigeonhole proof must still cover. Seeded
+    // corpus: 60 random bases + perturbed copies at 1, 2, and 3 bit flips
+    // (the 3-flip neighbors must NOT pair at maxHamming=2).
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.fill(60)(rnd.nextLong())
+    val rows = bases.zipWithIndex.flatMap { case (v, i) =>
+      val id = i * 10L
+      def flip(n: Int): Long = {
+        var x = v
+        val picked = scala.collection.mutable.Set.empty[Int]
+        while (picked.size < n) picked += rnd.nextInt(64)
+        picked.foreach(b => x ^= 1L << b)
+        x
+      }
+      Seq((id, v), (id + 1, flip(1)), (id + 2, flip(2)), (id + 3, flip(3)))
+    }
+    val got = graft.operators.Dedup.sketchPairs(
+      rows.toDF("doc_id", "sim"), totalBits = 64, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      (a, va) <- rows; (b, vb) <- rows if a < b
+      h = java.lang.Long.bitCount(va ^ vb) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    assert(expected.nonEmpty && expected.exists(_._3 == 1L) &&
+      expected.exists(_._3 == 2L))
+    assert(got == expected)
   }
 
   test("multimodal: VideoCodec decodes real MJPEG AVIs end-to-end") {
@@ -1982,6 +2144,28 @@ class TrainingDataOpsSpec extends SparkSpec {
       (0.9, 1L, 1.0, 0.5), // keep ≥0.9: 1 kept, all positive, half recall
       (0.5, 3L, round6(2.0 / 3), 1.0), // ties share the row
       (0.1, 4L, 0.5, 1.0)))
+  }
+
+  test("quality classifier: prCurve throws loudly on an oversized evaluation set instead of crawling") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.prcurve.maxGroups", "16")
+    try {
+      // 40 distinct scores > the 16 cap — misuse (a corpus fed to an
+      // analysis surface) must throw with the sampled alternative named
+      val scored = (1 to 40)
+        .map(i => (i.toLong, i / 100.0, i % 2 == 0))
+        .toDF("doc_id", "nb_score", "y")
+      val err = intercept[IllegalArgumentException] {
+        graft.operators.QualityClassifier.prCurve(scored, col("y")).collect()
+      }
+      assert(err.getMessage.contains("spark.graft.prcurve.maxGroups") &&
+        err.getMessage.contains("hashSample"), err.getMessage)
+      // under the cap, the curve still computes
+      s.conf.set("spark.graft.prcurve.maxGroups", "64")
+      assert(graft.operators.QualityClassifier.prCurve(scored, col("y"))
+        .count() == 40)
+    } finally s.conf.unset("spark.graft.prcurve.maxGroups")
   }
 
   private def round6(d: Double): Double =
