@@ -865,6 +865,51 @@ object Scratch {
         f"(fixed-64 would be ${64 * stateBytes / 1024 / 1024} MiB) " +
         f"mean0=$mean0%.4f")
     }
+    // Perceptual-hash near-dup rungs (round 15): SPARK_GRAFT_PHASH_SCALE=
+    // <n>[,<n>...] — n synthetic 512-byte media rows, groups of ~16 ids
+    // share one md5-chain blob (pure-SQL generation, no UDF/join), every
+    // third id gets a one-byte tweak at a grid-sampled offset. The scale
+    // claims: the hash pass is ONE narrow map over the media column, and
+    // pairs/clusters cost lives in 16-byte sketch space (distinct sketches
+    // ≈ n/16 pristine + tweak variants, never doc-space quadratics) with
+    // output-sized expansion.
+    sys.env.get("SPARK_GRAFT_PHASH_SCALE").foreach { spec =>
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        val groups = math.max(n / 16, 1)
+        val media = graft.operators.Pins.pin(spark.range(0, n, 1, 32)
+          .select(col("id").as("media_id"),
+            expr(s"unhex(substring(concat_ws('', transform(sequence(0, 31), " +
+              s"b -> md5(concat(cast(id % $groups as string), ':', " +
+              "cast(b as string))))), 1, 1024))").as("content"))
+          .select(col("media_id"),
+            // byte 43 (1-indexed) is grid-sampled at len=512 (cell 6 reads
+            // floor(6*512/72) = 42 0-indexed), so the tweak is hash-visible
+            when(col("media_id") % 3 === 0,
+              concat(substring(col("content"), 1, 42),
+                unhex(lpad(hex(col("media_id") % 251), 2, "0")),
+                expr("substring(content, 44, 2147483647)")))
+              .otherwise(col("content")).as("content")))
+        time(s"phash n=$n hash pass") {
+          graft.operators.Multimodal.pHash(media, col("media_id"), col("content"))
+            .write.format("noop").mode("overwrite").save()
+          n
+        }
+        var pairs = 0L
+        time(s"phash n=$n pairs") {
+          pairs = graft.operators.Multimodal.imageNearDupPairs(
+            media, col("media_id"), col("content")).count()
+          pairs
+        }
+        var clustered = 0L
+        time(s"phash n=$n clusters") {
+          clustered = graft.operators.Multimodal.imageNearDupClusters(
+            media, col("media_id"), col("content")).count()
+          clustered
+        }
+        println(s"[scratch] phash n=$n groups=$groups pairs=$pairs " +
+          s"clustered=$clustered")
+      }
+    }
     // extra args = query names, timed warm against a noop sink (full declared
     // plan, codegen already compiled) — the per-query drill-down the bench's
     // cold single-shot numbers can't give

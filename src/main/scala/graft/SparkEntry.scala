@@ -2356,6 +2356,15 @@ object SparkEntry {
         phashMedia(s, dir), col("media_id"), col("content"), maxHamming = 3),
         "media_id")
     }),
+    // ---- aHash over the same planted corpus: 8×8 grid, bit = strictly
+    //      above the integer mean (64·cell > Σcells — exact arithmetic);
+    //      the oracle re-derives every hash from the md5 hex ----
+    "q193_image_ahash" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      Multimodal.pHash(phashMedia(s, dir), col("media_id"), col("content"),
+          kind = "ahash")
+        .orderBy("media_id")
+    }),
     // ---- incremental IVF-PQ maintenance: build on 2/3 of the corpus,
     //      append the rest with the FROZEN centroids + codebook (stage →
     //      deterministic part-b<id> names → _commits marker, the LogStore
@@ -2996,7 +3005,7 @@ object SparkEntry {
     * proof that the Spark side's pigeonhole candidate join misses nothing.
     * Ends with `pairs(media_a, media_b, hamming)`.
     */
-  private val phashPairsCte: String =
+  private val phashCorpusCte: String =
     """ids AS (SELECT vec_id::BIGINT AS media_id, (vec_id % 64)::BIGINT AS seed
               FROM embeddings),
          seeds AS (SELECT DISTINCT seed, (256 + seed % 4096)::INT AS len FROM ids),
@@ -3013,7 +3022,10 @@ object SparkEntry {
                     || lpad(lower(hex(i.media_id % 251)), 2, '0')
                     || substring(b.h, 83)
                ELSE b.h END AS h
-           FROM ids i JOIN blobs b USING (seed)),
+           FROM ids i JOIN blobs b USING (seed))"""
+
+  private val phashPairsCte: String =
+    s"""$phashCorpusCte,
          grids AS (
            SELECT media_id,
              list_transform(range(0, 72),
@@ -5317,6 +5329,24 @@ object SparkEntry {
     // same semantics as the inline IVF-PQ top-k (q148) — the append-
     // maintained stored path must answer identically on the full corpus
     "q192_ivf_pq_append" -> ivfPqOracleSql,
+    // aHash re-derived per media row: 8×8 nearest-neighbor byte grid, bit k
+    // set iff 64·cell_k > Σcells (the kernel's exact integer mean compare);
+    // bit 63 is the min-long literal (DuckDB throws on 1 << 63)
+    "q193_image_ahash" ->
+      s"""WITH $phashCorpusCte,
+         g8 AS (
+           SELECT media_id,
+             list_transform(range(0, 64),
+               i -> ('0x'||substring(h, (2*((i*len)//64)+1)::INT, 2))::BIGINT) AS cells
+           FROM tweaked),
+         g9 AS (SELECT media_id, cells, list_sum(cells)::BIGINT AS s FROM g8)
+         SELECT media_id,
+           list_sum(list_transform(range(0, 64),
+             k -> CASE WHEN 64*cells[k+1] > s
+                  THEN CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+                       ELSE (1::BIGINT << k) END
+                  ELSE 0 END))::BIGINT AS phash
+         FROM g9 ORDER BY media_id""",
     "q190_image_phash_neardup" ->
       s"""WITH $phashPairsCte
          SELECT media_a, media_b, hamming FROM pairs
