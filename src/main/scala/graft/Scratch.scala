@@ -865,6 +865,54 @@ object Scratch {
         f"(fixed-64 would be ${64 * stateBytes / 1024 / 1024} MiB) " +
         f"mean0=$mean0%.4f")
     }
+    // ANN append-vs-rebuild rungs (round 15): SPARK_GRAFT_ANN_APPEND=
+    // <n>[,<n>...] — build an IVF-PQ index over n synthetic d=32 vectors,
+    // then land a 10% batch two ways: appendToIvfPqIndex (frozen
+    // centroids+codebook, one narrow pass over the BATCH, incl. the drift
+    // probe) vs a full rebuild over n + n/10 (what train-once forces).
+    // The claim: append cost tracks the batch, rebuild tracks the corpus.
+    sys.env.get("SPARK_GRAFT_ANN_APPEND").foreach { spec =>
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        val d = 32
+        def vecsFor(from: Long, until: Long) =
+          spark.range(from, until, 1, 32)
+            .select(col("id").as("vec_id"),
+              expr(s"cast(transform(sequence(0, ${d - 1}), i -> " +
+                "cast(conv(substring(md5(concat(cast(id as string), ':', " +
+                "cast(i as string))), 1, 8), 16, 10) as double) " +
+                "/ 4294967295.0 - 0.5) as array<float>)").as("embedding"))
+        val corpus = graft.operators.Pins.pin(vecsFor(0, n))
+        val batch = graft.operators.Pins.pin(vecsFor(n, n + n / 10))
+        val cents = corpus.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val cb = graft.operators.Similarity.pqCodebook(
+          corpus.filter(col("vec_id") < 256), col("vec_id"), col("embedding"),
+          m = 8)
+        val path = java.nio.file.Files
+          .createTempDirectory(s"ann-append-$n").toString
+        time(s"ann n=$n build") {
+          graft.operators.Similarity.buildIvfPqIndex(corpus,
+            col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+            cb, path)
+          n
+        }
+        time(s"ann n=$n append 10%") {
+          graft.operators.Similarity.appendToIvfPqIndex(spark, path, batch,
+            col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+            cb, batchId = 1)
+          n / 10
+        }
+        val path2 = java.nio.file.Files
+          .createTempDirectory(s"ann-rebuild-$n").toString
+        time(s"ann n=$n rebuild 110%") {
+          graft.operators.Similarity.buildIvfPqIndex(
+            corpus.unionByName(batch),
+            col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+            cb, path2)
+          n + n / 10
+        }
+      }
+    }
     // Perceptual-hash near-dup rungs (round 15): SPARK_GRAFT_PHASH_SCALE=
     // <n>[,<n>...] — n synthetic 512-byte media rows, groups of ~16 ids
     // share one md5-chain blob (pure-SQL generation, no UDF/join), every

@@ -537,9 +537,16 @@ object Similarity {
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new HPath(s"$path/_commits/b$batchId")
     if (fs.exists(marker)) return // committed: the replay is a no-op
+    // ONE assignment pass serves both the drift probe and the landing
+    // (pinned — the probe aggregate and the landing join re-read 24-byte
+    // rows instead of re-running the broadcast argmax over the batch)
+    val assigned = Pins.pin(
+      ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec))
     if (ModelStore.pathExists(spark, s"$path/_meta/train_stats")) {
-      val (batchErr, trainErr) = ivfDrift(
-        spark, path, df, idCol, vecCol, centroids, centroidId, centroidVec)
+      val r = assigned.agg(avg(lit(1.0) - col("cosine"))).head()
+      val batchErr = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      val trainErr = spark.read.parquet(s"$path/_meta/train_stats")
+        .head().getAs[Double]("mean_err")
       // the epsilon floor keeps a near-zero training error (degenerate
       // perfectly-clustered corpus) from rejecting every real batch
       require(batchErr <= driftFactor * math.max(trainErr, 1e-9),
@@ -550,13 +557,17 @@ object Similarity {
           "raise driftFactor deliberately.")
     }
     // stage the encoded batch OUTSIDE the live tree (underscore dir —
-    // doubly invisible: hidden from the scan, and unreferenced by readers)
+    // doubly invisible: hidden from the scan, and unreferenced by readers).
+    // Clustered repartition first: a raw partitionBy write fans out up to
+    // tasks × clusters files (2k tiny files for a 10k-row batch at 32
+    // threads × 64 centroids) — one batch-sized shuffle lands ONE file per
+    // populated centroid instead, which is also what the read path wants.
     val stage = s"$path/_stage/b$batchId"
-    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
-      .select(col("vec_id"), col("cluster_id"))
     df.select(idCol.as("vec_id"), pqEncode(vecCol, codebook).as("codes"))
-      .join(assigned, "vec_id")
+      .join(assigned.select(col("vec_id"), col("cluster_id")), "vec_id")
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(stage)
+    assigned.unpersist()
     // land per cluster partition under deterministic batch names; sweep
     // THIS batch's leftovers first (marker absent ⇒ they are garbage from
     // an interrupted previous attempt of this same batch)

@@ -1111,6 +1111,65 @@ class StreamingSpec extends SparkSpec {
     assert(exchanges.isEmpty, served.queryExecution.executedPlan.toString)
   }
 
+  test("round-15 streaming index maintenance: foreachBatch appendToIvfPqIndex lands micro-batches exactly-once") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import graft.operators.Similarity
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-stream").toString
+    // offline build over 2/3 of the corpus; the stream appends the rest
+    Similarity.buildIvfPqIndex(
+      emb.filter(col("vec_id") % 3 =!= 2), col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), cb, path)
+    val late = emb.filter(col("vec_id") % 3 === 2)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val seenBatches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        seenBatches.add(batchId)
+        Similarity.appendToIvfPqIndex(s, path, batch,
+          col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+          cb, batchId = batchId)
+      }
+      .start()
+    input.addData(late.take(late.size / 2): _*)
+    q.processAllAvailable()
+    input.addData(late.drop(late.size / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(seenBatches.size >= 2)
+    def storedTopk() = Similarity.ivfPqTopKStored(
+        spark, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val after = storedTopk()
+    val inlineFull = Similarity.ivfPqTopK(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == inlineFull)
+    // an at-least-once REPLAY of every delivered micro-batch (checkpoint
+    // recovery re-runs foreachBatch with the same batchId) is a no-op:
+    // the commit markers make each append idempotent
+    import scala.jdk.CollectionConverters._
+    seenBatches.asScala.foreach { bid =>
+      Similarity.appendToIvfPqIndex(s, path,
+        late.toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, batchId = bid)
+    }
+    assert(storedTopk() == after)
+  }
+
   test("round-14 streaming outlier: bands == batch stage, consecutive run survives the batch boundary") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
