@@ -2365,6 +2365,19 @@ object SparkEntry {
           kind = "ahash")
         .orderBy("media_id")
     }),
+    // ---- video near-dup by frame-slot agreement: sample 4 frames per
+    //      media row, dHash each, pair media whose SAME frame slots carry
+    //      hashes within Hamming 3 on ≥3 of 4 slots (the time-aligned
+    //      re-encode/watermark reading). The oracle re-derives the frame
+    //      slices (FakeCodec stride arithmetic), per-frame grids + hashes,
+    //      and brute-forces the per-slot sketch pairs. ----
+    "q194_video_frame_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      pinSorted(Multimodal.videoNearDupPairs(
+        phashMedia(s, dir), col("media_id"), col("content"),
+        n = 4, frameBytes = 64, maxHamming = 3, minShared = 3),
+        "media_a", "media_b")
+    }),
     // ---- incremental IVF-PQ maintenance: build on 2/3 of the corpus,
     //      append the rest with the FROZEN centroids + codebook (stage →
     //      deterministic part-b<id> names → _commits marker, the LogStore
@@ -5329,6 +5342,55 @@ object SparkEntry {
     // same semantics as the inline IVF-PQ top-k (q148) — the append-
     // maintained stored path must answer identically on the full corpus
     "q192_ivf_pq_append" -> ivfPqOracleSql,
+    // frame slices re-derived with FakeCodec's stride arithmetic
+    // (stride = len//4, every slice exactly 64 bytes at len in [256,320)),
+    // per-frame 9×8 grid + dHash, per-SLOT brute-forced sketch pairs, then
+    // the ≥3-of-4 slot agreement rollup
+    "q194_video_frame_neardup" ->
+      s"""WITH $phashCorpusCte,
+         fr AS (
+           SELECT media_id, f::BIGINT AS frame_idx,
+             substring(h, (2*(f*(len//4))+1)::INT, 128) AS fh
+           FROM tweaked, range(0,4) t(f)),
+         g AS (
+           SELECT media_id, frame_idx,
+             list_transform(range(0, 72),
+               j -> ('0x'||substring(fh, (2*((j*8)//9)+1)::INT, 2))::BIGINT) AS cells
+           FROM fr),
+         hashed AS (
+           SELECT media_id, frame_idx,
+             list_sum(list_transform(range(0, 64),
+               k -> CASE WHEN cells[(k//8)*9 + (k%8) + 2] > cells[(k//8)*9 + (k%8) + 1]
+                    THEN CASE WHEN k = 63 THEN (-9223372036854775807 - 1)
+                         ELSE (1::BIGINT << k) END
+                    ELSE 0 END))::BIGINT AS ph
+           FROM g),
+         dh AS (SELECT DISTINCT frame_idx, ph FROM hashed),
+         shp AS (
+           SELECT a.frame_idx, a.ph AS ph_a, b.ph AS ph_b,
+             bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+           FROM dh a JOIN dh b ON a.frame_idx = b.frame_idx AND a.ph < b.ph
+           WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+         same_f AS (
+           SELECT x.media_id AS media_a, y.media_id AS media_b,
+             x.frame_idx, 0::BIGINT AS hamming
+           FROM hashed x JOIN hashed y
+             ON x.frame_idx = y.frame_idx AND x.ph = y.ph
+               AND x.media_id < y.media_id),
+         cross_f AS (
+           SELECT least(x.media_id, y.media_id) AS media_a,
+             greatest(x.media_id, y.media_id) AS media_b,
+             s.frame_idx, s.hamming
+           FROM shp s
+           JOIN hashed x ON x.frame_idx = s.frame_idx AND x.ph = s.ph_a
+           JOIN hashed y ON y.frame_idx = s.frame_idx AND y.ph = s.ph_b),
+         pf AS (SELECT * FROM same_f UNION ALL SELECT * FROM cross_f)
+         SELECT media_a, media_b,
+           count(DISTINCT frame_idx)::BIGINT AS shared_frames,
+           sum(hamming)::BIGINT AS hamming_total
+         FROM pf GROUP BY media_a, media_b
+         HAVING count(DISTINCT frame_idx) >= 3
+         ORDER BY media_a, media_b""",
     // aHash re-derived per media row: 8×8 nearest-neighbor byte grid, bit k
     // set iff 64·cell_k > Σcells (the kernel's exact integer mean compare);
     // bit 63 is the min-long literal (DuckDB throws on 1 << 63)

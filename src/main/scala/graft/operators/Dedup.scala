@@ -280,26 +280,32 @@ object Dedup {
   /** The banded-Hamming machinery behind [[simhashPairs]], generalized to
     * any ≤64-bit sketch column — [[Multimodal.imageNearDupPairs]] feeds
     * 64-bit perceptual hashes through the same candidate join. Input is
-    * `(doc_id, sim)`; output is `(doc_a, doc_b, hamming)` with
-    * `doc_a < doc_b` and `hamming ≤ maxHamming`, exact by the pigeonhole
-    * argument (maxHamming+1 bands; uneven widths fold the remainder bits
-    * into the LAST band, so every bit is covered and the guarantee holds).
-    * See [[simhashPairs]] for the distinct-sketch-space design rationale.
+    * `(doc_id, sim [, groupCols…])`; output is
+    * `(doc_a, doc_b, hamming [, groupCols…])` with `doc_a < doc_b` and
+    * `hamming ≤ maxHamming`, exact by the pigeonhole argument
+    * (maxHamming+1 bands; uneven widths fold the remainder bits into the
+    * LAST band, so every bit is covered and the guarantee holds).
+    * `groupCols` scope the comparison: only sketches with EQUAL group
+    * values pair (e.g. [[Multimodal.videoNearDupPairs]] matches frame
+    * hashes per frame slot), and the output keeps one row per
+    * (pair, group). See [[simhashPairs]] for the distinct-sketch-space
+    * design rationale.
     */
   private[graft] def sketchPairs(sketch: DataFrame, totalBits: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, groupCols: Seq[String] = Nil): DataFrame = {
     require(totalBits >= 1 && totalBits <= 64,
       s"sketchPairs: totalBits must be in [1, 64]: $totalBits")
     require(maxHamming >= 0 && maxHamming < totalBits,
       s"sketchPairs: maxHamming must be in [0, totalBits): $maxHamming")
     val nBands = maxHamming + 1
     val bitsPer = totalBits / nBands
+    val gCols = groupCols.map(col)
     // pin the sketch table: it feeds FOUR join branches below, and without
     // the pin each branch would re-run the whole text→sketch kernel (the
     // expensive part) over the corpus; pinned it is one pass + three cheap
     // re-reads of 16-byte rows
-    val sh = Pins.pin(sketch.select(col("doc_id"), col("sim")))
-    val sims = sh.select("sim").distinct()
+    val sh = Pins.pin(sketch.select(col("doc_id") +: col("sim") +: gCols: _*))
+    val sims = sh.select(col("sim") +: gCols: _*).distinct()
     // per-band (shift, mask) are plan-time literals; the last band absorbs
     // the remainder bits (width 64 needs no mask — the shift is 0)
     val bandVals = array((0 until nBands).map { b =>
@@ -308,16 +314,21 @@ object Dedup {
       val shifted = call_function("shiftright", col("sim"), lit(off))
       if (width >= 64) shifted else shifted.bitwiseAND((1L << width) - 1)
     }: _*)
-    val banded = sims.select(col("sim"),
-      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val banded = sims.select(col("sim") +: gCols :+
+      posexplode(bandVals).as(Seq("band_idx", "band_val")): _*)
+    def sameGroup(l: String, r: String) = groupCols
+      .map(g => col(s"$l.$g") === col(s"$r.$g"))
+      .foldLeft(lit(true))(_ && _)
     // verified sketch pairs: strict sim ordering halves the join, distinct
     // collapses multi-band agreement BEFORE any document fan-out
     val simPairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
+          sameGroup("a", "b") &&
           col("a.sim") < col("b.sim"))
-      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .select(col("a.sim").as("sim_a") +: col("b.sim").as("sim_b") +:
+        groupCols.map(g => col(s"a.$g")): _*)
       .distinct()
       .withColumn("hamming",
         hamming(col("sim_a"), col("sim_b")).cast("long"))
@@ -325,16 +336,20 @@ object Dedup {
     // identical-sketch cliques: all pairs, hamming 0 by construction
     val same = sh.alias("x")
       .join(sh.alias("y"),
-        col("x.sim") === col("y.sim") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0L).as("hamming"))
+        col("x.sim") === col("y.sim") && sameGroup("x", "y") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+        lit(0L).as("hamming") +: groupCols.map(g => col(s"x.$g")): _*)
     // cross-sketch pairs: expand each verified sketch pair through the two
-    // membership groups; least/greatest restores the doc_a < doc_b contract
+    // membership groups (group-scoped); least/greatest restores doc_a < doc_b
     val cross = simPairs
-      .join(sh.select(col("sim").as("sim_a"), col("doc_id").as("_ida")), "sim_a")
-      .join(sh.select(col("sim").as("sim_b"), col("doc_id").as("_idb")), "sim_b")
-      .select(least(col("_ida"), col("_idb")).as("doc_a"),
-        greatest(col("_ida"), col("_idb")).as("doc_b"), col("hamming"))
+      .join(sh.select(col("sim").as("sim_a") +: col("doc_id").as("_ida") +:
+        gCols: _*), "sim_a" +: groupCols)
+      .join(sh.select(col("sim").as("sim_b") +: col("doc_id").as("_idb") +:
+        gCols: _*), "sim_b" +: groupCols)
+      .select(least(col("_ida"), col("_idb")).as("doc_a") +:
+        greatest(col("_ida"), col("_idb")).as("doc_b") +:
+        col("hamming") +: gCols: _*)
     same.unionByName(cross)
   }
 

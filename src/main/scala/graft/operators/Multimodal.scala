@@ -730,13 +730,23 @@ object Multimodal {
       * useful-by-default reading for a container-level near-dup pass.
       */
     def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int] =
-      if (w <= 0 || h <= 0) Array.emptyIntArray
+      if (w <= 0 || h <= 0 || content == null || content.isEmpty)
+        Array.emptyIntArray
       else parseAvi(content) match {
-        case None => Array.emptyIntArray
         case Some((_, frames)) =>
           frames.iterator.flatMap(readFrame(content, _)).buffered.headOption
             .map(ImageIoCodec.pooledLuma(_, w, h))
             .getOrElse(Array.emptyIntArray)
+        case None =>
+          // not a container: treat the bytes as ONE bare frame — the shape
+          // [[sampleFrames]] emits (plain JPEGs), so per-frame hashing
+          // ([[Multimodal.framePHash]]) can feed frames back through the
+          // same codec
+          try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(content)))
+            .map(ImageIoCodec.pooledLuma(_, w, h))
+            .getOrElse(Array.emptyIntArray)
+          catch { case _: Exception => Array.emptyIntArray }
       }
 
     /** Every frame nearest-neighbor rescaled and re-encoded JPEG, container
@@ -972,6 +982,50 @@ object Multimodal {
       imageNearDupPairs(df, idCol, contentCol, maxHamming, kind, codec),
       "media_a", "media_b")
       .select(col("doc_id").as("media_id"), col("cluster_id"))
+
+  /** Per-frame perceptual hashes: `(media_id, frame_idx, phash)` — one
+    * narrow pass that samples `n` frames per media row and hashes each
+    * through the SAME codec (frame bytes are decodable on their own:
+    * byte slices for the stub, PNG bands for images, WAV slices for audio,
+    * bare JPEGs for video — [[VideoCodec.lumaGrid]] accepts both container
+    * and frame bytes). Undecodable frames hash to null.
+    */
+  def framePHash(df: DataFrame, idCol: Column, contentCol: Column, n: Int,
+      frameBytes: Int = 4096, kind: String = "dhash",
+      codec: Codec = null): DataFrame = {
+    val c = resolve(df, codec)
+    df.select(idCol.cast("long").as("media_id"),
+      posexplode(framesUdf(c)(contentCol, lit(n), lit(frameBytes)))
+        .as(Seq("frame_idx", "_frame")))
+      .select(col("media_id"), col("frame_idx"),
+        pHashUdf(c, kind)(col("_frame")).as("phash"))
+  }
+
+  /** Video near-duplicate pairs by frame-slot agreement: two media rows
+    * pair when at least `minShared` frame SLOTS (same `frame_idx`) carry
+    * perceptual hashes within `maxHamming` — the time-aligned reading that
+    * catches re-encodes/watermarks (most frames near-identical) without
+    * pairing videos that merely share one still. The candidate join is
+    * [[Dedup.sketchPairs]] scoped by `frame_idx`, so the machinery stays in
+    * 16-byte sketch space; output is
+    * `(media_a, media_b, shared_frames, hamming_total)`.
+    */
+  def videoNearDupPairs(df: DataFrame, idCol: Column, contentCol: Column,
+      n: Int = 4, frameBytes: Int = 4096, maxHamming: Int = 3,
+      minShared: Int = 3, kind: String = "dhash",
+      codec: Codec = null): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fr = framePHash(df, idCol, contentCol, n, frameBytes, kind, codec)
+      .filter(col("phash").isNotNull)
+    Dedup.sketchPairs(
+      fr.select(col("media_id").as("doc_id"), col("phash").as("sim"),
+        col("frame_idx")),
+      totalBits = 64, maxHamming = maxHamming, groupCols = Seq("frame_idx"))
+      .groupBy(col("doc_a").as("media_a"), col("doc_b").as("media_b"))
+      .agg(count_distinct(col("frame_idx")).as("shared_frames"),
+        sum(col("hamming")).as("hamming_total"))
+      .filter(col("shared_frames") >= minShared)
+  }
 
   /** Deterministic synthetic media corpus derived from a numeric id column —
     * the environment has no real media; tests and benches build content as

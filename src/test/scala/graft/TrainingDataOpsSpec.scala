@@ -1203,6 +1203,52 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(aBase ^ aNear) <= 2)
   }
 
+  test("multimodal: video frame near-dup — a one-frame pixel edit pairs with its original over real MJPEG AVIs") {
+    val s = spark
+    import s.implicits._
+    // 4-frame 64×64 MJPEG AVIs. Gradient frames (luma = 3x + 4f) dHash to
+    // all-ones per frame; `patchFrame` blacks a block inside grid cell
+    // (0,4) of ONE frame; `reversed` flips the gradient (all-zeros hash).
+    def jpegFrame(f: Int, reversed: Boolean, patch: Boolean): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val g0 = math.min(if (reversed) 189 - x * 3 else x * 3 + f * 4, 255)
+        val g = if (patch && x >= 29 && x <= 34 && y < 8) 0 else g0
+        b.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "jpg", bos)
+      bos.toByteArray
+    }
+    def avi(reversed: Boolean, patchFrame: Int): Array[Byte] =
+      Multimodal.VideoCodec.writeAvi(
+        (0 until 4).map(f => jpegFrame(f, reversed, f == patchFrame)),
+        64, 64, 40000L)
+    val media = Seq(
+      (20L, avi(reversed = false, patchFrame = -1)), // base
+      (21L, avi(reversed = false, patchFrame = 2)), // near-dup: 1 frame edited
+      (22L, avi(reversed = true, patchFrame = -1)), // unrelated
+      (23L, Array[Byte](7, 7))) // undecodable: every frame drops
+      .toDF("media_id", "content")
+    val codec = Multimodal.VideoCodec
+    val pairs = Multimodal.videoNearDupPairs(
+      media, col("media_id"), col("content"),
+      n = 4, maxHamming = 3, minShared = 3, codec = codec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 3 pristine slots agree exactly; the edited slot is within hamming 3
+    assert(pairs.toSeq == Seq((20L, 21L, 4L)))
+    // frame hashes really are per-slot: the edited slot differs, others not
+    val fh = Multimodal.framePHash(
+      media.filter(col("media_id") < 22), col("media_id"), col("content"),
+      n = 4, codec = codec)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert((0 until 4).count(f => fh((20L, f)) == fh((21L, f))) == 3)
+    val edited = (0 until 4).find(f => fh((20L, f)) != fh((21L, f))).get
+    assert(edited == 2 &&
+      java.lang.Long.bitCount(fh((20L, 2)) ^ fh((21L, 2))) <= 3)
+  }
+
   test("dedup: sketchPairs banded candidates are EXACT vs brute force, including uneven band widths") {
     val s = spark
     import s.implicits._
