@@ -95,6 +95,48 @@ object Bench {
   private def loadJson(la: Seq[Double], others: Int): String =
     s"""{"loadavg":[${la.map(v => math.rint(v * 100) / 100).mkString(",")}],"other_jvms":$others}"""
 
+  /** Cumulative (steal, total) jiffies from `/proc/stat`'s aggregate cpu
+    * line. Steal — cycles the hypervisor gave our runnable vCPUs to
+    * someone else — is the one signal that separates AMBIENT host pressure
+    * from the benchmark's own saturation: a heavy suite drives loadavg
+    * past any threshold all by itself (the sf1 run legitimately queues 32
+    * threads), but its steal stays near zero on a calm host. `(-1, -1)`
+    * when unreadable (non-Linux), which disables steal-based flagging.
+    */
+  private def stealSnapshot(): (Long, Long) =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq STEAL guest guest_nice
+      // (guest time is already inside user — sum the first 8 only)
+      (if (parts.length > 7) parts(7) else -1L, parts.take(8).sum)
+    } catch { case _: Exception => (-1L, -1L) }
+
+  /** Fixed-work single-thread CPU canary: wall-clock ms to run a constant
+    * mixing loop (~10 ms on this host's calm core). The one probe that
+    * measures what actually matters — how fast THIS host executes our code
+    * RIGHT NOW — so it catches every interference mechanism at once
+    * (steal, frequency scaling, memory-bandwidth pressure), including the
+    * r15 drift window that inflated the suite 1.37× uniformly while steal
+    * stayed under 13%. Flagging is relative to the run's own fastest probe
+    * (self-calibrating, no machine constant), and the min/median/max land
+    * in the JSON so rounds are comparable across host-speed windows.
+    */
+  private def cpuProbe(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 4000000) {
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 29; x *= 0xC4CEB9FE1A85EC53L
+      i += 1
+    }
+    // data dependency the JIT cannot elide
+    if (x == 42L) Console.err.print("")
+    (System.nanoTime() - t0) / 1e6
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -216,29 +258,53 @@ object Bench {
         s"other_jvms=$jvmsStart — numbers not comparable across rounds")
     // The start-of-run check alone missed two rounds of MID-run ambient
     // drift (r13/r14: calm start, loadavg 12+ by the stream stages, hours
-    // of adjudication to prove the binaries were identical). Sample the
-    // 1-min loadavg + other-JVM count after EVERY query: a sample is BAD
-    // when another JVM is benching alongside us or the load exceeds
-    // cpus/2 (a calm host never exceeds ~4 under this suite's own duty
-    // cycle — drains and single-query bursts keep the 1-min average low).
-    // More than `badSampleLimit` bad samples flags the whole RUN in the
-    // JSON; every query whose own window went bad is re-queued ONCE at
-    // the end (load only ADDS time, so min(original, requeue) is the
-    // query's intrinsic cost if either window was calm). The artifact
-    // adjudicates itself — no judge replay needed to tell drift from
-    // regression.
+    // of adjudication to prove the binaries were identical). Sample after
+    // EVERY query: a window is BAD when another JVM is benching alongside
+    // us, or the hypervisor STEAL fraction over the window exceeds
+    // `stealBadPct` (default 15%). Steal, not loadavg, is the mid-run
+    // criterion: a heavy suite drives its OWN loadavg past any fixed
+    // threshold (the first sf1 run self-flagged at load1 29 with zero
+    // other JVMs and near-zero steal), while steal measures exactly the
+    // cycles the host gave someone else during OUR busy window — the r14
+    // ambient-drift signature. Loadavg still rides along in the trail for
+    // human eyes. More than `badSampleLimit` bad samples flags the whole
+    // RUN in the JSON; every query whose own window went bad is re-queued
+    // ONCE at the end (interference only ADDS time, so min(original,
+    // requeue) is the query's intrinsic cost if either window was calm).
+    // The artifact adjudicates itself — no judge replay needed to tell
+    // drift from regression.
     val badSampleLimit =
       try sys.env.getOrElse("SPARK_GRAFT_LOAD_BAD_SAMPLES", "3").toInt
       catch { case _: NumberFormatException => 3 }
+    val stealBadPct =
+      try sys.env.getOrElse("SPARK_GRAFT_STEAL_BAD_PCT", "15").toDouble
+      catch { case _: NumberFormatException => 15.0 }
+    val probeSlowFactor =
+      try sys.env.getOrElse("SPARK_GRAFT_PROBE_SLOW_FACTOR", "1.25").toDouble
+      catch { case _: NumberFormatException => 1.25 }
     val midSamples = scala.collection.mutable.ArrayBuffer.empty[
-      (String, Double, Int)] // (query, load1, other_jvms)
+      (String, Double, Int, Double, Double)] // (query, load1, jvms, steal%, probe ms)
+    var lastSteal = stealSnapshot()
+    // JIT-warm the canary, then take the start-of-run baseline (min of 5)
+    (1 to 5).foreach(_ => cpuProbe())
+    var minProbe = (1 to 5).map(_ => cpuProbe()).min
     def sampleAfter(name: String): Boolean = {
       val (la, jvms) = loadSnapshot()
-      midSamples += ((name, la.head, jvms))
-      val bad = jvms > 0 || (la.head >= 0 && la.head > cpus.toDouble / 2)
+      val cur = stealSnapshot()
+      val stealPct =
+        if (lastSteal._1 < 0 || cur._1 < 0 || cur._2 <= lastSteal._2) -1.0
+        else 100.0 * (cur._1 - lastSteal._1) / (cur._2 - lastSteal._2)
+      lastSteal = cur
+      val probe = (1 to 3).map(_ => cpuProbe()).min
+      minProbe = math.min(minProbe, probe)
+      midSamples += ((name, la.head, jvms, stealPct, probe))
+      val bad = jvms > 0 || stealPct > stealBadPct ||
+        probe > probeSlowFactor * minProbe
       if (bad) Console.err.println(
         f"[bench] load sample after $name: load1=${la.head}%.2f " +
-          s"other_jvms=$jvms — window poisoned, will re-queue")
+          f"other_jvms=$jvms steal=$stealPct%.1f%% " +
+          f"probe=$probe%.1f ms (run min $minProbe%.1f) — window " +
+          "poisoned, will re-queue")
       bad
     }
     var spark = newSession(cpus)
@@ -430,13 +496,23 @@ object Bench {
     // run-level verdict: start-of-run contamination OR a sustained mid-run
     // drift (> badSampleLimit poisoned windows). The artifact carries the
     // full sample trail so the flag is auditable, not just asserted.
-    val midBad = midSamples.count { case (_, la1, jvms) =>
-      jvms > 0 || (la1 >= 0 && la1 > cpus.toDouble / 2) }
+    // final badness re-judged against the WHOLE run's fastest probe (the
+    // inline decision uses min-so-far; a drift that precedes the calm
+    // window is still visible here)
+    val midBad = midSamples.count { case (_, _, jvms, stealPct, probe) =>
+      jvms > 0 || stealPct > stealBadPct ||
+        probe > probeSlowFactor * minProbe }
     val midFlagged = midBad > badSampleLimit
     val loadFlagged = startFlagged || midFlagged
     val midMax = if (midSamples.isEmpty) -1.0 else midSamples.map(_._2).max
+    val midMaxSteal =
+      if (midSamples.isEmpty) -1.0 else midSamples.map(_._4).max
+    val probes = midSamples.map(_._5).sorted
+    val probeStats =
+      if (probes.isEmpty) s""""probe_min_ms":${r3(minProbe)}"""
+      else s""""probe_min_ms":${r3(minProbe)},"probe_median_ms":${r3(probes(probes.size / 2))},"probe_max_ms":${r3(probes.last)}"""
     val midCtx =
-      s""""mid":{"samples":${midSamples.size},"bad_samples":$midBad,"bad_limit":$badSampleLimit,"max_load1":${r3(midMax)},"flagged":$midFlagged,"requeued":${requeuedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s""""mid":{"samples":${midSamples.size},"bad_samples":$midBad,"bad_limit":$badSampleLimit,"steal_bad_pct":$stealBadPct,"probe_slow_factor":$probeSlowFactor,$probeStats,"max_load1":${r3(midMax)},"max_steal_pct":${r3(midMaxSteal)},"flagged":$midFlagged,"requeued":${requeuedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val loadCtx =
       s""""load":{"start":${loadJson(loadStart, jvmsStart)},"end":${loadJson(loadEnd, jvmsEnd)},$midCtx,"cpus_host":${Runtime.getRuntime.availableProcessors},"cpus_bench":$cpus,"flagged":$loadFlagged}"""
     val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)},"ingest_sec":${r3(streamIngest)},"search_sec":${r3(streamSearch)},"ingest_events_per_sec":${r3(if (streamIngest > 0) streamEvents / streamIngest else -1.0)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)},"ingest_events_per_sec":${r3(if (s1mIngest > 0) s1mEvents / s1mIngest else -1.0)}},"sf":"$sfDir"}"""

@@ -1111,6 +1111,57 @@ class StreamingSpec extends SparkSpec {
     assert(exchanges.isEmpty, served.queryExecution.executedPlan.toString)
   }
 
+  test("round-15 perceptual hash at ingest: the stateless pHash stage streams bit-identically to batch") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import graft.operators.Multimodal
+    // deterministic media: md5-chain blobs (the synthesize arithmetic),
+    // some shared across ids (identical hashes), plus one undecodable row
+    def blob(seed: Long): Array[Byte] = {
+      val len = 256 + (seed % 64).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Byte](len)
+      var off = 0; var block = 0
+      while (off < len) {
+        val d = md.digest(s"$seed:$block".getBytes("UTF-8"))
+        System.arraycopy(d, 0, out, off, math.min(16, len - off))
+        off += 16; block += 1
+      }
+      out
+    }
+    val rows = (0L until 30L).map(i => (i, blob(i % 7))) :+
+      ((30L, Array.emptyByteArray))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val hashed = Multimodal.pHash(
+      input.toDF().toDF("media_id", "content"),
+      col("media_id"), col("content"), codec = Multimodal.FakeCodec)
+    val q = hashed.writeStream.format("memory").queryName("phash_stream")
+      .outputMode("append").start()
+    input.addData(rows.take(15): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(15): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("phash_stream")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val batch = Multimodal.pHash(rows.toDF("media_id", "content"),
+        col("media_id"), col("content"), codec = Multimodal.FakeCodec)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(streamed == batch)
+    assert(streamed(30L).isEmpty) // undecodable → null hash, gate-able
+    assert(streamed(0L) == streamed(7L)) // shared blob ⇒ identical hash
+    // stateless: no shuffle, no state store in the stage itself
+    val plan = Multimodal.pHash(rows.toDF("media_id", "content"),
+        col("media_id"), col("content"), codec = Multimodal.FakeCodec)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty)
+  }
+
   test("round-15 streaming index maintenance: foreachBatch appendToIvfPqIndex lands micro-batches exactly-once") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
