@@ -123,9 +123,8 @@ object Bench {
     * (self-calibrating, no machine constant), and the min/median/max land
     * in the JSON so rounds are comparable across host-speed windows.
     */
-  private def cpuProbe(): Double = {
+  private def probeWork(): Unit = {
     var x = 0x9E3779B97F4A7C15L
-    val t0 = System.nanoTime()
     var i = 0
     while (i < 4000000) {
       x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
@@ -134,6 +133,29 @@ object Bench {
     }
     // data dependency the JIT cannot elide
     if (x == 42L) Console.err.print("")
+  }
+
+  private def cpuProbe(): Double = {
+    val t0 = System.nanoTime()
+    probeWork()
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** All-core companion to [[cpuProbe]]: every benching core runs the same
+    * fixed work simultaneously; wall clock of the slowest ≈ the host's
+    * aggregate throughput. Catches the interference dimension the
+    * single-thread probe cannot see — same-day runs measured identical
+    * 12.9 ms single-core probes while the suite ran 1.33× apart, i.e. the
+    * host's MULTI-core effective bandwidth moved without any single core
+    * slowing down.
+    */
+  private def cpuProbeAll(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to math.max(threads, 1)).map { _ =>
+      val t = new Thread(() => probeWork())
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e6
   }
 
@@ -283,11 +305,14 @@ object Bench {
       try sys.env.getOrElse("SPARK_GRAFT_PROBE_SLOW_FACTOR", "1.25").toDouble
       catch { case _: NumberFormatException => 1.25 }
     val midSamples = scala.collection.mutable.ArrayBuffer.empty[
-      (String, Double, Int, Double, Double)] // (query, load1, jvms, steal%, probe ms)
+      // (query, load1, jvms, steal%, probe ms, all-core probe ms)
+      (String, Double, Int, Double, Double, Double)]
     var lastSteal = stealSnapshot()
-    // JIT-warm the canary, then take the start-of-run baseline (min of 5)
-    (1 to 5).foreach(_ => cpuProbe())
+    // JIT-warm the canaries, then take the start-of-run baselines (min of 5)
+    (1 to 5).foreach { _ => cpuProbe(); () }
+    cpuProbeAll(cpus.toInt)
     var minProbe = (1 to 5).map(_ => cpuProbe()).min
+    var minProbeAll = (1 to 5).map(_ => cpuProbeAll(cpus.toInt)).min
     def sampleAfter(name: String): Boolean = {
       val (la, jvms) = loadSnapshot()
       val cur = stealSnapshot()
@@ -297,14 +322,18 @@ object Bench {
       lastSteal = cur
       val probe = (1 to 3).map(_ => cpuProbe()).min
       minProbe = math.min(minProbe, probe)
-      midSamples += ((name, la.head, jvms, stealPct, probe))
+      val probeAll = (1 to 2).map(_ => cpuProbeAll(cpus.toInt)).min
+      minProbeAll = math.min(minProbeAll, probeAll)
+      midSamples += ((name, la.head, jvms, stealPct, probe, probeAll))
       val bad = jvms > 0 || stealPct > stealBadPct ||
-        probe > probeSlowFactor * minProbe
+        probe > probeSlowFactor * minProbe ||
+        probeAll > probeSlowFactor * minProbeAll
       if (bad) Console.err.println(
         f"[bench] load sample after $name: load1=${la.head}%.2f " +
           f"other_jvms=$jvms steal=$stealPct%.1f%% " +
-          f"probe=$probe%.1f ms (run min $minProbe%.1f) — window " +
-          "poisoned, will re-queue")
+          f"probe=$probe%.1f ms (run min $minProbe%.1f) " +
+          f"probe_all=$probeAll%.1f ms (run min $minProbeAll%.1f) — " +
+          "window poisoned, will re-queue")
       bad
     }
     var spark = newSession(cpus)
@@ -499,18 +528,21 @@ object Bench {
     // final badness re-judged against the WHOLE run's fastest probe (the
     // inline decision uses min-so-far; a drift that precedes the calm
     // window is still visible here)
-    val midBad = midSamples.count { case (_, _, jvms, stealPct, probe) =>
+    val midBad = midSamples.count { case (_, _, jvms, stealPct, probe, pAll) =>
       jvms > 0 || stealPct > stealBadPct ||
-        probe > probeSlowFactor * minProbe }
+        probe > probeSlowFactor * minProbe ||
+        pAll > probeSlowFactor * minProbeAll }
     val midFlagged = midBad > badSampleLimit
     val loadFlagged = startFlagged || midFlagged
     val midMax = if (midSamples.isEmpty) -1.0 else midSamples.map(_._2).max
     val midMaxSteal =
       if (midSamples.isEmpty) -1.0 else midSamples.map(_._4).max
     val probes = midSamples.map(_._5).sorted
+    val probesAll = midSamples.map(_._6).sorted
     val probeStats =
-      if (probes.isEmpty) s""""probe_min_ms":${r3(minProbe)}"""
-      else s""""probe_min_ms":${r3(minProbe)},"probe_median_ms":${r3(probes(probes.size / 2))},"probe_max_ms":${r3(probes.last)}"""
+      if (probes.isEmpty)
+        s""""probe_min_ms":${r3(minProbe)},"probe_all_min_ms":${r3(minProbeAll)}"""
+      else s""""probe_min_ms":${r3(minProbe)},"probe_median_ms":${r3(probes(probes.size / 2))},"probe_max_ms":${r3(probes.last)},"probe_all_min_ms":${r3(minProbeAll)},"probe_all_median_ms":${r3(probesAll(probesAll.size / 2))},"probe_all_max_ms":${r3(probesAll.last)}"""
     val midCtx =
       s""""mid":{"samples":${midSamples.size},"bad_samples":$midBad,"bad_limit":$badSampleLimit,"steal_bad_pct":$stealBadPct,"probe_slow_factor":$probeSlowFactor,$probeStats,"max_load1":${r3(midMax)},"max_steal_pct":${r3(midMaxSteal)},"flagged":$midFlagged,"requeued":${requeuedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val loadCtx =
