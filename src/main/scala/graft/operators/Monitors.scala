@@ -104,10 +104,17 @@ object Monitors {
     * `elapsedMs` is the monitor's own wall clock (query evaluation through
     * delivery, retries included) — a slow scheduled search is visible in
     * the tick's outcomes, not hidden inside the schedule's period.
+    * `evalError` records a monitor whose QUERY failed hard (parse error,
+    * missing required fields, evaluation exception): `resultCount` is -1,
+    * nothing posted, and the REST of the registry's outcomes are intact —
+    * one malformed monitor must not drop a whole tick's results (nor, on
+    * the parallel path, discard the outcomes of monitors that already
+    * delivered their webhooks).
     */
   final case class Outcome(monitor: String, resultCount: Long,
       fired: Boolean, postedRows: Int, suppressed: Boolean = false,
-      deliveryError: String = null, elapsedMs: Long = -1L)
+      deliveryError: String = null, elapsedMs: Long = -1L,
+      evalError: String = null)
 
   /** Breach-episode memory for `notifyOncePerBreach` monitors: tracks which
     * monitors are inside an un-resolved breach. One instance per [[run]]
@@ -201,9 +208,11 @@ object Monitors {
     * connection's auth headers), with the sink family's bounded
     * linear-backoff retries (R2's `retries × retrySeedMs` framing); the
     * backoff sleeps only that monitor's own worker. A delivery that still
-    * fails lands in the [[Outcome]] as `deliveryError` and the REMAINING
-    * monitors evaluate normally — one flaky webhook must not silence the
-    * rest of the registry. The result plan is pinned before the count, so a
+    * fails lands in the [[Outcome]] as `deliveryError`, a query that fails
+    * hard lands as `evalError` (its breach reservation rolled back), and
+    * the REMAINING monitors evaluate normally either way — one flaky
+    * webhook or one malformed query must not silence the rest of the
+    * registry. The result plan is pinned before the count, so a
     * fired monitor's query executes ONCE, not once for the count and again
     * for the rows. With a [[BreachState]], a `notifyOncePerBreach` monitor
     * posts only on the FIRST crossing of each breach episode (reserved
@@ -220,9 +229,19 @@ object Monitors {
     require(retries >= 0, s"retries must be >= 0: $retries")
     require(parallelism >= 1, s"parallelism must be >= 1: $parallelism")
     if (monitors.isEmpty) return Seq.empty
+    // a monitor whose QUERY fails hard becomes an evalError outcome, never
+    // a thrown tick: rethrowing the first failure would discard the
+    // outcomes of monitors that already delivered their webhooks (and, on
+    // the parallel path, leave the remaining pool futures running detached)
+    def evalCaught(m: Monitor): Outcome =
+      try evalOne(df, m, poster, timeCol, messageCol, state, retries, retrySeedMs)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Outcome(m.name, -1L, fired = false, postedRows = 0,
+            evalError = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     val threads = math.min(parallelism, monitors.size)
-    if (threads == 1) return monitors.map(
-      evalOne(df, _, poster, timeCol, messageCol, state, retries, retrySeedMs))
+    if (threads == 1) return monitors.map(evalCaught)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads,
       (r: Runnable) => {
         val t = new Thread(r, "graft-monitor-tick")
@@ -231,17 +250,10 @@ object Monitors {
     try {
       val futures = monitors.map { m =>
         pool.submit(new java.util.concurrent.Callable[Outcome] {
-          def call(): Outcome = evalOne(
-            df, m, poster, timeCol, messageCol, state, retries, retrySeedMs)
+          def call(): Outcome = evalCaught(m)
         })
       }
-      futures.map { f =>
-        try f.get()
-        catch { // surface the monitor's own failure, not the pool wrapper
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
-        }
-      }
+      futures.map(_.get())
     } finally { pool.shutdown(); () }
   }
 

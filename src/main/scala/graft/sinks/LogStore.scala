@@ -1,8 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,19 +20,20 @@ import org.apache.spark.sql.functions._
   *
   * == Reader isolation (manifest) ==
   *
-  * Each partition directory MAY carry a `_manifest` file; when present,
-  * readers resolve the live file set through it instead of trusting the raw
-  * directory listing. The manifest records (a) at most one `pending` compact
-  * token — files named `part-compact-<token>-*` are staged by an in-flight
-  * compaction and NOT yet live — (b) a set of `dead` files — superseded
-  * by a committed compaction, awaiting garbage collection — and (c)
-  * `pending_batch` streaming batch ids — `part-b<id>-*` files mid-
-  * [[appendBatch]], staged but not yet committed (an id whose store-level
-  * `_commits/b<id>` marker exists is committed; the entry is then inert
-  * cleanup debt). Live set = directory
-  * parquets − dead − pending-token files − uncommitted-batch files. Plain
-  * appends write fresh uniquely-named files that are neither dead nor
-  * pending, so they are live the moment they land, manifest or not.
+  * The protocol lives in [[PartitionManifest]] (shared with the ANN index's
+  * `cluster_id=` layout): each partition directory MAY carry a `_manifest`
+  * file; when present, readers resolve the live file set through it instead
+  * of trusting the raw directory listing. The manifest records (a) at most
+  * one `pending` compact token — files named `part-compact-<token>-*` are
+  * staged by an in-flight compaction and NOT yet live — (b) a set of `dead`
+  * files — superseded by a committed compaction, awaiting garbage
+  * collection — and (c) `pending_batch` streaming batch ids —
+  * `part-b<id>-*` files mid-[[appendBatch]], staged but not yet committed
+  * (an id whose store-level `_commits/b<id>` marker exists is committed;
+  * the entry is then inert cleanup debt). Live set = directory parquets −
+  * dead − pending-token files − uncommitted-batch files. Plain appends
+  * write fresh uniquely-named files that are neither dead nor pending, so
+  * they are live the moment they land, manifest or not.
   *
   * [[compact]]'s ONLY commit point is one atomic manifest rename (pending →
   * dead). A reader that resolved the old manifest keeps reading the old
@@ -52,6 +51,8 @@ import org.apache.spark.sql.functions._
   */
 object LogStore {
 
+  import PartitionManifest.{ls, rmTree, parquets}
+
   /** How long a superseded (compacted-away) file stays on disk after the
     * compaction commit before garbage collection may remove it. In-flight
     * readers that resolved the pre-commit manifest keep reading those files;
@@ -59,6 +60,8 @@ object LogStore {
     * Delta's vacuum retention, scaled to query latency rather than days.
     */
   val DefaultDeadFileGraceMs: Long = 10L * 60 * 1000
+
+  private def commitsRoot(storeRoot: Path): Path = storeRoot.resolve("_commits")
 
   /** Append a derived log batch (shape per [[graft.operators.Metadata.derive]]
     * plus a `ts` timestamp column) into the partitioned store.
@@ -119,7 +122,7 @@ object LogStore {
   def appendBatch(df: DataFrame, dir: String, tsCol: Column, batchId: Long,
       maxRecordsPerFile: Long = 5000000L): Unit = {
     val root = Paths.get(dir)
-    val marker = root.resolve("_commits").resolve(s"b$batchId")
+    val marker = commitsRoot(root).resolve(s"b$batchId")
     if (Files.exists(marker)) return
     val stage = root.resolve("_stage").resolve(s"b$batchId")
     df.withColumn("ingest_date", to_date(tsCol))
@@ -135,19 +138,10 @@ object LogStore {
     } yield c
     val targets = stagedParts.map { sp =>
       val target = root.resolve(stage.relativize(sp))
-      Files.createDirectories(target)
-      // declare: from here every part-b<id>- file in this partition is
-      // invisible to readers (and to compact), committed or not
-      mutateManifest(target)(m =>
-        m.copy(pendingBatches = m.pendingBatches + batchId))
-      parquets(target)
-        .filter(_.getFileName.toString.startsWith(s"part-b$batchId-"))
-        .foreach(Files.deleteIfExists(_))
-      parquets(sp).sortBy(_.getFileName.toString).zipWithIndex.foreach {
-        case (p, i) =>
-          Files.move(p, target.resolve(f"part-b$batchId-$i%05d.parquet"),
-            StandardCopyOption.ATOMIC_MOVE)
-      }
+      // declare + sweep + move-in: from the declare, every part-b<id>- file
+      // in this partition is invisible to readers (and to compact),
+      // committed or not
+      PartitionManifest.landStagedPartition(sp, target, batchId)
       target
     }
     // COMMIT — the one marker create flips the batch live everywhere; the
@@ -158,10 +152,7 @@ object LogStore {
     Files.write(marker, Array.emptyByteArray)
     // cleanup, not commit: entries for a marker-present batch are inert
     // (resolution treats them as committed), so a crash mid-loop is harmless
-    targets.foreach { target =>
-      mutateManifest(target)(m =>
-        m.copy(pendingBatches = m.pendingBatches - batchId))
-    }
+    targets.foreach(PartitionManifest.clearPendingBatch(_, batchId))
     rmTree(stage)
   }
 
@@ -214,23 +205,12 @@ object LogStore {
     *
     * == Protocol (single explicit commit point) ==
     *
-    *  1. recover+GC preamble: an uncommitted prior run's `pending` files
-    *     are deleted (their data is still fully in the old live files);
-    *     `dead` files older than `deadFileGraceMs` are deleted. Both are
-    *     idempotent — a kill mid-preamble just leaves work for the next run.
-    *  1. the compacted data is written to `_compact_tmp` (underscore dir:
-    *     invisible to Spark and to [[liveFiles]]).
-    *  1. the manifest is atomically replaced with one declaring this run's
-    *     token `pending`, then the new files move in (still invisible:
-    *     their names carry the pending token).
-    *  1. COMMIT: the manifest is atomically replaced again — pending
-    *     cleared, the old files recorded `dead` with a timestamp. This one
-    *     rename is the entire commit; before it readers resolve the old
-    *     set, after it the new set, never a mixture.
-    *  1. old files are NOT deleted here — they age out via the preamble of
-    *     a later maintenance pass (or immediately when
-    *     `deadFileGraceMs = 0`), so readers holding the pre-commit snapshot
-    *     are never starved mid-query.
+    * See [[PartitionManifest.compactPartition]] — recover+GC preamble,
+    * `_compact_tmp` staging, pending-token declare, ONE atomic manifest
+    * rename as the entire commit (pending cleared, old files recorded
+    * `dead` with a timestamp), old files aging out via a later maintenance
+    * pass (or immediately when `deadFileGraceMs = 0`) so readers holding
+    * the pre-commit snapshot are never starved mid-query.
     *
     * A kill at any point loses nothing and duplicates nothing: before the
     * commit rename the authoritative state is the old files (pending ones
@@ -249,41 +229,9 @@ object LogStore {
     val part = Paths.get(dir, s"ingest_date=$ingestDate",
       s"source_category=$category")
     require(Files.isDirectory(part), s"no such partition: $part")
-    recoverAndGc(part, deadFileGraceMs)
-    val tmp = part.resolve(TmpDir)
-    rmTree(tmp)
-    val before = liveParquets(part)
-    val df = spark.read.parquet(before.map(_.toString): _*)
-    val n = df.count()
-    val files = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    // clusterBy (typically the timestamp): range-partition across the output
-    // files and sort within each, so parquet row-group min/max stats line up
-    // with the dominant time-range predicate and scans skip whole row
-    // groups — the poor man's clustering index, free at compaction time
-    val arranged =
-      if (clusterBy.isEmpty) df.repartition(files)
-      else df.repartitionByRange(files, clusterBy.map(col): _*)
-        .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
-    arranged.write.mode("overwrite").parquet(tmp.toString)
-    val token = java.util.UUID.randomUUID.toString.take(8)
-    // stage: declare the token pending FIRST (atomic), so the moved-in files
-    // are invisible to every reader from the instant they appear. RMW under
-    // the partition lock — a concurrent appendBatch may be flipping its own
-    // pending_batch entry in the same manifest
-    mutateManifest(part)(_.copy(pending = Some(token)))
-    val staged = parquets(tmp)
-    staged.zipWithIndex.foreach { case (p, i) =>
-      Files.move(p, part.resolve(f"part-compact-$token-$i%05d.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
-    // COMMIT — one atomic rename flips pending → dead (pending_batch entries
-    // that appeared meanwhile are preserved verbatim)
-    val now = System.currentTimeMillis()
-    mutateManifest(part)(m => m.copy(pending = None,
-      dead = m.dead ++ before.map(p => now -> p.getFileName.toString)))
-    if (deadFileGraceMs <= 0) recoverAndGc(part, deadFileGraceMs)
-    rmTree(tmp)
-    (before.length, staged.length)
+    PartitionManifest.compactPartition(spark, part,
+      commitsRoot(Paths.get(dir)), targetRecordsPerFile, clusterBy,
+      deadFileGraceMs)
   }
 
   /** Run just the recover+GC preamble of [[compact]] on one partition —
@@ -295,7 +243,8 @@ object LogStore {
     val part = Paths.get(dir, s"ingest_date=$ingestDate",
       s"source_category=$category")
     require(Files.isDirectory(part), s"no such partition: $part")
-    recoverAndGc(part, deadFileGraceMs)
+    PartitionManifest.recoverAndGc(part, commitsRoot(Paths.get(dir)),
+      deadFileGraceMs)
   }
 
   /** [[vacuum]] over every partition of the store — the scheduled
@@ -318,7 +267,7 @@ object LogStore {
         p.getFileName.toString.startsWith("ingest_date="))
       catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("source_category="))
-    } recoverAndGc(catDir, deadFileGraceMs)
+    } PartitionManifest.recoverAndGc(catDir, commitsRoot(root), deadFileGraceMs)
     commitMarkerWatermark.foreach(gcCommitMarkers(dir, _))
   }
 
@@ -343,14 +292,15 @@ object LogStore {
     */
   def gcCommitMarkers(dir: String, upToBatchId: Long): Int = {
     val root = Paths.get(dir)
-    val commits = root.resolve("_commits")
+    val commits = commitsRoot(root)
     if (!Files.isDirectory(commits)) return 0
     val stillPending: Set[Long] = (for {
       dateDir <- ls(root)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("ingest_date="))
       catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("source_category="))
-      id <- readManifest(catDir).pendingBatches
+      m = PartitionManifest.readManifest(catDir)
+      id <- m.pendingBatches ++ m.deadOnCommit.map(_._1)
     } yield id).toSet
     val reapable = ls(commits) { p =>
       val n = p.getFileName.toString
@@ -362,210 +312,25 @@ object LogStore {
     reapable.count(Files.deleteIfExists(_))
   }
 
-  // ---------------------------------------------------------------- manifest
+  // ------------------------------------------------------ test/drill seams
 
-  private val ManifestName = "_manifest"
-  private val TmpDir = "_compact_tmp"
-
-  /** `pending`: an in-flight compact's token — `part-compact-<token>-*`
-    * files are staged, not live. `dead`: (commitMillis, fileName) pairs
-    * superseded by a committed compact, awaiting GC. `pendingBatches`:
-    * streaming batch ids mid-[[appendBatch]] — their `part-b<id>-*` files
-    * are staged, not live, until the partition's batch commit clears the id.
+  /** Forwarders to the shared [[PartitionManifest]] seams so existing specs
+    * and drills keep their `LogStore.<seam>` spelling.
     */
-  private case class Manifest(pending: Option[String],
-      dead: Seq[(Long, String)],
-      pendingBatches: Set[Long] = Set.empty) {
-    def isEmpty: Boolean =
-      pending.isEmpty && dead.isEmpty && pendingBatches.isEmpty
-  }
-
-  private def readManifest(part: Path): Manifest = {
-    val f = part.resolve(ManifestName)
-    if (!Files.exists(f)) Manifest(None, Nil)
-    else {
-      val lines = Files.readAllLines(f,
-        java.nio.charset.StandardCharsets.UTF_8).asScala.map(_.trim)
-      val pending = lines.collectFirst {
-        case l if l.startsWith("pending=") => l.stripPrefix("pending=")
-      }.filter(_.nonEmpty)
-      val dead = lines.collect {
-        case l if l.startsWith("dead=") =>
-          val v = l.stripPrefix("dead=")
-          val comma = v.indexOf(',')
-          (v.take(comma).toLong, v.drop(comma + 1))
-      }.toSeq
-      val pendingBatches = lines.collect {
-        case l if l.startsWith("pending_batch=") =>
-          l.stripPrefix("pending_batch=").toLong
-      }.toSet
-      Manifest(pending, dead, pendingBatches)
-    }
-  }
-
-  /** Atomic replace: write a sibling temp file, ATOMIC_MOVE it onto
-    * `_manifest`. An empty manifest is deleted — a partition that has never
-    * compacted stays manifest-free and reads straight off the listing.
-    */
-  private def writeManifest(part: Path, m: Manifest): Unit = {
-    val f = part.resolve(ManifestName)
-    if (m.isEmpty) { Files.deleteIfExists(f); return }
-    val body = (m.pending.map(t => s"pending=$t").toSeq ++
-      m.pendingBatches.toSeq.sorted.map(b => s"pending_batch=$b") ++
-      m.dead.map { case (ts, name) => s"dead=$ts,$name" }).mkString("\n")
-    val tmp = part.resolve(ManifestName + ".tmp")
-    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Per-partition read-modify-write of the manifest. The streaming writer
-    * ([[appendBatch]]) and the maintenance writer ([[compact]]/[[vacuum]])
-    * may legitimately touch the SAME partition's manifest concurrently —
-    * without mutual exclusion one would clobber the other's pending entry.
-    * The lock is in-process (a striped monitor keyed by the partition
-    * path), which matches the store's coordination model: one driver owns
-    * ingest and maintenance for a store (the same single-writer-per-scope
-    * contract Delta's commit service provides at catalog scale). Readers
-    * never take the lock — they rely on the atomic rename + generation
-    * check in [[liveParquets]].
-    */
-  private val manifestLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def mutateManifest(part: Path)(f: Manifest => Manifest): Unit = {
-    val lock = manifestLocks.computeIfAbsent(
-      part.toAbsolutePath.toString, _ => new Object)
-    lock.synchronized { writeManifest(part, f(readManifest(part))) }
-  }
-
-  /** Does the store-level commit marker for streaming batch `id` exist?
-    * The partition path is always `<root>/ingest_date=…/source_category=…`
-    * by construction, so the store root is two levels up.
-    */
-  private def batchCommitted(part: Path, id: Long): Boolean =
-    Files.exists(part.getParent.getParent.resolve("_commits").resolve(s"b$id"))
-
-  /** Idempotent recovery + garbage collection. An uncommitted pending
-    * token's staged files are garbage (the commit rename never happened, so
-    * the old files are authoritative) — delete them, clear the marker. Dead
-    * entries older than the grace period are deleted files-first (a kill
-    * between file deletes and the manifest rewrite just re-runs harmlessly:
-    * `deleteIfExists`). `pending_batch` entries whose commit marker EXISTS
-    * are leftover cleanup from a writer that crashed between the marker
-    * write and the clear loop — inert (resolution already treats them as
-    * committed), dropped here. Marker-absent entries are left strictly
-    * alone: only the owning stream can tell an in-flight batch from a
-    * crashed one, and its replay (same batch id) is the recovery path —
-    * maintenance deleting those files would race a move-in that is
-    * legitimately still running.
-    */
-  private def recoverAndGc(part: Path, deadFileGraceMs: Long): Unit = {
-    val m = readManifest(part)
-    if (m.isEmpty) return
-    m.pending.foreach { t =>
-      parquets(part)
-        .filter(_.getFileName.toString.startsWith(s"part-compact-$t-"))
-        .foreach(Files.deleteIfExists(_))
-    }
-    val cutoff = System.currentTimeMillis() - deadFileGraceMs
-    val (expired, kept) = m.dead.partition(_._1 <= cutoff)
-    expired.foreach { case (_, name) =>
-      Files.deleteIfExists(part.resolve(name))
-    }
-    mutateManifest(part)(cur =>
-      cur.copy(pending = None, dead = kept,
-        pendingBatches = cur.pendingBatches.filterNot(batchCommitted(part, _))))
-  }
+  private[graft] def generationRetries: Int =
+    PartitionManifest.generationRetries
+  private[graft] def generationRetries_=(v: Int): Unit =
+    PartitionManifest.generationRetries = v
+  private[graft] def betweenGenerationReads: () => Unit =
+    PartitionManifest.betweenGenerationReads
+  private[graft] def betweenGenerationReads_=(f: () => Unit): Unit =
+    PartitionManifest.betweenGenerationReads = f
+  private[graft] def ParallelListingThreshold: Int =
+    PartitionManifest.ParallelListingThreshold
+  private[graft] def ParallelListingThreshold_=(v: Int): Unit =
+    PartitionManifest.ParallelListingThreshold = v
 
   // ----------------------------------------------------------------- listing
-
-  private def ls(d: Path)(keep: Path => Boolean): Seq[Path] = {
-    // Files.list streams hold a directory fd until closed
-    val s = Files.list(d)
-    try s.iterator().asScala.filter(keep).toList finally s.close()
-  }
-
-  private def parquets(d: Path): Seq[Path] =
-    ls(d)(_.getFileName.toString.endsWith(".parquet"))
-
-  /** How many list-reread generation attempts a reader makes before
-    * failing loudly. Package-visible so the churn spec can force quick
-    * exhaustion instead of busy-writing for half a second.
-    */
-  private[graft] var generationRetries: Int = 50
-
-  /** Test seam: runs between the directory listing and the second manifest
-    * read of each generation attempt. The churn spec uses it to rewrite the
-    * manifest INSIDE the race window deterministically — a wall-clock
-    * churner thread loses the race on a fast idle machine and the
-    * exhaustion path goes unexercised. No-op in production.
-    */
-  private[graft] var betweenGenerationReads: () => Unit = () => ()
-
-  /** The files of one partition a reader may see: directory parquets minus
-    * manifest-dead minus pending-staged (compact token AND streaming batch
-    * ids that are pending AND not yet marker-committed).
-    *
-    * The manifest is read before AND after the directory listing and the
-    * listing only counts when both reads agree (generation check): every
-    * state transition — pending declare, batch declare/cleanup, compact
-    * commit, GC — rewrites the manifest, so a stable manifest proves the
-    * listing is consistent with it. Without this, a listing taken before a
-    * compact's staging paired with a manifest read after its commit would
-    * resolve an empty (or doubled) set.
-    *
-    * A pending batch id resolves through its store-level `_commits` marker:
-    * marker present ⇒ committed (files live, the entry is leftover
-    * cleanup), absent ⇒ in-flight/crashed (files invisible). The marker is
-    * statted BEFORE the directory listing — a marker observed present then
-    * preceded the listing, which therefore saw every moved-in file (moves
-    * complete before the marker is written); a marker that appears only
-    * mid-listing is deliberately ignored this attempt, yielding the
-    * consistent pre-batch snapshot rather than a possible prefix.
-    *
-    * Exhaustion is LOUD: if the manifest keeps changing across every
-    * attempt (pathological churn — compaction every <10 ms, sustained),
-    * the reader throws a retryable [[IllegalStateException]] rather than
-    * silently returning the possibly-inconsistent mixture the check exists
-    * to prevent. Callers re-resolve; correctness mechanisms don't degrade
-    * silently.
-    */
-  private def liveParquets(part: Path): Seq[Path] = {
-    var attempt = 0
-    while (true) {
-      val m1 = readManifest(part)
-      val uncommitted = m1.pendingBatches.filterNot(batchCommitted(part, _))
-      val listed = parquets(part)
-      betweenGenerationReads()
-      val m2 = readManifest(part)
-      if (m1 == m2) {
-        val deadNames = m2.dead.map(_._2).toSet
-        return listed.filter { p =>
-          val name = p.getFileName.toString
-          !deadNames.contains(name) &&
-            !m2.pending.exists(t => name.startsWith(s"part-compact-$t-")) &&
-            !uncommitted.exists(b => name.startsWith(s"part-b$b-"))
-        }
-      }
-      attempt += 1
-      if (attempt > generationRetries)
-        throw new IllegalStateException(
-          s"manifest of $part kept changing across $attempt listing " +
-            "attempts — maintenance churn outpaced the reader; retry the read")
-      Thread.sleep(10)
-    }
-    Nil // unreachable
-  }
-
-  /** Partition count above which the listing walk goes parallel, and the
-    * thread count it uses. Listing is metadata-latency-bound (stat + small
-    * text read per partition), so threads overlap I/O waits — on an object
-    * store each round-trip is ~10 ms and a sequential walk of 100k
-    * partitions would be ~17 min of pure latency before any query plans.
-    */
-  private[graft] var ParallelListingThreshold = 64
-  private val ListingThreads = 32
 
   /** Listing-drill hook (Scratch): resolve the store's live file set and
     * return its size — times exactly the planning-side listing layer,
@@ -576,12 +341,12 @@ object LogStore {
 
   /** Walk the `ingest_date=.../source_category=...` partition dirs (filtered by
     * `partKeep` on the category dir) and resolve each through its manifest.
-    * Driver-side; above [[ParallelListingThreshold]] partitions the
-    * per-partition manifest resolution fans out over [[ListingThreads]]
-    * threads (deterministic order preserved). At true catalog scale this
-    * listing would live in a table-format index instead; the parallel walk
-    * keeps the flat-directory form viable to ~100k partitions (see
-    * SCALING.md listing drill).
+    * Driver-side; above [[PartitionManifest.ParallelListingThreshold]]
+    * partitions the per-partition manifest resolution fans out over the
+    * shared listing pool (deterministic order preserved). At true catalog
+    * scale this listing would live in a table-format index instead; the
+    * parallel walk keeps the flat-directory form viable to ~100k partitions
+    * (see SCALING.md listing drill).
     */
   private def liveFiles(root: Path,
       partKeep: Path => Boolean = _ => true): Seq[Path] = {
@@ -592,23 +357,6 @@ object LogStore {
       catDir <- ls(dateDir)(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("source_category=") && partKeep(p))
     } yield catDir
-    if (catDirs.lengthCompare(ParallelListingThreshold) <= 0)
-      catDirs.flatMap(liveParquets)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(ListingThreads)
-      try {
-        val futures = catDirs.map { d =>
-          pool.submit(new java.util.concurrent.Callable[Seq[Path]] {
-            def call(): Seq[Path] = liveParquets(d)
-          })
-        }
-        futures.flatMap(_.get())
-      } finally pool.shutdown()
-    }
-  }
-
-  private def rmTree(root: Path): Unit = {
-    if (Files.isDirectory(root)) ls(root)(_ => true).foreach(rmTree)
-    Files.deleteIfExists(root)
+    PartitionManifest.liveFilesUnder(catDirs, commitsRoot(root))
   }
 }

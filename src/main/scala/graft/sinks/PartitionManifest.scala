@@ -1,0 +1,340 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The per-partition-directory manifest protocol [[LogStore]] proved out,
+  * extracted so every partitioned parquet layout in the engine — the log
+  * store's `ingest_date=/source_category=` tree AND the ANN index's
+  * `cluster_id=` tree — shares ONE implementation of reader isolation,
+  * crash-safe compaction, exactly-once streaming appends, and atomic
+  * multi-file swaps. A partition directory MAY carry a `_manifest` text
+  * file; when present, readers resolve the live file set through it
+  * instead of trusting the raw listing:
+  *
+  *  - `pending=<token>`: an in-flight compact staged `part-compact-<token>-*`
+  *    files — not live until the commit rewrite clears the token.
+  *  - `dead=<millis>,<name>`: superseded by a committed compact, awaiting
+  *    grace-period GC.
+  *  - `pending_batch=<id>`: `part-b<id>-*` files are mid-append — live iff
+  *    the store-level `<commitsRoot>/b<id>` marker exists (marker present ⇒
+  *    the entry is inert cleanup debt).
+  *  - `dead_on_commit=<id>,<name>`: the file DIES the instant
+  *    `<commitsRoot>/b<id>` appears — the other half of an atomic swap
+  *    (new files pending under the same id, old files dead-on-commit, ONE
+  *    marker create flips both, across every participating partition at
+  *    once). Used by the ANN index rebalance, where a centroid split must
+  *    retire the old partition's files and land two new partitions' files
+  *    in one commit.
+  *
+  * Live set = directory parquets − dead − committed dead_on_commit −
+  * pending-token files − uncommitted-batch files. Plain appends (fresh
+  * unique names) are live the moment they land, manifest or not.
+  *
+  * All mutation goes through a striped in-process lock per partition path —
+  * the single-writer-per-store coordination model [[LogStore]] documents.
+  * Readers never lock; they rely on atomic manifest renames plus the
+  * generation check in [[liveParquets]].
+  */
+private[graft] object PartitionManifest {
+
+  final case class Manifest(pending: Option[String],
+      dead: Seq[(Long, String)],
+      pendingBatches: Set[Long] = Set.empty,
+      deadOnCommit: Seq[(Long, String)] = Seq.empty) {
+    def isEmpty: Boolean = pending.isEmpty && dead.isEmpty &&
+      pendingBatches.isEmpty && deadOnCommit.isEmpty
+  }
+
+  private val ManifestName = "_manifest"
+  private[graft] val TmpDir = "_compact_tmp"
+
+  // ---------------------------------------------------------------- listing
+
+  private[graft] def ls(d: Path)(keep: Path => Boolean): Seq[Path] = {
+    // Files.list streams hold a directory fd until closed
+    val s = Files.list(d)
+    try s.iterator().asScala.filter(keep).toList finally s.close()
+  }
+
+  private[graft] def parquets(d: Path): Seq[Path] =
+    ls(d)(_.getFileName.toString.endsWith(".parquet"))
+
+  private[graft] def rmTree(root: Path): Unit = {
+    if (Files.isDirectory(root)) ls(root)(_ => true).foreach(rmTree)
+    Files.deleteIfExists(root)
+  }
+
+  // --------------------------------------------------------------- manifest
+
+  private[graft] def readManifest(part: Path): Manifest = {
+    val f = part.resolve(ManifestName)
+    if (!Files.exists(f)) Manifest(None, Nil)
+    else {
+      val lines = Files.readAllLines(f,
+        java.nio.charset.StandardCharsets.UTF_8).asScala.map(_.trim)
+      val pending = lines.collectFirst {
+        case l if l.startsWith("pending=") => l.stripPrefix("pending=")
+      }.filter(_.nonEmpty)
+      def pairs(prefix: String): Seq[(Long, String)] = lines.collect {
+        case l if l.startsWith(prefix) =>
+          val v = l.stripPrefix(prefix)
+          val comma = v.indexOf(',')
+          (v.take(comma).toLong, v.drop(comma + 1))
+      }.toSeq
+      val pendingBatches = lines.collect {
+        case l if l.startsWith("pending_batch=") =>
+          l.stripPrefix("pending_batch=").toLong
+      }.toSet
+      Manifest(pending, pairs("dead="), pendingBatches,
+        pairs("dead_on_commit="))
+    }
+  }
+
+  /** Atomic replace: write a sibling temp file, ATOMIC_MOVE it onto
+    * `_manifest`. An empty manifest is deleted — a partition that has never
+    * compacted stays manifest-free and reads straight off the listing.
+    */
+  private def writeManifest(part: Path, m: Manifest): Unit = {
+    val f = part.resolve(ManifestName)
+    if (m.isEmpty) { Files.deleteIfExists(f); return }
+    val body = (m.pending.map(t => s"pending=$t").toSeq ++
+      m.pendingBatches.toSeq.sorted.map(b => s"pending_batch=$b") ++
+      m.deadOnCommit.map { case (id, name) => s"dead_on_commit=$id,$name" } ++
+      m.dead.map { case (ts, name) => s"dead=$ts,$name" }).mkString("\n")
+    val tmp = part.resolve(ManifestName + ".tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val manifestLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-partition read-modify-write under the striped in-process lock. */
+  private[graft] def mutateManifest(part: Path)(f: Manifest => Manifest): Unit = {
+    val lock = manifestLocks.computeIfAbsent(
+      part.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized { writeManifest(part, f(readManifest(part))) }
+  }
+
+  /** Does the store-level commit marker for batch `id` exist? */
+  private[graft] def batchCommitted(commitsRoot: Path, id: Long): Boolean =
+    Files.exists(commitsRoot.resolve(s"b$id"))
+
+  // --------------------------------------------------------------- recovery
+
+  /** Idempotent recovery + garbage collection (see [[LogStore.compact]]'s
+    * protocol docs). Uncommitted pending-token files are deleted; dead
+    * entries past the grace period are deleted files-first; `pending_batch`
+    * and `dead_on_commit` entries whose marker EXISTS resolve — the former
+    * dropped as inert cleanup debt, the latter converted to `dead` stamped
+    * now (their files are authoritatively superseded from the commit
+    * instant, so the grace clock starts no later than this sweep).
+    * Marker-absent batch entries are left strictly alone: the owning
+    * writer's replay is the recovery path.
+    */
+  private[graft] def recoverAndGc(part: Path, commitsRoot: Path,
+      deadFileGraceMs: Long): Unit = {
+    val m = readManifest(part)
+    if (m.isEmpty) return
+    m.pending.foreach { t =>
+      parquets(part)
+        .filter(_.getFileName.toString.startsWith(s"part-compact-$t-"))
+        .foreach(Files.deleteIfExists(_))
+    }
+    val cutoff = System.currentTimeMillis() - deadFileGraceMs
+    val (expired, kept) = m.dead.partition(_._1 <= cutoff)
+    expired.foreach { case (_, name) =>
+      Files.deleteIfExists(part.resolve(name))
+    }
+    val now = System.currentTimeMillis()
+    mutateManifest(part) { cur =>
+      val (committedDoc, liveDoc) =
+        cur.deadOnCommit.partition(e => batchCommitted(commitsRoot, e._1))
+      cur.copy(pending = None, dead = kept ++ committedDoc.map(e => now -> e._2),
+        pendingBatches = cur.pendingBatches
+          .filterNot(batchCommitted(commitsRoot, _)),
+        deadOnCommit = liveDoc)
+    }
+    // immediate-GC mode: dead entries created just above fall due at once
+    if (deadFileGraceMs <= 0) {
+      val m2 = readManifest(part)
+      m2.dead.foreach { case (_, name) =>
+        Files.deleteIfExists(part.resolve(name))
+      }
+      mutateManifest(part)(cur =>
+        cur.copy(dead = cur.dead.filterNot(m2.dead.contains)))
+    }
+  }
+
+  // ---------------------------------------------------------------- reading
+
+  /** How many list-reread generation attempts a reader makes before failing
+    * loudly. Package-visible so churn specs can force quick exhaustion.
+    */
+  private[graft] var generationRetries: Int = 50
+
+  /** Test seam: runs between the directory listing and the second manifest
+    * read of each generation attempt. No-op in production.
+    */
+  private[graft] var betweenGenerationReads: () => Unit = () => ()
+
+  /** The files of one partition a reader may see: directory parquets minus
+    * manifest-dead minus committed dead-on-commit minus pending-staged
+    * (compact token AND streaming batch ids that are pending AND not yet
+    * marker-committed). Generation-checked: the manifest is read before and
+    * after the listing and the listing only counts when both agree — every
+    * state transition rewrites the manifest, so a stable manifest proves
+    * the listing is consistent with it. Markers are statted BEFORE the
+    * listing, so a marker that appears mid-listing yields the consistent
+    * pre-commit snapshot rather than a possible prefix/mixture. Exhaustion
+    * is LOUD (retryable IllegalStateException), never a silent mixture.
+    */
+  private[graft] def liveParquets(part: Path, commitsRoot: Path): Seq[Path] = {
+    var attempt = 0
+    while (true) {
+      val m1 = readManifest(part)
+      val uncommitted =
+        m1.pendingBatches.filterNot(batchCommitted(commitsRoot, _))
+      val committedDoc = m1.deadOnCommit
+        .filter(e => batchCommitted(commitsRoot, e._1)).map(_._2).toSet
+      val listed = parquets(part)
+      betweenGenerationReads()
+      val m2 = readManifest(part)
+      if (m1 == m2) {
+        val deadNames = m2.dead.map(_._2).toSet
+        return listed.filter { p =>
+          val name = p.getFileName.toString
+          !deadNames.contains(name) && !committedDoc.contains(name) &&
+            !m2.pending.exists(t => name.startsWith(s"part-compact-$t-")) &&
+            !uncommitted.exists(b => name.startsWith(s"part-b$b-"))
+        }
+      }
+      attempt += 1
+      if (attempt > generationRetries)
+        throw new IllegalStateException(
+          s"manifest of $part kept changing across $attempt listing " +
+            "attempts — maintenance churn outpaced the reader; retry the read")
+      Thread.sleep(10)
+    }
+    Nil // unreachable
+  }
+
+  /** Partition count above which [[liveFilesUnder]] fans the per-partition
+    * manifest resolution over [[ListingThreads]] threads. Listing is
+    * metadata-latency-bound (stat + small text read per partition) — on an
+    * object store each round-trip is ~10 ms and a sequential walk of 100k
+    * partitions would be ~17 min of pure latency before any query plans.
+    */
+  private[graft] var ParallelListingThreshold = 64
+  private val ListingThreads = 32
+
+  /** Resolve many partitions' live sets, parallel above the threshold,
+    * deterministic order preserved.
+    */
+  private[graft] def liveFilesUnder(parts: Seq[Path],
+      commitsRoot: Path): Seq[Path] = {
+    if (parts.lengthCompare(ParallelListingThreshold) <= 0)
+      parts.flatMap(liveParquets(_, commitsRoot))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ListingThreads)
+      try {
+        val futures = parts.map { d =>
+          pool.submit(new java.util.concurrent.Callable[Seq[Path]] {
+            def call(): Seq[Path] = liveParquets(d, commitsRoot)
+          })
+        }
+        futures.flatMap(_.get())
+      } finally pool.shutdown()
+    }
+  }
+
+  // --------------------------------------------------------------- appends
+
+  /** Land one staged partition's files into `target` under deterministic
+    * `part-b<batchId>-<n>.parquet` names, guarded by the pending-batch
+    * manifest entry (declared FIRST — the files are invisible to readers
+    * and to compaction from the instant they appear, until the caller's
+    * single `<commitsRoot>/b<batchId>` marker create commits the whole
+    * batch). Leftover files of THIS batch from an interrupted previous
+    * attempt are swept first (marker absent ⇒ they are garbage).
+    */
+  private[graft] def landStagedPartition(staged: Path, target: Path,
+      batchId: Long): Unit = {
+    Files.createDirectories(target)
+    mutateManifest(target)(m =>
+      m.copy(pendingBatches = m.pendingBatches + batchId))
+    parquets(target)
+      .filter(_.getFileName.toString.startsWith(s"part-b$batchId-"))
+      .foreach(Files.deleteIfExists(_))
+    parquets(staged).sortBy(_.getFileName.toString).zipWithIndex.foreach {
+      case (p, i) =>
+        Files.move(p, target.resolve(f"part-b$batchId-$i%05d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Cleanup (not commit): clear the pending entry after the marker exists.
+    * A crash mid-loop is harmless — entries for a marker-present batch are
+    * inert, and [[recoverAndGc]] drops them too.
+    */
+  private[graft] def clearPendingBatch(target: Path, batchId: Long): Unit =
+    mutateManifest(target)(m =>
+      m.copy(pendingBatches = m.pendingBatches - batchId))
+
+  // ------------------------------------------------------------- compaction
+
+  /** Compact ONE partition directory: rewrite its live files into
+    * `ceil(rows / targetRecordsPerFile)` right-sized files, with
+    * [[LogStore.compact]]'s single-commit-point protocol (recover+GC
+    * preamble, `_compact_tmp` staging, pending-token declare, atomic
+    * manifest rename as THE commit, grace-period dead files). `transform`
+    * runs between read and rewrite — identity preserves content exactly;
+    * the ANN index passes a tombstone anti-join so deleted rows are
+    * physically dropped at the same commit that retires the old files.
+    * `clusterBy` range-partitions + sorts the output so row-group min/max
+    * stats line up with the dominant predicate. Returns
+    * (filesBefore, filesAfter) live counts.
+    */
+  private[graft] def compactPartition(spark: SparkSession, part: Path,
+      commitsRoot: Path, targetRecordsPerFile: Long,
+      clusterBy: Seq[String], deadFileGraceMs: Long,
+      transform: DataFrame => DataFrame = identity): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(Files.isDirectory(part), s"no such partition: $part")
+    recoverAndGc(part, commitsRoot, deadFileGraceMs)
+    val tmp = part.resolve(TmpDir)
+    rmTree(tmp)
+    val before = liveParquets(part, commitsRoot)
+    val df = transform(spark.read.parquet(before.map(_.toString): _*))
+    val n = df.count()
+    val files = math.max(1L,
+      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val arranged =
+      if (clusterBy.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.head, clusterBy.tail: _*)
+    arranged.write.mode("overwrite").parquet(tmp.toString)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    // stage: declare the token pending FIRST (atomic) so the moved-in files
+    // are invisible to every reader from the instant they appear
+    mutateManifest(part)(_.copy(pending = Some(token)))
+    val staged = parquets(tmp)
+    staged.zipWithIndex.foreach { case (p, i) =>
+      Files.move(p, part.resolve(f"part-compact-$token-$i%05d.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    // COMMIT — one atomic rename flips pending → dead (pending_batch /
+    // dead_on_commit entries that appeared meanwhile are preserved verbatim)
+    val now = System.currentTimeMillis()
+    mutateManifest(part)(m => m.copy(pending = None,
+      dead = m.dead ++ before.map(p => now -> p.getFileName.toString)))
+    if (deadFileGraceMs <= 0) recoverAndGc(part, commitsRoot, deadFileGraceMs)
+    rmTree(tmp)
+    (before.length, staged.length)
+  }
+}

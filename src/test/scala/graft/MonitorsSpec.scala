@@ -122,14 +122,16 @@ class MonitorsSpec extends SparkSpec {
       assert(f.getAs[org.apache.spark.sql.Row]("Compliance").getString(0) == "FAILED")
 
       // a fired monitor whose rows LACK the forwarder's required fields
-      // fails loudly instead of posting a payload the consumer rejects
+      // fails loudly — as an evalError outcome (never a posted payload the
+      // consumer rejects, and never a thrown tick that would discard the
+      // other monitors' outcomes)
       val bad = Monitors.Monitor("bad-rows",
         "error | count by resource_id0", // wrong field name entirely
         Monitors.Threshold(">=", 0), conn)
-      val err = intercept[Exception] {
-        Monitors.tick(logsDf, Seq(bad), poster)
-      }
-      assert(err.getMessage != null)
+      val badOut = Monitors.tick(logsDf, Seq(bad), poster)
+      assert(badOut.size == 1 && badOut.head.evalError != null &&
+        badOut.head.evalError.contains("resource_id0"))
+      assert(badOut.head.postedRows == 0 && badOut.head.resultCount == -1L)
       assert(received.size() == 1, "no partial post on failure")
     } finally server.stop(0)
   }
@@ -317,6 +319,30 @@ class MonitorsSpec extends SparkSpec {
     val goodWallMs = (goodPostedAt.get() - tickStart) / 1000000L
     assert(goodWallMs < 5000,
       s"independent monitor's post waited ${goodWallMs}ms — not isolated")
+  }
+
+  test("parallel tick: one hard-failing monitor query becomes an evalError outcome and never drops the delivered monitors' results") {
+    val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val poster = new SumoSink.BucketPoster {
+      def post(headers: Map[String, String], body: Array[Byte]): Unit = {
+        posts.incrementAndGet(); ()
+      }
+    }
+    val conn = Monitors.Connection("c", "http://x.invalid/hook")
+    val badM = Monitors.Monitor("malformed",
+      "error | count by resource_id0", // fires, then fails the field check
+      Monitors.Threshold(">=", 0), conn)
+    val goodM = Monitors.Monitor("fine", monitorQuery,
+      Monitors.Threshold(">", 10), conn)
+    val out = Monitors.tick(logsDf, Seq(badM, goodM), poster)
+    assert(out.map(_.monitor) == Seq("malformed", "fine"),
+      s"registry order and completeness must survive the failure: $out")
+    assert(out.head.evalError != null &&
+      out.head.evalError.contains("resource_id0") &&
+      out.head.postedRows == 0 && out.head.resultCount == -1L)
+    assert(out(1).fired && out(1).postedRows == 60 &&
+      out(1).evalError == null && out(1).deliveryError == null)
+    assert(posts.get() == 1, "exactly the good monitor's payload posted")
   }
 
   test("registry: monitors persist and reload field-exact; listing sorted; missing is loud") {
