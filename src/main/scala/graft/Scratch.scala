@@ -913,6 +913,68 @@ object Scratch {
         }
       }
     }
+    // ANN compaction rungs (round 16): SPARK_GRAFT_ANN_COMPACT=
+    // <n>x<appends>[,...] — build an IVF-PQ index over n synthetic d=32
+    // vectors, land <appends> 1% batches (one file per populated centroid
+    // per batch — the streaming-cadence accumulation), tombstone 10% of
+    // ids, then measure the read path (stored top-k latency + live file
+    // count) before and after compactIvfIndex. The claim: per-append file
+    // growth is linear and the compacted read path returns to the
+    // build-time file count with tombstoned rows physically gone.
+    sys.env.get("SPARK_GRAFT_ANN_COMPACT").foreach { spec =>
+      spec.split(",").map(_.trim).foreach { rung =>
+        val Array(nS, aS) = rung.split("x")
+        val (n, appends) = (nS.toLong, aS.toInt)
+        val d = 32
+        def vecsFor(from: Long, until: Long) =
+          spark.range(from, until, 1, 32)
+            .select(col("id").as("vec_id"),
+              expr(s"cast(transform(sequence(0, ${d - 1}), i -> " +
+                "cast(conv(substring(md5(concat(cast(id as string), ':', " +
+                "cast(i as string))), 1, 8), 16, 10) as double) " +
+                "/ 4294967295.0 - 0.5) as array<float>)").as("embedding"))
+        val corpus = graft.operators.Pins.pin(vecsFor(0, n))
+        val cents = corpus.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val cb = graft.operators.Similarity.pqCodebook(
+          corpus.filter(col("vec_id") < 256), col("vec_id"), col("embedding"),
+          m = 8)
+        val path = java.nio.file.Files
+          .createTempDirectory(s"ann-compact-$rung").toString
+        graft.operators.Similarity.buildIvfPqIndex(corpus,
+          col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+          cb, path)
+        val filesBuilt = graft.operators.Similarity.ivfIndexLiveFileCount(path)
+        (1 to appends).foreach { k =>
+          graft.operators.Similarity.appendToIvfPqIndex(spark, path,
+            vecsFor(n + (k - 1) * n / 100, n + k * n / 100),
+            col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+            cb, batchId = k.toLong)
+        }
+        graft.operators.Similarity.deleteFromIvfIndex(spark, path,
+          corpus.filter(col("vec_id") % 10 === 0), col("vec_id"), batchId = 1)
+        val query = corpus.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toSeq
+        def topk() = graft.operators.Similarity.ivfPqTopKStored(
+          spark, path, corpus, col("vec_id"), col("embedding"),
+          cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+        val filesLoose = graft.operators.Similarity.ivfIndexLiveFileCount(path)
+        time(s"ann_compact n=$n a=$appends topk PRE-compact " +
+          s"(files=$filesLoose, built=$filesBuilt)") {
+          topk().write.format("noop").mode("overwrite").save(); filesLoose
+        }
+        time(s"ann_compact n=$n a=$appends compact") {
+          graft.operators.Similarity.compactIvfIndex(
+            spark, path, deadFileGraceMs = 0L)._2
+        }
+        val filesTight = graft.operators.Similarity.ivfIndexLiveFileCount(path)
+        time(s"ann_compact n=$n a=$appends topk POST-compact " +
+          s"(files=$filesTight)") {
+          topk().write.format("noop").mode("overwrite").save(); filesTight
+        }
+        graft.operators.Pins.release(corpus)
+      }
+    }
     // Perceptual-hash near-dup rungs (round 15): SPARK_GRAFT_PHASH_SCALE=
     // <n>[,<n>...] — n synthetic 512-byte media rows, groups of ~16 ids
     // share one md5-chain blob (pure-SQL generation, no UDF/join), every

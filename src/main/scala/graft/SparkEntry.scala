@@ -2403,6 +2403,62 @@ object SparkEntry {
         s, path, emb, col("vec_id"), col("embedding"),
         cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
     }),
+    // ---- ANN index deletes: tombstone a seventh of the corpus out of the
+    //      stored index (marker-committed id list under _tombstones/) —
+    //      every later probe must answer EXACTLY like the inline operator
+    //      over the surviving corpus, with nothing rewritten yet ----
+    "q195_ivf_pq_delete" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      val path = java.nio.file.Files.createTempDirectory("ivfpq-q195").toString
+      graft.operators.Similarity.buildIvfPqIndex(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, path)
+      graft.operators.Similarity.deleteFromIvfIndex(
+        s, path, emb.filter(col("vec_id") % 7 === 3), col("vec_id"),
+        batchId = 1)
+      graft.operators.Similarity.ivfPqTopKStored(
+        s, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+    }),
+    // ---- the full index lifecycle: build on half, append the rest in two
+    //      marker-committed batches, tombstone a seventh, then COMPACT —
+    //      per-centroid manifest-protocol rewrite that folds the deletes
+    //      into the data files and retires the tombstones. The answer must
+    //      still equal the inline operator over the survivors (q195's
+    //      oracle: same semantics, the compacted physical path) ----
+    "q196_ivf_pq_compact" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = graft.operators.Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      val path = java.nio.file.Files.createTempDirectory("ivfpq-q196").toString
+      graft.operators.Similarity.buildIvfPqIndex(
+        emb.filter(col("vec_id") % 4 < 2), col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, path)
+      graft.operators.Similarity.appendToIvfPqIndex(
+        s, path, emb.filter(col("vec_id") % 4 === 2), col("vec_id"),
+        col("embedding"), cents, col("cid"), col("cvec"), cb, batchId = 1)
+      graft.operators.Similarity.appendToIvfPqIndex(
+        s, path, emb.filter(col("vec_id") % 4 === 3), col("vec_id"),
+        col("embedding"), cents, col("cid"), col("cvec"), cb, batchId = 2)
+      graft.operators.Similarity.deleteFromIvfIndex(
+        s, path, emb.filter(col("vec_id") % 7 === 3), col("vec_id"),
+        batchId = 1)
+      graft.operators.Similarity.compactIvfIndex(
+        s, path, deadFileGraceMs = 0L)
+      graft.operators.Similarity.ivfPqTopKStored(
+        s, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+    }),
     // ---- multiclass confusion rollup of the same held-out decisions ----
     "q187_nb_confusion" -> ((s, dir) => {
       import graft.operators.QualityClassifier
@@ -3214,6 +3270,68 @@ object SparkEntry {
          SELECT vec_id, round(score, 6) AS adc_score FROM sc
          ORDER BY adc_score DESC, vec_id LIMIT 10"""
 
+  /** Shared by q195 (tombstone delete) and q196 (append + delete + compact):
+    * q148's IVF-PQ semantics over the SURVIVING corpus (`vec_id % 7 <> 3`
+    * deleted) — centroids, codebook, and query still derive from the full
+    * corpus exactly as the engine trained them pre-delete; only the scored
+    * corpus shrinks. Two physical paths (tombstone anti-join vs physically
+    * compacted files), one semantic gate.
+    */
+  private val ivfPqSurvivorsOracleSql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         surv AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 3),
+         c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         pc AS (SELECT c.cid,
+                  list_reduce(list_transform(range(1, len(c.cvec)+1),
+                    i -> q.qv[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                  sqrt(
+                    list_reduce(list_transform(range(1, len(q.qv)+1),
+                      i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x,y) -> x+y) *
+                    list_reduce(list_transform(range(1, len(c.cvec)+1),
+                      i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS pcos
+                FROM c, q),
+         probes AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY pcos DESC, cid) AS rn
+                      FROM pc) WHERE rn <= 4),
+         a AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_transform(range(1, len(e.embedding)+1),
+                   i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
+                 sqrt(
+                   list_reduce(list_transform(range(1, len(e.embedding)+1),
+                     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
+                   list_reduce(list_transform(range(1, len(c.cvec)+1),
+                     i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
+               FROM surv e CROSS JOIN c),
+         best AS (SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                  FROM a),
+         assigned AS (SELECT vec_id FROM best
+                      WHERE rn = 1 AND cid IN (SELECT cid FROM probes)),
+         cb AS (SELECT vec_id AS code, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         sp AS (SELECT unnest(range(0, 8)) AS s),
+         d AS (SELECT e.vec_id, sp.s, cb.code,
+                 list_reduce(list_transform(range(1, 9), j ->
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE) *
+                   (e.embedding[sp.s*8 + j]::DOUBLE - cb.cvec[sp.s*8 + j]::DOUBLE)),
+                   (x, y) -> x + y) AS d2
+               FROM embeddings e JOIN assigned USING (vec_id)
+               CROSS JOIN sp CROSS JOIN cb),
+         enc AS (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+                   FROM d) WHERE rn = 1),
+         lut AS (SELECT sp.s, cb.code,
+                   list_reduce(list_transform(range(1, 9), j ->
+                     q.qv[sp.s*8 + j]::DOUBLE * cb.cvec[sp.s*8 + j]::DOUBLE),
+                     (x, y) -> x + y) AS ip
+                 FROM cb CROSS JOIN sp CROSS JOIN q),
+         sc AS (SELECT enc.vec_id,
+                  list_reduce(list(lut.ip ORDER BY enc.s), (x, y) -> x + y) AS score
+                FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+                GROUP BY enc.vec_id)
+         SELECT vec_id, round(score, 6) AS adc_score FROM sc
+         ORDER BY adc_score DESC, vec_id LIMIT 10"""
+
   /** Shared by q150 (inline refine) and q153 (stored-index refine): the two
     * engine paths are semantically identical — ADC shortlist 50 by
     * (score desc, vec_id), exact cosine rerank — so one SQL oracle gates
@@ -3687,6 +3805,8 @@ object SparkEntry {
          ORDER BY chunk_hash"""),
     "q153_pq_stored_refine" -> pqRefineOracleSql,
     "q154_ivf_pq_stored" -> ivfPqOracleSql,
+    "q195_ivf_pq_delete" -> ivfPqSurvivorsOracleSql,
+    "q196_ivf_pq_compact" -> ivfPqSurvivorsOracleSql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

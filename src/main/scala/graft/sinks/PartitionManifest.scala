@@ -310,6 +310,9 @@ private[graft] object PartitionManifest {
     val tmp = part.resolve(TmpDir)
     rmTree(tmp)
     val before = liveParquets(part, commitsRoot)
+    // a partition whose live set is empty (all files already dead and
+    // GC'd) has nothing to rewrite — and zero paths would fail the read
+    if (before.isEmpty) return (0, 0)
     val df = transform(spark.read.parquet(before.map(_.toString): _*))
     val n = df.count()
     val files = math.max(1L,

@@ -481,13 +481,20 @@ class TrainingDataOpsSpec extends SparkSpec {
       .flatMap(p => fs.listStatus(p.getPath))
       .map(f => f.getPath.getParent.getName + "/" + f.getPath.getName)
       .filter(_.contains("part-b7-")).toSeq.sorted
-    // CRASHED append: a real append whose commit marker then vanishes is
-    // byte-for-byte the crash-after-land-before-commit state
+    // CRASHED append: a real append rewound to the crash-after-land-
+    // before-commit state — marker deleted AND the pending_batch manifest
+    // entries re-declared (a real crash dies before the cleanup loop, so
+    // both guards are still in place)
     Similarity.appendToIvfPqIndex(spark, path, batch,
       col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb,
       batchId = 7)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_commits/b7"), false)
     val landed = b7Files()
+    landed.map(_.split("/").head).distinct.foreach { clusterDir =>
+      graft.sinks.PartitionManifest.mutateManifest(
+        java.nio.file.Paths.get(path, clusterDir))(m =>
+          m.copy(pendingBatches = m.pendingBatches + 7L))
+    }
     assert(landed.nonEmpty)
     // uncommitted files are invisible to readers
     assert(storedTopk() == preAppend)
@@ -532,6 +539,78 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("centroid drift"), err.getMessage)
     assert(b7Files() == landed && !fs.exists(
       new org.apache.hadoop.fs.Path(s"$path/_commits/b8")))
+  }
+
+  test("ivf-pq lifecycle: tombstone deletes hide immediately, crash-replay exactly-once; compact folds them in, keeps snapshots isolated, and flattens file counts") {
+    import graft.sinks.PartitionManifest
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-life").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 4 < 2),
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb, path)
+    (2 to 3).foreach(k => Similarity.appendToIvfPqIndex(spark, path,
+      emb.filter(col("vec_id") % 4 === k), col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), cb, batchId = k.toLong))
+    def storedTopk() = Similarity.ivfPqTopKStored(
+        spark, path, emb, col("vec_id"), col("embedding"),
+        cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def inlineTopk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(corpus, col("vec_id"), col("embedding"),
+          cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(storedTopk() == inlineTopk(emb))
+
+    // delete: visible immediately (anti-join), nothing rewritten yet
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    val filesBeforeDelete = Similarity.ivfIndexLiveFileCount(path)
+    Similarity.deleteFromIvfIndex(spark, path,
+      emb.filter(col("vec_id") % 7 === 3), col("vec_id"), batchId = 1)
+    assert(storedTopk() == inlineTopk(survivors))
+    assert(Similarity.ivfIndexLiveFileCount(path) == filesBeforeDelete,
+      "a tombstone delete must not rewrite data files")
+
+    // crashed delete replay: rewind batch 1 to marker-absent + pending —
+    // the tombstones must vanish from reads, and the replay re-lands them
+    // exactly-once
+    val tombDir = java.nio.file.Paths.get(path, "_tombstones")
+    java.nio.file.Files.delete(tombDir.resolve("_commits").resolve("b1"))
+    PartitionManifest.mutateManifest(tombDir)(m =>
+      m.copy(pendingBatches = m.pendingBatches + 1L))
+    assert(storedTopk() == inlineTopk(emb),
+      "an uncommitted tombstone batch must be invisible")
+    Similarity.deleteFromIvfIndex(spark, path,
+      emb.filter(col("vec_id") % 7 === 3), col("vec_id"), batchId = 1)
+    assert(storedTopk() == inlineTopk(survivors))
+    assert(PartitionManifest.liveParquets(
+      tombDir, tombDir.resolve("_commits")).size == 1)
+
+    // snapshot isolation: a reader opened BEFORE the compact keeps its
+    // exact file set through the compact (grace period holds dead files)
+    val preCompactSnapshot = Similarity.openIvfIndex(spark, path)
+    val preCount = preCompactSnapshot.count()
+    val (before, after) = Similarity.compactIvfIndex(spark, path)
+    assert(before > after,
+      s"compact must shrink the file count: $before -> $after")
+    assert(preCompactSnapshot.count() == preCount,
+      "pre-compact snapshot starved by the compact")
+    // post-compact: answers unchanged, tombstones retired, rows physically
+    // gone (raw read excludes nothing yet equals the survivor count)
+    assert(storedTopk() == inlineTopk(survivors))
+    assert(Similarity.ivfTombstones(spark, path).isEmpty,
+      "compact must retire the folded tombstone files")
+    assert(Similarity.openIvfIndex(spark, path, applyTombstones = false)
+      .count() == survivors.count())
+    // idempotent re-compact on an already-tight index: no further change
+    val liveNow = Similarity.ivfIndexLiveFileCount(path)
+    val (b2, a2) = Similarity.compactIvfIndex(spark, path, deadFileGraceMs = 0L)
+    assert(b2 == liveNow && a2 == liveNow)
+    assert(storedTopk() == inlineTopk(survivors))
   }
 
   test("batch ANN: each query's rows equal its single-query brute force") {
