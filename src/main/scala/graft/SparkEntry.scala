@@ -2459,6 +2459,31 @@ object SparkEntry {
         s, path, emb, col("vec_id"), col("embedding"),
         cents, col("cid"), col("cvec"), cb, query, k = 10, nprobe = 4)
     }),
+    // ---- ANN search from the piped query language: a named stored IVF-PQ
+    //      index (self-describing _meta) served through `ann <index> on
+    //      <field>` — the input row's embedding is the query vector, the
+    //      probe is the partition-pruned codes-only scan, and the answer
+    //      must equal the inline IVF-PQ operator (q148's oracle reshaped
+    //      to the stage's carried-column output) ----
+    "q197_piped_ann" -> ((s, dir) => {
+      import graft.operators.{ModelStore, SearchQuery, Similarity}
+      val emb = tbl(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(
+        emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+      val path = ModelStore.annIndexPath(s, "q197_idx")
+      Similarity.buildIvfPqIndex(
+        emb, col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+        cb, path)
+      val piped = SearchQuery.parsePiped(
+        "* | where vec_id = 0 | ann q197_idx on embedding k=10 nprobe=4")
+      SearchQuery.compileStages(piped.stages, "vec_id", "vec_id")(
+        tblSorted(s, dir, "embeddings", "vec_id"))
+        .select(col("vec_id").as("query_id"), col("neighbor_id"),
+          col("adc_score"))
+        .orderBy(col("adc_score").desc, col("neighbor_id"))
+    }),
     // ---- multiclass confusion rollup of the same held-out decisions ----
     "q187_nb_confusion" -> ((s, dir) => {
       import graft.operators.QualityClassifier
@@ -3807,6 +3832,14 @@ object SparkEntry {
     "q154_ivf_pq_stored" -> ivfPqOracleSql,
     "q195_ivf_pq_delete" -> ivfPqSurvivorsOracleSql,
     "q196_ivf_pq_compact" -> ivfPqSurvivorsOracleSql,
+    // q197: q148's IVF-PQ semantics, reshaped to the piped `ann` stage's
+    // carried-column output (query row's vec_id rides along, neighbor ids
+    // under the stage's column name) — same math, the query-language path
+    "q197_piped_ann" -> ivfPqOracleSql.replace(
+      "SELECT vec_id, round(score, 6) AS adc_score FROM sc\n         ORDER BY adc_score DESC, vec_id LIMIT 10",
+      "SELECT CAST(0 AS BIGINT) AS query_id, vec_id AS neighbor_id, " +
+        "round(score, 6) AS adc_score FROM sc\n         " +
+        "ORDER BY adc_score DESC, neighbor_id LIMIT 10"),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -174,6 +174,15 @@ object ModelStore {
   def list(spark: SparkSession, kind: String): Seq[String] =
     childDirs(spark, s"${root(spark)}/_models/$kind")
 
+  /** The canonical directory of a NAMED ANN index (`kind = ann`): build an
+    * IVF-PQ index with [[Similarity.buildIvfPqIndex]] directly AT this path
+    * (the index is self-describing — centroids, codebook, and stats ride in
+    * its `_meta/`) and the piped `ann <name> on <field>` stage resolves the
+    * name here, the same registry discipline as the scalar models.
+    */
+  def annIndexPath(spark: SparkSession, name: String): String =
+    path(spark, "ann", name)
+
   /** Persist an IVF centroid table (`cluster_id`, `centroid`) — already a
     * DataFrame, so this is the thin parquet wrapper that gives centroids the
     * same named-artifact lifecycle as the scalar models.

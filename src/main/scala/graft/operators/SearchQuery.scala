@@ -550,6 +550,22 @@ object SearchQuery {
     */
   final case class DsirStage(model: String, field: String,
       prefix: String) extends Stage
+  /** `ann <index> on <field> [k=N] [nprobe=N] [refine=N]` — nearest-
+    * neighbor search against a NAMED stored IVF-PQ index
+    * ([[graft.operators.ModelStore.annIndexPath]]): each input row's
+    * `<field>` (`array<float>`) is a query vector, and the stage emits k
+    * rows per input — the row's other columns carried along beside
+    * `neighbor_id` and `adc_score` (or exact `cosine` when `refine=N`
+    * reranks through the index's recorded corpus). The serving path is
+    * [[Similarity.ivfPqTopKStored]]: the probed clusters prune at the
+    * directory level and the scan reads only PQ codes, with committed
+    * tombstones excluded. Query batches are human-scale by contract — the
+    * stage collects them driver-side and throws past
+    * `spark.graft.ann.maxQueries` (default 32) instead of silently
+    * launching a corpus-sized probe per row.
+    */
+  final case class AnnStage(index: String, field: String, k: Int,
+      nprobe: Int, refine: Int) extends Stage
   /** `logreduce [field=<name>] [limit N]` — signature clustering: messages
     * are reduced to a template by masking the variable tokens (ISO
     * timestamps → `$DATE`, UUIDs → `$UUID`, long hex runs → `$HEX`, digit
@@ -827,6 +843,10 @@ object SearchQuery {
   private val DsirRe =
     ("(?i)dsir\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
+  private val AnnRe =
+    ("(?i)ann\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
+      "((?:\\s+(?:k|nprobe|refine)=\\d+)*)\\s*").r
+  private val AnnOptRe = "(?i)(k|nprobe|refine)=(\\d+)".r
   private val LogReduceRe =
     "(?i)logreduce(?:\\s+field=([A-Za-z0-9_]+))?(?:\\s+limit\\s+(\\d+))?\\s*".r
   private val LogCompareRe =
@@ -1099,6 +1119,20 @@ object SearchQuery {
           DsirStage(model, f, Option(prefix).getOrElse("dsir"))
         case _ => throw new IllegalArgumentException(
           s"dsir needs 'dsir <model> on <field> [prefix=<p>]': $s")
+      }
+    } else if (lower.startsWith("ann ")) {
+      s match {
+        case AnnRe(index, f, opts) =>
+          val kv = AnnOptRe.findAllMatchIn(opts)
+            .map(m => m.group(1).toLowerCase -> m.group(2).toInt).toMap
+          val k = kv.getOrElse("k", 10)
+          val nprobe = kv.getOrElse("nprobe", 2)
+          val refine = kv.getOrElse("refine", 0)
+          require(k > 0 && nprobe > 0 && refine >= 0,
+            s"ann needs positive k/nprobe and refine >= 0: $s")
+          AnnStage(index, f, k, nprobe, refine)
+        case _ => throw new IllegalArgumentException(
+          s"ann needs 'ann <index> on <field> [k=N] [nprobe=N] [refine=N]': $s")
       }
     } else if (lower.startsWith("pct_exact ")) {
       s match {
@@ -2229,6 +2263,74 @@ object SearchQuery {
           df.withColumn(s"${prefix}_weight", round(
             graft.functions.TextFunctions.weightedBucketSum(grams, w)
               .cast("double") / 1e9, 6))
+        case AnnStage(indexName, f, k, nprobe, refine) =>
+          val spark = df.sparkSession
+          val path = graft.operators.ModelStore.annIndexPath(spark, indexName)
+          require(graft.operators.ModelStore.pathExists(spark, path),
+            s"ann index '$indexName' does not exist in the model store — " +
+              "build it with Similarity.buildIvfPqIndex at " +
+              "ModelStore.annIndexPath first")
+          // the index is self-describing: centroids + codebook (and the
+          // optional refine corpus pointer) load from its _meta/ on the
+          // driver at stage-compile time
+          val cents = Similarity.storedCentroids(spark, path)
+          val cb = Similarity.storedCodebook(spark, path)
+          val maxQ = spark.conf.getOption("spark.graft.ann.maxQueries")
+            .map(_.toInt).getOrElse(32)
+          val qf = resolveField(f)
+          val schema = df.schema
+          require(schema.fieldNames.contains(qf),
+            s"ann stage: no such field '$qf'")
+          val qIdx = schema.fieldIndex(qf)
+          val carried = schema.fields.filter(_.name != qf)
+          val scoreName = if (refine > 0) "cosine" else "adc_score"
+          val corpusInfo = if (refine > 0) {
+            val info = Similarity.storedIndexCorpus(spark, path)
+            require(info.isDefined,
+              s"ann stage: refine=$refine needs the index's float corpus — " +
+                "record it with Similarity.recordIndexCorpus at build time")
+            info
+          } else None
+          // each query row is its own partition-pruned codes-only probe;
+          // the batch is collected driver-side and capped LOUDLY — a
+          // corpus-sized input here is a planning error, not a slow query
+          val rows = df.limit(maxQ + 1).collect()
+          require(rows.length <= maxQ,
+            s"ann stage: more than $maxQ query rows reach the index — " +
+              "filter upstream, or raise spark.graft.ann.maxQueries " +
+              "deliberately (each query row is its own index probe)")
+          order = Seq((scoreName, true), ("neighbor_id", false))
+          if (rows.isEmpty) {
+            val outSchema = org.apache.spark.sql.types.StructType(
+              carried.toSeq :+
+                org.apache.spark.sql.types.StructField("neighbor_id",
+                  org.apache.spark.sql.types.LongType) :+
+                org.apache.spark.sql.types.StructField(scoreName,
+                  org.apache.spark.sql.types.DoubleType))
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+          } else rows.map { r =>
+            val qv = r.getAs[scala.collection.Seq[Float]](qIdx).toSeq
+            val topk = corpusInfo match {
+              case Some((cp, icol, vcol)) =>
+                Similarity.ivfPqTopKStored(spark, path,
+                  spark.read.parquet(cp), col(icol), col(vcol),
+                  cents, col("cluster_id"), col("centroid"), cb, qv,
+                  k, nprobe, refine)
+              case None =>
+                Similarity.ivfPqTopKStored(spark, path,
+                  spark.emptyDataFrame, lit(0L), lit(0L),
+                  cents, col("cluster_id"), col("centroid"), cb, qv,
+                  k, nprobe)
+            }
+            val carry = carried.map(fd =>
+              org.apache.spark.sql.GraftGlue.column(
+                org.apache.spark.sql.catalyst.expressions.Literal.create(
+                  r.get(schema.fieldIndex(fd.name)), fd.dataType))
+                .as(fd.name))
+            topk.select(carry.toSeq ++ Seq(
+              col("vec_id").as("neighbor_id"), col(scoreName)): _*)
+          }.reduce(_ unionByName _)
         case TopkExactStage(f, cap, by) =>
           val key = resolveField(f)
           by match {

@@ -2110,6 +2110,95 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(counts.sum == 100)
   }
 
+  test("Q1: ann stage — parses, probes the stored index with a pruned codes-only scan, carries columns, refines, caps loudly") {
+    import SearchQuery._
+    import graft.operators.ModelStore
+    assert(parseStage("ann my-idx on embedding k=5 nprobe=3 refine=20") ==
+      AnnStage("my-idx", "embedding", 5, 3, 20))
+    assert(parseStage("ann idx on vec") == AnnStage("idx", "vec", 10, 2, 0))
+    intercept[IllegalArgumentException](parseStage("ann idx embedding"))
+    intercept[IllegalArgumentException](parseStage("ann idx on v k=0"))
+
+    val s = spark
+    val emb = SparkEntry.tbl(s, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = ModelStore.annIndexPath(s, "qs_ann_idx")
+    Similarity.buildIvfPqIndex(emb, col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), cb, path)
+    val corpusDir =
+      java.nio.file.Files.createTempDirectory("qs-ann-corpus").toString
+    emb.write.mode("overwrite").parquet(corpusDir)
+    Similarity.recordIndexCorpus(s, path, corpusDir, "vec_id", "embedding")
+
+    // the stage answer equals the stored-index operator, with the query
+    // row's other columns carried along
+    val out = compileStages(Seq(
+      parseStage("where vec_id = 5"),
+      parseStage("ann qs_ann_idx on embedding k=7 nprobe=4")), "vec_id",
+      "vec_id")(emb)
+    val got = out.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_score"))).toSeq
+    val query = emb.filter(col("vec_id") === 5)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val want = Similarity.ivfPqTopKStored(s, path, emb, col("vec_id"),
+        col("embedding"), cents, col("cid"), col("cvec"), cb, query,
+        k = 7, nprobe = 4)
+      .collect().map(r => (5L, r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // plan: the probe prunes partitions and reads ONLY codes
+    out.collect()
+    val scan = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("cluster_id")).head
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(!scan.replaceAll("\\s", "").contains("embedding"),
+      s"ann stage scan must read only codes:\n$scan")
+
+    // refine reranks exactly through the recorded corpus
+    val refined = compileStages(Seq(
+      parseStage("where vec_id = 5"),
+      parseStage("ann qs_ann_idx on embedding k=5 nprobe=4 refine=40")),
+      "vec_id", "vec_id")(emb)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"))).toSeq
+    val wantRefined = Similarity.ivfPqTopKStored(s, path, emb, col("vec_id"),
+        col("embedding"), cents, col("cid"), col("cvec"), cb, query,
+        k = 5, nprobe = 4, refine = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined == wantRefined)
+
+    // deletes flow through the stage: tombstoned neighbors disappear
+    val dropIds = want.map(_._2).take(2)
+    import s.implicits._
+    Similarity.deleteFromIvfIndex(s, path,
+      dropIds.toDF("vec_id"), col("vec_id"), batchId = 1)
+    val afterDelete = compileStages(Seq(
+      parseStage("where vec_id = 5"),
+      parseStage("ann qs_ann_idx on embedding k=7 nprobe=4")), "vec_id",
+      "vec_id")(emb)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(dropIds.forall(id => !afterDelete.contains(id)))
+
+    // an empty query batch is an empty result with the output schema
+    val empty = compileStages(Seq(
+      parseStage("where vec_id = -1"),
+      parseStage("ann qs_ann_idx on embedding")), "vec_id", "vec_id")(emb)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq ==
+        (emb.columns.filterNot(_ == "embedding").toSeq ++
+          Seq("neighbor_id", "adc_score")))
+
+    // a corpus-sized input throws loudly instead of probing per row
+    val err = intercept[IllegalArgumentException] {
+      compileStages(Seq(parseStage("ann qs_ann_idx on embedding")),
+        "vec_id", "vec_id")(emb)
+    }
+    assert(err.getMessage.contains("maxQueries"), err.getMessage)
+  }
+
   implicit class PairOps(rows: Array[(String, String, String)]) {
     def toMap2: Map[String, (String, String)] =
       rows.map { case (t, f, g) => (t, (f, g)) }.toMap
