@@ -975,6 +975,61 @@ object Scratch {
         graft.operators.Pins.release(corpus)
       }
     }
+    // ANN rebalance rungs (round 16): SPARK_GRAFT_ANN_REBALANCE=
+    // <n>[,<n>...] — build an IVF-PQ index over n synthetic d=32 vectors
+    // (64 centroids), then remediate drift two ways: rebalanceIvfPqIndex
+    // splitCount=2 (reads ONLY the two worst partitions' codes,
+    // reconstructs, local 2-means, atomic swap) vs the full retrain+rebuild
+    // a frozen quantizer otherwise forces. The claim: rebalance cost tracks
+    // the affected partitions (~2/64 of the index), rebuild tracks the
+    // corpus — the gap widens linearly with n.
+    sys.env.get("SPARK_GRAFT_ANN_REBALANCE").foreach { spec =>
+      spec.split(",").map(_.trim.toLong).foreach { n =>
+        val d = 32
+        def vecsFor(from: Long, until: Long) =
+          spark.range(from, until, 1, 32)
+            .select(col("id").as("vec_id"),
+              expr(s"cast(transform(sequence(0, ${d - 1}), i -> " +
+                "cast(conv(substring(md5(concat(cast(id as string), ':', " +
+                "cast(i as string))), 1, 8), 16, 10) as double) " +
+                "/ 4294967295.0 - 0.5) as array<float>)").as("embedding"))
+        val corpus = graft.operators.Pins.pin(vecsFor(0, n))
+        val cents = corpus.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val cb = graft.operators.Similarity.pqCodebook(
+          corpus.filter(col("vec_id") < 256), col("vec_id"), col("embedding"),
+          m = 8)
+        val path = java.nio.file.Files
+          .createTempDirectory(s"ann-rb-$n").toString
+        graft.operators.Similarity.buildIvfPqIndex(corpus,
+          col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"),
+          cb, path)
+        val affected = {
+          val st = graft.operators.Similarity.storedCentroidStats(spark, path)
+            .collect().map(r => (r.getAs[Long]("cluster_id"),
+              r.getAs[Long]("n"), r.getAs[Double]("err_sum")))
+          st.filter(_._2 >= 2)
+            .sortBy { case (cid, c, e) => (-(e / c), cid) }
+            .take(2).map(_._2).sum
+        }
+        time(s"ann_rebalance n=$n split worst-2 (affected rows=$affected)") {
+          graft.operators.Similarity.rebalanceIvfPqIndex(
+            spark, path, batchId = 1, splitCount = 2)
+          affected
+        }
+        val path2 = java.nio.file.Files
+          .createTempDirectory(s"ann-rb-full-$n").toString
+        time(s"ann_rebalance n=$n full retrain+rebuild") {
+          val retrained = graft.operators.Similarity.kmeansCentroids(
+            corpus, col("vec_id"), col("embedding"), k = 64, iters = 2)
+          graft.operators.Similarity.buildIvfPqIndex(corpus,
+            col("vec_id"), col("embedding"), retrained,
+            col("cluster_id"), col("centroid"), cb, path2)
+          n
+        }
+        graft.operators.Pins.release(corpus)
+      }
+    }
     // Perceptual-hash near-dup rungs (round 15): SPARK_GRAFT_PHASH_SCALE=
     // <n>[,<n>...] — n synthetic 512-byte media rows, groups of ~16 ids
     // share one md5-chain blob (pure-SQL generation, no UDF/join), every

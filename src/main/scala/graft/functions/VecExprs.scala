@@ -144,6 +144,39 @@ object VecImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Reconstruct the PQ approximation of a vector from its codes: the
+    * concatenation of each subspace's codeword, exactly [[pqEncode]]'s
+    * inverse resolution. The index-maintenance workhorse — splitting a
+    * centroid needs its members' geometry, and the reconstruction is all
+    * the index stores about it (so a rebalance never touches the corpus).
+    */
+  def pqDecode(a: ArrayData, codebook: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebook.length
+    if (a.numElements() != m) {
+      throw new IllegalArgumentException(
+        s"pq_decode: ${a.numElements()} codes but the codebook has $m subspaces")
+    }
+    var dim = 0
+    var s = 0
+    while (s < m) { dim += codebook(s)(0).length; s += 1 }
+    val out = new Array[Float](dim)
+    var base = 0
+    s = 0
+    while (s < m) {
+      val c = a.getInt(s)
+      val codes = codebook(s)
+      if (c < 0 || c >= codes.length) {
+        throw new IllegalArgumentException(
+          s"pq_decode: code $c out of range for subspace $s (${codes.length} codewords)")
+      }
+      val cw = codes(c)
+      System.arraycopy(cw, 0, out, base, cw.length)
+      base += cw.length
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-row max-cosine centroid assignment against a FROZEN centroid set:
     * the streaming/serving form of the batch broadcast-join argmax
     * (`Similarity.ivfAssign`). Per centroid, cosine = dot / sqrt(na·nc)
@@ -335,6 +368,25 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pqEncode($a, $cb)")
   }
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_decode(array<int>) -> array<float>` with codegen; the constant
+  * codebook rides along as a codegen reference object — [[PqEncode]]'s
+  * inverse at codeword resolution.
+  */
+case class PqDecode(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+  override protected def nullSafeEval(a: Any): Any =
+    VecImpl.pqDecode(a.asInstanceOf[ArrayData], codebook)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecImpl.pqDecode($a, $cb)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
     copy(child = newChild)
 }
 

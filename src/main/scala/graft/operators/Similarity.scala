@@ -474,11 +474,18 @@ object Similarity {
     */
   def storedCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val p = s"$path/_meta/centroids"
-    require(ModelStore.pathExists(spark, p),
-      s"no stored centroids at $p — the index predates self-describing " +
-        "meta; rebuild it with buildIvfPqIndex")
-    spark.read.parquet(p)
+    // a committed-but-unfolded rebalance (crash between its marker and the
+    // meta fold) is authoritative: its staged set matches the already-live
+    // partition swap
+    committedNextMeta(spark, path, "centroids") match {
+      case Some(next) => spark.read.parquet(next)
+      case None =>
+        val p = s"$path/_meta/centroids"
+        require(ModelStore.pathExists(spark, p),
+          s"no stored centroids at $p — the index predates self-describing " +
+            "meta; rebuild it with buildIvfPqIndex")
+        spark.read.parquet(p)
+    }
   }
 
   /** The stored PQ codebook of a [[buildIvfPqIndex]] index. */
@@ -594,10 +601,14 @@ object Similarity {
     */
   def storedCentroidStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val p = s"$path/_meta/centroid_stats"
-    require(ModelStore.pathExists(spark, p),
-      s"no centroid stats at $p — rebuild with buildIvfPqIndex")
-    spark.read.parquet(p)
+    committedNextMeta(spark, path, "centroid_stats") match {
+      case Some(next) => spark.read.parquet(next)
+      case None =>
+        val p = s"$path/_meta/centroid_stats"
+        require(ModelStore.pathExists(spark, p),
+          s"no centroid stats at $p — rebuild with buildIvfPqIndex")
+        spark.read.parquet(p)
+    }
   }
 
   /** The drift probe on its own: `(batchErr, trainErr)` — batch vectors'
@@ -826,6 +837,230 @@ object Similarity {
       PartitionManifest.recoverAndGc(tombDir, tombCommits, deadFileGraceMs)
     }
     (totals.map(_._1).sum, totals.map(_._2).sum)
+  }
+
+  /** PQ reconstruction of a codes column (`array<int>` → `array<float>`):
+    * each subspace's codeword concatenated — the geometry the index stores.
+    */
+  def pqDecode(codesCol: Column, codebook: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftGlue.column(graft.functions.PqDecode(
+      org.apache.spark.sql.GraftGlue.expression(codesCol), codebook))
+
+  /** Incremental drift remediation: split the worst-quantization-error
+    * centroids in place, touching ONLY their partitions. The remedial path
+    * [[ivfDrift]]'s gate points at — a full retrain+rebuild is a
+    * corpus-sized job, but the error lives in specific centroids (the
+    * per-centroid `err_sum/n` the build and every append maintain in
+    * `_meta/centroid_stats`), so:
+    *
+    *  1. pick the `splitCount` worst centroids by stored mean error
+    *     (occupancy ≥ 2 — singletons can't split);
+    *  1. reconstruct ONLY those partitions' members from their PQ codes
+    *     ([[pqDecode]] — codeword resolution is exactly what the ADC
+    *     probe sees, and the corpus is never read);
+    *  1. local 2-means per split centroid over its members only;
+    *  1. re-split the members between the two children by reconstruction
+    *     cosine ([[ivfAssignFrozen]] — codes stay FROZEN: the codebook is
+    *     unchanged, only the coarse routing moves);
+    *  1. land atomically: children's files pending under `part-b<batchId>`,
+    *     the old partition's files `dead_on_commit` — ONE
+    *     `_commits/b<batchId>` marker create flips every file live/dead
+    *     across both directories at the same instant (the
+    *     [[graft.sinks.PartitionManifest]] swap protocol), so no reader
+    *     ever sees duplicated or missing members.
+    *
+    * The new centroid table + stats are staged to
+    * `_meta/centroids_next_b<id>` BEFORE the marker and folded into the
+    * canonical `_meta/` after — [[storedCentroids]] resolves a committed
+    * staged set, so even a crash between marker and fold answers with the
+    * post-split centroids; the replay (same `batchId`) finishes the fold.
+    * `_meta/train_stats` (the drift-gate baseline) is re-derived from the
+    * merged stats: the quantizer changed, so the baseline must too.
+    * Idempotent per `batchId`; single maintenance writer per index (no
+    * concurrent appends/compacts during a rebalance). Returns the new
+    * centroid table.
+    *
+    * Cost tracks the AFFECTED PARTITIONS (members of the split centroids ≈
+    * splitCount/nlist of the index, codes-only), never the corpus — the
+    * SPARK_GRAFT_ANN_REBALANCE drill measures the ratio.
+    */
+  def rebalanceIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long, splitCount: Int = 1,
+      kmeansIters: Int = 4): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.sinks.PartitionManifest
+    require(splitCount >= 1, s"splitCount must be >= 1: $splitCount")
+    val root = Paths.get(path)
+    val commitsRoot = root.resolve("_commits")
+    val marker = commitsRoot.resolve(s"b$batchId")
+    if (Files.exists(marker)) {
+      // committed replay: finish the meta fold if the crash left it staged
+      finishRebalanceMeta(spark, path, batchId)
+      PartitionManifest.rmTree(root.resolve("_stage").resolve(s"rb$batchId"))
+      return storedCentroids(spark, path)
+    }
+    val cb = storedCodebook(spark, path)
+    val cents = collectCentroids(storedCentroids(spark, path),
+      col("cluster_id"), col("centroid"))
+    val stats = storedCentroidStats(spark, path).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n"),
+        r.getAs[Double]("err_sum")))
+    val splittable = stats.filter(_._2 >= 2)
+    require(splittable.nonEmpty,
+      "rebalanceIvfPqIndex: no centroid has >= 2 members to split")
+    val worst = splittable
+      .sortBy { case (cid, n, e) => (-(e / n), cid) }
+      .take(splitCount).map(_._1).toSeq
+    var nextId = cents.map(_._1).max + 1
+    val stage = root.resolve("_stage").resolve(s"rb$batchId")
+    // capture each split partition's live file set ONCE — members, the
+    // re-split, and the dead_on_commit list must all see the same snapshot
+    case class Split(oldId: Long, newId: Long, files: Seq[String],
+        children: Seq[(Long, Array[Float])])
+    val splits = worst.map { cid =>
+      val dir = root.resolve(s"cluster_id=$cid")
+      val files = PartitionManifest.liveParquets(dir, commitsRoot)
+        .map(_.toString)
+      require(files.nonEmpty, s"rebalanceIvfPqIndex: empty partition $cid")
+      val members = spark.read.parquet(files: _*)
+        .select(col("vec_id"), pqDecode(col("codes"), cb).as("rvec"))
+      // local 2-means over THIS centroid's members only (deterministic
+      // seeding keyed by batch + centroid)
+      val kc = kmeansCentroids(members, col("vec_id"), col("rvec"),
+        k = 2, iters = kmeansIters, seed = s"rb$batchId:$cid")
+        .collect().sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+      val sp = Split(cid, nextId,
+        files, Seq(cid -> kc(0), nextId -> kc(1)))
+      nextId += 1
+      sp
+    }
+    // stage both children's (vec_id, codes) per split; collect the child
+    // stats off the same pass (count + reconstruction error vs the child
+    // centroid — the post-split _meta/centroid_stats rows)
+    val childStats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    splits.foreach { sp =>
+      val assignedChild = graft.functions.ExprUtils.materialized(
+        spark.read.parquet(sp.files: _*).select(col("vec_id"), col("codes")),
+        "_a", ivfAssignFrozen(pqDecode(col("codes"), cb), sp.children))
+        .select(col("vec_id"), col("codes"),
+          col("_a.cluster_id").as("_child"), col("_a.cosine").as("_ccos"))
+      val pinned = Pins.pin(assignedChild)
+      try {
+        sp.children.map(_._1).foreach { childId =>
+          pinned.filter(col("_child") === childId)
+            .select(col("vec_id"), col("codes"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage.resolve(s"cluster_id=$childId").toString)
+        }
+        childStats ++= pinned.groupBy(col("_child"))
+          .agg(count(lit(1)).as("n"),
+            sum(lit(1.0) - col("_ccos")).as("err_sum"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      } finally Pins.release(pinned)
+    }
+    // declare the swap: children pending, old files dead-on-commit —
+    // everything flips at the single marker create below
+    splits.foreach { sp =>
+      val oldDir = root.resolve(s"cluster_id=${sp.oldId}")
+      PartitionManifest.mutateManifest(oldDir)(m => m.copy(
+        deadOnCommit = m.deadOnCommit ++ sp.files.map(f =>
+          batchId -> Paths.get(f).getFileName.toString)))
+      PartitionManifest.landStagedPartition(
+        stage.resolve(s"cluster_id=${sp.oldId}"), oldDir, batchId)
+      PartitionManifest.landStagedPartition(
+        stage.resolve(s"cluster_id=${sp.newId}"),
+        root.resolve(s"cluster_id=${sp.newId}"), batchId)
+    }
+    // staged meta BEFORE the marker: a reader in the crash window resolves
+    // the committed staged set, never a centroid table that misses a live
+    // partition
+    val splitMap = splits.map(sp => sp.oldId -> sp).toMap
+    val newCents: Seq[(Long, Seq[Float])] = cents.flatMap { case (cid, cv) =>
+      splitMap.get(cid) match {
+        case Some(sp) => sp.children.map { case (id, v) => (id, v.toSeq) }
+        case None => Seq((cid, cv.toSeq))
+      }
+    }.sortBy(_._1)
+    val statsNext = (stats.filterNot(s => splitMap.contains(s._1)) ++
+      childStats).sortBy(_._1).toSeq
+    import spark.implicits._
+    newCents.toDF("cluster_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta/centroids_next_b$batchId")
+    statsNext.toDF("cluster_id", "n", "err_sum").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$path/_meta/centroid_stats_next_b$batchId")
+    // COMMIT — one marker create swaps every split partition atomically
+    Files.createDirectories(marker.getParent)
+    Files.write(marker, Array.emptyByteArray)
+    // cleanup, not commit
+    splits.foreach { sp =>
+      PartitionManifest.clearPendingBatch(
+        root.resolve(s"cluster_id=${sp.oldId}"), batchId)
+      PartitionManifest.clearPendingBatch(
+        root.resolve(s"cluster_id=${sp.newId}"), batchId)
+      // convert the dead_on_commit entries to aging dead files
+      PartitionManifest.recoverAndGc(root.resolve(s"cluster_id=${sp.oldId}"),
+        commitsRoot, graft.sinks.LogStore.DefaultDeadFileGraceMs)
+    }
+    PartitionManifest.rmTree(stage)
+    finishRebalanceMeta(spark, path, batchId)
+    storedCentroids(spark, path)
+  }
+
+  /** Fold a committed rebalance's staged centroid meta into the canonical
+    * `_meta/` files and re-derive the drift baseline. Idempotent; the
+    * replay path calls it when a crash landed between the marker and here.
+    */
+  private def finishRebalanceMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long): Unit = {
+    import graft.sinks.PartitionManifest
+    val centsNext = s"$path/_meta/centroids_next_b$batchId"
+    val statsNext = s"$path/_meta/centroid_stats_next_b$batchId"
+    if (!ModelStore.pathExists(spark, centsNext)) return
+    import spark.implicits._
+    val cents = spark.read.parquet(centsNext).collect()
+      .map(r => (r.getAs[Long]("cluster_id"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
+      .sortBy(_._1).toSeq
+    val stats = spark.read.parquet(statsNext).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n"),
+        r.getAs[Double]("err_sum"))).sortBy(_._1).toSeq
+    cents.toDF("cluster_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta/centroids")
+    stats.toDF("cluster_id", "n", "err_sum").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta/centroid_stats")
+    val n = stats.map(_._2).sum
+    val err = if (n == 0) 0.0 else stats.map(_._3).sum / n
+    Seq(err).toDF("mean_err").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_meta/train_stats")
+    PartitionManifest.rmTree(java.nio.file.Paths.get(centsNext))
+    PartitionManifest.rmTree(java.nio.file.Paths.get(statsNext))
+  }
+
+  /** A committed-but-unfolded rebalance's staged meta dir for `kind`
+    * (`centroids` / `centroid_stats`), if any: named
+    * `<kind>_next_b<id>` with its `_commits/b<id>` marker present.
+    */
+  private def committedNextMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, kind: String): Option[String] = {
+    import java.nio.file.{Files, Paths}
+    import graft.sinks.PartitionManifest
+    val meta = Paths.get(path).resolve("_meta")
+    if (!Files.isDirectory(meta)) return None
+    val re = (java.util.regex.Pattern.quote(kind) + "_next_b(\\d+)").r
+    PartitionManifest.ls(meta)(p => Files.isDirectory(p) &&
+      re.pattern.matcher(p.getFileName.toString).matches())
+      .flatMap { p =>
+        p.getFileName.toString match {
+          case re(id) if Files.exists(
+            Paths.get(path).resolve("_commits").resolve(s"b$id")) =>
+            Some((id.toLong, p.toString))
+          case _ => None
+        }
+      }
+      .sortBy(-_._1).headOption.map(_._2)
   }
 
   /** Live data-file count of a stored index — the read path's planning

@@ -613,6 +613,118 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(storedTopk() == inlineTopk(survivors))
   }
 
+  test("ivf-pq rebalance: worst centroids split in place, batch error drops under the re-derived gate, swap atomic and complete") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    // deliberately COARSE coarse quantizer (4 centroids) so per-centroid
+    // error is high and a split has room to help
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-rb").toString
+    Similarity.buildIvfPqIndex(emb, col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), cb, path)
+    val nCorpus = emb.count()
+
+    // two "drift modes": chimera vectors stitched from codeword halves —
+    // exactly PQ-representable (reconstruction == vector), far from the 4
+    // coarse centroids, so they inflate whichever centroid absorbs them
+    val r5 = emb.filter(col("vec_id") === 5).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val r9 = emb.filter(col("vec_id") === 9).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val chimA = (r5.take(32) ++ r9.drop(32)).toSeq
+    val chimB = (r9.take(32) ++ r5.drop(32)).toSeq
+    val s = spark
+    import s.implicits._
+    def chimeras(fromId: Long) = (0 until 60).map(i =>
+      (fromId + i, if (i % 2 == 0) chimA else chimB))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val batch1 = chimeras(10000L)
+    val batch2 = chimeras(20000L)
+    Similarity.appendToIvfPqIndex(spark, path, batch1,
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb,
+      batchId = 1, driftFactor = Double.PositiveInfinity)
+
+    val (e2Old, tOld) = Similarity.ivfDrift(spark, path, batch2,
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"))
+    val rOld = e2Old / math.max(tOld, 1e-9)
+
+    // split every coarse centroid once — cost tracked the 4 partitions'
+    // codes, never the corpus
+    val newCents = Similarity.rebalanceIvfPqIndex(spark, path,
+      batchId = 2, splitCount = 4)
+    assert(newCents.count() == 8)
+
+    // completeness: every vector exactly once across the swapped layout
+    val raw = Similarity.openIvfIndex(spark, path, applyTombstones = false)
+    assert(raw.count() == nCorpus + 60)
+    assert(raw.select("vec_id").distinct().count() == nCorpus + 60)
+    // full-probe stored top-k == membership-free ADC over everything: the
+    // swap lost/duplicated nothing the scorer can see
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toSeq
+    val storedAll = Similarity.ivfPqTopKStored(spark, path,
+        emb, col("vec_id"), col("embedding"), newCents,
+        col("cluster_id"), col("centroid"), cb, query, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val adcAll = Similarity.pqTopK(
+        emb.select(col("vec_id"), col("embedding")).unionByName(batch1),
+        col("vec_id"), col("embedding"), cb, query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(storedAll == adcAll)
+    // pruned-probe parity: scanning the probed partitions equals ADC over
+    // exactly the rows the index routes there
+    val probesPruned = Similarity.ivfPqTopKStored(spark, path,
+        emb, col("vec_id"), col("embedding"), newCents,
+        col("cluster_id"), col("centroid"), cb, query, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probesPruned.size == 10 &&
+      probesPruned.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+
+    // the drift gate RE-OPENS: the same mode batch quantizes much better
+    // under the split centroids and the re-derived baseline
+    val (e2New, tNew) = Similarity.ivfDrift(spark, path, batch2,
+      col("vec_id"), col("embedding"), newCents,
+      col("cluster_id"), col("centroid"))
+    val rNew = e2New / math.max(tNew, 1e-9)
+    assert(rNew < rOld,
+      s"rebalance must reduce the mode batch's gate ratio: $rOld -> $rNew")
+    val gate = (rNew + rOld) / 2
+    // pre-rebalance this batch FAILED a gate at `gate` (the require's own
+    // arithmetic); post-rebalance it lands
+    assert(e2Old > gate * math.max(tOld, 1e-9))
+    Similarity.appendToIvfPqIndex(spark, path, batch2,
+      col("vec_id"), col("embedding"), newCents,
+      col("cluster_id"), col("centroid"), cb, batchId = 3,
+      driftFactor = gate)
+    assert(Similarity.openIvfIndex(spark, path).count() == nCorpus + 120)
+
+    // crash window: a committed-but-unfolded rebalance (staged meta +
+    // marker, canonical not yet updated) resolves to the staged set, and
+    // the replay folds it
+    val centsNow = Similarity.storedCentroids(spark, path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
+    Similarity.storedCentroids(spark, path)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_meta/centroids_next_b77")
+    Similarity.storedCentroidStats(spark, path)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_meta/centroid_stats_next_b77")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_commits", "b77"), Array.emptyByteArray)
+    assert(Similarity.storedCentroids(spark, path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+      .toSeq == centsNow, "crash-window read must resolve the staged set")
+    Similarity.rebalanceIvfPqIndex(spark, path, batchId = 77) // replay folds
+    assert(!graft.operators.ModelStore.pathExists(spark,
+      s"$path/_meta/centroids_next_b77"), "replay must fold the staged meta")
+    assert(Similarity.storedCentroids(spark, path).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1)
+      .toSeq == centsNow)
+  }
+
   test("batch ANN: each query's rows equal its single-query brute force") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
