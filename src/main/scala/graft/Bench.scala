@@ -142,21 +142,30 @@ object Bench {
   }
 
   /** All-core companion to [[cpuProbe]]: every benching core runs the same
-    * fixed work simultaneously; wall clock of the slowest ≈ the host's
-    * aggregate throughput. Catches the interference dimension the
-    * single-thread probe cannot see — same-day runs measured identical
+    * fixed work simultaneously; the MEAN of the per-thread wall clocks ≈
+    * the host's aggregate throughput. Catches the interference dimension
+    * the single-thread probe cannot see — same-day runs measured identical
     * 12.9 ms single-core probes while the suite ran 1.33× apart, i.e. the
     * host's MULTI-core effective bandwidth moved without any single core
-    * slowing down.
+    * slowing down. Mean, NOT slowest-thread: the max statistic is hostage
+    * to one transiently descheduled thread (measured 23.8→266 ms swings
+    * inside a single calm run — every window self-flagged on noise), while
+    * one straggler moves the mean by only 1/threads and a REAL all-core
+    * squeeze inflates every term.
     */
   private def cpuProbeAll(threads: Int): Double = {
-    val t0 = System.nanoTime()
-    val ts = (1 to math.max(threads, 1)).map { _ =>
-      val t = new Thread(() => probeWork())
+    val n = math.max(threads, 1)
+    val times = new Array[Long](n)
+    val ts = (0 until n).map { i =>
+      val t = new Thread(() => {
+        val t0 = System.nanoTime()
+        probeWork()
+        times(i) = System.nanoTime() - t0
+      })
       t.setDaemon(true); t.start(); t
     }
     ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e6
+    times.map(_ / 1e6).sum / n
   }
 
   private def newSession(cpus: String): SparkSession = {
@@ -304,6 +313,13 @@ object Bench {
     val probeSlowFactor =
       try sys.env.getOrElse("SPARK_GRAFT_PROBE_SLOW_FACTOR", "1.25").toDouble
       catch { case _: NumberFormatException => 1.25 }
+    // the all-core canary gets its own (wider) factor: even as a mean it
+    // breathes more than the single-core probe on a shared host, and the
+    // drift it exists to catch (r15: 1.33x sustained) is well above 1.5x
+    // in canary units once every thread feels the squeeze
+    val probeAllSlowFactor =
+      try sys.env.getOrElse("SPARK_GRAFT_PROBE_ALL_SLOW_FACTOR", "1.5").toDouble
+      catch { case _: NumberFormatException => 1.5 }
     val midSamples = scala.collection.mutable.ArrayBuffer.empty[
       // (query, load1, jvms, steal%, probe ms, all-core probe ms)
       (String, Double, Int, Double, Double, Double)]
@@ -327,7 +343,7 @@ object Bench {
       midSamples += ((name, la.head, jvms, stealPct, probe, probeAll))
       val bad = jvms > 0 || stealPct > stealBadPct ||
         probe > probeSlowFactor * minProbe ||
-        probeAll > probeSlowFactor * minProbeAll
+        probeAll > probeAllSlowFactor * minProbeAll
       if (bad) Console.err.println(
         f"[bench] load sample after $name: load1=${la.head}%.2f " +
           f"other_jvms=$jvms steal=$stealPct%.1f%% " +
@@ -531,7 +547,7 @@ object Bench {
     val midBad = midSamples.count { case (_, _, jvms, stealPct, probe, pAll) =>
       jvms > 0 || stealPct > stealBadPct ||
         probe > probeSlowFactor * minProbe ||
-        pAll > probeSlowFactor * minProbeAll }
+        pAll > probeAllSlowFactor * minProbeAll }
     val midFlagged = midBad > badSampleLimit
     val loadFlagged = startFlagged || midFlagged
     val midMax = if (midSamples.isEmpty) -1.0 else midSamples.map(_._2).max
@@ -539,15 +555,24 @@ object Bench {
       if (midSamples.isEmpty) -1.0 else midSamples.map(_._4).max
     val probes = midSamples.map(_._5).sorted
     val probesAll = midSamples.map(_._6).sorted
+    // The normalization basis for CROSS-WINDOW totals (the r15 finding: two
+    // same-day runs of identical code measured 1.33x apart while single-core
+    // probes were identical — the residual dimension is aggregate multi-core
+    // throughput, which only the all-core canary sees). total_per_probe_all
+    // divides the suite total by the run's median all-core canary, so two
+    // windows whose entire difference is host throughput normalize to ~the
+    // same number; a genuine code regression moves the ratio.
+    val probeAllMed =
+      if (probesAll.isEmpty) minProbeAll else probesAll(probesAll.size / 2)
     val probeStats =
       if (probes.isEmpty)
         s""""probe_min_ms":${r3(minProbe)},"probe_all_min_ms":${r3(minProbeAll)}"""
       else s""""probe_min_ms":${r3(minProbe)},"probe_median_ms":${r3(probes(probes.size / 2))},"probe_max_ms":${r3(probes.last)},"probe_all_min_ms":${r3(minProbeAll)},"probe_all_median_ms":${r3(probesAll(probesAll.size / 2))},"probe_all_max_ms":${r3(probesAll.last)}"""
     val midCtx =
-      s""""mid":{"samples":${midSamples.size},"bad_samples":$midBad,"bad_limit":$badSampleLimit,"steal_bad_pct":$stealBadPct,"probe_slow_factor":$probeSlowFactor,$probeStats,"max_load1":${r3(midMax)},"max_steal_pct":${r3(midMaxSteal)},"flagged":$midFlagged,"requeued":${requeuedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s""""mid":{"samples":${midSamples.size},"bad_samples":$midBad,"bad_limit":$badSampleLimit,"steal_bad_pct":$stealBadPct,"probe_slow_factor":$probeSlowFactor,"probe_all_slow_factor":$probeAllSlowFactor,$probeStats,"max_load1":${r3(midMax)},"max_steal_pct":${r3(midMaxSteal)},"flagged":$midFlagged,"requeued":${requeuedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val loadCtx =
       s""""load":{"start":${loadJson(loadStart, jvmsStart)},"end":${loadJson(loadEnd, jvmsEnd)},$midCtx,"cpus_host":${Runtime.getRuntime.availableProcessors},"cpus_bench":$cpus,"flagged":$loadFlagged}"""
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)},"ingest_sec":${r3(streamIngest)},"search_sec":${r3(streamSearch)},"ingest_events_per_sec":${r3(if (streamIngest > 0) streamEvents / streamIngest else -1.0)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)},"ingest_events_per_sec":${r3(if (s1mIngest > 0) s1mEvents / s1mIngest else -1.0)}},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},"total_per_probe_all":${r3(if (probeAllMed > 0) total / probeAllMed else -1.0)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)},"ingest_sec":${r3(streamIngest)},"search_sec":${r3(streamSearch)},"ingest_events_per_sec":${r3(if (streamIngest > 0) streamEvents / streamIngest else -1.0)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)},"ingest_events_per_sec":${r3(if (s1mIngest > 0) s1mEvents / s1mIngest else -1.0)}},"sf":"$sfDir"}"""
     // Full per-query blob goes to a FILE (it has never fit the driver's
     // output-tail window — 75 query names alone overflow it); stdout gets
     // the per-query lines above plus one SHORT final line that always fits
