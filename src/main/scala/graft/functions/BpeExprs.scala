@@ -84,6 +84,145 @@ object BpeImpl {
   }
 }
 
+/** Byte-level BPE support (the GPT-2 family shape: Radford et al. 2019,
+  * `encoder.py`): pretokenize with the published regex, then map each
+  * pretoken's UTF-8 BYTES through the bytes→unicode alphabet so every
+  * symbol is one printable char and ANY input — any script, any
+  * punctuation, any control byte — round-trips losslessly (decode is
+  * concat → inverse byte map → UTF-8). No normalization: unlike
+  * [[BpeImpl.encode]]'s trim+lower, the pretokens concatenate back to the
+  * original text exactly, which is what makes the tokenizer invertible.
+  *
+  * `\s` here is the Java-default ASCII class (space/tab/newline/CR/FF/VT) —
+  * the cross-engine reproducible reading (RE2's `\s` in the DuckDB oracle
+  * is the same ASCII set); GPT-2's Python `regex` module reads `\s` as
+  * Unicode whitespace, a boundary-only difference that never affects
+  * losslessness.
+  */
+object BpeByteImpl {
+  /** The published GPT-2 pretokenizer: contractions, optional-space letter
+    * runs, optional-space number runs, optional-space punctuation runs,
+    * non-final whitespace (the lookahead keeps the last space attached to
+    * the following word), trailing whitespace.
+    */
+  private val pre = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  /** GPT-2 `bytes_to_unicode`: printable latin-1 bytes map to themselves,
+    * the 68 others (controls, space, DEL, soft hyphen, …) shift to
+    * 256+n in byte order — every byte one PRINTABLE char, so merge-table
+    * entries stay readable and the "a b" pair convention stays unambiguous
+    * (the space byte itself maps to 'Ġ' = U+0120).
+    */
+  val byteToChar: Array[Char] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  private val charToByte: Array[Byte] = {
+    val out = new Array[Byte](512)
+    var b = 0
+    while (b < 256) { out(byteToChar(b)) = b.toByte; b += 1 }
+    out
+  }
+
+  /** Raw pretokens; concatenation restores the input verbatim. */
+  def preTokenize(s: String): Array[String] = {
+    val m = pre.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** One pretoken's UTF-8 bytes through the byte alphabet. */
+  def mapBytes(pretoken: String): String = {
+    val bytes = pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of token concatenation: mapped chars → bytes → UTF-8. Total
+    * losslessness is structural — every byte has exactly one alphabet char.
+    */
+  def decode(tokens: Iterable[String]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    tokens.foreach { t =>
+      var i = 0
+      while (i < t.length) { bos.write(charToByte(t.charAt(i)) & 0xFF); i += 1 }
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def pretokensMapped(s: UTF8String): ArrayData =
+    new GenericArrayData(preTokenize(s.toString)
+      .map(p => UTF8String.fromString(mapBytes(p))).toArray[Any])
+
+  /** Pretokenize → byte-map → greedy-merge each pretoken with the frozen
+    * ranks ([[BpeImpl.encodeWord]] — the SAME lowest-rank-first loop the
+    * char-level encoder and the trainer share).
+    */
+  def encode(s: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val toks = preTokenize(s.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val enc = BpeImpl.encodeWord(mapBytes(toks(i)), ranks)
+      var j = 0
+      while (j < enc.length) { out += UTF8String.fromString(enc(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_byte_pretokens(string) -> array<string>`: byte-mapped GPT-2
+  * pretokens — the trainer's distributed word-frequency input.
+  */
+case class BpeBytePretokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "bpe_byte_pretokens"
+  override protected def nullSafeEval(input: Any): Any =
+    BpeByteImpl.pretokensMapped(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeByteImpl.pretokensMapped($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeBytePretokens =
+    copy(child = newChild)
+}
+
+/** `bpe_byte_encode(string) -> array<string>` with whole-stage codegen; the
+  * frozen byte-level merge-rank table rides along as a reference object.
+  */
+case class BpeByteEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "bpe_byte_encode"
+  @transient private lazy val ranks = BpeImpl.ranksOf(merges.toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    BpeByteImpl.encode(input.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeByteRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeByteImpl.encode($c, $r)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeByteEncode =
+    copy(child = newChild)
+}
+
 /** `bpe_encode(string) -> array<string>` with whole-stage codegen; the
   * frozen merge-rank table rides along as a codegen reference object.
   */

@@ -123,4 +123,75 @@ object Bpe {
   /** Per-document BPE token count under a frozen merge table. */
   def tokenCount(c: Column, merges: Array[String]): Column =
     size(encode(c, merges)).cast("long")
+
+  // ------------------------------------------------------- byte-level BPE
+
+  /** Train byte-level merges (the GPT-2 family shape): pretokenize with
+    * the published regex, byte-map each pretoken through the 256-symbol
+    * alphabet ([[graft.functions.BpeByteImpl]]), then the SAME
+    * [[mergeLoop]] over the pretoken-frequency table. The scale shape is
+    * [[train]]'s: one map-side-combined `groupBy(pretoken).count()`
+    * bounded at `topWords`; the driver-side loop never sees the corpus.
+    * No normalization — case, punctuation and whitespace are vocabulary,
+    * which is what makes the frozen tokenizer lossless.
+    */
+  def trainByteLevel(df: DataFrame, textCol: Column, numMerges: Int,
+      topWords: Int = 50000): Array[String] = {
+    require(numMerges >= 0, s"numMerges must be nonnegative: $numMerges")
+    val wc = df
+      .select(explode(pretokensByteLevel(coalesce(textCol, lit("")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    mergeLoop(wc, numMerges)
+  }
+
+  /** [[trainByteLevel]] minus the distributed count — identical pretokens,
+    * byte mapping, tie-breaking and merge loop, for oracles that must
+    * embed the exact frozen table without a SparkSession (spec-pinned
+    * parity with the Spark path).
+    */
+  def trainByteLevelLocal(corpus: Seq[String], numMerges: Int,
+      topWords: Int = 50000): Array[String] = {
+    require(numMerges >= 0, s"numMerges must be nonnegative: $numMerges")
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    corpus.foreach { t =>
+      graft.functions.BpeByteImpl.preTokenize(Option(t).getOrElse(""))
+        .foreach { p =>
+          val w = graft.functions.BpeByteImpl.mapBytes(p)
+          counts.update(w, counts.getOrElse(w, 0L) + 1L)
+        }
+    }
+    val wc = counts.toArray.sortBy { case (w, c) => (-c, w) }.take(topWords)
+    mergeLoop(wc, numMerges)
+  }
+
+  /** Byte-mapped GPT-2 pretokens (codegen'd) — `trainByteLevel`'s input;
+    * concatenating a row's pretokens and [[decodeByteLevel]]-ing restores
+    * the text verbatim.
+    */
+  def pretokensByteLevel(c: Column): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      graft.functions.BpeBytePretokens(
+        org.apache.spark.sql.GraftGlue.expression(c)))
+
+  /** Byte-level encode under a frozen merge table: pretokenize → byte-map →
+    * greedy lowest-rank merges (codegen'd [[graft.functions.BpeByteEncode]]
+    * kernel). Lossless: `decodeByteLevel(tokens) == text` for ANY input.
+    */
+  def encodeByteLevel(c: Column, merges: Array[String]): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      graft.functions.BpeByteEncode(
+        org.apache.spark.sql.GraftGlue.expression(c), merges.toIndexedSeq))
+
+  /** Per-document byte-level BPE token count under a frozen merge table. */
+  def byteTokenCount(c: Column, merges: Array[String]): Column =
+    size(encodeByteLevel(c, merges)).cast("long")
+
+  /** Invert [[encodeByteLevel]]: concat tokens → inverse byte alphabet →
+    * UTF-8. Driver-side (tests, debugging); the streaming/batch pipelines
+    * never need to decode.
+    */
+  def decodeByteLevel(tokens: Seq[String]): String =
+    graft.functions.BpeByteImpl.decode(tokens)
 }

@@ -291,6 +291,28 @@ object Dedup {
     * (pair, group). See [[simhashPairs]] for the distinct-sketch-space
     * design rationale.
     */
+  /** Per-band values of a ≤64-bit sketch as a plan-time literal array:
+    * `maxHamming+1` bands, per-band (shift, mask) literals, the LAST band
+    * absorbing the remainder bits (width 64 needs no mask — the shift is
+    * 0) so every bit is covered and the pigeonhole guarantee holds — two
+    * sketches within `maxHamming` agree on at least one band value.
+    * Shared between the batch candidate join ([[sketchPairs]]) and the
+    * streaming near-dup gate
+    * ([[graft.streaming.Streams.mediaNearDupStream]]) so the two bandings
+    * can never drift.
+    */
+  private[graft] def bandValues(sim: Column, totalBits: Int,
+      maxHamming: Int): Column = {
+    val nBands = maxHamming + 1
+    val bitsPer = totalBits / nBands
+    array((0 until nBands).map { b =>
+      val off = b * bitsPer
+      val width = if (b == nBands - 1) totalBits - off else bitsPer
+      val shifted = call_function("shiftright", sim, lit(off))
+      if (width >= 64) shifted else shifted.bitwiseAND((1L << width) - 1)
+    }: _*)
+  }
+
   private[graft] def sketchPairs(sketch: DataFrame, totalBits: Int,
       maxHamming: Int, groupCols: Seq[String] = Nil): DataFrame = {
     require(totalBits >= 1 && totalBits <= 64,
@@ -306,14 +328,7 @@ object Dedup {
     // re-reads of 16-byte rows
     val sh = Pins.pin(sketch.select(col("doc_id") +: col("sim") +: gCols: _*))
     val sims = sh.select(col("sim") +: gCols: _*).distinct()
-    // per-band (shift, mask) are plan-time literals; the last band absorbs
-    // the remainder bits (width 64 needs no mask — the shift is 0)
-    val bandVals = array((0 until nBands).map { b =>
-      val off = b * bitsPer
-      val width = if (b == nBands - 1) totalBits - off else bitsPer
-      val shifted = call_function("shiftright", col("sim"), lit(off))
-      if (width >= 64) shifted else shifted.bitwiseAND((1L << width) - 1)
-    }: _*)
+    val bandVals = bandValues(col("sim"), totalBits, maxHamming)
     val banded = sims.select(col("sim") +: gCols :+
       posexplode(bandVals).as(Seq("band_idx", "band_val")): _*)
     def sameGroup(l: String, r: String) = groupCols

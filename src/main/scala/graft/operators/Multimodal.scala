@@ -63,8 +63,12 @@ object Multimodal {
 
   /** Resolve the session-configured codec; explicit `codec` args win. */
   private def resolve(df: DataFrame, codec: Codec): Codec =
+    resolveConf(df.sparkSession, codec)
+
+  private[graft] def resolveConf(spark: org.apache.spark.sql.SparkSession,
+      codec: Codec): Codec =
     if (codec != null) codec
-    else df.sparkSession.conf.get("spark.graft.multimodal.codec", "fake") match {
+    else spark.conf.get("spark.graft.multimodal.codec", "fake") match {
       case "fake" => FakeCodec
       case "imageio" => ImageIoCodec
       case "audio" => AudioCodec
@@ -954,6 +958,17 @@ object Multimodal {
     df.select(idCol.cast("long").as("media_id"),
       pHashUdf(resolve(df, codec), kind)(contentCol).as("phash"))
 
+  /** The [[pHash]] kernel as a bare column, for callers that keep their own
+    * schema (the streaming ingest gates). Codec resolution falls back to
+    * the ACTIVE session's `spark.graft.multimodal.codec` when no DataFrame
+    * is in hand; pass `codec` explicitly where the active session is not
+    * the one that will run the plan.
+    */
+  def pHashCol(content: Column, kind: String = "dhash",
+      codec: Codec = null): Column =
+    pHashUdf(resolveConf(org.apache.spark.sql.SparkSession.active, codec),
+      kind)(content)
+
   /** Near-duplicate media pairs: perceptual hash → [[Dedup.sketchPairs]]
     * banded Hamming join (maxHamming+1 bands over the 64-bit hash, exact by
     * pigeonhole) → `(media_a, media_b, hamming)` with `media_a < media_b`.
@@ -1026,6 +1041,24 @@ object Multimodal {
         sum(col("hamming")).as("hamming_total"))
       .filter(col("shared_frames") >= minShared)
   }
+
+  /** Audio near-duplicate pairs: aHash over the codec's 8×8 amplitude grid
+    * ([[AudioCodec.lumaGrid]] pools mean ABSOLUTE amplitude per equal time
+    * slice) through the same banded Hamming machinery as
+    * [[imageNearDupPairs]]. aHash is the right perceptual reading for
+    * audio — bit k = slice k louder than the track's mean loudness, so the
+    * hash captures the loudness CONTOUR and is invariant to pure gain
+    * (every cell and the mean scale together), which is exactly what
+    * survives a re-encode or level normalization; dHash's neighbor-gradient
+    * compare is an image-axis notion. Codec resolution follows [[pHash]]
+    * (`spark.graft.multimodal.codec`, explicit arg wins) — pass
+    * [[AudioCodec]] or set `codec=audio` for real WAV decode; undecodable
+    * rows (null hash) drop out.
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: Column, contentCol: Column,
+      maxHamming: Int = 3, codec: Codec = null): DataFrame =
+    imageNearDupPairs(df, idCol, contentCol, maxHamming, kind = "ahash",
+      codec = codec)
 
   /** Deterministic synthetic media corpus derived from a numeric id column —
     * the environment has no real media; tests and benches build content as

@@ -484,6 +484,152 @@ object Streams {
       .drop("_fp")
   }
 
+  /** Streaming MEDIA curation: [[curationStream]]'s gate-at-ingest shape
+    * for the image/audio/video lane — perceptual hash per row
+    * ([[graft.operators.Multimodal.pHashCol]], one stateless map over the
+    * content bytes), drop undecodable rows, then first-seen dedup on the
+    * 64-bit sketch with watermark-bounded state. Two media rows that
+    * quantize to the SAME perceptual hash (re-saves, pixel-identical
+    * re-encodes under the grid pooling) collapse to the first arrival —
+    * the hamming-0 reading of near-dup; [[mediaNearDupStream]] is the
+    * hamming≤k exact gate. Output keeps every input column plus `phash`.
+    *
+    * Scale shape: the hash is a narrow projection (content bytes never
+    * shuffle into state — the dedup exchange carries the 8-byte sketch as
+    * key), state is keyed by sketch (uniform, no hot key) and bounded by
+    * the watermark horizon. Admitted rows emit in the SAME micro-batch
+    * (no watermark wait). In-batch ties on one sketch keep exactly one
+    * arbitrary row (the engine's dedup semantics); feed ordered batches
+    * where the choice matters.
+    */
+  def mediaCurationStream(docs: DataFrame, tsCol: String, lateness: String,
+      contentCol: String = "content", kind: String = "dhash",
+      codec: graft.operators.Multimodal.Codec = null): DataFrame =
+    docs
+      .withColumn("phash",
+        graft.operators.Multimodal.pHashCol(col(contentCol), kind, codec))
+      .filter(col("phash").isNotNull)
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("phash"))
+
+  private[graft] case class MediaBandRow(media_id: Long, ts: Timestamp,
+      phash: Long, band_idx: Int, band_val: Long)
+  private[graft] case class MediaVerdict(media_id: Long, ts: Timestamp,
+      phash: Long, dup: Boolean)
+  /** [[mediaNearDupStream]] state: the distinct sketches seen in one band
+    * bucket with their latest event time (for watermark eviction). */
+  private[graft] case class SketchSeen(sketches: Array[Long], tsMs: Array[Long])
+
+  /** Streaming near-duplicate media gate at hamming ≤ `maxHamming`: admit a
+    * media row iff NO earlier-arriving row hashes within `maxHamming` bits —
+    * the exact online reading of [[graft.operators.Multimodal
+    * .imageNearDupPairs]] ("earlier" = earlier micro-batch, then (event
+    * time, id) within a batch; a REJECTED row still blocks later lookalikes,
+    * so the admitted set is exactly the batch rule "no pair edge to any
+    * earlier row").
+    *
+    * Mechanics: hash → explode into `maxHamming+1` (band, value) keys (the
+    * SAME [[graft.operators.Dedup.bandValues]] literals as the batch join,
+    * so candidate coverage is pigeonhole-exact) → per-bucket
+    * `flatMapGroupsWithState` verifies full-sketch hamming against the
+    * bucket's seen set → a windowed all-bands rollup admits rows whose
+    * every band came back clean. State per bucket = distinct sketches seen
+    * within the watermark horizon (entries evict as the watermark passes;
+    * idle buckets time out entirely). Output `(media_id, ts, phash)` emits
+    * once the watermark passes the row's `emitWindow` — re-join content by
+    * id downstream; the content bytes themselves never enter a shuffle or
+    * the state store, which is what holds at 100 TB.
+    */
+  def mediaNearDupStream(docs: DataFrame, tsCol: String, lateness: String,
+      idCol: String = "media_id", contentCol: String = "content",
+      maxHamming: Int = 3, emitWindow: String = "1 minute",
+      kind: String = "dhash",
+      codec: graft.operators.Multimodal.Codec = null): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64): $maxHamming")
+    // Spark's global-watermark checker rejects ANY flatMapGroupsWithState
+    // feeding a downstream stateful operator, because fmgws could in
+    // general emit rows behind the watermark. This gate cannot: verdicts
+    // carry the UNCHANGED event time of rows that already passed the
+    // upstream watermark filter, and both operators use the same lateness,
+    // so nothing the rollup receives is ever late. That makes this the
+    // documented safe-after-analysis case for the opt-out — but the
+    // opt-out is session-global, so demand it EXPLICITLY rather than
+    // silently flipping it for everything else on the session.
+    require(docs.sparkSession.conf
+        .get("spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+          "true") == "false",
+      "mediaNearDupStream chains flatMapGroupsWithState into an all-bands " +
+        "rollup aggregation, which Spark's global-watermark correctness " +
+        "check conservatively rejects. The chain is safe here (verdicts " +
+        "keep the event time of on-time rows; both stages share one " +
+        "lateness), but you must opt in deliberately: set " +
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled=" +
+        "false on this session before building the stream.")
+    val nBands = maxHamming + 1
+    val hashed = docs
+      .select(col(idCol).cast("long").as("media_id"),
+        col(tsCol).as("_mts"),
+        graft.operators.Multimodal.pHashCol(col(contentCol), kind, codec)
+          .as("phash"))
+      .filter(col("phash").isNotNull)
+      .withWatermark("_mts", lateness)
+    val banded = hashed.select(col("media_id"), col("_mts").as("ts"),
+      col("phash"),
+      posexplode(graft.operators.Dedup.bandValues(col("phash"), 64, maxHamming))
+        .as(Seq("band_idx", "band_val")))
+    implicit val rowEnc: Encoder[MediaBandRow] = Encoders.product[MediaBandRow]
+    implicit val outEnc: Encoder[MediaVerdict] = Encoders.product[MediaVerdict]
+    implicit val stEnc: Encoder[SketchSeen] = Encoders.product[SketchSeen]
+    val verdicts = banded.as[MediaBandRow]
+      .groupByKey(r => (r.band_idx, r.band_val))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .flatMapGroupsWithState[SketchSeen, MediaVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[MediaBandRow],
+            state: GroupState[SketchSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val seen = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+            state.getOption.foreach { s =>
+              var i = 0
+              while (i < s.sketches.length) {
+                // horizon eviction: a sketch whose latest sighting fell
+                // behind the watermark can no longer pair with on-time rows
+                if (s.tsMs(i) >= wm) seen.update(s.sketches(i), s.tsMs(i))
+                i += 1
+              }
+            }
+            val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.media_id))
+              .map { r =>
+                val dup = seen.keysIterator
+                  .exists(s => java.lang.Long.bitCount(s ^ r.phash) <= maxHamming)
+                val t = r.ts.getTime
+                if (seen.getOrElse(r.phash, Long.MinValue) < t)
+                  seen.update(r.phash, t)
+                MediaVerdict(r.media_id, r.ts, r.phash, dup)
+              }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(
+                SketchSeen(seen.keys.toArray, seen.values.toArray))
+              // the bucket itself expires once the watermark passes its
+              // newest sighting — idle buckets don't accrete forever
+              state.setTimeoutTimestamp(seen.values.max)
+            }
+            out.iterator
+          }
+      }
+    verdicts.toDF()
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), emitWindow), col("media_id"), col("phash"))
+      .agg(max(when(col("dup"), 1).otherwise(0)).as("_any_dup"),
+        count(lit(1)).as("_n_bands"), min(col("ts")).as("_ts"))
+      .filter(col("_any_dup") === 0 && col("_n_bands") === nBands)
+      .select(col("media_id"), col("_ts").as("ts"), col("phash"))
+  }
+
   /** Online DSIR scoring: apply FROZEN importance weights (trained offline
     * by [[graft.operators.CorpusQuality.dsirBucketWeights]]) to a document
     * stream, adding `dsir_weight` — the log importance weight in nats,

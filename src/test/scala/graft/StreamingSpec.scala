@@ -382,6 +382,109 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("u2", "2024-01-01 10:01:00", 1L)))
   }
 
+  // planted FakeCodec media: 72-byte content == the 9×8 luma grid verbatim,
+  // so near-dups are crafted by cell surgery (one cell touches ≤2 dHash
+  // bits) and distinct groups are far apart
+  private def mediaBlob(group: Int): Array[Byte] =
+    Array.tabulate(72)(i => (((group * 37) + i * 11) % 251).toByte)
+  private def mediaTweak(group: Int, k: Int): Array[Byte] = {
+    val b = mediaBlob(group); b(k) = ((b(k) & 0xFF) + 40).toByte; b
+  }
+
+  test("streaming media curation: first-seen sketch dedup == batch keep-set") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val batches = Seq(
+      Seq((t(0), 0L, mediaBlob(0)), (t(1), 1L, mediaBlob(1))),
+      // cross-batch exact dup (id2), near-tweak (id3), fresh group (id4)
+      Seq((t(10), 2L, mediaBlob(0)), (t(11), 3L, mediaTweak(1, 5)),
+        (t(12), 4L, mediaBlob(2))),
+      Seq((t(20), 5L, mediaTweak(2, 30)), (t(21), 6L, mediaBlob(3)),
+        (t(22), 7L, mediaBlob(1))))
+    val input = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val out = Streams.mediaCurationStream(
+      input.toDF().toDF("ts", "media_id", "content"), "ts", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("media_cur_out")
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val admitted = spark.table("media_cur_out")
+      .select("media_id").as[Long].collect().toSet
+    // batch keep-set: first (ts, id) arrival per perceptual hash
+    val all = batches.flatten
+    val hashes = graft.operators.Multimodal.pHash(
+        all.toDF("ts", "media_id", "content"),
+        col("media_id"), col("content"))
+      .as[(Long, Long)].collect().toMap
+    val expected = all.sortBy(r => (r._1.getTime, r._2))
+      .foldLeft((Set.empty[Long], Set.empty[Long])) {
+        case ((seen, keep), (_, id, _)) =>
+          val h = hashes(id)
+          if (seen(h)) (seen, keep) else (seen + h, keep + id)
+      }._2
+    assert(admitted == expected, s"admitted $admitted vs expected $expected")
+    assert(expected(0L) && expected(1L) && !expected(2L) && !expected(7L))
+  }
+
+  test("streaming media near-dup gate == batch greedy keep-set at hamming<=3") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def t(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    val batches = Seq(
+      Seq((t(0), 0L, mediaBlob(0)), (t(1), 1L, mediaBlob(1))),
+      // near-dups land in LATER batches than their originals, plus one
+      // in-batch near pair (ids 4/5 same batch, order decides)
+      Seq((t(10), 2L, mediaTweak(0, 7)), (t(11), 3L, mediaBlob(2)),
+        (t(12), 4L, mediaBlob(3)), (t(13), 5L, mediaTweak(3, 11))),
+      // a near-dup of a REJECTED row (tweak of id2's tweak) must still be
+      // rejected — vs-seen, not vs-admitted
+      Seq((t(20), 6L, mediaTweak(0, 7)), (t(21), 7L, mediaBlob(4))))
+    val all = batches.flatten
+    val input = MemoryStream[(Timestamp, Long, Array[Byte])]
+    // without the explicit opt-in the builder must refuse loudly
+    val refused = intercept[IllegalArgumentException] {
+      Streams.mediaNearDupStream(
+        input.toDF().toDF("ts", "media_id", "content"), "ts",
+        lateness = "5 seconds", maxHamming = 3, emitWindow = "1 second")
+    }
+    assert(refused.getMessage.contains("checkCorrectness"))
+    s.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val out = Streams.mediaNearDupStream(
+        input.toDF().toDF("ts", "media_id", "content"), "ts",
+        lateness = "5 seconds", maxHamming = 3, emitWindow = "1 second")
+      val q = out.writeStream.format("memory").queryName("media_ndp_out")
+        .outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // sentinel far in the future closes every emit window
+      input.addData((t(100000), 999L, mediaBlob(9)))
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    val admitted = spark.table("media_ndp_out")
+      .select("media_id").as[Long].collect().toSet
+    // batch greedy keep-set: admit r iff NO imageNearDupPairs edge connects
+    // it to a strictly earlier (ts, id) row — rejected rows still block
+    val edges = graft.operators.Multimodal.imageNearDupPairs(
+        all.toDF("ts", "media_id", "content"),
+        col("media_id"), col("content"), maxHamming = 3)
+      .select("media_a", "media_b").as[(Long, Long)].collect()
+    // ids are assigned in (ts, id) arrival order, so an edge's lower
+    // endpoint is always the earlier row: r is blocked iff some edge has
+    // it as the LATER endpoint
+    val expected = all.map(_._2).filter(id => !edges.exists(_._2 == id)).toSet
+    assert(admitted == expected, s"admitted $admitted vs expected $expected")
+    // the planted shape: originals in, all three tweaks out (id6 via a
+    // REJECTED row's sketch), in-batch pair keeps the earlier id
+    assert(Set(0L, 1L, 3L, 4L, 7L).subsetOf(expected))
+    assert(!expected(2L) && !expected(5L) && !expected(6L))
+  }
+
   test("streaming curation: gate → fingerprint dedup → redaction at ingest") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext

@@ -1707,6 +1707,58 @@ class TrainingDataOpsSpec extends SparkSpec {
     } finally s.conf.set("spark.graft.multimodal.codec", "fake")
   }
 
+  test("audio near-dup pairs real WAVs by loudness contour, gain-invariant") {
+    val s = spark
+    import s.implicits._
+    // 1-second 440 Hz sine at 8 kHz whose AMPLITUDE follows a per-slice
+    // contour — 64 slices of 125 frames each, aligned with the 8×8
+    // amplitude grid AudioCodec.lumaGrid pools
+    def wav(amps: Int => Int): Array[Byte] = {
+      val rate = 8000f
+      val perSlice = 125
+      val n = 64 * perSlice
+      val bytes = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (math.sin(2 * math.Pi * 440 * i / rate) * amps(i / perSlice))
+          .toInt.toShort
+        bytes(2 * i) = (v & 0xFF).toByte
+        bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val contour: Int => Int = sl => 2000 + 3500 * (sl % 8) // rising sawtooth
+    val base = wav(contour)
+    // the planted near-dup: the SAME contour re-leveled to 70% gain — aHash
+    // compares each slice to the track's own mean, so a pure gain change
+    // keeps every bit (loudness contour unchanged)
+    val releveled = wav(sl => (contour(sl) * 0.7).toInt)
+    // a different track: inverted sawtooth — every slice lands on the
+    // other side of the mean, hamming ≈ 64
+    val different = wav(sl => 2000 + 3500 * (7 - sl % 8))
+    val df = Seq((0L, base), (1L, releveled), (2L, different))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.audioNearDupPairs(df, col("media_id"),
+        col("content"), maxHamming = 3, codec = Multimodal.AudioCodec)
+      .orderBy("media_a", "media_b")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"expected exactly the planted (0,1) pair: ${pairs.toSeq}")
+    // the operator's verdicts agree with direct hash arithmetic
+    val hs = Seq(base, releveled, different)
+      .map(b => Multimodal.aHash64(Multimodal.AudioCodec.lumaGrid(b, 8, 8)))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(1)) <= 3)
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) > 3)
+    assert(java.lang.Long.bitCount(hs(1) ^ hs(2)) > 3)
+  }
+
   test("pii redaction masks every pattern and leaves clean text alone") {
     val s = spark
     import s.implicits._
@@ -2171,6 +2223,67 @@ class TrainingDataOpsSpec extends SparkSpec {
       // lossless segmentation: tokens concatenate back to the words
       assert(got(id).mkString == text.trim.toLowerCase.split("\\s+").mkString)
     }
+  }
+
+  test("byte-level BPE: local == distributed trainer, frozen table pinned") {
+    val s = spark
+    import s.implicits._
+    val local = graft.operators.Bpe.trainByteLevelLocal(
+      graft.operators.Bpe.seedCorpus, numMerges = 40)
+    val dist = graft.operators.Bpe.trainByteLevel(
+      graft.operators.Bpe.seedCorpus.toDF("text"), col("text"), numMerges = 40)
+    assert(local.toSeq == dist.toSeq)
+    assert(local.length == 40)
+    // pin the head of the frozen table: space maps to Ġ (U+0120), the
+    // dominant pretoken is " the" → merges build Ġ+t, h+e, Ġt+he… (the
+    // q199 oracle embeds this exact table; an alphabet or pretokenizer
+    // drift breaks here before the driver's oracle does)
+    assert(local.take(4).toSeq == Seq("Ġ t", "h e", "Ġ s", "Ġt he"))
+    // messy corpus: case, punctuation, contractions, multi-space ties
+    val messy = Seq("It's  The TABLE!!", "we'll scan, scan & re-scan...",
+      "10.5% of 'tis", "a b a b a b")
+    assert(graft.operators.Bpe.trainByteLevelLocal(messy, 12).toSeq ==
+      graft.operators.Bpe.trainByteLevel(messy.toDF("text"), col("text"), 12).toSeq)
+  }
+
+  test("byte-level BPE: lossless round-trip on a mixed-script corpus") {
+    val s = spark
+    import s.implicits._
+    val merges = graft.operators.Bpe.trainByteLevelLocal(
+      graft.operators.Bpe.seedCorpus, numMerges = 40)
+    val texts = Seq(
+      "Hello, world!  It's  a test…",
+      "naïve café — déjà vu 100%",
+      "日本語のテキストと中文混在",
+      "مرحبا بالعالم 123",
+      "tabs\tand\nnewlines\r\n  double  spaces ",
+      "emoji 🎉🚀 and astral 𝒳",
+      "", " ", "   ", "'tis o'clock we'll they're you'd i'm i've",
+      "  control bytes  soft­hyphen")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.operators.Bpe.encodeByteLevel(col("text"), merges).as("toks"),
+        graft.operators.Bpe.pretokensByteLevel(col("text")).as("pres"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    got.foreach { case (id, toks, pres) =>
+      // byte-fallback losslessness: ANY input — any script, control
+      // bytes, astral plane — decodes back verbatim, both from the
+      // pretokens and from the merged tokens
+      assert(graft.operators.Bpe.decodeByteLevel(pres) == texts(id.toInt),
+        s"pretoken round-trip, doc $id")
+      assert(graft.operators.Bpe.decodeByteLevel(toks) == texts(id.toInt),
+        s"token round-trip, doc $id")
+      // merging only ever concatenates: token count <= mapped byte count
+      val nBytes = texts(id.toInt)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      assert(toks.map(_.length).sum <= nBytes || nBytes == 0)
+    }
+    // the trained table actually merges: " the" is one token mid-text
+    val enc = df.sparkSession.range(1).select(
+      graft.operators.Bpe.encodeByteLevel(lit("scan the table"), merges)
+        .as("t")).as[Seq[String]].head()
+    assert(enc.contains("Ġthe"), enc.toString)
   }
 
   test("incrementalDedup == plain anti-join on randomized corpora (fuzz)") {
