@@ -69,6 +69,59 @@ object Scratch {
       spark.stop()
       return
     }
+    // IVF index-open listing drill (round 16): SPARK_GRAFT_IVF_LISTING=
+    // "1000,10000,65000" builds a synthetic cluster_id= index tree (2
+    // committed part-b<id> files per centroid; every 4th centroid also
+    // carries a manifest-pending UNCOMMITTED batch file the resolution must
+    // filter), then times openIvfIndex's planning-side walk — the top-level
+    // ls + per-partition manifest/commit resolution — sequential vs the
+    // 32-thread pool. Same claim as the round-11 store drill: local-fs
+    // metadata is ~µs so this is the walk's cost floor; at ~10 ms/listing
+    // on an object store the fan-out is what keeps a >=65k-centroid open
+    // out of the minutes range.
+    sys.env.get("SPARK_GRAFT_IVF_LISTING").foreach { spec =>
+      import java.nio.file.{Files => JF}
+      import graft.sinks.PartitionManifest
+      spec.split(",").map(_.trim.toInt).foreach { nCents =>
+        val root = JF.createTempDirectory(s"ivflist-$nCents")
+        val commits = root.resolve("_commits")
+        JF.createDirectories(commits)
+        JF.write(commits.resolve("b0"), Array.emptyByteArray)
+        JF.write(commits.resolve("b1"), Array.emptyByteArray)
+        (0 until nCents).foreach { c =>
+          val p = root.resolve(s"cluster_id=$c")
+          JF.createDirectories(p)
+          JF.write(p.resolve("part-b0-0.parquet"), Array.emptyByteArray)
+          JF.write(p.resolve("part-b1-0.parquet"), Array.emptyByteArray)
+          if (c % 4 == 0) {
+            // an in-flight append: pending batch 2, file must NOT resolve
+            JF.write(p.resolve("part-b2-0.parquet"), Array.emptyByteArray)
+            PartitionManifest.mutateManifest(p)(m =>
+              m.copy(pendingBatches = m.pendingBatches + 2L))
+          }
+        }
+        val expected = 2L * nCents
+        val saved = PartitionManifest.ParallelListingThreshold
+        Seq("sequential" -> Int.MaxValue, "parallel32" -> 64).foreach {
+          case (label, thr) =>
+            PartitionManifest.ParallelListingThreshold = thr
+            (0 until 3).foreach { rep =>
+              time(s"ivf open $label cents=$nCents rep=$rep") {
+                val dirs = PartitionManifest.ls(root)(pp =>
+                  JF.isDirectory(pp) &&
+                    pp.getFileName.toString.startsWith("cluster_id="))
+                val live = PartitionManifest.liveFilesUnder(dirs, commits)
+                require(live.length == expected,
+                  s"live ${live.length} != $expected")
+                live.length.toLong
+              }
+            }
+        }
+        PartitionManifest.ParallelListingThreshold = saved
+      }
+      spark.stop()
+      return
+    }
     // PQ drill (SCALING.md round 11): SPARK_GRAFT_PQ_SCALE="1000000,10000000"
     // synthesizes n dim-64 vectors (deterministic trig mix — no RNG, so runs
     // reproduce), then times (a) the one-off index build (encode kernel +
