@@ -97,6 +97,23 @@ object SparkEntry {
           .otherwise(col("content")).as("content"))
   }
 
+  /** The q199/q200 corpus: documents decorated with contractions, digits,
+    * punct runs, multi-space, a tab-reachable contraction and multi-byte
+    * UTF-8 — the corpus text itself is punctuation-free, so the decoration
+    * is what exercises every pretokenizer branch. Mirrored verbatim in the
+    * oracle's `deco` CTE.
+    */
+  private def bpeByteDeco(s: SparkSession, dir: String): DataFrame = {
+    val m3 = col("doc_id") % 3
+    tbl(s, dir, "documents").select(col("doc_id"), concat(
+      lit("Doc #"), col("doc_id").cast("string"),
+      lit(": it's  rank-"), (col("doc_id") % 7).cast("string"),
+      when(m3 === 0, lit("!!  we'll re-scan... 50% (déjà…)"))
+        .when(m3 === 1, lit("?\t'tis\n\nOK 10.5x"))
+        .otherwise(lit("  ")),
+      lit(" "), col("text"), lit("  ")).as("t"))
+  }
+
   /** Every TESTDATA table the corpus ships; the smoke touches all of them. */
   private[graft] val allTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -2405,19 +2422,24 @@ object SparkEntry {
     "q199_bpe_byte_tokens" -> ((s, dir) => {
       val merges = graft.operators.Bpe.trainByteLevelLocal(
         graft.operators.Bpe.seedCorpus, numMerges = 40)
-      val m3 = col("doc_id") % 3
-      val deco = tbl(s, dir, "documents").select(col("doc_id"), concat(
-        lit("Doc #"), col("doc_id").cast("string"),
-        lit(": it's  rank-"), (col("doc_id") % 7).cast("string"),
-        when(m3 === 0, lit("!!  we'll re-scan... 50% (déjà…)"))
-          .when(m3 === 1, lit("?\t'tis\n\nOK 10.5x"))
-          .otherwise(lit("  ")),
-        lit(" "), col("text"), lit("  ")).as("t"))
-      deco.select(col("doc_id"),
+      bpeByteDeco(s, dir).select(col("doc_id"),
           graft.operators.Bpe.byteTokenCount(col("t"), merges)
             .as("n_byte_tokens"),
           size(graft.operators.Bpe.pretokensByteLevel(col("t"))).cast("long")
             .as("n_pretokens"))
+        .orderBy("doc_id")
+    }),
+    // ---- the byte-level table through the store + piped serving chain
+    //      (save → load by name → `bpe <model> on <field>` stage; the
+    //      stored `level` dispatches the byte kernel) — counts must equal
+    //      q199's direct-kernel numbers, so the oracle is shared ----
+    "q200_bpe_store_piped" -> ((s, dir) => {
+      import graft.operators.{Bpe, ModelStore, SearchQuery}
+      ModelStore.saveBpe(s, "q200_bpe",
+        Bpe.trainByteLevelLocal(Bpe.seedCorpus, numMerges = 40), "byte")
+      val piped = SearchQuery.parsePiped("* | bpe q200_bpe on t")
+      SearchQuery.compileStages(piped.stages, "doc_id", "t")(bpeByteDeco(s, dir))
+        .select("doc_id", "bpe_tokens")
         .orderBy("doc_id")
     }),
     // ---- incremental IVF-PQ maintenance: build on 2/3 of the corpus,
@@ -3141,6 +3163,103 @@ object SparkEntry {
     * proof that the Spark side's pigeonhole candidate join misses nothing.
     * Ends with `pairs(media_a, media_b, hamming)`.
     */
+  /** The q199/q200 shared oracle scaffolding: frozen byte-level merge
+    * table + byte alphabet as literal maps, the decorated corpus
+    * (mirroring [[bpeByteDeco]]), per-CHARACTER pretokenization (exact
+    * lookahead-free boundary rules), UTF-8 byte mapping, and the recursive
+    * greedy-merge replay — ends at the `cnt` CTE `(doc_id, nbt, npre)`.
+    */
+  private lazy val bpeByteOracleCte: String = {
+    val merges = graft.operators.Bpe.trainByteLevelLocal(
+      graft.operators.Bpe.seedCorpus, numMerges = 40)
+    def esc(x: String) = x.replace("'", "''")
+    val mkeys = merges.map(m => s"'${esc(m)}'").mkString(",")
+    val mranks = merges.indices.mkString(",")
+    val bvals = (0 until 256).mkString(",")
+    val bchars = graft.functions.BpeByteImpl.byteToChar
+      .map(c => s"'${esc(c.toString)}'").mkString(",")
+    s"""         rmap AS (SELECT map([$mkeys], [$mranks]) AS m),
+         bmap AS (SELECT map([$bvals], [$bchars]) AS bm),
+         deco AS (SELECT doc_id, 'Doc #'||doc_id||': it''s  rank-'||(doc_id % 7)
+           || CASE doc_id % 3
+              WHEN 0 THEN '!!  we''ll re-scan... 50% (déjà…)'
+              WHEN 1 THEN '?'||chr(9)||'''tis'||chr(10)||chr(10)||'OK 10.5x'
+              ELSE '  ' END || ' ' || text || '  ' AS t
+           FROM documents),
+         c1 AS (SELECT doc_id, unnest(range(1, len(t)+1))::INT AS i, t FROM deco),
+         c2 AS (SELECT doc_id, i, t[i] AS ch,
+             CASE WHEN regexp_matches(t[i], '[\\t\\n\\x0b\\f\\r ]') THEN 'W'
+                  WHEN regexp_matches(t[i], '\\p{L}') THEN 'L'
+                  WHEN regexp_matches(t[i], '\\p{N}') THEN 'N'
+                  ELSE 'P' END AS k
+           FROM c1),
+         c3 AS (SELECT *, lag(ch) OVER w AS pch, lag(k) OVER w AS pk,
+             lead(ch) OVER w AS nch1, lead(ch,2) OVER w AS nch2, lead(k) OVER w AS nk
+           FROM c2 WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         c4 AS (SELECT *, CASE WHEN ch = '''' AND (pch IS NULL OR pk IN ('L','N')
+                 OR (pk='W' AND pch <> ' '))
+             THEN CASE WHEN nch1 IN ('s','t','m','d') THEN 1
+                       WHEN (nch1='r' AND nch2='e') OR (nch1='v' AND nch2='e')
+                         OR (nch1='l' AND nch2='l') THEN 2
+                       ELSE 0 END
+             ELSE 0 END AS clen
+           FROM c3),
+         c5 AS (SELECT *, CASE WHEN clen > 0 THEN i
+             WHEN lag(clen) OVER w5 >= 1 THEN i-1
+             WHEN lag(clen,2) OVER w5 = 2 THEN i-2 END AS cov
+           FROM c4 WINDOW w5 AS (PARTITION BY doc_id ORDER BY i)),
+         c6 AS (SELECT *, CASE
+             WHEN i = 1 THEN true
+             WHEN cov IS NOT NULL THEN cov = i
+             WHEN lag(cov) OVER w6 IS NOT NULL THEN true
+             WHEN pk = 'W' AND k <> 'W' THEN pch <> ' '
+             WHEN pk = 'W' AND k = 'W' THEN nk IS NOT NULL AND nk <> 'W'
+             WHEN pk <> k THEN true
+             ELSE false END AS ts
+           FROM c5 WINDOW w6 AS (PARTITION BY doc_id ORDER BY i)),
+         c7 AS (SELECT doc_id, i, ch,
+             sum(CASE WHEN ts THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+               ORDER BY i ROWS UNBOUNDED PRECEDING) AS tok
+           FROM c6),
+         wpd AS (SELECT doc_id, tok, string_agg(ch, '' ORDER BY i) AS w
+           FROM c7 GROUP BY doc_id, tok),
+         wcnt AS (SELECT doc_id, w, count(*)::BIGINT AS n FROM wpd
+           GROUP BY doc_id, w),
+         vocab AS (SELECT DISTINCT w FROM wcnt),
+         venc AS (SELECT w, hex(encode(w)) AS hx,
+             octet_length(encode(w))::INT AS nb FROM vocab),
+         vparts AS (SELECT w, list_transform(range(0, nb),
+             j -> map_extract(bm, ('0x'||substring(hx, (2*j+1)::INT, 2))::INT)[1]) AS parts
+           FROM venc, bmap),
+         enc AS (
+           SELECT w, parts FROM vparts
+           UNION ALL
+           SELECT w, parts[1:bi-1] || [parts[bi] || parts[bi+1]]
+                       || parts[bi+2:len(parts)] AS parts
+           FROM (
+             SELECT w, parts, list_position(rl, list_min(rl)) AS bi,
+                    list_min(rl) AS br
+             FROM (
+               SELECT e.w AS w, e.parts AS parts,
+                 list_transform(range(1, len(e.parts)),
+                   i -> coalesce(map_extract(r.m,
+                          e.parts[i] || ' ' || e.parts[i+1])[1], 999999)) AS rl
+               FROM enc e, rmap r
+               WHERE len(e.parts) >= 2) q1) q2
+           WHERE br < 999999),
+         fin AS (
+           SELECT e.w AS w, len(e.parts) AS toklen
+           FROM enc e, rmap r
+           WHERE len(e.parts) < 2
+              OR list_min(list_transform(range(1, len(e.parts)),
+                   i -> coalesce(map_extract(r.m,
+                          e.parts[i] || ' ' || e.parts[i+1])[1], 999999)))
+                 = 999999),
+         cnt AS (SELECT p.doc_id, sum(p.n * f.toklen)::BIGINT AS nbt,
+             sum(p.n)::BIGINT AS npre
+           FROM wcnt p JOIN fin f ON p.w = f.w GROUP BY p.doc_id)"""
+  }
+
   private val phashCorpusCte: String =
     """ids AS (SELECT vec_id::BIGINT AS media_id, (vec_id % 64)::BIGINT AS seed
               FROM embeddings),
@@ -5612,99 +5731,16 @@ object SparkEntry {
     // re-expression of the GPT-2 regex — RE2 has no lookahead), UTF-8
     // byte-mapping through the embedded 256-entry alphabet, then the q136
     // recursive greedy-merge replay over the embedded frozen table
-    "q199_bpe_byte_tokens" -> {
-      val merges = graft.operators.Bpe.trainByteLevelLocal(
-        graft.operators.Bpe.seedCorpus, numMerges = 40)
-      def esc(x: String) = x.replace("'", "''")
-      val mkeys = merges.map(m => s"'${esc(m)}'").mkString(",")
-      val mranks = merges.indices.mkString(",")
-      val bvals = (0 until 256).mkString(",")
-      val bchars = graft.functions.BpeByteImpl.byteToChar
-        .map(c => s"'${esc(c.toString)}'").mkString(",")
-      s"""WITH RECURSIVE
-         rmap AS (SELECT map([$mkeys], [$mranks]) AS m),
-         bmap AS (SELECT map([$bvals], [$bchars]) AS bm),
-         deco AS (SELECT doc_id, 'Doc #'||doc_id||': it''s  rank-'||(doc_id % 7)
-           || CASE doc_id % 3
-              WHEN 0 THEN '!!  we''ll re-scan... 50% (déjà…)'
-              WHEN 1 THEN '?'||chr(9)||'''tis'||chr(10)||chr(10)||'OK 10.5x'
-              ELSE '  ' END || ' ' || text || '  ' AS t
-           FROM documents),
-         c1 AS (SELECT doc_id, unnest(range(1, len(t)+1))::INT AS i, t FROM deco),
-         c2 AS (SELECT doc_id, i, t[i] AS ch,
-             CASE WHEN regexp_matches(t[i], '[\\t\\n\\x0b\\f\\r ]') THEN 'W'
-                  WHEN regexp_matches(t[i], '\\p{L}') THEN 'L'
-                  WHEN regexp_matches(t[i], '\\p{N}') THEN 'N'
-                  ELSE 'P' END AS k
-           FROM c1),
-         c3 AS (SELECT *, lag(ch) OVER w AS pch, lag(k) OVER w AS pk,
-             lead(ch) OVER w AS nch1, lead(ch,2) OVER w AS nch2, lead(k) OVER w AS nk
-           FROM c2 WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-         c4 AS (SELECT *, CASE WHEN ch = '''' AND (pch IS NULL OR pk IN ('L','N')
-                 OR (pk='W' AND pch <> ' '))
-             THEN CASE WHEN nch1 IN ('s','t','m','d') THEN 1
-                       WHEN (nch1='r' AND nch2='e') OR (nch1='v' AND nch2='e')
-                         OR (nch1='l' AND nch2='l') THEN 2
-                       ELSE 0 END
-             ELSE 0 END AS clen
-           FROM c3),
-         c5 AS (SELECT *, CASE WHEN clen > 0 THEN i
-             WHEN lag(clen) OVER w5 >= 1 THEN i-1
-             WHEN lag(clen,2) OVER w5 = 2 THEN i-2 END AS cov
-           FROM c4 WINDOW w5 AS (PARTITION BY doc_id ORDER BY i)),
-         c6 AS (SELECT *, CASE
-             WHEN i = 1 THEN true
-             WHEN cov IS NOT NULL THEN cov = i
-             WHEN lag(cov) OVER w6 IS NOT NULL THEN true
-             WHEN pk = 'W' AND k <> 'W' THEN pch <> ' '
-             WHEN pk = 'W' AND k = 'W' THEN nk IS NOT NULL AND nk <> 'W'
-             WHEN pk <> k THEN true
-             ELSE false END AS ts
-           FROM c5 WINDOW w6 AS (PARTITION BY doc_id ORDER BY i)),
-         c7 AS (SELECT doc_id, i, ch,
-             sum(CASE WHEN ts THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
-               ORDER BY i ROWS UNBOUNDED PRECEDING) AS tok
-           FROM c6),
-         wpd AS (SELECT doc_id, tok, string_agg(ch, '' ORDER BY i) AS w
-           FROM c7 GROUP BY doc_id, tok),
-         wcnt AS (SELECT doc_id, w, count(*)::BIGINT AS n FROM wpd
-           GROUP BY doc_id, w),
-         vocab AS (SELECT DISTINCT w FROM wcnt),
-         venc AS (SELECT w, hex(encode(w)) AS hx,
-             octet_length(encode(w))::INT AS nb FROM vocab),
-         vparts AS (SELECT w, list_transform(range(0, nb),
-             j -> map_extract(bm, ('0x'||substring(hx, (2*j+1)::INT, 2))::INT)[1]) AS parts
-           FROM venc, bmap),
-         enc AS (
-           SELECT w, parts FROM vparts
-           UNION ALL
-           SELECT w, parts[1:bi-1] || [parts[bi] || parts[bi+1]]
-                       || parts[bi+2:len(parts)] AS parts
-           FROM (
-             SELECT w, parts, list_position(rl, list_min(rl)) AS bi,
-                    list_min(rl) AS br
-             FROM (
-               SELECT e.w AS w, e.parts AS parts,
-                 list_transform(range(1, len(e.parts)),
-                   i -> coalesce(map_extract(r.m,
-                          e.parts[i] || ' ' || e.parts[i+1])[1], 999999)) AS rl
-               FROM enc e, rmap r
-               WHERE len(e.parts) >= 2) q1) q2
-           WHERE br < 999999),
-         fin AS (
-           SELECT e.w AS w, len(e.parts) AS toklen
-           FROM enc e, rmap r
-           WHERE len(e.parts) < 2
-              OR list_min(list_transform(range(1, len(e.parts)),
-                   i -> coalesce(map_extract(r.m,
-                          e.parts[i] || ' ' || e.parts[i+1])[1], 999999)))
-                 = 999999),
-         cnt AS (SELECT p.doc_id, sum(p.n * f.toklen)::BIGINT AS nbt,
-             sum(p.n)::BIGINT AS npre
-           FROM wcnt p JOIN fin f ON p.w = f.w GROUP BY p.doc_id)
+    "q199_bpe_byte_tokens" ->
+      s"""WITH RECURSIVE $bpeByteOracleCte
          SELECT d.doc_id, c.nbt AS n_byte_tokens, c.npre AS n_pretokens
-         FROM documents d JOIN cnt c USING (doc_id) ORDER BY d.doc_id"""
-    },
+         FROM documents d JOIN cnt c USING (doc_id) ORDER BY d.doc_id""",
+    // the store+piped chain serves the SAME frozen table — counts equal
+    // q199's, only the output column differs
+    "q200_bpe_store_piped" ->
+      s"""WITH RECURSIVE $bpeByteOracleCte
+         SELECT d.doc_id, c.nbt AS bpe_tokens
+         FROM documents d JOIN cnt c USING (doc_id) ORDER BY d.doc_id""",
     // aHash (q193's 8×8 mean-threshold derivation) brute-forced into pairs
     // (q190's distinct-sketch pattern) — independently proving the banded
     // join misses nothing in aHash space either

@@ -167,8 +167,35 @@ object ModelStore {
       .getAs[scala.collection.Seq[Long]]("weights").toArray
   }
 
+  /** Persist a frozen BPE merge table under `name`. `level` records which
+    * encoder the table drives — `"char"` = [[Bpe.encode]]'s trim+lower
+    * whitespace tokenizer, `"byte"` = [[Bpe.encodeByteLevel]]'s lossless
+    * GPT-2 shape — so serving can never silently apply a table to the
+    * wrong kernel. Merge ORDER is the rank: stored as one row with the
+    * ordered array (exact string round-trip).
+    */
+  def saveBpe(spark: SparkSession, name: String,
+      merges: Array[String], level: String): Unit = {
+    require(level == "char" || level == "byte",
+      s"bpe level must be 'char' or 'byte': $level")
+    import spark.implicits._
+    Seq((level, merges.toSeq)).toDF("level", "merges")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path(spark, "bpe", name))
+  }
+
+  /** Load a frozen BPE table: `(level, merges)` in trained rank order. */
+  def loadBpe(spark: SparkSession, name: String): (String, Array[String]) = {
+    val p = path(spark, "bpe", name)
+    require(pathExists(spark, p),
+      s"bpe table '$name' does not exist in the model store — save it first")
+    val r = spark.read.parquet(p).head()
+    (r.getAs[String]("level"),
+      r.getAs[scala.collection.Seq[String]]("merges").toArray)
+  }
+
   /** Saved artifact names of one `kind` (`pca`, `pq`, `ivf`, `nb`,
-    * `nbmulti`, `dsir`), sorted — the registry listing, like
+    * `nbmulti`, `dsir`, `bpe`), sorted — the registry listing, like
     * [[Monitors.list]] for monitors.
     */
   def list(spark: SparkSession, kind: String): Seq[String] =

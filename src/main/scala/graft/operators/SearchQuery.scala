@@ -550,6 +550,17 @@ object SearchQuery {
     */
   final case class DsirStage(model: String, field: String,
       prefix: String) extends Stage
+  /** `bpe <model> on <field> [prefix=<p>]` — count tokens under a NAMED
+    * frozen BPE table ([[graft.operators.ModelStore.loadBpe]]), adding
+    * `<p>_tokens` (long; default `bpe_tokens`). The stored `level`
+    * dispatches the kernel — char-level [[graft.operators.Bpe.tokenCount]]
+    * or byte-level [[graft.operators.Bpe.byteTokenCount]] — so a table can
+    * never run through the wrong encoder. Same stateless map-side codegen
+    * projection as `classify`/`dsir`: the tokenizer-aware cost metering a
+    * token-budget packer or per-corpus cost model reads at 100 TB.
+    */
+  final case class BpeStage(model: String, field: String,
+      prefix: String) extends Stage
   /** `ann <index> on <field> [k=N] [nprobe=N] [refine=N]` — nearest-
     * neighbor search against a NAMED stored IVF-PQ index
     * ([[graft.operators.ModelStore.annIndexPath]]): each input row's
@@ -843,6 +854,9 @@ object SearchQuery {
   private val DsirRe =
     ("(?i)dsir\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
+  private val BpeRe =
+    ("(?i)bpe\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
   private val AnnRe =
     ("(?i)ann\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "((?:\\s+(?:k|nprobe|refine)=\\d+)*)\\s*").r
@@ -1119,6 +1133,13 @@ object SearchQuery {
           DsirStage(model, f, Option(prefix).getOrElse("dsir"))
         case _ => throw new IllegalArgumentException(
           s"dsir needs 'dsir <model> on <field> [prefix=<p>]': $s")
+      }
+    } else if (lower.startsWith("bpe ")) {
+      s match {
+        case BpeRe(model, f, prefix) =>
+          BpeStage(model, f, Option(prefix).getOrElse("bpe"))
+        case _ => throw new IllegalArgumentException(
+          s"bpe needs 'bpe <model> on <field> [prefix=<p>]': $s")
       }
     } else if (lower.startsWith("ann ")) {
       s match {
@@ -2263,6 +2284,14 @@ object SearchQuery {
           df.withColumn(s"${prefix}_weight", round(
             graft.functions.TextFunctions.weightedBucketSum(grams, w)
               .cast("double") / 1e9, 6))
+        case BpeStage(modelName, f, prefix) =>
+          val (level, merges) = graft.operators.ModelStore
+            .loadBpe(df.sparkSession, modelName)
+          val t = coalesce(col(resolveField(f)), lit(""))
+          val cnt =
+            if (level == "byte") graft.operators.Bpe.byteTokenCount(t, merges)
+            else graft.operators.Bpe.tokenCount(t, merges)
+          df.withColumn(s"${prefix}_tokens", cnt)
         case AnnStage(indexName, f, k, nprobe, refine) =>
           val spark = df.sparkSession
           val path = graft.operators.ModelStore.annIndexPath(spark, indexName)

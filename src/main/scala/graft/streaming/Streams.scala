@@ -667,6 +667,28 @@ object Streams {
       textCol: String = "text"): DataFrame =
     graft.operators.QualityClassifier.score(docs, col(textCol), model)
 
+  /** Online tokenizer-aware cost metering at ingest: count each streamed
+    * document's tokens under a FROZEN BPE table (trained offline by
+    * [[graft.operators.Bpe.trainByteLevel]]/`train`, typically loaded by
+    * name from [[graft.operators.ModelStore.loadBpe]]), adding
+    * `bpe_tokens` — the [[dsirScoreStream]] train-offline/apply-online
+    * shape and literally the batch kernel with the merge-rank table as a
+    * plan-time reference object: STATELESS map-side projection, no state
+    * store, no shuffle, bit-identical to the batch
+    * [[graft.operators.Bpe.byteTokenCount]]/`tokenCount` and the piped
+    * `bpe <model> on <field>` stage on the same text. Gate or route on
+    * the count (token-budget packing, cost-based mixture control).
+    */
+  def bpeCountStream(docs: DataFrame, merges: Array[String],
+      level: String = "byte", textCol: String = "text"): DataFrame = {
+    require(level == "char" || level == "byte",
+      s"bpe level must be 'char' or 'byte': $level")
+    val t = coalesce(col(textCol), lit(""))
+    docs.withColumn("bpe_tokens",
+      if (level == "byte") graft.operators.Bpe.byteTokenCount(t, merges)
+      else graft.operators.Bpe.tokenCount(t, merges))
+  }
+
   /** Online multiclass routing at ingest: classify each streamed document
     * through a frozen [[graft.operators.QualityClassifier.NbMultiModel]]
     * (language ID, domain routing), adding `nb_class`/`nb_score`/

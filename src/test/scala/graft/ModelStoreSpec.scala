@@ -236,4 +236,55 @@ class ModelStoreSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"dsir stage must not shuffle:\n$plan")
     } finally s.conf.unset("spark.graft.lookup.dir")
   }
+
+  test("BPE tables + piped `bpe <model> on <field>`: round-trip, level dispatch, stream parity") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.lookup.dir", freshDir("bpe"))
+    try {
+      val byteM = graft.operators.Bpe.trainByteLevelLocal(
+        graft.operators.Bpe.seedCorpus, numMerges = 40)
+      val charM = graft.operators.Bpe.trainLocal(
+        graft.operators.Bpe.seedCorpus, numMerges = 40)
+      ModelStore.saveBpe(s, "tok.byte", byteM, "byte")
+      ModelStore.saveBpe(s, "tok.char", charM, "char")
+      // exact string round-trip in trained rank order, level preserved
+      assert(ModelStore.loadBpe(s, "tok.byte")._2.toSeq == byteM.toSeq)
+      assert(ModelStore.loadBpe(s, "tok.byte")._1 == "byte")
+      assert(ModelStore.loadBpe(s, "tok.char")._2.toSeq == charM.toSeq)
+      assert(ModelStore.loadBpe(s, "tok.char")._1 == "char")
+      assert(ModelStore.list(s, "bpe") == Seq("tok.byte", "tok.char"))
+      intercept[IllegalArgumentException](
+        ModelStore.saveBpe(s, "bad", byteM, "word"))
+      intercept[IllegalArgumentException](ModelStore.loadBpe(s, "absent"))
+      // the stored level dispatches the kernel: char lowercases+splits on
+      // whitespace, byte pretokenizes losslessly — counts differ on
+      // punctuated text, and each equals its direct-kernel batch count
+      val docs = Seq((0L, "The scan, the scan!"), (1L, "it's  a batch"))
+        .toDF("doc_id", "text")
+      def stage(model: String) = SearchQuery.compileStages(
+        SearchQuery.parsePiped(s"* | bpe $model on text").stages,
+        "doc_id", "text")(docs)
+      val viaByte = stage("tok.byte").orderBy("doc_id")
+        .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toSeq
+      val viaChar = stage("tok.char").orderBy("doc_id")
+        .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toSeq
+      val directByte = docs.orderBy("doc_id").select(col("doc_id"),
+          graft.operators.Bpe.byteTokenCount(col("text"), byteM))
+        .as[(Long, Long)].collect().toSeq
+      val directChar = docs.orderBy("doc_id").select(col("doc_id"),
+          graft.operators.Bpe.tokenCount(col("text"), charM))
+        .as[(Long, Long)].collect().toSeq
+      assert(viaByte == directByte)
+      assert(viaChar == directChar)
+      assert(viaByte != viaChar) // punctuation separates the two readings
+      // the stream scorer is the same kernel — bit-identical counts
+      val viaStream = graft.streaming.Streams.bpeCountStream(docs, byteM)
+        .orderBy("doc_id").select("doc_id", "bpe_tokens")
+        .as[(Long, Long)].collect().toSeq
+      assert(viaStream == directByte)
+      val plan = stage("tok.byte").queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bpe stage must not shuffle:\n$plan")
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
 }
