@@ -69,6 +69,53 @@ object Scratch {
       spark.stop()
       return
     }
+    // Frozen-probe decontamination + byte-BPE metering drill (round 16):
+    // SPARK_GRAFT_DECONTAM_SCALE="1000000[,...]" synthesizes n ~40-token
+    // docs (deterministic vocab mix, every 100th doc a verbatim copy of an
+    // eval doc), freezes a 200-doc eval suite's 5-gram set, and times
+    // (a) the broadcast-join ngramContamination, (b) the frozen-set
+    // contaminationScore kernel (stateless, no join, the streaming-ingest
+    // form), and (c) byteTokenCount under the 40-merge frozen table —
+    // the three per-document gates a 100 TB ingest runs per row.
+    sys.env.get("SPARK_GRAFT_DECONTAM_SCALE").foreach { spec =>
+      import graft.operators.{Bpe, CorpusQuality}
+      val evalN = 200
+      spec.split(",").map(_.trim.toInt).foreach { n =>
+        val words = (0 until 64).map(i => s"w$i")
+        val wordArr = array(words.map(lit): _*)
+        val docs = spark.range(n.toLong).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map(k =>
+            element_at(wordArr,
+              (pmod(col("id") * (k * 2 + 3) + k * 7, lit(64)) + 1).cast("int")))
+            : _*).as("text"))
+        val evalDf = docs.filter(col("doc_id") % lit(n / evalN.max(1)) === 0)
+          .limit(evalN)
+        val corpus = graft.operators.Pins.pin(docs)
+        try {
+          val frozen = CorpusQuality.evalNgramSet(evalDf, col("text"), n = 5)
+          println(s"[scratch] decontam frozen set: ${frozen.length} hashes")
+          (0 until 2).foreach { rep =>
+            time(s"decontam join n=$n rep=$rep") {
+              CorpusQuality.ngramContamination(corpus, evalDf,
+                col("doc_id"), col("text"), n = 5)
+                .agg(sum(col("n_contaminated"))).head(); n.toLong
+            }
+            time(s"decontam frozen n=$n rep=$rep") {
+              CorpusQuality.contaminationScore(corpus, col("doc_id"),
+                col("text"), frozen, n = 5)
+                .agg(sum(col("n_contaminated"))).head(); n.toLong
+            }
+            time(s"bpe byte count n=$n rep=$rep") {
+              val merges = Bpe.trainByteLevelLocal(Bpe.seedCorpus, 40)
+              corpus.select(sum(Bpe.byteTokenCount(col("text"), merges)))
+                .head(); n.toLong
+            }
+          }
+        } finally graft.operators.Pins.release(corpus)
+      }
+      spark.stop()
+      return
+    }
     // IVF index-open listing drill (round 16): SPARK_GRAFT_IVF_LISTING=
     // "1000,10000,65000" builds a synthetic cluster_id= index tree (2
     // committed part-b<id> files per centroid; every 4th centroid also

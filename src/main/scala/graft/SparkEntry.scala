@@ -2442,6 +2442,19 @@ object SparkEntry {
         .select("doc_id", "bpe_tokens")
         .orderBy("doc_id")
     }),
+    // ---- exact-probe decontamination through the FROZEN eval n-gram set
+    //      (train-offline/apply-online: no join, one stateless kernel pass)
+    //      — must reproduce q68's broadcast-join numbers bit-for-bit, so
+    //      the oracle is shared ----
+    "q201_decontamination_frozen" -> ((s, dir) => {
+      import graft.operators.CorpusQuality
+      val docs = tbl(s, dir, "documents")
+      val frozen = CorpusQuality.evalNgramSet(
+        docs.filter(col("doc_id") % 50 === 0), col("text"), n = 5)
+      pinSorted(CorpusQuality.contaminationScore(
+        docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        frozen, n = 5), "doc_id")
+    }),
     // ---- incremental IVF-PQ maintenance: build on 2/3 of the corpus,
     //      append the rest with the FROZEN centroids + codebook (stage →
     //      deterministic part-b<id> names → _commits marker, the LogStore
@@ -3259,6 +3272,26 @@ object SparkEntry {
              sum(p.n)::BIGINT AS npre
            FROM wcnt p JOIN fin f ON p.w = f.w GROUP BY p.doc_id)"""
   }
+
+  /** The q68/q201 shared oracle: exact 5-gram probe of the corpus split
+    * against the eval split — one SQL for both physical paths (the
+    * broadcast join and the frozen-set kernel).
+    */
+  private val decontamOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+       g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-3),
+               i -> array_to_string(toks[i:i+4], ' '))) AS grams
+             FROM t WHERE len(toks) >= 5),
+       h AS (SELECT doc_id, list_transform(grams,
+               s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS hs FROM g),
+       ev AS (SELECT DISTINCT unnest(hs) AS hg FROM h WHERE doc_id % 50 = 0),
+       d AS (SELECT doc_id, len(hs)::BIGINT AS n_ngrams, unnest(hs) AS hg
+             FROM h WHERE doc_id % 50 != 0)
+       SELECT d.doc_id, d.n_ngrams, count(ev.hg)::BIGINT AS n_contaminated,
+         round(count(ev.hg)::DOUBLE / d.n_ngrams, 6) AS contamination
+       FROM d LEFT JOIN ev ON d.hg = ev.hg
+       GROUP BY d.doc_id, d.n_ngrams ORDER BY d.doc_id"""
 
   private val phashCorpusCte: String =
     """ids AS (SELECT vec_id::BIGINT AS media_id, (vec_id % 64)::BIGINT AS seed
@@ -6590,21 +6623,10 @@ object SparkEntry {
          FROM m ORDER BY event_id""",
     // 5-gram hashes exactly as the Spark ShingleHashes kernel builds them:
     // distinct shingles of the normalized tokens, 60-bit md5-prefix hash
-    "q68_decontamination" ->
-      """WITH t AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-         g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-3),
-                 i -> array_to_string(toks[i:i+4], ' '))) AS grams
-               FROM t WHERE len(toks) >= 5),
-         h AS (SELECT doc_id, list_transform(grams,
-                 s -> ('0x'||substring(md5(s),1,15))::BIGINT) AS hs FROM g),
-         ev AS (SELECT DISTINCT unnest(hs) AS hg FROM h WHERE doc_id % 50 = 0),
-         d AS (SELECT doc_id, len(hs)::BIGINT AS n_ngrams, unnest(hs) AS hg
-               FROM h WHERE doc_id % 50 != 0)
-         SELECT d.doc_id, d.n_ngrams, count(ev.hg)::BIGINT AS n_contaminated,
-           round(count(ev.hg)::DOUBLE / d.n_ngrams, 6) AS contamination
-         FROM d LEFT JOIN ev ON d.hg = ev.hg
-         GROUP BY d.doc_id, d.n_ngrams ORDER BY d.doc_id""",
+    "q68_decontamination" -> decontamOracleSql,
+    // the frozen-set kernel must reproduce the broadcast-join probe
+    // bit-for-bit — one oracle, two physical paths
+    "q201_decontamination_frozen" -> decontamOracleSql,
     // first occurrence = min (doc_id, par_idx) packed into one BIGINT; docs
     // whose every paragraph duplicates an earlier one keep an empty string
     "q69_paragraph_dedup" ->

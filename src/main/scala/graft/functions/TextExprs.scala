@@ -605,6 +605,42 @@ case class WeightedBucketSum(child: Expression, weights: Array[Long])
     copy(child = newChild)
 }
 
+/** Membership counting against a FROZEN sorted hash set. */
+object FrozenSetImpl {
+  def hits(arr: ArrayData, sorted: Array[Long]): Long = {
+    var c = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** `frozen_set_hits(array<long>) -> bigint` with whole-stage codegen: how
+  * many elements are present in a FROZEN sorted hash set riding as a
+  * codegen reference object (binary search per element) — the EXACT-
+  * membership complement to [[WeightedBucketSum]]'s bucketed sums, for
+  * probes where a bucket collision would be a false positive (eval-suite
+  * decontamination). The caller supplies the array already sorted.
+  */
+case class FrozenSetHits(child: Expression, sortedHashes: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "frozen_set_hits"
+  override protected def nullSafeEval(input: Any): Any =
+    FrozenSetImpl.hits(input.asInstanceOf[ArrayData], sortedHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("frozenSet", sortedHashes, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.FrozenSetImpl.hits($c, $s)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): FrozenSetHits =
+    copy(child = newChild)
+}
+
 /** `hash60_array(array<string>) -> array<long>` with whole-stage codegen. */
 case class Hash60Array(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

@@ -151,6 +151,14 @@ object TextFunctions {
     org.apache.spark.sql.GraftGlue.column(
       WeightedBucketSum(org.apache.spark.sql.GraftGlue.expression(hashCol), weights))
 
+  /** Exact membership count against a frozen SORTED hash set — codegen'd
+    * [[FrozenSetHits]] kernel (binary search per element).
+    */
+  def frozenSetHits(hashCol: Column, sortedHashes: Array[Long]): Column =
+    org.apache.spark.sql.GraftGlue.column(
+      FrozenSetHits(org.apache.spark.sql.GraftGlue.expression(hashCol),
+        sortedHashes))
+
   /** MinHash signature over a pre-hashed shingle array: k minima of the
     * seeded [[mix60]] permutations, as the codegen'd [[MinHashSignature]]
     * kernel (single pass per seed, no per-element expression dispatch;

@@ -44,6 +44,59 @@ object CorpusQuality {
           .as("contamination"))
   }
 
+  /** Freeze an eval suite's distinct n-gram hash set for online probing —
+    * the train-offline side of [[contaminationScore]] /
+    * [[graft.streaming.Streams.decontaminationStream]]. Sorted for the
+    * kernel's binary search; exact hashes (no bucketing — a collision
+    * would be a false leak verdict). Capped at
+    * `spark.graft.decontam.maxEvalGrams` (default 10M ≈ 80 MB as a plan
+    * constant) with a loud throw: the frozen-set probe is for
+    * benchmark-sized eval suites; a corpus-sized "eval" side belongs in
+    * [[ngramContamination]]'s broadcast join.
+    */
+  def evalNgramSet(evalDf: DataFrame, textCol: Column,
+      n: Int = 5): Array[Long] = {
+    val cap = evalDf.sparkSession.conf
+      .get("spark.graft.decontam.maxEvalGrams", "10000000").toInt
+    val rows = evalDf
+      .select(explode(TextFunctions.shingleHashes(textCol, n)).as("h"))
+      .distinct()
+      .limit(cap + 1)
+      .collect()
+    require(rows.length <= cap,
+      s"evalNgramSet: eval suite exceeds $cap distinct $n-gram hashes " +
+        "(spark.graft.decontam.maxEvalGrams). The frozen-set probe is for " +
+        "benchmark-sized eval suites — raise the cap deliberately, or use " +
+        "ngramContamination's broadcast join for a corpus-sized eval side.")
+    val out = rows.map(_.getLong(0))
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** [[ngramContamination]]'s semantics against a FROZEN eval n-gram set
+    * ([[evalNgramSet]]) — the train-offline/apply-online reading: one
+    * stateless map-side projection per document (shingle kernel + exact
+    * binary-search membership count), no join, no shuffle, bit-identical
+    * to the broadcast-join form on the same inputs. This is the form the
+    * streaming ingest gate applies
+    * ([[graft.streaming.Streams.decontaminationStream]]).
+    */
+  def contaminationScore(docs: DataFrame, idCol: Column, textCol: Column,
+      evalHashes: Array[Long], n: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.let
+    docs
+      .select(idCol.as("doc_id"),
+        let(TextFunctions.shingleHashes(textCol, n)) { g =>
+          struct(size(g).cast("long").as("n_ngrams"),
+            TextFunctions.frozenSetHits(g, evalHashes).as("n_contaminated"))
+        }.as("_s"))
+      .select(col("doc_id"),
+        col("_s.n_ngrams").as("n_ngrams"),
+        col("_s.n_contaminated").as("n_contaminated"),
+        round(col("_s.n_contaminated").cast("double") / col("_s.n_ngrams"), 6)
+          .as("contamination"))
+  }
+
   /** Fuzzy decontamination: the near-dup complement to
     * [[ngramContamination]]'s exact probe — winnowing-fingerprint overlap
     * between each corpus document and each eval document, so paraphrased or

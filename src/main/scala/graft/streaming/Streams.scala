@@ -667,6 +667,31 @@ object Streams {
       textCol: String = "text"): DataFrame =
     graft.operators.QualityClassifier.score(docs, col(textCol), model)
 
+  /** Online eval-suite decontamination at ingest: score each streamed
+    * document's exact n-gram overlap with a FROZEN benchmark n-gram set
+    * (trained offline by
+    * [[graft.operators.CorpusQuality.evalNgramSet]]), adding
+    * `n_ngrams`/`n_contaminated`/`contamination` — the
+    * [[dsirScoreStream]] train-offline/apply-online shape with the set as
+    * a plan-time constant inside the codegen membership kernel: STATELESS
+    * map-side projection, no broadcast join, no state store, no shuffle,
+    * and scores bit-identical to the batch
+    * [[graft.operators.CorpusQuality.ngramContamination]] on the same
+    * text. Filter on `contamination` (e.g. `< 0.05`) to gate ingest —
+    * benchmark leaks never reach the training store.
+    */
+  def decontaminationStream(docs: DataFrame, evalHashes: Array[Long],
+      textCol: String = "text", n: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions._
+    graft.functions.ExprUtils.materialized(docs, "_dg",
+        shingleHashes(coalesce(col(textCol), lit("")), n))
+      .withColumn("n_ngrams", size(col("_dg")).cast("long"))
+      .withColumn("n_contaminated", frozenSetHits(col("_dg"), evalHashes))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_ngrams"), 6))
+      .drop("_dg")
+  }
+
   /** Online tokenizer-aware cost metering at ingest: count each streamed
     * document's tokens under a FROZEN BPE table (trained offline by
     * [[graft.operators.Bpe.trainByteLevel]]/`train`, typically loaded by

@@ -485,6 +485,47 @@ class StreamingSpec extends SparkSpec {
     assert(!expected(2L) && !expected(5L) && !expected(6L))
   }
 
+  test("streaming decontamination: frozen eval-set probe == batch broadcast join") {
+    val s = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val evalDf = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1001L, "four score and seven years ago our fathers brought forth"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim
+      (1L, "we recall four score and seven years ago our fathers spoke"),
+      (2L, "completely unrelated text about spark query plans and joins"),
+      (3L, "the quick brown fox sat still")) // too short an overlap for 5-grams
+    val frozen = graft.operators.CorpusQuality.evalNgramSet(
+      evalDf, col("text"), n = 5)
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.decontaminationStream(
+      input.toDF().toDF("doc_id", "text"), frozen, "text", n = 5)
+    val q = out.writeStream.format("memory").queryName("decontam_out")
+      .outputMode("append").start()
+    input.addData(corpus.take(2): _*); q.processAllAvailable()
+    input.addData(corpus.drop(2): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("decontam_out")
+      .select("doc_id", "n_ngrams", "n_contaminated", "contamination")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.CorpusQuality.ngramContamination(
+        corpus.toDF("doc_id", "text"), evalDf, col("doc_id"), col("text"), n = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    // the planted shape: the verbatim copy is fully contaminated, the
+    // partial leak partially, the clean doc not at all
+    val byId = streamed.map(r => r._1 -> r._4).toMap
+    assert(byId(0L) == 1.0 && byId(1L) > 0 && byId(1L) < 1.0 && byId(2L) == 0.0)
+    // the frozen-set cap throws loudly instead of collecting a corpus
+    s.conf.set("spark.graft.decontam.maxEvalGrams", "3")
+    try intercept[IllegalArgumentException] {
+      graft.operators.CorpusQuality.evalNgramSet(evalDf, col("text"), n = 5)
+    } finally s.conf.unset("spark.graft.decontam.maxEvalGrams")
+  }
+
   test("streaming curation: gate → fingerprint dedup → redaction at ingest") {
     val s = spark
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
