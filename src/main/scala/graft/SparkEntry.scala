@@ -2455,6 +2455,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
         frozen, n = 5), "doc_id")
     }),
+    // ---- the frozen eval set through the store + piped chain (`decontam
+    //      <model> on <field>`) — same physical kernel, loaded by name;
+    //      the oracle stays q68's ----
+    "q202_decontam_store_piped" -> ((s, dir) => {
+      import graft.operators.{CorpusQuality, ModelStore, SearchQuery}
+      val docs = tbl(s, dir, "documents")
+      ModelStore.saveEvalGrams(s, "q202_eval", CorpusQuality.evalNgramSet(
+        docs.filter(col("doc_id") % 50 === 0), col("text"), n = 5))
+      val piped = SearchQuery.parsePiped("* | decontam q202_eval on text")
+      pinSorted(SearchQuery.compileStages(piped.stages, "doc_id", "text")(
+          docs.filter(col("doc_id") % 50 =!= 0))
+        .select("doc_id", "n_ngrams", "n_contaminated", "contamination"),
+        "doc_id")
+    }),
     // ---- incremental IVF-PQ maintenance: build on 2/3 of the corpus,
     //      append the rest with the FROZEN centroids + codebook (stage →
     //      deterministic part-b<id> names → _commits marker, the LogStore
@@ -6627,6 +6641,8 @@ object SparkEntry {
     // the frozen-set kernel must reproduce the broadcast-join probe
     // bit-for-bit — one oracle, two physical paths
     "q201_decontamination_frozen" -> decontamOracleSql,
+    // …and a third: the set loaded by NAME through the store + piped stage
+    "q202_decontam_store_piped" -> decontamOracleSql,
     // first occurrence = min (doc_id, par_idx) packed into one BIGINT; docs
     // whose every paragraph duplicates an earlier one keep an empty string
     "q69_paragraph_dedup" ->

@@ -194,9 +194,32 @@ object ModelStore {
       r.getAs[scala.collection.Seq[String]]("merges").toArray)
   }
 
+  /** Persist a frozen eval-suite n-gram hash set
+    * ([[CorpusQuality.evalNgramSet]]) under `name` — single-row parquet of
+    * exact longs (sorted on save so serving never re-sorts).
+    */
+  def saveEvalGrams(spark: SparkSession, name: String,
+      hashes: Array[Long]): Unit = {
+    import spark.implicits._
+    val sorted = hashes.clone()
+    java.util.Arrays.sort(sorted)
+    Seq(Tuple1(sorted.toSeq)).toDF("hashes")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path(spark, "decontam", name))
+  }
+
+  def loadEvalGrams(spark: SparkSession, name: String): Array[Long] = {
+    val p = path(spark, "decontam", name)
+    require(pathExists(spark, p),
+      s"eval n-gram set '$name' does not exist in the model store — " +
+        "save it first")
+    spark.read.parquet(p).head()
+      .getAs[scala.collection.Seq[Long]]("hashes").toArray
+  }
+
   /** Saved artifact names of one `kind` (`pca`, `pq`, `ivf`, `nb`,
-    * `nbmulti`, `dsir`, `bpe`), sorted — the registry listing, like
-    * [[Monitors.list]] for monitors.
+    * `nbmulti`, `dsir`, `bpe`, `decontam`), sorted — the registry listing,
+    * like [[Monitors.list]] for monitors.
     */
   def list(spark: SparkSession, kind: String): Seq[String] =
     childDirs(spark, s"${root(spark)}/_models/$kind")

@@ -561,6 +561,17 @@ object SearchQuery {
     */
   final case class BpeStage(model: String, field: String,
       prefix: String) extends Stage
+  /** `decontam <model> on <field> [n=<k>] [prefix=<p>]` — exact n-gram
+    * overlap with a NAMED frozen eval-suite hash set
+    * ([[graft.operators.ModelStore.loadEvalGrams]]), adding
+    * `[<p>_]n_ngrams`/`[<p>_]n_contaminated`/`[<p>_]contamination` (no
+    * prefix by default — the q68 column convention). One stateless
+    * map-side pass over the codegen [[graft.functions.FrozenSetHits]]
+    * kernel; `n` must match the n the set was frozen with (default 5).
+    * Filter on `contamination` to drop benchmark leaks in-query.
+    */
+  final case class DecontamStage(model: String, field: String, n: Int,
+      prefix: String) extends Stage
   /** `ann <index> on <field> [k=N] [nprobe=N] [refine=N]` — nearest-
     * neighbor search against a NAMED stored IVF-PQ index
     * ([[graft.operators.ModelStore.annIndexPath]]): each input row's
@@ -857,6 +868,9 @@ object SearchQuery {
   private val BpeRe =
     ("(?i)bpe\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
+  private val DecontamRe =
+    ("(?i)decontam\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+n=(\\d+))?(?:\\s+prefix=([A-Za-z0-9_]+))?\\s*").r
   private val AnnRe =
     ("(?i)ann\\s+([A-Za-z0-9_.-]+)\\s+on\\s+([A-Za-z0-9_]+)" +
       "((?:\\s+(?:k|nprobe|refine)=\\d+)*)\\s*").r
@@ -1140,6 +1154,15 @@ object SearchQuery {
           BpeStage(model, f, Option(prefix).getOrElse("bpe"))
         case _ => throw new IllegalArgumentException(
           s"bpe needs 'bpe <model> on <field> [prefix=<p>]': $s")
+      }
+    } else if (lower.startsWith("decontam ")) {
+      s match {
+        case DecontamRe(model, f, n, prefix) =>
+          DecontamStage(model, f, Option(n).map(_.toInt).getOrElse(5),
+            Option(prefix).getOrElse(""))
+        case _ => throw new IllegalArgumentException(
+          s"decontam needs 'decontam <model> on <field> [n=<k>] " +
+            s"[prefix=<p>]': $s")
       }
     } else if (lower.startsWith("ann ")) {
       s match {
@@ -2292,6 +2315,20 @@ object SearchQuery {
             if (level == "byte") graft.operators.Bpe.byteTokenCount(t, merges)
             else graft.operators.Bpe.tokenCount(t, merges)
           df.withColumn(s"${prefix}_tokens", cnt)
+        case DecontamStage(modelName, f, n, prefix) =>
+          val hs = graft.operators.ModelStore
+            .loadEvalGrams(df.sparkSession, modelName)
+          val p = if (prefix.isEmpty) "" else s"${prefix}_"
+          val t = coalesce(col(resolveField(f)), lit(""))
+          graft.functions.ExprUtils.materialized(df, "_dg",
+              graft.functions.TextFunctions.shingleHashes(t, n))
+            .withColumn(s"${p}n_ngrams", size(col("_dg")).cast("long"))
+            .withColumn(s"${p}n_contaminated",
+              graft.functions.TextFunctions.frozenSetHits(col("_dg"), hs))
+            .withColumn(s"${p}contamination",
+              round(col(s"${p}n_contaminated").cast("double") /
+                col(s"${p}n_ngrams"), 6))
+            .drop("_dg")
         case AnnStage(indexName, f, k, nprobe, refine) =>
           val spark = df.sparkSession
           val path = graft.operators.ModelStore.annIndexPath(spark, indexName)

@@ -1075,6 +1075,95 @@ object Similarity {
     PartitionManifest.liveFilesUnder(clusterDirs, root.resolve("_commits")).size
   }
 
+  /** One maintenance sweep's observed state + verdicts for a stored index:
+    * file accumulation, tombstone backlog, quantization drift, and whether
+    * compaction / rebalance are due under the sweep's thresholds.
+    */
+  final case class IndexHealth(partitions: Int, liveFiles: Long,
+      maxFilesPerPartition: Long, tombstonedIds: Long, indexedRows: Long,
+      meanErr: Double, trainErr: Double,
+      compactDue: Boolean, rebalanceDue: Boolean, worstCentroids: Seq[Long])
+
+  /** Inspect a stored IVF/IVF-PQ index's health and recommend maintenance —
+    * the policy half of the lifecycle whose mechanisms are
+    * [[compactIvfIndex]] and [[rebalanceIvfPqIndex]]. Reads ONLY metadata
+    * (partition manifests over the shared parallel listing pool, the
+    * `_meta` stats tables, tombstone id lists): no data file opens, so a
+    * sweep is an O(partitions) metadata walk a scheduler can run every few
+    * minutes at any index size.
+    *
+    * Verdicts: `compactDue` when any partition's live file count exceeds
+    * `maxFilesPerPartition` (the per-append accumulation — ~288 files/
+    * centroid/day at a 5-minute cadence degrades the read path ~8× at 20
+    * batches in the drill) OR the tombstone backlog exceeds
+    * `maxTombstoneFraction` of indexed rows (every read pays the anti-join
+    * until compaction folds the deletes in); `rebalanceDue` when the
+    * stored per-centroid stats put the historical mean quantization error
+    * past `driftFactor ×` the training-time baseline — the same gate
+    * [[appendToIvfPqIndex]] enforces per batch, read here from what the
+    * index already maintains. `worstCentroids` are [[rebalanceIvfPqIndex]]'s
+    * split candidates, worst mean error first.
+    */
+  def indexHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerPartition: Int = 16, maxTombstoneFraction: Double = 0.1,
+      driftFactor: Double = 1.5, splitCandidates: Int = 2): IndexHealth = {
+    import java.nio.file.{Files, Paths}
+    import graft.sinks.PartitionManifest
+    val root = Paths.get(path)
+    val clusterDirs = PartitionManifest.ls(root)(p =>
+      Files.isDirectory(p) && p.getFileName.toString.startsWith("cluster_id="))
+    val commits = root.resolve("_commits")
+    val perPart = clusterDirs
+      .map(d => PartitionManifest.liveParquets(d, commits).size.toLong)
+    val stats = storedCentroidStats(spark, path).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n"),
+        r.getAs[Double]("err_sum")))
+    val rows = stats.map(_._2).sum
+    val meanErr =
+      if (rows == 0) 0.0 else stats.map(_._3).sum / rows
+    val trainErr = spark.read.parquet(s"$path/_meta/train_stats")
+      .head().getAs[Double]("mean_err")
+    val tombs = ivfTombstones(spark, path).fold(0L)(_.count())
+    val worst = stats.filter(_._2 > 0)
+      .sortBy { case (cid, n, e) => (-(e / n), cid) }
+      .take(splitCandidates).map(_._1).toSeq
+    IndexHealth(
+      partitions = clusterDirs.size,
+      liveFiles = perPart.sum,
+      maxFilesPerPartition = if (perPart.isEmpty) 0L else perPart.max,
+      tombstonedIds = tombs,
+      indexedRows = rows,
+      meanErr = meanErr,
+      trainErr = trainErr,
+      compactDue = perPart.exists(_ > maxFilesPerPartition) ||
+        (rows > 0 && tombs.toDouble / rows > maxTombstoneFraction),
+      rebalanceDue = meanErr > driftFactor * math.max(trainErr, 1e-9),
+      worstCentroids = worst)
+  }
+
+  /** Run whatever [[indexHealth]] says is due — compact first (folds
+    * tombstones and flattens the file counts the rebalance would otherwise
+    * rewrite), then rebalance under `batchId`. Returns the pre-sweep
+    * health and the actions taken (`"compact"`, `"rebalance"`). Safe to
+    * schedule blindly: a healthy index is a metadata-only no-op, and both
+    * mechanisms are manifest-committed (readers never see a partial sweep;
+    * a crashed sweep re-runs to completion).
+    */
+  def autoMaintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      batchId: Long, maxFilesPerPartition: Int = 16,
+      maxTombstoneFraction: Double = 0.1, driftFactor: Double = 1.5,
+      splitCount: Int = 2): (IndexHealth, Seq[String]) = {
+    val h = indexHealth(spark, path, maxFilesPerPartition,
+      maxTombstoneFraction, driftFactor, splitCount)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (h.compactDue) { compactIvfIndex(spark, path); actions += "compact" }
+    if (h.rebalanceDue) {
+      rebalanceIvfPqIndex(spark, path, batchId, splitCount)
+      actions += "rebalance"
+    }
+    (h, actions.toSeq)
+  }
+
   /** Open a stored IVF / IVF-PQ index. Each `cluster_id=` partition
     * resolves through [[graft.sinks.PartitionManifest]] — manifest dead/
     * pending rules plus `_commits/b<id>` marker resolution for streaming

@@ -287,4 +287,47 @@ class ModelStoreSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"bpe stage must not shuffle:\n$plan")
     } finally s.conf.unset("spark.graft.lookup.dir")
   }
+
+  test("eval-gram sets + piped `decontam <model> on <field>`: round-trip, kernel parity, prefix") {
+    val s = spark
+    import s.implicits._
+    s.conf.set("spark.graft.lookup.dir", freshDir("decontam"))
+    try {
+      val evalDf = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text")
+      val hs = graft.operators.CorpusQuality.evalNgramSet(
+        evalDf, col("text"), n = 5)
+      // save unsorted on purpose — the store sorts for the kernel
+      ModelStore.saveEvalGrams(s, "suite.v1", hs.reverse)
+      assert(ModelStore.loadEvalGrams(s, "suite.v1").toSeq == hs.toSeq)
+      assert(ModelStore.list(s, "decontam") == Seq("suite.v1"))
+      intercept[IllegalArgumentException](
+        ModelStore.loadEvalGrams(s, "absent"))
+      val docs = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog tonight"),
+        (1L, "unrelated words about query plans and shuffles here"))
+        .toDF("doc_id", "text")
+      val piped = SearchQuery.compileStages(SearchQuery.parsePiped(
+        "* | decontam suite.v1 on text").stages, "doc_id", "text")(docs)
+      assert(piped.columns.toSeq == Seq("doc_id", "text",
+        "n_ngrams", "n_contaminated", "contamination"))
+      val viaStage = piped.orderBy("doc_id")
+        .select("doc_id", "n_ngrams", "n_contaminated", "contamination")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val direct = graft.operators.CorpusQuality.contaminationScore(
+          docs, col("doc_id"), col("text"), hs, n = 5).orderBy("doc_id")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(viaStage == direct)
+      assert(viaStage.head._4 == 1.0 && viaStage(1)._3 == 0L)
+      // prefix + n options parse and rename
+      val pfx = SearchQuery.compileStages(SearchQuery.parsePiped(
+        "* | decontam suite.v1 on text n=5 prefix=leak").stages,
+        "doc_id", "text")(docs)
+      assert(pfx.columns.contains("leak_contamination"))
+      val plan = piped.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"decontam stage must not shuffle:\n$plan")
+    } finally s.conf.unset("spark.graft.lookup.dir")
+  }
 }

@@ -613,6 +613,57 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(storedTopk() == inlineTopk(survivors))
   }
 
+  test("index health policy: accumulation flags compact, autoMaintain heals, drift flags rebalance") {
+    val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(
+      emb.filter(col("vec_id") < 16), col("vec_id"), col("embedding"), m = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-health").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 8 === 0),
+      col("vec_id"), col("embedding"), cents, col("cid"), col("cvec"), cb, path)
+    val fresh = Similarity.indexHealth(spark, path)
+    assert(!fresh.compactDue && !fresh.rebalanceDue,
+      s"fresh index must be healthy: $fresh")
+    assert(fresh.maxFilesPerPartition == 1 && fresh.indexedRows > 0)
+    // per-append accumulation past the threshold flags compaction
+    (1 to 7).foreach(k => Similarity.appendToIvfPqIndex(spark, path,
+      emb.filter(col("vec_id") % 8 === k), col("vec_id"), col("embedding"),
+      cents, col("cid"), col("cvec"), cb, batchId = k.toLong))
+    val grown = Similarity.indexHealth(spark, path, maxFilesPerPartition = 4)
+    assert(grown.compactDue && grown.maxFilesPerPartition > 4)
+    // a big-enough tombstone backlog flags compaction on its own
+    Similarity.deleteFromIvfIndex(spark, path,
+      emb.filter(col("vec_id") % 5 === 0), col("vec_id"), batchId = 1)
+    val tombed = Similarity.indexHealth(spark, path,
+      maxFilesPerPartition = 10000, maxTombstoneFraction = 0.1)
+    assert(tombed.compactDue && tombed.tombstonedIds > 0)
+    // autoMaintain runs exactly what is due and the re-sweep is clean
+    val (h, actions) = Similarity.autoMaintain(spark, path, batchId = 100,
+      maxFilesPerPartition = 4)
+    assert(h.compactDue && actions == Seq("compact"), s"$h -> $actions")
+    val healed = Similarity.indexHealth(spark, path, maxFilesPerPartition = 4)
+    assert(!healed.compactDue && healed.tombstonedIds == 0,
+      s"post-maintenance sweep must be clean: $healed")
+    val (_, noop) = Similarity.autoMaintain(spark, path, batchId = 101,
+      maxFilesPerPartition = 4)
+    assert(noop.isEmpty, "healthy index must be a no-op sweep")
+    // the drift verdict reads the same stats the append gate maintains:
+    // stored mean error past driftFactor x train baseline flags rebalance,
+    // worst centroids first (policy only — the rebalance spec drives the
+    // mechanism end to end)
+    val s2 = spark
+    import s2.implicits._
+    val doctored = Seq((0L, 100L, 0.5), (1L, 100L, 400.0), (2L, 100L, 800.0))
+      .toDF("cluster_id", "n", "err_sum")
+    doctored.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_meta/centroid_stats")
+    val drifted = Similarity.indexHealth(spark, path, driftFactor = 1.5)
+    assert(drifted.rebalanceDue,
+      s"doctored stats must flag rebalance: $drifted")
+    assert(drifted.worstCentroids == Seq(2L, 1L))
+  }
+
   test("ivf-pq rebalance: worst centroids split in place, batch error drops under the re-derived gate, swap atomic and complete") {
     val emb = SparkEntry.tbl(spark, "/root/testdata/sf0.001", "embeddings")
     // deliberately COARSE coarse quantizer (4 centroids) so per-centroid
