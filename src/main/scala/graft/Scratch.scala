@@ -1175,6 +1175,36 @@ object Scratch {
           s"clustered=$clustered")
       }
     }
+    // Codec session-bind rungs (round 16): SPARK_GRAFT_CODEC_SESSION=
+    // <n>[:<bindMs>] — the hash pass over a codec whose decoder session
+    // costs bindMs to open (a native decoder's real shape; the bundled
+    // JDK/stub codecs bind for free). Three timings: the stateless
+    // baseline (FakeCodec, codegen path), the NAIVE per-row form (every
+    // lumaGrid call pays the bind — what a plain UDF over such a codec
+    // does), and the bindsSession path (one open() per partition). The
+    // claim: the seam's cost is one bind per PARTITION, so the gap to the
+    // naive form grows linearly with rows while the session path stays at
+    // the stateless baseline.
+    sys.env.get("SPARK_GRAFT_CODEC_SESSION").foreach { spec =>
+      val parts = spec.split(":")
+      val bindMs = if (parts.length > 1) parts(1).trim.toLong else 2L
+      parts(0).split(",").map(_.trim.toLong).foreach { n =>
+        val media = graft.operators.Pins.pin(spark.range(0, n, 1, 32)
+          .select(col("id").as("media_id"),
+            expr("unhex(repeat(md5(cast(id as string)), 8))").as("content")))
+        def run(label: String, codec: graft.operators.Multimodal.Codec): Unit =
+          time(s"codec-session n=$n bind=${bindMs}ms $label") {
+            graft.operators.Multimodal.pHash(
+              media, col("media_id"), col("content"), codec = codec)
+              .write.format("noop").mode("overwrite").save()
+            n
+          }
+        run("stateless", graft.operators.Multimodal.FakeCodec)
+        run("naive-per-row", new SleepBindCodec(bindMs, perRowBind = true))
+        run("session-per-partition", new SleepBindCodec(bindMs, perRowBind = false))
+        graft.operators.Pins.release(media)
+      }
+    }
     // extra args = query names, timed warm against a noop sink (full declared
     // plan, codegen already compiled) — the per-query drill-down the bench's
     // cold single-shot numbers can't give
@@ -1444,5 +1474,30 @@ object Scratch {
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) mk.explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Drill stand-in for a native decoder whose session costs `bindMs` to
+    * open. `perRowBind = true` models the NAIVE integration (each decode
+    * call pays the bind — `bindsSession` stays false so the UDF path runs
+    * it); `false` declares the session so [[graft.operators.Multimodal.pHash]]
+    * routes through the per-partition [[open]] seam.
+    */
+  private final class SleepBindCodec(bindMs: Long, perRowBind: Boolean)
+      extends graft.operators.Multimodal.Codec {
+    import graft.operators.Multimodal.{Codec, FakeCodec}
+    override def bindsSession: Boolean = !perRowBind
+    override def open(): Codec = { Thread.sleep(bindMs); FakeCodec }
+    def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int] = {
+      if (perRowBind) Thread.sleep(bindMs)
+      FakeCodec.lumaGrid(content, w, h)
+    }
+    def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long) =
+      FakeCodec.decodeMeta(content)
+    def features(content: Array[Byte], bins: Int): Array[Float] =
+      FakeCodec.features(content, bins)
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] =
+      FakeCodec.resize(content, w, h, channels)
+    def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] =
+      FakeCodec.sampleFrames(content, n, frameBytes)
   }
 }

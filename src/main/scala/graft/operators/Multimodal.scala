@@ -59,6 +59,25 @@ object Multimodal {
     def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte]
     /** n frames (or frame stand-ins) from the content. */
     def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]]
+
+    /** Bind any per-task decoder resources ONCE and return the bound
+      * instance; the batched passes ([[Multimodal.decodeBatched]], the
+      * [[Multimodal.pHash]]/[[Multimodal.framePHash]] session paths) call
+      * this at the top of each partition and decode every row through the
+      * result. The bundled codecs are stateless JDK/stub calls — ImageIO,
+      * javax.sound, byte arithmetic — with nothing to bind, so the default
+      * is the identity.
+      */
+    def open(): Codec = this
+
+    /** True when [[open]] is expensive (a native decoder binding a
+      * session): the hash and decode passes then route through the
+      * per-partition batched seam so the bind is paid once per partition,
+      * not once per row. False (default) keeps the stateless codecs on the
+      * codegen-fused per-row path, which for them is strictly faster — no
+      * object round-trip out of Tungsten rows.
+      */
+    def bindsSession: Boolean = false
   }
 
   /** Resolve the session-configured codec; explicit `codec` args win. */
@@ -873,10 +892,11 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("media_type"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition seam: a real codec binds its native session here once
+        // per-partition seam: a session-binding codec pays its bind ONCE here
+        val bound = c0.open()
         it.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, tpe, content) =>
-            val (w, h, c, d) = c0.decodeMeta(content)
+            val (w, h, c, d) = bound.decodeMeta(content)
             (id, tpe, content, (w, h, c, d))
           }
         }
@@ -938,25 +958,56 @@ object Multimodal {
     bits
   }
 
-  private def pHashUdf(codec: Codec, kind: String) = udf { content: Array[Byte] =>
-    val grid = kind match {
-      case "dhash" => codec.lumaGrid(content, 9, 8)
-      case "ahash" => codec.lumaGrid(content, 8, 8)
-      case other => throw new IllegalArgumentException(
-        s"unknown perceptual hash kind '$other' (dhash | ahash)")
-    }
+  /** Grid dims per hash kind: dHash compares each cell to its RIGHT
+    * neighbor, so it needs one extra column.
+    */
+  private def gridDims(kind: String): (Int, Int) = kind match {
+    case "dhash" => (9, 8)
+    case "ahash" => (8, 8)
+    case other => throw new IllegalArgumentException(
+      s"unknown perceptual hash kind '$other' (dhash | ahash)")
+  }
+
+  private def hash64(grid: Array[Int], kind: String): Option[Long] =
     if (grid.isEmpty) None
     else Some(if (kind == "dhash") dHash64(grid) else aHash64(grid))
+
+  private def pHashUdf(codec: Codec, kind: String) = {
+    val (w, h) = gridDims(kind)
+    udf { content: Array[Byte] => hash64(codec.lumaGrid(content, w, h), kind) }
   }
 
   /** Perceptual hash per media row: `(media_id, phash)`, `phash` null for
     * undecodable content. One narrow map-side pass; project ONLY the id and
     * content columns upstream so the scan prunes the rest.
+    *
+    * Path choice follows [[Codec.bindsSession]]: the stateless bundled
+    * codecs hash per-row inside whole-stage codegen; a session-binding
+    * native codec routes through a per-partition [[Codec.open]] seam so
+    * the bind is amortized across the partition (same discipline as
+    * [[decodeBatched]]). Both paths produce bit-identical hashes.
     */
   def pHash(df: DataFrame, idCol: Column, contentCol: Column,
-      kind: String = "dhash", codec: Codec = null): DataFrame =
-    df.select(idCol.cast("long").as("media_id"),
-      pHashUdf(resolve(df, codec), kind)(contentCol).as("phash"))
+      kind: String = "dhash", codec: Codec = null): DataFrame = {
+    val c0 = resolve(df, codec)
+    val (w, h) = gridDims(kind)
+    if (!c0.bindsSession)
+      df.select(idCol.cast("long").as("media_id"),
+        pHashUdf(c0, kind)(contentCol).as("phash"))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.select(idCol.cast("long"), contentCol)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val bound = c0.open()
+          it.map { case (id, content) =>
+            (id, hash64(bound.lumaGrid(content, w, h), kind))
+          }
+        }
+        .toDF("media_id", "phash")
+    }
+  }
 
   /** The [[pHash]] kernel as a bare column, for callers that keep their own
     * schema (the streaming ingest gates). Codec resolution falls back to
@@ -1009,11 +1060,31 @@ object Multimodal {
       frameBytes: Int = 4096, kind: String = "dhash",
       codec: Codec = null): DataFrame = {
     val c = resolve(df, codec)
-    df.select(idCol.cast("long").as("media_id"),
-      posexplode(framesUdf(c)(contentCol, lit(n), lit(frameBytes)))
-        .as(Seq("frame_idx", "_frame")))
-      .select(col("media_id"), col("frame_idx"),
-        pHashUdf(c, kind)(col("_frame")).as("phash"))
+    if (!c.bindsSession)
+      df.select(idCol.cast("long").as("media_id"),
+        posexplode(framesUdf(c)(contentCol, lit(n), lit(frameBytes)))
+          .as(Seq("frame_idx", "_frame")))
+        .select(col("media_id"), col("frame_idx"),
+          pHashUdf(c, kind)(col("_frame")).as("phash"))
+    else {
+      // session path: one bind per partition covers BOTH the frame sample
+      // and every per-frame hash (the per-row form would bind per call)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val (w, h) = gridDims(kind)
+      df.select(idCol.cast("long"), contentCol)
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val bound = c.open()
+          it.flatMap { case (id, content) =>
+            bound.sampleFrames(content, n, frameBytes).iterator.zipWithIndex
+              .map { case (f, i) =>
+                (id, i, hash64(bound.lumaGrid(f, w, h), kind))
+              }
+          }
+        }
+        .toDF("media_id", "frame_idx", "phash")
+    }
   }
 
   /** Video near-duplicate pairs by frame-slot agreement: two media rows

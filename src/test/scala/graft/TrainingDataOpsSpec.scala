@@ -2761,4 +2761,70 @@ class TrainingDataOpsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"expected Catalyst's WindowGroupLimit rewrite:\n$p")
   }
+
+  test("multimodal: a session-binding codec opens once per partition, hashes bit-identically, and the stateless path stays codegen-fused") {
+    val s = spark
+    import s.implicits._
+    import TrainingDataOpsSpec.{SessionCodec, codecOpens}
+    val media = Multimodal.synthesize(
+      (0L until 40L).toDF("media_id"), col("media_id"))
+      .repartition(4)
+      .cache()
+    media.count() // pin partitioning so both paths hash the same splits
+    try {
+      val expected = Multimodal.pHash(
+        media, col("media_id"), col("content"), codec = Multimodal.FakeCodec)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      codecOpens.set(0)
+      val viaSession = Multimodal.pHash(
+        media, col("media_id"), col("content"), codec = SessionCodec)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSession == expected) // bit-identical across paths
+      // the bind is per-PARTITION: 4 opens for 40 rows, and every data-row
+      // call went through the bound instance (the unbound shell throws)
+      assert(codecOpens.get() == 4, s"opens = ${codecOpens.get()}")
+      codecOpens.set(0)
+      val frames = Multimodal.framePHash(
+        media, col("media_id"), col("content"), n = 3, codec = SessionCodec)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      val framesRef = Multimodal.framePHash(
+        media, col("media_id"), col("content"), n = 3,
+        codec = Multimodal.FakeCodec)
+        .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      assert(frames == framesRef && frames.size == 120)
+      assert(codecOpens.get() == 4, s"opens = ${codecOpens.get()}")
+      // the stateless default keeps the hash inside codegen — no object
+      // round-trip out of Tungsten rows for codecs with nothing to bind
+      val statelessPlan = Multimodal.pHash(
+        media, col("media_id"), col("content"), codec = Multimodal.FakeCodec)
+        .queryExecution.executedPlan.toString
+      assert(!statelessPlan.contains("SerializeFromObject"),
+        s"stateless pHash left the codegen path:\n$statelessPlan")
+    } finally media.unpersist()
+  }
+}
+
+object TrainingDataOpsSpec {
+  val codecOpens = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** A codec whose unbound shell REFUSES to decode: every data-row call in
+    * the session path must go through the instance [[open]] returned, and
+    * [[open]] increments the per-JVM counter — together they prove the
+    * batched seam binds once per partition and decodes only through the
+    * bound session.
+    */
+  object SessionCodec extends Multimodal.Codec {
+    override def bindsSession: Boolean = true
+    override def open(): Multimodal.Codec = {
+      codecOpens.incrementAndGet()
+      Multimodal.FakeCodec
+    }
+    private def unbound = throw new IllegalStateException(
+      "unbound session codec used on a data row — the batched seam must decode through open()")
+    def decodeMeta(content: Array[Byte]): (Int, Int, Int, Long) = unbound
+    def features(content: Array[Byte], bins: Int): Array[Float] = unbound
+    def lumaGrid(content: Array[Byte], w: Int, h: Int): Array[Int] = unbound
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = unbound
+    def sampleFrames(content: Array[Byte], n: Int, frameBytes: Int): Seq[Array[Byte]] = unbound
+  }
 }
