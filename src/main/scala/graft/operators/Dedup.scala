@@ -661,18 +661,27 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: Column, vecCol: Column,
       k: Int, iters: Int, threshold: Double, seed: String = "km"): DataFrame = {
-    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, k, iters, seed)
-    val assigned = Similarity
-      .ivfAssign(df, idCol, vecCol, cents, col("cluster_id"), col("centroid"))
-      .select("vec_id", "cluster_id")
-    val vecs = df.select(idCol.as("vec_id"), vecCol.as("vec"))
+    val cents = Similarity.collectCentroids(
+      Similarity.kmeansCentroids(df, idCol, vecCol, k, iters, seed),
+      col("cluster_id"), col("centroid"))
+    // one-pass assignment: the frozen-centroid kernel (bit-parity with the
+    // broadcast argmax — StreamingSpec pins it) stamps cluster_id NEXT TO
+    // the vector, so the corpus is never shuffled by vec_id to re-attach
+    // its own assignment; the within-cluster pair join's exchange on
+    // cluster_id is then the only corpus-sized shuffle, and its two
+    // identical branches share one exchange (ReusedExchange)
+    val assigned = graft.functions.ExprUtils.materialized(
+      df.select(idCol.as("vec_id"), vecCol.as("vec")), "_a",
+      Similarity.ivfAssignFrozen(col("vec"), cents))
+      .select(col("vec_id"), col("vec"), col("_a.cluster_id").as("cluster_id"))
     val dropped = embeddingNearDup(
-        assigned.join(vecs, "vec_id"), col("vec_id"), col("vec"),
+        assigned, col("vec_id"), col("vec"),
         col("cluster_id"), threshold = -1.0) // threshold applied on rounded value below
       .filter(round(col("cosine"), 6) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("_dup", lit(true))
-    assigned.join(dropped, Seq("vec_id"), "left")
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"),
         coalesce(!col("_dup"), lit(true)).as("kept"))
   }

@@ -297,22 +297,19 @@ object Similarity {
     val dim = cents.head.length
 
     for (_ <- 1 to iters) {
-      // per-centroid squared norms, accumulated left-to-right in doubles —
-      // the exact order VecSqNorm uses, so cosine parity holds
-      val cnorms = cents.map(_.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
-      // corpus norm once per row behind a Generate barrier (no interpreted
-      // CSE: k struct branches would otherwise re-run the kernel k times)
-      val scored = graft.functions.ExprUtils.materialized(
-        df.select(vecCol.as("_vec")), "_nv", sqNorm(col("_vec")))
-      // argmax over k constant-folded centroid literals: lexicographic struct
-      // max = highest cosine, ties to the lowest cluster id
-      val best = array_max(array(cents.indices.map { i =>
-        val cvLit = array(cents(i).map(v => lit(v)): _*)
-        struct(
-          (dot(col("_vec"), cvLit) / sqrt(col("_nv") * lit(cnorms(i)))).as("c"),
-          lit(-i.toLong).as("nc"), lit(i.toLong).as("cid"))
-      }: _*))
-      val assigned = scored.select(col("_vec"), best.getField("cid").as("_cid"))
+      // per-round argmax via the frozen-centroid codegen kernel — the SAME
+      // arithmetic as the k-literal-branch form it replaces (dot and norms
+      // accumulated left-to-right in doubles, cos = dot/sqrt(na·cnorm),
+      // highest cosine with ties to the lowest cluster id), but ONE
+      // reference-object kernel call per row instead of a k-wide expression
+      // tree that Janino must compile and evaluate branch by branch —
+      // at the occupancy-held sizing (k = n/64) the literal tree grew with
+      // the corpus and its codegen alone dominated the round
+      val frozen = cents.indices.map(i => (i.toLong, cents(i)))
+      val assigned = graft.functions.ExprUtils.materialized(
+        df.select(vecCol.as("_vec")), "_a",
+        ivfAssignFrozen(col("_vec"), frozen))
+        .select(col("_vec"), col("_a.cluster_id").as("_cid"))
       // element-wise mean via exact decimal sums; the double division and the
       // float narrowing both happen engine-side (same rounding as any engine)
       val meanCols = (0 until dim).map { d =>
@@ -341,17 +338,38 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, idCol: Column, vecCol: Column,
       centroids: DataFrame, centroidId: Column, centroidVec: Column): DataFrame = {
-    val c = centroids.select(centroidId.cast("long").as("_cid"), centroidVec.as("_cvec"))
-    df.select(idCol.as("vec_id"), vecCol.as("_vec"))
-      .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("_cid"),
-        cosine(col("_vec"), col("_cvec")).as("_cos"))
-      // struct max = lexicographic (cosine desc first, then lowest cid wins)
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    // empty centroid set: the old crossJoin form produced zero rows; the
+    // kernel refuses to construct, so short-circuit to the same empty frame
+    if (cents.isEmpty)
+      return df.select(idCol.as("vec_id"), lit(0L).as("cluster_id"),
+        lit(0.0).as("cosine")).limit(0)
+    // per-row argmax via the codegen'd frozen-centroid kernel (bit-identical
+    // winners incl. the lowest-id tie rule — StreamingSpec pins parity with
+    // the old broadcast crossJoin+argmax form), so the scored intermediate
+    // is n rows instead of n×k; the per-vec_id struct max is kept so the
+    // one-row-per-vec_id contract survives duplicate ids (max over per-row
+    // maxima == max over the full cross product)
+    ivfAssignRows(df, idCol, vecCol, cents)
       .groupBy("vec_id")
-      .agg(max(struct(col("_cos"), -col("_cid"), col("_cid"))).as("_best"))
+      .agg(max(struct(col("cosine").as("_cos"), (-col("cluster_id")).as("_neg"),
+        col("cluster_id").as("_cid"))).as("_best"))
       .select(col("vec_id"), col("_best._cid").as("cluster_id"),
         col("_best._cos").as("cosine"))
   }
+
+  /** One-pass frozen-centroid assignment: `(vec_id, cluster_id, cosine)` with
+    * one row PER INPUT ROW (no per-vec_id reduce — callers that hold the
+    * unique-id premise skip the shuffle entirely). The kernel is evaluated
+    * once per row behind a Generate barrier.
+    */
+  private def ivfAssignRows(df: DataFrame, idCol: Column, vecCol: Column,
+      cents: Seq[(Long, Array[Float])]): DataFrame =
+    graft.functions.ExprUtils.materialized(
+      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_a",
+      ivfAssignFrozen(col("_vec"), cents))
+      .select(col("vec_id"), col("_a.cluster_id").as("cluster_id"),
+        col("_a.cosine").as("cosine"))
 
   /** Collect a (small) centroid DataFrame into the frozen driver-side form
     * [[ivfAssignFrozen]] and the streaming assign stage consume, sorted by
@@ -410,10 +428,16 @@ object Similarity {
   def buildIvfIndex(df: DataFrame, idCol: Column, vecCol: Column,
       centroids: DataFrame, centroidId: Column, centroidVec: Column,
       path: String): Unit = {
-    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
-      .select(col("vec_id"), col("cluster_id"))
-    df.select(idCol.as("vec_id"), vecCol.as("vec"))
-      .join(assigned, "vec_id")
+    // one narrow pass: the frozen-kernel assignment rides next to the vector
+    // itself, so the corpus is never shuffled by vec_id to re-attach its own
+    // assignment (the old join-back shape) — the only remaining exchange is
+    // the clustered repartition the partitioned write wants anyway
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    graft.functions.ExprUtils.materialized(
+      df.select(idCol.as("vec_id"), vecCol.as("vec")), "_a",
+      ivfAssignFrozen(col("vec"), cents))
+      .select(col("vec_id"), col("vec"), col("_a.cluster_id").as("cluster_id"))
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
   }
 
@@ -453,11 +477,19 @@ object Similarity {
   def buildIvfPqIndex(df: DataFrame, idCol: Column, vecCol: Column,
       centroids: DataFrame, centroidId: Column, centroidVec: Column,
       codebook: Array[Array[Array[Float]]], path: String): Unit = {
-    val assigned = Pins.pin(
-      ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec))
+    // ONE kernel pass computes codes AND the frozen-centroid assignment per
+    // row (bit-parity with the broadcast argmax — StreamingSpec pins it), so
+    // the corpus is never shuffled by vec_id to re-attach its own
+    // assignment; the pin serves both the clustered write and the stats
+    // aggregate without re-running the pass
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    val assigned = Pins.pin(graft.functions.ExprUtils.materialized(
+      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_a",
+      ivfAssignFrozen(col("_vec"), cents))
+      .select(col("vec_id"), pqEncode(col("_vec"), codebook).as("codes"),
+        col("_a.cluster_id").as("cluster_id"), col("_a.cosine").as("cosine")))
     try {
-      df.select(idCol.as("vec_id"), pqEncode(vecCol, codebook).as("codes"))
-        .join(assigned.select(col("vec_id"), col("cluster_id")), "vec_id")
+      assigned.select(col("vec_id"), col("codes"), col("cluster_id"))
         .repartition(col("cluster_id"))
         .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
       writeCentroidStats(df.sparkSession, assigned, path, merge = false)
@@ -671,8 +703,16 @@ object Similarity {
     // join re-read 24-byte rows instead of re-running the broadcast
     // argmax over the batch); released in finally so a drift throw or a
     // failed stage write can't leak the pinned blocks
-    val assigned = Pins.pin(
-      ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec))
+    // same one-kernel-pass share as buildIvfPqIndex: codes + frozen-centroid
+    // assignment per row, pinned once, serving the drift probe, the staged
+    // clustered write, AND the post-commit stats merge — the batch is never
+    // shuffled by vec_id to re-attach its own assignment
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    val assigned = Pins.pin(graft.functions.ExprUtils.materialized(
+      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_a",
+      ivfAssignFrozen(col("_vec"), cents))
+      .select(col("vec_id"), pqEncode(col("_vec"), codebook).as("codes"),
+        col("_a.cluster_id").as("cluster_id"), col("_a.cosine").as("cosine")))
     try {
       if (ModelStore.pathExists(spark, s"$path/_meta/train_stats")) {
         val r = assigned.agg(avg(lit(1.0) - col("cosine"))).head()
@@ -696,8 +736,7 @@ object Similarity {
       // 10k-row batch at 32 threads × 64 centroids) — one batch-sized
       // shuffle lands ONE file per populated centroid instead, which is
       // also what the read path wants.
-      df.select(idCol.as("vec_id"), pqEncode(vecCol, codebook).as("codes"))
-        .join(assigned.select(col("vec_id"), col("cluster_id")), "vec_id")
+      assigned.select(col("vec_id"), col("codes"), col("cluster_id"))
         .repartition(col("cluster_id"))
         .write.mode("overwrite").partitionBy("cluster_id").parquet(stageP.toString)
       // land per cluster partition under [[graft.sinks.PartitionManifest]]'s
@@ -1501,11 +1540,14 @@ object Similarity {
       centroids: DataFrame, centroidId: Column, centroidVec: Column,
       query: Seq[Float], nprobe: Int): DataFrame = {
     val probes = probeIds(centroids, centroidId, centroidVec, query, nprobe)
-    val assigned = ivfAssign(df, idCol, vecCol, centroids, centroidId, centroidVec)
-      .filter(col("cluster_id").isin(probes: _*))
-      .select(col("vec_id"))
-    df.select(idCol.as("vec_id"), vecCol.as("_vec"))
-      .join(assigned, "vec_id")
+    // one narrow pass: the frozen-kernel assignment filters rows in place —
+    // no per-vec_id reduce and no join back onto the corpus by vec_id (the
+    // old shape shuffled the corpus twice to decide which rows to keep)
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    graft.functions.ExprUtils.materialized(
+      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_a",
+      ivfAssignFrozen(col("_vec"), cents))
+      .filter(col("_a.cluster_id").isin(probes: _*))
       .select(col("vec_id"), col("_vec"))
   }
 }
