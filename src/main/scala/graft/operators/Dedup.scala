@@ -368,6 +368,61 @@ object Dedup {
     same.unionByName(cross)
   }
 
+  /** Linear cluster-edge reduction of [[sketchPairs]]: the same connected
+    * components WITHOUT enumerating pair lists. Identical-sketch groups are
+    * |group|² pairs in the pair contract but only need a star onto the
+    * group's minimum doc to be connected, and a verified cross-sketch pair
+    * connects its two groups with ONE representative edge (min-doc to
+    * min-doc) because each group is already internally connected. Edge
+    * volume is |rows| + |verified sketch pairs| — linear where the pair
+    * enumeration is quadratic in clique occupancy (a 1k-replica template
+    * group costs 999 edges here vs ~500k pairs there). Components (and so
+    * every cluster label) are exactly those of
+    * `clustersStar(sketchPairs(...))`.
+    */
+  private[graft] def sketchClusterEdges(sketch: DataFrame, totalBits: Int,
+      maxHamming: Int): DataFrame = {
+    require(totalBits >= 1 && totalBits <= 64,
+      s"sketchClusterEdges: totalBits must be in [1, 64]: $totalBits")
+    require(maxHamming >= 0 && maxHamming < totalBits,
+      s"sketchClusterEdges: maxHamming must be in [0, totalBits): $maxHamming")
+    // pin: the sketch table feeds the distinct-sim band join AND the
+    // min-doc star — unpinned, each branch re-runs the content→hash kernel
+    val sh = Pins.pin(sketch.select(col("doc_id"), col("sim")))
+    val sims = sh.select(col("sim")).distinct()
+    val bandVals = bandValues(col("sim"), totalBits, maxHamming)
+    val banded = sims.select(col("sim"),
+      posexplode(bandVals).as(Seq("band_idx", "band_val")))
+    val simPairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.sim") < col("b.sim"))
+      .select(col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+      .filter(hamming(col("sim_a"), col("sim_b")) <= maxHamming)
+    val minDoc = sh.groupBy(col("sim")).agg(min(col("doc_id")).as("m"))
+    // self-loops (doc == group minimum) ride through: clustersStar drops
+    // u == v edges at entry, and the loop-free filter here tripped a
+    // Catalyst constraint-rewrite bug (UnionBase.rewriteConstraints throws
+    // "key not found" when the aliased filter constraint flows into the
+    // checkpoint-union round)
+    val star = sh.join(minDoc, "sim")
+      .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
+    val cross = simPairs
+      .join(minDoc.select(col("sim").as("sim_a"), col("m").as("_ma")), "sim_a")
+      .join(minDoc.select(col("sim").as("sim_b"), col("m").as("_mb")), "sim_b")
+      .select(col("_ma").as("doc_a"), col("_mb").as("doc_b"))
+    // materialize the union before handing it to the cluster loop: with the
+    // lazy union inline, PushProjectionThroughUnion + PruneFilters compute
+    // Union constraints over children that share the pinned sh/minDoc
+    // attribute ids and throw "key not found" from
+    // UnionBase.rewriteConstraints (Catalyst constraint-merge bug). The pin
+    // is spill-aware and edge-list-sized — the same order the cluster loop
+    // checkpoints every round anyway.
+    Pins.pin(star.unionByName(cross))
+  }
+
   /** Connected components over a near-dup pair list: every document gets the
     * minimum doc id reachable through pair edges as its `cluster_id` — the
     * canonical-document assignment that completes any pairwise dedup

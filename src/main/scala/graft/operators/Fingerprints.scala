@@ -101,10 +101,22 @@ object Fingerprints {
     */
   def winnowClusters(df: DataFrame, idCol: Column, textCol: Column,
       n: Int = 4, w: Int = 4, maxDf: Int = 64): DataFrame = {
-    val fps = cappedFps(df, idCol, textCol, n, w, maxDf)
+    require(maxDf >= 2, s"a fingerprint needs df >= 2 to ever match, got $maxDf")
+    // df-count and min-doc share ONE window pass (same partition key): the
+    // cap drops whole fingerprints, never individual rows of a surviving
+    // fingerprint, so min(doc_id) over the unfiltered partition equals the
+    // post-filter min — identical edges to the two-pass form at half the
+    // (fp-keyed) shuffle+sort work, and the pair form's per-doc `sz` window
+    // (unused here) never runs at all
+    val ex = df.select(idCol.as("doc_id"), textCol.as("_text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("_text"), n, w)).as("fp"))
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val edges = fps.withColumn("m", min(col("doc_id")).over(byFp))
-      .filter(col("doc_id") =!= col("m"))
+    val edges = ex
+      .select(col("doc_id"), count(lit(1)).over(byFp).as("_df"),
+        min(col("doc_id")).over(byFp).as("m"))
+      .filter(col("_df") <= maxDf && col("doc_id") =!= col("m"))
       .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
       .distinct()
     Dedup.clustersStar(edges)

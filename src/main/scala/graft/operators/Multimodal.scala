@@ -1044,9 +1044,18 @@ object Multimodal {
   def imageNearDupClusters(df: DataFrame, idCol: Column, contentCol: Column,
       maxHamming: Int = 3, kind: String = "dhash",
       codec: Codec = null): DataFrame =
+    // cluster via the LINEAR edge reduction, not the pair enumeration:
+    // identical-sketch groups (re-uploads of one asset) are |group|² rows in
+    // the pair contract but connect with a |group|-edge star — same
+    // components, same labels (Dedup.sketchClusterEdges), without the
+    // clique blow-up that made clusters cost multiples of the hash pass
     Dedup.clustersStar(
-      imageNearDupPairs(df, idCol, contentCol, maxHamming, kind, codec),
-      "media_a", "media_b")
+      Dedup.sketchClusterEdges(
+        pHash(df, idCol, contentCol, kind, codec)
+          .filter(col("phash").isNotNull)
+          .select(col("media_id").as("doc_id"), col("phash").as("sim")),
+        totalBits = 64, maxHamming = maxHamming),
+      "doc_a", "doc_b")
       .select(col("doc_id").as("media_id"), col("cluster_id"))
 
   /** Per-frame perceptual hashes: `(media_id, frame_idx, phash)` — one
