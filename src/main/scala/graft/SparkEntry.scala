@@ -1796,9 +1796,13 @@ object SparkEntry {
     // ---- Gopher quality rule bundle (arXiv:2112.11446 §A1.1): measured
     //      signals + failed-rule list + keep verdict, pure map-side ----
     "q167_gopher_rules" -> ((s, dir) => {
-      graft.operators.CorpusQuality.gopherRules(
-        tbl(s, dir, "documents"), col("doc_id"), col("text"))
-        .orderBy("doc_id")
+      // pin-then-sort: the rule bundle's OUTPUT is narrow (doc_id + metric
+      // scalars) while its input text is wide, so pinning the projection
+      // and sorting the pinned rows beats both the bare trailing orderBy
+      // (which re-runs the regexp/HOF chain for the range-sampling pass)
+      // and a pre-sorted scan (which shuffles the full text)
+      pinSorted(graft.operators.CorpusQuality.gopherRules(
+        tbl(s, dir, "documents"), col("doc_id"), col("text")), "doc_id")
     }),
     // ---- exact quantiles, sketch-then-verify: approx bracket + exact
     //      rank correction — true order statistics in two scans, no sort ----
@@ -2293,10 +2297,9 @@ object SparkEntry {
       ModelStore.saveNb(s, "q185_nb", QualityClassifier.train(
         docs.filter(col("doc_id") % 5 =!= 0), col("text"), hq))
       val piped = SearchQuery.parsePiped("* | classify q185_nb on text")
-      SearchQuery.compileStages(piped.stages, "doc_id", "text")(
+      pinSorted(SearchQuery.compileStages(piped.stages, "doc_id", "text")(
         docs.filter(col("doc_id") % 5 === 0))
-        .select("doc_id", "nb_score", "nb_pred")
-        .orderBy("doc_id")
+        .select("doc_id", "nb_score", "nb_pred"), "doc_id")
     }),
     // ---- precision/recall at every score cut — the threshold-picking
     //      curve over the held-out split (ties share a row) ----
@@ -2319,10 +2322,11 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val m = QualityClassifier.trainMulti(
         docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang"))
-      QualityClassifier.scoreMulti(
+      // pin-then-sort (cf. q167): the K-way bucket-sum kernel over text is
+      // the cost, the output is 4 narrow columns
+      pinSorted(QualityClassifier.scoreMulti(
           docs.filter(col("doc_id") % 5 === 0), col("text"), m)
-        .select("doc_id", "nb_class", "nb_score", "nb_margin")
-        .orderBy("doc_id")
+        .select("doc_id", "nb_class", "nb_score", "nb_margin"), "doc_id")
     }),
     // ---- the multiclass router through the MODEL STORE and the piped
     //      `route` stage: integer round-trip ⇒ shares q186's oracle ----
@@ -2332,10 +2336,9 @@ object SparkEntry {
       ModelStore.saveNbMulti(s, "q188_router", QualityClassifier.trainMulti(
         docs.filter(col("doc_id") % 5 =!= 0), col("text"), col("lang")))
       val piped = SearchQuery.parsePiped("* | route q188_router on text")
-      SearchQuery.compileStages(piped.stages, "doc_id", "text")(
+      pinSorted(SearchQuery.compileStages(piped.stages, "doc_id", "text")(
         docs.filter(col("doc_id") % 5 === 0))
-        .select("doc_id", "nb_class", "nb_score", "nb_margin")
-        .orderBy("doc_id")
+        .select("doc_id", "nb_class", "nb_score", "nb_margin"), "doc_id")
     }),
     // ---- frozen DSIR weights through the MODEL STORE and the piped
     //      `dsir` stage (train → save by name → kernel-score): the last
@@ -2346,9 +2349,8 @@ object SparkEntry {
       ModelStore.saveDsir(s, "q189_dsir", CorpusQuality.dsirBucketWeights(
         docs, col("text"), col("source").isin("src1", "src2", "src3")))
       val piped = SearchQuery.parsePiped("* | dsir q189_dsir on text")
-      SearchQuery.compileStages(piped.stages, "doc_id", "text")(docs)
-        .select("doc_id", "dsir_weight")
-        .orderBy("doc_id")
+      pinSorted(SearchQuery.compileStages(piped.stages, "doc_id", "text")(docs)
+        .select("doc_id", "dsir_weight"), "doc_id")
     }),
     // ---- perceptual-hash image near-dup: the multimodal × dedup
     //      composition. Planted corpus: 64 seed blobs shared across media
@@ -2422,12 +2424,13 @@ object SparkEntry {
     "q199_bpe_byte_tokens" -> ((s, dir) => {
       val merges = graft.operators.Bpe.trainByteLevelLocal(
         graft.operators.Bpe.seedCorpus, numMerges = 40)
-      bpeByteDeco(s, dir).select(col("doc_id"),
+      // pin-then-sort (cf. q167): byte-BPE encode + pretokenize per row is
+      // the cost, the output is narrow
+      pinSorted(bpeByteDeco(s, dir).select(col("doc_id"),
           graft.operators.Bpe.byteTokenCount(col("t"), merges)
             .as("n_byte_tokens"),
           size(graft.operators.Bpe.pretokensByteLevel(col("t"))).cast("long")
-            .as("n_pretokens"))
-        .orderBy("doc_id")
+            .as("n_pretokens")), "doc_id")
     }),
     // ---- the byte-level table through the store + piped serving chain
     //      (save → load by name → `bpe <model> on <field>` stage; the
@@ -2599,11 +2602,13 @@ object SparkEntry {
       val merges = graft.operators.Bpe.train(
         graft.operators.Bpe.seedCorpus.toDF("text"), col("text"),
         numMerges = 40)
-      docs.select(col("doc_id"),
+      // pin-then-sort (cf. q167): the encode kernels are the cost and the
+      // output is narrow — a bare trailing orderBy re-runs them for the
+      // range-sampling pass
+      pinSorted(docs.select(col("doc_id"),
         graft.operators.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
-          .as("n_regex_tokens"))
-        .orderBy("doc_id")
+          .as("n_regex_tokens")), "doc_id")
     }),
     // ---- incremental dedup: new batch vs corpus snapshot — broadcast
     //      Bloom prunes the anti-join to the maybe-set, result exact ----
@@ -2621,10 +2626,9 @@ object SparkEntry {
     // ---- DSIR importance weights: hashed-ngram target/raw log-ratio,
     //      fixed-size bucket table broadcast back over the gram stream ----
     "q131_dsir_weights" -> ((s, dir) => {
-      graft.operators.CorpusQuality.dsirWeights(
+      pinSorted(graft.operators.CorpusQuality.dsirWeights(
         tbl(s, dir, "documents"), col("doc_id"), col("text"),
-        col("source").isin("src1", "src2", "src3"))
-        .orderBy("doc_id")
+        col("source").isin("src1", "src2", "src3")), "doc_id")
     }),
     // ---- CCNet-style per-language perplexity buckets (head/middle/tail) ----
     "q127_ccnet_buckets" -> ((s, dir) => {
@@ -2685,7 +2689,9 @@ object SparkEntry {
     // ---- Q8 source processing rules: exclude regex + date locator + cutoff ----
     "q40_processing_rules" -> ((s, dir) => {
       import graft.operators.Fer
-      val ev = tbl(s, dir, "events").withColumn("message",
+      // project-after-sort (cf. q63): the regex chain is order-preserving
+      // and the output key exists at the scan
+      val ev = tblSorted(s, dir, "events", "event_id").withColumn("message",
         concat(lit("ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
           lit(" "), col("event_type"), lit(" "), col("props")))
       val filtered = Fer.processingRules(ev, col("message"), Seq("view"))
@@ -2695,7 +2701,6 @@ object SparkEntry {
             "ts=(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})"))))
       Fer.cutoff(withTs, col("parsed_ts"), lit("2024-01-05").cast("timestamp"))
         .select("event_id", "parsed_ts")
-        .orderBy("event_id")
     }),
     // ---- J3 account-alias broadcast dimension join ----
     "q41_account_alias" -> ((s, dir) => {
@@ -2795,14 +2800,17 @@ object SparkEntry {
           "ts=(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})")),
         cutoffTimestamp = Some("2024-01-05")))
       val cfg = reg.source(cid, "web-logs")
-      val ev = tbl(s, dir, "events").withColumn("message",
+      // project-after-sort (cf. q43/q12): sort the bare scan on the output
+      // key first — the ingest chain (filter regex + mask + date parse +
+      // cutoff) is order-preserving, and a trailing orderBy would re-run
+      // that whole chain for the range-boundary sampling pass
+      val ev = tblSorted(s, dir, "events", "event_id").withColumn("message",
         concat(lit("ts="), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
           lit(" "), col("event_type"), lit(" user="), col("user_id"),
           lit(" "), col("props")))
       Collectors.ingest(ev, cfg, "message", col("ts"))
         .select("event_id", "message", "event_time", "source_name",
           "source_category", "source_fields")
-        .orderBy("event_id")
     }),
     // ---- deterministic stratified sampling: hash-threshold membership,
     //      per-stratum fractions as one codegen'd CASE chain ----
@@ -2954,11 +2962,10 @@ object SparkEntry {
       val line = when(col("event_id") % 3 === 0,
         concat(lit("2024-01-01 00:00:00 event "), col("event_type")))
         .otherwise(concat(lit("  at frame "), col("event_id")))
-      graft.operators.Fer.multilineMerge(
+      pinSorted(graft.operators.Fer.multilineMerge(
         ev.select(col("user_id"), col("event_id"), line.as("line")),
         Seq(col("user_id")), col("event_id"), col("line"),
-        boundaryRegex = "^\\d{4}-\\d{2}-\\d{2}")
-        .orderBy("user_id", "segment")
+        boundaryRegex = "^\\d{4}-\\d{2}-\\d{2}"), "user_id", "segment")
     }),
     // ---- Q6 metric rule: match expression + tag-sequence variable extraction ----
     "q50_metric_rule" -> ((s, dir) => {
