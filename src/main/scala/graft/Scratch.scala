@@ -77,6 +77,43 @@ object Scratch {
     // contaminationScore kernel (stateless, no join, the streaming-ingest
     // form), and (c) byteTokenCount under the 40-merge frozen table —
     // the three per-document gates a 100 TB ingest runs per row.
+    // SemDeDup stage attribution (round-16 optimization): times the k-means
+    // training, the frozen-kernel assignment pass, and the within-cluster
+    // pair join separately at the q146 occupancy-held sizing (k = n/64),
+    // min of 2 runs each — deltas between lines = per-stage cost.
+    if (sys.env.contains("SPARK_GRAFT_SEMDEDUP_STAGES")) {
+      import graft.operators.{Dedup, Similarity}
+      val emb = SparkEntry.tbl(spark, dir, "embeddings")
+      val k = math.max(1L, emb.count() / 64).toInt
+      def mn(name: String)(f: => Unit): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scratch] semdedup $name: ${ts.min}%.2f s (min of 2)")
+      }
+      mn(s"kmeans k=$k iters=2") {
+        Similarity.kmeansCentroids(
+          emb, col("vec_id"), col("embedding"), k, 2).collect()
+        ()
+      }
+      val cents = Similarity.collectCentroids(
+        Similarity.kmeansCentroids(emb, col("vec_id"), col("embedding"), k, 2),
+        col("cluster_id"), col("centroid"))
+      mn("assign pass (frozen kernel)") {
+        graft.functions.ExprUtils.materialized(
+          emb.select(col("vec_id").as("vec_id"), col("embedding").as("vec")),
+          "_a", Similarity.ivfAssignFrozen(col("vec"), cents))
+          .select(col("vec_id"), col("vec"),
+            col("_a.cluster_id").as("cluster_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      mn("full semanticDedup") {
+        Dedup.semanticDedup(emb, col("vec_id"), col("embedding"), k, 2, 0.3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop()
+      return
+    }
     sys.env.get("SPARK_GRAFT_DECONTAM_SCALE").foreach { spec =>
       import graft.operators.{Bpe, CorpusQuality}
       val evalN = 200
