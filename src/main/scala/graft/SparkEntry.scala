@@ -2441,9 +2441,11 @@ object SparkEntry {
       ModelStore.saveBpe(s, "q200_bpe",
         Bpe.trainByteLevelLocal(Bpe.seedCorpus, numMerges = 40), "byte")
       val piped = SearchQuery.parsePiped("* | bpe q200_bpe on t")
-      SearchQuery.compileStages(piped.stages, "doc_id", "t")(bpeByteDeco(s, dir))
-        .select("doc_id", "bpe_tokens")
-        .orderBy("doc_id")
+      // pin-then-sort (cf. q167/q199): the byte-BPE encode kernel is the
+      // cost and the output is two narrow columns
+      pinSorted(SearchQuery.compileStages(
+        piped.stages, "doc_id", "t")(bpeByteDeco(s, dir))
+        .select("doc_id", "bpe_tokens"), "doc_id")
     }),
     // ---- exact-probe decontamination through the FROZEN eval n-gram set
     //      (train-offline/apply-online: no join, one stateless kernel pass)

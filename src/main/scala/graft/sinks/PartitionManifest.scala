@@ -314,9 +314,28 @@ private[graft] object PartitionManifest {
     // GC'd) has nothing to rewrite — and zero paths would fail the read
     if (before.isEmpty) return (0, 0)
     val df = transform(spark.read.parquet(before.map(_.toString): _*))
-    val n = df.count()
-    val files = math.max(1L,
-      (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    // files-per-rewrite = ceil(n / target). The exact n costs a count job
+    // per partition; the parquet footers give an exact UPPER bound (the
+    // transform can only drop rows — tombstones), so any bound within one
+    // target file pins files = 1 with a driver-side metadata read instead —
+    // identical output layout (n = 0 also lands one file in both forms),
+    // and a compact sweep of small partitions runs one Spark job each
+    // instead of two. Footer failures fall back to the count.
+    val bound = before.map { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case _: Exception => Long.MaxValue / 1024 }
+    }.sum
+    val files =
+      if (bound <= targetRecordsPerFile) 1
+      else {
+        val n = df.count()
+        math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      }
     val arranged =
       if (clusterBy.isEmpty) df.repartition(files)
       else df.repartitionByRange(files, clusterBy.map(col): _*)
