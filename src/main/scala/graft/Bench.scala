@@ -485,30 +485,36 @@ object Bench {
     // that no second batch would ever pay).
     try streamE2e(spark, sfDir) catch { case _: Throwable => () }
     drainSession(spark)
-    // Stream stages get the same poisoned-window treatment as the batch
-    // queries (r14's whole adjudication was a 61.5 s loaded-window
-    // stream_1m search vs 5.6 s calm): sample after each, re-run once on a
-    // bad sample, keep the faster (calmer) measurement.
+    // Stream stages get the batch queries' OWN estimator — min of `nRuns`
+    // drained runs — instead of the single-shot + requeue-once-if-poisoned
+    // form (r16 verdict ask #1: the driver's c32 window recorded stream_1m
+    // at 59.3 s vs 8.6 s at c8 minutes apart on identical code, and a
+    // single-shot rung has no second sample to absorb one dirty window;
+    // ambient load only ADDS time, so the min is the intrinsic cost — the
+    // same argument the queries ride). This is a measurement-methodology
+    // fix, declared in OPTIMIZATION_r17.md; every run's seconds land in
+    // the JSON (`runs`) so the old single-shot number is still recoverable
+    // as runs[0]. `sampleAfter` still records the window trail per run.
     def runStream(label: String, replicate: Int)
-        : (Double, Double, Double, Long, Long) = {
-      val first =
-        try streamE2e(spark, sfDir, replicate)
-        catch { case t: Throwable =>
-          t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
-      if (!sampleAfter(label) || first._1 < 0) first
-      else {
-        Console.err.println(s"[bench] re-running $label once (poisoned window)")
-        drainSession(spark)
-        val second =
+        : ((Double, Double, Double, Long, Long), Seq[Double]) = {
+      val runs = (1 to nRuns).map { i =>
+        if (i > 1) drainSession(spark)
+        val r =
           try streamE2e(spark, sfDir, replicate)
           catch { case t: Throwable =>
             t.printStackTrace(); (-1.0, -1.0, -1.0, 0L, 0L) }
-        sampleAfter(s"$label#requeue")
-        if (second._1 >= 0 && second._1 < first._1) second else first
+        sampleAfter(if (nRuns == 1) label else s"$label#$i")
+        r
       }
+      // a crash in any run records -1 (never a fast failure), matching the
+      // batch queries' crash rule
+      val best =
+        if (runs.exists(_._1 < 0)) runs.find(_._1 < 0).get
+        else runs.minBy(_._1)
+      (best, runs.map(_._1))
     }
-    val (streamSecs, streamIngest, streamSearch, streamEvents, streamMatches) =
-      runStream("stream_e2e", 1)
+    val ((streamSecs, streamIngest, streamSearch, streamEvents, streamMatches),
+      streamRuns) = runStream("stream_e2e", 1)
     val eps = if (streamSecs > 0) streamEvents / streamSecs else -1.0
     println(s"""{"q":"stream_e2e","sec":${r3(streamSecs)}}""")
     // 1M-event drill (events ×10, disjoint ids): the amortized-throughput
@@ -516,7 +522,7 @@ object Bench {
     // 100k run is ~1/3 fixed micro-batch cost. Recorded separately, NOT
     // summed into the composite (keeps totals comparable across rounds).
     drainSession(spark)
-    val (s1mSecs, s1mIngest, s1mSearch, s1mEvents, s1mMatches) =
+    val ((s1mSecs, s1mIngest, s1mSearch, s1mEvents, s1mMatches), s1mRuns) =
       runStream("stream_1m", 10)
     val eps1m = if (s1mSecs > 0) s1mEvents / s1mSecs else -1.0
     println(s"""{"q":"stream_1m","sec":${r3(s1mSecs)}}""")
@@ -572,7 +578,9 @@ object Bench {
       s""""mid":{"samples":${midSamples.size},"bad_samples":$midBad,"bad_limit":$badSampleLimit,"steal_bad_pct":$stealBadPct,"probe_slow_factor":$probeSlowFactor,"probe_all_slow_factor":$probeAllSlowFactor,$probeStats,"max_load1":${r3(midMax)},"max_steal_pct":${r3(midMaxSteal)},"flagged":$midFlagged,"requeued":${requeuedNames.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val loadCtx =
       s""""load":{"start":${loadJson(loadStart, jvmsStart)},"end":${loadJson(loadEnd, jvmsEnd)},$midCtx,"cpus_host":${Runtime.getRuntime.availableProcessors},"cpus_bench":$cpus,"flagged":$loadFlagged}"""
-    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},"total_per_probe_all":${r3(if (probeAllMed > 0) total / probeAllMed else -1.0)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)},"ingest_sec":${r3(streamIngest)},"search_sec":${r3(streamSearch)},"ingest_events_per_sec":${r3(if (streamIngest > 0) streamEvents / streamIngest else -1.0)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)},"ingest_events_per_sec":${r3(if (s1mIngest > 0) s1mEvents / s1mIngest else -1.0)}},"sf":"$sfDir"}"""
+    def runsJson(rs: Seq[Double]): String =
+      rs.map(r3).mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"per-query min of $nRuns drained runs after an untimed warm; session recycled every $recycleEvery queries; stream rungs min of $nRuns drained runs (r17 — was single-shot + requeue-once); stream_1m recorded separately, not in total","n_failed":$nFailed,"total_median":${r3(totalMed)},"total_per_probe_all":${r3(if (probeAllMed > 0) total / probeAllMed else -1.0)},$loadCtx,"queries":$qs,"queries_median":$qsMed,"stream":{"events":$streamEvents,"matches":$streamMatches,"events_per_sec":${r3(eps)},"ingest_sec":${r3(streamIngest)},"search_sec":${r3(streamSearch)},"ingest_events_per_sec":${r3(if (streamIngest > 0) streamEvents / streamIngest else -1.0)},"runs":${runsJson(streamRuns)}},"stream_1m":{"events":$s1mEvents,"matches":$s1mMatches,"sec":${r3(s1mSecs)},"events_per_sec":${r3(eps1m)},"ingest_sec":${r3(s1mIngest)},"search_sec":${r3(s1mSearch)},"ingest_events_per_sec":${r3(if (s1mIngest > 0) s1mEvents / s1mIngest else -1.0)},"runs":${runsJson(s1mRuns)}},"sf":"$sfDir"}"""
     // Full per-query blob goes to a FILE (it has never fit the driver's
     // output-tail window — 75 query names alone overflow it); stdout gets
     // the per-query lines above plus one SHORT final line that always fits

@@ -1583,6 +1583,22 @@ object SparkEntry {
         emb, col("vec_id"), col("embedding"),
         k = k, iters = 2, threshold = 0.3), "vec_id")
     }),
+    // ---- sampled-training SemDeDup: the 100 TB recipe q146's doc block
+    //      promises — the coarse quantizer trains on a DETERMINISTIC ~25%
+    //      hash sample (cross-engine md5, like the seed pick) while k stays
+    //      occupancy-held on the FULL corpus and the final assignment +
+    //      within-cluster prune stay corpus-wide. Sampled training changes
+    //      the trained centroids, so this is its own oracle gate (r16
+    //      verdict ask #3); q146 keeps the exact full-corpus contract. ----
+    "q203_semantic_dedup_sampled" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val k = math.max(1L, emb.count() / 64).toInt
+      val sample = emb.filter(graft.functions.TextFunctions.hash60(
+        concat(lit("smp:"), col("vec_id").cast("string"))) % 4 === 0)
+      pinSorted(graft.operators.Dedup.semanticDedup(
+        emb, col("vec_id"), col("embedding"),
+        k = k, iters = 2, threshold = 0.3, train = Some(sample)), "vec_id")
+    }),
     // ---- exact-substring span dedup: positional 8-gram inverted index,
     //      first occurrence kept, later copies deleted token-wise ----
     "q121_span_dedup" -> ((s, dir) => {
@@ -2734,8 +2750,6 @@ object SparkEntry {
         lit("\",\"Message\":\"{\\\"template\\\":\\\"t-"), col("user_id") % 25,
         lit("\\\",\\\"severity\\\":"), coalesce(col("k").cast("string"), lit("null")),
         lit("}\"}}]}"))
-      val snsSchema = StructType(Seq(StructField("Records",
-        org.apache.spark.sql.types.ArrayType(graft.model.Schemas.snsRecord))))
       // project-after-sort: the output order key (event_id) exists at the
       // scan, so range-sort the narrow input FIRST — the range-boundary
       // sampling pass then re-executes only a 4-column scan instead of the
@@ -2744,9 +2758,12 @@ object SparkEntry {
       val evSorted = ev.select(col("ts"), col("event_id"), col("user_id"), col("k"))
         .repartitionByRange(col("event_id"))
         .sortWithinPartitions("event_id")
-      val parsed = evSorted.select(from_json(body, snsSchema).as("e"))
-        .select(col("e.Records").as("Records"))
-      val msgs = graft.operators.EventSources.snsMessages(parsed, msgSchema)
+      // ONE fused kernel scan of the wire body (envelope + Message fields)
+      // instead of from_json(envelope) + json_tuple(Message) — two Jackson
+      // walks per row dominated this query (r17; parity pinned by
+      // SnsEnvelopeSpec's generated-corpus diff against the old chain)
+      val msgs = graft.operators.EventSources.snsMessagesFused(
+        evSorted, body, msgSchema)
       val dim = tbl(s, dir, "nation")
         .select(concat(lit("t-"), col("n_nationkey")).as("template"),
           col("n_name").as("template_name"))
@@ -3378,15 +3395,20 @@ object SparkEntry {
   /** The SemDeDup oracle (seeded init + 2 Lloyd rounds + within-cluster
     * cosine prune) parameterized by the k expression, so the fixed-k
     * (q120) and occupancy-held auto-k (q146) gates share one SQL mirror
-    * that can never drift between them.
+    * that can never drift between them. `trainWhere` restricts the
+    * TRAINING corpus (seed pick + Lloyd-round assignment/mean CTEs) while
+    * the final assignment (`aa`) and the pair prune stay corpus-wide —
+    * the sampled-training recipe (q203) shares the mirror too.
     */
-  private def semDedupOracleSql(kSql: String): String =
-    s"""WITH init AS (
+  private def semDedupOracleSql(kSql: String,
+      trainWhere: String = "TRUE"): String =
+    s"""WITH train AS (SELECT * FROM embeddings WHERE $trainWhere),
+         init AS (
            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
                   embedding AS cvec
            FROM (SELECT vec_id, embedding,
                    ('0x'||substring(md5('km:'||vec_id),1,15))::BIGINT AS h
-                 FROM embeddings ORDER BY h, vec_id LIMIT $kSql)),
+                 FROM train ORDER BY h, vec_id LIMIT $kSql)),
          a1 AS (SELECT e.vec_id, e.embedding, c.cid,
                   list_reduce(list_transform(range(1, len(e.embedding)+1),
                     i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y) /
@@ -3395,7 +3417,7 @@ object SparkEntry {
                       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
                     list_reduce(list_transform(range(1, len(c.cvec)+1),
                       i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
-                FROM embeddings e CROSS JOIN init c),
+                FROM train e CROSS JOIN init c),
          b1 AS (SELECT vec_id, embedding, cid,
                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
                 FROM a1),
@@ -3414,7 +3436,7 @@ object SparkEntry {
                       i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x,y) -> x+y) *
                     list_reduce(list_transform(range(1, len(c.cvec)+1),
                       i -> c.cvec[i]::DOUBLE * c.cvec[i]::DOUBLE), (x,y) -> x+y)) AS cos
-                FROM embeddings e CROSS JOIN c1 c),
+                FROM train e CROSS JOIN c1 c),
          b2 AS (SELECT vec_id, embedding, cid,
                   row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
                 FROM a2),
@@ -5429,6 +5451,12 @@ object SparkEntry {
     "q120_semantic_dedup" -> semDedupOracleSql("8"),
     "q146_semantic_dedup_autok" -> semDedupOracleSql(
       "greatest(1, (SELECT count(*)//64 FROM embeddings))"),
+    // sampled-training SemDeDup: the SAME CTE mirror with the training
+    // corpus restricted to the deterministic md5 quarter-sample; k stays
+    // n/64 over the FULL corpus, final assignment + prune corpus-wide
+    "q203_semantic_dedup_sampled" -> semDedupOracleSql(
+      "greatest(1, (SELECT count(*)//64 FROM embeddings))",
+      "('0x'||substring(md5('smp:'||vec_id),1,15))::BIGINT % 4 = 0"),
     // exact-substring span dedup: positional 8-gram hashes, global first
     // occurrence by (doc_id, pos), later copies expand to covered token
     // positions; kept_text reassembles the uncovered tokens in order

@@ -102,24 +102,32 @@ object Fingerprints {
   def winnowClusters(df: DataFrame, idCol: Column, textCol: Column,
       n: Int = 4, w: Int = 4, maxDf: Int = 64): DataFrame = {
     require(maxDf >= 2, s"a fingerprint needs df >= 2 to ever match, got $maxDf")
-    // df-count and min-doc share ONE window pass (same partition key): the
-    // cap drops whole fingerprints, never individual rows of a surviving
-    // fingerprint, so min(doc_id) over the unfiltered partition equals the
-    // post-filter min — identical edges to the two-pass form at half the
-    // (fp-keyed) shuffle+sort work, and the pair form's per-doc `sz` window
-    // (unused here) never runs at all
-    val ex = df.select(idCol.as("doc_id"), textCol.as("_text"))
+    // df-count and min-doc as a groupBy + join-back, NOT an fp-keyed window
+    // (the r16 verdict's skew ask): a boilerplate fingerprint with df ≫
+    // maxDf lands ALL its rows in one window partition before being
+    // filtered out, while a HashAggregate crushes it in map-side partials
+    // and the post-filter stats table carries it nowhere. The cap drops
+    // whole fingerprints, never individual rows of a surviving fingerprint,
+    // so min(doc_id) over all rows equals the post-filter min — identical
+    // edges, and a hot fp's rows stream through the join probe unmatched
+    // instead of piling into one sort partition.
+    // pinned: the (doc_id, fp) table feeds the stats aggregate AND the
+    // join-back — unpinned, each branch re-runs the winnow text kernel
+    val ex = Pins.pin(df.select(idCol.as("doc_id"), textCol.as("_text"))
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(TextFunctions.winnowFingerprints(col("_text"), n, w)).as("fp"))
-    val byFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val edges = ex
-      .select(col("doc_id"), count(lit(1)).over(byFp).as("_df"),
-        min(col("doc_id")).over(byFp).as("m"))
-      .filter(col("_df") <= maxDf && col("doc_id") =!= col("m"))
-      .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
-      .distinct()
-    Dedup.clustersStar(edges)
+        explode(TextFunctions.winnowFingerprints(col("_text"), n, w)).as("fp")))
+    try {
+      val stats = ex.groupBy("fp")
+        .agg(count(lit(1)).as("_df"), min(col("doc_id")).as("m"))
+        .filter(col("_df") <= maxDf)
+        .select(col("fp"), col("m"))
+      val edges = ex.join(stats, "fp")
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("doc_id").as("doc_a"), col("m").as("doc_b"))
+        .distinct()
+      Dedup.clustersStar(edges)
+    } finally Pins.release(ex)
   }
 
   /** Content-defined chunks: one row per (doc, chunk) with the chunk's

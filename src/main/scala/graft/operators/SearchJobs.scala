@@ -89,8 +89,11 @@ object SearchJobs {
     * reference's poll-and-retry contract.
     */
   private def materializePaged(df: DataFrame, orderBy: Seq[(String, Boolean)],
+      path: String): Long =
+    materializePagedByKeys(df, SearchQuery.sortColumns(orderBy), path)
+
+  private def materializePagedByKeys(df: DataFrame, keys: Seq[Column],
       path: String): Long = {
-    val keys = SearchQuery.sortColumns(orderBy)
     // A bare cache pin, DELIBERATELY not the spill-aware Pins.pin: this
     // frame is read exactly TWICE (rank counts, page write) and then
     // dropped, which is under the cache-vs-parquet crossover even at the
@@ -102,42 +105,80 @@ object SearchJobs {
       .localCheckpoint(true)
     try {
       val (ranked, total) = SearchQuery.rankPinned(sorted, keys, "_rank", "_pid")
-      if (total > 0) {
-        // spark.graft.search.pageLayout=legacy restores the round-13
-        // dir-per-page layout — the A/B seam the round-14 adjudication
-        // alternates inside one JVM (SPARK_GRAFT_SEARCH_AB drill)
-        if (df.sparkSession.conf
-            .get("spark.graft.search.pageLayout", "coarse") == "legacy") {
-          ranked
-            .withColumn("_pagedir", floor((col("_rank") - 1) / PageBucket))
-            .drop("_pid")
-            .write.mode("overwrite")
-            .partitionBy("_pagedir").parquet(s"$path/pages")
-        } else {
-          ranked
-            .withColumn("_pagedir", floor((col("_rank") - 1) / DirBucket))
-            .drop("_pid")
-            .write.mode("overwrite")
-            .option("parquet.block.size", PageRowGroupBytes.toString)
-            .partitionBy("_pagedir").parquet(s"$path/pages")
-        }
-        // the layout choice must ride with the landed pages, not session
-        // state — readPage derives its dir math from this marker. Hadoop FS
-        // (not java.nio) so the marker lands on whatever scheme hosts the
-        // store — shared storage on a cluster, local disk here.
-        val markerBucket =
-          if (df.sparkSession.conf
-            .get("spark.graft.search.pageLayout", "coarse") == "legacy")
-            PageBucket else DirBucket
-        val mp = new org.apache.hadoop.fs.Path(s"$path/_dir_bucket")
-        val mfs = mp.getFileSystem(
-          df.sparkSession.sparkContext.hadoopConfiguration)
-        val out = mfs.create(mp, true)
-        try out.write(markerBucket.toString.getBytes("UTF-8"))
-        finally out.close()
-      }
+      if (total > 0) writePages(ranked.drop("_pid"), path)
       total
     } finally sorted.unpersist()
+  }
+
+  /** Land a `_rank`-carrying frame as the rank-bucketed page store at
+    * `path` (layout per `spark.graft.search.pageLayout`) and stamp the
+    * `_dir_bucket` marker [[readPage]] derives its dir math from. Hadoop FS
+    * (not java.nio) so the marker lands on whatever scheme hosts the
+    * store — shared storage on a cluster, local disk here.
+    */
+  private def writePages(ranked: DataFrame, path: String): Unit = {
+    // spark.graft.search.pageLayout=legacy restores the round-13
+    // dir-per-page layout — the A/B seam the round-14 adjudication
+    // alternates inside one JVM (SPARK_GRAFT_SEARCH_AB drill)
+    if (ranked.sparkSession.conf
+        .get("spark.graft.search.pageLayout", "coarse") == "legacy") {
+      ranked
+        .withColumn("_pagedir", floor((col("_rank") - 1) / PageBucket))
+        .write.mode("overwrite")
+        .partitionBy("_pagedir").parquet(s"$path/pages")
+    } else {
+      ranked
+        .withColumn("_pagedir", floor((col("_rank") - 1) / DirBucket))
+        .write.mode("overwrite")
+        .option("parquet.block.size", PageRowGroupBytes.toString)
+        .partitionBy("_pagedir").parquet(s"$path/pages")
+    }
+    val markerBucket =
+      if (ranked.sparkSession.conf
+        .get("spark.graft.search.pageLayout", "coarse") == "legacy")
+        PageBucket else DirBucket
+    val mp = new org.apache.hadoop.fs.Path(s"$path/_dir_bucket")
+    val mfs = mp.getFileSystem(
+      ranked.sparkSession.sparkContext.hadoopConfiguration)
+    val out = mfs.create(mp, true)
+    try out.write(markerBucket.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Deterministic total-order tiebreakers appended to a job's sort keys on
+    * the BOUNDED materialization path: two independently-seeded 64-bit
+    * hashes of the whole row. With them, the sorted sequence of row VALUES
+    * is unique (rows that still collide — equal sort keys AND equal double
+    * hashes — are near-certainly identical rows, which are interchangeable),
+    * so the eager prefix store and a lazily materialized full store agree
+    * on which row value holds every rank, and pages stay stable and
+    * non-overlapping across the upgrade.
+    */
+  private def tieBreakers(df: DataFrame): Seq[Column] = {
+    val all = df.columns.toSeq.map(col)
+    Seq(xxhash64(all: _*), xxhash64((lit(0x9E3779B9L) +: all): _*))
+  }
+
+  /** Bounded eager materialization (messages-only jobs): land ONLY the
+    * first `eagerRows` rows — by the tiebreak-extended total order — as a
+    * normal rank-bucketed page store (ranks 1..eagerRows exactly). The
+    * caller pairs it with an exact `count()` for `messageCount` and lazily
+    * materializes the full store on the first deeper page read. At the
+    * 1M-row stream drill the full sort + checkpoint + rank + full page
+    * write was ~2/3 of the search half for a caller that reads a handful
+    * of pages (r16 verdict ask #2: LIMIT-pushdown the page
+    * materialization).
+    */
+  private def materializePagedPrefix(df: DataFrame,
+      orderBy: Seq[(String, Boolean)], path: String, eagerRows: Long): Unit = {
+    val keysT = SearchQuery.sortColumns(orderBy) ++ tieBreakers(df)
+    val top = df.sort(keysT: _*)
+      .limit(math.min(eagerRows, Int.MaxValue.toLong).toInt)
+    // the limit's output is a single partition, so the rank window needs no
+    // further exchange; rows/ranks are exactly the full order's 1..eagerRows
+    val w = org.apache.spark.sql.expressions.Window.orderBy(keysT: _*)
+    writePages(top.withColumn("_rank", row_number().over(w).cast("long")),
+      path)
   }
 
   /** Partition-pruned page read: ranks (offset, offset+limit] live in the
@@ -177,13 +218,35 @@ object SearchJobs {
     @volatile private var emptyRecords: DataFrame = _
     @volatile private var count: Long = -1L
     @volatile private var recCount: Long = -1L
+    /** Rows eagerly landed in the messages store; -1 = the full result is
+      * landed (the unbounded path, or a completed lazy upgrade).
+      */
+    @volatile private var eagerRows: Long = -1L
 
     private[SearchJobs] def run(): Unit =
       try {
         val df = resultOf()
         spark = df.sparkSession
         emptyMessages = df.limit(0)
-        count = materializePaged(df, orderBy.map((_, false)), s"$jobDir/messages")
+        // Bounded eager materialization — messages-only jobs (a records
+        // aggregation must consume the FULL landed message store, so piped
+        // jobs keep the unbounded path): land the first `eagerPages` pages
+        // plus an exact count; deeper pages materialize lazily on first
+        // read. 0 disables. Results at or under the bound take the
+        // unbounded path unchanged.
+        val eagerPages = spark.conf
+          .get("spark.graft.search.eagerPages", "5").toLong
+        val bound = eagerPages * PageBucket
+        if (recordsSpec.isEmpty && eagerPages > 0 && {
+          count = df.count(); count > bound
+        }) {
+          materializePagedPrefix(df, orderBy.map((_, false)),
+            s"$jobDir/messages", bound)
+          eagerRows = bound
+        } else {
+          count = materializePaged(df, orderBy.map((_, false)),
+            s"$jobDir/messages")
+        }
         recordsSpec.foreach { spec =>
           if (count == 0) {
             emptyRecords = spec.transform(emptyMessages).limit(0)
@@ -202,6 +265,26 @@ object SearchJobs {
         case e: Throwable => state = Failed(String.valueOf(e.getMessage))
       }
 
+    /** Materialize the FULL messages store (once) for a bounded job whose
+      * caller paged past the eager prefix — into a SIBLING dir, so readers
+      * mid-flight on prefix pages are untouched. The tiebreak-extended
+      * order makes the full store's pages value-identical to the prefix's
+      * (see [[tieBreakers]]); search jobs are idempotent re-executions by
+      * contract (the reference's poll-and-retry).
+      */
+    private def ensureFullStore(): Unit = synchronized {
+      if (eagerRows >= 0) {
+        val df = resultOf()
+        materializePagedByKeys(df,
+          SearchQuery.sortColumns(orderBy.map((_, false))) ++ tieBreakers(df),
+          s"$jobDir/messages_full")
+        eagerRows = -2L // full store lives in the sibling dir
+      }
+    }
+
+    private def messagesDir: String =
+      if (eagerRows == -2L) s"$jobDir/messages_full" else s"$jobDir/messages"
+
     def status: State = state
     def messageCount: Long = count
     def recordCount: Long = recCount
@@ -210,7 +293,11 @@ object SearchJobs {
     def messages(limit: Int, offset: Int): DataFrame = {
       require(state == DoneGatheringResults, s"job $id not done: $state")
       if (count == 0) emptyMessages
-      else readPage(spark, s"$jobDir/messages", limit, offset)
+      else {
+        if (eagerRows >= 0 && offset.toLong + limit > eagerRows)
+          ensureFullStore()
+        readPage(spark, messagesDir, limit, offset)
+      }
     }
 
     /** Page the aggregated `records` flavor (requires a [[RecordsSpec]]). */

@@ -433,10 +433,17 @@ object Similarity {
     // assignment (the old join-back shape) — the only remaining exchange is
     // the clustered repartition the partitioned write wants anyway
     val cents = collectCentroids(centroids, centroidId, centroidVec)
-    graft.functions.ExprUtils.materialized(
-      df.select(idCol.as("vec_id"), vecCol.as("vec")), "_a",
-      ivfAssignFrozen(col("vec"), cents))
-      .select(col("vec_id"), col("vec"), col("_a.cluster_id").as("cluster_id"))
+    // empty centroid set: the kernel refuses to construct — keep the old
+    // crossJoin shape's semantics (zero assigned rows ⇒ an empty index)
+    val base = df.select(idCol.as("vec_id"), vecCol.as("vec"))
+    val assigned =
+      if (cents.isEmpty)
+        base.limit(0).select(col("vec_id"), col("vec"),
+          lit(0L).as("cluster_id"))
+      else graft.functions.ExprUtils.materialized(base, "_a",
+        ivfAssignFrozen(col("vec"), cents))
+        .select(col("vec_id"), col("vec"), col("_a.cluster_id").as("cluster_id"))
+    assigned
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
   }
@@ -483,20 +490,29 @@ object Similarity {
     // assignment; the pin serves both the clustered write and the stats
     // aggregate without re-running the pass
     val cents = collectCentroids(centroids, centroidId, centroidVec)
-    val assigned = Pins.pin(graft.functions.ExprUtils.materialized(
-      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_a",
-      ivfAssignFrozen(col("_vec"), cents))
-      .select(col("vec_id"), pqEncode(col("_vec"), codebook).as("codes"),
-        col("_a.cluster_id").as("cluster_id"), col("_a.cosine").as("cosine")))
+    // empty centroid set ⇒ empty assignment (the old crossJoin semantics;
+    // the kernel refuses to construct) — the write still lands an empty
+    // index with its meta tables
+    val srcB = df.select(idCol.as("vec_id"), vecCol.as("_vec"))
+    val assigned = Pins.pin(
+      if (cents.isEmpty)
+        srcB.limit(0).select(col("vec_id"),
+          pqEncode(col("_vec"), codebook).as("codes"),
+          lit(0L).as("cluster_id"), lit(0.0).as("cosine"))
+      else graft.functions.ExprUtils.materialized(srcB, "_a",
+        ivfAssignFrozen(col("_vec"), cents))
+        .select(col("vec_id"), pqEncode(col("_vec"), codebook).as("codes"),
+          col("_a.cluster_id").as("cluster_id"), col("_a.cosine").as("cosine")))
     try {
       assigned.select(col("vec_id"), col("codes"), col("cluster_id"))
         .repartition(col("cluster_id"))
         .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
       writeCentroidStats(df.sparkSession, assigned, path, merge = false)
     } finally Pins.release(assigned)
-    centroids.select(centroidId.cast("long").as("cluster_id"),
-        centroidVec.as("centroid"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta/centroids")
+    // the centroid set is already collected (cents) — land it driver-side
+    graft.sinks.TinyParquet.writeCentroids(
+      df.sparkSession.sessionState.newHadoopConf(),
+      s"$path/_meta/centroids", cents.map { case (i, v) => (i, v.toSeq) })
     writeCodebookMeta(df.sparkSession, codebook, path)
   }
 
@@ -533,11 +549,9 @@ object Similarity {
   }
 
   private def writeCodebookMeta(spark: org.apache.spark.sql.SparkSession,
-      codebook: Array[Array[Array[Float]]], path: String): Unit = {
-    import spark.implicits._
-    Seq(Tuple1(codebook.map(_.map(_.toSeq).toSeq).toSeq)).toDF("codebook")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta/codebook")
-  }
+      codebook: Array[Array[Array[Float]]], path: String): Unit =
+    graft.sinks.TinyParquet.writeCodebook(
+      spark.sessionState.newHadoopConf(), s"$path/_meta/codebook", codebook)
 
   /** Record where the index's float corpus lives (`corpusPath` parquet with
     * `idCol`/`vecCol` columns) so a stage that needs exact rerank — the
@@ -545,11 +559,10 @@ object Similarity {
     * alone. Optional: indexes without it serve ADC-only.
     */
   def recordIndexCorpus(spark: org.apache.spark.sql.SparkSession,
-      path: String, corpusPath: String, idCol: String, vecCol: String): Unit = {
-    import spark.implicits._
-    Seq((corpusPath, idCol, vecCol)).toDF("corpus_path", "id_col", "vec_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta/corpus")
-  }
+      path: String, corpusPath: String, idCol: String, vecCol: String): Unit =
+    graft.sinks.TinyParquet.writeCorpusPointer(
+      spark.sessionState.newHadoopConf(), s"$path/_meta/corpus",
+      corpusPath, idCol, vecCol)
 
   /** `(corpusPath, idCol, vecCol)` recorded by [[recordIndexCorpus]]. */
   def storedIndexCorpus(spark: org.apache.spark.sql.SparkSession,
@@ -597,7 +610,6 @@ object Similarity {
     */
   private def writeCentroidStats(spark: org.apache.spark.sql.SparkSession,
       assigned: DataFrame, path: String, merge: Boolean): Unit = {
-    import spark.implicits._
     val batch = assigned.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n"),
         sum(lit(1.0) - col("cosine")).as("err_sum"))
@@ -615,16 +627,18 @@ object Similarity {
           (cid, pn + b.fold(0L)(_._2), pe + b.fold(0.0)(_._3))
         }
       } else batch.toSeq.sortBy(_._1)
-    merged.toDF("cluster_id", "n", "err_sum")
-      .coalesce(1).write.mode("overwrite").parquet(statsP)
+    // stats rows live on the driver — land them driver-side (TinyParquet),
+    // not through a one-task Spark job per table
+    val hconf = spark.sessionState.newHadoopConf()
+    graft.sinks.TinyParquet.writeCentroidStats(hconf, statsP, merged)
     if (!merge) {
       // training-time quantization error rides with the index so later
       // appends can probe centroid drift against the distribution the
       // quantizer was fit on
       val n = merged.map(_._2).sum
       val err = if (n == 0) 0.0 else merged.map(_._3).sum / n
-      Seq(err).toDF("mean_err").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/_meta/train_stats")
+      graft.sinks.TinyParquet.writeTrainStats(
+        hconf, s"$path/_meta/train_stats", err)
     }
   }
 
@@ -708,11 +722,19 @@ object Similarity {
     // clustered write, AND the post-commit stats merge — the batch is never
     // shuffled by vec_id to re-attach its own assignment
     val cents = collectCentroids(centroids, centroidId, centroidVec)
-    val assigned = Pins.pin(graft.functions.ExprUtils.materialized(
-      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_a",
-      ivfAssignFrozen(col("_vec"), cents))
-      .select(col("vec_id"), pqEncode(col("_vec"), codebook).as("codes"),
-        col("_a.cluster_id").as("cluster_id"), col("_a.cosine").as("cosine")))
+    // empty centroid set ⇒ empty batch assignment (old crossJoin semantics):
+    // nothing stages, nothing lands, the commit marker still flips the
+    // (empty) batch done so the replay is a no-op
+    val srcB = df.select(idCol.as("vec_id"), vecCol.as("_vec"))
+    val assigned = Pins.pin(
+      if (cents.isEmpty)
+        srcB.limit(0).select(col("vec_id"),
+          pqEncode(col("_vec"), codebook).as("codes"),
+          lit(0L).as("cluster_id"), lit(0.0).as("cosine"))
+      else graft.functions.ExprUtils.materialized(srcB, "_a",
+        ivfAssignFrozen(col("_vec"), cents))
+        .select(col("vec_id"), pqEncode(col("_vec"), codebook).as("codes"),
+          col("_a.cluster_id").as("cluster_id"), col("_a.cosine").as("cosine")))
     try {
       if (ModelStore.pathExists(spark, s"$path/_meta/train_stats")) {
         val r = assigned.agg(avg(lit(1.0) - col("cosine"))).head()
@@ -1024,12 +1046,11 @@ object Similarity {
     }.sortBy(_._1)
     val statsNext = (stats.filterNot(s => splitMap.contains(s._1)) ++
       childStats).sortBy(_._1).toSeq
-    import spark.implicits._
-    newCents.toDF("cluster_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_meta/centroids_next_b$batchId")
-    statsNext.toDF("cluster_id", "n", "err_sum").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"$path/_meta/centroid_stats_next_b$batchId")
+    val hconf = spark.sessionState.newHadoopConf()
+    graft.sinks.TinyParquet.writeCentroids(hconf,
+      s"$path/_meta/centroids_next_b$batchId", newCents)
+    graft.sinks.TinyParquet.writeCentroidStats(hconf,
+      s"$path/_meta/centroid_stats_next_b$batchId", statsNext)
     // COMMIT — one marker create swaps every split partition atomically
     Files.createDirectories(marker.getParent)
     Files.write(marker, Array.emptyByteArray)
@@ -1058,7 +1079,6 @@ object Similarity {
     val centsNext = s"$path/_meta/centroids_next_b$batchId"
     val statsNext = s"$path/_meta/centroid_stats_next_b$batchId"
     if (!ModelStore.pathExists(spark, centsNext)) return
-    import spark.implicits._
     val cents = spark.read.parquet(centsNext).collect()
       .map(r => (r.getAs[Long]("cluster_id"),
         r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
@@ -1066,14 +1086,15 @@ object Similarity {
     val stats = spark.read.parquet(statsNext).collect()
       .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n"),
         r.getAs[Double]("err_sum"))).sortBy(_._1).toSeq
-    cents.toDF("cluster_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_meta/centroids")
-    stats.toDF("cluster_id", "n", "err_sum").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_meta/centroid_stats")
+    val hconf = spark.sessionState.newHadoopConf()
+    graft.sinks.TinyParquet.writeCentroids(
+      hconf, s"$path/_meta/centroids", cents)
+    graft.sinks.TinyParquet.writeCentroidStats(
+      hconf, s"$path/_meta/centroid_stats", stats)
     val n = stats.map(_._2).sum
     val err = if (n == 0) 0.0 else stats.map(_._3).sum / n
-    Seq(err).toDF("mean_err").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_meta/train_stats")
+    graft.sinks.TinyParquet.writeTrainStats(
+      hconf, s"$path/_meta/train_stats", err)
     PartitionManifest.rmTree(java.nio.file.Paths.get(centsNext))
     PartitionManifest.rmTree(java.nio.file.Paths.get(statsNext))
   }
@@ -1542,10 +1563,18 @@ object Similarity {
     val probes = probeIds(centroids, centroidId, centroidVec, query, nprobe)
     // one narrow pass: the frozen-kernel assignment filters rows in place —
     // no per-vec_id reduce and no join back onto the corpus by vec_id (the
-    // old shape shuffled the corpus twice to decide which rows to keep)
+    // old shape shuffled the corpus twice to decide which rows to keep).
+    // Rows are judged INDEPENDENTLY, which matches the reduce-then-join
+    // shape only under the index contract's unique-vec_id premise (a
+    // duplicate id carrying a DIFFERENT vector would be kept per-row here
+    // where the old shape kept all-or-none by the id's best cluster);
+    // ivfAssign keeps the reduce for the duplicate-id case.
     val cents = collectCentroids(centroids, centroidId, centroidVec)
-    graft.functions.ExprUtils.materialized(
-      df.select(idCol.as("vec_id"), vecCol.as("_vec")), "_a",
+    val base = df.select(idCol.as("vec_id"), vecCol.as("_vec"))
+    // empty centroid set ⇒ empty probe set (old crossJoin semantics; the
+    // kernel refuses to construct with zero centroids)
+    if (cents.isEmpty) return base.limit(0)
+    graft.functions.ExprUtils.materialized(base, "_a",
       ivfAssignFrozen(col("_vec"), cents))
       .filter(col("_a.cluster_id").isin(probes: _*))
       .select(col("vec_id"), col("_vec"))

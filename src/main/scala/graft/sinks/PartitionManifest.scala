@@ -315,25 +315,33 @@ private[graft] object PartitionManifest {
     if (before.isEmpty) return (0, 0)
     val df = transform(spark.read.parquet(before.map(_.toString): _*))
     // files-per-rewrite = ceil(n / target). The exact n costs a count job
-    // per partition; the parquet footers give an exact UPPER bound (the
-    // transform can only drop rows — tombstones), so any bound within one
-    // target file pins files = 1 with a driver-side metadata read instead —
+    // per partition; the parquet footers give an exact UPPER bound — the
+    // `transform` contract is that it may only DROP rows (identity and the
+    // ANN tombstone anti-join; a row-ADDING transform would under-size the
+    // rewrite and is asserted against below) — so any bound within one
+    // target file pins files = 1 with a driver-side metadata read instead:
     // identical output layout (n = 0 also lands one file in both forms),
     // and a compact sweep of small partitions runs one Spark job each
-    // instead of two. Footer failures fall back to the count.
-    val bound = before.map { p =>
-      try {
+    // instead of two. ANY footer failure short-circuits the whole bound to
+    // "unknown" (-1) and takes the count path — the old per-file
+    // Long.MaxValue/1024 sentinel overflowed negative past ~1024 failures
+    // and silently pinned files = 1 (r16 advice).
+    val bound =
+      try before.foldLeft(0L) { (acc, p) =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.toUri),
           spark.sessionState.newHadoopConf())
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      } catch { case _: Exception => Long.MaxValue / 1024 }
-    }.sum
+        try math.addExact(acc, r.getRecordCount) finally r.close()
+      } catch { case _: Exception => -1L }
     val files =
-      if (bound <= targetRecordsPerFile) 1
+      if (bound >= 0 && bound <= targetRecordsPerFile) 1
       else {
         val n = df.count()
+        require(bound < 0 || n <= bound,
+          s"compactPartition: transform ADDED rows ($n > footer bound $bound " +
+            s"at $part) — the footer sizing contract requires a row-dropping " +
+            "transform")
         math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
       }
     val arranged =

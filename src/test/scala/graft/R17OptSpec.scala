@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Fingerprints, SearchJobs}
+
+/** Round-17 optimization internals: bounded search-job page
+  * materialization, clustersStar structural convergence, the winnow
+  * groupBy stats form, and the driver-side TinyParquet meta writer.
+  */
+class R17OptSpec extends SparkSpec {
+
+  test("bounded search job: exact count, prefix pages, lazy deep pages, " +
+    "stable re-reads under tied sort keys") {
+    val s = spark
+    import s.implicits._
+    // 25k rows, sort key ts deliberately TIED in pairs (i / 2) so the
+    // tiebreak-extended order is what keeps prefix/full pages consistent
+    val n = 25000
+    val df = (0 until n).map { i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochMilli(1700000000000L + i / 2)),
+        "cat-a", s"evt msg-$i")
+    }.toDF("ts", "source_category", "message")
+    val prev = s.conf.getOption("spark.graft.search.eagerPages")
+    s.conf.set("spark.graft.search.eagerPages", "1") // prefix = 10k rows
+    try {
+      val job = SearchJobs.create(df, "_sourceCategory=cat-a evt",
+        lit("2023-01-01").cast("timestamp"), lit("2024-06-01").cast("timestamp"),
+        col("ts"), col("message"), orderBy = Seq("ts"))
+      assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+      assert(job.messageCount == n)
+      // prefix page: strictly ordered by ts, 10k rows land eagerly
+      val p0 = job.messages(10000, 0).select("ts", "message").collect()
+      assert(p0.length == 10000)
+      val ts0 = p0.map(_.getTimestamp(0).getTime)
+      assert(ts0.sameElements(ts0.sorted))
+      // deep page (past the 10k prefix) triggers the lazy full store
+      val deep = job.messages(10, 20000).select("ts", "message").collect()
+      assert(deep.length == 10)
+      assert(deep.head.getTimestamp(0).getTime ==
+        1700000000000L + 20000 / 2)
+      // page 0 re-read AFTER the upgrade must be value-identical to the
+      // prefix read (the tiebreak-extended total order pins rank → value)
+      val p0again = job.messages(10000, 0).select("ts", "message").collect()
+      assert(p0.map(r => (r.getTimestamp(0), r.getString(1))).toSeq ==
+        p0again.map(r => (r.getTimestamp(0), r.getString(1))).toSeq)
+      // no overlap / no gap across the prefix boundary
+      val all = (0 until 3).flatMap(k =>
+        job.messages(10000, k * 10000).select("message").as[String].collect())
+      assert(all.distinct.length == n)
+      SearchJobs.delete(job.id)
+    } finally {
+      prev.fold(s.conf.unset("spark.graft.search.eagerPages"))(
+        s.conf.set("spark.graft.search.eagerPages", _))
+    }
+  }
+
+  test("bounded search job disabled for records jobs and small results") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-03-01 10:00:${i % 60}%02d"),
+        "cat-a", s"evt m$i")).toDF("ts", "source_category", "message")
+    val prev = s.conf.getOption("spark.graft.search.eagerPages")
+    s.conf.set("spark.graft.search.eagerPages", "1")
+    try {
+      val job = SearchJobs.create(df, "_sourceCategory=cat-a evt",
+        lit("2023-01-01").cast("timestamp"), lit("2024-06-01").cast("timestamp"),
+        col("ts"), col("message"), orderBy = Seq("message"),
+        records = Some(SearchJobs.recordsSpecAsc(
+          d => d.groupBy("source_category").agg(count(lit(1)).as("cnt")),
+          orderBy = Seq("source_category"))))
+      assert(SearchJobs.await(job) == SearchJobs.DoneGatheringResults)
+      assert(job.messageCount == 100)
+      assert(job.recordCount == 1)
+      assert(job.records(10, 0).select("cnt").as[Long].collect().toSeq ==
+        Seq(100L))
+      SearchJobs.delete(job.id)
+    } finally {
+      prev.fold(s.conf.unset("spark.graft.search.eagerPages"))(
+        s.conf.set("spark.graft.search.eagerPages", _))
+    }
+  }
+
+  test("clustersStar: structural convergence gives identical labels, and " +
+    "an already-star input converges without a contraction round") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4-5 + clique 10-11-12 + isolated pair (20,21)
+    val pairs = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clustersStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // min-rooted star input: the structural check fires before any round
+    val star = Seq((7L, 1L), (8L, 1L), (9L, 1L)).toDF("doc_a", "doc_b")
+    val got2 = Dedup.clustersStar(star).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
+  test("winnowClusters: groupBy-stats form keeps the df-cap semantics — " +
+    "hot fingerprints never weld, shared rare fingerprints still cluster") {
+    val s = spark
+    import s.implicits._
+    // 8 docs share a boilerplate sentence (hot fps, df = 8 > maxDf = 4);
+    // docs 0/1 additionally share a rare long run, as do 2/3
+    val boiler = "all systems nominal at time of writing please see below"
+    val runA = "alpha beta gamma delta epsilon zeta eta theta"
+    val runB = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (0L, s"$boiler $runA"), (1L, s"$runA $boiler"),
+      (2L, s"$boiler $runB"), (3L, s"$runB $boiler"),
+      (4L, s"$boiler unique four text goes here now ok fine"),
+      (5L, s"$boiler unique five text goes here now ok fine yes"),
+      (6L, s"$boiler unique six text goes here now maybe ok fine"),
+      (7L, s"$boiler unique seven text goes here now sure ok fine"))
+      .toDF("doc_id", "text")
+    val got = Fingerprints.winnowClusters(docs, col("doc_id"), col("text"),
+      n = 4, w = 4, maxDf = 4)
+      .as[(Long, Long)].collect().toMap
+    // runA welds 0-1, runB welds 2-3; the boilerplate (df 8 > 4) is capped
+    assert(got.getOrElse(0L, -1L) == 0L && got.getOrElse(1L, -1L) == 0L)
+    assert(got.getOrElse(2L, -1L) == 2L && got.getOrElse(3L, -1L) == 2L)
+    // 4-7 share ONLY capped fps with others... unless their "unique" tails
+    // collide; they must not be welded to 0/1/2/3 through the boilerplate
+    assert(!got.get(4L).exists(c => c == 0L || c == 2L))
+    assert(!got.get(5L).exists(c => c == 0L || c == 2L))
+  }
+
+  test("TinyParquet: every meta shape round-trips through spark.read") {
+    val s = spark
+    import graft.sinks.TinyParquet
+    val conf = s.sessionState.newHadoopConf()
+    val root = Files.createTempDirectory("tinypq").toString
+
+    TinyParquet.writeCentroids(conf, s"$root/centroids",
+      Seq((0L, Seq(1.0f, 2.5f)), (3L, Seq(-0.25f, 0.0f))))
+    val cents = s.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).sortBy(_._1).toSeq
+    assert(cents == Seq((0L, Seq(1.0f, 2.5f)), (3L, Seq(-0.25f, 0.0f))))
+
+    TinyParquet.writeCentroidStats(conf, s"$root/stats",
+      Seq((0L, 7L, 0.125), (1L, 0L, 0.0)))
+    val stats = s.read.parquet(s"$root/stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(stats == Seq((0L, 7L, 0.125), (1L, 0L, 0.0)))
+
+    TinyParquet.writeTrainStats(conf, s"$root/train", 0.0625)
+    assert(s.read.parquet(s"$root/train").head().getAs[Double]("mean_err")
+      == 0.0625)
+
+    val cb = Array(
+      Array(Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      Array(Array(5.0f, 6.0f), Array(7.0f, 8.0f)))
+    TinyParquet.writeCodebook(conf, s"$root/cb", cb)
+    val back = s.read.parquet(s"$root/cb").head()
+      .getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Float]]]]("codebook")
+      .map(_.map(_.toSeq).toSeq).toSeq
+    assert(back == cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+    TinyParquet.writeCorpusPointer(conf, s"$root/corpus", "/p", "id", "vec")
+    val cp = s.read.parquet(s"$root/corpus").head()
+    assert(cp.getAs[String]("corpus_path") == "/p" &&
+      cp.getAs[String]("id_col") == "id" && cp.getAs[String]("vec_col") == "vec")
+
+    // overwrite semantics: a second write replaces, not appends
+    TinyParquet.writeTrainStats(conf, s"$root/train", 0.5)
+    val rows = s.read.parquet(s"$root/train").collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("mean_err") == 0.5)
+  }
+}
