@@ -53,6 +53,30 @@ object EventSources {
     * the general `from_json`, whose JSON-aware coercions string casts cannot
     * reproduce.
     */
+  /** [[snsMessages]] fused with the ENVELOPE parse: one codegen kernel scan
+    * of the wire `body` replaces `from_json(envelope)` + explode +
+    * `json_tuple(Message)` — same output contract as
+    * `snsMessages(from_json(body).Records, messageSchema)` for flat
+    * string/numeric schemas (SnsEnvelopeSpec diffs the two paths on a
+    * generated corpus; the kernel's scaladoc carries the parity notes).
+    * The kernel emits Message fields as strings; the same per-field
+    * `try_cast` the json_tuple path applied lands the caller's types.
+    */
+  def snsMessagesFused(df: DataFrame, body: Column,
+      messageSchema: StructType): DataFrame = {
+    val rec = org.apache.spark.sql.GraftGlue.column(
+      graft.functions.SnsEnvelope(
+        org.apache.spark.sql.GraftGlue.expression(body),
+        messageSchema.fieldNames.toSeq))
+    df.select(explode(rec).as("r"))
+      .select(col("r.sns_timestamp").as("sns_timestamp"),
+        col("r.message_id").as("message_id"),
+        when(col("r.message").isNotNull,
+          struct(messageSchema.fields.map(f =>
+            col(s"r.message.${f.name}").try_cast(f.dataType).as(f.name))
+            .toSeq: _*)).as("message"))
+  }
+
   def snsMessages(df: DataFrame, messageSchema: StructType): DataFrame = {
     val base = df.select(explode(col("Records")).as("r"))
       .select(

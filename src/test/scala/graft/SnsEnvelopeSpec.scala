@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parity of the fused SNS-envelope kernel ([[graft.functions.SnsEnvelope]]
+  * / `EventSources.snsMessagesFused`) with the chain it replaces:
+  * `from_json(body, envelope schema)` → explode → `snsMessages` (json_tuple
+  * flat path) — diffed row-by-row on a generated corpus that covers the
+  * wire shapes q43 synthesizes plus the degenerate classes the parsers
+  * disagree on internally (reordered/duplicate keys, escapes incl. \uXXXX,
+  * single quotes at the envelope level, JSON nulls, missing fields, extra
+  * sibling values of every scalar shape, nested values under string leaves,
+  * whitespace injection, malformed truncations, multi-record arrays).
+  * Out of scope, documented in the kernel: Jackson's non-standard
+  * NaN/Infinity tokens and float re-rendering under a StringType leaf —
+  * never produced by an SNS wire.
+  */
+class SnsEnvelopeSpec extends SparkSpec {
+
+  private val msgSchema = StructType(Seq(
+    StructField("template", StringType), StructField("severity", LongType)))
+
+  /** The OLD chain, verbatim from round-16 q43. */
+  private def oldChain(df: org.apache.spark.sql.DataFrame) = {
+    val snsSchema = StructType(Seq(StructField("Records",
+      ArrayType(graft.model.Schemas.snsRecord))))
+    val parsed = df.select(from_json(col("body"), snsSchema).as("e"))
+      .select(col("e.Records").as("Records"))
+    graft.operators.EventSources.snsMessages(parsed, msgSchema)
+  }
+
+  private def newChain(df: org.apache.spark.sql.DataFrame) =
+    graft.operators.EventSources.snsMessagesFused(df, col("body"), msgSchema)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+    df.select(col("sns_timestamp"), col("message_id"),
+      col("message").isNull.as("m_null"),
+      col("message.template"), col("message.severity"))
+      .collect().toSeq
+      .map(r => (r.getAs[String](0), r.getAs[String](1), r.getBoolean(2),
+        r.getAs[String](3), if (r.isNullAt(4)) null else r.getLong(4)))
+
+  private def diff(bodies: Seq[String]): Unit = {
+    val s = spark
+    import s.implicits._
+    bodies.grouped(25).foreach { chunk =>
+      val df = chunk.toDF("body")
+      val old = rows(oldChain(df))
+      val neo = rows(newChain(df))
+      if (old != neo) {
+        // isolate the first diverging body for a readable failure
+        chunk.foreach { b =>
+          val d1 = rows(oldChain(Seq(b).toDF("body")))
+          val d2 = rows(newChain(Seq(b).toDF("body")))
+          assert(d1 == d2,
+            s"kernel diverged on body <<$b>>\nold=$d1\nnew=$d2")
+        }
+        assert(old == neo, s"diverged only in batch form?! ${chunk}")
+      }
+    }
+  }
+
+  test("parity: the exact q43 wire shape incl. null severity") {
+    diff(Seq(
+      """{"Records":[{"Sns":{"Timestamp":"2024-01-03T10:11:12Z","MessageId":"42","Message":"{\"template\":\"t-7\",\"severity\":5}"}}]}""",
+      """{"Records":[{"Sns":{"Timestamp":"2024-01-03T10:11:12Z","MessageId":"43","Message":"{\"template\":\"t-0\",\"severity\":null}"}}]}"""))
+  }
+
+  test("parity: degenerate envelope classes") {
+    diff(Seq(
+      // null / absent / empty Records
+      """{"Records":null}""",
+      """{"NotRecords":[1,2]}""",
+      """{"Records":[]}""",
+      "{}",
+      // null record element, record without Sns, Sns null, empty Sns
+      """{"Records":[null]}""",
+      """{"Records":[{"Other":1}]}""",
+      """{"Records":[{"Sns":null}]}""",
+      """{"Records":[{"Sns":{}}]}""",
+      // missing/null Message → null struct; missing Timestamp/MessageId
+      """{"Records":[{"Sns":{"Timestamp":"t","MessageId":"m"}}]}""",
+      """{"Records":[{"Sns":{"Timestamp":"t","MessageId":"m","Message":null}}]}""",
+      """{"Records":[{"Sns":{"Message":"{\"template\":\"x\",\"severity\":1}"}}]}""",
+      // malformed Message text → struct of nulls, NOT null struct
+      """{"Records":[{"Sns":{"Timestamp":"t","MessageId":"m","Message":"not json"}}]}""",
+      """{"Records":[{"Sns":{"Timestamp":"t","MessageId":"m","Message":"[1,2]"}}]}""",
+      """{"Records":[{"Sns":{"Timestamp":"t","MessageId":"m","Message":"{\"template\":\"x\",\"severity\":"}}]}""",
+      // type mismatch in severity → try_cast null; quoted number parses
+      """{"Records":[{"Sns":{"Message":"{\"severity\":\"not-a-number\"}"}}]}""",
+      """{"Records":[{"Sns":{"Message":"{\"severity\":\"5\"}"}}]}""",
+      // multiple records, field order shuffled, extra fields of every shape
+      """{"Version":"1","Records":[{"Sns":{"Message":"{\"severity\":1,\"template\":\"a\"}","MessageId":"m1","Timestamp":"t1"},"EventSource":"aws:sns"},{"Sns":{"Timestamp":"t2","Extra":{"deep":[1,"x"]},"MessageId":"m2","Message":"{\"x\":9,\"template\":\"b\"}"}}],"Tail":false}""",
+      // non-string scalars under the string leaves (Jackson stringifies)
+      """{"Records":[{"Sns":{"Timestamp":12345,"MessageId":true,"Message":"{\"template\":\"x\"}"}}]}""",
+      // whitespace injection everywhere
+      "  {  \"Records\" : [ { \"Sns\" : { \"Timestamp\" :\t\"t\" ,\n\"MessageId\": \"m\" , \"Message\" : \"{ \\\"template\\\" : \\\"x\\\" , \\\"severity\\\" : 7 }\" } } ] }  ",
+      // escapes: \uXXXX, \n, \", \\ in both levels
+      """{"Records":[{"Sns":{"Timestamp":"aAb\n","MessageId":"q\"q\\\\","Message":"{\"template\":\"e\\u0301\\tx\",\"severity\":2}"}}]}""",
+      // malformed envelopes → null doc → zero rows
+      """{"Records":[{"Sns":{"Timestamp":"t"}}]""",
+      """{"Records":"nope"}""",
+      """{"Records":[5]}""",
+      """not json""",
+      "",
+      """{"Records":[{"Sns":5}]}""",
+      // duplicate keys at every level (last wins at struct levels)
+      """{"Records":[{"Sns":{"Timestamp":"t1","Timestamp":"t2","MessageId":"m","Message":"{\"template\":\"a\",\"template\":\"b\",\"severity\":1,\"severity\":2}"}}]}""",
+      """{"Records":[{"Sns":{"Timestamp":"t1","MessageId":"m1","Message":"{\"template\":\"a\"}"},"Sns":{"MessageId":"m2"}}]}""",
+      """{"Records":[{"Sns":{"Message":"{\"template\":\"a\"}"}}],"Records":[{"Sns":{"Message":"{\"template\":\"b\"}"}}]}""",
+      // single quotes: allowed at envelope level (from_json default),
+      // REJECTED inside json_tuple's strict factory → all-null fields
+      """{'Records':[{'Sns':{'Timestamp':'t','MessageId':'m','Message':'{\"template\":\"x\",\"severity\":3}'}}]}""",
+      """{"Records":[{"Sns":{"Timestamp":"t","MessageId":"m","Message":"{'template':'x'}"}}]}""",
+      // nested object under a message field (json_tuple returns raw JSON)
+      """{"Records":[{"Sns":{"Message":"{\"template\":{ \"a\" : [1 ,\"s\"] },\"severity\":4}"}}]}""",
+      // numbers under message fields: int, negative, float, exponent, bool
+      """{"Records":[{"Sns":{"Message":"{\"template\":-12,\"severity\":3.5}"}}]}""",
+      """{"Records":[{"Sns":{"Message":"{\"template\":true,\"severity\":2e2}"}}]}"""))
+  }
+
+  test("parity: 2000-case generated corpus") {
+    val rnd = new scala.util.Random(43)
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def strVal(): String = {
+      val alphabet = "abz0-:. _é\"\\\n\té✓"
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    def scalar(): String = rnd.nextInt(6) match {
+      case 0 => "\"" + esc(strVal()) + "\""
+      case 1 => rnd.nextInt(2000).toString
+      case 2 => "-" + rnd.nextInt(99)
+      case 3 => "null"
+      case 4 => "true"
+      case _ => "false"
+    }
+    def msgDoc(): String = {
+      // shuffled subset of template/severity/extras with random values
+      val fields = rnd.shuffle(Seq(
+        Some(s""""template":${scalar()}"""),
+        if (rnd.nextBoolean()) Some(s""""severity":${scalar()}""") else None,
+        if (rnd.nextBoolean()) Some(s""""x":${scalar()}""") else None,
+        if (rnd.nextInt(4) == 0) Some(s""""template":${scalar()}""") else None
+      ).flatten)
+      fields.mkString("{", ",", "}")
+    }
+    def snsObj(): String = {
+      val parts = rnd.shuffle(Seq(
+        if (rnd.nextInt(8) > 0) Some(s""""Timestamp":"${esc(strVal())}"""")
+        else None,
+        if (rnd.nextInt(8) > 0) Some(s""""MessageId":"${esc(strVal())}"""")
+        else None,
+        rnd.nextInt(8) match {
+          case 0 => None
+          case 1 => Some(""""Message":null""")
+          case 2 => Some(s""""Message":"${esc("oops " + strVal())}"""")
+          case _ => Some(s""""Message":"${esc(msgDoc())}"""")
+        },
+        if (rnd.nextInt(5) == 0) Some(s""""Subject":${scalar()}""") else None
+      ).flatten)
+      parts.mkString("{", ",", "}")
+    }
+    def record(): String = rnd.nextInt(10) match {
+      case 0 => "null"
+      case 1 => s"""{"EventSource":${scalar()}}"""
+      case _ =>
+        val extra =
+          if (rnd.nextInt(4) == 0) s""","EventVersion":${scalar()}""" else ""
+        s"""{"Sns":${snsObj()}$extra}"""
+    }
+    def envelope(): String = {
+      val recs = (0 until rnd.nextInt(3)).map(_ => record())
+      val base = s"""{"Records":[${recs.mkString(",")}]}"""
+      rnd.nextInt(12) match {
+        case 0 => base.dropRight(1 + rnd.nextInt(3)) // truncation
+        case 1 => base + " " // trailing ws (fine)
+        case 2 => base + "x" // trailing junk
+        case 3 => base.replaceFirst("\\{", "{ \"V\":\"1\", ")
+        case 4 => "[" + base + "]" // array root
+        case _ => base
+      }
+    }
+    // batches keep any assertion failure's debug output bounded
+    (0 until 20).foreach { _ =>
+      diff((0 until 100).map(_ => envelope()))
+    }
+  }
+
+  test("q43 plan shows ONE kernel generate and no from_json/json_tuple") {
+    val plan = SparkEntry.queries("q43_sns_inspector")(
+      spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.toString
+    assert(plan.contains("sns_envelope"), plan.take(2000))
+    assert(!plan.contains("from_json") && !plan.contains("json_tuple"),
+      plan.take(2000))
+  }
+}
