@@ -103,8 +103,8 @@ class R17OptSpec extends SparkSpec {
     assert(got2 == Map(1L -> 1L, 7L -> 1L, 8L -> 1L, 9L -> 1L))
   }
 
-  test("winnowClusters: groupBy-stats form keeps the df-cap semantics — " +
-    "hot fingerprints never weld, shared rare fingerprints still cluster") {
+  test("winnowClusters: df-cap semantics — hot fingerprints never weld, " +
+    "shared rare fingerprints still cluster") {
     val s = spark
     import s.implicits._
     // 8 docs share a boilerplate sentence (hot fps, df = 8 > maxDf = 4);
