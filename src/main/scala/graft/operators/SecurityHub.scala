@@ -118,10 +118,13 @@ object SecurityHub {
     * ONE streamed parse per body feeding every field via a `Generate` (which
     * is also a natural materialization barrier; `from_json` here cost ~2× —
     * per-row parser setup plus CodegenFallback row construction). The inner
-    * `Rows` parse keeps `from_json` (typed array) behind a
-    * [[graft.functions.ExprUtils.materialized]] barrier: validation + finding
-    * construction reference it repeatedly, and without the barrier each
-    * reference would re-parse.
+    * `Rows` parse stays behind a
+    * [[graft.functions.ExprUtils.materialized]] barrier (validation + finding
+    * construction reference it repeatedly; without the barrier each
+    * reference would re-parse) but an ALL-STRING row schema — the ASFF wire
+    * shape — takes the [[graft.functions.JsonStringArray]] codegen kernel
+    * instead of `from_json`'s per-row Jackson walk (r17; parity pinned by
+    * SnsEnvelopeSpec's fuzz diff). Typed row schemas keep `from_json`.
     */
   def parseRequest(df: DataFrame, bodyCol: Column, rowSchema: StructType): DataFrame = {
     val topFields = Seq("Types", "Description", "GeneratorID", "Severity",
@@ -130,9 +133,14 @@ object SecurityHub {
     val renamed = topFields.zipWithIndex.foldLeft(tupled) {
       case (d, (f, i)) => d.withColumnRenamed(s"c$i", f)
     }
+    val rows =
+      if (rowSchema.fields.forall(_.dataType == org.apache.spark.sql.types.StringType))
+        org.apache.spark.sql.GraftGlue.column(graft.functions.JsonStringArray(
+          org.apache.spark.sql.GraftGlue.expression(col("_rows_json")),
+          rowSchema.fieldNames.toSeq))
+      else from_json(col("_rows_json"), ArrayType(rowSchema))
     graft.functions.ExprUtils.materialized(
-      renamed.withColumnRenamed("Rows", "_rows_json"),
-      "_rows", from_json(col("_rows_json"), ArrayType(rowSchema)))
+      renamed.withColumnRenamed("Rows", "_rows_json"), "_rows", rows)
       .drop("_rows_json")
       .withColumnRenamed("_rows", "Rows")
   }

@@ -195,6 +195,80 @@ class SnsEnvelopeSpec extends SparkSpec {
     }
   }
 
+  test("JsonStringArray: parity with from_json(array<struct<all strings>>) " +
+    "on curated + generated Rows documents") {
+    val s = spark
+    import s.implicits._
+    val rowSchema = StructType(Seq(
+      StructField("finding_time", StringType), StructField("resource_type", StringType),
+      StructField("resource_id", StringType), StructField("title", StringType),
+      StructField("aws_account_id", StringType)))
+    def normalize(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.select(c.isNull.as("arr_null"), to_json(c).as("j")).collect().toSeq
+        .map(r => (r.getBoolean(0), r.getAs[String](1)))
+    def diffArr(docs: Seq[String]): Unit = docs.grouped(25).foreach { chunk =>
+      val df = chunk.toDF("doc")
+      val old = normalize(df, from_json(col("doc"), ArrayType(rowSchema)))
+      val neo = normalize(df, org.apache.spark.sql.GraftGlue.column(
+        graft.functions.JsonStringArray(
+          org.apache.spark.sql.GraftGlue.expression(col("doc")),
+          rowSchema.fieldNames.toSeq)))
+      if (old != neo) chunk.foreach { d =>
+        val d1 = normalize(Seq(d).toDF("doc"), from_json(col("doc"), ArrayType(rowSchema)))
+        val d2 = normalize(Seq(d).toDF("doc"), org.apache.spark.sql.GraftGlue.column(
+          graft.functions.JsonStringArray(
+            org.apache.spark.sql.GraftGlue.expression(col("doc")),
+            rowSchema.fieldNames.toSeq)))
+        assert(d1 == d2, s"array kernel diverged on <<$d>>\nold=$d1\nnew=$d2")
+      }
+    }
+    diffArr(Seq(
+      // the exact q32 wire shape
+      """[{"finding_time":"1700000000","resource_type":"AwsEc2Instance","resource_id":"i-7","title":"click"}]""",
+      // empty / null / degenerate roots
+      "[]", "null", "", "not json", "[", "{}", """{"title":"t"}""",
+      """5""", """"str"""",
+      // null elements, missing/extra/duplicate/reordered fields, escapes
+      """[null,{"title":"a","extra":7,"title":null},{"resource_id":"x\nA","finding_time":null}]""",
+      // type-mismatched element kills the doc
+      """[{"title":"a"},5]""", """[[{"title":"a"}]]""",
+      // non-string scalars + nested values under string leaves
+      """[{"finding_time":1700000000,"title":true,"resource_type":{"a":[1,"x"]},"resource_id":[1,2]}]""",
+      // whitespace + single quotes
+      " [ { 'title' : 't1' , 'resource_id' : 'r' } ] ",
+      // trailing junk
+      """[{"title":"a"}] x"""))
+    val rnd = new scala.util.Random(32)
+    def esc(v: String): String = v.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    def sval(): String = rnd.nextInt(5) match {
+      case 0 => "\"" + esc((0 until rnd.nextInt(8)).map(_ =>
+        "ab1-:.é\"\\\n"(rnd.nextInt(10))).mkString) + "\""
+      case 1 => rnd.nextInt(99999).toString
+      case 2 => "null"
+      case 3 => "true"
+      case _ => "-7"
+    }
+    def elem(): String = {
+      val names = rowSchema.fieldNames ++ Seq("extra1", "x")
+      val n = rnd.nextInt(6)
+      (0 until n).map(_ => s""""${names(rnd.nextInt(names.length))}":${sval()}""")
+        .mkString("{", ",", "}")
+    }
+    def doc(): String = {
+      val base = (0 until rnd.nextInt(4)).map(_ =>
+        if (rnd.nextInt(12) == 0) "null" else elem()).mkString("[", ",", "]")
+      rnd.nextInt(10) match {
+        case 0 => base.dropRight(1 + rnd.nextInt(2))
+        case 1 => elem() // object root wrap
+        case _ => base
+      }
+    }
+    (0 until 8).foreach(_ => diffArr((0 until 100).map(_ => doc())))
+  }
+
   test("q43 plan shows ONE kernel generate and no from_json/json_tuple") {
     val plan = SparkEntry.queries("q43_sns_inspector")(
       spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.toString
