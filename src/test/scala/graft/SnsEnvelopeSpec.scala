@@ -269,6 +269,26 @@ class SnsEnvelopeSpec extends SparkSpec {
     (0 until 8).foreach(_ => diffArr((0 until 100).map(_ => doc())))
   }
 
+  test("parseRequest plans the array kernel for all-string row schemas " +
+    "(q32's declared frame pins, so this is the checkable plan evidence)") {
+    val s = spark
+    import s.implicits._
+    val rowSchema = StructType(Seq(
+      StructField("finding_time", StringType), StructField("title", StringType)))
+    val plan = graft.operators.SecurityHub.parseRequest(
+      Seq("""{"Severity":"5","Rows":"[{\"title\":\"t\"}]"}""").toDF("body"),
+      col("body"), rowSchema).queryExecution.optimizedPlan.toString
+    assert(plan.contains("json_string_array"), plan.take(2000))
+    assert(!plan.contains("from_json"), plan.take(2000))
+    // a typed row schema keeps from_json
+    val typed = StructType(Seq(StructField("title", StringType),
+      StructField("sev", org.apache.spark.sql.types.LongType)))
+    val plan2 = graft.operators.SecurityHub.parseRequest(
+      Seq("""{"Severity":"5","Rows":"[]"}""").toDF("body"),
+      col("body"), typed).queryExecution.optimizedPlan.toString
+    assert(plan2.contains("from_json"), plan2.take(2000))
+  }
+
   test("q43 plan shows ONE kernel generate and no from_json/json_tuple") {
     val plan = SparkEntry.queries("q43_sns_inspector")(
       spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan.toString
